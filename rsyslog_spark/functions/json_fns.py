@@ -1,0 +1,101 @@
+"""JSON built-ins: parse_json, variable-path access, append_json,
+unflatten.
+
+The ``$!`` tree (ref: runtime/msg.h:114, path access
+runtime/msg.c:240,3099) is carried as a JSON STRING column; access
+compiles to ``get_json_object`` (JVM-side, codegen). Spark 4's VARIANT
+is offered as an opt-in via parse_json_variant for repeated deep
+access.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from rsyslog_spark.expr import ColumnOrName, rs_str
+
+
+def _json_path(path: str) -> str:
+    """rsyslog variable path ``$!a!b`` / ``a!b`` → JSONPath ``$.a.b``."""
+    p = path.lstrip("$")
+    p = p.lstrip("!.")
+    return "$." + ".".join(seg for seg in p.replace("!", ".").split(".") if seg)
+
+
+def json_get(json_col: ColumnOrName, path: str) -> Column:
+    """Read ``$!path`` from the JSON tree; missing → NULL (callers
+    wanting rsyslog missing-var semantics wrap with rs_str/rs_num)."""
+    return F.get_json_object(rs_str(json_col), _json_path(path))
+
+
+def json_get_num(json_col: ColumnOrName, path: str) -> Column:
+    return F.coalesce((json_get(json_col, path)).try_cast("long"), F.lit(0))
+
+
+def parse_json_variant(s: ColumnOrName) -> Column:
+    """parse_json(str) → VARIANT (Spark 4). Invalid JSON → NULL, the
+    engine's script_error analog (ref doFunc_parse_json errno)."""
+    return F.try_parse_json(rs_str(s))
+
+
+def append_json(dst_json: ColumnOrName, src_json: ColumnOrName) -> Column:
+    """Shallow merge of two JSON objects (src keys win), the engine's
+    append_json / variable-subtree merge analog (ref:
+    doc/source/rainerscript/variable_property_types.rst:37-70).
+
+    Pure-SQL implementation: explode both to maps of raw JSON values,
+    map_concat, re-assemble. Key order follows map_concat (dst keys
+    first, then new src keys) — deterministic for a given input.
+    """
+    dst_m = F.from_json(rs_str(dst_json), "map<string,string>")
+    src_m = F.from_json(rs_str(src_json), "map<string,string>")
+    merged = F.map_concat(
+        F.map_filter(F.coalesce(dst_m, F.expr("map()")),
+                     lambda k, _: ~F.map_contains_key(F.coalesce(src_m, F.expr("map()")), k)),
+        F.coalesce(src_m, F.expr("map()")),
+    )
+    return F.to_json(merged)
+
+
+def unflatten(json_col: ColumnOrName, sep: str = ".") -> Column:
+    """fmunflatten: dotted keys → nested objects (ref:
+    contrib/fmunflatten/fmunflatten.c:206-209).
+
+    Python implementation over Arrow batches (pandas_udf) — this is a
+    config-rare operator, not a hot-path one; flagged as the UDF
+    escape hatch it is.
+    """
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _unflatten_series(s):
+        def one(txt):
+            if txt is None:
+                return None
+            try:
+                flat = _json.loads(txt)
+            except ValueError:
+                return None
+            if not isinstance(flat, dict):
+                return txt
+            root: dict = {}
+            for k, v in flat.items():
+                parts = str(k).split(sep)
+                cur = root
+                for p in parts[:-1]:
+                    nxt = cur.get(p)
+                    if not isinstance(nxt, dict):
+                        nxt = {}
+                        cur[p] = nxt
+                    cur = nxt
+                cur[parts[-1]] = v
+            return _json.dumps(root, separators=(",", ":"))
+
+        return s.map(one)
+
+    _unflatten_series.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _unflatten = pandas_udf(_unflatten_series, "string")
+    return _unflatten(rs_str(json_col))

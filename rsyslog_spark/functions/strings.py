@@ -1,0 +1,142 @@
+"""String built-ins (ref: grammar/rainerscript.c:4467-4510 registry).
+
+All pure Column expressions; semantics match the reference's dynamic
+typing (missing → '' / 0) via the expr-layer coercers.
+"""
+
+from __future__ import annotations
+
+import os
+import re as _re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from rsyslog_spark.expr import ColumnOrName, _c, rs_num, rs_str
+
+#: Sentinel returned by field() when the requested field is absent
+#: (ref: doc/source/rainerscript/functions/rs-field.rst).
+FIELD_NOT_FOUND = "***FIELD NOT FOUND***"
+
+
+def strlen(s: ColumnOrName) -> Column:
+    return F.length(rs_str(s))
+
+
+def substring(s: ColumnOrName, start: int | Column, length: int | Column) -> Column:
+    """0-based substring (ref start is 0-based; Spark substr is 1-based)."""
+    start_c = _c(start) if isinstance(start, Column) else F.lit(start)
+    len_c = _c(length) if isinstance(length, Column) else F.lit(length)
+    return rs_str(s).substr(start_c + 1, len_c)
+
+
+def ltrim(s: ColumnOrName) -> Column:
+    return F.ltrim(rs_str(s))
+
+
+def rtrim(s: ColumnOrName) -> Column:
+    return F.rtrim(rs_str(s))
+
+
+def tolower(s: ColumnOrName) -> Column:
+    return F.lower(rs_str(s))
+
+
+def toupper(s: ColumnOrName) -> Column:
+    return F.upper(rs_str(s))
+
+
+def cstr(x: ColumnOrName) -> Column:
+    return rs_str(x)
+
+
+def cnum(x: ColumnOrName) -> Column:
+    return rs_num(x)
+
+
+def cbool(x: ColumnOrName) -> Column:
+    """cbool: 'on'/'true'/nonzero → true (ref rscript cbool coercion)."""
+    s = F.lower(rs_str(x))
+    return F.when(s.isin("on", "true", "yes"), F.lit(True)).otherwise(rs_num(x) != 0)
+
+
+def re_match(s: ColumnOrName, pattern: str) -> Column:
+    """ERE match (ref: doFunc re_match; Java regex is an ERE superset)."""
+    return rs_str(s).rlike(pattern)
+
+
+def re_match_i(s: ColumnOrName, pattern: str) -> Column:
+    return rs_str(s).rlike(f"(?i){pattern}")
+
+
+def re_extract(
+    s: ColumnOrName,
+    pattern: str,
+    match: int = 0,
+    submatch: int = 0,
+    nomatch: str = "",
+) -> Column:
+    """Extract the ``match``-th occurrence's ``submatch``-th group, or
+    ``nomatch`` default (ref: grammar/rainerscript.c:1696-1766).
+
+    Compiled to ``try_element_at(regexp_extract_all(...))`` — the regex
+    is compiled once by Catalyst, not per row.
+    """
+    all_matches = F.regexp_extract_all(rs_str(s), F.lit(pattern), F.lit(submatch))
+    got = F.try_element_at(all_matches, F.lit(match + 1))
+    return F.coalesce(got, F.lit(nomatch))
+
+
+def re_extract_i(s: ColumnOrName, pattern: str, match: int = 0,
+                 submatch: int = 0, nomatch: str = "") -> Column:
+    return re_extract(s, f"(?i){pattern}", match, submatch, nomatch)
+
+
+def _delim_str(delim: int | str) -> str:
+    # field() historically takes a decimal char code (e.g. 44 = ','),
+    # or a string delimiter (ref: rs-field.rst).
+    return chr(delim) if isinstance(delim, int) else delim
+
+
+def field(s: ColumnOrName, delim: int | str, n: int) -> Column:
+    """n-th field (1-based) split by delimiter; absent → sentinel
+    (ref: doc/source/rainerscript/functions/rs-field.rst)."""
+    d = _re.escape(_delim_str(delim))
+    parts = F.split(rs_str(s), d, -1)
+    return F.when(F.size(parts) >= n, F.element_at(parts, n)).otherwise(
+        F.lit(FIELD_NOT_FOUND)
+    )
+
+
+def split_fn(s: ColumnOrName, delim: int | str) -> Column:
+    """split() → array, consumed by foreach/explode (ref rs-split.rst)."""
+    return F.split(rs_str(s), _re.escape(_delim_str(delim)), -1)
+
+
+def replace(s: ColumnOrName, find: str | Column, repl: str | Column) -> Column:
+    """Literal replace-all (ref: grammar/rainerscript.c:1809+)."""
+    find_c = find if isinstance(find, Column) else F.lit(find)
+    repl_c = repl if isinstance(repl, Column) else F.lit(repl)
+    return F.replace(rs_str(s), find_c, repl_c)
+
+
+def wrap(s: ColumnOrName, wrapper: str, escape: str | None = None) -> Column:
+    """wrap(str, wrapper[, escape]): quote a string; occurrences of the
+    wrapper inside are replaced with ``escape`` when given
+    (ref: doc/source/rainerscript/functions/rs-wrap.rst)."""
+    inner = rs_str(s)
+    if escape is not None:
+        inner = F.replace(inner, F.lit(wrapper), F.lit(escape))
+    return F.concat(F.lit(wrapper), inner, F.lit(wrapper))
+
+
+def getenv_fn(name: str, default: str = "") -> Column:
+    """getenv() resolves at plan time — config-load semantics match the
+    reference (env read once at startup)."""
+    return F.lit(os.environ.get(name, default))
+
+
+def random_fn(max_value: int) -> Column:
+    """random(max) — uniform int in [0, max). Non-deterministic; the
+    reference docs warn about weak RNG, ours is Spark's XORShift."""
+    return F.floor(F.rand() * max_value).cast("long")

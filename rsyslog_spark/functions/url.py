@@ -1,0 +1,75 @@
+"""ffaup URL-decomposition built-ins (ref: contrib/ffaup/ffaup.c:306-315).
+
+Compiled to Spark's native ``parse_url`` where possible. The tld /
+domain / subdomain split uses a label heuristic (last label = tld,
+last two = registrable domain) rather than the full public-suffix
+list; a production deployment should broadcast-join a publicsuffix
+table instead (see operators/lookup.py for the join machinery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from rsyslog_spark.expr import ColumnOrName, rs_str
+
+
+def _url(u: ColumnOrName) -> Column:
+    return rs_str(u)
+
+
+def faup_scheme(u: ColumnOrName) -> Column:
+    return F.lower(F.regexp_extract(_url(u), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+
+def faup_credential(u: ColumnOrName) -> Column:
+    return F.parse_url(_url(u), F.lit("USERINFO"))
+
+
+def faup_host(u: ColumnOrName) -> Column:
+    return F.parse_url(_url(u), F.lit("HOST"))
+
+
+def faup_port(u: ColumnOrName) -> Column:
+    return F.regexp_extract(_url(u), r"^[a-zA-Z][A-Za-z0-9+.-]*://[^/]*:(\d+)", 1)
+
+
+def faup_tld(u: ColumnOrName) -> Column:
+    host = faup_host(u)
+    return F.regexp_extract(host, r"\.([^.]+)$", 1)
+
+
+def faup_domain(u: ColumnOrName) -> Column:
+    host = faup_host(u)
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def faup_domain_without_tld(u: ColumnOrName) -> Column:
+    return F.regexp_extract(faup_domain(u), r"^([^.]+)\.", 1)
+
+
+def faup_subdomain(u: ColumnOrName) -> Column:
+    host = faup_host(u)
+    dom = faup_domain(u)
+    return F.when(
+        F.length(host) > F.length(dom) + 1,
+        F.substring(host, F.lit(1), F.length(host) - F.length(dom) - 1),
+    ).otherwise(F.lit(""))
+
+
+def faup(u: ColumnOrName) -> Column:
+    """faup(url) → JSON object with all decomposed parts (the reference
+    returns a JSON container)."""
+    return F.to_json(
+        F.struct(
+            faup_scheme(u).alias("scheme"),
+            F.coalesce(faup_credential(u), F.lit("")).alias("credential"),
+            faup_subdomain(u).alias("subdomain"),
+            faup_domain(u).alias("domain"),
+            faup_domain_without_tld(u).alias("domain_without_tld"),
+            F.coalesce(faup_host(u), F.lit("")).alias("host"),
+            faup_tld(u).alias("tld"),
+            faup_port(u).alias("port"),
+        )
+    )

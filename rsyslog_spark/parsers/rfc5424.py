@@ -1,0 +1,93 @@
+"""RFC5424 parser (ref: tools/pmrfc5424.c, 347 LoC).
+
+Wire: ``<PRI>1 TIMESTAMP HOSTNAME APP-NAME PROCID MSGID SD [MSG]``
+with NILVALUE "-". Parsing strategy: one cheap ``split(limit=7)``
+over the header (no per-field regex scans), then a single regex to
+separate STRUCTURED-DATA from MSG — the header fields cannot contain
+spaces (RFC5424 §6), so the split is exact, and Catalyst codegens the
+whole thing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from rsyslog_spark.expr import rs_str
+from rsyslog_spark.parsers.pri import pri_col, strip_pri
+
+_SD_MSG_RE = r"^((?:\[.*\])+|-)(?: (.*))?$"
+
+
+def _nil(c: Column) -> Column:
+    return F.when(c == "-", F.lit(None).cast("string")).otherwise(c)
+
+
+def accepts_rfc5424(line) -> Column:
+    """Header sniff: ``<PRI>1 `` (ref pmrfc5424 checks version '1')."""
+    return rs_str(line).rlike(r"^<\d{1,3}>1 ")
+
+
+def rfc5424_fields(line) -> Column:
+    raw = rs_str(line)
+    pri = pri_col(raw)
+    rest = F.regexp_replace(strip_pri(raw), "[\n\x00]+$", "")
+    # rest = "1 TS HOST APP PROC MSGID SD[ MSG]"
+    parts = F.split(rest, " ", 7)
+    ts = _nil(F.element_at(parts, 2))
+    hostname = _nil(F.element_at(parts, 3))
+    app_name = _nil(F.element_at(parts, 4))
+    procid = _nil(F.element_at(parts, 5))
+    msgid = _nil(F.element_at(parts, 6))
+    tail = F.coalesce(F.try_element_at(parts, F.lit(7)), F.lit("-"))
+    sd = F.regexp_extract(tail, _SD_MSG_RE, 1)
+    msg = F.regexp_extract(tail, _SD_MSG_RE, 2)
+    # BOM strip (RFC5424 allows UTF-8 BOM before MSG; ref pmrfc5424)
+    msg = F.regexp_replace(msg, "^﻿", "")
+    timereported = F.coalesce(
+        F.try_to_timestamp(ts, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+        F.try_to_timestamp(ts, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(ts, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+    )
+    # syslogtag compat: "app[procid]:" like the reference synthesizes
+    syslogtag = F.concat(
+        F.coalesce(app_name, F.lit("-")),
+        F.when(procid.isNotNull(), F.concat(F.lit("["), procid, F.lit("]")))
+        .otherwise(F.lit("")),
+        F.lit(":"),
+    )
+    return F.struct(
+        pri.alias("pri"),
+        F.shiftright(pri, 3).alias("syslogfacility"),
+        pri.bitwiseAND(F.lit(7)).alias("syslogseverity"),
+        timereported.alias("timereported"),
+        hostname.alias("hostname"),
+        app_name.alias("app_name"),
+        procid.alias("procid"),
+        msgid.alias("msgid"),
+        _nil(sd).alias("structured_data"),
+        msg.alias("msg"),
+        syslogtag.alias("syslogtag"),
+        F.coalesce(app_name, F.lit("")).alias("programname"),
+        F.lit(True).alias("parsesuccess"),
+    )
+
+
+def parse_structured_data(sd) -> Column:
+    """RFC5424 STRUCTURED-DATA → MAP<STRING, MAP<STRING,STRING>>
+    (mmpstrucdata analog, ref: plugins/mmpstrucdata/mmpstrucdata.c).
+
+    ``[id k="v" k2="v2"][id2 ...]`` — element ids become outer keys,
+    param maps inner. Pure higher-order-function pipeline: split into
+    elements, then per element regex-extract id and k="v" pairs.
+    """
+    c = rs_str(sd)
+    elements = F.regexp_extract_all(c, F.lit(r"\[([^\]]*)\]"), F.lit(1))
+    def elem_to_entry(e: Column):
+        sd_id = F.regexp_extract(e, r"^(\S+)", 1)
+        keys = F.regexp_extract_all(e, F.lit(r'(\S+)="'), F.lit(1))
+        vals = F.regexp_extract_all(e, F.lit(r'="((?:[^"\\]|\\.)*)"'), F.lit(1))
+        params = F.map_from_arrays(keys, vals)
+        return F.struct(sd_id.alias("key"), params.alias("value"))
+    entries = F.transform(elements, elem_to_entry)
+    return F.map_from_entries(entries)

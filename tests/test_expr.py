@@ -1,0 +1,79 @@
+"""Expression-layer semantics vs reference behavior
+(ref: grammar/rainerscript.c:3803-3960 coercion rules)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rsyslog_spark import expr
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_cmp_numeric_first(spark):
+    # "10" vs "9": numeric compare → 10 > 9 (string compare would say "10" < "9")
+    assert one(spark, expr.rs_cmp(F.lit("10"), F.lit("9"), ">")) is True
+    assert one(spark, expr.rs_cmp(F.lit("10"), F.lit("9"), "<")) is False
+
+
+def test_cmp_string_fallback(spark):
+    # non-numeric side → string comparison
+    assert one(spark, expr.rs_cmp(F.lit("abc"), F.lit("abd"), "<")) is True
+    assert one(spark, expr.rs_cmp(F.lit("10"), F.lit("10x"), "==")) is False
+    assert one(spark, expr.rs_cmp(F.lit("a"), F.lit("a"), "==")) is True
+
+
+def test_cmp_missing_reads_empty(spark):
+    null = F.lit(None).cast("string")
+    assert one(spark, expr.rs_cmp(null, F.lit(""), "==")) is True
+
+
+def test_div_mod_by_zero_yields_zero(spark):
+    assert one(spark, expr.rs_div(F.lit(10), F.lit(0))) == 0
+    assert one(spark, expr.rs_mod(F.lit(10), F.lit(0))) == 0
+    assert one(spark, expr.rs_div(F.lit(10), F.lit(3))) == 3
+    assert one(spark, expr.rs_mod(F.lit(10), F.lit(3))) == 1
+
+
+def test_integer_arithmetic_with_string_coercion(spark):
+    assert one(spark, expr.rs_add(F.lit("4"), F.lit("5"))) == 9
+    assert one(spark, expr.rs_add(F.lit("abc"), F.lit(5))) == 5  # non-num → 0
+
+
+def test_concat_coerces_numbers(spark):
+    assert one(spark, expr.rs_concat(F.lit("n="), F.lit(42))) == "n=42"
+
+
+def test_prifilt_masks(spark):
+    df = spark.createDataFrame(
+        [(2, 6), (2, 3), (0, 3), (16, 0)], "fac int, sev int"
+    )
+    got = df.select(
+        expr.prifilt("mail.info", "fac", "sev").alias("mail_info"),
+        expr.prifilt("*.err", "fac", "sev").alias("any_err"),
+        expr.prifilt("mail.=info", "fac", "sev").alias("mail_exact_info"),
+        expr.prifilt("*.*;mail.none", "fac", "sev").alias("not_mail"),
+    ).collect()
+    # (2,6) mail.info: info(6) and more severe → pass
+    assert got[0]["mail_info"] is True
+    assert got[1]["mail_info"] is True      # (2,3) err more severe than info
+    assert got[2]["mail_info"] is False     # kern facility
+    assert got[0]["any_err"] is False       # sev 6 not <= err(3)
+    assert got[1]["any_err"] is True
+    assert got[2]["any_err"] is True
+    assert got[0]["mail_exact_info"] is True
+    assert got[1]["mail_exact_info"] is False
+    assert got[0]["not_mail"] is False
+    assert got[2]["not_mail"] is True
+
+
+def test_prifilt_mask_merge():
+    a = expr.PriFilter.parse("mail.*")
+    b = expr.PriFilter.parse("*.err")
+    merged = a & b
+    assert merged.pmask[2] == 0b1111          # mail: err and more severe
+    assert merged.pmask[0] == 0               # kern filtered out by a
+    inv = ~expr.PriFilter.parse("*.*")
+    assert all(m == 0 for m in inv.pmask)

@@ -1,0 +1,117 @@
+"""Scalar-function semantics; golden cases modeled on the reference's
+tests/rscript_*.sh suite (behavioral parity, no code derived)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import rsyslog_spark.functions as rf
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_string_basics(spark):
+    assert one(spark, rf.strlen(F.lit("abcd"))) == 4
+    assert one(spark, rf.substring(F.lit("abcdef"), 1, 3)) == "bcd"
+    assert one(spark, rf.tolower(F.lit("AbC"))) == "abc"
+    assert one(spark, rf.toupper(F.lit("AbC"))) == "ABC"
+    assert one(spark, rf.ltrim(F.lit("  x "))) == "x "
+    assert one(spark, rf.rtrim(F.lit(" x  "))) == " x"
+
+
+def test_field_semantics(spark):
+    # ref tests/rscript_field.sh: delimiter as char code 44 (',')
+    assert one(spark, rf.field(F.lit("a,b,c"), 44, 2)) == "b"
+    assert one(spark, rf.field(F.lit("a,b,c"), ",", 3)) == "c"
+    assert one(spark, rf.field(F.lit("a,b,c"), 44, 5)) == rf.FIELD_NOT_FOUND
+    assert one(spark, rf.field(F.lit("a,,c"), 44, 2)) == ""
+
+
+def test_replace_and_wrap(spark):
+    # ref tests/rscript_replace.sh
+    assert one(spark, rf.replace(F.lit("aXbXc"), "X", "-")) == "a-b-c"
+    assert one(spark, rf.wrap(F.lit("ab"), '"')) == '"ab"'
+    assert one(spark, rf.wrap(F.lit('a"b'), '"', "'")) == "\"a'b\""
+
+
+def test_re_extract(spark):
+    c = rf.re_extract(F.lit("id=42 id=43"), r"id=(\d+)", 1, 1, "none")
+    assert one(spark, c) == "43"
+    c = rf.re_extract(F.lit("nothing"), r"id=(\d+)", 0, 1, "none")
+    assert one(spark, c) == "none"
+
+
+def test_re_match(spark):
+    assert one(spark, rf.re_match(F.lit("error 42"), r"err.r")) is True
+    assert one(spark, rf.re_match_i(F.lit("ERROR"), r"error")) is True
+
+
+def test_net_functions(spark):
+    assert one(spark, rf.ipv42num(F.lit("10.0.1.1"))) == 167772417
+    assert one(spark, rf.ipv42num(F.lit("not-an-ip"))) == 0
+    assert one(spark, rf.ipv42num(F.lit("256.0.0.1"))) == 0
+    assert one(spark, rf.num2ipv4(F.lit(167772417))) == "10.0.1.1"
+    assert one(spark, rf.num2ipv4(F.lit(-5))) == "-1"
+    assert one(spark, rf.int2hex(F.lit(255))) == "ff"
+    assert one(spark, rf.b64_decode(F.lit("aGVsbG8="))) == "hello"
+    assert one(spark, rf.is_in_subnet(F.lit("10.0.1.7"), "10.0.1.0/24")) is True
+    assert one(spark, rf.is_in_subnet(F.lit("10.0.2.7"), "10.0.1.0/24")) is False
+
+
+def test_cnum_cbool(spark):
+    assert one(spark, rf.cnum(F.lit("42"))) == 42
+    assert one(spark, rf.cnum(F.lit("4x"))) == 0
+    assert one(spark, rf.cbool(F.lit("on"))) is True
+    assert one(spark, rf.cbool(F.lit("0"))) is False
+
+
+def test_time_functions(spark):
+    # 2018-03-01T01:00:00Z = 1519866000
+    assert one(spark, rf.format_time(F.lit(1519866000), "date-rfc3339")) == \
+        "2018-03-01T01:00:00+00:00"
+    assert one(spark, rf.format_time(F.lit(1519866000), "date-rfc3164")) == \
+        "Mar  1 01:00:00"
+    assert one(spark, rf.parse_time(F.lit("2018-03-01T01:00:00+00:00"))) == 1519866000
+    assert one(spark, rf.parse_time(F.lit("not a time"))) == 0
+    assert one(spark, rf.is_time(F.lit("2018-03-01T01:00:00Z"))) is True
+
+
+def test_hashing_stable(spark):
+    a = one(spark, rf.hash64(F.lit("abc")))
+    b = one(spark, rf.hash64(F.lit("abc")))
+    assert a == b
+    assert 0 <= one(spark, rf.hash64mod(10, F.lit("abc"))) < 10
+    assert 0 <= one(spark, rf.hash32(F.lit("abc"))) < 2**32
+
+
+def test_json_functions(spark):
+    j = F.lit('{"event":{"id":7},"user":"alice"}')
+    assert one(spark, rf.json_get(j, "$!event!id")) == "7"
+    assert one(spark, rf.json_get_num(j, "event!id")) == 7
+    assert one(spark, rf.json_get(j, "user")) == "alice"
+    merged = one(spark, rf.append_json(F.lit('{"a":"1"}'), F.lit('{"b":"2"}')))
+    assert '"a":"1"' in merged and '"b":"2"' in merged
+    out = one(spark, rf.unflatten(F.lit('{"a.b":1,"a.c":"x","d":2}')))
+    assert out == '{"a":{"b":1,"c":"x"},"d":2}'
+
+
+def test_faup(spark):
+    u = F.lit("https://user:pw@sub.example.com:8443/p?q=1")
+    assert one(spark, rf.faup_scheme(u)) == "https"
+    assert one(spark, rf.faup_host(u)) == "sub.example.com"
+    assert one(spark, rf.faup_domain(u)) == "example.com"
+    assert one(spark, rf.faup_tld(u)) == "com"
+    assert one(spark, rf.faup_subdomain(u)) == "sub"
+    assert one(spark, rf.faup_domain_without_tld(u)) == "example"
+    assert one(spark, rf.faup_port(u)) == "8443"
+
+
+def test_cef(spark):
+    line = one(spark, rf.tocef(
+        F.lit("0"), F.lit("ven|dor"), F.lit("prod"), F.lit("1.0"),
+        F.lit("sig"), F.lit("name"), F.lit("5"),
+        rf.cef_ext_escape(F.lit("k=v")),
+    ))
+    assert line == "CEF:0|ven\\|dor|prod|1.0|sig|name|5|k\\=v"

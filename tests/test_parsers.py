@@ -1,0 +1,91 @@
+"""Parser golden tests — line shapes from FIXTURES.md F1/F2 (the
+reference's tcpflood default format and RFC5424 examples)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rsyslog_spark.parsers import parse_syslog, parse_structured_data
+
+
+def parse_one(spark, line):
+    df = spark.createDataFrame([(line,)], "line string")
+    return parse_syslog(df).collect()[0]
+
+
+def test_rfc3164_tcpflood_default(spark):
+    r = parse_one(spark, "<165>Mar  1 01:00:00 172.20.245.8 tag/prog[1234]: msgnum:00000001:")
+    assert r["pri"] == 165
+    assert r["syslogfacility"] == 20
+    assert r["syslogseverity"] == 5
+    assert r["hostname"] == "172.20.245.8"
+    assert r["programname"] == "tag/prog"
+    assert r["procid"] == "1234"
+    assert r["syslogtag"] == "tag/prog[1234]:"
+    assert r["msg"] == "msgnum:00000001:"
+    assert r["protocol_version"] == 0
+    assert r["parsesuccess"] is True
+    assert r["timereported"].month == 3 and r["timereported"].day == 1
+
+
+def test_rfc3164_no_pri(spark):
+    r = parse_one(spark, "Mar 11 01:00:00 host1 app: hello")
+    assert r["pri"] == 13  # DEFUPRI user.notice
+    assert r["syslogfacility"] == 1
+    assert r["syslogseverity"] == 5
+    assert r["msg"] == "hello"
+    assert r["hostname"] == "host1"
+
+
+def test_rfc3164_no_timestamp(spark):
+    r = parse_one(spark, "<14>just some text")
+    assert r["pri"] == 14
+    assert r["msg"] == "just some text"
+    assert r["hostname"] is None
+    assert r["timereported"] is not None  # falls back to timegenerated
+
+
+def test_rfc5424_full(spark):
+    line = ('<34>1 2026-08-13T22:14:15.003Z host.example.com app 1234 ID47 '
+            '[exampleSDID@32473 iut="3" eventSource="App"] msg text')
+    r = parse_one(spark, line)
+    assert r["pri"] == 34
+    assert r["protocol_version"] == 1
+    assert r["hostname"] == "host.example.com"
+    assert r["app_name"] == "app"
+    assert r["procid"] == "1234"
+    assert r["msgid"] == "ID47"
+    assert r["structured_data"] == '[exampleSDID@32473 iut="3" eventSource="App"]'
+    assert r["msg"] == "msg text"
+    assert r["syslogtag"] == "app[1234]:"
+    assert r["timereported"].year == 2026
+    assert r["timereported"].microsecond == 3000
+
+
+def test_rfc5424_nil_fields(spark):
+    r = parse_one(spark, "<34>1 2026-08-13T22:14:15Z - - - - - hi")
+    assert r["hostname"] is None
+    assert r["app_name"] is None
+    assert r["structured_data"] is None
+    assert r["msg"] == "hi"
+
+
+def test_rfc5424_no_msg(spark):
+    r = parse_one(spark, '<34>1 2026-08-13T22:14:15Z h a p m [x@1 k="v"]')
+    assert r["structured_data"] == '[x@1 k="v"]'
+    assert r["msg"] in (None, "")
+
+
+def test_structured_data_map(spark):
+    df = spark.createDataFrame(
+        [('[exampleSDID@32473 iut="3" eventSource="App"][other@1 a="b"]',)],
+        "sd string")
+    m = df.select(parse_structured_data(F.col("sd")).alias("m")).collect()[0]["m"]
+    assert m["exampleSDID@32473"]["iut"] == "3"
+    assert m["exampleSDID@32473"]["eventSource"] == "App"
+    assert m["other@1"]["a"] == "b"
+
+
+def test_trailing_lf_stripped(spark):
+    r = parse_one(spark, "<165>Mar  1 01:00:00 h tag: hello\n")
+    assert r["msg"] == "hello"
