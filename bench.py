@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+The headline metric is total wall seconds across the query set (one
+warm-up pass of the flagship pipeline excluded, so JVM/codegen startup
+isn't billed to any single query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from rsyslog_spark import get_spark
+
+# Headline set: parse/route pipeline, scalar+template batteries,
+# enrichment joins, stateful aggregations, dedup/similarity, TPC-H-ish
+# scan/join/agg. Everything in queries() that is bench-meaningful.
+BENCH_QUERIES = [
+    "flagship_parse_route",
+    "rfc5424_roundtrip_fields",
+    "pri_filter_selectors",
+    "prop_filter_ops",
+    "template_csv_line",
+    "template_json_line",
+    "scalar_battery_strings",
+    "lookup_string_broadcast",
+    "lookup_sparse_join",
+    "mmjsonparse_extract",
+    "mmanon_embedded",
+    "dynstats_hourly",
+    "ratelimit_interval_burst",
+    "repeated_msg_reduction_runs",
+    "sendertrack_stats",
+    "dedup_exact",
+    "minhash_lsh_dedup",
+    "similarity_topk_bruteforce",
+    "text_quality_metrics",
+    "pricing_summary",
+    "top_revenue_orders",
+    "supplier_part_volume",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # Warm up JVM / parquet footer cache on the flagship query.
+    qs["flagship_parse_route"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        # count() forces full execution without driver-side collect cost
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard — all
+expressed as DataFrame pipelines over built-in functions (xxhash64,
+explode, groupBy); zero Python UDFs, so every stage is codegen'd and
+shuffle volume is the only cost.
+
+Scale design (the point of each strategy at 100 TB):
+- exact: shuffle on a 64-bit content hash, not the content — the
+  shuffle carries (hash, id), bytes stay columnar at the scan.
+- MinHash LSH: candidate generation shuffles (band_id, band_hash)
+  pairs only; the quadratic verify step runs per-bucket, and buckets
+  are tiny by construction.
+- SimHash: one aggregation per document; near-dup candidates via
+  banding the 64-bit fingerprint into 4x16-bit keys (Hamming<=3 ⇒
+  at least one band equal, pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+", -1)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), pure higher-order fns."""
+    toks = _tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(
+        F.filter(grams, lambda g: F.length(g) > 0)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per distinct text.
+
+    Hash-first: groupBy xxhash64(text) so the shuffle key is 8 bytes;
+    a same-hash different-text collision (~2^-64 per pair) is accepted
+    — flip VERIFY=True semantics by grouping on the text itself for
+    the paranoid path.
+    """
+    h = F.xxhash64(F.col(text_col))
+    return (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("__h")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 64, shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: num_hashes columns mh0..mhN.
+
+    One explode + one groupBy(doc): each hash function is
+    ``min(xxhash64(shingle, seed_i))`` — num_hashes aggregate
+    expressions evaluated map-side (partial agg), so the shuffle
+    carries one row per document.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str,
+    num_hashes: int = 64, bands: int = 16,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature, self-join on
+    (band_id, band_hash) → candidate pairs (id_a < id_b).
+
+    The self-join key includes the band id, so the shuffle spreads
+    across bands; per-bucket pair expansion is the only quadratic
+    step and bucket sizes are bounded in practice by band width.
+    """
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")) \
+        .select(id_col, "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, [F.col(f"a.band") == F.col("b.band"),
+                   F.col("a.bh") == F.col("b.bh"),
+                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash near-dup pipeline: signatures → LSH candidates →
+    signature-similarity verify → connected survivors removed.
+
+    Returns (id_a, id_b, est_jaccard) pairs with est >= threshold;
+    callers drop id_b (greedy by lowest id) or run components.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    eq = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        cands.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b",
+                (eq / F.lit(float(num_hashes))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    shingle_n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
+
+    explode → self-join on shingle → |A∩B| per pair → jaccard via
+    |A|+|B|-|A∩B|. The shingle join key spreads the shuffle; a
+    stopword-shingle hot key is the skew risk (AQE skew-join splits
+    it). For 100 TB use minhash_dedup first and reserve this for
+    candidate verification.
+    """
+    sized = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__shs")
+    ).withColumn("__sz", F.size("__shs"))
+    ex = sized.select(id_col, "__sz", F.explode("__shs").alias("__sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, [F.col("a.__sh") == F.col("b.__sh"),
+                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"),
+             F.first("a.__sz").alias("__sza"),
+             F.first("b.__sz").alias("__szb"))
+    )
+    jac = F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter"))
+    return inter.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    explode tokens → per-bit signed sums (64 partial-agg columns) →
+    assemble fingerprint. All integer ops; one shuffle on the doc id.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__tok")
+    ).withColumn("__h", F.xxhash64("__tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = ex.groupBy(id_col).agg(*bit_aggs)
+    fp: Column = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.shiftleft(F.lit(1).cast("long"), i)
+        fp = fp + F.when(F.col(f"b{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_candidates(fps: DataFrame, id_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates by 4x16-bit banding (Hamming<=3 guarantees
+    one equal band), then exact Hamming filter via bit_count(xor)."""
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("bh"))
+        for b in range(4)
+    ])
+    banded = fps.select(F.col(id_col), F.col("simhash"),
+                        F.explode(bands).alias("bb")) \
+        .select(id_col, "simhash", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, [F.col("a.band") == F.col("b.band"),
+                   F.col("a.bh") == F.col("b.bh"),
+                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,128 @@
+"""Message-modification operators (``mm*``) — per-row transforms.
+
+Each is a DataFrame→DataFrame stage or a Column factory, pure
+JVM-side expressions (SURVEY §2.6). No UDFs in any of these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rsyslog_spark.expr import ColumnOrName, rs_str
+from rsyslog_spark.functions.net import IPV4_RE
+from rsyslog_spark.parsers.rfc5424 import parse_structured_data
+
+
+def mmjsonparse(df: DataFrame, msg_col: str = "msg", out_col: str = "json",
+                cookie: str = "@cee:") -> DataFrame:
+    """Parse CEE/``@cee:`` JSON payload into the ``$!`` tree
+    (ref: plugins/mmjsonparse/mmjsonparse.c:1-5).
+
+    Sets ``$!parsesuccess``-analog column ``json_parsed``; on failure
+    the json column is left NULL (the reference leaves the tree empty
+    and sets $parsesuccess to OFF).
+    """
+    msg = rs_str(F.col(msg_col))
+    payload = F.when(
+        msg.startswith(cookie), F.ltrim(F.substring_index(msg, cookie, -1))
+    ).otherwise(F.when(msg.startswith("{"), msg))
+    # validate by attempting a variant parse; keep raw text on success
+    ok = F.try_parse_json(payload).isNotNull()
+    return (
+        df.withColumn(out_col, F.when(ok, payload))
+        .withColumn("json_parsed", ok.isNotNull() & ok)
+    )
+
+
+def mmfields(df: DataFrame, msg_col: str = "msg", delim: str = ",",
+             prefix: str = "f", max_fields: int = 8) -> DataFrame:
+    """Split message on a delimiter into ``$!f1..$!fN`` columns
+    (ref: plugins/mmfields/mmfields.c:1-4; fields are 1-origin with
+    f1 = text before the first delimiter).
+
+    Emits a fixed set of columns (schema must be static); absent
+    fields are NULL. One split() evaluation shared across fields.
+    """
+    import re as _re
+
+    parts = F.split(rs_str(F.col(msg_col)), _re.escape(delim), -1)
+    out = df.withColumn("__parts", parts)
+    for i in range(1, max_fields + 1):
+        out = out.withColumn(f"{prefix}{i}", F.try_element_at("__parts", F.lit(i)))
+    return out.drop("__parts")
+
+
+def mmpstrucdata(df: DataFrame, sd_col: str = "structured_data",
+                 out_col: str = "rfc5424_sd") -> DataFrame:
+    """RFC5424 SD → MAP<sdid, MAP<param,value>> (ref:
+    plugins/mmpstrucdata/mmpstrucdata.c:1-4)."""
+    return df.withColumn(out_col, parse_structured_data(F.col(sd_col)))
+
+
+def anon_ipv4_col(c: ColumnOrName, bits: int = 8, mode: str = "zero") -> Column:
+    """mmanon ipv4 embedded anonymization (ref: plugins/mmanon/mmanon.c:
+    1-3): mask the low ``bits`` of every IPv4 in the text.
+
+    mode="zero": masked octets → 0 (we support octet-aligned bit
+    widths 8/16/24/32 in pure SQL; arbitrary widths would need an
+    integer round-trip on each match — available via ipv42num/num2ipv4
+    when applied to a pure-IP column).
+    """
+    if mode != "zero":
+        raise NotImplementedError("only zero mode is implemented")
+    if bits not in (0, 8, 16, 24, 32):
+        raise NotImplementedError("octet-aligned widths only for embedded anon")
+    s = rs_str(c)
+    if bits == 0:
+        return s
+    keep = 4 - bits // 8
+    o = _octet()
+    if keep == 0:
+        return F.regexp_replace(s, rf"\b{IPV4_RE}\b", "0.0.0.0")
+    kept = r"\.".join([o] * keep)
+    masked = r"\.".join([o] * (4 - keep))
+    zeros = ".".join(["0"] * (4 - keep))
+    return F.regexp_replace(s, rf"\b({kept})\.{masked}\b", f"$1.{zeros}")
+
+
+def _octet() -> str:
+    return r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+
+
+def mmanon(df: DataFrame, msg_col: str = "msg", bits: int = 8,
+           mode: str = "zero") -> DataFrame:
+    return df.withColumn(msg_col, anon_ipv4_col(F.col(msg_col), bits, mode))
+
+
+def mmrm1stspace(df: DataFrame, msg_col: str = "msg") -> DataFrame:
+    """Remove erroneous leading space in MSG (ref: plugins/mmrm1stspace)."""
+    return df.withColumn(
+        msg_col, F.regexp_replace(F.col(msg_col), "^ ", "")
+    )
+
+
+def mmutf8fix(df: DataFrame, msg_col: str = "msg",
+              replacement: str = " ") -> DataFrame:
+    """Replace invalid UTF-8 (ref: plugins/mmutf8fix/mmutf8fix.c:1-8).
+
+    Spark strings are already UTF-8-validated on read; wire bytes that
+    were invalid arrive as U+FFFD. We map those (and raw control
+    chars) to the replacement char.
+    """
+    return df.withColumn(
+        msg_col,
+        F.regexp_replace(F.col(msg_col), "[�\x00-\x08\x0b\x0c\x0e-\x1f]",
+                         replacement),
+    )
+
+
+def mmtaghostname(df: DataFrame, tag: str | None = None,
+                  hostname: str | None = None) -> DataFrame:
+    """Force tag/hostname (ref: contrib/mmtaghostname)."""
+    out = df
+    if tag is not None:
+        out = out.withColumn("syslogtag", F.lit(tag))
+    if hostname is not None:
+        out = out.withColumn("hostname", F.lit(hostname))
+    return out

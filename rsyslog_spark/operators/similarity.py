@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a random-
+hyperplane LSH bucketed variant as the scale path. Dot products are
+pure ``zip_with``/``aggregate`` higher-order functions — JVM-side,
+no Python in the loop.
+
+Scale notes: brute force is O(N) per query but embarrassingly
+parallel and shuffle-free until the final top-k (a
+TakeOrderedAndProject, which aggregates only k rows per partition).
+The LSH path prunes candidates to matching buckets; signature
+computation is a projection, bucketing a cheap shuffle on small keys.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d != 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def _query_lit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame, query_vec: list[float],
+    vec_col: str = "embedding", id_col: str = "vec_id", k: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    The plan is scan → project(score) → TakeOrderedAndProject: no
+    shuffle of the embeddings themselves; each task keeps its local
+    top-k and the driver merges k*numPartitions rows.
+    """
+    q = _query_lit(query_vec)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    score = cosine(vec, q)
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return (
+        df.select(F.col(id_col), score.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    df: DataFrame, queries: DataFrame,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    q_vec_col: str = "embedding", q_id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Batch k-NN: for every query row, top-k neighbors from df.
+
+    Broadcast the (small) query set; per base row compute scores for
+    all queries (cross product stays map-side), then per-query top-k
+    via window rank. Use LSH bucketing instead when queries are many.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.transform(F.col(q_vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    base = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("bv"),
+    )
+    scored = base.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", cosine(F.col("bv"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)
+
+
+def lsh_hyperplanes(dim: int, num_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for signature LSH."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
+    ]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-dot-product bit signature packed into a long."""
+    sig: Column = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(dot(vec, p) >= 0, F.lit(1 << i).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        sig = sig + bit
+    return sig
+
+
+def cosine_topk_lsh(
+    df: DataFrame, query_vec: list[float],
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    k: int = 10, num_planes: int = 16, max_hamming: int = 2,
+    seed: int = 42, round_digits: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: prune to vectors whose LSH signature is
+    within ``max_hamming`` bits of the query signature, then exact
+    cosine on the survivors.
+
+    The signature column should be precomputed & persisted for a real
+    corpus (signature is query-independent); here it is computed
+    inline for self-containment.
+    """
+    planes = lsh_hyperplanes(len(query_vec), num_planes, seed)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qsig_val = 0
+    for i, plane in enumerate(planes):
+        s = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if s >= 0:
+            qsig_val |= 1 << i
+    sig = lsh_signature(vec, planes)
+    pruned = df.withColumn("__sig", sig).filter(
+        F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig_val))) <= max_hamming
+    )
+    return cosine_topk(pruned, query_vec, vec_col, id_col, k, round_digits)

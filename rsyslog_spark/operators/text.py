@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (regex + arithmetic), deterministic, and
+DuckDB-oracle-expressible so they sit inside the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from rsyslog_spark.expr import ColumnOrName, rs_str
+
+# Tiny per-language stopword anchors for the n-gram/stopword heuristic.
+# Deliberately small: the operator contract is deterministic scoring,
+# not linguistic accuracy (swap in fastText-style models via the
+# multimodal UDF plumbing for production).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+}
+
+
+def token_count_ws(text: ColumnOrName) -> Column:
+    """Whitespace token count."""
+    t = F.trim(rs_str(text))
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+", -1))
+    ).cast("long")
+
+
+def token_count_bpe(text: ColumnOrName) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation
+    runs (a cheap, deterministic stand-in for a real tokenizer)."""
+    t = rs_str(text)
+    pieces = F.regexp_extract_all(
+        t, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), F.lit(0)
+    )
+    return F.size(pieces).cast("long")
+
+
+def word_count(text: ColumnOrName) -> Column:
+    return token_count_ws(text)
+
+
+def avg_word_len(text: ColumnOrName) -> Column:
+    t = F.trim(rs_str(text))
+    n = token_count_ws(t)
+    letters = F.length(F.regexp_replace(t, r"\s+", ""))
+    return F.when(n > 0, F.round(letters / n, 6)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: ColumnOrName) -> Column:
+    t = rs_str(text)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return F.when(F.length(t) > 0,
+                  F.round(punct / F.length(t), 6)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: ColumnOrName, lang: str = "en") -> Column:
+    toks = F.split(F.lower(F.trim(rs_str(text))), r"\s+", -1)
+    stops = LANG_MARKERS[lang]
+    hits = F.size(F.filter(toks, lambda tok: tok.isin(*stops)))
+    n = F.size(toks)
+    return F.when(n > 0, F.round(hits / n, 6)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: ColumnOrName) -> Column:
+    """Composite quality heuristic in [0,1]: length band + word length
+    band + low punctuation. Mirrors the shape of C4/Gopher-style
+    filters; each term deterministic and SQL-expressible."""
+    t = rs_str(text)
+    n_chars = F.length(t)
+    wl = avg_word_len(t)
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 10000), 0.4).otherwise(0.0)
+    wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), 0.3).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(t) <= 0.2, 0.3).otherwise(0.0)
+    return F.round(len_ok + wl_ok + punct_ok, 6)
+
+
+def lang_id(text: ColumnOrName) -> Column:
+    """Stopword-anchor language ID with CJK codepoint check first.
+
+    Returns the language whose markers hit most tokens; 'zh' when CJK
+    characters present; 'und' when nothing matches. Deterministic
+    tie-break by language code order.
+    """
+    t = F.lower(rs_str(text))
+    toks = F.split(F.trim(t), r"\s+", -1)
+    scores: list[tuple[str, Column]] = []
+    for code in sorted(LANG_MARKERS):
+        stops = LANG_MARKERS[code]
+        scores.append(
+            (code, F.size(F.filter(toks, lambda tok: tok.isin(*stops))))
+        )
+    best: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    for code, sc in scores:  # earlier code wins ties via strict >
+        is_better = sc > best_score
+        best = F.when(is_better, F.lit(code)).otherwise(best)
+        best_score = F.when(is_better, sc).otherwise(best_score)
+    has_cjk = t.rlike(r"[一-鿿]")
+    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+
+def doc_fingerprint(text: ColumnOrName) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text
+    (lowercase, whitespace collapsed). Stable across engines — the
+    dedup key for exact dedup after fuzzy normalization."""
+    norm = F.regexp_replace(F.lower(F.trim(rs_str(text))), r"\s+", " ")
+    return F.md5(norm)

@@ -1,0 +1,443 @@
+"""Core-engine queries: parse/render roundtrip, PRI & property
+filters, expression coercion, scalar-function batteries, templates.
+
+Shared derivation (events table as a syslog stream):
+  sev  = event_id % 8          facility-severity from stable ids
+  fac  = user_id % 24
+  host = 'h' || user_id % 10
+  app  = 'app' || user_id % 5
+  msg  = event_type || ' code=' || event_id % 100
+The oracle recomputes these directly — the Spark side must arrive at
+the same numbers through the full render→parse→filter→aggregate
+pipeline, which is what makes the roundtrip a real test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import rsyslog_spark.functions as rf
+from rsyslog_spark.expr import prifilt, rs_cmp, rs_div, rs_concat
+from rsyslog_spark.parsers import parse_syslog
+from rsyslog_spark.queries import Query, load
+from rsyslog_spark.templates import csv_line, jsonf
+
+QUERIES: list[Query] = []
+
+
+def q(name, oracle, doc=""):
+    def deco(fn):
+        QUERIES.append(Query(name=name, spark=fn, oracle=oracle, doc=doc))
+        return fn
+    return deco
+
+
+def _events_syslog_lines(spark, sf_dir):
+    """Render events as RFC5424 wire lines (the omfwd template path)."""
+    ev = load(spark, sf_dir, "events")
+    sev = (F.col("event_id") % 8).cast("int")
+    fac = (F.col("user_id") % 24).cast("int")
+    pri = fac * 8 + sev
+    host = F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))
+    app = F.concat(F.lit("app"), (F.col("user_id") % 5).cast("string"))
+    msg = F.concat(F.col("event_type"), F.lit(" code="),
+                   (F.col("event_id") % 100).cast("string"))
+    ts = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+                  F.lit("Z"))
+    line = F.concat(
+        F.lit("<"), pri.cast("string"), F.lit(">1 "), ts, F.lit(" "),
+        host, F.lit(" "), app, F.lit(" "),
+        F.col("user_id").cast("string"), F.lit(" ID"),
+        (F.col("event_id") % 10).cast("string"), F.lit(" - "), msg,
+    )
+    return ev.select(line.alias("line"))
+
+
+@q(
+    "flagship_parse_route",
+    """
+    SELECT CAST(event_id % 8 AS BIGINT) AS severity,
+           'app' || CAST(user_id % 5 AS VARCHAR) AS app_name,
+           COUNT(*) AS cnt,
+           CAST(SUM(event_id % 100) AS BIGINT) AS sum_code
+    FROM events
+    WHERE (event_id % 8) <= 4 AND event_type LIKE '%error%'
+    GROUP BY 1, 2
+    """,
+    doc="End-to-end: template-render events to RFC5424 lines, parse "
+        "back through the parser chain, PRI-filter *.warning, property-"
+        "filter msg contains 'error', re_extract the code, aggregate. "
+        "SURVEY §7 milestone-0 slice.",
+)
+def flagship_parse_route(spark, sf_dir):
+    lines = _events_syslog_lines(spark, sf_dir)
+    parsed = parse_syslog(lines)
+    routed = parsed.filter(prifilt("*.warning")).filter(
+        F.col("msg").contains("error")
+    )
+    code = rf.re_extract("msg", r"code=(\d+)", 0, 1, "0")
+    return (
+        routed.withColumn("code", code.cast("long"))
+        .groupBy(
+            F.col("syslogseverity").cast("long").alias("severity"),
+            F.col("app_name"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("code").cast("long").alias("sum_code"))
+    )
+
+
+@q(
+    "rfc5424_roundtrip_fields",
+    """
+    SELECT 'h' || CAST(user_id % 10 AS VARCHAR) AS hostname,
+           CAST(user_id AS VARCHAR) AS procid,
+           'ID' || CAST(event_id % 10 AS VARCHAR) AS msgid,
+           date_trunc('hour', ts) AS hr,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="RFC5424 parse fidelity incl. fractional-second timestamps: "
+        "every header field and the event-time hour must survive the "
+        "render→parse roundtrip (ref: tools/pmrfc5424.c).",
+)
+def rfc5424_roundtrip_fields(spark, sf_dir):
+    parsed = parse_syslog(_events_syslog_lines(spark, sf_dir))
+    return parsed.groupBy(
+        "hostname", "procid", "msgid",
+        F.date_trunc("hour", "timereported").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "pri_filter_selectors",
+    """
+    SELECT CAST(user_id % 24 AS BIGINT) AS facility,
+           CAST(event_id % 8 AS BIGINT) AS severity,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE (event_id % 8) <= 3
+       OR (user_id % 24) = 4
+       OR ((user_id % 24) = 2 AND (event_id % 8) = 6)
+    GROUP BY 1, 2
+    """,
+    doc="Compiled PRI-mask filter: '*.err;auth.*;mail.=info' — three "
+        "selectors merged into one 25x8 bitmask at plan time "
+        "(ref: runtime/ruleset.c:403-417, rainerscript.c:5659-5679).",
+)
+def pri_filter_selectors(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    fac = (F.col("user_id") % 24).cast("int")
+    sev = (F.col("event_id") % 8).cast("int")
+    df = ev.select(fac.alias("facility"), sev.alias("severity"))
+    return (
+        df.filter(prifilt("*.err;auth.*;mail.=info", "facility", "severity"))
+        .groupBy(F.col("facility").cast("long").alias("facility"),
+                 F.col("severity").cast("long").alias("severity"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@q(
+    "prop_filter_ops",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN event_type LIKE '%rror%' THEN 1 ELSE 0 END) AS BIGINT)  AS n_contains,
+      CAST(SUM(CASE WHEN event_type LIKE 'sign%' THEN 1 ELSE 0 END) AS BIGINT)   AS n_startswith,
+      CAST(SUM(CASE WHEN event_type LIKE '%ase' THEN 1 ELSE 0 END) AS BIGINT)    AS n_endswith,
+      CAST(SUM(CASE WHEN regexp_matches(event_type, '^(view|click)$') THEN 1 ELSE 0 END) AS BIGINT) AS n_regex,
+      CAST(SUM(CASE WHEN event_type = '' THEN 1 ELSE 0 END) AS BIGINT)           AS n_isempty,
+      CAST(SUM(CASE WHEN event_type NOT LIKE '%rror%' THEN 1 ELSE 0 END) AS BIGINT) AS n_negated
+    FROM events
+    """,
+    doc="Property-filter compare ops: contains/startswith/endswith/"
+        "regex/isempty + negation (ref: runtime/typedefs.h:172-179, "
+        "ruleset.c:424-500).",
+)
+def prop_filter_ops(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    t = F.col("event_type")
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    return ev.agg(
+        cnt(t.contains("rror")).alias("n_contains"),
+        cnt(t.startswith("sign")).alias("n_startswith"),
+        cnt(t.endswith("ase")).alias("n_endswith"),
+        cnt(t.rlike("^(view|click)$")).alias("n_regex"),
+        cnt(F.length(t) == 0).alias("n_isempty"),
+        cnt(~t.contains("rror")).alias("n_negated"),
+    )
+
+
+@q(
+    "rs_cmp_coercion",
+    """
+    SELECT event_type,
+           CAST(SUM(CASE WHEN COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) >= 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_k_ge_50,
+           CAST(SUM(CASE WHEN event_type = '9' THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_str9
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="rsyslog numeric-first comparison: '$!k' (a JSON string) "
+        "compared numerically against '50'; string fallback when one "
+        "side is non-numeric (ref: grammar/rainerscript.c:3839-3960).",
+)
+def rs_cmp_coercion(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k = rf.json_get("props", "k")
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    return ev.groupBy("event_type").agg(
+        cnt(rs_cmp(k, F.lit("50"), ">=")).alias("n_k_ge_50"),
+        cnt(rs_cmp(F.col("event_type"), F.lit(9), "==")).alias("n_eq_str9"),
+    )
+
+
+@q(
+    "rs_arith_div0",
+    """
+    SELECT event_type,
+           CAST(SUM(CASE WHEN (event_id % 5) = 0 THEN 0
+                    ELSE CAST(TRUNC(CAST(FLOOR(value * 100) AS BIGINT)
+                              / (event_id % 5)) AS BIGINT) END) AS BIGINT) AS sum_div,
+           CAST(SUM(CASE WHEN (event_id % 5) = 0 THEN 0
+                    ELSE CAST(FLOOR(value * 100) AS BIGINT) % (event_id % 5) END) AS BIGINT) AS sum_mod
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Division/modulo by zero yields 0, not NULL/error "
+        "(ref: grammar/rainerscript.c:3803-3812).",
+)
+def rs_arith_div0(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    num = F.floor(F.col("value") * 100).cast("long")
+    den = (F.col("event_id") % 5).cast("long")
+    from rsyslog_spark.expr import rs_mod
+    return ev.groupBy("event_type").agg(
+        F.sum(rs_div(num, den)).cast("long").alias("sum_div"),
+        F.sum(rs_mod(num, den)).cast("long").alias("sum_mod"),
+    )
+
+
+@q(
+    "field_extract",
+    """
+    SELECT CASE WHEN len(string_split(text, ' ')) >= 3
+                THEN string_split(text, ' ')[3]
+                ELSE '***FIELD NOT FOUND***' END AS w3,
+           COUNT(*) AS cnt
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="field(msg, 32, 3) — 3rd space-delimited field with the "
+        "reference's FIELD-NOT-FOUND sentinel "
+        "(ref: doc/source/rainerscript/functions/rs-field.rst).",
+)
+def field_extract(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(rf.field("text", " ", 3).alias("w3")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@q(
+    "template_csv_line",
+    """
+    SELECT event_id,
+           '"' || CAST(event_id AS VARCHAR) || '","'
+               || replace(event_type, '"', '""') || '","'
+               || replace(props, '"', '""') || '"' AS csv
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="CSV template output (RFC4180 quoting, ref: template.h:160-166 "
+        "OPT_CSV) — props contains quote characters so escaping is "
+        "actually exercised.",
+)
+def template_csv_line(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        csv_line([F.col("event_id").cast("string"),
+                  F.col("event_type"), F.col("props")]).alias("csv"),
+    )
+
+
+@q(
+    "template_json_line",
+    """
+    SELECT event_id,
+           to_json(struct_pack(id := event_id, etype := event_type,
+                               host := 'h' || CAST(user_id % 10 AS VARCHAR))) AS j
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="jsonf template → one JSON object per row "
+        "(ref: template.h:165-178).",
+)
+def template_json_line(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    host = F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))
+    return ev.select(
+        "event_id",
+        jsonf({"id": F.col("event_id"), "etype": F.col("event_type"),
+               "host": host}).alias("j"),
+    )
+
+
+@q(
+    "scalar_battery_strings",
+    """
+    SELECT event_id,
+           length(event_type) AS len,
+           upper(event_type) AS up,
+           substr(event_type, 2, 3) AS sub,
+           replace(event_type, 'e', 'E') AS repl,
+           lower(to_hex(event_id)) AS hexid,
+           event_type AS b64rt,
+           ltrim(rtrim(' ' || event_type || ' ')) AS trimmed
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="Scalar battery: strlen/toupper/substring/replace/int2hex/"
+        "b64 roundtrip/trim (ref registry grammar/rainerscript.c:"
+        "4467-4510).",
+)
+def scalar_battery_strings(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    t = F.col("event_type")
+    return ev.select(
+        "event_id",
+        rf.strlen(t).cast("long").alias("len"),
+        rf.toupper(t).alias("up"),
+        rf.substring(t, 1, 3).alias("sub"),
+        rf.replace(t, "e", "E").alias("repl"),
+        rf.int2hex("event_id").alias("hexid"),
+        rf.b64_decode(F.base64(t.cast("binary"))).alias("b64rt"),
+        rf.ltrim(rf.rtrim(F.concat(F.lit(" "), t, F.lit(" ")))).alias("trimmed"),
+    )
+
+
+@q(
+    "scalar_battery_net",
+    """
+    WITH ips AS (
+      SELECT event_id,
+             user_id % 256 AS o2,
+             '10.' || CAST(user_id % 256 AS VARCHAR) || '.'
+                   || CAST(event_id % 256 AS VARCHAR) || '.'
+                   || CAST((event_id * 7) % 256 AS VARCHAR) AS ip,
+             CAST(10 * 16777216 + (user_id % 256) * 65536
+                  + (event_id % 256) * 256 + (event_id * 7) % 256 AS BIGINT) AS ipnum
+      FROM events WHERE event_id < 500
+    )
+    SELECT event_id, ip, ipnum AS ip2num,
+           ip AS roundtrip,
+           CASE WHEN o2 < 128 THEN TRUE ELSE FALSE END AS in_subnet
+    FROM ips
+    """,
+    doc="ipv42num / num2ipv4 / is_in_subnet over synthesized dotted "
+        "quads (ref rs-ip42num.rst, rs-num2ip.rst; fmhash-family).",
+)
+def scalar_battery_net(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ip = F.concat_ws(
+        ".", F.lit("10"), (F.col("user_id") % 256).cast("string"),
+        (F.col("event_id") % 256).cast("string"),
+        ((F.col("event_id") * 7) % 256).cast("string"),
+    )
+    df = ev.select("event_id", ip.alias("ip"))
+    return df.select(
+        "event_id", "ip",
+        rf.ipv42num("ip").alias("ip2num"),
+        rf.num2ipv4(rf.ipv42num("ip")).alias("roundtrip"),
+        rf.is_in_subnet("ip", "10.0.0.0/9").alias("in_subnet"),
+    )
+
+
+@q(
+    "scalar_battery_time",
+    """
+    SELECT event_id,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS unixts,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS rfc3339,
+           CASE WHEN day(ts) < 10
+                THEN strftime(ts, '%b  ') || CAST(day(ts) AS VARCHAR) || strftime(ts, ' %H:%M:%S')
+                ELSE strftime(ts, '%b %-d %H:%M:%S') END AS rfc3164,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS parsed_back
+    FROM events WHERE event_id < 500
+    """,
+    doc="format_time/parse_time battery: RFC3339 + RFC3164 rendering "
+        "and parse roundtrip (ref rs-format_time.rst).",
+)
+def scalar_battery_time(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    unixts = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id",
+        unixts.cast("long").alias("unixts"),
+        rf.format_time(unixts, "date-rfc3339").alias("rfc3339"),
+        rf.format_time(unixts, "date-rfc3164").alias("rfc3164"),
+        rf.parse_time(rf.format_time(unixts, "date-rfc3339"))
+        .cast("long").alias("parsed_back"),
+    )
+
+
+@q(
+    "faup_url_decompose",
+    """
+    SELECT source,
+           'https' AS scheme,
+           source || '.example.com' AS host,
+           'example.com' AS domain,
+           'com' AS tld,
+           source AS subdomain,
+           'example' AS domain_no_tld,
+           COUNT(*) AS cnt
+    FROM documents
+    GROUP BY source
+    """,
+    doc="ffaup URL decomposition (ref: contrib/ffaup/ffaup.c:306-315) "
+        "over synthesized URLs.",
+)
+def faup_url_decompose(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/p?q=1"))
+    df = docs.select("source", url.alias("u"))
+    return df.groupBy(
+        "source",
+        rf.faup_scheme("u").alias("scheme"),
+        rf.faup_host("u").alias("host"),
+        rf.faup_domain("u").alias("domain"),
+        rf.faup_tld("u").alias("tld"),
+        rf.faup_subdomain("u").alias("subdomain"),
+        rf.faup_domain_without_tld("u").alias("domain_no_tld"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "cef_format",
+    """
+    SELECT event_id,
+           'CEF:0|acme|engine|1.0|' || CAST(event_id % 10 AS VARCHAR)
+             || '|' || event_type || '|' || CAST(event_id % 8 AS VARCHAR)
+             || '|k\\=' || replace(replace(props, '\\', '\\\\'), '=', '\\=') AS cef
+    FROM events WHERE event_id < 500
+    """,
+    doc="tocef + cef_ext_escape (SURVEY §2.5).",
+)
+def cef_format(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ext = F.concat(F.lit("k="), F.col("props"))
+    return ev.select(
+        "event_id",
+        rf.tocef(
+            F.lit("0"), F.lit("acme"), F.lit("engine"), F.lit("1.0"),
+            (F.col("event_id") % 10).cast("string"), F.col("event_type"),
+            (F.col("event_id") % 8).cast("string"),
+            rf.cef_ext_escape(ext),
+        ).alias("cef"),
+    )

@@ -1,0 +1,287 @@
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis, fingerprinting — first-class operators beyond the
+reference's own surface (BASELINE.json north star).
+
+MinHash/SimHash queries have no oracle (xxhash64 is not reproducible
+in DuckDB) → driver's rows-only check; their *semantics* are covered
+by unit tests with hand-computed fixtures instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rsyslog_spark.operators.dedup import (
+    exact_dedup, minhash_dedup, ngram_jaccard_pairs, simhash,
+    simhash_candidates,
+)
+from rsyslog_spark.operators.similarity import cosine_topk, cosine_topk_lsh, knn_join
+from rsyslog_spark.operators.text import (
+    avg_word_len, doc_fingerprint, lang_id, punct_ratio, quality_score,
+    token_count_bpe, token_count_ws,
+)
+from rsyslog_spark.queries import Query, load
+
+QUERIES: list[Query] = []
+
+
+def q(name, oracle, doc=""):
+    def deco(fn):
+        QUERIES.append(Query(name=name, spark=fn, oracle=oracle, doc=doc))
+        return fn
+    return deco
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY text
+    """,
+    doc="Exact dedup via content-hash groupBy: keep lowest id per "
+        "distinct text; shuffle carries (hash,id), not the text.",
+)
+def dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+@q(
+    "dedup_fingerprint",
+    """
+    SELECT lang,
+           CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS BIGINT) AS n_unique,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    doc="Document fingerprinting: md5 of normalized text as the "
+        "canonical dedup key.",
+)
+def dedup_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.countDistinct(doc_fingerprint("text")).cast("long").alias("n_unique"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@q(
+    "ngram_jaccard_dup_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id, sh, sz FROM (
+        SELECT doc_id,
+               list_distinct([array_to_string(words[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(words) - 2, 1) + 1)]) AS shs,
+               len(list_distinct([array_to_string(words[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(words) - 2, 1) + 1)])) AS sz
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+              FROM documents WHERE doc_id < 300)
+      ), UNNEST(shs) AS u(sh)
+    )
+    SELECT CAST(SUM(CASE WHEN jac >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_01,
+           CAST(SUM(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_03,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates
+    FROM (
+      SELECT a.doc_id, b.doc_id,
+             COUNT(*) * 1.0 / (MIN(a.sz) + MIN(b.sz) - COUNT(*)) AS jac
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs (explode → "
+        "shingle self-join → intersection counts).",
+)
+def ngram_jaccard_dup_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3,
+                                threshold=0.0)
+    return pairs.agg(
+        F.sum(F.when(F.col("jaccard") >= 0.1, 1).otherwise(0))
+        .cast("long").alias("n_pairs_01"),
+        F.sum(F.when(F.col("jaccard") >= 0.3, 1).otherwise(0))
+        .cast("long").alias("n_pairs_03"),
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+    )
+
+
+@q(
+    "minhash_lsh_dedup", None,
+    doc="MinHash(64)+LSH(16 bands) near-dup candidate pairs with "
+        "signature-estimated Jaccard (xxhash64-based → rows-only "
+        "check; unit-tested on fixtures).",
+)
+def minhash_lsh_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return minhash_dedup(docs, "text", "doc_id", num_hashes=64, bands=16,
+                         threshold=0.5)
+
+
+@q(
+    "simhash_near_dup", None,
+    doc="SimHash 64-bit fingerprints + 4x16 banding candidates "
+        "(Hamming <= 3). xxhash64-based → rows-only check.",
+)
+def simhash_near_dup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    fps = simhash(docs, "text", "doc_id")
+    return simhash_candidates(fps, "doc_id", max_hamming=3)
+
+
+@q(
+    "similarity_topk_bruteforce",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+    FROM embeddings e, q
+    ORDER BY ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="Brute-force cosine top-10 against the vec_id=0 embedding "
+        "(zip_with/aggregate dot product; TakeOrderedAndProject — "
+        "no shuffle of vectors).",
+)
+def similarity_topk_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return cosine_topk(emb, qvec, k=10, round_digits=4)
+
+
+@q(
+    "similarity_knn_join",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+    doc="Batch k-NN join: 5 broadcast query vectors, per-query top-3 "
+        "via window rank.",
+)
+def similarity_knn_join(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = knn_join(emb, queries, k=3)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@q(
+    "similarity_topk_lsh", None,
+    doc="LSH-pruned approximate top-k (random-hyperplane signatures, "
+        "Hamming prune, exact re-rank). Plane signs not reproducible "
+        "in SQL → rows-only check; recall vs brute force is asserted "
+        "in unit tests.",
+)
+def similarity_topk_lsh(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return cosine_topk_lsh(emb, qvec, k=10, num_planes=16, max_hamming=3)
+
+
+@q(
+    "text_quality_metrics",
+    """
+    SELECT lang,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_words,
+           ROUND(AVG(ROUND(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                     * 1.0 / len(string_split_regex(trim(text), '\\s+')), 6)), 4) AS mean_awl,
+           ROUND(AVG(ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                     * 1.0 / length(text), 6)), 4) AS mean_punct,
+           ROUND(AVG(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN ROUND(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                          * 1.0 / len(string_split_regex(trim(text), '\\s+')), 6)
+                          BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+                   + CASE WHEN ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                          * 1.0 / length(text), 6) <= 0.2 THEN 0.3 ELSE 0.0 END), 4) AS mean_quality
+    FROM documents GROUP BY lang
+    """,
+    doc="Quality scoring: word counts, avg word length, punctuation "
+        "ratio, composite C4/Gopher-style score.",
+)
+def text_quality_metrics(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(token_count_ws("text")).cast("long").alias("total_words"),
+        F.round(F.avg(avg_word_len("text")), 4).alias("mean_awl"),
+        F.round(F.avg(punct_ratio("text")), 4).alias("mean_punct"),
+        F.round(F.avg(quality_score("text")), 4).alias("mean_quality"),
+    )
+
+
+@q(
+    "text_token_counts",
+    """
+    SELECT source,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="Token counting: whitespace + BPE-ish regex piece count.",
+)
+def text_token_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(token_count_ws("text")).cast("long").alias("ws_tokens"),
+        F.sum(token_count_bpe("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+_LANGID_ORACLE = """
+    WITH scored AS (
+      SELECT lang AS actual,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 t -> t IN ('der','die','und','ist','das'))) AS s_de,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 t -> t IN ('the','and','of','to','is'))) AS s_en,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 t -> t IN ('el','la','que','de','es'))) AS s_es,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 t -> t IN ('le','la','et','est','les'))) AS s_fr,
+             regexp_matches(lower(text), '[一-鿿]') AS cjk
+      FROM documents
+    )
+    SELECT CASE
+             WHEN cjk THEN 'zh'
+             WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END AS pred,
+           actual, COUNT(*) AS cnt
+    FROM scored GROUP BY 1, 2
+"""
+
+
+@q(
+    "text_lang_id",
+    _LANGID_ORACLE,
+    doc="Language ID: stopword-anchor scoring with CJK codepoint "
+        "check; deterministic tie-break (first of max in sorted "
+        "language order).",
+)
+def text_lang_id(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(
+        lang_id("text").alias("pred"), F.col("lang").alias("actual")
+    ).agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,0 +1,244 @@
+"""Stateful/aggregation operator queries: dynstats, percentiles,
+rate limiting, repeated-message reduction, sender tracking, counters,
+action exec controls (batch forms; streaming forms in streaming/)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rsyslog_spark.operators.stats import (
+    action_every_nth, dynstats_counts, exec_once_every_interval,
+    mmcount_ordered, mmsequence, percentile_stats, ratelimit_batch,
+    repeated_msg_reduction, sendertrack,
+)
+from rsyslog_spark.queries import Query, load
+
+QUERIES: list[Query] = []
+
+
+def q(name, oracle, doc=""):
+    def deco(fn):
+        QUERIES.append(Query(name=name, spark=fn, oracle=oracle, doc=doc))
+        return fn
+    return deco
+
+
+@q(
+    "dynstats_hourly",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+    doc="dyn_stats counter bucket keyed by event type, 1h windows "
+        "(ref: runtime/dynstats.c:43-46,303-351; dyn_inc).",
+)
+def dynstats_hourly(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return dynstats_counts(ev, "event_type", "ts", "1 hour")
+
+
+@q(
+    "dynstats_maxcard_overflow",
+    """
+    WITH counted AS (
+      SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT event_type, cnt, DENSE_RANK() OVER (ORDER BY event_type) AS rk
+      FROM counted
+    )
+    SELECT CASE WHEN rk <= 3 THEN event_type ELSE 'ops_overflow' END AS event_type,
+           CAST(SUM(cnt) AS BIGINT) AS cnt
+    FROM ranked GROUP BY 1
+    """,
+    doc="dynstats maxCardinality overflow: keys beyond the cap fold "
+        "into ops_overflow (ref: dynstats.c:303-351 ops_overflow).",
+)
+def dynstats_maxcard_overflow(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return dynstats_counts(ev, "event_type", max_cardinality=3) \
+        .withColumn("cnt", F.col("cnt").cast("long"))
+
+
+@q(
+    "percentile_stats_values",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99,
+           ROUND(MIN(value), 6) AS min,
+           ROUND(MAX(value), 6) AS max,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    doc="perctile_stats buckets: exact percentiles + min/max/count "
+        "(ref: runtime/perctile_stats.h:52-77; percentile_observe). "
+        "Streaming/sketch path uses percentile_approx (t-digest).",
+)
+def percentile_stats_values(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    out = percentile_stats(ev, "event_type", "value", [0.5, 0.95, 0.99],
+                           exact=True)
+    return out.select(
+        "event_type",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        F.round("p99", 6).alias("p99"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+        F.col("cnt"),
+    )
+
+
+@q(
+    "ratelimit_interval_burst",
+    """
+    WITH bucketed AS (
+      SELECT user_id, event_id,
+             to_timestamp(CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT)) AS bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, FLOOR(epoch(ts) / 600)
+               ORDER BY event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN rn <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+           CAST(SUM(CASE WHEN rn > 2 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+    FROM bucketed GROUP BY user_id
+    """,
+    doc="ratelimit interval=10min burst=2 per source "
+        "(ref: runtime/ratelimit.h:62-108, per-source shards).",
+)
+def ratelimit_interval_burst(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    rl = ratelimit_batch(ev, ["user_id"], "ts", "10 minutes", burst=2,
+                         order_col="event_id")
+    return rl.groupBy("user_id").agg(
+        F.sum(F.when(F.col("rl_pass"), 1).otherwise(0)).cast("long").alias("passed"),
+        F.sum(F.when(~F.col("rl_pass"), 1).otherwise(0)).cast("long").alias("dropped"),
+    )
+
+
+@q(
+    "repeated_msg_reduction_runs",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_type, event_id,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS new_run
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), runs AS (
+      SELECT user_id, event_type, event_id,
+             SUM(new_run) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    )
+    SELECT user_id, event_type,
+           COUNT(*) AS repeat_count,
+           CAST(MIN(event_id) AS BIGINT) AS first_seen,
+           CAST(MAX(event_id) AS BIGINT) AS last_seen
+    FROM runs GROUP BY user_id, event_type, run_id
+    """,
+    doc="$RepeatedMsgReduction: collapse consecutive identical "
+        "messages per sender into count rows (ref: runtime/action.h:"
+        "63,88; pmlastmsg is the inverse op).",
+)
+def repeated_msg_reduction_runs(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return repeated_msg_reduction(ev, ["user_id"], "event_type", "event_id")
+
+
+@q(
+    "sendertrack_stats",
+    """
+    SELECT user_id, COUNT(*) AS msg_count,
+           MIN(ts) AS first_seen, MAX(ts) AS last_seen
+    FROM events GROUP BY user_id
+    """,
+    doc="omsendertrack per-sender stats (ref: plugins/omsendertrack/"
+        "omsendertrack.c:1-8).",
+)
+def sendertrack_stats(spark, sf_dir):
+    return sendertrack(load(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@q(
+    "mmsequence_per_key",
+    """
+    SELECT event_id, event_type,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS BIGINT) AS seq
+    FROM events WHERE event_id < 500
+    """,
+    doc="mmsequence per-key counters (ref: contrib/mmsequence/"
+        "mmsequence.c:1-2).",
+)
+def mmsequence_per_key(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return mmsequence(ev, "event_id", key_col="event_type") \
+        .select("event_id", "event_type", F.col("seq").cast("long").alias("seq"))
+
+
+@q(
+    "mmcount_running",
+    """
+    SELECT event_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS BIGINT) AS mmcount
+    FROM events WHERE event_id < 500
+    """,
+    doc="mmcount: per-key running message count attached to each row "
+        "(ref: contrib/mmcount/mmcount.c:1-2,44).",
+)
+def mmcount_running(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return mmcount_ordered(ev, "event_type", "event_id") \
+        .select("event_id", F.col("mmcount").cast("long").alias("mmcount"))
+
+
+@q(
+    "action_exec_controls",
+    """
+    WITH nth AS (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_every_3rd
+    FROM nth WHERE rn % 3 = 0 GROUP BY event_type
+    """,
+    doc="execOnlyEveryNthTime sampling (ref: runtime/action.h:82-84).",
+)
+def action_exec_controls(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    sampled = action_every_nth(ev, 3, ["event_type"], "event_id")
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_every_3rd")
+    )
+
+
+@q(
+    "exec_once_per_interval",
+    """
+    WITH ranked AS (
+      SELECT event_id, event_type, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY event_id) AS rn
+      FROM events
+    )
+    SELECT event_type, date_trunc('hour', ts) AS hr,
+           CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM ranked WHERE rn = 1 GROUP BY 1, 2
+    """,
+    doc="execOnlyOnceEveryInterval: first message per key per "
+        "interval (ref: runtime/action.h:68).",
+)
+def exec_once_per_interval(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    first = exec_once_every_interval(ev, "1 hour", "ts", ["event_type"],
+                                     "event_id")
+    return first.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.min("event_id").cast("long").alias("first_event"))

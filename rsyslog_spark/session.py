@@ -37,6 +37,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Syslog timestamps (RFC3164 "Mar  1 01:00:00") need lenient parsing.
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        # driver testdata events.parquet carries TIMESTAMP(NANOS)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -1,0 +1,195 @@
+"""Templates — the engine's projection/formatting layer (the SELECT list).
+
+Reference: ``struct template``/``templateEntry`` (runtime/template.h:
+40-182), property-replacer options (doc/source/configuration/
+property_replacer.rst), output escaping modes (template.h:50-55,
+160-166). A template compiles ONCE to a Column expression; rendering
+is a projection (Catalyst codegen), never per-row interpretation.
+"""
+
+from __future__ import annotations
+
+import re as _re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from rsyslog_spark.expr import ColumnOrName, _c, rs_str
+
+
+# ---------------------------------------------------------------------------
+# Escaping modes (template.h:50-55; property_replacer escaping options)
+# ---------------------------------------------------------------------------
+
+def csv_escape(c: ColumnOrName) -> Column:
+    """RFC4180 CSV field: always quoted, inner quotes doubled
+    (ref: template OPT_CSV, template.h:160-166)."""
+    s = rs_str(c)
+    return F.concat(F.lit('"'), F.replace(s, F.lit('"'), F.lit('""')), F.lit('"'))
+
+
+def json_escape(c: ColumnOrName) -> Column:
+    """JSON string-value escaping (ref: OPT_JSON). to_json on a struct
+    is preferred for whole objects; this escapes a single value."""
+    s = rs_str(c)
+    for find, repl in ((("\\"), ("\\\\")), ('"', '\\"'), ("\n", "\\n"),
+                      ("\r", "\\r"), ("\t", "\\t")):
+        s = F.replace(s, F.lit(find), F.lit(repl))
+    return s
+
+
+def stdsql_escape(c: ColumnOrName) -> Column:
+    """stdSQL escaping: single quotes doubled (ref: OPT_STDSQL)."""
+    return F.replace(rs_str(c), F.lit("'"), F.lit("''"))
+
+
+def mysql_escape(c: ColumnOrName) -> Column:
+    """MySQL escaping: backslash-escape quote chars (ref: OPT_SQL)."""
+    s = F.replace(rs_str(c), F.lit("\\"), F.lit("\\\\"))
+    s = F.replace(s, F.lit("'"), F.lit("\\'"))
+    return s
+
+
+def controlchar_escape(c: ColumnOrName, mode: str = "escape") -> Column:
+    """Control-character handling (template.h:150-159): drop | space |
+    escape (#oct)."""
+    s = rs_str(c)
+    if mode == "drop":
+        return F.regexp_replace(s, r"[\x00-\x1f\x7f]", "")
+    if mode == "space":
+        return F.regexp_replace(s, r"[\x00-\x1f\x7f]", " ")
+    if mode == "escape":
+        # common cases as named escapes, rest dropped-to-#: we keep
+        # parity for \n \t \r which the reference renders as #012 etc.
+        s = F.replace(s, F.lit("\n"), F.lit("#012"))
+        s = F.replace(s, F.lit("\t"), F.lit("#011"))
+        s = F.replace(s, F.lit("\r"), F.lit("#015"))
+        return F.regexp_replace(s, r"[\x00-\x1f\x7f]", "#")
+    raise ValueError(mode)
+
+
+def secpath_sanitize(c: ColumnOrName, mode: str = "replace") -> Column:
+    """secpath option for dynafile paths (template.h:157-158):
+    'drop' removes '/', 'replace' maps '/' and '..' to '_'."""
+    s = rs_str(c)
+    if mode == "drop":
+        return F.replace(s, F.lit("/"), F.lit(""))
+    s = F.replace(s, F.lit("/"), F.lit("_"))
+    return F.replace(s, F.lit(".."), F.lit("_"))
+
+
+# ---------------------------------------------------------------------------
+# Property-replacer: one property reference with options
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Prop:
+    """One ``%property:from:to:options%`` template entry
+    (ref: template.h:97-182).
+
+    - substring: from/to char positions (1-based, inclusive, like the
+      replacer), or field extraction when ``field_delim`` is set
+      (``%msg:F,58:3%`` → 3rd field split on char 58).
+    - regex extract with nomatch policy blank|dflt|whole|zero
+      (template.h:125-140).
+    - case conversion, date formats, escaping.
+    """
+
+    name: str
+    frm: int | None = None
+    to: int | None = None
+    field_delim: str | None = None
+    field_num: int | None = None
+    regex: str | None = None
+    regex_submatch: int = 0
+    regex_nomatch: str = "blank"     # blank | dflt | whole | zero
+    regex_dflt: str = ""
+    case: str | None = None          # upper | lower
+    date_format: str | None = None   # rfc3339 | rfc3164 | unixtimestamp | mysql | pgsql | year...|
+    escape: str | None = None        # csv | json | stdsql | mysql | controlchar
+    fixed_width: int | None = None
+
+    def col(self) -> Column:
+        c: Column = rs_str(_c(self.name))
+        if self.field_delim is not None:
+            from rsyslog_spark.functions.strings import field as field_fn
+            c = field_fn(c, self.field_delim, self.field_num or 1)
+        elif self.frm is not None:
+            length = (self.to - self.frm + 1) if self.to is not None else (1 << 30)
+            c = c.substr(F.lit(self.frm), F.lit(length))
+        if self.regex is not None:
+            got = F.regexp_extract(c, self.regex, self.regex_submatch)
+            if self.regex_nomatch == "blank":
+                c = got
+            elif self.regex_nomatch == "dflt":
+                c = F.when(got == "", F.lit(self.regex_dflt)).otherwise(got)
+            elif self.regex_nomatch == "whole":
+                c = F.when(got == "", c).otherwise(got)
+            elif self.regex_nomatch == "zero":
+                c = F.when(got == "", F.lit("0")).otherwise(got)
+        if self.case == "upper":
+            c = F.upper(c)
+        elif self.case == "lower":
+            c = F.lower(c)
+        if self.date_format is not None:
+            c = self._apply_date(c)
+        if self.fixed_width is not None:
+            c = F.rpad(c.substr(1, self.fixed_width), self.fixed_width, " ")
+        if self.escape is not None:
+            c = {
+                "csv": csv_escape, "json": json_escape,
+                "stdsql": stdsql_escape, "mysql": mysql_escape,
+                "controlchar": controlchar_escape,
+            }[self.escape](c)
+        return c
+
+    def _apply_date(self, c: Column) -> Column:
+        """Date formats over a TIMESTAMP-castable property
+        (template.h:72-96)."""
+        ts = (c).try_cast("timestamp")
+        fmt = self.date_format
+        from rsyslog_spark.functions.time_fns import _rfc3164, _rfc3339
+        if fmt == "rfc3339":
+            return _rfc3339(ts)
+        if fmt == "rfc3164":
+            return _rfc3164(ts)
+        if fmt == "unixtimestamp":
+            return F.unix_timestamp(ts).cast("string")
+        if fmt == "mysql":
+            return F.date_format(ts, "yyyyMMddHHmmss")
+        if fmt == "pgsql":
+            return F.date_format(ts, "yyyy-MM-dd HH:mm:ss")
+        simple = {
+            "year": "yyyy", "month": "MM", "day": "dd", "hour": "HH",
+            "minute": "mm", "second": "ss", "wday": "F", "week": "ww",
+        }
+        if fmt in simple:
+            return F.date_format(ts, simple[fmt])
+        raise ValueError(f"unknown date format {fmt!r}")
+
+
+@dataclass
+class Template:
+    """String template: constant parts + Prop entries
+    (ref: tplConstructFromString, template type 'string'/'list')."""
+
+    parts: list  # str constants and Prop entries
+
+    def col(self) -> Column:
+        cols: list[Column] = []
+        for p in self.parts:
+            cols.append(F.lit(p) if isinstance(p, str) else p.col())
+        return F.concat(*cols) if cols else F.lit("")
+
+
+def jsonf(pairs: dict[str, ColumnOrName]) -> Column:
+    """jsonf-style template: named fields → one JSON object per row
+    (ref: template.h:165-178 jsonf name/value). Uses to_json(struct)
+    so Catalyst emits a single JSON writer."""
+    return F.to_json(F.struct(*[_c(v).alias(k) for k, v in pairs.items()]))
+
+
+def csv_line(cols: list[ColumnOrName]) -> Column:
+    """RFC4180 line: every field csv-escaped, comma-joined."""
+    return F.concat_ws(",", *[csv_escape(c) for c in cols])
