@@ -441,3 +441,67 @@ def cef_format(spark, sf_dir):
             rf.cef_ext_escape(ext),
         ).alias("cef"),
     )
+
+
+@q(
+    "ruleset_route_fanout",
+    """
+    WITH ev AS (
+      SELECT event_id % 8 AS sev, user_id % 24 AS fac, event_type
+      FROM events
+    ), routed AS (
+      SELECT CASE WHEN sev <= 3 THEN 'errors'
+                  WHEN fac = 2 THEN 'mail'
+                  ELSE 'catchall' END AS action_name,
+             CASE WHEN sev <= 3 THEN 'sev-route'
+                  WHEN fac = 2 THEN 'mail-route'
+                  ELSE 'default' END AS route,
+             event_type
+      FROM ev
+    )
+    SELECT action_name, route, event_type, COUNT(*) AS cnt
+    FROM routed
+    GROUP BY 1, 2, 3
+    """,
+    doc="Ruleset statement-list compilation: if/set/stop + PRI filter "
+        "+ action fan-out as one narrow-transform DAG (ref: "
+        "runtime/ruleset.c:536-598; plans/ruleset.py). Each action's "
+        "DataFrame shares the scan; no shuffle before the final agg.",
+)
+def ruleset_route_fanout(spark, sf_dir):
+    from rsyslog_spark.plans import (
+        Action, If, PriFilt, Ruleset, RulesetEngine, Set, Stop, varname,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 8).cast("int").alias("syslogseverity"),
+        (F.col("user_id") % 24).cast("int").alias("syslogfacility"),
+        "event_type",
+    )
+    eng = RulesetEngine([Ruleset("RSYSLOG_DefaultRuleset", [
+        Set("$.route", F.lit("default")),
+        If(F.col("syslogseverity") <= 3, then=[
+            Set("$.route", F.lit("sev-route")),
+            Action("errors"),
+            Stop(),
+        ]),
+        PriFilt("mail.*", then=[
+            Set("$.route", F.lit("mail-route")),
+            Action("mail"),
+            Stop(),
+        ]),
+        Action("catchall"),
+    ])])
+    actions, _ = eng.run(ev)
+    route = varname("$.route")
+    parts = [
+        df.select(F.lit(name).alias("action_name"),
+                  F.col(route).alias("route"), "event_type")
+        for name, df in actions
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("action_name", "route", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

@@ -1,0 +1,140 @@
+"""Ruleset DSL semantics vs the reference interpreter's behavior
+(ref: runtime/ruleset.c:536-598; statement enum rainerscript.h:112-181).
+"""
+
+from pyspark.sql import functions as F
+
+from rsyslog_spark.plans import (
+    Action, Call, Foreach, If, PriFilt, PropFilt, Ruleset, RulesetEngine,
+    Set, Stop, Unset, varname,
+)
+
+
+def _mkdf(spark):
+    rows = [
+        # (facility, severity, msg, host)
+        (2, 6, "mail ok", "a"),        # mail.info
+        (2, 3, "mail err", "a"),       # mail.err
+        (0, 1, "kernel alert", "b"),   # kern.alert
+        (16, 6, "app info", "c"),      # local0.info
+    ]
+    return spark.createDataFrame(
+        rows, "syslogfacility int, syslogseverity int, msg string, hostname string"
+    )
+
+
+def _names_rows(actions, name):
+    d = dict(actions)
+    return sorted(r.msg for r in d[name].collect())
+
+
+def test_if_action_stop(spark):
+    df = _mkdf(spark)
+    eng = RulesetEngine([Ruleset("RSYSLOG_DefaultRuleset", [
+        If(F.col("syslogseverity") <= 3, then=[
+            Action("errors"),
+            Stop(),
+        ]),
+        Action("rest"),
+    ])])
+    actions, survivors = eng.run(df)
+    assert _names_rows(actions, "errors") == ["kernel alert", "mail err"]
+    assert _names_rows(actions, "rest") == ["app info", "mail ok"]
+    assert sorted(r.msg for r in survivors.collect()) == ["app info", "mail ok"]
+
+
+def test_set_branch_scoped(spark):
+    df = _mkdf(spark)
+    eng = RulesetEngine([Ruleset("RSYSLOG_DefaultRuleset", [
+        Set("$.route", F.lit("default")),
+        If(F.col("syslogfacility") == 2, then=[
+            Set("$.route", F.lit("mail")),
+        ]),
+        Action("out"),
+    ])])
+    actions, _ = eng.run(df)
+    out = dict(actions)["out"].select("msg", varname("$.route")).collect()
+    routes = {r.msg: r.local_route for r in out}
+    assert routes == {"mail ok": "mail", "mail err": "mail",
+                      "kernel alert": "default", "app info": "default"}
+
+
+def test_unset_and_missing_read(spark):
+    df = _mkdf(spark)
+    eng = RulesetEngine([Ruleset("RSYSLOG_DefaultRuleset", [
+        Set("$!tag", F.lit("x")),
+        If(F.col("hostname") == "a", then=[Unset("$!tag")]),
+        Action("out"),
+    ])])
+    actions, _ = eng.run(df)
+    vals = {r.msg: r.cee_tag for r in dict(actions)["out"].collect()}
+    assert vals["mail ok"] is None and vals["kernel alert"] == "x"
+
+
+def test_prifilt_propfilt(spark):
+    df = _mkdf(spark)
+    eng = RulesetEngine([Ruleset("RSYSLOG_DefaultRuleset", [
+        PriFilt("mail.*", then=[Action("mail"), Stop()]),
+        PropFilt("msg", "contains", "alert", then=[Action("alerts")]),
+        Action("tail"),
+    ])])
+    actions, _ = eng.run(df)
+    assert _names_rows(actions, "mail") == ["mail err", "mail ok"]
+    assert _names_rows(actions, "alerts") == ["kernel alert"]
+    assert _names_rows(actions, "tail") == ["app info", "kernel alert"]
+
+
+def test_call_inlines(spark):
+    df = _mkdf(spark)
+    eng = RulesetEngine([
+        Ruleset("RSYSLOG_DefaultRuleset", [
+            Call("sub"),
+            Action("after"),
+        ]),
+        Ruleset("sub", [
+            If(F.col("syslogseverity") <= 3, then=[Stop()]),
+        ]),
+    ])
+    actions, _ = eng.run(df)
+    assert _names_rows(actions, "after") == ["app info", "mail ok"]
+
+
+def test_call_depth_limit(spark):
+    df = _mkdf(spark)
+    eng = RulesetEngine([
+        Ruleset("RSYSLOG_DefaultRuleset", [Call("a")]),
+        Ruleset("a", [Call("a")]),
+    ])
+    import pytest
+    with pytest.raises(RecursionError):
+        eng.run(df)
+
+
+def test_foreach_explodes_live_rows(spark):
+    df = _mkdf(spark).withColumn(
+        "items",
+        F.when(F.col("hostname") == "a", F.array(F.lit("x"), F.lit("y")))
+        .otherwise(F.array(F.lit("z"))),
+    )
+    eng = RulesetEngine([Ruleset("RSYSLOG_DefaultRuleset", [
+        If(F.col("syslogfacility") == 2, then=[
+            Foreach("$.elem", F.col("items"), body=[
+                Action("each"),
+            ]),
+        ]),
+    ])])
+    actions, _ = eng.run(df)
+    got = sorted((r.msg, r.local_elem) for r in dict(actions)["each"].collect())
+    assert got == [("mail err", "x"), ("mail err", "y"),
+                   ("mail ok", "x"), ("mail ok", "y")]
+
+
+def test_action_transform_template(spark):
+    df = _mkdf(spark)
+    eng = RulesetEngine([Ruleset("RSYSLOG_DefaultRuleset", [
+        Action("fmt", transform=lambda d: d.select(
+            F.concat_ws(" ", "hostname", "msg").alias("line"))),
+    ])])
+    actions, _ = eng.run(df)
+    lines = sorted(r.line for r in dict(actions)["fmt"].collect())
+    assert lines[0] == "a mail err"
