@@ -1,0 +1,28 @@
+from rsyslog_spark.streaming.sources import (
+    imfile,
+    imkafka,
+    immark,
+    imtcp,
+    parse_stream,
+)
+from rsyslog_spark.streaming.stateful import (
+    streaming_dynstats,
+    streaming_ratelimit,
+    streaming_repeated_msg_reduction,
+    streaming_sendertrack,
+)
+from rsyslog_spark.streaming.sinks import (
+    fanout_sink,
+    omfile_sink,
+    omkafka_sink,
+    retrying_foreach_batch,
+)
+from rsyslog_spark.streaming.impstats import ImpstatsListener
+
+__all__ = [
+    "imfile", "imkafka", "immark", "imtcp", "parse_stream",
+    "streaming_dynstats", "streaming_ratelimit",
+    "streaming_repeated_msg_reduction", "streaming_sendertrack",
+    "fanout_sink", "omfile_sink", "omkafka_sink",
+    "retrying_foreach_batch", "ImpstatsListener",
+]

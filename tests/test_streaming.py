@@ -1,0 +1,192 @@
+"""Streaming layer: sources → stateful ops → sinks, run with
+availableNow triggers against temp-dir file streams (the shape of the
+reference's golden tests: inject → drain → assert, SURVEY §5)."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from rsyslog_spark.streaming import (
+    ImpstatsListener,
+    fanout_sink,
+    imfile,
+    omfile_sink,
+    parse_stream,
+    retrying_foreach_batch,
+    streaming_dynstats,
+    streaming_ratelimit,
+    streaming_repeated_msg_reduction,
+)
+
+
+def _write_lines(dirpath, name, lines):
+    os.makedirs(dirpath, exist_ok=True)
+    tmp = os.path.join(dirpath, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(tmp, os.path.join(dirpath, name))
+
+
+def _run_to_memory(df, name, checkpoint, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_imfile_parse_to_sink(spark, tmp_path):
+    src = str(tmp_path / "logs")
+    _write_lines(src, "a.log", [
+        "<34>1 2026-08-13T01:02:03Z web01 nginx 1 ID1 - upstream error",
+        "<13>Mar  1 09:15:00 db02 postgres[99]: vacuum done",
+    ])
+    lines = imfile(spark, src, max_files_per_trigger=10)
+    parsed = parse_stream(lines)
+    out = str(tmp_path / "out")
+    q = omfile_sink(
+        parsed.select("hostname", "syslogseverity", "msg",
+                      F.to_date("timereported").alias("d")),
+        out, str(tmp_path / "ckpt"), dynafile_cols=["d"], fmt="parquet",
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    rows = {r.hostname: r.msg for r in back.collect()}
+    assert rows == {"web01": "upstream error", "db02": "vacuum done"}
+    # dynafile partition column materialized as directory
+    assert any(p.startswith("d=") for p in os.listdir(out))
+
+
+def test_multiline_reassembly(spark, tmp_path):
+    src = str(tmp_path / "ml")
+    _write_lines(src, "tb.log", [
+        "2026-08-13 ERROR boom",
+        "  File \"x.py\", line 1",
+        "  ValueError: nope",
+        "2026-08-13 INFO fine",
+    ])
+    lines = imfile(spark, src, startmsg_regex=r"^\d{4}-\d{2}-\d{2} ")
+    q = _run_to_memory(lines, "ml_out", str(tmp_path / "ck"))
+    got = sorted(r.line for r in spark.table("ml_out").collect())
+    assert got[0].count("\n") == 2 and got[0].startswith("2026-08-13 ERROR")
+    assert got[1] == "2026-08-13 INFO fine"
+
+
+def test_streaming_dynstats_and_impstats(spark, tmp_path):
+    listener = ImpstatsListener()
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "logs")
+        _write_lines(src, "a.log", [f"<13>Mar  1 09:15:0{i % 10} h{i % 2} app: m"
+                                    for i in range(20)])
+        parsed = parse_stream(imfile(spark, src)).withColumn(
+            "timegenerated", F.col("timereported")
+        )
+        counts = streaming_dynstats(parsed, "hostname", window="1 minute")
+        _run_to_memory(counts, "dyn_out", str(tmp_path / "ck"),
+                       output_mode="complete")
+        got = {r.key: r.n for r in spark.table("dyn_out").collect()}
+        assert got == {"h0": 10, "h1": 10}
+        time.sleep(1)
+        assert any(s.get("event") == "progress" for s in listener.stats)
+        assert listener.as_log_lines()
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_streaming_ratelimit_token_bucket(spark, tmp_path):
+    src = str(tmp_path / "logs")
+    # 10 msgs same second for k0 → burst 3 keeps 3; k1 sends 2
+    lines = [f"<13>Mar  1 09:15:00 k0 app: m{i}" for i in range(10)]
+    lines += ["<13>Mar  1 09:16:00 k1 app: x", "<13>Mar  1 09:16:00 k1 app: y"]
+    _write_lines(src, "a.log", lines)
+    parsed = parse_stream(imfile(spark, src)).withColumn(
+        "timegenerated", F.col("timereported")
+    )
+    rl = streaming_ratelimit(parsed, "hostname", interval_s=60, burst=3)
+    _run_to_memory(rl, "rl_out", str(tmp_path / "ck"))
+    got = {r.key: (r.emitted, r.dropped) for r in spark.table("rl_out").collect()}
+    assert got["k0"] == (3, 7)
+    assert got["k1"] == (2, 0)
+    assert "drop" in [r.summary for r in spark.table("rl_out").collect()
+                      if r.key == "k0"][0]
+
+
+def test_streaming_repeated_msg_reduction(spark, tmp_path):
+    src = str(tmp_path / "logs")
+    msgs = ["same", "same", "same", "other", "other", "done"]
+    _write_lines(src, "a.log",
+                 [f"<13>Mar  1 09:15:00 h0 app: {m}" for m in msgs])
+    parsed = parse_stream(imfile(spark, src)).withColumn("fromhost",
+                                                         F.col("hostname"))
+    red = streaming_repeated_msg_reduction(parsed)
+    _run_to_memory(red, "rep_out", str(tmp_path / "ck"))
+    got = {(r.msg): r.n for r in spark.table("rep_out").collect()}
+    # trailing open run ("done") stays in state
+    assert got == {"same": 3, "other": 2}
+
+
+def test_fanout_and_retry(spark, tmp_path):
+    src = str(tmp_path / "logs")
+    _write_lines(src, "a.log", [
+        "<35>1 2026-08-13T01:02:03Z h1 app 1 ID1 - auth failure",
+        "<13>Mar  1 09:15:00 h2 app: routine",
+    ])
+    parsed = parse_stream(imfile(spark, src))
+    collected: dict[str, list] = {"errors": [], "all": []}
+    failures = {"n": 0}
+
+    def flaky_writer(df, batch_id):
+        if failures["n"] < 1:
+            failures["n"] += 1
+            raise IOError("sink down")
+        collected["errors"].extend(r.msg for r in df.collect())
+
+    sink = fanout_sink([
+        ("errors",
+         lambda d: d.filter(F.col("syslogseverity") <= 3),
+         retrying_foreach_batch(flaky_writer, max_retries=2,
+                                resume_interval_s=0.01)),
+        ("all", lambda d: d,
+         lambda d, b: collected["all"].extend(r.msg for r in d.collect())),
+    ])
+    q = (
+        parsed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert collected["errors"] == ["auth failure"]
+    assert sorted(collected["all"]) == ["auth failure", "routine"]
+    assert failures["n"] == 1  # retried past the injected failure
+
+
+def test_retry_suspends_to_error_handler(spark, tmp_path):
+    src = str(tmp_path / "logs")
+    _write_lines(src, "a.log", ["<13>Mar  1 09:15:00 h app: m"])
+    parsed = parse_stream(imfile(spark, src))
+    errored: list = []
+
+    def always_fails(df, batch_id):
+        raise IOError("down for good")
+
+    writer = retrying_foreach_batch(
+        always_fails, max_retries=1, resume_interval_s=0.01,
+        on_suspend=lambda df, b, exc: errored.append((b, str(exc))),
+    )
+    q = (
+        parsed.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert errored and errored[0][1] == "down for good"
