@@ -177,3 +177,30 @@ def sparse_lookup_join(
             value_col, F.coalesce(F.col(value_col), F.lit(nomatch))
         )
     return joined
+
+
+def geoip_range_join(
+    df: DataFrame,
+    ip_col: str,
+    ranges: DataFrame,
+    *,
+    lo_col: str = "range_lo",
+    hi_col: str = "range_hi",
+    how: str = "left",
+) -> DataFrame:
+    """mmdblookup analog (ref: plugins/mmdblookup/mmdblookup.c): enrich
+    rows whose IP falls in [range_lo, range_hi] from a GeoIP-style
+    range table.
+
+    The fact side converts the dotted quad to an int (pure expression)
+    and joins BETWEEN against the broadcast dim. Spark executes this as
+    BroadcastNestedLoopJoin — correct for MaxMind-sized dims on a
+    100 TB fact side because the fact never shuffles. If the dim out-
+    grows broadcast, pre-bucket both sides by ip >> 16 and equi-join
+    on the bucket before the range predicate (turns NLJ into hash join).
+    """
+    from rsyslog_spark.functions.net import ipv42num
+
+    fact = df.withColumn("_ipnum", ipv42num(ip_col))
+    cond = (F.col("_ipnum") >= ranges[lo_col]) & (F.col("_ipnum") <= ranges[hi_col])
+    return fact.join(F.broadcast(ranges), cond, how).drop("_ipnum")

@@ -126,3 +126,55 @@ def mmtaghostname(df: DataFrame, tag: str | None = None,
     if hostname is not None:
         out = out.withColumn("hostname", F.lit(hostname))
     return out
+
+
+def mmexternal(
+    df: DataFrame,
+    argv: list[str],
+    *,
+    msg_col: str = "msg",
+    batch_size: int = 1024,
+) -> DataFrame:
+    """External message-modification program bridge (ref:
+    plugins/mmexternal/mmexternal.c — JSON-over-stdio, one request per
+    message, response is the full modified '$!' tree).
+
+    Spark shape: ``mapInPandas`` keeps Arrow batching; each partition
+    starts ONE subprocess and streams newline-delimited JSON through
+    it (the reference starts one child per worker thread — same
+    amortization). The child must echo one JSON object per input line;
+    its output replaces the ``json`` column. This is the engine's
+    UDTF escape hatch — anything Spark can't express natively can run
+    here at the cost of the pipe hop.
+    """
+    import json as _json
+    import subprocess
+
+    out_fields = [f for f in df.schema.fields]
+    out_schema = df.schema
+    if "json" not in df.columns:
+        from pyspark.sql.types import StringType, StructField, StructType
+        out_schema = StructType(out_fields + [StructField("json", StringType())])
+
+    col_names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        proc = subprocess.Popen(
+            argv, stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True
+        )
+        try:
+            for pdf in batches:
+                if "json" not in pdf.columns:
+                    pdf = pdf.assign(json=None)
+                outs = []
+                for m in pdf[msg_col]:
+                    proc.stdin.write(_json.dumps({"msg": m}) + "\n")
+                    proc.stdin.flush()
+                    outs.append(proc.stdout.readline().rstrip("\n"))
+                pdf = pdf.assign(json=outs)
+                yield pdf[col_names]
+        finally:
+            proc.stdin.close()
+            proc.wait()
+
+    return df.mapInPandas(run, schema=out_schema)

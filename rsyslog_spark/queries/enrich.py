@@ -262,3 +262,148 @@ def mmpstrucdata_parse(spark, sf_dir):
         F.map_keys(m)[0].alias("sd_id"),
         F.element_at(F.element_at(m, F.map_keys(m)[0]), "k").alias("kval"),
     ).groupBy("sd_id", "kval").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "pmciscoios_parse",
+    """
+    SELECT 'EVT' AS cisco_facility,
+           CAST(event_id % 8 AS BIGINT) AS cisco_severity,
+           upper(event_type) AS cisco_mnemonic,
+           COUNT(*) AS cnt,
+           CAST(SUM(event_id) AS BIGINT) AS sum_seq
+    FROM events
+    GROUP BY 2, 3
+    """,
+    doc="Cisco IOS parser: seq + %FAC-SEV-MNEMONIC header extraction "
+        "(ref: plugins/pmciscoios). Lines synthesized from events, "
+        "parsed back, aggregated on the extracted fields.",
+)
+def pmciscoios_parse(spark, sf_dir):
+    from rsyslog_spark.parsers.vendors import pmciscoios
+
+    ev = load(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_id").cast("string"), F.lit(": Mar  1 09:15:01.123: %EVT-"),
+        (F.col("event_id") % 8).cast("string"), F.lit("-"),
+        F.upper("event_type"), F.lit(": code="),
+        (F.col("event_id") % 100).cast("string"),
+    )
+    parsed = pmciscoios(ev.select(line.alias("msg")))
+    return (
+        parsed.groupBy("cisco_facility",
+                       F.col("cisco_severity").cast("long").alias("cisco_severity"),
+                       "cisco_mnemonic")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum("cisco_seq").cast("long").alias("sum_seq"))
+    )
+
+
+@q(
+    "pmlastmsg_expand",
+    """
+    WITH src AS (
+      SELECT user_id % 10 AS host, event_id AS ord,
+             CASE WHEN event_id % 10 = 0
+                  THEN 'last message repeated 2 times' ELSE event_type
+             END AS msg,
+             event_id % 10 = 0 AS is_summary
+      FROM events
+    ), resolved AS (
+      SELECT host,
+             CASE WHEN is_summary THEN last_value(
+                    CASE WHEN NOT is_summary THEN msg END IGNORE NULLS
+                  ) OVER (PARTITION BY host ORDER BY ord
+                          ROWS UNBOUNDED PRECEDING)
+                  ELSE msg END AS msg,
+             CASE WHEN is_summary THEN 2 ELSE 1 END AS copies
+      FROM src
+    )
+    SELECT CAST(host AS BIGINT) AS host, msg,
+           CAST(SUM(copies) AS BIGINT) AS n
+    FROM resolved
+    GROUP BY 1, 2
+    """,
+    doc="pmlastmsg inverse: expand 'last message repeated n times' "
+        "rows into n copies of the preceding real message per host "
+        "(ref: plugins/pmlastmsg/pmlastmsg.c:1-6; one window pass + "
+        "sequence explode).",
+)
+def pmlastmsg_expand_q(spark, sf_dir):
+    from rsyslog_spark.parsers.vendors import pmlastmsg_expand
+
+    ev = load(spark, sf_dir, "events")
+    src = ev.select(
+        (F.col("user_id") % 10).alias("hostname"),
+        F.col("event_id").alias("timereported"),
+        F.when(F.col("event_id") % 10 == 0,
+               F.lit("last message repeated 2 times"))
+        .otherwise(F.col("event_type")).alias("msg"),
+    )
+    out = pmlastmsg_expand(src)
+    return out.groupBy(
+        F.col("hostname").cast("long").alias("host"), "msg"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@q(
+    "geoip_range_enrich",
+    """
+    WITH facts AS (
+      SELECT event_id,
+             CAST(10 * 16777216 + (user_id % 256) * 65536
+                  + (event_id % 256) * 256 + (event_id * 7) % 256 AS BIGINT) AS ipnum
+      FROM events
+    )
+    SELECT CASE WHEN ipnum BETWEEN 167772160 AND 171966463 THEN 'dc-west'
+                WHEN ipnum BETWEEN 171966464 AND 176160767 THEN 'dc-east'
+                ELSE NULL END AS region,
+           COUNT(*) AS cnt
+    FROM facts
+    GROUP BY 1
+    """,
+    doc="mmdblookup analog: IP-in-range broadcast join against a "
+        "GeoIP-style dim (ref: plugins/mmdblookup). The fact side "
+        "never shuffles; BroadcastNestedLoopJoin over the tiny dim.",
+)
+def geoip_range_enrich(spark, sf_dir):
+    from rsyslog_spark.operators.lookup import geoip_range_join
+
+    ev = load(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".", F.lit("10"), (F.col("user_id") % 256).cast("string"),
+        (F.col("event_id") % 256).cast("string"),
+        ((F.col("event_id") * 7) % 256).cast("string"),
+    )
+    facts = ev.select("event_id", ip.alias("ip"))
+    # 10.0.0.0-10.63.255.255 west, 10.64.0.0-10.127.255.255 east
+    ranges = spark.createDataFrame(
+        [(167772160, 171966463, "dc-west"), (171966464, 176160767, "dc-east")],
+        "range_lo long, range_hi long, region string",
+    )
+    out = geoip_range_join(facts, "ip", ranges)
+    return out.groupBy("region").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "mmexternal_bridge", None,
+    doc="mmexternal JSON-over-stdio subprocess bridge via mapInPandas "
+        "(ref: plugins/mmexternal/mmexternal.c). One child per "
+        "partition; rows-only check (child process not expressible "
+        "in SQL).",
+)
+def mmexternal_bridge(spark, sf_dir):
+    import sys as _sys
+
+    from rsyslog_spark.operators.mm import mmexternal
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    child = (
+        "import sys, json\n"
+        "for line in sys.stdin:\n"
+        "    m = json.loads(line)['msg']\n"
+        "    print(json.dumps({'n_words': len(m.split())}), flush=True)\n"
+    )
+    df = ev.select(F.col("event_type").alias("msg")).repartition(4)
+    out = mmexternal(df, [_sys.executable, "-c", child])
+    return out.groupBy("msg", "json").agg(F.count(F.lit(1)).alias("cnt"))

@@ -285,3 +285,56 @@ def text_lang_id(spark, sf_dir):
     return docs.groupBy(
         lang_id("text").alias("pred"), F.col("lang").alias("actual")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "embedding_cosine_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 200 AND b.vec_id < 200
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+    doc="Embedding-cosine near-duplicate pairs (training-data dedup): "
+        "all-pairs self-join with JVM-side zip_with/aggregate dot "
+        "product; at scale replace the cross join with the LSH-bucket "
+        "prune (cosine_topk_lsh) — same scorer, bucketed candidates.",
+)
+def embedding_cosine_near_dup(spark, sf_dir):
+    from rsyslog_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b")
+    )
+
+
+@q(
+    "multimodal_image_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="Multimodal plumbing: text→binary payload→mapInPandas feature "
+        "extraction (decode stubbed, deterministic). Oracle checks the "
+        "Arrow round-trip invariants (byte length, sha256); "
+        "width/height/histogram are stub-derived and unit-tested.",
+)
+def multimodal_image_features(spark, sf_dir):
+    from rsyslog_spark.operators.multimodal import extract_image_features
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_image_features(media)
+    return feats.select("media_id", "n_bytes", "sha")

@@ -1,0 +1,95 @@
+"""Vendor parsers (pmlastmsg/pmciscoios/pmnull), geoip range join,
+mmexternal subprocess bridge."""
+
+import sys
+
+from pyspark.sql import functions as F
+
+from rsyslog_spark.operators.lookup import geoip_range_join
+from rsyslog_spark.operators.mm import mmexternal
+from rsyslog_spark.parsers.vendors import (
+    pmciscoios,
+    pmlastmsg_detect,
+    pmlastmsg_expand,
+    pmnull,
+)
+
+
+def test_pmlastmsg_detect_and_expand(spark):
+    rows = [
+        ("h1", 1, "disk full"),
+        ("h1", 2, "last message repeated 3 times"),
+        ("h1", 3, "all clear"),
+        ("h2", 1, "boot ok"),
+    ]
+    df = spark.createDataFrame(rows, "hostname string, timereported int, msg string")
+    det = pmlastmsg_detect(df)
+    got = {r.msg: r.repeat_count for r in det.collect()}
+    assert got["last message repeated 3 times"] == 3
+    assert got["disk full"] is None
+
+    exp = pmlastmsg_expand(df)
+    msgs = sorted(r.msg for r in exp.filter(F.col("hostname") == "h1").collect())
+    assert msgs == ["all clear"] + ["disk full"] * 4
+
+
+def test_pmciscoios(spark):
+    rows = [
+        ("000123: Mar  1 09:15:01.123: %SYS-5-CONFIG_I: Configured from console",),
+        ("%LINK-3-UPDOWN: Interface Gi0/1, changed state to down",),
+        ("not a cisco line",),
+    ]
+    df = spark.createDataFrame(rows, "msg string")
+    out = pmciscoios(df).collect()
+    by_msg = {r.msg: r for r in out}
+    cfg = by_msg["Configured from console"]
+    assert (cfg.cisco_seq, cfg.cisco_facility, cfg.cisco_severity,
+            cfg.cisco_mnemonic) == (123, "SYS", 5, "CONFIG_I")
+    link = by_msg["Interface Gi0/1, changed state to down"]
+    assert (link.cisco_seq, link.cisco_facility, link.cisco_severity) == \
+        (None, "LINK", 3)
+    passthru = by_msg["not a cisco line"]
+    assert passthru.cisco_facility is None
+
+
+def test_pmnull(spark):
+    df = spark.createDataFrame(
+        [("<34>raw as-is",), ("no pri at all",)], "line string"
+    )
+    out = {r.msg: r for r in pmnull(df).collect()}
+    assert out["raw as-is"].pri == 34
+    assert out["raw as-is"].syslogfacility == 4
+    assert out["no pri at all"].pri == 13
+    assert out["no pri at all"].parsesuccess is True
+
+
+def test_geoip_range_join(spark):
+    facts = spark.createDataFrame(
+        [("10.0.0.5",), ("10.0.1.200",), ("192.168.1.1",)], "ip string"
+    )
+    ranges = spark.createDataFrame(
+        [(167772160, 167772415, "net-a"),      # 10.0.0.0 - 10.0.0.255
+         (167772416, 167772671, "net-b")],     # 10.0.1.0 - 10.0.1.255
+        "range_lo long, range_hi long, net string",
+    )
+    out = {r.ip: r.net for r in geoip_range_join(facts, "ip", ranges).collect()}
+    assert out == {"10.0.0.5": "net-a", "10.0.1.200": "net-b",
+                   "192.168.1.1": None}
+    plan = geoip_range_join(facts, "ip", ranges)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_mmexternal_bridge(spark):
+    # child: reads {"msg": ...} lines, answers {"len": N} — the shape of
+    # a real mmexternal filter (JSON in, JSON out, one line per msg)
+    child = (
+        "import sys, json\n"
+        "for line in sys.stdin:\n"
+        "    m = json.loads(line)['msg']\n"
+        "    print(json.dumps({'len': len(m)}), flush=True)\n"
+    )
+    df = spark.createDataFrame([("abc",), ("hello",)], "msg string").repartition(1)
+    out = mmexternal(df, [sys.executable, "-c", child])
+    got = {r.msg: r.json for r in out.collect()}
+    assert got == {"abc": '{"len": 3}', "hello": '{"len": 5}'}
