@@ -6,11 +6,15 @@ permissive and accepts anything, so parsesuccess is always true for
 the default chain — matching the reference, whose pmrfc3164 never
 rejects.
 
-The whole parse is ONE projection (select) over the raw-line frame:
-both candidate structs are built lazily inside a ``when`` chain, so
-per row only the accepted branch is evaluated; no shuffle, fully
-codegen'd, and column pruning drops unused fields at the parquet/text
-scan.
+Physical shape: the per-parser field structs are merged with ONE
+``when`` at the struct level (the accepted branch is evaluated once
+per row), and the merged struct is materialized behind a Generate
+barrier (``explode(array(struct))``) before field extraction.
+Without the barrier, Catalyst's CollapseProject inlines the struct
+into every output column and the whole regex/split/timestamp parse
+runs once PER FIELD — ~20x the work; with it, parse cost is
+independent of how many of the 22 canonical columns are selected.
+Column pruning still reaches the scan (only ``line`` is read).
 """
 
 from __future__ import annotations
@@ -21,6 +25,54 @@ from pyspark.sql import functions as F
 from rsyslog_spark.parsers.rfc3164 import rfc3164_fields
 from rsyslog_spark.parsers.rfc5424 import accepts_rfc5424, rfc5424_fields
 from rsyslog_spark.schema import SYSLOG_COLUMNS
+
+
+def _canonical(fields: Column, have: set[str], *, line: Column,
+               tgen: Column, proto: int, inputname: str,
+               keep_raw: bool, with_uuid: bool) -> Column:
+    """Build the full canonical struct from one parser's field struct."""
+    null_s = F.lit(None).cast("string")
+
+    def get(name: str) -> Column:
+        return fields[name] if name in have else null_s
+
+    return F.struct(
+        (line if keep_raw else null_s).alias("rawmsg"),
+        get("msg").alias("msg"),
+        get("pri").cast("int").alias("pri"),
+        get("syslogfacility").cast("int").alias("syslogfacility"),
+        get("syslogseverity").cast("int").alias("syslogseverity"),
+        get("hostname").alias("hostname"),
+        get("hostname").alias("fromhost"),
+        null_s.alias("fromhost_ip"),
+        F.lit(None).cast("int").alias("fromhost_port"),
+        get("syslogtag").alias("syslogtag"),
+        get("programname").alias("programname"),
+        get("app_name").alias("app_name"),
+        get("procid").alias("procid"),
+        get("msgid").alias("msgid"),
+        F.lit(inputname).alias("inputname"),
+        F.coalesce(get("timereported").cast("timestamp"), tgen)
+        .alias("timereported"),
+        tgen.alias("timegenerated"),
+        F.lit(proto).alias("protocol_version"),
+        get("structured_data").alias("structured_data"),
+        null_s.alias("json"),
+        (F.expr("uuid()") if with_uuid else null_s).alias("uuid"),
+        F.coalesce(get("parsesuccess"), F.lit(False)).alias("parsesuccess"),
+    )
+
+
+_RFC5424_FIELDS = {
+    "pri", "syslogfacility", "syslogseverity", "timereported",
+    "hostname", "app_name", "procid", "msgid", "structured_data",
+    "msg", "syslogtag", "programname", "parsesuccess",
+}
+_RFC3164_FIELDS = {
+    "pri", "syslogfacility", "syslogseverity", "timereported",
+    "hostname", "syslogtag", "programname", "procid", "msg",
+    "parsesuccess",
+}
 
 
 def parse_syslog(
@@ -38,53 +90,22 @@ def parse_syslog(
     (ref: parser TIME_NOGEN handling).
     """
     line = F.col(line_col)
-    p5424 = rfc5424_fields(line)
-    p3164 = rfc3164_fields(line)
-    is5424 = accepts_rfc5424(line)
-
-    def pick(field: str) -> Column:
-        in5424 = field in (
-            "pri", "syslogfacility", "syslogseverity", "timereported",
-            "hostname", "app_name", "procid", "msgid", "structured_data",
-            "msg", "syslogtag", "programname", "parsesuccess",
-        )
-        in3164 = field in (
-            "pri", "syslogfacility", "syslogseverity", "timereported",
-            "hostname", "syslogtag", "programname", "procid", "msg",
-            "parsesuccess",
-        )
-        if in5424 and in3164:
-            return F.when(is5424, p5424[field]).otherwise(p3164[field])
-        if in5424:
-            return F.when(is5424, p5424[field])
-        if in3164:
-            return F.when(~is5424, p3164[field])
-        return F.lit(None).cast("string")
-
     tgen = F.current_timestamp()
-    cols: dict[str, Column] = {
-        "rawmsg": line if keep_raw else F.lit(None).cast("string"),
-        "msg": pick("msg"),
-        "pri": pick("pri").cast("int"),
-        "syslogfacility": pick("syslogfacility").cast("int"),
-        "syslogseverity": pick("syslogseverity").cast("int"),
-        "hostname": pick("hostname"),
-        "fromhost": pick("hostname"),
-        "fromhost_ip": F.lit(None).cast("string"),
-        "fromhost_port": F.lit(None).cast("int"),
-        "syslogtag": pick("syslogtag"),
-        "programname": pick("programname"),
-        "app_name": pick("app_name"),
-        "procid": pick("procid"),
-        "msgid": pick("msgid"),
-        "inputname": F.lit(inputname),
-        "timereported": F.coalesce(pick("timereported").cast("timestamp"), tgen),
-        "timegenerated": tgen,
-        "protocol_version": F.when(is5424, F.lit(1)).otherwise(F.lit(0)),
-        "structured_data": pick("structured_data"),
-        "json": F.lit(None).cast("string"),
-        "uuid": F.expr("uuid()") if with_uuid else F.lit(None).cast("string"),
-        "parsesuccess": F.coalesce(pick("parsesuccess"), F.lit(False)),
-    }
+    common = dict(line=line, tgen=tgen, inputname=inputname,
+                  keep_raw=keep_raw, with_uuid=with_uuid)
+    s5424 = _canonical(rfc5424_fields(line), _RFC5424_FIELDS, proto=1,
+                       **common)
+    s3164 = _canonical(rfc3164_fields(line), _RFC3164_FIELDS, proto=0,
+                       **common)
+    merged = F.when(accepts_rfc5424(line), s5424).otherwise(s3164)
+
     keep_others = [c for c in df.columns if c != line_col]
-    return df.select(*keep_others, *[cols[c].alias(c) for c in SYSLOG_COLUMNS])
+    # Generate barrier: one-element explode materializes the struct
+    # once per row; CollapseProject cannot inline through Generate.
+    exploded = df.select(
+        *keep_others, F.explode(F.array(merged)).alias("_parsed")
+    )
+    return exploded.select(
+        *keep_others,
+        *[F.col(f"_parsed.{c}").alias(c) for c in SYSLOG_COLUMNS],
+    )

@@ -27,13 +27,34 @@ class Query:
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a driver table; normalizes the events table's
     TIMESTAMP(NANOS) column (Spark reads nanos as long via the legacy
-    conf — set at runtime so the driver's own session works too)."""
+    conf — set at runtime so the driver's own session works too).
+
+    Parallelism: the driver's test parquet is one file with ONE row
+    group per table, so the scan yields a single task no matter how
+    many cores exist. For fact-sized tables we repartition up to the
+    cluster's default parallelism — a few-MB shuffle that unlocks all
+    cores for the regex/string-heavy pipelines. On a real cluster the
+    scan already has >= cores partitions (many files / row groups) and
+    this is a no-op; dimension tables stay single-partition so they
+    keep broadcasting.
+    """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")
         )
+    try:
+        big_enough = os.path.getsize(path) > 256 * 1024
+    except OSError:
+        big_enough = False
+    if big_enough:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 
