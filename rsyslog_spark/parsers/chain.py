@@ -6,15 +6,31 @@ permissive and accepts anything, so parsesuccess is always true for
 the default chain — matching the reference, whose pmrfc3164 never
 rejects.
 
-Physical shape: the per-parser field structs are merged with ONE
-``when`` at the struct level (the accepted branch is evaluated once
-per row), and the merged struct is materialized behind a Generate
-barrier (``explode(array(struct))``) before field extraction.
-Without the barrier, Catalyst's CollapseProject inlines the struct
-into every output column and the whole regex/split/timestamp parse
-runs once PER FIELD — ~20x the work; with it, parse cost is
-independent of how many of the 22 canonical columns are selected.
-Column pruning still reaches the scan (only ``line`` is read).
+Physical shape — measured on 100k cached lines, local[32]:
+
+The chain is emitted as ONE PROJECTION of 22 independent per-field
+expressions, each a small ``CASE WHEN accepts_rfc5424 THEN
+<rfc5424 field expr> ELSE <rfc3164 field expr> END``. Within a
+projection, whole-stage codegen's subexpression elimination evaluates
+the shared subtrees (PRI strip, the header ``split``, the TAG regex)
+once per row, so 22 fields cost barely more than one. When Catalyst
+inlines a field into a downstream Filter (predicate pushdown through
+the projection), only that FIELD's small tree is duplicated — never
+the whole parse.
+
+Two rejected alternatives, kept here as a warning:
+
+* One merged 22-field struct per parser behind ``when()``: struct
+  field extraction through CASE WHEN re-evaluates the entire struct
+  per extracted field (SimplifyExtractValueOps cannot push an extract
+  through CaseWhen), ~20× the work.
+* A Generate barrier (``explode(array(struct))``) to force
+  materialization: GenerateExec evaluates its generator with
+  INTERPRETED expression eval (no codegen), which is ~7× slower than
+  the codegen'd projection for this expression — and a Filter between
+  the downstream Project and the Generate defeats nested-column
+  pruning, forcing the full 2-parser parse (measured 1.5s vs 0.3s
+  per 100k rows).
 """
 
 from __future__ import annotations
@@ -25,43 +41,6 @@ from pyspark.sql import functions as F
 from rsyslog_spark.parsers.rfc3164 import rfc3164_fields
 from rsyslog_spark.parsers.rfc5424 import accepts_rfc5424, rfc5424_fields
 from rsyslog_spark.schema import SYSLOG_COLUMNS
-
-
-def _canonical(fields: Column, have: set[str], *, line: Column,
-               tgen: Column, proto: int, inputname: str,
-               keep_raw: bool, with_uuid: bool) -> Column:
-    """Build the full canonical struct from one parser's field struct."""
-    null_s = F.lit(None).cast("string")
-
-    def get(name: str) -> Column:
-        return fields[name] if name in have else null_s
-
-    return F.struct(
-        (line if keep_raw else null_s).alias("rawmsg"),
-        get("msg").alias("msg"),
-        get("pri").cast("int").alias("pri"),
-        get("syslogfacility").cast("int").alias("syslogfacility"),
-        get("syslogseverity").cast("int").alias("syslogseverity"),
-        get("hostname").alias("hostname"),
-        get("hostname").alias("fromhost"),
-        null_s.alias("fromhost_ip"),
-        F.lit(None).cast("int").alias("fromhost_port"),
-        get("syslogtag").alias("syslogtag"),
-        get("programname").alias("programname"),
-        get("app_name").alias("app_name"),
-        get("procid").alias("procid"),
-        get("msgid").alias("msgid"),
-        F.lit(inputname).alias("inputname"),
-        F.coalesce(get("timereported").cast("timestamp"), tgen)
-        .alias("timereported"),
-        tgen.alias("timegenerated"),
-        F.lit(proto).alias("protocol_version"),
-        get("structured_data").alias("structured_data"),
-        null_s.alias("json"),
-        (F.expr("uuid()") if with_uuid else null_s).alias("uuid"),
-        F.coalesce(get("parsesuccess"), F.lit(False)).alias("parsesuccess"),
-    )
-
 
 _RFC5424_FIELDS = {
     "pri", "syslogfacility", "syslogseverity", "timereported",
@@ -81,6 +60,7 @@ def parse_syslog(
     inputname: str = "imfile",
     keep_raw: bool = True,
     with_uuid: bool = False,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Raw lines → canonical syslog frame (SYSLOG_COLUMNS order).
 
@@ -88,24 +68,58 @@ def parse_syslog(
     matching the reference's ttGenTime-at-ingest); timereported falls
     back to timegenerated when the wire timestamp is absent/invalid
     (ref: parser TIME_NOGEN handling).
+
+    ``columns`` restricts the emitted canonical columns (callers that
+    know their referenced properties can prune at the source — the
+    liblognorm-"turbo" analog, ref runtime/msg.h:116-125). Catalyst's
+    column pruning makes this mostly cosmetic in batch plans, but it
+    keeps hand-written streaming DAGs lean.
     """
     line = F.col(line_col)
     tgen = F.current_timestamp()
-    common = dict(line=line, tgen=tgen, inputname=inputname,
-                  keep_raw=keep_raw, with_uuid=with_uuid)
-    s5424 = _canonical(rfc5424_fields(line), _RFC5424_FIELDS, proto=1,
-                       **common)
-    s3164 = _canonical(rfc3164_fields(line), _RFC3164_FIELDS, proto=0,
-                       **common)
-    merged = F.when(accepts_rfc5424(line), s5424).otherwise(s3164)
+    null_s = F.lit(None).cast("string")
 
+    f5424 = rfc5424_fields(line)
+    f3164 = rfc3164_fields(line)
+    acc = accepts_rfc5424(line)
+
+    def chained(name: str) -> Column:
+        """CASE over the two parsers for one raw parser field."""
+        a = f5424[name] if name in _RFC5424_FIELDS else null_s
+        b = f3164[name] if name in _RFC3164_FIELDS else null_s
+        return F.when(acc, a).otherwise(b)
+
+    def canonical(name: str) -> Column:
+        if name == "rawmsg":
+            return line if keep_raw else null_s
+        if name == "fromhost":
+            return chained("hostname")
+        if name in ("fromhost_ip",):
+            return null_s
+        if name == "fromhost_port":
+            return F.lit(None).cast("int")
+        if name == "inputname":
+            return F.lit(inputname)
+        if name == "timereported":
+            return F.coalesce(chained("timereported").cast("timestamp"),
+                              tgen)
+        if name == "timegenerated":
+            return tgen
+        if name == "protocol_version":
+            return F.when(acc, F.lit(1)).otherwise(F.lit(0))
+        if name == "json":
+            return null_s
+        if name == "uuid":
+            return F.expr("uuid()") if with_uuid else null_s
+        if name == "parsesuccess":
+            return F.coalesce(chained("parsesuccess"), F.lit(False))
+        if name in ("pri", "syslogfacility", "syslogseverity",
+                    "fromhost_port"):
+            return chained(name).cast("int")
+        return chained(name)
+
+    want = columns if columns is not None else SYSLOG_COLUMNS
     keep_others = [c for c in df.columns if c != line_col]
-    # Generate barrier: one-element explode materializes the struct
-    # once per row; CollapseProject cannot inline through Generate.
-    exploded = df.select(
-        *keep_others, F.explode(F.array(merged)).alias("_parsed")
-    )
-    return exploded.select(
-        *keep_others,
-        *[F.col(f"_parsed.{c}").alias(c) for c in SYSLOG_COLUMNS],
+    return df.select(
+        *keep_others, *[canonical(c).alias(c) for c in want]
     )

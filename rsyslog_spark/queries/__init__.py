@@ -24,37 +24,82 @@ class Query:
     doc: str = ""
 
 
+def _split_cache_path(path: str, parts: int) -> str | None:
+    """One-time split of a single-row-group parquet file into a
+    multi-file directory so the scan parallelizes.
+
+    The driver's test parquet is one file with ONE row group per
+    table, so a Spark scan yields a single task no matter how many
+    cores exist — and any predicate Catalyst pushes toward the scan
+    (exactly what we WANT at 100 TB, where scans have >= cores
+    splits) executes serialized. Splitting the file once emulates the
+    real cluster layout: parallel scan tasks, working predicate
+    pushdown, no per-query repartition shuffle. Bit-exact copy via
+    pyarrow (schema, types, and row order preserved).
+    """
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    root = os.environ.get("RSYSLOG_SPARK_SCAN_CACHE",
+                          "/tmp/rsyslog_spark_scan_cache")
+    key = f"{path.strip('/').replace('/', '_')}.{st.st_mtime_ns}.{parts}"
+    dest = os.path.join(root, key)
+    if os.path.isdir(dest):
+        return dest
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        n = tbl.num_rows
+        step = max(1, (n + parts - 1) // parts)
+        for i, off in enumerate(range(0, n, step)):
+            pq.write_table(tbl.slice(off, step),
+                           os.path.join(tmp, f"part-{i:05d}.parquet"))
+        try:
+            os.rename(tmp, dest)
+        except OSError:  # lost a concurrent race; ours is redundant
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        return dest if os.path.isdir(dest) else None
+    except Exception:
+        return None
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a driver table; normalizes the events table's
     TIMESTAMP(NANOS) column (Spark reads nanos as long via the legacy
     conf — set at runtime so the driver's own session works too).
 
-    Parallelism: the driver's test parquet is one file with ONE row
-    group per table, so the scan yields a single task no matter how
-    many cores exist. For fact-sized tables we repartition up to the
-    cluster's default parallelism — a few-MB shuffle that unlocks all
-    cores for the regex/string-heavy pipelines. On a real cluster the
-    scan already has >= cores partitions (many files / row groups) and
-    this is a no-op; dimension tables stay single-partition so they
+    Fact-sized tables are read through the multi-file scan cache
+    (see _split_cache_path) so scan tasks parallelize like they would
+    on a real cluster; dimension tables stay single-file so they
     keep broadcasting.
     """
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/{table}.parquet"
-    df = spark.read.parquet(path)
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
+    read_path = path
     try:
         big_enough = os.path.getsize(path) > 256 * 1024
     except OSError:
         big_enough = False
     if big_enough:
-        target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target)
+        cached = _split_cache_path(
+            path, spark.sparkContext.defaultParallelism)
+        if cached:
+            read_path = cached
+    df = spark.read.parquet(read_path)
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
     return df
 
 
