@@ -70,10 +70,17 @@ def minhash_signatures(
     carries one row per document.
     """
     ex = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    ).select(
+        id_col,
+        # hash the shingle STRING once; the hash family then mixes the
+        # 8-byte value (xxhash64 over (seed, long)), ~10x cheaper than
+        # re-hashing the string per hash function
+        F.xxhash64(F.col("__sh")).alias("__h"),
     )
     aggs = [
-        F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"mh{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return ex.groupBy(id_col).agg(*aggs)

@@ -117,14 +117,19 @@ def mmutf8fix(df: DataFrame, msg_col: str = "msg",
     )
 
 
-def mmtaghostname(df: DataFrame, tag: str | None = None,
-                  hostname: str | None = None) -> DataFrame:
-    """Force tag/hostname (ref: contrib/mmtaghostname)."""
+def mmtaghostname(df: DataFrame, tag: str | Column | None = None,
+                  hostname: str | Column | None = None) -> DataFrame:
+    """Set tag/hostname from a literal or from message properties
+    (ref: contrib/mmtaghostname — e.g. hostname := fromhost for
+    cloud-relayed messages)."""
     out = df
     if tag is not None:
-        out = out.withColumn("syslogtag", F.lit(tag))
+        out = out.withColumn(
+            "syslogtag", tag if isinstance(tag, Column) else F.lit(tag))
     if hostname is not None:
-        out = out.withColumn("hostname", F.lit(hostname))
+        out = out.withColumn(
+            "hostname",
+            hostname if isinstance(hostname, Column) else F.lit(hostname))
     return out
 
 

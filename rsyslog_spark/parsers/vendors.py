@@ -7,6 +7,8 @@ chain (ref: runtime/parser.c:615-660).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -97,6 +99,158 @@ def pmciscoios(df: DataFrame, msg_col: str = "msg") -> DataFrame:
             msg_col,
             F.when(matched, F.regexp_extract(m, _CISCO_RE, 6)).otherwise(m),
         )
+    )
+
+
+# LEEF: "LEEF:ver|vendor|product|productVersion|eventID|k=v<delim>..."
+# (ref: plugins/mmleefparse/mmleefparse.c:110-310; cookie "LEEF:",
+# default extension delimiter TAB)
+_LEEF_HDR = r"^LEEF:([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|(.*)$"
+
+
+def mmleefparse(
+    df: DataFrame, msg_col: str = "msg", delimiter: str = "\t",
+    prefix: str = "leef_",
+) -> DataFrame:
+    """Parse LEEF payloads: header fields become typed columns
+    (``leef_version/vendor/product/product_version/event_id``) and the
+    delimiter-separated ``k=v`` extensions a ``leef_fields`` map —
+    the Spark shape of the reference's ``header``/``fields`` JSON
+    subtree. Non-LEEF rows: NULL columns, ``parsesuccess`` semantics
+    preserved via ``leef_matched``."""
+    m = F.col(msg_col)
+    matched = m.rlike("^LEEF:")
+    ext = F.regexp_extract(m, _LEEF_HDR, 6)
+    pairs = F.filter(F.split(ext, re.escape(delimiter)),
+                     lambda kv: kv.contains("="))
+    # value = remainder after first '=' (values may contain '=')
+    fields = F.map_from_entries(F.transform(pairs, lambda kv: F.struct(
+        F.substring_index(kv, "=", 1).alias("key"),
+        F.substr(kv, F.length(F.substring_index(kv, "=", 1)) + 2)
+        .alias("value"),
+    )))
+    def hdr(i):
+        return F.when(matched, F.regexp_extract(m, _LEEF_HDR, i))
+    return (
+        df.withColumn(prefix + "version", hdr(1))
+        .withColumn(prefix + "vendor", hdr(2))
+        .withColumn(prefix + "product", hdr(3))
+        .withColumn(prefix + "product_version", hdr(4))
+        .withColumn(prefix + "event_id", hdr(5))
+        .withColumn(prefix + "fields", F.when(matched, fields))
+        .withColumn(prefix + "matched", matched)
+    )
+
+
+def pmsnare(df: DataFrame, msg_col: str = "msg") -> DataFrame:
+    """Snare cleanup (ref: contrib/pmsnare/pmsnare.c): Snare agents
+    send ``hostname<tab>MSWinEventLog<tab>...`` (non-syslog mode) or a
+    3164 header whose tag is followed by a tab. The reference rewrites
+    the offending tab to a space so the normal parser chain succeeds;
+    we do the same rewrite and flag the rows."""
+    m = F.col(msg_col)
+    is_snare = m.rlike(r"^[^\t ]+\t") | m.rlike(r"^\S+\[?\d*\]?:?\t")
+    fixed = F.when(is_snare, F.regexp_replace(m, r"\t", " ")).otherwise(m)
+    return df.withColumn("snare_detected", is_snare) \
+             .withColumn(msg_col, fixed)
+
+
+def pmaixforwardedfrom(df: DataFrame, msg_col: str = "msg",
+                       hostname_col: str = "hostname") -> DataFrame:
+    """AIX mangled-forward cleanup (ref: contrib/pmaixforwardedfrom/
+    pmaixforwardedfrom.c:69-104): strip the ``Message forwarded from
+    <host>: `` wrapper and restore the real source hostname."""
+    m = F.col(msg_col)
+    pat = r"^Message forwarded from (\S+?):? (.*)$"
+    host = F.regexp_extract(m, pat, 1)
+    matched = m.startswith("Message forwarded from ") & (host != "")
+    return (
+        df.withColumn(hostname_col,
+                      F.when(matched, host).otherwise(F.col(hostname_col)))
+        .withColumn(msg_col,
+                    F.when(matched, F.regexp_extract(m, pat, 2))
+                    .otherwise(m))
+    )
+
+
+def pmcisconames(df: DataFrame, msg_col: str = "msg",
+                 hostname_col: str = "hostname") -> DataFrame:
+    """Cisco-names cleanup (ref: contrib/pmcisconames/pmcisconames.c):
+    messages shaped ``Mmm dd [yyyy ]HH:MM:SS <name> : %MNEMONIC...``
+    carry the device name between timestamp and the ``: %`` marker;
+    promote it to hostname and strip it from the body."""
+    m = F.col(msg_col)
+    pat = (r"^\s*([A-Z][a-z]{2} [ 0-9]\d(?: \d{4})? \d{2}:\d{2}:\d{2})"
+           r" (\S+) : (%.*)$")
+    name = F.regexp_extract(m, pat, 2)
+    matched = name != ""
+    return (
+        df.withColumn(hostname_col,
+                      F.when(matched, name).otherwise(F.col(hostname_col)))
+        .withColumn(msg_col,
+                    F.when(matched, F.regexp_extract(m, pat, 3))
+                    .otherwise(m))
+    )
+
+
+# split commas NOT inside double quotes (quote-aware CSV, the state
+# machine of ref contrib/pmpanngfw/pmpanngfw.c:55-140 as one regex)
+_CSV_SPLIT = r',(?=(?:[^"]*"[^"]*")*[^"]*$)'
+
+
+def pmpanngfw(df: DataFrame, msg_col: str = "msg") -> DataFrame:
+    """Palo Alto Networks NGFW cleanup (ref: contrib/pmpanngfw/
+    pmpanngfw.c): PAN-OS bodies are quoted CSV whose 4th field is the
+    log type (TRAFFIC/THREAT/CONFIG/SYSTEM). The reference rewrites
+    the delimiters to tabs for downstream field extraction; we emit
+    the quote-aware field array (``pan_fields``), the detected type
+    (``pan_type``), and the tab-rewritten msg."""
+    m = F.col(msg_col)
+    fields = F.split(m, _CSV_SPLIT)
+    ftype = F.try_element_at(fields, F.lit(4))
+    matched = ftype.isin("TRAFFIC", "THREAT", "CONFIG", "SYSTEM")
+    return (
+        df.withColumn("pan_fields", F.when(matched, fields))
+        .withColumn("pan_type", F.when(matched, ftype))
+        .withColumn(msg_col,
+                    F.when(matched, F.concat_ws("\t", fields)).otherwise(m))
+    )
+
+
+def pmdb2diag(
+    df: DataFrame, msg_col: str = "msg",
+    timeformat: str = "yyyy-MM-dd-HH.mm.ss.SSSSSS",
+) -> DataFrame:
+    """DB2 diagnostic-log parse (ref: contrib/pmdb2diag/pmdb2diag.c:
+    96-176): fixed-position level token after the header, PID after
+    the first ':' past the level, program from the PID-shift. We parse
+    the documented layout ``<ts><tz> <recno> LEVEL: ... PID : <pid>
+    ... PROG : <prog>`` with regexes (positions vary too much across
+    DB2 versions for byte offsets to be the Spark-side contract)."""
+    m = F.col(msg_col)
+    ts = F.regexp_extract(m, r"^(\d{4}-\d{2}-\d{2}-\d{2}\.\d{2}\.\d{2}\.\d+)", 1)
+    level = F.regexp_extract(
+        m, r"\b(CRITICAL|SEVERE|ERROR|WARNING|EVENT|INFO|DEBUG)\b", 1)
+    pid = F.regexp_extract(m, r"PID\s*:\s*(\d+)", 1)
+    tid = F.regexp_extract(m, r"TID\s*:\s*(\d+)", 1)
+    prog = F.regexp_extract(m, r"PROC\s*:\s*(\S+)", 1)
+    matched = (ts != "") & (level != "")
+    sev_map = {"CRITICAL": 2, "SEVERE": 3, "ERROR": 3, "WARNING": 4,
+               "EVENT": 5, "INFO": 6, "DEBUG": 7}
+    sev = F.lit(None).cast("int")
+    for k, v in sev_map.items():
+        sev = F.when(level == k, F.lit(v)).otherwise(sev)
+    return (
+        df.withColumn("db2_time",
+                      F.when(matched, F.try_to_timestamp(
+                          ts, F.lit(timeformat))))
+        .withColumn("db2_level", F.when(matched, level))
+        .withColumn("db2_severity", F.when(matched, sev))
+        .withColumn("db2_pid", F.when(matched & (pid != ""),
+                                      pid.cast("long")))
+        .withColumn("db2_tid", F.when(matched & (tid != ""),
+                                      tid.cast("long")))
+        .withColumn("db2_proc", F.when(matched & (prog != ""), prog))
     )
 
 

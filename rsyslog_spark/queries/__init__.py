@@ -104,10 +104,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def collect_all() -> dict[str, Query]:
-    from rsyslog_spark.queries import core, enrich, stats_q, llm, tpch
+    from rsyslog_spark.queries import (
+        core, enrich, stats_q, llm, tpch, normalize_q,
+    )
 
     out: dict[str, Query] = {}
-    for mod in (core, enrich, stats_q, llm, tpch):
+    for mod in (core, enrich, stats_q, llm, tpch, normalize_q):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name {q.name}")
