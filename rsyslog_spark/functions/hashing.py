@@ -31,3 +31,29 @@ def hash32(*cols: ColumnOrName) -> Column:
 
 def hash32mod(mod: int, *cols: ColumnOrName) -> Column:
     return F.pmod(hash32(*cols), F.lit(mod))
+
+
+def hmac_sha256(key: bytes, c: ColumnOrName) -> Column:
+    """HMAC-SHA256 of a string column (ref: contrib/mmrfc5424addhmac —
+    the reference appends an HMAC SD-element to RFC5424 messages).
+
+    Arrow-batched pandas UDF (Python hmac/hashlib): HMAC's ipad/opad
+    byte-XOR construction has no Column-expression equivalent, so this
+    is a flagged slow-path — batched, not per-row Python.
+    """
+    import pandas as pd  # noqa: F401 — resolves the UDF type hints
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _hmac(s: "pd.Series") -> "pd.Series":
+        import hashlib
+        import hmac as hmac_mod
+
+        return s.map(
+            lambda v: hmac_mod.new(
+                key, (v or "").encode("utf-8"), hashlib.sha256
+            ).hexdigest()
+        )
+
+    return _hmac(rs_str(c))

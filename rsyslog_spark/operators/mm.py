@@ -183,3 +183,19 @@ def mmexternal(
             proc.wait()
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def mmrfc5424addhmac(df: DataFrame, key: bytes,
+                     msg_col: str = "msg",
+                     sd_col: str = "structured_data",
+                     sd_id: str = "hmac@32473") -> DataFrame:
+    """Append an HMAC-SHA256 SD-element over MSG to STRUCTURED-DATA
+    (ref: contrib/mmrfc5424addhmac/mmrfc5424addhmac.c)."""
+    from rsyslog_spark.functions.hashing import hmac_sha256
+
+    elem = F.concat(F.lit(f"[{sd_id} hash=\""),
+                    hmac_sha256(key, F.col(msg_col)), F.lit("\"]"))
+    merged = F.when(
+        F.col(sd_col).isNull() | (F.col(sd_col) == "-"), elem
+    ).otherwise(F.concat(F.col(sd_col), elem))
+    return df.withColumn(sd_col, merged)

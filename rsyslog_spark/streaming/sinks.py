@@ -117,3 +117,142 @@ def fanout_sink(
             batch_df.unpersist()
 
     return sink
+
+
+def omelasticsearch_sink(
+    index_col: str,
+    id_col: str | None,
+    doc_col: str,
+    *,
+    transport: Callable[[str], list[int]] | None = None,
+    max_bytes: int = 5 * 1024 * 1024,
+) -> Callable[[DataFrame, int], None]:
+    """omelasticsearch bulk mode (ref: plugins/omelasticsearch/
+    omelasticsearch.c:158-179 bulkmode/maxbytes, 227-253
+    retryfailures): build NDJSON ``{"index": ...}\\n{doc}`` bulk
+    bodies capped at ``max_bytes``, POST via ``transport(body) ->
+    [failed line numbers]``; failed lines raise so the task retries
+    (at-least-once, like the reference's retry-with-response-parse).
+
+    The transport is injected — tests pass a recorder; production
+    passes an HTTP POST to ``_bulk``. No network happens here.
+    """
+    if transport is None:
+        raise ValueError("omelasticsearch_sink needs a transport "
+                         "(no default network client in this build)")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        header = F.to_json(F.struct(F.struct(
+            F.col(index_col).alias("_index"),
+            *([F.col(id_col).alias("_id")] if id_col else []),
+        ).alias("index")))
+        lines = batch_df.select(
+            F.concat(header, F.lit("\n"), F.col(doc_col)).alias("l"),
+            F.length(F.col(doc_col)).alias("n"),
+        )
+
+        def per_partition(rows):
+            buf: list[str] = []
+            size = 0
+            def flush():
+                nonlocal buf, size
+                if not buf:
+                    return
+                failed = transport("\n".join(buf) + "\n")
+                if failed:
+                    raise RuntimeError(
+                        f"bulk index failed for {len(failed)} docs")
+                buf, size = [], 0
+            for r in rows:
+                buf.append(r.l)
+                size += r.n + 64
+                if size >= max_bytes:
+                    flush()
+            flush()
+            return iter(())
+
+        lines.rdd.mapPartitions(per_partition).count()
+
+    return write
+
+
+def omhttp_sink(
+    doc_col: str,
+    *,
+    transport: Callable[[list[str]], None],
+    batch_size: int = 500,
+) -> Callable[[DataFrame, int], None]:
+    """omhttp batched POST (ref: contrib/omhttp/omhttp.c): group rows
+    into ``batch_size`` payload lists per partition; transport is the
+    injected HTTP client (retry via retrying_foreach_batch)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select(F.col(doc_col).alias("d"))
+
+        def per_partition(rows):
+            chunk: list[str] = []
+            for r in rows:
+                chunk.append(r.d)
+                if len(chunk) >= batch_size:
+                    transport(chunk)
+                    chunk = []
+            if chunk:
+                transport(chunk)
+            return iter(())
+
+        docs.rdd.mapPartitions(per_partition).count()
+
+    return write
+
+
+def omjdbc_sink(
+    url: str,
+    table: str,
+    *,
+    properties: dict[str, str] | None = None,
+    mode: str = "append",
+) -> Callable[[DataFrame, int], None]:
+    """ommysql/ompgsql/omlibdbi analog (ref: plugins/ommysql etc.):
+    template-projected rows appended via Spark's JDBC writer per
+    micro-batch (transactional per batch — the reference's
+    beginTransaction/commitTransaction maps to the JDBC batch
+    commit)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.jdbc(url, table, mode=mode,
+                            properties=properties or {})
+
+    return write
+
+
+def omprog_sink(
+    argv: Sequence[str],
+    line_col: str = "line",
+) -> Callable[[DataFrame, int], None]:
+    """omprog (ref: plugins/omprog): pipe template-rendered lines to an
+    external program's stdin, one process per partition per batch
+    (restart-on-next-batch ≈ the reference's restart management)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        lines = batch_df.select(F.col(line_col).cast("string").alias("l"))
+
+        def per_partition(rows):
+            import subprocess
+
+            proc = subprocess.Popen(
+                list(argv), stdin=subprocess.PIPE, text=True)
+            try:
+                for r in rows:
+                    proc.stdin.write((r.l or "") + "\n")
+                proc.stdin.close()
+                rc = proc.wait(timeout=60)
+                if rc != 0:
+                    raise RuntimeError(f"omprog exited {rc}")
+            finally:
+                if proc.poll() is None:
+                    proc.kill()
+            return iter(())
+
+        lines.rdd.mapPartitions(per_partition).count()
+
+    return write

@@ -1,0 +1,120 @@
+"""Extended sinks (ES bulk / HTTP / omprog), dimension enrichment
+(mmkubernetes-style TTL dim, dnscache), and mmrfc5424addhmac."""
+
+from __future__ import annotations
+
+import hashlib
+import hmac as hmac_mod
+
+from pyspark.sql import functions as F
+
+from rsyslog_spark.operators.dimension import (
+    RefreshingDim, dnscache_enrich, refreshing_dim_join,
+)
+from rsyslog_spark.operators.mm import mmrfc5424addhmac
+from rsyslog_spark.streaming.sinks import (
+    omelasticsearch_sink, omhttp_sink, omprog_sink,
+)
+
+
+class TestEsBulk:
+    def test_bulk_bodies(self, spark, tmp_path):
+        # transport runs on executors — record through the shared fs
+        rec = tmp_path / "bulk.ndjson"
+        df = spark.createDataFrame(
+            [("logs-1", "a", '{"m":1}'), ("logs-1", "b", '{"m":2}'),
+             ("logs-2", "c", '{"m":3}')],
+            "idx string, id string, doc string",
+        ).coalesce(1)
+
+        def transport(body, _p=str(rec)):
+            with open(_p, "a") as f:
+                f.write(body)
+            return []
+
+        sink = omelasticsearch_sink("idx", "id", "doc",
+                                    transport=transport)
+        sink(df, 0)
+        body = rec.read_text()
+        assert body.count('{"index"') == 3
+        assert '"_index":"logs-2"' in body and '"_id":"c"' in body
+        assert '{"m":3}' in body
+
+    def test_bulk_failure_raises(self, spark):
+        df = spark.createDataFrame([("i", "x", "{}")],
+                                   "idx string, id string, doc string")
+        sink = omelasticsearch_sink("idx", "id", "doc",
+                                    transport=lambda b: [0])
+        try:
+            sink(df, 0)
+            assert False, "expected failure"
+        except Exception:
+            pass
+
+
+class TestHttpSink:
+    def test_batching(self, spark, tmp_path):
+        rec = tmp_path / "chunks.txt"
+        df = spark.createDataFrame(
+            [(str(i),) for i in range(7)], "d string").coalesce(1)
+
+        def transport(chunk, _p=str(rec)):
+            with open(_p, "a") as f:
+                f.write(f"{len(chunk)}\n")
+
+        sink = omhttp_sink("d", transport=transport, batch_size=3)
+        sink(df, 0)
+        chunks = [int(x) for x in rec.read_text().split()]
+        assert sorted(chunks, reverse=True) == [3, 3, 1]
+
+
+class TestOmprog:
+    def test_pipe_to_program(self, spark, tmp_path):
+        out = tmp_path / "prog_out.txt"
+        df = spark.createDataFrame([("hello",), ("world",)],
+                                   "line string").coalesce(1)
+        sink = omprog_sink(["/bin/sh", "-c", f"cat >> {out}"])
+        sink(df, 0)
+        text = out.read_text()
+        assert "hello" in text and "world" in text
+
+
+class TestDimensions:
+    def test_refreshing_dim_join(self, spark):
+        calls = {"n": 0}
+
+        def loader(s):
+            calls["n"] += 1
+            return s.createDataFrame([(1, "pod-a"), (2, "pod-b")],
+                                     "k int, pod string")
+
+        dim = RefreshingDim(loader, ttl_seconds=3600)
+        df = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+        out1 = refreshing_dim_join(df, dim, on="k")
+        out2 = refreshing_dim_join(df, dim, on="k")
+        rows = {r["k"]: r["pod"] for r in out1.collect()}
+        assert rows == {1: "pod-a", 2: "pod-b", 3: None}
+        out2.collect()
+        assert calls["n"] == 1  # TTL cache: loader ran once
+
+    def test_dnscache_enrich(self, spark):
+        df = spark.createDataFrame(
+            [("10.0.0.7", None), ("10.0.0.9", "keep.me"), (None, "x")],
+            "fromhost_ip string, fromhost string")
+        out = {r["fromhost_ip"]: r["fromhost"]
+               for r in dnscache_enrich(df).collect()}
+        assert out["10.0.0.7"] == "host-7.example"
+        assert out["10.0.0.9"] == "host-9.example"  # resolver wins
+        assert out[None] == "x"
+
+
+class TestHmac:
+    def test_hmac_sd_element(self, spark):
+        df = spark.createDataFrame(
+            [("secret msg", "-"), ("other", '[x@1 a="b"]')],
+            "msg string, structured_data string")
+        out = mmrfc5424addhmac(df, b"k3y").collect()
+        want = hmac_mod.new(b"k3y", b"secret msg",
+                            hashlib.sha256).hexdigest()
+        assert out[0]["structured_data"] == f'[hmac@32473 hash="{want}"]'
+        assert out[1]["structured_data"].startswith('[x@1 a="b"][hmac@32473')
