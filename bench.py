@@ -34,6 +34,10 @@ BENCH_QUERIES = [
     "lookup_sparse_join",
     "mmjsonparse_extract",
     "mmanon_embedded",
+    "mmnormalize_extract",
+    "mmgrok_access_log",
+    "vendor_cleanup_battery",
+    "property_replacer_battery",
     "dynstats_hourly",
     "ratelimit_interval_burst",
     "repeated_msg_reduction_runs",

@@ -505,3 +505,46 @@ def ruleset_route_fanout(spark, sf_dir):
     return out.groupBy("action_name", "route", "event_type").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+@q(
+    "property_replacer_battery",
+    """
+    SELECT substr(event_type || ' code=' || CAST(event_id % 100 AS VARCHAR), 1, 3)
+               AS head3,
+           COALESCE(NULLIF(regexp_extract(
+               event_type || ' code=' || CAST(event_id % 100 AS VARCHAR),
+               'code=([0-9]+)', 1), ''), '0') AS code,
+           split_part(event_type || ' code=' || CAST(event_id % 100 AS VARCHAR),
+                      ' ', 1) AS f1,
+           upper(event_type) AS etype_uc,
+           strftime(ts, '%Y%m%d%H%M%S') AS ts_mysql,
+           CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) AS ts_unix,
+           rpad(substr(event_type, 1, 10), 10, ' ') AS etype_fw,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+    doc="Template property-replacer options end-to-end "
+        "(ref: template.h:97-182, property_replacer.rst): substring "
+        "from/to, regex extract w/ nomatch=zero, field extraction, "
+        "case conversion, MySQL + unix-ts date formats, fixed width.",
+)
+def property_replacer_battery(spark, sf_dir):
+    from rsyslog_spark.templates import Prop
+
+    ev = load(spark, sf_dir, "events")
+    msg = F.concat(F.col("event_type"), F.lit(" code="),
+                   (F.col("event_id") % 100).cast("string"))
+    df = ev.select(msg.alias("msg"), "event_type", "ts")
+    return df.select(
+        Prop("msg", frm=1, to=3).col().alias("head3"),
+        Prop("msg", regex=r"code=([0-9]+)", regex_submatch=1,
+             regex_nomatch="zero").col().alias("code"),
+        Prop("msg", field_delim=" ", field_num=1).col().alias("f1"),
+        Prop("event_type", case="upper").col().alias("etype_uc"),
+        Prop("ts", date_format="mysql").col().alias("ts_mysql"),
+        Prop("ts", date_format="unixtimestamp").col().alias("ts_unix"),
+        Prop("event_type", fixed_width=10).col().alias("etype_fw"),
+    ).groupBy("head3", "code", "f1", "etype_uc", "ts_mysql", "ts_unix",
+              "etype_fw").agg(F.count(F.lit(1)).alias("cnt"))

@@ -338,3 +338,40 @@ def multimodal_image_features(spark, sf_dir):
     )
     feats = extract_image_features(media)
     return feats.select("media_id", "n_bytes", "sha")
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+    SELECT CAST(doc_id % 10 AS BIGINT) AS media_bucket,
+           COUNT(*) AS n_frames,
+           CAST(SUM(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keyframes
+    FROM (SELECT doc_id,
+                 UNNEST(range(0, (length(text) % 60) + 1, 5)) AS f
+          FROM documents) t
+    GROUP BY 1
+    """,
+    doc="Video frame-sampling plan: per-video rows expand to frame "
+        "timestamps (sequence+explode) BEFORE any decode — the decode "
+        "itself is the stubbed mapInPandas step (operators/"
+        "multimodal.py).",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    from rsyslog_spark.operators.multimodal import frame_sample_plan
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.create_map(
+            F.lit("duration_s"),
+            (F.length("text") % 60).cast("string"),
+        ).alias("meta"),
+    )
+    frames = frame_sample_plan(media, every_n_seconds=5)
+    return frames.groupBy(
+        (F.col("media_id") % 10).cast("long").alias("media_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum((F.col("frame_ts") == 0).cast("long")).alias("n_keyframes"),
+    )
