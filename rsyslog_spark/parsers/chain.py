@@ -53,6 +53,10 @@ _RFC3164_FIELDS = {
     "parsesuccess",
 }
 
+# plan-build memo: (line_col, inputname, keep_raw, with_uuid, cols) →
+# list[Column]; Columns are immutable unresolved trees, safe to share
+_CHAIN_CACHE: dict[tuple, list[Column]] = {}
+
 
 def parse_syslog(
     df: DataFrame,
@@ -75,6 +79,13 @@ def parse_syslog(
     column pruning makes this mostly cosmetic in batch plans, but it
     keeps hand-written streaming DAGs lean.
     """
+    want = columns if columns is not None else SYSLOG_COLUMNS
+    key = (line_col, inputname, keep_raw, with_uuid, tuple(want))
+    cached = _CHAIN_CACHE.get(key)
+    if cached is not None:
+        keep_others = [c for c in df.columns if c != line_col]
+        return df.select(*keep_others, *cached)
+
     line = F.col(line_col)
     tgen = F.current_timestamp()
     null_s = F.lit(None).cast("string")
@@ -118,8 +129,11 @@ def parse_syslog(
             return chained(name).cast("int")
         return chained(name)
 
-    want = columns if columns is not None else SYSLOG_COLUMNS
+    cols = [canonical(c).alias(c) for c in want]
+    # Column objects only hold unresolved expression trees (attributes
+    # by name), so they're reusable across DataFrames — memoize to
+    # skip ~1000 Py4J round-trips per plan build. uuid() stays
+    # per-evaluation-unique (nondeterministic expr, not a cached value).
+    _CHAIN_CACHE[key] = cols
     keep_others = [c for c in df.columns if c != line_col]
-    return df.select(
-        *keep_others, *[canonical(c).alias(c) for c in want]
-    )
+    return df.select(*keep_others, *cols)
