@@ -248,3 +248,57 @@ def foreach_explode_sum(spark, sf_dir):
         F.count(F.lit(1)).alias("n_elems"),
         F.sum(F.col("local_c").cast("long")).alias("sum_c"),
     )
+
+
+@q(
+    "multiline_reassembly",
+    """
+    WITH lines AS (
+      SELECT CAST(event_id % 8 AS BIGINT) AS f,
+             event_id AS line_no,
+             CASE WHEN event_id % 3 = 0
+                  THEN 'START ' || event_type
+                  ELSE '  cont ' || CAST(event_id % 7 AS VARCHAR) END AS line
+      FROM events
+    ), tagged AS (
+      SELECT f, line_no, line,
+             SUM(CASE WHEN line LIKE 'START %' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY f ORDER BY line_no
+                       ROWS UNBOUNDED PRECEDING) AS msg_seq
+      FROM lines
+    )
+    SELECT f AS srcfile_bucket,
+           COUNT(*) AS n_msgs,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(length(line)) AS BIGINT) AS total_chars
+    FROM (SELECT f, msg_seq,
+                 COUNT(*) AS n_lines,
+                 string_agg(line, chr(10) ORDER BY line_no) AS line
+          FROM tagged WHERE msg_seq > 0
+          GROUP BY f, msg_seq) m
+    GROUP BY f
+    """,
+    doc="imfile multiline readMode (startmsg.regex) as a windowed "
+        "reassembly: running count of start-lines per file assigns "
+        "continuations, order preserved inside the group (ref: "
+        "plugins/imfile/imfile.c:382-416; SURVEY hard-part 5).",
+)
+def multiline_reassembly(spark, sf_dir):
+    from rsyslog_spark.streaming.sources import reassemble_multiline
+
+    ev = load(spark, sf_dir, "events")
+    lines = ev.select(
+        (F.col("event_id") % 8).cast("long").alias("srcfile"),
+        F.col("event_id").alias("line_no"),
+        F.when(F.col("event_id") % 3 == 0,
+               F.concat(F.lit("START "), F.col("event_type")))
+        .otherwise(F.concat(F.lit("  cont "),
+                            (F.col("event_id") % 7).cast("string")))
+        .alias("line"),
+    )
+    msgs = reassemble_multiline(lines, r"^START ")
+    return msgs.groupBy(F.col("srcfile").alias("srcfile_bucket")).agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum(F.length("line")).cast("long").alias("total_chars"),
+    )

@@ -256,3 +256,61 @@ def omprog_sink(
         lines.rdd.mapPartitions(per_partition).count()
 
     return write
+
+
+def failover_sink(
+    primary: Callable[[DataFrame, int], None],
+    secondary: Callable[[DataFrame, int], None],
+    *,
+    max_retries: int = 2,
+    resume_after_batches: int = 10,
+) -> Callable[[DataFrame, int], None]:
+    """execOnlyWhenPreviousIsSuspended failover chain (ref:
+    runtime/action.h:82-84, wti.h:143-151 previous_action_suspended).
+
+    Engine-level sink health, re-evaluated per micro-batch: while the
+    primary is suspended, batches route to the secondary; after
+    ``resume_after_batches`` the primary gets a retry (the reference's
+    iResumeInterval, counted in batches instead of seconds so behavior
+    is deterministic under test).
+    """
+    state = {"suspended_at": None}
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        sus = state["suspended_at"]
+        if sus is not None and batch_id - sus < resume_after_batches:
+            secondary(batch_df, batch_id)
+            return
+        attempt = 0
+        while True:
+            try:
+                primary(batch_df, batch_id)
+                state["suspended_at"] = None
+                return
+            except Exception:  # noqa: BLE001 — sink health, not data
+                attempt += 1
+                if attempt > max_retries:
+                    state["suspended_at"] = batch_id
+                    secondary(batch_df, batch_id)
+                    return
+
+    return write
+
+
+def dequeue_window_gate(
+    from_hour: int, to_hour: int,
+) -> Callable[[DataFrame, int], bool]:
+    """Queue dequeue time window (ref: runtime/queue.h:136-146
+    iDeqtWinFromHr/ToHr): only process batches inside the local
+    time-of-day window. Returns a predicate for foreachBatch wrappers:
+    outside the window the batch is skipped (the micro-batch retries
+    land in-window, preserving at-least-once)."""
+    import datetime
+
+    def in_window(_batch_df: DataFrame, _batch_id: int) -> bool:
+        h = datetime.datetime.now().hour
+        if from_hour <= to_hour:
+            return from_hour <= h < to_hour
+        return h >= from_hour or h < to_hour   # crosses midnight
+
+    return in_window

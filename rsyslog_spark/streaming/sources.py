@@ -144,3 +144,46 @@ def parse_stream(lines: DataFrame) -> DataFrame:
     Column logic to the batch path (parsers are pure expressions, so
     batch/streaming parity is structural, not re-implemented)."""
     return parse_syslog(lines)
+
+
+def reassemble_multiline(
+    df: DataFrame,
+    startmsg_regex: str,
+    *,
+    file_col: str = "srcfile",
+    order_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """Multiline reassembly over an ordered line table (ref: imfile
+    readMode/startmsg.regex, plugins/imfile/imfile.c:382-416).
+
+    Batch shape of the wholetext split in :func:`imfile`: a running
+    count of start-of-message matches per file (window, ordered by the
+    line number) assigns each continuation line to its message; one
+    groupBy concatenates. Shuffles once on (file, msg_seq) — at 100 TB
+    the window partitions by file, so skew is bounded by the largest
+    single file, same operational envelope as imfile's per-file state.
+    """
+    from pyspark.sql import Window
+
+    is_start = F.col(line_col).rlike(startmsg_regex).cast("long")
+    w = Window.partitionBy(file_col).orderBy(order_col) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    seq = F.sum(is_start).over(w)
+    tagged = df.withColumn("__msgseq", seq)
+    return (
+        tagged.filter(F.col("__msgseq") > 0)   # leading junk dropped
+        .groupBy(file_col, F.col("__msgseq").alias("msg_seq"))
+        .agg(
+            # collect_list order is NOT deterministic post-shuffle:
+            # sort by line number inside the group before joining
+            F.concat_ws("\n", F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(line_col).alias("l")))),
+                lambda s: s["l"],
+            )).alias(line_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(order_col).alias("first_line_no"),
+        )
+    )

@@ -13,8 +13,9 @@ from rsyslog_spark.operators.dimension import (
 )
 from rsyslog_spark.operators.mm import mmrfc5424addhmac
 from rsyslog_spark.streaming.sinks import (
-    omelasticsearch_sink, omhttp_sink, omprog_sink,
+    failover_sink, omelasticsearch_sink, omhttp_sink, omprog_sink,
 )
+from rsyslog_spark.streaming.sources import reassemble_multiline
 
 
 class TestEsBulk:
@@ -118,3 +119,41 @@ class TestHmac:
                             hashlib.sha256).hexdigest()
         assert out[0]["structured_data"] == f'[hmac@32473 hash="{want}"]'
         assert out[1]["structured_data"].startswith('[x@1 a="b"][hmac@32473')
+
+
+class TestFailover:
+    def test_failover_and_resume(self, spark):
+        df = spark.createDataFrame([("x",)], "line string")
+        log: list[str] = []
+        health = {"ok": False}
+
+        def primary(b, i):
+            if not health["ok"]:
+                raise RuntimeError("down")
+            log.append(f"p{i}")
+
+        def secondary(b, i):
+            log.append(f"s{i}")
+
+        sink = failover_sink(primary, secondary, max_retries=1,
+                             resume_after_batches=2)
+        sink(df, 0)          # primary fails -> suspend -> secondary
+        sink(df, 1)          # still suspended
+        health["ok"] = True
+        sink(df, 2)          # resume window passed -> primary retried
+        assert log == ["s0", "s1", "p2"]
+
+
+class TestMultiline:
+    def test_reassembly_order(self, spark):
+        rows = [("a", 1, "START one"), ("a", 2, " c1"), ("a", 3, " c2"),
+                ("a", 4, "START two"), ("b", 1, " junk"),
+                ("b", 2, "START only"), ("b", 3, " tail")]
+        df = spark.createDataFrame(rows,
+                                   "srcfile string, line_no int, line string")
+        out = {(r["srcfile"], r["msg_seq"]): r
+               for r in reassemble_multiline(df, r"^START ").collect()}
+        assert out[("a", 1)]["line"] == "START one\n c1\n c2"
+        assert out[("a", 2)]["line"] == "START two"
+        assert out[("b", 1)]["line"] == "START only\n tail"
+        assert ("b", 0) not in out  # leading junk dropped
