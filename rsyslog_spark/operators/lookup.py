@@ -204,3 +204,33 @@ def geoip_range_join(
     fact = df.withColumn("_ipnum", ipv42num(ip_col))
     cond = (F.col("_ipnum") >= ranges[lo_col]) & (F.col("_ipnum") <= ranges[hi_col])
     return fact.join(F.broadcast(ranges), cond, how).drop("_ipnum")
+
+
+def salted_join(
+    df: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed (left) side's key into
+    ``salt_buckets`` shards and replicate the right side per shard, so
+    one hot key spreads across ``salt_buckets`` tasks instead of
+    pinning a single reducer.
+
+    AQE's skew-join splitting (spark.sql.adaptive.skewJoin) handles
+    most cases at runtime; explicit salting remains for (a) streaming
+    joins where AQE does not apply and (b) deterministic layouts for
+    repeated pipelines. Cost: right side is duplicated salt_buckets×,
+    so use it for dimension-sized right sides only — for fact-fact
+    skew prefer AQE.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                  F.lit(salt_buckets)).cast("int")
+    left = df.withColumn("__salt", salt)
+    rep = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return left.join(rep, on=[key, "__salt"], how=how).drop("__salt")

@@ -93,3 +93,20 @@ def test_mmexternal_bridge(spark):
     out = mmexternal(df, [sys.executable, "-c", child])
     got = {r.msg: r.json for r in out.collect()}
     assert got == {"abc": '{"len": 3}', "hello": '{"len": 5}'}
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark):
+        from rsyslog_spark.operators.lookup import salted_join
+        from pyspark.sql import functions as F
+
+        left = spark.createDataFrame(
+            [(i % 3, i) for i in range(100)], "k int, v int")
+        right = spark.createDataFrame(
+            [(0, "a"), (1, "b"), (2, "c")], "k int, name string")
+        out = salted_join(left, right, "k")
+        plain = left.join(right, "k")
+        assert out.count() == plain.count() == 100
+        got = out.groupBy("name").count().collect()
+        want = plain.groupBy("name").count().collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
