@@ -30,6 +30,13 @@ from rsyslog_spark.functions.url import (
 from rsyslog_spark.functions.cef import tocef, cef_ext_escape
 from rsyslog_spark.expr import prifilt
 
+
+def exec_template(template) -> "object":
+    """exec_template(t): render a Template into a string Column
+    (ref: rainerscript exec_template; our Template compiles to one
+    concat expression — see templates.Template.col)."""
+    return template.col()
+
 __all__ = [
     "strlen", "substring", "ltrim", "rtrim", "tolower", "toupper",
     "cstr", "cnum", "cbool", "re_match", "re_match_i", "re_extract",
@@ -38,6 +45,7 @@ __all__ = [
     "ipv42num", "num2ipv4", "int2hex", "b64_decode", "is_in_subnet",
     "hash32", "hash32mod", "hash64", "hash64mod",
     "parse_json_variant", "json_get", "json_get_num", "append_json",
+    "exec_template",
     "unflatten", "faup", "faup_scheme", "faup_credential", "faup_subdomain",
     "faup_domain", "faup_domain_without_tld", "faup_host", "faup_tld",
     "faup_port", "tocef", "cef_ext_escape", "prifilt",

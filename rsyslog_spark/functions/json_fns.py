@@ -99,3 +99,87 @@ def unflatten(json_col: ColumnOrName, sep: str = ".") -> Column:
     _unflatten_series.__annotations__ = {"s": pd.Series, "return": pd.Series}
     _unflatten = pandas_udf(_unflatten_series, "string")
     return _unflatten(rs_str(json_col))
+
+
+def json_deep_set(json_col: ColumnOrName, path: str,
+                  value: Column) -> Column:
+    """``set $!a!b = value`` with subtree-merge semantics (ref:
+    runtime/ruleset.c:189-203; merge rules doc/source/rainerscript/
+    variable_property_types.rst:37-70): intermediate objects are
+    created, an existing scalar at an intermediate step is replaced by
+    an object, and sibling keys survive.
+
+    Arrow-batched pandas UDF: arbitrary-depth JSON mutation has no
+    Column-expression form (VARIANT is read-only in Spark 4) — flagged
+    slow path; for FIXED schemas prefer withField on a struct column.
+    """
+    import json as _json
+
+    import pandas as pd  # noqa: F401 — resolves the UDF type hints
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+
+    segs = [s for s in
+            path.lstrip("$").lstrip("!.").replace("!", ".").split(".") if s]
+    if not segs:
+        raise ValueError(f"empty JSON path {path!r}")
+
+    @pandas_udf("string")
+    def _set(js: "pd.Series", vals: "pd.Series") -> "pd.Series":
+        out = []
+        for txt, v in zip(js, vals):
+            try:
+                root = _json.loads(txt) if txt else {}
+            except (ValueError, TypeError):
+                root = {}
+            if not isinstance(root, dict):
+                root = {}
+            node = root
+            for s in segs[:-1]:
+                nxt = node.get(s)
+                if not isinstance(nxt, dict):   # scalar → object
+                    nxt = {}
+                    node[s] = nxt
+                node = nxt
+            node[segs[-1]] = None if v is None else (
+                _json.loads(v) if isinstance(v, str)
+                and v[:1] in "{[" else v)
+            out.append(_json.dumps(root, separators=(",", ":")))
+        return pd.Series(out)
+
+    return _set(rs_str(json_col), value.cast("string"))
+
+
+def json_unset(json_col: ColumnOrName, path: str) -> Column:
+    """``unset $!a!b`` — remove a key from the JSON tree (ref:
+    runtime/ruleset.c unset). Same flagged UDF path as json_deep_set."""
+    import json as _json
+
+    import pandas as pd  # noqa: F401
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+
+    segs = [s for s in
+            path.lstrip("$").lstrip("!.").replace("!", ".").split(".") if s]
+
+    @pandas_udf("string")
+    def _unset(js: "pd.Series") -> "pd.Series":
+        out = []
+        for txt in js:
+            try:
+                root = _json.loads(txt) if txt else {}
+            except (ValueError, TypeError):
+                root = {}
+            node = root
+            ok = isinstance(node, dict)
+            for s in segs[:-1]:
+                if not (ok and isinstance(node, dict) and s in node):
+                    ok = False
+                    break
+                node = node[s]
+            if ok and isinstance(node, dict):
+                node.pop(segs[-1], None)
+            out.append(_json.dumps(root, separators=(",", ":")))
+        return pd.Series(out)
+
+    return _unset(rs_str(json_col))

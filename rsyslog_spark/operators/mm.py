@@ -199,3 +199,71 @@ def mmrfc5424addhmac(df: DataFrame, key: bytes,
         F.col(sd_col).isNull() | (F.col(sd_col) == "-"), elem
     ).otherwise(F.concat(F.col(sd_col), elem))
     return df.withColumn(sd_col, merged)
+
+
+def mmaitag(
+    df: DataFrame,
+    msg_col: str = "msg",
+    out_col: str = "aitag",
+    classifier=None,
+    labels: tuple[str, ...] = ("NORMAL", "SUSPICIOUS"),
+) -> DataFrame:
+    """AI-provider message classification (ref: plugins/mmaitag/
+    mmaitag.c:1-10 — external provider tags each message into
+    ``$.aitag``).
+
+    ``classifier(list[str]) -> list[str]`` is the injected provider
+    call (batched). Default is a deterministic STUB (no network in
+    this container): keyword heuristic over the label set — the
+    Spark-side contract (Arrow batching, column shape) is real.
+    """
+    import pandas as pd  # noqa: F401
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+
+    if classifier is None:
+        def classifier(msgs):  # STUB provider
+            return [labels[1] if any(w in (m or "").lower() for w in
+                                     ("error", "fail", "denied", "attack"))
+                    else labels[0] for m in msgs]
+
+    @pandas_udf("string")
+    def _tag(s: "pd.Series") -> "pd.Series":
+        import pandas as _pd
+        return _pd.Series(classifier(list(s)))
+
+    return df.withColumn(out_col, _tag(F.col(msg_col)))
+
+
+def mmdarwin(
+    df: DataFrame,
+    feature_cols: list[str],
+    out_col: str = "darwin_score",
+    scorer=None,
+) -> DataFrame:
+    """Darwin ML-scoring enrich (ref: contrib/mmdarwin — sends selected
+    fields to a Darwin filter, stores the returned certitude score).
+
+    ``scorer(pandas.DataFrame) -> pandas.Series[float]`` is injected;
+    default STUB hashes the features to a stable [0,1) score so the
+    plumbing is testable without the service.
+    """
+    import pandas as pd  # noqa: F401
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+
+    if scorer is None:
+        def scorer(pdf):
+            import hashlib
+            return pdf.apply(
+                lambda r: int(hashlib.sha256(
+                    "|".join(str(v) for v in r).encode()
+                ).hexdigest()[:8], 16) / 0xFFFFFFFF, axis=1)
+
+    @pandas_udf("double")
+    def _score(*cols: "pd.Series") -> "pd.Series":
+        import pandas as _pd
+        pdf = _pd.concat(cols, axis=1)
+        return _pd.Series(scorer(pdf))
+
+    return df.withColumn(out_col, _score(*[F.col(c) for c in feature_cols]))

@@ -110,3 +110,48 @@ class TestSaltedJoin:
         got = out.groupBy("name").count().collect()
         want = plain.groupBy("name").count().collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+class TestJsonDeepSet:
+    def test_set_merge_and_unset(self, spark):
+        from rsyslog_spark.functions.json_fns import (
+            json_deep_set, json_unset,
+        )
+        from pyspark.sql import functions as F
+        import json
+
+        df = spark.createDataFrame(
+            [('{"a":{"x":1},"keep":true}',), ("{}",), (None,),
+             ('{"a":"scalar"}',)],
+            "json string")
+        out = df.withColumn(
+            "json", json_deep_set("json", "$!a!b", F.lit("v"))).collect()
+        got = [json.loads(r["json"]) for r in out]
+        assert got[0] == {"a": {"x": 1, "b": "v"}, "keep": True}
+        assert got[1] == {"a": {"b": "v"}}
+        assert got[2] == {"a": {"b": "v"}}
+        assert got[3] == {"a": {"b": "v"}}   # scalar replaced by object
+
+        df2 = spark.createDataFrame([('{"a":{"b":1,"c":2}}',)], "json string")
+        out2 = df2.withColumn("json", json_unset("json", "$!a!b")).collect()
+        assert json.loads(out2[0]["json"]) == {"a": {"c": 2}}
+
+
+class TestAiOperators:
+    def test_mmaitag_stub(self, spark):
+        from rsyslog_spark.operators.mm import mmaitag
+
+        df = spark.createDataFrame(
+            [("login error for root",), ("all good",)], "msg string")
+        out = mmaitag(df).collect()
+        assert out[0]["aitag"] == "SUSPICIOUS"
+        assert out[1]["aitag"] == "NORMAL"
+
+    def test_mmdarwin_stub_deterministic(self, spark):
+        from rsyslog_spark.operators.mm import mmdarwin
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("b", 2)], "f1 string, f2 int")
+        out = mmdarwin(df, ["f1", "f2"]).collect()
+        assert out[0]["darwin_score"] == out[1]["darwin_score"]
+        assert 0.0 <= out[2]["darwin_score"] < 1.0
