@@ -167,3 +167,38 @@ def streaming_repeated_msg_reduction(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_percentiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str | None = None,
+    *,
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    ts_col: str = "timegenerated",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """perctile_stats buckets (ref: runtime/perctile_stats.h:52-77,
+    perctile_ringbuf.c): sliding-window percentile observations per
+    named bucket. Spark shape: watermarked tumbling window +
+    ``percentile_approx`` — the t-digest-style sketch aggregates
+    map-side, so the shuffle carries one sketch per (window, key), not
+    the observations (the scale analog of the reference's fixed-size
+    ring buffer)."""
+    keys = [F.window(ts_col, window).alias("w")]
+    if key_col is not None:
+        keys.append(F.col(key_col).alias("key"))
+    pct = F.percentile_approx(
+        F.col(value_col), F.array(*[F.lit(p) for p in percentiles]))
+    out = (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(pct.alias("p"), F.count(F.lit(1)).alias("n"))
+    )
+    sel = [F.col("w.start").alias("window_start")]
+    if key_col is not None:
+        sel.append("key")
+    sel += [F.col("p")[i].alias(f"p{int(p * 100)}")
+            for i, p in enumerate(percentiles)]
+    return out.select(*sel, "n")

@@ -190,3 +190,21 @@ def test_retry_suspends_to_error_handler(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert errored and errored[0][1] == "down for good"
+
+
+def test_streaming_percentiles(spark, tmp_path):
+    src = str(tmp_path / "plogs")
+    _write_lines(src, "a.log",
+                 [f"<13>Mar  1 09:15:00 h0 app: v={i}" for i in range(1, 101)])
+    parsed = parse_stream(imfile(spark, src)).withColumn(
+        "timegenerated", F.col("timereported")
+    ).withColumn("v", F.regexp_extract("msg", r"v=(\d+)", 1).cast("double"))
+    from rsyslog_spark.streaming.stateful import streaming_percentiles
+    pct = streaming_percentiles(parsed, "v", "hostname", window="1 minute")
+    _run_to_memory(pct, "pct_out", str(tmp_path / "ck_pct"),
+                   output_mode="complete")
+    rows = spark.table("pct_out").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["key"] == "h0" and r["n"] == 100
+    assert 45 <= r["p50"] <= 55 and 90 <= r["p95"] <= 100
