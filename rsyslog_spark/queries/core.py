@@ -548,3 +548,32 @@ def property_replacer_battery(spark, sf_dir):
         Prop("event_type", fixed_width=10).col().alias("etype_fw"),
     ).groupBy("head3", "code", "f1", "etype_uc", "ts_mysql", "ts_unix",
               "etype_fw").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "variant_json_tree",
+    """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+    FROM events GROUP BY event_type
+    """,
+    doc="$! JSON tree via Spark 4 VARIANT: parse_json once, "
+        "variant_get per path (ref: runtime/msg.c:240,3099 "
+        "jsonPathFindParent/getJSONPropVal; SURVEY §1.1 json column). "
+        "The VARIANT column amortizes repeated deep access vs "
+        "get_json_object re-parsing the string per path.",
+)
+def variant_json_tree(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long")
+        .alias("n_big"),
+    )
