@@ -248,8 +248,22 @@ class PriFilter:
         return F.element_at(bits, fac * 8 + sev + 1)
 
 
+_PRIFILT_CACHE: dict[tuple, Column] = {}
+
+
 def prifilt(spec: str, facility: ColumnOrName = "syslogfacility",
             severity: ColumnOrName = "syslogseverity") -> Column:
     """``prifilt("mail.*")`` scalar function (ref:
-    grammar/rainerscript.c:4467-4510 registry)."""
+    grammar/rainerscript.c:4467-4510 registry).
+
+    The 200-element mask literal costs ~200 Py4J calls to build, so
+    compiled masks are memoized per (spec, columns) — the analog of
+    the reference compiling the mask once at config load."""
+    if isinstance(facility, str) and isinstance(severity, str):
+        key = (spec, facility, severity)
+        got = _PRIFILT_CACHE.get(key)
+        if got is None:
+            got = PriFilter.parse(spec).col(facility, severity)
+            _PRIFILT_CACHE[key] = got
+        return got
     return PriFilter.parse(spec).col(facility, severity)

@@ -32,9 +32,14 @@ def q(name, oracle, doc=""):
     return deco
 
 
+_RENDER_CACHE: list = []
+
+
 def _events_syslog_lines(spark, sf_dir):
     """Render events as RFC5424 wire lines (the omfwd template path)."""
     ev = load(spark, sf_dir, "events")
+    if _RENDER_CACHE:
+        return ev.select(_RENDER_CACHE[0].alias("line"))
     sev = (F.col("event_id") % 8).cast("int")
     fac = (F.col("user_id") % 24).cast("int")
     pri = fac * 8 + sev
@@ -50,6 +55,7 @@ def _events_syslog_lines(spark, sf_dir):
         F.col("user_id").cast("string"), F.lit(" ID"),
         (F.col("event_id") % 10).cast("string"), F.lit(" - "), msg,
     )
+    _RENDER_CACHE.append(line)
     return ev.select(line.alias("line"))
 
 
