@@ -277,3 +277,14 @@ def pmnull(df: DataFrame, line_col: str = "line",
         .alias("hostname"),
         F.lit(True).alias("parsesuccess"),
     )
+
+
+def pmnormalize(df: DataFrame, rulebase: str,
+                line_col: str = "line", **kw) -> DataFrame:
+    """pmnormalize (ref: plugins/pmnormalize/pmnormalize.c): the
+    liblognorm rulebase applied as a PARSER over the raw line instead
+    of as a message-modification stage — same compiler
+    (operators/normalize.py), different position in the chain."""
+    from rsyslog_spark.operators.normalize import normalize
+
+    return normalize(df, rulebase, msg_col=line_col, **kw)

@@ -314,3 +314,60 @@ def dequeue_window_gate(
         return h >= from_hour or h < to_hour   # crosses midnight
 
     return in_window
+
+
+def omfwd_sink(
+    host: str,
+    port: int,
+    line_col: str = "line",
+    *,
+    framing: str = "octet-counted",
+    protocol: str = "tcp",
+) -> Callable[[DataFrame, int], None]:
+    """omfwd TCP forward (ref: tools/omfwd.c): RFC6587 framing —
+    octet-counted (``LEN SP MSG``) or non-transparent (LF-terminated).
+    One connection per partition per batch (the reference rebinds per
+    interval; micro-batches give the same periodic rebind). UDP mode
+    sends one datagram per message (lossy by contract, like the
+    reference)."""
+    if framing not in ("octet-counted", "lf"):
+        raise ValueError(f"unknown framing {framing!r}")
+    if protocol not in ("tcp", "udp"):
+        raise ValueError(f"unknown protocol {protocol!r}")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        lines = batch_df.select(F.col(line_col).cast("string").alias("l"))
+
+        def per_partition(rows):
+            import socket
+
+            if protocol == "udp":
+                sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+                try:
+                    for r in rows:
+                        sock.sendto((r.l or "").encode("utf-8"),
+                                    (host, port))
+                finally:
+                    sock.close()
+                return iter(())
+            sock = socket.create_connection((host, port), timeout=30)
+            try:
+                buf = bytearray()
+                for r in rows:
+                    payload = (r.l or "").encode("utf-8")
+                    if framing == "octet-counted":
+                        buf += str(len(payload)).encode() + b" " + payload
+                    else:
+                        buf += payload + b"\n"
+                    if len(buf) >= 256 * 1024:
+                        sock.sendall(buf)
+                        buf.clear()
+                if buf:
+                    sock.sendall(buf)
+            finally:
+                sock.close()
+            return iter(())
+
+        lines.rdd.mapPartitions(per_partition).count()
+
+    return write

@@ -157,3 +157,49 @@ class TestMultiline:
         assert out[("a", 2)]["line"] == "START two"
         assert out[("b", 1)]["line"] == "START only\n tail"
         assert ("b", 0) not in out  # leading junk dropped
+
+
+class TestOmfwd:
+    def test_octet_counted_framing(self, spark):
+        import socket
+        import threading
+
+        received = bytearray()
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+
+        def serve():
+            conn, _ = srv.accept()
+            while chunk := conn.recv(4096):
+                received.extend(chunk)
+            conn.close()
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+        df = spark.createDataFrame(
+            [("<13>m one",), ("<14>m two",)], "line string").coalesce(1)
+        from rsyslog_spark.streaming.sinks import omfwd_sink
+        omfwd_sink("127.0.0.1", port)(df, 0)
+        t.join(timeout=10)
+        srv.close()
+        text = received.decode()
+        assert "9 <13>m one" in text and "9 <14>m two" in text
+
+
+class TestDynafile:
+    def test_partitioned_batch_write(self, spark, tmp_path):
+        # omfile dynafile analog for batch: template-derived column
+        # becomes the partition directory (tools/omfile.c dynafiles)
+        out = str(tmp_path / "dyna")
+        df = spark.createDataFrame(
+            [("h1", "a"), ("h1", "b"), ("h2", "c")],
+            "hostname string, msg string")
+        df.write.partitionBy("hostname").parquet(out)
+        back = spark.read.parquet(out)
+        assert back.count() == 3
+        import os
+        assert sorted(d for d in os.listdir(out)
+                      if d.startswith("hostname=")) == \
+            ["hostname=h1", "hostname=h2"]
