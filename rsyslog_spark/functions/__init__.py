@@ -11,7 +11,7 @@ codegen; the only Python-UDF escape hatches are clearly flagged
 from rsyslog_spark.functions.strings import (
     strlen, substring, ltrim, rtrim, tolower, toupper, cstr, cnum, cbool,
     re_match, re_match_i, re_extract, re_extract_i, field, split_fn, replace,
-    wrap, getenv_fn, random_fn, FIELD_NOT_FOUND,
+    wrap, getenv_fn, random_fn, FIELD_NOT_FOUND, pcre_match, get_property,
 )
 from rsyslog_spark.functions.time_fns import (
     format_time, parse_time, is_time,
@@ -25,7 +25,7 @@ from rsyslog_spark.functions.json_fns import (
 )
 from rsyslog_spark.functions.url import (
     faup, faup_scheme, faup_credential, faup_subdomain, faup_domain,
-    faup_domain_without_tld, faup_host, faup_tld, faup_port,
+    faup_domain_without_tld, faup_host, faup_tld, faup_port, http_request,
 )
 from rsyslog_spark.functions.cef import tocef, cef_ext_escape
 from rsyslog_spark.expr import prifilt
@@ -41,7 +41,8 @@ __all__ = [
     "strlen", "substring", "ltrim", "rtrim", "tolower", "toupper",
     "cstr", "cnum", "cbool", "re_match", "re_match_i", "re_extract",
     "re_extract_i", "field", "split_fn", "replace", "wrap", "getenv_fn",
-    "random_fn", "FIELD_NOT_FOUND", "format_time", "parse_time", "is_time",
+    "random_fn", "FIELD_NOT_FOUND", "pcre_match", "get_property",
+    "http_request", "format_time", "parse_time", "is_time",
     "ipv42num", "num2ipv4", "int2hex", "b64_decode", "is_in_subnet",
     "hash32", "hash32mod", "hash64", "hash64mod",
     "parse_json_variant", "json_get", "json_get_num", "append_json",

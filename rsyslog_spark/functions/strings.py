@@ -140,3 +140,22 @@ def random_fn(max_value: int) -> Column:
     """random(max) — uniform int in [0, max). Non-deterministic; the
     reference docs warn about weak RNG, ours is Spark's XORShift."""
     return F.floor(F.rand() * max_value).cast("long")
+
+
+def pcre_match(c, regex: str):
+    """fmpcre pcre_match (ref: plugins/fmpcre/fmpcre.c:93). Java
+    regex is a near-superset of PCRE for the subset configs use;
+    differences (possessive quantifiers, \\K) are documented here
+    rather than emulated."""
+    return rs_str(c).rlike(regex)
+
+
+def get_property(name: str, json_col=None):
+    """get_property(root, name) (ref: rainerscript registry):
+    dynamic property read resolved at plan time — a core column by
+    name, or a ``$!`` path when ``json_col`` is given."""
+    if name.startswith(("$!", "$.")):
+        from rsyslog_spark.functions.json_fns import json_get
+
+        return json_get(json_col if json_col is not None else "json", name)
+    return F.col(name.lstrip("$"))

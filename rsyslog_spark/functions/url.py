@@ -73,3 +73,33 @@ def faup(u: ColumnOrName) -> Column:
             faup_port(u).alias("port"),
         )
     )
+
+
+def http_request(url, fetcher=None):
+    """fmhttp http_request(url) (ref: plugins/fmhttp/fmhttp.c:156-159):
+    blocking GET into a variable. Python batched UDF with a
+    per-executor response cache; ``fetcher(url) -> str`` is injected —
+    there is NO default network client in this build (flagged
+    non-deterministic in the reference docs too).
+    """
+    import pandas as pd  # noqa: F401 — resolves the UDF type hints
+    globals()["pd"] = pd
+    from pyspark.sql.functions import pandas_udf
+
+    if fetcher is None:
+        raise ValueError("http_request needs an injected fetcher "
+                         "(no network client in this build)")
+
+    cache: dict = {}
+
+    @pandas_udf("string")
+    def _get(u: "pd.Series") -> "pd.Series":
+        out = []
+        for x in u:
+            if x not in cache:
+                cache[x] = fetcher(x)
+            out.append(cache[x])
+        return pd.Series(out)
+
+    from rsyslog_spark.expr import rs_str
+    return _get(rs_str(url))

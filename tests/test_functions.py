@@ -115,3 +115,38 @@ def test_cef(spark):
         rf.cef_ext_escape(F.lit("k=v")),
     ))
     assert line == "CEF:0|ven\\|dor|prod|1.0|sig|name|5|k\\=v"
+
+
+class TestRegistryParity:
+    def test_pcre_and_get_property(self, spark):
+        import rsyslog_spark.functions as rf
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("abc123", '{"k": 7}')], "msg string, json string")
+        out = df.select(
+            rf.pcre_match("msg", r"\d+$").alias("m"),
+            rf.get_property("$msg").alias("p"),
+            rf.get_property("$!k").alias("k"),
+        ).collect()[0]
+        assert out["m"] is True
+        assert out["p"] == "abc123"
+        assert out["k"] == "7"
+
+    def test_http_request_cached_fetcher(self, spark):
+        import rsyslog_spark.functions as rf
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("http://x/1",), ("http://x/1",), ("http://x/2",)],
+            "url string").coalesce(1)
+        out = df.select(
+            rf.http_request("url", fetcher=lambda u: f"body:{u[-1]}")
+            .alias("r")).collect()
+        assert [r["r"] for r in out] == ["body:1", "body:1", "body:2"]
+
+    def test_http_request_requires_fetcher(self):
+        import pytest
+        import rsyslog_spark.functions as rf
+        with pytest.raises(ValueError):
+            rf.http_request("url")
