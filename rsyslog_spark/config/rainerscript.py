@@ -1,0 +1,538 @@
+"""RainerScript config front-end: parse a practical subset of
+rsyslog.conf (config format v2) into the ruleset DSL, so a reference
+user's config runs on Spark.
+
+Grammar subset (ref: grammar/grammar.y, grammar/lexer.l — re-derived
+from the published config-format documentation, not translated):
+
+* ``ruleset(name="x") { stmts }``
+* ``if EXPR then { stmts } [else { stmts }]`` (braces required —
+  the single-statement form is accepted too)
+* ``set $.v = EXPR;`` / ``set $!v = EXPR;`` / ``unset $.v;``
+* ``call rulesetname``
+* ``stop`` / ``~`` (discard)
+* ``action(type="omfile" name="x" ...)`` — params recorded verbatim;
+  ``omdiscard`` compiles to Stop
+* legacy selector lines: ``mail.info action(...)`` /
+  ``*.err /var/log/err`` (filename target becomes an omfile action)
+* property filters: ``:msg, contains, "x" action(...)`` with the
+  compare ops contains/isequal/startswith/endswith/regex + ``!``
+  negation
+* expressions: and/or/not, comparisons (== != <> < > <= >=,
+  contains/startswith/endswith + _i variants), & concat, + - * / %,
+  unary minus, parentheses, arrays ["a","b"], strings, numbers,
+  ``$msg``/``$!json!path``/``$.local``, and calls to the function
+  registry (strlen, tolower, re_match, prifilt, ...).
+
+Comments (``# ...``), blank lines, and ``module(load=...)`` /
+``input(...)`` / ``template(...)`` objects are accepted; module/input
+are recorded (sources are wired by the host program), templates
+compile to templates.Template.
+
+Everything compiles to plans/ruleset.py dataclasses; RainerScript
+COERCION semantics come from expr.rs_cmp / rs_div / rs_concat, so
+config-driven comparisons behave like the reference interpreter
+(numeric-first compare, div-0 → 0).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dfield
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+import rsyslog_spark.functions as rf
+from rsyslog_spark.expr import prifilt as prifilt_col
+from rsyslog_spark.expr import rs_cmp, rs_concat, rs_div, rs_mod, rs_str
+from rsyslog_spark.plans.ruleset import (
+    Action, Call, Foreach, If, PriFilt, PropFilt, Ruleset, Set, Stop,
+    Unset, varname,
+)
+
+# ---------------------------------------------------------------- lexer
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<number>-?\d+)
+  | (?P<var>\$[!./]?[A-Za-z0-9_!./-]*)
+  | (?P<name>[A-Za-z_][A-Za-z0-9_-]*)
+  | (?P<op><=|>=|==|!=|<>|&&|\|\||[-+*/%&(){},;=\[\]<>~:!.])
+  | (?P<prispec>\*\.[*a-z=!0-9,;.*]+)
+""", re.VERBOSE)
+
+_KEYWORDS = {"if", "then", "else", "set", "unset", "stop", "call",
+             "ruleset", "action", "and", "or", "not", "foreach", "do",
+             "in", "module", "input", "template", "lookup_table"}
+
+
+@dataclass
+class Tok:
+    kind: str       # string|number|var|name|op|prispec
+    text: str
+    pos: int
+
+
+def _lex(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise SyntaxError(f"config lex error at {src[i:i+30]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        toks.append(Tok(kind, m.group(), m.start()))
+    toks.append(Tok("eof", "", len(src)))
+    return toks
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t"}.get(
+        m.group(1), m.group(1)), body)
+
+
+# --------------------------------------------------------------- parser
+
+# legacy selector: facility.severity[;...] at statement start,
+# e.g. mail.info  *.err  auth.*;cron.=info  mail,uucp.*
+_SELECTOR_RE = re.compile(
+    r"^([A-Za-z0-9*,]+\.[=!]?[A-Za-z0-9*]+(?:;[A-Za-z0-9*,]+\.[=!]?"
+    r"[A-Za-z0-9*]+)*)$")
+
+
+@dataclass
+class ParsedConfig:
+    rulesets: dict[str, Ruleset]
+    modules: list[dict[str, str]] = dfield(default_factory=list)
+    inputs: list[dict[str, str]] = dfield(default_factory=list)
+    templates: dict[str, Any] = dfield(default_factory=dict)
+    main: str = "RSYSLOG_DefaultRuleset"
+
+
+class _Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    # -- token helpers -------------------------------------------------
+    def peek(self, k: int = 0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> Tok:
+        t = self.next()
+        if t.text != text:
+            raise SyntaxError(f"expected {text!r}, got {t.text!r}")
+        return t
+
+    def accept(self, text: str) -> bool:
+        if self.peek().text == text:
+            self.i += 1
+            return True
+        return False
+
+    # -- config objects ------------------------------------------------
+    def parse_config(self) -> ParsedConfig:
+        cfg = ParsedConfig(rulesets={})
+        top: list = []
+        while self.peek().kind != "eof":
+            t = self.peek()
+            if t.text == "ruleset":
+                name, stmts = self.parse_ruleset_obj()
+                cfg.rulesets[name] = Ruleset(name, stmts)
+            elif t.text in ("module", "input"):
+                kind = self.next().text
+                params = self.parse_param_block()
+                (cfg.modules if kind == "module" else cfg.inputs
+                 ).append(params)
+            elif t.text == "template":
+                params = self.parse_template_obj()
+                cfg.templates[params["name"]] = params
+            elif t.text == "lookup_table":
+                self.parse_param_block()   # recorded upstream if needed
+            else:
+                top.append(self.parse_stmt())
+        if top:
+            cfg.rulesets.setdefault(
+                cfg.main, Ruleset(cfg.main, []))
+            cfg.rulesets[cfg.main] = Ruleset(
+                cfg.main, list(cfg.rulesets[cfg.main].stmts) + top)
+        return cfg
+
+    def parse_ruleset_obj(self) -> tuple[str, list]:
+        self.expect("ruleset")
+        params = self.parse_param_block()
+        name = params.get("name")
+        if not name:
+            raise SyntaxError("ruleset needs name=")
+        self.expect("{")
+        stmts = self.parse_stmts_until("}")
+        return name, stmts
+
+    def parse_template_obj(self) -> dict:
+        self.expect("template")
+        return self.parse_param_block()
+
+    def parse_param_block(self) -> dict[str, str]:
+        """``( key="value" key2="v2" ... )`` — order preserved."""
+        self.expect("(")
+        params: dict[str, str] = {}
+        while not self.accept(")"):
+            key = self.next().text
+            self.expect("=")
+            v = self.next()
+            params[key] = _unquote(v.text) if v.kind == "string" else v.text
+            self.accept(",")   # tolerated, not required
+        return params
+
+    # -- statements ----------------------------------------------------
+    def parse_stmts_until(self, closer: str) -> list:
+        out = []
+        while not self.accept(closer):
+            out.append(self.parse_stmt())
+        return out
+
+    def parse_block_or_stmt(self) -> list:
+        if self.accept("{"):
+            return self.parse_stmts_until("}")
+        return [self.parse_stmt()]
+
+    def parse_stmt(self):
+        t = self.peek()
+        if t.text == "if":
+            self.next()
+            cond = self.parse_expr()
+            self.expect("then")
+            then = self.parse_block_or_stmt()
+            orelse = self.parse_block_or_stmt() if self.accept("else") \
+                else []
+            return If(_cond_fn(cond), then, orelse)
+        if t.text == "set":
+            self.next()
+            var = self.next()
+            if var.kind != "var":
+                raise SyntaxError(f"set needs a variable, got {var.text!r}")
+            self.expect("=")
+            expr = self.parse_expr()
+            self.accept(";")
+            return Set(var.text, _value_fn(expr))
+        if t.text == "unset":
+            self.next()
+            var = self.next()
+            self.accept(";")
+            return Unset(var.text)
+        if t.text in ("stop", "~"):
+            self.next()
+            self.accept(";")
+            return Stop()
+        if t.text == "call":
+            self.next()
+            return Call(self.next().text)
+        if t.text == "foreach":
+            # foreach ($.x in EXPR) do { stmts }
+            self.next()
+            self.expect("(")
+            var = self.next().text
+            self.expect("in")
+            arr = self.parse_expr()
+            self.expect(")")
+            self.accept("do")
+            body = self.parse_block_or_stmt()
+            return Foreach(var, _value_fn(arr), body)
+        if t.text == "action":
+            self.next()
+            params = self.parse_param_block()
+            return _make_action(params)
+        if t.text == ":":
+            # property filter  :prop, [!]op, "value"  TARGET
+            self.next()
+            prop = self.next().text
+            self.expect(",")
+            negate = self.accept("!")
+            op = self.next().text
+            self.expect(",")
+            val = self.next()
+            value = _unquote(val.text) if val.kind == "string" else val.text
+            target = self._parse_selector_target()
+            return PropFilt(prop, op, value, negate, [target])
+        # legacy selector line:  SELECTOR target
+        sel = self._try_selector()
+        if sel is not None:
+            target = self._parse_selector_target()
+            return PriFilt(sel, [target])
+        raise SyntaxError(f"unknown statement at {t.text!r}")
+
+    def _try_selector(self) -> str | None:
+        """Detect a legacy `fac.sev[;fac.sev]` selector at statement
+        start (it lexes as name '.' name chains or a prispec token)."""
+        t = self.peek()
+        if t.kind == "prispec":
+            self.next()
+            return t.text
+        # name/star '.' name/star (e.g. mail.info, *.err as op '*'...)
+        txt = ""
+        j = self.i
+        while j < len(self.toks):
+            tok = self.toks[j]
+            # a name starting the TARGET ('action', a path, '~') ends
+            # the selector: stop before names followed by '(' and
+            # before the 'action' keyword itself
+            if tok.kind == "name" and (
+                tok.text == "action"
+                or self.toks[min(j + 1, len(self.toks) - 1)].text == "("
+            ):
+                break
+            if tok.kind in ("name", "number") or tok.text in \
+                    ("*", ".", ";", ",", "=", "!"):
+                txt += tok.text
+                j += 1
+            else:
+                break
+        if _SELECTOR_RE.match(txt):
+            self.i = j
+            return txt
+        return None
+
+    def _parse_selector_target(self):
+        t = self.peek()
+        if t.text == "action":
+            self.next()
+            return _make_action(self.parse_param_block())
+        if t.text == "~":
+            self.next()
+            return Stop()
+        if t.kind == "op" and t.text == "/":
+            # file path target: consume /seg/seg tokens
+            path = ""
+            while self.peek().text == "/" or self.peek().kind in \
+                    ("name", "number"):
+                path += self.next().text
+                if self.peek().text in (".", "-", "_"):
+                    path += self.next().text
+            return _make_action({"type": "omfile", "file": path})
+        if t.kind == "string":
+            return _make_action(
+                {"type": "omfile", "file": _unquote(self.next().text)})
+        raise SyntaxError(f"bad selector target {t.text!r}")
+
+    # -- expressions (precedence climbing) -----------------------------
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek().text in ("or", "||"):
+            self.next()
+            right = self.parse_and()
+            left = ("or", left, right)
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while self.peek().text in ("and", "&&"):
+            self.next()
+            right = self.parse_not()
+            left = ("and", left, right)
+        return left
+
+    def parse_not(self):
+        if self.peek().text == "not":
+            self.next()
+            return ("not", self.parse_not())
+        return self.parse_cmp()
+
+    _CMP = {"==", "!=", "<>", "<", ">", "<=", ">=", "contains",
+            "contains_i", "startswith", "startswith_i", "endswith",
+            "isequal", "regex"}
+
+    def parse_cmp(self):
+        left = self.parse_concat()
+        if self.peek().text in self._CMP:
+            op = self.next().text
+            right = self.parse_concat()
+            return ("cmp", op, left, right)
+        return left
+
+    def parse_concat(self):
+        left = self.parse_add()
+        while self.peek().text == "&":
+            self.next()
+            left = ("concat", left, self.parse_add())
+        return left
+
+    def parse_add(self):
+        left = self.parse_mul()
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            left = (op, left, self.parse_mul())
+        return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            left = (op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self.peek().text == "-":
+            self.next()
+            return ("neg", self.parse_unary())
+        return self.parse_atom()
+
+    def parse_atom(self):
+        t = self.next()
+        if t.kind == "string":
+            return ("lit", _unquote(t.text))
+        if t.kind == "number":
+            return ("lit", int(t.text))
+        if t.kind == "var":
+            return ("var", t.text)
+        if t.text == "(":
+            e = self.parse_expr()
+            self.expect(")")
+            return e
+        if t.text == "[":
+            items = []
+            while not self.accept("]"):
+                tok = self.next()
+                items.append(_unquote(tok.text) if tok.kind == "string"
+                             else int(tok.text))
+                self.accept(",")
+            return ("array", items)
+        if t.kind == "name":
+            if self.peek().text == "(":
+                self.next()
+                args = []
+                while not self.accept(")"):
+                    args.append(self.parse_expr())
+                    self.accept(",")
+                return ("callfn", t.text, args)
+            return ("lit", t.text)   # bare word → string literal
+        raise SyntaxError(f"bad expression atom {t.text!r}")
+
+
+# ------------------------------------------------------ AST → Columns
+
+def _var_col(name: str) -> Column:
+    if name.startswith("$!"):
+        return rf.json_get("json", name)
+    return F.col(varname(name))
+
+
+_FN_MAP: dict[str, Callable[..., Column]] = {
+    "strlen": rf.strlen, "tolower": rf.tolower, "toupper": rf.toupper,
+    "ltrim": rf.ltrim, "rtrim": rf.rtrim, "cstr": rf.cstr,
+    "cnum": rf.cnum, "replace": rf.replace, "wrap": rf.wrap,
+    "field": rf.field, "re_match": rf.re_match,
+    "re_extract": rf.re_extract, "substring": rf.substring,
+    "int2hex": rf.int2hex, "ipv42num": rf.ipv42num,
+    "num2ipv4": rf.num2ipv4, "prifilt": None,  # special-cased below
+}
+
+
+def _to_col(ast) -> Column:
+    kind = ast[0]
+    if kind == "lit":
+        return F.lit(ast[1])
+    if kind == "var":
+        return _var_col(ast[1])
+    if kind == "array":
+        return F.array(*[F.lit(x) for x in ast[1]])
+    if kind == "cmp":
+        _, op, l, r = ast
+        if ast[3][0] == "array" and op in ("==", "!="):
+            c = rs_str(_to_col(l)).isin([str(x) for x in ast[3][1]])
+            return c if op == "==" else ~c
+        if op in ("contains", "startswith", "endswith", "contains_i",
+                  "startswith_i", "isequal", "regex"):
+            lc, rc = rs_str(_to_col(l)), rs_str(_to_col(r))
+            if op.endswith("_i"):
+                lc, rc = F.lower(lc), F.lower(rc)
+                op = op[:-2]
+            return {
+                "contains": lc.contains(rc),
+                "startswith": lc.startswith(rc),
+                "endswith": lc.endswith(rc),
+                "isequal": lc == rc,
+                "regex": lc.rlike(ast[3][1]) if ast[3][0] == "lit"
+                else lc.rlike(rc),
+            }[op]
+        if op == "<>":
+            op = "!="
+        return rs_cmp(_to_col(l), _to_col(r), op)
+    if kind in ("and", "or"):
+        l, r = _to_col(ast[1]), _to_col(ast[2])
+        return (l & r) if kind == "and" else (l | r)
+    if kind == "not":
+        return ~_to_col(ast[1])
+    if kind == "concat":
+        return rs_concat(_to_col(ast[1]), _to_col(ast[2]))
+    if kind in ("+", "-", "*"):
+        l, r = _to_col(ast[1]), _to_col(ast[2])
+        return {"+": l + r, "-": l - r, "*": l * r}[kind]
+    if kind == "/":
+        return rs_div(_to_col(ast[1]), _to_col(ast[2]))
+    if kind == "%":
+        return rs_mod(_to_col(ast[1]), _to_col(ast[2]))
+    if kind == "neg":
+        return -_to_col(ast[1])
+    if kind == "callfn":
+        _, name, args = ast
+        if name == "prifilt":
+            if args[0][0] != "lit":
+                raise SyntaxError("prifilt needs a literal spec")
+            return prifilt_col(str(args[0][1]))
+        if name == "exists":
+            return _to_col(args[0]).isNotNull()
+        fn = _FN_MAP.get(name)
+        if fn is None:
+            raise SyntaxError(f"unknown function {name!r}")
+        cooked = [a[1] if a[0] == "lit" else _to_col(a) for a in args]
+        return fn(*cooked)
+    raise SyntaxError(f"bad AST node {ast!r}")
+
+
+def _cond_fn(ast) -> Callable[[DataFrame], Column]:
+    return lambda df: _to_col(ast)
+
+
+def _value_fn(ast) -> Callable[[DataFrame], Column]:
+    return lambda df: _to_col(ast)
+
+
+def _make_action(params: dict[str, str]):
+    atype = params.get("type", "")
+    if atype == "omdiscard":
+        return Stop()
+    name = params.get("name") or params.get("file") \
+        or params.get("topic") or atype or "action"
+    return Action(name, params=params)
+
+
+# ----------------------------------------------------------- public API
+
+def parse_config(src: str) -> ParsedConfig:
+    """Parse rsyslog.conf text → ParsedConfig (rulesets compiled to
+    the plans/ruleset DSL; modules/inputs/templates recorded)."""
+    return _Parser(_lex(src)).parse_config()
+
+
+def load_config(src: str):
+    """Parse and wrap in a RulesetEngine ready to run on a canonical
+    syslog DataFrame."""
+    from rsyslog_spark.plans.ruleset import RulesetEngine
+
+    cfg = parse_config(src)
+    return RulesetEngine(list(cfg.rulesets.values())), cfg

@@ -92,9 +92,12 @@ class Stop:
 @dataclass
 class Action:
     """action(...): snapshot rows live here, optionally transformed
-    (template projection, omdiscard-style no-op, etc.)."""
+    (template projection, omdiscard-style no-op, etc.). ``params``
+    carries config-file action parameters verbatim (omfile file=...,
+    omfwd target=..., ...) for the sink layer to interpret."""
     name: str
     transform: Callable[[DataFrame], DataFrame] | None = None
+    params: dict | None = None
 
 
 @dataclass

@@ -302,3 +302,81 @@ def multiline_reassembly(spark, sf_dir):
         F.sum("n_lines").cast("long").alias("n_lines"),
         F.sum(F.length("line")).cast("long").alias("total_chars"),
     )
+
+
+_DEMO_CONF = r"""
+ruleset(name="main") {
+    set $.route = "default";
+    if $syslogseverity <= 3 and $msg contains "error" then {
+        set $.route = "err";
+        action(type="omfile" name="errors")
+        stop
+    }
+    if prifilt("mail.*") then {
+        set $.route = "mail";
+        action(type="omfile" name="maillog")
+        stop
+    }
+    :programname, startswith, "app1" action(type="omfile" name="app1log")
+    action(type="omfile" name="catchall")
+}
+"""
+
+
+@q(
+    "config_driven_routing",
+    """
+    WITH frame AS (
+      SELECT CAST(event_id % 8 AS INT) AS sev,
+             CAST(user_id % 24 AS INT) AS fac,
+             'app' || CAST(user_id % 5 AS VARCHAR) AS prog,
+             event_type || ' code=' || CAST(event_id % 100 AS VARCHAR) AS msg
+      FROM events
+    )
+    SELECT action_name, route, COUNT(*) AS cnt FROM (
+      SELECT CASE WHEN sev <= 3 AND msg LIKE '%error%' THEN 'errors'
+                  WHEN fac = 2 THEN 'maillog' END AS action_name,
+             CASE WHEN sev <= 3 AND msg LIKE '%error%' THEN 'err'
+                  WHEN fac = 2 THEN 'mail' END AS route
+      FROM frame
+      WHERE (sev <= 3 AND msg LIKE '%error%') OR fac = 2
+      UNION ALL
+      SELECT 'app1log', 'default' FROM frame
+      WHERE NOT (sev <= 3 AND msg LIKE '%error%') AND fac <> 2
+        AND prog LIKE 'app1%'
+      UNION ALL
+      SELECT 'catchall', 'default' FROM frame
+      WHERE NOT (sev <= 3 AND msg LIKE '%error%') AND fac <> 2
+    ) t GROUP BY action_name, route
+    """,
+    doc="THE parity demo: an actual rsyslog.conf (RainerScript v2 "
+        "subset — ruleset/if/set/stop/prifilt/property-filter/"
+        "action) parsed by config/rainerscript.py, compiled to a "
+        "DataFrame DAG, run against a rendered frame; the oracle "
+        "recomputes the routing in SQL (ref: grammar/grammar.y, "
+        "runtime/ruleset.c scriptExec).",
+)
+def config_driven_routing(spark, sf_dir):
+    from rsyslog_spark.config.rainerscript import load_config
+    from rsyslog_spark.plans.ruleset import varname
+
+    ev = load(spark, sf_dir, "events")
+    frame = ev.select(
+        (F.col("event_id") % 8).cast("int").alias("syslogseverity"),
+        (F.col("user_id") % 24).cast("int").alias("syslogfacility"),
+        F.concat(F.lit("app"), (F.col("user_id") % 5).cast("string"))
+        .alias("programname"),
+        F.concat(F.col("event_type"), F.lit(" code="),
+                 (F.col("event_id") % 100).cast("string")).alias("msg"),
+    )
+    eng, _cfg = load_config(_DEMO_CONF)
+    actions, _ = eng.run(frame, "main")
+    route = varname("$.route")
+    parts = [df.select(F.lit(name).alias("action_name"),
+                       F.col(route).alias("route"))
+             for name, df in actions]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("action_name", "route").agg(
+        F.count(F.lit(1)).alias("cnt"))

@@ -1,0 +1,101 @@
+"""RainerScript config front-end: rsyslog.conf subset → ruleset DSL.
+
+Config shapes lifted from the reference's documented examples
+(doc/source/configuration/; tests/*.sh generate_conf blocks are the
+behavioral model)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rsyslog_spark.config.rainerscript import load_config, parse_config
+
+CONF = r"""
+# forward errors, tag mail, count the rest
+module(load="imfile")
+template(name="outfmt" type="string" string="%msg%\n")
+
+ruleset(name="main") {
+    set $.route = "default";
+    if $syslogseverity <= 3 and $msg contains "error" then {
+        set $.route = "err";
+        action(type="omfile" name="errors" file="/var/log/err")
+        stop
+    } else {
+        set $.sev2 = $syslogseverity * 2;
+    }
+    if prifilt("mail.*") then {
+        call mailrs
+    }
+    :programname, startswith, "cron" action(type="omfile" name="cronlog")
+    *.emerg action(type="omfwd" name="wall" target="10.0.0.1")
+    action(type="omfile" name="catchall" file="/var/log/all")
+}
+
+ruleset(name="mailrs") {
+    set $.route = "mail";
+    action(type="omfile" name="maillog")
+    stop
+}
+"""
+
+
+def _frame(spark):
+    rows = [
+        # sev, fac, program, msg
+        (2, 3, "app", "fatal error in module"),       # err route
+        (6, 2, "mailer", "delivered ok"),             # mail.* (fac=2)
+        (5, 9, "crond", "job ran"),                   # cron filter
+        (0, 0, "kern", "panic"),                      # *.emerg
+        (6, 10, "other", "hello"),                    # catchall only
+    ]
+    return spark.createDataFrame(
+        rows, "syslogseverity int, syslogfacility int, "
+              "programname string, msg string")
+
+
+class TestParse:
+    def test_objects_recorded(self):
+        cfg = parse_config(CONF)
+        assert set(cfg.rulesets) == {"main", "mailrs"}
+        assert cfg.modules == [{"load": "imfile"}]
+        assert "outfmt" in cfg.templates
+
+    def test_action_params_kept(self):
+        cfg = parse_config(CONF)
+        acts = [s for s in cfg.rulesets["main"].stmts
+                if type(s).__name__ == "Action"]
+        assert acts[-1].params["file"] == "/var/log/all"
+
+
+class TestRun:
+    def test_routing_semantics(self, spark):
+        eng, cfg = load_config(CONF)
+        actions, survivors = eng.run(_frame(spark), "main")
+        out = {name: df for name, df in actions}
+
+        errs = out["errors"].collect()
+        assert len(errs) == 1 and errs[0]["msg"] == "fatal error in module"
+        assert errs[0]["local_route"] == "err"
+
+        mail = out["maillog"].collect()
+        assert len(mail) == 1 and mail[0]["programname"] == "mailer"
+        assert mail[0]["local_route"] == "mail"
+
+        cron = out["cronlog"].collect()
+        assert len(cron) == 1 and cron[0]["programname"] == "crond"
+
+        wall = out["wall"].collect()
+        assert len(wall) == 1 and wall[0]["syslogseverity"] == 0
+
+        catch = {r["programname"] for r in out["catchall"].collect()}
+        # err + mail stopped; cron/emerg/catchall-only still flow here
+        assert catch == {"crond", "kern", "other"}
+
+    def test_else_branch_and_arith(self, spark):
+        eng, cfg = load_config(CONF)
+        actions, _ = eng.run(_frame(spark), "main")
+        catch = dict(actions)["catchall"]
+        sev2 = {r["programname"]: r["local_sev2"]
+                for r in catch.collect()}
+        assert sev2["other"] == 12  # 6 * 2 via else branch
