@@ -158,7 +158,15 @@ class _Parser:
                  ).append(params)
             elif t.text == "template":
                 params = self.parse_template_obj()
-                cfg.templates[params["name"]] = params
+                if params.get("type", "string") == "string" \
+                        and "string" in params:
+                    from rsyslog_spark.templates import (
+                        compile_template_string,
+                    )
+                    cfg.templates[params["name"]] = \
+                        compile_template_string(params["string"])
+                else:
+                    cfg.templates[params["name"]] = params
             elif t.text == "lookup_table":
                 self.parse_param_block()   # recorded upstream if needed
             else:

@@ -193,3 +193,78 @@ def jsonf(pairs: dict[str, ColumnOrName]) -> Column:
 def csv_line(cols: list[ColumnOrName]) -> Column:
     """RFC4180 line: every field csv-escaped, comma-joined."""
     return F.concat_ws(",", *[csv_escape(c) for c in cols])
+
+
+_TPL_TOKEN = _re.compile(r"%([^%]*)%")
+
+_TPL_OPTIONS = {
+    "lowercase": dict(case="lower"),
+    "uppercase": dict(case="upper"),
+    "date-rfc3339": dict(date_format="rfc3339"),
+    "date-rfc3164": dict(date_format="rfc3164"),
+    "date-unixtimestamp": dict(date_format="unixtimestamp"),
+    "date-mysql": dict(date_format="mysql"),
+    "date-pgsql": dict(date_format="pgsql"),
+    "date-year": dict(date_format="year"),
+    "date-month": dict(date_format="month"),
+    "date-day": dict(date_format="day"),
+    "date-hour": dict(date_format="hour"),
+    "date-minute": dict(date_format="minute"),
+    "date-second": dict(date_format="second"),
+    "csv": dict(escape="csv"),
+    "json": dict(escape="json"),
+    "jsonf": dict(escape="json"),
+    "sql": dict(escape="mysql"),
+    "stdsql": dict(escape="stdsql"),
+    "drop-cc": dict(escape="controlchar"),
+}
+
+
+def compile_template_string(s: str) -> "Template":
+    """Template-string compiler (ref: doc/source/configuration/
+    property_replacer.rst; tplConstructFromString): ``"%msg:1:2%"``
+    substrings, ``%msg:::lowercase%`` options, ``%msg:R:RE--end%``
+    regex extraction, ``%msg:F,44:2%`` field extraction, ``$``-to-end,
+    plain constants between tokens. Unknown options raise — silent
+    drops would hide template bugs from config authors."""
+    parts: list = []
+    pos = 0
+    for m in _TPL_TOKEN.finditer(s):
+        if m.start() > pos:
+            parts.append(s[pos:m.start()])
+        body = m.group(1)
+        if body == "":
+            parts.append("%")            # '%%' escape
+            pos = m.end()
+            continue
+        segs = body.split(":")
+        name = segs[0]
+        kw: dict = {}
+        if len(segs) >= 3 and segs[1].startswith("F"):
+            # field mode: F or F,<delim-decimal>
+            delim = ","
+            if "," in segs[1]:
+                delim = chr(int(segs[1].split(",", 1)[1]))
+            kw.update(field_delim=delim, field_num=int(segs[2]))
+        elif len(segs) >= 3 and segs[1] == "R":
+            regex = ":".join(segs[2:])
+            if regex.endswith("--end"):
+                regex = regex[:-5]
+            kw.update(regex=regex, regex_nomatch="blank")
+        elif len(segs) >= 3:
+            if segs[1]:
+                kw["frm"] = int(segs[1])
+            if segs[2] and segs[2] != "$":
+                kw["to"] = int(segs[2])
+        if len(segs) >= 4 and segs[3]:
+            for opt in segs[3].split(","):
+                if not opt:
+                    continue
+                if opt not in _TPL_OPTIONS:
+                    raise ValueError(f"unknown template option {opt!r}")
+                kw.update(_TPL_OPTIONS[opt])
+        parts.append(Prop(name, **kw))
+        pos = m.end()
+    if pos < len(s):
+        parts.append(s[pos:])
+    return Template(parts)

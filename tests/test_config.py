@@ -99,3 +99,29 @@ class TestRun:
         sev2 = {r["programname"]: r["local_sev2"]
                 for r in catch.collect()}
         assert sev2["other"] == 12  # 6 * 2 via else branch
+
+
+class TestTemplateString:
+    def test_compile_and_render(self, spark):
+        from rsyslog_spark.templates import compile_template_string
+
+        t = compile_template_string(
+            '<%pri%> %msg:1:5% [%msg:::uppercase%] %msg:R:code=([0-9]+)--end%')
+        df = spark.createDataFrame(
+            [(13, "hello code=42 x")], "pri int, msg string")
+        out = df.select(t.col().alias("line")).collect()[0]["line"]
+        assert out == "<13> hello [HELLO CODE=42 X] code=42"
+
+    def test_config_template_compiled(self):
+        from rsyslog_spark.config.rainerscript import parse_config
+        from rsyslog_spark.templates import Template
+
+        cfg = parse_config(
+            'template(name="t" type="string" string="%msg%\\n")')
+        assert isinstance(cfg.templates["t"], Template)
+
+    def test_unknown_option_raises(self):
+        import pytest
+        from rsyslog_spark.templates import compile_template_string
+        with pytest.raises(ValueError):
+            compile_template_string("%msg:::nope%")
