@@ -113,6 +113,8 @@ class ParsedConfig:
     modules: list[dict[str, str]] = dfield(default_factory=list)
     inputs: list[dict[str, str]] = dfield(default_factory=list)
     templates: dict[str, Any] = dfield(default_factory=dict)
+    lookup_tables: dict[str, Any] = dfield(default_factory=dict)
+    reloads: list[str] = dfield(default_factory=list)
     main: str = "RSYSLOG_DefaultRuleset"
 
 
@@ -120,6 +122,7 @@ class _Parser:
     def __init__(self, toks: list[Tok]):
         self.toks = toks
         self.i = 0
+        self.reloads: list[str] = []
 
     # -- token helpers -------------------------------------------------
     def peek(self, k: int = 0) -> Tok:
@@ -168,9 +171,12 @@ class _Parser:
                 else:
                     cfg.templates[params["name"]] = params
             elif t.text == "lookup_table":
-                self.parse_param_block()   # recorded upstream if needed
+                self.next()
+                params = self.parse_param_block()
+                cfg.lookup_tables[params["name"]] = params
             else:
                 top.append(self.parse_stmt())
+        cfg.reloads = self.reloads
         if top:
             cfg.rulesets.setdefault(
                 cfg.main, Ruleset(cfg.main, []))
@@ -208,6 +214,17 @@ class _Parser:
     def parse_stmts_until(self, closer: str) -> list:
         out = []
         while not self.accept(closer):
+            if self.peek().text == "reload_lookup_table":
+                # ref: S_RELOAD_LOOKUP_TABLE (rainerscript.h:122) —
+                # recorded; the engine reloads via RefreshingDim /
+                # re-registering the table between micro-batches
+                self.next()
+                self.expect("(")
+                self.reloads.append(_unquote(self.next().text))
+                while not self.accept(")"):
+                    self.next()
+                self.accept(";")
+                continue
             out.append(self.parse_stmt())
         return out
 
@@ -498,6 +515,16 @@ def _to_col(ast) -> Column:
         return -_to_col(ast[1])
     if kind == "callfn":
         _, name, args = ast
+        if name == "lookup":
+            if args[0][0] != "lit":
+                raise SyntaxError("lookup needs a literal table name")
+            tname = str(args[0][1])
+            def _lookup_col(tname=tname, key_ast=args[1]):
+                tbl = _ACTIVE_TABLES.get(tname)
+                if tbl is None:
+                    raise KeyError(f"lookup table {tname!r} not loaded")
+                return tbl.lookup(_to_col(key_ast))
+            return _lookup_col()
         if name == "prifilt":
             if args[0][0] != "lit":
                 raise SyntaxError("prifilt needs a literal spec")
@@ -529,6 +556,11 @@ def _make_action(params: dict[str, str]):
     return Action(name, params=params)
 
 
+# tables visible to lookup() in config expressions; load_config fills
+# this before compiling actions run (statement lambdas resolve lazily)
+_ACTIVE_TABLES: dict[str, Any] = {}
+
+
 # ----------------------------------------------------------- public API
 
 def parse_config(src: str) -> ParsedConfig:
@@ -537,10 +569,21 @@ def parse_config(src: str) -> ParsedConfig:
     return _Parser(_lex(src)).parse_config()
 
 
-def load_config(src: str):
+def load_config(src: str, tables: dict[str, Any] | None = None):
     """Parse and wrap in a RulesetEngine ready to run on a canonical
-    syslog DataFrame."""
+    syslog DataFrame.
+
+    lookup_table(name=.. file=..) objects load from their JSON files
+    (reference file format, lookup_tables.rst); pass ``tables`` to
+    inject/override LookupTable instances (tests, reloads)."""
+    from rsyslog_spark.operators.lookup import LookupTable
     from rsyslog_spark.plans.ruleset import RulesetEngine
 
     cfg = parse_config(src)
+    for name, params in cfg.lookup_tables.items():
+        if "file" in params:
+            _ACTIVE_TABLES[name] = LookupTable.from_json_file(
+                params["file"])
+    for name, tbl in (tables or {}).items():
+        _ACTIVE_TABLES[name] = tbl
     return RulesetEngine(list(cfg.rulesets.values())), cfg

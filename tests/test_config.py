@@ -125,3 +125,32 @@ class TestTemplateString:
         from rsyslog_spark.templates import compile_template_string
         with pytest.raises(ValueError):
             compile_template_string("%msg:::nope%")
+
+
+class TestLookupTable:
+    def test_config_lookup(self, spark, tmp_path):
+        import json as _json
+
+        tf = tmp_path / "nations.json"
+        tf.write_text(_json.dumps({
+            "version": 1, "nomatch": "unknown", "type": "string",
+            "table": [{"index": "0", "value": "zero"},
+                      {"index": "1", "value": "one"}],
+        }))
+        conf = f'''
+        lookup_table(name="nat" file="{tf}")
+        ruleset(name="main") {{
+            set $.nation = lookup("nat", $syslogseverity);
+            action(type="omfile" name="out")
+            reload_lookup_table("nat")
+        }}
+        '''
+        from rsyslog_spark.config.rainerscript import load_config
+        eng, cfg = load_config(conf)
+        assert cfg.reloads == ["nat"]
+        df = spark.createDataFrame([(0,), (1,), (5,)],
+                                   "syslogseverity int")
+        actions, _ = eng.run(df, "main")
+        got = {r["syslogseverity"]: r["local_nation"]
+               for r in dict(actions)["out"].collect()}
+        assert got == {0: "zero", 1: "one", 5: "unknown"}
