@@ -154,3 +154,37 @@ class TestLookupTable:
         got = {r["syslogseverity"]: r["local_nation"]
                for r in dict(actions)["out"].collect()}
         assert got == {0: "zero", 1: "one", 5: "unknown"}
+
+
+class TestRuntime:
+    def test_batch_end_to_end(self, spark, tmp_path):
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<11>Mar  1 10:00:00 h1 app: fatal error one\n"
+            "<30>Mar  1 10:00:01 h2 cron[7]: job ok\n"
+            "<11>Mar  1 10:00:02 h1 app: fatal error two\n")
+        errdir = tmp_path / "errs"
+        alldir = tmp_path / "all"
+        conf = f'''
+        template(name="plain" type="string" string="%hostname% %msg%")
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        ruleset(name="main") {{
+            if $syslogseverity <= 3 and $msg contains "error" then {{
+                action(type="omfile" name="errors" file="{errdir}"
+                       template="plain")
+                stop
+            }}
+            action(type="omfile" name="catchall" file="{alldir}")
+        }}
+        '''
+        run = run_config_batch(spark, conf)
+        assert set(run.written) == {"errors", "catchall"}
+        errs = sorted(r["value"] for r in
+                      spark.read.text(str(errdir)).collect())
+        assert errs == ["h1 fatal error one", "h1 fatal error two"]
+        rest = spark.read.parquet(str(alldir))
+        assert rest.count() == 1
+        assert rest.collect()[0]["programname"] == "cron"
