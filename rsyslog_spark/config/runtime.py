@@ -107,3 +107,68 @@ def _action_params(cfg: ParsedConfig, ruleset: str, name: str) -> dict:
         if got is not None:
             return got
     return {}
+
+
+def run_config_stream(
+    spark: SparkSession,
+    conf_src: str,
+    *,
+    checkpoint: str,
+    input_path: str | None = None,
+    tables: dict[str, Any] | None = None,
+    main: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming execution of a config: imfile readStream → parse →
+    ruleset DAG re-applied per micro-batch → all actions written from
+    ONE query via fanout_sink (the reference's direct-action batch
+    commit, ruleset.c:632 — the batch is persisted once, each action
+    filters from it).
+
+    ``available_now=True`` drains existing files and stops (test /
+    backfill mode); False leaves the query running (caller owns
+    lifecycle). Returns the StreamingQuery.
+    """
+    from rsyslog_spark.config.rainerscript import load_config as _load
+    from rsyslog_spark.streaming.sources import imfile
+
+    eng, cfg = _load(conf_src, tables=tables)
+    path = input_path
+    ruleset_name = main
+    for inp in cfg.inputs:
+        if inp.get("type") == "imfile" and path is None:
+            path = inp.get("file")
+        if ruleset_name is None and inp.get("ruleset"):
+            ruleset_name = inp["ruleset"]
+    if path is None:
+        raise ValueError("no imfile input in config and no input_path")
+    if ruleset_name is None:
+        ruleset_name = next(iter(cfg.rulesets))
+
+    lines = imfile(spark, path)
+    frame = parse_syslog(lines)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            actions, _surv = eng.run(batch_df, ruleset_name)
+            for name, df in actions:
+                params = _action_params(cfg, ruleset_name, name)
+                if params.get("type") == "omfile" and params.get("file"):
+                    tpl = cfg.templates.get(params.get("template", ""))
+                    if tpl is not None:
+                        df.select(tpl.col().alias("value")) \
+                            .write.mode("append").text(params["file"])
+                    else:
+                        df.write.mode("append").parquet(params["file"])
+        finally:
+            batch_df.unpersist()
+
+    writer = frame.writeStream.foreachBatch(sink) \
+        .option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination(120)
+    return q

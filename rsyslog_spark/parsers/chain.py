@@ -83,7 +83,8 @@ def parse_syslog(
     key = (line_col, inputname, keep_raw, with_uuid, tuple(want))
     cached = _CHAIN_CACHE.get(key)
     if cached is not None:
-        keep_others = [c for c in df.columns if c != line_col]
+        keep_others = [c for c in df.columns
+                       if c != line_col and c not in want]
         return df.select(*keep_others, *cached)
 
     line = F.col(line_col)

@@ -188,3 +188,27 @@ class TestRuntime:
         rest = spark.read.parquet(str(alldir))
         assert rest.count() == 1
         assert rest.collect()[0]["programname"] == "cron"
+
+    def test_stream_end_to_end(self, spark, tmp_path):
+        from rsyslog_spark.config.runtime import run_config_stream
+
+        src = tmp_path / "sin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<11>Mar  1 10:00:00 h1 app: fatal error one\n"
+            "<30>Mar  1 10:00:01 h2 cron[7]: job ok\n")
+        outdir = tmp_path / "sout"
+        conf = f'''
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        ruleset(name="main") {{
+            if $msg contains "error" then {{
+                action(type="omfile" name="errors" file="{outdir}")
+                stop
+            }}
+        }}
+        '''
+        run_config_stream(spark, conf,
+                          checkpoint=str(tmp_path / "ck_cfg"))
+        got = spark.read.parquet(str(outdir))
+        assert got.count() == 1
+        assert got.collect()[0]["hostname"] == "h1"
