@@ -142,3 +142,65 @@ def cosine_topk_lsh(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig_val))) <= max_hamming
     )
     return cosine_topk(pruned, query_vec, vec_col, id_col, k, round_digits)
+
+
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: MLlib KMeans centroids + per-vector
+    bucket assignment (the inverted-file layout: vectors partitioned
+    by nearest centroid).
+
+    Returns (df + ``ivf_bucket`` column, centroid list). At 100 TB the
+    index build samples for fit and the assignment is one map stage;
+    store the result partitioned by bucket so probes touch only
+    ``nprobe``/k of the data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn("__fv", array_to_vector(
+        F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=k, seed=seed, featuresCol="__fv",
+                   predictionCol="ivf_bucket").fit(feat)
+    out = model.transform(feat).drop("__fv")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return out, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: rank centroids against the query on the driver
+    (k floats — negligible), scan only the ``nprobe`` nearest buckets,
+    brute-force cosine inside them. The scale path for ANN beyond
+    LSH banding: bucket pruning is partition pruning when the index
+    is written partitioned by ``ivf_bucket``."""
+    import math as _m
+
+    def _cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = _m.sqrt(sum(x * x for x in a)) or 1.0
+        nb = _m.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    ranked = sorted(range(len(centroids)),
+                    key=lambda i: -_cos(centroids[i], query_vec))
+    probe = ranked[:nprobe]
+    q = _query_lit(query_vec)
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    return (
+        indexed.filter(F.col("ivf_bucket").isin(probe))
+        .select(id_col, "ivf_bucket", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

@@ -375,3 +375,20 @@ def multimodal_frame_sample(spark, sf_dir):
         F.count(F.lit(1)).alias("n_frames"),
         F.sum((F.col("frame_ts") == 0).cast("long")).alias("n_keyframes"),
     )
+
+
+@q(
+    "similarity_topk_ivf", None,
+    doc="IVF ANN: MLlib KMeans coarse quantizer -> bucket-pruned "
+        "cosine probe (nprobe/k of the data scanned; rows-only check "
+        "— KMeans assignment is implementation-defined; recall vs "
+        "brute force asserted in tests).",
+)
+def similarity_topk_ivf(spark, sf_dir):
+    from rsyslog_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qv = [float(x) for x in q0[0]["embedding"]]
+    indexed, cents = ivf_index(emb, k=8)
+    return ivf_topk(indexed, cents, qv, k=10, nprobe=3)

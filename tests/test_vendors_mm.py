@@ -155,3 +155,26 @@ class TestAiOperators:
         out = mmdarwin(df, ["f1", "f2"]).collect()
         assert out[0]["darwin_score"] == out[1]["darwin_score"]
         assert 0.0 <= out[2]["darwin_score"] < 1.0
+
+
+class TestIvf:
+    def test_recall_vs_bruteforce(self, spark):
+        import random
+        from rsyslog_spark.operators.similarity import (
+            cosine_topk, ivf_index, ivf_topk,
+        )
+
+        rng = random.Random(7)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(16)])
+                for i in range(300)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        qv = rows[5][1]
+        exact = [r["vec_id"] for r in
+                 cosine_topk(df, qv, k=5).collect()]
+        indexed, cents = ivf_index(df, k=6)
+        approx = [r["vec_id"] for r in
+                  ivf_topk(indexed, cents, qv, k=5, nprobe=3).collect()]
+        # query vector itself must be found; recall >= 3/5 with half
+        # the buckets probed
+        assert 5 in approx
+        assert len(set(exact) & set(approx)) >= 3
