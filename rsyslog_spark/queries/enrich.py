@@ -407,3 +407,60 @@ def mmexternal_bridge(spark, sf_dir):
     df = ev.select(F.col("event_type").alias("msg")).repartition(4)
     out = mmexternal(df, [_sys.executable, "-c", child])
     return out.groupBy("msg", "json").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "kubernetes_dim_enrich",
+    """
+    SELECT n.n_name AS pod_ns, COUNT(*) AS cnt,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e LEFT JOIN nation n
+      ON CAST(e.user_id % 25 AS INT) = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="mmkubernetes-shape enrichment: TTL-cached dimension loader + "
+        "broadcast stream-static join (ref: contrib/mmkubernetes/"
+        "mmkubernetes.c; operators/dimension.py RefreshingDim).",
+)
+def kubernetes_dim_enrich(spark, sf_dir):
+    from rsyslog_spark.operators.dimension import (
+        RefreshingDim, refreshing_dim_join,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "n_nationkey", (F.col("user_id") % 25).cast("int"))
+    dim = RefreshingDim(
+        lambda s: load(s, sf_dir, "nation")
+        .select("n_nationkey", F.col("n_name").alias("pod_ns")),
+        ttl_seconds=3600,
+    )
+    joined = refreshing_dim_join(ev, dim, on="n_nationkey")
+    return joined.groupBy("pod_ns").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@q(
+    "dnscache_resolution",
+    """
+    SELECT 'host-' || CAST(user_id % 200 AS VARCHAR) || '.example'
+               AS fromhost,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+    doc="dnscache (ref: runtime/dnscache.c): distinct-IP dimension "
+        "resolved once through the (injected, here deterministic) "
+        "resolver, broadcast-joined back — a million rows from one "
+        "sender cost one resolution.",
+)
+def dnscache_resolution(spark, sf_dir):
+    from rsyslog_spark.operators.dimension import dnscache_enrich
+
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(F.lit("10.0.0."), (F.col("user_id") % 200).cast("string"))
+        .alias("fromhost_ip"),
+        F.lit(None).cast("string").alias("fromhost"),
+    )
+    out = dnscache_enrich(ev)
+    return out.groupBy("fromhost").agg(F.count(F.lit(1)).alias("cnt"))
