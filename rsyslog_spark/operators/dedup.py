@@ -58,6 +58,9 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+_MH_AGG_CACHE: dict[int, list] = {}
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = 64, shingle_n: int = 3,
@@ -79,10 +82,14 @@ def minhash_signatures(
         # re-hashing the string per hash function
         F.xxhash64(F.col("__sh")).alias("__h"),
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    aggs = _MH_AGG_CACHE.get(num_hashes)
+    if aggs is None:
+        # 64 agg Columns ≈ 200 Py4J calls; memoize per num_hashes
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+        _MH_AGG_CACHE[num_hashes] = aggs
     return ex.groupBy(id_col).agg(*aggs)
 
 

@@ -267,3 +267,70 @@ def mmdarwin(
         return _pd.Series(scorer(pdf))
 
     return df.withColumn(out_col, _score(*[F.col(c) for c in feature_cols]))
+
+
+def mmaudit(df: DataFrame, msg_col: str = "msg",
+            prefix: str = "audit_") -> DataFrame:
+    """Linux audit record normalization (ref: plugins/mmaudit/
+    mmaudit.c:164-259): messages shaped
+    ``type=T msg=audit(SECS.MSECS:SEQ): k=v k2="v2" ...`` yield the
+    header (type, timestamp, sequence) and a map of the k=v fields —
+    the Spark shape of the reference's hdr/fields JSON subtree."""
+    m = rs_str(F.col(msg_col))
+    hdr = r"^type=(\S+) msg=audit\((\d+)\.(\d+):(\d+)\):\s*(.*)$"
+    rtype = F.regexp_extract(m, hdr, 1)
+    matched = rtype != ""
+    body = F.regexp_extract(m, hdr, 5)
+    pairs = F.regexp_extract_all(
+        body, F.lit(r'(\S+?=(?:"[^"]*"|\S+))'), F.lit(1))
+    fields = F.map_from_entries(F.transform(pairs, lambda kv: F.struct(
+        F.substring_index(kv, "=", 1).alias("key"),
+        F.regexp_replace(
+            F.substr(kv, F.length(F.substring_index(kv, "=", 1)) + 2),
+            r'^"|"$', "").alias("value"),
+    )))
+    ts = F.timestamp_seconds(
+        F.regexp_extract(m, hdr, 2).cast("long")) \
+        + F.make_interval(secs=F.regexp_extract(m, hdr, 3)
+                          .cast("double") / 1000)
+    return (
+        df.withColumn(prefix + "type", F.when(matched, rtype))
+        .withColumn(prefix + "time", F.when(matched, ts))
+        .withColumn(prefix + "seq",
+                    F.when(matched, F.regexp_extract(m, hdr, 4)
+                           .cast("long")))
+        .withColumn(prefix + "fields", F.when(matched, fields))
+    )
+
+
+_SEV_NAMES = {"emerg": 0, "alert": 1, "crit": 2, "error": 3, "err": 3,
+              "warning": 4, "warn": 4, "notice": 5, "info": 6,
+              "debug": 7}
+
+
+def mmsnmptrapd(df: DataFrame, tag_col: str = "syslogtag",
+                hostname_col: str = "hostname",
+                severity_col: str = "syslogseverity",
+                tag_prefix: str = "snmptrapd") -> DataFrame:
+    """snmptrapd tag rewrite (ref: plugins/mmsnmptrapd/mmsnmptrapd.c;
+    doc mmsnmptrapd.rst): tags shaped ``snmptrapd/severity/realhost:``
+    carry the ORIGINAL host and severity of the trap — promote both
+    and reduce the tag to ``snmptrapd:``."""
+    t = rs_str(F.col(tag_col))
+    pat = rf"^{tag_prefix}/([a-z]+)/([^:/]+):?$"
+    sevname = F.regexp_extract(t, pat, 1)
+    host = F.regexp_extract(t, pat, 2)
+    matched = host != ""
+    sev = F.lit(None).cast("int")
+    for name, num in _SEV_NAMES.items():
+        sev = F.when(sevname == name, F.lit(num)).otherwise(sev)
+    return (
+        df.withColumn(hostname_col,
+                      F.when(matched, host).otherwise(F.col(hostname_col)))
+        .withColumn(severity_col,
+                    F.when(matched & sev.isNotNull(), sev)
+                    .otherwise(F.col(severity_col)))
+        .withColumn(tag_col,
+                    F.when(matched, F.lit(tag_prefix + ":"))
+                    .otherwise(F.col(tag_col)))
+    )

@@ -178,3 +178,35 @@ class TestIvf:
         # the buckets probed
         assert 5 in approx
         assert len(set(exact) & set(approx)) >= 3
+
+
+class TestAuditSnmp:
+    def test_mmaudit(self, spark):
+        from rsyslog_spark.operators.mm import mmaudit
+
+        df = spark.createDataFrame([
+            ('type=SYSCALL msg=audit(1407923239.775:820): arch=c000003e '
+             'syscall=2 success=yes exe="/usr/bin/cat"',),
+            ("not audit",),
+        ], "msg string")
+        out = mmaudit(df).collect()
+        r = out[0]
+        assert r["audit_type"] == "SYSCALL"
+        assert r["audit_seq"] == 820
+        assert r["audit_fields"]["syscall"] == "2"
+        assert r["audit_fields"]["exe"] == "/usr/bin/cat"
+        assert r["audit_time"] is not None
+        assert out[1]["audit_type"] is None
+
+    def test_mmsnmptrapd(self, spark):
+        from rsyslog_spark.operators.mm import mmsnmptrapd
+
+        df = spark.createDataFrame(
+            [("snmptrapd/warning/realhost:", "relay", 6),
+             ("app:", "h2", 3)],
+            "syslogtag string, hostname string, syslogseverity int")
+        out = mmsnmptrapd(df).collect()
+        assert out[0]["hostname"] == "realhost"
+        assert out[0]["syslogseverity"] == 4
+        assert out[0]["syslogtag"] == "snmptrapd:"
+        assert out[1]["hostname"] == "h2" and out[1]["syslogtag"] == "app:"
