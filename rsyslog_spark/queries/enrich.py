@@ -386,11 +386,21 @@ def geoip_range_enrich(spark, sf_dir):
 
 
 @q(
-    "mmexternal_bridge", None,
+    "mmexternal_bridge",
+    """
+    SELECT event_type AS msg,
+           '{"n_words": ' ||
+           CAST(length(trim(event_type))
+                - length(replace(trim(event_type), ' ', '')) + 1
+                AS VARCHAR) || '}' AS json,
+           COUNT(*) AS cnt
+    FROM events WHERE event_id < 200
+    GROUP BY 1, 2
+    """,
     doc="mmexternal JSON-over-stdio subprocess bridge via mapInPandas "
         "(ref: plugins/mmexternal/mmexternal.c). One child per "
-        "partition; rows-only check (child process not expressible "
-        "in SQL).",
+        "partition; the deterministic word-count child lets the "
+        "oracle recompute the bridge output in SQL.",
 )
 def mmexternal_bridge(spark, sf_dir):
     import sys as _sys

@@ -380,3 +380,36 @@ def config_driven_routing(spark, sf_dir):
         out = out.unionByName(p)
     return out.groupBy("action_name", "route").agg(
         F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
+    "mmaudit_records",
+    """
+    SELECT 'T' || CAST(event_id % 3 AS VARCHAR) AS audit_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(event_id % 7) AS BIGINT) AS sum_uid,
+           CAST(MAX(event_id % 1000) AS BIGINT) AS max_seq
+    FROM events GROUP BY 1
+    """,
+    doc="mmaudit: type=..msg=audit(ts:seq): k=v normalization into "
+        "header columns + field map (ref: plugins/mmaudit/"
+        "mmaudit.c:164-259).",
+)
+def mmaudit_records(spark, sf_dir):
+    from rsyslog_spark.operators.mm import mmaudit
+
+    ev = load(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("type=T"), (F.col("event_id") % 3).cast("string"),
+        F.lit(" msg=audit(1407923239.775:"),
+        (F.col("event_id") % 1000).cast("string"),
+        F.lit("): uid="), (F.col("event_id") % 7).cast("string"),
+        F.lit(' exe="/bin/app"'),
+    )
+    out = mmaudit(ev.select(line.alias("msg")))
+    return out.groupBy("audit_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.element_at("audit_fields", "uid").cast("long"))
+        .alias("sum_uid"),
+        F.max("audit_seq").alias("max_seq"),
+    )
