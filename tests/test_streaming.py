@@ -208,3 +208,34 @@ def test_streaming_percentiles(spark, tmp_path):
     r = rows[0]
     assert r["key"] == "h0" and r["n"] == 100
     assert 45 <= r["p50"] <= 55 and 90 <= r["p95"] <= 100
+
+
+def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
+    """DA-queue analog (SURVEY §1.4): restart from checkpoint resumes
+    exactly where the previous run committed — no loss, no dups
+    (ref: runtime/queue.h disk-assisted queues, .qi state files)."""
+    src = tmp_path / "ck_src"
+    src.mkdir()
+    out = tmp_path / "ck_out"
+    ck = str(tmp_path / "ck_state")
+
+    def drain():
+        q = (
+            spark.readStream.format("text").load(f"{src}/*.log")
+            .withColumnRenamed("value", "line")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    (src / "a.log").write_text("one\ntwo\n")
+    drain()
+    assert spark.read.parquet(str(out)).count() == 2
+
+    (src / "b.log").write_text("three\n")
+    drain()   # restart same checkpoint: only the new file processed
+    got = sorted(r["line"] for r in spark.read.parquet(str(out)).collect())
+    assert got == ["one", "three", "two"]
