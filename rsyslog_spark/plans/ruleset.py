@@ -131,6 +131,16 @@ class Call:
 
 
 @dataclass
+class CallIndirect:
+    """call_indirect EXPR — ruleset name computed per row at runtime
+    (ref: runtime/ruleset.c:236-275). Compiled as one guarded inline
+    expansion per KNOWN ruleset: rows whose computed name matches no
+    ruleset pass through unchanged, mirroring the reference's
+    error-and-continue behavior."""
+    name_expr: Union[Column, Callable[[DataFrame], Column]]
+
+
+@dataclass
 class Foreach:
     """foreach ($.elem in EXPR) — explode a JSON array column into the
     loop variable; body statements see one row per element."""
@@ -139,7 +149,8 @@ class Foreach:
     body: Sequence["Stmt"] = dc_field(default_factory=list)
 
 
-Stmt = Union[Set, Unset, Stop, Action, If, PriFilt, PropFilt, Call, Foreach]
+Stmt = Union[Set, Unset, Stop, Action, If, PriFilt, PropFilt, Call,
+             CallIndirect, Foreach]
 
 
 @dataclass
@@ -178,9 +189,11 @@ class _Compiler:
     def __init__(self, rulesets: dict[str, Ruleset]):
         self.rulesets = rulesets
         self.actions: list[tuple[str, DataFrame]] = []
+        self._stack: list[str] = []
 
     def run(self, rs: Ruleset, df: DataFrame) -> DataFrame:
         self.df = df
+        self._stack = [rs.name]
         live = self._exec(rs.stmts, F.lit(True), depth=0)
         # rows surviving the whole ruleset (not stopped)
         return self.df.filter(live)
@@ -229,7 +242,33 @@ class _Compiler:
                         f"call depth > {MAX_CALL_DEPTH} (ref ruleset.c:222)"
                     )
                 target = self.rulesets[s.ruleset]
+                self._stack.append(s.ruleset)
                 live = self._exec(target.stmts, live, depth + 1)
+                self._stack.pop()
+            elif isinstance(s, CallIndirect):
+                if depth >= MAX_CALL_DEPTH:
+                    raise RecursionError(
+                        f"call depth > {MAX_CALL_DEPTH} (ref ruleset.c:222)"
+                    )
+                nm = s.name_expr(self.df) if callable(s.name_expr) \
+                    else s.name_expr
+                out_live = F.lit(False)
+                matched_any = F.lit(False)
+                # static expansion cannot unroll cycles: rulesets
+                # already on the call stack are skipped (the reference
+                # bounds re-entry at depth 10 dynamically; a config
+                # relying on indirect SELF-recursion is out of scope)
+                for rname, target in self.rulesets.items():
+                    if rname in self._stack:
+                        continue
+                    sel = F.coalesce(nm == F.lit(rname), F.lit(False))
+                    matched_any = matched_any | sel
+                    self._stack.append(rname)
+                    out_live = out_live | self._exec(
+                        target.stmts, live & sel, depth + 1)
+                    self._stack.pop()
+                # unmatched names: row continues in the caller
+                live = out_live | (live & ~matched_any)
             elif isinstance(s, Foreach):
                 arr = s.array(self.df) if callable(s.array) else s.array
                 name = varname(s.var)

@@ -371,3 +371,44 @@ def omfwd_sink(
         lines.rdd.mapPartitions(per_partition).count()
 
     return write
+
+
+def dynafile_partition_spec(template_str: str):
+    """omfile dynafile template → (base_dir, partition_cols, col_exprs)
+    (SURVEY §4.1 custom rewrite (c): template→partitionBy extraction).
+
+    ``/var/log/%hostname%/%syslogfacility-text%.log`` becomes base
+    ``/var/log`` partitioned by the referenced properties — the LRU
+    dynafile fd cache (tools/omfile.c:133-140 iDynaFileCacheSize)
+    disappears: the committer handles concurrent partition dirs.
+    Returns Column expressions so callers do
+    ``df.withColumns(...).write.partitionBy(*cols)``.
+    """
+    from rsyslog_spark.templates import Prop, compile_template_string
+
+    tpl = compile_template_string(template_str)
+    consts: list[str] = []
+    cols: dict = {}
+    for part in tpl.parts:
+        if isinstance(part, Prop):
+            cols[f"pt_{part.name.replace('!', '_').lstrip('$.')}"] = \
+                part.col()
+        elif not cols:          # constants before the first property
+            consts.append(part)
+    base = "".join(consts)
+    base = base.rstrip("/") or "."
+    return base, list(cols), cols
+
+
+def omfile_dynafile_batch(
+    df: DataFrame,
+    template_str: str,
+    fmt: str = "parquet",
+) -> None:
+    """Batch dynafile write: derive partition columns from the
+    template and write under the constant prefix."""
+    base, names, exprs = dynafile_partition_spec(template_str)
+    out = df
+    for n, c in exprs.items():
+        out = out.withColumn(n, c)
+    out.write.mode("append").partitionBy(*names).format(fmt).save(base)

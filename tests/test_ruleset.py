@@ -138,3 +138,28 @@ def test_action_transform_template(spark):
     actions, _ = eng.run(df)
     lines = sorted(r.line for r in dict(actions)["fmt"].collect())
     assert lines[0] == "a mail err"
+
+
+class TestCallIndirect:
+    def test_dynamic_dispatch(self, spark):
+        from pyspark.sql import functions as F
+        from rsyslog_spark.plans.ruleset import (
+            Action, CallIndirect, Ruleset, RulesetEngine, Set,
+        )
+
+        rs_a = Ruleset("rs_a", [Set("$.tag", F.lit("A")), Action("outa")])
+        rs_b = Ruleset("rs_b", [Set("$.tag", F.lit("B")), Action("outb")])
+        main = Ruleset("main", [
+            CallIndirect(lambda df: F.concat(F.lit("rs_"), F.col("which"))),
+            Action("tail"),
+        ])
+        eng = RulesetEngine([main, rs_a, rs_b])
+        df = spark.createDataFrame(
+            [("a",), ("b",), ("zzz",)], "which string")
+        actions, _ = eng.run(df, "main")
+        out = dict(actions)
+        assert [r["which"] for r in out["outa"].collect()] == ["a"]
+        assert [r["which"] for r in out["outb"].collect()] == ["b"]
+        # unmatched ruleset name continues in caller; tagged rows too
+        tail = {r["which"]: r["local_tag"] for r in out["tail"].collect()}
+        assert tail == {"a": "A", "b": "B", "zzz": None}

@@ -203,3 +203,27 @@ class TestDynafile:
         assert sorted(d for d in os.listdir(out)
                       if d.startswith("hostname=")) == \
             ["hostname=h1", "hostname=h2"]
+
+
+class TestDynafileTemplate:
+    def test_partition_spec_and_write(self, spark, tmp_path):
+        from rsyslog_spark.streaming.sinks import (
+            dynafile_partition_spec, omfile_dynafile_batch,
+        )
+
+        base = f"{tmp_path}/logs"
+        tpl = base + "/%hostname%/%programname%"
+        b, names, exprs = dynafile_partition_spec(tpl)
+        assert b == base
+        assert names == ["pt_hostname", "pt_programname"]
+
+        df = spark.createDataFrame(
+            [("h1", "app", "m1"), ("h2", "cron", "m2")],
+            "hostname string, programname string, msg string")
+        omfile_dynafile_batch(df, tpl)
+        import os
+        assert sorted(d for d in os.listdir(base)
+                      if d.startswith("pt_")) == \
+            ["pt_hostname=h1", "pt_hostname=h2"]
+        back = spark.read.parquet(base)
+        assert back.count() == 2
