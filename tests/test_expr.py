@@ -77,3 +77,24 @@ def test_prifilt_mask_merge():
     assert merged.pmask[0] == 0               # kern filtered out by a
     inv = ~expr.PriFilter.parse("*.*")
     assert all(m == 0 for m in inv.pmask)
+
+
+class TestFoldability:
+    def test_rs_cmp_constant_folds(self, spark):
+        """SURVEY §4.1(b): the coercion-preserving comparison must stay
+        foldable — a literal-vs-literal rs_cmp should reach the
+        physical plan as a folded boolean, not a runtime CASE."""
+        from rsyslog_spark.expr import rs_cmp
+        from pyspark.sql import functions as F
+
+        df = spark.range(1).select(
+            rs_cmp(F.lit("10"), F.lit("9"), ">").alias("numeric_cmp"),
+            rs_cmp(F.lit("abc"), F.lit("abd"), "<").alias("string_cmp"),
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # ConstantFolding collapsed both comparisons to literals
+        assert "true AS numeric_cmp" in plan
+        assert "true AS string_cmp" in plan
+        row = df.collect()[0]
+        assert row["numeric_cmp"] is True   # 10 > 9 numerically
+        assert row["string_cmp"] is True    # abc < abd stringly
