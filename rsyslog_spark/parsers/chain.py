@@ -6,31 +6,29 @@ permissive and accepts anything, so parsesuccess is always true for
 the default chain — matching the reference, whose pmrfc3164 never
 rejects.
 
-Physical shape — measured on 100k cached lines, local[32]:
+Physical shape — LAYERED projections (measured on 20M cached lines,
+local[32]: 38s → ~4s full parse):
 
-The chain is emitted as ONE PROJECTION of 22 independent per-field
-expressions, each a small ``CASE WHEN accepts_rfc5424 THEN
-<rfc5424 field expr> ELSE <rfc3164 field expr> END``. Within a
-projection, whole-stage codegen's subexpression elimination evaluates
-the shared subtrees (PRI strip, the header ``split``, the TAG regex)
-once per row, so 22 fields cost barely more than one. When Catalyst
-inlines a field into a downstream Filter (predicate pushdown through
-the projection), only that FIELD's small tree is duplicated — never
-the whole parse.
+Codegen's subexpression elimination refuses to hoist subtrees that
+sit inside CASE WHEN branches, so a single projection of per-field
+``when(accepts, f5424).otherwise(f3164)`` re-evaluates the shared
+strip/split/regex work once PER FIELD (~20x). Instead, the shared
+intermediates are materialized as real columns across a few stacked
+SELECTs, each layer's expressions unconditional (computed once per
+row), and the final layer emits the canonical fields as small CASEs
+over plain column references. CollapseProject keeps the layers
+separate because each alias is non-cheap and referenced many times;
+predicate pushdown through the layers inlines only the one
+intermediate chain a filter's field needs.
 
-Two rejected alternatives, kept here as a warning:
+A Generate barrier (explode(array(struct))) is NOT used: GenerateExec
+evaluates its generator interpreted (no codegen), ~7x slower, and a
+Filter between the downstream Project and the Generate defeats
+nested-column pruning.
 
-* One merged 22-field struct per parser behind ``when()``: struct
-  field extraction through CASE WHEN re-evaluates the entire struct
-  per extracted field (SimplifyExtractValueOps cannot push an extract
-  through CaseWhen), ~20× the work.
-* A Generate barrier (``explode(array(struct))``) to force
-  materialization: GenerateExec evaluates its generator with
-  INTERPRETED expression eval (no codegen), which is ~7× slower than
-  the codegen'd projection for this expression — and a Filter between
-  the downstream Project and the Generate defeats nested-column
-  pruning, forcing the full 2-parser parse (measured 1.5s vs 0.3s
-  per 100k rows).
+The standalone field builders in rfc5424.py / rfc3164.py remain the
+single-message reference implementations (used by pmnull-style entry
+points and tests); this module is the fused two-parser hot path.
 """
 
 from __future__ import annotations
@@ -38,24 +36,154 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rsyslog_spark.parsers.rfc3164 import rfc3164_fields
-from rsyslog_spark.parsers.rfc5424 import accepts_rfc5424, rfc5424_fields
+from rsyslog_spark.parsers.pri import DEFAULT_PRI, strip_pri
+from rsyslog_spark.parsers.rfc3164 import TS3164_RE, _REST_RE, \
+    _ts3164_to_timestamp
+from rsyslog_spark.parsers.rfc5424 import _SD_MSG_RE, accepts_rfc5424
 from rsyslog_spark.schema import SYSLOG_COLUMNS
 
-_RFC5424_FIELDS = {
-    "pri", "syslogfacility", "syslogseverity", "timereported",
-    "hostname", "app_name", "procid", "msgid", "structured_data",
-    "msg", "syslogtag", "programname", "parsesuccess",
-}
-_RFC3164_FIELDS = {
-    "pri", "syslogfacility", "syslogseverity", "timereported",
-    "hostname", "syslogtag", "programname", "procid", "msg",
-    "parsesuccess",
-}
+_TAG_RE = r"^([A-Za-z0-9_\/.+-]+)(\[(\d+)\])?:\s?"
 
-# plan-build memo: (line_col, inputname, keep_raw, with_uuid, cols) →
-# list[Column]; Columns are immutable unresolved trees, safe to share
-_CHAIN_CACHE: dict[tuple, list[Column]] = {}
+# plan-build memo: Columns are immutable unresolved trees, safe to
+# share across DataFrames; rebuilding costs ~1500 Py4J round-trips
+_CHAIN_CACHE: dict[tuple, list[list[Column]]] = {}
+
+
+def _nil(c: Column) -> Column:
+    return F.when(c == "-", F.lit(None).cast("string")).otherwise(c)
+
+
+def _build_layers(line_col: str, inputname: str, keep_raw: bool,
+                  with_uuid: bool, want: list[str]) -> list[list[Column]]:
+    line = F.col(line_col)
+    tgen = F.current_timestamp()
+    null_s = F.lit(None).cast("string")
+
+    # layer A — from the raw line
+    layer_a = [
+        line.alias("__line"),
+        accepts_rfc5424(line).alias("__acc"),
+        F.regexp_extract(line, r"^<(\d{1,3})>", 1).try_cast("int")
+        .alias("__pri"),
+        F.rtrim(strip_pri(line), F.lit("\n\r\x00")).alias("__rest"),
+    ]
+
+    # layer B — header splits over __rest (all unconditional)
+    rest = F.col("__rest")
+    layer_b = [
+        F.split(rest, " ", 7).alias("__p5"),                 # rfc5424
+        F.regexp_extract(rest, _REST_RE, 1).alias("__m3ts"),  # rfc3164
+        F.regexp_extract(rest, _REST_RE, 2).alias("__m3host"),
+        F.regexp_extract(rest, _REST_RE, 3).alias("__m3rest"),
+    ]
+
+    # layer C — second-order intermediates
+    has_ts = F.col("__m3ts") != ""
+    layer_c = [
+        F.coalesce(F.try_element_at(F.col("__p5"), F.lit(7)), F.lit("-"))
+        .alias("__tail"),
+        F.when(has_ts, F.col("__m3rest")).otherwise(rest)
+        .alias("__tagmsg"),
+    ]
+
+    # layer D — extracts over layer C
+    tagmsg = F.col("__tagmsg")
+    layer_d = [
+        F.regexp_extract(F.col("__tail"), _SD_MSG_RE, 1).alias("__sd"),
+        F.regexp_extract(F.col("__tail"), _SD_MSG_RE, 2).alias("__msg5"),
+        F.regexp_extract(tagmsg, _TAG_RE, 1).alias("__tag1"),
+        F.regexp_extract(tagmsg, _TAG_RE, 3).alias("__tagpid"),
+    ]
+
+    # final layer — canonical fields over plain column refs
+    acc = F.col("__acc")
+
+    def p5(i: int) -> Column:
+        return _nil(F.element_at(F.col("__p5"), i))
+
+    ts5424 = F.coalesce(
+        F.try_to_timestamp(p5(2),
+                           F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+        F.try_to_timestamp(p5(2), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(p5(2), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+    )
+    syslogtag5 = F.concat(
+        F.coalesce(p5(4), F.lit("-")),
+        F.when(p5(5).isNotNull(),
+               F.concat(F.lit("["), p5(5), F.lit("]"))).otherwise(F.lit("")),
+        F.lit(":"),
+    )
+    tag_found = F.col("__tag1") != ""
+    syslogtag3 = F.when(
+        tag_found,
+        F.concat(F.col("__tag1"),
+                 F.when(F.col("__tagpid") != "",
+                        F.concat(F.lit("["), F.col("__tagpid"),
+                                 F.lit("]"))).otherwise(F.lit("")),
+                 F.lit(":")),
+    ).otherwise(F.lit("-"))
+    msg3 = F.when(tag_found,
+                  F.regexp_replace(tagmsg, _TAG_RE, "")).otherwise(tagmsg)
+    msg5 = F.regexp_replace(F.col("__msg5"), "^﻿", "")
+
+    pri_valid = F.col("__pri").isNotNull() & (F.col("__pri") <= 191)
+    pri = F.when(pri_valid, F.col("__pri")).otherwise(F.lit(DEFAULT_PRI))
+
+    def ab(a: Column, b: Column) -> Column:
+        return F.when(acc, a).otherwise(b)
+
+    hostname = ab(p5(3), F.when(has_ts, F.col("__m3host")))
+    timereported = ab(ts5424,
+                      F.when(has_ts, _ts3164_to_timestamp(F.col("__m3ts"))))
+
+    def canonical(name: str) -> Column:
+        if name == "rawmsg":
+            return F.col("__line") if keep_raw else null_s
+        if name == "msg":
+            return ab(msg5, msg3)
+        if name == "pri":
+            return pri
+        if name == "syslogfacility":
+            return F.shiftright(pri, 3)
+        if name == "syslogseverity":
+            return pri.bitwiseAND(F.lit(7))
+        if name in ("hostname", "fromhost"):
+            return hostname
+        if name == "fromhost_ip":
+            return null_s
+        if name == "fromhost_port":
+            return F.lit(None).cast("int")
+        if name == "syslogtag":
+            return ab(syslogtag5, syslogtag3)
+        if name == "programname":
+            return ab(F.coalesce(p5(4), F.lit("")), F.col("__tag1"))
+        if name == "app_name":
+            return ab(p5(4), null_s)
+        if name == "procid":
+            return ab(p5(5), F.when(F.col("__tagpid") != "",
+                                    F.col("__tagpid")))
+        if name == "msgid":
+            return ab(p5(6), null_s)
+        if name == "inputname":
+            return F.lit(inputname)
+        if name == "timereported":
+            return F.coalesce(timereported.cast("timestamp"), tgen)
+        if name == "timegenerated":
+            return tgen
+        if name == "protocol_version":
+            return F.when(acc, F.lit(1)).otherwise(F.lit(0))
+        if name == "structured_data":
+            return ab(_nil(F.col("__sd")), null_s)
+        if name == "json":
+            return null_s
+        if name == "uuid":
+            return F.expr("uuid()") if with_uuid else null_s
+        if name == "parsesuccess":
+            return F.lit(True)
+        raise KeyError(f"unknown canonical column {name!r}")
+
+    final = [canonical(c).alias(c) for c in want]
+    return [layer_a, layer_b, layer_c, layer_d, final]
 
 
 def parse_syslog(
@@ -75,66 +203,19 @@ def parse_syslog(
 
     ``columns`` restricts the emitted canonical columns (callers that
     know their referenced properties can prune at the source — the
-    liblognorm-"turbo" analog, ref runtime/msg.h:116-125). Catalyst's
-    column pruning makes this mostly cosmetic in batch plans, but it
-    keeps hand-written streaming DAGs lean.
+    liblognorm-"turbo" analog, ref runtime/msg.h:116-125).
     """
-    want = columns if columns is not None else SYSLOG_COLUMNS
+    want = columns if columns is not None else list(SYSLOG_COLUMNS)
     key = (line_col, inputname, keep_raw, with_uuid, tuple(want))
-    cached = _CHAIN_CACHE.get(key)
-    if cached is not None:
-        keep_others = [c for c in df.columns
-                       if c != line_col and c not in want]
-        return df.select(*keep_others, *cached)
-
-    line = F.col(line_col)
-    tgen = F.current_timestamp()
-    null_s = F.lit(None).cast("string")
-
-    f5424 = rfc5424_fields(line)
-    f3164 = rfc3164_fields(line)
-    acc = accepts_rfc5424(line)
-
-    def chained(name: str) -> Column:
-        """CASE over the two parsers for one raw parser field."""
-        a = f5424[name] if name in _RFC5424_FIELDS else null_s
-        b = f3164[name] if name in _RFC3164_FIELDS else null_s
-        return F.when(acc, a).otherwise(b)
-
-    def canonical(name: str) -> Column:
-        if name == "rawmsg":
-            return line if keep_raw else null_s
-        if name == "fromhost":
-            return chained("hostname")
-        if name in ("fromhost_ip",):
-            return null_s
-        if name == "fromhost_port":
-            return F.lit(None).cast("int")
-        if name == "inputname":
-            return F.lit(inputname)
-        if name == "timereported":
-            return F.coalesce(chained("timereported").cast("timestamp"),
-                              tgen)
-        if name == "timegenerated":
-            return tgen
-        if name == "protocol_version":
-            return F.when(acc, F.lit(1)).otherwise(F.lit(0))
-        if name == "json":
-            return null_s
-        if name == "uuid":
-            return F.expr("uuid()") if with_uuid else null_s
-        if name == "parsesuccess":
-            return F.coalesce(chained("parsesuccess"), F.lit(False))
-        if name in ("pri", "syslogfacility", "syslogseverity",
-                    "fromhost_port"):
-            return chained(name).cast("int")
-        return chained(name)
-
-    cols = [canonical(c).alias(c) for c in want]
-    # Column objects only hold unresolved expression trees (attributes
-    # by name), so they're reusable across DataFrames — memoize to
-    # skip ~1000 Py4J round-trips per plan build. uuid() stays
-    # per-evaluation-unique (nondeterministic expr, not a cached value).
-    _CHAIN_CACHE[key] = cols
-    keep_others = [c for c in df.columns if c != line_col]
-    return df.select(*keep_others, *cols)
+    layers = _CHAIN_CACHE.get(key)
+    if layers is None:
+        layers = _build_layers(line_col, inputname, keep_raw,
+                               with_uuid, want)
+        _CHAIN_CACHE[key] = layers
+    keep_others = [c for c in df.columns
+                   if c != line_col and c not in want]
+    cur = df
+    for layer in layers[:-1]:
+        cur = cur.select("*", *layer) if cur is not df else \
+            df.select(*keep_others, *layer)
+    return cur.select(*keep_others, *layers[-1])

@@ -41,9 +41,9 @@ def rfc3164_fields(line) -> Column:
     """
     raw = rs_str(line)
     pri = pri_col(raw)
-    rest = strip_pri(raw)
-    # strip trailing LF/NUL the wire may carry (ref parser trims)
-    rest = F.regexp_replace(rest, "[\n\x00]+$", "")
+    # strip trailing LF/NUL the wire may carry (ref parser trims);
+    # char-set rtrim, not regex — this subtree feeds every field
+    rest = F.rtrim(strip_pri(raw), F.lit("\n\r\x00"))
 
     has_ts = rest.rlike(f"^{TS3164_RE} ")
     ts_txt = F.regexp_extract(rest, _REST_RE, 1)

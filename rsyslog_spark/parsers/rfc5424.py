@@ -31,7 +31,8 @@ def accepts_rfc5424(line) -> Column:
 def rfc5424_fields(line) -> Column:
     raw = rs_str(line)
     pri = pri_col(raw)
-    rest = F.regexp_replace(strip_pri(raw), "[\n\x00]+$", "")
+    # char-set rtrim, not regex — this subtree feeds every field
+    rest = F.rtrim(strip_pri(raw), F.lit("\n\r\x00"))
     # rest = "1 TS HOST APP PROC MSGID SD[ MSG]"
     parts = F.split(rest, " ", 7)
     ts = _nil(F.element_at(parts, 2))
