@@ -68,25 +68,35 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         F.rtrim(strip_pri(line), F.lit("\n\r\x00")).alias("__rest"),
     ]
 
-    # layer B — header splits over __rest (all unconditional)
+    # layer B — header splits over __rest. Each column is gated on the
+    # winning parser (a CASE at the TOP of a column is evaluated once
+    # per row — the per-field-CASE CSE problem does not apply), so
+    # RFC5424 rows skip the RFC3164 regexes and vice versa.
     rest = F.col("__rest")
+    acc_b = F.col("__acc")
     layer_b = [
-        F.split(rest, " ", 7).alias("__p5"),                 # rfc5424
-        F.regexp_extract(rest, _REST_RE, 1).alias("__m3ts"),  # rfc3164
-        F.regexp_extract(rest, _REST_RE, 2).alias("__m3host"),
-        F.regexp_extract(rest, _REST_RE, 3).alias("__m3rest"),
+        F.when(acc_b, F.split(rest, " ", 7)).alias("__p5"),
+        F.when(~acc_b, F.regexp_extract(rest, _REST_RE, 1))
+        .alias("__m3ts"),
+        F.when(~acc_b, F.regexp_extract(rest, _REST_RE, 2))
+        .alias("__m3host"),
+        F.when(~acc_b, F.regexp_extract(rest, _REST_RE, 3))
+        .alias("__m3rest"),
     ]
 
     # layer C — second-order intermediates
     has_ts = F.col("__m3ts") != ""
     layer_c = [
-        F.coalesce(F.try_element_at(F.col("__p5"), F.lit(7)), F.lit("-"))
+        F.when(acc_b, F.coalesce(
+            F.try_element_at(F.col("__p5"), F.lit(7)), F.lit("-")))
         .alias("__tail"),
-        F.when(has_ts, F.col("__m3rest")).otherwise(rest)
+        F.when(~acc_b,
+               F.when(has_ts, F.col("__m3rest")).otherwise(rest))
         .alias("__tagmsg"),
     ]
 
-    # layer D — extracts over layer C
+    # layer D — extracts over layer C (null inputs short-circuit the
+    # regex calls to null on the other parser's rows)
     tagmsg = F.col("__tagmsg")
     layer_d = [
         F.regexp_extract(F.col("__tail"), _SD_MSG_RE, 1).alias("__sd"),
