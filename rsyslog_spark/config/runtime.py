@@ -87,8 +87,7 @@ def run_config_batch(
 
 
 def _action_params(cfg: ParsedConfig, ruleset: str, name: str) -> dict:
-    from rsyslog_spark.plans.ruleset import Action, Foreach, If, PriFilt, \
-        PropFilt
+    from rsyslog_spark.plans.ruleset import Action
 
     def walk(stmts):
         for s in stmts:

@@ -116,3 +116,69 @@ def frame_sample_plan(df: DataFrame, every_n_seconds: int = 5) -> DataFrame:
     return df.select(
         "media_id", F.explode(ts).alias("frame_ts")
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sha", T.StringType()),
+    T.StructField("est_duration_s", T.DoubleType()),
+    T.StructField("rms", T.ArrayType(T.FloatType())),   # per-window
+])
+
+
+def extract_audio_features(df: DataFrame,
+                           window_s: float = 1.0) -> DataFrame:
+    """Audio feature extraction over MEDIA_SCHEMA frames: byte-level
+    invariants are real (length, sha256); decode/rms is STUBBED
+    deterministically (no audio libs in this container — swap the
+    inner function for soundfile/librosa; the Arrow plumbing, schema
+    and batch shape stay).
+
+    est_duration assumes 16 kHz 16-bit mono (the common ASR landing
+    format); rms windows are derived from the digest so downstream
+    windowing logic is testable."""
+    import hashlib
+
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = payload or b""
+                digest = hashlib.sha256(payload).hexdigest()
+                dur = len(payload) / (16000 * 2)
+                n_win = max(1, int(dur / window_s)) if payload else 0
+                h = int(digest[:8], 16) if payload else 0
+                rows.append({
+                    "media_id": mid,
+                    "n_bytes": len(payload),
+                    "sha": digest,
+                    "est_duration_s": dur,
+                    "rms": [((h >> (i % 24)) % 1000) / 1000.0
+                            for i in range(n_win)],
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_bytes", "sha", "est_duration_s", "rms"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        batches, AUDIO_FEATURES_SCHEMA)
+
+
+def audio_window_plan(df: DataFrame, window_s: int = 30,
+                      overlap_s: int = 5) -> DataFrame:
+    """ASR chunking plan: expand each audio row into overlapping
+    [start, end) windows from metadata duration — sequence+explode,
+    no decode (the decode happens per-window in the stubbed UDF
+    stage). Same shape as frame_sample_plan for video."""
+    duration = F.coalesce(
+        F.element_at(F.col("meta"), "duration_s").try_cast("int"),
+        F.lit(0))
+    step = window_s - overlap_s
+    starts = F.sequence(F.lit(0), F.greatest(duration - 1, F.lit(0)),
+                        F.lit(step))
+    return df.select(
+        "media_id",
+        F.explode(starts).alias("win_start"),
+    ).withColumn("win_end", F.col("win_start") + window_s)

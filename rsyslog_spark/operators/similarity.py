@@ -160,7 +160,7 @@ def ivf_index(
     ``nprobe``/k of the data.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feat = df.withColumn("__fv", array_to_vector(
         F.col(vec_col).cast("array<double>")))

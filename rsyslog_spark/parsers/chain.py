@@ -37,8 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rsyslog_spark.parsers.pri import DEFAULT_PRI, strip_pri
-from rsyslog_spark.parsers.rfc3164 import TS3164_RE, _REST_RE, \
-    _ts3164_to_timestamp
+from rsyslog_spark.parsers.rfc3164 import _REST_RE, _ts3164_to_timestamp
 from rsyslog_spark.parsers.rfc5424 import _SD_MSG_RE, accepts_rfc5424
 from rsyslog_spark.schema import SYSLOG_COLUMNS
 

@@ -162,3 +162,28 @@ class TestVendors:
         assert r["db2_pid"] == 4242
         assert r["db2_proc"] == "db2sysc"
         assert r["db2_time"] is not None
+
+
+class TestAudio:
+    def test_audio_features_and_windows(self, spark):
+        from rsyslog_spark.operators.multimodal import (
+            audio_window_plan, extract_audio_features,
+        )
+        import pyspark.sql.functions as F
+
+        media = spark.createDataFrame(
+            [(1, b"\x00" * 64000), (2, b"")],
+            "media_id long, payload binary")
+        feats = {r["media_id"]: r for r in
+                 extract_audio_features(media).collect()}
+        assert feats[1]["n_bytes"] == 64000
+        assert feats[1]["est_duration_s"] == 2.0
+        assert len(feats[1]["rms"]) == 2
+        assert feats[2]["rms"] == []
+
+        plan = spark.createDataFrame(
+            [(1, {"duration_s": "65"})],
+            "media_id long, meta map<string,string>")
+        wins = audio_window_plan(plan).collect()
+        assert [(r["win_start"], r["win_end"]) for r in wins] == \
+            [(0, 30), (25, 55), (50, 80)]

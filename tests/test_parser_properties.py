@@ -1,0 +1,80 @@
+"""Property-based parser tests (hypothesis): render arbitrary valid
+messages, parse, assert field-level roundtrip invariants — the
+generative analog of the reference's tcpflood-driven golden tests
+(SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis unavailable", allow_module_level=True)
+
+from rsyslog_spark.parsers import parse_syslog
+
+_token = st.text(
+    alphabet=st.sampled_from(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-"),
+    min_size=1, max_size=12)
+_msg_text = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    min_size=0, max_size=60)
+
+
+@st.composite
+def rfc5424_case(draw):
+    pri = draw(st.integers(0, 191))
+    host = draw(_token)
+    app = draw(_token)
+    proc = draw(st.integers(1, 99999))
+    msg = draw(_msg_text)
+    line = f"<{pri}>1 2026-08-13T07:00:00.123456Z {host} {app} {proc} ID1 - {msg}"
+    return line, pri, host, app, str(proc), msg
+
+
+@st.composite
+def rfc3164_case(draw):
+    pri = draw(st.integers(0, 191))
+    host = draw(_token)
+    prog = draw(st.text(
+        alphabet=st.sampled_from(
+            "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"),
+        min_size=1, max_size=10))
+    pid = draw(st.integers(1, 99999))
+    msg = draw(_msg_text.filter(lambda s: not s.startswith(" ")))
+    line = f"<{pri}>Mar  1 01:02:03 {host} {prog}[{pid}]: {msg}"
+    return line, pri, host, prog, str(pid), msg
+
+
+class TestParserProperties:
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(rfc5424_case(), min_size=1, max_size=20))
+    def test_rfc5424_roundtrip(self, spark, cases):
+        df = spark.createDataFrame([(c[0],) for c in cases], "line string")
+        rows = parse_syslog(df).collect()
+        for (line, pri, host, app, proc, msg), r in zip(cases, rows):
+            assert r["pri"] == pri
+            assert r["syslogfacility"] == pri >> 3
+            assert r["syslogseverity"] == pri & 7
+            assert r["hostname"] == host
+            assert r["app_name"] == app
+            assert r["procid"] == proc
+            assert (r["msg"] or "") == msg
+            assert r["protocol_version"] == 1
+            assert r["rawmsg"] == line
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(rfc3164_case(), min_size=1, max_size=20))
+    def test_rfc3164_roundtrip(self, spark, cases):
+        df = spark.createDataFrame([(c[0],) for c in cases], "line string")
+        rows = parse_syslog(df).collect()
+        for (line, pri, host, prog, pid, msg), r in zip(cases, rows):
+            assert r["pri"] == pri
+            assert r["hostname"] == host
+            assert r["programname"] == prog
+            assert r["procid"] == pid
+            assert (r["msg"] or "") == msg
+            assert r["protocol_version"] == 0
+            assert r["timereported"] is not None
