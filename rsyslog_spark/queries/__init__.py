@@ -84,6 +84,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the driver runs queries under ITS session — pin the semantics
+    # the oracle comparison depends on (DuckDB renders naive/UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{table}.parquet"
     read_path = path
     try:
