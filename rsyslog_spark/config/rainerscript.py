@@ -204,6 +204,8 @@ class _Parser:
         params: dict[str, str] = {}
         while not self.accept(")"):
             key = self.next().text
+            while self.accept("."):       # dotted keys: queue.type=
+                key += "." + self.next().text
             self.expect("=")
             v = self.next()
             params[key] = _unquote(v.text) if v.kind == "string" else v.text
