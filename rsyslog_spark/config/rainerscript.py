@@ -114,6 +114,7 @@ class ParsedConfig:
     inputs: list[dict[str, str]] = dfield(default_factory=list)
     templates: dict[str, Any] = dfield(default_factory=dict)
     lookup_tables: dict[str, Any] = dfield(default_factory=dict)
+    ruleset_params: dict[str, dict] = dfield(default_factory=dict)
     reloads: list[str] = dfield(default_factory=list)
     main: str = "RSYSLOG_DefaultRuleset"
 
@@ -152,8 +153,9 @@ class _Parser:
         while self.peek().kind != "eof":
             t = self.peek()
             if t.text == "ruleset":
-                name, stmts = self.parse_ruleset_obj()
+                name, stmts, params = self.parse_ruleset_obj()
                 cfg.rulesets[name] = Ruleset(name, stmts)
+                cfg.ruleset_params[name] = params
             elif t.text in ("module", "input"):
                 kind = self.next().text
                 params = self.parse_param_block()
@@ -184,7 +186,7 @@ class _Parser:
                 cfg.main, list(cfg.rulesets[cfg.main].stmts) + top)
         return cfg
 
-    def parse_ruleset_obj(self) -> tuple[str, list]:
+    def parse_ruleset_obj(self) -> tuple[str, list, dict]:
         self.expect("ruleset")
         params = self.parse_param_block()
         name = params.get("name")
@@ -192,7 +194,7 @@ class _Parser:
             raise SyntaxError("ruleset needs name=")
         self.expect("{")
         stmts = self.parse_stmts_until("}")
-        return name, stmts
+        return name, stmts, params
 
     def parse_template_obj(self) -> dict:
         self.expect("template")

@@ -171,3 +171,145 @@ def run_config_stream(
     if available_now:
         q.awaitTermination(120)
     return q
+
+
+def _queued_rulesets(cfg: ParsedConfig) -> set[str]:
+    """Rulesets declaring their own queue (queue.type != direct) —
+    the reference processes calls into them ASYNCHRONOUSLY
+    (doc: multi_ruleset.rst; SURVEY §3.2 thread boundaries)."""
+    out = set()
+    for name, params in cfg.ruleset_params.items():
+        qt = params.get("queue.type", "direct")
+        if any(k.startswith("queue.") for k in params) and \
+                qt.lower() != "direct":
+            out.add(name)
+    return out
+
+
+def _rewrite_queued_calls(stmts, queued: set[str], enq_prefix: str):
+    """Replace Call(r) into a queued ruleset with an enqueue Action —
+    the async boundary (the reference enqueues to the target ruleset's
+    own queue and the call returns immediately)."""
+    from rsyslog_spark.plans.ruleset import Action, Call, Foreach, If, \
+        PriFilt, PropFilt
+
+    def walk(seq):
+        out = []
+        for s in seq:
+            if isinstance(s, Call) and s.ruleset in queued:
+                out.append(Action(enq_prefix + s.ruleset,
+                                  params={"type": "__queue__",
+                                          "ruleset": s.ruleset}))
+                continue
+            for attr in ("then", "orelse", "body"):
+                if hasattr(s, attr) and getattr(s, attr):
+                    setattr(s, attr, walk(list(getattr(s, attr))))
+            out.append(s)
+        return out
+
+    return walk(list(stmts))
+
+
+def run_config_stream_async(
+    spark: SparkSession,
+    conf_src: str,
+    *,
+    checkpoint: str,
+    input_path: str | None = None,
+    main: str | None = None,
+):
+    """Streaming execution with ASYNC queued rulesets: calls into a
+    ruleset that declares ``queue.*`` parameters land in an
+    intermediate parquet queue directory; a SEPARATE streaming query
+    per queued ruleset consumes it (the reference's
+    queue-per-ruleset thread boundary, SURVEY §3.2). Local ``$.``
+    variables are dropped at the boundary — the reference never
+    serializes them (doc variable_property_types.rst), and
+    modifications inside an async ruleset do not propagate back
+    (doc multi_ruleset.rst).
+
+    availableNow drain: the parent runs first, then each queue
+    consumer. Returns ConfigRun-style written map including the
+    queued rulesets' actions.
+    """
+    import os
+
+    from rsyslog_spark.config.rainerscript import load_config as _load
+    from rsyslog_spark.schema import SYSLOG_SCHEMA
+    from rsyslog_spark.streaming.sources import imfile
+
+    eng, cfg = _load(conf_src)
+    queued = _queued_rulesets(cfg)
+    enq_prefix = "__enqueue__"
+    for rs in cfg.rulesets.values():   # engine shares these objects
+        rs.stmts = _rewrite_queued_calls(rs.stmts, queued, enq_prefix)
+
+    path = input_path
+    ruleset_name = main
+    for inp in cfg.inputs:
+        if inp.get("type") == "imfile" and path is None:
+            path = inp.get("file")
+        if ruleset_name is None and inp.get("ruleset"):
+            ruleset_name = inp["ruleset"]
+    if path is None:
+        raise ValueError("no imfile input in config and no input_path")
+    if ruleset_name is None:
+        ruleset_name = next(iter(cfg.rulesets))
+
+    qdirs = {r: os.path.join(checkpoint, f"queue_{r}") for r in queued}
+    written: dict[str, str] = {}
+
+    def write_actions(actions, rsname):
+        for name, df in actions:
+            if name.startswith(enq_prefix):
+                target = name[len(enq_prefix):]
+                # async boundary: canonical columns only, $.-vars drop
+                cols = [c for c in df.columns
+                        if c in set(SYSLOG_SCHEMA.fieldNames())]
+                df.select(*cols).write.mode("append") \
+                    .parquet(qdirs[target])
+                continue
+            params = _action_params(cfg, rsname, name)
+            if params.get("type") == "omfile" and params.get("file"):
+                tpl = cfg.templates.get(params.get("template", ""))
+                if tpl is not None:
+                    df.select(tpl.col().alias("value")) \
+                        .write.mode("append").text(params["file"])
+                else:
+                    df.write.mode("append").parquet(params["file"])
+                written[name] = params["file"]
+
+    lines = imfile(spark, path)
+    frame = parse_syslog(lines)
+
+    def parent_sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            actions, _ = eng.run(batch_df, ruleset_name)
+            write_actions(actions, ruleset_name)
+        finally:
+            batch_df.unpersist()
+
+    q = (frame.writeStream.foreachBatch(parent_sink)
+         .option("checkpointLocation", os.path.join(checkpoint, "main"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    # queue consumers: one streaming query per queued ruleset
+    for r in queued:
+        if not os.path.isdir(qdirs[r]):
+            continue   # no rows ever enqueued
+
+        def child_sink(batch_df: DataFrame, batch_id: int,
+                       _r=r) -> None:
+            actions, _ = eng.run(batch_df, _r)
+            write_actions(actions, _r)
+
+        cq = (spark.readStream.schema(SYSLOG_SCHEMA)
+              .parquet(qdirs[r])
+              .writeStream.foreachBatch(child_sink)
+              .option("checkpointLocation",
+                      os.path.join(checkpoint, f"ck_{r}"))
+              .trigger(availableNow=True).start())
+        cq.awaitTermination(120)
+    return written

@@ -212,3 +212,34 @@ class TestRuntime:
         got = spark.read.parquet(str(outdir))
         assert got.count() == 1
         assert got.collect()[0]["hostname"] == "h1"
+
+    def test_async_queued_ruleset(self, spark, tmp_path):
+        from rsyslog_spark.config.runtime import run_config_stream_async
+
+        src = tmp_path / "qin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<11>Mar  1 10:00:00 h1 app: fatal error one\n"
+            "<30>Mar  1 10:00:01 h2 cron[7]: job ok\n")
+        errdir = tmp_path / "qerr"
+        alldir = tmp_path / "qall"
+        conf = f'''
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        ruleset(name="slowpath" queue.type="fixedArray" queue.size="1000") {{
+            action(type="omfile" name="errors" file="{errdir}")
+        }}
+        ruleset(name="main") {{
+            if $syslogseverity <= 3 then {{
+                call slowpath
+            }}
+            action(type="omfile" name="all" file="{alldir}")
+        }}
+        '''
+        written = run_config_stream_async(
+            spark, conf, checkpoint=str(tmp_path / "qck"))
+        errs = spark.read.parquet(str(errdir))
+        assert errs.count() == 1
+        assert errs.collect()[0]["hostname"] == "h1"
+        # async call returns immediately: main still sees BOTH rows
+        assert spark.read.parquet(str(alldir)).count() == 2
+        assert set(written) == {"errors", "all"}
