@@ -412,3 +412,27 @@ def omfile_dynafile_batch(
     for n, c in exprs.items():
         out = out.withColumn(n, c)
     out.write.mode("append").partitionBy(*names).format(fmt).save(base)
+
+
+def discard_watermark_gate(
+    write_fn: Callable[[DataFrame, int], None],
+    *,
+    high_watermark_rows: int,
+    discard_severity: int = 8,
+) -> Callable[[DataFrame, int], None]:
+    """Queue discard mark (ref: runtime/queue.h:119-122 iDiscardMrk /
+    iDiscardSeverity): when a micro-batch exceeds the high watermark,
+    rows AT OR ABOVE the discard severity (numerically >=, i.e. less
+    important) are dropped before the write — the reference's
+    overload-shedding policy made explicit. discard_severity=8 never
+    drops (severities are 0-7), matching the reference default."""
+
+    def gated(batch_df: DataFrame, batch_id: int) -> None:
+        if discard_severity <= 7:
+            n = batch_df.count()
+            if n > high_watermark_rows:
+                batch_df = batch_df.filter(
+                    F.col("syslogseverity") < discard_severity)
+        write_fn(batch_df, batch_id)
+
+    return gated

@@ -227,3 +227,24 @@ class TestDynafileTemplate:
             ["pt_hostname=h1", "pt_hostname=h2"]
         back = spark.read.parquet(base)
         assert back.count() == 2
+
+
+class TestDiscardWatermark:
+    def test_priority_drop_over_watermark(self, spark):
+        from rsyslog_spark.streaming.sinks import discard_watermark_gate
+
+        seen: dict = {}
+
+        def writer(df, bid):
+            seen[bid] = sorted(r["syslogseverity"] for r in df.collect())
+
+        gate = discard_watermark_gate(writer, high_watermark_rows=3,
+                                      discard_severity=6)
+        small = spark.createDataFrame(
+            [(s,) for s in (1, 6, 7)], "syslogseverity int")
+        gate(small, 0)                       # under watermark: keep all
+        big = spark.createDataFrame(
+            [(s,) for s in (1, 2, 6, 7, 7)], "syslogseverity int")
+        gate(big, 1)                         # over: sev >= 6 dropped
+        assert seen[0] == [1, 6, 7]
+        assert seen[1] == [1, 2]
