@@ -202,3 +202,53 @@ def streaming_percentiles(
     sel += [F.col("p")[i].alias(f"p{int(p * 100)}")
             for i, p in enumerate(percentiles)]
     return out.select(*sel, "n")
+
+
+# -- dynstats with per-key idle TTL ---------------------------------------
+
+_DS_STATE_SCHEMA = "n long"
+_DS_OUT_SCHEMA = "key string, n long, evicted boolean"
+
+
+def _dynstats_ttl_fn(ttl_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # unusedMetricLife (ref: runtime/dynstats.c:303-351, TTL'd
+        # counter eviction): idle keys time out; the final count is
+        # emitted once with evicted=True, then the counter resets —
+        # exactly the reference's metric-pruning cycle.
+        if state.hasTimedOut:
+            n = state.get[0] if state.exists else 0
+            state.remove()
+            yield pd.DataFrame(
+                [{"key": key[0], "n": n, "evicted": True}])
+            return
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame([{"key": key[0], "n": n, "evicted": False}])
+    return fn
+
+
+def streaming_dynstats_ttl(
+    df: DataFrame,
+    key_col: str,
+    *,
+    unused_metric_life_s: int = 60,
+) -> DataFrame:
+    """dyn_stats with unusedMetricLife (SURVEY hard-part 3): keyed
+    counters whose state is EVICTED after an idle TTL via state-store
+    timers (processing-time timeout), emitting the terminal count.
+    State is O(active keys), the reference's maxCardinality pressure
+    valve maps to the store's own size controls."""
+    prepared = df.select(F.col(key_col).cast("string").alias("key"))
+    return prepared.groupBy("key").applyInPandasWithState(
+        _dynstats_ttl_fn(unused_metric_life_s * 1000),
+        outputStructType=_DS_OUT_SCHEMA,
+        stateStructType=_DS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -239,3 +239,35 @@ def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
     drain()   # restart same checkpoint: only the new file processed
     got = sorted(r["line"] for r in spark.read.parquet(str(out)).collect())
     assert got == ["one", "three", "two"]
+
+
+def test_streaming_dynstats_ttl_eviction(spark, tmp_path):
+    """unusedMetricLife: counters accumulate across batches, idle keys
+    evict via state timers emitting the terminal count."""
+    from rsyslog_spark.streaming.stateful import streaming_dynstats_ttl
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    (src / "a.log").write_text("h1\nh1\nh2\n")
+
+    counts = streaming_dynstats_ttl(
+        spark.readStream.format("text").load(f"{src}/*.log")
+        .withColumnRenamed("value", "hostname"),
+        "hostname", unused_metric_life_s=1)
+    q = (counts.writeStream.format("memory").queryName("ttl_out")
+         .option("checkpointLocation", str(tmp_path / "ttl_ck"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {(r.key): r.n for r in spark.table("ttl_out")
+               .filter(~F.col("evicted")).collect()}
+        assert got == {"h1": 2, "h2": 1}
+        # new batch after TTL: h3 arrives, h1/h2 idle -> evicted rows
+        time.sleep(1.5)
+        (src / "b.log").write_text("h3\n")
+        q.processAllAvailable()
+        evicted = {r.key: r.n for r in spark.table("ttl_out")
+                   .filter(F.col("evicted")).collect()}
+        assert evicted.get("h1") == 2 and evicted.get("h2") == 1
+    finally:
+        q.stop()
