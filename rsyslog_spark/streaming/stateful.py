@@ -224,9 +224,16 @@ def _dynstats_ttl_fn(ttl_ms: int):
             yield pd.DataFrame(
                 [{"key": key[0], "n": n, "evicted": True}])
             return
-        n = state.get[0] if state.exists else 0
+        rows = 0
         for pdf in pdfs:
-            n += len(pdf)
+            rows += len(pdf)
+        if rows == 0:
+            # Invoked without data (timer-maintenance batch for another
+            # key): do NOT emit a snapshot and do NOT re-arm the timer —
+            # re-arming here turns every timer firing into a fresh batch
+            # that re-arms the remaining keys, a perpetual loop.
+            return
+        n = (state.get[0] if state.exists else 0) + rows
         state.update((n,))
         state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame([{"key": key[0], "n": n, "evicted": False}])

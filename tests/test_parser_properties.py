@@ -17,7 +17,9 @@ from rsyslog_spark.parsers import parse_syslog
 _token = st.text(
     alphabet=st.sampled_from(
         "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-"),
-    min_size=1, max_size=12)
+    min_size=1, max_size=12).filter(lambda s: s != "-")
+# "-" alone is the RFC5424 NILVALUE: the parser correctly maps it to
+# NULL, so it must never be generated as a literal HOSTNAME/APP-NAME.
 _msg_text = st.text(
     alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
     min_size=0, max_size=60)

@@ -257,17 +257,31 @@ def test_streaming_dynstats_ttl_eviction(spark, tmp_path):
     q = (counts.writeStream.format("memory").queryName("ttl_out")
          .option("checkpointLocation", str(tmp_path / "ttl_ck"))
          .outputMode("append").start())
+
+    def _poll(pred, deadline_s=90):
+        # processAllAvailable() can't be used here: pending state timers
+        # keep scheduling maintenance batches, so "all available" never
+        # settles.  Poll the sink with a hard deadline instead.
+        end = time.time() + deadline_s
+        while time.time() < end:
+            if pred():
+                return True
+            time.sleep(0.5)
+        return False
+
+    def _live():
+        return {r.key: r.n for r in spark.table("ttl_out")
+                .filter(~F.col("evicted")).collect()}
+
+    def _evicted():
+        return {r.key: r.n for r in spark.table("ttl_out")
+                .filter(F.col("evicted")).collect()}
+
     try:
-        q.processAllAvailable()
-        got = {(r.key): r.n for r in spark.table("ttl_out")
-               .filter(~F.col("evicted")).collect()}
-        assert got == {"h1": 2, "h2": 1}
-        # new batch after TTL: h3 arrives, h1/h2 idle -> evicted rows
-        time.sleep(1.5)
+        assert _poll(lambda: _live() == {"h1": 2, "h2": 1})
+        # after the TTL the idle keys h1/h2 evict via state timers
         (src / "b.log").write_text("h3\n")
-        q.processAllAvailable()
-        evicted = {r.key: r.n for r in spark.table("ttl_out")
-                   .filter(F.col("evicted")).collect()}
-        assert evicted.get("h1") == 2 and evicted.get("h2") == 1
+        assert _poll(lambda: _evicted().get("h1") == 2
+                     and _evicted().get("h2") == 1)
     finally:
         q.stop()
