@@ -60,7 +60,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<number>-?\d+)
   | (?P<var>\$[!./]?[A-Za-z0-9_!./-]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_-]*)
-  | (?P<op><=|>=|==|!=|<>|&&|\|\||[-+*/%&(){},;=\[\]<>~:!.])
+  | (?P<op><=|>=|==|!=|<>|&&|\|\||[-+*/%&(){},;=\[\]<>~:!.@|?])
   | (?P<prispec>\*\.[*a-z=!0-9,;.*]+)
 """, re.VERBOSE)
 
@@ -74,21 +74,26 @@ class Tok:
     kind: str       # string|number|var|name|op|prispec
     text: str
     pos: int
+    line: int = 0
 
 
-def _lex(src: str) -> list[Tok]:
+def _lex(src: str, line_base: int = 0) -> list[Tok]:
     toks: list[Tok] = []
     i = 0
+    line = line_base + 1
     while i < len(src):
         m = _TOKEN_RE.match(src, i)
         if not m:
             raise SyntaxError(f"config lex error at {src[i:i+30]!r}")
         i = m.end()
         kind = m.lastgroup
+        text = m.group()
+        tok_line = line
+        line += text.count("\n")
         if kind == "ws":
             continue
-        toks.append(Tok(kind, m.group(), m.start()))
-    toks.append(Tok("eof", "", len(src)))
+        toks.append(Tok(kind, text, m.start(), tok_line))
+    toks.append(Tok("eof", "", len(src), line))
     return toks
 
 
@@ -116,14 +121,55 @@ class ParsedConfig:
     lookup_tables: dict[str, Any] = dfield(default_factory=dict)
     ruleset_params: dict[str, dict] = dfield(default_factory=dict)
     reloads: list[str] = dfield(default_factory=list)
+    # legacy $-directive settings, lowercased name → raw value string
+    # (ref: runtime/cfsysline.c — the cfsysline directive table)
+    directives: dict[str, str] = dfield(default_factory=dict)
+    # lookup tables visible to lookup() expressions compiled from THIS
+    # config — scoped per config, not process-global
+    active_tables: dict[str, Any] = dfield(default_factory=dict)
     main: str = "RSYSLOG_DefaultRuleset"
 
 
+# Legacy directives that select behavior we model; everything else is
+# recorded verbatim in cfg.directives (the reference treats unknown
+# cfsysline directives as errors, but tolerating-and-recording is the
+# useful engine behavior here). ref: runtime/cfsysline.c:1-1116.
+_DIRECTIVE_NOOPS = frozenset({
+    "umask", "fileowner", "filegroup", "dirowner", "dirgroup",
+    "filecreatemode", "dircreatemode", "workdirectory", "privdropto",
+    "privdroptouser", "privdroptogroup", "privdroptouserid",
+    "privdroptogroupid", "maxopenfiles", "preservefqdn",
+    "repeatedmsgreduction", "escapecontrolcharactersonreceive",
+    "actionqueuetype", "actionqueuefilename", "actionqueuesize",
+    "actionqueuemaxdiskspace", "actionqueuesaveonshutdown",
+    "actionqueuetimeoutenqueue", "actionqueuedequeuebatchsize",
+    "actionqueueworkerthreads", "actionqueuediscardmark",
+    "actionqueuediscardseverity", "actionqueuehighwatermark",
+    "actionqueuelowwatermark", "actionresumeretrycount",
+    "actionresumeinterval", "mainmsgqueuesize",
+    "mainmsgqueuediscardmark", "mainmsgqueuediscardseverity",
+    "mainmsgqueueworkerthreads", "mainmsgqueuetype",
+    "maxmessagesize", "systemlogsocketname", "omfileforcechown",
+    "allowedsender", "dropmsgswithmaliciousdnsptrrecords",
+    "controlcharacterescapeprefix", "droptrailinglfonreception",
+    "localhostname", "abortonuncleanconfig", "debugprintruleset",
+    "inputtcpserverbindruleset", "inputudpserverbindruleset",
+    "inputtcpserverrun", "udpserverrun", "inputtcpmaxsessions",
+    "modload",  # handled specially but listed for completeness
+})
+
+
 class _Parser:
-    def __init__(self, toks: list[Tok]):
+    def __init__(self, toks: list[Tok], base_dir: str = "."):
         self.toks = toks
         self.i = 0
         self.reloads: list[str] = []
+        self.base_dir = base_dir
+        # lookup tables for lookup() exprs in THIS config — the same
+        # dict object becomes cfg.active_tables and is filled by
+        # load_config before any statement lambda runs (lazy resolve)
+        self.tables: dict[str, Any] = {}
+        self._line_base = 1_000_000  # line-offset pool for includes
 
     # -- token helpers -------------------------------------------------
     def peek(self, k: int = 0) -> Tok:
@@ -149,7 +195,12 @@ class _Parser:
     # -- config objects ------------------------------------------------
     def parse_config(self) -> ParsedConfig:
         cfg = ParsedConfig(rulesets={})
-        top: list = []
+        cfg.active_tables = self.tables
+        self.cfg = cfg
+        # legacy $Ruleset directive re-binds where top-level statements
+        # land (ref: runtime/cfsysline.c $Ruleset / doc legacy format)
+        self._legacy_rs = cfg.main
+        top: dict[str, list] = {}
         while self.peek().kind != "eof":
             t = self.peek()
             if t.text == "ruleset":
@@ -163,28 +214,99 @@ class _Parser:
                  ).append(params)
             elif t.text == "template":
                 params = self.parse_template_obj()
-                if params.get("type", "string") == "string" \
-                        and "string" in params:
-                    from rsyslog_spark.templates import (
-                        compile_template_string,
-                    )
-                    cfg.templates[params["name"]] = \
-                        compile_template_string(params["string"])
-                else:
-                    cfg.templates[params["name"]] = params
+                self._register_template(params)
             elif t.text == "lookup_table":
                 self.next()
                 params = self.parse_param_block()
                 cfg.lookup_tables[params["name"]] = params
+            elif t.text == "include" and self.peek(1).text == "(":
+                self.next()
+                self._splice_include(self.parse_param_block())
+            elif t.kind == "var" and len(t.text) > 1 \
+                    and t.text[1].isalpha():
+                self.parse_legacy_directive()
             else:
-                top.append(self.parse_stmt())
+                top.setdefault(self._legacy_rs, []).append(
+                    self.parse_stmt())
         cfg.reloads = self.reloads
-        if top:
-            cfg.rulesets.setdefault(
-                cfg.main, Ruleset(cfg.main, []))
-            cfg.rulesets[cfg.main] = Ruleset(
-                cfg.main, list(cfg.rulesets[cfg.main].stmts) + top)
+        for rs_name, stmts in top.items():
+            prev = cfg.rulesets.get(rs_name)
+            cfg.rulesets[rs_name] = Ruleset(
+                rs_name, (list(prev.stmts) if prev else []) + stmts)
         return cfg
+
+    def _register_template(self, params: dict) -> None:
+        if params.get("type", "string") == "string" \
+                and "string" in params:
+            from rsyslog_spark.templates import compile_template_string
+            self.cfg.templates[params["name"]] = \
+                compile_template_string(params["string"])
+        else:
+            self.cfg.templates[params["name"]] = params
+
+    # -- legacy $-directives (ref: runtime/cfsysline.c) -----------------
+    def parse_legacy_directive(self) -> None:
+        d = self.next()
+        name = d.text[1:].lower()
+        args: list[Tok] = []
+        while self.peek().kind != "eof" and self.peek().line == d.line:
+            args.append(self.next())
+        raw = "".join(a.text for a in args)
+        if name == "modload":
+            self.cfg.modules.append({"load": raw})
+        elif name == "template":
+            # $template NAME,"text"[,option]  (legacy template syntax;
+            # same %property% replacer as v2 string templates)
+            tname = args[0].text if args else ""
+            tstr = next((a for a in args if a.kind == "string"), None)
+            if tstr is None:
+                raise SyntaxError(f"$template {tname} needs a string")
+            opts = [a.text for a in args[2:] if a.kind == "name"]
+            self._register_template(
+                {"name": tname, "type": "string",
+                 "string": _unquote(tstr.text),
+                 "options": ",".join(opts)})
+        elif name == "includeconfig":
+            self._splice_include({"file": raw})
+        elif name == "ruleset":
+            self._legacy_rs = raw
+        elif name in ("actionfiledefaulttemplate",
+                      "actionforwarddefaulttemplate"):
+            self.cfg.directives[name] = raw
+        else:
+            # recorded; queue/priv/file-mode tuning has no Spark analog
+            self.cfg.directives[name] = raw
+            if name not in _DIRECTIVE_NOOPS and not name.startswith(
+                    ("input", "action", "mainmsgqueue", "om", "im")):
+                import warnings
+                warnings.warn(f"unrecognized legacy directive ${name} "
+                              "recorded but not interpreted")
+
+    def _splice_include(self, params: dict) -> None:
+        """include(file=... | text=...) / $IncludeConfig: lex the
+        included text and splice its tokens at the current position
+        (ref: grammar include object; tests/include-obj-text-from-file.sh).
+        Missing files raise unless mode="optional"."""
+        import glob as _glob
+        import os
+        texts: list[str] = []
+        if "text" in params:
+            texts.append(params["text"])
+        if "file" in params:
+            pat = params["file"]
+            if not os.path.isabs(pat):
+                pat = os.path.join(self.base_dir, pat)
+            hits = sorted(_glob.glob(pat))
+            if not hits and params.get("mode", "required") != "optional":
+                raise FileNotFoundError(f"include: no config matches {pat!r}")
+            for h in hits:
+                with open(h, encoding="utf-8") as f:
+                    texts.append(f.read())
+        spliced: list[Tok] = []
+        for txt in texts:
+            self._line_base += 1_000_000
+            spliced.extend(_lex(txt, line_base=self._line_base)[:-1])
+        self.toks[self.i:self.i] = spliced
 
     def parse_ruleset_obj(self) -> tuple[str, list, dict]:
         self.expect("ruleset")
@@ -246,7 +368,7 @@ class _Parser:
             then = self.parse_block_or_stmt()
             orelse = self.parse_block_or_stmt() if self.accept("else") \
                 else []
-            return If(_cond_fn(cond), then, orelse)
+            return If(_cond_fn(cond, self.tables), then, orelse)
         if t.text == "set":
             self.next()
             var = self.next()
@@ -255,7 +377,7 @@ class _Parser:
             self.expect("=")
             expr = self.parse_expr()
             self.accept(";")
-            return Set(var.text, _value_fn(expr))
+            return Set(var.text, _value_fn(expr, self.tables))
         if t.text == "unset":
             self.next()
             var = self.next()
@@ -278,7 +400,7 @@ class _Parser:
             self.expect(")")
             self.accept("do")
             body = self.parse_block_or_stmt()
-            return Foreach(var, _value_fn(arr), body)
+            return Foreach(var, _value_fn(arr, self.tables), body)
         if t.text == "action":
             self.next()
             params = self.parse_param_block()
@@ -312,8 +434,12 @@ class _Parser:
         # name/star '.' name/star (e.g. mail.info, *.err as op '*'...)
         txt = ""
         j = self.i
-        while j < len(self.toks):
+        end_pos = t.pos                   # selectors are contiguous:
+        while j < len(self.toks):         # stop at whitespace/EOL
             tok = self.toks[j]
+            if tok.line != t.line or tok.pos != end_pos:
+                break
+            end_pos = tok.pos + len(tok.text)
             # a name starting the TARGET ('action', a path, '~') ends
             # the selector: stop before names followed by '(' and
             # before the 'action' keyword itself
@@ -333,7 +459,19 @@ class _Parser:
             return txt
         return None
 
+    def _rest_of_line(self, line: int) -> str:
+        """Concatenate raw token text to end of the source line —
+        legacy selector targets run to EOL."""
+        out = ""
+        while self.peek().kind != "eof" and self.peek().line == line:
+            out += self.next().text
+        return out
+
     def _parse_selector_target(self):
+        """Legacy selector ACTION field (ref: runtime/conf.c
+        cflineDoAction): /path, -/path (async), @host / @@host
+        (omfwd udp/tcp), :omusrmsg:users, * (wall), |pipe, ~ discard,
+        "quoted path", or a v2 action(...) object."""
         t = self.peek()
         if t.text == "action":
             self.next()
@@ -341,15 +479,55 @@ class _Parser:
         if t.text == "~":
             self.next()
             return Stop()
+        if t.text == "-":                 # -/path: async omfile
+            self.next()
+            t = self.peek()
+            rest = self._rest_of_line(t.line)
+            path, _, tmpl = rest.partition(";")
+            p = {"type": "omfile", "file": path, "asyncWriting": "on"}
+            if tmpl:
+                p["template"] = tmpl
+            return _make_action(p)
+        if t.text == "@":                 # @host (udp) / @@host (tcp)
+            self.next()
+            proto = "udp"
+            if self.peek().text == "@":
+                self.next()
+                proto = "tcp"
+            rest = self._rest_of_line(t.line)
+            spec, _, tmpl = rest.partition(";")
+            host, _, port = spec.partition(":")
+            p = {"type": "omfwd", "target": host, "protocol": proto}
+            if port:
+                p["port"] = port
+            if tmpl:
+                p["template"] = tmpl
+            return _make_action(p)
+        if t.text == ":":                 # :omusrmsg:users / :mod:params
+            self.next()
+            mod = self.next().text
+            self.accept(":")
+            rest = self._rest_of_line(t.line)
+            spec, _, tmpl = rest.partition(";")
+            p = {"type": mod, "target": spec}
+            if tmpl:
+                p["template"] = tmpl
+            return _make_action(p)
+        if t.text == "*":                 # wall message to all users
+            self.next()
+            return _make_action({"type": "omusrmsg", "target": "*"})
+        if t.text == "|":                 # named pipe
+            self.next()
+            rest = self._rest_of_line(t.line)
+            return _make_action({"type": "ompipe", "pipe": rest})
         if t.kind == "op" and t.text == "/":
-            # file path target: consume /seg/seg tokens
-            path = ""
-            while self.peek().text == "/" or self.peek().kind in \
-                    ("name", "number"):
-                path += self.next().text
-                if self.peek().text in (".", "-", "_"):
-                    path += self.next().text
-            return _make_action({"type": "omfile", "file": path})
+            # file path target: rest of line, optional ;templateName
+            rest = self._rest_of_line(t.line)
+            path, _, tmpl = rest.partition(";")
+            p = {"type": "omfile", "file": path}
+            if tmpl:
+                p["template"] = tmpl
+            return _make_action(p)
         if t.kind == "string":
             return _make_action(
                 {"type": "omfile", "file": _unquote(self.next().text)})
@@ -454,9 +632,25 @@ class _Parser:
 
 # ------------------------------------------------------ AST → Columns
 
-def _var_col(name: str) -> Column:
+def _var_col(name: str, df: DataFrame | None = None) -> Column:
+    """Compile a variable read. ``$!`` message-tree vars may live in
+    two places: a flat ``cee_*`` column (written by ``set $!x = ...``)
+    or the original ``json`` tree column — reads must see BOTH, with
+    the set-value winning (ref: runtime/msg.c MsgGetJSONPropJSON;
+    writes and reads go through the same tree there)."""
     if name.startswith("$!"):
-        return rf.json_get("json", name)
+        flat = varname(name)
+        cols = set(df.columns) if df is not None else None
+        if cols is None:
+            return rf.json_get("json", name)
+        has_json = "json" in cols
+        if flat in cols:
+            c = F.col(flat).cast("string")
+            return F.coalesce(c, rf.json_get("json", name)) \
+                if has_json else c
+        if has_json:
+            return rf.json_get("json", name)
+        return F.lit(None).cast("string")
     return F.col(varname(name))
 
 
@@ -471,22 +665,25 @@ _FN_MAP: dict[str, Callable[..., Column]] = {
 }
 
 
-def _to_col(ast) -> Column:
+def _to_col(ast, df: DataFrame | None = None,
+            tables: dict[str, Any] | None = None) -> Column:
     kind = ast[0]
     if kind == "lit":
         return F.lit(ast[1])
     if kind == "var":
-        return _var_col(ast[1])
+        return _var_col(ast[1], df)
     if kind == "array":
         return F.array(*[F.lit(x) for x in ast[1]])
     if kind == "cmp":
         _, op, l, r = ast
         if ast[3][0] == "array" and op in ("==", "!="):
-            c = rs_str(_to_col(l)).isin([str(x) for x in ast[3][1]])
+            c = rs_str(_to_col(l, df, tables)).isin(
+                [str(x) for x in ast[3][1]])
             return c if op == "==" else ~c
         if op in ("contains", "startswith", "endswith", "contains_i",
                   "startswith_i", "isequal", "regex"):
-            lc, rc = rs_str(_to_col(l)), rs_str(_to_col(r))
+            lc = rs_str(_to_col(l, df, tables))
+            rc = rs_str(_to_col(r, df, tables))
             if op.endswith("_i"):
                 lc, rc = F.lower(lc), F.lower(rc)
                 op = op[:-2]
@@ -500,55 +697,59 @@ def _to_col(ast) -> Column:
             }[op]
         if op == "<>":
             op = "!="
-        return rs_cmp(_to_col(l), _to_col(r), op)
+        return rs_cmp(_to_col(l, df, tables), _to_col(r, df, tables), op)
     if kind in ("and", "or"):
-        l, r = _to_col(ast[1]), _to_col(ast[2])
+        l, r = _to_col(ast[1], df, tables), _to_col(ast[2], df, tables)
         return (l & r) if kind == "and" else (l | r)
     if kind == "not":
-        return ~_to_col(ast[1])
+        return ~_to_col(ast[1], df, tables)
     if kind == "concat":
-        return rs_concat(_to_col(ast[1]), _to_col(ast[2]))
+        return rs_concat(_to_col(ast[1], df, tables),
+                         _to_col(ast[2], df, tables))
     if kind in ("+", "-", "*"):
-        l, r = _to_col(ast[1]), _to_col(ast[2])
+        l, r = _to_col(ast[1], df, tables), _to_col(ast[2], df, tables)
         return {"+": l + r, "-": l - r, "*": l * r}[kind]
     if kind == "/":
-        return rs_div(_to_col(ast[1]), _to_col(ast[2]))
+        return rs_div(_to_col(ast[1], df, tables),
+                      _to_col(ast[2], df, tables))
     if kind == "%":
-        return rs_mod(_to_col(ast[1]), _to_col(ast[2]))
+        return rs_mod(_to_col(ast[1], df, tables),
+                      _to_col(ast[2], df, tables))
     if kind == "neg":
-        return -_to_col(ast[1])
+        return -_to_col(ast[1], df, tables)
     if kind == "callfn":
         _, name, args = ast
         if name == "lookup":
             if args[0][0] != "lit":
                 raise SyntaxError("lookup needs a literal table name")
             tname = str(args[0][1])
-            def _lookup_col(tname=tname, key_ast=args[1]):
-                tbl = _ACTIVE_TABLES.get(tname)
-                if tbl is None:
-                    raise KeyError(f"lookup table {tname!r} not loaded")
-                return tbl.lookup(_to_col(key_ast))
-            return _lookup_col()
+            tbl = (tables or {}).get(tname)
+            if tbl is None:
+                raise KeyError(f"lookup table {tname!r} not loaded")
+            return tbl.lookup(_to_col(args[1], df, tables))
         if name == "prifilt":
             if args[0][0] != "lit":
                 raise SyntaxError("prifilt needs a literal spec")
             return prifilt_col(str(args[0][1]))
         if name == "exists":
-            return _to_col(args[0]).isNotNull()
+            return _to_col(args[0], df, tables).isNotNull()
         fn = _FN_MAP.get(name)
         if fn is None:
             raise SyntaxError(f"unknown function {name!r}")
-        cooked = [a[1] if a[0] == "lit" else _to_col(a) for a in args]
+        cooked = [a[1] if a[0] == "lit" else _to_col(a, df, tables)
+                  for a in args]
         return fn(*cooked)
     raise SyntaxError(f"bad AST node {ast!r}")
 
 
-def _cond_fn(ast) -> Callable[[DataFrame], Column]:
-    return lambda df: _to_col(ast)
+def _cond_fn(ast, tables: dict[str, Any] | None = None
+             ) -> Callable[[DataFrame], Column]:
+    return lambda df: _to_col(ast, df, tables)
 
 
-def _value_fn(ast) -> Callable[[DataFrame], Column]:
-    return lambda df: _to_col(ast)
+def _value_fn(ast, tables: dict[str, Any] | None = None
+              ) -> Callable[[DataFrame], Column]:
+    return lambda df: _to_col(ast, df, tables)
 
 
 def _make_action(params: dict[str, str]):
@@ -560,34 +761,33 @@ def _make_action(params: dict[str, str]):
     return Action(name, params=params)
 
 
-# tables visible to lookup() in config expressions; load_config fills
-# this before compiling actions run (statement lambdas resolve lazily)
-_ACTIVE_TABLES: dict[str, Any] = {}
-
-
 # ----------------------------------------------------------- public API
 
-def parse_config(src: str) -> ParsedConfig:
+def parse_config(src: str, base_dir: str = ".") -> ParsedConfig:
     """Parse rsyslog.conf text → ParsedConfig (rulesets compiled to
-    the plans/ruleset DSL; modules/inputs/templates recorded)."""
-    return _Parser(_lex(src)).parse_config()
+    the plans/ruleset DSL; modules/inputs/templates recorded).
+    ``base_dir`` resolves relative include()/$IncludeConfig paths."""
+    return _Parser(_lex(src), base_dir=base_dir).parse_config()
 
 
-def load_config(src: str, tables: dict[str, Any] | None = None):
+def load_config(src: str, tables: dict[str, Any] | None = None,
+                base_dir: str = "."):
     """Parse and wrap in a RulesetEngine ready to run on a canonical
     syslog DataFrame.
 
     lookup_table(name=.. file=..) objects load from their JSON files
     (reference file format, lookup_tables.rst); pass ``tables`` to
-    inject/override LookupTable instances (tests, reloads)."""
+    inject/override LookupTable instances (tests, reloads). Tables are
+    scoped to THIS config's ParsedConfig.active_tables — two configs
+    never see each other's tables."""
     from rsyslog_spark.operators.lookup import LookupTable
     from rsyslog_spark.plans.ruleset import RulesetEngine
 
-    cfg = parse_config(src)
+    cfg = parse_config(src, base_dir=base_dir)
     for name, params in cfg.lookup_tables.items():
         if "file" in params:
-            _ACTIVE_TABLES[name] = LookupTable.from_json_file(
+            cfg.active_tables[name] = LookupTable.from_json_file(
                 params["file"])
     for name, tbl in (tables or {}).items():
-        _ACTIVE_TABLES[name] = tbl
+        cfg.active_tables[name] = tbl
     return RulesetEngine(list(cfg.rulesets.values())), cfg

@@ -164,6 +164,33 @@ class Ruleset:
 # --------------------------------------------------------------------------
 
 
+def _has_stop(stmts: Sequence[Stmt], rulesets: dict[str, Ruleset],
+              _seen: frozenset = frozenset()) -> bool:
+    """Static check: can executing ``stmts`` reach a Stop? Used to
+    skip the foreach stop-rejoin when the body provably cannot stop."""
+    for s in stmts:
+        if isinstance(s, Stop):
+            return True
+        if isinstance(s, If):
+            if _has_stop(s.then, rulesets, _seen) or \
+                    _has_stop(s.orelse, rulesets, _seen):
+                return True
+        elif isinstance(s, (PriFilt, PropFilt)):
+            if _has_stop(s.then, rulesets, _seen):
+                return True
+        elif isinstance(s, Foreach):
+            if _has_stop(s.body, rulesets, _seen):
+                return True
+        elif isinstance(s, Call):
+            if s.ruleset not in _seen and s.ruleset in rulesets and \
+                    _has_stop(rulesets[s.ruleset].stmts, rulesets,
+                              _seen | {s.ruleset}):
+                return True
+        elif isinstance(s, CallIndirect):
+            return True   # conservatively: any ruleset may be called
+    return False
+
+
 def _prop_cond(df: DataFrame, s: PropFilt) -> Column:
     c = F.col(s.prop)
     if s.op == "contains":
@@ -190,6 +217,7 @@ class _Compiler:
         self.rulesets = rulesets
         self.actions: list[tuple[str, DataFrame]] = []
         self._stack: list[str] = []
+        self._fe_ctr = 0
 
     def run(self, rs: Ruleset, df: DataFrame) -> DataFrame:
         self.df = df
@@ -213,6 +241,15 @@ class _Compiler:
                     self.df = self.df.withColumn(
                         name, F.when(live, F.lit(None)).otherwise(F.col(name))
                     )
+                if s.name.startswith("$!") and "json" in self.df.columns:
+                    # $! vars also live in the message JSON tree: a
+                    # read falls back to it (config _var_col coalesce),
+                    # so unset must remove the key there too (ref:
+                    # runtime/ruleset.c unset → msgDelJSON)
+                    from rsyslog_spark.functions.json_fns import json_unset
+                    self.df = self.df.withColumn(
+                        "json", F.when(live, json_unset("json", s.name))
+                        .otherwise(F.col("json")))
             elif isinstance(s, Stop):
                 # All rows live here stop; later statements in this
                 # block still compile (their actions register) but see
@@ -220,6 +257,8 @@ class _Compiler:
                 live = F.lit(False)
             elif isinstance(s, Action):
                 snap = self.df.filter(live)
+                snap = snap.drop(*[c for c in snap.columns
+                                   if c.startswith("__fe_id_")])
                 if s.transform is not None:
                     snap = s.transform(snap)
                 self.actions.append((s.name, snap))
@@ -272,15 +311,70 @@ class _Compiler:
             elif isinstance(s, Foreach):
                 arr = s.array(self.df) if callable(s.array) else s.array
                 name = varname(s.var)
-                # explode only rows that are live; dead rows keep one
-                # null-element copy so the live predicate stays valid
-                # dead rows get a null element (explode_outer keeps
-                # them as single rows) so outer statements still see them
-                self.df = self.df.withColumn(
-                    name, F.explode_outer(F.when(live, arr))
-                )
+                # The body runs on a BRANCHED frame: posexplode the
+                # array (one row per element, loop var bound), execute
+                # the body there, then restore the single-row-per-
+                # message frame — after the loop the message is one
+                # message again (ref: runtime/ruleset.c:310-401). A
+                # `stop` in the body kills the whole message AND skips
+                # the remaining iterations (interpreter order).
+                # Divergence note: variable mutations do NOT carry
+                # across iterations (columnar per-element model); they
+                # are visible within the element's own body run only.
+                self._fe_ctr += 1
+                fe_id = f"__fe_id_{self._fe_ctr}"
+                fe_pos = f"__fe_pos_{self._fe_ctr}"
+                base = self.df.withColumn(
+                    fe_id, F.monotonically_increasing_id())
+                exploded = base.select(
+                    "*",
+                    F.posexplode_outer(F.when(live, arr))
+                    .alias(fe_pos, name))
                 live_body = live & F.col(name).isNotNull()
+                stopped = None
+                if _has_stop(s.body, self.rulesets):
+                    # Dry-run the body (actions discarded) to find the
+                    # first stopping element per message; elements
+                    # after it never execute. Per-element rows are
+                    # independent (no cross-iteration data flow), so
+                    # the dry-run predicate equals the real one.
+                    from pyspark.sql.window import Window
+                    probe = _Compiler(self.rulesets)
+                    probe._stack = list(self._stack)
+                    probe._fe_ctr = self._fe_ctr + 1000
+                    probe.df = exploded
+                    t1 = probe._exec(s.body, live_body, depth)
+                    stop_flag = live_body & ~t1
+                    w = Window.partitionBy(fe_id)
+                    gate_df = (probe.df
+                               .withColumn("__fe_stopped", stop_flag)
+                               .withColumn(
+                                   "__fe_first_stop",
+                                   F.min(F.when(F.col("__fe_stopped"),
+                                                F.col(fe_pos))).over(w))
+                               .select(
+                                   fe_id, fe_pos,
+                                   (F.col("__fe_first_stop").isNull()
+                                    | (F.col(fe_pos) <=
+                                       F.col("__fe_first_stop")))
+                                   .alias("__fe_gate"),
+                                   F.col("__fe_stopped")))
+                    stopped = (gate_df.filter("__fe_stopped")
+                               .select(fe_id).distinct())
+                    exploded = exploded.join(
+                        gate_df.drop("__fe_stopped"),
+                        [fe_id, fe_pos], "left")
+                    live_body = live_body & F.coalesce(
+                        F.col("__fe_gate"), F.lit(True))
+                self.df = exploded
                 self._exec(s.body, live_body, depth)
+                # message is single again after the loop; a stop in
+                # the body kills the whole message (anti-join only
+                # compiled when the body can actually stop)
+                self.df = base
+                if stopped is not None:
+                    self.df = self.df.join(stopped, fe_id, "left_anti")
+                self.df = self.df.drop(fe_id)
             else:
                 raise TypeError(f"unknown statement {s!r}")
         return live
