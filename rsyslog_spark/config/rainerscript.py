@@ -251,7 +251,17 @@ class _Parser:
         args: list[Tok] = []
         while self.peek().kind != "eof" and self.peek().line == d.line:
             args.append(self.next())
-        raw = "".join(a.text for a in args)
+        # rebuild the argument string with its original spacing from
+        # token offsets (plain concat corrupts args containing spaces,
+        # e.g. $IncludeConfig paths or template option lists)
+        parts: list[str] = []
+        prev_end: int | None = None
+        for a in args:
+            if prev_end is not None and a.pos > prev_end:
+                parts.append(" " * (a.pos - prev_end))
+            parts.append(a.text)
+            prev_end = a.pos + len(a.text)
+        raw = "".join(parts)
         if name == "modload":
             self.cfg.modules.append({"load": raw})
         elif name == "template":
@@ -293,10 +303,21 @@ class _Parser:
         if "text" in params:
             texts.append(params["text"])
         if "file" in params:
-            pat = params["file"]
+            pat = params["file"].strip()
             if not os.path.isabs(pat):
                 pat = os.path.join(self.base_dir, pat)
-            hits = sorted(_glob.glob(pat))
+            # a directory argument ($IncludeConfig /etc/rsyslog.d/)
+            # includes the files INSIDE it, like the reference
+            if os.path.isdir(pat):
+                pat = os.path.join(pat, "*.conf")
+            hits = []
+            for h in sorted(_glob.glob(pat)):
+                if os.path.isdir(h):
+                    hits.extend(sorted(
+                        os.path.join(h, f) for f in os.listdir(h)
+                        if os.path.isfile(os.path.join(h, f))))
+                else:
+                    hits.append(h)
             if not hits and params.get("mode", "required") != "optional":
                 raise FileNotFoundError(f"include: no config matches {pat!r}")
             for h in hits:

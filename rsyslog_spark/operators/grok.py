@@ -67,6 +67,29 @@ def grok_compile(
     fields: list[tuple[str, int, str | None]] = []
     group_n = 0
 
+    def count_caps(chunk: str) -> int:
+        """Capture groups a literal regex chunk opens: unescaped ``(``
+        outside a character class, not followed by ``?``. Grok literal
+        text IS regex, so ``(foo|bar)`` in passthrough shifts every
+        later index — they must be counted."""
+        n = 0
+        i = 0
+        in_class = False
+        while i < len(chunk):
+            ch = chunk[i]
+            if ch == "\\":
+                i += 2
+                continue
+            if in_class:
+                if ch == "]":
+                    in_class = False
+            elif ch == "[":
+                in_class = True
+            elif ch == "(" and chunk[i + 1:i + 2] != "?":
+                n += 1
+            i += 1
+        return n
+
     def expand(p: str, depth: int) -> str:
         nonlocal group_n
         if depth > 10:
@@ -74,19 +97,27 @@ def grok_compile(
         out: list[str] = []
         pos = 0
         for m in _GROK_TOKEN.finditer(p):
-            out.append(p[pos:m.start()])
+            text = p[pos:m.start()]
+            out.append(text)
+            group_n += count_caps(text)
             pname, fname, cast = m.group(1), m.group(2), m.group(3)
             if pname not in dictionary:
                 raise ValueError(f"unknown grok pattern {pname!r}")
-            body = expand(dictionary[pname], depth + 1)
             if fname:
+                # the parent's "(" opens BEFORE any group inside the
+                # body — number it now, then expand (Java numbers
+                # groups by open-paren position)
                 group_n += 1
                 fields.append((fname, group_n, _CAST.get(cast or "")))
+                body = expand(dictionary[pname], depth + 1)
                 out.append(f"({body})")
             else:
+                body = expand(dictionary[pname], depth + 1)
                 out.append(f"(?:{body})")
             pos = m.end()
-        out.append(p[pos:])
+        tail = p[pos:]
+        out.append(tail)
+        group_n += count_caps(tail)
         return "".join(out)
 
     regex = expand(pattern, 0)

@@ -175,18 +175,29 @@ def normalize(
                 seen.setdefault(fname)
         fields = list(seen)
 
-    out = df
+    # ONE first-match CASE decides the winning rule; every field then
+    # extracts only `when(winner == i)`. Gating each field on its own
+    # rlike chain would let a LATER rule fill a field on a row won by
+    # an EARLIER rule that lacks the field — liblognorm leaves those
+    # unset (first match wins for the whole message, not per field).
+    winner = F.lit(None).cast("int")
+    for i, m in zip(range(len(rules) - 1, -1, -1), reversed(matches)):
+        winner = F.when(m, F.lit(i)).otherwise(winner)
+    wcol = "__nrm_winner"
+    out = df.withColumn(wcol, winner)
+    w = F.col(wcol)
+
     for name in fields:
         expr = F.lit(None).cast("string")
-        # build the otherwise-chain back to front: first rule wins
-        for r, m in zip(reversed(rules), reversed(matches)):
-            v = _rule_value(c, r, name)
+        for i in range(len(rules) - 1, -1, -1):
+            v = _rule_value(c, rules[i], name)
             if v is None:
                 continue
-            expr = F.when(m, v).otherwise(expr)
+            expr = F.when(w == i, v).otherwise(expr)
         out = out.withColumn(prefix + name, expr)
 
     tag_expr = F.lit(None).cast("string")
-    for r, m in zip(reversed(rules), reversed(matches)):
-        tag_expr = F.when(m, F.lit(",".join(r.tags))).otherwise(tag_expr)
-    return out.withColumn(rule_col, tag_expr)
+    for i in range(len(rules) - 1, -1, -1):
+        tag_expr = F.when(
+            w == i, F.lit(",".join(rules[i].tags))).otherwise(tag_expr)
+    return out.withColumn(rule_col, tag_expr).drop(wcol)

@@ -191,6 +191,34 @@ def _has_stop(stmts: Sequence[Stmt], rulesets: dict[str, Ruleset],
     return False
 
 
+def _set_targets(stmts: Sequence[Stmt], rulesets: dict[str, Ruleset],
+                 _seen: frozenset = frozenset()) -> set[str]:
+    """Column names a statement list can write via Set/Unset
+    (recursing into branches and called rulesets). Used by Foreach to
+    carry body variable writes back onto the per-message frame."""
+    out: set[str] = set()
+    for s in stmts:
+        if isinstance(s, (Set, Unset)):
+            out.add(varname(s.name))
+        elif isinstance(s, If):
+            out |= _set_targets(s.then, rulesets, _seen)
+            out |= _set_targets(s.orelse, rulesets, _seen)
+        elif isinstance(s, (PriFilt, PropFilt)):
+            out |= _set_targets(s.then, rulesets, _seen)
+        elif isinstance(s, Foreach):
+            out |= _set_targets(s.body, rulesets, _seen) - {varname(s.var)}
+        elif isinstance(s, Call):
+            if s.ruleset in rulesets and s.ruleset not in _seen:
+                out |= _set_targets(rulesets[s.ruleset].stmts, rulesets,
+                                    _seen | {s.ruleset})
+        elif isinstance(s, CallIndirect):
+            for rname, target in rulesets.items():
+                if rname not in _seen:
+                    out |= _set_targets(target.stmts, rulesets,
+                                        _seen | {rname})
+    return out
+
+
 def _prop_cond(df: DataFrame, s: PropFilt) -> Column:
     c = F.col(s.prop)
     if s.op == "contains":
@@ -223,8 +251,11 @@ class _Compiler:
         self.df = df
         self._stack = [rs.name]
         live = self._exec(rs.stmts, F.lit(True), depth=0)
-        # rows surviving the whole ruleset (not stopped)
-        return self.df.filter(live)
+        # rows surviving the whole ruleset (not stopped); internal
+        # bookkeeping columns (__fe_*) never leave the engine
+        out = self.df.filter(live)
+        return out.drop(*[c for c in out.columns
+                          if c.startswith("__fe_")])
 
     # Executes stmts under `live`; returns the survivor predicate
     # (live minus rows that hit a Stop).
@@ -257,8 +288,10 @@ class _Compiler:
                 live = F.lit(False)
             elif isinstance(s, Action):
                 snap = self.df.filter(live)
+                # inside a foreach body: keep the loop variable, drop
+                # every internal bookkeeping column (__fe_id/pos/gate)
                 snap = snap.drop(*[c for c in snap.columns
-                                   if c.startswith("__fe_id_")])
+                                   if c.startswith("__fe_")])
                 if s.transform is not None:
                     snap = s.transform(snap)
                 self.actions.append((s.name, snap))
@@ -318,14 +351,32 @@ class _Compiler:
                 # message again (ref: runtime/ruleset.c:310-401). A
                 # `stop` in the body kills the whole message AND skips
                 # the remaining iterations (interpreter order).
-                # Divergence note: variable mutations do NOT carry
-                # across iterations (columnar per-element model); they
-                # are visible within the element's own body run only.
+                # Variables the body writes are carried back as the
+                # LAST executed iteration's value (the reference
+                # mutates the message persistently via
+                # msgSetJSONFromVar, where each iteration overwrites).
+                # Divergence note: mutations do NOT accumulate ACROSS
+                # iterations (element N's body sees the pre-loop
+                # value, not element N-1's write) — running sums must
+                # use aggregate()/explode-groupBy instead of
+                # `set $.sum = $.sum + ...` in a body.
                 self._fe_ctr += 1
-                fe_id = f"__fe_id_{self._fe_ctr}"
-                fe_pos = f"__fe_pos_{self._fe_ctr}"
-                base = self.df.withColumn(
-                    fe_id, F.monotonically_increasing_id())
+                n = self._fe_ctr
+                fe_id = f"__fe_id_{n}"
+                fe_pos = f"__fe_pos_{n}"
+                fe_gate = f"__fe_gate_{n}"
+                # Deterministic per-message id: hash of the full row.
+                # monotonically_increasing_id is evaluated
+                # independently on the base and exploded lineages (and
+                # again on task retry), so ids could mismatch and the
+                # stop anti-join would drop the wrong messages.
+                # Identical duplicate rows share an id — semantically
+                # safe because the body is a pure function of the row
+                # (duplicates stop/carry identically); the gate/stop
+                # frames are deduped so join cardinality is preserved.
+                id_in = [F.to_json(F.struct(F.col(c))) if "map<" in t
+                         else F.col(c) for c, t in self.df.dtypes]
+                base = self.df.withColumn(fe_id, F.xxhash64(*id_in))
                 exploded = base.select(
                     "*",
                     F.posexplode_outer(F.when(live, arr))
@@ -339,6 +390,8 @@ class _Compiler:
                     # independent (no cross-iteration data flow), so
                     # the dry-run predicate equals the real one.
                     from pyspark.sql.window import Window
+                    fe_stopped = f"__fe_stopped_{n}"
+                    fe_first = f"__fe_first_stop_{n}"
                     probe = _Compiler(self.rulesets)
                     probe._stack = list(self._stack)
                     probe._fe_ctr = self._fe_ctr + 1000
@@ -347,33 +400,68 @@ class _Compiler:
                     stop_flag = live_body & ~t1
                     w = Window.partitionBy(fe_id)
                     gate_df = (probe.df
-                               .withColumn("__fe_stopped", stop_flag)
+                               .withColumn(fe_stopped, stop_flag)
                                .withColumn(
-                                   "__fe_first_stop",
-                                   F.min(F.when(F.col("__fe_stopped"),
+                                   fe_first,
+                                   F.min(F.when(F.col(fe_stopped),
                                                 F.col(fe_pos))).over(w))
                                .select(
                                    fe_id, fe_pos,
-                                   (F.col("__fe_first_stop").isNull()
+                                   (F.col(fe_first).isNull()
                                     | (F.col(fe_pos) <=
-                                       F.col("__fe_first_stop")))
-                                   .alias("__fe_gate"),
-                                   F.col("__fe_stopped")))
-                    stopped = (gate_df.filter("__fe_stopped")
+                                       F.col(fe_first)))
+                                   .alias(fe_gate),
+                                   F.col(fe_stopped)))
+                    stopped = (gate_df.filter(F.col(fe_stopped))
                                .select(fe_id).distinct())
                     exploded = exploded.join(
-                        gate_df.drop("__fe_stopped"),
+                        gate_df.drop(fe_stopped).distinct(),
                         [fe_id, fe_pos], "left")
                     live_body = live_body & F.coalesce(
-                        F.col("__fe_gate"), F.lit(True))
+                        F.col(fe_gate), F.lit(True))
                 self.df = exploded
                 self._exec(s.body, live_body, depth)
+                body_df = self.df
                 # message is single again after the loop; a stop in
-                # the body kills the whole message (anti-join only
-                # compiled when the body can actually stop)
+                # the body kills the whole message. The kill is a
+                # MARKER column narrowing `live` (not an anti-join):
+                # the predicate propagates through an enclosing
+                # foreach's stop probe, so a stop in a NESTED loop
+                # kills the outer message too (interpreter behavior).
                 self.df = base
                 if stopped is not None:
-                    self.df = self.df.join(stopped, fe_id, "left_anti")
+                    ms = f"__fe_msgstop_{n}"
+                    self.df = self.df.join(
+                        stopped.withColumn(ms, F.lit(True)),
+                        fe_id, "left")
+                    live = live & ~F.coalesce(F.col(ms), F.lit(False))
+                wrote = sorted(
+                    _set_targets(s.body, self.rulesets) - {name})
+                if wrote:
+                    # carry the last executed iteration's writes back
+                    # (max-struct keeps a NULL written by Unset, which
+                    # max_by would skip)
+                    fe_ran = f"__fe_ran_{n}"
+                    aggs = [
+                        F.max(F.struct(F.col(fe_pos).alias("p"),
+                                       F.col(c).alias("v")))
+                        .getField("v").alias(f"__fe_carry_{i}_{n}")
+                        for i, c in enumerate(wrote)]
+                    carry = (body_df.filter(live_body)
+                             .groupBy(fe_id).agg(*aggs)
+                             .withColumn(fe_ran, F.lit(True)))
+                    self.df = self.df.join(carry, fe_id, "left")
+                    for i, c in enumerate(wrote):
+                        cc = f"__fe_carry_{i}_{n}"
+                        prev = (F.col(c) if c in base.columns
+                                else F.lit(None))
+                        self.df = self.df.withColumn(
+                            c, F.when(F.coalesce(F.col(fe_ran),
+                                                 F.lit(False)),
+                                      F.col(cc)).otherwise(prev))
+                    self.df = self.df.drop(
+                        fe_ran, *[f"__fe_carry_{i}_{n}"
+                                  for i in range(len(wrote))])
                 self.df = self.df.drop(fe_id)
             else:
                 raise TypeError(f"unknown statement {s!r}")

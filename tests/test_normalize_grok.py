@@ -55,6 +55,33 @@ class TestNormalize:
         assert r2["size"] == 1234
         assert r3["event_tag"] is None and r3["user"] is None
 
+    def test_first_match_wins_whole_message(self, spark):
+        """A LATER rule that also matches and has a field the EARLIER
+        winning rule lacks must NOT fill that field — liblognorm's
+        first match wins for the whole message, not per field
+        (ref: plugins/mmnormalize/mmnormalize.c:1-5;
+        tests/testsuites unparsed-data pattern)."""
+        rb = """
+rule=short:evt %a:word%
+rule=long:evt %a:word% %b:word%
+"""
+        df = _df(spark, ["evt hello", "evt hello world"])
+        out = normalize(df, rb).collect()
+        # row 0: only rule "short" matches → a set, b NULL
+        assert out[0]["a"] == "hello" and out[0]["b"] is None
+        assert out[0]["event_tag"] == "short"
+        # row 1: BOTH match; "short" wins ("^...$" anchored, so only
+        # long matches here) — craft an overlap instead:
+        rb2 = """
+rule=first:x=%a:word% %-:rest%
+rule=second:x=%a:word% y=%b:word%
+"""
+        df2 = _df(spark, ["x=1 y=2"])
+        r = normalize(df2, rb2).collect()[0]
+        assert r["event_tag"] == "first"
+        assert r["a"] == "1"
+        assert r["b"] is None  # second matched too but first won
+
     def test_discard_and_field_pruning(self, spark):
         rules = [compile_rule(["t"], "%-:word% keep %k:word%")]
         df = _df(spark, ["junk keep me"])
@@ -94,6 +121,34 @@ class TestGrok:
     def test_unknown_pattern_raises(self):
         with pytest.raises(ValueError):
             grok_compile("%{NOPE:x}")
+
+    def test_nested_named_numbering(self, spark):
+        """A named pattern whose body contains named fields: the
+        parent's group opens FIRST (Java numbers by open paren), so
+        pair=1, k=2, v=3 — not k=1, v=2, pair=3."""
+        extra = {"KV": r"%{WORD:k}=%{WORD:v}"}
+        rx, fields = grok_compile("%{KV:pair}", extra_patterns=extra)
+        assert dict((n, g) for n, g, _ in fields) == \
+            {"pair": 1, "k": 2, "v": 3}
+        df = _df(spark, ["alpha=beta"])
+        r = mmgrok(df, "%{KV:pair}", extra_patterns=extra).collect()[0]
+        assert r["pair"] == "alpha=beta"
+        assert r["k"] == "alpha"
+        assert r["v"] == "beta"
+
+    def test_literal_group_in_passthrough(self, spark):
+        """Literal ``(foo|bar)`` in grok text is a real capture group
+        and shifts later indices."""
+        rx, fields = grok_compile(r"(foo|bar) %{INT:num:int}")
+        assert fields == [("num", 2, "long")]
+        df = _df(spark, ["foo 42", "bar 7"])
+        out = mmgrok(df, r"(foo|bar) %{INT:num:int}").collect()
+        assert out[0]["num"] == 42 and out[1]["num"] == 7
+
+    def test_literal_noncapture_and_class_parens(self):
+        """``(?:...)`` and ``(`` inside a char class don't count."""
+        rx, fields = grok_compile(r"(?:a|b) [()] \( %{WORD:w}")
+        assert fields == [("w", 1, None)]
 
 
 class TestVendors:

@@ -129,6 +129,87 @@ def test_foreach_explodes_live_rows(spark):
                    ("mail ok", "x"), ("mail ok", "y")]
 
 
+def test_foreach_stop_kills_message_and_tail_elements(spark):
+    # host a: items [x, BAD, y] — BAD stops: element y never runs,
+    # whole message dies; host b survives untouched
+    df = _mkdf(spark).withColumn(
+        "items",
+        F.when(F.col("hostname") == "a",
+               F.array(F.lit("x"), F.lit("BAD"), F.lit("y")))
+        .otherwise(F.array(F.lit("z"))),
+    )
+    eng = RulesetEngine([Ruleset("RSYSLOG_DefaultRuleset", [
+        Foreach("$.e", F.col("items"), body=[
+            Action("each"),
+            If(F.col(varname("$.e")) == "BAD", then=[Stop()]),
+        ]),
+        Action("after"),
+    ])])
+    actions, survivors = eng.run(df)
+    each = sorted((r.msg, r.local_e)
+                  for r in dict(actions)["each"].collect())
+    # element y is gated off (after the stopping element)
+    assert each == [("app info", "z"), ("kernel alert", "z"),
+                    ("mail err", "BAD"), ("mail err", "x"),
+                    ("mail ok", "BAD"), ("mail ok", "x")]
+    assert _names_rows(actions, "after") == ["app info", "kernel alert"]
+    assert sorted(r.msg for r in survivors.collect()) == \
+        ["app info", "kernel alert"]
+
+
+def test_nested_foreach_with_stop_compiles(spark):
+    # regression: the stop-gate column used a FIXED name, so a
+    # foreach-with-stop nested in another foreach-with-stop raised an
+    # ambiguous-column AnalysisException
+    df = _mkdf(spark).withColumn(
+        "outer", F.array(F.lit("o1"), F.lit("o2"))).withColumn(
+        "inner", F.array(F.lit("i1"), F.lit("STOPME")))
+    eng = RulesetEngine([Ruleset("RSYSLOG_DefaultRuleset", [
+        Foreach("$.o", F.col("outer"), body=[
+            Foreach("$.i", F.col("inner"), body=[
+                Action("pair"),
+                If(F.col(varname("$.i")) == "STOPME", then=[Stop()]),
+            ]),
+        ]),
+        Action("after"),
+    ])])
+    actions, survivors = eng.run(df)
+    # every message's inner loop hits STOPME → all messages die
+    assert _names_rows(actions, "after") == []
+    assert survivors.count() == 0
+    # but the pair action saw elements up to (and incl.) the stopper
+    pairs = {(r.local_o, r.local_i)
+             for r in dict(actions)["pair"].collect()}
+    assert ("o1", "i1") in pairs and ("o1", "STOPME") in pairs
+
+
+def test_foreach_carries_body_writes(spark):
+    # the reference mutates the message persistently in the body
+    # (msgSetJSONFromVar): after the loop the variable holds the last
+    # iteration's write
+    df = _mkdf(spark).withColumn(
+        "items",
+        F.when(F.col("hostname") == "a",
+               F.array(F.lit("x"), F.lit("y")))
+        .otherwise(F.array().cast("array<string>")),
+    )
+    eng = RulesetEngine([Ruleset("RSYSLOG_DefaultRuleset", [
+        Set("$!last", F.lit("pre")),
+        Foreach("$.e", F.col("items"), body=[
+            Set("$!last", F.upper(F.col(varname("$.e")))),
+            Set("$.seen", F.lit(1)),
+        ]),
+        Action("out"),
+    ])])
+    actions, _ = eng.run(df)
+    out = {r.msg: (r.cee_last, r.local_seen)
+           for r in dict(actions)["out"].collect()}
+    assert out["mail ok"] == ("Y", 1)     # last element's write
+    assert out["mail err"] == ("Y", 1)
+    assert out["kernel alert"] == ("pre", None)  # loop never ran
+    assert out["app info"] == ("pre", None)
+
+
 def test_action_transform_template(spark):
     df = _mkdf(spark)
     eng = RulesetEngine([Ruleset("RSYSLOG_DefaultRuleset", [

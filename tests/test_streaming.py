@@ -94,7 +94,14 @@ def test_streaming_dynstats_and_impstats(spark, tmp_path):
                        output_mode="complete")
         got = {r.key: r.n for r in spark.table("dyn_out").collect()}
         assert got == {"h0": 10, "h1": 10}
-        time.sleep(1)
+        # listener delivery is async (separate JVM callback thread) —
+        # poll-wait instead of a fixed sleep, which loses the race
+        # under load
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if any(s.get("event") == "progress" for s in listener.stats):
+                break
+            time.sleep(0.2)
         assert any(s.get("event") == "progress" for s in listener.stats)
         assert listener.as_log_lines()
     finally:
