@@ -26,26 +26,24 @@ BENCH_QUERIES = [
     "flagship_parse_route",
     "rfc5424_roundtrip_fields",
     "pri_filter_selectors",
-    "prop_filter_ops",
-    "template_csv_line",
-    "template_json_line",
-    "scalar_battery_strings",
-    "lookup_string_broadcast",
-    "lookup_sparse_join",
-    "mmjsonparse_extract",
+    "rs_expr_battery",
+    "template_render",
+    "scalar_battery",
+    "json_tree_battery",
+    "lookup_battery",
+    "lookup_sparse",
     "mmanon_embedded",
     "mmnormalize_extract",
     "mmgrok_access_log",
     "vendor_cleanup_battery",
     "property_replacer_battery",
     "dynstats_hourly",
-    "ratelimit_interval_burst",
+    "sendertrack_ratelimit",
     "repeated_msg_reduction_runs",
-    "sendertrack_stats",
     "dedup_exact",
     "minhash_lsh_dedup",
     "similarity_topk_bruteforce",
-    "text_quality_metrics",
+    "text_battery",
     "pricing_summary",
     "top_revenue_orders",
     "supplier_part_volume",

@@ -48,8 +48,8 @@ import rsyslog_spark.functions as rf
 from rsyslog_spark.expr import prifilt as prifilt_col
 from rsyslog_spark.expr import rs_cmp, rs_concat, rs_div, rs_mod, rs_str
 from rsyslog_spark.plans.ruleset import (
-    Action, Call, Foreach, If, PriFilt, PropFilt, Ruleset, Set, Stop,
-    Unset, varname,
+    Action, Call, CallIndirect, Foreach, If, PriFilt, PropFilt, Ruleset,
+    Set, Stop, Unset, varname,
 )
 
 # ---------------------------------------------------------------- lexer
@@ -170,6 +170,8 @@ class _Parser:
         # load_config before any statement lambda runs (lazy resolve)
         self.tables: dict[str, Any] = {}
         self._line_base = 1_000_000  # line-offset pool for includes
+        self.cfg = ParsedConfig(rulesets={})
+        self.cfg.active_tables = self.tables
 
     # -- token helpers -------------------------------------------------
     def peek(self, k: int = 0) -> Tok:
@@ -192,11 +194,18 @@ class _Parser:
             return True
         return False
 
+    # expression-AST → deferred Column closures, capturing THIS
+    # config's lookup tables and template registry (both dicts are
+    # mutated as parsing proceeds; the closures read them at run time)
+    def _cond(self, ast):
+        return _cond_fn(ast, self.tables, self.cfg.templates)
+
+    def _value(self, ast):
+        return _value_fn(ast, self.tables, self.cfg.templates)
+
     # -- config objects ------------------------------------------------
     def parse_config(self) -> ParsedConfig:
-        cfg = ParsedConfig(rulesets={})
-        cfg.active_tables = self.tables
-        self.cfg = cfg
+        cfg = self.cfg
         # legacy $Ruleset directive re-binds where top-level statements
         # land (ref: runtime/cfsysline.c $Ruleset / doc legacy format)
         self._legacy_rs = cfg.main
@@ -389,7 +398,7 @@ class _Parser:
             then = self.parse_block_or_stmt()
             orelse = self.parse_block_or_stmt() if self.accept("else") \
                 else []
-            return If(_cond_fn(cond, self.tables), then, orelse)
+            return If(self._cond(cond), then, orelse)
         if t.text == "set":
             self.next()
             var = self.next()
@@ -398,7 +407,7 @@ class _Parser:
             self.expect("=")
             expr = self.parse_expr()
             self.accept(";")
-            return Set(var.text, _value_fn(expr, self.tables))
+            return Set(var.text, self._value(expr))
         if t.text == "unset":
             self.next()
             var = self.next()
@@ -411,6 +420,14 @@ class _Parser:
         if t.text == "call":
             self.next()
             return Call(self.next().text)
+        if t.text == "call_indirect":
+            # call_indirect EXPR; — target ruleset name computed per
+            # row (ref: grammar/rainerscript.h:112-181 S_CALL_INDIRECT;
+            # runtime/ruleset.c:236-275)
+            self.next()
+            expr = self.parse_expr()
+            self.accept(";")
+            return CallIndirect(self._value(expr))
         if t.text == "foreach":
             # foreach ($.x in EXPR) do { stmts }
             self.next()
@@ -421,7 +438,7 @@ class _Parser:
             self.expect(")")
             self.accept("do")
             body = self.parse_block_or_stmt()
-            return Foreach(var, _value_fn(arr, self.tables), body)
+            return Foreach(var, self._value(arr), body)
         if t.text == "action":
             self.next()
             params = self.parse_param_block()
@@ -675,19 +692,60 @@ def _var_col(name: str, df: DataFrame | None = None) -> Column:
     return F.col(varname(name))
 
 
+# The full RainerScript function registry (ref: grammar/
+# rainerscript.c:4467-4510 plus contrib ffaup/fmhash/fmcef modules).
+# Signature adapters reorder args where the reference call order
+# differs from the Column-factory order (hashXXmod takes the modulus
+# FIRST python-side, LAST in config syntax).
 _FN_MAP: dict[str, Callable[..., Column]] = {
     "strlen": rf.strlen, "tolower": rf.tolower, "toupper": rf.toupper,
     "ltrim": rf.ltrim, "rtrim": rf.rtrim, "cstr": rf.cstr,
-    "cnum": rf.cnum, "replace": rf.replace, "wrap": rf.wrap,
-    "field": rf.field, "re_match": rf.re_match,
-    "re_extract": rf.re_extract, "substring": rf.substring,
-    "int2hex": rf.int2hex, "ipv42num": rf.ipv42num,
-    "num2ipv4": rf.num2ipv4, "prifilt": None,  # special-cased below
+    "cnum": rf.cnum, "cbool": rf.cbool, "replace": rf.replace,
+    "wrap": rf.wrap, "field": rf.field,
+    "re_match": rf.re_match, "re_match_i": rf.re_match_i,
+    "re_extract": rf.re_extract, "re_extract_i": rf.re_extract_i,
+    "substring": rf.substring, "int2hex": rf.int2hex,
+    "ipv42num": rf.ipv42num, "num2ipv4": rf.num2ipv4,
+    "is_in_subnet": rf.is_in_subnet,
+    "b64_decode": rf.b64_decode,
+    "format_time": rf.format_time, "parse_time": rf.parse_time,
+    "is_time": rf.is_time,
+    "getenv": rf.getenv_fn, "random": rf.random_fn,
+    "split": rf.split_fn,
+    "parse_json": rf.parse_json_variant,   # divergence: returns the
+    # parsed tree as a VALUE (the reference writes into a $! path and
+    # returns an error code — rainerscript.c parse_json)
+    "unflatten": rf.unflatten,
+    "hash32": rf.hash32, "hash64": rf.hash64,
+    "hash32mod": lambda s, mod: rf.hash32mod(int(mod), s),
+    "hash64mod": lambda s, mod: rf.hash64mod(int(mod), s),
+    "http_request": rf.http_request,       # Python path, flagged in
+    # functions/url.py — use only off the hot path
+    "faup": rf.faup, "faup_scheme": rf.faup_scheme,
+    "faup_host": rf.faup_host, "faup_domain": rf.faup_domain,
+    "faup_domain_without_tld": rf.faup_domain_without_tld,
+    "faup_tld": rf.faup_tld, "faup_subdomain": rf.faup_subdomain,
+    "faup_port": rf.faup_port, "faup_credential": rf.faup_credential,
+    "tocef": rf.tocef, "cef_ext_escape": rf.cef_ext_escape,
+    "prifilt": None,  # special-cased below (plan-time mask compile)
+}
+
+# Which argument positions are column-valued (a literal there must be
+# wrapped in F.lit, or ColumnOrName parameters would read it as a
+# column NAME). Everything else stays a raw Python value — regex
+# patterns, format names, delimiters, counts are plan-time constants
+# in the reference grammar too. Default: position 0 only.
+_FN_COLARGS: dict[str, object] = {
+    "getenv": frozenset(), "random": frozenset(),
+    "hash32": "all", "hash64": "all", "tocef": "all",
+    "replace": frozenset({0, 1, 2}),
+    "substring": frozenset({0}),
 }
 
 
 def _to_col(ast, df: DataFrame | None = None,
-            tables: dict[str, Any] | None = None) -> Column:
+            tables: dict[str, Any] | None = None,
+            templates: dict[str, Any] | None = None) -> Column:
     kind = ast[0]
     if kind == "lit":
         return F.lit(ast[1])
@@ -698,13 +756,13 @@ def _to_col(ast, df: DataFrame | None = None,
     if kind == "cmp":
         _, op, l, r = ast
         if ast[3][0] == "array" and op in ("==", "!="):
-            c = rs_str(_to_col(l, df, tables)).isin(
+            c = rs_str(_to_col(l, df, tables, templates)).isin(
                 [str(x) for x in ast[3][1]])
             return c if op == "==" else ~c
         if op in ("contains", "startswith", "endswith", "contains_i",
                   "startswith_i", "isequal", "regex"):
-            lc = rs_str(_to_col(l, df, tables))
-            rc = rs_str(_to_col(r, df, tables))
+            lc = rs_str(_to_col(l, df, tables, templates))
+            rc = rs_str(_to_col(r, df, tables, templates))
             if op.endswith("_i"):
                 lc, rc = F.lower(lc), F.lower(rc)
                 op = op[:-2]
@@ -718,26 +776,26 @@ def _to_col(ast, df: DataFrame | None = None,
             }[op]
         if op == "<>":
             op = "!="
-        return rs_cmp(_to_col(l, df, tables), _to_col(r, df, tables), op)
+        return rs_cmp(_to_col(l, df, tables, templates), _to_col(r, df, tables, templates), op)
     if kind in ("and", "or"):
-        l, r = _to_col(ast[1], df, tables), _to_col(ast[2], df, tables)
+        l, r = _to_col(ast[1], df, tables, templates), _to_col(ast[2], df, tables, templates)
         return (l & r) if kind == "and" else (l | r)
     if kind == "not":
-        return ~_to_col(ast[1], df, tables)
+        return ~_to_col(ast[1], df, tables, templates)
     if kind == "concat":
-        return rs_concat(_to_col(ast[1], df, tables),
-                         _to_col(ast[2], df, tables))
+        return rs_concat(_to_col(ast[1], df, tables, templates),
+                         _to_col(ast[2], df, tables, templates))
     if kind in ("+", "-", "*"):
-        l, r = _to_col(ast[1], df, tables), _to_col(ast[2], df, tables)
+        l, r = _to_col(ast[1], df, tables, templates), _to_col(ast[2], df, tables, templates)
         return {"+": l + r, "-": l - r, "*": l * r}[kind]
     if kind == "/":
-        return rs_div(_to_col(ast[1], df, tables),
-                      _to_col(ast[2], df, tables))
+        return rs_div(_to_col(ast[1], df, tables, templates),
+                      _to_col(ast[2], df, tables, templates))
     if kind == "%":
-        return rs_mod(_to_col(ast[1], df, tables),
-                      _to_col(ast[2], df, tables))
+        return rs_mod(_to_col(ast[1], df, tables, templates),
+                      _to_col(ast[2], df, tables, templates))
     if kind == "neg":
-        return -_to_col(ast[1], df, tables)
+        return -_to_col(ast[1], df, tables, templates)
     if kind == "callfn":
         _, name, args = ast
         if name == "lookup":
@@ -747,30 +805,52 @@ def _to_col(ast, df: DataFrame | None = None,
             tbl = (tables or {}).get(tname)
             if tbl is None:
                 raise KeyError(f"lookup table {tname!r} not loaded")
-            return tbl.lookup(_to_col(args[1], df, tables))
+            return tbl.lookup(_to_col(args[1], df, tables, templates))
         if name == "prifilt":
             if args[0][0] != "lit":
                 raise SyntaxError("prifilt needs a literal spec")
             return prifilt_col(str(args[0][1]))
         if name == "exists":
-            return _to_col(args[0], df, tables).isNotNull()
+            return _to_col(args[0], df, tables, templates).isNotNull()
+        if name == "exec_template":
+            # exec_template("name"): render a registered template into
+            # a string Column (ref: rainerscript exec_template; our
+            # string templates compile to one concat expression)
+            if args[0][0] != "lit":
+                raise SyntaxError(
+                    "exec_template needs a literal template name")
+            tname = str(args[0][1])
+            tpl = (templates or {}).get(tname)
+            if tpl is None:
+                raise KeyError(f"template {tname!r} not defined")
+            if not hasattr(tpl, "col"):
+                raise SyntaxError(
+                    f"template {tname!r} is not a string template")
+            return rf.exec_template(tpl)
         fn = _FN_MAP.get(name)
         if fn is None:
             raise SyntaxError(f"unknown function {name!r}")
-        cooked = [a[1] if a[0] == "lit" else _to_col(a, df, tables)
+        cooked = [a[1] if a[0] == "lit" else _to_col(a, df, tables, templates)
                   for a in args]
+        colargs = _FN_COLARGS.get(name, frozenset({0}))
+        idxs = range(len(cooked)) if colargs == "all" else colargs
+        for i in idxs:
+            if i < len(cooked) and not isinstance(cooked[i], Column):
+                cooked[i] = F.lit(cooked[i])
         return fn(*cooked)
     raise SyntaxError(f"bad AST node {ast!r}")
 
 
-def _cond_fn(ast, tables: dict[str, Any] | None = None
+def _cond_fn(ast, tables: dict[str, Any] | None = None,
+             templates: dict[str, Any] | None = None
              ) -> Callable[[DataFrame], Column]:
-    return lambda df: _to_col(ast, df, tables)
+    return lambda df: _to_col(ast, df, tables, templates)
 
 
-def _value_fn(ast, tables: dict[str, Any] | None = None
+def _value_fn(ast, tables: dict[str, Any] | None = None,
+              templates: dict[str, Any] | None = None
               ) -> Callable[[DataFrame], Column]:
-    return lambda df: _to_col(ast, df, tables)
+    return lambda df: _to_col(ast, df, tables, templates)
 
 
 def _make_action(params: dict[str, str]):

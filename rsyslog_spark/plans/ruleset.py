@@ -142,8 +142,22 @@ class CallIndirect:
 
 @dataclass
 class Foreach:
-    """foreach ($.elem in EXPR) — explode a JSON array column into the
-    loop variable; body statements see one row per element."""
+    """foreach ($.elem in EXPR) — explode a collection column into the
+    loop variable; body statements see one row per element.
+
+    Collection kinds (ref: runtime/ruleset.c:310-401 — the reference
+    iterates JSON arrays element-wise and JSON OBJECTS as {key,value}
+    pairs):
+
+    * array column → loop var bound to the element
+    * map column → loop var bound to a {key,value} struct; the flat
+      companion columns ``<var>_key`` / ``<var>_value`` mirror the
+      reference's ``$.v!key`` / ``$.v!value`` access (varname maps
+      ``$.v!key`` → ``local_v_key``)
+    * string column → parsed as a JSON object (map<string,string>)
+      and iterated as above; JSON-array strings should be cast to a
+      real array upstream (split()/from_json)
+    """
     var: str
     array: Union[Column, Callable[[DataFrame], Column]]
     body: Sequence["Stmt"] = dc_field(default_factory=list)
@@ -344,6 +358,21 @@ class _Compiler:
             elif isinstance(s, Foreach):
                 arr = s.array(self.df) if callable(s.array) else s.array
                 name = varname(s.var)
+                # object iteration: maps (and JSON-object strings)
+                # explode as {key,value} entry structs — the
+                # reference's execForeach object path
+                # (runtime/ruleset.c:310-401)
+                from pyspark.sql.types import MapType, StringType
+                probe_t = self.df.select(arr.alias("__fe_probe")) \
+                    .schema[0].dataType
+                is_obj = False
+                if isinstance(probe_t, StringType):
+                    arr = F.map_entries(
+                        F.from_json(arr, "map<string,string>"))
+                    is_obj = True
+                elif isinstance(probe_t, MapType):
+                    arr = F.map_entries(arr)
+                    is_obj = True
                 # The body runs on a BRANCHED frame: posexplode the
                 # array (one row per element, loop var bound), execute
                 # the body there, then restore the single-row-per-
@@ -381,6 +410,10 @@ class _Compiler:
                     "*",
                     F.posexplode_outer(F.when(live, arr))
                     .alias(fe_pos, name))
+                if is_obj:
+                    exploded = exploded.withColumn(
+                        f"{name}_key", F.col(name)["key"]).withColumn(
+                        f"{name}_value", F.col(name)["value"])
                 live_body = live & F.col(name).isNotNull()
                 stopped = None
                 if _has_stop(s.body, self.rulesets):

@@ -32,14 +32,15 @@ def q(name, oracle, doc=""):
     return deco
 
 
-_RENDER_CACHE: list = []
+_RENDER_CACHE: dict = {}   # keyed by SparkSession: JVM-backed Columns
+                           # go stale across session restarts
 
 
 def _events_syslog_lines(spark, sf_dir):
     """Render events as RFC5424 wire lines (the omfwd template path)."""
     ev = load(spark, sf_dir, "events")
-    if _RENDER_CACHE:
-        return ev.select(_RENDER_CACHE[0].alias("line"))
+    if spark in _RENDER_CACHE:
+        return ev.select(_RENDER_CACHE[spark].alias("line"))
     sev = (F.col("event_id") % 8).cast("int")
     fac = (F.col("user_id") % 24).cast("int")
     pri = fac * 8 + sev
@@ -55,7 +56,7 @@ def _events_syslog_lines(spark, sf_dir):
         F.col("user_id").cast("string"), F.lit(" ID"),
         (F.col("event_id") % 10).cast("string"), F.lit(" - "), msg,
     )
-    _RENDER_CACHE.append(line)
+    _RENDER_CACHE[spark] = line
     return ev.select(line.alias("line"))
 
 
@@ -146,84 +147,57 @@ def pri_filter_selectors(spark, sf_dir):
 
 
 @q(
-    "prop_filter_ops",
+    "rs_expr_battery",
     """
-    SELECT
-      CAST(SUM(CASE WHEN event_type LIKE '%rror%' THEN 1 ELSE 0 END) AS BIGINT)  AS n_contains,
-      CAST(SUM(CASE WHEN event_type LIKE 'sign%' THEN 1 ELSE 0 END) AS BIGINT)   AS n_startswith,
-      CAST(SUM(CASE WHEN event_type LIKE '%ase' THEN 1 ELSE 0 END) AS BIGINT)    AS n_endswith,
-      CAST(SUM(CASE WHEN regexp_matches(event_type, '^(view|click)$') THEN 1 ELSE 0 END) AS BIGINT) AS n_regex,
-      CAST(SUM(CASE WHEN event_type = '' THEN 1 ELSE 0 END) AS BIGINT)           AS n_isempty,
-      CAST(SUM(CASE WHEN event_type NOT LIKE '%rror%' THEN 1 ELSE 0 END) AS BIGINT) AS n_negated
+    SELECT event_type,
+           CAST(SUM(CASE WHEN COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) >= 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_k_ge_50,
+           CAST(SUM(CASE WHEN event_type = '9' THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_str9,
+           CAST(SUM(CASE WHEN (event_id % 5) = 0 THEN 0
+                    ELSE CAST(TRUNC(CAST(FLOOR(value * 100) AS BIGINT)
+                              / (event_id % 5)) AS BIGINT) END) AS BIGINT) AS sum_div,
+           CAST(SUM(CASE WHEN (event_id % 5) = 0 THEN 0
+                    ELSE CAST(FLOOR(value * 100) AS BIGINT) % (event_id % 5) END) AS BIGINT) AS sum_mod,
+           CAST(SUM(CASE WHEN event_type LIKE '%rror%' THEN 1 ELSE 0 END) AS BIGINT)  AS n_contains,
+           CAST(SUM(CASE WHEN event_type LIKE 'sign%' THEN 1 ELSE 0 END) AS BIGINT)   AS n_startswith,
+           CAST(SUM(CASE WHEN event_type LIKE '%ase' THEN 1 ELSE 0 END) AS BIGINT)    AS n_endswith,
+           CAST(SUM(CASE WHEN regexp_matches(event_type, '^(view|click)$') THEN 1 ELSE 0 END) AS BIGINT) AS n_regex,
+           CAST(SUM(CASE WHEN event_type = '' THEN 1 ELSE 0 END) AS BIGINT)           AS n_isempty,
+           CAST(SUM(CASE WHEN event_type NOT LIKE '%rror%' THEN 1 ELSE 0 END) AS BIGINT) AS n_negated
     FROM events
+    GROUP BY event_type
     """,
-    doc="Property-filter compare ops: contains/startswith/endswith/"
-        "regex/isempty + negation (ref: runtime/typedefs.h:172-179, "
-        "ruleset.c:424-500).",
+    doc="RainerScript expression battery, one row per event_type: "
+        "numeric-first comparison coercion ('$!k' JSON string vs "
+        "'50', string fallback when non-numeric — ref: grammar/"
+        "rainerscript.c:3839-3960), division/modulo by zero -> 0 "
+        "(rainerscript.c:3803-3812), and the property-filter compare "
+        "ops contains/startswith/endswith/regex/isempty + negation "
+        "(runtime/typedefs.h:172-179, ruleset.c:424-500).",
 )
-def prop_filter_ops(spark, sf_dir):
+def rs_expr_battery(spark, sf_dir):
+    from rsyslog_spark.expr import rs_mod
+
     ev = load(spark, sf_dir, "events")
+    k = rf.json_get("props", "k")
     t = F.col("event_type")
+    num = F.floor(F.col("value") * 100).cast("long")
+    den = (F.col("event_id") % 5).cast("long")
+
     def cnt(cond):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
-    return ev.agg(
+
+    return ev.groupBy("event_type").agg(
+        cnt(rs_cmp(k, F.lit("50"), ">=")).alias("n_k_ge_50"),
+        cnt(rs_cmp(t, F.lit(9), "==")).alias("n_eq_str9"),
+        F.sum(rs_div(num, den)).cast("long").alias("sum_div"),
+        F.sum(rs_mod(num, den)).cast("long").alias("sum_mod"),
         cnt(t.contains("rror")).alias("n_contains"),
         cnt(t.startswith("sign")).alias("n_startswith"),
         cnt(t.endswith("ase")).alias("n_endswith"),
         cnt(t.rlike("^(view|click)$")).alias("n_regex"),
         cnt(F.length(t) == 0).alias("n_isempty"),
         cnt(~t.contains("rror")).alias("n_negated"),
-    )
-
-
-@q(
-    "rs_cmp_coercion",
-    """
-    SELECT event_type,
-           CAST(SUM(CASE WHEN COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) >= 50
-                    THEN 1 ELSE 0 END) AS BIGINT) AS n_k_ge_50,
-           CAST(SUM(CASE WHEN event_type = '9' THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_str9
-    FROM events
-    GROUP BY event_type
-    """,
-    doc="rsyslog numeric-first comparison: '$!k' (a JSON string) "
-        "compared numerically against '50'; string fallback when one "
-        "side is non-numeric (ref: grammar/rainerscript.c:3839-3960).",
-)
-def rs_cmp_coercion(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    k = rf.json_get("props", "k")
-    def cnt(cond):
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
-    return ev.groupBy("event_type").agg(
-        cnt(rs_cmp(k, F.lit("50"), ">=")).alias("n_k_ge_50"),
-        cnt(rs_cmp(F.col("event_type"), F.lit(9), "==")).alias("n_eq_str9"),
-    )
-
-
-@q(
-    "rs_arith_div0",
-    """
-    SELECT event_type,
-           CAST(SUM(CASE WHEN (event_id % 5) = 0 THEN 0
-                    ELSE CAST(TRUNC(CAST(FLOOR(value * 100) AS BIGINT)
-                              / (event_id % 5)) AS BIGINT) END) AS BIGINT) AS sum_div,
-           CAST(SUM(CASE WHEN (event_id % 5) = 0 THEN 0
-                    ELSE CAST(FLOOR(value * 100) AS BIGINT) % (event_id % 5) END) AS BIGINT) AS sum_mod
-    FROM events
-    GROUP BY event_type
-    """,
-    doc="Division/modulo by zero yields 0, not NULL/error "
-        "(ref: grammar/rainerscript.c:3803-3812).",
-)
-def rs_arith_div0(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    num = F.floor(F.col("value") * 100).cast("long")
-    den = (F.col("event_id") % 5).cast("long")
-    from rsyslog_spark.expr import rs_mod
-    return ev.groupBy("event_type").agg(
-        F.sum(rs_div(num, den)).cast("long").alias("sum_div"),
-        F.sum(rs_mod(num, den)).cast("long").alias("sum_mod"),
     )
 
 
@@ -249,88 +223,39 @@ def field_extract(spark, sf_dir):
 
 
 @q(
-    "template_csv_line",
+    "template_render",
     """
     SELECT event_id,
            '"' || CAST(event_id AS VARCHAR) || '","'
                || replace(event_type, '"', '""') || '","'
-               || replace(props, '"', '""') || '"' AS csv
-    FROM events
-    WHERE event_id < 500
-    """,
-    doc="CSV template output (RFC4180 quoting, ref: template.h:160-166 "
-        "OPT_CSV) — props contains quote characters so escaping is "
-        "actually exercised.",
-)
-def template_csv_line(spark, sf_dir):
-    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
-    return ev.select(
-        "event_id",
-        csv_line([F.col("event_id").cast("string"),
-                  F.col("event_type"), F.col("props")]).alias("csv"),
-    )
-
-
-@q(
-    "template_json_line",
-    """
-    SELECT event_id,
+               || replace(props, '"', '""') || '"' AS csv,
            to_json(struct_pack(id := event_id, etype := event_type,
                                host := 'h' || CAST(user_id % 10 AS VARCHAR))) AS j
     FROM events
     WHERE event_id < 500
     """,
-    doc="jsonf template → one JSON object per row "
-        "(ref: template.h:165-178).",
+    doc="Template output modes: CSV line (RFC4180 quoting, ref: "
+        "template.h:160-166 OPT_CSV — props contains quote characters "
+        "so escaping is actually exercised) and jsonf typed-field JSON "
+        "object per row (template.h:165-178).",
 )
-def template_json_line(spark, sf_dir):
+def template_render(spark, sf_dir):
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     host = F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))
     return ev.select(
         "event_id",
+        csv_line([F.col("event_id").cast("string"),
+                  F.col("event_type"), F.col("props")]).alias("csv"),
         jsonf({"id": F.col("event_id"), "etype": F.col("event_type"),
                "host": host}).alias("j"),
     )
 
 
 @q(
-    "scalar_battery_strings",
-    """
-    SELECT event_id,
-           length(event_type) AS len,
-           upper(event_type) AS up,
-           substr(event_type, 2, 3) AS sub,
-           replace(event_type, 'e', 'E') AS repl,
-           lower(to_hex(event_id)) AS hexid,
-           event_type AS b64rt,
-           ltrim(rtrim(' ' || event_type || ' ')) AS trimmed
-    FROM events
-    WHERE event_id < 500
-    """,
-    doc="Scalar battery: strlen/toupper/substring/replace/int2hex/"
-        "b64 roundtrip/trim (ref registry grammar/rainerscript.c:"
-        "4467-4510).",
-)
-def scalar_battery_strings(spark, sf_dir):
-    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
-    t = F.col("event_type")
-    return ev.select(
-        "event_id",
-        rf.strlen(t).cast("long").alias("len"),
-        rf.toupper(t).alias("up"),
-        rf.substring(t, 1, 3).alias("sub"),
-        rf.replace(t, "e", "E").alias("repl"),
-        rf.int2hex("event_id").alias("hexid"),
-        rf.b64_decode(F.base64(t.cast("binary"))).alias("b64rt"),
-        rf.ltrim(rf.rtrim(F.concat(F.lit(" "), t, F.lit(" ")))).alias("trimmed"),
-    )
-
-
-@q(
-    "scalar_battery_net",
+    "scalar_battery",
     """
     WITH ips AS (
-      SELECT event_id,
+      SELECT *,
              user_id % 256 AS o2,
              '10.' || CAST(user_id % 256 AS VARCHAR) || '.'
                    || CAST(event_id % 256 AS VARCHAR) || '.'
@@ -339,55 +264,70 @@ def scalar_battery_strings(spark, sf_dir):
                   + (event_id % 256) * 256 + (event_id * 7) % 256 AS BIGINT) AS ipnum
       FROM events WHERE event_id < 500
     )
-    SELECT event_id, ip, ipnum AS ip2num,
-           ip AS roundtrip,
-           CASE WHEN o2 < 128 THEN TRUE ELSE FALSE END AS in_subnet
-    FROM ips
-    """,
-    doc="ipv42num / num2ipv4 / is_in_subnet over synthesized dotted "
-        "quads (ref rs-ip42num.rst, rs-num2ip.rst; fmhash-family).",
-)
-def scalar_battery_net(spark, sf_dir):
-    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
-    ip = F.concat_ws(
-        ".", F.lit("10"), (F.col("user_id") % 256).cast("string"),
-        (F.col("event_id") % 256).cast("string"),
-        ((F.col("event_id") * 7) % 256).cast("string"),
-    )
-    df = ev.select("event_id", ip.alias("ip"))
-    return df.select(
-        "event_id", "ip",
-        rf.ipv42num("ip").alias("ip2num"),
-        rf.num2ipv4(rf.ipv42num("ip")).alias("roundtrip"),
-        rf.is_in_subnet("ip", "10.0.0.0/9").alias("in_subnet"),
-    )
-
-
-@q(
-    "scalar_battery_time",
-    """
     SELECT event_id,
+           length(event_type) AS len,
+           upper(event_type) AS up,
+           substr(event_type, 2, 3) AS sub,
+           replace(event_type, 'e', 'E') AS repl,
+           lower(to_hex(event_id)) AS hexid,
+           event_type AS b64rt,
+           ltrim(rtrim(' ' || event_type || ' ')) AS trimmed,
+           ip, ipnum AS ip2num, ip AS roundtrip,
+           CASE WHEN o2 < 128 THEN TRUE ELSE FALSE END AS in_subnet,
            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS unixts,
            strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS rfc3339,
            CASE WHEN day(ts) < 10
                 THEN strftime(ts, '%b  ') || CAST(day(ts) AS VARCHAR) || strftime(ts, ' %H:%M:%S')
                 ELSE strftime(ts, '%b %-d %H:%M:%S') END AS rfc3164,
-           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS parsed_back
-    FROM events WHERE event_id < 500
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS parsed_back,
+           'CEF:0|acme|engine|1.0|' || CAST(event_id % 10 AS VARCHAR)
+             || '|' || event_type || '|' || CAST(event_id % 8 AS VARCHAR)
+             || '|k\\=' || replace(replace(props, '\\', '\\\\'), '=', '\\=') AS cef
+    FROM ips
     """,
-    doc="format_time/parse_time battery: RFC3339 + RFC3164 rendering "
-        "and parse roundtrip (ref rs-format_time.rst).",
+    doc="Scalar function battery over one frame: strlen/toupper/"
+        "substring/replace/int2hex/b64 roundtrip/trim (ref registry "
+        "grammar/rainerscript.c:4467-4510), ipv42num/num2ipv4/"
+        "is_in_subnet (rs-ip42num.rst, rs-num2ip.rst), format_time/"
+        "parse_time RFC3339+RFC3164 roundtrip (rs-format_time.rst), "
+        "and tocef/cef_ext_escape (SURVEY §2.5). All JVM Column "
+        "factories — zero Python in the row path.",
 )
-def scalar_battery_time(spark, sf_dir):
+def scalar_battery(spark, sf_dir):
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    t = F.col("event_type")
+    ip = F.concat_ws(
+        ".", F.lit("10"), (F.col("user_id") % 256).cast("string"),
+        (F.col("event_id") % 256).cast("string"),
+        ((F.col("event_id") * 7) % 256).cast("string"),
+    )
     unixts = F.unix_timestamp("ts")
-    return ev.select(
+    ext = F.concat(F.lit("k="), F.col("props"))
+    df = ev.withColumn("ip", ip)
+    return df.select(
         "event_id",
+        rf.strlen(t).cast("long").alias("len"),
+        rf.toupper(t).alias("up"),
+        rf.substring(t, 1, 3).alias("sub"),
+        rf.replace(t, "e", "E").alias("repl"),
+        rf.int2hex("event_id").alias("hexid"),
+        rf.b64_decode(F.base64(t.cast("binary"))).alias("b64rt"),
+        rf.ltrim(rf.rtrim(F.concat(F.lit(" "), t, F.lit(" ")))).alias("trimmed"),
+        "ip",
+        rf.ipv42num("ip").alias("ip2num"),
+        rf.num2ipv4(rf.ipv42num("ip")).alias("roundtrip"),
+        rf.is_in_subnet("ip", "10.0.0.0/9").alias("in_subnet"),
         unixts.cast("long").alias("unixts"),
         rf.format_time(unixts, "date-rfc3339").alias("rfc3339"),
         rf.format_time(unixts, "date-rfc3164").alias("rfc3164"),
         rf.parse_time(rf.format_time(unixts, "date-rfc3339"))
         .cast("long").alias("parsed_back"),
+        rf.tocef(
+            F.lit("0"), F.lit("acme"), F.lit("engine"), F.lit("1.0"),
+            (F.col("event_id") % 10).cast("string"), t,
+            (F.col("event_id") % 8).cast("string"),
+            rf.cef_ext_escape(ext),
+        ).alias("cef"),
     )
 
 
@@ -422,31 +362,6 @@ def faup_url_decompose(spark, sf_dir):
         rf.faup_subdomain("u").alias("subdomain"),
         rf.faup_domain_without_tld("u").alias("domain_no_tld"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
-
-
-@q(
-    "cef_format",
-    """
-    SELECT event_id,
-           'CEF:0|acme|engine|1.0|' || CAST(event_id % 10 AS VARCHAR)
-             || '|' || event_type || '|' || CAST(event_id % 8 AS VARCHAR)
-             || '|k\\=' || replace(replace(props, '\\', '\\\\'), '=', '\\=') AS cef
-    FROM events WHERE event_id < 500
-    """,
-    doc="tocef + cef_ext_escape (SURVEY §2.5).",
-)
-def cef_format(spark, sf_dir):
-    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
-    ext = F.concat(F.lit("k="), F.col("props"))
-    return ev.select(
-        "event_id",
-        rf.tocef(
-            F.lit("0"), F.lit("acme"), F.lit("engine"), F.lit("1.0"),
-            (F.col("event_id") % 10).cast("string"), F.col("event_type"),
-            (F.col("event_id") % 8).cast("string"),
-            rf.cef_ext_escape(ext),
-        ).alias("cef"),
-    )
 
 
 @q(
@@ -557,29 +472,43 @@ def property_replacer_battery(spark, sf_dir):
 
 
 @q(
-    "variant_json_tree",
+    "json_tree_battery",
     """
     SELECT event_type,
            COUNT(*) AS cnt,
            CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
                AS sum_k,
            CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(SUM(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k_mm,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_parsed
     FROM events GROUP BY event_type
     """,
-    doc="$! JSON tree via Spark 4 VARIANT: parse_json once, "
-        "variant_get per path (ref: runtime/msg.c:240,3099 "
-        "jsonPathFindParent/getJSONPropVal; SURVEY §1.1 json column). "
-        "The VARIANT column amortizes repeated deep access vs "
-        "get_json_object re-parsing the string per path.",
+    doc="$! JSON tree, two access paths cross-checked on one frame: "
+        "(a) Spark 4 VARIANT — parse_json once, variant_get per path "
+        "(ref: runtime/msg.c:240,3099 jsonPathFindParent/"
+        "getJSONPropVal; SURVEY §1.1 json column; amortizes repeated "
+        "deep access vs get_json_object re-parsing per path) and "
+        "(b) the mmjsonparse operator (CEE/JSON payload -> $! tree, "
+        "ref: plugins/mmjsonparse/mmjsonparse.c) with json_get field "
+        "extraction.",
 )
-def variant_json_tree(spark, sf_dir):
+def json_tree_battery(spark, sf_dir):
+    from rsyslog_spark.operators.mm import mmjsonparse
+
     ev = load(spark, sf_dir, "events")
+    parsed = mmjsonparse(ev, msg_col="props", out_col="cee")
     v = F.parse_json(F.col("props"))
     k = F.try_variant_get(v, "$.k", "long")
-    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+    kmm = rf.json_get("cee", "k")
+    return parsed.select(
+        "event_type", k.alias("k"), kmm.alias("kmm_s"),
+        rf.json_get_num("cee", "k").alias("kmm_n"),
+    ).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("k").cast("long").alias("sum_k"),
         F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long")
         .alias("n_big"),
+        F.sum("kmm_n").cast("long").alias("sum_k_mm"),
+        F.count("kmm_s").cast("long").alias("n_parsed"),
     )

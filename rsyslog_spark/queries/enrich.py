@@ -16,7 +16,7 @@ from rsyslog_spark.operators.lookup import (
     LookupTable, lookup_join, sparse_lookup_join,
 )
 from rsyslog_spark.operators.mm import (
-    anon_ipv4_col, mmfields, mmjsonparse, mmpstrucdata,
+    anon_ipv4_col, mmfields, mmpstrucdata,
 )
 from rsyslog_spark.queries import Query, load
 
@@ -31,91 +31,87 @@ def q(name, oracle, doc=""):
 
 
 @q(
-    "lookup_string_broadcast",
+    "lookup_battery",
     """
-    SELECT r.r_name AS region, COUNT(*) AS n_customers,
-           ROUND(SUM(c.c_acctbal), 2) AS sum_bal
+    SELECT 'string' AS ltype, r.r_name AS key, COUNT(*) AS cnt
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
+    UNION ALL
+    SELECT 'array' AS ltype, n.n_name AS key, COUNT(*) AS cnt
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    UNION ALL
+    SELECT 'regex' AS ltype,
+           CASE WHEN regexp_matches(event_type, '^err') THEN 'incident'
+                WHEN regexp_matches(event_type, '^(purchase|signup)') THEN 'conversion'
+                WHEN regexp_matches(event_type, 'ick') THEN 'engagement'
+                ELSE 'other' END AS key,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 2
     """,
-    doc="string-type lookup as broadcast equi-join chain "
-        "(ref: runtime/lookup.c lookupKey_str; fact side never "
-        "shuffles for the join — only for the final agg).",
+    doc="lookup() table types on one frame-per-type union: string "
+        "type as broadcast equi-join chain (ref: runtime/lookup.c "
+        "lookupKey_str; fact side never shuffles for the join), array "
+        "type as dense-int-index literal element_at with zero join "
+        "(lookup_tables.rst array; lookupKey_arr), regex type as "
+        "first-matching-pattern-wins chain (lookup_tables.rst regex; "
+        "ordered scan).",
 )
-def lookup_string_broadcast(spark, sf_dir):
+def lookup_battery(spark, sf_dir):
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
+    ev = load(spark, sf_dir, "events")
+
     df = lookup_join(cust, nation.select("n_nationkey", "n_regionkey"),
                      "c_nationkey", "n_nationkey")
     df = lookup_join(df, region, "n_regionkey", "r_regionkey")
-    return df.groupBy(F.col("r_name").alias("region")).agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    s = df.groupBy(F.col("r_name").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+    entries = [(r["n_nationkey"], r["n_name"])
+               for r in nation.select("n_nationkey", "n_name").collect()]
+    arr_table = LookupTable(type="array", nomatch="unknown",
+                            entries=entries)
+    a = cust.groupBy(arr_table.lookup("c_nationkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+    rx_table = LookupTable(
+        type="regex", nomatch="other",
+        entries=[("^err", "incident"), ("^(purchase|signup)", "conversion"),
+                 ("ick", "engagement")],
+    )
+    r = ev.groupBy(rx_table.lookup("event_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+    return (
+        s.select(F.lit("string").alias("ltype"), "key", "cnt")
+        .unionByName(a.select(F.lit("array").alias("ltype"), "key", "cnt"))
+        .unionByName(r.select(F.lit("regex").alias("ltype"), "key", "cnt"))
     )
 
 
 @q(
-    "lookup_array_literal",
+    "lookup_sparse",
     """
-    SELECT n.n_name AS nation_name, COUNT(*) AS cnt
-    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-    """,
-    doc="array-type lookup: dense int index → literal array "
-        "element_at, zero join (ref: lookup_tables.rst array type; "
-        "lookupKey_arr direct indexing).",
-)
-def lookup_array_literal(spark, sf_dir):
-    nation = load(spark, sf_dir, "nation")
-    entries = [(r["n_nationkey"], r["n_name"])
-               for r in nation.select("n_nationkey", "n_name").collect()]
-    table = LookupTable(type="array", nomatch="unknown", entries=entries)
-    cust = load(spark, sf_dir, "customer")
-    return cust.groupBy(
-        table.lookup("c_nationkey").alias("nation_name")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
-
-
-@q(
-    "lookup_sparse_asof",
-    """
-    SELECT CASE WHEN CAST(FLOOR(value) AS BIGINT) >= 200 THEN 'vip'
+    WITH dim AS (
+      SELECT * FROM (VALUES (0, 'low'), (50, 'mid'), (100, 'high'),
+                            (200, 'vip')) AS t(lo, tier)
+    )
+    SELECT 'asof' AS variant,
+           CASE WHEN CAST(FLOOR(value) AS BIGINT) >= 200 THEN 'vip'
                 WHEN CAST(FLOOR(value) AS BIGINT) >= 100 THEN 'high'
                 WHEN CAST(FLOOR(value) AS BIGINT) >= 50  THEN 'mid'
                 WHEN CAST(FLOOR(value) AS BIGINT) >= 0   THEN 'low'
                 ELSE 'none' END AS tier,
            COUNT(*) AS cnt
     FROM events
-    GROUP BY 1
-    """,
-    doc="sparseArray lookup: largest index <= key (as-of semantics, "
-        "ref: lookup_tables.rst sparseArray; lookupKey_sparseArr "
-        "binary search).",
-)
-def lookup_sparse_asof(spark, sf_dir):
-    table = LookupTable(
-        type="sparseArray", nomatch="none",
-        entries=[(0, "low"), (50, "mid"), (100, "high"), (200, "vip")],
-    )
-    ev = load(spark, sf_dir, "events")
-    key = F.floor(F.col("value")).cast("long")
-    return ev.groupBy(table.lookup(key).alias("tier")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-
-
-@q(
-    "lookup_sparse_join",
-    """
-    WITH dim AS (
-      SELECT * FROM (VALUES (0, 'low'), (50, 'mid'), (100, 'high'),
-                            (200, 'vip')) AS t(lo, tier)
-    )
-    SELECT d.tier AS tier, COUNT(*) AS cnt,
-           ROUND(SUM(e.value), 2) AS sum_value
+    GROUP BY 2
+    UNION ALL
+    SELECT 'join' AS variant, d.tier AS tier, COUNT(*) AS cnt
     FROM events e
     LEFT JOIN dim d
       ON CAST(FLOOR(e.value) AS BIGINT) >= d.lo
@@ -123,69 +119,29 @@ def lookup_sparse_asof(spark, sf_dir):
           CASE d.lo WHEN 0 THEN 50 WHEN 50 THEN 100 WHEN 100 THEN 200 END)
     GROUP BY d.tier
     """,
-    doc="sparseArray as a broadcast RANGE JOIN (DataFrame-sized dim): "
-        "lo <= key < lead(lo) — the scale path for big as-of tables.",
+    doc="sparseArray lookup, both forms cross-checked: largest index "
+        "<= key as a compiled expression (as-of semantics, ref: "
+        "lookup_tables.rst sparseArray; lookupKey_sparseArr binary "
+        "search) and as a broadcast RANGE JOIN (lo <= key < lead(lo)) "
+        "— the scale path for as-of tables too big to inline.",
 )
-def lookup_sparse_join(spark, sf_dir):
-    dim = spark.createDataFrame(
-        [(0, "low"), (50, "mid"), (100, "high"), (200, "vip")],
-        "lo long, tier string",
-    )
-    ev = load(spark, sf_dir, "events").withColumn(
-        "vkey", F.floor(F.col("value")).cast("long")
-    )
-    joined = sparse_lookup_join(ev, dim, "vkey", "lo", value_col="tier")
-    return joined.groupBy("tier").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-    )
-
-
-@q(
-    "lookup_regex_chain",
-    """
-    SELECT CASE WHEN regexp_matches(event_type, '^err') THEN 'incident'
-                WHEN regexp_matches(event_type, '^(purchase|signup)') THEN 'conversion'
-                WHEN regexp_matches(event_type, 'ick') THEN 'engagement'
-                ELSE 'other' END AS category,
-           COUNT(*) AS cnt
-    FROM events
-    GROUP BY 1
-    """,
-    doc="regex-type lookup: first matching pattern wins "
-        "(ref: lookup_tables.rst regex type; ordered scan).",
-)
-def lookup_regex_chain(spark, sf_dir):
-    table = LookupTable(
-        type="regex", nomatch="other",
-        entries=[("^err", "incident"), ("^(purchase|signup)", "conversion"),
-                 ("ick", "engagement")],
-    )
+def lookup_sparse(spark, sf_dir):
+    entries = [(0, "low"), (50, "mid"), (100, "high"), (200, "vip")]
+    table = LookupTable(type="sparseArray", nomatch="none",
+                        entries=entries)
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy(table.lookup("event_type").alias("category")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    key = F.floor(F.col("value")).cast("long")
+    asof = ev.groupBy(table.lookup(key).alias("tier")).agg(
+        F.count(F.lit(1)).alias("cnt"))
 
+    dim = spark.createDataFrame(entries, "lo long, tier string")
+    joined = sparse_lookup_join(
+        ev.withColumn("vkey", key), dim, "vkey", "lo", value_col="tier")
+    j = joined.groupBy("tier").agg(F.count(F.lit(1)).alias("cnt"))
 
-@q(
-    "mmjsonparse_extract",
-    """
-    SELECT event_type,
-           CAST(SUM(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k,
-           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_parsed
-    FROM events
-    GROUP BY event_type
-    """,
-    doc="mmjsonparse: CEE/JSON payload → $! tree, field extraction "
-        "(ref: plugins/mmjsonparse/mmjsonparse.c).",
-)
-def mmjsonparse_extract(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    parsed = mmjsonparse(ev, msg_col="props", out_col="cee")
-    k = rf.json_get("cee", "k")
-    return parsed.groupBy("event_type").agg(
-        F.sum(rf.json_get_num("cee", "k")).cast("long").alias("sum_k"),
-        F.count(k).cast("long").alias("n_parsed"),
+    return (
+        asof.select(F.lit("asof").alias("variant"), "tier", "cnt")
+        .unionByName(j.select(F.lit("join").alias("variant"), "tier", "cnt"))
     )
 
 
@@ -265,42 +221,7 @@ def mmpstrucdata_parse(spark, sf_dir):
 
 
 @q(
-    "pmciscoios_parse",
-    """
-    SELECT 'EVT' AS cisco_facility,
-           CAST(event_id % 8 AS BIGINT) AS cisco_severity,
-           upper(event_type) AS cisco_mnemonic,
-           COUNT(*) AS cnt,
-           CAST(SUM(event_id) AS BIGINT) AS sum_seq
-    FROM events
-    GROUP BY 2, 3
-    """,
-    doc="Cisco IOS parser: seq + %FAC-SEV-MNEMONIC header extraction "
-        "(ref: plugins/pmciscoios). Lines synthesized from events, "
-        "parsed back, aggregated on the extracted fields.",
-)
-def pmciscoios_parse(spark, sf_dir):
-    from rsyslog_spark.parsers.vendors import pmciscoios
-
-    ev = load(spark, sf_dir, "events")
-    line = F.concat(
-        F.col("event_id").cast("string"), F.lit(": Mar  1 09:15:01.123: %EVT-"),
-        (F.col("event_id") % 8).cast("string"), F.lit("-"),
-        F.upper("event_type"), F.lit(": code="),
-        (F.col("event_id") % 100).cast("string"),
-    )
-    parsed = pmciscoios(ev.select(line.alias("msg")))
-    return (
-        parsed.groupBy("cisco_facility",
-                       F.col("cisco_severity").cast("long").alias("cisco_severity"),
-                       "cisco_mnemonic")
-        .agg(F.count(F.lit(1)).alias("cnt"),
-             F.sum("cisco_seq").cast("long").alias("sum_seq"))
-    )
-
-
-@q(
-    "pmlastmsg_expand",
+    "vendor_parse_pair",
     """
     WITH src AS (
       SELECT user_id % 10 AS host, event_id AS ord,
@@ -319,20 +240,45 @@ def pmciscoios_parse(spark, sf_dir):
              CASE WHEN is_summary THEN 2 ELSE 1 END AS copies
       FROM src
     )
-    SELECT CAST(host AS BIGINT) AS host, msg,
-           CAST(SUM(copies) AS BIGINT) AS n
+    SELECT 'cisco' AS kind,
+           'EVT-' || CAST(event_id % 8 AS VARCHAR) AS k1,
+           upper(event_type) AS k2,
+           COUNT(*) AS cnt,
+           CAST(SUM(event_id) AS BIGINT) AS extra
+    FROM events
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'lastmsg' AS kind, CAST(host AS VARCHAR) AS k1, msg AS k2,
+           CAST(SUM(copies) AS BIGINT) AS cnt,
+           CAST(NULL AS BIGINT) AS extra
     FROM resolved
-    GROUP BY 1, 2
+    GROUP BY 2, 3
     """,
-    doc="pmlastmsg inverse: expand 'last message repeated n times' "
-        "rows into n copies of the preceding real message per host "
-        "(ref: plugins/pmlastmsg/pmlastmsg.c:1-6; one window pass + "
-        "sequence explode).",
+    doc="Vendor parser pair on one union: pmciscoios seq + "
+        "%FAC-SEV-MNEMONIC header extraction (ref: plugins/"
+        "pmciscoios) and the pmlastmsg inverse — expand 'last message "
+        "repeated n times' rows into n copies of the preceding real "
+        "message per host (ref: plugins/pmlastmsg/pmlastmsg.c:1-6; "
+        "one window pass + sequence explode).",
 )
-def pmlastmsg_expand_q(spark, sf_dir):
-    from rsyslog_spark.parsers.vendors import pmlastmsg_expand
+def vendor_parse_pair(spark, sf_dir):
+    from rsyslog_spark.parsers.vendors import pmciscoios, pmlastmsg_expand
 
     ev = load(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_id").cast("string"), F.lit(": Mar  1 09:15:01.123: %EVT-"),
+        (F.col("event_id") % 8).cast("string"), F.lit("-"),
+        F.upper("event_type"), F.lit(": code="),
+        (F.col("event_id") % 100).cast("string"),
+    )
+    parsed = pmciscoios(ev.select(line.alias("msg")))
+    cisco = parsed.groupBy(
+        F.concat(F.col("cisco_facility"), F.lit("-"),
+                 F.col("cisco_severity").cast("string")).alias("k1"),
+        F.col("cisco_mnemonic").alias("k2"),
+    ).agg(F.count(F.lit(1)).alias("cnt"),
+          F.sum("cisco_seq").cast("long").alias("extra"))
+
     src = ev.select(
         (F.col("user_id") % 10).alias("hostname"),
         F.col("event_id").alias("timereported"),
@@ -340,14 +286,22 @@ def pmlastmsg_expand_q(spark, sf_dir):
                F.lit("last message repeated 2 times"))
         .otherwise(F.col("event_type")).alias("msg"),
     )
-    out = pmlastmsg_expand(src)
-    return out.groupBy(
-        F.col("hostname").cast("long").alias("host"), "msg"
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lastmsg = pmlastmsg_expand(src).groupBy(
+        F.col("hostname").cast("string").alias("k1"),
+        F.col("msg").alias("k2"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"),
+          F.lit(None).cast("long").alias("extra"))
+
+    return (
+        cisco.select(F.lit("cisco").alias("kind"), "k1", "k2", "cnt",
+                     "extra")
+        .unionByName(lastmsg.select(F.lit("lastmsg").alias("kind"),
+                                    "k1", "k2", "cnt", "extra"))
+    )
 
 
 @q(
-    "geoip_range_enrich",
+    "enrich_dims",
     """
     WITH facts AS (
       SELECT event_id,
@@ -355,18 +309,42 @@ def pmlastmsg_expand_q(spark, sf_dir):
                   + (event_id % 256) * 256 + (event_id * 7) % 256 AS BIGINT) AS ipnum
       FROM events
     )
-    SELECT CASE WHEN ipnum BETWEEN 167772160 AND 171966463 THEN 'dc-west'
+    SELECT 'geoip' AS kind,
+           CASE WHEN ipnum BETWEEN 167772160 AND 171966463 THEN 'dc-west'
                 WHEN ipnum BETWEEN 171966464 AND 176160767 THEN 'dc-east'
-                ELSE NULL END AS region,
-           COUNT(*) AS cnt
+                ELSE NULL END AS key,
+           COUNT(*) AS cnt,
+           CAST(NULL AS DOUBLE) AS sum_value
     FROM facts
-    GROUP BY 1
+    GROUP BY 2
+    UNION ALL
+    SELECT 'k8s' AS kind, n.n_name AS key, COUNT(*) AS cnt,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e LEFT JOIN nation n
+      ON CAST(e.user_id % 25 AS INT) = n.n_nationkey
+    GROUP BY n.n_name
+    UNION ALL
+    SELECT 'dns' AS kind,
+           'host-' || CAST(user_id % 200 AS VARCHAR) || '.example' AS key,
+           COUNT(*) AS cnt,
+           CAST(NULL AS DOUBLE) AS sum_value
+    FROM events GROUP BY 2
     """,
-    doc="mmdblookup analog: IP-in-range broadcast join against a "
-        "GeoIP-style dim (ref: plugins/mmdblookup). The fact side "
-        "never shuffles; BroadcastNestedLoopJoin over the tiny dim.",
+    doc="Dimension-enrichment battery, three join shapes on one "
+        "union: mmdblookup analog — IP-in-range broadcast join "
+        "against a GeoIP-style dim, fact side never shuffles (ref: "
+        "plugins/mmdblookup); mmkubernetes-shape TTL-cached refresh "
+        "dimension + broadcast stream-static join (ref: contrib/"
+        "mmkubernetes/mmkubernetes.c; operators/dimension.py "
+        "RefreshingDim); dnscache — distinct-IP dimension resolved "
+        "once through the injected resolver and broadcast-joined "
+        "back, a million rows from one sender cost one resolution "
+        "(ref: runtime/dnscache.c).",
 )
-def geoip_range_enrich(spark, sf_dir):
+def enrich_dims(spark, sf_dir):
+    from rsyslog_spark.operators.dimension import (
+        RefreshingDim, dnscache_enrich, refreshing_dim_join,
+    )
     from rsyslog_spark.operators.lookup import geoip_range_join
 
     ev = load(spark, sf_dir, "events")
@@ -381,8 +359,40 @@ def geoip_range_enrich(spark, sf_dir):
         [(167772160, 171966463, "dc-west"), (171966464, 176160767, "dc-east")],
         "range_lo long, range_hi long, region string",
     )
-    out = geoip_range_join(facts, "ip", ranges)
-    return out.groupBy("region").agg(F.count(F.lit(1)).alias("cnt"))
+    geo = geoip_range_join(facts, "ip", ranges).groupBy(
+        F.col("region").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.lit(None).cast("double").alias("sum_value"))
+
+    k8s_facts = ev.withColumn(
+        "n_nationkey", (F.col("user_id") % 25).cast("int"))
+    dim = RefreshingDim(
+        lambda s: load(s, sf_dir, "nation")
+        .select("n_nationkey", F.col("n_name").alias("pod_ns")),
+        ttl_seconds=3600,
+    )
+    k8s = refreshing_dim_join(k8s_facts, dim, on="n_nationkey").groupBy(
+        F.col("pod_ns").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"))
+
+    dns_src = ev.select(
+        F.concat(F.lit("10.0.0."), (F.col("user_id") % 200).cast("string"))
+        .alias("fromhost_ip"),
+        F.lit(None).cast("string").alias("fromhost"),
+    )
+    dns = dnscache_enrich(dns_src).groupBy(
+        F.col("fromhost").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.lit(None).cast("double").alias("sum_value"))
+
+    return (
+        geo.select(F.lit("geoip").alias("kind"), "key", "cnt", "sum_value")
+        .unionByName(k8s.select(F.lit("k8s").alias("kind"), "key", "cnt",
+                                "sum_value"))
+        .unionByName(dns.select(F.lit("dns").alias("kind"), "key", "cnt",
+                                "sum_value"))
+    )
 
 
 @q(
@@ -419,58 +429,3 @@ def mmexternal_bridge(spark, sf_dir):
     return out.groupBy("msg", "json").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-@q(
-    "kubernetes_dim_enrich",
-    """
-    SELECT n.n_name AS pod_ns, COUNT(*) AS cnt,
-           ROUND(SUM(e.value), 2) AS sum_value
-    FROM events e LEFT JOIN nation n
-      ON CAST(e.user_id % 25 AS INT) = n.n_nationkey
-    GROUP BY n.n_name
-    """,
-    doc="mmkubernetes-shape enrichment: TTL-cached dimension loader + "
-        "broadcast stream-static join (ref: contrib/mmkubernetes/"
-        "mmkubernetes.c; operators/dimension.py RefreshingDim).",
-)
-def kubernetes_dim_enrich(spark, sf_dir):
-    from rsyslog_spark.operators.dimension import (
-        RefreshingDim, refreshing_dim_join,
-    )
-
-    ev = load(spark, sf_dir, "events").withColumn(
-        "n_nationkey", (F.col("user_id") % 25).cast("int"))
-    dim = RefreshingDim(
-        lambda s: load(s, sf_dir, "nation")
-        .select("n_nationkey", F.col("n_name").alias("pod_ns")),
-        ttl_seconds=3600,
-    )
-    joined = refreshing_dim_join(ev, dim, on="n_nationkey")
-    return joined.groupBy("pod_ns").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-    )
-
-
-@q(
-    "dnscache_resolution",
-    """
-    SELECT 'host-' || CAST(user_id % 200 AS VARCHAR) || '.example'
-               AS fromhost,
-           COUNT(*) AS cnt
-    FROM events GROUP BY 1
-    """,
-    doc="dnscache (ref: runtime/dnscache.c): distinct-IP dimension "
-        "resolved once through the (injected, here deterministic) "
-        "resolver, broadcast-joined back — a million rows from one "
-        "sender cost one resolution.",
-)
-def dnscache_resolution(spark, sf_dir):
-    from rsyslog_spark.operators.dimension import dnscache_enrich
-
-    ev = load(spark, sf_dir, "events").select(
-        F.concat(F.lit("10.0.0."), (F.col("user_id") % 200).cast("string"))
-        .alias("fromhost_ip"),
-        F.lit(None).cast("string").alias("fromhost"),
-    )
-    out = dnscache_enrich(ev)
-    return out.groupBy("fromhost").agg(F.count(F.lit(1)).alias("cnt"))

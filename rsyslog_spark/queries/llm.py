@@ -47,25 +47,6 @@ def dedup_exact(spark, sf_dir):
 
 
 @q(
-    "dedup_fingerprint",
-    """
-    SELECT lang,
-           CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS BIGINT) AS n_unique,
-           COUNT(*) AS n_docs
-    FROM documents GROUP BY lang
-    """,
-    doc="Document fingerprinting: md5 of normalized text as the "
-        "canonical dedup key.",
-)
-def dedup_fingerprint(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.countDistinct(doc_fingerprint("text")).cast("long").alias("n_unique"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
-
-
-@q(
     "ngram_jaccard_dup_pairs",
     """
     WITH sh AS (
@@ -200,10 +181,13 @@ def similarity_topk_lsh(spark, sf_dir):
 
 
 @q(
-    "text_quality_metrics",
+    "text_battery",
     """
     SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS BIGINT) AS n_unique,
            CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_words,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
            ROUND(AVG(ROUND(length(regexp_replace(trim(text), '\\s+', '', 'g'))
                      * 1.0 / len(string_split_regex(trim(text), '\\s+')), 6)), 4) AS mean_awl,
            ROUND(AVG(ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
@@ -216,34 +200,22 @@ def similarity_topk_lsh(spark, sf_dir):
                           * 1.0 / length(text), 6) <= 0.2 THEN 0.3 ELSE 0.0 END), 4) AS mean_quality
     FROM documents GROUP BY lang
     """,
-    doc="Quality scoring: word counts, avg word length, punctuation "
-        "ratio, composite C4/Gopher-style score.",
+    doc="Text-analysis battery per lang, one scan: document "
+        "fingerprinting (md5 of normalized text as canonical dedup "
+        "key), whitespace + BPE-ish token counting, avg word length, "
+        "punctuation ratio, composite C4/Gopher-style quality score. "
+        "Pure column expressions — no UDFs.",
 )
-def text_quality_metrics(spark, sf_dir):
+def text_battery(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(doc_fingerprint("text")).cast("long").alias("n_unique"),
         F.sum(token_count_ws("text")).cast("long").alias("total_words"),
+        F.sum(token_count_bpe("text")).cast("long").alias("bpe_tokens"),
         F.round(F.avg(avg_word_len("text")), 4).alias("mean_awl"),
         F.round(F.avg(punct_ratio("text")), 4).alias("mean_punct"),
         F.round(F.avg(quality_score("text")), 4).alias("mean_quality"),
-    )
-
-
-@q(
-    "text_token_counts",
-    """
-    SELECT source,
-           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
-           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens
-    FROM documents GROUP BY source
-    """,
-    doc="Token counting: whitespace + BPE-ish regex piece count.",
-)
-def text_token_counts(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return docs.groupBy("source").agg(
-        F.sum(token_count_ws("text")).cast("long").alias("ws_tokens"),
-        F.sum(token_count_bpe("text")).cast("long").alias("bpe_tokens"),
     )
 
 
@@ -316,65 +288,63 @@ def embedding_cosine_near_dup(spark, sf_dir):
 
 
 @q(
-    "multimodal_image_features",
+    "multimodal_battery",
     """
-    SELECT doc_id AS media_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           sha256(text) AS sha
+    SELECT 'image' AS kind, doc_id AS key,
+           CAST(octet_length(encode(text)) AS BIGINT) AS a,
+           sha256(text) AS b
     FROM documents WHERE doc_id < 100
-    """,
-    doc="Multimodal plumbing: text→binary payload→mapInPandas feature "
-        "extraction (decode stubbed, deterministic). Oracle checks the "
-        "Arrow round-trip invariants (byte length, sha256); "
-        "width/height/histogram are stub-derived and unit-tested.",
-)
-def multimodal_image_features(spark, sf_dir):
-    from rsyslog_spark.operators.multimodal import extract_image_features
-
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("payload"),
-    )
-    feats = extract_image_features(media)
-    return feats.select("media_id", "n_bytes", "sha")
-
-
-@q(
-    "multimodal_frame_sample",
-    """
-    SELECT CAST(doc_id % 10 AS BIGINT) AS media_bucket,
-           COUNT(*) AS n_frames,
-           CAST(SUM(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_keyframes
+    UNION ALL
+    SELECT 'video' AS kind, CAST(doc_id % 10 AS BIGINT) AS key,
+           COUNT(*) AS a,
+           CAST(SUM(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS VARCHAR) AS b
     FROM (SELECT doc_id,
                  UNNEST(range(0, (length(text) % 60) + 1, 5)) AS f
           FROM documents) t
-    GROUP BY 1
+    GROUP BY 2
     """,
-    doc="Video frame-sampling plan: per-video rows expand to frame "
-        "timestamps (sequence+explode) BEFORE any decode — the decode "
-        "itself is the stubbed mapInPandas step (operators/"
-        "multimodal.py).",
+    doc="Multimodal plumbing battery: (image) text->binary payload->"
+        "mapInPandas feature extraction — decode stubbed "
+        "deterministic, oracle checks the Arrow round-trip invariants "
+        "(byte length, sha256); width/height/histogram are "
+        "stub-derived and unit-tested; (video) frame-sampling plan — "
+        "per-video rows expand to frame timestamps (sequence+explode) "
+        "BEFORE any decode, the decode being the stubbed mapInPandas "
+        "step (operators/multimodal.py).",
 )
-def multimodal_frame_sample(spark, sf_dir):
-    from rsyslog_spark.operators.multimodal import frame_sample_plan
+def multimodal_battery(spark, sf_dir):
+    from rsyslog_spark.operators.multimodal import (
+        extract_image_features, frame_sample_plan,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    media = docs.select(
+    media = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_image_features(media).select(
+        F.lit("image").alias("kind"),
+        F.col("media_id").alias("key"),
+        F.col("n_bytes").cast("long").alias("a"),
+        F.col("sha").alias("b"),
+    )
+
+    vids = docs.select(
         F.col("doc_id").alias("media_id"),
         F.create_map(
             F.lit("duration_s"),
             (F.length("text") % 60).cast("string"),
         ).alias("meta"),
     )
-    frames = frame_sample_plan(media, every_n_seconds=5)
-    return frames.groupBy(
-        (F.col("media_id") % 10).cast("long").alias("media_bucket")
+    frames = frame_sample_plan(vids, every_n_seconds=5).groupBy(
+        (F.col("media_id") % 10).cast("long").alias("key")
     ).agg(
-        F.count(F.lit(1)).alias("n_frames"),
-        F.sum((F.col("frame_ts") == 0).cast("long")).alias("n_keyframes"),
-    )
+        F.count(F.lit(1)).alias("a"),
+        F.sum((F.col("frame_ts") == 0).cast("long")).cast("string")
+        .alias("b"),
+    ).select(F.lit("video").alias("kind"), "key", "a", "b")
+
+    return feats.unionByName(frames)
 
 
 @q(

@@ -109,49 +109,95 @@ def mmgrok_access_log(spark, sf_dir):
 
 
 @q(
-    "mmleefparse_fields",
+    "vendor_kv_battery",
     """
-    SELECT CAST(event_id % 50 AS VARCHAR) AS leef_event_id,
+    SELECT 'leef' AS kind,
+           CAST(event_id % 50 AS VARCHAR) AS key,
            COUNT(*) AS cnt,
-           CAST(SUM(event_id % 10) AS BIGINT) AS sum_sev
-    FROM events GROUP BY 1
+           CAST(SUM(event_id % 10) AS BIGINT) AS m1,
+           CAST(NULL AS BIGINT) AS m2
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'audit' AS kind,
+           'T' || CAST(event_id % 3 AS VARCHAR) AS key,
+           COUNT(*) AS cnt,
+           CAST(SUM(event_id % 7) AS BIGINT) AS m1,
+           CAST(MAX(event_id % 1000) AS BIGINT) AS m2
+    FROM events GROUP BY 2
     """,
-    doc="mmleefparse: LEEF header + tab-separated k=v extensions "
-        "into header columns + fields map (ref: plugins/mmleefparse/"
-        "mmleefparse.c:249-310).",
+    doc="Key=value vendor parsers on one union: mmleefparse — LEEF "
+        "header + tab-separated k=v extensions into header columns + "
+        "fields map (ref: plugins/mmleefparse/mmleefparse.c:249-310) "
+        "— and mmaudit — type=..msg=audit(ts:seq): k=v normalization "
+        "into header columns + field map (ref: plugins/mmaudit/"
+        "mmaudit.c:164-259).",
 )
-def mmleefparse_fields(spark, sf_dir):
+def vendor_kv_battery(spark, sf_dir):
+    from rsyslog_spark.operators.mm import mmaudit
+
     ev = load(spark, sf_dir, "events")
-    line = F.concat(
+    leef_line = F.concat(
         F.lit("LEEF:2.0|Vendor|Product|1.0|"),
         (F.col("event_id") % 50).cast("string"),
         F.lit("|src=10.0.0."), (F.col("user_id") % 200).cast("string"),
         F.lit("\tsev="), (F.col("event_id") % 10).cast("string"),
         F.lit("\tmsg=payload"),
     )
-    msgs = ev.select(line.alias("msg"))
-    out = mmleefparse(msgs)
-    return out.groupBy("leef_event_id").agg(
+    leef = mmleefparse(ev.select(leef_line.alias("msg"))).groupBy(
+        F.col("leef_event_id").alias("key")).agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.element_at("leef_fields", "sev").cast("long"))
-        .alias("sum_sev"),
+        F.sum(F.element_at("leef_fields", "sev").cast("long")).alias("m1"),
+        F.lit(None).cast("long").alias("m2"),
+    )
+
+    audit_line = F.concat(
+        F.lit("type=T"), (F.col("event_id") % 3).cast("string"),
+        F.lit(" msg=audit(1407923239.775:"),
+        (F.col("event_id") % 1000).cast("string"),
+        F.lit("): uid="), (F.col("event_id") % 7).cast("string"),
+        F.lit(' exe="/bin/app"'),
+    )
+    audit = mmaudit(ev.select(audit_line.alias("msg"))).groupBy(
+        F.col("audit_type").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.element_at("audit_fields", "uid").cast("long")).alias("m1"),
+        F.max("audit_seq").cast("long").alias("m2"),
+    )
+
+    return (
+        leef.select(F.lit("leef").alias("kind"), "key", "cnt", "m1", "m2")
+        .unionByName(audit.select(F.lit("audit").alias("kind"), "key",
+                                  "cnt", "m1", "m2"))
     )
 
 
 @q(
     "vendor_cleanup_battery",
     """
-    SELECT CAST(SUM(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_snare,
-           CAST(SUM(CASE WHEN event_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_aix,
-           CAST(SUM(CASE WHEN event_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cisco,
-           CAST(SUM(CASE WHEN event_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pan,
+    SELECT 'cleanup' AS part, CAST(NULL AS VARCHAR) AS key,
+           CAST(SUM(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN event_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+           CAST(SUM(CASE WHEN event_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+           CAST(SUM(CASE WHEN event_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
            COUNT(DISTINCT CASE WHEN event_id % 4 IN (1, 2)
-                 THEN 'h' || CAST(user_id % 10 AS VARCHAR) END) AS n_hosts
+                 THEN 'h' || CAST(user_id % 10 AS VARCHAR) END) AS c5
     FROM events
+    UNION ALL
+    SELECT 'fixups' AS part, 'h' || CAST(user_id % 10 AS VARCHAR) AS key,
+           COUNT(*) AS c1,
+           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c2,
+           CAST(NULL AS BIGINT) AS c3, CAST(NULL AS BIGINT) AS c4,
+           CAST(NULL AS BIGINT) AS c5
+    FROM events GROUP BY 2
     """,
-    doc="pmsnare + pmaixforwardedfrom + pmcisconames + pmpanngfw "
-        "cleanup chain over a mixed stream; each stage detects only "
-        "its own shape (ref: contrib/pm*/).",
+    doc="Vendor cleanup + fixup chains on one union: (cleanup) "
+        "pmsnare + pmaixforwardedfrom + pmcisconames + pmpanngfw over "
+        "a mixed stream, each stage detecting only its own shape "
+        "(ref: contrib/pm*/) — c1..c5 = n_snare/n_aix/n_cisco/n_pan/"
+        "n_hosts; (fixups) mmrm1stspace erroneous-leading-space drop "
+        "(ref: plugins/mmrm1stspace) + mmutf8fix + mmtaghostname "
+        "(ref: contrib/mmtaghostname) — c1=cnt, c2=n_fixed per host.",
 )
 def vendor_cleanup_battery(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
@@ -174,48 +220,39 @@ def vendor_cleanup_battery(spark, sf_dir):
     msgs = ev.select(line.alias("msg"),
                      F.lit(None).cast("string").alias("hostname"))
     out = pmpanngfw(pmcisconames(pmaixforwardedfrom(pmsnare(msgs))))
-    return out.agg(
-        F.sum(F.col("snare_detected").cast("long")).alias("n_snare"),
+    cleanup = out.agg(
+        F.sum(F.col("snare_detected").cast("long")).alias("c1"),
         F.sum((F.col("hostname").isNotNull()
                & F.col("msg").startswith("payload")).cast("long"))
-        .alias("n_aix"),
+        .alias("c2"),
         F.sum(F.col("msg").startswith("%ASA-").cast("long"))
-        .alias("n_cisco"),
-        F.sum(F.col("pan_type").isNotNull().cast("long")).alias("n_pan"),
-        F.countDistinct("hostname").alias("n_hosts"),
-    )
+        .alias("c3"),
+        F.sum(F.col("pan_type").isNotNull().cast("long")).alias("c4"),
+        F.countDistinct("hostname").alias("c5"),
+    ).select(F.lit("cleanup").alias("part"),
+             F.lit(None).cast("string").alias("key"),
+             "c1", "c2", "c3", "c4", "c5")
 
-
-@q(
-    "mm_fixups",
-    """
-    SELECT 'h' || CAST(user_id % 10 AS VARCHAR) AS hostname,
-           COUNT(*) AS cnt,
-           CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_fixed
-    FROM events GROUP BY 1
-    """,
-    doc="mmrm1stspace (erroneous leading space drop, ref: plugins/"
-        "mmrm1stspace) + mmtaghostname (ref: contrib/mmtaghostname) "
-        "over a rendered stream.",
-)
-def mm_fixups(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    had_space = F.col("event_id") % 2 == 0
-    msg = F.when(had_space, F.concat(F.lit(" "), F.col("event_type"))) \
+    had_space = eid % 2 == 0
+    fx_msg = F.when(had_space, F.concat(F.lit(" "), F.col("event_type"))) \
         .otherwise(F.col("event_type"))
-    host = F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))
-    df = ev.select("event_id", msg.alias("msg"), host.alias("fromhost"),
+    fx = ev.select("event_id", fx_msg.alias("msg"),
+                   host.alias("fromhost"),
                    F.lit(None).cast("string").alias("hostname"),
                    F.lit("tag:").alias("syslogtag"))
-    fixed = mmtaghostname(mmutf8fix(mmrm1stspace(df)),
+    fixed = mmtaghostname(mmutf8fix(mmrm1stspace(fx)),
                           hostname=F.col("fromhost"))
     was_fixed = (F.col("event_id") % 2 == 0) \
         & ~F.col("msg").startswith(" ")
-    return fixed.groupBy("hostname").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(was_fixed.cast("long")).alias("n_fixed"),
-    )
+    fixups = fixed.groupBy(F.col("hostname").alias("key")).agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.sum(was_fixed.cast("long")).alias("c2"),
+    ).select(F.lit("fixups").alias("part"), "key", "c1", "c2",
+             F.lit(None).cast("long").alias("c3"),
+             F.lit(None).cast("long").alias("c4"),
+             F.lit(None).cast("long").alias("c5"))
+
+    return cleanup.unionByName(fixups)
 
 
 @q(
@@ -304,6 +341,96 @@ def multiline_reassembly(spark, sf_dir):
     )
 
 
+_FN_CONF = r"""
+template(name="greet" type="string" string="hi %hostname%")
+ruleset(name="even") { set $.tag = "E"; action(type="omfile" name="out_even") }
+ruleset(name="odd")  { set $.tag = "O"; action(type="omfile" name="out_odd") }
+ruleset(name="main") {
+    set $.b = b64_decode("d29yZA==");
+    set $.t = format_time(1723500000, "date-rfc3339");
+    set $.rt = parse_time($.t);
+    set $.env = getenv("SPARK_GRAFT_NOT_SET_ENV", "dflt");
+    set $.z = hash64mod($msg, 1);
+    set $.r = random(1);
+    set $.g = exec_template("greet");
+    foreach ($.w in split($msg, " ")) do { set $.lastw = $.w; }
+    if $syslogseverity % 2 == 0 then { set $.route = "even"; }
+    else { set $.route = "odd"; }
+    call_indirect $.route;
+}
+"""
+
+
+@q(
+    "config_functions_battery",
+    """
+    WITH frame AS (
+      SELECT event_id % 2 AS par,
+             'h' || CAST(user_id % 10 AS VARCHAR) AS host,
+             'code=' || CAST(event_id % 100 AS VARCHAR) AS lastw
+      FROM events
+    )
+    SELECT CASE WHEN par = 0 THEN 'E' ELSE 'O' END AS tag,
+           'word' AS b,
+           strftime(make_timestamp(1723500000000000),
+                    '%Y-%m-%dT%H:%M:%S') || '+00:00' AS t,
+           CAST(1723500000 AS BIGINT) AS rt,
+           'dflt' AS env,
+           CAST(0 AS BIGINT) AS z,
+           CAST(0 AS BIGINT) AS r,
+           'hi ' || host AS g,
+           lastw,
+           COUNT(*) AS cnt
+    FROM frame GROUP BY 1, 8, 9
+    """,
+    doc="Config-compiled function registry battery: an rsyslog.conf "
+        "whose expressions call b64_decode, format_time, parse_time "
+        "(roundtrip), getenv (default fallback), hash64mod, random, "
+        "exec_template, and split — plus foreach over the split "
+        "result (last-iteration variable carry, ref: runtime/"
+        "ruleset.c:310-401) and call_indirect routing on a computed "
+        "ruleset name (ref: grammar/rainerscript.h:112-181 "
+        "S_CALL_INDIRECT; runtime/ruleset.c:236-275; function "
+        "registry grammar/rainerscript.c:4467-4510). hash64mod(x,1) "
+        "and random(1) are identically 0, which keeps the xxhash64/"
+        "rand calls oracle-checkable.",
+)
+def config_functions_battery(spark, sf_dir):
+    from rsyslog_spark.config.rainerscript import load_config
+    from rsyslog_spark.plans.ruleset import varname
+
+    ev = load(spark, sf_dir, "events")
+    frame = ev.select(
+        (F.col("event_id") % 8).cast("int").alias("syslogseverity"),
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))
+        .alias("hostname"),
+        F.concat(F.col("event_type"), F.lit(" code="),
+                 (F.col("event_id") % 100).cast("string")).alias("msg"),
+    )
+    eng, _cfg = load_config(_FN_CONF)
+    actions, _ = eng.run(frame, "main")
+    parts = [
+        df.select(
+            F.col(varname("$.tag")).alias("tag"),
+            F.col(varname("$.b")).alias("b"),
+            F.col(varname("$.t")).alias("t"),
+            F.col(varname("$.rt")).cast("long").alias("rt"),
+            F.col(varname("$.env")).alias("env"),
+            F.col(varname("$.z")).cast("long").alias("z"),
+            F.col(varname("$.r")).cast("long").alias("r"),
+            F.col(varname("$.g")).alias("g"),
+            F.col(varname("$.lastw")).alias("lastw"),
+        )
+        for _name, df in actions
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(
+        "tag", "b", "t", "rt", "env", "z", "r", "g", "lastw"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
 _DEMO_CONF = r"""
 ruleset(name="main") {
     set $.route = "default";
@@ -382,34 +509,3 @@ def config_driven_routing(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"))
 
 
-@q(
-    "mmaudit_records",
-    """
-    SELECT 'T' || CAST(event_id % 3 AS VARCHAR) AS audit_type,
-           COUNT(*) AS cnt,
-           CAST(SUM(event_id % 7) AS BIGINT) AS sum_uid,
-           CAST(MAX(event_id % 1000) AS BIGINT) AS max_seq
-    FROM events GROUP BY 1
-    """,
-    doc="mmaudit: type=..msg=audit(ts:seq): k=v normalization into "
-        "header columns + field map (ref: plugins/mmaudit/"
-        "mmaudit.c:164-259).",
-)
-def mmaudit_records(spark, sf_dir):
-    from rsyslog_spark.operators.mm import mmaudit
-
-    ev = load(spark, sf_dir, "events")
-    line = F.concat(
-        F.lit("type=T"), (F.col("event_id") % 3).cast("string"),
-        F.lit(" msg=audit(1407923239.775:"),
-        (F.col("event_id") % 1000).cast("string"),
-        F.lit("): uid="), (F.col("event_id") % 7).cast("string"),
-        F.lit(' exe="/bin/app"'),
-    )
-    out = mmaudit(ev.select(line.alias("msg")))
-    return out.groupBy("audit_type").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.element_at("audit_fields", "uid").cast("long"))
-        .alias("sum_uid"),
-        F.max("audit_seq").alias("max_seq"),
-    )

@@ -27,15 +27,25 @@ def q(name, oracle, doc=""):
     "dynstats_hourly",
     """
     SELECT event_type, date_trunc('hour', ts) AS window_start,
-           COUNT(*) AS cnt
+           COUNT(*) AS cnt,
+           CAST(MIN(event_id) AS BIGINT) AS first_event
     FROM events GROUP BY 1, 2
     """,
     doc="dyn_stats counter bucket keyed by event type, 1h windows "
-        "(ref: runtime/dynstats.c:43-46,303-351; dyn_inc).",
+        "(ref: runtime/dynstats.c:43-46,303-351; dyn_inc), plus "
+        "execOnlyOnceEveryInterval on the same bucketing — first "
+        "message per key per interval (ref: runtime/action.h:68). "
+        "One shuffle serves both.",
 )
 def dynstats_hourly(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    return dynstats_counts(ev, "event_type", "ts", "1 hour")
+    counts = dynstats_counts(ev, "event_type", "ts", "1 hour")
+    first = exec_once_every_interval(ev, "1 hour", "ts", ["event_type"],
+                                     "event_id")
+    first_agg = first.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.min("event_id").cast("long").alias("first_event"))
+    return counts.join(first_agg, ["event_type", "window_start"], "left")
 
 
 @q(
@@ -92,31 +102,40 @@ def percentile_stats_values(spark, sf_dir):
 
 
 @q(
-    "ratelimit_interval_burst",
+    "sendertrack_ratelimit",
     """
     WITH bucketed AS (
-      SELECT user_id, event_id,
-             to_timestamp(CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT)) AS bucket,
+      SELECT user_id, event_id, ts,
              ROW_NUMBER() OVER (
                PARTITION BY user_id, FLOOR(epoch(ts) / 600)
                ORDER BY event_id) AS rn
       FROM events
     )
     SELECT user_id,
+           COUNT(*) AS msg_count,
+           MIN(ts) AS first_seen, MAX(ts) AS last_seen,
            CAST(SUM(CASE WHEN rn <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS passed,
            CAST(SUM(CASE WHEN rn > 2 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
     FROM bucketed GROUP BY user_id
     """,
-    doc="ratelimit interval=10min burst=2 per source "
-        "(ref: runtime/ratelimit.h:62-108, per-source shards).",
+    doc="Per-sender battery on one shuffle: omsendertrack stats — "
+        "count/first/last per sender (ref: plugins/omsendertrack/"
+        "omsendertrack.c:1-8) — and ratelimit interval=10min burst=2 "
+        "per source (ref: runtime/ratelimit.h:62-108, per-source "
+        "shards).",
 )
-def ratelimit_interval_burst(spark, sf_dir):
+def sendertrack_ratelimit(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     rl = ratelimit_batch(ev, ["user_id"], "ts", "10 minutes", burst=2,
                          order_col="event_id")
-    return rl.groupBy("user_id").agg(
+    track = sendertrack(ev, "user_id", "ts")
+    passed = rl.groupBy("user_id").agg(
         F.sum(F.when(F.col("rl_pass"), 1).otherwise(0)).cast("long").alias("passed"),
         F.sum(F.when(~F.col("rl_pass"), 1).otherwise(0)).cast("long").alias("dropped"),
+    )
+    return track.join(passed, "user_id", "left").select(
+        "user_id", "msg_count", "first_seen", "last_seen",
+        "passed", "dropped",
     )
 
 
@@ -152,49 +171,28 @@ def repeated_msg_reduction_runs(spark, sf_dir):
 
 
 @q(
-    "sendertrack_stats",
-    """
-    SELECT user_id, COUNT(*) AS msg_count,
-           MIN(ts) AS first_seen, MAX(ts) AS last_seen
-    FROM events GROUP BY user_id
-    """,
-    doc="omsendertrack per-sender stats (ref: plugins/omsendertrack/"
-        "omsendertrack.c:1-8).",
-)
-def sendertrack_stats(spark, sf_dir):
-    return sendertrack(load(spark, sf_dir, "events"), "user_id", "ts")
-
-
-@q(
-    "mmsequence_per_key",
+    "mm_seq_count",
     """
     SELECT event_id, event_type,
-           CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS BIGINT) AS seq
-    FROM events WHERE event_id < 500
-    """,
-    doc="mmsequence per-key counters (ref: contrib/mmsequence/"
-        "mmsequence.c:1-2).",
-)
-def mmsequence_per_key(spark, sf_dir):
-    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
-    return mmsequence(ev, "event_id", key_col="event_type") \
-        .select("event_id", "event_type", F.col("seq").cast("long").alias("seq"))
-
-
-@q(
-    "mmcount_running",
-    """
-    SELECT event_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS BIGINT) AS seq,
            CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS BIGINT) AS mmcount
     FROM events WHERE event_id < 500
     """,
-    doc="mmcount: per-key running message count attached to each row "
-        "(ref: contrib/mmcount/mmcount.c:1-2,44).",
+    doc="mmsequence per-key counters (ref: contrib/mmsequence/"
+        "mmsequence.c:1-2) and mmcount per-key running message count "
+        "(ref: contrib/mmcount/mmcount.c:1-2,44) attached to each row "
+        "— independent operator code paths cross-checked on one "
+        "frame, one window partitioning.",
 )
-def mmcount_running(spark, sf_dir):
+def mm_seq_count(spark, sf_dir):
     ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
-    return mmcount_ordered(ev, "event_type", "event_id") \
-        .select("event_id", F.col("mmcount").cast("long").alias("mmcount"))
+    seq = mmsequence(ev, "event_id", key_col="event_type")
+    out = mmcount_ordered(seq, "event_type", "event_id")
+    return out.select(
+        "event_id", "event_type",
+        F.col("seq").cast("long").alias("seq"),
+        F.col("mmcount").cast("long").alias("mmcount"),
+    )
 
 
 @q(
@@ -218,27 +216,3 @@ def action_exec_controls(spark, sf_dir):
     )
 
 
-@q(
-    "exec_once_per_interval",
-    """
-    WITH ranked AS (
-      SELECT event_id, event_type, ts,
-             ROW_NUMBER() OVER (
-               PARTITION BY event_type, date_trunc('hour', ts)
-               ORDER BY event_id) AS rn
-      FROM events
-    )
-    SELECT event_type, date_trunc('hour', ts) AS hr,
-           CAST(MIN(event_id) AS BIGINT) AS first_event
-    FROM ranked WHERE rn = 1 GROUP BY 1, 2
-    """,
-    doc="execOnlyOnceEveryInterval: first message per key per "
-        "interval (ref: runtime/action.h:68).",
-)
-def exec_once_per_interval(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
-    first = exec_once_every_interval(ev, "1 hour", "ts", ["event_type"],
-                                     "event_id")
-    return first.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hr")
-    ).agg(F.min("event_id").cast("long").alias("first_event"))

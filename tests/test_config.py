@@ -101,6 +101,67 @@ class TestRun:
         assert sev2["other"] == 12  # 6 * 2 via else branch
 
 
+class TestFunctionRegistry:
+    """Full config-callable function surface + call_indirect
+    (ref: grammar/rainerscript.c:4467-4510 function registry;
+    runtime/ruleset.c:236-275 execCallIndirect)."""
+
+    CONF = r'''
+template(name="greet" type="string" string="hi %hostname%")
+ruleset(name="red")  { set $.color = "RED"; action(type="omfile" name="o_red") }
+ruleset(name="blue") { set $.color = "BLUE"; action(type="omfile" name="o_blue") }
+ruleset(name="main") {
+    set $.b = b64_decode("aGVsbG8=");
+    set $.ft = format_time(0, "date-rfc3339");
+    set $.rt = parse_time($.ft);
+    set $.env = getenv("DEFINITELY_NOT_SET_XYZ", "fallback");
+    set $.sub = is_in_subnet("10.1.2.3", "10.0.0.0/8");
+    set $.h = hash64mod($msg, 1);
+    set $.g = exec_template("greet");
+    foreach ($.w in split($msg, ",")) do { set $.last = $.w; }
+    if $msg startswith "r" then { set $.route = "red"; }
+    else { set $.route = "nosuch"; }
+    call_indirect $.route;
+    action(type="omfile" name="tail")
+}
+'''
+
+    def test_functions_and_call_indirect(self, spark):
+        eng, _cfg = load_config(self.CONF)
+        df = spark.createDataFrame(
+            [("h1", "red,one"), ("h2", "blue,two")],
+            "hostname string, msg string")
+        actions, _ = eng.run(df, "main")
+        out = {name: d for name, d in actions}
+        red = out["o_red"].collect()
+        assert len(red) == 1 and red[0]["hostname"] == "h1"
+        assert red[0]["local_color"] == "RED"
+        assert red[0]["local_b"] == "hello"
+        assert red[0]["local_ft"].startswith("1970-01-01T00:00:00")
+        assert int(red[0]["local_rt"]) == 0
+        assert red[0]["local_env"] == "fallback"
+        assert red[0]["local_sub"] is True
+        assert int(red[0]["local_h"]) == 0
+        assert red[0]["local_g"] == "hi h1"
+        assert red[0]["local_last"] == "one"   # foreach carry
+        # blue row's computed name "nosuch" matches no ruleset:
+        # row continues in the caller (reference error-and-continue)
+        assert len(out["o_blue"].collect()) == 0
+        tails = {r["hostname"] for r in out["tail"].collect()}
+        assert tails == {"h1", "h2"}
+
+    def test_unknown_function_still_raises(self, spark):
+        import pytest
+
+        eng, _ = load_config(
+            'ruleset(name="m") { set $.x = nope_fn($msg); }')
+        df = spark.createDataFrame([("x",)], "msg string")
+        # expression closures compile lazily — the error surfaces when
+        # the ruleset is compiled against a frame
+        with pytest.raises(SyntaxError):
+            eng.run(df, "m")
+
+
 class TestTemplateString:
     def test_compile_and_render(self, spark):
         from rsyslog_spark.templates import compile_template_string

@@ -210,6 +210,55 @@ def test_foreach_carries_body_writes(spark):
     assert out["app info"] == ("pre", None)
 
 
+def test_foreach_object_iteration(spark):
+    # reference iterates JSON OBJECTS as {key,value} pairs
+    # (runtime/ruleset.c:310-401); map columns and JSON-object strings
+    # explode to entry structs with flat _key/_value companions
+    df = _mkdf(spark).withColumn(
+        "obj",
+        F.when(F.col("hostname") == "a",
+               F.create_map(F.lit("x"), F.lit("1"),
+                            F.lit("y"), F.lit("2")))
+        .otherwise(F.create_map(F.lit("z"), F.lit("9"))),
+    )
+    eng = RulesetEngine([Ruleset("RSYSLOG_DefaultRuleset", [
+        Foreach("$.p", F.col("obj"), body=[
+            Action("pairs"),
+        ]),
+    ])])
+    actions, _ = eng.run(df)
+    got = sorted((r.msg, r.local_p_key, r.local_p_value)
+                 for r in dict(actions)["pairs"].collect())
+    assert ("mail ok", "x", "1") in got
+    assert ("mail ok", "y", "2") in got
+    assert ("kernel alert", "z", "9") in got
+    # struct loop var itself is also bound
+    row = dict(actions)["pairs"].filter(
+        F.col("local_p_key") == "z").collect()[0]
+    assert row["local_p"]["value"] == "9"
+
+
+def test_foreach_json_object_string(spark):
+    # a STRING collection is parsed as a JSON object
+    df = _mkdf(spark).withColumn(
+        "obj", F.when(F.col("hostname") == "a",
+                      F.lit('{"k1":"v1","k2":"v2"}'))
+        .otherwise(F.lit(None).cast("string")))
+    eng = RulesetEngine([Ruleset("RSYSLOG_DefaultRuleset", [
+        Foreach("$.e", F.col("obj"), body=[
+            Set("$.seen", F.concat(F.col(varname("$.e") + "_key"),
+                                   F.lit("="),
+                                   F.col(varname("$.e") + "_value"))),
+        ]),
+        Action("out"),
+    ])])
+    actions, _ = eng.run(df)
+    seen = {r.msg: r.local_seen for r in dict(actions)["out"].collect()}
+    # carry = last entry's write; document order preserved
+    assert seen["mail ok"] == "k2=v2"
+    assert seen["kernel alert"] is None
+
+
 def test_action_transform_template(spark):
     df = _mkdf(spark)
     eng = RulesetEngine([Ruleset("RSYSLOG_DefaultRuleset", [
