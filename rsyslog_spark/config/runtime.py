@@ -37,6 +37,55 @@ class ConfigRun:
     survivors: DataFrame | None = None
 
 
+def _apply_main_queue_directives(
+    frame: DataFrame, cfg: ParsedConfig, *, batch_rows: int | None = None,
+) -> DataFrame:
+    """Activate legacy main-queue directives that map to implemented
+    operators (ref: runtime/cfsysline.c directive table):
+
+    * ``$RepeatedMsgReduction on`` → inline run collapse
+      (operators/stats.repeated_msg_collapse) — consecutive identical
+      messages per host become first row + 'last message repeated n
+      times'.
+    * ``$MainMsgQueueDiscardSeverity`` (+ ``...DiscardMark`` /
+      ``...Size``) → the queue overload-shedding gate: when the batch
+      exceeds the discard mark, rows at or above the discard severity
+      (numerically >=, i.e. less important) are dropped. Defaults
+      mirror the reference: size 10000, discard mark 97.5% of size,
+      severity 8 = never (runtime/queue.c defaults).
+
+    ``batch_rows`` lets streaming callers pass the micro-batch size
+    they already know; batch mode counts once (only when a discard
+    severity is actually configured).
+    """
+    from rsyslog_spark.schema import SEVERITIES
+
+    d = cfg.directives
+    sev_raw = d.get("mainmsgqueuediscardseverity")
+    if sev_raw is not None:
+        s = sev_raw.strip().strip('"').lower()
+        sev_n = SEVERITIES.get(s, None)
+        if sev_n is None:
+            try:
+                sev_n = int(s)
+            except ValueError:
+                sev_n = 8
+        if sev_n <= 7:
+            size = int(d.get("mainmsgqueuesize", "10000"))
+            mark = int(d.get("mainmsgqueuediscardmark",
+                             str(int(size * 0.975))))
+            n = batch_rows if batch_rows is not None else frame.count()
+            if n > mark:
+                frame = frame.filter(
+                    F.col("syslogseverity") < F.lit(sev_n))
+    if d.get("repeatedmsgreduction", "off").strip().lower() == "on":
+        from rsyslog_spark.operators.stats import repeated_msg_collapse
+
+        frame = repeated_msg_collapse(
+            frame, ["hostname"], "msg", "timereported")
+    return frame
+
+
 def run_config_batch(
     spark: SparkSession,
     conf_src: str,
@@ -66,7 +115,7 @@ def run_config_batch(
         ruleset_name = next(iter(cfg.rulesets))
 
     lines = spark.read.text(path).withColumnRenamed("value", "line")
-    frame = parse_syslog(lines)
+    frame = _apply_main_queue_directives(parse_syslog(lines), cfg)
     actions, survivors = eng.run(frame, ruleset_name)
 
     run = ConfigRun(survivors=survivors)
@@ -150,7 +199,8 @@ def run_config_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            actions, _surv = eng.run(batch_df, ruleset_name)
+            gated = _apply_main_queue_directives(batch_df, cfg)
+            actions, _surv = eng.run(gated, ruleset_name)
             for name, df in actions:
                 params = _action_params(cfg, ruleset_name, name)
                 if params.get("type") == "omfile" and params.get("file"):

@@ -144,6 +144,51 @@ def cosine_topk_lsh(
     return cosine_topk(pruned, query_vec, vec_col, id_col, k, round_digits)
 
 
+def cosine_pairs_blocked(
+    df: DataFrame, threshold: float,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact cosine-similarity self-join (all unordered pairs with
+    cosine >= threshold) with NO BroadcastNestedLoopJoin.
+
+    The naive form ``a JOIN b ON a.id < b.id`` is a theta join Spark
+    can only run as a BNLJ — the whole table broadcast to every task,
+    the anti-pattern at corpus scale. Instead the O(N^2) comparison
+    matrix is tiled into ``n_blocks`` stripes realized as a shuffle
+    equi-join on the stripe key (the 1-bucket-theta pattern): side A
+    carries each vector once (keyed by its own stripe), side B
+    replicates each vector ``n_blocks`` times (one replica per
+    stripe), so every ordered pair meets exactly once and
+    ``id_a < id_b`` keeps the unordered half.
+
+    Cost model: shuffle volume N + N*n_blocks rows; comparisons
+    N^2/n_blocks per stripe across n_blocks parallel reducers — the
+    quadratic work is unavoidable for an EXACT join but is now evenly
+    spread and never driver-broadcast. Pick n_blocks ~ target
+    parallelism. For sub-quadratic approximate dedup at corpus scale
+    use MinHash/SimHash banding (operators/dedup) or the signature
+    prune in :func:`cosine_topk_lsh`; this exact form is the
+    verify-stage scorer those candidate generators feed.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), vec.alias("__v"))
+    blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                 F.lit(n_blocks)).cast("int")
+    a = base.select(F.col(id_col).alias("id_a"),
+                    F.col("__v").alias("va"), blk.alias("__blk"))
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("vb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        .alias("__blk"))
+    pairs = a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def ivf_index(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -141,6 +141,56 @@ def repeated_msg_reduction(
     )
 
 
+def repeated_msg_collapse(
+    df: DataFrame,
+    key_cols: list[str],
+    msg_col: str = "msg",
+    order_col: str = "timereported",
+) -> DataFrame:
+    """$RepeatedMsgReduction in OUTPUT shape (ref: runtime/action.h:
+    63,88 and classic sysklogd behavior): runs of consecutive
+    identical messages per key collapse to the FIRST row of the run,
+    followed — when the run length n > 1 — by a same-schema row whose
+    message is 'last message repeated n times' stamped with the run's
+    last timestamp. Unlike :func:`repeated_msg_reduction` (an
+    aggregation view), this keeps the frame's schema so it can sit
+    inline in a ruleset pipeline before the actions.
+
+    Same gaps-and-islands shape: one shuffle on (key), two window
+    passes reusing it, then a map-side-combinable groupBy per run.
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col))
+    flagged = df.withColumn(
+        "__new_run",
+        F.when(
+            F.lag(F.col(msg_col)).over(w).isNull()
+            | (F.lag(F.col(msg_col)).over(w) != F.col(msg_col)),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn("__run", F.sum("__new_run").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ))
+    agg = runs.groupBy(*keys, F.col("__run")).agg(
+        F.min_by(F.struct(*df.columns), F.col(order_col)).alias("__first"),
+        F.count(F.lit(1)).alias("__n"),
+        F.max(order_col).alias("__last"),
+    )
+    first_rows = agg.select("__first.*")
+    summaries = (
+        agg.filter(F.col("__n") > 1)
+        .select(
+            F.col("__first")
+            .withField(msg_col, F.format_string(
+                "last message repeated %d times", F.col("__n")))
+            .withField(order_col, F.col("__last"))
+            .alias("__s"))
+        .select("__s.*")
+    )
+    return first_rows.unionByName(summaries)
+
+
 def sendertrack(
     df: DataFrame, sender_col: str, ts_col: str
 ) -> DataFrame:

@@ -269,22 +269,19 @@ def text_lang_id(spark, sf_dir):
                                  CAST(b.embedding AS DOUBLE[])) >= 0.35
     """,
     doc="Embedding-cosine near-duplicate pairs (training-data dedup): "
-        "all-pairs self-join with JVM-side zip_with/aggregate dot "
-        "product; at scale replace the cross join with the LSH-bucket "
-        "prune (cosine_topk_lsh) — same scorer, bucketed candidates.",
+        "exact all-pairs semantics WITHOUT a BroadcastNestedLoopJoin "
+        "— the comparison matrix is tiled into stripes realized as a "
+        "shuffle equi-join (1-bucket-theta pattern, "
+        "operators/similarity.cosine_pairs_blocked); dot product is "
+        "JVM-side zip_with/aggregate. Sub-quadratic approximate "
+        "candidates at corpus scale: minhash_lsh_dedup / "
+        "simhash_near_dup feed this same exact scorer.",
 )
 def embedding_cosine_near_dup(spark, sf_dir):
-    from rsyslog_spark.operators.similarity import cosine
+    from rsyslog_spark.operators.similarity import cosine_pairs_blocked
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= 0.35)
-        .select("id_a", "id_b")
-    )
+    return cosine_pairs_blocked(emb, threshold=0.35, n_blocks=16)
 
 
 @q(

@@ -250,6 +250,58 @@ class TestRuntime:
         assert rest.count() == 1
         assert rest.collect()[0]["programname"] == "cron"
 
+    def test_repeated_msg_reduction_directive(self, spark, tmp_path):
+        # $RepeatedMsgReduction on (ref: runtime/cfsysline.c;
+        # action.h:63,88): consecutive identical messages collapse to
+        # first occurrence + "last message repeated n times".
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "rin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<13>Mar  1 10:00:00 h1 app: same line\n"
+            "<13>Mar  1 10:00:01 h1 app: same line\n"
+            "<13>Mar  1 10:00:02 h1 app: same line\n"
+            "<13>Mar  1 10:00:03 h1 app: different\n")
+        outdir = tmp_path / "rout"
+        conf = f'''
+        $RepeatedMsgReduction on
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        ruleset(name="main") {{
+            action(type="omfile" name="out" file="{outdir}")
+        }}
+        '''
+        run_config_batch(spark, conf)
+        msgs = sorted(r["msg"] for r in
+                      spark.read.parquet(str(outdir)).collect())
+        assert msgs == ["different", "last message repeated 3 times",
+                        "same line"]
+
+    def test_discard_severity_directive(self, spark, tmp_path):
+        # $MainMsgQueueDiscardSeverity + DiscardMark: batch over the
+        # mark sheds rows at/above the discard severity.
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "din"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<11>Mar  1 10:00:00 h1 app: err one\n"      # sev 3
+            "<14>Mar  1 10:00:01 h1 app: info one\n"     # sev 6
+            "<15>Mar  1 10:00:02 h1 app: debug one\n")   # sev 7
+        outdir = tmp_path / "dout"
+        conf = f'''
+        $MainMsgQueueDiscardMark 2
+        $MainMsgQueueDiscardSeverity info
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        ruleset(name="main") {{
+            action(type="omfile" name="out" file="{outdir}")
+        }}
+        '''
+        run_config_batch(spark, conf)
+        sevs = sorted(r["syslogseverity"] for r in
+                      spark.read.parquet(str(outdir)).collect())
+        assert sevs == [3]   # info(6) and debug(7) shed; err(3) kept
+
     def test_stream_end_to_end(self, spark, tmp_path):
         from rsyslog_spark.config.runtime import run_config_stream
 

@@ -180,6 +180,34 @@ class TestIvf:
         assert len(set(exact) & set(approx)) >= 3
 
 
+class TestCosinePairsBlocked:
+    def test_exact_no_bnlj(self, spark):
+        import random
+        from rsyslog_spark.operators.similarity import (
+            cosine, cosine_pairs_blocked,
+        )
+        from pyspark.sql import functions as F
+
+        rng = random.Random(11)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(8)])
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        out = cosine_pairs_blocked(df, threshold=0.5, n_blocks=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        # brute-force reference (the theta-join form)
+        a = df.select(F.col("vec_id").alias("id_a"),
+                      F.col("embedding").alias("va"))
+        b = df.select(F.col("vec_id").alias("id_b"),
+                      F.col("embedding").alias("vb"))
+        ref = a.join(b, F.col("id_a") < F.col("id_b")) \
+            .filter(cosine(F.col("va"), F.col("vb")) >= 0.5)
+        want = {(r["id_a"], r["id_b"]) for r in ref.collect()}
+        assert got == want
+        assert want  # fixture actually produces pairs
+
+
 class TestAuditSnmp:
     def test_mmaudit(self, spark):
         from rsyslog_spark.operators.mm import mmaudit
