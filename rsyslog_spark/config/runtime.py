@@ -8,10 +8,14 @@ tests and backfills); streaming mode uses the imfile source with an
 ``availableNow``-style trigger left to the caller.
 
 Supported action types at the runtime level: omfile (text lines via
-the named template, or parquet when ``template`` is absent),
-omdiscard (compiled away as Stop at parse time). Other action types
-are returned to the caller as (name, DataFrame, params) so hosts wire
-omkafka/omelasticsearch/omfwd etc. through streaming/sinks.py —
+the named template, or parquet when ``template`` is absent), omfwd
+(TCP/UDP forward through streaming/sinks.omfwd_sink, including legacy
+``@host``/``@@host`` selector targets), ompipe (``|path`` targets —
+single-writer append, matching the reference's one fd per pipe),
+omkafka (when the action names a broker), and omdiscard (compiled
+away as Stop at parse time). ``sink_overrides`` lets hosts rebind any
+type (e.g. omusrmsg → a wall-device mock in tests); remaining types
+are returned as (name, DataFrame, params) for host wiring —
 transports need endpoints only the host knows.
 """
 
@@ -35,6 +39,85 @@ class ConfigRun:
     unbound: list[tuple[str, DataFrame, dict]] = dfield(
         default_factory=list)                                # host-wired
     survivors: DataFrame | None = None
+
+
+# Default render template for line-oriented transports when the action
+# names none — the RSYSLOG_ForwardFormat shape (ref: runtime/
+# template.c default templates; doc templates.rst).
+_FORWARD_TEMPLATE = ("<%pri%>%timereported:::date-rfc3339% %hostname% "
+                     "%syslogtag%%msg%")
+
+
+def _rendered_lines(df: DataFrame, cfg: ParsedConfig, params: dict,
+                    default: str | None = _FORWARD_TEMPLATE):
+    """Template-render an action's rows to a single ``line`` column
+    (or None when the action names no template and no default
+    applies)."""
+    tpl = cfg.templates.get(params.get("template", ""))
+    if (tpl is None or not hasattr(tpl, "col")) and default:
+        from rsyslog_spark.templates import compile_template_string
+        tpl = compile_template_string(default)
+    if tpl is None or not hasattr(tpl, "col"):
+        return None
+    return df.select(tpl.col().alias("line"))
+
+
+def _dispatch_action(
+    cfg: ParsedConfig, name: str, df: DataFrame, params: dict,
+    run: ConfigRun, sink_overrides: dict | None = None,
+) -> None:
+    """Route one action's rows to its sink (ref activation sequence:
+    runtime/rsconf.c:1228-1268 — actions start first). Types without a
+    runtime binding land in ``run.unbound`` for host wiring."""
+    typ = params.get("type", "")
+    if sink_overrides and typ in sink_overrides:
+        out = sink_overrides[typ](name, df, params)
+        run.written[name] = out if isinstance(out, str) else typ
+        return
+    if typ == "omfile" and params.get("file"):
+        out_path = params["file"]
+        tpl = cfg.templates.get(params.get("template", ""))
+        if tpl is not None and hasattr(tpl, "col"):
+            df.select(tpl.col().alias("value")) \
+                .write.mode("append").text(out_path)
+        else:
+            df.write.mode("append").parquet(out_path)
+        run.written[name] = out_path
+        return
+    if typ == "omfwd" and params.get("target"):
+        from rsyslog_spark.streaming.sinks import omfwd_sink
+
+        lines = _rendered_lines(df, cfg, params)
+        proto = params.get("protocol", "udp").lower()
+        port = int(params.get("port", "514"))
+        # reference default TCP_Framing is "traditional" (LF,
+        # ref tools/omfwd.c); octet-counted on request
+        framing = ("octet-counted"
+                   if params.get("tcp_framing", "").startswith("octet")
+                   else "lf")
+        omfwd_sink(params["target"], port, "line",
+                   framing=framing, protocol=proto)(lines, 0)
+        run.written[name] = f"{proto}://{params['target']}:{port}"
+        return
+    if typ == "ompipe" and params.get("pipe"):
+        # one fd, sequential writes — pipes have a single consumer in
+        # the reference too (tools/ompipe.c); rows stream through the
+        # driver via toLocalIterator, no full collect
+        lines = _rendered_lines(df, cfg, params)
+        with open(params["pipe"], "a", encoding="utf-8") as fh:
+            for r in lines.toLocalIterator():
+                fh.write((r["line"] or "") + "\n")
+        run.written[name] = params["pipe"]
+        return
+    if typ == "omkafka" and params.get("broker"):
+        lines = _rendered_lines(df, cfg, params)
+        (lines.selectExpr("CAST(line AS STRING) AS value")
+         .write.format("kafka")
+         .option("kafka.bootstrap.servers", params["broker"])
+         .option("topic", params.get("topic", "rsyslog")).save())
+        run.written[name] = f"kafka://{params['broker']}"
+        return
+    run.unbound.append((name, df, params))
 
 
 def _apply_main_queue_directives(
@@ -93,6 +176,7 @@ def run_config_batch(
     input_path: str | None = None,
     tables: dict[str, Any] | None = None,
     main: str | None = None,
+    sink_overrides: dict | None = None,
 ) -> ConfigRun:
     """Parse + execute a config against file input in batch mode.
 
@@ -121,17 +205,7 @@ def run_config_batch(
     run = ConfigRun(survivors=survivors)
     for name, df in actions:
         params = _action_params(cfg, ruleset_name, name)
-        if params.get("type") == "omfile" and params.get("file"):
-            out_path = params["file"]
-            tpl = cfg.templates.get(params.get("template", ""))
-            if tpl is not None:
-                df.select(tpl.col().alias("value")) \
-                    .write.mode("append").text(out_path)
-            else:
-                df.write.mode("append").parquet(out_path)
-            run.written[name] = out_path
-        else:
-            run.unbound.append((name, df, params))
+        _dispatch_action(cfg, name, df, params, run, sink_overrides)
     return run
 
 
@@ -166,6 +240,7 @@ def run_config_stream(
     tables: dict[str, Any] | None = None,
     main: str | None = None,
     available_now: bool = True,
+    sink_overrides: dict | None = None,
 ):
     """Streaming execution of a config: imfile readStream → parse →
     ruleset DAG re-applied per micro-batch → all actions written from
@@ -201,15 +276,11 @@ def run_config_stream(
         try:
             gated = _apply_main_queue_directives(batch_df, cfg)
             actions, _surv = eng.run(gated, ruleset_name)
+            run = ConfigRun()
             for name, df in actions:
                 params = _action_params(cfg, ruleset_name, name)
-                if params.get("type") == "omfile" and params.get("file"):
-                    tpl = cfg.templates.get(params.get("template", ""))
-                    if tpl is not None:
-                        df.select(tpl.col().alias("value")) \
-                            .write.mode("append").text(params["file"])
-                    else:
-                        df.write.mode("append").parquet(params["file"])
+                _dispatch_action(cfg, name, df, params, run,
+                                 sink_overrides)
         finally:
             batch_df.unpersist()
 
@@ -310,6 +381,7 @@ def run_config_stream_async(
     written: dict[str, str] = {}
 
     def write_actions(actions, rsname):
+        run = ConfigRun(written=written)
         for name, df in actions:
             if name.startswith(enq_prefix):
                 target = name[len(enq_prefix):]
@@ -320,14 +392,7 @@ def run_config_stream_async(
                     .parquet(qdirs[target])
                 continue
             params = _action_params(cfg, rsname, name)
-            if params.get("type") == "omfile" and params.get("file"):
-                tpl = cfg.templates.get(params.get("template", ""))
-                if tpl is not None:
-                    df.select(tpl.col().alias("value")) \
-                        .write.mode("append").text(params["file"])
-                else:
-                    df.write.mode("append").parquet(params["file"])
-                written[name] = params["file"]
+            _dispatch_action(cfg, name, df, params, run)
 
     lines = imfile(spark, path)
     frame = parse_syslog(lines)

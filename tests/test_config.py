@@ -250,6 +250,65 @@ class TestRuntime:
         assert rest.count() == 1
         assert rest.collect()[0]["programname"] == "cron"
 
+    def test_non_omfile_actions_end_to_end(self, spark, tmp_path):
+        # VERDICT r2 #9: legacy selector targets @@host (omfwd/tcp)
+        # and |pipe run end-to-end through run_config_batch; omusrmsg
+        # routes through a sink_overrides wall mock.
+        import socket
+        import threading
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "nin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<11>Mar  1 10:00:00 h1 app: fatal error one\n"
+            "<30>Mar  1 10:00:01 h2 cron[7]: job ok\n")
+
+        # mock syslog TCP server (one connection, LF framing)
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.bind(("127.0.0.1", 0))
+        srv.listen(1)
+        port = srv.getsockname()[1]
+        received: list[bytes] = []
+
+        def serve():
+            conn, _ = srv.accept()
+            while chunk := conn.recv(65536):
+                received.append(chunk)
+            conn.close()
+
+        th = threading.Thread(target=serve, daemon=True)
+        th.start()
+
+        pipe_path = tmp_path / "pipe.out"
+        pipe_path.touch()
+        walls: list[str] = []
+
+        def wall_mock(name, df, params):
+            walls.extend(r["msg"] for r in df.collect())
+            return "wall://" + params.get("target", "")
+
+        conf = f'''
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        *.err @@127.0.0.1:{port}
+        *.* |{pipe_path}
+        *.emerg :omusrmsg:*
+        '''
+        run = run_config_batch(
+            spark, conf, main="RSYSLOG_DefaultRuleset",
+            sink_overrides={"omusrmsg": wall_mock})
+        th.join(timeout=10)
+        srv.close()
+
+        fwd = b"".join(received).decode()
+        assert "fatal error one" in fwd and "h1" in fwd
+        assert "job ok" not in fwd                  # *.err selector
+        piped = pipe_path.read_text().splitlines()
+        assert len(piped) == 2 and piped[0].startswith("<11>")
+        assert walls == []                          # no emerg rows
+        assert len(run.written) == 3
+        assert not run.unbound
+
     def test_repeated_msg_reduction_directive(self, spark, tmp_path):
         # $RepeatedMsgReduction on (ref: runtime/cfsysline.c;
         # action.h:63,88): consecutive identical messages collapse to
