@@ -258,9 +258,11 @@ def run_config_stream(
     eng, cfg = _load(conf_src, tables=tables)
     path = input_path
     ruleset_name = main
+    imfile_params: dict = {}
     for inp in cfg.inputs:
         if inp.get("type") == "imfile" and path is None:
             path = inp.get("file")
+            imfile_params = inp
         if ruleset_name is None and inp.get("ruleset"):
             ruleset_name = inp["ruleset"]
     if path is None:
@@ -268,7 +270,12 @@ def run_config_stream(
     if ruleset_name is None:
         ruleset_name = next(iter(cfg.rulesets))
 
-    lines = imfile(spark, path)
+    lines = imfile(
+        spark, path,
+        startmsg_regex=imfile_params.get("startmsg.regex"),
+        endmsg_regex=imfile_params.get("endmsg.regex"),
+        read_mode=int(imfile_params.get(
+            "readMode", imfile_params.get("readmode", "0"))))
     frame = parse_syslog(lines)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

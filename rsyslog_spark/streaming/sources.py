@@ -29,26 +29,38 @@ def imfile(
     *,
     max_files_per_trigger: int | None = None,
     startmsg_regex: str | None = None,
+    endmsg_regex: str | None = None,
+    read_mode: int = 0,
     inputname: str = "imfile",
 ) -> DataFrame:
     """Tail files under a glob (ref: plugins/imfile/imfile.c:382-416).
 
     Returns a streaming DataFrame of raw ``line`` rows plus the source
-    file path. With ``startmsg_regex``, consecutive lines are owned by
-    the message they follow (multiline readMode, ref imfile
-    startmsg.regex) — reassembly happens in :func:`reassemble_multiline`
-    on a per-file group so ordering is preserved.
+    file path. Multiline messages follow the reference's four modes:
+
+    * ``startmsg_regex`` — a line matching the regex STARTS a new
+      message; lines until the next match belong to it.
+    * ``endmsg_regex`` — a line matching the regex ENDS the current
+      message (the match is included); the next line starts fresh.
+    * ``read_mode=1`` — indented continuation: a line beginning with
+      space/tab continues the previous message (classic syslog
+      continuation).
+    * ``read_mode=2`` — paragraph mode: an empty line terminates the
+      message.
+
+    All four are a wholetext read + JVM-side split/explode — no
+    shuffle, no per-row Python, and line order is preserved by
+    construction (a message never spans files). Memory note: one row
+    per file; keep rotated files bounded, as imfile's own state-file
+    model assumes. Batch-table equivalents (and the same mode
+    semantics over an ordered line table) live in
+    :func:`reassemble_multiline`.
     """
     reader = spark.readStream.format("text")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if startmsg_regex:
-        # Multiline readMode: read each file whole and split on a
-        # lookahead of the start-of-message regex. Pure JVM split +
-        # explode — no shuffle, no per-row Python, and line order is
-        # preserved by construction (a message never spans files).
-        # Memory note: one row per file; keep rotated files bounded,
-        # as imfile's own state-file model assumes.
+    multiline = bool(startmsg_regex or endmsg_regex) or read_mode in (1, 2)
+    if multiline:
         content = (
             reader.option("wholetext", True)
             .load(path)
@@ -57,17 +69,28 @@ def imfile(
                 F.input_file_name().alias("srcfile"),
             )
         )
-        pat = startmsg_regex.lstrip("^")
+        if startmsg_regex:
+            pat = startmsg_regex.lstrip("^")
+            parts = F.split("content", f"(?m)(?=^{pat})")
+        elif endmsg_regex:
+            # no variable-length lookbehind in Java regex: stamp a
+            # sentinel after each end-matching line, split on it
+            marked = F.regexp_replace(
+                F.col("content"),
+                f"(?m)({endmsg_regex})\\n?", "$1\u0000")
+            parts = F.split(marked, "\u0000\\n?")
+        elif read_mode == 1:
+            parts = F.split("content", "(?m)(?=^[^ \\t])")
+        else:  # read_mode == 2: empty-line separated paragraphs
+            parts = F.split("content", "(?m)\\n(?:[ \\t]*\\n)+")
         return content.select(
             F.explode(
-                F.transform(
-                    F.split("content", f"(?m)(?=^{pat})"),
-                    lambda x: F.regexp_replace(x, r"\n+$", ""),
-                )
+                F.transform(parts,
+                            lambda x: F.regexp_replace(x, r"\n+$", ""))
             ).alias("line"),
             "srcfile",
             F.lit(inputname).alias("inputname"),
-        ).filter(F.length("line") > 0)
+        ).filter(F.length(F.trim("line")) > 0)
     return (
         reader.load(path)
         .select(
@@ -148,29 +171,52 @@ def parse_stream(lines: DataFrame) -> DataFrame:
 
 def reassemble_multiline(
     df: DataFrame,
-    startmsg_regex: str,
+    startmsg_regex: str | None = None,
     *,
+    endmsg_regex: str | None = None,
+    read_mode: int = 0,
     file_col: str = "srcfile",
     order_col: str = "line_no",
     line_col: str = "line",
 ) -> DataFrame:
     """Multiline reassembly over an ordered line table (ref: imfile
-    readMode/startmsg.regex, plugins/imfile/imfile.c:382-416).
+    readMode 0/1/2 + startmsg.regex/endmsg.regex,
+    plugins/imfile/imfile.c:382-416).
 
-    Batch shape of the wholetext split in :func:`imfile`: a running
-    count of start-of-message matches per file (window, ordered by the
-    line number) assigns each continuation line to its message; one
-    groupBy concatenates. Shuffles once on (file, msg_seq) — at 100 TB
-    the window partitions by file, so skew is bounded by the largest
-    single file, same operational envelope as imfile's per-file state.
+    Batch shape of the wholetext split in :func:`imfile`, with the
+    same four mode semantics (see there). Start-of-message detection
+    per mode, then a running count of starts per file (window, ordered
+    by the line number) assigns each continuation line to its message;
+    one groupBy concatenates. Shuffles once on (file, msg_seq) — at
+    100 TB the window partitions by file, so skew is bounded by the
+    largest single file, same operational envelope as imfile's
+    per-file state.
     """
     from pyspark.sql import Window
 
-    is_start = F.col(line_col).rlike(startmsg_regex).cast("long")
-    w = Window.partitionBy(file_col).orderBy(order_col) \
-        .rowsBetween(Window.unboundedPreceding, 0)
-    seq = F.sum(is_start).over(w)
+    w_lag = Window.partitionBy(file_col).orderBy(order_col)
+    if startmsg_regex is not None:
+        is_start = F.col(line_col).rlike(startmsg_regex)
+    elif endmsg_regex is not None:
+        # a line AFTER an end-match starts the next message; the end
+        # line itself stays with its message
+        prev = F.lag(F.col(line_col)).over(w_lag)
+        is_start = prev.isNull() | prev.rlike(endmsg_regex)
+    elif read_mode == 1:
+        # indented continuation: non-indented lines start messages
+        is_start = ~F.col(line_col).rlike(r"^[ \t]")
+    elif read_mode == 2:
+        # paragraph mode: first line after a blank starts a message;
+        # blank separator lines are dropped below
+        prev = F.lag(F.col(line_col)).over(w_lag)
+        is_start = prev.isNull() | (F.trim(prev) == "")
+    else:
+        is_start = F.lit(True)
+    w = w_lag.rowsBetween(Window.unboundedPreceding, 0)
+    seq = F.sum(is_start.cast("long")).over(w)
     tagged = df.withColumn("__msgseq", seq)
+    if read_mode == 2 and startmsg_regex is None and endmsg_regex is None:
+        tagged = tagged.filter(F.trim(F.col(line_col)) != "")
     return (
         tagged.filter(F.col("__msgseq") > 0)   # leading junk dropped
         .groupBy(file_col, F.col("__msgseq").alias("msg_seq"))

@@ -79,6 +79,77 @@ def test_multiline_reassembly(spark, tmp_path):
     assert got[1] == "2026-08-13 INFO fine"
 
 
+def test_multiline_endmsg_regex(spark, tmp_path):
+    # imfile endmsg.regex (ref: plugins/imfile/imfile.c:382-416;
+    # tests/imfile-endmsg.regex.sh shape): the matching line ENDS the
+    # message and is included in it.
+    src = str(tmp_path / "ml_end")
+    _write_lines(src, "tb.log", [
+        "part one",
+        "part two",
+        "--END--",
+        "second msg",
+        "--END--",
+    ])
+    lines = imfile(spark, src, endmsg_regex=r"^--END--$")
+    q = _run_to_memory(lines, "ml_end_out", str(tmp_path / "ck"))
+    got = sorted(r.line for r in spark.table("ml_end_out").collect())
+    assert got == ["part one\npart two\n--END--", "second msg\n--END--"]
+
+
+def test_multiline_readmode1_indented(spark, tmp_path):
+    # readMode 1: indented lines continue the previous message
+    # (ref: imfile-readmode2.sh family fixtures).
+    src = str(tmp_path / "ml_rm1")
+    _write_lines(src, "tb.log", [
+        "msg one",
+        " indented a",
+        "\tindented b",
+        "msg two",
+    ])
+    lines = imfile(spark, src, read_mode=1)
+    q = _run_to_memory(lines, "ml_rm1_out", str(tmp_path / "ck1"))
+    got = sorted(r.line for r in spark.table("ml_rm1_out").collect())
+    assert got == ["msg one\n indented a\n\tindented b", "msg two"]
+
+
+def test_multiline_readmode2_paragraph(spark, tmp_path):
+    # readMode 2: empty line terminates the message.
+    src = str(tmp_path / "ml_rm2")
+    _write_lines(src, "tb.log", [
+        "para one line 1",
+        "para one line 2",
+        "",
+        "para two",
+    ])
+    lines = imfile(spark, src, read_mode=2)
+    q = _run_to_memory(lines, "ml_rm2_out", str(tmp_path / "ck2"))
+    got = sorted(r.line for r in spark.table("ml_rm2_out").collect())
+    assert got == ["para one line 1\npara one line 2", "para two"]
+
+
+def test_reassemble_multiline_modes_batch(spark):
+    # batch-table path: same mode semantics over (file, line_no, line)
+    from rsyslog_spark.streaming.sources import reassemble_multiline
+
+    rows = [("f", 1, "a start"), ("f", 2, " cont"), ("f", 3, "END"),
+            ("f", 4, "b start"), ("f", 5, "END")]
+    df = spark.createDataFrame(rows, "srcfile string, line_no int, line string")
+    end = reassemble_multiline(df, endmsg_regex=r"^END$").collect()
+    assert sorted(r["line"] for r in end) == \
+        ["a start\n cont\nEND", "b start\nEND"]
+
+    ind = reassemble_multiline(df, read_mode=1).collect()
+    assert sorted(r["line"] for r in ind) == \
+        ["END", "END", "a start\n cont", "b start"]
+
+    rows2 = [("f", 1, "p1 l1"), ("f", 2, "p1 l2"), ("f", 3, ""),
+             ("f", 4, "p2")]
+    df2 = spark.createDataFrame(rows2, "srcfile string, line_no int, line string")
+    par = reassemble_multiline(df2, read_mode=2).collect()
+    assert sorted(r["line"] for r in par) == ["p1 l1\np1 l2", "p2"]
+
+
 def test_streaming_dynstats_and_impstats(spark, tmp_path):
     listener = ImpstatsListener()
     spark.streams.addListener(listener)
