@@ -689,6 +689,12 @@ def _var_col(name: str, df: DataFrame | None = None) -> Column:
         if has_json:
             return rf.json_get("json", name)
         return F.lit(None).cast("string")
+    if name.startswith("$/"):
+        # global vars resolve through the process-global plan-time
+        # store when no set ran on this frame (ref: typedefs.h:244-248)
+        from rsyslog_spark.plans.ruleset import resolve_global
+        if df is not None:
+            return resolve_global(name, df)
     return F.col(varname(name))
 
 

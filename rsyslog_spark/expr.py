@@ -260,10 +260,14 @@ def prifilt(spec: str, facility: ColumnOrName = "syslogfacility",
     compiled masks are memoized per (spec, columns) — the analog of
     the reference compiling the mask once at config load."""
     if isinstance(facility, str) and isinstance(severity, str):
-        key = (spec, facility, severity)
-        got = _PRIFILT_CACHE.get(key)
+        from rsyslog_spark.session import session_cache_key
+
+        sk = session_cache_key()   # JVM-restart-safe memo key
+        key = (sk, spec, facility, severity)
+        got = _PRIFILT_CACHE.get(key) if sk else None
         if got is None:
             got = PriFilter.parse(spec).col(facility, severity)
-            _PRIFILT_CACHE[key] = got
+            if sk:
+                _PRIFILT_CACHE[key] = got
         return got
     return PriFilter.parse(spec).col(facility, severity)

@@ -58,7 +58,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-_MH_AGG_CACHE: dict[int, list] = {}
+_MH_AGG_CACHE: dict[tuple, list] = {}
 
 
 def minhash_signatures(
@@ -82,14 +82,18 @@ def minhash_signatures(
         # re-hashing the string per hash function
         F.xxhash64(F.col("__sh")).alias("__h"),
     )
-    aggs = _MH_AGG_CACHE.get(num_hashes)
+    from rsyslog_spark.session import session_cache_key
+
+    sk = session_cache_key()   # JVM-restart-safe memo key
+    aggs = _MH_AGG_CACHE.get((sk, num_hashes)) if sk else None
     if aggs is None:
         # 64 agg Columns ≈ 200 Py4J calls; memoize per num_hashes
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
-        _MH_AGG_CACHE[num_hashes] = aggs
+        if sk:
+            _MH_AGG_CACHE[(sk, num_hashes)] = aggs
     return ex.groupBy(id_col).agg(*aggs)
 
 

@@ -214,13 +214,19 @@ def parse_syslog(
     know their referenced properties can prune at the source — the
     liblognorm-"turbo" analog, ref runtime/msg.h:116-125).
     """
+    from rsyslog_spark.session import session_cache_key
+
     want = columns if columns is not None else list(SYSLOG_COLUMNS)
-    key = (line_col, inputname, keep_raw, with_uuid, tuple(want))
-    layers = _CHAIN_CACHE.get(key)
+    # keyed by applicationId so a JVM restart misses instead of
+    # resolving Columns against a dead gateway
+    sk = session_cache_key()
+    key = (sk, line_col, inputname, keep_raw, with_uuid, tuple(want))
+    layers = _CHAIN_CACHE.get(key) if sk else None
     if layers is None:
         layers = _build_layers(line_col, inputname, keep_raw,
                                with_uuid, want)
-        _CHAIN_CACHE[key] = layers
+        if sk:
+            _CHAIN_CACHE[key] = layers
     keep_others = [c for c in df.columns
                    if c != line_col and c not in want]
     cur = df

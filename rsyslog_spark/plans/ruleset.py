@@ -56,6 +56,32 @@ MAX_CALL_DEPTH = 10  # ref: runtime/ruleset.c:222 (call depth limit)
 CondLike = Union[Column, Callable[[DataFrame], Column]]
 
 
+# $/ global variables (ref: runtime/typedefs.h:244-248). The reference
+# keeps them process-global and mutable across messages; the Spark
+# analog is a process-global PLAN-TIME store: `set $/x = EXPR` records
+# the value expression here (last write in plan order wins) and later
+# reads — including in subsequent engine.run calls / micro-batches —
+# resolve from it when the frame has no global_x column yet.
+# Divergence (documented): per-row sequential mutation (counters via
+# $/) is not modeled — the reference's own docs discourage it; use
+# dynstats for counters. Values are stored as the original closure or
+# Column; closures rebuild per frame so they survive JVM restarts.
+GLOBAL_VARS: dict[str, Union[Column, Callable[[DataFrame], Column]]] = {}
+
+
+def resolve_global(name: str, df: DataFrame) -> Column:
+    """Read a ``$/`` variable: frame column if a set ran on this
+    lineage, else the process-global store, else NULL (the reference
+    reads missing vars as empty)."""
+    col = varname(name)
+    if col in df.columns:
+        return F.col(col)
+    stored = GLOBAL_VARS.get(col)
+    if stored is not None:
+        return stored(df) if callable(stored) else stored
+    return F.lit(None).cast("string")
+
+
 def varname(name: str) -> str:
     """Map a RainerScript variable name to its engine column name."""
     if name.startswith("$!"):
@@ -280,8 +306,13 @@ class _Compiler:
                 name = varname(s.name)
                 prev = F.col(name) if name in self.df.columns else F.lit(None)
                 self.df = self.df.withColumn(name, F.when(live, v).otherwise(prev))
+                if s.name.startswith("$/"):
+                    # persist for later runs/batches (plan-time store)
+                    GLOBAL_VARS[name] = s.value
             elif isinstance(s, Unset):
                 name = varname(s.name)
+                if s.name.startswith("$/"):
+                    GLOBAL_VARS.pop(name, None)
                 if name in self.df.columns:
                     self.df = self.df.withColumn(
                         name, F.when(live, F.lit(None)).otherwise(F.col(name))

@@ -15,6 +15,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def session_cache_key() -> str | None:
+    """Cache-key component for memoized JVM-backed Column trees.
+
+    Module-level caches of Columns go stale when the backing JVM
+    restarts (a Column holds a Py4J reference into one gateway).
+    Keying entries by the active context's applicationId makes a
+    restarted session miss cleanly instead of resolving against a
+    dead gateway. Returns None (→ don't cache) when no session is
+    active on this thread.
+    """
+    s = SparkSession.getActiveSession()
+    if s is None:
+        return None
+    try:
+        return s.sparkContext.applicationId
+    except Exception:  # context already stopped
+        return None
+
+
 def get_spark(
     app_name: str = "rsyslog_spark",
     master: str | None = None,

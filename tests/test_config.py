@@ -250,6 +250,47 @@ class TestRuntime:
         assert rest.count() == 1
         assert rest.collect()[0]["programname"] == "cron"
 
+    def test_global_vars_across_runs(self, spark, tmp_path):
+        # $/ globals (ref: runtime/typedefs.h:244-248): set in one
+        # config run, readable in the next (plan-time store); unset
+        # globals read as NULL, not AnalysisException.
+        from rsyslog_spark.config.runtime import run_config_batch
+        from rsyslog_spark.plans.ruleset import GLOBAL_VARS
+
+        GLOBAL_VARS.clear()
+        src = tmp_path / "gin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<13>Mar  1 10:00:00 h1 app: hello\n")
+        out1 = tmp_path / "gout1"
+        conf1 = f'''
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        ruleset(name="main") {{
+            set $/site = "dc1";
+            set $.before = $/never_set;
+            action(type="omfile" name="o1" file="{out1}")
+        }}
+        '''
+        run_config_batch(spark, conf1)
+        r1 = spark.read.parquet(str(out1)).collect()[0]
+        assert r1["global_site"] == "dc1"
+        assert r1["local_before"] is None
+
+        out2 = tmp_path / "gout2"
+        conf2 = f'''
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        ruleset(name="main") {{
+            if $/site == "dc1" then {{
+                set $.from_global = $/site;
+                action(type="omfile" name="o2" file="{out2}")
+            }}
+        }}
+        '''
+        run_config_batch(spark, conf2)
+        r2 = spark.read.parquet(str(out2)).collect()[0]
+        assert r2["local_from_global"] == "dc1"
+        GLOBAL_VARS.clear()
+
     def test_non_omfile_actions_end_to_end(self, spark, tmp_path):
         # VERDICT r2 #9: legacy selector targets @@host (omfwd/tcp)
         # and |pipe run end-to-end through run_config_batch; omusrmsg
