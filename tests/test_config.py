@@ -250,6 +250,54 @@ class TestRuntime:
         assert rest.count() == 1
         assert rest.collect()[0]["programname"] == "cron"
 
+    def test_yaml_config_end_to_end(self, spark, tmp_path):
+        # yamlconf (ref: runtime/yamlconf.c): YAML renders to
+        # RainerScript and drives the same parser — both the script:
+        # escape hatch and the structured statements: form.
+        from rsyslog_spark.config.runtime import run_config_batch
+        from rsyslog_spark.config.yamlconf import yaml_to_conf
+
+        src = tmp_path / "yin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<11>Mar  1 10:00:00 h1 app: fatal error one\n"
+            "<30>Mar  1 10:00:01 h2 cron[7]: job ok\n")
+        errdir = tmp_path / "yerr"
+        alldir = tmp_path / "yall"
+        yml = f"""
+templates:
+  - name: plain
+    type: string
+    string: "%hostname% %msg%"
+inputs:
+  - type: imfile
+    file: "{src}/*.log"
+    ruleset: main
+rulesets:
+  - name: aux
+    script: |
+      set $.via = "script";
+      action(type="omfile" name="all" file="{alldir}")
+  - name: main
+    statements:
+      - if: $syslogseverity <= 3 and $msg contains "error"
+        then:
+          - set: {{var: $.sev, value: $syslogseverity}}
+          - action: {{type: omfile, name: errors, file: "{errdir}",
+                      template: plain}}
+          - stop: true
+      - call: aux
+"""
+        conf = yaml_to_conf(yml)
+        run = run_config_batch(spark, conf, main="main")
+        assert set(run.written) == {"errors", "all"}
+        errs = sorted(r["value"] for r in
+                      spark.read.text(str(errdir)).collect())
+        assert errs == ["h1 fatal error one"]
+        rest = spark.read.parquet(str(alldir))
+        assert rest.count() == 1
+        assert rest.collect()[0]["local_via"] == "script"
+
     def test_global_vars_across_runs(self, spark, tmp_path):
         # $/ globals (ref: runtime/typedefs.h:244-248): set in one
         # config run, readable in the next (plan-time store); unset
