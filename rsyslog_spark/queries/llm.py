@@ -166,12 +166,48 @@ def similarity_knn_join(spark, sf_dir):
     )
 
 
+def _lsh_topk_oracle() -> str:
+    """The hyperplanes are deterministic (seeded Python RNG), so the
+    full LSH path — signature, Hamming prune, exact re-rank — is
+    reproducible in DuckDB by embedding the plane constants as
+    literals. Sign-of-dot disagreement would need |dot| ~ 1 ulp;
+    plane/vector dots here are O(1)."""
+    from rsyslog_spark.operators.similarity import lsh_hyperplanes
+
+    planes = lsh_hyperplanes(64, 16, seed=42)
+    rows = ",\n      ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ",".join(repr(v) for v in p))
+        for i, p in enumerate(planes))
+    return f"""
+    WITH planes(i, p) AS (VALUES
+      {rows}),
+    sigs AS (
+      SELECT e.vec_id, e.embedding,
+             SUM(CASE WHEN list_dot_product(
+                          CAST(e.embedding AS DOUBLE[]), pl.p) >= 0
+                      THEN 1::BIGINT << pl.i ELSE 0 END)::BIGINT AS sig
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, e.embedding),
+    q AS (SELECT embedding, sig FROM sigs WHERE vec_id = 0)
+    SELECT s.vec_id,
+           ROUND(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])),
+                 6) AS cosine
+    FROM sigs s, q
+    WHERE bit_count(xor(s.sig, q.sig)) <= 3
+    ORDER BY cosine DESC, s.vec_id
+    LIMIT 10
+    """
+
+
 @q(
-    "similarity_topk_lsh", None,
+    "similarity_topk_lsh", _lsh_topk_oracle(),
     doc="LSH-pruned approximate top-k (random-hyperplane signatures, "
-        "Hamming prune, exact re-rank). Plane signs not reproducible "
-        "in SQL → rows-only check; recall vs brute force is asserted "
-        "in unit tests.",
+        "Hamming prune, exact re-rank). The seeded planes are "
+        "embedded in the oracle SQL as literals, so the whole prune "
+        "is DuckDB-checked; recall vs brute force additionally "
+        "asserted in unit tests.",
 )
 def similarity_topk_lsh(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
