@@ -250,6 +250,10 @@ class _Parser:
             from rsyslog_spark.templates import compile_template_string
             self.cfg.templates[params["name"]] = \
                 compile_template_string(params["string"])
+        elif params.get("type") == "list" and "__elements__" in params:
+            from rsyslog_spark.templates import compile_template_list
+            self.cfg.templates[params["name"]] = \
+                compile_template_list(params["__elements__"])
         else:
             self.cfg.templates[params["name"]] = params
 
@@ -349,8 +353,22 @@ class _Parser:
         return name, stmts, params
 
     def parse_template_obj(self) -> dict:
+        """template(...) with an optional list-template body:
+        ``{ constant(value=...) property(name=...) ... }``
+        (ref: template.h:40-60 list type; doc templates.rst)."""
         self.expect("template")
-        return self.parse_param_block()
+        params = self.parse_param_block()
+        if self.accept("{"):
+            elems: list[tuple[str, dict]] = []
+            while not self.accept("}"):
+                kind = self.next().text
+                if kind not in ("constant", "property"):
+                    raise SyntaxError(
+                        f"template list element must be constant/"
+                        f"property, got {kind!r}")
+                elems.append((kind, self.parse_param_block()))
+            params["__elements__"] = elems
+        return params
 
     def parse_param_block(self) -> dict[str, str]:
         """``( key="value" key2="v2" ... )`` — order preserved."""

@@ -100,7 +100,18 @@ def yaml_to_conf(src: str) -> str:
     for m in doc.get("modules") or []:
         parts.append(f"module({_params(m)})")
     for t in doc.get("templates") or []:
-        parts.append(f"template({_params(t)})")
+        head = _params(t, skip=("elements",))
+        if t.get("elements"):
+            # list template (ref: yamlconf.c parse_template_sequence
+            # "elements:" → property/constant block)
+            body = []
+            for el in t["elements"]:
+                (kind, ps), = el.items()
+                body.append(f"    {kind}({_params(ps)})")
+            parts.append(f"template({head}) {{\n" +
+                         "\n".join(body) + "\n}")
+        else:
+            parts.append(f"template({head})")
     for lt in doc.get("lookup_table") or []:
         parts.append(f"lookup_table({_params(lt)})")
     for inc in doc.get("include") or []:

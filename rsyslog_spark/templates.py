@@ -195,6 +195,58 @@ def csv_line(cols: list[ColumnOrName]) -> Column:
     return F.concat_ws(",", *[csv_escape(c) for c in cols])
 
 
+def compile_template_list(elements: list[tuple[str, dict]]) -> "Template":
+    """v2 list template (ref: template.h:40-60 list type; doc
+    templates.rst ``template(type="list") { constant(...)
+    property(...) }``). Each property statement maps onto the same
+    :class:`Prop` options the string replacer compiles to; jsonf
+    naming params (outname/onEmpty/mandatory) are accepted no-ops in
+    the string-rendering path. Unknown params raise — silent drops
+    would hide template bugs from config authors."""
+    parts: list = []
+    for kind, p in elements:
+        if kind == "constant":
+            parts.append(p.get("value", ""))
+            continue
+        kw: dict = {}
+        name = p.get("name")
+        if not name:
+            raise ValueError("property() needs name=")
+        for k, v in p.items():
+            lk = k.lower()
+            if lk in ("name", "outname", "onempty", "mandatory",
+                      "datatype", "format"):
+                # naming/typing for jsonf containers — no-op when the
+                # list renders as a string line
+                continue
+            if lk == "caseconversion":
+                kw["case"] = v                      # upper | lower
+            elif lk == "dateformat":
+                kw["date_format"] = v
+            elif lk == "position.from":
+                kw["frm"] = int(v)
+            elif lk == "position.to":
+                kw["to"] = int(v)
+            elif lk == "field.number":
+                kw["field_num"] = int(v)
+            elif lk == "field.delimiter":
+                kw["field_delim"] = chr(int(v))
+            elif lk == "regex.expression":
+                kw["regex"] = v
+            elif lk == "regex.submatch":
+                kw["regex_submatch"] = int(v)
+            elif lk == "regex.nomatchmode":
+                kw["regex_nomatch"] = {"BLANK": "blank", "DFLT": "dflt",
+                                       "FIELD": "whole", "ZERO": "zero"
+                                       }.get(str(v).upper(), "blank")
+            elif lk == "controlcharacters":
+                kw["escape"] = "controlchar"
+            else:
+                raise ValueError(f"unsupported property param {k!r}")
+        parts.append(Prop(name, **kw))
+    return Template(parts)
+
+
 _TPL_TOKEN = _re.compile(r"%([^%]*)%")
 
 _TPL_OPTIONS = {

@@ -250,6 +250,36 @@ class TestRuntime:
         assert rest.count() == 1
         assert rest.collect()[0]["programname"] == "cron"
 
+    def test_list_template(self, spark, tmp_path):
+        # v2 list templates (ref: template.h:40-60;
+        # doc templates.rst): constant + property statements with
+        # replacer options, rendered through an omfile text action.
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "lin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<13>Mar  1 10:00:00 h1 app: Payload Text\n")
+        outdir = tmp_path / "lout"
+        conf = f'''
+        template(name="lst" type="list") {{
+            constant(value="host=")
+            property(name="hostname")
+            constant(value=" up=")
+            property(name="msg" caseConversion="upper")
+            constant(value=" f2=")
+            property(name="msg" field.delimiter="32" field.number="2")
+        }}
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        ruleset(name="main") {{
+            action(type="omfile" name="out" file="{outdir}"
+                   template="lst")
+        }}
+        '''
+        run_config_batch(spark, conf)
+        got = [r["value"] for r in spark.read.text(str(outdir)).collect()]
+        assert got == ["host=h1 up=PAYLOAD TEXT f2=Text"]
+
     def test_yaml_config_end_to_end(self, spark, tmp_path):
         # yamlconf (ref: runtime/yamlconf.c): YAML renders to
         # RainerScript and drives the same parser — both the script:
@@ -267,8 +297,11 @@ class TestRuntime:
         yml = f"""
 templates:
   - name: plain
-    type: string
-    string: "%hostname% %msg%"
+    type: list
+    elements:
+      - property: {{name: hostname}}
+      - constant: {{value: " "}}
+      - property: {{name: msg}}
 inputs:
   - type: imfile
     file: "{src}/*.log"
