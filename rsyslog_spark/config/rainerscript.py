@@ -235,8 +235,9 @@ class _Parser:
                     and t.text[1].isalpha():
                 self.parse_legacy_directive()
             else:
-                top.setdefault(self._legacy_rs, []).append(
-                    self.parse_stmt())
+                got = self.parse_stmt()
+                if got is not None:
+                    top.setdefault(self._legacy_rs, []).append(got)
         cfg.reloads = self.reloads
         for rs_name, stmts in top.items():
             prev = cfg.rulesets.get(rs_name)
@@ -399,7 +400,9 @@ class _Parser:
                     self.next()
                 self.accept(";")
                 continue
-            out.append(self.parse_stmt())
+            got = self.parse_stmt()
+            if got is not None:      # '&' continuations splice into
+                out.append(got)      # the previous filter
         return out
 
     def parse_block_or_stmt(self) -> list:
@@ -461,6 +464,18 @@ class _Parser:
             self.next()
             params = self.parse_param_block()
             return _make_action(params)
+        if t.text == "&":
+            # '&' continuation (ref: runtime/conf.c cfline '&'):
+            # repeat the previous selector — the following target
+            # (action, 'stop'/'~', @host, path...) splices into the
+            # previous filter's statement list.
+            self.next()
+            last = getattr(self, "_last_sel_filter", None)
+            if last is None:
+                raise SyntaxError("'&' with no preceding selector line")
+            tgt = self._parse_selector_target()
+            last.then.append(tgt)
+            return None
         if t.text == ":":
             # property filter  :prop, [!]op, "value"  TARGET
             self.next()
@@ -472,12 +487,16 @@ class _Parser:
             val = self.next()
             value = _unquote(val.text) if val.kind == "string" else val.text
             target = self._parse_selector_target()
-            return PropFilt(prop, op, value, negate, [target])
+            stmt = PropFilt(prop, op, value, negate, [target])
+            self._last_sel_filter = stmt
+            return stmt
         # legacy selector line:  SELECTOR target
         sel = self._try_selector()
         if sel is not None:
             target = self._parse_selector_target()
-            return PriFilt(sel, [target])
+            stmt = PriFilt(sel, [target])
+            self._last_sel_filter = stmt
+            return stmt
         raise SyntaxError(f"unknown statement at {t.text!r}")
 
     def _try_selector(self) -> str | None:
@@ -532,7 +551,7 @@ class _Parser:
         if t.text == "action":
             self.next()
             return _make_action(self.parse_param_block())
-        if t.text == "~":
+        if t.text in ("~", "stop"):
             self.next()
             return Stop()
         if t.text == "-":                 # -/path: async omfile

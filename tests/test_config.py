@@ -250,6 +250,32 @@ class TestRuntime:
         assert rest.count() == 1
         assert rest.collect()[0]["programname"] == "cron"
 
+    def test_amp_continuation_stop(self, spark, tmp_path):
+        # '&' continuation lines (ref: runtime/conf.c): the classic
+        # distro pattern — route a program's messages to its own file
+        # then '& stop' so the catch-all doesn't see them.
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "ain"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<78>Mar  1 10:00:00 h1 cron[7]: job start\n"
+            "<13>Mar  1 10:00:01 h2 app: hello\n")
+        crondir = tmp_path / "acron"
+        alldir = tmp_path / "aall"
+        conf = f'''
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        :programname, isequal, "cron" action(type="omfile"
+                name="cronf" file="{crondir}")
+        & stop
+        *.* action(type="omfile" name="allf" file="{alldir}")
+        '''
+        run_config_batch(spark, conf, main="RSYSLOG_DefaultRuleset")
+        assert [r["programname"] for r in
+                spark.read.parquet(str(crondir)).collect()] == ["cron"]
+        assert [r["programname"] for r in
+                spark.read.parquet(str(alldir)).collect()] == ["app"]
+
     def test_list_template(self, spark, tmp_path):
         # v2 list templates (ref: template.h:40-60;
         # doc templates.rst): constant + property statements with
