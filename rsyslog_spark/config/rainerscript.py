@@ -588,6 +588,10 @@ class _Parser:
             if tmpl:
                 p["template"] = tmpl
             return _make_action(p)
+        if t.text == "?":                 # ?DynaFile template target
+            self.next()
+            tname = self.next().text
+            return _make_action({"type": "omfile", "dynafile": tname})
         if t.text == "*":                 # wall message to all users
             self.next()
             return _make_action({"type": "omusrmsg", "target": "*"})

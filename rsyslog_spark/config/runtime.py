@@ -74,6 +74,21 @@ def _dispatch_action(
         out = sink_overrides[typ](name, df, params)
         run.written[name] = out if isinstance(out, str) else typ
         return
+    if typ == "omfile" and params.get("dynafile"):
+        # ?DynaFile target (ref: tools/omfile.c dynafiles): the
+        # template's property references become partition columns
+        from rsyslog_spark.streaming.sinks import (
+            dynafile_partition_spec, omfile_dynafile_batch)
+
+        tpl = cfg.templates.get(params["dynafile"])
+        src_str = getattr(tpl, "source", None)
+        if src_str is None:
+            raise ValueError(
+                f"dynafile template {params['dynafile']!r} unknown "
+                "or not a string template")
+        omfile_dynafile_batch(df, src_str)
+        run.written[name] = dynafile_partition_spec(src_str)[0]
+        return
     if typ == "omfile" and params.get("file"):
         out_path = params["file"]
         tpl = cfg.templates.get(params.get("template", ""))

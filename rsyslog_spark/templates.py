@@ -175,6 +175,8 @@ class Template:
     (ref: tplConstructFromString, template type 'string'/'list')."""
 
     parts: list  # str constants and Prop entries
+    source: str | None = None   # original template string (dynafile
+                                # partition-spec extraction needs it)
 
     def col(self) -> Column:
         cols: list[Column] = []
@@ -319,4 +321,4 @@ def compile_template_string(s: str) -> "Template":
         pos = m.end()
     if pos < len(s):
         parts.append(s[pos:])
-    return Template(parts)
+    return Template(parts, source=s)

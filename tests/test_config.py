@@ -250,6 +250,30 @@ class TestRuntime:
         assert rest.count() == 1
         assert rest.collect()[0]["programname"] == "cron"
 
+    def test_dynafile_target(self, spark, tmp_path):
+        # ?DynaFile selector targets (ref: tools/omfile.c dynafiles):
+        # template property refs become partition columns.
+        import os
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "dfin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<13>Mar  1 10:00:00 hostA app: one\n"
+            "<13>Mar  1 10:00:01 hostB app: two\n")
+        base = tmp_path / "dyna"
+        conf = f'''
+        $template DynFile,"{base}/%hostname%.log"
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        *.* ?DynFile
+        '''
+        run_config_batch(spark, conf, main="RSYSLOG_DefaultRuleset")
+        parts = sorted(p for p in os.listdir(base)
+                       if p.startswith("pt_hostname="))
+        assert parts == ["pt_hostname=hostA", "pt_hostname=hostB"]
+        back = spark.read.parquet(str(base))
+        assert sorted(r["msg"] for r in back.collect()) == ["one", "two"]
+
     def test_amp_continuation_stop(self, spark, tmp_path):
         # '&' continuation lines (ref: runtime/conf.c): the classic
         # distro pattern — route a program's messages to its own file
