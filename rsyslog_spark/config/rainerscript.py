@@ -172,6 +172,13 @@ class _Parser:
         self._line_base = 1_000_000  # line-offset pool for includes
         self.cfg = ParsedConfig(rulesets={})
         self.cfg.active_tables = self.tables
+        # built-in RSYSLOG_* templates (ref: runtime/template.c) so
+        # stock configs referencing them work unchanged; user
+        # template() objects with the same name override
+        from rsyslog_spark.templates import (
+            BUILTIN_TEMPLATES, compile_template_string)
+        for tname, tstr in BUILTIN_TEMPLATES.items():
+            self.cfg.templates[tname] = compile_template_string(tstr)
 
     # -- token helpers -------------------------------------------------
     def peek(self, k: int = 0) -> Tok:
@@ -557,6 +564,10 @@ class _Parser:
         if t.text == "-":                 # -/path: async omfile
             self.next()
             t = self.peek()
+            if t.kind == "string":        # -"quoted path"
+                return _make_action(
+                    {"type": "omfile", "file": _unquote(self.next().text),
+                     "asyncWriting": "on"})
             rest = self._rest_of_line(t.line)
             path, _, tmpl = rest.partition(";")
             p = {"type": "omfile", "file": path, "asyncWriting": "on"}

@@ -91,7 +91,11 @@ def _dispatch_action(
         return
     if typ == "omfile" and params.get("file"):
         out_path = params["file"]
-        tpl = cfg.templates.get(params.get("template", ""))
+        # $ActionFileDefaultTemplate applies when the action names
+        # no template (ref: runtime/cfsysline.c; conf.c cflineDoAction)
+        tname = params.get("template") or cfg.directives.get(
+            "actionfiledefaulttemplate", "")
+        tpl = cfg.templates.get(tname)
         if tpl is not None and hasattr(tpl, "col"):
             df.select(tpl.col().alias("value")) \
                 .write.mode("append").text(out_path)
@@ -102,6 +106,10 @@ def _dispatch_action(
     if typ == "omfwd" and params.get("target"):
         from rsyslog_spark.streaming.sinks import omfwd_sink
 
+        fwd_default = cfg.directives.get(
+            "actionforwarddefaulttemplate") or "RSYSLOG_ForwardFormat"
+        if not params.get("template") and fwd_default in cfg.templates:
+            params = {**params, "template": fwd_default}
         lines = _rendered_lines(df, cfg, params)
         proto = params.get("protocol", "udp").lower()
         port = int(params.get("port", "514"))

@@ -83,6 +83,48 @@ def secpath_sanitize(c: ColumnOrName, mode: str = "replace") -> Column:
 # Property-replacer: one property reference with options
 # ---------------------------------------------------------------------------
 
+# Legacy property spellings → (engine column, default date format).
+# ref: runtime/msg.c propNameToID / typedefs.h PROP_* table. The
+# legacy TIMESTAMP spelling renders RFC3164 by default, matching the
+# reference's builtin-template output.
+_PROP_ALIASES: dict[str, tuple[str, str | None]] = {
+    "timestamp": ("timereported", "rfc3164"),
+    "hostname": ("hostname", None),
+    "source": ("hostname", None),
+    "fromhost": ("fromhost", None),
+    "fromhost-ip": ("fromhost_ip", None),
+    "app-name": ("app_name", None),
+    "procid": ("procid", None),
+    "msgid": ("msgid", None),
+    "structured-data": ("structured_data", None),
+    "pri": ("pri", None),
+    "protocol-version": ("protocol_version", None),
+    "syslogseverity-text": ("syslogseverity-text", None),
+    "syslogfacility-text": ("syslogfacility-text", None),
+}
+
+
+def _pri_text(which: str) -> Column:
+    """severity/facility numeric → keyword text (ref: tools/syslogd.c
+    keyword tables) as a literal-array lookup — pure codegen."""
+    from rsyslog_spark.schema import FACILITIES, SEVERITIES
+
+    if which == "syslogseverity-text":
+        names = [""] * 8
+        for k, v in SEVERITIES.items():
+            if not names[v]:
+                names[v] = k
+        # F.get is 0-based and NULL-safe out of range (facility 24+)
+        return F.get(F.array(*[F.lit(x) for x in names]),
+                     F.col("syslogseverity"))
+    names = [""] * 24
+    for k, v in FACILITIES.items():
+        if not names[v]:
+            names[v] = k
+    return F.get(F.array(*[F.lit(x) for x in names]),
+                 F.col("syslogfacility"))
+
+
 @dataclass
 class Prop:
     """One ``%property:from:to:options%`` template entry
@@ -109,9 +151,37 @@ class Prop:
     date_format: str | None = None   # rfc3339 | rfc3164 | unixtimestamp | mysql | pgsql | year...|
     escape: str | None = None        # csv | json | stdsql | mysql | controlchar
     fixed_width: int | None = None
+    space_if_no_first_space: bool = False   # sp-if-no-1st-sp option
+    strip_last_lf: bool = False             # drop-last-lf option
+
+    def _resolve(self) -> tuple[str, str | None]:
+        """Map legacy property spellings (ref: runtime/msg.c
+        propNameToID; doc property_replacer.rst) onto engine columns.
+        The legacy TIMESTAMP spelling renders RFC3164 by default (the
+        reference's default date format); the engine-native
+        ``timereported`` name keeps plain string rendering."""
+        lo = self.name.lower()
+        alias = _PROP_ALIASES.get(lo)
+        if alias is None:
+            return self.name, None
+        col, default_date = alias
+        return col, default_date
 
     def col(self) -> Column:
-        c: Column = rs_str(_c(self.name))
+        name, default_date = self._resolve()
+        if name in ("syslogseverity-text", "syslogfacility-text"):
+            c = _pri_text(name)
+        else:
+            c = rs_str(_c(name))
+        if self.space_if_no_first_space:
+            # the entry renders as a single space iff the property
+            # does NOT begin with one (RFC3164 spacing compat,
+            # template.h options)
+            return F.when(c.startswith(" "), F.lit("")) \
+                .otherwise(F.lit(" "))
+        if self.date_format is None and default_date is not None \
+                and self.frm is None and self.regex is None:
+            c = self._apply_date(c, default_date)
         if self.field_delim is not None:
             from rsyslog_spark.functions.strings import field as field_fn
             c = field_fn(c, self.field_delim, self.field_num or 1)
@@ -136,6 +206,8 @@ class Prop:
             c = self._apply_date(c)
         if self.fixed_width is not None:
             c = F.rpad(c.substr(1, self.fixed_width), self.fixed_width, " ")
+        if self.strip_last_lf:
+            c = F.regexp_replace(c, r"\n$", "")
         if self.escape is not None:
             c = {
                 "csv": csv_escape, "json": json_escape,
@@ -144,11 +216,12 @@ class Prop:
             }[self.escape](c)
         return c
 
-    def _apply_date(self, c: Column) -> Column:
+    def _apply_date(self, c: Column, fmt_override: str | None = None
+                    ) -> Column:
         """Date formats over a TIMESTAMP-castable property
         (template.h:72-96)."""
         ts = (c).try_cast("timestamp")
-        fmt = self.date_format
+        fmt = fmt_override or self.date_format
         from rsyslog_spark.functions.time_fns import _rfc3164, _rfc3339
         if fmt == "rfc3339":
             return _rfc3339(ts)
@@ -271,6 +344,31 @@ _TPL_OPTIONS = {
     "sql": dict(escape="mysql"),
     "stdsql": dict(escape="stdsql"),
     "drop-cc": dict(escape="controlchar"),
+    "sp-if-no-1st-sp": dict(space_if_no_first_space=True),
+    "drop-last-lf": dict(strip_last_lf=True),
+}
+
+
+# Built-in templates (ref: runtime/template.c tplAddLine defaults) —
+# registered into every parsed config so stock distro configs that
+# reference RSYSLOG_* names work unchanged. Trailing \n dropped: the
+# line sinks add it.
+BUILTIN_TEMPLATES: dict[str, str] = {
+    "RSYSLOG_TraditionalFileFormat":
+        "%TIMESTAMP% %HOSTNAME% %syslogtag%"
+        "%msg:::sp-if-no-1st-sp%%msg:::drop-last-lf%",
+    "RSYSLOG_FileFormat":
+        "%TIMESTAMP:::date-rfc3339% %HOSTNAME% %syslogtag%"
+        "%msg:::sp-if-no-1st-sp%%msg:::drop-last-lf%",
+    "RSYSLOG_TraditionalForwardFormat":
+        "<%PRI%>%TIMESTAMP% %HOSTNAME% %syslogtag:1:32%"
+        "%msg:::sp-if-no-1st-sp%%msg%",
+    "RSYSLOG_ForwardFormat":
+        "<%PRI%>%TIMESTAMP:::date-rfc3339% %HOSTNAME% "
+        "%syslogtag:1:32%%msg:::sp-if-no-1st-sp%%msg%",
+    "RSYSLOG_SyslogProtocol23Format":
+        "<%PRI%>1 %TIMESTAMP:::date-rfc3339% %HOSTNAME% %APP-NAME% "
+        "%PROCID% %MSGID% %STRUCTURED-DATA% %msg%",
 }
 
 

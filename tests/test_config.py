@@ -250,6 +250,39 @@ class TestRuntime:
         assert rest.count() == 1
         assert rest.collect()[0]["programname"] == "cron"
 
+    def test_stock_distro_config(self, spark, tmp_path):
+        # A stock RHEL-shaped config: builtin RSYSLOG_* templates,
+        # $ActionFileDefaultTemplate, .none selectors, comma facility
+        # lists, '-' async paths, '& stop'.
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "sdin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<86>Mar  1 10:00:00 h1 sshd[9]: session opened\n"   # authpriv.info
+            "<22>Mar  1 10:00:01 h2 postfix[3]: queued\n"        # mail.info
+            "<14>Mar  1 10:00:02 h3 app: business as usual\n")   # user.info
+        messages = tmp_path / "messages"
+        secure = tmp_path / "secure"
+        maillog = tmp_path / "maillog"
+        conf = f'''
+        $ActionFileDefaultTemplate RSYSLOG_TraditionalFileFormat
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        authpriv.* "{secure}"
+        & stop
+        mail.* -"{maillog}"
+        & stop
+        *.info;mail.none;authpriv.none "{messages}"
+        '''
+        run_config_batch(spark, conf, main="RSYSLOG_DefaultRuleset")
+        sec = [r["value"] for r in spark.read.text(str(secure)).collect()]
+        assert sec == ["Mar  1 10:00:00 h1 sshd[9]: session opened"]
+        mail = [r["value"] for r in spark.read.text(str(maillog)).collect()]
+        assert mail == ["Mar  1 10:00:01 h2 postfix[3]: queued"]
+        msgs = [r["value"] for r in
+                spark.read.text(str(messages)).collect()]
+        assert msgs == ["Mar  1 10:00:02 h3 app: business as usual"]
+
     def test_dynafile_target(self, spark, tmp_path):
         # ?DynaFile selector targets (ref: tools/omfile.c dynafiles):
         # template property refs become partition columns.
