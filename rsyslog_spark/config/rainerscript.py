@@ -747,6 +747,11 @@ def _var_col(name: str, df: DataFrame | None = None) -> Column:
         from rsyslog_spark.plans.ruleset import resolve_global
         if df is not None:
             return resolve_global(name, df)
+    if not name.startswith(("$.", "$!")):
+        # message properties accept legacy spellings ($fromhost-ip,
+        # $syslogseverity-text, $timestamp ...)
+        from rsyslog_spark.templates import prop_col
+        return prop_col(name.lstrip("$"))
     return F.col(varname(name))
 
 

@@ -218,8 +218,11 @@ def run_config_batch(
             ruleset_name = inp["ruleset"]
     if path is None:
         raise ValueError("no imfile input in config and no input_path")
-    if ruleset_name is None:
-        ruleset_name = next(iter(cfg.rulesets))
+    if ruleset_name is None or ruleset_name not in cfg.rulesets:
+        # undefined binding: warn-and-default, like the reference's
+        # rulesetGetRuleset fallback (runtime/ruleset.c)
+        ruleset_name = cfg.main if cfg.main in cfg.rulesets \
+            else next(iter(cfg.rulesets))
 
     lines = spark.read.text(path).withColumnRenamed("value", "line")
     frame = _apply_main_queue_directives(parse_syslog(lines), cfg)
@@ -290,8 +293,11 @@ def run_config_stream(
             ruleset_name = inp["ruleset"]
     if path is None:
         raise ValueError("no imfile input in config and no input_path")
-    if ruleset_name is None:
-        ruleset_name = next(iter(cfg.rulesets))
+    if ruleset_name is None or ruleset_name not in cfg.rulesets:
+        # undefined binding: warn-and-default, like the reference's
+        # rulesetGetRuleset fallback (runtime/ruleset.c)
+        ruleset_name = cfg.main if cfg.main in cfg.rulesets \
+            else next(iter(cfg.rulesets))
 
     lines = imfile(
         spark, path,
@@ -404,8 +410,11 @@ def run_config_stream_async(
             ruleset_name = inp["ruleset"]
     if path is None:
         raise ValueError("no imfile input in config and no input_path")
-    if ruleset_name is None:
-        ruleset_name = next(iter(cfg.rulesets))
+    if ruleset_name is None or ruleset_name not in cfg.rulesets:
+        # undefined binding: warn-and-default, like the reference's
+        # rulesetGetRuleset fallback (runtime/ruleset.c)
+        ruleset_name = cfg.main if cfg.main in cfg.rulesets \
+            else next(iter(cfg.rulesets))
 
     qdirs = {r: os.path.join(checkpoint, f"queue_{r}") for r in queued}
     written: dict[str, str] = {}

@@ -260,7 +260,9 @@ def _set_targets(stmts: Sequence[Stmt], rulesets: dict[str, Ruleset],
 
 
 def _prop_cond(df: DataFrame, s: PropFilt) -> Column:
-    c = F.col(s.prop)
+    from rsyslog_spark.templates import prop_col
+
+    c = prop_col(s.prop)
     if s.op == "contains":
         cond = c.contains(s.value)
     elif s.op == "isequal":

@@ -104,6 +104,48 @@ _PROP_ALIASES: dict[str, tuple[str, str | None]] = {
 }
 
 
+def _system_props() -> dict:
+    """$now/$year/... system properties (ref: runtime/typedefs.h:
+    221-243 PROP_SYS_*): evaluated per batch from the session clock
+    (session tz is UTC — the reference's local-time variants follow
+    the daemon's tz; document the difference, don't emulate it)."""
+    import socket as _socket
+
+    now = F.current_timestamp()
+    return {
+        "now": F.date_format(now, "yyyy-MM-dd"),
+        "now-utc": F.date_format(now, "yyyy-MM-dd"),
+        "year": F.date_format(now, "yyyy"),
+        "year-utc": F.date_format(now, "yyyy"),
+        "month": F.date_format(now, "MM"),
+        "month-utc": F.date_format(now, "MM"),
+        "day": F.date_format(now, "dd"),
+        "day-utc": F.date_format(now, "dd"),
+        "hour": F.date_format(now, "HH"),
+        "hour-utc": F.date_format(now, "HH"),
+        "minute": F.date_format(now, "mm"),
+        "minute-utc": F.date_format(now, "mm"),
+        "now-unixtimestamp": F.unix_timestamp(now).cast("string"),
+        "myhostname": F.lit(_socket.gethostname()),
+        "bom": F.lit("\ufeff"),
+    }
+
+
+def prop_col(name: str) -> Column:
+    """Resolve a property NAME (legacy spelling and ``$``-prefixed
+    system properties allowed) to its engine Column — the shared
+    resolver for property filters, expression variables, and template
+    entries (ref: runtime/msg.c propNameToID)."""
+    lo = name.lstrip("$").lower()
+    sysprops = _system_props()
+    if lo in sysprops:
+        return sysprops[lo]
+    if lo in ("syslogseverity-text", "syslogfacility-text"):
+        return _pri_text(lo)
+    alias = _PROP_ALIASES.get(lo)
+    return F.col(alias[0] if alias else name.lstrip("$"))
+
+
 def _pri_text(which: str) -> Column:
     """severity/facility numeric → keyword text (ref: tools/syslogd.c
     keyword tables) as a literal-array lookup — pure codegen."""
@@ -169,10 +211,7 @@ class Prop:
 
     def col(self) -> Column:
         name, default_date = self._resolve()
-        if name in ("syslogseverity-text", "syslogfacility-text"):
-            c = _pri_text(name)
-        else:
-            c = rs_str(_c(name))
+        c = rs_str(prop_col(name))
         if self.space_if_no_first_space:
             # the entry renders as a single space iff the property
             # does NOT begin with one (RFC3164 spacing compat,

@@ -250,6 +250,42 @@ class TestRuntime:
         assert rest.count() == 1
         assert rest.collect()[0]["programname"] == "cron"
 
+    def test_legacy_property_spellings(self, spark, tmp_path):
+        # hyphenated legacy property names in expressions and property
+        # filters, plus system properties in templates
+        # (ref: runtime/msg.c propNameToID; typedefs.h PROP_SYS_*).
+        from rsyslog_spark.config.runtime import run_config_batch
+        from rsyslog_spark.templates import compile_template_string
+
+        src = tmp_path / "lpin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<14>Mar  1 10:00:02 h3 app: business as usual\n")
+        out1 = tmp_path / "lp1"
+        out2 = tmp_path / "lp2"
+        conf = f'''
+        input(type="imfile" file="{src}/*.log" ruleset="m")
+        ruleset(name="m") {{
+            if $syslogseverity-text == "info" then {{
+                action(type="omfile" name="a" file="{out1}")
+            }}
+        }}
+        :syslogfacility-text, isequal, "user" action(
+            type="omfile" name="b" file="{out2}")
+        '''
+        run = run_config_batch(spark, conf, main="m")
+        assert spark.read.parquet(str(out1)).count() == 1
+        run2 = run_config_batch(spark, conf,
+                                main="RSYSLOG_DefaultRuleset")
+        assert spark.read.parquet(str(out2)).count() == 1
+
+        t = compile_template_string("%$year%-%syslogseverity-text%")
+        df = spark.createDataFrame(
+            [(6,)], "syslogseverity int")
+        v = df.select(t.col().alias("v")).collect()[0]["v"]
+        import datetime
+        assert v == f"{datetime.datetime.utcnow().year}-info"
+
     def test_stock_distro_config(self, spark, tmp_path):
         # A stock RHEL-shaped config: builtin RSYSLOG_* templates,
         # $ActionFileDefaultTemplate, .none selectors, comma facility
