@@ -39,6 +39,11 @@ def main() -> int:
 
     with open(args.conf) as fh:
         src = fh.read()
+    if args.conf.endswith((".yaml", ".yml")):
+        # YAML configs render to RainerScript and reuse the parser
+        # (the reference's yamlconf design)
+        from rsyslog_spark.config.yamlconf import yaml_to_conf
+        src = yaml_to_conf(src)
     spark = get_spark("run_conf")
     spark.sparkContext.setLogLevel("WARN")
 
