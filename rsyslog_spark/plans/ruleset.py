@@ -448,87 +448,107 @@ class _Compiler:
                         f"{name}_key", F.col(name)["key"]).withColumn(
                         f"{name}_value", F.col(name)["value"])
                 live_body = live & F.col(name).isNotNull()
-                stopped = None
-                if _has_stop(s.body, self.rulesets):
+                from pyspark.sql.window import Window
+                w = Window.partitionBy(fe_id)
+                fe_msgstop = f"__fe_msgstop_{n}"
+                has_stop = _has_stop(s.body, self.rulesets)
+                wrote = sorted(
+                    _set_targets(s.body, self.rulesets) - {name})
+                if has_stop:
                     # Dry-run the body (actions discarded) to find the
                     # first stopping element per message; elements
                     # after it never execute. Per-element rows are
                     # independent (no cross-iteration data flow), so
-                    # the dry-run predicate equals the real one.
-                    from pyspark.sql.window import Window
-                    fe_stopped = f"__fe_stopped_{n}"
-                    fe_first = f"__fe_first_stop_{n}"
+                    # the dry-run predicate equals the real one. The
+                    # probe may overwrite existing columns via set —
+                    # save them first and restore after, so probe side
+                    # effects never leak; the gate and the per-message
+                    # stop marker are WINDOW columns over fe_id, not a
+                    # join (no shuffle-join, no duplicate-row
+                    # cardinality hazard).
+                    save = {f"__fe_sav_{i}_{n}": c for i, c in
+                            enumerate(x for x in wrote
+                                      if x in exploded.columns)}
+                    probe_in = exploded
+                    for sc, c in save.items():
+                        probe_in = probe_in.withColumn(sc, F.col(c))
                     probe = _Compiler(self.rulesets)
                     probe._stack = list(self._stack)
                     probe._fe_ctr = self._fe_ctr + 1000
-                    probe.df = exploded
+                    probe.df = probe_in
                     t1 = probe._exec(s.body, live_body, depth)
-                    stop_flag = live_body & ~t1
-                    w = Window.partitionBy(fe_id)
-                    gate_df = (probe.df
-                               .withColumn(fe_stopped, stop_flag)
-                               .withColumn(
-                                   fe_first,
-                                   F.min(F.when(F.col(fe_stopped),
-                                                F.col(fe_pos))).over(w))
-                               .select(
-                                   fe_id, fe_pos,
-                                   (F.col(fe_first).isNull()
-                                    | (F.col(fe_pos) <=
-                                       F.col(fe_first)))
-                                   .alias(fe_gate),
-                                   F.col(fe_stopped)))
-                    stopped = (gate_df.filter(F.col(fe_stopped))
-                               .select(fe_id).distinct())
-                    exploded = exploded.join(
-                        gate_df.drop(fe_stopped).distinct(),
-                        [fe_id, fe_pos], "left")
+                    stop_flag = F.coalesce(live_body & ~t1,
+                                           F.lit(False))
+                    first_stop = F.min(
+                        F.when(stop_flag, F.col(fe_pos))).over(w)
+                    gated = (probe.df
+                             .withColumn(fe_gate,
+                                         first_stop.isNull()
+                                         | (F.col(fe_pos) <= first_stop))
+                             .withColumn(
+                                 fe_msgstop,
+                                 F.max(stop_flag.cast("int")).over(w)
+                                 == 1))
+                    for sc, c in save.items():
+                        gated = gated.withColumn(c, F.col(sc))
+                    exploded = gated.select(*exploded.columns,
+                                            fe_gate, fe_msgstop)
                     live_body = live_body & F.coalesce(
                         F.col(fe_gate), F.lit(True))
                 self.df = exploded
                 self._exec(s.body, live_body, depth)
                 body_df = self.df
-                # message is single again after the loop; a stop in
-                # the body kills the whole message. The kill is a
-                # MARKER column narrowing `live` (not an anti-join):
-                # the predicate propagates through an enclosing
-                # foreach's stop probe, so a stop in a NESTED loop
-                # kills the outer message too (interpreter behavior).
-                self.df = base
-                if stopped is not None:
-                    ms = f"__fe_msgstop_{n}"
-                    self.df = self.df.join(
-                        stopped.withColumn(ms, F.lit(True)),
-                        fe_id, "left")
-                    live = live & ~F.coalesce(F.col(ms), F.lit(False))
-                wrote = sorted(
-                    _set_targets(s.body, self.rulesets) - {name})
+                # Collapse back to one row per message WITHOUT a join:
+                # the pos==0 row (or the null row posexplode_outer
+                # emits for empty/missing arrays) IS the message;
+                # last-executed-iteration variable writes are window
+                # maxes over the same fe_id partitioning (max-struct
+                # keeps a NULL written by Unset, which max_by would
+                # skip; rows where the body didn't run contribute a
+                # NULL position and lose the max). A stop in the body
+                # kills the whole message via the fe_msgstop MARKER
+                # column narrowing `live` — the predicate propagates
+                # through an enclosing foreach's probe, so a stop in a
+                # NESTED loop kills the outer message too (interpreter
+                # behavior).
+                restored = body_df
+                carry_cols: list[str] = []
                 if wrote:
-                    # carry the last executed iteration's writes back
-                    # (max-struct keeps a NULL written by Unset, which
-                    # max_by would skip)
                     fe_ran = f"__fe_ran_{n}"
-                    aggs = [
-                        F.max(F.struct(F.col(fe_pos).alias("p"),
-                                       F.col(c).alias("v")))
-                        .getField("v").alias(f"__fe_carry_{i}_{n}")
-                        for i, c in enumerate(wrote)]
-                    carry = (body_df.filter(live_body)
-                             .groupBy(fe_id).agg(*aggs)
-                             .withColumn(fe_ran, F.lit(True)))
-                    self.df = self.df.join(carry, fe_id, "left")
+                    restored = restored.withColumn(
+                        fe_ran,
+                        F.max(F.coalesce(live_body, F.lit(False))
+                              .cast("int")).over(w) == 1)
                     for i, c in enumerate(wrote):
                         cc = f"__fe_carry_{i}_{n}"
-                        prev = (F.col(c) if c in base.columns
-                                else F.lit(None))
-                        self.df = self.df.withColumn(
-                            c, F.when(F.coalesce(F.col(fe_ran),
-                                                 F.lit(False)),
-                                      F.col(cc)).otherwise(prev))
-                    self.df = self.df.drop(
-                        fe_ran, *[f"__fe_carry_{i}_{n}"
-                                  for i in range(len(wrote))])
-                self.df = self.df.drop(fe_id)
+                        carry_cols.append(cc)
+                        restored = restored.withColumn(
+                            cc,
+                            F.max(F.struct(
+                                F.when(live_body, F.col(fe_pos))
+                                .alias("p"),
+                                F.col(c).alias("v"))).over(w)
+                            .getField("v"))
+                restored = restored.filter(
+                    (F.col(fe_pos) == 0) | F.col(fe_pos).isNull())
+                if wrote:
+                    for i, c in enumerate(wrote):
+                        # body never ran for this message → the row
+                        # still holds the pre-loop value; keep it
+                        restored = restored.withColumn(
+                            c, F.when(F.col(f"__fe_ran_{n}"),
+                                      F.col(f"__fe_carry_{i}_{n}"))
+                            .otherwise(F.col(c) if c in base.columns
+                                       else F.lit(None)))
+                if has_stop:
+                    live = live & ~F.coalesce(F.col(fe_msgstop),
+                                              F.lit(False))
+                drop = [fe_id, fe_pos, name] + carry_cols
+                if wrote:
+                    drop.append(f"__fe_ran_{n}")
+                if is_obj:
+                    drop += [f"{name}_key", f"{name}_value"]
+                self.df = restored.drop(*drop)
             else:
                 raise TypeError(f"unknown statement {s!r}")
         return live
