@@ -136,6 +136,20 @@ def prop_col(name: str) -> Column:
     system properties allowed) to its engine Column — the shared
     resolver for property filters, expression variables, and template
     entries (ref: runtime/msg.c propNameToID)."""
+    if name in ("$!all-json", "!all-json"):
+        # the whole $! tree rendered as JSON (ref: msg.c
+        # MSG_PROP_ALL_JSON); engine keeps the tree in `json`
+        return F.coalesce(F.col("json"), F.lit("{}"))
+    if name.startswith(("$!", "!")):
+        # JSON-tree path read; set-flattened cee_* columns win when
+        # present, but without a frame here the tree read is the
+        # portable form (config _var_col does the coalesce)
+        from rsyslog_spark.functions import json_fns
+        return json_fns.json_get(
+            "json", "$!" + name.lstrip("$").lstrip("!"))
+    if name.startswith(("$.", ".")):
+        from rsyslog_spark.plans.ruleset import varname
+        return F.col(varname("$." + name.lstrip("$").lstrip(".")))
     lo = name.lstrip("$").lower()
     sysprops = _system_props()
     if lo in sysprops:

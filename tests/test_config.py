@@ -286,6 +286,14 @@ class TestRuntime:
         import datetime
         assert v == f"{datetime.datetime.utcnow().year}-info"
 
+        # $!-tree / $.-local / all-json properties in templates
+        t2 = compile_template_string(
+            "f=%$!usr!f% loc=%$.loc% all=%$!all-json%")
+        df2 = spark.createDataFrame(
+            [('{"usr":{"f":"v1"}}', "L")], "json string, local_loc string")
+        v2 = df2.select(t2.col().alias("v")).collect()[0]["v"]
+        assert v2 == 'f=v1 loc=L all={"usr":{"f":"v1"}}'
+
     def test_stock_distro_config(self, spark, tmp_path):
         # A stock RHEL-shaped config: builtin RSYSLOG_* templates,
         # $ActionFileDefaultTemplate, .none selectors, comma facility
