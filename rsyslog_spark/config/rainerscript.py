@@ -259,9 +259,14 @@ class _Parser:
             self.cfg.templates[params["name"]] = \
                 compile_template_string(params["string"])
         elif params.get("type") == "list" and "__elements__" in params:
-            from rsyslog_spark.templates import compile_template_list
-            self.cfg.templates[params["name"]] = \
-                compile_template_list(params["__elements__"])
+            from rsyslog_spark.templates import (
+                _JsonfTemplate, compile_template_list)
+            if params.get("option.jsonf", "off").lower() == "on":
+                self.cfg.templates[params["name"]] = \
+                    _JsonfTemplate(params["__elements__"])
+            else:
+                self.cfg.templates[params["name"]] = \
+                    compile_template_list(params["__elements__"])
         else:
             self.cfg.templates[params["name"]] = params
 

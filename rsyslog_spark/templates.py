@@ -323,6 +323,52 @@ def csv_line(cols: list[ColumnOrName]) -> Column:
     return F.concat_ws(",", *[csv_escape(c) for c in cols])
 
 
+class _JsonfTemplate:
+    """``template(type="list" option.jsonf="on")`` (ref: template.h:
+    165-178 jsonf; doc templates.rst): each property statement emits
+    a ``"name":value`` fragment — outname overrides the key, dataType
+    number/bool controls quoting, onEmpty skip drops the fragment
+    (concat_ws skips NULLs) and onEmpty null emits ``"name":null``.
+    Fragment assembly mirrors the reference's jsonf rendering, so
+    numbers print unquoted exactly as the source value."""
+
+    def __init__(self, elements: list[tuple[str, dict]]):
+        self.elements = elements
+        self.source = None
+
+    def col(self) -> Column:
+        frags: list[Column] = []
+        for kind, p in self.elements:
+            if kind != "property":
+                continue   # constants don't contribute jsonf fields
+            name = p.get("name")
+            if not name:
+                raise ValueError("property() needs name=")
+            key = str(p.get("outname", name)).replace('"', '\\"')
+            sv = rs_str(prop_col(name))
+            dt = p.get("dataType", p.get("datatype", "string")).lower()
+            if dt == "number":
+                val = F.when(sv.rlike(r"^-?\d+(\.\d+)?$"), sv) \
+                    .otherwise(F.lit("0"))
+            elif dt == "bool":
+                val = F.when(F.lower(sv).isin("on", "true", "1"),
+                             F.lit("true")).otherwise(F.lit("false"))
+            else:
+                val = F.concat(F.lit('"'), json_escape(sv), F.lit('"'))
+            frag = F.concat(F.lit(f'"{key}":'), val)
+            on_empty = p.get("onEmpty",
+                             p.get("onempty", "keep")).lower()
+            empty = F.length(sv) == 0
+            if on_empty == "skip":
+                frag = F.when(empty, F.lit(None)).otherwise(frag)
+            elif on_empty == "null":
+                frag = F.when(empty, F.lit(f'"{key}":null')) \
+                    .otherwise(frag)
+            frags.append(frag)
+        return F.concat(F.lit("{"), F.concat_ws(",", *frags),
+                        F.lit("}"))
+
+
 def compile_template_list(elements: list[tuple[str, dict]]) -> "Template":
     """v2 list template (ref: template.h:40-60 list type; doc
     templates.rst ``template(type="list") { constant(...)

@@ -407,6 +407,38 @@ class TestRuntime:
         got = [r["value"] for r in spark.read.text(str(outdir)).collect()]
         assert got == ["host=h1 up=PAYLOAD TEXT f2=Text"]
 
+    def test_jsonf_list_template(self, spark, tmp_path):
+        # option.jsonf list template (ref: template.h:165-178): named
+        # fields, dataType number unquoted, onEmpty skip/null.
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "jfin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<13>Mar  1 10:00:00 h1 app: payload\n")
+        outdir = tmp_path / "jfout"
+        conf = f'''
+        template(name="jf" type="list" option.jsonf="on") {{
+            property(outname="host" name="hostname" format="jsonf")
+            property(outname="sev" name="syslogseverity"
+                     format="jsonf" dataType="number")
+            property(outname="message" name="msg" format="jsonf")
+            property(outname="pid" name="procid" format="jsonf"
+                     onEmpty="skip")
+            property(outname="mid" name="msgid" format="jsonf"
+                     onEmpty="null")
+        }}
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        ruleset(name="main") {{
+            action(type="omfile" name="out" file="{outdir}"
+                   template="jf")
+        }}
+        '''
+        run_config_batch(spark, conf)
+        got = [r["value"] for r in spark.read.text(str(outdir)).collect()]
+        assert got == ['{"host":"h1","sev":5,"message":"payload",'
+                       '"mid":null}']
+
     def test_yaml_config_end_to_end(self, spark, tmp_path):
         # yamlconf (ref: runtime/yamlconf.c): YAML renders to
         # RainerScript and drives the same parser — both the script:
