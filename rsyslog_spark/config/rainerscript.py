@@ -258,6 +258,19 @@ class _Parser:
             from rsyslog_spark.templates import compile_template_string
             self.cfg.templates[params["name"]] = \
                 compile_template_string(params["string"])
+        elif params.get("type") == "subtree":
+            # subtree template (ref: template.h:45-46): render a $!
+            # path (or the whole tree) as its JSON text
+            from rsyslog_spark.templates import prop_col, Template
+            path = params.get("subtree", "$!")
+            tpl = Template([])
+            if path in ("$!", "$!all-json"):
+                tpl.col = (lambda: prop_col("$!all-json")
+                           )  # type: ignore[method-assign]
+            else:
+                tpl.col = (lambda p=path: prop_col(p)
+                           )  # type: ignore[method-assign]
+            self.cfg.templates[params["name"]] = tpl
         elif params.get("type") == "list" and "__elements__" in params:
             from rsyslog_spark.templates import (
                 _JsonfTemplate, compile_template_list)

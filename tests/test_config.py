@@ -181,6 +181,20 @@ class TestTemplateString:
             'template(name="t" type="string" string="%msg%\\n")')
         assert isinstance(cfg.templates["t"], Template)
 
+    def test_subtree_template(self, spark):
+        # subtree templates (ref: template.h:45-46) render a $! path
+        # as JSON text
+        from rsyslog_spark.config.rainerscript import parse_config
+
+        cfg = parse_config(
+            'template(name="whole" type="subtree" subtree="$!")\n'
+            'template(name="part" type="subtree" subtree="$!usr")')
+        df = spark.createDataFrame([('{"usr":{"f":1}}',)], "json string")
+        assert df.select(cfg.templates["whole"].col().alias("v")) \
+            .collect()[0]["v"] == '{"usr":{"f":1}}'
+        assert df.select(cfg.templates["part"].col().alias("v")) \
+            .collect()[0]["v"] == '{"f":1}'
+
     def test_unknown_option_raises(self):
         import pytest
         from rsyslog_spark.templates import compile_template_string
