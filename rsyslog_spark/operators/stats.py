@@ -104,6 +104,52 @@ def ratelimit_batch(
     return df.withColumn("rl_pass", F.row_number().over(w) <= burst)
 
 
+def ratelimit_notices(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    interval: str,
+    burst: int,
+    msg_col: str = "msg",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Rate limit WITH the reference's drop notices (ref: runtime/
+    ratelimit.c ratelimitMsg — 'begin to drop messages' on first
+    excess, '<n> messages lost' when the interval rolls over).
+
+    Returns the passing rows plus one same-schema summary row per
+    (key, window) that dropped anything, carrying the dropped count
+    in its message — the operational breadcrumb operators rely on.
+    One shuffle on (key, window); the notice aggregation reuses it.
+    """
+    bucket = F.window(F.col(ts_col), interval)["start"]
+    order = [F.col(order_col)] if order_col else [F.col(ts_col)]
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys, bucket).orderBy(*order)
+    flagged = df.withColumn("rl_pass", F.row_number().over(w) <= burst) \
+        .withColumn("__bucket", bucket)
+    passed = flagged.filter(F.col("rl_pass"))
+    key_desc = F.concat_ws("/", *[F.col(k).cast("string")
+                                  for k in key_cols])
+    notices = (
+        flagged.filter(~F.col("rl_pass"))
+        .groupBy(*keys, F.col("__bucket"))
+        .agg(F.min_by(F.struct(*flagged.columns), F.col(ts_col))
+             .alias("__first"),
+             F.count(F.lit(1)).alias("__n"),
+             F.max(ts_col).alias("__last"))
+        .select(F.col("__first")
+                .withField(msg_col, F.format_string(
+                    "%d messages lost due to rate-limiting (%s)",
+                    F.col("__n"), key_desc))
+                .withField(ts_col, F.col("__last"))
+                .withField("rl_pass", F.lit(True))
+                .alias("__s"))
+        .select("__s.*")
+    )
+    return passed.unionByName(notices).drop("__bucket", "rl_pass")
+
+
 def repeated_msg_reduction(
     df: DataFrame,
     key_cols: list[str],

@@ -179,6 +179,27 @@ def test_streaming_dynstats_and_impstats(spark, tmp_path):
         spark.streams.removeListener(listener)
 
 
+def test_ratelimit_notices(spark):
+    # drop notices (ref: runtime/ratelimit.c ratelimitMsg): passing
+    # rows plus one summary row per (key, window) with the lost count
+    import datetime
+    from rsyslog_spark.operators.stats import ratelimit_notices
+
+    t0 = datetime.datetime(2026, 3, 1, 10, 0, 0)
+    rows = [("h1", t0 + datetime.timedelta(seconds=i), f"m{i}")
+            for i in range(5)] + \
+           [("h2", t0, "solo")]
+    df = spark.createDataFrame(rows, "host string, ts timestamp, msg string")
+    out = ratelimit_notices(df, ["host"], "ts", "1 minute", burst=2)
+    got = sorted((r["host"], r["msg"]) for r in out.collect())
+    assert got == [
+        ("h1", "3 messages lost due to rate-limiting (h1)"),
+        ("h1", "m0"), ("h1", "m1"),
+        ("h2", "solo"),
+    ]
+    assert out.columns == df.columns
+
+
 def test_streaming_ratelimit_token_bucket(spark, tmp_path):
     src = str(tmp_path / "logs")
     # 10 msgs same second for k0 → burst 3 keeps 3; k1 sends 2
