@@ -121,6 +121,10 @@ class ParsedConfig:
     lookup_tables: dict[str, Any] = dfield(default_factory=dict)
     ruleset_params: dict[str, dict] = dfield(default_factory=dict)
     reloads: list[str] = dfield(default_factory=list)
+    # dyn_inc / percentile_observe call sites: (kind, bucket,
+    # key_fn, value_fn|None) — the runtime aggregates these over the
+    # batch (ref: rainerscript.c:4490 dyn_inc/percentile_observe)
+    stats_calls: list = dfield(default_factory=list)
     # legacy $-directive settings, lowercased name → raw value string
     # (ref: runtime/cfsysline.c — the cfsysline directive table)
     directives: dict[str, str] = dfield(default_factory=dict)
@@ -205,10 +209,36 @@ class _Parser:
     # config's lookup tables and template registry (both dicts are
     # mutated as parsing proceeds; the closures read them at run time)
     def _cond(self, ast):
+        self._scan_stats_calls(ast)
         return _cond_fn(ast, self.tables, self.cfg.templates)
 
     def _value(self, ast):
+        self._scan_stats_calls(ast)
         return _value_fn(ast, self.tables, self.cfg.templates)
+
+    def _scan_stats_calls(self, ast) -> None:
+        """Record dyn_inc/percentile_observe call sites so the
+        runtime can aggregate them over the batch."""
+        if not isinstance(ast, tuple):
+            return
+        if ast[0] == "callfn" and ast[1] in ("dyn_inc",
+                                             "percentile_observe"):
+            args = ast[2]
+            if args and args[0][0] == "lit":
+                key_fn = _value_fn(args[1], self.tables,
+                                   self.cfg.templates) \
+                    if len(args) > 1 else None
+                val_fn = _value_fn(args[2], self.tables,
+                                   self.cfg.templates) \
+                    if len(args) > 2 else None
+                self.cfg.stats_calls.append(
+                    (ast[1], str(args[0][1]), key_fn, val_fn))
+        for sub in ast[1:]:
+            if isinstance(sub, tuple):
+                self._scan_stats_calls(sub)
+            elif isinstance(sub, list):
+                for x in sub:
+                    self._scan_stats_calls(x)
 
     # -- config objects ------------------------------------------------
     def parse_config(self) -> ParsedConfig:
@@ -793,6 +823,11 @@ _FN_MAP: dict[str, Callable[..., Column]] = {
     "is_time": rf.is_time,
     "getenv": rf.getenv_fn, "random": rf.random_fn,
     "split": rf.split_fn,
+    "ip42num": rf.ipv42num,            # registry alias (ref 4480)
+    # session tz is UTC; the localtz variant follows the daemon's tz
+    # in the reference — documented divergence, same parse rules
+    "parse_time_localtz": rf.parse_time,
+    "append_json": rf.append_json,
     "parse_json": rf.parse_json_variant,   # divergence: returns the
     # parsed tree as a VALUE (the reference writes into a $! path and
     # returns an error code — rainerscript.c parse_json)
@@ -893,6 +928,33 @@ def _to_col(ast, df: DataFrame | None = None,
             return prifilt_col(str(args[0][1]))
         if name == "exists":
             return _to_col(args[0], df, tables, templates).isNotNull()
+        if name == "get_property":
+            # get_property($root, "name"): dynamic property read —
+            # literal names resolve at plan time (ref rainerscript
+            # doFunc_get_property); truly dynamic names would need a
+            # CASE over every column, rejected explicitly
+            if args[1][0] != "lit":
+                raise SyntaxError("get_property needs a literal name")
+            from rsyslog_spark.templates import prop_col
+            return rs_str(prop_col(str(args[1][1])))
+        if name == "script_error":
+            # engine functions return values, not errno (documented
+            # divergence — SURVEY §2.5 companion-_err convention);
+            # error branches never fire
+            return F.lit(0)
+        if name == "previous_action_suspended":
+            # sink health is engine-level (failover_sink); row-level
+            # expression form reads 'not suspended'
+            return F.lit(False)
+        if name in ("dyn_inc", "percentile_observe"):
+            # stats side effects: the PARSER records these calls in
+            # cfg.stats_calls (see _Parser._cond/_value) so the
+            # runtime attaches a dynstats/percentile aggregation over
+            # the batch (ref rainerscript.c:4490); the expression
+            # itself returns success (0)
+            if args[0][0] != "lit":
+                raise SyntaxError(f"{name} needs a literal bucket")
+            return F.lit(0)
         if name == "exec_template":
             # exec_template("name"): render a registered template into
             # a string Column (ref: rainerscript exec_template; our

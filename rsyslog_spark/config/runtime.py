@@ -39,6 +39,9 @@ class ConfigRun:
     unbound: list[tuple[str, DataFrame, dict]] = dfield(
         default_factory=list)                                # host-wired
     survivors: DataFrame | None = None
+    # dyn_inc/percentile_observe buckets → aggregated DataFrame
+    # (counts per key / percentile summary), computed over the batch
+    dynstats: dict[str, DataFrame] = dfield(default_factory=dict)
 
 
 # Default render template for line-oriented transports when the action
@@ -232,6 +235,21 @@ def run_config_batch(
     for name, df in actions:
         params = _action_params(cfg, ruleset_name, name)
         _dispatch_action(cfg, name, df, params, run, sink_overrides)
+    # dyn_inc / percentile_observe buckets aggregate over the batch
+    # (approximation note: the reference increments at the statement's
+    # execution point; the batch form counts every parsed row)
+    for kind, bucket, key_fn, val_fn in cfg.stats_calls:
+        if key_fn is None:
+            continue
+        key = key_fn(frame).alias("key")
+        if kind == "dyn_inc":
+            run.dynstats[bucket] = frame.groupBy(key).count()
+        else:
+            from rsyslog_spark.operators.stats import percentile_stats
+            vf = val_fn(frame) if val_fn is not None else F.lit(None)
+            run.dynstats[bucket] = percentile_stats(
+                frame.select(key, vf.cast("double").alias("v")),
+                "key", "v")
     return run
 
 

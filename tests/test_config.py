@@ -421,6 +421,43 @@ class TestRuntime:
         got = [r["value"] for r in spark.read.text(str(outdir)).collect()]
         assert got == ["host=h1 up=PAYLOAD TEXT f2=Text"]
 
+    def test_dyn_inc_and_misc_functions(self, spark, tmp_path):
+        # dyn_inc records a batch-aggregated counter bucket;
+        # script_error()/previous_action_suspended()/get_property/
+        # parse_time_localtz/ip42num all compile from config text.
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "dyin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<13>Mar  1 10:00:00 h1 app: one\n"
+            "<13>Mar  1 10:00:01 h1 app: two\n"
+            "<13>Mar  1 10:00:02 h2 app: three\n")
+        outdir = tmp_path / "dyout"
+        conf = f'''
+        input(type="imfile" file="{src}/*.log" ruleset="m")
+        ruleset(name="m") {{
+            set $.rc = dyn_inc("per_host", $hostname);
+            set $.hn = get_property($.rc, "hostname");
+            set $.ts = parse_time_localtz("2026-03-01T10:00:00Z");
+            set $.ip = ip42num("0.0.1.0");
+            if script_error() == 0 and not previous_action_suspended()
+                then {{
+                action(type="omfile" name="out" file="{outdir}")
+            }}
+        }}
+        '''
+        run = run_config_batch(spark, conf, main="m")
+        rows = spark.read.parquet(str(outdir)).collect()
+        assert len(rows) == 3
+        r = {x["hostname"]: x for x in rows}
+        assert r["h1"]["local_hn"] == "h1"
+        assert r["h1"]["local_ip"] == 256
+        assert "per_host" in run.dynstats
+        counts = {x["key"]: x["count"]
+                  for x in run.dynstats["per_host"].collect()}
+        assert counts == {"h1": 2, "h2": 1}
+
     def test_jsonf_list_template(self, spark, tmp_path):
         # option.jsonf list template (ref: template.h:165-178): named
         # fields, dataType number unquoted, onEmpty skip/null.
