@@ -99,11 +99,20 @@ def _dispatch_action(
         tname = params.get("template") or cfg.directives.get(
             "actionfiledefaulttemplate", "")
         tpl = cfg.templates.get(tname)
+        # omfile zipLevel → write codec (ref: tools/omfile.c
+        # iZipLevel — any level > 0 selects gzip here)
+        zl = int(params.get("zipLevel", params.get("ziplevel", "0")))
         if tpl is not None and hasattr(tpl, "col"):
-            df.select(tpl.col().alias("value")) \
-                .write.mode("append").text(out_path)
+            writer = df.select(tpl.col().alias("value")) \
+                .write.mode("append")
+            if zl > 0:
+                writer = writer.option("compression", "gzip")
+            writer.text(out_path)
         else:
-            df.write.mode("append").parquet(out_path)
+            writer = df.write.mode("append")
+            if zl > 0:
+                writer = writer.option("compression", "gzip")
+            writer.parquet(out_path)
         run.written[name] = out_path
         return
     if typ == "omfwd" and params.get("target"):

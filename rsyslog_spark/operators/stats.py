@@ -60,6 +60,8 @@ def percentile_stats(
     value_col: str,
     percentiles: list[float] = (0.5, 0.95, 0.99),
     exact: bool = True,
+    window_size: int | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """perctile_stats buckets (ref: runtime/perctile_stats.h:52-77):
     per-key percentiles + min/max/count.
@@ -68,7 +70,20 @@ def percentile_stats(
     fine for dashboard-sized key counts); exact=False uses
     ``percentile_approx`` (t-digest sketch, one pass, mergeable —
     the 100 TB path; bounded memory per key).
+
+    ``window_size`` reproduces the reference's per-key ring buffer
+    (runtime/perctile_ringbuf.c): only the LAST ``window_size``
+    observations per key (by ``order_col``, required) enter the
+    stats — a row_number window over the same key partitioning the
+    aggregation shuffles on anyway.
     """
+    if window_size is not None:
+        if order_col is None:
+            raise ValueError("window_size needs order_col (recency)")
+        w = Window.partitionBy(F.col(key_col)) \
+            .orderBy(F.col(order_col).desc())
+        df = df.withColumn("__rb_rn", F.row_number().over(w)) \
+            .filter(F.col("__rb_rn") <= window_size).drop("__rb_rn")
     fn = F.percentile if exact else F.percentile_approx
     aggs = [
         fn(F.col(value_col), F.lit(p)).alias(f"p{int(p * 100)}")

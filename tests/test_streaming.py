@@ -200,6 +200,20 @@ def test_ratelimit_notices(spark):
     assert out.columns == df.columns
 
 
+def test_percentile_ring_window(spark):
+    # perctile_ringbuf semantics: only the last window_size
+    # observations per key enter the stats
+    from rsyslog_spark.operators.stats import percentile_stats
+
+    rows = [("k", i, float(i)) for i in range(10)]   # values 0..9
+    df = spark.createDataFrame(rows, "key string, seq int, v double")
+    out = percentile_stats(df, "key", "v", percentiles=[0.5],
+                           window_size=4, order_col="seq").collect()[0]
+    # last 4 observations are 6,7,8,9
+    assert out["min"] == 6.0 and out["max"] == 9.0 and out["cnt"] == 4
+    assert out["p50"] == 7.5
+
+
 def test_streaming_ratelimit_token_bucket(spark, tmp_path):
     src = str(tmp_path / "logs")
     # 10 msgs same second for k0 → burst 3 keeps 3; k1 sends 2
