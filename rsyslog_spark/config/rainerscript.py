@@ -55,7 +55,7 @@ from rsyslog_spark.plans.ruleset import (
 # ---------------------------------------------------------------- lexer
 
 _TOKEN_RE = re.compile(r"""
-    (?P<ws>\s+|\#[^\n]*)
+    (?P<ws>\s+|\#[^\n]*|/\*(?!\.)(?s:.*?)\*/|//[^\n]*)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<number>-?\d+)
   | (?P<var>\$[!./]?[A-Za-z0-9_!./-]*)
