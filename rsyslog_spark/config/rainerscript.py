@@ -125,6 +125,10 @@ class ParsedConfig:
     # key_fn, value_fn|None) — the runtime aggregates these over the
     # batch (ref: rainerscript.c:4490 dyn_inc/percentile_observe)
     stats_calls: list = dfield(default_factory=list)
+    # other config objects (CNFOBJ enum, grammar/rainerscript.h:
+    # 36-53): parser / timezone / dyn_stats / perctile_stats /
+    # ratelimit declarations, kind → [params]
+    objects: dict[str, list] = dfield(default_factory=dict)
     # legacy $-directive settings, lowercased name → raw value string
     # (ref: runtime/cfsysline.c — the cfsysline directive table)
     directives: dict[str, str] = dfield(default_factory=dict)
@@ -265,6 +269,28 @@ class _Parser:
                 self.next()
                 params = self.parse_param_block()
                 cfg.lookup_tables[params["name"]] = params
+            elif t.text in ("global", "main_queue") \
+                    and self.peek(1).text == "(":
+                # v2 spellings of the legacy directive space (ref:
+                # CNFOBJ_GLOBAL / CNFOBJ_MAINQ): global(key=val) and
+                # main_queue(queue.x=...) land in cfg.directives so
+                # the same activations apply (discard gate etc.)
+                kind = self.next().text
+                params = self.parse_param_block()
+                for k, v in params.items():
+                    if kind == "main_queue":
+                        k = "mainmsgqueue" + k.lower().replace(
+                            "queue.", "")
+                    cfg.directives[k.lower()] = v
+            elif t.text in ("parser", "timezone", "dyn_stats",
+                            "perctile_stats", "ratelimit") \
+                    and self.peek(1).text == "(":
+                # declarative objects (CNFOBJ enum) recorded for the
+                # operators that consume them (dynstats/percentile/
+                # ratelimit take their params at call sites)
+                kind = self.next().text
+                cfg.objects.setdefault(kind, []).append(
+                    self.parse_param_block())
             elif t.text == "include" and self.peek(1).text == "(":
                 self.next()
                 self._splice_include(self.parse_param_block())

@@ -61,6 +61,23 @@ class TestParse:
         assert cfg.modules == [{"load": "imfile"}]
         assert "outfmt" in cfg.templates
 
+    def test_v2_config_objects(self):
+        # global()/main_queue() map to the directive space;
+        # parser/timezone/dyn_stats/ratelimit objects are recorded
+        # (ref: CNFOBJ enum, grammar/rainerscript.h:36-53)
+        cfg = parse_config(
+            'global(workDirectory="/tmp")\n'
+            'main_queue(queue.discardSeverity="info")\n'
+            'parser(name="p" type="pmrfc3164")\n'
+            'timezone(id="CET" offset="+01:00")\n'
+            'dyn_stats(name="b" maxCardinality="100")\n'
+            'ruleset(name="m") { stop }')
+        assert cfg.directives["workdirectory"] == "/tmp"
+        assert cfg.directives["mainmsgqueuediscardseverity"] == "info"
+        assert cfg.objects["parser"][0]["type"] == "pmrfc3164"
+        assert cfg.objects["timezone"][0]["id"] == "CET"
+        assert cfg.objects["dyn_stats"][0]["maxCardinality"] == "100"
+
     def test_action_params_kept(self):
         cfg = parse_config(CONF)
         acts = [s for s in cfg.rulesets["main"].stmts
