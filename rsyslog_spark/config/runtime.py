@@ -204,6 +204,21 @@ def _apply_main_queue_directives(
     return frame
 
 
+def _ruleset_parser_chain(cfg: ParsedConfig, ruleset: str) -> tuple:
+    """Resolve ruleset(parser="name") through parser() objects to a
+    parse_syslog chain (ref: per-ruleset parser list, runtime/
+    parser.c:615-660). Unknown parser types keep the default chain —
+    vendor parsers run as mm-style operator stages here."""
+    pname = (cfg.ruleset_params.get(ruleset) or {}).get("parser")
+    if not pname:
+        return ("pmrfc5424", "pmrfc3164")
+    types = [p.get("type") for p in cfg.objects.get("parser", [])
+             if p.get("name") == pname]
+    known = tuple(t for t in types
+                  if t in ("pmrfc5424", "pmrfc3164", "pmnull"))
+    return known or ("pmrfc5424", "pmrfc3164")
+
+
 def run_config_batch(
     spark: SparkSession,
     conf_src: str,
@@ -237,7 +252,10 @@ def run_config_batch(
             else next(iter(cfg.rulesets))
 
     lines = spark.read.text(path).withColumnRenamed("value", "line")
-    frame = _apply_main_queue_directives(parse_syslog(lines), cfg)
+    frame = _apply_main_queue_directives(
+        parse_syslog(lines,
+                     parsers=_ruleset_parser_chain(cfg, ruleset_name)),
+        cfg)
     actions, survivors = eng.run(frame, ruleset_name)
 
     run = ConfigRun(survivors=survivors)

@@ -53,15 +53,20 @@ def _nil(c: Column) -> Column:
 
 
 def _build_layers(line_col: str, inputname: str, keep_raw: bool,
-                  with_uuid: bool, want: list[str]) -> list[list[Column]]:
+                  with_uuid: bool, want: list[str],
+                  parsers: tuple = ("pmrfc5424", "pmrfc3164"),
+                  ) -> list[list[Column]]:
     line = F.col(line_col)
     tgen = F.current_timestamp()
     null_s = F.lit(None).cast("string")
+    has_5424 = "pmrfc5424" in parsers
+    has_3164 = "pmrfc3164" in parsers
 
     # layer A — from the raw line
     layer_a = [
         line.alias("__line"),
-        accepts_rfc5424(line).alias("__acc"),
+        (accepts_rfc5424(line) if has_5424 else F.lit(False))
+        .alias("__acc"),
         F.regexp_extract(line, r"^<(\d{1,3})>", 1).try_cast("int")
         .alias("__pri"),
         F.rtrim(strip_pri(line), F.lit("\n\r\x00")).alias("__rest"),
@@ -73,13 +78,14 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     # RFC5424 rows skip the RFC3164 regexes and vice versa.
     rest = F.col("__rest")
     acc_b = F.col("__acc")
+    m3_gate = (~acc_b) & F.lit(has_3164)
     layer_b = [
         F.when(acc_b, F.split(rest, " ", 7)).alias("__p5"),
-        F.when(~acc_b, F.regexp_extract(rest, _REST_RE, 1))
+        F.when(m3_gate, F.regexp_extract(rest, _REST_RE, 1))
         .alias("__m3ts"),
-        F.when(~acc_b, F.regexp_extract(rest, _REST_RE, 2))
+        F.when(m3_gate, F.regexp_extract(rest, _REST_RE, 2))
         .alias("__m3host"),
-        F.when(~acc_b, F.regexp_extract(rest, _REST_RE, 3))
+        F.when(m3_gate, F.regexp_extract(rest, _REST_RE, 3))
         .alias("__m3rest"),
     ]
 
@@ -133,6 +139,12 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     ).otherwise(F.lit("-"))
     msg3 = F.when(tag_found,
                   F.regexp_replace(tagmsg, _TAG_RE, "")).otherwise(tagmsg)
+    # chain-exhausted fallback (ref: runtime/parser.c:615-660 — if no
+    # parser accepts, message passes raw with bParseSuccess=0; pmnull
+    # accepts everything and leaves MSG as the PRI-stripped line)
+    has_null = "pmnull" in parsers
+    if not has_3164:
+        msg3 = F.col("__rest") if has_null else F.col("__line")
     msg5 = F.regexp_replace(F.col("__msg5"), "^﻿", "")
 
     pri_valid = F.col("__pri").isNotNull() & (F.col("__pri") <= 191)
@@ -188,7 +200,10 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         if name == "uuid":
             return F.expr("uuid()") if with_uuid else null_s
         if name == "parsesuccess":
-            return F.lit(True)
+            # RFC3164/pmnull are permissive tail parsers; without one
+            # a non-RFC5424 line exhausts the chain
+            return F.when(acc, F.lit(True)) \
+                .otherwise(F.lit(has_3164 or has_null))
         raise KeyError(f"unknown canonical column {name!r}")
 
     final = [canonical(c).alias(c) for c in want]
@@ -202,6 +217,7 @@ def parse_syslog(
     keep_raw: bool = True,
     with_uuid: bool = False,
     columns: list[str] | None = None,
+    parsers: tuple = ("pmrfc5424", "pmrfc3164"),
 ) -> DataFrame:
     """Raw lines → canonical syslog frame (SYSLOG_COLUMNS order).
 
@@ -213,6 +229,12 @@ def parse_syslog(
     ``columns`` restricts the emitted canonical columns (callers that
     know their referenced properties can prune at the source — the
     liblognorm-"turbo" analog, ref runtime/msg.h:116-125).
+
+    ``parsers`` is the per-ruleset parser chain (ref: runtime/
+    parser.c:615-660 first-accept-wins; default list parser.c:
+    150-156): any subset/order of pmrfc5424, pmrfc3164, pmnull.
+    Without a permissive tail parser, non-matching lines exhaust the
+    chain: raw message, parsesuccess=false.
     """
     from rsyslog_spark.session import session_cache_key
 
@@ -220,11 +242,12 @@ def parse_syslog(
     # keyed by applicationId so a JVM restart misses instead of
     # resolving Columns against a dead gateway
     sk = session_cache_key()
-    key = (sk, line_col, inputname, keep_raw, with_uuid, tuple(want))
+    key = (sk, line_col, inputname, keep_raw, with_uuid, tuple(want),
+           tuple(parsers))
     layers = _CHAIN_CACHE.get(key) if sk else None
     if layers is None:
         layers = _build_layers(line_col, inputname, keep_raw,
-                               with_uuid, want)
+                               with_uuid, want, tuple(parsers))
         if sk:
             _CHAIN_CACHE[key] = layers
     keep_others = [c for c in df.columns

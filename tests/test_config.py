@@ -438,6 +438,33 @@ class TestRuntime:
         got = [r["value"] for r in spark.read.text(str(outdir)).collect()]
         assert got == ["host=h1 up=PAYLOAD TEXT f2=Text"]
 
+    def test_ruleset_parser_chain(self, spark, tmp_path):
+        # ruleset(parser=) + parser() objects select the parse chain
+        # (ref: runtime/parser.c:615-660): RFC5424-only chain leaves
+        # non-matching lines unparsed with parsesuccess=false.
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "pcin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<34>1 2026-08-13T01:02:03Z web01 nginx 1 ID1 - rfc5424 ok\n"
+            "<13>Mar  1 10:00:00 h1 app: legacy line\n")
+        outdir = tmp_path / "pcout"
+        conf = f'''
+        parser(name="only5424" type="pmrfc5424")
+        input(type="imfile" file="{src}/*.log" ruleset="m")
+        ruleset(name="m" parser="only5424") {{
+            action(type="omfile" name="out" file="{outdir}")
+        }}
+        '''
+        run_config_batch(spark, conf, main="m")
+        rows = {r["parsesuccess"]: r for r in
+                spark.read.parquet(str(outdir)).collect()}
+        assert rows[True]["hostname"] == "web01"
+        assert rows[True]["msg"] == "rfc5424 ok"
+        assert rows[False]["hostname"] is None
+        assert rows[False]["msg"].startswith("<13>Mar")   # raw line
+
     def test_dyn_inc_and_misc_functions(self, spark, tmp_path):
         # dyn_inc records a batch-aggregated counter bucket;
         # script_error()/previous_action_suspended()/get_property/
