@@ -144,6 +144,39 @@ def _dispatch_action(
                 fh.write((r["line"] or "") + "\n")
         run.written[name] = params["pipe"]
         return
+    if typ == "omelasticsearch" and params.get("server"):
+        from rsyslog_spark.streaming.sinks import omelasticsearch_sink
+
+        host = params["server"]
+        port = params.get("serverport", "9200")
+        url = (host if "://" in host else f"http://{host}:{port}") \
+            + "/_bulk"
+        doc = _rendered_lines(df, cfg, params, default=None)
+        if doc is None:   # no template: whole row as a JSON doc
+            doc = df.select(F.to_json(F.struct(*df.columns))
+                            .alias("line"))
+        df2 = doc.withColumn(
+            "__idx", F.lit(params.get("searchIndex", "system")))
+        omelasticsearch_sink(
+            "__idx", None, "line",
+            transport=_es_http_transport(url))(df2, 0)
+        run.written[name] = url
+        return
+    if typ == "omhttp" and params.get("server"):
+        from rsyslog_spark.streaming.sinks import omhttp_sink
+
+        host = params["server"]
+        port = params.get("serverport", "80")
+        path = "/" + params.get("restpath", "").lstrip("/")
+        url = (host if "://" in host else f"http://{host}:{port}") \
+            + path
+        doc = _rendered_lines(df, cfg, params)
+        omhttp_sink("line",
+                    transport=_http_post_transport(url),
+                    batch_size=int(params.get("batch.maxsize", "100"))
+                    )(doc, 0)
+        run.written[name] = url
+        return
     if typ == "omkafka" and params.get("broker"):
         lines = _rendered_lines(df, cfg, params)
         (lines.selectExpr("CAST(line AS STRING) AS value")
@@ -153,6 +186,42 @@ def _dispatch_action(
         run.written[name] = f"kafka://{params['broker']}"
         return
     run.unbound.append((name, df, params))
+
+
+def _es_http_transport(url: str):
+    """Bulk-POST transport for omelasticsearch actions: NDJSON body →
+    failed line numbers from the ES items response (ref:
+    omelasticsearch.c:227-253 retryfailures response parsing)."""
+    def post(body: str) -> list[int]:
+        import json as _json
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=body.encode("utf-8"),
+            headers={"Content-Type": "application/x-ndjson"})
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            payload = _json.loads(resp.read() or b"{}")
+        failed = []
+        for i, item in enumerate(payload.get("items", [])):
+            status = next(iter(item.values()), {}).get("status", 200)
+            if status >= 300:
+                failed.append(i)
+        return failed
+
+    return post
+
+
+def _http_post_transport(url: str):
+    """Batched line-POST transport for omhttp actions."""
+    def post(chunk: list[str]) -> None:
+        import urllib.request
+
+        req = urllib.request.Request(
+            url, data=("\n".join(chunk)).encode("utf-8"),
+            headers={"Content-Type": "text/plain"})
+        urllib.request.urlopen(req, timeout=30).read()
+
+    return post
 
 
 def _apply_main_queue_directives(

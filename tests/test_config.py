@@ -438,6 +438,65 @@ class TestRuntime:
         got = [r["value"] for r in spark.read.text(str(outdir)).collect()]
         assert got == ["host=h1 up=PAYLOAD TEXT f2=Text"]
 
+    def test_es_and_http_actions(self, spark, tmp_path):
+        # omelasticsearch bulk + omhttp actions run end-to-end against
+        # a local HTTP mock (ref: omelasticsearch.c bulk mode;
+        # contrib/omhttp).
+        import http.server
+        import json
+        import threading
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        received: list[tuple[str, bytes]] = []
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = self.rfile.read(
+                    int(self.headers["Content-Length"]))
+                received.append((self.path, body))
+                resp = json.dumps({"items": []}).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+        src = tmp_path / "esin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<13>Mar  1 10:00:00 h1 app: to elastic\n")
+        conf = f'''
+        template(name="doc" type="list" option.jsonf="on") {{
+            property(outname="host" name="hostname" format="jsonf")
+            property(outname="message" name="msg" format="jsonf")
+        }}
+        input(type="imfile" file="{src}/*.log" ruleset="m")
+        ruleset(name="m") {{
+            action(type="omelasticsearch" name="es"
+                   server="127.0.0.1" serverport="{port}"
+                   searchIndex="logs" template="doc")
+            action(type="omhttp" name="http" server="127.0.0.1"
+                   serverport="{port}" restpath="ingest"
+                   template="doc")
+        }}
+        '''
+        run = run_config_batch(spark, conf, main="m")
+        srv.shutdown()
+        assert set(run.written) == {"es", "http"}
+        paths = {p for p, _ in received}
+        assert paths == {"/_bulk", "/ingest"}
+        bulk = next(b for p, b in received if p == "/_bulk").decode()
+        assert '{"index":{"_index":"logs"}}' in bulk
+        assert '"message":"to elastic"' in bulk
+        ingest = next(b for p, b in received if p == "/ingest").decode()
+        assert ingest == '{"host":"h1","message":"to elastic"}'
+
     def test_ruleset_parser_chain(self, spark, tmp_path):
         # ruleset(parser=) + parser() objects select the parse chain
         # (ref: runtime/parser.c:615-660): RFC5424-only chain leaves
