@@ -177,6 +177,14 @@ def _dispatch_action(
                     )(doc, 0)
         run.written[name] = url
         return
+    if typ == "omprog" and params.get("binary"):
+        import shlex
+        from rsyslog_spark.streaming.sinks import omprog_sink
+
+        lines = _rendered_lines(df, cfg, params)
+        omprog_sink(shlex.split(params["binary"]))(lines, 0)
+        run.written[name] = params["binary"]
+        return
     if typ == "omkafka" and params.get("broker"):
         lines = _rendered_lines(df, cfg, params)
         (lines.selectExpr("CAST(line AS STRING) AS value")

@@ -438,6 +438,33 @@ class TestRuntime:
         got = [r["value"] for r in spark.read.text(str(outdir)).collect()]
         assert got == ["host=h1 up=PAYLOAD TEXT f2=Text"]
 
+    def test_omprog_action(self, spark, tmp_path):
+        # omprog: rendered lines piped to the program's stdin
+        # (ref: plugins/omprog)
+        import os
+        import stat
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "opin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<13>Mar  1 10:00:00 h1 app: via prog\n")
+        sink_file = tmp_path / "prog_out"
+        script = tmp_path / "collect.sh"
+        script.write_text(f"#!/bin/sh\ncat >> {sink_file}\n")
+        script.chmod(script.stat().st_mode | stat.S_IEXEC)
+        conf = f'''
+        template(name="plain" type="string" string="%hostname% %msg%")
+        input(type="imfile" file="{src}/*.log" ruleset="m")
+        ruleset(name="m") {{
+            action(type="omprog" name="prog" binary="{script}"
+                   template="plain")
+        }}
+        '''
+        run = run_config_batch(spark, conf, main="m")
+        assert run.written == {"prog": str(script)}
+        assert sink_file.read_text() == "h1 via prog\n"
+
     def test_es_and_http_actions(self, spark, tmp_path):
         # omelasticsearch bulk + omhttp actions run end-to-end against
         # a local HTTP mock (ref: omelasticsearch.c bulk mode;
