@@ -421,13 +421,25 @@ def run_config_stream(
         ruleset_name = cfg.main if cfg.main in cfg.rulesets \
             else next(iter(cfg.rulesets))
 
+    # module(load="impstats") attaches the engine-counter listener
+    # (ref: plugins/impstats); collected stats ride on the returned
+    # query object as `.impstats`
+    listener = None
+    if any(m.get("load", "").startswith("impstats")
+           for m in cfg.modules):
+        from rsyslog_spark.streaming.impstats import ImpstatsListener
+
+        listener = ImpstatsListener()
+        spark.streams.addListener(listener)
+
     lines = imfile(
         spark, path,
         startmsg_regex=imfile_params.get("startmsg.regex"),
         endmsg_regex=imfile_params.get("endmsg.regex"),
         read_mode=int(imfile_params.get(
             "readMode", imfile_params.get("readmode", "0"))))
-    frame = parse_syslog(lines)
+    frame = parse_syslog(
+        lines, parsers=_ruleset_parser_chain(cfg, ruleset_name))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -449,6 +461,8 @@ def run_config_stream(
     q = writer.start()
     if available_now:
         q.awaitTermination(120)
+    if listener is not None:
+        q.impstats = listener   # host reads .stats / .as_log_lines()
     return q
 
 

@@ -847,6 +847,39 @@ rulesets:
         assert got.count() == 1
         assert got.collect()[0]["hostname"] == "h1"
 
+    def test_stream_impstats_module(self, spark, tmp_path):
+        # module(load="impstats") attaches the engine-counter
+        # listener to the streaming run (ref: plugins/impstats)
+        import time
+        from rsyslog_spark.config.runtime import run_config_stream
+
+        src = tmp_path / "imin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<13>Mar  1 10:00:00 h1 app: counted\n")
+        outdir = tmp_path / "imout"
+        conf = f'''
+        module(load="impstats")
+        input(type="imfile" file="{src}/*.log" ruleset="m")
+        ruleset(name="m") {{
+            action(type="omfile" name="out" file="{outdir}")
+        }}
+        '''
+        q = run_config_stream(spark, conf,
+                              checkpoint=str(tmp_path / "imck"))
+        listener = q.impstats
+        try:
+            deadline = time.time() + 30
+            while time.time() < deadline and not any(
+                    s.get("event") == "progress"
+                    for s in listener.stats):
+                time.sleep(0.5)
+            assert any(s.get("event") == "progress"
+                       and s.get("input_rows", 0) >= 1
+                       for s in listener.stats)
+        finally:
+            spark.streams.removeListener(listener)
+
     def test_async_queued_ruleset(self, spark, tmp_path):
         from rsyslog_spark.config.runtime import run_config_stream_async
 
