@@ -130,8 +130,9 @@ def _dispatch_action(
         framing = ("octet-counted"
                    if params.get("tcp_framing", "").startswith("octet")
                    else "lf")
-        omfwd_sink(params["target"], port, "line",
-                   framing=framing, protocol=proto)(lines, 0)
+        _with_retry(params, omfwd_sink(
+            params["target"], port, "line",
+            framing=framing, protocol=proto))(lines, 0)
         run.written[name] = f"{proto}://{params['target']}:{port}"
         return
     if typ == "ompipe" and params.get("pipe"):
@@ -157,9 +158,9 @@ def _dispatch_action(
                             .alias("line"))
         df2 = doc.withColumn(
             "__idx", F.lit(params.get("searchIndex", "system")))
-        omelasticsearch_sink(
+        _with_retry(params, omelasticsearch_sink(
             "__idx", None, "line",
-            transport=_es_http_transport(url))(df2, 0)
+            transport=_es_http_transport(url)))(df2, 0)
         run.written[name] = url
         return
     if typ == "omhttp" and params.get("server"):
@@ -171,10 +172,9 @@ def _dispatch_action(
         url = (host if "://" in host else f"http://{host}:{port}") \
             + path
         doc = _rendered_lines(df, cfg, params)
-        omhttp_sink("line",
-                    transport=_http_post_transport(url),
-                    batch_size=int(params.get("batch.maxsize", "100"))
-                    )(doc, 0)
+        _with_retry(params, omhttp_sink(
+            "line", transport=_http_post_transport(url),
+            batch_size=int(params.get("batch.maxsize", "100"))))(doc, 0)
         run.written[name] = url
         return
     if typ == "omprog" and params.get("binary"):
@@ -182,7 +182,8 @@ def _dispatch_action(
         from rsyslog_spark.streaming.sinks import omprog_sink
 
         lines = _rendered_lines(df, cfg, params)
-        omprog_sink(shlex.split(params["binary"]))(lines, 0)
+        _with_retry(params,
+                    omprog_sink(shlex.split(params["binary"])))(lines, 0)
         run.written[name] = params["binary"]
         return
     if typ == "omkafka" and params.get("broker"):
@@ -194,6 +195,31 @@ def _dispatch_action(
         run.written[name] = f"kafka://{params['broker']}"
         return
     run.unbound.append((name, df, params))
+
+
+def _param(params: dict, name: str, default: str) -> str:
+    """Case-insensitive action-parameter lookup (config authors mix
+    action.resumeRetryCount spellings)."""
+    lo = name.lower()
+    for k, v in params.items():
+        if k.lower() == lo:
+            return v
+    return default
+
+
+def _with_retry(params: dict, write_fn):
+    """Wrap a transport write with the reference's action retry loop
+    when the action sets action.resumeRetryCount (ref: runtime/
+    action.h:77-80 iResumeInterval/iResumeRetryCount)."""
+    retries = int(_param(params, "action.resumeRetryCount", "0"))
+    if retries <= 0:
+        return write_fn
+    from rsyslog_spark.streaming.sinks import retrying_foreach_batch
+
+    return retrying_foreach_batch(
+        write_fn, max_retries=retries,
+        resume_interval_s=float(_param(params, "action.resumeInterval",
+                                       "1")))
 
 
 def _es_http_transport(url: str):

@@ -438,6 +438,53 @@ class TestRuntime:
         got = [r["value"] for r in spark.read.text(str(outdir)).collect()]
         assert got == ["host=h1 up=PAYLOAD TEXT f2=Text"]
 
+    def test_action_resume_retry(self, spark, tmp_path):
+        # action.resumeRetryCount: a transiently failing sink is
+        # retried (ref: runtime/action.h:77-80).
+        import http.server
+        import threading
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        fails = {"left": 1}
+        hits = []
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                self.rfile.read(int(self.headers["Content-Length"]))
+                hits.append(self.path)
+                if fails["left"] > 0:
+                    fails["left"] -= 1
+                    self.send_response(503)
+                else:
+                    self.send_response(200)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        port = srv.server_address[1]
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+        src = tmp_path / "rrin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<13>Mar  1 10:00:00 h1 app: retry me\n")
+        conf = f'''
+        input(type="imfile" file="{src}/*.log" ruleset="m")
+        ruleset(name="m") {{
+            action(type="omhttp" name="http" server="127.0.0.1"
+                   serverport="{port}" restpath="x"
+                   action.resumeRetryCount="3"
+                   action.resumeInterval="0.1")
+        }}
+        '''
+        run = run_config_batch(spark, conf, main="m")
+        srv.shutdown()
+        assert "http" in run.written
+        assert len(hits) == 2   # one 503, one success
+
     def test_omprog_action(self, spark, tmp_path):
         # omprog: rendered lines piped to the program's stdin
         # (ref: plugins/omprog)
