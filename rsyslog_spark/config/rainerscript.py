@@ -885,6 +885,21 @@ _FN_COLARGS: dict[str, object] = {
 }
 
 
+def register_config_function(
+    name: str, fn: Callable[..., Column],
+    column_args: frozenset | str = frozenset({0}),
+) -> None:
+    """Register a host-provided scalar function callable from config
+    expressions — the analog of the reference's loadable function
+    modules (fm*, registered via addMod2List,
+    grammar/rainerscript.h:378). ``column_args`` marks which argument
+    positions are coerced to Columns ("all" or a position set);
+    remaining literal args pass through as Python values.
+    """
+    _FN_MAP[name] = fn
+    _FN_COLARGS[name] = column_args
+
+
 def _to_col(ast, df: DataFrame | None = None,
             tables: dict[str, Any] | None = None,
             templates: dict[str, Any] | None = None) -> Column:

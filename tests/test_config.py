@@ -167,6 +167,27 @@ ruleset(name="main") {
         tails = {r["hostname"] for r in out["tail"].collect()}
         assert tails == {"h1", "h2"}
 
+    def test_register_config_function(self, spark):
+        # fm* loadable-module analog: host-registered functions are
+        # config-callable (ref: addMod2List, rainerscript.h:378)
+        from pyspark.sql import functions as F
+        from rsyslog_spark.config.rainerscript import (
+            _FN_MAP, register_config_function)
+
+        def shout(c, suffix):
+            return F.concat(F.upper(c), F.lit(str(suffix)))
+
+        register_config_function("fm_shout", shout)
+        try:
+            eng, _ = load_config(
+                'ruleset(name="m") { set $.s = fm_shout($msg, "!"); '
+                'action(type="omfile" name="o") }')
+            df = spark.createDataFrame([("hey",)], "msg string")
+            actions, _ = eng.run(df, "m")
+            assert dict(actions)["o"].collect()[0]["local_s"] == "HEY!"
+        finally:
+            _FN_MAP.pop("fm_shout", None)
+
     def test_unknown_function_still_raises(self, spark):
         import pytest
 
