@@ -250,10 +250,26 @@ def parse_syslog(
                                with_uuid, want, tuple(parsers))
         if sk:
             _CHAIN_CACHE[key] = layers
+    # Receiver-stamped properties: the input module owns fromhost/
+    # fromhost_ip/fromhost_port/inputname/timegenerated (ref: the
+    # input sets msg_t pRcvFrom/pszInputName/ttGenTime at submit,
+    # runtime/msg.c MsgSetRcvFrom — parsers never overwrite them).
+    # When the incoming frame already carries one (imudp/imuxsock/
+    # imhttp bridges, imkafka), prefer it over the synthesized value.
+    recv = [c for c in ("fromhost", "fromhost_ip", "fromhost_port",
+                        "inputname", "timegenerated")
+            if c in df.columns and c in want]
+    if recv:
+        df = df.withColumnsRenamed({c: f"__in_{c}" for c in recv})
     keep_others = [c for c in df.columns
                    if c != line_col and c not in want]
     cur = df
     for layer in layers[:-1]:
         cur = cur.select("*", *layer) if cur is not df else \
             df.select(*keep_others, *layer)
-    return cur.select(*keep_others, *layers[-1])
+    out = cur.select(*keep_others, *layers[-1])
+    for c in recv:
+        out = out.withColumn(
+            c, F.coalesce(F.col(f"__in_{c}"), F.col(c))
+        ).drop(f"__in_{c}")
+    return out

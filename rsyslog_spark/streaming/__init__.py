@@ -18,9 +18,17 @@ from rsyslog_spark.streaming.sinks import (
     retrying_foreach_batch,
 )
 from rsyslog_spark.streaming.impstats import ImpstatsListener
+from rsyslog_spark.streaming.bridges import (
+    imdocker,
+    imhttp,
+    imjournal,
+    imudp,
+    imuxsock,
+)
 
 __all__ = [
     "imfile", "imkafka", "immark", "imtcp", "parse_stream",
+    "imudp", "imuxsock", "imhttp", "imjournal", "imdocker",
     "streaming_dynstats", "streaming_ratelimit",
     "streaming_repeated_msg_reduction", "streaming_sendertrack",
     "fanout_sink", "omfile_sink", "omkafka_sink",

@@ -1,0 +1,360 @@
+"""Network/system input bridges: imudp, imuxsock, imhttp, imjournal,
+imdocker.
+
+The reference's socket-style inputs (plugins/imudp/imudp.c,
+plugins/imuxsock/imuxsock.c, contrib/imhttp/imhttp.c) run an OS
+receive loop that feeds the main message queue. Spark's analog of the
+main queue is the file/Kafka source — so each bridge here is a small
+receive loop that spools complete files into a directory which a
+Structured Streaming ``json``/``text`` source tails. This is the
+production cluster shape too: per-executor listening sockets don't
+exist on a 1000-node cluster; a fleet of lightweight receivers writes
+to object storage / Kafka and Spark consumes that. The bridge IS that
+receiver, colocated for the single-node case.
+
+Spool protocol: each flush writes one NDJSON file atomically
+(tmp-name + rename) so the file source never sees partial files —
+the same contract the reference's imfile state-file tracking assumes
+(plugins/imfile/imfile.c polling complete lines only).
+
+imjournal / imdocker need no receive loop at all: journald's export
+format and Docker's json-file log driver are already durable files,
+parsed here as pure Spark column expressions (no UDF).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import threading
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SpoolBridge:
+    """Receive-loop → atomic NDJSON spool files → streaming source.
+
+    Subclasses implement ``_serve`` to push dicts via ``self.emit``.
+    ``stream(spark)`` returns the streaming frame over the spool;
+    ``flush()`` forces a spool rotation (tests call it before an
+    availableNow drain). Ref analog: the listener thread pool in
+    runtime/wtp.c feeding runtime/queue.c — here the queue is the
+    spool directory and Spark's own micro-batching replaces dequeue
+    batching.
+    """
+
+    #: columns every bridge emits (subclasses may add more)
+    schema = "line string, fromhost string, timegenerated timestamp"
+
+    def __init__(self, spool_dir: str, *, inputname: str,
+                 flush_every: int = 512, flush_secs: float = 0.5):
+        self.spool_dir = spool_dir
+        self.inputname = inputname
+        self.flush_every = flush_every
+        self.flush_secs = flush_secs
+        os.makedirs(spool_dir, exist_ok=True)
+        self._buf: list[dict] = []
+        self._lock = threading.Lock()
+        self._seq = 0
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+
+    # -- receive side -------------------------------------------------
+    def emit(self, rec: dict) -> None:
+        rec.setdefault("timegenerated",
+                       time.strftime("%Y-%m-%dT%H:%M:%S",
+                                     time.gmtime()))
+        with self._lock:
+            self._buf.append(rec)
+            if len(self._buf) >= self.flush_every:
+                self._flush_locked()
+
+    def flush(self) -> None:
+        with self._lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
+        if not self._buf:
+            return
+        self._seq += 1
+        name = f"{self.inputname}-{os.getpid()}-{self._seq:08d}.ndjson"
+        tmp = os.path.join(self.spool_dir, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            for rec in self._buf:
+                f.write(json.dumps(rec, ensure_ascii=False) + "\n")
+        os.rename(tmp, os.path.join(self.spool_dir, name))
+        self._buf = []
+
+    def _flusher(self) -> None:
+        while not self._stop.wait(self.flush_secs):
+            self.flush()
+        self.flush()
+
+    def start(self) -> "SpoolBridge":
+        t = threading.Thread(target=self._serve, daemon=True)
+        f = threading.Thread(target=self._flusher, daemon=True)
+        self._threads = [t, f]
+        t.start()
+        f.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._shutdown()
+        for t in self._threads:
+            t.join(timeout=5)
+        self.flush()
+
+    def _serve(self) -> None:  # pragma: no cover - subclass hook
+        raise NotImplementedError
+
+    def _shutdown(self) -> None:
+        """Unblock the serve loop (subclass hook)."""
+
+    # -- Spark side ---------------------------------------------------
+    def stream(self, spark: SparkSession,
+               max_files_per_trigger: int | None = None) -> DataFrame:
+        reader = spark.readStream.schema(self.schema).format("json")
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        return (
+            reader.load(self.spool_dir)
+            .withColumn("inputname", F.lit(self.inputname))
+        )
+
+    def batch(self, spark: SparkSession) -> DataFrame:
+        """Batch read of everything spooled so far (test drains)."""
+        return (
+            spark.read.schema(self.schema).format("json")
+            .load(self.spool_dir)
+            .withColumn("inputname", F.lit(self.inputname))
+        )
+
+
+class imudp(SpoolBridge):
+    """UDP syslog receiver (ref: plugins/imudp/imudp.c).
+
+    The reference receives with ``recvmmsg`` in batches of
+    ``batchSize`` datagrams (imudp.c:145-170) and stamps fromhost from
+    the peer address; the bridge mirrors both: a bounded ``recvfrom``
+    loop batching into one spool flush, fromhost = sender IP. One
+    datagram = one message (no framing — UDP syslog's defining
+    property, RFC 5426 §3.1).
+    """
+
+    def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
+                 port: int = 0, **kw):
+        super().__init__(spool_dir, inputname="imudp", **kw)
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind((host, port))
+        self.sock.settimeout(0.2)
+        self.port = self.sock.getsockname()[1]
+
+    def _serve(self) -> None:
+        while not self._stop.is_set():
+            try:
+                data, addr = self.sock.recvfrom(65535)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            self.emit({
+                "line": data.decode("utf-8", errors="replace")
+                            .rstrip("\n"),
+                "fromhost": addr[0],
+            })
+
+    def _shutdown(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+class imuxsock(SpoolBridge):
+    """Unix datagram socket receiver — the /dev/log path (ref:
+    plugins/imuxsock/imuxsock.c). SOCK_DGRAM like the reference
+    (imuxsock.c creates a DGRAM socket; one datagram = one message);
+    fromhost is the local hostname, as imuxsock sets it.
+    """
+
+    def __init__(self, spool_dir: str, *, sock_path: str, **kw):
+        super().__init__(spool_dir, inputname="imuxsock", **kw)
+        if os.path.exists(sock_path):
+            os.unlink(sock_path)
+        self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+        self.sock.bind(sock_path)
+        self.sock.settimeout(0.2)
+        self.sock_path = sock_path
+        self._localhost = socket.gethostname()
+
+    def _serve(self) -> None:
+        while not self._stop.is_set():
+            try:
+                data = self.sock.recv(65535)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            self.emit({
+                "line": data.decode("utf-8", errors="replace")
+                            .rstrip("\n"),
+                "fromhost": self._localhost,
+            })
+
+    def _shutdown(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+        if os.path.exists(self.sock_path):
+            try:
+                os.unlink(self.sock_path)
+            except OSError:
+                pass
+
+
+class imhttp(SpoolBridge):
+    """HTTP message intake (ref: contrib/imhttp/imhttp.c, a civetweb
+    server with a configurable ``endpoint``).
+
+    POST <endpoint> with newline-framed messages in the body — each
+    line becomes a message (the reference's default framing). Other
+    paths get 404; GET /healthz returns 200 like the reference's
+    liveness probe support.
+    """
+
+    def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
+                 port: int = 0, endpoint: str = "/postrequest", **kw):
+        super().__init__(spool_dir, inputname="imhttp", **kw)
+        self.endpoint = endpoint
+        import http.server
+
+        bridge = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                ok = self.path == "/healthz"
+                self.send_response(200 if ok else 404)
+                self.end_headers()
+
+            def do_POST(self):
+                if self.path != bridge.endpoint:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n).decode(
+                    "utf-8", errors="replace")
+                for ln in body.splitlines():
+                    if ln.strip():
+                        bridge.emit({
+                            "line": ln,
+                            "fromhost": self.client_address[0],
+                        })
+                self.send_response(200)
+                self.end_headers()
+
+        self.httpd = http.server.ThreadingHTTPServer((host, port),
+                                                     Handler)
+        self.port = self.httpd.server_address[1]
+
+    def _serve(self) -> None:
+        self.httpd.serve_forever(poll_interval=0.2)
+
+    def _shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+# ---------------------------------------------------------------------
+# File-format inputs: pure Spark column parsing, no receive loop.
+# ---------------------------------------------------------------------
+
+def imjournal(spark: SparkSession, path: str, *,
+              streaming: bool = False) -> DataFrame:
+    """systemd journal intake via the journal **export format**
+    (ref: plugins/imjournal/imjournal.c, which maps journal fields to
+    message properties in readJSONfromJournalMsg, imjournal.c:434-470).
+
+    The sd-journal C API isn't a Spark-able source; the public,
+    durable representation is ``journalctl -o export`` — blank-line
+    separated entries of ``FIELD=value`` lines. Parsing is all JVM
+    column work: wholetext → paragraph split → map_from_entries.
+    Field mapping follows the reference: MESSAGE→msg,
+    PRIORITY→syslogseverity, SYSLOG_FACILITY→syslogfacility,
+    SYSLOG_IDENTIFIER→tag (fallback _COMM), _HOSTNAME→hostname,
+    _PID→procid, __REALTIME_TIMESTAMP (µs)→timereported.
+    Divergence: binary journal fields (length-prefixed) are skipped —
+    they contain no ``=`` in their first line and drop out of the
+    key=value filter; the reference base64s them.
+    """
+    reader = (spark.readStream if streaming else spark.read)
+    raw = (reader.format("text").option("wholetext", True).load(path)
+           .select(F.col("value").alias("content")))
+    entry = F.explode(
+        F.split("content", r"\n(?:[ \t]*\n)+")).alias("entry")
+    kv = F.filter(
+        F.split(F.col("entry"), "\n"),
+        lambda ln: ln.contains("="))
+    pairs = F.transform(
+        kv,
+        lambda ln: F.struct(
+            F.substring_index(ln, "=", 1).alias("key"),
+            F.substr(ln, F.instr(ln, "=") + 1).alias("value"),
+        ))
+    m = F.map_from_entries(pairs)
+    ent = raw.select(entry).filter(F.trim("entry") != "") \
+             .select(m.alias("j"))
+    g = F.col("j")
+    return ent.select(
+        g["MESSAGE"].alias("msg"),
+        g["PRIORITY"].cast("int").alias("syslogseverity"),
+        g["SYSLOG_FACILITY"].cast("int").alias("syslogfacility"),
+        F.coalesce(g["SYSLOG_IDENTIFIER"], g["_COMM"]).alias("tag"),
+        g["_HOSTNAME"].alias("hostname"),
+        g["_PID"].alias("procid"),
+        F.timestamp_micros(
+            g["__REALTIME_TIMESTAMP"].cast("long")
+        ).alias("timereported"),
+        F.to_json(g).alias("journal_all"),
+        F.lit("imjournal").alias("inputname"),
+    )
+
+
+def imdocker(spark: SparkSession, path: str, *,
+             streaming: bool = False) -> DataFrame:
+    """Docker container log intake (ref: contrib/imdocker/imdocker.c,
+    which tails the engine's log endpoint).
+
+    Consumes the json-file log driver's on-disk format — one JSON
+    object per line: {"log": "...\\n", "stream": "stdout"|"stderr",
+    "time": RFC3339Nano} — the same records imdocker receives over
+    the API socket. The container id comes from the file path
+    (…/containers/<id>/<id>-json.log), mirroring imdocker's
+    container-id tagging (imdocker.c DOCKER_CONTAINER_ID_PARSE_NAME).
+    """
+    reader = (spark.readStream if streaming else spark.read)
+    raw = (reader
+           .schema("log string, stream string, time string")
+           .format("json").load(path)
+           .withColumn("srcfile", F.input_file_name()))
+    return raw.select(
+        F.regexp_replace("log", r"\n$", "").alias("line"),
+        F.col("stream"),
+        F.to_timestamp(
+            # RFC3339Nano: trim to µs for Spark timestamp
+            F.regexp_replace(
+                "time", r"(\.\d{6})\d*(Z|[+-]\d\d:\d\d)$", "$1$2")
+        ).alias("timegenerated"),
+        F.regexp_extract("srcfile", r"([0-9a-f]{12,64})[^/]*\.log$", 1)
+         .alias("container_id"),
+        F.lit("imdocker").alias("inputname"),
+    )

@@ -89,3 +89,27 @@ def test_structured_data_map(spark):
 def test_trailing_lf_stripped(spark):
     r = parse_one(spark, "<165>Mar  1 01:00:00 h tag: hello\n")
     assert r["msg"] == "hello"
+
+
+def test_receiver_stamped_props_preserved(spark):
+    """Input-module-owned properties survive the parser chain (ref:
+    msg.c MsgSetRcvFrom — the input sets fromhost/inputname/
+    timegenerated; parsers only fill message-derived fields)."""
+    from pyspark.sql import functions as F
+    from rsyslog_spark.parsers import parse_syslog
+
+    df = spark.createDataFrame(
+        [("<34>1 2026-08-13T01:02:03Z web01 app 1 ID1 - hi",
+          "10.0.0.7", "imudp"),
+         ("garbage", None, "imudp")],
+        "line string, fromhost string, inputname string",
+    ).withColumn("timegenerated",
+                 F.lit("2026-08-13 09:00:00").cast("timestamp"))
+    out = parse_syslog(df).orderBy(F.col("hostname").asc_nulls_last())
+    rows = out.collect()
+    # receiver peer wins over header hostname; null falls back
+    assert rows[0].fromhost == "10.0.0.7"
+    assert rows[0].hostname == "web01"
+    assert rows[1].fromhost is None
+    assert all(r.inputname == "imudp" for r in rows)
+    assert str(rows[0].timegenerated) == "2026-08-13 09:00:00"
