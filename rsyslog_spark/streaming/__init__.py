@@ -18,6 +18,15 @@ from rsyslog_spark.streaming.sinks import (
     retrying_foreach_batch,
 )
 from rsyslog_spark.streaming.impstats import ImpstatsListener
+from rsyslog_spark.streaming.transports import (
+    amqp1_sink,
+    omhiredis_sink,
+    ommail_sink,
+    omotel_sink,
+    omsnmp_sink,
+    omstdout_sink,
+    omuxsock_sink,
+)
 from rsyslog_spark.streaming.bridges import (
     imdocker,
     imhttp,
@@ -29,6 +38,8 @@ from rsyslog_spark.streaming.bridges import (
 __all__ = [
     "imfile", "imkafka", "immark", "imtcp", "parse_stream",
     "imudp", "imuxsock", "imhttp", "imjournal", "imdocker",
+    "ommail_sink", "omsnmp_sink", "omhiredis_sink", "omotel_sink",
+    "omuxsock_sink", "omstdout_sink", "amqp1_sink",
     "streaming_dynstats", "streaming_ratelimit",
     "streaming_repeated_msg_reduction", "streaming_sendertrack",
     "fanout_sink", "omfile_sink", "omkafka_sink",

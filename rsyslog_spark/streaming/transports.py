@@ -1,0 +1,545 @@
+"""Transport output modules: omstdout, omuxsock, ommail, omsnmp,
+omhiredis, omotel, and the AMQP 1.0 family (omamqp1 /
+omazureeventhubs).
+
+Each is a ``foreachBatch`` callable (same contract as
+streaming/sinks.py) usable from batch tests via direct invocation.
+Wire protocols that are simple enough to speak without a client
+library (SMTP, RESP, SNMP BER, OTLP/HTTP JSON, unix datagrams) are
+implemented natively — the protocol bytes ARE the reference parity.
+AMQP 1.0 needs a real protocol engine; that sink takes an injectable
+sender factory (qpid-proton when available) so the Spark-side
+batching/retry plumbing is real and tested while the codec stays
+external, the same boundary the reference draws by linking
+libqpid-proton.
+
+Scale notes: every sink here is per-partition (executor-side
+connections, no driver fan-in); batched protocols (OTLP, hiredis
+pipeline) flush on item/byte thresholds mirroring the reference's
+batch tunables.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import time
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------
+# omstdout (ref: plugins/omstdout/omstdout.c)
+# ---------------------------------------------------------------------
+
+def omstdout_sink(line_col: str = "line") -> Callable[[DataFrame, int], None]:
+    """Write rendered messages to the driver's stdout (ref:
+    plugins/omstdout/omstdout.c — a debug/test sink; rows are
+    collected, so use only for bounded debug output)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.select(
+                F.col(line_col).cast("string").alias("l")).collect():
+            print(r.l if r.l is not None else "")
+
+    return write
+
+
+# ---------------------------------------------------------------------
+# omuxsock (ref: plugins/omuxsock/omuxsock.c)
+# ---------------------------------------------------------------------
+
+def omuxsock_sink(sock_path: str, line_col: str = "line",
+                  ) -> Callable[[DataFrame, int], None]:
+    """Forward to a local unix DGRAM socket (ref: plugins/omuxsock/
+    omuxsock.c sendMsg — one datagram per message, connectionless)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        lines = batch_df.select(
+            F.col(line_col).cast("string").alias("l"))
+
+        def per_partition(rows):
+            sk = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+            try:
+                for r in rows:
+                    sk.sendto((r.l or "").encode("utf-8"), sock_path)
+            finally:
+                sk.close()
+            return iter(())
+
+        lines.rdd.mapPartitions(per_partition).count()
+
+    return write
+
+
+# ---------------------------------------------------------------------
+# ommail (ref: plugins/ommail/ommail.c)
+# ---------------------------------------------------------------------
+
+def ommail_sink(
+    server: str,
+    port: int,
+    *,
+    mailfrom: str,
+    mailto: Sequence[str],
+    subject: str = "syslog message",
+    subject_col: str | None = None,
+    body_enable: bool = True,
+    line_col: str = "line",
+) -> Callable[[DataFrame, int], None]:
+    """Send one mail per message via SMTP (ref: plugins/ommail/
+    ommail.c:680-700 — HELO, MAIL FROM, one RCPT TO per recipient,
+    DATA with Subject header; ommail.c:653). ``subject_col`` renders a
+    per-message subject (the reference's second template);
+    ``body_enable=False`` sends header-only mails (bodyEnable param).
+
+    Alert-volume sink: mails are driver-collected (alerts are rare by
+    construction — pair with action_every_nth / exec_once_every_
+    interval from operators/stats.py, as real configs do)."""
+
+    import smtplib
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        cols = [F.col(line_col).cast("string").alias("l")]
+        cols.append(
+            F.col(subject_col).cast("string").alias("s")
+            if subject_col else F.lit(subject).alias("s"))
+        rows = batch_df.select(*cols).collect()
+        if not rows:
+            return
+        smtp = smtplib.SMTP(server, port, timeout=30)
+        try:
+            for r in rows:
+                body = (
+                    f"From: {mailfrom}\r\n"
+                    f"To: {', '.join(mailto)}\r\n"
+                    f"Subject: {r.s}\r\n"
+                    "X-Mailer: rsyslog-spark-mail\r\n\r\n"
+                )
+                if body_enable:
+                    body += (r.l or "") + "\r\n"
+                smtp.sendmail(mailfrom, list(mailto), body.encode())
+        finally:
+            try:
+                smtp.quit()
+            except Exception:
+                pass
+
+    return write
+
+
+# ---------------------------------------------------------------------
+# omsnmp (ref: plugins/omsnmp/omsnmp.c) — minimal BER encoder
+# ---------------------------------------------------------------------
+
+#: default OIDs, omsnmp.c:55-71
+SNMP_TRAP_OID = "1.3.6.1.4.1.19406.1.2.1"         # ADISCON syslogtrap
+SNMP_SYSLOG_MSG_OID = "1.3.6.1.4.1.19406.1.1.2.1"  # syslogMsg varbind
+SNMP_ENTERPRISE_OID = "1.3.6.1.4.1.3.1.1"          # enterprises.cmu.1.1
+_OID_SNMPTRAP = "1.3.6.1.6.3.1.1.4.1.0"            # snmpTrapOID.0
+_OID_SYSUPTIME = "1.3.6.1.2.1.1.3.0"               # sysUpTime.0
+
+
+def _ber_len(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    body = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([0x80 | len(body)]) + body
+
+
+def _ber(tag: int, content: bytes) -> bytes:
+    return bytes([tag]) + _ber_len(len(content)) + content
+
+
+def _ber_int(v: int, tag: int = 0x02) -> bytes:
+    if v == 0:
+        return _ber(tag, b"\x00")
+    body = v.to_bytes((v.bit_length() + 8) // 8, "big", signed=True)
+    return _ber(tag, body)
+
+
+def _ber_uint(v: int, tag: int) -> bytes:
+    body = v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+    return _ber(tag, body)
+
+
+def _ber_oid(dotted: str) -> bytes:
+    arcs = [int(x) for x in dotted.strip(".").split(".")]
+    out = bytearray([40 * arcs[0] + arcs[1]])
+    for a in arcs[2:]:
+        chunk = bytearray([a & 0x7F])
+        a >>= 7
+        while a:
+            chunk.insert(0, 0x80 | (a & 0x7F))
+            a >>= 7
+        out += chunk
+    return _ber(0x06, bytes(out))
+
+
+def _varbind(oid: str, value: bytes) -> bytes:
+    return _ber(0x30, _ber_oid(oid) + value)
+
+
+def snmp_trap_pdu(
+    message: str,
+    *,
+    version: str = "snmpv2c",
+    community: str = "public",
+    trap_oid: str = SNMP_TRAP_OID,
+    message_oid: str = SNMP_SYSLOG_MSG_OID,
+    enterprise_oid: str = SNMP_ENTERPRISE_OID,
+    uptime_cs: int = 0,
+    request_id: int = 1,
+    agent_addr: str = "127.0.0.1",
+    specific_type: int = 0,
+) -> bytes:
+    """Encode one trap datagram (BER, RFC 1157 / RFC 3416).
+
+    snmpv2c → SNMPv2-Trap PDU (0xA7) with the standard sysUpTime.0 +
+    snmpTrapOID.0 header varbinds then the syslog message
+    (omsnmp.c:55-71 default OIDs). snmpv1 → Trap-PDU (0xA4) with
+    enterprise/agent-addr/generic=6(enterpriseSpecific)/specific.
+    """
+    msg_vb = _varbind(message_oid,
+                      _ber(0x04, message.encode("utf-8")))
+    if version == "snmpv2c":
+        varbinds = _ber(0x30,
+                        _varbind(_OID_SYSUPTIME,
+                                 _ber_uint(uptime_cs, 0x43))
+                        + _varbind(_OID_SNMPTRAP, _ber_oid(trap_oid))
+                        + msg_vb)
+        pdu = _ber(0xA7,
+                   _ber_int(request_id) + _ber_int(0) + _ber_int(0)
+                   + varbinds)
+        ver = 1
+    elif version == "snmpv1":
+        pdu = _ber(
+            0xA4,
+            _ber_oid(enterprise_oid)
+            + _ber(0x40, socket.inet_aton(agent_addr))
+            + _ber_int(6)                      # enterpriseSpecific
+            + _ber_int(specific_type)
+            + _ber_uint(uptime_cs, 0x43)
+            + _ber(0x30, msg_vb))
+        ver = 0
+    else:
+        raise ValueError(f"unknown snmp version {version!r}")
+    return _ber(0x30, _ber_int(ver)
+                + _ber(0x04, community.encode()) + pdu)
+
+
+def omsnmp_sink(
+    host: str,
+    port: int = 162,
+    *,
+    version: str = "snmpv2c",
+    community: str = "public",
+    trap_oid: str = SNMP_TRAP_OID,
+    message_oid: str = SNMP_SYSLOG_MSG_OID,
+    enterprise_oid: str = SNMP_ENTERPRISE_OID,
+    line_col: str = "line",
+) -> Callable[[DataFrame, int], None]:
+    """Send each message as an SNMP trap over UDP (ref:
+    plugins/omsnmp/omsnmp.c; action params omsnmp.c:125-127
+    enterpriseoid/trapoid/messageoid)."""
+
+    start = time.monotonic()
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        lines = batch_df.select(
+            F.col(line_col).cast("string").alias("l"))
+
+        def per_partition(rows):
+            sk = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            up = int((time.monotonic() - start) * 100)
+            try:
+                for i, r in enumerate(rows):
+                    sk.sendto(
+                        snmp_trap_pdu(
+                            r.l or "", version=version,
+                            community=community, trap_oid=trap_oid,
+                            message_oid=message_oid,
+                            enterprise_oid=enterprise_oid,
+                            uptime_cs=up, request_id=i + 1),
+                        (host, port))
+            finally:
+                sk.close()
+            return iter(())
+
+        lines.rdd.mapPartitions(per_partition).count()
+
+    return write
+
+
+# ---------------------------------------------------------------------
+# omhiredis (ref: contrib/omhiredis/omhiredis.c) — native RESP
+# ---------------------------------------------------------------------
+
+def _resp(*args: str) -> bytes:
+    out = bytearray(f"*{len(args)}\r\n".encode())
+    for a in args:
+        b = a.encode("utf-8")
+        out += f"${len(b)}\r\n".encode() + b + b"\r\n"
+    return bytes(out)
+
+
+def omhiredis_sink(
+    host: str,
+    port: int = 6379,
+    *,
+    mode: str = "queue",
+    key: str,
+    use_rpush: bool = False,
+    expiration: int = 0,
+    stream_out_field: str = "msg",
+    stream_maxlen: int = 0,
+    line_col: str = "line",
+    key_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Redis output speaking RESP directly (ref: contrib/omhiredis/
+    omhiredis.c:381-414): mode=queue → LPUSH/RPUSH, publish →
+    PUBLISH, set → SET/SETEX with expiration, stream → XADD
+    (MAXLEN ~ n when stream_maxlen set). Commands are pipelined per
+    partition (the reference uses redisAppendCommand batching);
+    replies are drained at the end and error replies raise so the
+    retry/suspend wrapper sees the failure."""
+
+    if mode not in ("queue", "publish", "set", "stream"):
+        raise ValueError(f"unknown omhiredis mode {mode!r}")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        cols = [F.col(line_col).cast("string").alias("l")]
+        cols.append((F.col(key_col) if key_col else F.lit(key))
+                    .cast("string").alias("k"))
+        sel = batch_df.select(*cols)
+
+        def per_partition(rows):
+            sk = socket.create_connection((host, port), timeout=30)
+            n = 0
+            try:
+                buf = bytearray()
+                for r in rows:
+                    v = r.l or ""
+                    if mode == "queue":
+                        cmd = _resp("RPUSH" if use_rpush else "LPUSH",
+                                    r.k, v)
+                    elif mode == "publish":
+                        cmd = _resp("PUBLISH", r.k, v)
+                    elif mode == "set":
+                        cmd = (_resp("SETEX", r.k, str(expiration), v)
+                               if expiration else _resp("SET", r.k, v))
+                    else:
+                        if stream_maxlen:
+                            cmd = _resp("XADD", r.k, "MAXLEN", "~",
+                                        str(stream_maxlen), "*",
+                                        stream_out_field, v)
+                        else:
+                            cmd = _resp("XADD", r.k, "*",
+                                        stream_out_field, v)
+                    buf += cmd
+                    n += 1
+                    if len(buf) >= 256 * 1024:
+                        sk.sendall(buf)
+                        buf.clear()
+                if buf:
+                    sk.sendall(buf)
+                sk.shutdown(socket.SHUT_WR)
+                reply = b""
+                while True:
+                    chunk = sk.recv(65536)
+                    if not chunk:
+                        break
+                    reply += chunk
+                errs = [ln for ln in reply.split(b"\r\n")
+                        if ln.startswith(b"-")]
+                if errs:
+                    raise RuntimeError(
+                        f"redis error reply: {errs[0].decode()!r}")
+            finally:
+                sk.close()
+            return iter(())
+
+        sel.rdd.mapPartitions(per_partition).count()
+
+    return write
+
+
+# ---------------------------------------------------------------------
+# omotel (ref: plugins/omotel/) — OTLP/HTTP JSON logs export
+# ---------------------------------------------------------------------
+
+#: syslog severity → OTLP severityNumber/Text (omotel.c:498-500)
+OTEL_SEVERITY = [(24, "EMERGENCY"), (23, "ALERT"), (22, "CRITICAL"),
+                 (17, "ERROR"), (13, "WARNING"), (11, "NOTICE"),
+                 (9, "INFO"), (5, "DEBUG")]
+
+
+def otlp_log_payload(records: list[dict], *,
+                     resource_attrs: dict | None = None) -> dict:
+    """Build one OTLP/JSON ExportLogsServiceRequest (ref:
+    plugins/omotel/otlp_json.c:247-470; proto3 JSON mapping —
+    fixed64 timestamps are decimal strings).
+
+    Each record dict: body (str), time_unix_nano (int),
+    severity (0-7 syslog), and optional hostname/appname/procid/
+    msgid/facility mapped to log.syslog.* attributes."""
+    logrecs = []
+    for r in records:
+        num, text = OTEL_SEVERITY[min(max(r.get("severity", 6), 0), 7)]
+        rec = {
+            "timeUnixNano": str(r.get("time_unix_nano", 0)),
+            "severityNumber": num,
+            "severityText": text,
+            "body": {"stringValue": r.get("body") or ""},
+            "attributes": [],
+        }
+        for k, attr in (("hostname", "log.syslog.hostname"),
+                        ("appname", "log.syslog.appname"),
+                        ("procid", "log.syslog.procid"),
+                        ("msgid", "log.syslog.msgid")):
+            if r.get(k) is not None:
+                rec["attributes"].append(
+                    {"key": attr,
+                     "value": {"stringValue": str(r[k])}})
+        if r.get("facility") is not None:
+            rec["attributes"].append(
+                {"key": "log.syslog.facility",
+                 "value": {"intValue": str(r["facility"])}})
+        logrecs.append(rec)
+    res = {"attributes": [
+        {"key": k, "value": {"stringValue": str(v)}}
+        for k, v in (resource_attrs or {}).items()]}
+    return {"resourceLogs": [{
+        "resource": res,
+        "scopeLogs": [{
+            "scope": {"name": "rsyslog.omotel", "version": "spark"},
+            "logRecords": logrecs,
+        }],
+    }]}
+
+
+def omotel_sink(
+    endpoint: str,
+    *,
+    batch_max_items: int = 512,
+    resource_attrs: dict | None = None,
+    line_col: str = "msg",
+    severity_col: str = "syslogseverity",
+    facility_col: str | None = "syslogfacility",
+    hostname_col: str | None = "hostname",
+    appname_col: str | None = "programname",
+    procid_col: str | None = "procid",
+    msgid_col: str | None = "msgid",
+    time_col: str = "timereported",
+    headers: dict | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """POST OTLP/JSON log batches to ``<endpoint>/v1/logs`` (ref:
+    plugins/omotel/omotel_http.c; batch cap OMOTEL_DEFAULT_BATCH_
+    MAX_ITEMS=512, omotel.c:502). Per-partition HTTP connections;
+    non-2xx raises so retrying_foreach_batch suspends the action."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        def opt(c, name):
+            return (F.col(c) if c else F.lit(None)).alias(name)
+
+        sel = batch_df.select(
+            F.col(line_col).cast("string").alias("body"),
+            F.coalesce(F.col(severity_col), F.lit(6)).cast("int")
+             .alias("severity"),
+            opt(facility_col, "facility"),
+            opt(hostname_col, "hostname"),
+            opt(appname_col, "appname"),
+            opt(procid_col, "procid"),
+            opt(msgid_col, "msgid"),
+            (F.unix_micros(F.col(time_col).cast("timestamp")) * 1000)
+            .alias("time_unix_nano"),
+        )
+
+        def per_partition(rows):
+            import urllib.request
+
+            def post(recs):
+                payload = json.dumps(otlp_log_payload(
+                    recs, resource_attrs=resource_attrs)).encode()
+                req = urllib.request.Request(
+                    endpoint.rstrip("/") + "/v1/logs", data=payload,
+                    headers={"Content-Type": "application/json",
+                             **(headers or {})})
+                resp = urllib.request.urlopen(req, timeout=30)
+                if not (200 <= resp.status < 300):
+                    raise RuntimeError(f"otlp export {resp.status}")
+
+            buf: list[dict] = []
+            for r in rows:
+                buf.append(r.asDict())
+                if len(buf) >= batch_max_items:
+                    post(buf)
+                    buf = []
+            if buf:
+                post(buf)
+            return iter(())
+
+        sel.rdd.mapPartitions(per_partition).count()
+
+    return write
+
+
+# ---------------------------------------------------------------------
+# omamqp1 / omazureeventhubs (ref: contrib/omamqp1/omamqp1.c,
+# plugins/omazureeventhubs/omazureeventhubs.c)
+# ---------------------------------------------------------------------
+
+def amqp1_sink(
+    target: str,
+    *,
+    url: str | None = None,
+    sender_factory: Callable | None = None,
+    line_col: str = "line",
+    props: dict | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """AMQP 1.0 producer (ref: contrib/omamqp1/omamqp1.c; Azure Event
+    Hubs speaks the same protocol, plugins/omazureeventhubs).
+
+    ``sender_factory() -> (send(bytes_payload), close())`` supplies
+    the protocol engine; by default qpid-proton is used when
+    importable (the library the reference links), else the action
+    fails at batch time with a clear message — the Spark-side
+    batching, partition fan-out, and retry contract stay testable
+    with an injected mock."""
+
+    def default_factory():
+        try:
+            from proton.utils import BlockingConnection  # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "amqp1_sink needs qpid-proton (pip install "
+                "python-qpid-proton) or an injected sender_factory"
+            ) from e
+        conn = BlockingConnection(url)
+        sender = conn.create_sender(target)
+        from proton import Message
+
+        return (lambda payload: sender.send(
+                    Message(body=payload, properties=props)),
+                conn.close)
+
+    factory = sender_factory or default_factory
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        lines = batch_df.select(
+            F.col(line_col).cast("string").alias("l"))
+
+        def per_partition(rows):
+            send, close = factory()
+            try:
+                for r in rows:
+                    send((r.l or "").encode("utf-8"))
+            finally:
+                close()
+            return iter(())
+
+        lines.rdd.mapPartitions(per_partition).count()
+
+    return write

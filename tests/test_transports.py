@@ -1,0 +1,319 @@
+"""Transport sinks: ommail SMTP dialogue, omsnmp BER traps,
+omhiredis RESP, omotel OTLP/JSON, omuxsock datagrams, omstdout,
+amqp1 injectable engine (SURVEY §2.9; ref plugins/ommail, omsnmp,
+omotel, contrib/omhiredis, omamqp1, plugins/omuxsock, omstdout)."""
+
+import json
+import os
+import socket
+import threading
+
+from pyspark.sql import functions as F
+
+from rsyslog_spark.streaming.transports import (
+    SNMP_SYSLOG_MSG_OID,
+    SNMP_TRAP_OID,
+    amqp1_sink,
+    omhiredis_sink,
+    ommail_sink,
+    omotel_sink,
+    omsnmp_sink,
+    omstdout_sink,
+    omuxsock_sink,
+    snmp_trap_pdu,
+)
+
+
+def _lines_df(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "line string")
+
+
+# -- BER mini-decoder (test-side only) --------------------------------
+
+def ber_parse(b, off=0):
+    tag = b[off]
+    ln = b[off + 1]
+    off += 2
+    if ln & 0x80:
+        n = ln & 0x7F
+        ln = int.from_bytes(b[off:off + n], "big")
+        off += n
+    return tag, b[off:off + ln], off + ln
+
+
+def ber_seq(content):
+    out, off = [], 0
+    while off < len(content):
+        tag, val, off = ber_parse(content, off)
+        out.append((tag, val))
+    return out
+
+
+def decode_oid(content):
+    arcs = [content[0] // 40, content[0] % 40]
+    cur = 0
+    for byte in content[1:]:
+        cur = (cur << 7) | (byte & 0x7F)
+        if not byte & 0x80:
+            arcs.append(cur)
+            cur = 0
+    return ".".join(map(str, arcs))
+
+
+def test_snmp_v2c_trap_encoding():
+    pkt = snmp_trap_pdu("<13>host app: boom", community="secret",
+                        uptime_cs=4200, request_id=7)
+    tag, body, _ = ber_parse(pkt)
+    assert tag == 0x30
+    (vtag, ver), (ctag, comm), (ptag, pdu) = ber_seq(body)
+    assert (vtag, ver) == (0x02, b"\x01")          # version 2c = 1
+    assert (ctag, comm) == (0x04, b"secret")
+    assert ptag == 0xA7                             # SNMPv2-Trap
+    reqid, errst, erridx, (_, vbs) = ber_seq(pdu)
+    assert reqid == (0x02, b"\x07")
+    vb = ber_seq(vbs)
+    assert len(vb) == 3
+    # sysUpTime.0 TimeTicks
+    up_oid, up_val = ber_seq(vb[0][1])
+    assert decode_oid(up_oid[1]) == "1.3.6.1.2.1.1.3.0"
+    assert up_val[0] == 0x43
+    assert int.from_bytes(up_val[1], "big") == 4200
+    # snmpTrapOID.0 → adiscon syslogtrap
+    tr_oid, tr_val = ber_seq(vb[1][1])
+    assert decode_oid(tr_oid[1]) == "1.3.6.1.6.3.1.1.4.1.0"
+    assert decode_oid(tr_val[1]) == SNMP_TRAP_OID
+    # message varbind
+    msg_oid, msg_val = ber_seq(vb[2][1])
+    assert decode_oid(msg_oid[1]) == SNMP_SYSLOG_MSG_OID
+    assert msg_val == (0x04, b"<13>host app: boom")
+
+
+def test_snmp_v1_trap_encoding():
+    pkt = snmp_trap_pdu("m", version="snmpv1", agent_addr="10.1.2.3")
+    _, body, _ = ber_parse(pkt)
+    (_, ver), _, (ptag, pdu) = ber_seq(body)
+    assert ver == b"\x00" and ptag == 0xA4
+    ent, addr, generic, specific, ts, _vbs = ber_seq(pdu)
+    assert decode_oid(ent[1]) == "1.3.6.1.4.1.3.1.1"
+    assert addr == (0x40, bytes([10, 1, 2, 3]))
+    assert generic == (0x02, b"\x06")               # enterpriseSpecific
+
+
+def test_omsnmp_sink_sends_udp(spark):
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(10)
+    port = rx.getsockname()[1]
+    got = []
+
+    def recv():
+        for _ in range(2):
+            got.append(rx.recvfrom(65535)[0])
+
+    t = threading.Thread(target=recv)
+    t.start()
+    omsnmp_sink("127.0.0.1", port)(
+        _lines_df(spark, ["trap one", "trap two"]).coalesce(1), 0)
+    t.join(timeout=10)
+    rx.close()
+    assert len(got) == 2
+    msgs = set()
+    for pkt in got:
+        _, body, _ = ber_parse(pkt)
+        pdu = ber_seq(body)[2][1]
+        vbs = ber_seq(ber_seq(pdu)[3][1])
+        msgs.add(ber_seq(vbs[2][1])[1][1].decode())
+    assert msgs == {"trap one", "trap two"}
+
+
+def test_ommail_smtp_dialogue(spark):
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    mails = []
+
+    def serve():
+        conn, _ = srv.accept()
+        f = conn.makefile("rwb")
+
+        def reply(code, text="ok"):
+            f.write(f"{code} {text}\r\n".encode())
+            f.flush()
+
+        reply(220, "mock smtp")
+        cur = None
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            up = line.strip().upper()
+            if up.startswith((b"HELO", b"EHLO")):
+                reply(250)
+            elif up.startswith(b"MAIL FROM"):
+                cur = {"from": line.strip().decode(), "rcpt": []}
+                reply(250)
+            elif up.startswith(b"RCPT TO"):
+                cur["rcpt"].append(line.strip().decode())
+                reply(250)
+            elif up == b"DATA":
+                reply(354, "go")
+                data = b""
+                while not data.endswith(b"\r\n.\r\n"):
+                    data += f.readline()
+                cur["data"] = data[:-5].decode()
+                mails.append(cur)
+                reply(250)
+            elif up == b"QUIT":
+                reply(221)
+                break
+            else:
+                reply(250)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    df = spark.createDataFrame(
+        [("disk full on web01", "ALERT web01")],
+        "line string, subj string")
+    ommail_sink("127.0.0.1", port, mailfrom="rsyslog@host",
+                mailto=["ops@example.com", "oncall@example.com"],
+                subject_col="subj")(df, 0)
+    t.join(timeout=10)
+    srv.close()
+    assert len(mails) == 1
+    m = mails[0]
+    assert "rsyslog@host" in m["from"]
+    assert len(m["rcpt"]) == 2
+    assert "Subject: ALERT web01" in m["data"]
+    assert "disk full on web01" in m["data"]
+
+
+def test_omhiredis_resp_modes(spark):
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    captured = []
+
+    def serve():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            data = b""
+            while True:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    break
+                data += chunk
+                # one +OK per command (count RESP arrays)
+                conn.sendall(b"+OK\r\n" * data.count(b"*"))
+                data_done = data
+            captured.append(data)
+            conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    df = _lines_df(spark, ["m1", "m2"]).coalesce(1)
+    omhiredis_sink("127.0.0.1", port, mode="queue", key="logs")(df, 0)
+    omhiredis_sink("127.0.0.1", port, mode="stream", key="st",
+                   stream_maxlen=1000)(df, 0)
+    omhiredis_sink("127.0.0.1", port, mode="set", key="k",
+                   expiration=60, key_col="line")(df, 0)
+    srv.close()
+    blob = b"".join(captured)
+    assert b"*3\r\n$5\r\nLPUSH\r\n$4\r\nlogs\r\n$2\r\nm1\r\n" in blob
+    assert b"XADD" in blob and b"MAXLEN" in blob and b"~" in blob
+    assert b"SETEX" in blob and b"$2\r\n60\r\n" in blob
+
+
+def test_omotel_payload_and_post(spark, tmp_path):
+    import http.server
+
+    posts = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            posts.append((self.path,
+                          json.loads(self.rfile.read(n))))
+            self.send_response(200)
+            self.end_headers()
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    df = spark.createDataFrame(
+        [("oom kill", 2, 0, "web01", "kernel", None, None,
+          "2026-08-14 01:02:03")],
+        "msg string, syslogseverity int, syslogfacility int, "
+        "hostname string, programname string, procid string, "
+        "msgid string, timereported string").coalesce(1)
+    omotel_sink(f"http://127.0.0.1:{httpd.server_address[1]}",
+                resource_attrs={"service.name": "syslog"})(df, 0)
+    httpd.shutdown()
+    assert len(posts) == 1
+    path, payload = posts[0]
+    assert path == "/v1/logs"
+    rl = payload["resourceLogs"][0]
+    assert rl["resource"]["attributes"][0]["key"] == "service.name"
+    rec = rl["scopeLogs"][0]["logRecords"][0]
+    assert rec["body"] == {"stringValue": "oom kill"}
+    assert (rec["severityNumber"], rec["severityText"]) == (22, "CRITICAL")
+    assert rec["timeUnixNano"].endswith("000")      # ns string
+    attrs = {a["key"]: a["value"] for a in rec["attributes"]}
+    assert attrs["log.syslog.hostname"] == {"stringValue": "web01"}
+    assert attrs["log.syslog.facility"] == {"intValue": "0"}
+
+
+def test_omuxsock_datagrams(spark, tmp_path):
+    sp = str(tmp_path / "out.sock")
+    rx = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+    rx.bind(sp)
+    rx.settimeout(10)
+    omuxsock_sink(sp)(_lines_df(spark, ["a", "b"]).coalesce(1), 0)
+    got = {rx.recv(65535).decode() for _ in range(2)}
+    rx.close()
+    assert got == {"a", "b"}
+
+
+def test_omstdout(spark, capsys):
+    omstdout_sink()(_lines_df(spark, ["x", "y"]), 0)
+    out = capsys.readouterr().out
+    assert "x" in out and "y" in out
+
+
+def test_amqp1_injectable_sender(spark, tmp_path):
+    sent_file = str(tmp_path / "sent.txt")
+
+    def factory():
+        f = open(sent_file, "ab")
+
+        def send(payload):
+            f.write(payload + b"\n")
+            f.flush()
+
+        return send, f.close
+
+    amqp1_sink("events-hub", sender_factory=factory)(
+        _lines_df(spark, ["e1", "e2"]).coalesce(1), 0)
+    with open(sent_file, "rb") as f:
+        assert sorted(f.read().split()) == [b"e1", b"e2"]
+
+
+def test_amqp1_missing_engine_raises(spark):
+    try:
+        import proton  # noqa: F401
+        return  # engine present; default path works
+    except ImportError:
+        pass
+    try:
+        amqp1_sink("t")(_lines_df(spark, ["x"]).coalesce(1), 0)
+        assert False, "expected RuntimeError"
+    except Exception as e:
+        assert "qpid-proton" in str(e)
