@@ -327,6 +327,24 @@ class _Parser:
                 tpl.col = (lambda p=path: prop_col(p)
                            )  # type: ignore[method-assign]
             self.cfg.templates[params["name"]] = tpl
+        elif params.get("type") == "plugin":
+            # strgen modules (ref: runtime/template.c:1939-1962
+            # tplBindStrgen; tools/smfile.c:49 STRGEN_NAME): each
+            # strgen is a compiled-C generator of a stock format,
+            # selected by template(type="plugin" plugin="NAME"). The
+            # Spark analog of "compiled" is the Catalyst expression
+            # the same-named builtin template already lowers to —
+            # whole-stage codegen IS the strgen fast path — so plugin
+            # templates resolve to the builtin of the same name.
+            from rsyslog_spark.templates import (
+                BUILTIN_TEMPLATES, compile_template_string)
+            mod = params.get("plugin", "")
+            if mod not in BUILTIN_TEMPLATES:
+                raise SyntaxError(
+                    f"unknown strgen module {mod!r} (known: "
+                    f"{sorted(BUILTIN_TEMPLATES)})")
+            self.cfg.templates[params["name"]] = \
+                compile_template_string(BUILTIN_TEMPLATES[mod])
         elif params.get("type") == "list" and "__elements__" in params:
             from rsyslog_spark.templates import (
                 _JsonfTemplate, compile_template_list)

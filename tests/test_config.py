@@ -978,3 +978,35 @@ rulesets:
         # async call returns immediately: main still sees BOTH rows
         assert spark.read.parquet(str(alldir)).count() == 2
         assert set(written) == {"errors", "all"}
+
+
+class TestStrgenTemplates:
+    def test_plugin_template_binds_strgen(self, spark):
+        """template(type=plugin plugin=NAME) resolves to the builtin
+        of the same name (ref: template.c:1939-1962 tplBindStrgen;
+        tools/smfile.c:49 / smfwd.c:46 / smtradfile.c:46)."""
+        from pyspark.sql import functions as F
+        from rsyslog_spark.config.rainerscript import parse_config
+        from rsyslog_spark.parsers import parse_syslog
+
+        cfg = parse_config(
+            'template(name="sg" type="plugin" '
+            'plugin="RSYSLOG_TraditionalFileFormat")\n'
+            'template(name="st" type="string" string="%TIMESTAMP% '
+            '%HOSTNAME% %syslogtag%'
+            '%msg:::sp-if-no-1st-sp%%msg:::drop-last-lf%")\n')
+        df = parse_syslog(spark.createDataFrame(
+            [("<34>Mar  1 12:00:00 web01 app[7]: boom",)],
+            "line string"))
+        out = df.select(cfg.templates["sg"].col().alias("a"),
+                        cfg.templates["st"].col().alias("b")).first()
+        assert out.a == out.b
+        assert out.a.endswith("web01 app[7]: boom")
+
+    def test_unknown_strgen_raises(self):
+        import pytest
+        from rsyslog_spark.config.rainerscript import parse_config
+
+        with pytest.raises(SyntaxError, match="strgen"):
+            parse_config('template(name="x" type="plugin" '
+                         'plugin="no_such_strgen")\n')
