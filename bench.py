@@ -72,8 +72,10 @@ def main() -> None:
         for _ in range(2):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
-            # count() forces full execution w/o driver-collect cost
-            df.count()
+            # noop sink: forces EVERY output column to evaluate
+            # (count() would let Catalyst prune projection-only
+            # plans) without paying driver-collect serialization
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 

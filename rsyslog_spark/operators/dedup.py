@@ -143,19 +143,42 @@ def minhash_dedup(
     callers drop id_b (greedy by lowest id) or run components.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
-    sa = sigs.alias("sa")
-    sb = sigs.alias("sb")
-    eq = sum(
-        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
+    # Carry the signature ARRAY through the band explode so the
+    # verify step reads both signatures straight off the self-joined
+    # row — no re-join against the signature frame (the naive
+    # cands⋈sigs⋈sigs recomputes the signature aggregation subtree
+    # twice more and adds two shuffle joins). Cost shift: the band
+    # shuffle carries num_hashes*8B per (doc, band) instead of 8B —
+    # at 64 hashes that's 512B/row, far cheaper than two extra full
+    # joins; the band self-join's two sides share one ReusedExchange.
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+    banded = sigs.select(
+        F.col(id_col), sig_arr.alias("__sig"),
+        F.explode(band_structs).alias("bb"),
+    ).select(id_col, "__sig", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    eq = F.aggregate(
+        F.zip_with(F.col("a.__sig"), F.col("b.__sig"),
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
     return (
-        cands.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
-        .select("id_a", "id_b",
+        a.join(b, [F.col("a.band") == F.col("b.band"),
+                   F.col("a.bh") == F.col("b.bh"),
+                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
                 (eq / F.lit(float(num_hashes))).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 

@@ -238,3 +238,37 @@ class TestAuditSnmp:
         assert out[0]["syslogseverity"] == 4
         assert out[0]["syslogtag"] == "snmptrapd:"
         assert out[1]["hostname"] == "h2" and out[1]["syslogtag"] == "app:"
+
+
+class TestMinhashDedup:
+    def test_pairs_match_direct_signature_compare(self, spark):
+        """minhash_dedup's est_jaccard must equal the fraction of
+        equal signature positions computed directly from
+        minhash_signatures (the band self-join carries signature
+        arrays; no re-aggregation may change them)."""
+        import itertools
+
+        from rsyslog_spark.operators.dedup import (
+            minhash_dedup, minhash_signatures)
+
+        base = ("the quick brown fox jumps over the lazy dog "
+                "again and again in the yard " * 3)
+        df = spark.createDataFrame(
+            [(1, base), (2, base + "slightly changed tail"),
+             (3, "completely different content about spark engines "
+                 "and catalyst optimizing plans")],
+            "doc_id long, text string")
+        got = {(r.id_a, r.id_b): r.est_jaccard
+               for r in minhash_dedup(df, "text", "doc_id",
+                                      threshold=0.5).collect()}
+        sigs = {r.doc_id: [r[f"mh{i}"] for i in range(64)]
+                for r in minhash_signatures(
+                    df, "text", "doc_id").collect()}
+        direct = {}
+        for a, b in itertools.combinations(sorted(sigs), 2):
+            est = sum(x == y for x, y in
+                      zip(sigs[a], sigs[b])) / 64
+            if est >= 0.5:
+                direct[(a, b)] = est
+        assert got == direct
+        assert (1, 2) in got and (1, 3) not in got
