@@ -60,16 +60,18 @@ def main() -> None:
     # Warm up JVM / parquet footer cache on the flagship query.
     qs["flagship_parse_route"](spark, sf_dir).count()
 
-    # Two timed passes per query, report the min: pass 1 pays one-time
-    # whole-stage-codegen compilation + JIT warmup (fixed cost,
-    # irrelevant at scale where it amortizes over TBs); the min is the
-    # steady-state throughput a long-running engine delivers.
+    # Three timed passes per query, report the min: pass 1 pays
+    # one-time whole-stage-codegen compilation + JIT warmup (fixed
+    # cost, irrelevant at scale where it amortizes over TBs); the min
+    # is the steady-state throughput a long-running engine delivers,
+    # and min-of-3 damps the +/-50% scheduler noise a loaded
+    # single-node box shows on sub-second queries.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             # noop sink: forces EVERY output column to evaluate

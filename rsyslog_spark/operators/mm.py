@@ -334,3 +334,79 @@ def mmsnmptrapd(df: DataFrame, tag_col: str = "syslogtag",
                     F.when(matched, F.lit(tag_prefix + ":"))
                     .otherwise(F.col(tag_col)))
     )
+
+
+def mmjsontransform(
+    df: DataFrame,
+    input_col: str = "json",
+    output_col: str = "json_transformed",
+    mode: str = "unflatten",
+    sep: str = ".",
+    drop_keys: list[str] | None = None,
+    rename_rules: dict[str, str] | None = None,
+) -> DataFrame:
+    """Flatten/unflatten dotted JSON keys (ref: plugins/
+    mmjsontransform/mmjsontransform.c:63-66 modes; dotted-path
+    insert :116-156, flatten :157-192; dropKeys/renameRules applied
+    during the rewrite, here on the flat-key representation both
+    modes share).
+
+    Arrow-batched pandas UDF — a config-rare structural rewrite, not
+    a hot-path operator (same policy note as functions.unflatten).
+    """
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    drop = set(drop_keys or ())
+    ren = dict(rename_rules or {})
+
+    def _series(s):
+        def flatten_obj(obj, prefix=""):
+            out = {}
+            for k, v in obj.items():
+                key = f"{prefix}{sep}{k}" if prefix else str(k)
+                if isinstance(v, dict) and v:
+                    out.update(flatten_obj(v, key))
+                else:
+                    out[key] = v
+            return out
+
+        def one(txt):
+            if txt is None:
+                return None
+            try:
+                val = _json.loads(txt)
+            except ValueError:
+                return None
+            if not isinstance(val, dict):
+                return txt
+            flat = flatten_obj(val)
+            flat = {ren.get(k, k): v for k, v in flat.items()
+                    if k not in drop}
+            if mode == "flatten":
+                return _json.dumps(flat, separators=(",", ":"))
+            root: dict = {}
+            for k, v in flat.items():
+                parts = str(k).split(sep)
+                cur = root
+                for p in parts[:-1]:
+                    nxt = cur.get(p)
+                    if not isinstance(nxt, dict):
+                        # hierarchy conflict: scalar in the way →
+                        # object wins (the reference records the
+                        # conflict and keeps going)
+                        nxt = {}
+                        cur[p] = nxt
+                    cur = nxt
+                cur[parts[-1]] = v
+            return _json.dumps(root, separators=(",", ":"))
+
+        return s.map(one)
+
+    _series.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    if mode not in ("flatten", "unflatten"):
+        raise ValueError(f"mmjsontransform mode {mode!r}")
+    udf = pandas_udf(_series, "string")
+    return df.withColumn(output_col, udf(rs_str(F.col(input_col))))

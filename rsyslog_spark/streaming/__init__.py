@@ -29,8 +29,13 @@ from rsyslog_spark.streaming.transports import (
 )
 from rsyslog_spark.streaming.bridges import (
     imdocker,
+    imfifo,
+    imhiredis,
     imhttp,
     imjournal,
+    imklog,
+    imkmsg,
+    improg,
     imudp,
     imuxsock,
 )
@@ -38,6 +43,7 @@ from rsyslog_spark.streaming.bridges import (
 __all__ = [
     "imfile", "imkafka", "immark", "imtcp", "parse_stream",
     "imudp", "imuxsock", "imhttp", "imjournal", "imdocker",
+    "imfifo", "imhiredis", "imklog", "imkmsg", "improg",
     "ommail_sink", "omsnmp_sink", "omhiredis_sink", "omotel_sink",
     "omuxsock_sink", "omstdout_sink", "amqp1_sink",
     "streaming_dynstats", "streaming_ratelimit",

@@ -358,3 +358,258 @@ def imdocker(spark: SparkSession, path: str, *,
          .alias("container_id"),
         F.lit("imdocker").alias("inputname"),
     )
+
+
+class imfifo(SpoolBridge):
+    """Named-pipe input (ref: plugins/imfifo/imfifo.c): open the FIFO,
+    read newline-framed messages, spool. The reader reopens on writer
+    close (EOF), like the reference keeps the fifo readable across
+    writers."""
+
+    def __init__(self, spool_dir: str, *, fifo_path: str, **kw):
+        super().__init__(spool_dir, inputname="imfifo", **kw)
+        if not os.path.exists(fifo_path):
+            os.mkfifo(fifo_path)
+        self.fifo_path = fifo_path
+        self._localhost = socket.gethostname()
+
+    def _serve(self) -> None:
+        import errno
+
+        while not self._stop.is_set():
+            try:
+                # O_RDWR so open() never blocks waiting for a writer
+                # and read() never spins on EOF while writers come
+                # and go
+                fd = os.open(self.fifo_path,
+                             os.O_RDWR | os.O_NONBLOCK)
+            except OSError:
+                return
+            buf = b""
+            try:
+                while not self._stop.is_set():
+                    try:
+                        chunk = os.read(fd, 65536)
+                    except OSError as e:
+                        if e.errno in (errno.EAGAIN,
+                                       errno.EWOULDBLOCK):
+                            time.sleep(0.05)
+                            continue
+                        raise
+                    if not chunk:
+                        time.sleep(0.05)
+                        continue
+                    buf += chunk
+                    while b"\n" in buf:
+                        line, buf = buf.split(b"\n", 1)
+                        if line.strip():
+                            self.emit({
+                                "line": line.decode(
+                                    "utf-8", errors="replace"),
+                                "fromhost": self._localhost,
+                            })
+            finally:
+                os.close(fd)
+            return
+
+
+def _resp_read(f):
+    """Minimal RESP2 reply parser over a socket file object."""
+    hdr = f.readline()
+    if not hdr:
+        raise ConnectionError("redis closed")
+    t, rest = hdr[:1], hdr[1:-2]
+    if t in (b"+", b"-"):
+        if t == b"-":
+            raise RuntimeError(f"redis error: {rest.decode()}")
+        return rest.decode()
+    if t == b":":
+        return int(rest)
+    if t == b"$":
+        n = int(rest)
+        if n < 0:
+            return None
+        data = f.read(n + 2)
+        return data[:n].decode("utf-8", errors="replace")
+    if t == b"*":
+        n = int(rest)
+        if n < 0:
+            return None
+        return [_resp_read(f) for _ in range(n)]
+    raise RuntimeError(f"bad RESP type byte {t!r}")
+
+
+class imhiredis(SpoolBridge):
+    """Redis input speaking RESP natively (ref: contrib/imhiredis/
+    imhiredis.c modes :72,408-419): mode='queue' polls LPOP (or RPOP
+    with ``use_lpop=False`` — the reference's uselpop flag, queue
+    mode only); mode='subscribe' consumes SUBSCRIBE push messages."""
+
+    def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
+                 port: int = 6379, key: str, mode: str = "queue",
+                 use_lpop: bool = True, poll_secs: float = 0.2, **kw):
+        if mode not in ("queue", "subscribe"):
+            raise ValueError(f"imhiredis mode {mode!r} (stream mode: "
+                             "use imkafka-style offsets via XREAD — "
+                             "not implemented)")
+        super().__init__(spool_dir, inputname="imhiredis", **kw)
+        self.host, self.port = host, port
+        self.key, self.mode = key, mode
+        self.use_lpop = use_lpop
+        self.poll_secs = poll_secs
+        self._sock = None
+
+    def _serve(self) -> None:
+        from rsyslog_spark.streaming.transports import _resp
+
+        try:
+            self._sock = socket.create_connection(
+                (self.host, self.port), timeout=5)
+        except OSError:
+            return
+        f = self._sock.makefile("rb")
+        try:
+            if self.mode == "subscribe":
+                self._sock.sendall(_resp("SUBSCRIBE", self.key))
+                _resp_read(f)          # subscribe ack
+                while not self._stop.is_set():
+                    got = _resp_read(f)
+                    if (isinstance(got, list) and len(got) == 3
+                            and got[0] == "message"):
+                        self.emit({"line": got[2],
+                                   "fromhost": self.host})
+            else:
+                cmd = "LPOP" if self.use_lpop else "RPOP"
+                while not self._stop.is_set():
+                    self._sock.sendall(_resp(cmd, self.key))
+                    got = _resp_read(f)
+                    if got is None:
+                        time.sleep(self.poll_secs)
+                    else:
+                        self.emit({"line": got,
+                                   "fromhost": self.host})
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+
+    def _shutdown(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+
+
+def imkmsg(spark: SparkSession, path: str, *,
+           streaming: bool = False) -> DataFrame:
+    """Structured kernel log intake — /dev/kmsg record format (ref:
+    contrib/imkmsg/kmsg.c:64-140): ``pri,seq,usec[,flags];message``
+    with optional indented ``KEY=value`` continuation lines
+    (SUBSYSTEM/DEVICE). Pure column parse: indented-continuation
+    reassembly (readMode-1 shape) then header split; appended
+    properties land in a ``kmsg_props`` map."""
+    reader = (spark.readStream if streaming else spark.read)
+    raw = (reader.format("text").option("wholetext", True).load(path)
+           .select(F.col("value").alias("content")))
+    rec = F.explode(F.split("content", r"\n(?=[^ \t])")).alias("rec")
+    recs = raw.select(rec).filter(F.trim("rec") != "")
+    hdr = r"^(\d+),(\d+),(\d+)[^;]*;"
+    pri = F.regexp_extract("rec", hdr, 1).try_cast("int")
+    first = F.substring_index("rec", "\n", 1)
+    props = F.map_from_entries(F.transform(
+        F.filter(F.split("rec", "\n"),
+                 lambda ln: ln.startswith(" ") & ln.contains("=")),
+        lambda ln: F.struct(
+            F.substring_index(F.trim(ln), "=", 1).alias("key"),
+            F.substr(ln, F.instr(ln, "=") + 1).alias("value"))))
+    return recs.select(
+        F.regexp_replace(first, hdr, "").alias("msg"),
+        F.shiftright(pri, 3).alias("syslogfacility"),
+        pri.bitwiseAND(F.lit(7)).alias("syslogseverity"),
+        F.regexp_extract("rec", hdr, 2).try_cast("long")
+         .alias("sequnum"),
+        F.regexp_extract("rec", hdr, 3).try_cast("long")
+         .alias("usec_since_boot"),
+        props.alias("kmsg_props"),
+        F.lit("imkmsg").alias("inputname"),
+    ).filter(F.col("sequnum").isNotNull())
+
+
+def imklog(spark: SparkSession, path: str, *,
+           streaming: bool = False) -> DataFrame:
+    """Classic kernel log intake — /proc/kmsg line format (ref:
+    plugins/imklog/imklog.c): ``<pri>[seconds.usec] message``; the
+    bracketed monotonic timestamp is optional (kernel printk.time)."""
+    reader = (spark.readStream if streaming else spark.read)
+    raw = (reader.format("text").load(path)
+           .select(F.col("value").alias("line")))
+    pri = F.regexp_extract("line", r"^<(\d{1,3})>", 1).try_cast("int")
+    mono = F.regexp_extract("line", r"^<\d{1,3}>\[ *(\d+\.\d+)\]", 1)
+    body = F.regexp_replace(
+        "line", r"^<\d{1,3}>(\[ *\d+\.\d+\] )?", "")
+    return raw.filter(pri.isNotNull()).select(
+        body.alias("msg"),
+        F.shiftright(pri, 3).alias("syslogfacility"),
+        pri.bitwiseAND(F.lit(7)).alias("syslogseverity"),
+        mono.try_cast("double").alias("secs_since_boot"),
+        F.lit("imklog").alias("inputname"),
+    )
+
+
+class improg(SpoolBridge):
+    """Program-output input (ref: contrib/improg/improg.c:135-140
+    ``binary`` param): spawn the command, each stdout line becomes a
+    message; with ``confirm_messages`` an ACK line is written to the
+    child's stdin per message (improg.c:225-262,394). The child is
+    restarted on exit while the bridge runs, like the reference's
+    supervision loop."""
+
+    def __init__(self, spool_dir: str, *, binary: str,
+                 confirm_messages: bool = False,
+                 restart_delay: float = 1.0, **kw):
+        super().__init__(spool_dir, inputname="improg", **kw)
+        self.binary = binary
+        self.confirm = confirm_messages
+        self.restart_delay = restart_delay
+        self._proc = None
+        self._localhost = socket.gethostname()
+
+    def _serve(self) -> None:
+        import subprocess
+
+        while not self._stop.is_set():
+            self._proc = subprocess.Popen(
+                self.binary, shell=True,
+                stdin=subprocess.PIPE if self.confirm else None,
+                stdout=subprocess.PIPE, text=True, bufsize=1)
+            try:
+                for line in self._proc.stdout:
+                    if self._stop.is_set():
+                        break
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    self.emit({"line": line,
+                               "fromhost": self._localhost})
+                    if self.confirm:
+                        try:
+                            self._proc.stdin.write("OK\n")
+                            self._proc.stdin.flush()
+                        except (BrokenPipeError, ValueError):
+                            break
+            finally:
+                self._proc.terminate()
+                self._proc.wait()
+            if not self._stop.is_set():
+                time.sleep(self.restart_delay)
+
+    def _shutdown(self) -> None:
+        if self._proc is not None and self._proc.poll() is None:
+            try:
+                self._proc.terminate()
+            except ProcessLookupError:
+                pass

@@ -5,6 +5,7 @@ contrib/imhttp, plugins/imjournal, contrib/imdocker)."""
 
 import os
 import socket
+import threading
 import time
 import urllib.request
 
@@ -145,3 +146,183 @@ def test_imdocker_jsonfile_logs(spark, tmp_path):
     assert [r.stream for r in rows] == ["stdout", "stderr"]
     assert all(r.container_id == cid for r in rows)
     assert str(rows[0].timegenerated).startswith("2026-08-14 01:02:03.123456")
+
+
+def test_imfifo_pipe_lines(spark, tmp_path):
+    from rsyslog_spark.streaming.bridges import imfifo
+
+    fp = str(tmp_path / "in.fifo")
+    b = imfifo(str(tmp_path / "spool"), fifo_path=fp,
+               flush_secs=0.2).start()
+    try:
+        fd = os.open(fp, os.O_WRONLY)
+        os.write(fd, b"<13>fifo one\n<13>fifo two\n")
+        os.close(fd)
+        df = _drain(b, spark, 2)
+        assert sorted(r.line for r in df.collect()) == [
+            "<13>fifo one", "<13>fifo two"]
+    finally:
+        b.stop()
+
+
+class _MockRedis:
+    """RESP server: serves LPOP from a list, SUBSCRIBE pushes."""
+
+    def __init__(self, items):
+        self.items = list(items)
+        self.srv = socket.socket()
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(1)
+        self.port = self.srv.getsockname()[1]
+        self.t = threading.Thread(target=self._serve, daemon=True)
+        self.t.start()
+
+    def _serve(self):
+        try:
+            conn, _ = self.srv.accept()
+        except OSError:
+            return
+        f = conn.makefile("rb")
+        try:
+            while True:
+                hdr = f.readline()
+                if not hdr or not hdr.startswith(b"*"):
+                    break
+                args = []
+                for _ in range(int(hdr[1:-2])):
+                    ln = f.readline()           # $len
+                    args.append(f.read(int(ln[1:-2]) + 2)[:-2])
+                cmd = args[0].upper()
+                if cmd in (b"LPOP", b"RPOP"):
+                    if self.items:
+                        v = (self.items.pop(0) if cmd == b"LPOP"
+                             else self.items.pop()).encode()
+                        conn.sendall(b"$%d\r\n%s\r\n" % (len(v), v))
+                    else:
+                        conn.sendall(b"$-1\r\n")
+                elif cmd == b"SUBSCRIBE":
+                    ch = args[1]
+                    conn.sendall(
+                        b"*3\r\n$9\r\nsubscribe\r\n$%d\r\n%s\r\n:1\r\n"
+                        % (len(ch), ch))
+                    for v in self.items:
+                        vb = v.encode()
+                        conn.sendall(
+                            b"*3\r\n$7\r\nmessage\r\n$%d\r\n%s\r\n"
+                            b"$%d\r\n%s\r\n"
+                            % (len(ch), ch, len(vb), vb))
+        except (OSError, ValueError):
+            pass
+        finally:
+            conn.close()
+
+    def close(self):
+        self.srv.close()
+
+
+def test_imhiredis_queue_mode(spark, tmp_path):
+    from rsyslog_spark.streaming.bridges import imhiredis
+
+    srv = _MockRedis(["r1", "r2", "r3"])
+    b = imhiredis(str(tmp_path / "spool"), port=srv.port,
+                  key="logs", flush_secs=0.2).start()
+    try:
+        df = _drain(b, spark, 3)
+        assert sorted(r.line for r in df.collect()) == ["r1", "r2", "r3"]
+        assert df.first().inputname == "imhiredis"
+    finally:
+        b.stop()
+        srv.close()
+
+
+def test_imhiredis_subscribe_mode(spark, tmp_path):
+    from rsyslog_spark.streaming.bridges import imhiredis
+
+    srv = _MockRedis(["p1", "p2"])
+    b = imhiredis(str(tmp_path / "spool"), port=srv.port,
+                  key="chan", mode="subscribe", flush_secs=0.2).start()
+    try:
+        df = _drain(b, spark, 2)
+        assert sorted(r.line for r in df.collect()) == ["p1", "p2"]
+    finally:
+        b.stop()
+        srv.close()
+
+
+def test_imkmsg_record_parse(spark, tmp_path):
+    from rsyslog_spark.streaming.bridges import imkmsg
+
+    (tmp_path / "kmsg.dump").write_text(
+        "6,339,5140900,-;NET: Registered protocol family 10\n"
+        " SUBSYSTEM=net\n"
+        " DEVICE=+net:eth0\n"
+        "30,340,5141000,-;audit: type=1400 apparmor=STATUS\n"
+    )
+    rows = (imkmsg(spark, str(tmp_path / "kmsg.dump"))
+            .orderBy("sequnum").collect())
+    assert len(rows) == 2
+    a, b = rows
+    assert a.msg == "NET: Registered protocol family 10"
+    assert (a.syslogfacility, a.syslogseverity) == (0, 6)
+    assert (a.sequnum, a.usec_since_boot) == (339, 5140900)
+    assert dict(a.kmsg_props) == {"SUBSYSTEM": "net",
+                                  "DEVICE": "+net:eth0"}
+    assert (b.syslogfacility, b.syslogseverity) == (3, 6)
+    assert dict(b.kmsg_props) == {}
+
+
+def test_imklog_proc_kmsg(spark, tmp_path):
+    from rsyslog_spark.streaming.bridges import imklog
+
+    (tmp_path / "kmsg").write_text(
+        "<6>[   12.345678] usb 1-1: new high-speed USB device\n"
+        "<4>no timestamp here\n"
+        "not kernel format\n"
+    )
+    rows = (imklog(spark, str(tmp_path / "kmsg"))
+            .orderBy("syslogseverity").collect())
+    assert len(rows) == 2
+    assert rows[1].msg == "usb 1-1: new high-speed USB device"
+    assert rows[1].secs_since_boot == 12.345678
+    assert rows[0].msg == "no timestamp here"
+    assert rows[0].secs_since_boot is None
+
+
+def test_mmjsontransform_modes(spark):
+    from rsyslog_spark.operators.mm import mmjsontransform
+
+    df = spark.createDataFrame(
+        [('{"a.b":1,"a.c":2,"drop.me":9,"old":3}',)], "json string")
+    out = mmjsontransform(
+        df, mode="unflatten", drop_keys=["drop.me"],
+        rename_rules={"old": "new"}).first().json_transformed
+    import json as j
+    assert j.loads(out) == {"a": {"b": 1, "c": 2}, "new": 3}
+    df2 = spark.createDataFrame(
+        [('{"a":{"b":{"c":1}},"x":2}',)], "json string")
+    out2 = mmjsontransform(df2, mode="flatten").first().json_transformed
+    assert j.loads(out2) == {"a.b.c": 1, "x": 2}
+
+
+def test_improg_captures_and_confirms(spark, tmp_path):
+    from rsyslog_spark.streaming.bridges import improg
+
+    script = tmp_path / "gen.sh"
+    script.write_text(
+        "#!/bin/sh\n"
+        "echo '<13>prog msg 1'\n"
+        "read ack1\n"
+        "echo '<13>prog msg 2'\n"
+        "read ack2\n"
+        "echo \"acks:$ack1:$ack2\" > %s/acks.txt\n"
+        "sleep 30\n" % tmp_path)
+    script.chmod(0o755)
+    b = improg(str(tmp_path / "spool"), binary=str(script),
+               confirm_messages=True, flush_secs=0.2).start()
+    try:
+        df = _drain(b, spark, 2)
+        assert sorted(r.line for r in df.collect()) == [
+            "<13>prog msg 1", "<13>prog msg 2"]
+    finally:
+        b.stop()
+    assert (tmp_path / "acks.txt").read_text().strip() == "acks:OK:OK"
