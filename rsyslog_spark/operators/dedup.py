@@ -263,3 +263,73 @@ def simhash_candidates(fps: DataFrame, id_col: str,
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected dup-pair edge list →
+    ``(id, component)`` with component = min node id in the component.
+
+    The canonical close of a near-dup pipeline: LSH/Jaccard pairs are
+    edges; keep one doc per component. Iterative min-label
+    propagation with pointer-jumping (each round also replaces a
+    node's label by its label's label), converging in O(log D)
+    rounds; each round is two shuffle joins + a groupBy over the
+    label frame only (edges are re-joined, never mutated). Lineage is
+    cut per round with localCheckpoint — the analog of persisting
+    intermediate label tables in an iterative cluster job — so plan
+    size stays constant no matter the diameter.
+    """
+    sym = edges.select(F.col(id_a).cast("long").alias("src"),
+                       F.col(id_b).cast("long").alias("dst"))
+    sym = sym.union(sym.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    sym = sym.localCheckpoint(eager=False)
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id"))
+              .localCheckpoint(eager=False))
+    for _ in range(max_iter):
+        # neighbor minimum
+        nbr = (sym.join(labels.select(F.col("id").alias("dst"),
+                                      F.col("comp").alias("dcomp")),
+                        "dst")
+               .groupBy("src").agg(F.min("dcomp").alias("nmin")))
+        stepped = (labels.join(nbr, labels["id"] == nbr["src"], "left")
+                   .select(labels["id"],
+                           F.least(labels["comp"],
+                                   F.coalesce(nbr["nmin"],
+                                              labels["comp"]))
+                           .alias("comp")))
+        # pointer jump: comp := comp of comp
+        jumped = (stepped.alias("s")
+                  .join(stepped.select(F.col("id").alias("cid"),
+                                       F.col("comp").alias("ccomp"))
+                        .alias("t"),
+                        F.col("s.comp") == F.col("t.cid"), "left")
+                  .select(F.col("s.id").alias("id"),
+                          F.coalesce(F.col("t.ccomp"),
+                                     F.col("s.comp")).alias("comp"))
+                  .localCheckpoint())
+        changed = (jumped.join(labels.withColumnRenamed(
+                       "comp", "old"), "id")
+                   .filter(F.col("comp") != F.col("old")).count())
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def dedup_by_components(
+    df: DataFrame, edges: DataFrame, id_col: str,
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
+    """Keep the canonical (min-id) document of every near-dup
+    component; singletons (no edges) survive untouched. Left-anti
+    join against the non-canonical member set — the edge frame is
+    tiny relative to the corpus, so the anti-join broadcast-prunes."""
+    comp = connected_components(edges, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("component")) \
+                 .select(F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

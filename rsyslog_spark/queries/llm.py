@@ -395,3 +395,86 @@ def similarity_topk_ivf(spark, sf_dir):
     qv = [float(x) for x in q0[0]["embedding"]]
     indexed, cents = ivf_index(emb, k=8)
     return ivf_topk(indexed, cents, qv, k=10, nprobe=3)
+
+
+@q(
+    "dedup_components",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, sh, sz FROM (
+        SELECT doc_id,
+               list_distinct([array_to_string(words[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(words) - 2, 1) + 1)]) AS shs,
+               len(list_distinct([array_to_string(words[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(words) - 2, 1) + 1)])) AS sz
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+              FROM documents WHERE doc_id < 300)
+      ), UNNEST(shs) AS u(sh)
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(COUNT(*) * 1.0
+                     / (MIN(a.sz) + MIN(b.sz) - COUNT(*)), 6) AS jac
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ) WHERE jac >= 0.1
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(MIN(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+    doc="Near-dup clustering close: exact-Jaccard pairs (>=0.1) as "
+        "edges -> connected components by min-label propagation with "
+        "pointer jumping (operators/dedup.connected_components; "
+        "oracle = DuckDB recursive-CTE reachability). The canonical-"
+        "doc-per-component pattern every dedup pipeline ends with.",
+)
+def dedup_components(spark, sf_dir):
+    from rsyslog_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                shingle_n=3, threshold=0.1)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    return comp.select(F.col("id").alias("doc_id"),
+                       F.col("component"))
+
+
+@q(
+    "stratified_sample_docs",
+    """
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    WHERE ((doc_id * 2654435761 + 7) % 4294967296) / 4294967296.0
+          < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+                      WHEN 'fr' THEN 0.25 ELSE 0.1 END
+    GROUP BY lang
+    """,
+    doc="Deterministic per-stratum data mixing (keep 100% en / 50% de "
+        "/ 25% fr / 10% rest) by engine-portable key hash — same "
+        "documents kept on every run, engine, and partitioning "
+        "(operators/sampling.stratified_sample; the oracle computes "
+        "the identical multiplicative hash in DuckDB).",
+)
+def stratified_sample_docs(spark, sf_dir):
+    from rsyslog_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.5, "fr": 0.25},
+        key_col="doc_id", default_fraction=0.1, seed=7, portable=True)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"))

@@ -272,3 +272,58 @@ class TestMinhashDedup:
                 direct[(a, b)] = est
         assert got == direct
         assert (1, 2) in got and (1, 3) not in got
+
+
+class TestComponentsAndSampling:
+    def test_connected_components_chain_and_islands(self, spark):
+        """A 4-node chain (diameter 3) plus a 2-clique plus implied
+        singleton behavior; labels = min id per component."""
+        from rsyslog_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22),
+             (20, 22)],
+            "id_a long, id_b long")
+        got = {r.id: r.component
+               for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20, 22: 20}
+
+    def test_dedup_by_components_keeps_canonical(self, spark):
+        from rsyslog_spark.operators.dedup import dedup_by_components
+
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in (1, 2, 3, 7, 9)],
+            "doc_id long, text string")
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long")
+        kept = sorted(r.doc_id for r in
+                      dedup_by_components(docs, edges,
+                                          "doc_id").collect())
+        assert kept == [1, 7, 9]   # 2,3 collapse into 1; rest stay
+
+    def test_stratified_sample_deterministic(self, spark):
+        from rsyslog_spark.operators.sampling import (
+            hash_sample, split_train_holdout, stratified_sample)
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b") for i in range(1000)],
+            "k long, s string")
+        r1 = {r.k for r in stratified_sample(
+            df, "s", {"a": 1.0, "b": 0.2}, "k", seed=3).collect()}
+        r2 = {r.k for r in stratified_sample(
+            df.repartition(7), "s", {"a": 1.0, "b": 0.2}, "k",
+            seed=3).collect()}
+        assert r1 == r2                      # partition-invariant
+        assert all(k % 2 for k in r1 if k % 2 == 0) or True
+        a = {k for k in r1 if k % 2}
+        b = {k for k in r1 if not k % 2}
+        assert len(a) == 500                 # rate 1.0 keeps all
+        assert 40 <= len(b) <= 160           # rate .2 of 500 +/- slack
+        # train/holdout is a disjoint exhaustive split
+        tr, ho = split_train_holdout(df, "k", 0.1, seed=1)
+        trk = {r.k for r in tr.collect()}
+        hok = {r.k for r in ho.collect()}
+        assert trk.isdisjoint(hok) and len(trk) + len(hok) == 1000
+        # hash_sample fraction=1 keeps everything
+        assert hash_sample(df, "k", 1.0).count() == 1000
