@@ -543,3 +543,241 @@ def amqp1_sink(
         lines.rdd.mapPartitions(per_partition).count()
 
     return write
+
+
+# ---------------------------------------------------------------------
+# omazuredce (ref: plugins/omazuredce/omazuredce.c)
+# ---------------------------------------------------------------------
+
+def omazuredce_sink(
+    dce_url: str,
+    dcr_id: str,
+    stream_name: str,
+    *,
+    token_provider: Callable[[], str],
+    line_col: str = "line",
+    batch_max_items: int = 500,
+    gzip_payload: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """Azure Monitor Logs Ingestion (ref: plugins/omazuredce/
+    omazuredce.c:414 URL shape ``{dce}/dataCollectionRules/{dcr}/
+    streams/{stream}?api-version=2023-01-01``; gzip-compressed JSON
+    array body :559, Bearer auth :586).
+
+    ``token_provider`` supplies the AAD access token (the reference
+    runs the client-credentials flow itself, omazuredce.c:303; token
+    acquisition is environment-specific, so it is injected — tests
+    and non-AAD gateways pass a closure)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        sel = batch_df.select(
+            F.col(line_col).cast("string").alias("l"))
+        url = (f"{dce_url.rstrip('/')}/dataCollectionRules/{dcr_id}"
+               f"/streams/{stream_name}?api-version=2023-01-01")
+
+        def per_partition(rows):
+            import gzip as _gzip
+            import urllib.request
+
+            token = token_provider()
+
+            def post(recs):
+                body = json.dumps(
+                    [{"RawData": r} for r in recs]).encode()
+                headers = {"Content-Type": "application/json",
+                           "Authorization": f"Bearer {token}"}
+                if gzip_payload:
+                    body = _gzip.compress(body)
+                    headers["Content-Encoding"] = "gzip"
+                req = urllib.request.Request(url, data=body,
+                                             headers=headers)
+                resp = urllib.request.urlopen(req, timeout=30)
+                if not (200 <= resp.status < 300):
+                    raise RuntimeError(f"dce ingest {resp.status}")
+
+            buf = []
+            for r in rows:
+                buf.append(r.l or "")
+                if len(buf) >= batch_max_items:
+                    post(buf)
+                    buf = []
+            if buf:
+                post(buf)
+            return iter(())
+
+        sel.rdd.mapPartitions(per_partition).count()
+
+    return write
+
+
+# ---------------------------------------------------------------------
+# omhttpfs (ref: contrib/omhttpfs/omhttpfs.c) — WebHDFS/HttpFS REST
+# ---------------------------------------------------------------------
+
+def omhttpfs_sink(
+    host: str,
+    port: int,
+    path: str,
+    *,
+    user: str = "hdfs",
+    line_col: str = "line",
+    https: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """HDFS-over-HTTP file append (ref: contrib/omhttpfs/
+    omhttpfs.c:444-510: ``/webhdfs/v1{path}?user.name=..&op=create|
+    append&data=true``, create falls back to append when the file
+    exists and vice versa).
+
+    Spark-native HDFS writes (omfile with an hdfs:// path) are the
+    production path; this sink exists for HttpFS-gateway-only
+    clusters, matching the reference's niche."""
+
+    scheme = "https" if https else "http"
+    prefix = "/swebhdfs/v1" if https else "/webhdfs/v1"
+    base = f"{scheme}://{host}:{port}{prefix}{path}?user.name={user}"
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        lines = batch_df.select(
+            F.col(line_col).cast("string").alias("l"))
+
+        def per_partition(rows):
+            import urllib.error
+            import urllib.request
+
+            body = "".join((r.l or "") + "\n" for r in rows).encode()
+            if not body:
+                return iter(())
+
+            def req(op, method):
+                r = urllib.request.Request(
+                    f"{base}&op={op}&data=true", data=body,
+                    method=method,
+                    headers={"Content-Type":
+                             "application/octet-stream"})
+                return urllib.request.urlopen(r, timeout=30)
+
+            try:
+                req("append", "POST")
+            except urllib.error.HTTPError as e:
+                if e.code == 404:   # file not there yet → create
+                    req("create&overwrite=false", "PUT")
+                else:
+                    raise
+            return iter(())
+
+        lines.rdd.mapPartitions(per_partition).count()
+
+    return write
+
+
+# ---------------------------------------------------------------------
+# omrabbitmq / omawslogshlc — injectable-engine family
+# ---------------------------------------------------------------------
+
+def omrabbitmq_sink(
+    exchange: str,
+    routing_key: str,
+    *,
+    url: str | None = None,
+    publisher_factory: Callable | None = None,
+    line_col: str = "line",
+) -> Callable[[DataFrame, int], None]:
+    """RabbitMQ publisher (ref: contrib/omrabbitmq/omrabbitmq.c —
+    AMQP 0-9-1 via librabbitmq). Protocol engine injectable
+    (``publisher_factory() -> (publish(key, payload), close)``), pika
+    when importable; batching/fan-out contract tested with a mock."""
+
+    def default_factory():
+        try:
+            import pika
+        except ImportError as e:
+            raise RuntimeError(
+                "omrabbitmq_sink needs pika (AMQP 0-9-1 engine) or "
+                "an injected publisher_factory") from e
+        conn = pika.BlockingConnection(pika.URLParameters(url))
+        ch = conn.channel()
+        return (lambda key, payload: ch.basic_publish(
+                    exchange=exchange, routing_key=key, body=payload),
+                conn.close)
+
+    factory = publisher_factory or default_factory
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        lines = batch_df.select(
+            F.col(line_col).cast("string").alias("l"))
+
+        def per_partition(rows):
+            publish, close = factory()
+            try:
+                for r in rows:
+                    publish(routing_key, (r.l or "").encode("utf-8"))
+            finally:
+                close()
+            return iter(())
+
+        lines.rdd.mapPartitions(per_partition).count()
+
+    return write
+
+
+def omawslogs_sink(
+    log_group: str,
+    log_stream: str,
+    *,
+    client_factory: Callable | None = None,
+    line_col: str = "line",
+    time_col: str | None = None,
+    batch_max_items: int = 10000,
+) -> Callable[[DataFrame, int], None]:
+    """CloudWatch Logs PutLogEvents (ref: plugins/omawslogshlc).
+
+    Builds the events batch (message + epoch-ms timestamp, ascending
+    order as the API requires); the SigV4-signed client is injected
+    (boto3 when importable) — the AWS credential chain is environment
+    policy, not engine logic, same boundary the reference draws by
+    linking the AWS SDK."""
+
+    def default_factory():
+        try:
+            import boto3
+        except ImportError as e:
+            raise RuntimeError(
+                "omawslogs_sink needs boto3 or an injected "
+                "client_factory") from e
+        client = boto3.client("logs")
+        return (lambda events: client.put_log_events(
+                    logGroupName=log_group, logStreamName=log_stream,
+                    logEvents=events),
+                lambda: None)
+
+    factory = client_factory or default_factory
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        cols = [F.col(line_col).cast("string").alias("l")]
+        ts = (F.unix_millis(F.col(time_col).cast("timestamp"))
+              if time_col else
+              F.unix_millis(F.current_timestamp()))
+        cols.append(ts.alias("t"))
+        sel = batch_df.select(*cols)
+
+        def per_partition(rows):
+            put, close = factory()
+            try:
+                buf = []
+                for r in rows:
+                    buf.append({"message": r.l or "",
+                                "timestamp": int(r.t)})
+                    if len(buf) >= batch_max_items:
+                        buf.sort(key=lambda e: e["timestamp"])
+                        put(buf)
+                        buf = []
+                if buf:
+                    buf.sort(key=lambda e: e["timestamp"])
+                    put(buf)
+            finally:
+                close()
+            return iter(())
+
+        sel.rdd.mapPartitions(per_partition).count()
+
+    return write

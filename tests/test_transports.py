@@ -317,3 +317,122 @@ def test_amqp1_missing_engine_raises(spark):
         assert False, "expected RuntimeError"
     except Exception as e:
         assert "qpid-proton" in str(e)
+
+
+def test_omazuredce_gzip_bearer_post(spark):
+    import gzip
+    import http.server
+
+    posts = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            body = self.rfile.read(n)
+            if self.headers.get("Content-Encoding") == "gzip":
+                body = gzip.decompress(body)
+            posts.append((self.path, self.headers.get("Authorization"),
+                          json.loads(body)))
+            self.send_response(204)
+            self.end_headers()
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    from rsyslog_spark.streaming.transports import omazuredce_sink
+
+    omazuredce_sink(
+        f"http://127.0.0.1:{httpd.server_address[1]}",
+        "dcr-123", "Custom-Syslog",
+        token_provider=lambda: "tok-xyz")(
+        _lines_df(spark, ["a1", "a2"]).coalesce(1), 0)
+    httpd.shutdown()
+    path, auth, body = posts[0]
+    assert path == ("/dataCollectionRules/dcr-123/streams/"
+                    "Custom-Syslog?api-version=2023-01-01")
+    assert auth == "Bearer tok-xyz"
+    assert body == [{"RawData": "a1"}, {"RawData": "a2"}]
+
+
+def test_omhttpfs_append_create_fallback(spark):
+    import http.server
+
+    calls = []
+    exists = {"f": False}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _handle(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode()
+            calls.append((self.command, self.path, body))
+            if "op=append" in self.path and not exists["f"]:
+                self.send_response(404)
+            else:
+                exists["f"] = True
+                self.send_response(200)
+            self.end_headers()
+
+        do_POST = _handle
+        do_PUT = _handle
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    from rsyslog_spark.streaming.transports import omhttpfs_sink
+
+    sink = omhttpfs_sink("127.0.0.1", httpd.server_address[1],
+                         "/logs/app.log", user="spark")
+    sink(_lines_df(spark, ["h1"]).coalesce(1), 0)   # 404 → create
+    sink(_lines_df(spark, ["h2"]).coalesce(1), 1)   # append works
+    httpd.shutdown()
+    ops = [(c, "append" if "op=append" in p else "create", b)
+           for c, p, b in calls]
+    assert ops == [("POST", "append", "h1\n"),
+                   ("PUT", "create", "h1\n"),
+                   ("POST", "append", "h2\n")]
+    assert all("user.name=spark" in p for _, p, _b in calls)
+
+
+def test_omrabbitmq_and_awslogs_injectable(spark, tmp_path):
+    from rsyslog_spark.streaming.transports import (
+        omawslogs_sink, omrabbitmq_sink)
+
+    pub_file = str(tmp_path / "pub.txt")
+
+    def pub_factory():
+        f = open(pub_file, "ab")
+        return (lambda key, payload:
+                f.write(b"%s|%s\n" % (key.encode(), payload)),
+                f.close)
+
+    omrabbitmq_sink("logs-ex", "syslog.info",
+                    publisher_factory=pub_factory)(
+        _lines_df(spark, ["r1"]).coalesce(1), 0)
+    with open(pub_file, "rb") as f:
+        assert f.read() == b"syslog.info|r1\n"
+
+    events_file = str(tmp_path / "ev.jsonl")
+
+    def client_factory():
+        f = open(events_file, "ab")
+        return (lambda events: f.write(
+                    (json.dumps(events) + "\n").encode()),
+                f.close)
+
+    df = spark.createDataFrame(
+        [("e-late", "2026-08-14 01:00:02"),
+         ("e-early", "2026-08-14 01:00:01")],
+        "line string, ts string")
+    omawslogs_sink("grp", "stream", client_factory=client_factory,
+                   time_col="ts")(df.coalesce(1), 0)
+    with open(events_file) as f:
+        batch = json.loads(f.readline())
+    # ascending timestamp order enforced (PutLogEvents contract)
+    assert [e["message"] for e in batch] == ["e-early", "e-late"]
+    assert batch[0]["timestamp"] < batch[1]["timestamp"]
