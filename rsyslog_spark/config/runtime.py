@@ -194,6 +194,65 @@ def _dispatch_action(
          .option("topic", params.get("topic", "rsyslog")).save())
         run.written[name] = f"kafka://{params['broker']}"
         return
+    if typ == "ommail" and params.get("server"):
+        from rsyslog_spark.streaming.transports import ommail_sink
+
+        lines = _rendered_lines(df, cfg, params)
+        mailto = [m.strip() for m in
+                  params.get("mailto", "").split(",") if m.strip()]
+        _with_retry(params, ommail_sink(
+            params["server"], int(params.get("port", "25")),
+            mailfrom=params.get("mailfrom", "rsyslog@localhost"),
+            mailto=mailto,
+            subject=params.get("subject.text", "syslog message"),
+            body_enable=params.get("body.enable", "on") != "off",
+        ))(lines, 0)
+        run.written[name] = f"smtp://{params['server']}"
+        return
+    if typ == "omsnmp" and params.get("server"):
+        from rsyslog_spark.streaming.transports import omsnmp_sink
+
+        lines = _rendered_lines(df, cfg, params)
+        _with_retry(params, omsnmp_sink(
+            params["server"], int(params.get("port", "162")),
+            version=params.get("version", "snmpv2c"),
+            community=params.get("community", "public"),
+        ))(lines, 0)
+        run.written[name] = f"snmp://{params['server']}"
+        return
+    if typ == "omhiredis" and params.get("server"):
+        from rsyslog_spark.streaming.transports import omhiredis_sink
+
+        lines = _rendered_lines(df, cfg, params)
+        _with_retry(params, omhiredis_sink(
+            params["server"], int(params.get("serverport", "6379")),
+            mode=params.get("mode", "queue"),
+            key=params.get("key", "rsyslog"),
+            use_rpush=params.get("userpush", "off") == "on",
+            expiration=int(params.get("expiration", "0")),
+        ))(lines, 0)
+        run.written[name] = f"redis://{params['server']}"
+        return
+    if typ == "omuxsock" and params.get("socket"):
+        from rsyslog_spark.streaming.transports import omuxsock_sink
+
+        lines = _rendered_lines(df, cfg, params)
+        _with_retry(params, omuxsock_sink(params["socket"]))(lines, 0)
+        run.written[name] = params["socket"]
+        return
+    if typ == "omstdout":
+        from rsyslog_spark.streaming.transports import omstdout_sink
+
+        omstdout_sink()(_rendered_lines(df, cfg, params), 0)
+        run.written[name] = "stdout"
+        return
+    if typ == "omotel" and (params.get("endpoint") or params.get("url")):
+        from rsyslog_spark.streaming.transports import omotel_sink
+
+        url = params.get("endpoint") or params.get("url")
+        _with_retry(params, omotel_sink(url))(df, 0)
+        run.written[name] = url
+        return
     run.unbound.append((name, df, params))
 
 

@@ -1010,3 +1010,100 @@ class TestStrgenTemplates:
         with pytest.raises(SyntaxError, match="strgen"):
             parse_config('template(name="x" type="plugin" '
                          'plugin="no_such_strgen")\n')
+
+
+class TestTransportActionDispatch:
+    def test_ommail_omsnmp_omhiredis_from_config(self, spark, tmp_path):
+        """action(type=ommail/omsnmp/omhiredis/omstdout) dispatch
+        end-to-end through run_config_batch against mock servers."""
+        import socket
+        import threading
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "tin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<11>Mar  1 10:00:00 h1 app: disk failing\n")
+
+        # SMTP mock
+        mails = []
+        smtp_srv = socket.socket()
+        smtp_srv.bind(("127.0.0.1", 0))
+        smtp_srv.listen(1)
+
+        def smtp_serve():
+            conn, _ = smtp_srv.accept()
+            f = conn.makefile("rwb")
+            f.write(b"220 ok\r\n"); f.flush()
+            while line := f.readline():
+                u = line.strip().upper()
+                if u == b"DATA":
+                    f.write(b"354 go\r\n"); f.flush()
+                    d = b""
+                    while not d.endswith(b"\r\n.\r\n"):
+                        d += f.readline()
+                    mails.append(d.decode())
+                    f.write(b"250 ok\r\n"); f.flush()
+                elif u == b"QUIT":
+                    f.write(b"221 bye\r\n"); f.flush()
+                    break
+                else:
+                    f.write(b"250 ok\r\n"); f.flush()
+            conn.close()
+
+        threading.Thread(target=smtp_serve, daemon=True).start()
+
+        # SNMP UDP mock
+        traps = []
+        snmp_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        snmp_rx.bind(("127.0.0.1", 0))
+        snmp_rx.settimeout(10)
+
+        def snmp_serve():
+            traps.append(snmp_rx.recvfrom(65535)[0])
+
+        snmp_t = threading.Thread(target=snmp_serve, daemon=True)
+        snmp_t.start()
+
+        # redis RESP mock
+        resp_cmds = []
+        redis_srv = socket.socket()
+        redis_srv.bind(("127.0.0.1", 0))
+        redis_srv.listen(1)
+
+        def redis_serve():
+            conn, _ = redis_srv.accept()
+            data = b""
+            while chunk := conn.recv(65536):
+                data += chunk
+                conn.sendall(b"+OK\r\n" * chunk.count(b"*"))
+            resp_cmds.append(data)
+            conn.close()
+
+        threading.Thread(target=redis_serve, daemon=True).start()
+
+        conf = f'''
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        ruleset(name="main") {{
+            action(type="ommail" name="mail1"
+                   server="127.0.0.1" port="{smtp_srv.getsockname()[1]}"
+                   mailfrom="rsyslog@h" mailto="ops@x, oncall@x"
+                   subject.text="disk alert")
+            action(type="omsnmp" name="snmp1" server="127.0.0.1"
+                   port="{snmp_rx.getsockname()[1]}" community="priv")
+            action(type="omhiredis" name="redis1" server="127.0.0.1"
+                   serverport="{redis_srv.getsockname()[1]}"
+                   mode="queue" key="syslog")
+        }}
+        '''
+        run = run_config_batch(spark, conf, main="main")
+        snmp_t.join(timeout=10)
+        smtp_srv.close(); snmp_rx.close(); redis_srv.close()
+        assert len(mails) == 1 and "disk failing" in mails[0]
+        assert "Subject: disk alert" in mails[0]
+        assert len(traps) == 1 and b"disk failing" in traps[0]
+        assert b"priv" in traps[0]
+        assert resp_cmds and b"LPUSH" in resp_cmds[0]
+        assert b"syslog" in resp_cmds[0]
+        assert set(run.written) == {"mail1", "snmp1", "redis1"}
+        assert not run.unbound
