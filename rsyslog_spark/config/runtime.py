@@ -12,7 +12,9 @@ the named template, or parquet when ``template`` is absent), omfwd
 (TCP/UDP forward through streaming/sinks.omfwd_sink, including legacy
 ``@host``/``@@host`` selector targets), ompipe (``|path`` targets —
 single-writer append, matching the reference's one fd per pipe),
-omkafka (when the action names a broker), and omdiscard (compiled
+omkafka (when the action names a broker), omelasticsearch/omhttp/
+omprog, the transport family (ommail SMTP, omsnmp traps, omhiredis
+RESP, omuxsock, omstdout, omotel OTLP), and omdiscard (compiled
 away as Stop at parse time). ``sink_overrides`` lets hosts rebind any
 type (e.g. omusrmsg → a wall-device mock in tests); remaining types
 are returned as (name, DataFrame, params) for host wiring —

@@ -20,6 +20,11 @@ from rsyslog_spark.streaming.sinks import (
 from rsyslog_spark.streaming.impstats import ImpstatsListener
 from rsyslog_spark.streaming.transports import (
     amqp1_sink,
+    omawslogs_sink,
+    omazuredce_sink,
+    omhttpfs_sink,
+    omjournal_sink,
+    omrabbitmq_sink,
     omhiredis_sink,
     ommail_sink,
     omotel_sink,
@@ -28,6 +33,7 @@ from rsyslog_spark.streaming.transports import (
     omuxsock_sink,
 )
 from rsyslog_spark.streaming.bridges import (
+    imbatchreport,
     imdocker,
     imfifo,
     imhiredis,
@@ -46,6 +52,8 @@ __all__ = [
     "imfifo", "imhiredis", "imklog", "imkmsg", "improg",
     "ommail_sink", "omsnmp_sink", "omhiredis_sink", "omotel_sink",
     "omuxsock_sink", "omstdout_sink", "amqp1_sink",
+    "omjournal_sink", "omazuredce_sink", "omhttpfs_sink",
+    "omrabbitmq_sink", "omawslogs_sink", "imbatchreport",
     "streaming_dynstats", "streaming_ratelimit",
     "streaming_repeated_msg_reduction", "streaming_sendertrack",
     "fanout_sink", "omfile_sink", "omkafka_sink",

@@ -613,3 +613,68 @@ class improg(SpoolBridge):
                 self._proc.terminate()
             except ProcessLookupError:
                 pass
+
+
+class imbatchreport:
+    """Batch-report input (ref: contrib/imbatchreport/
+    imbatchreport.c:9-14,94-122): each file matching the glob is ONE
+    message (reports are inherently whole-document); after a
+    successful run files are renamed with the ``rename``
+    (search, replace) pair so they are not re-read, and files larger
+    than ``max_size`` are renamed with ``reject`` instead of being
+    submitted — the reference's oversize handling.
+
+    Usage: ``df = b.read(spark)`` → process/sink → ``b.commit()``.
+    Commit runs AFTER the action writes durably, the same
+    at-least-once order the reference's rename-on-success gives.
+    """
+
+    def __init__(self, pattern: str, *,
+                 rename: tuple[str, str] = (".report", ".ok"),
+                 reject: tuple[str, str] = (".report", ".rejected"),
+                 max_size: int = 8 * 1024 * 1024):
+        self.pattern = pattern
+        self.rename = rename
+        self.reject = reject
+        self.max_size = max_size
+        self._accepted: list[str] = []
+        self._rejected: list[str] = []
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        import glob as _glob
+
+        self._accepted, self._rejected = [], []
+        for p in sorted(_glob.glob(self.pattern)):
+            (self._rejected if os.path.getsize(p) > self.max_size
+             else self._accepted).append(p)
+        if not self._accepted:
+            return spark.createDataFrame(
+                [], "msg string, srcfile string, inputname string")
+        return (
+            spark.read.format("text").option("wholetext", True)
+            .load(self._accepted)
+            .select(
+                F.regexp_replace("value", r"\n+$", "").alias("msg"),
+                F.input_file_name().alias("srcfile"),
+                F.lit("imbatchreport").alias("inputname"),
+            )
+        )
+
+    def commit(self) -> dict[str, str]:
+        """Rename accepted → done and oversize → rejected; returns
+        {old: new} for audit."""
+        moved: dict[str, str] = {}
+
+        def mv(path, pair):
+            search, repl = pair
+            new = (path[: -len(search)] + repl
+                   if path.endswith(search) else path + repl)
+            os.rename(path, new)
+            moved[path] = new
+
+        for p in self._accepted:
+            mv(p, self.rename)
+        for p in self._rejected:
+            mv(p, self.reject)
+        self._accepted, self._rejected = [], []
+        return moved

@@ -781,3 +781,72 @@ def omawslogs_sink(
         sel.rdd.mapPartitions(per_partition).count()
 
     return write
+
+
+# ---------------------------------------------------------------------
+# omjournal (ref: plugins/omjournal/omjournal.c) — native protocol
+# ---------------------------------------------------------------------
+
+def journal_native_record(fields: dict) -> bytes:
+    """Serialize one journal entry in journald's native datagram
+    format: ``FIELD=value\\n`` for single-line values, else
+    ``FIELD\\n<u64-le length><raw>\\n`` (the same wire form
+    sd_journal_send produces; ref omjournal.c:300 field set)."""
+    out = bytearray()
+    for k, v in fields.items():
+        v = "" if v is None else str(v)
+        kb = k.encode()
+        vb = v.encode()
+        if "\n" in v:
+            out += kb + b"\n"
+            out += len(vb).to_bytes(8, "little") + vb + b"\n"
+        else:
+            out += kb + b"=" + vb + b"\n"
+    return bytes(out)
+
+
+def omjournal_sink(
+    socket_path: str = "/run/systemd/journal/socket",
+    *,
+    msg_col: str = "msg",
+    severity_col: str = "syslogseverity",
+    facility_col: str = "syslogfacility",
+    tag_col: str | None = "syslogtag",
+) -> Callable[[DataFrame, int], None]:
+    """Write messages into systemd-journald via its native unix
+    datagram socket (ref: plugins/omjournal/omjournal.c:300
+    sd_journal_send fields: MESSAGE, PRIORITY = facility*8|severity,
+    SYSLOG_FACILITY, SYSLOG_IDENTIFIER). One datagram per entry —
+    exactly what sd_journal_send does under the hood."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        cols = [F.col(msg_col).cast("string").alias("m"),
+                F.coalesce(F.col(severity_col), F.lit(6))
+                 .cast("int").alias("sev"),
+                F.coalesce(F.col(facility_col), F.lit(1))
+                 .cast("int").alias("fac"),
+                (F.col(tag_col) if tag_col else F.lit(None))
+                .cast("string").alias("tag")]
+        sel = batch_df.select(*cols)
+
+        def per_partition(rows):
+            sk = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+            try:
+                for r in rows:
+                    fields = {
+                        "MESSAGE": r.m or "",
+                        "PRIORITY": r.fac * 8 | r.sev,
+                        "SYSLOG_FACILITY": r.fac,
+                    }
+                    if r.tag:
+                        fields["SYSLOG_IDENTIFIER"] = \
+                            r.tag.rstrip(":")
+                    sk.sendto(journal_native_record(fields),
+                              socket_path)
+            finally:
+                sk.close()
+            return iter(())
+
+        sel.rdd.mapPartitions(per_partition).count()
+
+    return write

@@ -436,3 +436,48 @@ def test_omrabbitmq_and_awslogs_injectable(spark, tmp_path):
     # ascending timestamp order enforced (PutLogEvents contract)
     assert [e["message"] for e in batch] == ["e-early", "e-late"]
     assert batch[0]["timestamp"] < batch[1]["timestamp"]
+
+
+def test_omjournal_native_datagrams(spark, tmp_path):
+    from rsyslog_spark.streaming.transports import (
+        journal_native_record, omjournal_sink)
+
+    # multiline value → length-prefixed binary form
+    rec = journal_native_record({"MESSAGE": "a\nb", "PRIORITY": 3})
+    assert rec.startswith(b"MESSAGE\n")
+    assert rec[8:16] == (3).to_bytes(8, "little")
+    assert b"PRIORITY=3\n" in rec
+
+    sp = str(tmp_path / "journal.sock")
+    rx = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+    rx.bind(sp)
+    rx.settimeout(10)
+    df = spark.createDataFrame(
+        [("oom kill", 2, 0, "kernel:")],
+        "msg string, syslogseverity int, syslogfacility int, "
+        "syslogtag string")
+    omjournal_sink(sp)(df.coalesce(1), 0)
+    got = rx.recv(65535).decode()
+    rx.close()
+    assert "MESSAGE=oom kill\n" in got
+    assert "PRIORITY=2\n" in got            # fac 0 * 8 | sev 2
+    assert "SYSLOG_IDENTIFIER=kernel\n" in got
+
+
+def test_imbatchreport_whole_file_and_rename(spark, tmp_path):
+    from rsyslog_spark.streaming.bridges import imbatchreport
+
+    (tmp_path / "j1.report").write_text("job A done\nstats: ok\n")
+    (tmp_path / "j2.report").write_text("job B failed\n")
+    (tmp_path / "big.report").write_text("x" * 100)
+    b = imbatchreport(str(tmp_path / "*.report"), max_size=50)
+    df = b.read(spark)
+    msgs = {r.msg for r in df.collect()}
+    assert msgs == {"job A done\nstats: ok", "job B failed"}
+    moved = b.commit()
+    assert (tmp_path / "j1.ok").exists()
+    assert (tmp_path / "j2.ok").exists()
+    assert (tmp_path / "big.rejected").exists()
+    assert len(moved) == 3
+    # nothing left to read after commit
+    assert b.read(spark).count() == 0
