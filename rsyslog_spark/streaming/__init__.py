@@ -2,7 +2,7 @@ from rsyslog_spark.streaming.sources import (
     imfile,
     imkafka,
     immark,
-    imtcp,
+    imtcp_socket_source,
     parse_stream,
 )
 from rsyslog_spark.streaming.stateful import (
@@ -25,6 +25,7 @@ from rsyslog_spark.streaming.transports import (
     omhttpfs_sink,
     omjournal_sink,
     omrabbitmq_sink,
+    omrelp_sink,
     omhiredis_sink,
     ommail_sink,
     omotel_sink,
@@ -34,6 +35,9 @@ from rsyslog_spark.streaming.transports import (
 )
 from rsyslog_spark.streaming.bridges import (
     imbatchreport,
+    imptcp,
+    imrelp,
+    imtcp,
     imdocker,
     imfifo,
     imhiredis,
@@ -47,13 +51,15 @@ from rsyslog_spark.streaming.bridges import (
 )
 
 __all__ = [
-    "imfile", "imkafka", "immark", "imtcp", "parse_stream",
+    "imfile", "imkafka", "immark", "imtcp", "imptcp", "imrelp",
+    "imtcp_socket_source", "parse_stream",
     "imudp", "imuxsock", "imhttp", "imjournal", "imdocker",
     "imfifo", "imhiredis", "imklog", "imkmsg", "improg",
     "ommail_sink", "omsnmp_sink", "omhiredis_sink", "omotel_sink",
     "omuxsock_sink", "omstdout_sink", "amqp1_sink",
     "omjournal_sink", "omazuredce_sink", "omhttpfs_sink",
     "omrabbitmq_sink", "omawslogs_sink", "imbatchreport",
+    "omrelp_sink",
     "streaming_dynstats", "streaming_ratelimit",
     "streaming_repeated_msg_reduction", "streaming_sendertrack",
     "fanout_sink", "omfile_sink", "omkafka_sink",

@@ -678,3 +678,186 @@ class imbatchreport:
             mv(p, self.reject)
         self._accepted, self._rejected = [], []
         return moved
+
+
+class imtcp(SpoolBridge):
+    """TCP syslog server (ref: plugins/imtcp/imtcp.c; the epoll
+    variant imptcp differs only in I/O strategy, which Python's
+    selector-based accept loop subsumes). Both RFC6587 framings are
+    auto-detected per message, exactly like the reference's
+    framing-detection (tcps_sess.c): a frame starting with digits
+    followed by SP is octet-counted; anything else is read to LF."""
+
+    def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
+                 port: int = 0, **kw):
+        super().__init__(spool_dir, inputname="imtcp", **kw)
+        self.srv = socket.socket()
+        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.srv.bind((host, port))
+        self.srv.listen(16)
+        self.srv.settimeout(0.2)
+        self.port = self.srv.getsockname()[1]
+
+    def _serve(self) -> None:
+        conns = []
+        while not self._stop.is_set():
+            try:
+                conn, addr = self.srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            conn.settimeout(0.2)
+            t = threading.Thread(target=self._conn_loop,
+                                 args=(conn, addr[0]), daemon=True)
+            t.start()
+            conns.append((conn, t))
+        for conn, t in conns:
+            try:
+                conn.close()
+            except OSError:
+                pass
+            t.join(timeout=2)
+
+    def _conn_loop(self, conn, peer) -> None:
+        buf = b""
+        while not self._stop.is_set():
+            # frame split on what we have; read more when incomplete
+            progressed = True
+            while progressed:
+                progressed = False
+                if not buf:
+                    break
+                i = 0
+                while i < len(buf) and i < 10 and 0x30 <= buf[i] <= 0x39:
+                    i += 1
+                if i > 0 and i < len(buf) and buf[i] == 0x20:
+                    n = int(buf[:i])
+                    if len(buf) >= i + 1 + n:       # full frame
+                        msg = buf[i + 1:i + 1 + n]
+                        buf = buf[i + 1 + n:]
+                        self._emit_msg(msg, peer)
+                        progressed = True
+                elif b"\n" in buf:
+                    msg, buf = buf.split(b"\n", 1)
+                    self._emit_msg(msg, peer)
+                    progressed = True
+            try:
+                chunk = conn.recv(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            if not chunk:
+                if buf.strip():
+                    self._emit_msg(buf, peer)
+                break
+            buf += chunk
+        try:
+            conn.close()
+        except OSError:
+            pass
+
+    def _emit_msg(self, msg: bytes, peer: str) -> None:
+        s = msg.decode("utf-8", errors="replace").rstrip("\r\n")
+        if s.strip():
+            self.emit({"line": s, "fromhost": peer})
+
+    def _shutdown(self) -> None:
+        try:
+            self.srv.close()
+        except OSError:
+            pass
+
+
+#: imptcp is imtcp with a different event loop (plugins/imptcp) —
+#: identical protocol surface here.
+imptcp = imtcp
+
+
+class imrelp(SpoolBridge):
+    """RELP server (ref: plugins/imrelp/imrelp.c via librelp).
+
+    Speaks the RELP framing natively: ``TXNR SP COMMAND SP DATALEN
+    [SP DATA] LF``. ``open`` is answered with the offers the client
+    needs (relp_version, commands=syslog), every ``syslog`` frame is
+    acked ``TXNR rsp 6 200 OK`` — the at-least-once handshake that
+    is RELP's whole point — and ``close`` ends the session."""
+
+    def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
+                 port: int = 0, **kw):
+        super().__init__(spool_dir, inputname="imrelp", **kw)
+        self.srv = socket.socket()
+        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.srv.bind((host, port))
+        self.srv.listen(16)
+        self.srv.settimeout(0.2)
+        self.port = self.srv.getsockname()[1]
+
+    def _serve(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, addr = self.srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            threading.Thread(target=self._session,
+                             args=(conn, addr[0]), daemon=True).start()
+
+    def _session(self, conn, peer) -> None:
+        conn.settimeout(5)
+        f = conn.makefile("rwb")
+
+        def rsp(txnr: int, payload: bytes = b"200 OK") -> None:
+            f.write(b"%d rsp %d %s\n" % (txnr, len(payload), payload))
+            f.flush()
+
+        try:
+            while not self._stop.is_set():
+                hdr = b""
+                sp = 0
+                bare = False     # datalen-0 frame ends at the header LF
+                while sp < 3:                  # txnr, cmd, datalen
+                    c = f.read(1)
+                    if not c:
+                        return
+                    if c == b" ":
+                        sp += 1
+                        if sp == 3:
+                            break
+                    if c == b"\n" and sp == 2:
+                        bare = True            # trailer already read
+                        break
+                    hdr += c
+                parts = hdr.split(b" ")
+                txnr, cmd = int(parts[0]), parts[1].decode()
+                dlen = int(parts[2])
+                data = f.read(dlen) if dlen else b""
+                if not bare:
+                    f.read(1)                  # trailer LF
+                if cmd == "open":
+                    rsp(txnr, b"200 OK\nrelp_version=0\n"
+                              b"relp_software=rsyslog-spark\n"
+                              b"commands=syslog")
+                elif cmd == "syslog":
+                    self.emit({"line": data.decode(
+                        "utf-8", errors="replace").rstrip("\n"),
+                        "fromhost": peer})
+                    rsp(txnr)
+                elif cmd == "close":
+                    rsp(txnr)
+                    return
+        except (OSError, ValueError):
+            pass
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _shutdown(self) -> None:
+        try:
+            self.srv.close()
+        except OSError:
+            pass

@@ -149,10 +149,11 @@ def imkafka(
     )
 
 
-def imtcp(spark: SparkSession, host: str, port: int) -> DataFrame:
-    """TCP line server (ref: plugins/imtcp/imtcp.c) — the socket source
-    is single-receiver and for demos only; production ingest is
-    imfile/imkafka (see module docstring)."""
+def imtcp_socket_source(spark: SparkSession, host: str,
+                        port: int) -> DataFrame:
+    """Spark socket-source TCP reader (demo-only, single receiver, LF
+    framing). The full imtcp server — RFC6587 framing autodetect,
+    multi-connection — is streaming/bridges.imtcp."""
     return (
         spark.readStream.format("socket")
         .option("host", host)

@@ -326,3 +326,48 @@ def test_improg_captures_and_confirms(spark, tmp_path):
     finally:
         b.stop()
     assert (tmp_path / "acks.txt").read_text().strip() == "acks:OK:OK"
+
+
+def test_imtcp_both_framings(spark, tmp_path):
+    from rsyslog_spark.streaming.bridges import imtcp
+
+    b = imtcp(str(tmp_path / "spool"), flush_secs=0.2).start()
+    try:
+        # octet-counted (RFC6587 §3.4.1) and LF framing on separate
+        # connections; detection is per-frame
+        c1 = socket.create_connection(("127.0.0.1", b.port))
+        msg = b"<13>tcp octet counted"
+        c1.sendall(str(len(msg)).encode() + b" " + msg)
+        c1.close()
+        c2 = socket.create_connection(("127.0.0.1", b.port))
+        c2.sendall(b"<13>tcp lf one\n<13>tcp lf two\n")
+        c2.close()
+        df = _drain(b, spark, 3)
+        got = sorted(r.line for r in df.collect())
+        assert got == ["<13>tcp lf one", "<13>tcp lf two",
+                       "<13>tcp octet counted"]
+        assert all(r.fromhost == "127.0.0.1" for r in df.collect())
+    finally:
+        b.stop()
+
+
+def test_omrelp_to_imrelp_loopback(spark, tmp_path):
+    """RELP client sink → RELP server bridge: open handshake, per-
+    frame acks, close — full at-least-once loop with our own two
+    endpoints (ref: plugins/omrelp + plugins/imrelp via librelp)."""
+    from rsyslog_spark.streaming.bridges import imrelp
+    from rsyslog_spark.streaming.transports import omrelp_sink
+
+    b = imrelp(str(tmp_path / "spool"), flush_secs=0.2).start()
+    try:
+        df = spark.createDataFrame(
+            [(f"<14>relp message {i}",) for i in range(10)],
+            "line string")
+        omrelp_sink("127.0.0.1", b.port, window=4)(df.coalesce(2), 0)
+        got = _drain(b, spark, 10)
+        lines = sorted(r.line for r in got.collect())
+        assert lines == sorted(
+            f"<14>relp message {i}" for i in range(10))
+        assert got.first().inputname == "imrelp"
+    finally:
+        b.stop()
