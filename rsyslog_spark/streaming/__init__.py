@@ -46,6 +46,7 @@ from rsyslog_spark.streaming.bridges import (
     imklog,
     imkmsg,
     improg,
+    imtuxedoulog,
     imudp,
     imuxsock,
 )
@@ -59,7 +60,7 @@ __all__ = [
     "omuxsock_sink", "omstdout_sink", "amqp1_sink",
     "omjournal_sink", "omazuredce_sink", "omhttpfs_sink",
     "omrabbitmq_sink", "omawslogs_sink", "imbatchreport",
-    "omrelp_sink",
+    "omrelp_sink", "imtuxedoulog",
     "streaming_dynstats", "streaming_ratelimit",
     "streaming_repeated_msg_reduction", "streaming_sendertrack",
     "fanout_sink", "omfile_sink", "omkafka_sink",

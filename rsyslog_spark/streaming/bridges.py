@@ -861,3 +861,45 @@ class imrelp(SpoolBridge):
             self.srv.close()
         except OSError:
             pass
+
+
+def imtuxedoulog(spark: SparkSession, path: str, *,
+                 streaming: bool = False) -> DataFrame:
+    """Tuxedo ULOG intake (ref: contrib/imtuxedoulog/
+    imtuxedoulog.c:195-290): the DATE lives in the FILENAME
+    (``ULOG.MMDDYY``) and the line carries only
+    ``hhmmss.ff[f].hostname!prog.pid...: [gtrid ...: ] [ECID <...>]
+    text``. Pure column parse: header regex, procid = program token
+    with its trailing qualifier dropped (the reference chops at the
+    last '.'), optional gtrid prefix skipped, ECID promoted to
+    structured data as ``[ECID="..."]``."""
+    reader = (spark.readStream if streaming else spark.read)
+    raw = (reader.format("text").load(path)
+           .select(F.col("value").alias("line"),
+                   F.input_file_name().alias("srcfile")))
+    hdr = r"^(\d{6})\.(\d{2,3})\.([^!]+)!([^:]*): "
+    hh = F.regexp_extract("line", hdr, 1)
+    frac = F.regexp_extract("line", hdr, 2)
+    host = F.regexp_extract("line", hdr, 3)
+    prog = F.regexp_extract("line", hdr, 4)
+    rest = F.regexp_replace("line", hdr, "")
+    # optional "gtrid x1 x2 x3: " transaction prefix (case 4)
+    rest = F.regexp_replace(rest, r"^gtrid [^:]*: ", "")
+    ecid = F.regexp_extract(rest, r"^ECID <([^>]*)>", 1)
+    msg = F.regexp_replace(rest, r"^ECID <[^>]*>\s*:?\s*", "")
+    date = F.to_date(
+        F.regexp_extract("srcfile", r"ULOG\.(\d{6})", 1), "MMddyy")
+    ts = F.to_timestamp(F.concat(
+        date.cast("string"), F.lit(" "),
+        F.regexp_replace(hh, r"(\d\d)(\d\d)(\d\d)", "$1:$2:$3"),
+        F.lit("."), frac))
+    return raw.filter(hh != "").select(
+        msg.alias("msg"),
+        host.alias("hostname"),
+        F.regexp_replace(prog, r"\.[^.]*$", "").alias("procid"),
+        ts.alias("timereported"),
+        F.when(ecid != "", F.concat(F.lit('[ECID="'), ecid,
+                                    F.lit('"]'))).alias(
+            "structured_data"),
+        F.lit("imtuxedoulog").alias("inputname"),
+    )

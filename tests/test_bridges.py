@@ -371,3 +371,25 @@ def test_omrelp_to_imrelp_loopback(spark, tmp_path):
         assert got.first().inputname == "imrelp"
     finally:
         b.stop()
+
+
+def test_imtuxedoulog_parse(spark, tmp_path):
+    from rsyslog_spark.streaming.bridges import imtuxedoulog
+
+    (tmp_path / "ULOG.081426").write_text(
+        "123456.78.tuxhost!GWTDOMAIN.1234.1.0: "
+        "LIBTUX_CAT:262: INFO: Standard main starting\n"
+        "123457.789.tuxhost!server.99.2.0: gtrid x0 x1 x2: "
+        "ECID <abc-123>: TMS_ORA: transaction aborted\n"
+        "garbage line without header\n")
+    rows = (imtuxedoulog(spark, str(tmp_path / "ULOG.*"))
+            .orderBy("timereported").collect())
+    assert len(rows) == 2
+    a, b = rows
+    assert a.msg == "LIBTUX_CAT:262: INFO: Standard main starting"
+    assert (a.hostname, a.procid) == ("tuxhost", "GWTDOMAIN.1234.1")
+    assert str(a.timereported) == "2026-08-14 12:34:56.780000"
+    assert a.structured_data is None
+    assert b.msg == "TMS_ORA: transaction aborted"
+    assert b.structured_data == '[ECID="abc-123"]'
+    assert str(b.timereported).startswith("2026-08-14 12:34:57.789")
