@@ -23,6 +23,7 @@ transports need endpoints only the host knows.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field as dfield
 from typing import Any
 
@@ -476,6 +477,7 @@ def run_config_stream(
     main: str | None = None,
     available_now: bool = True,
     sink_overrides: dict | None = None,
+    drain_grace: float = 2.0,
 ):
     """Streaming execution of a config: imfile readStream → parse →
     ruleset DAG re-applied per micro-batch → all actions written from
@@ -494,14 +496,42 @@ def run_config_stream(
     path = input_path
     ruleset_name = main
     imfile_params: dict = {}
+    bridge = None
     for inp in cfg.inputs:
-        if inp.get("type") == "imfile" and path is None:
+        typ = inp.get("type")
+        if typ == "imfile" and path is None:
             path = inp.get("file")
             imfile_params = inp
+        elif (bridge is None and path is None
+              and typ in ("imtcp", "imptcp", "imudp", "imrelp",
+                          "imhttp")):
+            # socket inputs: start the matching receive bridge; the
+            # stream reads its spool (ref input() port binding, e.g.
+            # plugins/imtcp — inputs start LAST in the activation
+            # sequence, rsconf.c:1228-1268, which is exactly when
+            # this query begins polling)
+            import tempfile
+
+            from rsyslog_spark.streaming import bridges as _b
+
+            spool = inp.get("spool") or tempfile.mkdtemp(
+                prefix=f"rsyslog_spark_{typ}_")
+            kw: dict = {}
+            if inp.get("port"):
+                kw["port"] = int(inp["port"])
+            if inp.get("address"):
+                kw["host"] = inp["address"]
+            cls = {"imtcp": _b.imtcp, "imptcp": _b.imptcp,
+                   "imudp": _b.imudp, "imrelp": _b.imrelp,
+                   "imhttp": _b.imhttp}[typ]
+            if typ == "imhttp" and inp.get("endpoint"):
+                kw["endpoint"] = inp["endpoint"]
+            bridge = cls(spool, **kw).start()
         if ruleset_name is None and inp.get("ruleset"):
             ruleset_name = inp["ruleset"]
-    if path is None:
-        raise ValueError("no imfile input in config and no input_path")
+    if path is None and bridge is None:
+        raise ValueError(
+            "no imfile/socket input in config and no input_path")
     if ruleset_name is None or ruleset_name not in cfg.rulesets:
         # undefined binding: warn-and-default, like the reference's
         # rulesetGetRuleset fallback (runtime/ruleset.c)
@@ -519,12 +549,15 @@ def run_config_stream(
         listener = ImpstatsListener()
         spark.streams.addListener(listener)
 
-    lines = imfile(
-        spark, path,
-        startmsg_regex=imfile_params.get("startmsg.regex"),
-        endmsg_regex=imfile_params.get("endmsg.regex"),
-        read_mode=int(imfile_params.get(
-            "readMode", imfile_params.get("readmode", "0"))))
+    if bridge is not None:
+        lines = bridge.stream(spark)
+    else:
+        lines = imfile(
+            spark, path,
+            startmsg_regex=imfile_params.get("startmsg.regex"),
+            endmsg_regex=imfile_params.get("endmsg.regex"),
+            read_mode=int(imfile_params.get(
+                "readMode", imfile_params.get("readmode", "0"))))
     frame = parse_syslog(
         lines, parsers=_ruleset_parser_chain(cfg, ruleset_name))
 
@@ -545,11 +578,23 @@ def run_config_stream(
         .option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
+    if bridge is not None and available_now:
+        # drain-once mode: the availableNow file source snapshots the
+        # spool at query start, so give in-flight senders a grace
+        # window to land, then force a rotation. Tests/backfills
+        # only; in run mode the micro-batch loop picks up every later
+        # flush.
+        time.sleep(float(drain_grace))
+        bridge.flush()
     q = writer.start()
     if available_now:
         q.awaitTermination(120)
+        if bridge is not None:
+            bridge.stop()
     if listener is not None:
         q.impstats = listener   # host reads .stats / .as_log_lines()
+    if bridge is not None:
+        q.bridge = bridge       # caller owns lifecycle in run mode
     return q
 
 

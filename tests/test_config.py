@@ -1107,3 +1107,58 @@ class TestTransportActionDispatch:
         assert b"syslog" in resp_cmds[0]
         assert set(run.written) == {"mail1", "snmp1", "redis1"}
         assert not run.unbound
+
+
+class TestSocketInputConfig:
+    def test_imtcp_input_to_omfile(self, spark, tmp_path):
+        """input(type=imtcp port=...) starts the TCP bridge; messages
+        sent to the socket flow through the ruleset into omfile."""
+        import socket
+        import time as _time
+        from rsyslog_spark.config.runtime import run_config_stream
+        from rsyslog_spark.streaming.bridges import imtcp as _imtcp
+
+        # pre-bind a port for determinism: start our own bridge via
+        # the spool param + port 0 is not expressible in a conf, so
+        # grab a free port first
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+        out = tmp_path / "out"
+        conf = f'''
+        input(type="imtcp" port="{port}" address="127.0.0.1"
+              ruleset="main" spool="{tmp_path}/spool")
+        ruleset(name="main") {{
+            action(type="omfile" name="sink" file="{out}")
+        }}
+        '''
+        # send messages BEFORE the drain-once query runs; retry until
+        # the bridge's listener is up
+        payload = b"<13>Mar  1 10:00:00 h1 app: via tcp config\n"
+        import threading
+
+        def send_when_up():
+            for _ in range(100):
+                try:
+                    c = socket.create_connection(
+                        ("127.0.0.1", port), timeout=0.2)
+                    c.sendall(payload)
+                    c.close()
+                    return
+                except OSError:
+                    _time.sleep(0.1)
+
+        th = threading.Thread(target=send_when_up)
+        # run_config_stream starts the bridge synchronously, then
+        # waits drain_grace before snapshotting the spool — the
+        # sender connects as soon as the listener is up
+        th.start()
+        q = run_config_stream(
+            spark, conf, checkpoint=str(tmp_path / "ck"),
+            drain_grace=3.0)
+        th.join(timeout=10)
+        rows = spark.read.parquet(str(out)).collect()
+        assert len(rows) == 1
+        assert rows[0]["msg"] == "via tcp config"
+        assert rows[0]["hostname"] == "h1"
