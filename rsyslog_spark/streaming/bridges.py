@@ -903,3 +903,127 @@ def imtuxedoulog(spark: SparkSession, path: str, *,
             "structured_data"),
         F.lit("imtuxedoulog").alias("inputname"),
     )
+
+
+class imbeats(SpoolBridge):
+    """Elastic Beats (lumberjack v2) server (ref: plugins/imbeats/
+    lj_parser.h:10-13 frame types W/J/C/A; imbeats.c ACK timing).
+
+    Wire format (big-endian): 2-byte header ``2`` + type; ``W`` =
+    uint32 window size; ``J`` = uint32 seq, uint32 len, JSON payload;
+    ``C`` = uint32 len, zlib blob of concatenated inner frames. The
+    server acks ``2A`` + highest-seq at each window boundary — the
+    batching contract Filebeat retries on. Event JSON lands in
+    ``line`` verbatim (route through mmjsonparse downstream, as the
+    reference feeds its JSON decoder)."""
+
+    def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
+                 port: int = 0, **kw):
+        super().__init__(spool_dir, inputname="imbeats", **kw)
+        self.srv = socket.socket()
+        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.srv.bind((host, port))
+        self.srv.listen(16)
+        self.srv.settimeout(0.2)
+        self.port = self.srv.getsockname()[1]
+
+    def _serve(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, addr = self.srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            threading.Thread(target=self._session,
+                             args=(conn, addr[0]), daemon=True).start()
+
+    def _session(self, conn, peer) -> None:
+        import struct
+        import zlib
+
+        conn.settimeout(5)
+        f = conn.makefile("rwb")
+
+        def u32(buf, off):
+            return struct.unpack_from(">I", buf, off)[0]
+
+        def handle(buf):
+            """Parse complete frames from buf; returns (consumed,
+            window, max_seq) — an incomplete trailing frame is left
+            for the next recv to finish."""
+            off, window, max_seq = 0, 0, 0
+            while off + 2 <= len(buf):
+                typ = buf[off + 1:off + 2]
+                if typ == b"W":
+                    if off + 6 > len(buf):
+                        break
+                    window = u32(buf, off + 2)
+                    off += 6
+                elif typ == b"J":
+                    if off + 10 > len(buf):
+                        break
+                    seq = u32(buf, off + 2)
+                    plen = u32(buf, off + 6)
+                    if off + 10 + plen > len(buf):
+                        break
+                    payload = buf[off + 10:off + 10 + plen]
+                    off += 10 + plen
+                    self.emit({"line": payload.decode(
+                        "utf-8", errors="replace"),
+                        "fromhost": peer})
+                    max_seq = max(max_seq, seq)
+                elif typ == b"C":
+                    if off + 6 > len(buf):
+                        break
+                    clen = u32(buf, off + 2)
+                    if off + 6 + clen > len(buf):
+                        break
+                    inner = zlib.decompress(buf[off + 6:off + 6 + clen])
+                    off += 6 + clen
+                    _c, w, s = handle(inner)
+                    if w:
+                        window = w
+                    max_seq = max(max_seq, s)
+                else:       # unknown frame: drop connection state
+                    off = len(buf)
+                    break
+            return off, window, max_seq
+
+        try:
+            pending = b""
+            window = 0
+            seen = 0
+            max_seq = 0
+            while not self._stop.is_set():
+                try:
+                    chunk = conn.recv(65536)
+                except socket.timeout:
+                    continue
+                except OSError:
+                    break
+                if not chunk:
+                    break
+                pending += chunk
+                consumed, w, s = handle(pending)
+                pending = pending[consumed:]
+                if w:
+                    window = w
+                if s:
+                    seen += 1
+                    max_seq = max(max_seq, s)
+                if window and max_seq >= window:
+                    f.write(b"2A" + max_seq.to_bytes(4, "big"))
+                    f.flush()
+                    window = 0
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _shutdown(self) -> None:
+        try:
+            self.srv.close()
+        except OSError:
+            pass

@@ -3,6 +3,7 @@ streaming source; imjournal export-format and imdocker json-file
 parsing (SURVEY §2.1; ref plugins/imudp, plugins/imuxsock,
 contrib/imhttp, plugins/imjournal, contrib/imdocker)."""
 
+import json
 import os
 import socket
 import threading
@@ -393,3 +394,41 @@ def test_imtuxedoulog_parse(spark, tmp_path):
     assert b.msg == "TMS_ORA: transaction aborted"
     assert b.structured_data == '[ECID="abc-123"]'
     assert str(b.timereported).startswith("2026-08-14 12:34:57.789")
+
+
+def test_imbeats_lumberjack_v2(spark, tmp_path):
+    """Filebeat-style client: window frame, plain JSON frames, a
+    zlib-compressed batch, split across sends; server acks highest
+    seq at the window boundary (ref: plugins/imbeats/lj_parser.h)."""
+    import json as j
+    import struct
+    import zlib
+    from rsyslog_spark.streaming.bridges import imbeats
+
+    b = imbeats(str(tmp_path / "spool"), flush_secs=0.2).start()
+    try:
+        def jframe(seq, obj):
+            p = j.dumps(obj).encode()
+            return b"2J" + struct.pack(">II", seq, len(p)) + p
+
+        c = socket.create_connection(("127.0.0.1", b.port))
+        c.sendall(b"2W" + struct.pack(">I", 3))
+        # frame split across two sends exercises reassembly
+        f1 = jframe(1, {"message": "beat one"})
+        c.sendall(f1[:7])
+        c.sendall(f1[7:])
+        inner = jframe(2, {"message": "beat two"}) + \
+            jframe(3, {"message": "beat three"})
+        z = zlib.compress(inner)
+        c.sendall(b"2C" + struct.pack(">I", len(z)) + z)
+        c.settimeout(10)
+        ack = c.recv(6)
+        assert ack[:2] == b"2A"
+        assert struct.unpack(">I", ack[2:])[0] == 3
+        c.close()
+        df = _drain(b, spark, 3)
+        msgs = sorted(json.loads(r.line)["message"]
+                      for r in df.collect())
+        assert msgs == ["beat one", "beat three", "beat two"]
+    finally:
+        b.stop()
