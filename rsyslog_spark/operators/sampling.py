@@ -94,3 +94,37 @@ def split_train_holdout(
     u = (F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)),
                 F.lit(_MOD))) / F.lit(float(_MOD))
     return df.filter(u >= holdout_fraction), df.filter(u < holdout_fraction)
+
+
+def pack_sequences(
+    df: DataFrame, id_col: str, token_count: Column, *,
+    window_tokens: int, shard_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing for training: concatenate documents in
+    deterministic ``id_col`` order and cut fixed-size context windows
+    of ``window_tokens`` — the GPT-style "packed sequences" layout
+    where document boundaries may cross window edges.
+
+    Each doc gets ``bin_id = floor((cumsum - tokens) / window)`` — the
+    window its FIRST token lands in — plus its token offset within
+    the global stream. The window function partitions by
+    ``shard_col`` (pack per shard); passing None packs one global
+    stream, which serializes the scan through a single partition —
+    always shard at scale (the per-shard layout is also what data
+    loaders consume).
+    """
+    from pyspark.sql import Window
+
+    part = (Window.partitionBy(shard_col) if shard_col
+            else Window.partitionBy())
+    w = part.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = F.sum(token_count).over(w)
+    start = (cum - token_count).cast("long")
+    out = [F.col(c) for c in df.columns]
+    return df.select(
+        *out,
+        token_count.cast("long").alias("n_tokens"),
+        start.alias("token_offset"),
+        F.floor(start / window_tokens).cast("long").alias("bin_id"),
+    )

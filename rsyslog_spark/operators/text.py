@@ -112,3 +112,77 @@ def doc_fingerprint(text: ColumnOrName) -> Column:
     dedup key for exact dedup after fuzzy normalization."""
     norm = F.regexp_replace(F.lower(F.trim(rs_str(text))), r"\s+", " ")
     return F.md5(norm)
+
+
+def ngram_decontaminate(
+    train: "DataFrame", bench: "DataFrame", text_col: str,
+    id_col: str, *, shingle_n: int = 3, threshold: float = 0.5,
+) -> "DataFrame":
+    """Benchmark decontamination: per training doc, the fraction of
+    its word n-grams that appear ANYWHERE in the benchmark corpus;
+    docs at/above ``threshold`` are flagged ``contaminated`` (the
+    eval-leakage filter every training pipeline runs before a data
+    release).
+
+    Plan: distinct shingles per side → left-semi-style match via an
+    inner join against the DISTINCT benchmark shingle set → one
+    groupBy(train doc). The join key is the shingle string and the
+    benchmark set is typically small and broadcastable; at corpus
+    scale both sides are shuffle-partitioned by shingle, and the
+    hot-stopword-shingle skew is AQE's skew-join case.
+    """
+    from rsyslog_spark.operators.dedup import shingles
+
+    t = train.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    b = (bench.select(
+            F.explode(shingles(F.col(text_col), shingle_n))
+            .alias("__sh"))
+         .distinct())
+    totals = t.groupBy(id_col).agg(F.count(F.lit(1)).alias("__total"))
+    hits = (t.join(b, "__sh")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("__hits")))
+    frac = F.coalesce(F.col("__hits"), F.lit(0)) / F.col("__total")
+    return (totals.join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.round(frac, 6).alias("overlap_frac"),
+                    (frac >= threshold).alias("contaminated")))
+
+
+def repetition_metrics(text: ColumnOrName) -> list[Column]:
+    """Gopher-style within-document repetition signals, pure column
+    expressions: duplicate-word fraction (1 - distinct/total) and
+    the most-frequent-bigram share of all bigrams. High values mark
+    boilerplate/spam documents a quality filter drops.
+
+    Returns [dup_word_frac, top_bigram_frac] so callers alias them.
+    """
+    toks = F.split(F.lower(F.trim(rs_str(text))), r"\s+", -1)
+    n = F.size(toks)
+    dup_word = F.round(
+        (n - F.size(F.array_distinct(toks))) / n, 6)
+    idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0)))
+    bigrams = F.filter(
+        F.transform(idx,
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+        lambda g: F.length(g) > 0)
+    nb = F.size(bigrams)
+    # most-frequent bigram count: sort the bigram array and scan
+    # consecutive runs — O(n log n) per doc (a distinct×n nested
+    # filter would be quadratic on long documents)
+    run = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+             .otherwise(F.lit(1)).alias("run"),
+            F.greatest(acc["best"],
+                       F.when(g == acc["prev"], acc["run"] + 1)
+                       .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
+    top_bigram = F.round(run / nb, 6)
+    return [dup_word, top_bigram]

@@ -478,3 +478,124 @@ def stratified_sample_docs(spark, sf_dir):
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").cast("long").alias("id_checksum"))
+
+
+@q(
+    "decontaminate_ngram_overlap",
+    """
+    WITH tr AS (SELECT * FROM documents WHERE doc_id % 10 <> 0 AND doc_id < 300),
+    be AS (SELECT * FROM documents WHERE doc_id % 10 = 0 AND doc_id < 300),
+    tsh AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id,
+               list_distinct([array_to_string(words[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(words) - 2, 1) + 1)]) AS shs
+        FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words FROM tr)
+      ), UNNEST(shs) AS u(sh) WHERE sh <> ''
+    ),
+    bsh AS (
+      SELECT DISTINCT sh FROM (
+        SELECT list_distinct([array_to_string(words[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(words) - 2, 1) + 1)]) AS shs
+        FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS words FROM be)
+      ), UNNEST(shs) AS u(sh) WHERE sh <> ''
+    )
+    SELECT t.doc_id,
+           ROUND(COALESCE(h.hits, 0) * 1.0 / t.total, 6) AS overlap_frac,
+           COALESCE(h.hits, 0) * 1.0 / t.total >= 0.5 AS contaminated
+    FROM (SELECT doc_id, COUNT(*) AS total FROM tsh GROUP BY doc_id) t
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS hits FROM tsh
+               WHERE sh IN (SELECT sh FROM bsh) GROUP BY doc_id) h
+    USING (doc_id)
+    """,
+    doc="Benchmark decontamination: per training doc, the fraction "
+        "of its word 3-grams found anywhere in the held-out benchmark "
+        "subset (doc_id % 10 == 0); >= 0.5 flags eval leakage "
+        "(operators/text.ngram_decontaminate).",
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    from rsyslog_spark.operators.text import ngram_decontaminate
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return ngram_decontaminate(train, bench, "text", "doc_id",
+                               shingle_n=3, threshold=0.5)
+
+
+@q(
+    "doc_repetition_filter",
+    """
+    SELECT lang,
+           ROUND(AVG(ROUND((n - nd) * 1.0 / n, 6)), 4) AS mean_dup_word,
+           ROUND(AVG(top_bg), 4) AS mean_top_bigram,
+           CAST(SUM(CASE WHEN (n - nd) * 1.0 / n > 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM (
+      SELECT lang, len(words) AS n, len(list_distinct(words)) AS nd,
+             ROUND(
+               (SELECT MAX(c) FROM (
+                  SELECT COUNT(*) AS c FROM UNNEST(bgs) AS u(g) GROUP BY g))
+               * 1.0 / len(bgs), 6) AS top_bg
+      FROM (
+        SELECT lang, words,
+               [array_to_string(words[i:i+1], ' ')
+                FOR i IN range(1, GREATEST(len(words) - 1, 1) + 1)] AS bgs
+        FROM (SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS words
+              FROM documents)
+      )
+    ) GROUP BY lang
+    """,
+    doc="Gopher-style within-document repetition: duplicate-word "
+        "fraction and most-frequent-bigram share (sorted run-length "
+        "scan, O(n log n) per doc), aggregated per lang with a "
+        ">0.6 dup-word flag count (operators/text.repetition_metrics).",
+)
+def doc_repetition_filter(spark, sf_dir):
+    from rsyslog_spark.operators.text import repetition_metrics
+
+    docs = load(spark, sf_dir, "documents")
+    dup_word, top_bigram = repetition_metrics("text")
+    per_doc = docs.select(
+        "lang", dup_word.alias("dw"), top_bigram.alias("tb"))
+    return per_doc.groupBy("lang").agg(
+        F.round(F.avg("dw"), 4).alias("mean_dup_word"),
+        F.round(F.avg("tb"), 4).alias("mean_top_bigram"),
+        F.sum((F.col("dw") > 0.6).cast("long")).cast("long")
+         .alias("n_flagged"))
+
+
+@q(
+    "sequence_packing",
+    """
+    SELECT lang, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM (
+      SELECT lang, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 2048.0) AS BIGINT)
+               AS bin_id
+      FROM (SELECT lang, doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents)
+      WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING)
+    ) GROUP BY lang, bin_id
+    """,
+    doc="Sequence packing: concatenate docs per lang shard in doc_id "
+        "order, cut 2048-token context windows, report per-bin doc "
+        "counts and token totals (operators/sampling.pack_sequences; "
+        "per-shard windows - no global serialization).",
+)
+def sequence_packing(spark, sf_dir):
+    from rsyslog_spark.operators.sampling import pack_sequences
+    from rsyslog_spark.operators.text import token_count_ws
+
+    docs = load(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, "doc_id", token_count_ws("text"),
+                            window_tokens=2048, shard_col="lang")
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"))

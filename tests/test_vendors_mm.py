@@ -327,3 +327,52 @@ class TestComponentsAndSampling:
         assert trk.isdisjoint(hok) and len(trk) + len(hok) == 1000
         # hash_sample fraction=1 keeps everything
         assert hash_sample(df, "k", 1.0).count() == 1000
+
+
+class TestDataPipelineOps:
+    def test_ngram_decontaminate_flags_leaked_doc(self, spark):
+        from rsyslog_spark.operators.text import ngram_decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string")
+        train = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "completely unrelated training text about spark"),
+             (3, "the quick brown fox runs through a green field "
+                 "toward another distant farm")],
+            "doc_id long, text string")
+        got = {r.doc_id: (r.overlap_frac, r.contaminated)
+               for r in ngram_decontaminate(
+                   train, bench, "text", "doc_id").collect()}
+        assert got[1] == (1.0, True)          # verbatim leak
+        assert got[2] == (0.0, False)
+        assert 0 < got[3][0] < 0.5 and not got[3][1]
+
+    def test_repetition_metrics(self, spark):
+        from rsyslog_spark.operators.text import repetition_metrics
+
+        df = spark.createDataFrame(
+            [("spam spam spam spam",),
+             ("all words here are fully distinct tokens",)],
+            "text string")
+        dw, tb = repetition_metrics("text")
+        rows = df.select(dw.alias("dw"), tb.alias("tb")).collect()
+        assert rows[0].dw == 0.75             # 4 words, 1 distinct
+        assert rows[0].tb == 1.0              # 'spam spam' is every bigram
+        assert rows[1].dw == 0.0
+        assert rows[1].tb < 0.2
+
+    def test_pack_sequences_bins(self, spark):
+        from pyspark.sql import functions as F
+        from rsyslog_spark.operators.sampling import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, "s", 600) for i in range(1, 6)],
+            "doc_id long, shard string, toks int")
+        out = pack_sequences(df, "doc_id", F.col("toks"),
+                             window_tokens=1000, shard_col="shard") \
+            .orderBy("doc_id").collect()
+        # offsets 0,600,1200,1800,2400 → bins 0,0,1,1,2
+        assert [r.token_offset for r in out] == [0, 600, 1200, 1800, 2400]
+        assert [r.bin_id for r in out] == [0, 0, 1, 1, 2]
