@@ -42,8 +42,13 @@ BENCH_QUERIES = [
     "repeated_msg_reduction_runs",
     "dedup_exact",
     "minhash_lsh_dedup",
+    "dedup_components",
     "similarity_topk_bruteforce",
     "text_battery",
+    "doc_repetition_filter",
+    "decontaminate_ngram_overlap",
+    "sequence_packing",
+    "stratified_sample_docs",
     "pricing_summary",
     "top_revenue_orders",
     "supplier_part_volume",

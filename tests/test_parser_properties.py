@@ -80,3 +80,29 @@ class TestParserProperties:
             assert (r["msg"] or "") == msg
             assert r["protocol_version"] == 0
             assert r["timereported"] is not None
+
+
+def test_multiline_reassembly_roundtrip_property(spark):
+    """Property: for random message groupings, indented-continuation
+    reassembly (readMode 1) reconstructs exactly the messages that
+    were flattened into lines (ref: plugins/imfile readMode 1)."""
+    import random
+
+    from rsyslog_spark.streaming.sources import reassemble_multiline
+
+    rng = random.Random(42)
+    for trial in range(3):
+        msgs = []
+        for i in range(rng.randint(3, 12)):
+            first = f"msg{i} head"
+            conts = [f"  cont{i}.{j}" for j in range(rng.randint(0, 4))]
+            msgs.append("\n".join([first] + conts))
+        lines = [(("f1", n, ln))
+                 for n, ln in enumerate(
+                     ln for m in msgs for ln in m.split("\n"))]
+        df = spark.createDataFrame(
+            lines, "srcfile string, line_no long, line string")
+        got = [r.line for r in
+               reassemble_multiline(df, read_mode=1)
+               .orderBy("first_line_no").collect()]
+        assert got == msgs, f"trial {trial}"
