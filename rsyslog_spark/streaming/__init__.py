@@ -36,6 +36,7 @@ from rsyslog_spark.streaming.transports import (
 from rsyslog_spark.streaming.bridges import (
     imbatchreport,
     imbeats,
+    imdiag,
     imptcp,
     imrelp,
     imtcp,
@@ -61,7 +62,7 @@ __all__ = [
     "omuxsock_sink", "omstdout_sink", "amqp1_sink",
     "omjournal_sink", "omazuredce_sink", "omhttpfs_sink",
     "omrabbitmq_sink", "omawslogs_sink", "imbatchreport",
-    "omrelp_sink", "imtuxedoulog", "imbeats",
+    "omrelp_sink", "imtuxedoulog", "imbeats", "imdiag",
     "streaming_dynstats", "streaming_ratelimit",
     "streaming_repeated_msg_reduction", "streaming_sendertrack",
     "fanout_sink", "omfile_sink", "omkafka_sink",

@@ -1027,3 +1027,28 @@ class imbeats(SpoolBridge):
             self.srv.close()
         except OSError:
             pass
+
+
+class imdiag(SpoolBridge):
+    """Diagnostic injection input (ref: plugins/imdiag/imdiag.c — the
+    testbench's ``injectmsg`` backdoor). ``inject(line)`` enqueues a
+    message directly; ``inject_n(n, fmt)`` mirrors the testbench's
+    numbered-message generator so golden tests can assert exact
+    sequences."""
+
+    def __init__(self, spool_dir: str, **kw):
+        super().__init__(spool_dir, inputname="imdiag", **kw)
+        self._localhost = socket.gethostname()
+
+    def _serve(self) -> None:
+        self._stop.wait()                  # injection-only: no loop
+
+    def inject(self, line: str) -> None:
+        self.emit({"line": line, "fromhost": self._localhost})
+
+    def inject_n(self, n: int,
+                 fmt: str = "<167>Mar  1 01:00:00 172.20.245.8 "
+                            "tag msgnum:{i:08d}:") -> None:
+        for i in range(n):
+            self.emit({"line": fmt.format(i=i),
+                       "fromhost": self._localhost})

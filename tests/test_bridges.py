@@ -432,3 +432,21 @@ def test_imbeats_lumberjack_v2(spark, tmp_path):
         assert msgs == ["beat one", "beat three", "beat two"]
     finally:
         b.stop()
+
+
+def test_imdiag_injectmsg(spark, tmp_path):
+    from rsyslog_spark.parsers import parse_syslog
+    from rsyslog_spark.streaming.bridges import imdiag
+
+    b = imdiag(str(tmp_path / "spool"), flush_secs=0.2).start()
+    try:
+        b.inject_n(5)
+        df = _drain(b, spark, 5)
+        parsed = parse_syslog(df)
+        msgs = sorted(r.msg for r in parsed.collect())
+        # 'tag' lacks the colon terminator, so pmrfc3164 leaves it in
+        # MSG (tag_found=false path), same as the reference's
+        # permissive parse of the testbench line
+        assert msgs == [f"tag msgnum:{i:08d}:" for i in range(5)]
+    finally:
+        b.stop()
