@@ -22,6 +22,7 @@ from rsyslog_spark.streaming.transports import (
     amqp1_sink,
     omawslogs_sink,
     omazuredce_sink,
+    omczmq_sink,
     omhttpfs_sink,
     omjournal_sink,
     omrabbitmq_sink,
@@ -36,6 +37,7 @@ from rsyslog_spark.streaming.transports import (
 from rsyslog_spark.streaming.bridges import (
     imbatchreport,
     imbeats,
+    imczmq,
     imdiag,
     imptcp,
     imrelp,
@@ -62,7 +64,8 @@ __all__ = [
     "omuxsock_sink", "omstdout_sink", "amqp1_sink",
     "omjournal_sink", "omazuredce_sink", "omhttpfs_sink",
     "omrabbitmq_sink", "omawslogs_sink", "imbatchreport",
-    "omrelp_sink", "imtuxedoulog", "imbeats", "imdiag",
+    "omrelp_sink", "imtuxedoulog", "imbeats", "imdiag", "imczmq",
+    "omczmq_sink",
     "streaming_dynstats", "streaming_ratelimit",
     "streaming_repeated_msg_reduction", "streaming_sendertrack",
     "fanout_sink", "omfile_sink", "omkafka_sink",

@@ -1052,3 +1052,63 @@ class imdiag(SpoolBridge):
         for i in range(n):
             self.emit({"line": fmt.format(i=i),
                        "fromhost": self._localhost})
+
+
+class imczmq(SpoolBridge):
+    """ZeroMQ input (ref: contrib/imczmq/imczmq.c:77-120 — socktype
+    SUB/PULL + topics). ``socket_factory() -> (recv() ->
+    list[bytes] | None, close)`` supplies the engine — pyzmq when
+    importable, else injected (tests); SUB mode treats a two-part
+    message as (topic, payload)."""
+
+    def __init__(self, spool_dir: str, *, endpoints: str = "",
+                 socktype: str = "SUB", topics: str = "",
+                 socket_factory=None, **kw):
+        if socktype not in ("SUB", "PULL"):
+            raise ValueError(f"imczmq socktype {socktype!r}")
+        super().__init__(spool_dir, inputname="imczmq", **kw)
+        self.endpoints = endpoints
+        self.socktype = socktype
+        self.topics = topics
+        self._factory = socket_factory or self._default_factory
+        self._localhost = socket.gethostname()
+
+    def _default_factory(self):
+        try:
+            import zmq
+        except ImportError as e:
+            raise RuntimeError(
+                "imczmq needs pyzmq or an injected "
+                "socket_factory") from e
+        ctx = zmq.Context.instance()
+        sock = ctx.socket(getattr(zmq, self.socktype))
+        for ep in self.endpoints.split(","):
+            sock.bind(ep.strip())
+        if self.socktype == "SUB":
+            for t in (self.topics.split(",") if self.topics else [""]):
+                sock.subscribe(t.strip())
+        sock.RCVTIMEO = 200
+
+        def recv():
+            try:
+                return sock.recv_multipart()
+            except zmq.Again:
+                return None
+
+        return recv, sock.close
+
+    def _serve(self) -> None:
+        recv, close = self._factory()
+        try:
+            while not self._stop.is_set():
+                parts = recv()
+                if parts is None:
+                    continue
+                if not parts:
+                    break
+                payload = parts[-1]       # SUB: (topic, payload)
+                self.emit({"line": payload.decode(
+                    "utf-8", errors="replace"),
+                    "fromhost": self._localhost})
+        finally:
+            close()

@@ -935,3 +935,64 @@ def omrelp_sink(
         lines.rdd.mapPartitions(per_partition).count()
 
     return write
+
+
+# ---------------------------------------------------------------------
+# omczmq (ref: contrib/omczmq/omczmq.c) — ZeroMQ publisher
+# ---------------------------------------------------------------------
+
+def omczmq_sink(
+    endpoints: str,
+    *,
+    socktype: str = "PUB",
+    topic: str | None = None,
+    socket_factory: Callable | None = None,
+    line_col: str = "line",
+) -> Callable[[DataFrame, int], None]:
+    """ZeroMQ output (ref: contrib/omczmq/omczmq.c:100-129 —
+    endpoints + socktype action params, zsock_new per worker).
+    PUB sends ``topic`` as the first frame part when set (czmq
+    multipart convention); PUSH sends the message alone.
+
+    ``socket_factory() -> (send(parts: list[bytes]), close)``
+    supplies the engine — pyzmq when importable, else injected."""
+
+    if socktype not in ("PUB", "PUSH"):
+        raise ValueError(f"omczmq socktype {socktype!r}")
+
+    def default_factory():
+        try:
+            import zmq
+        except ImportError as e:
+            raise RuntimeError(
+                "omczmq_sink needs pyzmq or an injected "
+                "socket_factory") from e
+        ctx = zmq.Context.instance()
+        sock = ctx.socket(getattr(zmq, socktype))
+        for ep in endpoints.split(","):
+            sock.connect(ep.strip())
+        return (lambda parts: sock.send_multipart(parts),
+                sock.close)
+
+    factory = socket_factory or default_factory
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        lines = batch_df.select(
+            F.col(line_col).cast("string").alias("l"))
+
+        def per_partition(rows):
+            send, close = factory()
+            try:
+                for r in rows:
+                    payload = (r.l or "").encode("utf-8")
+                    if socktype == "PUB" and topic:
+                        send([topic.encode(), payload])
+                    else:
+                        send([payload])
+            finally:
+                close()
+            return iter(())
+
+        lines.rdd.mapPartitions(per_partition).count()
+
+    return write

@@ -481,3 +481,46 @@ def test_imbatchreport_whole_file_and_rename(spark, tmp_path):
     assert len(moved) == 3
     # nothing left to read after commit
     assert b.read(spark).count() == 0
+
+
+def test_omczmq_imczmq_injectable_loop(spark, tmp_path):
+    """omczmq publisher → imczmq consumer through an injected
+    in-file 'broker' (pyzmq absent in this sandbox; the multipart
+    topic convention is still exercised)."""
+    from rsyslog_spark.streaming.bridges import imczmq
+    from rsyslog_spark.streaming.transports import omczmq_sink
+
+    wire = str(tmp_path / "wire.bin")
+
+    def pub_factory():
+        f = open(wire, "ab")
+        return (lambda parts: f.write(b"\x1f".join(parts) + b"\x1e"),
+                f.close)
+
+    omczmq_sink("tcp://dummy", socktype="PUB", topic="syslog",
+                socket_factory=pub_factory)(
+        _lines_df(spark, ["z1", "z2"]).coalesce(1), 0)
+
+    frames = [fr.split(b"\x1f") for fr in
+              open(wire, "rb").read().split(b"\x1e") if fr]
+    assert frames == [[b"syslog", b"z1"], [b"syslog", b"z2"]]
+
+    it = iter(frames + [[]])
+
+    def sub_factory():
+        return (lambda: next(it, []), lambda: None)
+
+    b = imczmq(str(tmp_path / "spool"), socket_factory=sub_factory,
+               flush_secs=0.2).start()
+    try:
+        import time as _t
+        deadline = _t.time() + 10
+        while _t.time() < deadline:
+            b.flush()
+            if b.batch(spark).count() >= 2:
+                break
+            _t.sleep(0.3)
+        got = sorted(r.line for r in b.batch(spark).collect())
+        assert got == ["z1", "z2"]
+    finally:
+        b.stop()
