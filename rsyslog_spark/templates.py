@@ -101,6 +101,10 @@ _PROP_ALIASES: dict[str, tuple[str, str | None]] = {
     "protocol-version": ("protocol_version", None),
     "syslogseverity-text": ("syslogseverity-text", None),
     "syslogfacility-text": ("syslogfacility-text", None),
+    # legacy aliases (ref: msg.c propNameToID: syslogpriority is the
+    # historical name for severity)
+    "syslogpriority": ("syslogseverity", None),
+    "syslogpriority-text": ("syslogseverity-text", None),
 }
 
 
@@ -154,6 +158,8 @@ def prop_col(name: str) -> Column:
     sysprops = _system_props()
     if lo in sysprops:
         return sysprops[lo]
+    if lo == "syslogpriority-text":
+        lo = "syslogseverity-text"
     if lo in ("syslogseverity-text", "syslogfacility-text"):
         return _pri_text(lo)
     alias = _PROP_ALIASES.get(lo)
@@ -468,6 +474,50 @@ BUILTIN_TEMPLATES: dict[str, str] = {
     "RSYSLOG_SyslogProtocol23Format":
         "<%PRI%>1 %TIMESTAMP:::date-rfc3339% %HOSTNAME% %APP-NAME% "
         "%PROCID% %MSGID% %STRUCTURED-DATA% %msg%",
+    # remaining stock templates (ref: runtime/rsconf.c:203-249;
+    # registered there at init like the four classics above). The
+    # reference hides some behind leading-space names (" WallFmt");
+    # here all use the RSYSLOG_ prefix for config addressability.
+    "RSYSLOG_SyslogRFC5424Format":
+        "<%PRI%>1 %TIMESTAMP:::date-rfc3339% %HOSTNAME% %APP-NAME% "
+        "%PROCID% %MSGID% %STRUCTURED-DATA% %msg%",
+    "RSYSLOG_SysklogdFileFormat":
+        "%TIMESTAMP% %HOSTNAME% %syslogtag%%msg:::sp-if-no-1st-sp%"
+        "%msg%",
+    "RSYSLOG_WallFmt":
+        "\r\n\x07Message from syslogd@%HOSTNAME% at %timegenerated% "
+        "...\r\n %syslogtag%%msg%",
+    "RSYSLOG_StdUsrMsgFmt": " %syslogtag%%msg%",
+    "RSYSLOG_DebugFormat":
+        "Debug line with all properties:\nFROMHOST: '%FROMHOST%', "
+        "fromhost-ip: '%fromhost-ip%', HOSTNAME: '%HOSTNAME%', "
+        "PRI: %PRI%,\nsyslogtag '%syslogtag%', programname: "
+        "'%programname%', APP-NAME: '%APP-NAME%', PROCID: "
+        "'%PROCID%', MSGID: '%MSGID%',\nTIMESTAMP: '%TIMESTAMP%', "
+        "STRUCTURED-DATA: '%STRUCTURED-DATA%',\nmsg: '%msg%'\n"
+        "escaped msg: '%msg:::drop-cc%'\ninputname: %inputname% "
+        "rawmsg: '%rawmsg%'\n",
+    "RSYSLOG_StdJSONFmt":
+        '{"message":"%msg:::json%","fromhost":"%HOSTNAME:::json%",'
+        '"facility":"%syslogfacility-text%",'
+        '"priority":"%syslogpriority-text%",'
+        '"timereported":"%timereported:::date-rfc3339%",'
+        '"timegenerated":"%timegenerated:::date-rfc3339%"}',
+    "RSYSLOG_StdDBFmt":
+        "insert into SystemEvents (Message, Facility, FromHost, "
+        "Priority, DeviceReportedTime, ReceivedAt, SysLogTag) "
+        "values ('%msg:::sql%', %syslogfacility%, "
+        "'%HOSTNAME:::sql%', %syslogpriority%, "
+        "'%timereported:::date-mysql%', "
+        "'%timegenerated:::date-mysql%', '%syslogtag:::sql%')",
+    "RSYSLOG_StdPgSQLFmt":
+        "insert into SystemEvents (Message, Facility, FromHost, "
+        "Priority, DeviceReportedTime, ReceivedAt, SysLogTag) "
+        "values ('%msg:::stdsql%', %syslogfacility%, "
+        "'%HOSTNAME:::stdsql%', %syslogpriority%, "
+        "'%timereported:::date-pgsql%', "
+        "'%timegenerated:::date-pgsql%', '%syslogtag:::stdsql%')",
+    "RSYSLOG_spoofadr": "%fromhost-ip%",
 }
 
 

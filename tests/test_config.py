@@ -1162,3 +1162,34 @@ class TestSocketInputConfig:
         assert len(rows) == 1
         assert rows[0]["msg"] == "via tcp config"
         assert rows[0]["hostname"] == "h1"
+
+
+class TestStockTemplates:
+    def test_all_builtin_templates_render(self, spark):
+        """Every RSYSLOG_* stock template (rsconf.c:203-249 set)
+        compiles and renders over a parsed frame."""
+        from pyspark.sql import functions as F
+        from rsyslog_spark.parsers import parse_syslog
+        from rsyslog_spark.templates import (
+            BUILTIN_TEMPLATES, compile_template_string)
+
+        df = parse_syslog(spark.createDataFrame(
+            [("<34>1 2026-08-13T01:02:03Z web01 app 7 ID1 "
+              "[x@1 k=\"v\"] disk error",)], "line string"))
+        cols = {name: compile_template_string(s).col().alias(name)
+                for name, s in BUILTIN_TEMPLATES.items()}
+        row = df.select(*cols.values()).first()
+        assert row["RSYSLOG_SyslogRFC5424Format"].startswith(
+            "<34>1 2026-08-13T01:02:03")
+        assert "web01 app[7]:" in row["RSYSLOG_SysklogdFileFormat"]
+        assert row["RSYSLOG_WallFmt"].startswith(
+            "\r\n\x07Message from syslogd@web01")
+        assert '"message":"disk error"' in row["RSYSLOG_StdJSONFmt"]
+        assert '"facility":"auth"' in row["RSYSLOG_StdJSONFmt"]
+        assert "insert into SystemEvents" in row["RSYSLOG_StdDBFmt"]
+        assert "'disk error'" in row["RSYSLOG_StdPgSQLFmt"]
+        assert "msg: 'disk error'" in row["RSYSLOG_DebugFormat"]
+        for name, v in row.asDict().items():
+            if name == "RSYSLOG_spoofadr":
+                continue   # fromhost-ip is NULL without a receiver
+            assert v is not None and v != "", name
