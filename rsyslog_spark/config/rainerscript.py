@@ -887,6 +887,9 @@ _FN_MAP: dict[str, Callable[..., Column]] = {
     "faup_tld": rf.faup_tld, "faup_subdomain": rf.faup_subdomain,
     "faup_port": rf.faup_port, "faup_credential": rf.faup_credential,
     "tocef": rf.tocef, "cef_ext_escape": rf.cef_ext_escape,
+    # fmpcre (ref: plugins/fmpcre/fmpcre.c): Java regex stands in for
+    # PCRE — common patterns overlap; exotic PCRE verbs differ
+    "pcre_match": rf.pcre_match,
     "prifilt": None,  # special-cased below (plan-time mask compile)
 }
 
