@@ -518,6 +518,22 @@ BUILTIN_TEMPLATES: dict[str, str] = {
         "'%timereported:::date-pgsql%', "
         "'%timegenerated:::date-pgsql%', '%syslogtag:::stdsql%')",
     "RSYSLOG_spoofadr": "%fromhost-ip%",
+    "RSYSLOG_FullJSONFmt":
+        '{"message":"%msg:::json%",'
+        '"fromhost":"%HOSTNAME:::json%",'
+        '"programname":"%programname%",'
+        '"procid":"%PROCID%","msgid":"%MSGID%",'
+        '"facility":"%syslogfacility-text%",'
+        '"priority":"%syslogpriority-text%",'
+        '"timereported":"%timereported:::date-rfc3339%",'
+        '"timegenerated":"%timegenerated:::date-rfc3339%"}',
+    "RSYSLOG_StdClickHouseFmt":
+        "INSERT INTO rsyslog.SystemEvents (severity, facility, "
+        "timestamp, hostname, tag, message) VALUES "
+        "(%syslogseverity%, %syslogfacility%, "
+        "'%timereported:::date-unixtimestamp%', "
+        "'%hostname:::stdsql%', '%syslogtag:::stdsql%', "
+        "'%msg:::stdsql%')",
 }
 
 
