@@ -534,6 +534,10 @@ BUILTIN_TEMPLATES: dict[str, str] = {
         "'%timereported:::date-unixtimestamp%', "
         "'%hostname:::stdsql%', '%syslogtag:::stdsql%', "
         "'%msg:::stdsql%')",
+    # omsendertrack senderid + per-source-ratelimit key defaults
+    # (rsconf.c:254-257)
+    "RSYSLOG_StdOmSenderTrack_senderid": "%fromhost-ip%",
+    "RSYSLOG_PerSourceKey": "%hostname%",
 }
 
 
