@@ -1190,6 +1190,7 @@ class TestStockTemplates:
         assert "'disk error'" in row["RSYSLOG_StdPgSQLFmt"]
         assert "msg: 'disk error'" in row["RSYSLOG_DebugFormat"]
         for name, v in row.asDict().items():
-            if name == "RSYSLOG_spoofadr":
+            if name in ("RSYSLOG_spoofadr",
+                        "RSYSLOG_StdOmSenderTrack_senderid"):
                 continue   # fromhost-ip is NULL without a receiver
             assert v is not None and v != "", name
