@@ -249,3 +249,40 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), id_col)
         .limit(k)
     )
+
+
+def lsh_index(
+    df: DataFrame, dim: int, vec_col: str = "embedding",
+    num_planes: int = 16, seed: int = 42,
+) -> DataFrame:
+    """Precompute the query-independent LSH signature column — the
+    production shape for repeated ANN queries: write the indexed
+    frame once (ideally partitioned/bucketed by ``lsh_sig`` so a
+    probe prunes files), then serve any number of queries through
+    :func:`cosine_topk_lsh_indexed` without re-hashing the corpus."""
+    planes = lsh_hyperplanes(dim, num_planes, seed)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn("lsh_sig", lsh_signature(vec, planes))
+
+
+def cosine_topk_lsh_indexed(
+    indexed: DataFrame, query_vec: list[float],
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    k: int = 10, num_planes: int = 16, max_hamming: int = 2,
+    seed: int = 42, round_digits: int | None = 6,
+) -> DataFrame:
+    """Probe an :func:`lsh_index` frame: Hamming-prune on the stored
+    ``lsh_sig``, exact cosine re-rank on survivors. Same answers as
+    :func:`cosine_topk_lsh` (same plane family) at a fraction of the
+    per-query cost."""
+    planes = lsh_hyperplanes(len(query_vec), num_planes, seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if sum(float(a) * float(b)
+               for a, b in zip(query_vec, plane)) >= 0:
+            qsig |= 1 << i
+    pruned = indexed.filter(
+        F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(qsig)))
+        <= max_hamming)
+    return cosine_topk(pruned, query_vec, vec_col, id_col, k,
+                       round_digits)

@@ -376,3 +376,27 @@ class TestDataPipelineOps:
         # offsets 0,600,1200,1800,2400 → bins 0,0,1,1,2
         assert [r.token_offset for r in out] == [0, 600, 1200, 1800, 2400]
         assert [r.bin_id for r in out] == [0, 0, 1, 1, 2]
+
+
+class TestLshIndex:
+    def test_indexed_probe_matches_inline(self, spark):
+        """lsh_index + cosine_topk_lsh_indexed return exactly what
+        the inline cosine_topk_lsh computes (same plane family)."""
+        import random
+
+        from rsyslog_spark.operators.similarity import (
+            cosine_topk_lsh, cosine_topk_lsh_indexed, lsh_index)
+
+        rng = random.Random(7)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(16)])
+                for i in range(200)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        q = rows[3][1]
+        inline = [(r.vec_id, r.cosine) for r in
+                  cosine_topk_lsh(df, q, k=5).collect()]
+        idx = lsh_index(df, dim=16)
+        probe = [(r.vec_id, r.cosine) for r in
+                 cosine_topk_lsh_indexed(idx, q, k=5).collect()]
+        assert probe == inline
+        assert probe[0][0] == 3           # the query vector itself
