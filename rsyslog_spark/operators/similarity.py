@@ -286,3 +286,100 @@ def cosine_topk_lsh_indexed(
         <= max_hamming)
     return cosine_topk(pruned, query_vec, vec_col, id_col, k,
                        round_digits)
+
+
+def pq_train(
+    df: DataFrame, vec_col: str = "embedding",
+    m_subvectors: int = 8, k_codes: int = 16, seed: int = 42,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split vectors into ``m``
+    subvectors and fit a ``k``-centroid KMeans per subspace (the PQ
+    half of IVF-PQ; compresses a d-dim float vector to m small codes).
+
+    Returns codebooks[m][k][d/m]. Training samples through MLlib —
+    at corpus scale fit on a sample; encoding (below) is pure column
+    work over the full data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    d = first["d"]
+    if d % m_subvectors:
+        raise ValueError(f"dim {d} not divisible by m={m_subvectors}")
+    sub = d // m_subvectors
+    books: list[list[list[float]]] = []
+    for mi in range(m_subvectors):
+        feat = df.select(array_to_vector(
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    mi * sub + 1, sub)).alias("__fv"))
+        model = KMeans(k=k_codes, seed=seed + mi, featuresCol="__fv",
+                       predictionCol="__c").fit(feat)
+        books.append([list(map(float, c))
+                      for c in model.clusterCenters()])
+    return books
+
+
+def _sq_l2(a: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance between an array column and a literal."""
+    return F.aggregate(
+        F.zip_with(a, F.array(*[F.lit(float(x)) for x in centroid]),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_encode(
+    df: DataFrame, codebooks: list[list[list[float]]],
+    vec_col: str = "embedding", out_col: str = "pq_codes",
+) -> DataFrame:
+    """Assign each subvector its nearest-centroid code — pure column
+    expressions (m×k literal-distance exprs, all codegen'd; no UDF).
+    The encoded column is m small ints: the 32x+ compressed
+    representation ANN serving stores instead of raw floats."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    codes = []
+    for mi in range(m):
+        sl = F.slice(vec, mi * sub + 1, sub)
+        dists = F.array(*[_sq_l2(sl, codebooks[mi][ci])
+                          for ci in range(k)])
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int"))
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(
+    encoded: DataFrame, codebooks: list[list[list[float]]],
+    query_vec: list[float], k: int = 10,
+    codes_col: str = "pq_codes", id_col: str = "vec_id",
+    vec_col: str | None = "embedding", rerank: int = 50,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) probe: the query's
+    distance to every centroid is a driver-side m×k table (tiny);
+    each row's approximate distance is m lookups summed — no float
+    vectors touched. The best ``rerank`` candidates get exact cosine
+    when ``vec_col`` is present (the standard PQ + rerank serving
+    shape)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    lut = []
+    for mi in range(m):
+        qs = query_vec[mi * sub:(mi + 1) * sub]
+        lut.append([sum((a - b) ** 2 for a, b in zip(qs, c))
+                    for c in codebooks[mi]])
+    adc: Column = F.lit(0.0)
+    for mi in range(m):
+        adc = adc + F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut[mi]]),
+            F.element_at(F.col(codes_col), mi + 1) + 1)
+    cand = encoded.withColumn("__adc", adc) \
+        .orderBy("__adc").limit(max(rerank, k))
+    if vec_col is None:
+        return cand.select(id_col, F.round("__adc", 6).alias("adc")) \
+            .limit(k)
+    return cosine_topk(cand, query_vec, vec_col, id_col, k,
+                       round_digits)

@@ -186,3 +186,46 @@ def repetition_metrics(text: ColumnOrName) -> list[Column]:
         lambda acc: acc["best"])
     top_bigram = F.round(run / nb, 6)
     return [dup_word, top_bigram]
+
+
+def bm25_scores(
+    docs: "DataFrame", query_terms: list[str], text_col: str,
+    id_col: str, *, k1: float = 1.2, b: float = 0.75,
+) -> "DataFrame":
+    """BM25 ranking of documents against a bag of query terms — the
+    log-search primitive (score every document for an operator's
+    search box) and the lexical half of hybrid retrieval pipelines.
+
+    One explode → per-(doc, term) tf → document-frequency aggregation
+    over the query terms only (the df frame is |terms| rows —
+    broadcast) → score sum per doc. Shuffles once on the doc id;
+    avgdl/N are scalar aggregates computed on the same pass's
+    frame, not a driver collect.
+    """
+    import math
+
+    toks = F.split(F.lower(F.trim(rs_str(F.col(text_col)))), r"\s+", -1)
+    base = docs.select(F.col(id_col), toks.alias("__toks")) \
+        .withColumn("__dl", F.size("__toks"))
+    stats = base.agg(F.count(F.lit(1)).alias("n"),
+                     F.avg("__dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = stats["n"], float(stats["avgdl"])
+    ex = base.select(id_col, "__dl",
+                     F.explode("__toks").alias("__t")) \
+        .filter(F.col("__t").isin(query_terms))
+    tf = ex.groupBy(id_col, "__dl", "__t") \
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    df_counts = tf.groupBy("__t").agg(
+        F.countDistinct(id_col).alias("__df"))
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("__df") + 0.5)
+        / (F.col("__df") + 0.5) + 1.0)
+    scored = (tf.join(F.broadcast(df_counts), "__t")
+              .withColumn("__idf", idf)
+              .withColumn(
+                  "__s",
+                  F.col("__idf") * F.col("__tf") * (k1 + 1)
+                  / (F.col("__tf")
+                     + k1 * (1 - b + b * F.col("__dl") / avgdl))))
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("__s"), 6).alias("bm25"))

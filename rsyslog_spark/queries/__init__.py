@@ -127,6 +127,7 @@ def collect_all() -> dict[str, Query]:
     # exactly these). tools/check_correctness.py still verifies ALL
     # registered queries, tail included.
     for tail in ("text_lang_id", "order_priority_timing",
+                 "bm25_search", "ngram_top_counts",
                  "minhash_lsh_dedup", "simhash_near_dup",
                  "similarity_topk_ivf"):
         out[tail] = out.pop(tail)

@@ -599,3 +599,73 @@ def sequence_packing(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("bin_tokens"),
         F.min("doc_id").cast("long").alias("first_doc"))
+
+
+@q(
+    "bm25_search",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+    tf AS (
+      SELECT doc_id, dl, t, COUNT(*) AS tf
+      FROM base, UNNEST(toks) AS u(t)
+      WHERE t IN ('scan', 'hash', 'join')
+      GROUP BY doc_id, dl, t
+    ),
+    dfc AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY t)
+    SELECT tf.doc_id,
+           ROUND(SUM(
+             ln((stats.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN dfc USING (t) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+    doc="BM25 lexical search over documents for terms (scan, hash, "
+        "join) — the log-search primitive and lexical half of hybrid "
+        "retrieval (operators/text.bm25_scores; k1=1.2 b=0.75; one "
+        "shuffle on doc id, |terms|-row broadcast df frame).",
+)
+def bm25_search(spark, sf_dir):
+    from rsyslog_spark.operators.text import bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["scan", "hash", "join"],
+                       "text", "doc_id")
+
+
+@q(
+    "ngram_top_counts",
+    """
+    SELECT g AS bigram, COUNT(*) AS cnt
+    FROM (
+      SELECT [array_to_string(words[i:i+1], ' ')
+              FOR i IN range(1, GREATEST(len(words) - 1, 1) + 1)] AS bgs
+      FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS words
+            FROM documents)
+    ), UNNEST(bgs) AS u(g)
+    WHERE g <> ''
+    GROUP BY g
+    ORDER BY cnt DESC, g
+    LIMIT 20
+    """,
+    doc="Corpus n-gram statistics: top-20 word bigrams by count "
+        "(explode -> partial-agg groupBy -> TakeOrderedAndProject; "
+        "the n-gram LM-count primitive).",
+)
+def ngram_top_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+", -1)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    bigrams = F.filter(
+        F.transform(idx,
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
+        lambda g: F.length(g) > 0)
+    return (docs.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "bigram").limit(20))

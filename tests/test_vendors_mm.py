@@ -400,3 +400,31 @@ class TestLshIndex:
                  cosine_topk_lsh_indexed(idx, q, k=5).collect()]
         assert probe == inline
         assert probe[0][0] == 3           # the query vector itself
+
+
+class TestProductQuantization:
+    def test_pq_recall_vs_bruteforce(self, spark):
+        """PQ encode + ADC probe with exact rerank recovers most of
+        the true top-5 (recall >= 0.6 on random data; structured
+        embeddings do far better) and the codes are within range."""
+        import random
+
+        from rsyslog_spark.operators.similarity import (
+            cosine_topk, pq_encode, pq_topk, pq_train)
+
+        rng = random.Random(11)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(16)])
+                for i in range(300)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        books = pq_train(df, m_subvectors=4, k_codes=8)
+        assert (len(books), len(books[0]), len(books[0][0])) == (4, 8, 4)
+        enc = pq_encode(df, books).persist()
+        codes = enc.select("pq_codes").first().pq_codes
+        assert len(codes) == 4 and all(0 <= c < 8 for c in codes)
+        q = rows[5][1]
+        truth = {r.vec_id for r in cosine_topk(df, q, k=5).collect()}
+        got = {r.vec_id for r in
+               pq_topk(enc, books, q, k=5, rerank=60).collect()}
+        assert 5 in got                      # query vector found
+        assert len(truth & got) / 5 >= 0.6
