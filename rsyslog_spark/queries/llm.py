@@ -669,3 +669,125 @@ def ngram_top_counts(spark, sf_dir):
     return (docs.select(F.explode(bigrams).alias("bigram"))
             .groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.col("cnt").desc(), "bigram").limit(20))
+
+
+@q(
+    "hybrid_retrieval_rrf",
+    """
+    WITH lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM (
+        WITH base AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                 len(string_split_regex(lower(trim(text)), '\\s+')) AS dl
+          FROM documents
+        ),
+        stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+        tf AS (
+          SELECT doc_id, dl, t, COUNT(*) AS tf
+          FROM base, UNNEST(toks) AS u(t)
+          WHERE t IN ('scan', 'hash', 'join') GROUP BY doc_id, dl, t
+        ),
+        dfc AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY t)
+        SELECT tf.doc_id,
+               SUM(ln((stats.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))) AS bm25
+        FROM tf JOIN dfc USING (t) CROSS JOIN stats GROUP BY tf.doc_id
+      )
+    ),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r
+      FROM (
+        SELECT e.vec_id,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+        FROM embeddings e,
+             (SELECT CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id = 0) q
+      )
+    )
+    SELECT doc_id,
+           ROUND(SUM(1.0 / (60 + r)), 6) AS rrf
+    FROM (SELECT * FROM lex WHERE r <= 100
+          UNION ALL SELECT * FROM sem WHERE r <= 100)
+    GROUP BY doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    doc="Hybrid retrieval: BM25 lexical ranking fused with embedding "
+        "cosine ranking by reciprocal-rank fusion (1/(60+rank)) — "
+        "the two-tower search pipeline over one corpus, top-20 "
+        "(operators/text.bm25_scores + similarity cosine; both "
+        "rankings and the fusion reproduced in the DuckDB oracle).",
+)
+def hybrid_retrieval_rrf(spark, sf_dir):
+    from pyspark.sql import Window
+    from rsyslog_spark.operators.similarity import cosine
+    from rsyslog_spark.operators.text import bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+          .select("embedding").first()[0]]
+    # rank only the top-100 of each ranker (standard RRF
+    # truncation): orderBy().limit() is TakeOrderedAndProject — a
+    # per-partition top-k + driver merge, never a global sort — and
+    # the row_number window then runs over 100 rows, not the corpus
+    lex = (bm25_scores(docs, ["scan", "hash", "join"],
+                       "text", "doc_id")
+           .orderBy(F.col("bm25").desc(), "doc_id").limit(100)
+           .withColumn("r", F.row_number().over(
+               Window.orderBy(F.col("bm25").desc(), "doc_id"))))
+    qcol = F.array(*[F.lit(v) for v in qv])
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sem = (emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(vec, qcol), 6).alias("cos"))
+        .orderBy(F.col("cos").desc(), "doc_id").limit(100)
+        .withColumn("r", F.row_number().over(
+            Window.orderBy(F.col("cos").desc(), "doc_id"))))
+    both = lex.select("doc_id", "r").unionByName(
+        sem.select("doc_id", "r"))
+    return (both.groupBy("doc_id")
+            .agg(F.round(F.sum(1.0 / (60 + F.col("r"))), 6)
+                 .alias("rrf"))
+            .orderBy(F.col("rrf").desc(), "doc_id").limit(20))
+
+
+@q(
+    "anomaly_zscore_windows",
+    """
+    WITH counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS w, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, AVG(cnt) AS mu, STDDEV_SAMP(cnt) AS sd
+      FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type, c.w AS window_start, c.cnt,
+           ROUND((c.cnt - s.mu) / s.sd, 4) AS z
+    FROM counts c JOIN stats s USING (event_type)
+    WHERE s.sd > 0 AND ABS((c.cnt - s.mu) / s.sd) >= 1.5
+    """,
+    doc="Volume-anomaly detection: per-event-type hourly counts, "
+        "z-score against the type's own mean/stddev, flag |z|>=1.5 "
+        "(the impstats-counter anomaly policy; one partial-agg "
+        "shuffle + a per-type broadcast stats join).",
+)
+def anomaly_zscore_windows(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sd"))
+    z = (F.col("cnt") - F.col("mu")) / F.col("sd")
+    return (counts.join(F.broadcast(stats), "event_type")
+            .filter((F.col("sd") > 0) & (F.abs(z) >= 1.5))
+            .select("event_type", "window_start", "cnt",
+                    F.round(z, 4).alias("z")))
