@@ -199,17 +199,14 @@ def bm25_scores(
     One explode → per-(doc, term) tf → document-frequency aggregation
     over the query terms only (the df frame is |terms| rows —
     broadcast) → score sum per doc. Shuffles once on the doc id;
-    avgdl/N are scalar aggregates computed on the same pass's
-    frame, not a driver collect.
+    avgdl/N ride as a broadcast 1-row cross join, so the whole score
+    is one lazy plan — no driver collect, streaming-composable.
     """
-    import math
-
     toks = F.split(F.lower(F.trim(rs_str(F.col(text_col)))), r"\s+", -1)
     base = docs.select(F.col(id_col), toks.alias("__toks")) \
         .withColumn("__dl", F.size("__toks"))
-    stats = base.agg(F.count(F.lit(1)).alias("n"),
-                     F.avg("__dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = stats["n"], float(stats["avgdl"])
+    stats = base.agg(F.count(F.lit(1)).alias("__n"),
+                     F.avg("__dl").alias("__avgdl"))
     ex = base.select(id_col, "__dl",
                      F.explode("__toks").alias("__t")) \
         .filter(F.col("__t").isin(query_terms))
@@ -218,14 +215,16 @@ def bm25_scores(
     df_counts = tf.groupBy("__t").agg(
         F.countDistinct(id_col).alias("__df"))
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("__df") + 0.5)
+        (F.col("__n") - F.col("__df") + 0.5)
         / (F.col("__df") + 0.5) + 1.0)
     scored = (tf.join(F.broadcast(df_counts), "__t")
+              .crossJoin(F.broadcast(stats))
               .withColumn("__idf", idf)
               .withColumn(
                   "__s",
                   F.col("__idf") * F.col("__tf") * (k1 + 1)
                   / (F.col("__tf")
-                     + k1 * (1 - b + b * F.col("__dl") / avgdl))))
+                     + k1 * (1 - b
+                             + b * F.col("__dl") / F.col("__avgdl")))))
     return scored.groupBy(id_col).agg(
         F.round(F.sum("__s"), 6).alias("bm25"))
