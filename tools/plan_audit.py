@@ -13,6 +13,9 @@ data×data):
   operators/lookup.py replaces it.
 - similarity_knn_join — every doc scored against the broadcast
   k-query set (k rows): the crossing is the semantics.
+- bm25_search / hybrid_retrieval_rrf — the corpus N/avgdl scalars
+  ride as a broadcast ONE-ROW cross join so the plan stays lazy
+  (the alternative is a driver collect).
 
 Usage: python tools/plan_audit.py [query ...]
 """
@@ -29,7 +32,10 @@ from rsyslog_spark import get_spark
 
 BAD = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
 WARN = ("ArrowEvalPython",)
-INTENTIONAL_BNLJ = {"lookup_sparse", "enrich_dims", "similarity_knn_join"}
+INTENTIONAL_BNLJ = {"lookup_sparse", "enrich_dims", "similarity_knn_join",
+                    # broadcast 1-ROW scalar-stats cross join (bm25
+                    # N/avgdl ride the plan instead of a collect)
+                    "bm25_search", "hybrid_retrieval_rrf"}
 
 
 def main() -> int:
