@@ -129,6 +129,7 @@ def collect_all() -> dict[str, Query]:
     for tail in ("text_lang_id", "order_priority_timing",
                  "bm25_search", "ngram_top_counts",
                  "hybrid_retrieval_rrf", "anomaly_zscore_windows",
+                 "training_pipeline_e2e",
                  "minhash_lsh_dedup", "simhash_near_dup",
                  "similarity_topk_ivf"):
         out[tail] = out.pop(tail)

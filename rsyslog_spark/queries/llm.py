@@ -791,3 +791,84 @@ def anomaly_zscore_windows(spark, sf_dir):
             .filter((F.col("sd") > 0) & (F.abs(z) >= 1.5))
             .select("event_type", "window_start", "cnt",
                     F.round(z, 4).alias("z")))
+
+
+@q(
+    "training_pipeline_e2e",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN ROUND(length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                       * 1.0 / len(string_split_regex(trim(text), '\\s+')), 6)
+                       BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       * 1.0 / length(text), 6) <= 0.2 THEN 0.3 ELSE 0.0 END) AS q,
+             ROUND((len(string_split_regex(lower(trim(text)), '\\s+'))
+                    - len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))))
+                   * 1.0 / len(string_split_regex(lower(trim(text)), '\\s+')), 6) AS dw
+      FROM documents
+    ),
+    filtered AS (SELECT * FROM scored WHERE q >= 0.7 AND dw <= 0.6),
+    deduped AS (
+      SELECT * FROM filtered
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY fp)
+    ),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE ((doc_id * 2654435761 + 11) % 4294967296) / 4294967296.0
+            < CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 0.5 ELSE 0.25 END
+    ),
+    packed AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens) / 1024.0) AS BIGINT) AS bin_id
+      FROM sampled
+      WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT lang, COUNT(DISTINCT bin_id) AS n_bins,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM packed GROUP BY lang
+    """,
+    doc="The full training-data pipeline as ONE lazy plan: "
+        "quality + repetition filter -> fingerprint exact-dedup "
+        "(min-id per md5) -> deterministic per-lang mixing "
+        "(en 1.0 / zh 0.5 / rest 0.25) -> 1024-token sequence "
+        "packing per lang shard -> corpus stats. Composes "
+        "operators/text + dedup + sampling; the oracle chains the "
+        "identical stages in DuckDB and hash-matches the totals.",
+)
+def training_pipeline_e2e(spark, sf_dir):
+    from pyspark.sql import Window
+    from rsyslog_spark.operators.sampling import (
+        pack_sequences, stratified_sample)
+    from rsyslog_spark.operators.text import (
+        doc_fingerprint, quality_score, repetition_metrics,
+        token_count_ws)
+
+    docs = load(spark, sf_dir, "documents")
+    dw, _tb = repetition_metrics("text")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        doc_fingerprint("text").alias("fp"),
+        quality_score("text").alias("q"), dw.alias("dw"))
+    filtered = scored.filter((F.col("q") >= 0.7) & (F.col("dw") <= 0.6))
+    w = Window.partitionBy("fp")
+    deduped = filtered.withColumn(
+        "__keep", F.min("doc_id").over(w)) \
+        .filter(F.col("doc_id") == F.col("__keep")).drop("__keep")
+    sampled = stratified_sample(
+        deduped, "lang", {"en": 1.0, "zh": 0.5},
+        key_col="doc_id", default_fraction=0.25, seed=11,
+        portable=True)
+    packed = pack_sequences(sampled, "doc_id",
+                            token_count_ws("text"),
+                            window_tokens=1024, shard_col="lang")
+    return packed.groupBy("lang").agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("doc_id").cast("long").alias("id_checksum"))
