@@ -7,6 +7,7 @@ from rsyslog_spark.streaming.sources import (
 )
 from rsyslog_spark.streaming.stateful import (
     streaming_dynstats,
+    streaming_exact_dedup,
     streaming_ratelimit,
     streaming_repeated_msg_reduction,
     streaming_sendertrack,
@@ -66,7 +67,7 @@ __all__ = [
     "omrabbitmq_sink", "omawslogs_sink", "imbatchreport",
     "omrelp_sink", "imtuxedoulog", "imbeats", "imdiag", "imczmq",
     "omczmq_sink",
-    "streaming_dynstats", "streaming_ratelimit",
+    "streaming_dynstats", "streaming_ratelimit", "streaming_exact_dedup",
     "streaming_repeated_msg_reduction", "streaming_sendertrack",
     "fanout_sink", "omfile_sink", "omkafka_sink",
     "retrying_foreach_batch", "ImpstatsListener",

@@ -259,3 +259,32 @@ def streaming_dynstats_ttl(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_exact_dedup(
+    df: DataFrame,
+    text_col: str = "msg",
+    *,
+    ts_col: str = "timegenerated",
+    watermark: str = "10 minutes",
+    extra_key_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming exact dedup: drop messages whose content (hash) was
+    already seen within the watermark horizon — the streaming form of
+    operators/dedup.exact_dedup, with BOUNDED state (Spark evicts
+    seen-hashes older than the watermark; unbounded exact dedup on an
+    infinite stream is impossible by definition).
+
+    The state key is the 8-byte xxhash64 of the content (plus any
+    ``extra_key_cols``, e.g. the sender for per-source dedup), so
+    state size is O(distinct contents in horizon) × ~8 bytes — the
+    same shuffle-carries-the-hash design as the batch operator.
+    """
+    h = F.xxhash64(F.col(text_col),
+                   *[F.col(c) for c in extra_key_cols])
+    return (
+        df.withColumn("__h", h)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__h"])
+        .drop("__h")
+    )

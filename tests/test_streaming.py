@@ -398,3 +398,22 @@ def test_streaming_dynstats_ttl_eviction(spark, tmp_path):
                      and _evicted().get("h2") == 1)
     finally:
         q.stop()
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Duplicate content within the watermark horizon is dropped;
+    distinct content passes (streaming form of exact_dedup)."""
+    from rsyslog_spark.streaming.stateful import streaming_exact_dedup
+
+    src = str(tmp_path / "in")
+    _write_lines(src, "a.log", [
+        "dup message", "unique one", "dup message",
+        "dup message", "unique two",
+    ])
+    lines = imfile(spark, src).withColumn(
+        "timegenerated", F.current_timestamp())
+    deduped = streaming_exact_dedup(lines, "line")
+    _run_to_memory(deduped, "sded", str(tmp_path / "ck"))
+    got = sorted(r.line for r in spark.sql(
+        "select line from sded").collect())
+    assert got == ["dup message", "unique one", "unique two"]
