@@ -524,3 +524,37 @@ def test_omczmq_imczmq_injectable_loop(spark, tmp_path):
         assert got == ["z1", "z2"]
     finally:
         b.stop()
+
+
+def test_snmp_ber_roundtrip_property():
+    """Property: arbitrary message bytes / communities / OIDs encode
+    to BER that the independent test-side decoder recovers exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    oid_st = st.lists(st.integers(0, 2**20), min_size=2, max_size=10) \
+        .map(lambda arcs: ".".join(
+            map(str, [min(arcs[0], 2), min(arcs[1], 39)] + arcs[2:])))
+
+    @settings(max_examples=50, deadline=None)
+    @given(msg=st.text(max_size=300),
+           community=st.text(
+               alphabet=st.characters(min_codepoint=33,
+                                      max_codepoint=126),
+               min_size=1, max_size=20),
+           oid=oid_st, uptime=st.integers(0, 2**31 - 1))
+    def check(msg, community, oid, uptime):
+        pkt = snmp_trap_pdu(msg, community=community,
+                            message_oid=oid, uptime_cs=uptime)
+        tag, body, consumed = ber_parse(pkt)
+        assert tag == 0x30 and consumed == len(pkt)
+        (_, ver), (_, comm), (ptag, pdu) = ber_seq(body)
+        assert comm.decode() == community and ptag == 0xA7
+        vbs = ber_seq(ber_seq(pdu)[3][1])
+        up_oid, up_val = ber_seq(vbs[0][1])
+        assert int.from_bytes(up_val[1], "big") == uptime
+        msg_oid, msg_val = ber_seq(vbs[2][1])
+        assert decode_oid(msg_oid[1]) == oid
+        assert msg_val[1].decode() == msg
+
+    check()
