@@ -1015,7 +1015,12 @@ class imbeats(SpoolBridge):
                 if window and max_seq >= window:
                     f.write(b"2A" + max_seq.to_bytes(4, "big"))
                     f.flush()
+                    # sequence numbers restart per batch (go-lumber
+                    # resets seq after each window ack) — clear both
+                    # so the next batch's first frame can't trigger a
+                    # premature ack against the old max
                     window = 0
+                    max_seq = 0
         finally:
             try:
                 conn.close()

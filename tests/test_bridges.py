@@ -450,3 +450,35 @@ def test_imdiag_injectmsg(spark, tmp_path):
         assert msgs == [f"tag msgnum:{i:08d}:" for i in range(5)]
     finally:
         b.stop()
+
+
+def test_imbeats_multiple_batches_ack_per_window(spark, tmp_path):
+    """Sequence numbers restart per batch; each window gets its own
+    ack at its own boundary (no premature ack from the prior max)."""
+    import struct
+    from rsyslog_spark.streaming.bridges import imbeats
+
+    b = imbeats(str(tmp_path / "spool"), flush_secs=0.2).start()
+    try:
+        def jframe(seq, text):
+            p = json.dumps({"message": text}).encode()
+            return b"2J" + struct.pack(">II", seq, len(p)) + p
+
+        c = socket.create_connection(("127.0.0.1", b.port))
+        c.settimeout(10)
+        # batch 1: window 2
+        c.sendall(b"2W" + struct.pack(">I", 2)
+                  + jframe(1, "b1m1") + jframe(2, "b1m2"))
+        ack1 = c.recv(6)
+        assert struct.unpack(">I", ack1[2:])[0] == 2
+        # batch 2: window 3, seqs restart at 1 — ack only at seq 3
+        c.sendall(b"2W" + struct.pack(">I", 3) + jframe(1, "b2m1"))
+        c.sendall(jframe(2, "b2m2"))
+        c.sendall(jframe(3, "b2m3"))
+        ack2 = c.recv(6)
+        assert struct.unpack(">I", ack2[2:])[0] == 3
+        c.close()
+        df = _drain(b, spark, 5)
+        assert df.count() == 5
+    finally:
+        b.stop()
