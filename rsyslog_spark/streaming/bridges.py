@@ -806,48 +806,54 @@ class imrelp(SpoolBridge):
                              args=(conn, addr[0]), daemon=True).start()
 
     def _session(self, conn, peer) -> None:
-        conn.settimeout(5)
-        f = conn.makefile("rwb")
+        conn.settimeout(0.5)
 
         def rsp(txnr: int, payload: bytes = b"200 OK") -> None:
-            f.write(b"%d rsp %d %s\n" % (txnr, len(payload), payload))
-            f.flush()
+            conn.sendall(b"%d rsp %d %s\n"
+                         % (txnr, len(payload), payload))
 
+        import re as _re
+
+        hdr_re = _re.compile(rb"^(\d{1,9}) ([a-z]+) (\d{1,9})( |\n)")
+        buf = b""
         try:
             while not self._stop.is_set():
-                hdr = b""
-                sp = 0
-                bare = False     # datalen-0 frame ends at the header LF
-                while sp < 3:                  # txnr, cmd, datalen
-                    c = f.read(1)
-                    if not c:
-                        return
-                    if c == b" ":
-                        sp += 1
-                        if sp == 3:
-                            break
-                    if c == b"\n" and sp == 2:
-                        bare = True            # trailer already read
-                        break
-                    hdr += c
-                parts = hdr.split(b" ")
-                txnr, cmd = int(parts[0]), parts[1].decode()
-                dlen = int(parts[2])
-                data = f.read(dlen) if dlen else b""
-                if not bare:
-                    f.read(1)                  # trailer LF
-                if cmd == "open":
-                    rsp(txnr, b"200 OK\nrelp_version=0\n"
-                              b"relp_software=rsyslog-spark\n"
-                              b"commands=syslog")
-                elif cmd == "syslog":
-                    self.emit({"line": data.decode(
-                        "utf-8", errors="replace").rstrip("\n"),
-                        "fromhost": peer})
-                    rsp(txnr)
-                elif cmd == "close":
-                    rsp(txnr)
+                m = hdr_re.match(buf)
+                if m:
+                    dlen = int(m.group(3))
+                    # SP separator → data + LF trailer follow;
+                    # LF separator → datalen-0 frame, complete now
+                    need = m.end() + (dlen + 1 if m.group(4) == b" "
+                                      else 0)
+                    if len(buf) >= need:
+                        txnr = int(m.group(1))
+                        cmd = m.group(2).decode()
+                        data = buf[m.end():m.end() + dlen]
+                        buf = buf[need:]
+                        if cmd == "open":
+                            rsp(txnr, b"200 OK\nrelp_version=0\n"
+                                      b"relp_software=rsyslog-spark\n"
+                                      b"commands=syslog")
+                        elif cmd == "syslog":
+                            self.emit({"line": data.decode(
+                                "utf-8", errors="replace")
+                                .rstrip("\n"), "fromhost": peer})
+                            rsp(txnr)
+                        elif cmd == "close":
+                            rsp(txnr)
+                            return
+                        continue       # try next frame in buf
+                elif buf and b"\n" in buf and not hdr_re.match(buf):
+                    return             # garbage header: drop session
+                try:
+                    chunk = conn.recv(65536)
+                except socket.timeout:
+                    continue           # idle between batches: stay up
+                except OSError:
                     return
+                if not chunk:
+                    return             # peer closed
+                buf += chunk
         except (OSError, ValueError):
             pass
         finally:

@@ -482,3 +482,48 @@ def test_imbeats_multiple_batches_ack_per_window(spark, tmp_path):
         assert df.count() == 5
     finally:
         b.stop()
+
+
+def test_imrelp_session_survives_idle(spark, tmp_path):
+    """A RELP session idles longer than the socket timeout between
+    batches and must stay alive (long-lived session contract)."""
+    from rsyslog_spark.streaming.bridges import imrelp
+    from rsyslog_spark.streaming.transports import omrelp_sink
+
+    b = imrelp(str(tmp_path / "spool"), flush_secs=0.2).start()
+    try:
+        sk = socket.create_connection(("127.0.0.1", b.port),
+                                      timeout=10)
+        f = sk.makefile("rwb")
+
+        def send(txnr, cmd, data=b""):
+            if data:
+                f.write(b"%d %s %d %s\n" % (txnr, cmd, len(data), data))
+            else:
+                f.write(b"%d %s 0\n" % (txnr, cmd))
+            f.flush()
+
+        def read_rsp():
+            hdr = f.readline()                  # "T rsp LEN payload..."
+            parts = hdr.split(b" ", 3)
+            dlen = int(parts[2])
+            got = parts[3] if len(parts) > 3 else b""
+            while len(got) < dlen + 1:          # + trailer LF
+                got += f.read(dlen + 1 - len(got))
+            return hdr
+
+        send(1, b"open", b"relp_version=0\ncommands=syslog")
+        assert b"200 OK" in read_rsp()
+        send(2, b"syslog", b"<13>before idle")
+        read_rsp()                         # ack
+        time.sleep(1.5)                    # > socket timeout (0.5s)
+        send(3, b"syslog", b"<13>after idle")
+        ack = read_rsp()
+        assert ack.startswith(b"3 rsp")
+        send(4, b"close")
+        sk.close()
+        df = _drain(b, spark, 2)
+        assert sorted(r.line for r in df.collect()) == [
+            "<13>after idle", "<13>before idle"]
+    finally:
+        b.stop()
