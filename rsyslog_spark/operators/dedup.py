@@ -119,7 +119,7 @@ def minhash_lsh_candidates(
     ])
     banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bb")) \
         .select(id_col, "bb.band", "bb.bh")
-    a = banded.alias("a")
+    a = banded.hint("merge").alias("a")
     b = banded.alias("b")
     return (
         a.join(b, [F.col(f"a.band") == F.col("b.band"),
@@ -165,7 +165,13 @@ def minhash_dedup(
         F.col(id_col), sig_arr.alias("__sig"),
         F.explode(band_structs).alias("bb"),
     ).select(id_col, "__sig", "bb.band", "bb.bh")
-    a, b = banded.alias("a"), banded.alias("b")
+    # Never let the planner broadcast a side of this self-join: both
+    # sides are the full banded corpus (estimates from synthetic or
+    # statless sources can look tiny and trigger an 8 GB broadcast
+    # build at 1M docs — observed), and per-partition hash maps OOM too; merge keeps it a
+    # sort-merge join (spill-safe) at any size.
+    a = banded.hint("merge").alias("a")
+    b = banded.alias("b")
     eq = F.aggregate(
         F.zip_with(F.col("a.__sig"), F.col("b.__sig"),
                    lambda x, y: (x == y).cast("int")),
