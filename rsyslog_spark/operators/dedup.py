@@ -204,7 +204,9 @@ def ngram_jaccard_pairs(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("__shs")
     ).withColumn("__sz", F.size("__shs"))
     ex = sized.select(id_col, "__sz", F.explode("__shs").alias("__sh"))
-    a, b = ex.alias("a"), ex.alias("b")
+    # both sides are the full exploded corpus: pin to sort-merge
+    # (see minhash_dedup note — broadcast/hash builds OOM at scale)
+    a, b = ex.hint("merge").alias("a"), ex.alias("b")
     inter = (
         a.join(b, [F.col("a.__sh") == F.col("b.__sh"),
                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
@@ -257,7 +259,8 @@ def simhash_candidates(fps: DataFrame, id_col: str,
     banded = fps.select(F.col(id_col), F.col("simhash"),
                         F.explode(bands).alias("bb")) \
         .select(id_col, "simhash", "bb.band", "bb.bh")
-    a, b = banded.alias("a"), banded.alias("b")
+    # full-corpus self-join: sort-merge only (see minhash_dedup)
+    a, b = banded.hint("merge").alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(b, [F.col("a.band") == F.col("b.band"),

@@ -181,7 +181,11 @@ def cosine_pairs_blocked(
         F.col(id_col).alias("id_b"), F.col("__v").alias("vb"),
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
         .alias("__blk"))
-    pairs = a.join(b, "__blk").filter(F.col("id_a") < F.col("id_b"))
+    # both sides are the full vector corpus: pin the stripe join to
+    # sort-merge (broadcast/hash builds OOM once estimates are off;
+    # see operators/dedup.minhash_dedup scale note)
+    pairs = a.hint("merge").join(b, "__blk") \
+        .filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
