@@ -64,8 +64,11 @@ class SpoolBridge:
 
     # -- receive side -------------------------------------------------
     def emit(self, rec: dict) -> None:
+        # explicit +00:00 offset: without it the json source parses
+        # the UTC wall time as SESSION-local time, shifting every
+        # bridge timestamp on non-UTC sessions
         rec.setdefault("timegenerated",
-                       time.strftime("%Y-%m-%dT%H:%M:%S",
+                       time.strftime("%Y-%m-%dT%H:%M:%S+00:00",
                                      time.gmtime()))
         with self._lock:
             self._buf.append(rec)
@@ -376,41 +379,39 @@ class imfifo(SpoolBridge):
     def _serve(self) -> None:
         import errno
 
-        while not self._stop.is_set():
-            try:
-                # O_RDWR so open() never blocks waiting for a writer
-                # and read() never spins on EOF while writers come
-                # and go
-                fd = os.open(self.fifo_path,
-                             os.O_RDWR | os.O_NONBLOCK)
-            except OSError:
-                return
-            buf = b""
-            try:
-                while not self._stop.is_set():
-                    try:
-                        chunk = os.read(fd, 65536)
-                    except OSError as e:
-                        if e.errno in (errno.EAGAIN,
-                                       errno.EWOULDBLOCK):
-                            time.sleep(0.05)
-                            continue
-                        raise
-                    if not chunk:
+        try:
+            # O_RDWR held for the bridge lifetime: the fifo never
+            # reaches EOF while writers come and go, so a single
+            # open serves every writer (no reopen loop needed)
+            fd = os.open(self.fifo_path,
+                         os.O_RDWR | os.O_NONBLOCK)
+        except OSError:
+            return
+        buf = b""
+        try:
+            while not self._stop.is_set():
+                try:
+                    chunk = os.read(fd, 65536)
+                except OSError as e:
+                    if e.errno in (errno.EAGAIN,
+                                   errno.EWOULDBLOCK):
                         time.sleep(0.05)
                         continue
-                    buf += chunk
-                    while b"\n" in buf:
-                        line, buf = buf.split(b"\n", 1)
-                        if line.strip():
-                            self.emit({
-                                "line": line.decode(
-                                    "utf-8", errors="replace"),
-                                "fromhost": self._localhost,
-                            })
-            finally:
-                os.close(fd)
-            return
+                    raise
+                if not chunk:
+                    time.sleep(0.05)
+                    continue
+                buf += chunk
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    if line.strip():
+                        self.emit({
+                            "line": line.decode(
+                                "utf-8", errors="replace"),
+                            "fromhost": self._localhost,
+                        })
+        finally:
+            os.close(fd)
 
 
 def _resp_read(f):
@@ -689,8 +690,10 @@ class imtcp(SpoolBridge):
     followed by SP is octet-counted; anything else is read to LF."""
 
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
-                 port: int = 0, **kw):
+                 port: int = 0, max_frame_size: int = 200 * 1024,
+                 **kw):
         super().__init__(spool_dir, inputname="imtcp", **kw)
+        self.max_frame_size = max_frame_size
         self.srv = socket.socket()
         self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.srv.bind((host, port))
@@ -733,7 +736,15 @@ class imtcp(SpoolBridge):
                     i += 1
                 if i > 0 and i < len(buf) and buf[i] == 0x20:
                     n = int(buf[:i])
-                    if len(buf) >= i + 1 + n:       # full frame
+                    if n > self.max_frame_size:
+                        # oversized octet count: treat as LF-framed
+                        # data instead of buffering unbounded (ref:
+                        # tcps_sess.c iMaxFrameSize fallback)
+                        if b"\n" in buf:
+                            msg, buf = buf.split(b"\n", 1)
+                            self._emit_msg(msg, peer)
+                            progressed = True
+                    elif len(buf) >= i + 1 + n:     # full frame
                         msg = buf[i + 1:i + 1 + n]
                         buf = buf[i + 1 + n:]
                         self._emit_msg(msg, peer)

@@ -302,9 +302,14 @@ def dequeue_window_gate(
 ) -> Callable[[DataFrame, int], bool]:
     """Queue dequeue time window (ref: runtime/queue.h:136-146
     iDeqtWinFromHr/ToHr): only process batches inside the local
-    time-of-day window. Returns a predicate for foreachBatch wrappers:
-    outside the window the batch is skipped (the micro-batch retries
-    land in-window, preserving at-least-once)."""
+    time-of-day window. Returns a predicate for foreachBatch wrappers.
+
+    Contract: a wrapper must NOT return normally when the predicate
+    is False — Structured Streaming commits the epoch the moment
+    foreachBatch returns, which would DROP the out-of-window batch.
+    Either raise (the retry wrapper re-runs the batch until the
+    window opens) or block until in-window; the reference's queue
+    holds messages, it never discards them."""
     import datetime
 
     def in_window(_batch_df: DataFrame, _batch_id: int) -> bool:

@@ -109,13 +109,18 @@ def ommail_sink(
         rows = batch_df.select(*cols).collect()
         if not rows:
             return
+        def hdr(v: str) -> str:
+            # log-derived header values must never carry CR/LF —
+            # SMTP header injection (extra Bcc/From) otherwise
+            return str(v).replace("\r", " ").replace("\n", " ")
+
         smtp = smtplib.SMTP(server, port, timeout=30)
         try:
             for r in rows:
                 body = (
-                    f"From: {mailfrom}\r\n"
-                    f"To: {', '.join(mailto)}\r\n"
-                    f"Subject: {r.s}\r\n"
+                    f"From: {hdr(mailfrom)}\r\n"
+                    f"To: {hdr(', '.join(mailto))}\r\n"
+                    f"Subject: {hdr(r.s)}\r\n"
                     "X-Mailer: rsyslog-spark-mail\r\n\r\n"
                 )
                 if body_enable:
@@ -245,7 +250,10 @@ def omsnmp_sink(
     plugins/omsnmp/omsnmp.c; action params omsnmp.c:125-127
     enterpriseoid/trapoid/messageoid)."""
 
-    start = time.monotonic()
+    # wall clock, not monotonic: the partition runs on another host
+    # whose CLOCK_MONOTONIC base differs; wall deltas stay meaningful
+    # (NTP) and the clamp keeps sysUpTime unsigned
+    start = time.time()
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         lines = batch_df.select(
@@ -253,7 +261,7 @@ def omsnmp_sink(
 
         def per_partition(rows):
             sk = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-            up = int((time.monotonic() - start) * 100)
+            up = max(0, int((time.time() - start) * 100))
             try:
                 for i, r in enumerate(rows):
                     sk.sendto(
@@ -815,7 +823,8 @@ def omjournal_sink(
 ) -> Callable[[DataFrame, int], None]:
     """Write messages into systemd-journald via its native unix
     datagram socket (ref: plugins/omjournal/omjournal.c:300
-    sd_journal_send fields: MESSAGE, PRIORITY = facility*8|severity,
+    sd_journal_send fields: MESSAGE, PRIORITY (the SEVERITY alone,
+    0-7 — journald rejects larger values, systemd.journal-fields(7)),
     SYSLOG_FACILITY, SYSLOG_IDENTIFIER). One datagram per entry —
     exactly what sd_journal_send does under the hood."""
 
@@ -835,7 +844,7 @@ def omjournal_sink(
                 for r in rows:
                     fields = {
                         "MESSAGE": r.m or "",
-                        "PRIORITY": r.fac * 8 | r.sev,
+                        "PRIORITY": r.sev,
                         "SYSLOG_FACILITY": r.fac,
                     }
                     if r.tag:
@@ -894,6 +903,12 @@ def omrelp_sink(
                 parts = hdr.split(b" ", 3)
                 txnr, cmd, dlen = (int(parts[0]), parts[1],
                                    int(parts[2]))
+                if dlen == 0 and len(parts) < 4:
+                    # bare frame "TXNR cmd 0\n": the header LF IS the
+                    # trailer — reading further would steal the next
+                    # frame's first byte
+                    raise RuntimeError(
+                        f"relp nack txnr={txnr}: empty rsp")
                 # data begins after the header line's space split;
                 # parts[3] holds the first chunk incl. its newline
                 got = parts[3] if len(parts) > 3 else b""

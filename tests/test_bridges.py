@@ -527,3 +527,22 @@ def test_imrelp_session_survives_idle(spark, tmp_path):
             "<13>after idle", "<13>before idle"]
     finally:
         b.stop()
+
+
+def test_imtcp_oversized_octet_count_falls_back_to_lf(spark, tmp_path):
+    """A bogus huge octet count must not buffer unbounded — the frame
+    falls back to LF framing (ref: tcps_sess.c iMaxFrameSize)."""
+    from rsyslog_spark.streaming.bridges import imtcp
+
+    b = imtcp(str(tmp_path / "spool"), max_frame_size=1024,
+              flush_secs=0.2).start()
+    try:
+        c = socket.create_connection(("127.0.0.1", b.port))
+        c.sendall(b"9999999999 not really that long\n<13>next ok\n")
+        c.close()
+        df = _drain(b, spark, 2)
+        got = sorted(r.line for r in df.collect())
+        assert got == ["9999999999 not really that long",
+                       "<13>next ok"]
+    finally:
+        b.stop()

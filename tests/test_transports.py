@@ -453,14 +453,17 @@ def test_omjournal_native_datagrams(spark, tmp_path):
     rx.bind(sp)
     rx.settimeout(10)
     df = spark.createDataFrame(
-        [("oom kill", 2, 0, "kernel:")],
+        [("oom kill", 2, 4, "kernel:")],
         "msg string, syslogseverity int, syslogfacility int, "
         "syslogtag string")
     omjournal_sink(sp)(df.coalesce(1), 0)
     got = rx.recv(65535).decode()
     rx.close()
     assert "MESSAGE=oom kill\n" in got
-    assert "PRIORITY=2\n" in got            # fac 0 * 8 | sev 2
+    # PRIORITY is the severity ALONE (journald rejects >7,
+    # systemd.journal-fields(7)); facility travels separately
+    assert "PRIORITY=2\n" in got
+    assert "SYSLOG_FACILITY=4\n" in got
     assert "SYSLOG_IDENTIFIER=kernel\n" in got
 
 
