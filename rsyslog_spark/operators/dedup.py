@@ -39,7 +39,11 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exact dedup: keep the lowest-id row per distinct text.
+    """Exact dedup SUMMARY: one row per distinct text —
+    ``(id_col, dup_count)`` with id = the lowest id in the group.
+    To materialize the surviving full rows, semi-join the result
+    back on ``id_col`` (or use :func:`dedup_by_components` for the
+    filter-in-place shape).
 
     Hash-first: groupBy xxhash64(text) so the shuffle key is 8 bytes;
     a same-hash different-text collision (~2^-64 per pair) is accepted
@@ -108,6 +112,10 @@ def minhash_lsh_candidates(
     across bands; per-bucket pair expansion is the only quadratic
     step and bucket sizes are bounded in practice by band width.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands} "
+            "— trailing hash functions would be silently unused")
     rows_per_band = num_hashes // bands
     band_structs = F.array(*[
         F.struct(
@@ -143,6 +151,10 @@ def minhash_dedup(
     callers drop id_b (greedy by lowest id) or run components.
     """
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands} "
+            "— trailing hash functions would be silently unused")
     # Carry the signature ARRAY through the band explode so the
     # verify step reads both signatures straight off the self-joined
     # row — no re-join against the signature frame (the naive

@@ -93,10 +93,15 @@ def dnscache_enrich(
     """
     resolver = resolver or _fake_resolver
     spark = df.sparkSession
-    distinct_ips = [r[0] for r in
-                    df.select(ip_col).distinct().limit(max_batch).collect()
-                    if r[0] is not None]
-    names = resolver(distinct_ips)
+    # deterministic batching: resolve ALL distinct IPs in max_batch
+    # chunks (an unordered limit() would resolve an arbitrary subset
+    # and leave the rest silently unresolved, varying run to run)
+    distinct_ips = sorted(
+        r[0] for r in df.select(ip_col).distinct().collect()
+        if r[0] is not None)
+    names = []
+    for off in range(0, len(distinct_ips), max_batch):
+        names.extend(resolver(distinct_ips[off:off + max_batch]))
     dim = spark.createDataFrame(
         list(zip(distinct_ips, names)) or [(None, None)],
         f"{ip_col} string, __resolved string",

@@ -135,7 +135,9 @@ def lookup_join(
     dimension enrichment."""
     value_cols = value_cols or [c for c in dim.columns if c != dim_key]
     joined = df.join(F.broadcast(dim), df[key] == dim[dim_key], "left")
-    out = joined.drop(dim_key)
+    # drop by COLUMN, not name: when fact and dim share the key name,
+    # drop("name") would remove the fact side's key too
+    out = joined.drop(dim[dim_key])
     if nomatch is not None:
         for c in value_cols:
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(nomatch)))

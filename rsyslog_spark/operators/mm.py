@@ -24,8 +24,11 @@ def mmjsonparse(df: DataFrame, msg_col: str = "msg", out_col: str = "json",
     and sets $parsesuccess to OFF).
     """
     msg = rs_str(F.col(msg_col))
+    # strip the LEADING cookie only — substring_index(..., -1) would
+    # split on a '@cee:' occurring inside the JSON body itself
     payload = F.when(
-        msg.startswith(cookie), F.ltrim(F.substring_index(msg, cookie, -1))
+        msg.startswith(cookie),
+        F.ltrim(F.substr(msg, F.lit(len(cookie) + 1)))
     ).otherwise(F.when(msg.startswith("{"), msg))
     # validate by attempting a variant parse; keep raw text on success
     ok = F.try_parse_json(payload).isNotNull()
@@ -175,12 +178,23 @@ def mmexternal(
                 for m in pdf[msg_col]:
                     proc.stdin.write(_json.dumps({"msg": m}) + "\n")
                     proc.stdin.flush()
-                    outs.append(proc.stdout.readline().rstrip("\n"))
+                    line = proc.stdout.readline()
+                    if line == "":
+                        # EOF = the child died or stopped answering;
+                        # silently assigning '' would corrupt every
+                        # remaining row as if it succeeded
+                        raise RuntimeError(
+                            f"mmexternal child {argv[0]!r} closed "
+                            f"stdout (exit={proc.poll()})")
+                    outs.append(line.rstrip("\n"))
                 pdf = pdf.assign(json=outs)
                 yield pdf[col_names]
         finally:
             proc.stdin.close()
-            proc.wait()
+            rc = proc.wait()
+            if rc not in (0, None):
+                raise RuntimeError(
+                    f"mmexternal child {argv[0]!r} exited {rc}")
 
     return df.mapInPandas(run, schema=out_schema)
 

@@ -172,13 +172,18 @@ def cosine_pairs_blocked(
     verify-stage scorer those candidate generators feed.
     """
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = df.select(F.col(id_col), vec.alias("__v"))
+    # norms are computed ONCE per row here; recomputing them inside
+    # the pair loop would triple the O(d) work in the quadratic stage
+    base = df.select(F.col(id_col), vec.alias("__v")) \
+        .withColumn("__n", norm(F.col("__v")))
     blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
                  F.lit(n_blocks)).cast("int")
     a = base.select(F.col(id_col).alias("id_a"),
-                    F.col("__v").alias("va"), blk.alias("__blk"))
+                    F.col("__v").alias("va"),
+                    F.col("__n").alias("na"), blk.alias("__blk"))
     b = base.select(
         F.col(id_col).alias("id_b"), F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
         .alias("__blk"))
     # both sides are the full vector corpus: pin the stripe join to
@@ -187,7 +192,9 @@ def cosine_pairs_blocked(
     pairs = a.hint("merge").join(b, "__blk") \
         .filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        pairs.withColumn(
+            "cos", dot(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )

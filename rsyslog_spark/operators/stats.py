@@ -243,8 +243,11 @@ def repeated_msg_collapse(
         agg.filter(F.col("__n") > 1)
         .select(
             F.col("__first")
+            # N = the SUPPRESSED count (run length minus the first
+            # row already emitted) — sysklogd's convention, and what
+            # pmlastmsg_expand inverts: first + N copies = run length
             .withField(msg_col, F.format_string(
-                "last message repeated %d times", F.col("__n")))
+                "last message repeated %d times", F.col("__n") - 1))
             .withField(order_col, F.col("__last"))
             .alias("__s"))
         .select("__s.*")

@@ -202,6 +202,9 @@ def bm25_scores(
     avgdl/N ride as a broadcast 1-row cross join, so the whole score
     is one lazy plan — no driver collect, streaming-composable.
     """
+    # tokens are lowercased — normalize the query the same way or
+    # capitalized terms would silently score zero
+    query_terms = [t.lower() for t in query_terms]
     toks = F.split(F.lower(F.trim(rs_str(F.col(text_col)))), r"\s+", -1)
     base = docs.select(F.col(id_col), toks.alias("__toks")) \
         .withColumn("__dl", F.size("__toks"))

@@ -863,7 +863,10 @@ rulesets:
         run_config_batch(spark, conf)
         msgs = sorted(r["msg"] for r in
                       spark.read.parquet(str(outdir)).collect())
-        assert msgs == ["different", "last message repeated 3 times",
+        # 3 identical rows -> first + "repeated 2 times" (the count
+        # is the SUPPRESSED rows, sysklogd semantics; roundtrips
+        # through pmlastmsg_expand: 1 + 2 = 3)
+        assert msgs == ["different", "last message repeated 2 times",
                         "same line"]
 
     def test_discard_severity_directive(self, spark, tmp_path):
