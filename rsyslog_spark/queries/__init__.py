@@ -118,18 +118,23 @@ def collect_all() -> dict[str, Query]:
                 raise ValueError(f"duplicate query name {q.name}")
             out[q.name] = q
     # The driver's correctness gate records the FIRST 50 registered
-    # queries. The overflow slots go to (a) oracle queries whose
-    # operator family has other in-window green rows (text_lang_id —
-    # text_battery covers the family; order_priority_timing — three
-    # other TPC-H queries in window) and (b) rows-only queries that
-    # carry their own unit-test fixtures (xxhash64/KMeans values are
-    # not reproducible in DuckDB, so a driver row adds the least for
-    # exactly these). tools/check_correctness.py still verifies ALL
-    # registered queries, tail included.
-    for tail in ("text_lang_id", "order_priority_timing",
-                 "bm25_search", "ngram_top_counts",
-                 "hybrid_retrieval_rrf", "anomaly_zscore_windows",
-                 "training_pipeline_e2e",
+    # queries. Window policy: every query that has never had a driver
+    # row stays INSIDE the window; the overflow slots go to
+    # (a) queries already driver-green in rounds 1 AND 2
+    # (CORRECTNESS_r01/r02) whose operator family keeps other
+    # in-window rows (field_extract — scalar/property batteries;
+    # pri_filter_selectors — flagship + config_driven_routing;
+    # dynstats_maxcard_overflow — dynstats_hourly; mmanon/mmfields/
+    # mmpstrucdata/percentile — two-round green history on record) and
+    # (b) rows-only queries that carry their own unit-test fixtures
+    # (xxhash64/KMeans values are not reproducible in DuckDB, so a
+    # driver row adds the least for exactly these).
+    # tools/check_correctness.py still verifies ALL registered
+    # queries, tail included.
+    for tail in ("field_extract", "pri_filter_selectors",
+                 "mmfields_split", "mmanon_embedded",
+                 "mmpstrucdata_parse", "dynstats_maxcard_overflow",
+                 "percentile_stats_values",
                  "minhash_lsh_dedup", "simhash_near_dup",
                  "similarity_topk_ivf"):
         out[tail] = out.pop(tail)
