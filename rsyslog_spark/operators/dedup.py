@@ -64,40 +64,83 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 _MH_AGG_CACHE: dict[tuple, list] = {}
 
+# Portable hash family: engine-reproducible MinHash/SimHash so the
+# whole near-dup pipeline can be verified against an external SQL
+# oracle (DuckDB). Base hash = leading hex nibbles of md5 (identical
+# in every engine), mixed by a seeded linear-congruential family mod
+# the Mersenne prime 2^31-1 (products stay < 2^62, so plain BIGINT
+# arithmetic never overflows on engines that raise instead of
+# wrapping). Production default stays xxhash64 (one JVM intrinsic vs
+# an md5 per shingle); the candidate/verify PIPELINE is identical —
+# only the hash family changes.
+MERSENNE31 = 2147483647
+
+
+def portable_seeds(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the portable hash family —
+    embed the same literals in the oracle SQL."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+            for _ in range(num_hashes)]
+
+
+def _portable_h32(c: Column) -> Column:
+    """32-bit base hash reduced mod 2^31-1: first 8 md5 hex chars."""
+    return (F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+            % F.lit(MERSENNE31))
+
+
+def _portable_h60(c: Column) -> Column:
+    """60-bit base hash: first 15 md5 hex chars (fits signed 64)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = 64, shingle_n: int = 3,
+    portable: bool = False, seed: int = 42,
 ) -> DataFrame:
     """Per-document MinHash signature: num_hashes columns mh0..mhN.
 
     One explode + one groupBy(doc): each hash function is
-    ``min(xxhash64(shingle, seed_i))`` — num_hashes aggregate
-    expressions evaluated map-side (partial agg), so the shuffle
-    carries one row per document.
+    ``min(hash_i(shingle))`` — num_hashes aggregate expressions
+    evaluated map-side (partial agg), so the shuffle carries one row
+    per document. ``portable=True`` switches to the md5/LCG family
+    (see module note) for external-oracle verification.
     """
+    base = (_portable_h32 if portable else F.xxhash64)
     ex = df.select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
     ).select(
         id_col,
         # hash the shingle STRING once; the hash family then mixes the
-        # 8-byte value (xxhash64 over (seed, long)), ~10x cheaper than
-        # re-hashing the string per hash function
-        F.xxhash64(F.col("__sh")).alias("__h"),
+        # 8-byte value, ~10x cheaper than re-hashing the string per
+        # hash function
+        base(F.col("__sh")).alias("__h"),
     )
     from rsyslog_spark.session import session_cache_key
 
     sk = session_cache_key()   # JVM-restart-safe memo key
-    aggs = _MH_AGG_CACHE.get((sk, num_hashes)) if sk else None
+    key = (sk, num_hashes, portable, seed)
+    aggs = _MH_AGG_CACHE.get(key) if sk else None
     if aggs is None:
         # 64 agg Columns ≈ 200 Py4J calls; memoize per num_hashes
-        aggs = [
-            F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
+        if portable:
+            aggs = [
+                F.min((F.lit(a) * F.col("__h") + F.lit(b))
+                      % F.lit(MERSENNE31)).alias(f"mh{i}")
+                for i, (a, b) in enumerate(portable_seeds(num_hashes, seed))
+            ]
+        else:
+            aggs = [
+                F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ]
         if sk:
-            _MH_AGG_CACHE[(sk, num_hashes)] = aggs
+            _MH_AGG_CACHE[key] = aggs
     return ex.groupBy(id_col).agg(*aggs)
 
 
@@ -143,14 +186,21 @@ def minhash_dedup(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = 64, bands: int = 16, shingle_n: int = 3,
     threshold: float = 0.8,
+    portable: bool = False, seed: int = 42,
 ) -> DataFrame:
     """Full MinHash near-dup pipeline: signatures → LSH candidates →
     signature-similarity verify → connected survivors removed.
 
     Returns (id_a, id_b, est_jaccard) pairs with est >= threshold;
     callers drop id_b (greedy by lowest id) or run components.
+    ``portable=True`` uses the engine-reproducible hash family AND a
+    plain concatenated-string band key, so an external SQL oracle can
+    reproduce every row (band hash choice never changes WHICH pairs
+    collide beyond hash quality — the verify step re-checks all
+    signature positions either way).
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n,
+                              portable=portable, seed=seed)
     if num_hashes % bands:
         raise ValueError(
             f"num_hashes={num_hashes} not divisible by bands={bands} "
@@ -164,12 +214,16 @@ def minhash_dedup(
     # at 64 hashes that's 512B/row, far cheaper than two extra full
     # joins; the band self-join's two sides share one ReusedExchange.
     rows_per_band = num_hashes // bands
+
+    def band_key(b: int) -> Column:
+        cols = [F.col(f"mh{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        if portable:   # string key the oracle can rebuild verbatim
+            return F.concat_ws(",", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols)   # 8-byte shuffle key (production)
+
     band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
-                         for r in range(rows_per_band)]).alias("bh"),
-        )
+        F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
         for b in range(bands)
     ])
     sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
@@ -234,38 +288,51 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document.
+def simhash(df: DataFrame, text_col: str, id_col: str,
+            portable: bool = False) -> DataFrame:
+    """SimHash fingerprint per document — 64-bit (xxhash64 token
+    hash, default) or 60-bit (``portable=True``: md5-derived token
+    hash so an external SQL oracle reproduces every fingerprint; 60
+    bits = 15 md5 hex chars, the widest that fits a signed BIGINT
+    without overflow on engines that raise instead of wrapping).
 
-    explode tokens → per-bit signed sums (64 partial-agg columns) →
-    assemble fingerprint. All integer ops; one shuffle on the doc id.
+    explode tokens → per-bit signed sums (one partial-agg column per
+    bit) → assemble fingerprint. All integer ops; one shuffle on the
+    doc id.
     """
+    bits = 60 if portable else 64
+    tok_hash = (_portable_h60 if portable else F.xxhash64)
     ex = df.select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__tok")
-    ).withColumn("__h", F.xxhash64("__tok"))
+    ).withColumn("__h", tok_hash(F.col("__tok")))
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(bits)
     ]
     sums = ex.groupBy(id_col).agg(*bit_aggs)
     fp: Column = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         bit = F.shiftleft(F.lit(1).cast("long"), i)
         fp = fp + F.when(F.col(f"b{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
     return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_candidates(fps: DataFrame, id_col: str,
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates by 4x16-bit banding (Hamming<=3 guarantees
-    one equal band), then exact Hamming filter via bit_count(xor)."""
+                       max_hamming: int = 3, bits: int = 64) -> DataFrame:
+    """Near-dup candidates by 4-band banding over a ``bits``-wide
+    fingerprint (Hamming<=3 guarantees one equal band, pigeonhole),
+    then exact Hamming filter via bit_count(xor)."""
+    if bits % 4:
+        raise ValueError(f"bits={bits} not divisible by 4 bands")
+    width = bits // 4
+    mask = (1 << width) - 1
     bands = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.shiftright(F.col("simhash"), b * 16)
-                 .bitwiseAND(F.lit(0xFFFF)).alias("bh"))
+                 F.shiftright(F.col("simhash"), b * width)
+                 .bitwiseAND(F.lit(mask)).alias("bh"))
         for b in range(4)
     ])
     banded = fps.select(F.col(id_col), F.col("simhash"),

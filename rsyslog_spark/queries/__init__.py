@@ -126,16 +126,16 @@ def collect_all() -> dict[str, Query]:
     # pri_filter_selectors — flagship + config_driven_routing;
     # dynstats_maxcard_overflow — dynstats_hourly; mmanon/mmfields/
     # mmpstrucdata/percentile — two-round green history on record) and
-    # (b) rows-only queries that carry their own unit-test fixtures
-    # (xxhash64/KMeans values are not reproducible in DuckDB, so a
-    # driver row adds the least for exactly these).
+    # (b) the one remaining rows-only query (similarity_topk_ivf:
+    # MLlib KMeans centroids are not reproducible in DuckDB; recall
+    # is unit-tested instead).
     # tools/check_correctness.py still verifies ALL registered
     # queries, tail included.
     for tail in ("field_extract", "pri_filter_selectors",
                  "mmfields_split", "mmanon_embedded",
                  "mmpstrucdata_parse", "dynstats_maxcard_overflow",
-                 "percentile_stats_values",
-                 "minhash_lsh_dedup", "simhash_near_dup",
+                 "percentile_stats_values", "dedup_exact",
+                 "mmexternal_bridge",
                  "similarity_topk_ivf"):
         out[tail] = out.pop(tail)
     return out

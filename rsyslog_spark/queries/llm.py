@@ -86,27 +86,127 @@ def ngram_jaccard_dup_pairs(spark, sf_dir):
     )
 
 
+def _minhash_oracle() -> str:
+    """Full MinHash+LSH pipeline in DuckDB: the portable hash family
+    (md5-base + seeded LCG mod 2^31-1, dedup.portable_seeds) is
+    engine-exact, so signatures, band buckets, candidate pairs AND the
+    estimated-Jaccard verify are all reproduced row-for-row. The
+    production query differs only in hash family (xxhash64)."""
+    from rsyslog_spark.operators.dedup import portable_seeds
+
+    seeds = ",\n      ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(portable_seeds(64, seed=42)))
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+      FROM documents WHERE doc_id < 300
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               list_distinct([array_to_string(words[i:i+2], ' ')
+                              FOR i IN range(1, GREATEST(len(words) - 2, 1) + 1)]) AS shs
+        FROM docs
+      ), UNNEST(shs) AS u(sh)
+    ),
+    hv AS (
+      SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647 AS h
+      FROM sh
+    ),
+    seeds(i, a, b) AS (VALUES
+      {seeds}),
+    sigs AS (
+      SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS mh
+      FROM hv CROSS JOIN seeds GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS bh
+      FROM sigs GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0, 6)
+             AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b AND sa.i = sb.i
+    GROUP BY c.id_a, c.id_b
+    HAVING est_jaccard >= 0.5
+    """
+
+
 @q(
-    "minhash_lsh_dedup", None,
+    "minhash_lsh_dedup", _minhash_oracle(),
     doc="MinHash(64)+LSH(16 bands) near-dup candidate pairs with "
-        "signature-estimated Jaccard (xxhash64-based → rows-only "
-        "check; unit-tested on fixtures).",
+        "signature-estimated Jaccard verify. Driver-checked with the "
+        "portable md5/LCG hash family reproduced in DuckDB (identical "
+        "pipeline; production default is xxhash64, unit-tested on "
+        "fixtures).",
 )
 def minhash_lsh_dedup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return minhash_dedup(docs, "text", "doc_id", num_hashes=64, bands=16,
-                         threshold=0.5)
+    pairs = minhash_dedup(docs, "text", "doc_id", num_hashes=64, bands=16,
+                          threshold=0.5, portable=True)
+    return pairs.select("id_a", "id_b",
+                        F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _simhash_oracle() -> str:
+    """SimHash fingerprints + 4-band candidates in DuckDB, exact to
+    the bit: 60-bit portable token hash (15 md5 hex chars), per-bit
+    signed sums, 4x15-bit banding, bit_count(xor) Hamming filter."""
+    return """
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    hv AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+      FROM docs, UNNEST(toks) AS u(t)
+    ),
+    sums AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hv CROSS JOIN range(60) r(i) GROUP BY doc_id, i
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT
+               AS simhash
+      FROM sums GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, simhash, r.band,
+             (simhash >> (r.band * 15)) & 32767 AS bh
+      FROM fp CROSS JOIN range(4) r(band)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
 
 
 @q(
-    "simhash_near_dup", None,
-    doc="SimHash 64-bit fingerprints + 4x16 banding candidates "
-        "(Hamming <= 3). xxhash64-based → rows-only check.",
+    "simhash_near_dup", _simhash_oracle(),
+    doc="SimHash fingerprints + 4-band candidates (Hamming <= 3, "
+        "pigeonhole). Driver-checked bit-exact with the portable "
+        "60-bit md5 token hash reproduced in DuckDB; production "
+        "default is 64-bit xxhash64 (unit-tested).",
 )
 def simhash_near_dup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    fps = simhash(docs, "text", "doc_id")
-    return simhash_candidates(fps, "doc_id", max_hamming=3)
+    fps = simhash(docs, "text", "doc_id", portable=True)
+    out = simhash_candidates(fps, "doc_id", max_hamming=3, bits=60)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("long").alias("hamming"))
 
 
 @q(

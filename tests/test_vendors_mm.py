@@ -273,6 +273,33 @@ class TestMinhashDedup:
         assert got == direct
         assert (1, 2) in got and (1, 3) not in got
 
+    def test_portable_family_matches_default_on_true_dups(self, spark):
+        """The portable (md5/LCG, oracle-reproducible) hash family
+        must find the same near-dup pairs as the production xxhash64
+        family on clear dups/non-dups — the pipeline is hash-family-
+        agnostic; only borderline estimates may differ."""
+        from rsyslog_spark.operators.dedup import (
+            minhash_dedup, simhash, simhash_candidates)
+
+        base = ("the quick brown fox jumps over the lazy dog "
+                "again and again in the yard " * 3)
+        df = spark.createDataFrame(
+            [(1, base), (2, base + "slightly changed tail"),
+             (3, "completely different content about spark engines "
+                 "and catalyst optimizing plans")],
+            "doc_id long, text string")
+        for portable in (False, True):
+            pairs = {(r.id_a, r.id_b) for r in minhash_dedup(
+                df, "text", "doc_id", threshold=0.5,
+                portable=portable).collect()}
+            assert pairs == {(1, 2)}, f"portable={portable}"
+        fp60 = simhash(df, "text", "doc_id", portable=True).collect()
+        assert all(0 <= r.simhash < (1 << 60) for r in fp60)
+        cands = {(r.id_a, r.id_b) for r in simhash_candidates(
+            spark.createDataFrame(fp60), "doc_id", max_hamming=3,
+            bits=60).collect()}
+        assert cands == {(1, 2)}
+
 
 class TestComponentsAndSampling:
     def test_connected_components_chain_and_islands(self, spark):
