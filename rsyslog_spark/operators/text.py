@@ -114,6 +114,55 @@ def doc_fingerprint(text: ColumnOrName) -> Column:
     return F.md5(norm)
 
 
+# PII detection/redaction — the scrub pass a training-data pipeline
+# runs before any release. ORDERED: earlier kinds are redacted first,
+# so later patterns never re-match inside an already-masked span
+# (credit cards before phones keeps 4-4-4-4 runs out of the phone
+# matcher; emails before IPv4 keeps user@1.2.3.4 hosts whole).
+# Patterns use the RE2 ∩ java.util.regex dialect (no lookaround, no
+# backrefs) so the exact same strings run in Spark and in external
+# SQL oracles.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("credit_card", r"\b(?:\d{4}[- ]){3}\d{4}\b|\b\d{16}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("api_key", r"\b(?:sk|pk|api|key|tok)[-_][A-Za-z0-9]{16,}\b"),
+]
+
+
+def redact_pii(text: ColumnOrName,
+               kinds: list[str] | None = None) -> Column:
+    """Mask every PII span with ``<KIND>`` (``<EMAIL>`` …), applying
+    the patterns in PII_PATTERNS order. One chained regexp_replace
+    tree — pure column expression, whole-stage codegen'd, no UDF."""
+    out = rs_str(text)
+    want = set(kinds) if kinds is not None else None
+    for kind, pat in PII_PATTERNS:
+        if want is None or kind in want:
+            out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(text: ColumnOrName,
+               kinds: list[str] | None = None) -> list[Column]:
+    """Per-kind PII match counts, aliased ``n_<kind>``. Counted on
+    the progressively-redacted text (kind i counted after kinds
+    0..i-1 are masked) so a span is attributed to exactly one kind —
+    the same attribution :func:`redact_pii` applies."""
+    cur = rs_str(text)
+    want = set(kinds) if kinds is not None else None
+    out: list[Column] = []
+    for kind, pat in PII_PATTERNS:
+        if want is not None and kind not in want:
+            continue
+        out.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+                   .alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, f"<{kind.upper()}>")
+    return out
+
+
 def ngram_decontaminate(
     train: "DataFrame", bench: "DataFrame", text_col: str,
     id_col: str, *, shingle_n: int = 3, threshold: float = 0.5,

@@ -135,7 +135,7 @@ def collect_all() -> dict[str, Query]:
                  "mmfields_split", "mmanon_embedded",
                  "mmpstrucdata_parse", "dynstats_maxcard_overflow",
                  "percentile_stats_values", "dedup_exact",
-                 "mmexternal_bridge",
+                 "mmexternal_bridge", "similarity_knn_join",
                  "similarity_topk_ivf"):
         out[tail] = out.pop(tail)
     return out

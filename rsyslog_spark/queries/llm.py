@@ -395,6 +395,88 @@ def text_lang_id(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _pii_oracle() -> str:
+    """Sequential redaction chain in DuckDB built from the SAME
+    PII_PATTERNS list the Spark operator compiles, so pattern text
+    and attribution order can never drift apart."""
+    from rsyslog_spark.operators.text import PII_PATTERNS
+
+    ctes, carry = [], []
+    prev = "base"
+    for i, (kind, pat) in enumerate(PII_PATTERNS):
+        inner_keep = "".join(f" {c}," for c in carry)
+        keep = ", ".join(carry + [f"n_{kind}"])
+        ctes.append(
+            f"s{i} AS (SELECT lang, {keep},\n"
+            f"  regexp_replace(t, '{pat}', '<{kind.upper()}>', 'g') AS t\n"
+            f"  FROM (SELECT lang,{inner_keep} t,"
+            f" len(regexp_extract_all(t, '{pat}')) AS n_{kind}"
+            f" FROM {prev}))")
+        carry.append(f"n_{kind}")
+        prev = f"s{i}"
+    residual = " + ".join(
+        f"len(regexp_extract_all(t, '{p}'))" for _, p in PII_PATTERNS)
+    sums = ",\n           ".join(
+        f"CAST(SUM(n_{k}) AS BIGINT) AS {k}s" for k, _ in PII_PATTERNS)
+    return f"""
+    WITH base AS (
+      SELECT lang,
+             concat('contact user', doc_id::VARCHAR,
+                    '@corp.example.com from 192.168.',
+                    (doc_id % 256)::VARCHAR, '.7; card 4111-1111-1111-',
+                    lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+                    ' ssn 078-05-', lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+                    ' call (415) 555-', lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+                    ' :: ', substr(text, 1, 120)) AS t
+      FROM documents
+    ),
+    {",".join(ctes)}
+    SELECT lang,
+           {sums},
+           CAST(SUM(length(t)) AS BIGINT) AS redacted_len,
+           CAST(SUM(CASE WHEN {residual} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_residual
+    FROM {prev} GROUP BY lang
+    """
+
+
+@q(
+    "pii_redaction_battery", _pii_oracle(),
+    doc="PII scrub pass: synthetic emails/cards/SSNs/phones/IPs "
+        "woven into every document, masked by the ordered "
+        "redact_pii chain (pure regexp_replace tree, no UDF); "
+        "verifies per-kind attribution counts, redacted byte "
+        "lengths, and that nothing PII-shaped survives redaction.",
+)
+def pii_redaction_battery(spark, sf_dir):
+    from rsyslog_spark.operators.text import (
+        PII_PATTERNS, pii_counts, redact_pii)
+
+    docs = load(spark, sf_dir, "documents")
+    last4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    msg = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@corp.example.com from 192.168."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7; card 4111-1111-1111-"), last4,
+        F.lit(" ssn 078-05-"), last4,
+        F.lit(" call (415) 555-"), last4,
+        F.lit(" :: "), F.substring(F.col("text"), 1, 120))
+    red = docs.select(
+        "lang", *pii_counts(msg), redact_pii(msg).alias("redacted"))
+    residual = None
+    for _, pat in PII_PATTERNS:
+        n = F.size(F.regexp_extract_all(F.col("redacted"), F.lit(pat), 0))
+        residual = n if residual is None else residual + n
+    return red.groupBy("lang").agg(
+        *[F.sum(f"n_{k}").cast("long").alias(f"{k}s")
+          for k, _ in PII_PATTERNS],
+        F.sum(F.length("redacted")).cast("long").alias("redacted_len"),
+        F.sum(F.when(residual > 0, 1).otherwise(0)).cast("long")
+        .alias("n_residual"),
+    )
+
+
 @q(
     "embedding_cosine_near_dup",
     """

@@ -455,3 +455,36 @@ class TestProductQuantization:
                pq_topk(enc, books, q, k=5, rerank=60).collect()}
         assert 5 in got                      # query vector found
         assert len(truth & got) / 5 >= 0.6
+
+
+class TestPiiRedaction:
+    def test_each_kind_masked_and_attributed_once(self, spark):
+        """Ordered attribution: a 4-4-4-4 card is a credit_card, not
+        a phone; an email needs an alphabetic TLD, so admin@1.2.3.4
+        is an IPv4 hit (host redacted), not an email; counts equal
+        what redact_pii masks."""
+        from rsyslog_spark.operators.text import pii_counts, redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail bob@example.com or admin@1.2.3.4 "
+                 "card 4111-1111-1111-1234 ssn 078-05-1120 "
+                 "tel (415) 555-0042 host 10.0.0.1 "
+                 "secret sk_AbCd1234EfGh5678Ij"),
+             (2, "nothing sensitive here at all")],
+            "id long, text string")
+        out = df.select("id", *pii_counts("text"),
+                        redact_pii("text").alias("r")).collect()
+        row = {r.id: r for r in out}
+        r1 = row[1]
+        assert (r1.n_email, r1.n_credit_card, r1.n_ssn, r1.n_phone,
+                r1.n_ipv4, r1.n_api_key) == (1, 1, 1, 1, 2, 1)
+        assert "<EMAIL>" in r1.r and "<CREDIT_CARD>" in r1.r \
+            and "<SSN>" in r1.r and "<PHONE>" in r1.r \
+            and "<IPV4>" in r1.r and "<API_KEY>" in r1.r
+        assert "bob@" not in r1.r and "4111" not in r1.r \
+            and "078-05" not in r1.r and "555-0042" not in r1.r \
+            and "10.0.0.1" not in r1.r and "sk_AbCd" not in r1.r
+        r2 = row[2]
+        assert r2.r == "nothing sensitive here at all"
+        assert sum([r2.n_email, r2.n_credit_card, r2.n_ssn,
+                    r2.n_phone, r2.n_ipv4, r2.n_api_key]) == 0
