@@ -200,6 +200,46 @@ def cosine_pairs_blocked(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame, dim: int,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    num_planes: int = 8, threshold: float = 0.2, seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup edges: bucket the corpus by
+    its FULL hyperplane-LSH signature (the deterministic analog of
+    the paper's k-means cluster assignment), then exact cosine on
+    same-bucket pairs only.
+
+    Scale shape: one shuffle on the signature (2^num_planes buckets
+    spread the corpus), and the quadratic step is confined to a
+    bucket — at N vectors and B buckets the compare count is
+    ~N^2/B instead of N^2, and each bucket's pairs are generated by
+    a sort-merge equi-join on the signature, never a BNLJ. Output
+    (id_a, id_b, cosine) edges feed
+    :func:`rsyslog_spark.operators.dedup.connected_components` /
+    ``dedup_by_components`` to pick one representative per cluster.
+    """
+    planes = lsh_hyperplanes(dim, num_planes, seed)
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = df.select(
+        F.col(id_col), vec.alias("__v"),
+        lsh_signature(vec, planes).alias("__sig"),
+    ).withColumn("__n", norm(F.col("__v")))
+    # full-corpus self-join on the bucket key: pin to sort-merge
+    # (statless sources can look tiny and trigger a broadcast build)
+    a, b = sig.hint("merge").alias("a"), sig.alias("b")
+    cos = dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n")
+                                                 * F.col("b.__n"))
+    return (
+        a.join(b, [F.col("a.__sig") == F.col("b.__sig"),
+                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_index(
     df: DataFrame,
     vec_col: str = "embedding",

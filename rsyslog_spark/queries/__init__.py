@@ -136,6 +136,7 @@ def collect_all() -> dict[str, Query]:
                  "mmpstrucdata_parse", "dynstats_maxcard_overflow",
                  "percentile_stats_values", "dedup_exact",
                  "mmexternal_bridge", "similarity_knn_join",
+                 "ngram_jaccard_dup_pairs",
                  "similarity_topk_ivf"):
         out[tail] = out.pop(tail)
     return out

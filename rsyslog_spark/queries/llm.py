@@ -502,6 +502,65 @@ def embedding_cosine_near_dup(spark, sf_dir):
     return cosine_pairs_blocked(emb, threshold=0.35, n_blocks=16)
 
 
+def _semantic_dedup_oracle() -> str:
+    """Hyperplane signatures (seeded, embedded as literals), same-
+    bucket cosine edges, recursive-CTE connected components — the
+    whole SemDeDup pipeline reproduced in DuckDB."""
+    from rsyslog_spark.operators.similarity import lsh_hyperplanes
+
+    planes = lsh_hyperplanes(64, 8, seed=42)
+    rows = ",\n      ".join(
+        "({}, [{}]::DOUBLE[])".format(i, ",".join(repr(v) for v in p))
+        for i, p in enumerate(planes))
+    return f"""
+    WITH RECURSIVE planes(i, p) AS (VALUES
+      {rows}),
+    sigs AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             SUM(CASE WHEN list_dot_product(
+                          CAST(e.embedding AS DOUBLE[]), pl.p) >= 0
+                      THEN 1::BIGINT << pl.i ELSE 0 END)::BIGINT AS sig
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, e.embedding),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.2),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, lbl) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+    SELECT CAST(id AS BIGINT) AS vec_id,
+           CAST(MIN(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """
+
+
+@q(
+    "semantic_dedup", _semantic_dedup_oracle(),
+    doc="SemDeDup-style semantic dedup: bucket the corpus by full "
+        "8-plane LSH signature (deterministic analog of the paper's "
+        "k-means assignment), exact cosine within bucket only "
+        "(~N^2/256 compares, sort-merge equi-join, no BNLJ), then "
+        "connected components to label each semantic-dup cluster. "
+        "Planes embedded in the oracle as literals; components "
+        "checked against a DuckDB recursive CTE.",
+)
+def semantic_dedup(spark, sf_dir):
+    from rsyslog_spark.operators.dedup import connected_components
+    from rsyslog_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = semantic_dedup_pairs(emb, dim=64, num_planes=8,
+                                 threshold=0.2)
+    comp = connected_components(edges)
+    return comp.select(F.col("id").cast("long").alias("vec_id"),
+                       F.col("component").cast("long").alias("component"))
+
+
 @q(
     "multimodal_battery",
     """

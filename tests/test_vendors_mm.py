@@ -488,3 +488,26 @@ class TestPiiRedaction:
         assert r2.r == "nothing sensitive here at all"
         assert sum([r2.n_email, r2.n_credit_card, r2.n_ssn,
                     r2.n_phone, r2.n_ipv4, r2.n_api_key]) == 0
+
+
+class TestSemanticDedup:
+    def test_bucket_confined_and_no_bnlj(self, spark):
+        """Edges only connect same-signature vectors; plan is a
+        sort-merge equi-join (no BNLJ); a vector duplicated verbatim
+        is always found (identical vectors share every LSH bit)."""
+        import random
+        from rsyslog_spark.operators.similarity import (
+            lsh_hyperplanes, semantic_dedup_pairs)
+
+        rng = random.Random(3)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(16)])
+                for i in range(80)]
+        rows.append((200, list(rows[7][1])))      # exact dup of id 7
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup_pairs(df, dim=16, num_planes=6,
+                                   threshold=0.9)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        pairs = {(r.id_a, r.id_b) for r in out.collect()}
+        assert (7, 200) in pairs
