@@ -42,9 +42,12 @@ BENCH_QUERIES = [
     "repeated_msg_reduction_runs",
     "dedup_exact",
     "minhash_lsh_dedup",
+    "simhash_near_dup",
     "dedup_components",
+    "semantic_dedup",
     "similarity_topk_bruteforce",
     "text_battery",
+    "pii_redaction_battery",
     "doc_repetition_filter",
     "decontaminate_ngram_overlap",
     "sequence_packing",

@@ -355,7 +355,7 @@ def simhash_candidates(fps: DataFrame, id_col: str,
 
 def connected_components(
     edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 25, jumps_per_round: int = 1,
 ) -> DataFrame:
     """Connected components over an undirected dup-pair edge list →
     ``(id, component)`` with component = min node id in the component.
@@ -378,8 +378,23 @@ def connected_components(
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("comp", F.col("id"))
               .localCheckpoint(eager=False))
+    # Convergence certificate: every node's label is monotone
+    # non-increasing (least() with its old value; the jump target is
+    # a label of a node whose label <= its id), so sum(comp)
+    # unchanged <=> no label changed. Reading the sum is ONE
+    # scheduler job per round over the lazily-checkpointed frame
+    # (the agg action materializes the checkpoint as a side effect)
+    # vs the naive jumped-vs-labels join + count, which costs a
+    # shuffle join and two extra jobs per round — at a handful of
+    # rounds per run that overhead, not the data volume, dominated
+    # wall-clock on small-to-medium graphs.
+    prev_sum = None
     for _ in range(max_iter):
-        # neighbor minimum
+        # neighbor minimum, then min with the node's own label.
+        # (A union-of-contributions + single groupBy would save one
+        # join here, but both union branches sharing the labels
+        # LogicalRDD lineage trips a Catalyst planning bug — "key not
+        # found: id#N" at physical planning — so the join form stays.)
         nbr = (sym.join(labels.select(F.col("id").alias("dst"),
                                       F.col("comp").alias("dcomp")),
                         "dst")
@@ -390,22 +405,29 @@ def connected_components(
                                    F.coalesce(nbr["nmin"],
                                               labels["comp"]))
                            .alias("comp")))
-        # pointer jump: comp := comp of comp
-        jumped = (stepped.alias("s")
-                  .join(stepped.select(F.col("id").alias("cid"),
-                                       F.col("comp").alias("ccomp"))
-                        .alias("t"),
-                        F.col("s.comp") == F.col("t.cid"), "left")
-                  .select(F.col("s.id").alias("id"),
-                          F.coalesce(F.col("t.ccomp"),
-                                     F.col("s.comp")).alias("comp"))
-                  .localCheckpoint())
-        changed = (jumped.join(labels.withColumnRenamed(
-                       "comp", "old"), "id")
-                   .filter(F.col("comp") != F.col("old")).count())
+        # pointer jumps: comp := comp of comp. More than one jump per
+        # round shortens chains faster but squares the self-join
+        # width — only worth it for high-diameter graphs (callers
+        # opt in).
+        cur = stepped
+        for _ in range(max(1, jumps_per_round)):
+            cur = (cur.alias("s")
+                   .join(cur.select(F.col("id").alias("cid"),
+                                    F.col("comp").alias("ccomp"))
+                         .alias("t"),
+                         F.col("s.comp") == F.col("t.cid"), "left")
+                   .select(F.col("s.id").alias("id"),
+                           F.coalesce(F.col("t.ccomp"),
+                                      F.col("s.comp")).alias("comp")))
+        jumped = cur.localCheckpoint()
+        # sum(comp) over the already-materialized frame: a scan-only
+        # job (no shuffle join, unlike a jumped-vs-labels diff count).
+        # None = empty graph — converged trivially.
+        cur_sum = jumped.agg(F.sum("comp")).first()[0]
         labels = jumped
-        if changed == 0:
+        if cur_sum is None or cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 

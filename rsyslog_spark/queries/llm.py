@@ -525,7 +525,7 @@ def _semantic_dedup_oracle() -> str:
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
-      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.2),
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.3),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs),
@@ -555,7 +555,7 @@ def semantic_dedup(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     edges = semantic_dedup_pairs(emb, dim=64, num_planes=8,
-                                 threshold=0.2)
+                                 threshold=0.3)
     comp = connected_components(edges)
     return comp.select(F.col("id").cast("long").alias("vec_id"),
                        F.col("component").cast("long").alias("component"))
