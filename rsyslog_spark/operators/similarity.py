@@ -302,6 +302,76 @@ def ivf_topk(
     )
 
 
+def ivf_index_deterministic(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    lloyd_iters: int = 1,
+    round_digits: int = 6,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Engine-portable IVF coarse quantizer: seeded-sample init +
+    rounded Lloyd refinement.  Unlike :func:`ivf_index` (MLlib
+    KMeans, implementation-defined assignment) every step here is
+    deterministic and reproducible in plain SQL, so the whole IVF
+    path is oracle-checkable:
+
+    * init — the ``k`` vectors with the smallest ``md5(cast(id as
+      string))`` (a portable seeded sample; ties broken by id),
+    * assign — argmin over ``round(|c|^2 - 2 v.c, round_digits)``
+      (monotone in squared L2; the constant ``|v|^2`` is dropped),
+      ties broken by bucket index,
+    * update — per-dimension mean, rounded to ``round_digits``
+      (rounding pins the value against summation-order drift between
+      engines); empty buckets keep their previous centroid.
+
+    Distributed shape is the classic KMeans loop: assignment is a
+    pure column expression over ``k`` centroid literals (map-only,
+    whole-stage codegen), the update is one posexplode + groupBy
+    (k*dim result rows collected to the driver — the same
+    reduce-to-driver any distributed KMeans does).  Returns
+    (df + ``ivf_bucket`` column, centroid list).
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), vec.alias("__v"))
+    init_rows = (base
+                 .orderBy(F.md5(F.col(id_col).cast("string")),
+                          F.col(id_col))
+                 .limit(k).collect())
+    cents = [[float(x) for x in r["__v"]] for r in init_rows]
+
+    def _assign(cs: list[list[float]]) -> Column:
+        scored = []
+        for i, c in enumerate(cs):
+            cc = sum(x * x for x in c)
+            score = F.round(
+                F.lit(cc) - 2.0 * dot(F.col("__v"), _query_lit(c)),
+                round_digits)
+            scored.append(F.struct(score.alias("d"),
+                                   F.lit(i).alias("b")))
+        return F.array_min(F.array(*scored))["b"]
+
+    for _ in range(max(0, lloyd_iters)):
+        assigned = base.withColumn("__b", _assign(cents))
+        means = (assigned
+                 .select("__b", F.posexplode(F.col("__v"))
+                         .alias("__i", "__x"))
+                 .groupBy("__b", "__i")
+                 .agg(F.round(F.avg("__x"), round_digits).alias("__m"))
+                 .collect())
+        by_bucket: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_bucket.setdefault(r["__b"], {})[r["__i"]] = r["__m"]
+        cents = [
+            [by_bucket[b][i] for i in range(len(cents[b]))]
+            if b in by_bucket else cents[b]
+            for b in range(k)
+        ]
+    out = df.withColumn("__v", vec).withColumn(
+        "ivf_bucket", _assign(cents)).drop("__v")
+    return out, cents
+
+
 def lsh_index(
     df: DataFrame, dim: int, vec_col: str = "embedding",
     num_planes: int = 16, seed: int = 42,

@@ -621,21 +621,106 @@ def multimodal_battery(spark, sf_dir):
     return feats.unionByName(frames)
 
 
+def _ivf_topk_oracle(k: int = 8, nprobe: int = 3, dim: int = 64) -> str:
+    """The deterministic quantizer (seeded md5-sample init + one
+    rounded Lloyd step) is reproduced wholesale in DuckDB: same init
+    ordering, same rounded argmin assignment, same rounded
+    per-dimension means, same probe ranking — so the FULL IVF path
+    (train, assign, prune, exact re-rank) is oracle-checked."""
+    return f"""
+    WITH init AS (
+      SELECT * FROM (
+        SELECT ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS b,
+               CAST(embedding AS DOUBLE[]) AS c
+        FROM embeddings) WHERE b < {k}),
+    vecs AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    a0 AS (
+      SELECT vec_id, v, b FROM (
+        SELECT x.vec_id, x.v, i.b,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                 ORDER BY ROUND(list_dot_product(i.c, i.c)
+                              - 2 * list_dot_product(x.v, i.c), 6),
+                          i.b) AS rn
+        FROM vecs x CROSS JOIN init i) WHERE rn = 1),
+    cmeans AS (
+      SELECT a0.b, r.i,
+             ROUND(AVG(a0.v[CAST(r.i + 1 AS INT)]), 6) AS x
+      FROM a0 CROSS JOIN range({dim}) r(i)
+      GROUP BY a0.b, r.i),
+    cent AS (
+      SELECT init.b, COALESCE(m.c, init.c) AS c
+      FROM init LEFT JOIN (
+        SELECT b, list(x ORDER BY i) AS c FROM cmeans GROUP BY b) m
+      USING (b)),
+    a1 AS (
+      SELECT vec_id, v, b FROM (
+        SELECT x.vec_id, x.v, cc.b,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                 ORDER BY ROUND(list_dot_product(cc.c, cc.c)
+                              - 2 * list_dot_product(x.v, cc.c), 6),
+                          cc.b) AS rn
+        FROM vecs x CROSS JOIN cent cc) WHERE rn = 1),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT b FROM (
+        SELECT cc.b, ROW_NUMBER() OVER (
+          ORDER BY ROUND(list_dot_product(cc.c, q.qv)
+                   / (sqrt(list_dot_product(cc.c, cc.c))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                   cc.b) AS rn
+        FROM cent cc, q) WHERE rn <= {nprobe})
+    SELECT a1.vec_id, CAST(a1.b AS BIGINT) AS ivf_bucket,
+           ROUND(list_dot_product(a1.v, q.qv)
+                 / (sqrt(list_dot_product(a1.v, a1.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+    FROM a1 JOIN probe USING (b), q
+    ORDER BY cosine DESC, a1.vec_id
+    LIMIT 10
+    """
+
+
 @q(
-    "similarity_topk_ivf", None,
-    doc="IVF ANN: MLlib KMeans coarse quantizer -> bucket-pruned "
-        "cosine probe (nprobe/k of the data scanned; rows-only check "
-        "— KMeans assignment is implementation-defined; recall vs "
-        "brute force asserted in tests).",
+    "similarity_topk_ivf", _ivf_topk_oracle(),
+    doc="IVF ANN, fully oracle-checked: deterministic coarse "
+        "quantizer (portable seeded-sample init + one rounded Lloyd "
+        "step, operators/similarity.ivf_index_deterministic) -> rank "
+        "centroids vs the query -> scan only nprobe/k buckets -> "
+        "exact cosine top-10 re-rank.  The MLlib-KMeans quantizer "
+        "(ivf_index) remains the library's quality path, recall-"
+        "tested in units; this query pins the engine-portable "
+        "variant against the same pipeline expressed in DuckDB SQL.",
 )
 def similarity_topk_ivf(spark, sf_dir):
-    from rsyslog_spark.operators.similarity import ivf_index, ivf_topk
+    from rsyslog_spark.operators.similarity import (
+        ivf_index_deterministic, lsh_hyperplanes)  # noqa: F401
+    import math as _m
 
     emb = load(spark, sf_dir, "embeddings")
     q0 = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
     qv = [float(x) for x in q0[0]["embedding"]]
-    indexed, cents = ivf_index(emb, k=8)
-    return ivf_topk(indexed, cents, qv, k=10, nprobe=3)
+    indexed, cents = ivf_index_deterministic(emb, k=8, lloyd_iters=1)
+
+    qn = _m.sqrt(sum(x * x for x in qv))
+    ranked = sorted(
+        range(len(cents)),
+        key=lambda i: (
+            -round(sum(a * b for a, b in zip(cents[i], qv))
+                   / (_m.sqrt(sum(x * x for x in cents[i])) * qn), 6),
+            i))
+    probe = ranked[:3]
+
+    from rsyslog_spark.operators.similarity import cosine, _query_lit
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sim = F.round(cosine(vec, _query_lit(qv)), 4)
+    return (indexed.filter(F.col("ivf_bucket").isin(probe))
+            .select("vec_id",
+                    F.col("ivf_bucket").cast("long").alias("ivf_bucket"),
+                    sim.alias("cosine"))
+            .orderBy(F.desc("cosine"), "vec_id")
+            .limit(10))
 
 
 @q(

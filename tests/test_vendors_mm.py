@@ -179,6 +179,40 @@ class TestIvf:
         assert 5 in approx
         assert len(set(exact) & set(approx)) >= 3
 
+    def test_deterministic_quantizer(self, spark):
+        import random
+        from rsyslog_spark.operators.similarity import (
+            cosine_topk, ivf_index_deterministic, ivf_topk,
+        )
+
+        rng = random.Random(9)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(16)])
+                for i in range(300)]
+        df = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>")
+        idx1, c1 = ivf_index_deterministic(df, k=6, lloyd_iters=1)
+        idx2, c2 = ivf_index_deterministic(df, k=6, lloyd_iters=1)
+        # bit-for-bit deterministic: same centroids, same assignment
+        assert c1 == c2
+        a1 = {r["vec_id"]: r["ivf_bucket"] for r in idx1.collect()}
+        a2 = {r["vec_id"]: r["ivf_bucket"] for r in idx2.collect()}
+        assert a1 == a2
+        # every vector assigned, buckets within range
+        assert len(a1) == 300
+        assert set(a1.values()) <= set(range(6))
+        # recall: probe half the buckets, find the query itself and
+        # most of the exact top-5
+        qv = rows[5][1]
+        exact = [r["vec_id"] for r in cosine_topk(df, qv, k=5).collect()]
+        approx = [r["vec_id"] for r in
+                  ivf_topk(idx1, c1, qv, k=5, nprobe=3).collect()]
+        assert 5 in approx
+        assert len(set(exact) & set(approx)) >= 3
+        # a Lloyd step must actually move centroids off the sampled
+        # init vectors
+        _, c0 = ivf_index_deterministic(df, k=6, lloyd_iters=0)
+        assert c0 != c1
+
 
 class TestCosinePairsBlocked:
     def test_exact_no_bnlj(self, spark):
