@@ -546,3 +546,84 @@ def test_imtcp_oversized_octet_count_falls_back_to_lf(spark, tmp_path):
                        "<13>next ok"]
     finally:
         b.stop()
+
+
+class TestImpcap:
+    """pcap file replay (ref: contrib/impcap — input file= mode)."""
+
+    @staticmethod
+    def _udp_packet(src_ip, dst_ip, sport, dport, payload):
+        import struct as s
+        udp = s.pack(">HHHH", sport, dport, 8 + len(payload), 0) + payload
+        ip = (b"\x45\x00" + s.pack(">H", 20 + len(udp))
+              + b"\x00\x00\x00\x00" + bytes([64, 17]) + b"\x00\x00"
+              + bytes(src_ip) + bytes(dst_ip))
+        eth = (bytes.fromhex("aabbccddeeff") + bytes.fromhex("112233445566")
+               + b"\x08\x00")
+        return eth + ip + udp
+
+    @staticmethod
+    def _tcp_packet(flags, payload=b"", ns=False):
+        import struct as s
+        dor = (5 << 4) | (1 if ns else 0)
+        tcp = s.pack(">HHII", 443, 51000, 1000, 2000) + bytes([dor, flags]) \
+            + b"\x00\x00\x00\x00\x00\x00" + payload
+        ip = (b"\x45\x00" + s.pack(">H", 20 + len(tcp))
+              + b"\x00\x00\x00\x00" + bytes([63, 6]) + b"\x00\x00"
+              + bytes([10, 0, 0, 1]) + bytes([10, 0, 0, 2]))
+        # VLAN-tagged ethernet frame (one 802.1Q tag is unwrapped)
+        eth = (bytes.fromhex("aabbccddeeff") + bytes.fromhex("112233445566")
+               + b"\x81\x00" + b"\x00\x2a" + b"\x08\x00")
+        return eth + ip + tcp
+
+    @staticmethod
+    def _pcap(packets, magic=b"\xd4\xc3\xb2\xa1", linktype=1,
+              truncate_last=0):
+        import struct as s
+        endian = "<" if magic[0] == 0xD4 or magic[0] == 0x4D else ">"
+        out = magic + s.pack(endian + "HHiIII", 2, 4, 0, 0, 65535, linktype)
+        for i, p in enumerate(packets):
+            out += s.pack(endian + "IIII", 1700000000 + i, 250000,
+                          len(p), len(p)) + p
+        return out[:len(out) - truncate_last] if truncate_last else out
+
+    def test_parse_udp_tcp_vlan_and_truncation(self, spark, tmp_path):
+        from rsyslog_spark.streaming.pcap import impcap
+
+        udp = self._udp_packet([192, 168, 1, 9], [10, 0, 0, 5], 32000,
+                               514, b"<13>Jan  1 00:00:00 host app: hi")
+        tcp = self._tcp_packet(flags=0b00010010, ns=True)  # SYN+ACK+NS
+        cut = self._udp_packet([1, 1, 1, 1], [2, 2, 2, 2], 1, 2, b"gone")
+        (tmp_path / "cap.pcap").write_bytes(
+            self._pcap([udp, tcp, cut], truncate_last=10))
+        rows = {r["pkt_idx"]: r for r in
+                impcap(spark, str(tmp_path)).collect()}
+        assert len(rows) == 2  # truncated trailer dropped
+        u = rows[0]
+        assert (u["net_src_ip"], u["net_dst_ip"]) == ("192.168.1.9", "10.0.0.5")
+        assert (u["net_src_port"], u["net_dst_port"]) == (32000, 514)
+        assert u["IP_proto"] == 17 and u["UDP_Length"] == 40
+        assert u["ETH_src"] == "11:22:33:44:55:66"
+        assert bytes(u["payload"]) == b"<13>Jan  1 00:00:00 host app: hi"
+        t = rows[1]
+        assert t["ETH_type"] == 0x0800  # VLAN tag unwrapped
+        assert t["net_flags"] == "SAN"  # FSRPAUECN order + NS bit
+        assert (t["TCP_seq_number"], t["TCP_ack_number"]) == (1000, 2000)
+        assert t["net_ttl"] == 63
+
+    def test_nanosecond_magic_and_syslog_chain(self, spark, tmp_path):
+        from rsyslog_spark.streaming.pcap import impcap, impcap_messages
+        from rsyslog_spark.parsers import parse_syslog
+
+        udp = self._udp_packet([172, 16, 0, 1], [172, 16, 0, 2], 4000,
+                               514, b"<34>1 2026-01-02T03:04:05Z h a 1 - - ok")
+        (tmp_path / "ns.pcap").write_bytes(
+            self._pcap([udp], magic=b"\x4d\x3c\xb2\xa1"))
+        msgs = impcap_messages(impcap(spark, str(tmp_path)), tag="cap")
+        parsed = parse_syslog(
+            msgs.select(F.col("msg").alias("line"))).collect()
+        assert parsed[0]["syslogseverity"] == 2
+        assert parsed[0]["hostname"] == "h"
+        meta = msgs.collect()[0]
+        assert meta["syslogtag"] == "cap"
+        assert '"net_dst_port":514' in meta["impcap"]
