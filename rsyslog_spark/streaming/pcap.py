@@ -43,10 +43,44 @@ PCAP_SCHEMA = (
     "net_src_ip string, net_dst_ip string, net_ttl int, IP_proto int, "
     "net_src_port int, net_dst_port int, net_flags string, "
     "TCP_seq_number long, TCP_ack_number long, UDP_Length int, "
+    "DNS_transaction_id int, DNS_response_flag boolean, "
+    "DNS_opcode int, DNS_rcode int, DNS_error string, "
+    "DNS_QDCOUNT int, DNS_ANCOUNT int, DNS_NSCOUNT int, "
+    "DNS_ARCOUNT int, "
+    "DNS_Names array<struct<qname string, qtype int, type string, "
+    "qclass int, class string>>, "
     "orig_len int, payload binary"
 )
 
+# dns_parser.c:32-57 dns_rcodes (reserved slots -> "")
+_DNS_RCODES = ["NoError", "FormErr", "ServFail", "NXDomain", "NotImp",
+               "Refused", "YXDomain", "YXRRSet", "NXRRSet", "NotAuth",
+               "NotZone", "", "", "", "", "", "BADVERS|BADSIG",
+               "BADKEY", "BADTIME", "BADMODE", "BADNAME", "BADALG",
+               "BADTRUNC", "BADCOOKIE"]
+# dns_parser.c:59-146 dns_types/get_type (common assigned values)
+_DNS_TYPES = {
+    1: "A", 2: "NS", 3: "MD", 4: "MF", 5: "CNAME", 6: "SOA", 7: "MB",
+    8: "MG", 9: "MR", 10: "NULL", 11: "WKS", 12: "PTR", 13: "HINFO",
+    14: "MINFO", 15: "MX", 16: "TXT", 17: "RP", 18: "AFSDB", 24: "SIG",
+    25: "KEY", 28: "AAAA", 29: "LOC", 33: "SRV", 35: "NAPTR",
+    39: "DNAME", 41: "OPT", 43: "DS", 46: "RRSIG", 47: "NSEC",
+    48: "DNSKEY", 50: "NSEC3", 52: "TLSA", 99: "SPF", 249: "TKEY",
+    250: "TSIG", 251: "IXFR", 252: "AXFR", 255: "*", 257: "CAA",
+}
+_DNS_CLASSES = {1: "IN", 3: "CH", 4: "HS", 254: "NONE", 255: "*"}
+
 _TCP_FLAG_CODES = "FSRPAUECN"  # tcp_parser.c:54 flagCodes
+
+_COLUMNS = [
+    "file", "pkt_idx", "ts", "ETH_src", "ETH_dst", "ETH_type",
+    "net_src_ip", "net_dst_ip", "net_ttl", "IP_proto",
+    "net_src_port", "net_dst_port", "net_flags",
+    "TCP_seq_number", "TCP_ack_number", "UDP_Length",
+    "DNS_transaction_id", "DNS_response_flag", "DNS_opcode",
+    "DNS_rcode", "DNS_error", "DNS_QDCOUNT", "DNS_ANCOUNT",
+    "DNS_NSCOUNT", "DNS_ARCOUNT", "DNS_Names", "orig_len", "payload",
+]
 
 
 def _mac(b: bytes) -> str:
@@ -101,7 +135,12 @@ def parse_pcap_records(name: str, buf: bytes) -> Iterator[dict]:
             "IP_proto": None, "net_src_port": None,
             "net_dst_port": None, "net_flags": None,
             "TCP_seq_number": None, "TCP_ack_number": None,
-            "UDP_Length": None, "orig_len": orig, "payload": None,
+            "UDP_Length": None,
+            "DNS_transaction_id": None, "DNS_response_flag": None,
+            "DNS_opcode": None, "DNS_rcode": None, "DNS_error": None,
+            "DNS_QDCOUNT": None, "DNS_ANCOUNT": None,
+            "DNS_NSCOUNT": None, "DNS_ARCOUNT": None,
+            "DNS_Names": None, "orig_len": orig, "payload": None,
         }
         idx += 1
         p = pkt
@@ -192,8 +231,56 @@ def _l4(row: dict, p: bytes) -> bytes:
         sport, dport, ulen, _ck = struct.unpack(">HHHH", p[:8])
         row["net_src_port"], row["net_dst_port"] = sport, dport
         row["UDP_Length"] = ulen
-        return p[8:]
+        p = p[8:]
+        if 53 in (sport, dport):  # udp_parser.c DNS_PORT dispatch
+            _dns(row, p)
+        return p
     return p
+
+
+def _dns(row: dict, p: bytes) -> None:
+    """dns_parser.c: header fields + QD-section name walk (labels,
+    with message-compression pointers tolerated)."""
+    if len(p) < 12:
+        return
+    (txid, flags, qd, an, ns, ar) = struct.unpack(">HHHHHH", p[:12])
+    rcode = flags & 0x0F
+    row["DNS_transaction_id"] = txid
+    row["DNS_response_flag"] = bool(flags & 0x8000)
+    row["DNS_opcode"] = (flags >> 11) & 0x0F
+    row["DNS_rcode"] = rcode
+    row["DNS_error"] = (_DNS_RCODES[rcode]
+                        if rcode < len(_DNS_RCODES) else "UNKNOWN")
+    row["DNS_QDCOUNT"], row["DNS_ANCOUNT"] = qd, an
+    row["DNS_NSCOUNT"], row["DNS_ARCOUNT"] = ns, ar
+    names, off = [], 12
+    for _ in range(min(qd, 32)):
+        labels = []
+        while off < len(p):
+            ln = p[off]
+            if ln == 0:
+                off += 1
+                break
+            if ln & 0xC0:  # compression pointer ends the name
+                off += 2
+                break
+            if off + 1 + ln > len(p):
+                return
+            labels.append(
+                p[off + 1:off + 1 + ln].decode("ascii", "replace"))
+            off += 1 + ln
+        if off + 4 > len(p):
+            return
+        qtype, qclass = struct.unpack(">HH", p[off:off + 4])
+        off += 4
+        names.append({
+            "qname": ".".join(labels),
+            "qtype": qtype,
+            "type": _DNS_TYPES.get(qtype, "UNKNOWN"),
+            "qclass": qclass,
+            "class": _DNS_CLASSES.get(qclass, "UNKNOWN"),
+        })
+    row["DNS_Names"] = names
 
 
 def impcap(
@@ -217,11 +304,64 @@ def impcap(
             rows = []
             for name, content in zip(pdf["path"], pdf["content"]):
                 rows.extend(parse_pcap_records(name, bytes(content)))
-            yield pd.DataFrame(
-                rows, columns=[f.split(" ")[0] for f in
-                               PCAP_SCHEMA.split(", ")])
+            yield pd.DataFrame(rows, columns=_COLUMNS)
 
     return raw.mapInPandas(walk, PCAP_SCHEMA)
+
+
+def impcap_http(pkts: DataFrame) -> DataFrame:
+    """http_parser.c: request/status line + header-field map from TCP
+    payloads on ports 80/8080 — pure column ops (the payload is text;
+    no Python walker needed)."""
+    is_http = (F.col("IP_proto") == 6) & (
+        F.col("net_src_port").isin(80, 8080)
+        | F.col("net_dst_port").isin(80, 8080))
+    text = F.col("payload").cast("string")
+    first = F.substring_index(F.regexp_replace(text, "\r", ""), "\n", 1)
+    p1 = F.substring_index(first, " ", 1)
+    p2 = F.element_at(F.split(first, " ", 3), 2)
+    p3 = F.element_at(F.split(first, " ", 3), 3)
+    is_rsp = p1.startswith("HTTP/")
+    hdr_lines = F.filter(
+        F.slice(F.split(F.regexp_replace(text, "\r", ""), "\n"), 2,
+                1024),
+        lambda ln: ln.contains(": "))
+    hdr_map = F.map_from_entries(F.transform(
+        hdr_lines,
+        lambda ln: F.struct(
+            F.substring_index(ln, ": ", 1).alias("key"),
+            F.substring_index(ln, ": ", -1).alias("value"))))
+    valid = is_http & first.rlike("^(HTTP/|[A-Z]+ )")
+    return (pkts
+            .withColumn("HTTP_version",
+                        F.when(valid & is_rsp, p1)
+                        .when(valid & ~is_rsp, p3))
+            .withColumn("HTTP_status_code", F.when(valid & is_rsp, p2))
+            .withColumn("HTTP_reason", F.when(valid & is_rsp, p3))
+            .withColumn("HTTP_method", F.when(valid & ~is_rsp, p1))
+            .withColumn("HTTP_request_URI",
+                        F.when(valid & ~is_rsp, p2))
+            .withColumn("HTTP_header_fields", F.when(valid, hdr_map)))
+
+
+def impcap_ftp(pkts: DataFrame) -> DataFrame:
+    """ftp_parser.c: control-channel payloads on ports 21/20 — a
+    3-digit reply code becomes ``FTP_response``, otherwise the
+    command word becomes ``FTP_request``."""
+    is_ftp = (F.col("IP_proto") == 6) & (
+        F.col("net_src_port").isin(21, 20)
+        | F.col("net_dst_port").isin(21, 20))
+    text = F.regexp_replace(F.col("payload").cast("string"), "\r", "")
+    first = F.substring_index(text, "\n", 1)
+    code = F.regexp_extract(first, r"^(\d{3})[ -]", 1)
+    cmd = F.regexp_extract(first, r"^([A-Za-z]{3,4})( |$)", 1)
+    return (pkts
+            .withColumn("FTP_response",
+                        F.when(is_ftp & (code != ""),
+                               code.cast("int")))
+            .withColumn("FTP_request",
+                        F.when(is_ftp & (code == "") & (cmd != ""),
+                               cmd)))
 
 
 def impcap_messages(pkts: DataFrame, tag: str = "impcap") -> DataFrame:

@@ -627,3 +627,54 @@ class TestImpcap:
         meta = msgs.collect()[0]
         assert meta["syslogtag"] == "cap"
         assert '"net_dst_port":514' in meta["impcap"]
+
+    def test_dns_http_ftp_protocol_parsers(self, spark, tmp_path):
+        import struct as s
+        from rsyslog_spark.streaming.pcap import (
+            impcap, impcap_ftp, impcap_http,
+        )
+
+        # DNS query: www.example.com A/IN (dns_parser.c field map)
+        qname = b"\x03www\x07example\x03com\x00"
+        dns = s.pack(">HHHHHH", 0xBEEF, 0x0100, 1, 0, 0, 0) \
+            + qname + s.pack(">HH", 1, 1)
+        dns_pkt = self._udp_packet([9, 9, 9, 1], [8, 8, 8, 8], 5353,
+                                   53, dns)
+        # HTTP request on port 80 over TCP
+        http = (b"GET /index.html HTTP/1.1\r\n"
+                b"Host: example.com\r\nUser-Agent: t\r\n\r\n")
+        http_pkt = self._tcp_port_packet(51001, 80, http)
+        ftp_pkt = self._tcp_port_packet(21, 51002, b"230 Login ok\r\n")
+        (tmp_path / "mix.pcap").write_bytes(
+            self._pcap([dns_pkt, http_pkt, ftp_pkt]))
+        pkts = impcap(spark, str(tmp_path))
+        rows = {r["pkt_idx"]: r
+                for r in impcap_ftp(impcap_http(pkts)).collect()}
+        d = rows[0]
+        assert d["DNS_transaction_id"] == 0xBEEF
+        assert d["DNS_response_flag"] is False
+        assert d["DNS_QDCOUNT"] == 1 and d["DNS_rcode"] == 0
+        assert d["DNS_error"] == "NoError"
+        q0 = d["DNS_Names"][0]
+        assert q0["qname"] == "www.example.com"
+        assert (q0["type"], q0["class"]) == ("A", "IN")
+        h = rows[1]
+        assert h["HTTP_method"] == "GET"
+        assert h["HTTP_request_URI"] == "/index.html"
+        assert h["HTTP_version"] == "HTTP/1.1"
+        assert h["HTTP_header_fields"]["Host"] == "example.com"
+        f = rows[2]
+        assert f["FTP_response"] == 230 and f["FTP_request"] is None
+
+    @staticmethod
+    def _tcp_port_packet(sport, dport, payload):
+        import struct as s
+        tcp = s.pack(">HHII", sport, dport, 1, 1) \
+            + bytes([5 << 4, 0x18]) + b"\x00\x00\x00\x00\x00\x00" \
+            + payload
+        ip = (b"\x45\x00" + s.pack(">H", 20 + len(tcp))
+              + b"\x00\x00\x00\x00" + bytes([64, 6]) + b"\x00\x00"
+              + bytes([10, 1, 1, 1]) + bytes([10, 1, 1, 2]))
+        eth = (bytes.fromhex("aabbccddeeff")
+               + bytes.fromhex("112233445566") + b"\x08\x00")
+        return eth + ip + tcp
