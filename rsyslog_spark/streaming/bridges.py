@@ -691,9 +691,14 @@ class imtcp(SpoolBridge):
 
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, max_frame_size: int = 200 * 1024,
-                 **kw):
+                 tls=None, **kw):
         super().__init__(spool_dir, inputname="imtcp", **kw)
         self.max_frame_size = max_frame_size
+        self.tls = tls
+        self._tls_ctx = None
+        if tls is not None:  # StreamDriver gtls (streaming/gtls.py)
+            from rsyslog_spark.streaming.gtls import server_context
+            self._tls_ctx = server_context(tls)
         self.srv = socket.socket()
         self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.srv.bind((host, port))
@@ -710,6 +715,21 @@ class imtcp(SpoolBridge):
                 continue
             except OSError:
                 break
+            if self._tls_ctx is not None:
+                from rsyslog_spark.streaming.gtls import check_peer
+                try:
+                    conn.settimeout(5.0)
+                    conn = self._tls_ctx.wrap_socket(
+                        conn, server_side=True)
+                    check_peer(conn, self.tls)
+                except (OSError, PermissionError):
+                    # failed handshake / unauthorized peer: drop the
+                    # session, keep serving (nsd_gtls.c behavior)
+                    try:
+                        conn.close()
+                    except OSError:
+                        pass
+                    continue
             conn.settimeout(0.2)
             t = threading.Thread(target=self._conn_loop,
                                  args=(conn, addr[0]), daemon=True)

@@ -1,0 +1,107 @@
+"""TLS stream driver — the gtls/ossl network-stream-driver analog
+(ref: runtime/nsd_gtls.c, runtime/nsd_ossl.c, runtime/netstrm.c).
+
+The reference separates transport inputs (imtcp, omfwd) from the
+stream driver that secures them (``StreamDriver.Name="gtls"``,
+``StreamDriver.Mode="1"``, ``StreamDriver.AuthMode=...``).  This
+module is that separation point for the Python-side bridges: a
+picklable :class:`TLSConfig` plus context builders over stdlib
+``ssl`` (the container's OpenSSL — the same library nsd_ossl links).
+``imtcp(tls=...)`` wraps accepted connections server-side and
+``omfwd_sink(tls=...)`` wraps the per-partition forward connection
+client-side; the framing layers above are unchanged, exactly like
+the reference's netstrm indirection.
+
+Auth modes (nsd_gtls.c:COMMON auth handling):
+
+* ``anon`` — encrypt only, no peer verification.
+* ``x509/certvalid`` — peer must present a certificate that chains
+  to ``cafile``.
+* ``x509/name`` — certvalid + the peer certificate's CN / SAN DNS
+  names must match one of ``permitted_peers`` (wildcards allowed,
+  like the reference's PermittedPeer globs).
+* ``x509/fingerprint`` — the DER SHA1/SHA256 digest must match one
+  of ``permitted_fingerprints`` (``SHA1:xx:yy:...`` format,
+  nsd_gtls.c GenFingerprintStr).  stdlib ssl cannot accept an
+  unverifiable chain, so pin the peer's (self-signed) certificate
+  as ``cafile`` — the fingerprint is then checked on top.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import hashlib
+import ssl
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TLSConfig:
+    certfile: str | None = None
+    keyfile: str | None = None
+    cafile: str | None = None
+    authmode: str = "anon"
+    permitted_peers: list[str] = field(default_factory=list)
+    permitted_fingerprints: list[str] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        valid = ("anon", "x509/certvalid", "x509/name",
+                 "x509/fingerprint")
+        if self.authmode not in valid:
+            raise ValueError(f"unknown authmode {self.authmode!r}")
+        if self.authmode != "anon" and not self.cafile:
+            raise ValueError(f"{self.authmode} needs cafile")
+
+
+def _base_context(cfg: TLSConfig, purpose) -> ssl.SSLContext:
+    ctx = ssl.SSLContext(purpose)
+    ctx.check_hostname = False  # peer auth is authmode-driven below
+    if cfg.certfile:
+        ctx.load_cert_chain(cfg.certfile, cfg.keyfile)
+    if cfg.authmode == "anon":
+        ctx.verify_mode = ssl.CERT_NONE
+    else:
+        ctx.load_verify_locations(cafile=cfg.cafile)
+        ctx.verify_mode = ssl.CERT_REQUIRED
+    return ctx
+
+
+def server_context(cfg: TLSConfig) -> ssl.SSLContext:
+    if not cfg.certfile:
+        raise ValueError("TLS server needs certfile")
+    return _base_context(cfg, ssl.PROTOCOL_TLS_SERVER)
+
+
+def client_context(cfg: TLSConfig) -> ssl.SSLContext:
+    return _base_context(cfg, ssl.PROTOCOL_TLS_CLIENT)
+
+
+def check_peer(sock: ssl.SSLSocket, cfg: TLSConfig) -> None:
+    """Post-handshake peer authorization; raises PermissionError on
+    mismatch (the reference drops the session with the same log
+    line shape: 'peer fingerprint/name not permitted')."""
+    if cfg.authmode in ("anon", "x509/certvalid"):
+        return
+    if cfg.authmode == "x509/fingerprint":
+        der = sock.getpeercert(binary_form=True) or b""
+        fps = {
+            "SHA1:" + ":".join(f"{b:02X}" for b in
+                               hashlib.sha1(der).digest()),
+            "SHA256:" + ":".join(f"{b:02X}" for b in
+                                 hashlib.sha256(der).digest()),
+        }
+        allowed = {p.upper() for p in cfg.permitted_fingerprints}
+        if not (fps & allowed):
+            raise PermissionError(
+                f"peer fingerprint not permitted: {sorted(fps)[0]}")
+        return
+    # x509/name
+    cert = sock.getpeercert() or {}
+    names = [v for rdn in cert.get("subject", ())
+             for k, v in rdn if k == "commonName"]
+    names += [v for k, v in cert.get("subjectAltName", ())
+              if k == "DNS"]
+    for peer_glob in cfg.permitted_peers:
+        if any(fnmatch.fnmatch(n, peer_glob) for n in names):
+            return
+    raise PermissionError(f"peer name not permitted: {names}")

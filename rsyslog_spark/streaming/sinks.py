@@ -328,17 +328,22 @@ def omfwd_sink(
     *,
     framing: str = "octet-counted",
     protocol: str = "tcp",
+    tls=None,
 ) -> Callable[[DataFrame, int], None]:
     """omfwd TCP forward (ref: tools/omfwd.c): RFC6587 framing —
     octet-counted (``LEN SP MSG``) or non-transparent (LF-terminated).
     One connection per partition per batch (the reference rebinds per
     interval; micro-batches give the same periodic rebind). UDP mode
     sends one datagram per message (lossy by contract, like the
-    reference)."""
+    reference). ``tls`` is a ``streaming.gtls.TLSConfig`` — the
+    StreamDriver gtls client side (cert/CA paths must be readable on
+    every executor)."""
     if framing not in ("octet-counted", "lf"):
         raise ValueError(f"unknown framing {framing!r}")
     if protocol not in ("tcp", "udp"):
         raise ValueError(f"unknown protocol {protocol!r}")
+    if tls is not None and protocol != "tcp":
+        raise ValueError("tls requires protocol='tcp'")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         lines = batch_df.select(F.col(line_col).cast("string").alias("l"))
@@ -356,6 +361,12 @@ def omfwd_sink(
                     sock.close()
                 return iter(())
             sock = socket.create_connection((host, port), timeout=30)
+            if tls is not None:
+                from rsyslog_spark.streaming.gtls import (
+                    check_peer, client_context)
+                sock = client_context(tls).wrap_socket(
+                    sock, server_hostname=host)
+                check_peer(sock, tls)
             try:
                 buf = bytearray()
                 for r in rows:

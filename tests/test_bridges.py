@@ -678,3 +678,127 @@ class TestImpcap:
         eth = (bytes.fromhex("aabbccddeeff")
                + bytes.fromhex("112233445566") + b"\x08\x00")
         return eth + ip + tcp
+
+
+class TestGtls:
+    """TLS stream driver over imtcp/omfwd (ref: runtime/nsd_gtls.c,
+    StreamDriver gtls; certs generated with the container openssl)."""
+
+    @staticmethod
+    def _make_certs(tmp):
+        import subprocess
+
+        def run(*args):
+            subprocess.run(args, check=True, capture_output=True,
+                           cwd=str(tmp))
+
+        ec = ("-newkey", "ec", "-pkeyopt",
+              "ec_paramgen_curve:prime256v1", "-nodes")
+        run("openssl", "req", "-x509", *ec, "-keyout", "ca.key",
+            "-out", "ca.crt", "-days", "2", "-subj", "/CN=test-ca")
+        for name, cn in (("srv", "server.example"),
+                         ("cli", "client.example"),
+                         ("rogue", "rogue.example")):
+            run("openssl", "req", *ec, "-keyout", f"{name}.key",
+                "-out", f"{name}.csr", "-subj", f"/CN={cn}")
+            run("openssl", "x509", "-req", "-in", f"{name}.csr",
+                "-CA", "ca.crt", "-CAkey", "ca.key", "-CAcreateserial",
+                "-out", f"{name}.crt", "-days", "2")
+        return tmp
+
+    def test_mutual_auth_omfwd_loopback(self, spark, tmp_path):
+        from rsyslog_spark.streaming.bridges import imtcp
+        from rsyslog_spark.streaming.gtls import TLSConfig
+        from rsyslog_spark.streaming.sinks import omfwd_sink
+
+        c = self._make_certs(tmp_path)
+        srv_tls = TLSConfig(
+            certfile=str(c / "srv.crt"), keyfile=str(c / "srv.key"),
+            cafile=str(c / "ca.crt"), authmode="x509/name",
+            permitted_peers=["client.*"])
+        cli_tls = TLSConfig(
+            certfile=str(c / "cli.crt"), keyfile=str(c / "cli.key"),
+            cafile=str(c / "ca.crt"), authmode="x509/name",
+            permitted_peers=["server.example"])
+        b = imtcp(str(tmp_path / "spool"), tls=srv_tls,
+                  flush_secs=0.2).start()
+        try:
+            df = spark.createDataFrame(
+                [(f"<13>tls msg {i}",) for i in range(3)],
+                "line string")
+            omfwd_sink("127.0.0.1", b.port, tls=cli_tls)(df, 0)
+            got = _drain(b, spark, 3)
+            assert sorted(r.line for r in got.collect()) == [
+                f"<13>tls msg {i}" for i in range(3)]
+        finally:
+            b.stop()
+
+    def test_unauthorized_peer_name_dropped(self, spark, tmp_path):
+        import ssl
+        from rsyslog_spark.streaming.bridges import imtcp
+        from rsyslog_spark.streaming.gtls import TLSConfig
+
+        c = self._make_certs(tmp_path)
+        srv_tls = TLSConfig(
+            certfile=str(c / "srv.crt"), keyfile=str(c / "srv.key"),
+            cafile=str(c / "ca.crt"), authmode="x509/name",
+            permitted_peers=["client.example"])
+        b = imtcp(str(tmp_path / "spool"), tls=srv_tls,
+                  flush_secs=0.2).start()
+        try:
+            rogue = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            rogue.check_hostname = False
+            rogue.verify_mode = ssl.CERT_NONE
+            rogue.load_cert_chain(str(c / "rogue.crt"),
+                                  str(c / "rogue.key"))
+            try:
+                sk = rogue.wrap_socket(socket.create_connection(
+                    ("127.0.0.1", b.port), timeout=5))
+                sk.sendall(b"<13>rogue line\n")
+                sk.close()
+            except OSError:
+                pass  # server may slam the session mid-write
+            # an authorized plain-ssl client still gets through
+            okc = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            okc.check_hostname = False
+            okc.verify_mode = ssl.CERT_NONE
+            okc.load_cert_chain(str(c / "cli.crt"), str(c / "cli.key"))
+            sk = okc.wrap_socket(socket.create_connection(
+                ("127.0.0.1", b.port), timeout=5))
+            sk.sendall(b"<13>good line\n")
+            sk.close()
+            got = _drain(b, spark, 1)
+            assert [r.line for r in got.collect()] == ["<13>good line"]
+        finally:
+            b.stop()
+
+    def test_fingerprint_pinning(self, tmp_path):
+        import hashlib
+        import ssl
+        import subprocess
+        from rsyslog_spark.streaming.gtls import TLSConfig, check_peer
+
+        c = self._make_certs(tmp_path)
+        der = subprocess.run(
+            ["openssl", "x509", "-in", str(c / "cli.crt"),
+             "-outform", "DER"],
+            check=True, capture_output=True).stdout
+        fp = "SHA256:" + ":".join(
+            f"{x:02X}" for x in hashlib.sha256(der).digest())
+
+        class _Fake:
+            def getpeercert(self, binary_form=False):
+                return der if binary_form else {}
+
+        good = TLSConfig(cafile=str(c / "ca.crt"),
+                         authmode="x509/fingerprint",
+                         permitted_fingerprints=[fp])
+        check_peer(_Fake(), good)  # no raise
+        bad = TLSConfig(cafile=str(c / "ca.crt"),
+                        authmode="x509/fingerprint",
+                        permitted_fingerprints=["SHA256:00:11"])
+        try:
+            check_peer(_Fake(), bad)
+            assert False, "expected PermissionError"
+        except PermissionError:
+            pass
