@@ -467,6 +467,37 @@ def _action_params(cfg: ParsedConfig, ruleset: str, name: str) -> dict:
     return {}
 
 
+def _tls_from_input(inp: dict, directives: dict):
+    """Build a gtls TLSConfig from input() StreamDriver.* params plus
+    the global defaultNetstreamDriver* files (ref: runtime/glbl.c:
+    130-134; nsd_gtls.c authmode handling). Returns None when the
+    input doesn't select a TLS driver. PermittedPeer accepts a
+    comma-separated list; with authmode x509/fingerprint the entries
+    are fingerprints (the reference overloads the same param)."""
+    p = {k.lower(): v for k, v in inp.items()}
+    name = (p.get("streamdriver.name")
+            or directives.get("defaultnetstreamdriver") or "")
+    mode = p.get("streamdriver.mode", "")
+    if name.lower() not in ("gtls", "ossl") and mode != "1":
+        return None
+    from rsyslog_spark.streaming.gtls import TLSConfig
+
+    authmode = p.get("streamdriver.authmode", "anon")
+    raw_peers = (p.get("streamdriver.permittedpeers")
+                 or p.get("permittedpeer") or "")
+    peers = [x.strip().strip('"') for x in
+             raw_peers.strip("[]").split(",") if x.strip()]
+    is_fp = authmode == "x509/fingerprint"
+    return TLSConfig(
+        certfile=directives.get("defaultnetstreamdrivercertfile"),
+        keyfile=directives.get("defaultnetstreamdriverkeyfile"),
+        cafile=directives.get("defaultnetstreamdrivercafile"),
+        authmode=authmode,
+        permitted_peers=[] if is_fp else peers,
+        permitted_fingerprints=peers if is_fp else [],
+    )
+
+
 def run_config_stream(
     spark: SparkSession,
     conf_src: str,
@@ -526,6 +557,10 @@ def run_config_stream(
                    "imhttp": _b.imhttp}[typ]
             if typ == "imhttp" and inp.get("endpoint"):
                 kw["endpoint"] = inp["endpoint"]
+            if typ in ("imtcp", "imptcp"):
+                tls = _tls_from_input(inp, cfg.directives)
+                if tls is not None:
+                    kw["tls"] = tls
             bridge = cls(spool, **kw).start()
         if ruleset_name is None and inp.get("ruleset"):
             ruleset_name = inp["ruleset"]

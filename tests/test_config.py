@@ -1197,3 +1197,62 @@ class TestStockTemplates:
                         "RSYSLOG_StdOmSenderTrack_senderid"):
                 continue   # fromhost-ip is NULL without a receiver
             assert v is not None and v != "", name
+
+    def test_imtcp_gtls_config_to_omfile(self, spark, tmp_path):
+        """global(DefaultNetstreamDriver*) + input(type=imtcp
+        StreamDriver.Mode=1 AuthMode=x509/name PermittedPeer=...)
+        wires the gtls server into the config-started bridge (ref:
+        runtime/glbl.c defaultNetstreamDriver*, nsd_gtls.c)."""
+        import socket
+        import ssl
+        import threading
+        import time as _time
+        from rsyslog_spark.config.runtime import run_config_stream
+        from tests.test_bridges import TestGtls
+
+        c = TestGtls._make_certs(tmp_path)
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+        out = tmp_path / "out"
+        conf = f'''
+        global(DefaultNetstreamDriver="gtls"
+               DefaultNetstreamDriverCAFile="{c}/ca.crt"
+               DefaultNetstreamDriverCertFile="{c}/srv.crt"
+               DefaultNetstreamDriverKeyFile="{c}/srv.key")
+        input(type="imtcp" port="{port}" address="127.0.0.1"
+              ruleset="main" spool="{tmp_path}/spool"
+              StreamDriver.Mode="1"
+              StreamDriver.AuthMode="x509/name"
+              PermittedPeer="client.*")
+        ruleset(name="main") {{
+            action(type="omfile" name="sink" file="{out}")
+        }}
+        '''
+        payload = b"<13>Mar  1 10:00:00 h1 app: via gtls config\n"
+
+        def send_when_up():
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+            ctx.load_cert_chain(str(c / "cli.crt"), str(c / "cli.key"))
+            for _ in range(100):
+                try:
+                    sk = ctx.wrap_socket(socket.create_connection(
+                        ("127.0.0.1", port), timeout=0.5))
+                    sk.sendall(payload)
+                    sk.close()
+                    return
+                except OSError:
+                    _time.sleep(0.1)
+
+        th = threading.Thread(target=send_when_up)
+        th.start()
+        run_config_stream(spark, conf,
+                          checkpoint=str(tmp_path / "ck"),
+                          drain_grace=3.0)
+        th.join(timeout=10)
+        rows = spark.read.parquet(str(out)).collect()
+        assert len(rows) == 1
+        assert rows[0]["msg"] == "via gtls config"
