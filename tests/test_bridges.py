@@ -802,3 +802,49 @@ class TestGtls:
             assert False, "expected PermissionError"
         except PermissionError:
             pass
+
+
+def test_imtcp_tcpflood_seq_check(spark, tmp_path):
+    """tcpflood analog (ref: tests/tcpflood.c + seq_check/chkseq):
+    8 concurrent connections, 2500 numbered messages each, mixed
+    RFC6587 framings and split writes — every sequence number must
+    arrive exactly once."""
+    from rsyslog_spark.streaming.bridges import imtcp
+
+    N_CONN, N_MSG = 8, 2500
+    b = imtcp(str(tmp_path / "spool"), flush_secs=0.3).start()
+
+    def flood(conn_id):
+        sk = socket.create_connection(("127.0.0.1", b.port),
+                                      timeout=10)
+        buf = bytearray()
+        for i in range(N_MSG):
+            seq = conn_id * N_MSG + i
+            payload = f"<13>seq msg {seq:07d}".encode()
+            if seq % 2 == 0:     # octet-counted
+                buf += str(len(payload)).encode() + b" " + payload
+            else:                # LF-framed
+                buf += payload + b"\n"
+            if len(buf) > 3000:  # split mid-frame sometimes
+                cut = len(buf) - 7
+                sk.sendall(bytes(buf[:cut]))
+                del buf[:cut]
+        sk.sendall(bytes(buf))
+        sk.close()
+
+    try:
+        threads = [threading.Thread(target=flood, args=(cid,))
+                   for cid in range(N_CONN)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        df = _drain(b, spark, N_CONN * N_MSG, timeout=60)
+        seqs = [int(r.line.rsplit(" ", 1)[1])
+                for r in df.collect()]
+        assert len(seqs) == N_CONN * N_MSG          # nothing lost
+        assert len(set(seqs)) == N_CONN * N_MSG     # nothing doubled
+        assert min(seqs) == 0
+        assert max(seqs) == N_CONN * N_MSG - 1
+    finally:
+        b.stop()
