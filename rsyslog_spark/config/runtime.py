@@ -133,9 +133,13 @@ def _dispatch_action(
         framing = ("octet-counted"
                    if params.get("tcp_framing", "").startswith("octet")
                    else "lf")
+        # action-level StreamDriver.* params select gtls client-side
+        # (same mapping as input-side; ref tools/omfwd.c driver parms)
+        tls = (_tls_from_input(params, cfg.directives)
+               if proto == "tcp" else None)
         _with_retry(params, omfwd_sink(
             params["target"], port, "line",
-            framing=framing, protocol=proto))(lines, 0)
+            framing=framing, protocol=proto, tls=tls))(lines, 0)
         run.written[name] = f"{proto}://{params['target']}:{port}"
         return
     if typ == "ompipe" and params.get("pipe"):

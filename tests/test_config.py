@@ -1256,3 +1256,46 @@ class TestStockTemplates:
         rows = spark.read.parquet(str(out)).collect()
         assert len(rows) == 1
         assert rows[0]["msg"] == "via gtls config"
+
+    def test_omfwd_action_gtls_from_config(self, spark, tmp_path):
+        """action(type="omfwd" StreamDriver.Mode=1 ...) picks up the
+        gtls client driver with the global defaultNetstreamDriver*
+        certs — forwards land on a mutual-auth TLS server."""
+        from rsyslog_spark.config.runtime import run_config_batch
+        from rsyslog_spark.streaming.bridges import imtcp
+        from rsyslog_spark.streaming.gtls import TLSConfig
+        from tests.test_bridges import TestGtls, _drain
+
+        c = TestGtls._make_certs(tmp_path)
+        srv_tls = TLSConfig(
+            certfile=str(c / "srv.crt"), keyfile=str(c / "srv.key"),
+            cafile=str(c / "ca.crt"), authmode="x509/name",
+            permitted_peers=["client.example"])
+        b = imtcp(str(tmp_path / "spool"), tls=srv_tls,
+                  flush_secs=0.2).start()
+        src = tmp_path / "tin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<11>Mar  1 10:00:00 h1 app: secure forward\n")
+        conf = f'''
+        global(DefaultNetstreamDriverCAFile="{c}/ca.crt"
+               DefaultNetstreamDriverCertFile="{c}/cli.crt"
+               DefaultNetstreamDriverKeyFile="{c}/cli.key")
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        ruleset(name="main") {{
+            action(type="omfwd" name="sec" target="127.0.0.1"
+                   port="{b.port}" protocol="tcp"
+                   StreamDriver.Mode="1"
+                   StreamDriver.AuthMode="x509/name"
+                   StreamDriver.PermittedPeers="server.example")
+        }}
+        '''
+        try:
+            run = run_config_batch(spark, conf, main="main")
+            assert run.written["sec"].startswith("tcp://")
+            got = _drain(b, spark, 1)
+            lines = [r.line for r in got.collect()]
+            assert len(lines) == 1
+            assert "secure forward" in lines[0]
+        finally:
+            b.stop()
