@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "sendertrack_ratelimit",
     "repeated_msg_reduction_runs",
     "dedup_exact",
+    "exact_substring_dedup",
     "minhash_lsh_dedup",
     "simhash_near_dup",
     "dedup_components",

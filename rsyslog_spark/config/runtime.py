@@ -406,13 +406,17 @@ def run_config_batch(
     """
     eng, cfg = load_config(conf_src, tables=tables)
     path = input_path
+    pcap_inp = None
     ruleset_name = main
     for inp in cfg.inputs:
         if inp.get("type") == "imfile" and path is None:
             path = inp.get("file")
+        elif inp.get("type") == "impcap" and inp.get("file") \
+                and path is None and pcap_inp is None:
+            pcap_inp = inp
         if ruleset_name is None and inp.get("ruleset"):
             ruleset_name = inp["ruleset"]
-    if path is None:
+    if path is None and pcap_inp is None:
         raise ValueError("no imfile input in config and no input_path")
     if ruleset_name is None or ruleset_name not in cfg.rulesets:
         # undefined binding: warn-and-default, like the reference's
@@ -420,7 +424,21 @@ def run_config_batch(
         ruleset_name = cfg.main if cfg.main in cfg.rulesets \
             else next(iter(cfg.rulesets))
 
-    lines = spark.read.text(path).withColumnRenamed("value", "line")
+    if pcap_inp is not None:
+        # input(type="impcap" file=...) replay mode: decode packet
+        # payloads and feed them to the parser chain (streaming/pcap)
+        import os as _os
+
+        from rsyslog_spark.streaming.pcap import impcap
+
+        pdir = _os.path.dirname(pcap_inp["file"]) or "."
+        glob = _os.path.basename(pcap_inp["file"])
+        lines = (impcap(spark, pdir, glob=glob)
+                 .select(F.col("payload").cast("string").alias("line"))
+                 .filter(F.col("line").isNotNull()
+                         & (F.length("line") > 0)))
+    else:
+        lines = spark.read.text(path).withColumnRenamed("value", "line")
     frame = _apply_main_queue_directives(
         parse_syslog(lines,
                      parsers=_ruleset_parser_chain(cfg, ruleset_name)),

@@ -353,6 +353,78 @@ def simhash_candidates(fps: DataFrame, id_col: str,
     )
 
 
+def exact_substring_spans(
+    df: DataFrame, text_col: str, id_col: str,
+    k: int = 16, min_len: int = 48,
+) -> DataFrame:
+    """Cross-document duplicated-substring spans — the
+    suffix-array-style exact-substring dedup of "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al., 2022),
+    re-expressed as a DataFrame join instead of a suffix array.
+
+    Method: side A contributes character ``k``-grams anchored at
+    positions ``0, k, 2k, ...`` of each document; side B contributes
+    ``k``-grams at EVERY position.  Any substring duplicated across
+    two documents with length >= 2k-1 must contain an aligned anchor
+    gram in one copy, and side B has the matching gram at the
+    corresponding offset — so the equi-join on the gram finds every
+    such span.  Hits are then merged along join diagonals
+    (``pos_a - pos_b``) with a gaps-and-islands window (consecutive
+    anchors are exactly ``k`` apart), giving maximal verified spans:
+    a run of n contiguous matching anchors proves an identical
+    substring of length n*k by concatenation — no re-comparison
+    needed.  Reported spans under-cover the true maximal span by at
+    most k-1 characters on each edge; pick ``min_len >= 3k`` so the
+    detection guarantee (every dup >= 2k-1 chars surfaces) and the
+    report threshold compose.
+
+    Scale shape: anchor side is N/k rows, full side N rows (N = total
+    corpus characters) — the same O(N) index size as the paper's
+    suffix array, built as one explode + one equi-join shuffle
+    instead of a serial sort, and the gram can be hashed down to 8
+    bytes for the shuffle (kept literal here so an external SQL
+    oracle reproduces the join bit-for-bit).  Output:
+    ``(id_a, id_b, start_a, start_b, span_len)`` — 0-based starts,
+    id_a the anchor-side document (both directions reported for a
+    dup pair, each with its own alignment).
+    """
+    text = F.col(text_col)
+    n = F.length(text)
+
+    def grams(step: int, pos_name: str, gram_id: str) -> DataFrame:
+        pos = F.when(
+            n >= k,
+            F.sequence(F.lit(0), n - k, F.lit(step))
+        ).otherwise(F.array().cast("array<int>"))
+        return df.select(
+            F.col(id_col).alias(gram_id), text.alias("__t"),
+            F.explode(pos).alias(pos_name),
+        ).select(
+            gram_id, pos_name,
+            F.substring(F.col("__t"), F.col(pos_name) + 1, k)
+            .alias("__g"),
+        )
+
+    anchors = grams(k, "pos_a", "id_a")
+    fulls = grams(1, "pos_b", "id_b")
+    hits = (anchors.hint("merge").join(fulls, "__g")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b", "pos_a", "pos_b",
+                    (F.col("pos_a") - F.col("pos_b")).alias("__diag")))
+    w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pos_a")
+    brk = F.when(
+        F.col("pos_a") - F.lag("pos_a").over(w) == k, 0).otherwise(1)
+    grp = (hits.withColumn("__brk", brk)
+           .withColumn("__isl", F.sum("__brk").over(w)))
+    return (grp.groupBy("id_a", "id_b", "__diag", "__isl")
+            .agg(F.min("pos_a").alias("start_a"),
+                 F.min("pos_b").alias("start_b"),
+                 (F.max("pos_a") - F.min("pos_a") + k)
+                 .alias("span_len"))
+            .filter(F.col("span_len") >= min_len)
+            .select("id_a", "id_b", "start_a", "start_b", "span_len"))
+
+
 def connected_components(
     edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     max_iter: int = 25, jumps_per_round: int = 1,

@@ -137,6 +137,7 @@ def collect_all() -> dict[str, Query]:
                  "percentile_stats_values", "dedup_exact",
                  "mmexternal_bridge", "similarity_knn_join",
                  "ngram_jaccard_dup_pairs",
-                 "similarity_topk_bruteforce"):
+                 "similarity_topk_bruteforce",
+                 "property_replacer_battery"):
         out[tail] = out.pop(tail)
     return out

@@ -724,6 +724,72 @@ def similarity_topk_ivf(spark, sf_dir):
 
 
 @q(
+    "exact_substring_dedup",
+    """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 2600),
+    apos AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(greatest(length(text) - 15, 0)
+                                  AS BIGINT), 16)) AS p
+      FROM docs),
+    anchors AS (
+      SELECT doc_id AS id_a, p AS pos_a,
+             substr(text, CAST(p + 1 AS INT), 16) AS g
+      FROM apos),
+    fpos AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(greatest(length(text) - 15, 0)
+                                  AS BIGINT), 1)) AS p
+      FROM docs),
+    fulls AS (
+      SELECT doc_id AS id_b, p AS pos_b,
+             substr(text, CAST(p + 1 AS INT), 16) AS g
+      FROM fpos),
+    hits AS (
+      SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag
+      FROM anchors JOIN fulls USING (g) WHERE id_a <> id_b),
+    marked AS (
+      SELECT *, CASE WHEN pos_a - LAG(pos_a) OVER (
+                       PARTITION BY id_a, id_b, diag
+                       ORDER BY pos_a) = 16
+                     THEN 0 ELSE 1 END AS brk
+      FROM hits),
+    grp AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY id_a, id_b, diag
+                               ORDER BY pos_a) AS isl
+      FROM marked)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(MIN(pos_a) AS BIGINT) AS start_a,
+           CAST(MIN(pos_b) AS BIGINT) AS start_b,
+           CAST(MAX(pos_a) - MIN(pos_a) + 16 AS BIGINT) AS span_len
+    FROM grp GROUP BY id_a, id_b, diag, isl
+    HAVING MAX(pos_a) - MIN(pos_a) + 16 >= 48
+    """,
+    doc="Exact-substring dedup (Lee et al. 2022 suffix-array method "
+        "as a DataFrame join): anchored char-16-gram equi-join + "
+        "diagonal gaps-and-islands merge reports every cross-document "
+        "duplicated span >= 48 chars with byte-exact verified length "
+        "(operators/dedup.exact_substring_spans). The whole pipeline "
+        "— anchor/full gram generation, diagonal merge, span close — "
+        "is reproduced in DuckDB SQL.",
+)
+def exact_substring_dedup(spark, sf_dir):
+    from rsyslog_spark.operators.dedup import exact_substring_spans
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 2600)
+    out = exact_substring_spans(docs, "text", "doc_id",
+                                k=16, min_len=48)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("start_a").cast("long").alias("start_a"),
+        F.col("start_b").cast("long").alias("start_b"),
+        F.col("span_len").cast("long").alias("span_len"))
+
+
+@q(
     "dedup_components",
     """
     WITH RECURSIVE sh AS (

@@ -1299,3 +1299,27 @@ class TestStockTemplates:
             assert "secure forward" in lines[0]
         finally:
             b.stop()
+
+    def test_impcap_file_input_config(self, spark, tmp_path):
+        """input(type="impcap" file="*.pcap") replays a capture
+        through the parser chain into omfile (ref: contrib/impcap
+        file= mode)."""
+        from rsyslog_spark.config.runtime import run_config_batch
+        from tests.test_bridges import TestImpcap
+
+        pkt = TestImpcap._udp_packet(
+            [10, 0, 0, 9], [10, 0, 0, 1], 40000, 514,
+            b"<11>Mar  1 10:00:00 h9 app: from pcap")
+        (tmp_path / "cap.pcap").write_bytes(TestImpcap._pcap([pkt]))
+        out = tmp_path / "out"
+        conf = f'''
+        input(type="impcap" file="{tmp_path}/*.pcap" ruleset="main")
+        ruleset(name="main") {{
+            action(type="omfile" name="sink" file="{out}")
+        }}
+        '''
+        run_config_batch(spark, conf, main="main")
+        rows = spark.read.parquet(str(out)).collect()
+        assert len(rows) == 1
+        assert rows[0]["msg"] == "from pcap"
+        assert rows[0]["hostname"] == "h9"

@@ -545,3 +545,58 @@ class TestSemanticDedup:
         assert "BroadcastNestedLoopJoin" not in plan
         pairs = {(r.id_a, r.id_b) for r in out.collect()}
         assert (7, 200) in pairs
+
+
+class TestExactSubstringSpans:
+    """Suffix-array-style exact-substring dedup (Lee et al. 2022) as
+    an anchored-gram join (operators/dedup.exact_substring_spans)."""
+
+    def test_shared_span_found_with_exact_bounds(self, spark):
+        from rsyslog_spark.operators.dedup import exact_substring_spans
+
+        shared = "the quick brown fox jumps over the lazy dog repeatedly!"
+        docs = spark.createDataFrame(
+            [(1, "AAA " + shared + " tail one"),
+             (2, "BBBBBBBBB " + shared + " other tail"),
+             (3, "completely unrelated text with nothing in common x")],
+            "doc_id int, text string")
+        out = exact_substring_spans(docs, "text", "doc_id",
+                                    k=8, min_len=24).collect()
+        pairs = {(r.id_a, r.id_b) for r in out}
+        assert (1, 2) in pairs and (2, 1) in pairs
+        assert not any(3 in p for p in pairs)
+        r12 = next(r for r in out if (r.id_a, r.id_b) == (1, 2))
+        # span must sit inside the shared region, k-aligned on doc 1
+        assert r12.start_a >= 4 and r12.start_a % 8 == 0
+        assert r12.start_a - r12.start_b == 4 - 10  # same diagonal
+        assert r12.span_len >= 24
+        # verified-equality property: reported bytes really match
+        a_txt = "AAA " + shared + " tail one"
+        b_txt = "BBBBBBBBB " + shared + " other tail"
+        assert (a_txt[r12.start_a:r12.start_a + r12.span_len]
+                == b_txt[r12.start_b:r12.start_b + r12.span_len])
+
+    def test_short_overlap_not_reported(self, spark):
+        from rsyslog_spark.operators.dedup import exact_substring_spans
+
+        docs = spark.createDataFrame(
+            [(1, "left part ABCDEFG right side text here"),
+             (2, "other words ABCDEFG and unrelated remainder")],
+            "doc_id int, text string")
+        # shared run is only 9 chars < min_len
+        out = exact_substring_spans(docs, "text", "doc_id",
+                                    k=8, min_len=24).collect()
+        assert out == []
+
+    def test_detection_guarantee_any_alignment(self, spark):
+        """every dup >= 2k-1 chars is found regardless of offset."""
+        from rsyslog_spark.operators.dedup import exact_substring_spans
+
+        span = "0123456789abcdefghijklmnopqrstu"   # 31 = 2k-1 (k=16)
+        rows = [(i, ("x" * i) + span + "y" * 40) for i in range(16)]
+        rows.append((99, "zz " + span + " zz" + "p" * 40))
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        out = exact_substring_spans(docs, "text", "doc_id",
+                                    k=16, min_len=16).collect()
+        found = {r.id_a for r in out if r.id_b == 99}
+        assert found == set(range(16))  # all 16 alignments detected
