@@ -355,7 +355,7 @@ def simhash_candidates(fps: DataFrame, id_col: str,
 
 def exact_substring_spans(
     df: DataFrame, text_col: str, id_col: str,
-    k: int = 16, min_len: int = 48,
+    k: int = 16, min_len: int = 48, hash_grams: bool = False,
 ) -> DataFrame:
     """Cross-document duplicated-substring spans — the
     suffix-array-style exact-substring dedup of "Deduplicating
@@ -381,9 +381,11 @@ def exact_substring_spans(
     Scale shape: anchor side is N/k rows, full side N rows (N = total
     corpus characters) — the same O(N) index size as the paper's
     suffix array, built as one explode + one equi-join shuffle
-    instead of a serial sort, and the gram can be hashed down to 8
-    bytes for the shuffle (kept literal here so an external SQL
-    oracle reproduces the join bit-for-bit).  Output:
+    instead of a serial sort.  ``hash_grams=True`` is the corpus-
+    scale path: the join key becomes ``xxhash64(gram)`` — 8 bytes
+    regardless of k — at a ~2^-64-per-pair false-merge risk; the
+    default keeps literal grams so an external SQL oracle can
+    reproduce the join bit-for-bit.  Output:
     ``(id_a, id_b, start_a, start_b, span_len)`` — 0-based starts,
     id_a the anchor-side document (both directions reported for a
     dup pair, each with its own alignment).
@@ -396,14 +398,14 @@ def exact_substring_spans(
             n >= k,
             F.sequence(F.lit(0), n - k, F.lit(step))
         ).otherwise(F.array().cast("array<int>"))
-        return df.select(
+        out = df.select(
             F.col(id_col).alias(gram_id), text.alias("__t"),
             F.explode(pos).alias(pos_name),
-        ).select(
-            gram_id, pos_name,
-            F.substring(F.col("__t"), F.col(pos_name) + 1, k)
-            .alias("__g"),
         )
+        gram = F.substring(F.col("__t"), F.col(pos_name) + 1, k)
+        if hash_grams:
+            gram = F.xxhash64(gram)
+        return out.select(gram_id, pos_name, gram.alias("__g"))
 
     anchors = grams(k, "pos_a", "id_a")
     fulls = grams(1, "pos_b", "id_b")

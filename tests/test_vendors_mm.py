@@ -600,3 +600,21 @@ class TestExactSubstringSpans:
                                     k=16, min_len=16).collect()
         found = {r.id_a for r in out if r.id_b == 99}
         assert found == set(range(16))  # all 16 alignments detected
+
+    def test_hash_gram_parity(self, spark):
+        """hash_grams=True (8-byte shuffle key, the corpus-scale
+        path) returns identical spans to the literal-gram join."""
+        from rsyslog_spark.operators.dedup import exact_substring_spans
+
+        shared = "common duplicated sentence shared by both docs!!"
+        docs = spark.createDataFrame(
+            [(1, "first " + shared + " trailing a"),
+             (2, "2nd doc leads " + shared + " ends"),
+             (3, "nothing shared at all in this one")],
+            "doc_id int, text string")
+        lit = {tuple(r) for r in exact_substring_spans(
+            docs, "text", "doc_id", k=8, min_len=24).collect()}
+        hsh = {tuple(r) for r in exact_substring_spans(
+            docs, "text", "doc_id", k=8, min_len=24,
+            hash_grams=True).collect()}
+        assert lit == hsh and lit
