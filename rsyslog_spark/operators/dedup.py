@@ -356,6 +356,7 @@ def simhash_candidates(fps: DataFrame, id_col: str,
 def exact_substring_spans(
     df: DataFrame, text_col: str, id_col: str,
     k: int = 16, min_len: int = 48, hash_grams: bool = False,
+    other: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document duplicated-substring spans — the
     suffix-array-style exact-substring dedup of "Deduplicating
@@ -389,16 +390,23 @@ def exact_substring_spans(
     ``(id_a, id_b, start_a, start_b, span_len)`` — 0-based starts,
     id_a the anchor-side document (both directions reported for a
     dup pair, each with its own alignment).
-    """
-    text = F.col(text_col)
-    n = F.length(text)
 
-    def grams(step: int, pos_name: str, gram_id: str) -> DataFrame:
+    ``other`` switches to the CROSS-CORPUS form — the paper's
+    benchmark-decontamination use: anchors come from ``other`` (the
+    small side, e.g. the eval set — N/k index rows), full-position
+    grams from ``df`` (the training corpus), and the same-id filter
+    is skipped.  ``id_a`` is then an ``other`` document id; drop the
+    reported ``(id_b, start_b, span_len)`` regions from the corpus.
+    """
+    def grams(src: DataFrame, step: int, pos_name: str,
+              gram_id: str) -> DataFrame:
+        text = F.col(text_col)
+        n = F.length(text)
         pos = F.when(
             n >= k,
             F.sequence(F.lit(0), n - k, F.lit(step))
         ).otherwise(F.array().cast("array<int>"))
-        out = df.select(
+        out = src.select(
             F.col(id_col).alias(gram_id), text.alias("__t"),
             F.explode(pos).alias(pos_name),
         )
@@ -407,12 +415,15 @@ def exact_substring_spans(
             gram = F.xxhash64(gram)
         return out.select(gram_id, pos_name, gram.alias("__g"))
 
-    anchors = grams(k, "pos_a", "id_a")
-    fulls = grams(1, "pos_b", "id_b")
-    hits = (anchors.hint("merge").join(fulls, "__g")
-            .filter(F.col("id_a") != F.col("id_b"))
-            .select("id_a", "id_b", "pos_a", "pos_b",
-                    (F.col("pos_a") - F.col("pos_b")).alias("__diag")))
+    anchors = grams(other if other is not None else df,
+                    k, "pos_a", "id_a")
+    fulls = grams(df, 1, "pos_b", "id_b")
+    hits = anchors.hint("merge").join(fulls, "__g")
+    if other is None:
+        hits = hits.filter(F.col("id_a") != F.col("id_b"))
+    hits = hits.select(
+        "id_a", "id_b", "pos_a", "pos_b",
+        (F.col("pos_a") - F.col("pos_b")).alias("__diag"))
     w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pos_a")
     brk = F.when(
         F.col("pos_a") - F.lag("pos_a").over(w) == k, 0).otherwise(1)

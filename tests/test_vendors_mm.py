@@ -618,3 +618,32 @@ class TestExactSubstringSpans:
             docs, "text", "doc_id", k=8, min_len=24,
             hash_grams=True).collect()}
         assert lit == hsh and lit
+
+    def test_cross_corpus_decontamination(self, spark):
+        """other= form: eval-set anchors vs training corpus — the
+        paper's benchmark-decontamination shape."""
+        from rsyslog_spark.operators.dedup import exact_substring_spans
+
+        leak = "what is the capital of france? paris is the capital."
+        train = spark.createDataFrame(
+            [(10, "padding text " + leak + " more corpus text"),
+             (11, "clean training document with original content")],
+            "doc_id int, text string")
+        evalset = spark.createDataFrame(
+            [(1, leak)], "doc_id int, text string")
+        out = exact_substring_spans(
+            train, "text", "doc_id", k=8, min_len=24,
+            other=evalset).collect()
+        assert {r.id_b for r in out} == {10}
+        r = out[0]
+        assert r.id_a == 1                 # eval doc is the anchor side
+        tr = "padding text " + leak + " more corpus text"
+        assert tr[r.start_b:r.start_b + r.span_len] \
+            == leak[r.start_a:r.start_a + r.span_len]
+        # identical ids across corpora must NOT be filtered
+        evalset2 = spark.createDataFrame(
+            [(10, leak)], "doc_id int, text string")
+        out2 = exact_substring_spans(
+            train, "text", "doc_id", k=8, min_len=24,
+            other=evalset2).collect()
+        assert {r.id_b for r in out2} == {10}
