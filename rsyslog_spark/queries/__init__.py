@@ -121,14 +121,12 @@ def collect_all() -> dict[str, Query]:
     # queries. Window policy: every query that has never had a driver
     # row stays INSIDE the window; the overflow slots go to
     # queries already driver-green in rounds 1 AND 2
-    # (CORRECTNESS_r01/r02) whose operator family keeps other
-    # in-window rows (field_extract — scalar/property batteries;
-    # pri_filter_selectors — flagship + config_driven_routing;
-    # dynstats_maxcard_overflow — dynstats_hourly; mmanon/mmfields/
-    # mmpstrucdata/percentile — two-round green history on record;
-    # similarity_topk_bruteforce — topk_lsh + topk_ivf stay in
-    # window, and similarity_topk_ivf, oracle-checked since round 3
-    # via the deterministic quantizer, takes its slot).
+    # (CORRECTNESS_r01/r02): their two-round green history is on
+    # record, and the slots they free keep every never-yet-checked
+    # query (round-3 additions: similarity_topk_ivf,
+    # exact_substring_dedup, scalar_battery_misc, plus the r1/r2
+    # blind-spot queries like config_driven_routing) inside the
+    # window.
     # tools/check_correctness.py still verifies ALL registered
     # queries, tail included.
     for tail in ("field_extract", "pri_filter_selectors",
@@ -138,6 +136,7 @@ def collect_all() -> dict[str, Query]:
                  "mmexternal_bridge", "similarity_knn_join",
                  "ngram_jaccard_dup_pairs",
                  "similarity_topk_bruteforce",
-                 "property_replacer_battery"):
+                 "property_replacer_battery",
+                 "dynstats_hourly"):
         out[tail] = out.pop(tail)
     return out

@@ -332,6 +332,64 @@ def scalar_battery(spark, sf_dir):
 
 
 @q(
+    "scalar_battery_misc",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN TRUE
+                WHEN doc_id % 3 = 1 THEN FALSE
+                ELSE doc_id % 2 <> 0 END AS as_bool,
+           '"' || replace('v"' || lang, '"', '\\"') || '"' AS wrapped,
+           doc_id % 2 = 0 AS unix_ok,
+           doc_id % 2 = 0 AS r3164_ok,
+           lang IN ('en', 'fr') AS pcre_hit,
+           '{"a":"x' || CAST(doc_id AS VARCHAR)
+             || '","b":"2","c":"' || lang || '"}' AS merged,
+           '{"a":{"b":' || CAST(doc_id AS VARCHAR)
+             || ',"c":2}}' AS unflat
+    FROM documents WHERE doc_id < 400
+    """,
+    doc="Misc scalar battery — the functions the per-family "
+        "batteries don't reach: cbool coercion ('on'/'false'/number, "
+        "rs coercion), wrap(str, '\\\"', escape) "
+        "(rs-wrap.rst), is_time date-unix + date-rfc3164 validity "
+        "incl. rejection of garbage (rs-is_time.rst), fmpcre "
+        "pcre_match (fmpcre.c:93), append_json shallow merge with "
+        "src-wins key order (variable_property_types.rst:37-70), and "
+        "fmunflatten dotted-key nesting (fmunflatten.c:206-209 — the "
+        "one Arrow-batched UDF here). Oracle = golden expected "
+        "values per constructed input, the reference testbench "
+        "style.",
+)
+def scalar_battery_misc(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    did = F.col("doc_id")
+    onoff = (F.when(did % 3 == 0, F.lit("on"))
+             .when(did % 3 == 1, F.lit("false"))
+             .otherwise((did % 2).cast("string")))
+    unix_s = F.when(did % 2 == 0, did.cast("string")) \
+        .otherwise(F.lit("notanumber"))
+    r3164_s = F.when(did % 2 == 0, F.lit("Mar 1 10:00:00")) \
+        .otherwise(F.lit("garbage date"))
+    dst = F.concat(F.lit('{"a":"x'), did.cast("string"),
+                   F.lit('","b":"1"}'))
+    src = F.concat(F.lit('{"b":"2","c":"'), F.col("lang"),
+                   F.lit('"}'))
+    flat = F.concat(F.lit('{"a.b":'), did.cast("string"),
+                    F.lit(',"a.c":2}'))
+    return docs.select(
+        "doc_id",
+        rf.cbool(onoff).alias("as_bool"),
+        rf.wrap(F.concat(F.lit('v"'), F.col("lang")), '"', '\\"')
+        .alias("wrapped"),
+        rf.is_time(unix_s, "date-unix").alias("unix_ok"),
+        rf.is_time(r3164_s, "date-rfc3164").alias("r3164_ok"),
+        rf.pcre_match(F.col("lang"), "^(en|fr)$").alias("pcre_hit"),
+        rf.append_json(dst, src).alias("merged"),
+        rf.unflatten(flat).alias("unflat"),
+    )
+
+
+@q(
     "faup_url_decompose",
     """
     SELECT source,
