@@ -396,6 +396,16 @@ class _Parser:
         elif name in ("actionfiledefaulttemplate",
                       "actionforwarddefaulttemplate"):
             self.cfg.directives[name] = raw
+        elif name == "allowedsender":
+            # $AllowedSender UDP, 127.0.0.1, 10.0.0.0/8 — repeated
+            # lines accumulate per protocol (ref: runtime/net.c
+            # AllowedSenders lists)
+            proto, _, rest = raw.partition(",")
+            key = f"allowedsender.{proto.strip().lower()}"
+            entries = [e.strip() for e in rest.split(",") if e.strip()]
+            prev = self.cfg.directives.get(key, "")
+            self.cfg.directives[key] = ",".join(
+                ([prev] if prev else []) + entries)
         else:
             # recorded; queue/priv/file-mode tuning has no Spark analog
             self.cfg.directives[name] = raw

@@ -583,6 +583,12 @@ def run_config_stream(
                 tls = _tls_from_input(inp, cfg.directives)
                 if tls is not None:
                     kw["tls"] = tls
+            # $AllowedSender <PROTO>, ip, net/cidr, ... (net.c ACLs)
+            acl_key = ("allowedsender.udp" if typ == "imudp"
+                       else "allowedsender.tcp")
+            if cfg.directives.get(acl_key):
+                kw["allowed_senders"] = [
+                    e for e in cfg.directives[acl_key].split(",") if e]
             bridge = cls(spool, **kw).start()
         if ruleset_name is None and inp.get("ruleset"):
             ruleset_name = inp["ruleset"]

@@ -50,7 +50,8 @@ class SpoolBridge:
     schema = "line string, fromhost string, timegenerated timestamp"
 
     def __init__(self, spool_dir: str, *, inputname: str,
-                 flush_every: int = 512, flush_secs: float = 0.5):
+                 flush_every: int = 512, flush_secs: float = 0.5,
+                 allowed_senders: list[str] | None = None):
         self.spool_dir = spool_dir
         self.inputname = inputname
         self.flush_every = flush_every
@@ -61,6 +62,27 @@ class SpoolBridge:
         self._seq = 0
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
+        # $AllowedSender ACL (ref: runtime/net.c AllowedSenders —
+        # IPs and CIDR nets; None = allow all, the reference default)
+        self._acl = None
+        if allowed_senders is not None:
+            import ipaddress
+
+            self._acl = [
+                ipaddress.ip_network(e, strict=False)
+                for e in allowed_senders
+            ]
+
+    def sender_allowed(self, ip: str) -> bool:
+        if self._acl is None:
+            return True
+        import ipaddress
+
+        try:
+            a = ipaddress.ip_address(ip)
+        except ValueError:
+            return False
+        return any(a in net for net in self._acl)
 
     # -- receive side -------------------------------------------------
     def emit(self, rec: dict) -> None:
@@ -165,6 +187,8 @@ class imudp(SpoolBridge):
                 continue
             except OSError:
                 break
+            if not self.sender_allowed(addr[0]):
+                continue  # silently dropped (net.c isAllowedSender)
             self.emit({
                 "line": data.decode("utf-8", errors="replace")
                             .rstrip("\n"),
@@ -715,6 +739,14 @@ class imtcp(SpoolBridge):
                 continue
             except OSError:
                 break
+            if not self.sender_allowed(addr[0]):
+                # connection from unlisted sender: refuse the session
+                # (net.c isAllowedSender2 at accept time)
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+                continue
             if self._tls_ctx is not None:
                 from rsyslog_spark.streaming.gtls import check_peer
                 try:

@@ -848,3 +848,68 @@ def test_imtcp_tcpflood_seq_check(spark, tmp_path):
         assert max(seqs) == N_CONN * N_MSG - 1
     finally:
         b.stop()
+
+
+class TestAllowedSender:
+    """$AllowedSender ACLs (ref: runtime/net.c AllowedSenders)."""
+
+    def test_imudp_drops_unlisted_sender(self, spark, tmp_path):
+        from rsyslog_spark.streaming.bridges import imudp
+
+        b = imudp(str(tmp_path / "s1"), flush_secs=0.2,
+                  allowed_senders=["10.0.0.0/8"]).start()
+        try:
+            tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            tx.sendto(b"<13>should be dropped", ("127.0.0.1", b.port))
+            tx.close()
+            time.sleep(1.0)
+            b.flush()
+            assert b.batch(spark).count() == 0
+        finally:
+            b.stop()
+        b2 = imudp(str(tmp_path / "s2"), flush_secs=0.2,
+                   allowed_senders=["127.0.0.1", "10.0.0.0/8"]).start()
+        try:
+            tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            tx.sendto(b"<13>allowed", ("127.0.0.1", b2.port))
+            tx.close()
+            df = _drain(b2, spark, 1)
+            assert [r.line for r in df.collect()] == ["<13>allowed"]
+        finally:
+            b2.stop()
+
+    def test_imtcp_refuses_unlisted_connection(self, spark, tmp_path):
+        from rsyslog_spark.streaming.bridges import imtcp
+
+        b = imtcp(str(tmp_path / "s3"), flush_secs=0.2,
+                  allowed_senders=["192.0.2.0/24"]).start()
+        try:
+            c = socket.create_connection(("127.0.0.1", b.port),
+                                         timeout=5)
+            try:
+                c.sendall(b"<13>refused\n")
+                # server closes immediately; read should hit EOF
+                c.settimeout(5)
+                assert c.recv(1) == b""
+            except OSError:
+                pass
+            c.close()
+            time.sleep(1.0)
+            b.flush()
+            assert b.batch(spark).count() == 0
+        finally:
+            b.stop()
+
+    def test_directive_accumulates_and_wires(self):
+        from rsyslog_spark.config.rainerscript import load_config
+
+        conf = '''
+        $AllowedSender UDP, 127.0.0.1, 10.0.0.0/8
+        $AllowedSender UDP, 192.168.7.0/24
+        $AllowedSender TCP, 172.16.0.0/12
+        *.* /tmp/x
+        '''
+        _, cfg = load_config(conf)
+        assert cfg.directives["allowedsender.udp"] == \
+            "127.0.0.1,10.0.0.0/8,192.168.7.0/24"
+        assert cfg.directives["allowedsender.tcp"] == "172.16.0.0/12"
