@@ -30,7 +30,7 @@ import socket
 import threading
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -384,6 +384,70 @@ def imdocker(spark: SparkSession, path: str, *,
         F.regexp_extract("srcfile", r"([0-9a-f]{12,64})[^/]*\.log$", 1)
          .alias("container_id"),
         F.lit("imdocker").alias("inputname"),
+    )
+
+
+def imkubernetes(spark: SparkSession, path: str) -> DataFrame:
+    """Kubernetes pod-log intake (ref: contrib/imkubernetes/
+    imkubernetes.c): parse CRI-format container logs
+    (``TIMESTAMP STREAM P|F MSG``) with partial-line reassembly
+    (consecutive ``P`` records concatenate into the closing ``F``
+    record, imkubernetes.c partialAppend), and lift the pod metadata
+    the reference reads from the kubelet path convention
+    ``.../pods/<namespace>_<pod>_<uid>/<container>/N.log``.
+
+    Pure column ops end-to-end: wholetext read keeps in-file record
+    order (posexplode index), the P/F reassembly is a gaps-and-islands
+    window per (file, stream) — count of prior ``F`` records is the
+    island id — and a concat_ws close.  API-server metadata
+    enrichment is the already-implemented refreshing dim join
+    (operators/dimension.py mmkubernetes); docker json-file records
+    go through :func:`imdocker`.
+    """
+    raw = (spark.read.text(path, wholetext=True)
+           .withColumn("srcfile", F.input_file_name()))
+    lines = raw.select(
+        "srcfile",
+        F.posexplode(F.split(F.col("value"), "\n"))
+        .alias("pos", "rec"),
+    ).filter(F.length("rec") > 0)
+    parts = F.split(F.col("rec"), " ", 4)
+    parsed = lines.select(
+        "srcfile", "pos",
+        F.element_at(parts, 1).alias("ts_raw"),
+        F.element_at(parts, 2).alias("stream"),
+        F.element_at(parts, 3).alias("tag"),
+        F.element_at(parts, 4).alias("msg"),
+    ).filter(F.col("tag").isin("P", "F"))
+    w = (Window.partitionBy("srcfile", "stream").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    grp = parsed.withColumn(
+        "grp", F.coalesce(
+            F.sum((F.col("tag") == "F").cast("int")).over(w),
+            F.lit(0)))
+    wg = Window.partitionBy("srcfile", "stream", "grp").orderBy("pos")
+    closed = (grp
+              .withColumn("full_msg",
+                          F.concat_ws("", F.collect_list("msg")
+                                      .over(wg.rowsBetween(
+                                          Window.unboundedPreceding,
+                                          Window.unboundedFollowing))))
+              .withColumn("first_ts",
+                          F.first("ts_raw").over(wg))
+              .filter(F.col("tag") == "F"))
+    meta = r"pods/([^/_]+)_([^/_]+)_([^/]+)/([^/]+)/[^/]+\.log$"
+    return closed.select(
+        F.col("full_msg").alias("line"),
+        F.col("stream"),
+        F.to_timestamp(
+            F.regexp_replace(
+                "first_ts", r"(\.\d{6})\d*(Z|[+-]\d\d:\d\d)$", "$1$2")
+        ).alias("timegenerated"),
+        F.regexp_extract("srcfile", meta, 1).alias("namespace"),
+        F.regexp_extract("srcfile", meta, 2).alias("pod"),
+        F.regexp_extract("srcfile", meta, 3).alias("pod_uid"),
+        F.regexp_extract("srcfile", meta, 4).alias("container"),
+        F.lit("imkubernetes").alias("inputname"),
     )
 
 

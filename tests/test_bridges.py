@@ -913,3 +913,29 @@ class TestAllowedSender:
         assert cfg.directives["allowedsender.udp"] == \
             "127.0.0.1,10.0.0.0/8,192.168.7.0/24"
         assert cfg.directives["allowedsender.tcp"] == "172.16.0.0/12"
+
+
+def test_imkubernetes_cri_partial_reassembly(spark, tmp_path):
+    """CRI P/F partial-line reassembly + kubelet path metadata
+    (ref: contrib/imkubernetes/imkubernetes.c partialAppend)."""
+    from rsyslog_spark.streaming.bridges import imkubernetes
+
+    d = (tmp_path / "pods" / "prod_web-7f9_abc-123" / "nginx")
+    d.mkdir(parents=True)
+    (d / "0.log").write_text(
+        "2026-08-14T01:00:00.123456789Z stdout P first part, \n"
+        "2026-08-14T01:00:00.223456789Z stdout P second part, \n"
+        "2026-08-14T01:00:00.323456789Z stdout F final part\n"
+        "2026-08-14T01:00:01.000000000Z stdout F plain full line\n"
+        "2026-08-14T01:00:02.500000000Z stderr F err line\n")
+    rows = (imkubernetes(spark, str(tmp_path / "pods" / "*" / "*" / "*.log"))
+            .orderBy("timegenerated").collect())
+    assert [r.line for r in rows] == [
+        "first part, second part, final part",
+        "plain full line", "err line"]
+    a = rows[0]
+    assert (a.namespace, a.pod, a.pod_uid, a.container) == (
+        "prod", "web-7f9", "abc-123", "nginx")
+    # timestamp of a reassembled message = FIRST partial's timestamp
+    assert str(a.timegenerated).startswith("2026-08-14 01:00:00.123456")
+    assert rows[2].stream == "stderr"
