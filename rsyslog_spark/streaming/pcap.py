@@ -49,6 +49,12 @@ PCAP_SCHEMA = (
     "DNS_ARCOUNT int, "
     "DNS_Names array<struct<qname string, qtype int, type string, "
     "qclass int, class string>>, "
+    "ARP_op int, ARP_hwSrc string, ARP_pSrc string, "
+    "ARP_hwDst string, ARP_pDst string, "
+    "net_icmp_type int, net_icmp_code int, "
+    "SMB_version int, SMB_NTstatus long, SMB_operation int, "
+    "SMB_flags string, SMB_seqNumber long, SMB_processID long, "
+    "SMB_treeID long, SMB_userID long, "
     "orig_len int, payload binary"
 )
 
@@ -79,8 +85,14 @@ _COLUMNS = [
     "TCP_seq_number", "TCP_ack_number", "UDP_Length",
     "DNS_transaction_id", "DNS_response_flag", "DNS_opcode",
     "DNS_rcode", "DNS_error", "DNS_QDCOUNT", "DNS_ANCOUNT",
-    "DNS_NSCOUNT", "DNS_ARCOUNT", "DNS_Names", "orig_len", "payload",
+    "DNS_NSCOUNT", "DNS_ARCOUNT", "DNS_Names",
+    "ARP_op", "ARP_hwSrc", "ARP_pSrc", "ARP_hwDst", "ARP_pDst",
+    "net_icmp_type", "net_icmp_code",
+    "SMB_version", "SMB_NTstatus", "SMB_operation", "SMB_flags",
+    "SMB_seqNumber", "SMB_processID", "SMB_treeID", "SMB_userID",
+    "orig_len", "payload",
 ]
+_SMB_FLAG_CODES = "RPCS"  # smb_parser.c:73 flagCodes
 
 
 def _mac(b: bytes) -> str:
@@ -140,7 +152,15 @@ def parse_pcap_records(name: str, buf: bytes) -> Iterator[dict]:
             "DNS_opcode": None, "DNS_rcode": None, "DNS_error": None,
             "DNS_QDCOUNT": None, "DNS_ANCOUNT": None,
             "DNS_NSCOUNT": None, "DNS_ARCOUNT": None,
-            "DNS_Names": None, "orig_len": orig, "payload": None,
+            "DNS_Names": None,
+            "ARP_op": None, "ARP_hwSrc": None, "ARP_pSrc": None,
+            "ARP_hwDst": None, "ARP_pDst": None,
+            "net_icmp_type": None, "net_icmp_code": None,
+            "SMB_version": None, "SMB_NTstatus": None,
+            "SMB_operation": None, "SMB_flags": None,
+            "SMB_seqNumber": None, "SMB_processID": None,
+            "SMB_treeID": None, "SMB_userID": None,
+            "orig_len": orig, "payload": None,
         }
         idx += 1
         p = pkt
@@ -159,6 +179,11 @@ def parse_pcap_records(name: str, buf: bytes) -> Iterator[dict]:
                 p = _ipv4(row, p)
             elif etype == 0x86DD:
                 p = _ipv6(row, p)
+            elif etype == 0x0806:
+                _arp(row, p)
+                row["payload"] = p
+                yield row
+                continue
             else:
                 row["payload"] = p
                 yield row
@@ -213,8 +238,48 @@ def _ipv6(row: dict, p: bytes) -> bytes:
     return p
 
 
+def _arp(row: dict, p: bytes) -> None:
+    """arp_parser.c: op + hardware/protocol addresses (IPv4/eth)."""
+    if len(p) < 28:
+        return
+    row["ARP_op"] = (p[6] << 8) | p[7]
+    if p[4] == 6 and p[5] == 4:  # eth hw len / IPv4 proto len
+        row["ARP_hwSrc"], row["ARP_pSrc"] = _mac(p[8:14]), _v4(p[14:18])
+        row["ARP_hwDst"], row["ARP_pDst"] = _mac(p[18:24]), _v4(p[24:28])
+
+
+def _smb(row: dict, p: bytes) -> None:
+    """smb_parser.c: scan for the \\xfeSMB / \\xffSMB marker (past
+    the NetBIOS session prefix), decode the SMB2 header fields."""
+    off = -1
+    for marker in (b"\xfeSMB", b"\xffSMB"):
+        i = p.find(marker)
+        if i >= 0 and (off < 0 or i < off):
+            off = i
+    if off < 0 or len(p) - off < 64:
+        return
+    h = p[off:off + 64]
+    row["SMB_version"] = 1 if h[0] == 0xFF else 2
+    (ntstatus, opcode) = struct.unpack("<IH", h[8:14])
+    (flags,) = struct.unpack("<I", h[16:20])
+    (seq,) = struct.unpack("<Q", h[24:32])
+    (pid, tid) = struct.unpack("<II", h[32:40])
+    (uid,) = struct.unpack("<Q", h[40:48])
+    row["SMB_NTstatus"] = ntstatus
+    row["SMB_operation"] = opcode
+    row["SMB_flags"] = "".join(
+        _SMB_FLAG_CODES[i] for i in range(4) if flags & (1 << i))
+    row["SMB_seqNumber"] = seq
+    row["SMB_processID"] = pid
+    row["SMB_treeID"] = tid
+    row["SMB_userID"] = uid
+
+
 def _l4(row: dict, p: bytes) -> bytes:
     proto = row.get("IP_proto")
+    if proto == 1 and len(p) >= 2:  # ICMP (icmp_parser.c)
+        row["net_icmp_type"], row["net_icmp_code"] = p[0], p[1]
+        return p[8:] if len(p) >= 8 else b""
     if proto == 6 and len(p) >= 20:  # TCP (tcp_parser.c)
         (sport, dport, seq, ack) = struct.unpack(">HHII", p[:12])
         dor, flags = p[12], p[13]
@@ -226,7 +291,10 @@ def _l4(row: dict, p: bytes) -> bytes:
             letters.append(_TCP_FLAG_CODES[8])
         row["net_flags"] = "".join(letters)
         hlen = (dor >> 4) * 4
-        return p[hlen:] if len(p) >= hlen else b""
+        rest = p[hlen:] if len(p) >= hlen else b""
+        if 445 in (sport, dport) and rest:  # SMB_PORT dispatch
+            _smb(row, rest)
+        return rest
     if proto == 17 and len(p) >= 8:  # UDP (udp_parser.c)
         sport, dport, ulen, _ck = struct.unpack(">HHHH", p[:8])
         row["net_src_port"], row["net_dst_port"] = sport, dport

@@ -939,3 +939,49 @@ def test_imkubernetes_cri_partial_reassembly(spark, tmp_path):
     # timestamp of a reassembled message = FIRST partial's timestamp
     assert str(a.timegenerated).startswith("2026-08-14 01:00:00.123456")
     assert rows[2].stream == "stderr"
+
+
+def test_impcap_arp_icmp_smb_parsers(spark, tmp_path):
+    import struct as s
+    from rsyslog_spark.streaming.pcap import impcap
+
+    # ARP request: who-has 10.0.0.2 tell 10.0.0.1
+    arp = (s.pack(">HHBBH", 1, 0x0800, 6, 4, 1)
+           + bytes.fromhex("112233445566") + bytes([10, 0, 0, 1])
+           + bytes.fromhex("000000000000") + bytes([10, 0, 0, 2]))
+    arp_pkt = (bytes.fromhex("ffffffffffff")
+               + bytes.fromhex("112233445566") + b"\x08\x06" + arp)
+    # ICMP echo request
+    icmp = bytes([8, 0]) + b"\x00\x00\x12\x34\x00\x01" + b"ping"
+    icmp_ip = (b"\x45\x00" + s.pack(">H", 20 + len(icmp))
+               + b"\x00\x00\x00\x00" + bytes([64, 1]) + b"\x00\x00"
+               + bytes([10, 0, 0, 1]) + bytes([10, 0, 0, 2]))
+    icmp_pkt = (bytes.fromhex("aabbccddeeff")
+                + bytes.fromhex("112233445566") + b"\x08\x00"
+                + icmp_ip + icmp)
+    # SMB2 over TCP 445 with NetBIOS prefix: WRITE (0x09),
+    # response flag, seq 7, tree 3, session 5
+    smb_hdr = (b"\xfeSMB" + s.pack("<HHIHHI", 64, 0, 0, 9, 0, 1)
+               + s.pack("<I", 0) + s.pack("<Q", 7)
+               + s.pack("<II", 0xFEFF, 3) + s.pack("<Q", 5)
+               + b"\x00" * 16)
+    smb_pkt = TestImpcap._tcp_port_packet(
+        51010, 445, b"\x00\x00\x00\x40" + smb_hdr)
+    (tmp_path / "mix2.pcap").write_bytes(
+        TestImpcap._pcap([arp_pkt, icmp_pkt, smb_pkt]))
+    rows = {r["pkt_idx"]: r
+            for r in impcap(spark, str(tmp_path)).collect()}
+    a = rows[0]
+    assert a["ETH_type"] == 0x0806 and a["ARP_op"] == 1
+    assert (a["ARP_hwSrc"], a["ARP_pSrc"]) == (
+        "11:22:33:44:55:66", "10.0.0.1")
+    assert a["ARP_pDst"] == "10.0.0.2"
+    i = rows[1]
+    assert (i["net_icmp_type"], i["net_icmp_code"]) == (8, 0)
+    assert i["IP_proto"] == 1
+    m = rows[2]
+    assert m["SMB_version"] == 2
+    assert m["SMB_operation"] == 9        # WRITE
+    assert m["SMB_flags"] == "R"          # response bit
+    assert (m["SMB_seqNumber"], m["SMB_treeID"],
+            m["SMB_userID"]) == (7, 3, 5)
