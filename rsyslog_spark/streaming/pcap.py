@@ -55,6 +55,11 @@ PCAP_SCHEMA = (
     "SMB_version int, SMB_NTstatus long, SMB_operation int, "
     "SMB_flags string, SMB_seqNumber long, SMB_processID long, "
     "SMB_treeID long, SMB_userID long, "
+    "ETH_len int, LLC_dsap int, LLC_ssap int, LLC_ctrl int, "
+    "SNAP_oui int, SNAP_ethType int, "
+    "IPX_transCtrl int, IPX_type int, IPX_dest_net long, "
+    "IPX_src_net long, IPX_dest_node string, IPX_src_node string, "
+    "IPX_dest_socket int, IPX_src_socket int, "
     "orig_len int, payload binary"
 )
 
@@ -90,6 +95,11 @@ _COLUMNS = [
     "net_icmp_type", "net_icmp_code",
     "SMB_version", "SMB_NTstatus", "SMB_operation", "SMB_flags",
     "SMB_seqNumber", "SMB_processID", "SMB_treeID", "SMB_userID",
+    "ETH_len", "LLC_dsap", "LLC_ssap", "LLC_ctrl",
+    "SNAP_oui", "SNAP_ethType",
+    "IPX_transCtrl", "IPX_type", "IPX_dest_net", "IPX_src_net",
+    "IPX_dest_node", "IPX_src_node", "IPX_dest_socket",
+    "IPX_src_socket",
     "orig_len", "payload",
 ]
 _SMB_FLAG_CODES = "RPCS"  # smb_parser.c:73 flagCodes
@@ -160,6 +170,12 @@ def parse_pcap_records(name: str, buf: bytes) -> Iterator[dict]:
             "SMB_operation": None, "SMB_flags": None,
             "SMB_seqNumber": None, "SMB_processID": None,
             "SMB_treeID": None, "SMB_userID": None,
+            "ETH_len": None, "LLC_dsap": None, "LLC_ssap": None,
+            "LLC_ctrl": None, "SNAP_oui": None, "SNAP_ethType": None,
+            "IPX_transCtrl": None, "IPX_type": None,
+            "IPX_dest_net": None, "IPX_src_net": None,
+            "IPX_dest_node": None, "IPX_src_node": None,
+            "IPX_dest_socket": None, "IPX_src_socket": None,
             "orig_len": orig, "payload": None,
         }
         idx += 1
@@ -175,6 +191,12 @@ def parse_pcap_records(name: str, buf: bytes) -> Iterator[dict]:
                 etype = (p[2] << 8) | p[3]
                 p = p[4:]
             row["ETH_type"] = etype
+            if etype < 1500:  # 802.3 length field → LLC (eth_parser.c:157)
+                row["ETH_len"] = etype
+                p = _llc(row, p)
+                row["payload"] = p
+                yield row
+                continue
             if etype == 0x0800:
                 p = _ipv4(row, p)
             elif etype == 0x86DD:
@@ -236,6 +258,58 @@ def _ipv6(row: dict, p: bytes) -> bytes:
         p = p[ext_len:]
     row["IP_proto"] = nxt
     return p
+
+
+def _llc(row: dict, p: bytes) -> bytes:
+    """llc_parser.c: dsap/ssap/ctrl (8- or 16-bit), SNAP tunnelling
+    to an inner ethertype, raw-0xFFFF and 0xE0E0 IPX forms."""
+    if len(p) < 3:
+        return p
+    if p[0] == 0xFF and p[1] == 0xFF:  # raw IPX, no LLC
+        return _ipx(row, p)
+    if (p[2] & 0x03) == 3:  # U frame: 8-bit control
+        ctrl, hlen = p[2], 3
+    else:  # I/S frames: 16-bit control
+        if len(p) < 4:
+            return p
+        ctrl, hlen = (p[2] << 8) | p[3], 4
+    dsap, ssap = p[0] & 0xFE, p[1] & 0xFE
+    row["LLC_dsap"], row["LLC_ssap"] = dsap, ssap
+    row["LLC_ctrl"] = ctrl
+    rest = p[hlen:]
+    if dsap == 0xAA and ssap == 0xAA and ctrl == 0x03:  # SNAP
+        if len(rest) < 5:
+            return rest
+        row["SNAP_oui"] = (rest[0] << 16) | (rest[1] << 8) | rest[2]
+        etype = (rest[3] << 8) | rest[4]
+        row["SNAP_ethType"] = etype
+        inner = rest[5:]
+        if etype == 0x0800:
+            return _l4(row, _ipv4(row, inner))
+        if etype == 0x86DD:
+            return _l4(row, _ipv6(row, inner))
+        if etype == 0x0806:
+            _arp(row, inner)
+        return inner
+    if dsap == 0x06 and ssap == 0x06 and ctrl == 0x03:  # IPv4
+        return _l4(row, _ipv4(row, rest))
+    if dsap == 0xE0 and ssap == 0xE0 and ctrl == 0x03:  # IPX
+        return _ipx(row, rest)
+    return rest
+
+
+def _ipx(row: dict, p: bytes) -> bytes:
+    """ipx_parser.c: 30-byte IPX header → nets/nodes/sockets."""
+    if len(p) < 30:
+        return p
+    row["IPX_transCtrl"], row["IPX_type"] = p[4], p[5]
+    row["IPX_dest_net"] = struct.unpack(">I", p[6:10])[0]
+    row["IPX_dest_node"] = ":".join(f"{x:02x}" for x in p[10:16])
+    row["IPX_dest_socket"] = (p[16] << 8) | p[17]
+    row["IPX_src_net"] = struct.unpack(">I", p[18:22])[0]
+    row["IPX_src_node"] = ":".join(f"{x:02x}" for x in p[22:28])
+    row["IPX_src_socket"] = (p[28] << 8) | p[29]
+    return p[30:]
 
 
 def _arp(row: dict, p: bytes) -> None:

@@ -985,3 +985,43 @@ def test_impcap_arp_icmp_smb_parsers(spark, tmp_path):
     assert m["SMB_flags"] == "R"          # response bit
     assert (m["SMB_seqNumber"], m["SMB_treeID"],
             m["SMB_userID"]) == (7, 3, 5)
+
+
+def test_impcap_llc_snap_ipx_parsers(spark, tmp_path):
+    import struct as s
+    from rsyslog_spark.streaming.pcap import impcap
+
+    eth_hdr = bytes.fromhex("aabbccddeeff112233445566")
+    # LLC+SNAP tunnelling IPv4/UDP (802.3 length field)
+    inner_udp = s.pack(">HHHH", 1111, 514, 8 + 2, 0) + b"hi"
+    inner_ip = (b"\x45\x00" + s.pack(">H", 20 + len(inner_udp))
+                + b"\x00\x00\x00\x00" + bytes([64, 17]) + b"\x00\x00"
+                + bytes([10, 9, 9, 1]) + bytes([10, 9, 9, 2]))
+    snap = (b"\xaa\xaa\x03" + b"\x00\x00\x00" + b"\x08\x00"
+            + inner_ip + inner_udp)
+    llc_pkt = eth_hdr + s.pack(">H", len(snap)) + snap
+    # LLC 0xE0E0 IPX
+    ipx = (b"\xff\xff" + s.pack(">H", 30) + bytes([2, 4])
+           + s.pack(">I", 0xAABB) + bytes.fromhex("0102030405a6")
+           + s.pack(">H", 0x451) + s.pack(">I", 0xCCDD)
+           + bytes.fromhex("0a0b0c0d0e0f") + s.pack(">H", 0x452))
+    ipx_llc = b"\xe0\xe0\x03" + ipx
+    ipx_pkt = eth_hdr + s.pack(">H", len(ipx_llc)) + ipx_llc
+    (tmp_path / "llc.pcap").write_bytes(
+        TestImpcap._pcap([llc_pkt, ipx_pkt]))
+    rows = {r["pkt_idx"]: r
+            for r in impcap(spark, str(tmp_path)).collect()}
+    a = rows[0]
+    assert a["ETH_len"] == len(snap) and a["ETH_type"] == len(snap)
+    assert (a["LLC_dsap"], a["LLC_ssap"], a["LLC_ctrl"]) == (
+        0xAA, 0xAA, 3)
+    assert (a["SNAP_oui"], a["SNAP_ethType"]) == (0, 0x0800)
+    assert (a["net_src_ip"], a["net_dst_port"]) == ("10.9.9.1", 514)
+    assert bytes(a["payload"]) == b"hi"
+    b = rows[1]
+    assert (b["LLC_dsap"], b["LLC_ssap"]) == (0xE0, 0xE0)
+    assert (b["IPX_transCtrl"], b["IPX_type"]) == (2, 4)
+    assert (b["IPX_dest_net"], b["IPX_src_net"]) == (0xAABB, 0xCCDD)
+    assert b["IPX_dest_node"] == "01:02:03:04:05:a6"
+    assert (b["IPX_dest_socket"], b["IPX_src_socket"]) == (
+        0x451, 0x452)
