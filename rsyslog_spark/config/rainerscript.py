@@ -200,7 +200,8 @@ class _Parser:
     def expect(self, text: str) -> Tok:
         t = self.next()
         if t.text != text:
-            raise SyntaxError(f"expected {text!r}, got {t.text!r}")
+            raise SyntaxError(
+                f"expected {text!r}, got {t.text!r} (line {t.line})")
         return t
 
     def accept(self, text: str) -> bool:
@@ -533,7 +534,7 @@ class _Parser:
             self.next()
             var = self.next()
             if var.kind != "var":
-                raise SyntaxError(f"set needs a variable, got {var.text!r}")
+                raise SyntaxError(f"set needs a variable, got {var.text!r} (line {var.line})")
             self.expect("=")
             expr = self.parse_expr()
             self.accept(";")
@@ -606,7 +607,7 @@ class _Parser:
             stmt = PriFilt(sel, [target])
             self._last_sel_filter = stmt
             return stmt
-        raise SyntaxError(f"unknown statement at {t.text!r}")
+        raise SyntaxError(f"unknown statement at {t.text!r} (line {t.line})")
 
     def _try_selector(self) -> str | None:
         """Detect a legacy `fac.sev[;fac.sev]` selector at statement
@@ -723,7 +724,7 @@ class _Parser:
         if t.kind == "string":
             return _make_action(
                 {"type": "omfile", "file": _unquote(self.next().text)})
-        raise SyntaxError(f"bad selector target {t.text!r}")
+        raise SyntaxError(f"bad selector target {t.text!r} (line {t.line})")
 
     # -- expressions (precedence climbing) -----------------------------
     def parse_expr(self):
@@ -819,7 +820,7 @@ class _Parser:
                     self.accept(",")
                 return ("callfn", t.text, args)
             return ("lit", t.text)   # bare word → string literal
-        raise SyntaxError(f"bad expression atom {t.text!r}")
+        raise SyntaxError(f"bad expression atom {t.text!r} (line {t.line})")
 
 
 # ------------------------------------------------------ AST → Columns

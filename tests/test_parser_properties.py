@@ -106,3 +106,32 @@ def test_multiline_reassembly_roundtrip_property(spark):
                reassemble_multiline(df, read_mode=1)
                .orderBy("first_line_no").collect()]
         assert got == msgs, f"trial {trial}"
+
+
+class TestConfigParserRobustness:
+    """cfgtest analog: the config front-end must never hang or raise
+    anything but SyntaxError/ValueError on malformed input — and
+    SyntaxErrors must carry a line number for the user."""
+
+    @given(st.text(alphabet=st.characters(
+        min_codepoint=1, max_codepoint=0x2FF), max_size=400))
+    @settings(max_examples=150, deadline=None)
+    def test_garbage_never_crashes_parser(self, txt):
+        from rsyslog_spark.config.rainerscript import load_config
+
+        try:
+            load_config(txt)
+        except (SyntaxError, ValueError, KeyError, IndexError):
+            pass  # rejected — acceptable; must not hang or segfault
+
+    @given(st.integers(min_value=0, max_value=6))
+    @settings(max_examples=7, deadline=None)
+    def test_syntax_error_carries_line_number(self, pad):
+        from rsyslog_spark.config.rainerscript import load_config
+
+        conf = "\n" * pad + 'if $msg contains then { stop }\n'
+        try:
+            load_config(conf)
+            raise AssertionError("expected SyntaxError")
+        except SyntaxError as ex:
+            assert "line" in str(ex).lower()
