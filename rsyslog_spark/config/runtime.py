@@ -106,7 +106,12 @@ def _dispatch_action(
         # iZipLevel — any level > 0 selects gzip here)
         zl = int(params.get("zipLevel", params.get("ziplevel", "0")))
         if tpl is not None and hasattr(tpl, "col"):
-            writer = df.select(tpl.col().alias("value")) \
+            # templates end with their own \n (RSYSLOG_FileFormat
+            # etc.); the text writer adds the record separator, so
+            # strip ONE trailing newline or every record is followed
+            # by a blank line the reference never writes
+            rendered = F.regexp_replace(tpl.col(), r"\n$", "")
+            writer = df.select(rendered.alias("value")) \
                 .write.mode("append")
             if zl > 0:
                 writer = writer.option("compression", "gzip")
@@ -443,27 +448,43 @@ def run_config_batch(
         parse_syslog(lines,
                      parsers=_ruleset_parser_chain(cfg, ruleset_name)),
         cfg)
-    actions, survivors = eng.run(frame, ruleset_name)
+    # persist the parsed batch once, every action filters from it —
+    # the reference's direct-action batch commit (ruleset.c:632; the
+    # streaming path does the same via fanout_sink). Without this,
+    # N actions re-parse the input N times.
+    rs = cfg.rulesets.get(ruleset_name)
+    multi_action = rs is not None and len(rs.stmts) > 1
+    if multi_action:
+        frame = frame.persist()
+    try:
+        actions, survivors = eng.run(frame, ruleset_name)
 
-    run = ConfigRun(survivors=survivors)
-    for name, df in actions:
-        params = _action_params(cfg, ruleset_name, name)
-        _dispatch_action(cfg, name, df, params, run, sink_overrides)
-    # dyn_inc / percentile_observe buckets aggregate over the batch
-    # (approximation note: the reference increments at the statement's
-    # execution point; the batch form counts every parsed row)
-    for kind, bucket, key_fn, val_fn in cfg.stats_calls:
-        if key_fn is None:
-            continue
-        key = key_fn(frame).alias("key")
-        if kind == "dyn_inc":
-            run.dynstats[bucket] = frame.groupBy(key).count()
-        else:
-            from rsyslog_spark.operators.stats import percentile_stats
-            vf = val_fn(frame) if val_fn is not None else F.lit(None)
-            run.dynstats[bucket] = percentile_stats(
-                frame.select(key, vf.cast("double").alias("v")),
-                "key", "v")
+        run = ConfigRun(survivors=survivors)
+        for name, df in actions:
+            params = _action_params(cfg, ruleset_name, name)
+            _dispatch_action(cfg, name, df, params, run,
+                             sink_overrides)
+        # dyn_inc / percentile_observe buckets aggregate over the
+        # batch (approximation note: the reference increments at the
+        # statement's execution point; the batch form counts every
+        # parsed row)
+        for kind, bucket, key_fn, val_fn in cfg.stats_calls:
+            if key_fn is None:
+                continue
+            key = key_fn(frame).alias("key")
+            if kind == "dyn_inc":
+                run.dynstats[bucket] = frame.groupBy(key).count()
+            else:
+                from rsyslog_spark.operators.stats import (
+                    percentile_stats)
+                vf = val_fn(frame) if val_fn is not None else \
+                    F.lit(None)
+                run.dynstats[bucket] = percentile_stats(
+                    frame.select(key, vf.cast("double").alias("v")),
+                    "key", "v")
+    finally:
+        if multi_action:
+            frame.unpersist()
     return run
 
 

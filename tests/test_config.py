@@ -1323,3 +1323,25 @@ class TestStockTemplates:
         assert len(rows) == 1
         assert rows[0]["msg"] == "from pcap"
         assert rows[0]["hostname"] == "h9"
+
+    def test_omfile_text_has_no_blank_separator_lines(self, spark, tmp_path):
+        """Templates end with their own \\n; the text writer must not
+        double it (reference files have exactly one newline/record)."""
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "bin"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<13>Mar  1 10:00:00 h1 app: one\n"
+            "<13>Mar  1 10:00:01 h1 app: two\n")
+        out = tmp_path / "out"
+        conf = f'''
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        template(name="fmt" type="string" string="%hostname% %msg%\\n")
+        ruleset(name="main") {{
+            action(type="omfile" name="s" file="{out}" template="fmt")
+        }}
+        '''
+        run_config_batch(spark, conf, main="main")
+        lines = spark.read.text(str(out)).collect()
+        assert sorted(r.value for r in lines) == ["h1 one", "h1 two"]
