@@ -135,3 +135,35 @@ class TestConfigParserRobustness:
             raise AssertionError("expected SyntaxError")
         except SyntaxError as ex:
             assert "line" in str(ex).lower()
+
+
+class TestPcapWalkerRobustness:
+    """The impcap record walker consumes untrusted binary captures —
+    arbitrary bytes must never raise or hang, and truncation
+    anywhere must only ever drop trailing records."""
+
+    @given(st.binary(max_size=600))
+    @settings(max_examples=300, deadline=None)
+    def test_arbitrary_bytes_never_crash(self, buf):
+        from rsyslog_spark.streaming.pcap import parse_pcap_records
+
+        rows = list(parse_pcap_records("f", buf))
+        assert all(isinstance(r, dict) for r in rows)
+
+    @given(st.integers(min_value=0, max_value=120),
+           st.binary(min_size=0, max_size=80))
+    @settings(max_examples=150, deadline=None)
+    def test_valid_header_with_garbage_packets(self, cut, pkt):
+        import struct
+        from rsyslog_spark.streaming.pcap import parse_pcap_records
+
+        hdr = (b"\xd4\xc3\xb2\xa1"
+               + struct.pack("<HHiIII", 2, 4, 0, 0, 65535, 1))
+        rec = struct.pack("<IIII", 1700000000, 0, len(pkt),
+                          len(pkt)) + pkt
+        buf = (hdr + rec + rec)[:len(hdr) + cut]
+        rows = list(parse_pcap_records("f", buf))
+        # only whole records parse; truncated trailers are dropped
+        assert len(rows) <= 2
+        for r in rows:
+            assert r["orig_len"] == len(pkt)
