@@ -18,7 +18,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -259,6 +259,120 @@ def streaming_dynstats_ttl(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_minhash_dedup_step(
+    batch_df: DataFrame,
+    *,
+    state_dir: str,
+    text_col: str = "msg",
+    id_col: str = "doc_id",
+    ts_col: str = "timegenerated",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    horizon_sec: int = 3600,
+    seed: int = 42,
+) -> DataFrame:
+    """One micro-batch of streaming MinHash near-dup dedup: drop a
+    document if ANY of its LSH bands collides with a band of an
+    earlier KEPT document (within ``horizon_sec``), first-arrival
+    wins — the streaming form of operators/dedup.minhash_dedup with
+    the same banding family, minus the signature-verify stage
+    (streaming decides per arrival; candidates == verdicts, the
+    standard online-LSH trade-off; tune bands/width for precision).
+
+    State is a parquet band store ``(band, bh, ts)`` under
+    ``state_dir`` — O(kept docs in horizon) × bands rows of 20
+    bytes, appended per batch by the single foreachBatch writer and
+    horizon-filtered on read (call :func:`compact_band_state`
+    periodically to drop expired files).  The batch joins against it
+    band-hash to band-hash: one broadcast-or-shuffle equi-join per
+    micro-batch, no driver loops.
+
+    Returns this batch's surviving rows (original columns).
+    """
+    from rsyslog_spark.operators.dedup import minhash_signatures
+
+    spark = batch_df.sparkSession
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(batch_df, text_col, id_col,
+                              num_hashes=num_hashes,
+                              shingle_n=shingle_n, seed=seed)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+    first_ts = batch_df.groupBy(id_col).agg(F.min(ts_col).alias("__ts"))
+    banded = (sigs.join(first_ts, id_col)
+              .select(F.col(id_col), F.col("__ts"),
+                      F.explode(band_structs).alias("bb"))
+              .select(id_col, "__ts", "bb.band", "bb.bh")
+              .persist())
+    try:
+        # event-time horizon, watermark-style: "now" is this batch's
+        # max event time (one tiny driver action, like the watermark
+        # update itself)
+        now = banded.agg(F.max("__ts")).first()[0]
+        try:
+            seen = spark.read.parquet(state_dir)
+            if now is not None:
+                seen = seen.filter(
+                    F.col("ts") >= F.lit(now) - F.make_interval(
+                        secs=F.lit(float(horizon_sec))))
+            seen = seen.select("band", "bh").distinct()
+        except Exception:  # first batch: no state yet
+            seen = None
+        alive = banded
+        if seen is not None:
+            hit = (banded.join(seen, ["band", "bh"], "left_semi")
+                   .select(id_col).distinct())
+            alive = banded.join(hit, id_col, "left_anti")
+        # within-batch first-wins: a doc dies if any of its bands has
+        # an earlier (ts, id) holder in this batch
+        w = Window.partitionBy("band", "bh")
+        holder = F.min(F.struct(F.col("__ts"), F.col(id_col))).over(w)
+        beaten = (alive
+                  .withColumn("__first", holder[id_col])
+                  .filter(F.col("__first") != F.col(id_col))
+                  .select(id_col).distinct())
+        kept_bands = alive.join(beaten, id_col, "left_anti")
+        kept_ids = kept_bands.select(id_col).distinct()
+        # append ONLY kept docs' bands: dropped near-dups don't
+        # extend the cluster (first representative defines it)
+        (kept_bands
+         .select("band", "bh",
+                 F.col("__ts").cast("timestamp").alias("ts"))
+         .write.mode("append").parquet(state_dir))
+        return batch_df.join(kept_ids, id_col, "left_semi")
+    finally:
+        banded.unpersist()
+
+
+def compact_band_state(spark, state_dir: str,
+                       horizon_sec: int = 3600) -> None:
+    """Rewrite the band store keeping only in-horizon rows (call
+    between batches / from a maintenance job; the step function only
+    ever appends)."""
+    import shutil
+    import tempfile
+
+    store = spark.read.parquet(state_dir)
+    now = store.agg(F.max("ts")).first()[0]  # event-time horizon
+    if now is None:
+        return
+    live = store.filter(
+        F.col("ts") >= F.lit(now) - F.make_interval(
+            secs=F.lit(float(horizon_sec))))
+    tmp = tempfile.mkdtemp(prefix="band_state_")
+    live.write.mode("overwrite").parquet(tmp)
+    rewritten = spark.read.parquet(tmp)
+    rewritten.write.mode("overwrite").parquet(state_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def streaming_exact_dedup(

@@ -417,3 +417,62 @@ def test_streaming_exact_dedup(spark, tmp_path):
     got = sorted(r.line for r in spark.sql(
         "select line from sded").collect())
     assert got == ["dup message", "unique one", "unique two"]
+
+
+class TestStreamingMinhashDedup:
+    """Streaming near-dup dedup: banded MinHash vs a horizon-bounded
+    parquet band store, first arrival wins."""
+
+    BASE = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+
+    def _batch(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, msg string, timegenerated timestamp")
+
+    def test_cross_and_within_batch_dedup(self, spark, tmp_path):
+        import datetime as dt
+        from rsyslog_spark.streaming.stateful import (
+            compact_band_state, streaming_minhash_dedup_step)
+
+        st = str(tmp_path / "bands")
+        t0 = dt.datetime(2026, 8, 14, 12, 0, 0)
+        kw = dict(state_dir=st, horizon_sec=3600)
+        b1 = self._batch(spark, [(1, self.BASE, t0)])
+        out1 = streaming_minhash_dedup_step(b1, **kw)
+        assert [r.doc_id for r in out1.collect()] == [1]
+
+        near = self.BASE.replace("tonight", "today")   # near-dup of 1
+        novel = ("completely different content about spark "
+                 "structured streaming state stores and watermarks "
+                 "with no overlap at all whatsoever here")
+        near2a = novel.replace("watermarks", "checkpoints")
+        b2 = self._batch(spark, [
+            (2, near, t0 + dt.timedelta(seconds=10)),
+            (3, novel, t0 + dt.timedelta(seconds=11)),
+            (4, near2a, t0 + dt.timedelta(seconds=12)),  # ~ doc 3
+        ])
+        out2 = {r.doc_id for r in
+                streaming_minhash_dedup_step(b2, **kw).collect()}
+        # 2 collides with stored doc-1 bands; 4 loses within-batch
+        # to the earlier doc 3
+        assert out2 == {3}
+
+        # a novel doc later still passes; compaction keeps state alive
+        compact_band_state(spark, st, horizon_sec=3600)
+        b3 = self._batch(spark, [
+            (5, self.BASE, t0 + dt.timedelta(seconds=20)),  # dup of 1
+            (6, "yet another unrelated line of words about nothing "
+                "in particular that matters for this test case",
+             t0 + dt.timedelta(seconds=21)),
+        ])
+        out3 = {r.doc_id for r in
+                streaming_minhash_dedup_step(b3, **kw).collect()}
+        assert out3 == {6}
+
+        # past the event-time horizon the content is novel again
+        b4 = self._batch(spark, [
+            (7, self.BASE, t0 + dt.timedelta(hours=2))])
+        out4 = {r.doc_id for r in
+                streaming_minhash_dedup_step(b4, **kw).collect()}
+        assert out4 == {7}
