@@ -294,7 +294,6 @@ def streaming_minhash_dedup_step(
     """
     from rsyslog_spark.operators.dedup import minhash_signatures
 
-    spark = batch_df.sparkSession
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(batch_df, text_col, id_col,
                               num_hashes=num_hashes,
@@ -311,8 +310,55 @@ def streaming_minhash_dedup_step(
     banded = (sigs.join(first_ts, id_col)
               .select(F.col(id_col), F.col("__ts"),
                       F.explode(band_structs).alias("bb"))
-              .select(id_col, "__ts", "bb.band", "bb.bh")
-              .persist())
+              .select(id_col, "__ts", "bb.band", "bb.bh"))
+    return _banded_dedup_step(batch_df, banded, state_dir, id_col,
+                              horizon_sec)
+
+
+def streaming_simhash_dedup_step(
+    batch_df: DataFrame,
+    *,
+    state_dir: str,
+    text_col: str = "msg",
+    id_col: str = "doc_id",
+    ts_col: str = "timegenerated",
+    bits: int = 64,
+    horizon_sec: int = 3600,
+) -> DataFrame:
+    """Streaming SimHash near-dup dedup: same band-store protocol as
+    :func:`streaming_minhash_dedup_step`, with the 4-band fingerprint
+    split of operators/dedup.simhash_candidates as the collision key
+    (Hamming <= 3 between a new doc and a kept one guarantees a band
+    hit, pigeonhole)."""
+    from rsyslog_spark.operators.dedup import simhash
+
+    width = bits // 4
+    mask = (1 << width) - 1
+    fps = simhash(batch_df, text_col, id_col)
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright(F.col("simhash"), b * width)
+                 .bitwiseAND(F.lit(mask)).alias("bh"))
+        for b in range(4)
+    ])
+    first_ts = batch_df.groupBy(id_col).agg(F.min(ts_col).alias("__ts"))
+    banded = (fps.join(first_ts, id_col)
+              .select(F.col(id_col), F.col("__ts"),
+                      F.explode(band_structs).alias("bb"))
+              .select(id_col, "__ts", "bb.band", "bb.bh"))
+    return _banded_dedup_step(batch_df, banded, state_dir, id_col,
+                              horizon_sec)
+
+
+def _banded_dedup_step(
+    batch_df: DataFrame, banded: DataFrame, state_dir: str,
+    id_col: str, horizon_sec: int,
+) -> DataFrame:
+    """Shared band-store protocol: drop docs whose band collides with
+    the horizon-bounded store or with an earlier same-batch doc;
+    append only kept docs' bands."""
+    spark = batch_df.sparkSession
+    banded = banded.persist()
     try:
         # event-time horizon, watermark-style: "now" is this batch's
         # max event time (one tiny driver action, like the watermark

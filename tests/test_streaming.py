@@ -476,3 +476,25 @@ class TestStreamingMinhashDedup:
         out4 = {r.doc_id for r in
                 streaming_minhash_dedup_step(b4, **kw).collect()}
         assert out4 == {7}
+
+    def test_simhash_variant_same_protocol(self, spark, tmp_path):
+        import datetime as dt
+        from rsyslog_spark.streaming.stateful import (
+            streaming_simhash_dedup_step)
+
+        st = str(tmp_path / "shbands")
+        t0 = dt.datetime(2026, 8, 14, 13, 0, 0)
+        kw = dict(state_dir=st, horizon_sec=3600)
+        b1 = self._batch(spark, [(1, self.BASE, t0)])
+        assert [r.doc_id for r in
+                streaming_simhash_dedup_step(b1, **kw).collect()] == [1]
+        b2 = self._batch(spark, [
+            (2, self.BASE.replace("tonight", "today"),
+             t0 + dt.timedelta(seconds=5)),          # hamming-close
+            (3, "entirely different words about databases and "
+                "query optimizers that share no tokens with the fox",
+             t0 + dt.timedelta(seconds=6)),
+        ])
+        out = {r.doc_id for r in
+               streaming_simhash_dedup_step(b2, **kw).collect()}
+        assert out == {3}
