@@ -75,6 +75,48 @@ def faup(u: ColumnOrName) -> Column:
     )
 
 
+#: tracking params stripped by url_canonicalize (the web-corpus
+#: convention: UTM family, click ids)
+_TRACKING_RE = (r"(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|mc_cid|"
+                r"igshid|ref_src)=[^&#]*")
+
+
+def url_canonicalize(u: ColumnOrName) -> Column:
+    """Canonical URL for web-corpus dedup (the CCNet/RefinedWeb
+    dedup-key convention): lowercase scheme+host, drop the default
+    port, strip the fragment and tracking query params (utm_*,
+    fbclid, gclid, ...), sort the surviving query params, and drop a
+    lone trailing slash.  Pure column regex ops — use as the groupBy
+    key of :func:`rsyslog_spark.operators.dedup.exact_dedup` for
+    URL-level dedup before any content pass.
+    """
+    c = F.col(u) if isinstance(u, str) else u
+    # split off and discard the fragment
+    c = F.regexp_replace(c, r"#.*$", "")
+    # lowercase scheme://host[:port] (path/query keep their case)
+    head = F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    rest = F.substring(c, F.length(head) + 1, F.lit(1 << 30))
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(https://[^/?:]*):443$", "$1")
+    head = F.regexp_replace(head, r"^(http://[^/?:]*):80$", "$1")
+    # strip tracking params (leading ?/& kept consistent afterwards)
+    rest = F.regexp_replace(rest, _TRACKING_RE + r"&?", "")
+    rest = F.regexp_replace(rest, r"[?&]$", "")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    # sort surviving query params for an order-independent key
+    path = F.substring_index(rest, "?", 1)
+    qs = F.when(rest.contains("?"),
+                F.substring_index(rest, "?", -1)).otherwise(F.lit(""))
+    sorted_qs = F.array_join(
+        F.array_sort(F.split(qs, "&")), "&")
+    rest = F.when(sorted_qs != "", F.concat(path, F.lit("?"),
+                                            sorted_qs)).otherwise(path)
+    # a lone trailing slash on the path is not a distinct resource
+    rest = F.regexp_replace(rest, r"^/$", "")
+    rest = F.regexp_replace(rest, r"^(/[^?]*?)/(\?|$)", "$1$2")
+    return F.concat(head, rest)
+
+
 def http_request(url, fetcher=None):
     """fmhttp http_request(url) (ref: plugins/fmhttp/fmhttp.c:156-159):
     blocking GET into a variable. Python batched UDF with a

@@ -137,6 +137,7 @@ def collect_all() -> dict[str, Query]:
                  "ngram_jaccard_dup_pairs",
                  "similarity_topk_bruteforce",
                  "property_replacer_battery",
-                 "dynstats_hourly"):
+                 "dynstats_hourly",
+                 "repeated_msg_reduction_runs"):
         out[tail] = out.pop(tail)
     return out

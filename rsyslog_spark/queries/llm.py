@@ -790,6 +790,59 @@ def exact_substring_dedup(spark, sf_dir):
 
 
 @q(
+    "url_dedup_canonical",
+    """
+    WITH urls AS (
+      SELECT event_id,
+             'https://site' || CAST(user_id % 20 AS VARCHAR)
+               || '.example.com/p/' || CAST(user_id AS VARCHAR)
+               || CASE WHEN event_id % 4 = 3 THEN '/alt' ELSE '' END
+               AS canon
+      FROM events WHERE event_id < 1000)
+    SELECT canon AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM urls GROUP BY canon
+    """,
+    doc="Web-corpus URL dedup (CCNet/RefinedWeb convention): messy "
+        "crawl variants — case-shuffled scheme/host, default :443 "
+        "port, tracking params (utm_*/fbclid), unsorted query "
+        "strings, trailing slashes, fragments — collapse to ONE "
+        "canonical key (functions/url.url_canonicalize, pure column "
+        "regex) before any content-level pass. The oracle computes "
+        "the expected canonical form straight from the generating "
+        "columns, so any canonicalization drift breaks the hash.",
+)
+def url_dedup_canonical(spark, sf_dir):
+    from rsyslog_spark.functions.url import url_canonicalize
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    sid = (F.col("user_id") % 20).cast("string")
+    uid = F.col("user_id").cast("string")
+    base_host = F.concat(F.lit("site"), sid, F.lit(".example.com"))
+    messy = (
+        F.when(F.col("event_id") % 4 == 0,
+               F.concat(F.lit("https://"), base_host,
+                        F.lit("/p/"), uid, F.lit("?utm_source=feed")))
+        .when(F.col("event_id") % 4 == 1,
+              F.concat(F.lit("HTTPS://SITE"), sid,
+                       F.lit(".Example.COM:443/p/"), uid,
+                       F.lit("#section")))
+        .when(F.col("event_id") % 4 == 2,
+              F.concat(F.lit("https://"), base_host, F.lit("/p/"),
+                       uid, F.lit("/?fbclid=x")))
+        .otherwise(
+            F.concat(F.lit("https://"), base_host, F.lit("/p/"),
+                     uid, F.lit("/alt")))
+    )
+    return (ev.select(url_canonicalize(messy).alias("canonical_url"),
+                      "event_id")
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min("event_id").cast("long").alias("first_event")))
+
+
+@q(
     "dedup_components",
     """
     WITH RECURSIVE sh AS (

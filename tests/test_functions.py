@@ -150,3 +150,26 @@ class TestRegistryParity:
         import rsyslog_spark.functions as rf
         with pytest.raises(ValueError):
             rf.http_request("url")
+
+
+def test_url_canonicalize(spark):
+    """CCNet/RefinedWeb-style URL canonical key: case, default port,
+    fragments, tracking params, param order, trailing slash."""
+    from rsyslog_spark.functions.url import url_canonicalize
+    from pyspark.sql import functions as F
+
+    cases = {
+        "HTTPS://Example.COM:443/Path/?utm_source=x&b=2&a=1#f":
+            "https://example.com/Path?a=1&b=2",
+        "http://example.com:80/": "http://example.com",
+        "https://example.com/p?fbclid=abc": "https://example.com/p",
+        "https://example.com/p?z=1&utm_campaign=c&a=2":
+            "https://example.com/p?a=2&z=1",
+        "https://example.com/p/": "https://example.com/p",
+        "https://example.com/p": "https://example.com/p",
+        "ftp://Files.example.com/X": "ftp://files.example.com/X",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {r.u: r.c for r in
+           df.select("u", url_canonicalize("u").alias("c")).collect()}
+    assert got == cases
