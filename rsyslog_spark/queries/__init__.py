@@ -138,6 +138,7 @@ def collect_all() -> dict[str, Query]:
                  "similarity_topk_bruteforce",
                  "property_replacer_battery",
                  "dynstats_hourly",
-                 "repeated_msg_reduction_runs"):
+                 "repeated_msg_reduction_runs",
+                 "ruleset_route_fanout"):
         out[tail] = out.pop(tail)
     return out

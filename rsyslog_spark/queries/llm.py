@@ -790,6 +790,68 @@ def exact_substring_dedup(spark, sf_dir):
 
 
 @q(
+    "html_text_extraction",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><head><title>t</title><style>p{margin:0}</style>'
+             || '</head><body><script>var a=1;</script><h1>'
+             || lang || '</h1><p>First &amp; '
+             || text || '</p><!-- c --><div>tail&nbsp;'
+             || '&#39;end&#39;</div></body></html>' AS h
+      FROM documents WHERE doc_id < 300),
+    s1 AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(h,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?is)<head[^>]*>.*?</head>', ' ', 'g') AS h
+           FROM raw),
+    s2 AS (SELECT doc_id, regexp_replace(h,
+             '(?s)<!--.*?-->', ' ', 'g') AS h FROM s1),
+    s3 AS (SELECT doc_id, regexp_replace(h,
+             '(?i)</?(p|div|br|li|ul|ol|tr|table|h[1-6]|blockquote)[^>]*/?>',
+             chr(10), 'g') AS h FROM s2),
+    s4 AS (SELECT doc_id, regexp_replace(h, '(?s)<[^>]+>', ' ', 'g')
+           AS h FROM s3),
+    s5 AS (SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(replace(
+               replace(replace(replace(replace(replace(h,
+               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+               '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&apos;', ''''), '&#34;', '"'), '&#38;', '&'),
+               '&#60;', '<'), '&#62;', '>'), '&#160;', ' ') AS h
+           FROM s4),
+    s6 AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(h,
+               '[ \t\r]+', ' ', 'g'),
+               ' ?\n ?', chr(10), 'g'),
+               '\n{2,}', chr(10) || chr(10), 'g') AS h
+           FROM s5)
+    SELECT doc_id,
+           regexp_replace(h, '^\\s+|\\s+$', '', 'g') AS extracted
+    FROM s6
+    """,
+    doc="HTML-to-text extraction (the stage before every web-corpus "
+        "quality/dedup pass): script/style/head/comment removal, "
+        "block tags to newlines, tag strip, entity decode, "
+        "whitespace collapse — operators/text.html_to_text as a pure "
+        "column regex chain, reproduced step-for-step in DuckDB.",
+)
+def html_text_extraction(spark, sf_dir):
+    from rsyslog_spark.operators.text import html_to_text
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    h = F.concat(
+        F.lit("<html><head><title>t</title><style>p{margin:0}</style>"
+              "</head><body><script>var a=1;</script><h1>"),
+        F.col("lang"), F.lit("</h1><p>First &amp; "),
+        F.col("text"),
+        F.lit("</p><!-- c --><div>tail&nbsp;&#39;end&#39;</div>"
+              "</body></html>"))
+    return docs.select("doc_id", html_to_text(h).alias("extracted"))
+
+
+@q(
     "url_dedup_canonical",
     """
     WITH urls AS (

@@ -173,3 +173,20 @@ def test_url_canonicalize(spark):
     got = {r.u: r.c for r in
            df.select("u", url_canonicalize("u").alias("c")).collect()}
     assert got == cases
+
+
+def test_html_to_text(spark):
+    from rsyslog_spark.operators.text import html_to_text
+
+    html = ("<html><head><style>p{x}</style></head><body>"
+            "<script>var a='<p>not text</p>';</script>"
+            "<h1>Title</h1><p>Para &amp; <b>bold</b>"
+            " &#39;q&#39;</p><!-- c --><ul><li>a</li><li>b</li></ul>"
+            "<div>multi   space&nbsp;line</div></body></html>")
+    df = spark.createDataFrame([(html,)], "h string")
+    out = df.select(html_to_text("h").alias("t")).first()["t"]
+    lines = [ln for ln in out.split("\n") if ln]
+    assert lines == ["Title", "Para & bold 'q'", "a", "b",
+                     "multi space line"]
+    # script content (even containing tags) never leaks into text
+    assert "not text" not in out
