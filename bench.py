@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "similarity_topk_bruteforce",
     "text_battery",
+    "html_text_extraction",
+    "url_dedup_canonical",
     "pii_redaction_battery",
     "doc_repetition_filter",
     "decontaminate_ngram_overlap",
