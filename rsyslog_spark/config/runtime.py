@@ -518,15 +518,26 @@ def _tls_from_input(inp: dict, directives: dict):
     comma-separated list; with authmode x509/fingerprint the entries
     are fingerprints (the reference overloads the same param)."""
     p = {k.lower(): v for k, v in inp.items()}
-    name = (p.get("streamdriver.name")
+
+    # dotted (StreamDriver.AuthMode) AND dotless legacy
+    # (StreamDriverAuthMode) spellings are accepted, mirroring the
+    # reference's alias table (tools/omfwd.c:256-263) — legacy names
+    # must NOT silently downgrade to plaintext/anon
+    def par(dotted: str, dotless: str, default=None):
+        v = p.get(dotted)
+        return v if v is not None else p.get(dotless, default)
+
+    name = (par("streamdriver.name", "streamdriver")
             or directives.get("defaultnetstreamdriver") or "")
-    mode = p.get("streamdriver.mode", "")
-    if name.lower() not in ("gtls", "ossl") and mode != "1":
+    mode = par("streamdriver.mode", "streamdrivermode", "")
+    if name.lower() not in ("gtls", "ossl") and str(mode) != "1":
         return None
     from rsyslog_spark.streaming.gtls import TLSConfig
 
-    authmode = p.get("streamdriver.authmode", "anon")
-    raw_peers = (p.get("streamdriver.permittedpeers")
+    authmode = par("streamdriver.authmode", "streamdriverauthmode",
+                   "anon")
+    raw_peers = (par("streamdriver.permittedpeers",
+                     "streamdriverpermittedpeers")
                  or p.get("permittedpeer") or "")
     peers = [x.strip().strip('"') for x in
              raw_peers.strip("[]").split(",") if x.strip()]

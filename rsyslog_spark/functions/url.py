@@ -76,9 +76,11 @@ def faup(u: ColumnOrName) -> Column:
 
 
 #: tracking params stripped by url_canonicalize (the web-corpus
-#: convention: UTM family, click ids)
-_TRACKING_RE = (r"(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|mc_cid|"
-                r"igshid|ref_src)=[^&#]*")
+#: convention: UTM family, click ids). Anchored to the START of a
+#: query parameter — a param is tracking only when its NAME is one of
+#: these, so ``?xfbclid=1`` or ``?sort=utm_ab`` survive untouched.
+_TRACKING_PARAM_RE = (r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|"
+                      r"mc_cid|igshid|ref_src)=")
 
 
 def url_canonicalize(u: ColumnOrName) -> Column:
@@ -99,16 +101,17 @@ def url_canonicalize(u: ColumnOrName) -> Column:
     head = F.lower(head)
     head = F.regexp_replace(head, r"^(https://[^/?:]*):443$", "$1")
     head = F.regexp_replace(head, r"^(http://[^/?:]*):80$", "$1")
-    # strip tracking params (leading ?/& kept consistent afterwards)
-    rest = F.regexp_replace(rest, _TRACKING_RE + r"&?", "")
-    rest = F.regexp_replace(rest, r"[?&]$", "")
-    rest = F.regexp_replace(rest, r"\?&", "?")
-    # sort surviving query params for an order-independent key
+    # split path / query string FIRST, so the tracking filter only
+    # ever sees query params (a tracking-shaped substring in the path
+    # can't fire), then drop tracking params by anchored param-name
+    # match and sort the survivors for an order-independent key
     path = F.substring_index(rest, "?", 1)
     qs = F.when(rest.contains("?"),
                 F.substring_index(rest, "?", -1)).otherwise(F.lit(""))
-    sorted_qs = F.array_join(
-        F.array_sort(F.split(qs, "&")), "&")
+    kept = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE))
+    sorted_qs = F.array_join(F.array_sort(kept), "&")
     rest = F.when(sorted_qs != "", F.concat(path, F.lit("?"),
                                             sorted_qs)).otherwise(path)
     # a lone trailing slash on the path is not a distinct resource

@@ -25,6 +25,7 @@ def dynstats_counts(
     ts_col: str | None = None,
     window: str | None = None,
     max_cardinality: int | None = None,
+    extra_aggs: tuple = (),
 ) -> DataFrame:
     """dyn_stats counter buckets (ref: runtime/dynstats.c:43-46,303-351):
     named counters keyed by an arbitrary string, optionally windowed.
@@ -33,12 +34,22 @@ def dynstats_counts(
     modeled by ranking keys by first-seen order and folding the
     overflow into key='ops_overflow' (ref dynstats ops_overflow
     counter).
+
+    ``extra_aggs``: additional aggregate Columns computed in the SAME
+    groupBy — callers needing e.g. first-message-per-bucket get it
+    for free in the one shuffle instead of a second agg + join.
+    Incompatible with max_cardinality (the overflow fold re-aggregates
+    and can't merge arbitrary aggs).
     """
+    if extra_aggs and max_cardinality is not None:
+        raise ValueError("extra_aggs cannot be combined with "
+                         "max_cardinality (overflow fold re-aggregates)")
     g = [F.col(key_col)]
     if window is not None:
         assert ts_col is not None
         g.append(F.window(F.col(ts_col), window)["start"].alias("window_start"))
-    counted = df.groupBy(*g).agg(F.count(F.lit(1)).alias("cnt"))
+    counted = df.groupBy(*g).agg(F.count(F.lit(1)).alias("cnt"),
+                                 *extra_aggs)
     if max_cardinality is not None:
         w = Window.orderBy(F.col(key_col))
         ranked = counted.withColumn("__rank", F.dense_rank().over(w))

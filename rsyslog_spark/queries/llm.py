@@ -816,10 +816,11 @@ def exact_substring_dedup(spark, sf_dir):
     s5 AS (SELECT doc_id,
              replace(replace(replace(replace(replace(replace(replace(
                replace(replace(replace(replace(replace(h,
-               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+               '&nbsp;', ' '), '&lt;', '<'),
                '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-               '&apos;', ''''), '&#34;', '"'), '&#38;', '&'),
-               '&#60;', '<'), '&#62;', '>'), '&#160;', ' ') AS h
+               '&apos;', ''''), '&#34;', '"'),
+               '&#60;', '<'), '&#62;', '>'), '&#160;', ' '),
+               '&amp;', '&'), '&#38;', '&') AS h
            FROM s4),
     s6 AS (SELECT doc_id,
              regexp_replace(regexp_replace(regexp_replace(h,

@@ -32,20 +32,17 @@ def q(name, oracle, doc=""):
     FROM events GROUP BY 1, 2
     """,
     doc="dyn_stats counter bucket keyed by event type, 1h windows "
-        "(ref: runtime/dynstats.c:43-46,303-351; dyn_inc), plus "
-        "execOnlyOnceEveryInterval on the same bucketing — first "
-        "message per key per interval (ref: runtime/action.h:68). "
-        "One shuffle serves both.",
+        "(ref: runtime/dynstats.c:43-46,303-351; dyn_inc), with the "
+        "first message per key per interval computed in the SAME "
+        "aggregation (one shuffle, single Exchange — the "
+        "execOnlyOnceEveryInterval operator itself stays covered by "
+        "action_exec_controls).",
 )
 def dynstats_hourly(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    counts = dynstats_counts(ev, "event_type", "ts", "1 hour")
-    first = exec_once_every_interval(ev, "1 hour", "ts", ["event_type"],
-                                     "event_id")
-    first_agg = first.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("window_start")
-    ).agg(F.min("event_id").cast("long").alias("first_event"))
-    return counts.join(first_agg, ["event_type", "window_start"], "left")
+    return dynstats_counts(
+        ev, "event_type", "ts", "1 hour",
+        extra_aggs=(F.min("event_id").cast("long").alias("first_event"),))
 
 
 @q(
@@ -202,17 +199,42 @@ def mm_seq_count(spark, sf_dir):
       SELECT event_id, event_type,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
       FROM events
+    ),
+    every3 AS (
+      SELECT event_type, COUNT(*) AS n_every_3rd
+      FROM nth WHERE rn % 3 = 0 GROUP BY event_type
+    ),
+    once AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_first_hourly,
+             CAST(SUM(event_id) AS BIGINT) AS sum_first_ids
+      FROM (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY event_type, date_trunc('hour', ts)
+                 ORDER BY event_id) AS rn
+        FROM events)
+      WHERE rn = 1 GROUP BY event_type
     )
-    SELECT event_type, COUNT(*) AS n_every_3rd
-    FROM nth WHERE rn % 3 = 0 GROUP BY event_type
+    SELECT every3.event_type, n_every_3rd, n_first_hourly, sum_first_ids
+    FROM every3 JOIN once ON every3.event_type = once.event_type
     """,
-    doc="execOnlyEveryNthTime sampling (ref: runtime/action.h:82-84).",
+    doc="execOnlyEveryNthTime sampling (ref: runtime/action.h:82-84) "
+        "plus execOnlyOnceEveryInterval — first message per key per "
+        "1h interval (ref: runtime/action.h:68); both exec-control "
+        "operators verified in one query.",
 )
 def action_exec_controls(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     sampled = action_every_nth(ev, 3, ["event_type"], "event_id")
-    return sampled.groupBy("event_type").agg(
+    every3 = sampled.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_every_3rd")
     )
+    firsts = exec_once_every_interval(ev, "1 hour", "ts",
+                                      ["event_type"], "event_id")
+    once = firsts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_first_hourly"),
+        F.sum("event_id").cast("long").alias("sum_first_ids"),
+    )
+    return every3.join(once, "event_type")
 
 

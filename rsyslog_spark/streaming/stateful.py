@@ -273,6 +273,7 @@ def streaming_minhash_dedup_step(
     shingle_n: int = 3,
     horizon_sec: int = 3600,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """One micro-batch of streaming MinHash near-dup dedup: drop a
     document if ANY of its LSH bands collides with a band of an
@@ -294,10 +295,20 @@ def streaming_minhash_dedup_step(
     """
     from rsyslog_spark.operators.dedup import minhash_signatures
 
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands} "
+            "— trailing hash functions would be silently unused")
+    if seed != 42 and not portable:
+        raise ValueError(
+            "seed only selects the portable md5/LCG hash family — "
+            "pass portable=True (the default xxhash64 family is "
+            "unseeded, so a custom seed would be silently ignored)")
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(batch_df, text_col, id_col,
                               num_hashes=num_hashes,
-                              shingle_n=shingle_n, seed=seed)
+                              shingle_n=shingle_n, seed=seed,
+                              portable=portable)
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -364,15 +375,29 @@ def _banded_dedup_step(
         # max event time (one tiny driver action, like the watermark
         # update itself)
         now = banded.agg(F.max("__ts")).first()[0]
+        # first batch: no state yet. ONLY the missing-path case may be
+        # treated as empty state — a corrupt store, permission error,
+        # or transient FS failure must raise, not silently skip
+        # cross-batch dedup and then append (which would corrupt the
+        # store's first-arrival-wins invariant).
+        from pyspark.errors import AnalysisException
+
         try:
             seen = spark.read.parquet(state_dir)
+        except AnalysisException as e:
+            cond = getattr(e, "getCondition",
+                           getattr(e, "getErrorClass",
+                                   lambda: None))() or ""
+            if "PATH_NOT_FOUND" not in str(cond) \
+                    and "Path does not exist" not in str(e):
+                raise
+            seen = None
+        if seen is not None:
             if now is not None:
                 seen = seen.filter(
                     F.col("ts") >= F.lit(now) - F.make_interval(
                         secs=F.lit(float(horizon_sec))))
             seen = seen.select("band", "bh").distinct()
-        except Exception:  # first batch: no state yet
-            seen = None
         alive = banded
         if seen is not None:
             hit = (banded.join(seen, ["band", "bh"], "left_semi")
@@ -389,11 +414,15 @@ def _banded_dedup_step(
         kept_bands = alive.join(beaten, id_col, "left_anti")
         kept_ids = kept_bands.select(id_col).distinct()
         # append ONLY kept docs' bands: dropped near-dups don't
-        # extend the cluster (first representative defines it)
+        # extend the cluster (first representative defines it).
+        # partitionBy(band): band becomes directory metadata (never
+        # read from row data), per-band compaction / targeted probes
+        # prune to 1/bands of the files, and the store's file layout
+        # stays aligned with the join key's first component.
         (kept_bands
          .select("band", "bh",
                  F.col("__ts").cast("timestamp").alias("ts"))
-         .write.mode("append").parquet(state_dir))
+         .write.mode("append").partitionBy("band").parquet(state_dir))
         return batch_df.join(kept_ids, id_col, "left_semi")
     finally:
         banded.unpersist()
@@ -415,9 +444,10 @@ def compact_band_state(spark, state_dir: str,
         F.col("ts") >= F.lit(now) - F.make_interval(
             secs=F.lit(float(horizon_sec))))
     tmp = tempfile.mkdtemp(prefix="band_state_")
-    live.write.mode("overwrite").parquet(tmp)
+    live.write.mode("overwrite").partitionBy("band").parquet(tmp)
     rewritten = spark.read.parquet(tmp)
-    rewritten.write.mode("overwrite").parquet(state_dir)
+    rewritten.write.mode("overwrite").partitionBy("band") \
+        .parquet(state_dir)
     shutil.rmtree(tmp, ignore_errors=True)
 
 

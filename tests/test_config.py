@@ -1198,6 +1198,42 @@ class TestStockTemplates:
                 continue   # fromhost-ip is NULL without a receiver
             assert v is not None and v != "", name
 
+    def test_tls_param_dotless_aliases(self):
+        """The legacy dotless spellings (StreamDriverAuthMode, ...)
+        configure TLS identically to the dotted StreamDriver.* names
+        (ref: tools/omfwd.c:256-263 alias table) — a legacy config
+        must not silently downgrade to plaintext or anon auth."""
+        from rsyslog_spark.config.runtime import _tls_from_input
+
+        dirs = {"defaultnetstreamdrivercertfile": "/c.pem",
+                "defaultnetstreamdriverkeyfile": "/k.pem",
+                "defaultnetstreamdrivercafile": "/ca.pem"}
+        dotted = _tls_from_input(
+            {"StreamDriver.Name": "gtls", "StreamDriver.Mode": "1",
+             "StreamDriver.AuthMode": "x509/name",
+             "StreamDriver.PermittedPeers": "a.example,b.example"},
+            dirs)
+        dotless = _tls_from_input(
+            {"StreamDriver": "gtls", "StreamDriverMode": "1",
+             "StreamDriverAuthMode": "x509/name",
+             "StreamDriverPermittedPeers": "a.example,b.example"},
+            dirs)
+        assert dotless is not None
+        assert dotless.authmode == dotted.authmode == "x509/name"
+        assert dotless.permitted_peers == dotted.permitted_peers \
+            == ["a.example", "b.example"]
+        # mixed spellings: dotted Mode + dotless AuthMode must NOT
+        # fall back to anon (the silent peer-auth downgrade)
+        mixed = _tls_from_input(
+            {"StreamDriver.Mode": "1",
+             "StreamDriverAuthMode": "x509/fingerprint",
+             "StreamDriverPermittedPeers": "SHA256:aa:bb"},
+            dirs)
+        assert mixed.authmode == "x509/fingerprint"
+        assert mixed.permitted_fingerprints == ["SHA256:aa:bb"]
+        # no TLS selected -> None
+        assert _tls_from_input({"port": "514"}, {}) is None
+
     def test_imtcp_gtls_config_to_omfile(self, spark, tmp_path):
         """global(DefaultNetstreamDriver*) + input(type=imtcp
         StreamDriver.Mode=1 AuthMode=x509/name PermittedPeer=...)

@@ -168,6 +168,18 @@ def test_url_canonicalize(spark):
         "https://example.com/p/": "https://example.com/p",
         "https://example.com/p": "https://example.com/p",
         "ftp://Files.example.com/X": "ftp://files.example.com/X",
+        # tracking match is anchored to the param NAME: a longer name
+        # merely containing a tracking token is NOT tracking
+        "https://example.com/p?xfbclid=1":
+            "https://example.com/p?xfbclid=1",
+        "https://example.com/p?sort=utm_ab":
+            "https://example.com/p?sort=utm_ab",
+        # tracking-shaped text in the PATH never fires the filter
+        "https://example.com/blog/utm_source=guide":
+            "https://example.com/blog/utm_source=guide",
+        # consecutive tracking params all drop
+        "https://example.com/p?utm_a=1&utm_b=2&k=v":
+            "https://example.com/p?k=v",
     }
     df = spark.createDataFrame([(k,) for k in cases], "u string")
     got = {r.u: r.c for r in
@@ -190,3 +202,14 @@ def test_html_to_text(spark):
                      "multi space line"]
     # script content (even containing tags) never leaks into text
     assert "not text" not in out
+
+
+def test_html_to_text_double_escaped(spark):
+    """&amp; decodes LAST: double-escaped entities come out
+    single-decoded (html.unescape ordering), not double-decoded."""
+    from rsyslog_spark.operators.text import html_to_text
+
+    df = spark.createDataFrame(
+        [("<p>a &amp;lt; b &amp;amp; c &amp; d</p>",)], "h string")
+    out = df.select(html_to_text("h").alias("t")).first()["t"]
+    assert out == "a &lt; b &amp; c & d"

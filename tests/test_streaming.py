@@ -498,3 +498,63 @@ class TestStreamingMinhashDedup:
         out = {r.doc_id for r in
                streaming_simhash_dedup_step(b2, **kw).collect()}
         assert out == {3}
+
+    def test_band_store_partitioned_and_pruned(self, spark, tmp_path):
+        """The band store is written partitionBy(band): band lives in
+        directory metadata, and a per-band probe/compaction scan
+        prunes to 1/bands of the files (PartitionFilters, not a row
+        filter)."""
+        import datetime as dt
+        import os
+        from pyspark.sql import functions as F
+        from rsyslog_spark.streaming.stateful import (
+            streaming_minhash_dedup_step)
+
+        st = str(tmp_path / "pbands")
+        t0 = dt.datetime(2026, 8, 14, 12, 0, 0)
+        b1 = self._batch(spark, [(1, self.BASE, t0)])
+        streaming_minhash_dedup_step(b1, state_dir=st, horizon_sec=3600)
+        band_dirs = sorted(d for d in os.listdir(st)
+                           if d.startswith("band="))
+        assert len(band_dirs) == 16          # default bands=16
+        probe = spark.read.parquet(st).filter(F.col("band") == 3)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "band" in \
+            plan.split("PartitionFilters", 1)[1][:120]
+        assert probe.count() == 1            # only band 3's rows
+
+    def test_band_store_corruption_raises(self, spark, tmp_path):
+        """Only a MISSING store reads as empty state; a corrupt store
+        must raise, not silently skip cross-batch dedup."""
+        import datetime as dt
+        import os
+        import pytest
+        from rsyslog_spark.streaming.stateful import (
+            streaming_minhash_dedup_step)
+
+        st = tmp_path / "cbands"
+        st.mkdir()
+        (st / "part-00000.parquet").write_bytes(b"not a parquet file")
+        t0 = dt.datetime(2026, 8, 14, 12, 0, 0)
+        b1 = self._batch(spark, [(1, self.BASE, t0)])
+        with pytest.raises(Exception):
+            streaming_minhash_dedup_step(
+                b1, state_dir=str(st), horizon_sec=3600).collect()
+        # and nothing was appended to the broken store
+        assert os.listdir(st) == ["part-00000.parquet"]
+
+    def test_param_validation(self, spark, tmp_path):
+        import datetime as dt
+        import pytest
+        from rsyslog_spark.streaming.stateful import (
+            streaming_minhash_dedup_step)
+
+        t0 = dt.datetime(2026, 8, 14, 12, 0, 0)
+        b1 = self._batch(spark, [(1, self.BASE, t0)])
+        with pytest.raises(ValueError, match="divisible"):
+            streaming_minhash_dedup_step(
+                b1, state_dir=str(tmp_path / "x"), num_hashes=64,
+                bands=7)
+        with pytest.raises(ValueError, match="portable"):
+            streaming_minhash_dedup_step(
+                b1, state_dir=str(tmp_path / "x"), seed=7)
