@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Like-for-like minimal-processing relay benchmark.
+
+The reference's headline number is ">1M msgs/sec local delivery,
+minimal processing" (README.md:8): raw syslog in, the default file
+format out, one action, one process. This measures the exact same
+shape through THIS engine's config runtime:
+
+    raw RFC3164 lines (text files)
+      -> run_config_batch(one omfile action,
+                          template=RSYSLOG_TraditionalFileFormat)
+      -> rendered text files
+
+No parquet, no extra actions, no stats — the config is the minimal
+relay. The wall clock covers everything: text scan, PRI+RFC3164
+parse (Catalyst prunes the parse projection to the template's four
+properties), template render, and the text write.
+
+Usage: python tools/relay_bench.py [n_msgs] [--keep]
+Prints one JSON line: {"metric": "relay_msgs_per_sec", ...}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+IN_DIR = "/tmp/rsyslog_spark_relay_input"
+OUT_DIR = "/tmp/rsyslog_spark_relay_out"
+
+CONF = """
+ruleset(name="relay") {{
+  action(type="omfile" file="{out}"
+         template="RSYSLOG_TraditionalFileFormat")
+}}
+input(type="imfile" file="{inp}/*" ruleset="relay")
+"""
+
+
+def generate(spark, n: int, parts: int = 32) -> str:
+    """Deterministic mixed RFC3164 corpus, written once and reused
+    (column exprs only — generation itself runs at scan speed)."""
+    from pyspark.sql import functions as F
+
+    dest = f"{IN_DIR}_{n}"
+    if os.path.isdir(dest):
+        return dest
+    df = spark.range(n).repartition(parts)
+    i = F.col("id")
+    pri = ((i % 24) * 8 + (i % 8)).cast("string")
+    day = F.lpad(((i % 27) + 1).cast("string"), 2, " ")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    ts = F.concat(F.lit("Aug "), day, F.lit(" 12:"), two(i % 60),
+                  F.lit(":"), two((i * 7) % 60))
+    host = F.concat(F.lit("host"), (i % 500).cast("string"))
+    tag = F.concat(F.lit("app"), (i % 50).cast("string"), F.lit("["),
+                   (i % 9999).cast("string"), F.lit("]:"))
+    msg = F.concat(F.lit(" connection from 10.0."),
+                   (i % 256).cast("string"), F.lit("."),
+                   ((i / 7).cast("long") % 256).cast("string"),
+                   F.lit(" port "), (i % 65536).cast("string"),
+                   F.lit(" action=accept bytes="),
+                   (i % 100000).cast("string"))
+    line = F.concat(F.lit("<"), pri, F.lit(">"), ts, F.lit(" "), host,
+                    F.lit(" "), tag, msg)
+    df.select(line.alias("value")).write.mode("overwrite").text(dest)
+    return dest
+
+
+def main() -> int:
+    from rsyslog_spark import get_spark
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
+        else 10_000_000
+    spark = get_spark("relay_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    inp = generate(spark, n)
+
+    runs = []
+    for attempt in ("cold", "warm"):
+        shutil.rmtree(OUT_DIR, ignore_errors=True)
+        t0 = time.time()
+        run_config_batch(spark, CONF.format(out=OUT_DIR, inp=inp))
+        wall = time.time() - t0
+        runs.append(wall)
+        print(f"# {attempt}: {wall:.2f}s = {n / wall:,.0f} msgs/s",
+              file=sys.stderr)
+
+    # output fidelity: every input line produced exactly one record
+    got = spark.read.text(OUT_DIR).count()
+    assert got == n, f"relay dropped rows: {got} != {n}"
+
+    best = min(runs)
+    print(json.dumps({
+        "metric": "relay_msgs_per_sec",
+        "value": round(n / best),
+        "unit": "msgs/sec",
+        "n_msgs": n,
+        "walls_sec": [round(w, 2) for w in runs],
+        "baseline_claim": ">1M msgs/sec local delivery, minimal "
+                          "processing (reference README.md:8)",
+    }))
+    if "--keep" not in sys.argv:
+        shutil.rmtree(OUT_DIR, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
