@@ -60,7 +60,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<number>-?\d+)
   | (?P<var>\$[!./]?[A-Za-z0-9_!./-]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_-]*)
-  | (?P<op><=|>=|==|!=|<>|&&|\|\||[-+*/%&(){},;=\[\]<>~:!.@|?])
+  | (?P<op><=|>=|==|!=|<>|&&|\|\||[-+*/%&(){},;=\[\]<>~:!.@|?^])
   | (?P<prispec>\*\.[*a-z=!0-9,;.*]+)
 """, re.VERBOSE)
 
@@ -713,6 +713,16 @@ class _Parser:
             self.next()
             rest = self._rest_of_line(t.line)
             return _make_action({"type": "ompipe", "pipe": rest})
+        if t.text == "^":                 # ^program: omshell
+            # (ref: tools/omshell.c; conf.c cflineDoAction '^' case —
+            # run program once per message, rendered line as argv[1])
+            self.next()
+            rest = self._rest_of_line(t.line)
+            prog, _, tmpl = rest.partition(";")
+            p = {"type": "omshell", "program": prog}
+            if tmpl:
+                p["template"] = tmpl
+            return _make_action(p)
         if t.kind == "op" and t.text == "/":
             # file path target: rest of line, optional ;templateName
             rest = self._rest_of_line(t.line)

@@ -198,6 +198,15 @@ def _dispatch_action(
                     omprog_sink(shlex.split(params["binary"])))(lines, 0)
         run.written[name] = params["binary"]
         return
+    if typ == "omshell" and params.get("program"):
+        # legacy ^program selector (ref: tools/omshell.c; conf.c
+        # cflineDoAction): program runs once per rendered message
+        from rsyslog_spark.streaming.sinks import omshell_sink
+
+        lines = _rendered_lines(df, cfg, params)
+        _with_retry(params, omshell_sink(params["program"]))(lines, 0)
+        run.written[name] = params["program"]
+        return
     if typ == "omkafka" and params.get("broker"):
         lines = _rendered_lines(df, cfg, params)
         (lines.selectExpr("CAST(line AS STRING) AS value")

@@ -215,21 +215,110 @@ def mmrfc5424addhmac(df: DataFrame, key: bytes,
     return df.withColumn(sd_col, merged)
 
 
+#: default classification prompt (ref: plugins/mmaitag/mmaitag.c:110-113
+#: setInstParamDefaults)
+MMAITAG_DEFAULT_PROMPT = (
+    "Task: Classify the log message that follows. "
+    "Output: Exactly one label from this list: NOISE, REGULAR, "
+    "IMPORTANT, CRITICAL. "
+    "Restrictions: No other text, explanations, formatting, or "
+    "newline characters.")
+
+#: tag used when the provider call fails (ref: ai_provider_gemini.c —
+#: every error path strdup's "REGULAR")
+MMAITAG_FALLBACK_TAG = "REGULAR"
+
+
+class GeminiProvider:
+    """The reference's Gemini REST provider contract (ref: plugins/
+    mmaitag/ai_provider_gemini.c:137-253 gemini_classify_batch), as a
+    picklable callable usable as :func:`mmaitag`'s ``classifier``:
+
+    - one POST per message to ``{base_url}/models/{model}:
+      generateContent`` with body ``{"contents": [{"role": "user",
+      "parts": [{"text": prompt + "\\n" + msg}]}]}``,
+    - headers ``Content-Type: application/json`` and
+      ``x-goog-api-key: <apikey>`` (apikey_file read like mmaitag.c's
+      apikey_file param),
+    - response text at ``candidates[0].content.parts[0].text``,
+      trailing whitespace stripped (gemini.c
+      strip_trailing_whitespace — LLMs append newlines),
+    - ANY failure (transport, HTTP != 200, shape) yields the
+      "REGULAR" fallback tag for that message, after ``max_retries``
+      re-posts.
+
+    ``base_url`` is overridable so tests (and self-hosted gateways)
+    can point it at a mock; stdlib urllib only — no client library.
+    """
+
+    def __init__(self, apikey: str | None = None, *,
+                 model: str = "gemini-2.0-flash",
+                 prompt: str = MMAITAG_DEFAULT_PROMPT,
+                 base_url: str =
+                 "https://generativelanguage.googleapis.com/v1beta",
+                 apikey_file: str | None = None,
+                 timeout: float = 10.0, max_retries: int = 1):
+        if apikey is None and apikey_file:
+            with open(apikey_file, encoding="utf-8") as fh:
+                apikey = fh.read().strip()
+        if not apikey:
+            raise ValueError("mmaitag gemini provider needs apikey or "
+                             "apikey_file (mmaitag.c checks the same)")
+        self.apikey = apikey
+        self.model = model
+        self.prompt = prompt
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+        self.max_retries = max_retries
+
+    def __call__(self, msgs):
+        import json as _json
+        import urllib.request
+
+        url = f"{self.base_url}/models/{self.model}:generateContent"
+        tags = []
+        for m in msgs:
+            body = _json.dumps({"contents": [{
+                "role": "user",
+                "parts": [{"text": f"{self.prompt}\n{m or ''}"}],
+            }]}).encode()
+            tag = MMAITAG_FALLBACK_TAG
+            for _ in range(self.max_retries + 1):
+                try:
+                    req = urllib.request.Request(url, data=body, headers={
+                        "Content-Type": "application/json",
+                        "x-goog-api-key": self.apikey,
+                    })
+                    with urllib.request.urlopen(
+                            req, timeout=self.timeout) as resp:
+                        parsed = _json.loads(resp.read().decode())
+                    text = parsed["candidates"][0]["content"][
+                        "parts"][0]["text"]
+                    tag = str(text).rstrip()
+                    break
+                except Exception:
+                    continue
+            tags.append(tag)
+        return tags
+
+
 def mmaitag(
     df: DataFrame,
     msg_col: str = "msg",
     out_col: str = "aitag",
     classifier=None,
-    labels: tuple[str, ...] = ("NORMAL", "SUSPICIOUS"),
+    labels: tuple[str, ...] = ("REGULAR", "IMPORTANT"),
 ) -> DataFrame:
     """AI-provider message classification (ref: plugins/mmaitag/
     mmaitag.c:1-10 — external provider tags each message into
     ``$.aitag``).
 
     ``classifier(list[str]) -> list[str]`` is the injected provider
-    call (batched). Default is a deterministic STUB (no network in
-    this container): keyword heuristic over the label set — the
-    Spark-side contract (Arrow batching, column shape) is real.
+    call (batched); :class:`GeminiProvider` implements the
+    reference's real HTTP contract. Default is a deterministic STUB
+    (no network in this container): keyword heuristic over the
+    reference's label set — the Spark-side contract (Arrow batching,
+    column shape) is identical either way.
     """
     import pandas as pd  # noqa: F401
     globals()["pd"] = pd

@@ -60,3 +60,148 @@ class ImpstatsListener(StreamingQueryListener):
         """Render collected stats as impstats-style JSON log lines."""
         return [json.dumps(s, default=str) for s in self.stats
                 if s.get("event") == "progress"]
+
+    def snapshot(self) -> list[dict[str, Any]]:
+        """Current counters as impstats JSON objects (the shape the
+        reference's impstats emits and its sidecar exporter parses:
+        one object per named resource with ``name``/``origin`` plus
+        numeric counters — sidecar/rsyslog_exporter.py
+        parse_json_object). One object per streaming query, origin
+        ``core.queue`` (each query IS the queue analog here):
+        ``enqueued`` cumulative rows (counter), ``size`` current
+        state rows, ``rows_per_sec``/``duration_ms`` latest batch."""
+        out: dict[str, dict[str, Any]] = {}
+        for s in self.stats:
+            if s.get("event") != "progress":
+                continue
+            name = s.get("name") or "query"
+            o = out.setdefault(name, {
+                "name": name, "origin": "core.queue",
+                "enqueued": 0, "size": 0, "rows_per_sec": 0.0,
+                "duration_ms": 0, "batches": 0,
+            })
+            o["enqueued"] += int(s.get("input_rows") or 0)
+            o["size"] = int(s.get("state_rows") or 0)
+            o["rows_per_sec"] = float(s.get("rows_per_sec") or 0.0)
+            o["duration_ms"] = int(s.get("duration_ms") or 0)
+            o["batches"] += 1
+        return list(out.values())
+
+
+# ------------------------------------------------------- exporter
+# Prometheus surface for the collected counters (ref: the reference
+# ships sidecar/rsyslog_exporter.py, impstats -> /metrics; naming and
+# counter-vs-gauge rules below mirror its build_metric_name /
+# is_counter_key / build_base_labels).
+
+import re as _re
+
+_COUNTER_KEYS = {
+    "processed", "failed", "submitted", "utime", "stime", "resumed",
+    "enqueued", "discarded.full", "discarded.nf", "bytes.rcvd",
+    "bytes.sent",
+}
+_COUNTER_PREFIXES = ("called.",)
+_COUNTER_SUFFIXES = (".rcvd", ".sent", ".enqueued")
+
+
+def _sanitize(name: str) -> str:
+    name = _re.sub(r"[^a-zA-Z0-9_]", "_", name)
+    if name and not _re.match(r"^[a-zA-Z_]", name):
+        name = "_" + name
+    return name.lower()
+
+
+def _is_counter(key: str) -> bool:
+    return (key in _COUNTER_KEYS or key.startswith(_COUNTER_PREFIXES)
+            or key.endswith(_COUNTER_SUFFIXES))
+
+
+def impstats_to_prometheus(objs: list[dict[str, Any]]) -> str:
+    """Render impstats JSON objects in Prometheus exposition format —
+    metric ``rsyslog_<origin>_<key>`` with labels rsyslog_component=
+    origin, rsyslog_resource=name, counter/gauge decided by the
+    reference's key heuristic."""
+    by_metric: dict[str, tuple[str, list[str]]] = {}
+    for obj in objs:
+        name = str(obj.get("name", "unknown"))
+        origin = str(obj.get("origin", "unknown"))
+        labels = (f'rsyslog_component="{origin}",'
+                  f'rsyslog_resource="{_sanitize(name)}"')
+        for key, value in obj.items():
+            if key in ("name", "origin"):
+                continue
+            try:
+                num = float(value)
+            except (TypeError, ValueError):
+                continue
+            mname = f"rsyslog_{_sanitize(origin)}_{_sanitize(key)}"
+            mtype = "counter" if _is_counter(key) else "gauge"
+            _, rows = by_metric.setdefault(mname, (mtype, []))
+            val = int(num) if num == int(num) else num
+            rows.append(f"{mname}{{{labels}}} {val}")
+    lines: list[str] = []
+    for mname in sorted(by_metric):
+        mtype, rows = by_metric[mname]
+        lines.append(f"# TYPE {mname} {mtype}")
+        lines.extend(rows)
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+class PrometheusExporter:
+    """Serve an :class:`ImpstatsListener`'s counters at ``/metrics``
+    (the reference's sidecar exporter surface, in-process). Scrapes
+    render the CURRENT snapshot — no background thread beyond the
+    stdlib HTTP server.
+
+    >>> listener = ImpstatsListener()
+    >>> spark.streams.addListener(listener)
+    >>> exporter = PrometheusExporter(listener)
+    >>> host, port = exporter.start()       # http://host:port/metrics
+    """
+
+    def __init__(self, listener: ImpstatsListener,
+                 host: str = "127.0.0.1", port: int = 0) -> None:
+        self.listener = listener
+        self._host = host
+        self._port = port
+        self._httpd = None
+        self._thread = None
+
+    def render(self) -> str:
+        return impstats_to_prometheus(self.listener.snapshot())
+
+    def start(self) -> tuple[str, int]:
+        import http.server
+        import threading
+
+        exporter = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # noqa: N802
+                pass
+
+            def do_GET(self):  # noqa: N802
+                if self.path.split("?")[0] not in ("/metrics", "/"):
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = exporter.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._httpd = http.server.ThreadingHTTPServer(
+            (self._host, self._port), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self._httpd.server_address[:2]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd = None

@@ -258,6 +258,92 @@ def omprog_sink(
     return write
 
 
+def omshell_sink(
+    program: str,
+    line_col: str = "line",
+) -> Callable[[DataFrame, int], None]:
+    """omshell (ref: tools/omshell.c:105-110; legacy ``^program``
+    selector): run ``program`` once PER MESSAGE with the rendered
+    line as its single argument (execProg); any nonzero exit raises,
+    so :func:`retrying_foreach_batch` applies the reference's
+    retry-then-suspend loop.
+
+    The reference docs call this module inadvisable for volume (one
+    fork per message) — same caveat here; the processes at least run
+    inside the partitions, so the forks distribute across executors.
+    omprog (stdin pipeline, one process per partition) is the
+    scalable external-program path.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        lines = batch_df.select(F.col(line_col).cast("string").alias("l"))
+
+        def per_partition(rows):
+            import subprocess
+
+            for r in rows:
+                rc = subprocess.call([program, r.l or ""])
+                if rc != 0:
+                    raise RuntimeError(
+                        f"omshell: {program!r} exited {rc}")
+            return iter(())
+
+        lines.rdd.mapPartitions(per_partition).count()
+
+    return write
+
+
+def omtesting_sink(
+    mode: str = "fail",
+    *,
+    fail_frequency: int = 2,
+    resume_after: int = 2,
+    echo: list | None = None,
+    line_col: str = "line",
+) -> Callable[[DataFrame, int], None]:
+    """omtesting (ref: plugins/omtesting/omtesting.c:69-330) — the
+    failure-injection sink the reference uses to exercise action
+    retry/suspend handling, formalized so OUR retry tests use the
+    same tool.
+
+    ``mode='fail'`` (ref 'fail fail-frequency resume-after'): every
+    ``fail_frequency``-th delivery call enters failed state and keeps
+    failing until ``resume_after`` further attempts have been made
+    (omtesting.c:123-169 doFailure/tryResume). ``mode='always_
+    suspend'`` fails every call (MD_ALWAYS_SUSPEND). The reference's
+    'randfail' is deliberately NOT reproduced — tests need the
+    deterministic modes. ``echo`` collects successfully delivered
+    lines (bEchoStdout analog).
+    """
+    if mode not in ("fail", "always_suspend", "sleep"):
+        raise ValueError(f"omtesting: unknown mode {mode!r}")
+    state = {"call": 0, "failed": False, "retries": 0}
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if mode == "always_suspend":
+            raise RuntimeError("omtesting: always_suspend")
+        if mode == "fail":
+            if state["failed"]:
+                state["retries"] += 1
+                if state["retries"] < resume_after:
+                    raise RuntimeError("omtesting: suspended (retry "
+                                       f"{state['retries']})")
+                state["failed"] = False     # resumed; deliver below
+            else:
+                state["call"] += 1
+                if state["call"] % fail_frequency == 0:
+                    state["failed"] = True
+                    state["retries"] = 0
+                    raise RuntimeError("omtesting: fail injection at "
+                                       f"call {state['call']}")
+        if echo is not None:
+            echo.extend(
+                r.l for r in batch_df.select(
+                    F.col(line_col).cast("string").alias("l")).collect())
+
+    return write
+
+
 def failover_sink(
     primary: Callable[[DataFrame, int], None],
     secondary: Callable[[DataFrame, int], None],

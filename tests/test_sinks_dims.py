@@ -80,6 +80,98 @@ class TestOmprog:
         assert "hello" in text and "world" in text
 
 
+class TestOmshell:
+    def test_program_per_message(self, spark, tmp_path):
+        """^program selector semantics (tools/omshell.c): one
+        invocation per rendered message, line as argv[1]."""
+        from rsyslog_spark.streaming.sinks import omshell_sink
+
+        out = tmp_path / "shell_out.txt"
+        prog = tmp_path / "rec.sh"
+        prog.write_text(f"#!/bin/sh\necho \"$1\" >> {out}\n")
+        prog.chmod(0o755)
+        df = spark.createDataFrame([("alpha",), ("beta",)],
+                                   "line string").coalesce(1)
+        omshell_sink(str(prog))(df, 0)
+        assert sorted(out.read_text().splitlines()) == ["alpha", "beta"]
+
+    def test_nonzero_exit_suspends(self, spark, tmp_path):
+        from rsyslog_spark.streaming.sinks import (
+            omshell_sink, retrying_foreach_batch)
+
+        prog = tmp_path / "fail.sh"
+        prog.write_text("#!/bin/sh\nexit 3\n")
+        prog.chmod(0o755)
+        suspended = []
+        sink = retrying_foreach_batch(
+            omshell_sink(str(prog)), max_retries=1,
+            resume_interval_s=0.0,
+            on_suspend=lambda df, bid, exc: suspended.append(str(exc)))
+        sink(spark.createDataFrame([("x",)], "line string").coalesce(1),
+             0)
+        assert suspended and "exited 3" in suspended[0]
+
+    def test_legacy_caret_selector_config(self, spark, tmp_path):
+        """Full config path: '*.* ^prog' parses to an omshell action
+        and run_config_batch executes it per message."""
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        out = tmp_path / "cfg_shell.txt"
+        prog = tmp_path / "rec.sh"
+        prog.write_text(f"#!/bin/sh\necho \"$1\" >> {out}\n")
+        prog.chmod(0o755)
+        src = tmp_path / "in.log"
+        src.write_text("<13>Mar  1 10:00:00 h1 app: one\n"
+                       "<13>Mar  1 10:00:01 h1 app: two\n")
+        conf = f'''
+template(name="m" type="string" string="%msg%")
+ruleset(name="sh") {{ *.* ^{prog};m
+}}
+input(type="imfile" file="{src}" ruleset="sh")
+'''
+        run = run_config_batch(spark, conf)
+        assert str(prog) in run.written.values()
+        assert sorted(out.read_text().splitlines()) == ["one", "two"]
+
+
+class TestOmtesting:
+    def test_fail_frequency_resume_after(self, spark):
+        """'fail 2 2' (omtesting.c): every 2nd call fails, resumes
+        after 2 retry attempts — wrapped in the action retry loop,
+        every batch is eventually delivered exactly once."""
+        from rsyslog_spark.streaming.sinks import (
+            omtesting_sink, retrying_foreach_batch)
+
+        echo: list = []
+        sink = retrying_foreach_batch(
+            omtesting_sink("fail", fail_frequency=2, resume_after=2,
+                           echo=echo),
+            max_retries=3, resume_interval_s=0.0)
+        for i in range(5):
+            sink(spark.createDataFrame([(f"b{i}",)],
+                                       "line string").coalesce(1), i)
+        assert echo == ["b0", "b1", "b2", "b3", "b4"]
+
+    def test_always_suspend_routes_to_handler(self, spark):
+        from rsyslog_spark.streaming.sinks import (
+            omtesting_sink, retrying_foreach_batch)
+
+        dead: list = []
+        sink = retrying_foreach_batch(
+            omtesting_sink("always_suspend"), max_retries=1,
+            resume_interval_s=0.0,
+            on_suspend=lambda df, bid, exc: dead.append(bid))
+        sink(spark.createDataFrame([("x",)], "line string"), 7)
+        assert dead == [7]
+
+    def test_unknown_mode_rejected(self):
+        import pytest
+        from rsyslog_spark.streaming.sinks import omtesting_sink
+
+        with pytest.raises(ValueError):
+            omtesting_sink("randfail")
+
+
 class TestDimensions:
     def test_refreshing_dim_join(self, spark):
         calls = {"n": 0}

@@ -179,6 +179,58 @@ def test_streaming_dynstats_and_impstats(spark, tmp_path):
         spark.streams.removeListener(listener)
 
 
+def test_impstats_prometheus_exporter(spark, tmp_path):
+    """The exporter surface the reference ships as a sidecar
+    (sidecar/rsyslog_exporter.py): scrape /metrics over HTTP from a
+    RUNNING streaming query's listener and get exposition-format
+    counters with the reference's naming/label/type conventions."""
+    import urllib.request
+    from rsyslog_spark.streaming.impstats import PrometheusExporter
+
+    listener = ImpstatsListener()
+    spark.streams.addListener(listener)
+    exporter = PrometheusExporter(listener)
+    host, port = exporter.start()
+    try:
+        src = str(tmp_path / "logs")
+        _write_lines(src, "a.log",
+                     [f"<13>Mar  1 09:15:0{i % 10} h{i % 2} app: m"
+                      for i in range(20)])
+        parsed = parse_stream(imfile(spark, src)).withColumn(
+            "timegenerated", F.col("timereported"))
+        counts = streaming_dynstats(parsed, "hostname",
+                                    window="1 minute")
+        _run_to_memory(counts, "exp_out", str(tmp_path / "ck"),
+                       output_mode="complete")
+        deadline = time.time() + 30
+        body = ""
+        while time.time() < deadline:
+            with urllib.request.urlopen(
+                    f"http://{host}:{port}/metrics", timeout=5) as r:
+                assert r.headers["Content-Type"].startswith("text/plain")
+                body = r.read().decode()
+            if "rsyslog_core_queue_enqueued" in body:
+                break
+            time.sleep(0.2)
+        assert "# TYPE rsyslog_core_queue_enqueued counter" in body
+        assert "# TYPE rsyslog_core_queue_size gauge" in body
+        line = next(ln for ln in body.splitlines()
+                    if ln.startswith("rsyslog_core_queue_enqueued{"))
+        assert 'rsyslog_component="core.queue"' in line
+        assert float(line.rsplit(" ", 1)[1]) >= 20  # the 20 input rows
+        # unknown path -> 404
+        import urllib.error
+        try:
+            urllib.request.urlopen(f"http://{host}:{port}/nope",
+                                   timeout=5)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        exporter.stop()
+        spark.streams.removeListener(listener)
+
+
 def test_ratelimit_notices(spark):
     # drop notices (ref: runtime/ratelimit.c ratelimitMsg): passing
     # rows plus one summary row per (key, window) with the lost count

@@ -144,8 +144,79 @@ class TestAiOperators:
         df = spark.createDataFrame(
             [("login error for root",), ("all good",)], "msg string")
         out = mmaitag(df).collect()
-        assert out[0]["aitag"] == "SUSPICIOUS"
-        assert out[1]["aitag"] == "NORMAL"
+        assert out[0]["aitag"] == "IMPORTANT"
+        assert out[1]["aitag"] == "REGULAR"
+
+    def test_mmaitag_gemini_provider_e2e(self, spark, tmp_path):
+        """The real provider POST contract (ai_provider_gemini.c)
+        against a mock Gemini endpoint: request body/headers shape,
+        response text extraction + trailing-whitespace strip, retry
+        on 5xx, and REGULAR fallback on persistent failure."""
+        import http.server
+        import json
+        import threading
+        from rsyslog_spark.operators.mm import GeminiProvider, mmaitag
+
+        seen = []
+        fail_once = {"left": 1}
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n).decode())
+                seen.append((self.path, self.headers.get("x-goog-api-key"),
+                             body))
+                text = body["contents"][0]["parts"][0]["text"]
+                msg = text.rsplit("\n", 1)[-1]
+                if "flaky" in msg and fail_once["left"]:
+                    fail_once["left"] -= 1
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                if "unreachable" in msg:
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                tag = "CRITICAL" if "panic" in msg else "NOISE"
+                resp = json.dumps({"candidates": [{"content": {"parts": [
+                    {"text": tag + "\n"}]}}]}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(resp)))
+                self.end_headers()
+                self.wfile.write(resp)
+
+        httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            keyfile = tmp_path / "apikey"
+            keyfile.write_text("sk-test-123\n")
+            prov = GeminiProvider(
+                apikey_file=str(keyfile),
+                base_url=f"http://127.0.0.1:{httpd.server_address[1]}",
+                timeout=5.0, max_retries=1)
+            df = spark.createDataFrame(
+                [("kernel panic at boot",), ("flaky once then fine",),
+                 ("unreachable forever",)], "msg string")
+            got = {r.msg: r.aitag for r in
+                   mmaitag(df.coalesce(1), classifier=prov).collect()}
+            # text extracted + trailing \n stripped; 5xx retried once;
+            # persistent failure falls back to REGULAR (gemini.c
+            # error path)
+            assert got == {"kernel panic at boot": "CRITICAL",
+                           "flaky once then fine": "NOISE",
+                           "unreachable forever": "REGULAR"}
+            path, key, body = seen[0]
+            assert path == "/models/gemini-2.0-flash:generateContent"
+            assert key == "sk-test-123"      # from apikey_file
+            assert body["contents"][0]["role"] == "user"
+            assert body["contents"][0]["parts"][0]["text"].startswith(
+                "Task: Classify the log message")
+        finally:
+            httpd.shutdown()
 
     def test_mmdarwin_stub_deterministic(self, spark):
         from rsyslog_spark.operators.mm import mmdarwin
