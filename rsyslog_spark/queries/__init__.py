@@ -138,7 +138,8 @@ def collect_all() -> dict[str, Query]:
 
 
 #: queries parked past the driver's 50-row window — see collect_all()
-_TAIL = ("field_extract", "pri_filter_selectors",
+_TAIL = ("similarity_topk_bruteforce",
+         "field_extract", "pri_filter_selectors",
          "mmfields_split", "mmanon_embedded",
          "mmpstrucdata_parse", "dynstats_maxcard_overflow",
          "percentile_stats_values",

@@ -509,3 +509,31 @@ def config_driven_routing(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"))
 
 
+
+
+@q(
+    "mmaitag_classify",
+    """
+    SELECT doc_id,
+           CASE WHEN lower(text) LIKE '%error%'
+                  OR lower(text) LIKE '%fail%'
+                  OR lower(text) LIKE '%denied%'
+                  OR lower(text) LIKE '%attack%'
+                THEN 'IMPORTANT' ELSE 'REGULAR' END AS aitag
+    FROM documents WHERE doc_id < 400
+    """,
+    doc="mmaitag classification through the REAL provider bridge "
+        "(Arrow pandas_udf batch contract, operators/mm.py mmaitag — "
+        "ref plugins/mmaitag/mmaitag.c) with the deterministic stub "
+        "classifier; the oracle reproduces the stub's keyword "
+        "heuristic, so the Arrow round trip, batching, and the "
+        "default label set are all pinned. The production path swaps "
+        "in GeminiProvider (same callable contract, mock-server e2e "
+        "tested).",
+)
+def mmaitag_classify(spark, sf_dir):
+    from rsyslog_spark.operators.mm import mmaitag
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    out = mmaitag(docs.select("doc_id", F.col("text").alias("msg")))
+    return out.select("doc_id", "aitag")

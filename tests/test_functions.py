@@ -187,6 +187,33 @@ def test_url_canonicalize(spark):
     assert got == cases
 
 
+def test_url_canonicalize_idempotent(spark):
+    """canon(canon(x)) == canon(x) over a combinatorial messy-URL
+    corpus — canonicalization must be a projection (a drifting
+    second pass would corrupt dedup keys built from already-canonical
+    URLs)."""
+    import itertools
+    from pyspark.sql import functions as F
+    from rsyslog_spark.functions.url import url_canonicalize
+
+    urls = []
+    for scheme, host, port, path, qs, frag in itertools.product(
+            ["https://", "HTTPS://", "http://"],
+            ["Example.COM", "a.b.example.org"],
+            ["", ":443", ":80", ":8443"],
+            ["", "/", "/P/x", "/P/x/"],
+            ["", "?b=2&a=1", "?utm_source=x", "?a=1&utm_a=2&fbclid=3",
+             "?xfbclid=1&b=2"],
+            ["", "#frag"]):
+        urls.append(f"{scheme}{host}{port}{path}{qs}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = url_canonicalize("u").alias("c1")
+    out = df.select("u", once).select(
+        "u", "c1", url_canonicalize(F.col("c1")).alias("c2"))
+    bad = out.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, f"non-idempotent: {bad[:5]}"
+
+
 def test_html_to_text(spark):
     from rsyslog_spark.operators.text import html_to_text
 
