@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "url_dedup_canonical",
     "pii_redaction_battery",
     "doc_repetition_filter",
+    "lm_perplexity_filter",
     "decontaminate_ngram_overlap",
     "sequence_packing",
     "stratified_sample_docs",

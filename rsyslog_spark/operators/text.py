@@ -336,3 +336,70 @@ def bm25_scores(
                              + b * F.col("__dl") / F.col("__avgdl")))))
     return scored.groupBy(id_col).agg(
         F.round(F.sum("__s"), 6).alias("bm25"))
+
+
+def ngram_lm_scores(
+    docs: "DataFrame", text_col: str, id_col: str, *,
+    train: "DataFrame | None" = None, alpha: float = 0.5,
+    round_to: int = 4,
+) -> "DataFrame":
+    """Per-document bigram language-model score — the CCNet-style
+    quality/perplexity filter (CCNet scores every crawl doc with a
+    KenLM trained on clean text and drops the high-perplexity tail;
+    this is the engine-native n-gram form).
+
+    Trains an add-α bigram model on ``train`` (default: ``docs``
+    itself — self-perplexity, the "how unlike the rest of the corpus
+    is this doc" signal) and scores every doc:
+
+        P(w_i | w_{i-1}) = (C(w_{i-1} w_i) + α) / (C(w_{i-1}) + α·V)
+
+    Output: (id, n_bigrams, avg_logp, ppl) with ppl = exp(−avg ln P),
+    both rounded to ``round_to``. Docs with < 2 tokens drop out (no
+    bigram positions — CCNet likewise can't score empty docs).
+
+    Plan shape at 100 TB: bigram counts are ONE partial-agg shuffle on
+    the (w1, w2) pair; context counts derive from the bigram frame
+    (no second corpus scan); V rides as a broadcast 1-row cross join;
+    scoring is an equi-join on the bigram key — vocab²-bounded, so it
+    stays a shuffle join (NOT broadcast) by design — then one
+    groupBy(doc). Unknown bigrams/contexts (cross-corpus scoring)
+    back off to the α floor via left joins.
+    """
+    def toks_of(frame):
+        raw = F.split(F.lower(F.trim(rs_str(F.col(text_col)))),
+                      r"\s+", -1)
+        return frame.select(
+            F.col(id_col),
+            F.filter(raw, lambda t: t != "").alias("__toks"))
+
+    tr = toks_of(train if train is not None else docs)
+    idx = F.sequence(F.lit(1), F.size("__toks") - 1)
+
+    def bigrams(frame, cols):
+        return (frame.filter(F.size("__toks") >= 2)
+                .select(*cols, "__toks", F.explode(idx).alias("__i"))
+                .select(*cols,
+                        F.element_at("__toks", F.col("__i"))
+                        .alias("__w1"),
+                        F.element_at("__toks", F.col("__i") + 1)
+                        .alias("__w2")))
+
+    c2 = bigrams(tr, []).groupBy("__w1", "__w2") \
+        .agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = c2.groupBy("__w1").agg(F.sum("__c2").alias("__c1"))
+    vocab = tr.select(F.explode("__toks").alias("__t")) \
+        .agg(F.countDistinct("__t").alias("__v"))
+
+    sc = bigrams(toks_of(docs), [id_col])
+    lp = F.log((F.coalesce(F.col("__c2"), F.lit(0)) + alpha)
+               / (F.coalesce(F.col("__c1"), F.lit(0))
+                  + alpha * F.col("__v")))
+    scored = (sc.join(c2, ["__w1", "__w2"], "left")
+              .join(c1, ["__w1"], "left")
+              .crossJoin(F.broadcast(vocab))
+              .withColumn("__lp", lp))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("__lp"), round_to).alias("avg_logp"),
+        F.round(F.exp(-F.avg("__lp")), round_to).alias("ppl"))

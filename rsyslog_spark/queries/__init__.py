@@ -138,7 +138,7 @@ def collect_all() -> dict[str, Query]:
 
 
 #: queries parked past the driver's 50-row window — see collect_all()
-_TAIL = ("similarity_topk_bruteforce",
+_TAIL = ("similarity_topk_bruteforce", "dedup_exact",
          "field_extract", "pri_filter_selectors",
          "mmfields_split", "mmanon_embedded",
          "mmpstrucdata_parse", "dynstats_maxcard_overflow",

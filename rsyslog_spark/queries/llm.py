@@ -1180,6 +1180,50 @@ def ngram_top_counts(spark, sf_dir):
 
 
 @q(
+    "lm_perplexity_filter",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM base, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT t) AS v
+          FROM base, UNNEST(toks) AS u(t)),
+    scored AS (
+      SELECT bg.doc_id,
+             ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS lp
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp), 4) AS avg_logp,
+           ROUND(EXP(-AVG(lp)), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Per-document bigram LM perplexity — the CCNet-style quality "
+        "filter (score each doc against an n-gram model, drop the "
+        "high-perplexity tail). Self-trained add-0.5 bigram model "
+        "(operators/text.ngram_lm_scores): ONE partial-agg shuffle "
+        "for bigram counts, context counts derived from the bigram "
+        "frame, V broadcast, shuffle equi-join on the bigram key "
+        "(vocab-bounded, deliberately not broadcast), one "
+        "groupBy(doc). DuckDB reproduces counts + smoothing exactly.",
+)
+def lm_perplexity_filter(spark, sf_dir):
+    from rsyslog_spark.operators.text import ngram_lm_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_lm_scores(docs, "text", "doc_id")
+
+
+@q(
     "hybrid_retrieval_rrf",
     """
     WITH lex AS (

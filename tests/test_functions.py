@@ -240,3 +240,40 @@ def test_html_to_text_double_escaped(spark):
         [("<p>a &amp;lt; b &amp;amp; c &amp; d</p>",)], "h string")
     out = df.select(html_to_text("h").alias("t")).first()["t"]
     assert out == "a &lt; b &amp; c & d"
+
+
+def test_ngram_lm_scores(spark):
+    """Hand-computed add-0.5 bigram LM (the CCNet-style perplexity
+    filter). Train corpus: 'a b' and 'a b c' -> bigram counts
+    C(a,b)=2, C(b,c)=1; context counts C(a)=2, C(b)=1; V=3."""
+    import math
+    from rsyslog_spark.operators.text import ngram_lm_scores
+
+    train = spark.createDataFrame([(1, "a b"), (2, "a b c")],
+                                  "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ngram_lm_scores(train, "text", "doc_id").collect()}
+    # doc 1: one bigram (a,b): ln((2+0.5)/(2+0.5*3)) = ln(2.5/3.5)
+    lp_ab = math.log(2.5 / 3.5)
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["avg_logp"] == round(lp_ab, 4)
+    assert out[1]["ppl"] == round(math.exp(-lp_ab), 4)
+    # doc 2: (a,b) and (b,c): ln(1.5/2.5) for (b,c)
+    lp_bc = math.log(1.5 / 2.5)
+    avg2 = (lp_ab + lp_bc) / 2
+    assert out[2]["n_bigrams"] == 2
+    assert out[2]["avg_logp"] == round(avg2, 4)
+
+    # cross-corpus: unseen bigrams back off to the alpha floor
+    # (left joins) instead of erroring or dropping rows; a one-token
+    # doc has no bigram positions and drops out, like CCNet
+    score = spark.createDataFrame([(7, "z q"), (8, "a")],
+                                  "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           ngram_lm_scores(score, "text", "doc_id",
+                           train=train).collect()}
+    lp_zq = math.log(0.5 / (0.5 * 3))     # C2=0, C1=0, V=3
+    assert got[7]["avg_logp"] == round(lp_zq, 4)
+    assert 8 not in got
+    # the unlikely doc scores HIGHER perplexity than in-distribution
+    assert got[7]["ppl"] > out[1]["ppl"]

@@ -34,8 +34,10 @@ BAD = ("BroadcastNestedLoopJoin", "CartesianProduct", "BatchEvalPython")
 WARN = ("ArrowEvalPython",)
 INTENTIONAL_BNLJ = {"lookup_sparse", "enrich_dims", "similarity_knn_join",
                     # broadcast 1-ROW scalar-stats cross join (bm25
-                    # N/avgdl ride the plan instead of a collect)
-                    "bm25_search", "hybrid_retrieval_rrf"}
+                    # N/avgdl, LM vocab size V ride the plan instead
+                    # of a collect)
+                    "bm25_search", "hybrid_retrieval_rrf",
+                    "lm_perplexity_filter"}
 
 
 def main() -> int:
