@@ -338,6 +338,79 @@ def mmaitag(
     return df.withColumn(out_col, _tag(F.col(msg_col)))
 
 
+class DarwinScorer:
+    """The real Darwin filter wire protocol (ref: contrib/mmdarwin/
+    protocol.h darwin_filter_packet_t; mmdarwin.c:740-820 doAction),
+    as a picklable callable usable as :func:`mmdarwin`'s ``scorer``:
+
+    - connect to the filter's AF_UNIX socket (mmdarwin.c openSocket),
+    - per message: 56-byte little-endian header (type=OTHER,
+      response=BACK, filter_code, body_size, 16-byte event id,
+      certitude_size=1, certitude_list[1], trailing pad — the x86-64
+      struct layout) followed by the body
+      ``[["field1","field2"]]\\0`` (add_field_to_body/end_body: each
+      field double-quoted, comma-joined, trailing comma folded into
+      the closing brackets, NUL-terminated and counted in body_size),
+    - read the 56-byte response packet back; the score is
+      ``certitude_list[0]``.
+
+    One socket per pandas batch (the reference reuses one per worker;
+    socketMaxUse rotation is a server-affinity knob we don't need).
+    Failures raise — mmdarwin is an enrichment stage, and a silent
+    zero-certitude would look like a clean verdict.
+    """
+
+    HEADER_FMT = "<iiqQ16sQI4x"          # 56 bytes
+
+    DARWIN_PACKET_OTHER = 0
+    DARWIN_RESPONSE_SEND_BACK = 1
+
+    def __init__(self, socket_path: str, *, filter_code: int = 0,
+                 timeout: float = 10.0):
+        self.socket_path = socket_path
+        self.filter_code = filter_code
+        self.timeout = timeout
+
+    def _recv_exact(self, sock, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("mmdarwin: filter closed mid-"
+                                      "response")
+            buf += chunk
+        return buf
+
+    def __call__(self, pdf):
+        import socket
+        import struct
+        import uuid
+
+        import pandas as pd
+
+        hsize = struct.calcsize(self.HEADER_FMT)
+        out = []
+        sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        sock.settimeout(self.timeout)
+        sock.connect(self.socket_path)
+        try:
+            for _, row in pdf.iterrows():
+                body = ("[[" + ",".join(f'"{v}"' for v in row)
+                        + "]]").encode() + b"\x00"
+                header = struct.pack(
+                    self.HEADER_FMT, self.DARWIN_PACKET_OTHER,
+                    self.DARWIN_RESPONSE_SEND_BACK, self.filter_code,
+                    len(body), uuid.uuid4().bytes, 1, 0)
+                sock.sendall(header)
+                sock.sendall(body)
+                resp = struct.unpack(
+                    self.HEADER_FMT, self._recv_exact(sock, hsize))
+                out.append(float(resp[6]))   # certitude_list[0]
+        finally:
+            sock.close()
+        return pd.Series(out, index=pdf.index)
+
+
 def mmdarwin(
     df: DataFrame,
     feature_cols: list[str],
@@ -348,8 +421,10 @@ def mmdarwin(
     fields to a Darwin filter, stores the returned certitude score).
 
     ``scorer(pandas.DataFrame) -> pandas.Series[float]`` is injected;
-    default STUB hashes the features to a stable [0,1) score so the
-    plumbing is testable without the service.
+    :class:`DarwinScorer` speaks the real Darwin socket protocol
+    (mock-server e2e tested). Default STUB hashes the features to a
+    stable [0,1) score so the plumbing is testable without the
+    service.
     """
     import pandas as pd  # noqa: F401
     globals()["pd"] = pd

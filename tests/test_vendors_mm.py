@@ -227,6 +227,64 @@ class TestAiOperators:
         assert out[0]["darwin_score"] == out[1]["darwin_score"]
         assert 0.0 <= out[2]["darwin_score"] < 1.0
 
+    def test_mmdarwin_real_protocol_e2e(self, spark, tmp_path):
+        """DarwinScorer speaks the reference wire protocol
+        (contrib/mmdarwin/protocol.h) against a mock Darwin filter on
+        a unix socket: 56-byte header + [[\"f1\",\"f2\"]]\\0 body,
+        certitude read from the response packet."""
+        import socket
+        import struct
+        import threading
+        from rsyslog_spark.operators.mm import DarwinScorer, mmdarwin
+
+        HEADER_FMT = "<iiqQ16sQI4x"
+        HSIZE = struct.calcsize(HEADER_FMT)
+        assert HSIZE == 56            # the C struct's x86-64 size
+        path = str(tmp_path / "darwin.sock")
+        seen_bodies = []
+
+        def serve(srv):
+            conn, _ = srv.accept()
+            with conn:
+                while True:
+                    hdr = b""
+                    while len(hdr) < HSIZE:
+                        chunk = conn.recv(HSIZE - len(hdr))
+                        if not chunk:
+                            return
+                        hdr += chunk
+                    (typ, resp, fcode, blen, _evt, csize,
+                     _cert) = struct.unpack(HEADER_FMT, hdr)
+                    assert (typ, resp, csize) == (0, 1, 1)
+                    assert fcode == 0x62616a6b
+                    body = b""
+                    while len(body) < blen:
+                        body += conn.recv(blen - len(body))
+                    seen_bodies.append(body)
+                    # certitude = count of fields in the body
+                    nf = body.count(b'"') // 2
+                    conn.sendall(struct.pack(
+                        HEADER_FMT, 0, 1, fcode, 0, b"\x00" * 16, 1,
+                        nf * 10))
+
+        srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        srv.bind(path)
+        srv.listen(1)
+        t = threading.Thread(target=serve, args=(srv,), daemon=True)
+        t.start()
+        try:
+            df = spark.createDataFrame(
+                [("alice", 7), ("bob", 8)], "user string, code int")
+            out = mmdarwin(
+                df.coalesce(1), ["user", "code"],
+                scorer=DarwinScorer(path, filter_code=0x62616a6b))
+            scores = [r["darwin_score"] for r in out.collect()]
+            assert scores == [20.0, 20.0]     # 2 fields -> 20
+            assert seen_bodies[0] == b'[["alice","7"]]\x00'
+            assert seen_bodies[1] == b'[["bob","8"]]\x00'
+        finally:
+            srv.close()
+
 
 class TestIvf:
     def test_recall_vs_bruteforce(self, spark):
