@@ -97,6 +97,20 @@ class SpoolBridge:
             if len(self._buf) >= self.flush_every:
                 self._flush_locked()
 
+    def emit_many(self, recs: list[dict]) -> None:
+        """Batch emit: one receive-time stamp and ONE lock round trip
+        for a whole parsed chunk — the hot path for stream inputs
+        (per-record emit() was the imtcp ingest bottleneck: 400k
+        one-record lock+strftime trips cost more than the socket
+        reads themselves)."""
+        ts = time.strftime("%Y-%m-%dT%H:%M:%S+00:00", time.gmtime())
+        for r in recs:
+            r.setdefault("timegenerated", ts)
+        with self._lock:
+            self._buf.extend(recs)
+            if len(self._buf) >= self.flush_every:
+                self._flush_locked()
+
     def flush(self) -> None:
         with self._lock:
             self._flush_locked()
@@ -107,9 +121,10 @@ class SpoolBridge:
         self._seq += 1
         name = f"{self.inputname}-{os.getpid()}-{self._seq:08d}.ndjson"
         tmp = os.path.join(self.spool_dir, f".{name}.tmp")
+        dumps = json.dumps
         with open(tmp, "w") as f:
-            for rec in self._buf:
-                f.write(json.dumps(rec, ensure_ascii=False) + "\n")
+            f.write("\n".join(dumps(rec, ensure_ascii=False)
+                              for rec in self._buf) + "\n")
         os.rename(tmp, os.path.join(self.spool_dir, name))
         self._buf = []
 
@@ -839,45 +854,57 @@ class imtcp(SpoolBridge):
             t.join(timeout=2)
 
     def _conn_loop(self, conn, peer) -> None:
+        # Framing autodetect is PER FRAME (tcps_sess.c): a frame
+        # starting with digits+SP is octet-counted, else read-to-LF.
+        # The loop walks the buffer with an index (no per-message
+        # slicing — the O(frames × buffer) copies of the naive split
+        # held ingest to ~23k msgs/s) and emits each parsed chunk as
+        # ONE batch.
         buf = b""
         while not self._stop.is_set():
-            # frame split on what we have; read more when incomplete
-            progressed = True
-            while progressed:
-                progressed = False
-                if not buf:
-                    break
-                i = 0
-                while i < len(buf) and i < 10 and 0x30 <= buf[i] <= 0x39:
-                    i += 1
-                if i > 0 and i < len(buf) and buf[i] == 0x20:
-                    n = int(buf[:i])
+            pos = 0
+            blen = len(buf)
+            msgs: list[bytes] = []
+            while pos < blen:
+                j = pos
+                stopd = min(blen, pos + 10)
+                while j < stopd and 0x30 <= buf[j] <= 0x39:
+                    j += 1
+                if j > pos and j < blen and buf[j] == 0x20:
+                    n = int(buf[pos:j])
                     if n > self.max_frame_size:
                         # oversized octet count: treat as LF-framed
                         # data instead of buffering unbounded (ref:
                         # tcps_sess.c iMaxFrameSize fallback)
-                        if b"\n" in buf:
-                            msg, buf = buf.split(b"\n", 1)
-                            self._emit_msg(msg, peer)
-                            progressed = True
-                    elif len(buf) >= i + 1 + n:     # full frame
-                        msg = buf[i + 1:i + 1 + n]
-                        buf = buf[i + 1 + n:]
-                        self._emit_msg(msg, peer)
-                        progressed = True
-                elif b"\n" in buf:
-                    msg, buf = buf.split(b"\n", 1)
-                    self._emit_msg(msg, peer)
-                    progressed = True
+                        k = buf.find(b"\n", pos)
+                        if k < 0:
+                            break
+                        msgs.append(buf[pos:k])
+                        pos = k + 1
+                    elif blen >= j + 1 + n:         # full frame
+                        msgs.append(buf[j + 1:j + 1 + n])
+                        pos = j + 1 + n
+                    else:                           # incomplete
+                        break
+                else:
+                    k = buf.find(b"\n", pos)
+                    if k < 0:
+                        break
+                    msgs.append(buf[pos:k])
+                    pos = k + 1
+            if msgs:
+                self._emit_msgs(msgs, peer)
+            if pos:
+                buf = buf[pos:]
             try:
-                chunk = conn.recv(65536)
+                chunk = conn.recv(262144)
             except socket.timeout:
                 continue
             except OSError:
                 break
             if not chunk:
                 if buf.strip():
-                    self._emit_msg(buf, peer)
+                    self._emit_msgs([buf], peer)
                 break
             buf += chunk
         try:
@@ -885,10 +912,14 @@ class imtcp(SpoolBridge):
         except OSError:
             pass
 
-    def _emit_msg(self, msg: bytes, peer: str) -> None:
-        s = msg.decode("utf-8", errors="replace").rstrip("\r\n")
-        if s.strip():
-            self.emit({"line": s, "fromhost": peer})
+    def _emit_msgs(self, msgs: list[bytes], peer: str) -> None:
+        recs = []
+        for m in msgs:
+            s = m.decode("utf-8", errors="replace").rstrip("\r\n")
+            if s.strip():
+                recs.append({"line": s, "fromhost": peer})
+        if recs:
+            self.emit_many(recs)
 
     def _shutdown(self) -> None:
         try:
