@@ -85,13 +85,24 @@ class SpoolBridge:
         return any(a in net for net in self._acl)
 
     # -- receive side -------------------------------------------------
+    _ts_cache: tuple[int, str] = (0, "")
+
+    def _now_str(self) -> str:
+        """Receive timestamp, memoized per wall-clock second —
+        second resolution is the spool stamp's own granularity, so
+        re-running strftime per message only burned CPU. Explicit
+        +00:00 offset: without it the json source parses the UTC wall
+        time as SESSION-local time, shifting every bridge timestamp
+        on non-UTC sessions."""
+        t = int(time.time())
+        if t != self._ts_cache[0]:
+            self._ts_cache = (
+                t, time.strftime("%Y-%m-%dT%H:%M:%S+00:00",
+                                 time.gmtime(t)))
+        return self._ts_cache[1]
+
     def emit(self, rec: dict) -> None:
-        # explicit +00:00 offset: without it the json source parses
-        # the UTC wall time as SESSION-local time, shifting every
-        # bridge timestamp on non-UTC sessions
-        rec.setdefault("timegenerated",
-                       time.strftime("%Y-%m-%dT%H:%M:%S+00:00",
-                                     time.gmtime()))
+        rec.setdefault("timegenerated", self._now_str())
         with self._lock:
             self._buf.append(rec)
             if len(self._buf) >= self.flush_every:
@@ -103,7 +114,7 @@ class SpoolBridge:
         (per-record emit() was the imtcp ingest bottleneck: 400k
         one-record lock+strftime trips cost more than the socket
         reads themselves)."""
-        ts = time.strftime("%Y-%m-%dT%H:%M:%S+00:00", time.gmtime())
+        ts = self._now_str()
         for r in recs:
             r.setdefault("timegenerated", ts)
         with self._lock:
@@ -187,28 +198,57 @@ class imudp(SpoolBridge):
     """
 
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
-                 port: int = 0, **kw):
+                 port: int = 0, rcvbuf: int = 8 * 1024 * 1024, **kw):
         super().__init__(spool_dir, inputname="imudp", **kw)
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # big kernel receive buffer absorbs sender bursts while the
+        # userspace loop drains (the reference's $UDPRcvBufSize /
+        # rcvbufsize knob — UDP has no backpressure, the buffer IS
+        # the loss margin)
+        try:
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                                 rcvbuf)
+        except OSError:
+            pass
         self.sock.bind((host, port))
-        self.sock.settimeout(0.2)
+        self.sock.setblocking(False)
         self.port = self.sock.getsockname()[1]
 
+    #: recvmmsg-analog batch bound (imudp.c batchSize default 32;
+    #: ours is higher because the Python syscall is the costly part)
+    BATCH = 1024
+
     def _serve(self) -> None:
+        import select
+
         while not self._stop.is_set():
             try:
-                data, addr = self.sock.recvfrom(65535)
-            except socket.timeout:
-                continue
+                ready, _, _ = select.select([self.sock], [], [], 0.2)
             except OSError:
                 break
-            if not self.sender_allowed(addr[0]):
-                continue  # silently dropped (net.c isAllowedSender)
-            self.emit({
-                "line": data.decode("utf-8", errors="replace")
-                            .rstrip("\n"),
-                "fromhost": addr[0],
-            })
+            if not ready:
+                continue
+            # drain whatever is queued (the reference's recvmmsg
+            # batch, imudp.c:145-170): one emit_many per wakeup
+            # instead of one lock+stamp per datagram
+            batch = []
+            recvfrom = self.sock.recvfrom
+            while len(batch) < self.BATCH:
+                try:
+                    batch.append(recvfrom(65535))
+                except BlockingIOError:
+                    break
+                except OSError:
+                    return
+            recs = [
+                {"line": d.decode("utf-8", errors="replace")
+                         .rstrip("\n"),
+                 "fromhost": a[0]}
+                for d, a in batch if self.sender_allowed(a[0])
+            ]  # unlisted senders silently dropped (net.c
+               # isAllowedSender)
+            if recs:
+                self.emit_many(recs)
 
     def _shutdown(self) -> None:
         try:
