@@ -73,3 +73,29 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def write_bucketed(
+    df,
+    table: str,
+    key: str,
+    buckets: int,
+    *,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and bucket-sorted) table — the
+    co-located-join layout for fact-to-fact joins at 100 TB.
+
+    Two tables bucketed on their join keys with the SAME bucket count
+    sort-merge join with NO Exchange on either side (and with
+    ``sort=True`` no per-task Sort either): the shuffle that would
+    dominate a fact⋈fact join at scale is paid ONCE at write time and
+    amortized over every subsequent join/groupBy on the key.
+    Spark-native bucketing (``bucketBy``) requires a catalog table —
+    hence saveAsTable, not a bare path.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
