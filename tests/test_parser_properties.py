@@ -167,3 +167,73 @@ class TestPcapWalkerRobustness:
         assert len(rows) <= 2
         for r in rows:
             assert r["orig_len"] == len(pkt)
+
+
+class TestTcpFrameWalker:
+    """split_tcp_frames must be chunk-boundary invariant: any
+    chunking of the same byte stream yields the same messages — the
+    walk was rewritten for throughput (indexed, zero-copy) and this
+    pins its semantics."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.booleans(),     # True = octet-counted framing
+                st.binary(min_size=0, max_size=40).map(
+                    lambda b: b.replace(b"\n", b".")),
+            ),
+            min_size=1, max_size=20),
+        st.data(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_chunking_invariant(self, frames, data):
+        from rsyslog_spark.streaming.bridges import split_tcp_frames
+
+        stream = b""
+        expected = []
+        for octet, msg in frames:
+            # an LF-framed payload that LOOKS like an octet count
+            # legitimately parses as one (that IS autodetect) — send
+            # such payloads octet-counted so expectations are exact
+            if not octet and __import__("re").match(
+                    rb"^\d{1,9} ", msg):
+                octet = True
+            if octet:
+                stream += str(len(msg)).encode() + b" " + msg
+                expected.append(msg)
+            else:
+                stream += msg + b"\n"
+                expected.append(msg)
+
+        # random chunk boundaries
+        cuts = sorted(data.draw(st.lists(
+            st.integers(0, len(stream)), max_size=8)))
+        pieces, prev = [], 0
+        for c in cuts + [len(stream)]:
+            pieces.append(stream[prev:c])
+            prev = c
+
+        got, buf = [], b""
+        for p in pieces:
+            buf += p
+            msgs, buf = split_tcp_frames(buf, 200 * 1024)
+            got.extend(msgs)
+        msgs, buf = split_tcp_frames(buf, 200 * 1024)
+        got.extend(msgs)
+        if buf.strip():             # close-time flush, as _conn_loop
+            got.append(buf)
+        assert got == expected
+
+    @given(st.binary(max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_arbitrary_bytes_never_crash_or_stall(self, buf):
+        from rsyslog_spark.streaming.bridges import split_tcp_frames
+
+        msgs, rest = split_tcp_frames(buf, 64)
+        # everything is either consumed or awaiting more input, and
+        # the tail never grows past the input
+        assert len(rest) <= len(buf)
+        assert all(isinstance(m, bytes) for m in msgs)
+        # idempotent on the leftover: no progress without new bytes
+        msgs2, rest2 = split_tcp_frames(rest, 64)
+        assert msgs2 == [] and rest2 == rest
