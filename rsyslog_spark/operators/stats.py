@@ -330,3 +330,74 @@ def exec_once_every_interval(df: DataFrame, interval: str, ts_col: str,
         .orderBy(F.col(order_col))
     return df.withColumn("__rn", F.row_number().over(w)) \
         .filter(F.col("__rn") == 1).drop("__rn")
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap: str = "30 minutes",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: assign each row a per-key
+    session number that increments whenever the gap to the previous
+    event exceeds ``gap`` — the log-analytics staple (user sessions,
+    incident windows, connection episodes) the reference leaves to
+    downstream SQL (SURVEY §2.10 extensions).
+
+    Batch shape: ONE shuffle on the key (both window functions share
+    the same partitioning: lag to detect gap starts, running sum to
+    number the islands). For the streaming form use
+    :func:`session_stats` with ``streaming=True`` — Spark's native
+    ``session_window`` keeps watermark-bounded state.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]) \
+        .orderBy(F.col(ts_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {gap}")), 1
+    ).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+
+
+def session_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap: str = "30 minutes",
+    *,
+    streaming: bool = False,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-session aggregates: (keys, session bounds, event count,
+    duration seconds).
+
+    ``streaming=True`` uses Spark's native ``session_window`` (state
+    merges adjacent windows within gap; watermark bounds state) —
+    give ``watermark`` for the event-time column. Batch mode derives
+    the same result via :func:`sessionize` + groupBy.
+    """
+    if streaming:
+        src = df
+        if watermark is not None:
+            src = src.withWatermark(ts_col, watermark)
+        g = src.groupBy(F.session_window(F.col(ts_col), gap),
+                        *[F.col(k) for k in key_cols])
+        return g.agg(F.count(F.lit(1)).alias("n_events")).select(
+            *key_cols,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events")
+    with_sid = sessionize(df, key_cols, ts_col, gap)
+    return (with_sid.groupBy(*key_cols, "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"))
+            .withColumn(
+                "duration_s",
+                F.unix_timestamp("session_end")
+                - F.unix_timestamp("session_start")))

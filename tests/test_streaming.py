@@ -610,3 +610,71 @@ class TestStreamingMinhashDedup:
         with pytest.raises(ValueError, match="portable"):
             streaming_minhash_dedup_step(
                 b1, state_dir=str(tmp_path / "x"), seed=7)
+
+
+def test_sessionize_batch_and_stats(spark):
+    """Gaps-and-islands sessionization: per-key session numbering
+    increments when the inter-event gap exceeds the threshold; stats
+    derive bounds/duration in the same shuffle."""
+    import datetime as dt
+    from rsyslog_spark.operators.stats import session_stats, sessionize
+
+    t0 = dt.datetime(2026, 8, 14, 10, 0, 0)
+    rows = [
+        ("u1", t0),                                  # s1
+        ("u1", t0 + dt.timedelta(minutes=5)),        # s1
+        ("u1", t0 + dt.timedelta(minutes=50)),       # s2 (45m gap)
+        ("u1", t0 + dt.timedelta(minutes=55)),       # s2
+        ("u2", t0 + dt.timedelta(minutes=1)),        # s1 (own key)
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    got = {(r["user"], r["ts"].minute): r["session_id"] for r in
+           sessionize(df, ["user"], "ts").collect()}
+    assert got == {("u1", 0): 1, ("u1", 5): 1, ("u1", 50): 2,
+                   ("u1", 55): 2, ("u2", 1): 1}
+
+    stats = {(r["user"], r["session_id"]): r for r in
+             session_stats(df, ["user"], "ts").collect()}
+    assert stats[("u1", 1)]["n_events"] == 2
+    assert stats[("u1", 1)]["duration_s"] == 300
+    assert stats[("u1", 2)]["duration_s"] == 300
+    assert stats[("u2", 1)]["n_events"] == 1
+    # plan: sessionize + stats share ONE exchange on the key
+    plan = session_stats(df, ["user"], "ts") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_session_stats_streaming_session_window(spark, tmp_path):
+    """Streaming form: native session_window with watermark-bounded
+    state merges events within gap into one session."""
+    import datetime as dt
+
+    from rsyslog_spark.operators.stats import session_stats
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    t0 = dt.datetime(2026, 8, 14, 10, 0, 0)
+
+    def iso(m):
+        return (t0 + dt.timedelta(minutes=m)).strftime(
+            "%Y-%m-%dT%H:%M:%S+00:00")
+
+    (src / "a.json").write_text(
+        "\n".join([
+            f'{{"user":"u1","ts":"{iso(0)}"}}',
+            f'{{"user":"u1","ts":"{iso(5)}"}}',
+            f'{{"user":"u1","ts":"{iso(50)}"}}',
+        ]) + "\n")
+    stream = (spark.readStream.schema("user string, ts timestamp")
+              .format("json").load(str(src)))
+    out = session_stats(stream, ["user"], "ts", gap="30 minutes",
+                        streaming=True, watermark="2 hours")
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("sess_out").collect()
+    by_start = sorted((r["session_start"], r["n_events"]) for r in rows)
+    assert [n for _, n in by_start] == [2, 1]
