@@ -49,7 +49,7 @@ from rsyslog_spark.expr import prifilt as prifilt_col
 from rsyslog_spark.expr import rs_cmp, rs_concat, rs_div, rs_mod, rs_str
 from rsyslog_spark.plans.ruleset import (
     Action, Call, CallIndirect, Foreach, If, PriFilt, PropFilt, Ruleset,
-    Set, Stop, Unset, varname,
+    Set, Stop, Transform, Unset, varname,
 )
 
 # ---------------------------------------------------------------- lexer
@@ -1052,7 +1052,7 @@ def _to_col(ast, df: DataFrame | None = None,
             if not hasattr(tpl, "col"):
                 raise SyntaxError(
                     f"template {tname!r} is not a string template")
-            return rf.exec_template(tpl)
+            return tpl.col(df)
         fn = _FN_MAP.get(name)
         if fn is None:
             raise SyntaxError(f"unknown function {name!r}")
@@ -1079,10 +1079,118 @@ def _value_fn(ast, tables: dict[str, Any] | None = None,
     return lambda df: _to_col(ast, df, tables, templates)
 
 
+def _gated_mm(fn, touched: tuple[str, ...] = ()):
+    """Wrap an operator ``df -> df`` into a live-gated Transform fn:
+    columns the op ADDS are NULL for rows the action doesn't reach;
+    columns it MODIFIES in place (``touched``) revert to their prior
+    value there — the interpreter simply skips doAction for those
+    messages (ref: runtime/ruleset.c execAct)."""
+    def apply(df: DataFrame, live: Column) -> DataFrame:
+        before = set(df.columns)
+        kept = [c for c in touched if c in before]
+        tmp = df
+        for c in kept:
+            tmp = tmp.withColumn(f"__mm_orig_{c}", F.col(c))
+        out = fn(tmp)
+        for c in out.columns:
+            if c.startswith("__mm_orig_"):
+                continue
+            if c not in before:
+                out = out.withColumn(c, F.when(live, F.col(c)))
+            elif c in kept:
+                out = out.withColumn(
+                    c, F.when(live, F.col(c))
+                    .otherwise(F.col(f"__mm_orig_{c}")))
+        return out.drop(*[f"__mm_orig_{c}" for c in kept])
+    return apply
+
+
+def _mm_transform(atype: str, params: dict):
+    """Compile an mm* action into an in-place Transform statement —
+    the reference's message-modification actions mutate the message
+    for SUBSEQUENT statements rather than sinking rows. Returns None
+    for mm types that need host injection (mmexternal binaries,
+    mmaitag/mmdarwin providers) — those stay Actions for host wiring.
+
+    Extracted fields land in the ``$!`` tree's flat columns
+    (``cee_<name>``), which templates, expressions, and set/unset all
+    read (config _var_col / templates.prop_col)."""
+    p = {k.lower(): v for k, v in params.items()}
+
+    def flag(key, default="off"):
+        return str(p.get(key, default)).lower() in ("on", "true", "1")
+
+    if atype == "mmnormalize":
+        from rsyslog_spark.operators.normalize import (
+            normalize, parse_rulebase)
+        if p.get("rulebase"):
+            with open(p["rulebase"], encoding="utf-8") as fh:
+                rb_text = fh.read()
+        elif p.get("rule"):
+            raw = p["rule"]
+            lines = raw if isinstance(raw, list) else [raw]
+            rb_text = "\n".join(lines)
+        else:
+            raise ValueError("mmnormalize needs rulebase= or rule=")
+        rules = parse_rulebase(rb_text)
+        src = "rawmsg" if flag("userawmsg") else "msg"
+
+        def fn(df, _rules=rules, _src=src):
+            col = _src if _src in df.columns else "msg"
+            return normalize(df, _rules, msg_col=col, prefix="cee_",
+                             rule_col="__nrm_tag",
+                             match="specific").drop("__nrm_tag")
+        return Transform("mmnormalize", _gated_mm(fn))
+    if atype == "mmjsonparse":
+        from rsyslog_spark.operators.mm import mmjsonparse
+        cookie = p.get("cookie", "@cee:")
+        return Transform(atype, _gated_mm(
+            lambda df: mmjsonparse(df, cookie=cookie),
+            touched=("json", "json_parsed")))
+    if atype == "mmfields":
+        from rsyslog_spark.operators.mm import mmfields
+        delim = p.get("separator", ",")
+        return Transform(atype, _gated_mm(
+            lambda df: mmfields(df, delim=delim, prefix="cee_f")))
+    if atype == "mmanon":
+        from rsyslog_spark.operators.mm import mmanon
+        bits = int(p.get("ipv4.bits", "16"))
+        mode = p.get("ipv4.mode", p.get("mode", "zero"))
+        return Transform(atype, _gated_mm(
+            lambda df: mmanon(df, bits=bits, mode=mode),
+            touched=("msg",)))
+    if atype == "mmutf8fix":
+        from rsyslog_spark.operators.mm import mmutf8fix
+        return Transform(atype, _gated_mm(mmutf8fix, touched=("msg",)))
+    if atype == "mmrm1stspace":
+        from rsyslog_spark.operators.mm import mmrm1stspace
+        return Transform(atype, _gated_mm(mmrm1stspace,
+                                          touched=("msg",)))
+    if atype == "mmpstrucdata":
+        from rsyslog_spark.operators.mm import mmpstrucdata
+        return Transform(atype, _gated_mm(lambda df: mmpstrucdata(df)))
+    if atype == "mmtaghostname":
+        from rsyslog_spark.operators.mm import mmtaghostname
+        kw = {}
+        if p.get("tag"):
+            kw["tag"] = p["tag"]
+        if flag("forcelocalhostname"):
+            import socket as _socket
+            kw["hostname"] = _socket.gethostname()
+        return Transform(atype, _gated_mm(
+            lambda df: mmtaghostname(df, **kw),
+            touched=("syslogtag", "hostname")))
+    return None
+
+
 def _make_action(params: dict[str, str]):
     atype = params.get("type", "")
     if atype == "omdiscard":
         return Stop()
+    if atype.startswith("mm"):
+        t = _mm_transform(atype, params)
+        if t is not None:
+            return t
     name = params.get("name") or params.get("file") \
         or params.get("topic") or atype or "action"
     return Action(name, params=params)

@@ -65,7 +65,7 @@ def _rendered_lines(df: DataFrame, cfg: ParsedConfig, params: dict,
         tpl = compile_template_string(default)
     if tpl is None or not hasattr(tpl, "col"):
         return None
-    return df.select(tpl.col().alias("line"))
+    return df.select(tpl.col(df).alias("line"))
 
 
 def _dispatch_action(
@@ -110,7 +110,7 @@ def _dispatch_action(
             # etc.); the text writer adds the record separator, so
             # strip ONE trailing newline or every record is followed
             # by a blank line the reference never writes
-            rendered = F.regexp_replace(tpl.col(), r"\n$", "")
+            rendered = F.regexp_replace(tpl.col(df), r"\n$", "")
             writer = df.select(rendered.alias("value")) \
                 .write.mode("append")
             if zl > 0:

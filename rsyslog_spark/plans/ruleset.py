@@ -127,6 +127,17 @@ class Action:
 
 
 @dataclass
+class Transform:
+    """In-place message modification (the mm* action family — ref:
+    each plugins/mm* doAction mutates the in-flight message and
+    processing continues). ``fn(df, live) -> df`` must gate its
+    updates on ``live``: rows that don't reach the action keep their
+    prior values, exactly like the interpreter skipping doAction."""
+    name: str
+    fn: Callable[[DataFrame, Column], DataFrame]
+
+
+@dataclass
 class If:
     cond: CondLike
     then: Sequence["Stmt"] = dc_field(default_factory=list)
@@ -333,6 +344,8 @@ class _Compiler:
                 # block still compile (their actions register) but see
                 # no rows — matches interpreter unreachability.
                 live = F.lit(False)
+            elif isinstance(s, Transform):
+                self.df = s.fn(self.df, live)
             elif isinstance(s, Action):
                 snap = self.df.filter(live)
                 # inside a foreach body: keep the loop variable, drop

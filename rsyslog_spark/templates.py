@@ -135,25 +135,44 @@ def _system_props() -> dict:
     }
 
 
-def prop_col(name: str) -> Column:
+def prop_col(name: str, df=None) -> Column:
     """Resolve a property NAME (legacy spelling and ``$``-prefixed
     system properties allowed) to its engine Column — the shared
     resolver for property filters, expression variables, and template
-    entries (ref: runtime/msg.c propNameToID)."""
+    entries (ref: runtime/msg.c propNameToID).
+
+    ``df``: the frame the Column will be bound to, when the caller
+    has it. ``$!`` vars live in TWO places — a flat ``cee_*`` column
+    (written by ``set $!x``/mm* operators) and the original ``json``
+    tree — and the reference reads them through one tree
+    (runtime/msg.c MsgGetJSONPropJSON), so a render must see BOTH
+    with the set-value winning. Without a frame only the portable
+    tree read compiles (a reference to a maybe-absent column would
+    fail analysis)."""
     if name in ("$!all-json", "!all-json"):
         # the whole $! tree rendered as JSON (ref: msg.c
         # MSG_PROP_ALL_JSON); engine keeps the tree in `json`
         return F.coalesce(F.col("json"), F.lit("{}"))
     if name.startswith(("$!", "!")):
-        # JSON-tree path read; set-flattened cee_* columns win when
-        # present, but without a frame here the tree read is the
-        # portable form (config _var_col does the coalesce)
         from rsyslog_spark.functions import json_fns
-        return json_fns.json_get(
-            "json", "$!" + name.lstrip("$").lstrip("!"))
+        path = "$!" + name.lstrip("$").lstrip("!")
+        tree = json_fns.json_get("json", path)
+        if df is None:
+            return tree
+        from rsyslog_spark.plans.ruleset import varname
+        flat = varname(path)
+        cols = set(df.columns)
+        has_json = "json" in cols
+        if flat in cols:
+            c = F.col(flat).cast("string")
+            return F.coalesce(c, tree) if has_json else c
+        return tree if has_json else F.lit(None).cast("string")
     if name.startswith(("$.", ".")):
         from rsyslog_spark.plans.ruleset import varname
-        return F.col(varname("$." + name.lstrip("$").lstrip(".")))
+        local = varname("$." + name.lstrip("$").lstrip("."))
+        if df is not None and local not in df.columns:
+            return F.lit(None).cast("string")
+        return F.col(local)
     lo = name.lstrip("$").lower()
     sysprops = _system_props()
     if lo in sysprops:
@@ -229,9 +248,9 @@ class Prop:
         col, default_date = alias
         return col, default_date
 
-    def col(self) -> Column:
+    def col(self, df=None) -> Column:
         name, default_date = self._resolve()
-        c = rs_str(prop_col(name))
+        c = rs_str(prop_col(name, df))
         if self.space_if_no_first_space:
             # the entry renders as a single space iff the property
             # does NOT begin with one (RFC3164 spacing compat,
@@ -310,10 +329,10 @@ class Template:
     source: str | None = None   # original template string (dynafile
                                 # partition-spec extraction needs it)
 
-    def col(self) -> Column:
+    def col(self, df=None) -> Column:
         cols: list[Column] = []
         for p in self.parts:
-            cols.append(F.lit(p) if isinstance(p, str) else p.col())
+            cols.append(F.lit(p) if isinstance(p, str) else p.col(df))
         return F.concat(*cols) if cols else F.lit("")
 
 
@@ -342,7 +361,7 @@ class _JsonfTemplate:
         self.elements = elements
         self.source = None
 
-    def col(self) -> Column:
+    def col(self, df=None) -> Column:
         frags: list[Column] = []
         for kind, p in self.elements:
             if kind != "property":
@@ -351,7 +370,7 @@ class _JsonfTemplate:
             if not name:
                 raise ValueError("property() needs name=")
             key = str(p.get("outname", name)).replace('"', '\\"')
-            sv = rs_str(prop_col(name))
+            sv = rs_str(prop_col(name, df))
             dt = p.get("dataType", p.get("datatype", "string")).lower()
             if dt == "number":
                 val = F.when(sv.rlike(r"^-?\d+(\.\d+)?$"), sv) \

@@ -1381,3 +1381,88 @@ class TestStockTemplates:
         run_config_batch(spark, conf, main="main")
         lines = spark.read.text(str(out)).collect()
         assert sorted(r.value for r in lines) == ["h1 one", "h1 two"]
+
+
+class TestMmActionsInConfig:
+    """mm* actions as config statements: the reference's
+    mmnormalize_processing_test1/2 pipeline shape (tests/
+    mmnormalize_processing_test*.sh) — action(type="mmnormalize")
+    extracts fields into the $! tree, conditional sets backfill,
+    exec_template composes, and templated omfile actions render the
+    extracted values. Expected fragments are the reference's own
+    (svc_SER1/ret_M01/os_WIN/security.gz, the EvntSLog: prefix, ...);
+    timezone-dependent parts (faketime dates) are left out."""
+
+    def test_mmnormalize_processing_pipeline(self, spark, tmp_path):
+        from test_normalize_golden import (
+            ESX_MSG, PROCESSING_RB, WIN_MSG)
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        rb = tmp_path / "proc.rulebase"
+        rb.write_text(PROCESSING_RB)
+        src = tmp_path / "in.log"
+        src.write_text(WIN_MSG + "\n" + ESX_MSG + "\n")
+        rec, path, ana = (tmp_path / "rec", tmp_path / "path",
+                          tmp_path / "ana")
+        conf = f'''
+template(name="t_file_record" type="string"
+         string="%$!v_tag% %$!v_msg%\\n")
+template(name="t_file_path" type="string"
+         string="svc_%$!v_svc%/ret_%$!v_ret%/os_%$!v_os%/%$!v_file:::lowercase%.gz\\n")
+template(name="t_analytics_tag_prefix" type="string"
+         string="%$!v_tag%: ")
+template(name="t_analytics_msg_normalized" type="string"
+         string="%$!v_analytics_prefix%%$!v_msg%")
+template(name="t_analytics" type="string"
+         string="[%$!v_analytics_msg%]\\n")
+ruleset(name="ruleset1") {{
+  action(type="mmnormalize" rulebase="{rb}" useRawMsg="on")
+  if ($!v_file == "") then {{
+      set $!v_file = $!v_tag;
+  }}
+  action(type="omfile" file="{rec}" template="t_file_record")
+  action(type="omfile" file="{path}" template="t_file_path")
+  if ($!v_analytics_prefix == "") then {{
+      set $!v_analytics_prefix = exec_template("t_analytics_tag_prefix");
+  }}
+  set $!v_analytics_msg = exec_template("t_analytics_msg_normalized");
+  action(type="omfile" file="{ana}" template="t_analytics")
+}}
+input(type="imfile" file="{src}" ruleset="ruleset1")
+'''
+        run_config_batch(spark, conf)
+
+        def lines(d):
+            import os
+            out = []
+            for f in sorted(os.listdir(d)):
+                if f.startswith("part"):
+                    out += open(d / f).read().splitlines()
+            return sorted(out)
+
+        assert lines(rec) == sorted([
+            "Security [AUF] Wed Mar 08 11:53:48 2017: "
+            r"N\A/Security/Host1.domain.com/"
+            "Microsoft-Windows-Security-Auditing (5152) - message",
+            "Process1 [FFB87B70 verbose Process1HalCnxHostagent "
+            "opID=WFU-abfbbece] [WaitForUpdatesDone] Completed "
+            "callback",
+        ])
+        # the reference's expected file paths, minus the faketime
+        # date segments: v_file backfilled from tag (WIN), annotation
+        # (ESX), rendered with the :::lowercase replacer option
+        assert lines(path) == sorted([
+            "svc_SER1/ret_M01/os_WIN/security.gz",
+            "svc_SER2/ret_Y01/os_ESX/esx.gz",
+        ])
+        # analytics message: WIN keeps its ANNOTATED prefix
+        # ("EvntSLog: " — not overwritten since non-empty); ESX builds
+        # one via exec_template of the tag-prefix template
+        assert lines(ana) == sorted([
+            "[EvntSLog: [AUF] Wed Mar 08 11:53:48 2017: "
+            r"N\A/Security/Host1.domain.com/"
+            "Microsoft-Windows-Security-Auditing (5152) - message]",
+            "[Process1: [FFB87B70 verbose Process1HalCnxHostagent "
+            "opID=WFU-abfbbece] [WaitForUpdatesDone] Completed "
+            "callback]",
+        ])
