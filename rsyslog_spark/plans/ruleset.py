@@ -273,7 +273,7 @@ def _set_targets(stmts: Sequence[Stmt], rulesets: dict[str, Ruleset],
 def _prop_cond(df: DataFrame, s: PropFilt) -> Column:
     from rsyslog_spark.templates import prop_col
 
-    c = prop_col(s.prop)
+    c = prop_col(s.prop, df)   # frame-aware: set $!x values visible
     if s.op == "contains":
         cond = c.contains(s.value)
     elif s.op == "isequal":

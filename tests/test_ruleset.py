@@ -293,3 +293,25 @@ class TestCallIndirect:
         # unmatched ruleset name continues in caller; tagged rows too
         tail = {r["which"]: r["local_tag"] for r in out["tail"].collect()}
         assert tail == {"a": "A", "b": "B", "zzz": None}
+
+
+def test_propfilt_sees_set_cee_values(spark):
+    """A :$!var, op filter must see values written by set $!var (the
+    flat cee_* column), not only the original json tree — same
+    frame-aware read as templates (r4 fix)."""
+    from rsyslog_spark.plans.ruleset import (
+        Action, PropFilt, Ruleset, RulesetEngine, Set)
+    from pyspark.sql import functions as F
+
+    rs = Ruleset("m", [
+        Set("$!kind", lambda df: F.upper(F.col("msg"))),
+        PropFilt("$!kind", "isequal", "ALERT",
+                 then=[Action("hit")]),
+        Action("all"),
+    ])
+    eng = RulesetEngine([rs])
+    df = spark.createDataFrame([("alert",), ("noise",)], "msg string")
+    actions, _ = eng.run(df, "m")
+    out = {n: d for n, d in actions}
+    assert [r["msg"] for r in out["hit"].collect()] == ["alert"]
+    assert out["all"].count() == 2
