@@ -81,12 +81,18 @@ def anon_ipv4_col(c: ColumnOrName, bits: int = 8, mode: str = "zero") -> Column:
         return s
     keep = 4 - bits // 8
     o = _octet()
+    # NO word-boundary anchors: the reference's recognizer is a plain
+    # left-to-right scan that fires at ANY position where four valid
+    # octets parse (mmanon.c recognizer; golden: tests/
+    # mmanon_recognize_ipv4.sh — '256.0.0.0' -> '20.0.0.0' because
+    # '56.0.0.0' matches after the '2', and IPs embedded mid-word
+    # anonymize too). The leftmost-match regex scan reproduces it.
     if keep == 0:
-        return F.regexp_replace(s, rf"\b{IPV4_RE}\b", "0.0.0.0")
+        return F.regexp_replace(s, rf"(?:{o}\.){{3}}{o}", "0.0.0.0")
     kept = r"\.".join([o] * keep)
     masked = r"\.".join([o] * (4 - keep))
     zeros = ".".join(["0"] * (4 - keep))
-    return F.regexp_replace(s, rf"\b({kept})\.{masked}\b", f"$1.{zeros}")
+    return F.regexp_replace(s, rf"({kept})\.{masked}", f"$1.{zeros}")
 
 
 def _octet() -> str:

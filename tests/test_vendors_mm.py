@@ -776,3 +776,47 @@ class TestExactSubstringSpans:
             train, "text", "doc_id", k=8, min_len=24,
             other=evalset2).collect()
         assert {r.id_b for r in out2} == {10}
+
+
+def test_mmanon_recognize_ipv4_reference_golden(spark):
+    """Byte-exact reproduction of the reference's ipv4 recognizer
+    golden (tests/mmanon_recognize_ipv4.sh, mode=zero ipv4.bits=32):
+    the scanner fires at ANY position where four valid octets parse —
+    '256.0.0.0' -> '20.0.0.0' (match after the '2'), '1111.1.1.8.1'
+    -> '10.0.0.0.1', successive quads chain, mid-word IPs anonymize,
+    malformed dotted runs pass through untouched."""
+    from rsyslog_spark.operators.mm import mmanon
+
+    cases = {
+        " asdfghjk": " asdfghjk",
+        " before 172.9.6.4": " before 0.0.0.0",
+        " 75.123.123.0 after": " 0.0.0.0 after",
+        " before 181.23.1.4 after": " before 0.0.0.0 after",
+        " nothingnothingnothing": " nothingnothingnothing",
+        " before 181.23.1.4 after 172.1.3.4":
+            " before 0.0.0.0 after 0.0.0.0",
+        " 1.1.1.8": " 0.0.0.0",
+        " 1.1.1.9": " 0.0.0.0",
+        " 0.0.0.0": " 0.0.0.0",
+        " 1.2.3.4.5.6.7.8.76": " 0.0.0.0.0.0.0.0.76",
+        " 172.0.234.255": " 0.0.0.0",
+        " 1.0.0.0": " 0.0.0.0",
+        " 1.225.225.225": " 0.0.0.0",
+        " 3.4.5.6": " 0.0.0.0",
+        " 256.0.0.0": " 20.0.0.0",
+        " 1....1....1....8": " 1....1....1....8",
+        " 1..1..1..8": " 1..1..1..8",
+        " 1..1.1.8": " 1..1.1.8",
+        " 1.1..1.8": " 1.1..1.8",
+        " 1.1.1..8": " 1.1.1..8",
+        " 1111.1.1.8.1": " 10.0.0.0.1",
+        " 111.1.1.8.1": " 0.0.0.0.1",
+        " 111.1.1.8.": " 0.0.0.0.",
+        " textnoblank1.1.1.9stillnoblank":
+            " textnoblank0.0.0.0stillnoblank",
+    }
+    df = spark.createDataFrame([(m,) for m in cases], "msg string") \
+        .withColumn("__in", F.col("msg"))
+    got = {r["__in"]: r["msg"] for r in
+           mmanon(df, bits=32, mode="zero").collect()}
+    assert got == cases
