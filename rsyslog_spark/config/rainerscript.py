@@ -1154,10 +1154,19 @@ def _mm_transform(atype: str, params: dict):
             lambda df: mmfields(df, delim=delim, prefix="cee_f")))
     if atype == "mmanon":
         from rsyslog_spark.operators.mm import mmanon
-        bits = int(p.get("ipv4.bits", "16"))
+        # ipv4 on by default (ref mmanon defaults); ipv6 applies when
+        # explicitly enabled — our embedded ipv6 path supports the
+        # full-anonymization widths (bits>=128), anon_ipv6_col raises
+        # on unsupported widths rather than silently diverging
+        bits = (int(p.get("ipv4.bits", "16"))
+                if flag("ipv4.enable", "on") else 0)
         mode = p.get("ipv4.mode", p.get("mode", "zero"))
+        kw = {}
+        if flag("ipv6.enable"):
+            kw["ipv6_bits"] = int(p.get("ipv6.bits", "128"))
+            kw["ipv6_mode"] = p.get("ipv6.anonmode", "zero")
         return Transform(atype, _gated_mm(
-            lambda df: mmanon(df, bits=bits, mode=mode),
+            lambda df: mmanon(df, bits=bits, mode=mode, **kw),
             touched=("msg",)))
     if atype == "mmutf8fix":
         from rsyslog_spark.operators.mm import mmutf8fix

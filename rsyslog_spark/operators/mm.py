@@ -99,9 +99,49 @@ def _octet() -> str:
     return r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 
 
+#: one IPv6 hex group
+_HEXG = r"[0-9A-Fa-f]{1,4}"
+#: the reference's IPv6 recognizer as a leftmost-scan regex (ref:
+#: plugins/mmanon/mmanon.c ipv6 recognizer; golden tests/
+#: mmanon_recognize_ipv6.sh): either the full 8-group form or a
+#: '::'-compressed form (both sides optional — '::' alone matches).
+#: No word anchors — mid-word addresses anonymize, like ipv4.
+IPV6_SCAN_RE = (rf"(?:{_HEXG}:){{7}}{_HEXG}"
+                rf"|(?:{_HEXG}(?::{_HEXG})*)?::"
+                rf"(?:{_HEXG}(?::{_HEXG})*)?")
+
+
+def anon_ipv6_col(c: ColumnOrName, bits: int = 128,
+                  mode: str = "zero") -> Column:
+    """mmanon ipv6 anonymization, zero mode (ref: plugins/mmanon
+    ipv6.anonmode/ipv6.bits; bits over 128 clamp to 128 like the
+    reference's mmanon_zero_128 test which passes 129). Only full
+    anonymization (bits >= 128 → the address becomes
+    ``0:0:0:0:0:0:0:0``) has a pure-column form — partial bit widths
+    on '::'-compressed text need address expansion first, which is a
+    per-match integer round trip; use the parsed-column path
+    (ipv42num analog) for that."""
+    if mode != "zero":
+        raise NotImplementedError("only zero mode is implemented")
+    if bits < 128:
+        raise NotImplementedError(
+            "embedded ipv6 anonymization supports bits>=128 (full) "
+            "only — partial widths need '::' expansion per match")
+    return F.regexp_replace(rs_str(c), f"(?:{IPV6_SCAN_RE})",
+                            "0:0:0:0:0:0:0:0")
+
+
 def mmanon(df: DataFrame, msg_col: str = "msg", bits: int = 8,
-           mode: str = "zero") -> DataFrame:
-    return df.withColumn(msg_col, anon_ipv4_col(F.col(msg_col), bits, mode))
+           mode: str = "zero", *,
+           ipv6_bits: int | None = None,
+           ipv6_mode: str = "zero") -> DataFrame:
+    out = df.withColumn(msg_col,
+                        anon_ipv4_col(F.col(msg_col), bits, mode))
+    if ipv6_bits is not None:
+        out = out.withColumn(
+            msg_col, anon_ipv6_col(F.col(msg_col), ipv6_bits,
+                                   ipv6_mode))
+    return out
 
 
 def mmrm1stspace(df: DataFrame, msg_col: str = "msg") -> DataFrame:

@@ -820,3 +820,49 @@ def test_mmanon_recognize_ipv4_reference_golden(spark):
     got = {r["__in"]: r["msg"] for r in
            mmanon(df, bits=32, mode="zero").collect()}
     assert got == cases
+
+
+def test_mmanon_recognize_ipv6_reference_golden(spark):
+    """Byte-exact reproduction of the reference's ipv6 recognizer
+    golden (tests/mmanon_recognize_ipv6.sh, ipv6.bits=128 zero mode):
+    full and '::'-compressed forms, '::' alone, mid-word addresses,
+    trailing-colon non-addresses untouched, and the '12:12345::a' ->
+    '12:1' + match('2345::a') scan split."""
+    from rsyslog_spark.operators.mm import anon_ipv6_col
+
+    cases = {
+        " asdfghjk": " asdfghjk",
+        " FFFF:FFFF:FFFF:FFFF:FFFF:FFFF:FFFF:FFFF": " 0:0:0:0:0:0:0:0",
+        " 61:34:ad::7:F aa:ff43::756:99:0":
+            " 0:0:0:0:0:0:0:0 0:0:0:0:0:0:0:0",
+        " ::": " 0:0:0:0:0:0:0:0",
+        " 0::": " 0:0:0:0:0:0:0:0",
+        " 13:abd:45:": " 13:abd:45:",
+        " 13:abd:45::. test": " 0:0:0:0:0:0:0:0. test",
+        " 13:abd:45::* test": " 0:0:0:0:0:0:0:0* test",
+        " *13:abd:45::* test": " *0:0:0:0:0:0:0:0* test",
+        " 13:abd:45:* test": " 13:abd:45:* test",
+        " ewirnwemaa:ff43::756:99:0": " ewirnwem0:0:0:0:0:0:0:0",
+        " a::, cc:: LLL": " 0:0:0:0:0:0:0:0, 0:0:0:0:0:0:0:0 LLL",
+        " 12:12345::a": " 12:10:0:0:0:0:0:0:0",
+        " textnoblank72:8374:adc7:47FF::43:0:1AFE":
+            " textnoblank0:0:0:0:0:0:0:0",
+        " 72:8374:adc7:47FF::43:0:1AFEstillnoblank":
+            " 0:0:0:0:0:0:0:0stillnoblank",
+        " textnoblank72:8374:adc7:47FF::43:0:1AFEstillnoblank":
+            " textnoblank0:0:0:0:0:0:0:0stillnoblank",
+    }
+    df = spark.createDataFrame([(m,) for m in cases], "msg string")
+    got = {r["msg"]: r["a"] for r in
+           df.select("msg", anon_ipv6_col("msg", bits=129,
+                                          mode="zero").alias("a"))
+           .collect()}
+    assert got == cases
+
+
+def test_mmanon_ipv6_partial_bits_rejected():
+    import pytest
+    from rsyslog_spark.operators.mm import anon_ipv6_col
+
+    with pytest.raises(NotImplementedError):
+        anon_ipv6_col("msg", bits=96)
