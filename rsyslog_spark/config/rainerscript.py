@@ -1143,9 +1143,12 @@ def _mm_transform(atype: str, params: dict):
         return Transform("mmnormalize", _gated_mm(fn))
     if atype == "mmjsonparse":
         from rsyslog_spark.operators.mm import mmjsonparse
-        cookie = p.get("cookie", "@cee:")
+        kw = dict(cookie=p.get("cookie", "@cee:"),
+                  mode=p.get("mode", "cookie"),
+                  max_scan_bytes=int(p.get("max_scan_bytes", "65536")),
+                  allow_trailing=flag("allow_trailing", "on"))
         return Transform(atype, _gated_mm(
-            lambda df: mmjsonparse(df, cookie=cookie),
+            lambda df: mmjsonparse(df, **kw),
             touched=("json", "json_parsed")))
     if atype == "mmfields":
         from rsyslog_spark.operators.mm import mmfields

@@ -14,27 +14,70 @@ from rsyslog_spark.functions.net import IPV4_RE
 from rsyslog_spark.parsers.rfc5424 import parse_structured_data
 
 
-def mmjsonparse(df: DataFrame, msg_col: str = "msg", out_col: str = "json",
-                cookie: str = "@cee:") -> DataFrame:
-    """Parse CEE/``@cee:`` JSON payload into the ``$!`` tree
-    (ref: plugins/mmjsonparse/mmjsonparse.c:1-5).
+def _balanced_json_re(depth: int = 8) -> str:
+    """Regex matching a braces-balanced, string-aware JSON object up
+    to ``depth`` nesting levels (regular expressions can't balance
+    unboundedly; 8 levels covers real log payloads — deeper objects
+    simply aren't found, like a scan-window miss)."""
+    s = r'"(?:[^"\\]|\\.)*"'
+    pat = rf'\{{(?:[^{{}}"]|{s})*\}}'
+    for _ in range(depth - 1):
+        pat = rf'\{{(?:[^{{}}"]|{s}|{pat})*\}}'
+    return pat
 
-    Sets ``$!parsesuccess``-analog column ``json_parsed``; on failure
-    the json column is left NULL (the reference leaves the tree empty
-    and sets $parsesuccess to OFF).
+
+def mmjsonparse(df: DataFrame, msg_col: str = "msg", out_col: str = "json",
+                cookie: str = "@cee:", mode: str = "cookie",
+                max_scan_bytes: int = 65536,
+                allow_trailing: bool = True) -> DataFrame:
+    """Parse JSON payloads into the ``$!`` tree (ref: plugins/
+    mmjsonparse/mmjsonparse.c).
+
+    ``mode="cookie"`` (default): the payload must follow the
+    ``@cee:`` cookie (or the message must BE the object).
+    ``mode="find-json"`` (mmjsonparse.c PARSE_MODE_FIND_JSON,
+    golden: tests/mmjsonparse-find-json-*.sh): scan the first
+    ``max_scan_bytes`` for the first position where a valid JSON
+    OBJECT parses and ends within the window; ``allow_trailing=False``
+    additionally requires only whitespace after the object (checked
+    against the FULL message). Candidate positions are tried
+    left-to-right exactly like the reference's memchr loop — a
+    balanced-but-invalid outer object falls through to an inner one
+    (overlapping-lookahead extraction + validity filter).
+
+    Sets ``json_parsed`` (the $parsesuccess analog). On ANY failure
+    the tree becomes ``{"msg": "<original>"}`` — the reference's
+    failure container (golden: parsesuccess=FAIL json={ "msg": ... }).
     """
     msg = rs_str(F.col(msg_col))
-    # strip the LEADING cookie only — substring_index(..., -1) would
-    # split on a '@cee:' occurring inside the JSON body itself
-    payload = F.when(
-        msg.startswith(cookie),
-        F.ltrim(F.substr(msg, F.lit(len(cookie) + 1)))
-    ).otherwise(F.when(msg.startswith("{"), msg))
-    # validate by attempting a variant parse; keep raw text on success
-    ok = F.try_parse_json(payload).isNotNull()
+    if mode == "cookie":
+        # strip the LEADING cookie only — substring_index(..., -1)
+        # would split on a '@cee:' inside the JSON body itself
+        payload = F.when(
+            msg.startswith(cookie),
+            F.ltrim(F.substr(msg, F.lit(len(cookie) + 1)))
+        ).otherwise(F.when(msg.startswith("{"), msg))
+        ok = F.try_parse_json(payload).isNotNull()
+        found = payload
+    elif mode == "find-json":
+        window = F.substring(msg, 1, max_scan_bytes)
+        cands = F.regexp_extract_all(
+            window, F.lit(f"(?=({_balanced_json_re()}))"), 1)
+        valid = F.filter(
+            cands, lambda x: F.try_parse_json(x).isNotNull())
+        found = F.try_element_at(valid, F.lit(1))
+        if not allow_trailing:
+            after = F.substr(
+                msg, F.position(found, msg) + F.length(found))
+            found = F.when(F.trim(after) == "", found)
+        ok = found.isNotNull()
+    else:
+        raise ValueError(f"unknown mmjsonparse mode {mode!r}")
+    failure_tree = F.to_json(F.struct(msg.alias("msg")))
     return (
-        df.withColumn(out_col, F.when(ok, payload))
-        .withColumn("json_parsed", ok.isNotNull() & ok)
+        df.withColumn(out_col, F.when(ok, found)
+                      .otherwise(failure_tree))
+        .withColumn("json_parsed", F.coalesce(ok, F.lit(False)))
     )
 
 

@@ -866,3 +866,68 @@ def test_mmanon_ipv6_partial_bits_rejected():
 
     with pytest.raises(NotImplementedError):
         anon_ipv6_col("msg", bits=96)
+
+
+class TestMmjsonparseFindJson:
+    """Goldens from the reference's find-json suite
+    (tests/mmjsonparse-find-json-{basic,trailing,scan-limit}.sh):
+    embedded-JSON discovery, trailing-data policy, scan window, and
+    the {"msg": ...} failure container."""
+
+    def _run(self, spark, msgs, **kw):
+        import json
+        from rsyslog_spark.operators.mm import mmjsonparse
+
+        df = spark.createDataFrame([(m,) for m in msgs], "msg string")
+        return {r["msg"]: (r["json_parsed"], json.loads(r["json"]))
+                for r in mmjsonparse(df, **kw).collect()}
+
+    def test_basic_cookie_vs_find(self, spark):
+        msg = ' LEGACY prefix {"field":"value"}'
+        got = self._run(spark, [msg])                 # cookie mode
+        assert got[msg] == (False, {"msg": msg})      # FAIL container
+        msg2 = ' FINDJSON prefix {"field":"value"}'
+        got2 = self._run(spark, [msg2], mode="find-json")
+        assert got2[msg2] == (True, {"field": "value"})
+
+    def test_trailing_policy(self, spark):
+        on = ' TRAILING_ON {"test":1} garbage after'
+        assert self._run(spark, [on], mode="find-json")[on] == \
+            (True, {"test": 1})
+        off = ' TRAILING_OFF {"test":2} garbage after'
+        assert self._run(spark, [off], mode="find-json",
+                         allow_trailing=False)[off] == \
+            (False, {"msg": off})
+        bnd = ' BOUNDARY {"a":1}X'
+        assert self._run(spark, [bnd], mode="find-json",
+                         allow_trailing=False)[bnd] == \
+            (False, {"msg": bnd})
+        ws = ' OKWS {"a":1}  '
+        assert self._run(spark, [ws], mode="find-json",
+                         allow_trailing=False)[ws] == (True, {"a": 1})
+
+    def test_scan_window(self, spark):
+        long = (' SCAN_LIMIT this is a long prefix before '
+                '{"test":"value"}')
+        assert self._run(spark, [long], mode="find-json",
+                         max_scan_bytes=10)[long] == \
+            (False, {"msg": long})
+        short = ' SCAN_OK short {"test":"value"}'
+        assert self._run(spark, [short], mode="find-json",
+                         max_scan_bytes=100)[short] == \
+            (True, {"test": "value"})
+
+    def test_invalid_outer_falls_through_to_inner(self, spark):
+        """The reference advances position by position: a balanced
+        but INVALID outer object must not hide a valid inner one
+        (mmjsonparse.c find_first_json_object i++ loop)."""
+        m = ' x { {"a":1} }'
+        # outer "{ {\"a\":1} }" is balanced but not valid JSON; the
+        # inner object parses
+        assert self._run(spark, [m], mode="find-json")[m] == \
+            (True, {"a": 1})
+
+    def test_no_json_anywhere(self, spark):
+        m = " nothing here at all"
+        assert self._run(spark, [m], mode="find-json")[m] == \
+            (False, {"msg": m})
