@@ -1168,6 +1168,11 @@ def _mm_transform(atype: str, params: dict):
         if flag("ipv6.enable"):
             kw["ipv6_bits"] = int(p.get("ipv6.bits", "128"))
             kw["ipv6_mode"] = p.get("ipv6.anonmode", "zero")
+        if flag("embeddedipv4.enable") or "embeddedipv4.bits" in p:
+            kw["embedded_bits"] = int(p.get("embeddedipv4.bits",
+                                            "128"))
+            kw["embedded_mode"] = p.get("embeddedipv4.anonmode",
+                                        "zero")
         return Transform(atype, _gated_mm(
             lambda df: mmanon(df, bits=bits, mode=mode, **kw),
             touched=("msg",)))

@@ -174,12 +174,57 @@ def anon_ipv6_col(c: ColumnOrName, bits: int = 128,
                             "0:0:0:0:0:0:0:0")
 
 
+def _embedded_ipv4_re() -> str:
+    """IPv4-embedded-in-IPv6 recognizer (ref: mmanon embeddedipv4.*;
+    golden tests/mmanon_recognize_ipembedded.sh): either the full
+    form — exactly 6 hex groups then the dotted quad — or a
+    '::'-compressed form where (left groups + right groups) <= 5,
+    since the v4 tail takes two of the 8 slots and '::' must stand
+    for at least one zero group. The slot arithmetic is enumerated
+    exactly (L+R <= 5), which is what makes
+    '13:abd:45:1:1:1::1:0.0.0.0' match only from 'abd' onward."""
+    h = _HEXG
+    v4 = r"\.".join([_octet()] * 4)
+    alts = [rf"(?:{h}:){{6}}{v4}"]
+    for total in range(5, -1, -1):           # longest forms first
+        for left in range(total, -1, -1):
+            right = total - left
+            lpat = rf"{h}(?::{h}){{{left - 1}}}" if left else ""
+            rpat = rf"(?:{h}:){{{right}}}"
+            alts.append(rf"{lpat}::{rpat}{v4}")
+    return "|".join(alts)
+
+
+def anon_ipv6_embedded_col(c: ColumnOrName, bits: int = 128,
+                           mode: str = "zero") -> Column:
+    """mmanon embeddedipv4 anonymization, zero mode, full width —
+    every IPv4-in-IPv6 address becomes ``0:0:0:0:0:0:0.0.0.0`` (the
+    reference's rendering keeps the v4 tail dotted)."""
+    if mode != "zero":
+        raise NotImplementedError("only zero mode is implemented")
+    if bits < 128:
+        raise NotImplementedError(
+            "embedded ipv4-in-ipv6 supports bits>=128 (full) only")
+    return F.regexp_replace(rs_str(c), f"(?:{_embedded_ipv4_re()})",
+                            "0:0:0:0:0:0:0.0.0.0")
+
+
 def mmanon(df: DataFrame, msg_col: str = "msg", bits: int = 8,
            mode: str = "zero", *,
            ipv6_bits: int | None = None,
-           ipv6_mode: str = "zero") -> DataFrame:
+           ipv6_mode: str = "zero",
+           embedded_bits: int | None = None,
+           embedded_mode: str = "zero") -> DataFrame:
     out = df.withColumn(msg_col,
                         anon_ipv4_col(F.col(msg_col), bits, mode))
+    if embedded_bits is not None:
+        # embedded v4-in-v6 runs BEFORE plain v6 so the dotted tail
+        # is still present to recognize (the reference checks
+        # embedded first too)
+        out = out.withColumn(
+            msg_col, anon_ipv6_embedded_col(F.col(msg_col),
+                                            embedded_bits,
+                                            embedded_mode))
     if ipv6_bits is not None:
         out = out.withColumn(
             msg_col, anon_ipv6_col(F.col(msg_col), ipv6_bits,

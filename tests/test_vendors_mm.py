@@ -931,3 +931,47 @@ class TestMmjsonparseFindJson:
         m = " nothing here at all"
         assert self._run(spark, [m], mode="find-json")[m] == \
             (False, {"msg": m})
+
+
+def test_mmanon_recognize_ipembedded_reference_golden(spark):
+    """Byte-exact reproduction of the reference's IPv4-in-IPv6
+    recognizer golden (tests/mmanon_recognize_ipembedded.sh,
+    embeddedipv4.bits=128 zero mode): exactly-6-group full form,
+    '::'-compressed with L+R <= 5 slot arithmetic, invalid v4 tails
+    untouched, and scan-position fallbacks."""
+    from rsyslog_spark.operators.mm import anon_ipv6_embedded_col
+
+    cases = {
+        " asdfghjk": " asdfghjk",
+        " FFFF:FFFF:FFFF:FFFF:FFFF:FFFF:255.255.255.255":
+            " 0:0:0:0:0:0:0.0.0.0",
+        " 61:34:ad::7:F aa:ff43::756:172.2.3.4":
+            " 61:34:ad::7:F 0:0:0:0:0:0:0.0.0.0",
+        " ::": " ::",
+        " 0::": " 0::",
+        " ::0.0.0.0": " 0:0:0:0:0:0:0.0.0.0",
+        " 13:abd:45:1:1:1:0.0.0.0": " 0:0:0:0:0:0:0.0.0.0",
+        " 13:abd:45::1:1:0.0.0.0": " 0:0:0:0:0:0:0.0.0.0",
+        " 13:abd:45:1:1:1:1:0.0.0.0": " 13:0:0:0:0:0:0:0.0.0.0",
+        " 13:abd:45:1:1:1::1:0.0.0.0":
+            " 13:abd:0:0:0:0:0:0:0.0.0.0",
+        " 13:abd:45:0.0.0.0": " 13:abd:45:0.0.0.0",
+        " 13:abd:45::. test": " 13:abd:45::. test",
+        " 13:abd:45::1.2.3.4 test": " 0:0:0:0:0:0:0.0.0.0 test",
+        " *13:abd:45::ac.2.3.5* test": " *13:abd:45::ac.2.3.5* test",
+        " ewirnwem aa:ff43:756:99:ff:445:cc.1.2.3.4":
+            " ewirnwem aa:ff43:756:99:ff:445:cc.1.2.3.4",
+        " aa::ff:bb:122:0:44.1.23.4.0": " 0:0:0:0:0:0:0.0.0.0.0",
+        " 12:12345::a.3.4.12.7": " 12:12345::a.3.4.12.7",
+        " textnoblank72:8374:adc7:47FF::43:172.1.1.0":
+            " textnoblank0:0:0:0:0:0:0.0.0.0",
+        " 72:8374:adc7:47FF::43:172.1.1.0stillnoblank":
+            " 0:0:0:0:0:0:0.0.0.0stillnoblank",
+        " textnoblank72:8374:adc7:47FF::43:172.1.1.0stillnoblank":
+            " textnoblank0:0:0:0:0:0:0.0.0.0stillnoblank",
+    }
+    df = spark.createDataFrame([(m,) for m in cases], "msg string")
+    got = {r["msg"]: r["a"] for r in
+           df.select("msg", anon_ipv6_embedded_col("msg").alias("a"))
+           .collect()}
+    assert got == cases
