@@ -115,14 +115,10 @@ def anon_ipv4_col(c: ColumnOrName, bits: int = 8, mode: str = "zero") -> Column:
     integer round-trip on each match — available via ipv42num/num2ipv4
     when applied to a pure-IP column).
     """
-    if mode != "zero":
-        raise NotImplementedError("only zero mode is implemented")
-    if bits not in (0, 8, 16, 24, 32):
-        raise NotImplementedError("octet-aligned widths only for embedded anon")
     s = rs_str(c)
+    bits = min(max(bits, 0), 32)    # ref clamps (mmanon_zero_33 test)
     if bits == 0:
         return s
-    keep = 4 - bits // 8
     o = _octet()
     # NO word-boundary anchors: the reference's recognizer is a plain
     # left-to-right scan that fires at ANY position where four valid
@@ -130,12 +126,61 @@ def anon_ipv4_col(c: ColumnOrName, bits: int = 8, mode: str = "zero") -> Column:
     # mmanon_recognize_ipv4.sh — '256.0.0.0' -> '20.0.0.0' because
     # '56.0.0.0' matches after the '2', and IPs embedded mid-word
     # anonymize too). The leftmost-match regex scan reproduces it.
-    if keep == 0:
-        return F.regexp_replace(s, rf"(?:{o}\.){{3}}{o}", "0.0.0.0")
-    kept = r"\.".join([o] * keep)
-    masked = r"\.".join([o] * (4 - keep))
-    zeros = ".".join(["0"] * (4 - keep))
-    return F.regexp_replace(s, rf"({kept})\.{masked}", f"$1.{zeros}")
+    if mode == "simple":
+        # simple mode rounds UP to whole octets and overwrites each
+        # with ONE replacement char (golden: mmanon_simple_12_ipv4.sh
+        # — bits=12 -> '172.0.234.255' becomes '172.0.x.x')
+        n = min((bits + 7) // 8, 4)
+        repl = ".".join(["x"] * n)
+        if n == 4:
+            return F.regexp_replace(s, rf"(?:{o}\.){{3}}{o}", repl)
+        kept = r"\.".join([o] * (4 - n))
+        masked = r"\.".join([o] * n)
+        return F.regexp_replace(s, rf"({kept})\.{masked}",
+                                f"$1.{repl}")
+    if mode != "zero":
+        raise NotImplementedError("modes: zero, simple (random/"
+                                  "random-consistent need an RNG "
+                                  "keyed per run — out of scope)")
+    if bits % 8 == 0:
+        keep = 4 - bits // 8
+        if keep == 0:
+            return F.regexp_replace(s, rf"(?:{o}\.){{3}}{o}",
+                                    "0.0.0.0")
+        kept = r"\.".join([o] * keep)
+        masked = r"\.".join([o] * (4 - keep))
+        zeros = ".".join(["0"] * (4 - keep))
+        return F.regexp_replace(s, rf"({kept})\.{masked}",
+                                f"$1.{zeros}")
+    # arbitrary (non-octet-aligned) widths, zero mode (golden:
+    # mmanon_zero_12_ipv4.sh — 172.0.234.255 @12 -> 172.0.224.0):
+    # regexp_replace has no compute-per-match, so split the text on
+    # the recognizer, numerically mask each extracted match, and
+    # stitch text and masked IPs back together — all column exprs.
+    pat = rf"(?:{o}\.){{3}}{o}"
+
+    def mask_ip(ip: Column) -> Column:
+        octs = F.split(ip, r"\.")
+        outs = []
+        for i in range(4):
+            z = min(max(bits - 8 * (3 - i), 0), 8)
+            v = F.element_at(octs, i + 1).cast("int")
+            if z == 0:
+                outs.append(v)
+            elif z >= 8:
+                outs.append(F.lit(0))
+            else:
+                outs.append(F.shiftleft(F.shiftright(v, z), z))
+        return F.concat_ws(".", *[x.cast("string") for x in outs])
+
+    parts = F.split(s, pat, -1)
+    ips = F.regexp_extract_all(s, F.lit(f"({pat})"), 1)
+    masked_ips = F.transform(ips, mask_ip)
+    rest = F.zip_with(
+        masked_ips,
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+        lambda m, p: F.concat(m, p))
+    return F.concat(F.element_at(parts, 1), F.array_join(rest, ""))
 
 
 def _octet() -> str:

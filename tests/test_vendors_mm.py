@@ -975,3 +975,36 @@ def test_mmanon_recognize_ipembedded_reference_golden(spark):
            df.select("msg", anon_ipv6_embedded_col("msg").alias("a"))
            .collect()}
     assert got == cases
+
+
+def test_mmanon_partial_bits_and_simple_mode_goldens(spark):
+    """Reference goldens for non-octet-aligned zero mode
+    (tests/mmanon_zero_12_ipv4.sh: numeric low-bit masking) and
+    simple mode (tests/mmanon_simple_12_ipv4.sh: round up to octets,
+    overwrite each with one 'x'); bits>32 clamps
+    (mmanon_zero_33_ipv4.sh)."""
+    from rsyslog_spark.operators.mm import mmanon
+
+    zero12 = {" 1.1.1.8": " 1.1.0.0", " 0.0.0.0": " 0.0.0.0",
+              " 172.0.234.255": " 172.0.224.0",
+              " 111.1.1.8.": " 111.1.0.0."}
+    df = spark.createDataFrame([(m,) for m in zero12], "msg string") \
+        .withColumn("k", F.col("msg"))
+    got = {r["k"]: r["msg"] for r in
+           mmanon(df, bits=12, mode="zero").collect()}
+    assert got == zero12
+
+    simple12 = {" 1.1.1.8": " 1.1.x.x", " 0.0.0.0": " 0.0.x.x",
+                " 172.0.234.255": " 172.0.x.x",
+                " 111.1.1.8.": " 111.1.x.x."}
+    df2 = spark.createDataFrame([(m,) for m in simple12],
+                                "msg string").withColumn(
+        "k", F.col("msg"))
+    got2 = {r["k"]: r["msg"] for r in
+            mmanon(df2, bits=12, mode="simple").collect()}
+    assert got2 == simple12
+
+    # bits=33 clamps to 32 (full zero)
+    df3 = spark.createDataFrame([(" 172.0.234.255",)], "msg string")
+    assert mmanon(df3, bits=33, mode="zero").first()["msg"] == \
+        " 0.0.0.0"
