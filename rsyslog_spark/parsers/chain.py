@@ -41,7 +41,6 @@ from rsyslog_spark.parsers.rfc3164 import _REST_RE, _ts3164_to_timestamp
 from rsyslog_spark.parsers.rfc5424 import _SD_MSG_RE, accepts_rfc5424
 from rsyslog_spark.schema import SYSLOG_COLUMNS
 
-_TAG_RE = r"^([A-Za-z0-9_\/.+-]+)(\[(\d+)\])?:\s?"
 
 # plan-build memo: Columns are immutable unresolved trees, safe to
 # share across DataFrames; rebuilding costs ~1500 Py4J round-trips
@@ -101,13 +100,17 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     ]
 
     # layer D — extracts over layer C (null inputs short-circuit the
-    # regex calls to null on the other parser's rows)
+    # regex calls to null on the other parser's rows).
+    # TAG scan (pmrfc3164.c:470-498): token up to the first ':' or
+    # SP; ':' terminates AND joins the tag, SP terminates and stays
+    # content, end-of-string ends the tag (one-word message = tag —
+    # the reference's BSD-message accommodation). No charset
+    # restriction inside the tag ('tag/with/slashes' is one tag).
     tagmsg = F.col("__tagmsg")
     layer_d = [
         F.regexp_extract(F.col("__tail"), _SD_MSG_RE, 1).alias("__sd"),
         F.regexp_extract(F.col("__tail"), _SD_MSG_RE, 2).alias("__msg5"),
-        F.regexp_extract(tagmsg, _TAG_RE, 1).alias("__tag1"),
-        F.regexp_extract(tagmsg, _TAG_RE, 3).alias("__tagpid"),
+        F.regexp_extract(tagmsg, r"^([^: ]+)", 1).alias("__tok"),
     ]
 
     # final layer — canonical fields over plain column refs
@@ -128,17 +131,19 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
                F.concat(F.lit("["), p5(5), F.lit("]"))).otherwise(F.lit("")),
         F.lit(":"),
     )
-    tag_found = F.col("__tag1") != ""
-    syslogtag3 = F.when(
-        tag_found,
-        F.concat(F.col("__tag1"),
-                 F.when(F.col("__tagpid") != "",
-                        F.concat(F.lit("["), F.col("__tagpid"),
-                                 F.lit("]"))).otherwise(F.lit("")),
-                 F.lit(":")),
-    ).otherwise(F.lit("-"))
-    msg3 = F.when(tag_found,
-                  F.regexp_replace(tagmsg, _TAG_RE, "")).otherwise(tagmsg)
+    tok = F.col("__tok")
+    after3 = F.substr(tagmsg, F.length(tok) + 1, F.lit(1 << 30))
+    colon_term = after3.startswith(":")
+    syslogtag3 = F.when(tagmsg == "", F.lit("-")) \
+        .otherwise(F.when(colon_term, F.concat(tok, F.lit(":")))
+                   .otherwise(tok))
+    # MSG after ':' strips one optional SP (engine default =
+    # bRemoveMsgFirstSpace=on, see parsers/rfc3164.py module note);
+    # after a SP terminator the same single space strips
+    msg3 = F.when(colon_term, F.regexp_replace(after3, r"^:\s?", "")) \
+        .otherwise(F.regexp_replace(after3, r"^ ", ""))
+    prog3 = F.regexp_extract(tok, r"^([^:\[/]*)", 1)
+    procid3 = F.regexp_extract(tok, r"\[(\d+)\]$", 1)
     # chain-exhausted fallback (ref: runtime/parser.c:615-660 — if no
     # parser accepts, message passes raw with bParseSuccess=0; pmnull
     # accepts everything and leaves MSG as the PRI-stripped line)
@@ -155,7 +160,11 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
 
     hostname = ab(p5(3), F.when(has_ts, F.col("__m3host")))
     timereported = ab(ts5424,
-                      F.when(has_ts, _ts3164_to_timestamp(F.col("__m3ts"))))
+                      F.when(has_ts, F.coalesce(
+                          # RFC3339 in the 3164 slot parses directly
+                          # (pmrfc3164 tries ParseTIMESTAMP3339 first)
+                          F.try_to_timestamp(F.col("__m3ts")),
+                          _ts3164_to_timestamp(F.col("__m3ts")))))
 
     def canonical(name: str) -> Column:
         if name == "rawmsg":
@@ -177,12 +186,11 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         if name == "syslogtag":
             return ab(syslogtag5, syslogtag3)
         if name == "programname":
-            return ab(F.coalesce(p5(4), F.lit("")), F.col("__tag1"))
+            return ab(F.coalesce(p5(4), F.lit("")), prog3)
         if name == "app_name":
             return ab(p5(4), null_s)
         if name == "procid":
-            return ab(p5(5), F.when(F.col("__tagpid") != "",
-                                    F.col("__tagpid")))
+            return ab(p5(5), F.when(procid3 != "", procid3))
         if name == "msgid":
             return ab(p5(6), null_s)
         if name == "inputname":

@@ -3,12 +3,22 @@ reference's pmrfc3164 (ref: tools/pmrfc3164.c, 585 LoC).
 
 Wire shape: ``<PRI>Mmm dd hh:mm:ss HOSTNAME TAG[pid]: MSG``.
 Permissive behaviors reproduced:
+- RFC3339 timestamps accepted in the 3164 TIMESTAMP slot (pmrfc3164
+  tries ParseTIMESTAMP3339 first — '<133>2011-03-01T11:22:12Z host
+  tag ...' parses; golden tests/prop-programname.sh).
 - no timestamp → whole rest is TAG+MSG, timereported = NULL
   (caller substitutes reception time, ref parser.c).
-- TAG terminates at ':' or '[' (programname derivation,
-  ref: runtime/msg.c getProgramName).
+- TAG terminates at ':' (colon is PART of the tag) or SP (the SP is
+  content, tag carries no colon) — pmrfc3164.c:470-498; no charset
+  restriction inside the tag.
+- programname = TAG up to the first ':', '[' or '/'
+  (runtime/msg.c acquireProgramName; permitSlashesInProgramname off,
+  the default — golden: 'tag/with/slashes' → 'tag').
 - year inference: RFC3164 has no year; we attach the current year
   (ref pmrfc3164 year guess).
+- the MSG's single leading space after the tag is stripped (the
+  engine default matches bRemoveMsgFirstSpace=on, the common distro
+  setting; mmrm1stspace exists for streams that keep it).
 """
 
 from __future__ import annotations
@@ -21,8 +31,11 @@ from rsyslog_spark.parsers.pri import pri_col, strip_pri
 
 # "Mar  1 01:00:00" | "Mar 11 01:00:00"
 TS3164_RE = r"[A-Z][a-z]{2} [ 0-9]\d \d{2}:\d{2}:\d{2}"
+# RFC3339 in the 3164 slot (pmrfc3164 tries 3339 first)
+TS3339_RE = (r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
+             r"(?:Z|[+-]\d{2}:\d{2})")
 # header after timestamp: hostname, then tag
-_REST_RE = rf"^({TS3164_RE}) (\S+) (.*)$"
+_REST_RE = rf"^({TS3164_RE}|{TS3339_RE}) (\S+) (.*)$"
 
 
 def _ts3164_to_timestamp(ts: Column) -> Column:
@@ -45,7 +58,8 @@ def rfc3164_fields(line) -> Column:
     # char-set rtrim, not regex — this subtree feeds every field
     rest = F.rtrim(strip_pri(raw), F.lit("\n\r\x00"))
 
-    has_ts = rest.rlike(f"^{TS3164_RE} ")
+    has_ts = rest.rlike(f"^(?:{TS3164_RE}|{TS3339_RE}) ")
+    is_iso = rest.rlike(f"^{TS3339_RE} ")
     ts_txt = F.regexp_extract(rest, _REST_RE, 1)
     hostname = F.regexp_extract(rest, _REST_RE, 2)
     tagmsg = F.regexp_extract(rest, _REST_RE, 3)
@@ -54,27 +68,32 @@ def rfc3164_fields(line) -> Column:
     tagmsg_nots = rest
     tagmsg_eff = F.when(has_ts, tagmsg).otherwise(tagmsg_nots)
 
-    # TAG = up to first ':' (included in syslogtag, reference keeps it)
-    # or '[pid]' block. MSG = remainder after ': '.
-    tag_re = r"^([A-Za-z0-9_\/.+-]+)(\[(\d+)\])?:\s?"
-    syslogtag = F.concat(
-        F.regexp_extract(tagmsg_eff, tag_re, 1),
-        F.when(F.regexp_extract(tagmsg_eff, tag_re, 2) != "",
-               F.regexp_extract(tagmsg_eff, tag_re, 2)).otherwise(F.lit("")),
-        F.lit(":"),
-    )
-    tag_found = F.regexp_extract(tagmsg_eff, tag_re, 1) != ""
-    syslogtag = F.when(tag_found, syslogtag).otherwise(F.lit("-"))
-    programname = F.regexp_extract(tagmsg_eff, tag_re, 1)
-    procid = F.regexp_extract(tagmsg_eff, tag_re, 3)
-    msg = F.when(tag_found, F.regexp_replace(tagmsg_eff, tag_re, ""))\
-        .otherwise(tagmsg_eff)
+    # TAG scan (pmrfc3164.c:470-498): chars up to the first ':' or
+    # SP. ':' terminates AND joins the tag; SP terminates and stays
+    # content; end-of-message terminates (one-word message = tag).
+    tok = F.regexp_extract(tagmsg_eff, r"^([^: ]+)", 1)
+    after = F.substr(tagmsg_eff, F.length(tok) + 1, F.lit(1 << 30))
+    colon_term = after.startswith(":")
+    syslogtag = F.when(tagmsg_eff == "", F.lit("-")) \
+        .otherwise(F.when(colon_term, F.concat(tok, F.lit(":")))
+                   .otherwise(tok))
+    # MSG: after ':' (one optional SP stripped — see module note) or
+    # after the SP terminator (same single-space strip)
+    msg = F.when(colon_term,
+                 F.regexp_replace(after, r"^:\s?", "")) \
+        .otherwise(F.regexp_replace(after, r"^ ", ""))
+    # programname/procid derive from the tag (msg.c
+    # acquireProgramName; pid = [NNN] suffix when present)
+    programname = F.regexp_extract(tok, r"^([^:\[/]*)", 1)
+    procid = F.regexp_extract(tok, r"\[(\d+)\]$", 1)
 
     return F.struct(
         pri.alias("pri"),
         F.shiftright(pri, 3).alias("syslogfacility"),
         pri.bitwiseAND(F.lit(7)).alias("syslogseverity"),
-        F.when(has_ts, _ts3164_to_timestamp(ts_txt)).alias("timereported"),
+        F.when(has_ts & is_iso, F.try_to_timestamp(ts_txt))
+        .when(has_ts, _ts3164_to_timestamp(ts_txt))
+        .alias("timereported"),
         F.when(has_ts, hostname).alias("hostname"),
         syslogtag.alias("syslogtag"),
         programname.alias("programname"),

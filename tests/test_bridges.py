@@ -443,11 +443,11 @@ def test_imdiag_injectmsg(spark, tmp_path):
         b.inject_n(5)
         df = _drain(b, spark, 5)
         parsed = parse_syslog(df)
-        msgs = sorted(r.msg for r in parsed.collect())
-        # 'tag' lacks the colon terminator, so pmrfc3164 leaves it in
-        # MSG (tag_found=false path), same as the reference's
-        # permissive parse of the testbench line
-        assert msgs == [f"tag msgnum:{i:08d}:" for i in range(5)]
+        rows = sorted((r.syslogtag, r.msg) for r in parsed.collect())
+        # SP-terminated 'tag' IS the TAG (pmrfc3164.c:470-498; the
+        # reference's own seq_check greps the tag off exactly like
+        # this) — msg carries only the msgnum payload
+        assert rows == [("tag", f"msgnum:{i:08d}:") for i in range(5)]
     finally:
         b.stop()
 

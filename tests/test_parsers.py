@@ -19,7 +19,11 @@ def test_rfc3164_tcpflood_default(spark):
     assert r["syslogfacility"] == 20
     assert r["syslogseverity"] == 5
     assert r["hostname"] == "172.20.245.8"
-    assert r["programname"] == "tag/prog"
+    # programname cuts at '/' with the default
+    # parser.permitSlashesInProgramname=off (runtime/msg.c
+    # acquireProgramName; golden tests/prop-programname.sh:
+    # 'tag/with/slashes' -> 'tag')
+    assert r["programname"] == "tag"
     assert r["procid"] == "1234"
     assert r["syslogtag"] == "tag/prog[1234]:"
     assert r["msg"] == "msgnum:00000001:"
@@ -40,7 +44,11 @@ def test_rfc3164_no_pri(spark):
 def test_rfc3164_no_timestamp(spark):
     r = parse_one(spark, "<14>just some text")
     assert r["pri"] == 14
-    assert r["msg"] == "just some text"
+    # the reference's TAG scan takes the first SP-terminated token as
+    # the tag even without a header (pmrfc3164.c:470-498 — its BSD
+    # message accommodation), leaving the rest as MSG
+    assert r["syslogtag"] == "just"
+    assert r["msg"] == "some text"
     assert r["hostname"] is None
     assert r["timereported"] is not None  # falls back to timegenerated
 
@@ -113,3 +121,21 @@ def test_receiver_stamped_props_preserved(spark):
     assert rows[1].fromhost is None
     assert all(r.inputname == "imudp" for r in rows)
     assert str(rows[0].timegenerated) == "2026-08-13 09:00:00"
+
+
+def test_programname_golden_and_iso_timestamp_in_3164(spark):
+    """Goldens from tests/prop-programname.sh: an RFC3339 timestamp is
+    accepted in the RFC3164 TIMESTAMP slot (pmrfc3164 tries
+    ParseTIMESTAMP3339 first), a slash-bearing token is ONE tag
+    (no charset restriction, SP-terminated without a colon), and
+    programname cuts at the first '/'."""
+    r = parse_one(
+        spark, "<133>2011-03-01T11:22:12Z host tag/with/slashes "
+               "msgh ...x")
+    assert r["syslogtag"] == "tag/with/slashes"
+    assert r["programname"] == "tag"
+    assert r["hostname"] == "host"
+    assert r["msg"] == "msgh ...x"
+    assert (r["timereported"].year, r["timereported"].month,
+            r["timereported"].day) == (2011, 3, 1)
+    assert r["pri"] == 133
