@@ -153,6 +153,8 @@ def prop_col(name: str, df=None) -> Column:
         # the whole $! tree rendered as JSON (ref: msg.c
         # MSG_PROP_ALL_JSON); engine keeps the tree in `json`
         return F.coalesce(F.col("json"), F.lit("{}"))
+    if name.lstrip("$").lower() == "jsonmesg":
+        return _jsonmesg_col(df)
     if name.startswith(("$!", "!")):
         from rsyslog_spark.functions import json_fns
         path = "$!" + name.lstrip("$").lstrip("!")
@@ -183,6 +185,44 @@ def prop_col(name: str, df=None) -> Column:
         return _pri_text(lo)
     alias = _PROP_ALIASES.get(lo)
     return F.col(alias[0] if alias else name.lstrip("$"))
+
+
+#: the key set and order of %jsonmesg% (ref: runtime/msg.c
+#: msgGetJSONMESG — every core property as a string, then the $! tree
+#: under "$!")
+_JSONMESG_KEYS = (
+    "msg", "rawmsg", "timestamp", "hostname", "syslogtag",
+    "inputname", "fromhost", "fromhost-ip", "fromhost-port", "pri",
+    "syslogfacility", "syslogseverity", "timegenerated",
+    "programname", "protocol-version", "structured-data", "app-name",
+    "procid", "msgid", "uuid",
+)
+
+
+def _jsonmesg_col(df=None) -> Column:
+    """%jsonmesg% (ref: msg.c PROP_JSONMESG / msgGetJSONMESG): the
+    WHOLE message as one JSON object — each core property rendered as
+    its default property-replacer string, plus the ``$!`` tree under
+    the key ``"$!"``. Assembled as to_json(struct(...)) (field order
+    preserved) with the raw tree spliced in, since to_json can't
+    embed pre-rendered JSON."""
+    fields = []
+    for key in _JSONMESG_KEYS:
+        out_key = "timereported" if key == "timestamp" else key
+        if df is not None:
+            col, _ = _PROP_ALIASES.get(key, (key, None))
+            if (col not in df.columns
+                    and key not in ("timestamp", "timegenerated")
+                    and not key.startswith("$")):
+                fields.append(F.lit("").alias(out_key))
+                continue
+        v = Prop(key).col(df)
+        fields.append(F.coalesce(rs_str(v), F.lit("")).alias(out_key))
+    head = F.to_json(F.struct(*fields))
+    tree = (F.coalesce(F.col("json"), F.lit("{}"))
+            if df is None or "json" in df.columns else F.lit("{}"))
+    return F.concat(F.regexp_replace(head, r"\}$", ""),
+                    F.lit(', "$!": '), tree, F.lit(" }"))
 
 
 def _pri_text(which: str) -> Column:

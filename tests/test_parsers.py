@@ -139,3 +139,61 @@ def test_programname_golden_and_iso_timestamp_in_3164(spark):
     assert (r["timereported"].year, r["timereported"].month,
             r["timereported"].day) == (2011, 3, 1)
     assert r["pri"] == 133
+
+
+def test_proprepltest_tag_goldens(spark):
+    """Goldens from tests/proprepltest-rfctag.sh and -nolimittag.sh:
+    tags are size-unlimited in the message (sysklogd compat) but
+    %syslogtag:1:32% renders at most 32 chars; SP-terminated and
+    one-char tags render as-is."""
+    from rsyslog_spark.parsers import parse_syslog
+    from rsyslog_spark.templates import compile_template_string
+
+    lines = [
+        "<167>Mar  6 16:57:54 172.20.245.8 TAG: Rest of message...",
+        "<167>Mar  6 16:57:54 172.20.245.8 0 Rest of message...",
+        "<167>Mar  6 16:57:54 172.20.245.8 "
+        "01234567890123456789012345678901 Rest of message...",
+        "<167>Mar  6 16:57:54 172.20.245.8 "
+        "01234567890123456789012345678901-toolong Rest of message...",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    lim = compile_template_string("+%syslogtag:1:32%+")
+    full = compile_template_string("+%syslogtag%+")
+    rows = parse_syslog(df).select(lim.col().alias("a"),
+                                   full.col().alias("b")).collect()
+    assert [r.a for r in rows] == [
+        "+TAG:+", "+0+",
+        "+01234567890123456789012345678901+",
+        "+01234567890123456789012345678901+",
+    ]
+    assert [r.b for r in rows] == [
+        "+TAG:+", "+0+",
+        "+01234567890123456789012345678901+",
+        "+01234567890123456789012345678901-toolong+",
+    ]
+
+
+def test_jsonmesg_property(spark):
+    """%jsonmesg% (msg.c msgGetJSONMESG; golden fragment from
+    tests/prop-jsonmesg-vg.sh): the whole message as one JSON object
+    — every core property as a string, $! tree under \"$!\"."""
+    import json
+    from rsyslog_spark.templates import compile_template_string
+
+    df = spark.createDataFrame(
+        [("<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:00000000:",)],
+        "line string")
+    p = parse_syslog(df)
+    out = p.select(compile_template_string("%jsonmesg%").col(p)
+                   .alias("j")).first()["j"]
+    d = json.loads(out)
+    assert d["msg"] == "msgnum:00000000:"       # the golden fragment
+    assert d["syslogtag"] == "tag"
+    assert d["hostname"] == "172.20.245.8"
+    assert (d["pri"], d["syslogfacility"], d["syslogseverity"]) == \
+        ("167", "20", "7")
+    assert d["timereported"] == "Mar  1 01:00:00"
+    assert d["$!"] == {}
+    assert list(d)[:5] == ["msg", "rawmsg", "timereported",
+                           "hostname", "syslogtag"]
