@@ -98,3 +98,47 @@ class TestFoldability:
         row = df.collect()[0]
         assert row["numeric_cmp"] is True   # 10 > 9 numerically
         assert row["string_cmp"] is True    # abc < abd stringly
+
+
+class TestCompareMatrixGolden:
+    """The reference's full mixed-type comparison matrix
+    (tests/rscript_compare_{num,numstr,str}x{num,numstr,str}.sh via
+    rscript_compare-common.sh): for each (lower, higher) pair all six
+    operators must order them correctly under rsyslog coercion."""
+
+    # (LOWER_VAL, HIGHER_VAL) exactly as the reference exports them
+    MATRIX = [
+        ("1", "2"),            # num-num
+        ("1", '"b"'),          # num-str
+        ("1", '"2"'),          # num-numstr
+        ('"1"', "2"),          # numstr-num
+        ('"1"', '"2"'),        # numstr-numstr
+        ('"1"', '"abc"'),      # numstr-str
+        ('"-"', "1"),          # str-num
+        ('"-"', '"2"'),        # str-numstr
+        ('"a"', '"b"'),        # str-str
+    ]
+
+    def test_all_pairs_all_operators(self, spark):
+        from rsyslog_spark.config.rainerscript import load_config
+
+        stmts = []
+        for i, (lo, hi) in enumerate(self.MATRIX):
+            stmts.append(f"set $!lo{i} = {lo}; set $!hi{i} = {hi};")
+            stmts.append(
+                f'set $.r{i}_le = $!lo{i} <= $!hi{i};'
+                f'set $.r{i}_lt = $!lo{i} <  $!hi{i};'
+                f'set $.r{i}_ge = $!hi{i} >= $!lo{i};'
+                f'set $.r{i}_gt = $!hi{i} >  $!lo{i};'
+                f'set $.r{i}_ne = $!hi{i} != $!lo{i};'
+                f'set $.r{i}_eq = $!hi{i} == $!lo{i};')
+        conf = ('ruleset(name="m") { ' + "\n".join(stmts)
+                + ' action(type="omfile" name="o") }')
+        eng, _ = load_config(conf)
+        df = spark.createDataFrame([("x",)], "msg string")
+        actions, _ = eng.run(df, "m")
+        row = dict(actions)["o"].collect()[0].asDict()
+        for i, pair in enumerate(self.MATRIX):
+            for op in ("le", "lt", "ge", "gt", "ne"):
+                assert row[f"local_r{i}_{op}"] is True, (pair, op)
+            assert row[f"local_r{i}_eq"] is False, (pair, "eq")
