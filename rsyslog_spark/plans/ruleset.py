@@ -319,6 +319,13 @@ class _Compiler:
                 name = varname(s.name)
                 prev = F.col(name) if name in self.df.columns else F.lit(None)
                 self.df = self.df.withColumn(name, F.when(live, v).otherwise(prev))
+                if s.name.startswith("$!"):
+                    # record the ORIGINAL deep path — varname's
+                    # '!'->'_' flattening is lossy, and the $!-tree
+                    # renderers (%$!%, %jsonmesg%) rebuild nesting
+                    # from this metadata (templates._set_tree_json)
+                    self.df = self.df.withMetadata(
+                        name, {"rs_path": s.name})
                 if s.name.startswith("$/"):
                     # persist for later runs/batches (plan-time store)
                     GLOBAL_VARS[name] = s.value

@@ -149,10 +149,13 @@ def prop_col(name: str, df=None) -> Column:
     with the set-value winning. Without a frame only the portable
     tree read compiles (a reference to a maybe-absent column would
     fail analysis)."""
-    if name in ("$!all-json", "!all-json"):
+    if name in ("$!all-json", "!all-json", "$!", "!"):
         # the whole $! tree rendered as JSON (ref: msg.c
-        # MSG_PROP_ALL_JSON); engine keeps the tree in `json`
-        return F.coalesce(F.col("json"), F.lit("{}"))
+        # MSG_PROP_ALL_JSON); engine keeps the parsed tree in `json`
+        # and set-$! values in flat cee_* columns — render merges
+        # both (set wins on top-level key collisions, like a set
+        # overriding a parsed field)
+        return _all_json_col(df)
     if name.lstrip("$").lower() == "jsonmesg":
         return _jsonmesg_col(df)
     if name.startswith(("$!", "!")):
@@ -187,6 +190,65 @@ def prop_col(name: str, df=None) -> Column:
     return F.col(alias[0] if alias else name.lstrip("$"))
 
 
+def _set_tree_json(df) -> Column | None:
+    """Render the ``set $!…`` flat columns (``cee_*``) back into a
+    nested JSON object. Deep paths come from the ``rs_path`` column
+    metadata the Set statement records (varname's '!'→'_' flattening
+    is lossy); columns without it (mm*-operator fields) are
+    single-level keys. NULL leaves drop out (to_json omits nulls), so
+    rows a gated set never touched render without the key."""
+    if df is None:
+        return None
+    root: dict = {}
+    for fld in df.schema.fields:
+        if not fld.name.startswith("cee_"):
+            continue
+        meta = fld.metadata or {}
+        path = meta.get("rs_path") or ("$!" + fld.name[len("cee_"):])
+        segs = [s for s in path[2:].split("!") if s]
+        if not segs:
+            continue
+        node = root
+        for seg in segs[:-1]:
+            nxt = node.get(seg)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[seg] = nxt
+            node = nxt
+        node[segs[-1]] = F.col(fld.name)
+
+    if not root:
+        return None
+
+    def build(node: dict) -> Column:
+        fields = []
+        for k, v in node.items():
+            c = build(v) if isinstance(v, dict) else v
+            fields.append(c.alias(k))
+        return F.struct(*fields)
+
+    return F.to_json(build(root))
+
+
+def _all_json_col(df=None) -> Column:
+    """``%$!%`` / ``$!all-json``: the parsed tree merged with set-$!
+    values. The merge is string-level at the top (set keys appended;
+    a JSON reader takes the LAST duplicate key, so a set overrides a
+    parsed field of the same top-level name — the set-wins
+    semantics)."""
+    tree = (F.coalesce(F.col("json"), F.lit("{}"))
+            if df is None or "json" in df.columns else F.lit("{}"))
+    setj = _set_tree_json(df)
+    if setj is None:
+        return tree
+    setj = F.coalesce(setj, F.lit("{}"))
+    return (F.when(setj == "{}", tree)
+            .when(tree == "{}", setj)
+            .otherwise(F.concat(
+                F.regexp_replace(tree, r"\}\s*$", ""), F.lit(","),
+                F.regexp_replace(setj, r"^\{", ""))))
+
+
 #: the key set and order of %jsonmesg% (ref: runtime/msg.c
 #: msgGetJSONMESG — every core property as a string, then the $! tree
 #: under "$!")
@@ -219,10 +281,9 @@ def _jsonmesg_col(df=None) -> Column:
         v = Prop(key).col(df)
         fields.append(F.coalesce(rs_str(v), F.lit("")).alias(out_key))
     head = F.to_json(F.struct(*fields))
-    tree = (F.coalesce(F.col("json"), F.lit("{}"))
-            if df is None or "json" in df.columns else F.lit("{}"))
     return F.concat(F.regexp_replace(head, r"\}$", ""),
-                    F.lit(', "$!": '), tree, F.lit(" }"))
+                    F.lit(', "$!": '), _all_json_col(df),
+                    F.lit(" }"))
 
 
 def _pri_text(which: str) -> Column:

@@ -1466,3 +1466,32 @@ input(type="imfile" file="{src}" ruleset="ruleset1")
             "opID=WFU-abfbbece] [WaitForUpdatesDone] Completed "
             "callback]",
         ])
+
+
+def test_all_json_renders_set_tree(spark, tmp_path):
+    """%$!% must include values written by set $!a!b (the reference
+    renders the live tree — tests/prop-all-json-concurrency.sh shape);
+    deep paths rebuild their nesting, parsed-tree keys merge, and a
+    set overrides a parsed top-level key."""
+    import json
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text('<13>Mar  1 10:00:00 h1 app: @cee: {"seen": 1}\n')
+    out = tmp_path / "out"
+    conf = f'''
+template(name="aj" type="string" string="%$!%")
+ruleset(name="m") {{
+  action(type="mmjsonparse")
+  set $!tree!here!nbr = 42;
+  set $!top = "v";
+  action(type="omfile" file="{out}" template="aj")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    import os
+    line = open([out / f for f in os.listdir(out)
+                 if f.startswith("part")][0]).read().strip()
+    d = json.loads(line)
+    assert d == {"seen": 1, "tree": {"here": {"nbr": 42}}, "top": "v"}
