@@ -864,8 +864,14 @@ def _var_col(name: str, df: DataFrame | None = None) -> Column:
         # message properties accept legacy spellings ($fromhost-ip,
         # $syslogseverity-text, $timestamp ...)
         from rsyslog_spark.templates import prop_col
-        return prop_col(name.lstrip("$"))
-    return F.col(varname(name))
+        return prop_col(name.lstrip("$"), df)
+    # $. local var: a read before any set yields NULL (the reference
+    # reads nonexistent vars as empty — exists() returns false, a
+    # compare sees ""), never an analysis error
+    flat = varname(name)
+    if df is not None and flat not in df.columns:
+        return F.lit(None).cast("string")
+    return F.col(flat)
 
 
 # The full RainerScript function registry (ref: grammar/

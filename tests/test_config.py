@@ -1495,3 +1495,31 @@ input(type="imfile" file="{src}" ruleset="m")
                  if f.startswith("part")][0]).read().strip()
     d = json.loads(line)
     assert d == {"seen": 1, "tree": {"here": {"nbr": 42}}, "top": "v"}
+
+
+def test_exists_goldens(spark):
+    """Goldens from tests/rscript_exists-{not1,not3,yes2}.sh:
+    exists() on a never-set $! or $. var is FALSE (never an analysis
+    error), true after set, false again after unset."""
+    from rsyslog_spark.config.rainerscript import load_config
+
+    conf = '''
+ruleset(name="m") {
+  set $.a = exists($!p1!p2!val);
+  set $.b = exists($.p1!p2!val);
+  set $.p1!p2!val = "yes!";
+  set $.c = exists($.p1!p2!val);
+  set $!q!r = "x";
+  set $.d = exists($!q!r);
+  unset $!q!r;
+  set $.e = exists($!q!r);
+  action(type="omfile" name="o")
+}
+'''
+    eng, _ = load_config(conf)
+    df = spark.createDataFrame([("msgnum",)], "msg string")
+    actions, _ = eng.run(df, "m")
+    r = dict(actions)["o"].collect()[0]
+    assert (r["local_a"], r["local_b"], r["local_c"],
+            r["local_d"], r["local_e"]) == \
+        (False, False, True, True, False)
