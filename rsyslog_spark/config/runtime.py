@@ -453,9 +453,13 @@ def run_config_batch(
                          & (F.length("line") > 0)))
     else:
         lines = spark.read.text(path).withColumnRenamed("value", "line")
+    permit_sl = cfg.directives.get(
+        "parser.permitslashesinprogramname", "off").lower() in (
+        "on", "true", "1")
     frame = _apply_main_queue_directives(
         parse_syslog(lines,
-                     parsers=_ruleset_parser_chain(cfg, ruleset_name)),
+                     parsers=_ruleset_parser_chain(cfg, ruleset_name),
+                     permit_slashes_in_programname=permit_sl),
         cfg)
     # persist the parsed batch once, every action filters from it —
     # the reference's direct-action batch commit (ruleset.c:632; the

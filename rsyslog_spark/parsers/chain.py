@@ -54,6 +54,7 @@ def _nil(c: Column) -> Column:
 def _build_layers(line_col: str, inputname: str, keep_raw: bool,
                   with_uuid: bool, want: list[str],
                   parsers: tuple = ("pmrfc5424", "pmrfc3164"),
+                  permit_slashes_in_programname: bool = False,
                   ) -> list[list[Column]]:
     line = F.col(line_col)
     tgen = F.current_timestamp()
@@ -142,7 +143,11 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     # after a SP terminator the same single space strips
     msg3 = F.when(colon_term, F.regexp_replace(after3, r"^:\s?", "")) \
         .otherwise(F.regexp_replace(after3, r"^ ", ""))
-    prog3 = F.regexp_extract(tok, r"^([^:\[/]*)", 1)
+    # programname terminators (msg.c acquireProgramName): ':', '[',
+    # and '/' unless global(parser.permitSlashesInProgramname="on")
+    prog_re = (r"^([^:\[]*)" if permit_slashes_in_programname
+               else r"^([^:\[/]*)")
+    prog3 = F.regexp_extract(tok, prog_re, 1)
     procid3 = F.regexp_extract(tok, r"\[(\d+)\]$", 1)
     # chain-exhausted fallback (ref: runtime/parser.c:615-660 — if no
     # parser accepts, message passes raw with bParseSuccess=0; pmnull
@@ -226,6 +231,7 @@ def parse_syslog(
     with_uuid: bool = False,
     columns: list[str] | None = None,
     parsers: tuple = ("pmrfc5424", "pmrfc3164"),
+    permit_slashes_in_programname: bool = False,
 ) -> DataFrame:
     """Raw lines → canonical syslog frame (SYSLOG_COLUMNS order).
 
@@ -251,11 +257,12 @@ def parse_syslog(
     # resolving Columns against a dead gateway
     sk = session_cache_key()
     key = (sk, line_col, inputname, keep_raw, with_uuid, tuple(want),
-           tuple(parsers))
+           tuple(parsers), permit_slashes_in_programname)
     layers = _CHAIN_CACHE.get(key) if sk else None
     if layers is None:
         layers = _build_layers(line_col, inputname, keep_raw,
-                               with_uuid, want, tuple(parsers))
+                               with_uuid, want, tuple(parsers),
+                               permit_slashes_in_programname)
         if sk:
             _CHAIN_CACHE[key] = layers
     # Receiver-stamped properties: the input module owns fromhost/

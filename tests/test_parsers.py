@@ -197,3 +197,17 @@ def test_jsonmesg_property(spark):
     assert d["$!"] == {}
     assert list(d)[:5] == ["msg", "rawmsg", "timereported",
                            "hostname", "syslogtag"]
+
+
+def test_permit_slashes_in_programname(spark):
+    """global(parser.permitSlashesInProgramname="on") keeps the full
+    slash-bearing token as programname (tests/
+    prop-programname-with-slashes.sh); default cuts at '/'."""
+    df = spark.createDataFrame(
+        [("<133>2011-03-01T11:22:12Z host tag/with/slashes m",)],
+        "line string")
+    on = parse_syslog(df, permit_slashes_in_programname=True) \
+        .first()["programname"]
+    off = parse_syslog(df).first()["programname"]
+    assert on == "tag/with/slashes"
+    assert off == "tag"
