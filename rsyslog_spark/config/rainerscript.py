@@ -851,6 +851,13 @@ def _var_col(name: str, df: DataFrame | None = None) -> Column:
             c = F.col(flat).cast("string")
             return F.coalesce(c, rf.json_get("json", name)) \
                 if has_json else c
+        # deep read INTO a flat JSON-subtree column (rs_json column
+        # metadata — mmpstrucdata's $!rfc5424-sd, etc.)
+        from rsyslog_spark.templates import flat_json_prefix_read
+        sub = flat_json_prefix_read(name, df)
+        if sub is not None:
+            return F.coalesce(sub, rf.json_get("json", name)) \
+                if has_json else sub
         if has_json:
             return rf.json_get("json", name)
         return F.lit(None).cast("string")
@@ -1102,7 +1109,10 @@ def _gated_mm(fn, touched: tuple[str, ...] = ()):
             if c.startswith("__mm_orig_"):
                 continue
             if c not in before:
+                meta = out.schema[c].metadata   # withColumn drops it
                 out = out.withColumn(c, F.when(live, F.col(c)))
+                if meta:
+                    out = out.withMetadata(c, meta)
             elif c in kept:
                 out = out.withColumn(
                     c, F.when(live, F.col(c))
@@ -1191,7 +1201,26 @@ def _mm_transform(atype: str, params: dict):
                                           touched=("msg",)))
     if atype == "mmpstrucdata":
         from rsyslog_spark.operators.mm import mmpstrucdata
-        return Transform(atype, _gated_mm(lambda df: mmpstrucdata(df)))
+        lowercase = flag("sd_name.lowercase", "on")
+
+        def fn(df, _lc=lowercase):
+            out = mmpstrucdata(df)
+            m = F.col("rfc5424_sd")
+            if _lc:
+                # sd_name.lowercase default on: SD-IDs fold to
+                # lowercase in the tree (mmpstrucdata.c)
+                m = F.map_from_arrays(
+                    F.transform(F.map_keys(m), F.lower),
+                    F.map_values(m))
+            # the reference lands the parse at $!rfc5424-sd —
+            # rendered/readable through the tree machinery (rs_json
+            # marks the column as a JSON subtree for deep reads)
+            out = out.withColumn("cee_rfc5424-sd", F.to_json(m)) \
+                .withMetadata("cee_rfc5424-sd",
+                              {"rs_path": "$!rfc5424-sd",
+                               "rs_json": True})
+            return out
+        return Transform(atype, _gated_mm(fn))
     if atype == "mmtaghostname":
         from rsyslog_spark.operators.mm import mmtaghostname
         kw = {}

@@ -171,6 +171,9 @@ def prop_col(name: str, df=None) -> Column:
         if flat in cols:
             c = F.col(flat).cast("string")
             return F.coalesce(c, tree) if has_json else c
+        sub = flat_json_prefix_read(path, df)
+        if sub is not None:
+            return F.coalesce(sub, tree) if has_json else sub
         return tree if has_json else F.lit(None).cast("string")
     if name.startswith(("$.", ".")):
         from rsyslog_spark.plans.ruleset import varname
@@ -188,6 +191,28 @@ def prop_col(name: str, df=None) -> Column:
         return _pri_text(lo)
     alias = _PROP_ALIASES.get(lo)
     return F.col(alias[0] if alias else name.lstrip("$"))
+
+
+def flat_json_prefix_read(path: str, df) -> Column | None:
+    """Deep read INTO a flat JSON-subtree column: when ``path``'s
+    longest flat-column prefix carries the ``rs_json`` metadata (the
+    column holds a JSON object — mmpstrucdata's ``$!rfc5424-sd``),
+    json_get the remainder out of it. None when no such prefix."""
+    from rsyslog_spark.functions import json_fns
+    from rsyslog_spark.plans.ruleset import varname
+
+    segs = path[2:].split("!")
+    cols = set(df.columns)
+    for k in range(len(segs) - 1, 0, -1):
+        pflat = varname("$!" + "!".join(segs[:k]))
+        if pflat not in cols:
+            continue
+        if (df.schema[pflat].metadata or {}).get("rs_json"):
+            rest = "$!" + "!".join(segs[k:])
+            return json_fns.json_get(F.col(pflat).cast("string"),
+                                     rest)
+        break
+    return None
 
 
 def _set_tree_json(df) -> Column | None:
@@ -215,7 +240,12 @@ def _set_tree_json(df) -> Column | None:
                 nxt = {}
                 node[seg] = nxt
             node = nxt
-        node[segs[-1]] = F.col(fld.name)
+        leaf = F.col(fld.name)
+        if meta.get("rs_json"):
+            # the column holds a JSON SUBTREE (mmpstrucdata etc.) —
+            # splice it raw, not as a quoted string
+            leaf = F.try_parse_json(leaf.cast("string"))
+        node[segs[-1]] = leaf
 
     if not root:
         return None

@@ -1523,3 +1523,37 @@ ruleset(name="m") {
     assert (r["local_a"], r["local_b"], r["local_c"],
             r["local_d"], r["local_e"]) == \
         (False, False, True, True, False)
+
+
+def test_mmpstrucdata_tree_render_and_deep_read(spark, tmp_path):
+    """The reference lands the SD parse at $!rfc5424-sd
+    (mmpstrucdata.c; golden shape tests/mmpstrucdata-case.sh): the
+    whole subtree renders via %$!rfc5424-sd% and params deep-read via
+    %$!rfc5424-sd!sdid!param% — through the flat-JSON-subtree
+    metadata machinery, and included in %$!%."""
+    import json
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text(
+        "<161>1 2003-03-01T01:00:00.000Z mymachine.example.com "
+        'tcpflood - tag [tcpflood@32473 eventID="1011"] valid '
+        "structured data\n")
+    out = tmp_path / "out"
+    conf = f'''
+template(name="outfmt" type="string"
+ string="SD:%$!rfc5424-sd% ev:%$!rfc5424-sd!tcpflood@32473!eventID% all:%$!%")
+ruleset(name="m") {{
+  action(type="mmpstrucdata")
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    import os
+    line = open([out / f for f in os.listdir(out)
+                 if f.startswith("part")][0]).read().strip()
+    assert line.startswith(
+        'SD:{"tcpflood@32473":{"eventID":"1011"}} ev:1011 all:')
+    tree = json.loads(line.split(" all:", 1)[1])
+    assert tree["rfc5424-sd"]["tcpflood@32473"]["eventID"] == "1011"
