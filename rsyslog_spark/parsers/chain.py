@@ -191,7 +191,12 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         if name == "syslogtag":
             return ab(syslogtag5, syslogtag3)
         if name == "programname":
-            return ab(F.coalesce(p5(4), F.lit("")), prog3)
+            # programname derives from the TAG for BOTH parsers
+            # (msg.c acquireProgramName runs on the final TAG) — the
+            # 5424 app-name gets the same terminator cuts
+            prog5 = F.regexp_extract(
+                F.coalesce(p5(4), F.lit("")), prog_re, 1)
+            return ab(prog5, prog3)
         if name == "app_name":
             return ab(p5(4), null_s)
         if name == "procid":
