@@ -1095,29 +1095,45 @@ def _value_fn(ast, tables: dict[str, Any] | None = None,
 def _gated_mm(fn, touched: tuple[str, ...] = ()):
     """Wrap an operator ``df -> df`` into a live-gated Transform fn:
     columns the op ADDS are NULL for rows the action doesn't reach;
-    columns it MODIFIES in place (``touched``) revert to their prior
+    EVERY pre-existing column the op rewrites reverts to its prior
     value there — the interpreter simply skips doAction for those
-    messages (ref: runtime/ruleset.c execAct)."""
+    messages (ref: runtime/ruleset.c execAct).
+
+    All pre-existing columns are snapshotted, not just a static
+    ``touched`` list: two mm actions under different filters writing
+    the same output column must not let the later stage's NULLs
+    clobber the earlier stage's values for rows it never reached.
+    The snapshot is one extra projection; for columns fn leaves
+    untouched the resulting ``when(live, c).otherwise(c)`` has
+    semantically-equal branches and Catalyst's SimplifyConditionals
+    collapses it to the bare attribute, so only genuinely rewritten
+    columns pay the conditional. ``touched`` is kept for API compat
+    but no longer limits the revert set."""
+    del touched  # superseded by the full-snapshot revert
+
     def apply(df: DataFrame, live: Column) -> DataFrame:
-        before = set(df.columns)
-        kept = [c for c in touched if c in before]
-        tmp = df
-        for c in kept:
-            tmp = tmp.withColumn(f"__mm_orig_{c}", F.col(c))
+        before = list(df.columns)
+        before_set = set(before)
+        tmp = df.select(
+            "*", *[F.col(c).alias(f"__mm_orig_{c}") for c in before])
         out = fn(tmp)
+        have_orig = {c for c in out.columns
+                     if c.startswith("__mm_orig_")}
         for c in out.columns:
             if c.startswith("__mm_orig_"):
                 continue
-            if c not in before:
-                meta = out.schema[c].metadata   # withColumn drops it
+            meta = out.schema[c].metadata   # withColumn drops it
+            if c not in before_set:
                 out = out.withColumn(c, F.when(live, F.col(c)))
-                if meta:
-                    out = out.withMetadata(c, meta)
-            elif c in kept:
+            elif f"__mm_orig_{c}" in have_orig:
                 out = out.withColumn(
                     c, F.when(live, F.col(c))
                     .otherwise(F.col(f"__mm_orig_{c}")))
-        return out.drop(*[f"__mm_orig_{c}" for c in kept])
+            else:
+                continue
+            if meta:
+                out = out.withMetadata(c, meta)
+        return out.drop(*sorted(have_orig))
     return apply
 
 

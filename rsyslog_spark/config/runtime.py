@@ -402,6 +402,25 @@ def _ruleset_parser_chain(cfg: ParsedConfig, ruleset: str) -> tuple:
     return known or ("pmrfc5424", "pmrfc3164")
 
 
+def _parser_opts(cfg) -> dict:
+    """Global parser-option directives → parse_syslog kwargs.
+
+    removeMsgFirstSpace: our engine default is ON (strip the MSG
+    leading space); the reference parser's own default is 0
+    (pmrfc3164.c:121,510) — "off" restores reference-exact raw %msg%
+    (COVERAGE §2.2 row documents the divergent default)."""
+    def flag(key: str, default: str) -> bool:
+        return cfg.directives.get(key, default).lower() in (
+            "on", "true", "1")
+
+    return {
+        "permit_slashes_in_programname":
+            flag("parser.permitslashesinprogramname", "off"),
+        "remove_msg_first_space":
+            flag("parser.removemsgfirstspace", "on"),
+    }
+
+
 def run_config_batch(
     spark: SparkSession,
     conf_src: str,
@@ -453,13 +472,10 @@ def run_config_batch(
                          & (F.length("line") > 0)))
     else:
         lines = spark.read.text(path).withColumnRenamed("value", "line")
-    permit_sl = cfg.directives.get(
-        "parser.permitslashesinprogramname", "off").lower() in (
-        "on", "true", "1")
     frame = _apply_main_queue_directives(
         parse_syslog(lines,
                      parsers=_ruleset_parser_chain(cfg, ruleset_name),
-                     permit_slashes_in_programname=permit_sl),
+                     **_parser_opts(cfg)),
         cfg)
     # persist the parsed batch once, every action filters from it —
     # the reference's direct-action batch commit (ruleset.c:632; the
@@ -667,7 +683,8 @@ def run_config_stream(
             read_mode=int(imfile_params.get(
                 "readMode", imfile_params.get("readmode", "0"))))
     frame = parse_syslog(
-        lines, parsers=_ruleset_parser_chain(cfg, ruleset_name))
+        lines, parsers=_ruleset_parser_chain(cfg, ruleset_name),
+        **_parser_opts(cfg))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()

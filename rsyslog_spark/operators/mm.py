@@ -63,13 +63,33 @@ def mmjsonparse(df: DataFrame, msg_col: str = "msg", out_col: str = "json",
         window = F.substring(msg, 1, max_scan_bytes)
         cands = F.regexp_extract_all(
             window, F.lit(f"(?=({_balanced_json_re()}))"), 1)
-        valid = F.filter(
-            cands, lambda x: F.try_parse_json(x).isNotNull())
-        found = F.try_element_at(valid, F.lit(1))
         if not allow_trailing:
+            # the trailing check needs the FIRST-valid candidate's
+            # actual offset — re-searching the matched text finds an
+            # earlier duplicate occurrence of the same substring.
+            # Fold true offsets instead: candidate k's start is the
+            # first occurrence of its text past candidate k-1's
+            # start (the lookahead scan emits a candidate at EVERY
+            # balanced-object position, so no occurrence of any
+            # candidate's text lies strictly between two consecutive
+            # candidate starts — the incremental locate is exact).
+            poss = F.aggregate(
+                cands, F.array(F.lit(0)),
+                lambda acc, x: F.concat(acc, F.array(F.position(
+                    x, msg, F.element_at(acc, F.lit(-1)) + 1))))
+            zipped = F.arrays_zip(
+                cands.alias("txt"),
+                F.slice(poss, 2, F.size(cands)).alias("pos"))
+            valid = F.filter(zipped, lambda s: F.try_parse_json(
+                s["txt"]).isNotNull())
+            first = F.try_element_at(valid, F.lit(1))
             after = F.substr(
-                msg, F.position(found, msg) + F.length(found))
-            found = F.when(F.trim(after) == "", found)
+                msg, first["pos"] + F.length(first["txt"]))
+            found = F.when(F.trim(after) == "", first["txt"])
+        else:
+            valid = F.filter(
+                cands, lambda x: F.try_parse_json(x).isNotNull())
+            found = F.try_element_at(valid, F.lit(1))
         ok = found.isNotNull()
     else:
         raise ValueError(f"unknown mmjsonparse mode {mode!r}")

@@ -55,6 +55,7 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
                   with_uuid: bool, want: list[str],
                   parsers: tuple = ("pmrfc5424", "pmrfc3164"),
                   permit_slashes_in_programname: bool = False,
+                  remove_msg_first_space: bool = True,
                   ) -> list[list[Column]]:
     line = F.col(line_col)
     tgen = F.current_timestamp()
@@ -138,11 +139,21 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     syslogtag3 = F.when(tagmsg == "", F.lit("-")) \
         .otherwise(F.when(colon_term, F.concat(tok, F.lit(":")))
                    .otherwise(tok))
-    # MSG after ':' strips one optional SP (engine default =
-    # bRemoveMsgFirstSpace=on, see parsers/rfc3164.py module note);
-    # after a SP terminator the same single space strips
-    msg3 = F.when(colon_term, F.regexp_replace(after3, r"^:\s?", "")) \
-        .otherwise(F.regexp_replace(after3, r"^ ", ""))
+    # MSG leading-space policy (pmrfc3164.c:510 bRemoveMsgFirstSpace;
+    # reference default = 0, keep the space — our ENGINE default
+    # strips it, see parsers/rfc3164.py module note / COVERAGE row):
+    # when stripping, one optional SP after ':' and the single SP
+    # terminator itself are removed; when keeping, MSG starts right
+    # after the ':' (space included) and a SP-terminated tag's space
+    # stays content
+    if remove_msg_first_space:
+        msg3 = F.when(colon_term,
+                      F.regexp_replace(after3, r"^:\s?", "")) \
+            .otherwise(F.regexp_replace(after3, r"^ ", ""))
+    else:
+        msg3 = F.when(colon_term, F.substr(after3, F.lit(2),
+                                           F.lit(1 << 30))) \
+            .otherwise(after3)
     # programname terminators (msg.c acquireProgramName): ':', '[',
     # and '/' unless global(parser.permitSlashesInProgramname="on")
     prog_re = (r"^([^:\[]*)" if permit_slashes_in_programname
@@ -237,6 +248,7 @@ def parse_syslog(
     columns: list[str] | None = None,
     parsers: tuple = ("pmrfc5424", "pmrfc3164"),
     permit_slashes_in_programname: bool = False,
+    remove_msg_first_space: bool = True,
 ) -> DataFrame:
     """Raw lines → canonical syslog frame (SYSLOG_COLUMNS order).
 
@@ -262,12 +274,14 @@ def parse_syslog(
     # resolving Columns against a dead gateway
     sk = session_cache_key()
     key = (sk, line_col, inputname, keep_raw, with_uuid, tuple(want),
-           tuple(parsers), permit_slashes_in_programname)
+           tuple(parsers), permit_slashes_in_programname,
+           remove_msg_first_space)
     layers = _CHAIN_CACHE.get(key) if sk else None
     if layers is None:
         layers = _build_layers(line_col, inputname, keep_raw,
                                with_uuid, want, tuple(parsers),
-                               permit_slashes_in_programname)
+                               permit_slashes_in_programname,
+                               remove_msg_first_space)
         if sk:
             _CHAIN_CACHE[key] = layers
     # Receiver-stamped properties: the input module owns fromhost/

@@ -16,9 +16,14 @@ Permissive behaviors reproduced:
   the default — golden: 'tag/with/slashes' → 'tag').
 - year inference: RFC3164 has no year; we attach the current year
   (ref pmrfc3164 year guess).
-- the MSG's single leading space after the tag is stripped (the
-  engine default matches bRemoveMsgFirstSpace=on, the common distro
-  setting; mmrm1stspace exists for streams that keep it).
+- the MSG's single leading space after the tag is stripped by the
+  ENGINE default (``remove_msg_first_space=True``). NOTE: the
+  reference's own default is bRemoveMsgFirstSpace=0 — keep the
+  space (pmrfc3164.c:121,510); pass ``remove_msg_first_space=False``
+  (config: ``parser.removeMsgFirstSpace="off"``) for reference-exact
+  raw %msg% reads. Template OUTPUT parity holds either way via
+  sp-if-no-1st-sp; the divergent default is documented in
+  COVERAGE.md §2.2.
 """
 
 from __future__ import annotations
@@ -46,11 +51,17 @@ def _ts3164_to_timestamp(ts: Column) -> Column:
     )
 
 
-def rfc3164_fields(line) -> Column:
+def rfc3164_fields(line, permit_slashes_in_programname: bool = False,
+                   remove_msg_first_space: bool = True) -> Column:
     """Parse a raw RFC3164 line into a struct of canonical fields.
 
     Returned struct: pri, syslogfacility, syslogseverity, timereported,
     hostname, syslogtag, programname, procid, msg, parsesuccess.
+
+    Both parser options take the same values as chain.parse_syslog
+    (``parser.permitSlashesInProgramname``,
+    ``parser.removeMsgFirstSpace``) so direct callers of this module
+    see them too, not just the chain.
     """
     raw = rs_str(line)
     pri = pri_col(raw)
@@ -77,14 +88,23 @@ def rfc3164_fields(line) -> Column:
     syslogtag = F.when(tagmsg_eff == "", F.lit("-")) \
         .otherwise(F.when(colon_term, F.concat(tok, F.lit(":")))
                    .otherwise(tok))
-    # MSG: after ':' (one optional SP stripped — see module note) or
-    # after the SP terminator (same single-space strip)
-    msg = F.when(colon_term,
-                 F.regexp_replace(after, r"^:\s?", "")) \
-        .otherwise(F.regexp_replace(after, r"^ ", ""))
+    # MSG: after ':' (one optional SP stripped when
+    # remove_msg_first_space — see module note) or after the SP
+    # terminator (same single-space policy)
+    if remove_msg_first_space:
+        msg = F.when(colon_term,
+                     F.regexp_replace(after, r"^:\s?", "")) \
+            .otherwise(F.regexp_replace(after, r"^ ", ""))
+    else:
+        msg = F.when(colon_term,
+                     F.substr(after, F.lit(2), F.lit(1 << 30))) \
+            .otherwise(after)
     # programname/procid derive from the tag (msg.c
-    # acquireProgramName; pid = [NNN] suffix when present)
-    programname = F.regexp_extract(tok, r"^([^:\[/]*)", 1)
+    # acquireProgramName; pid = [NNN] suffix when present; '/' cuts
+    # unless permitSlashesInProgramname)
+    prog_re = (r"^([^:\[]*)" if permit_slashes_in_programname
+               else r"^([^:\[/]*)")
+    programname = F.regexp_extract(tok, prog_re, 1)
     procid = F.regexp_extract(tok, r"\[(\d+)\]$", 1)
 
     return F.struct(

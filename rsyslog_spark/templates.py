@@ -262,18 +262,29 @@ def _set_tree_json(df) -> Column | None:
 
 def _all_json_col(df=None) -> Column:
     """``%$!%`` / ``$!all-json``: the parsed tree merged with set-$!
-    values. The merge is string-level at the top (set keys appended;
-    a JSON reader takes the LAST duplicate key, so a set overrides a
-    parsed field of the same top-level name — the set-wins
-    semantics)."""
+    values. Set keys append after the parsed keys; when a set key
+    also exists at the parsed top level, the parsed copy is DROPPED
+    for that row so every key renders exactly once with the
+    overriding value (the reference json_object_object_add replaces
+    in place — ref: runtime/msg.c msgAddJSON). The dedup branch
+    (map<string,variant> round-trip) only runs on rows with an
+    actual collision; collision-free rows keep the raw string-concat
+    (preserves the parsed text's original formatting)."""
     tree = (F.coalesce(F.col("json"), F.lit("{}"))
             if df is None or "json" in df.columns else F.lit("{}"))
     setj = _set_tree_json(df)
     if setj is None:
         return tree
     setj = F.coalesce(setj, F.lit("{}"))
+    tkeys = F.coalesce(F.json_object_keys(tree), F.array())
+    skeys = F.coalesce(F.json_object_keys(setj), F.array())
+    dedup = F.to_json(F.map_concat(
+        F.map_filter(F.from_json(tree, "map<string,variant>"),
+                     lambda k, _v: ~F.array_contains(skeys, k)),
+        F.from_json(setj, "map<string,variant>")))
     return (F.when(setj == "{}", tree)
             .when(tree == "{}", setj)
+            .when(F.arrays_overlap(tkeys, skeys), dedup)
             .otherwise(F.concat(
                 F.regexp_replace(tree, r"\}\s*$", ""), F.lit(","),
                 F.regexp_replace(setj, r"^\{", ""))))

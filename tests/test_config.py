@@ -1468,6 +1468,45 @@ input(type="imfile" file="{src}" ruleset="ruleset1")
         ])
 
 
+def test_gated_mm_preserves_other_actions_writes(spark, tmp_path):
+    """Two mmnormalize actions under different filters writing the
+    SAME field: each action's extraction must survive on the rows the
+    other action does not reach (the interpreter skips doAction for
+    filtered-out messages — ref: runtime/ruleset.c execAct). Guards
+    the _gated_mm full-snapshot revert: before the fix, the second
+    stage's NULLs (unmatched rule) clobbered the first stage's
+    values."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    rb_a = tmp_path / "a.rulebase"
+    rb_a.write_text("rule=:alpha %val:word%\n")
+    rb_b = tmp_path / "b.rulebase"
+    rb_b.write_text("rule=:beta %val:word%\n")
+    src = tmp_path / "in.log"
+    src.write_text("alpha one\nbeta two\n")
+    out = tmp_path / "out"
+    conf = f'''
+template(name="t" type="string" string="%$!val%\\n")
+ruleset(name="m") {{
+  if ($rawmsg contains "alpha") then {{
+      action(type="mmnormalize" rulebase="{rb_a}" useRawMsg="on")
+  }}
+  if ($rawmsg contains "beta") then {{
+      action(type="mmnormalize" rulebase="{rb_b}" useRawMsg="on")
+  }}
+  action(type="omfile" file="{out}" template="t")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    import os
+    lines = []
+    for f in sorted(os.listdir(out)):
+        if f.startswith("part"):
+            lines += open(out / f).read().splitlines()
+    assert sorted(lines) == ["one", "two"]
+
+
 def test_all_json_renders_set_tree(spark, tmp_path):
     """%$!% must include values written by set $!a!b (the reference
     renders the live tree — tests/prop-all-json-concurrency.sh shape);
@@ -1477,7 +1516,7 @@ def test_all_json_renders_set_tree(spark, tmp_path):
     from rsyslog_spark.config.runtime import run_config_batch
 
     src = tmp_path / "in.log"
-    src.write_text('<13>Mar  1 10:00:00 h1 app: @cee: {"seen": 1}\n')
+    src.write_text('<13>Mar  1 10:00:00 h1 app: @cee: {"seen": 1, "top": 9}\n')
     out = tmp_path / "out"
     conf = f'''
 template(name="aj" type="string" string="%$!%")
@@ -1495,6 +1534,10 @@ input(type="imfile" file="{src}" ruleset="m")
                  if f.startswith("part")][0]).read().strip()
     d = json.loads(line)
     assert d == {"seen": 1, "tree": {"here": {"nbr": 42}}, "top": "v"}
+    # the colliding top-level key renders exactly ONCE (set wins in
+    # place — no duplicate-key text a strict JSON reader would trip
+    # on): ref msg.c msgAddJSON replaces via json_object_object_add
+    assert line.count('"top"') == 1
 
 
 def test_exists_goldens(spark):

@@ -199,6 +199,50 @@ def test_jsonmesg_property(spark):
                            "hostname", "syslogtag"]
 
 
+def test_remove_msg_first_space_option(spark):
+    """parser.removeMsgFirstSpace: the reference DEFAULT keeps the
+    MSG leading space (pmrfc3164.c:121 bRemoveMsgFirstSpace=0, only
+    stripped at :510 when enabled); our engine default strips it
+    (documented divergence). The option restores reference-exact raw
+    %msg% in both the chain and the standalone module."""
+    from rsyslog_spark.parsers.rfc3164 import rfc3164_fields
+
+    df = spark.createDataFrame(
+        [("<13>Mar  1 10:00:00 h1 app: hello",),
+         ("<13>Mar  1 10:00:00 h1 word content here",)],
+        "line string")
+    on = [r["msg"] for r in parse_syslog(df).collect()]
+    off = [r["msg"] for r in parse_syslog(
+        df, remove_msg_first_space=False).collect()]
+    assert on == ["hello", "content here"]
+    assert off == [" hello", " content here"]
+    # standalone module sees the same options (not just the chain)
+    s_on = [r["s"]["msg"] for r in df.select(
+        rfc3164_fields("line").alias("s")).collect()]
+    s_off = [r["s"]["msg"] for r in df.select(
+        rfc3164_fields("line", remove_msg_first_space=False)
+        .alias("s")).collect()]
+    assert s_on == ["hello", "content here"]
+    assert s_off == [" hello", " content here"]
+
+
+def test_rfc3164_fields_permit_slashes(spark):
+    """permitSlashesInProgramname works for direct rfc3164_fields
+    callers, matching the chain's behavior."""
+    from rsyslog_spark.parsers.rfc3164 import rfc3164_fields
+
+    df = spark.createDataFrame(
+        [("<13>Mar  1 10:00:00 h1 tag/with/slashes m",)],
+        "line string")
+    on = df.select(rfc3164_fields(
+        "line", permit_slashes_in_programname=True).alias("s")) \
+        .first()["s"]["programname"]
+    off = df.select(rfc3164_fields("line").alias("s")) \
+        .first()["s"]["programname"]
+    assert on == "tag/with/slashes"
+    assert off == "tag"
+
+
 def test_permit_slashes_in_programname(spark):
     """global(parser.permitSlashesInProgramname="on") keeps the full
     slash-bearing token as programname (tests/

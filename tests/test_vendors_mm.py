@@ -932,6 +932,34 @@ class TestMmjsonparseFindJson:
         assert self._run(spark, [m], mode="find-json")[m] == \
             (False, {"msg": m})
 
+    def test_trailing_check_uses_match_offset(self, spark):
+        """allow_trailing=False must evaluate the trailing check at
+        the chosen candidate's own offset even when the same JSON
+        substring occurs more than once (the reference checks
+        check_pos = i + parsed_len of the FIRST valid parse —
+        mmjsonparse.c:263)."""
+        # first valid object is the FIRST occurrence; data after it
+        # → reject, even though the last duplicate ends clean
+        dup = ' {"a":1} mid {"a":1}  '
+        assert self._run(spark, [dup], mode="find-json",
+                         allow_trailing=False)[dup] == \
+            (False, {"msg": dup})
+        # identical duplicates where the first is also the clean one
+        ws = ' {"a":1}  '
+        assert self._run(spark, [ws], mode="find-json",
+                         allow_trailing=False)[ws] == (True, {"a": 1})
+        # invalid outer falls through to the inner candidate; the
+        # offset carried out of the scan is the INNER one, so the
+        # trailing check starts after it
+        inner = ' { {"a":1} }'
+        assert self._run(spark, [inner], mode="find-json",
+                         allow_trailing=False)[inner] == \
+            (False, {"msg": inner})
+        inner_ok = ' x{ {"a":1}  '
+        assert self._run(spark, [inner_ok], mode="find-json",
+                         allow_trailing=False)[inner_ok] == \
+            (True, {"a": 1})
+
 
 def test_mmanon_recognize_ipembedded_reference_golden(spark):
     """Byte-exact reproduction of the reference's IPv4-in-IPv6
