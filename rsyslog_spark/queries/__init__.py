@@ -125,12 +125,16 @@ def collect_all() -> dict[str, Query]:
     # the driver last verified, pinned by _tail_manifest.json. ANY
     # body change to a tail query breaks the hash assertion at import
     # and forces it back inside the window. The tail set also rotates
-    # each round (r4: dedup_exact, similarity_topk_bruteforce,
-    # dynstats_hourly re-entered the window; flagship_parse_route,
-    # rfc5424_roundtrip_fields, faup_url_decompose — green r1+r2+r3 —
-    # took their slots) so every family periodically regains driver
-    # coverage. tools/check_correctness.py still verifies ALL
-    # registered queries, tail included.
+    # each round (r5: dedup_exact, field_extract,
+    # pri_filter_selectors — parked since r2 — re-entered the window;
+    # nine r3+r4-green batteries took tail slots to make room for the
+    # six NEW oracle queries for the previously unit-only components:
+    # sessionize_stats, mmjsontransform_unflatten, mmaudit_parse,
+    # mmsnmptrapd_rewrite, pmdb2diag_parse, imjournal_field_map — all
+    # inside the window for first-time driver verification) so every
+    # family periodically regains driver coverage.
+    # tools/check_correctness.py still verifies ALL registered
+    # queries, tail included.
     for tail in _TAIL:
         out[tail] = out.pop(tail)
     _verify_tail_manifest({t: out[t] for t in _TAIL})
@@ -138,8 +142,7 @@ def collect_all() -> dict[str, Query]:
 
 
 #: queries parked past the driver's 50-row window — see collect_all()
-_TAIL = ("similarity_topk_bruteforce", "dedup_exact",
-         "field_extract", "pri_filter_selectors",
+_TAIL = ("similarity_topk_bruteforce",
          "mmfields_split", "mmanon_embedded",
          "mmpstrucdata_parse", "dynstats_maxcard_overflow",
          "percentile_stats_values",
@@ -150,7 +153,12 @@ _TAIL = ("similarity_topk_bruteforce", "dedup_exact",
          "ruleset_route_fanout",
          "flagship_parse_route",
          "rfc5424_roundtrip_fields",
-         "faup_url_decompose")
+         "faup_url_decompose",
+         "template_render", "scalar_battery",
+         "scalar_battery_misc", "json_tree_battery",
+         "lookup_battery", "vendor_parse_pair",
+         "mm_seq_count", "text_battery",
+         "pricing_summary")
 
 
 def tail_body_hash(q: Query) -> str:

@@ -537,3 +537,269 @@ def mmaitag_classify(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     out = mmaitag(docs.select("doc_id", F.col("text").alias("msg")))
     return out.select("doc_id", "aitag")
+
+
+@q(
+    "mmjsontransform_unflatten",
+    """
+    SELECT event_id,
+           CASE WHEN user_id % 11 = 0 THEN
+             '{"e":{"ty":"' || event_type || '","u":' || user_id
+             || ',"s":{"q":' || event_id || '}}}'
+           ELSE
+             '{"e":{"ty":"' || event_type || '","u":' || user_id
+             || ',"s":{"q":' || event_id || '}},"keep":1}'
+           END AS unflat
+    FROM events
+    """,
+    doc="mmjsontransform unflatten: dotted keys rebuild their "
+        "nesting, dropKeys removes, renameRules renames during the "
+        "rewrite (ref: plugins/mmjsontransform/mmjsontransform.c:"
+        "63-66,116-192). Input JSON synthesized from events columns; "
+        "the oracle builds the expected nested text directly, so the "
+        "flatten→rename→drop→unflatten path is byte-pinned "
+        "(json.dumps compact separators).",
+)
+def mmjsontransform_unflatten(spark, sf_dir):
+    from rsyslog_spark.operators.mm import mmjsontransform
+
+    ev = load(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"e.t":"'), F.col("event_type"),
+            F.lit('","e.u":'), F.col("user_id").cast("string"),
+            F.lit(',"e.s.q":'), F.col("event_id").cast("string"),
+            F.lit(',"drop.me":1'),
+            F.when(F.col("user_id") % 11 == 0, F.lit(""))
+            .otherwise(F.lit(',"keep":1')),
+            F.lit("}"),
+        ).alias("json"),
+    )
+    out = mmjsontransform(
+        src, input_col="json", output_col="unflat",
+        drop_keys=["drop.me"], rename_rules={"e.t": "e.ty"})
+    return out.select("event_id", "unflat")
+
+
+@q(
+    "mmaudit_parse",
+    """
+    SELECT event_id,
+           CASE WHEN user_id % 7 = 0 THEN NULL ELSE 'SYSCALL' END
+             AS audit_type,
+           CASE WHEN user_id % 7 = 0 THEN NULL ELSE
+             make_timestamp((1700000000 + event_id % 100000) * 1000000
+                            + (event_id % 1000) * 1000)
+           END AS audit_time,
+           CASE WHEN user_id % 7 = 0 THEN NULL
+                ELSE CAST(event_id AS BIGINT) END AS audit_seq,
+           CASE WHEN user_id % 7 = 0 THEN NULL
+                ELSE CAST(user_id AS VARCHAR) END AS uid,
+           CASE WHEN user_id % 7 = 0 THEN NULL ELSE event_type END
+             AS comm
+    FROM events
+    """,
+    doc="mmaudit header + k=v field map (ref: plugins/mmaudit/"
+        "mmaudit.c:164-259): type=..., msg=audit(SECS.MS:SEQ), "
+        "quoted and bare values; non-audit rows yield NULLs (the "
+        "reference leaves non-matching messages untouched). Lines "
+        "synthesized from events; the oracle recomputes every field "
+        "from the source columns.",
+)
+def mmaudit_parse(spark, sf_dir):
+    from rsyslog_spark.operators.mm import mmaudit
+
+    ev = load(spark, sf_dir, "events")
+    secs = (F.lit(1700000000) + F.col("event_id") % 100000)
+    msec = F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0")
+    audit_line = F.concat(
+        F.lit("type=SYSCALL msg=audit("), secs.cast("string"),
+        F.lit("."), msec, F.lit(":"), F.col("event_id").cast("string"),
+        F.lit("): uid="), F.col("user_id").cast("string"),
+        F.lit(' comm="'), F.col("event_type"), F.lit('"'),
+    )
+    src = ev.select(
+        "event_id",
+        F.when(F.col("user_id") % 7 == 0,
+               F.concat(F.lit("plain message "),
+                        F.col("event_id").cast("string")))
+        .otherwise(audit_line).alias("msg"),
+    )
+    out = mmaudit(src)
+    return out.select(
+        "event_id", "audit_type", "audit_time",
+        F.col("audit_seq").cast("long").alias("audit_seq"),
+        F.col("audit_fields")["uid"].alias("uid"),
+        F.col("audit_fields")["comm"].alias("comm"),
+    )
+
+
+@q(
+    "mmsnmptrapd_rewrite",
+    """
+    SELECT event_id,
+           CASE WHEN user_id % 3 = 0 OR user_id % 5 = 0
+                THEN 'snmptrapd:'
+                ELSE 'app[' || user_id || ']:' END AS syslogtag,
+           CASE WHEN user_id % 3 = 0 OR user_id % 5 = 0
+                THEN 'trap' || user_id
+                ELSE 'h' || (user_id % 4) END AS hostname,
+           CAST(CASE WHEN user_id % 3 = 0 THEN 4
+                     ELSE user_id % 8 END AS BIGINT) AS severity
+    FROM events
+    """,
+    doc="mmsnmptrapd tag rewrite (ref: plugins/mmsnmptrapd/"
+        "mmsnmptrapd.c): tags shaped snmptrapd/severity/realhost: "
+        "promote the trap's original host + severity and reduce the "
+        "tag; unknown severity names still promote host/tag but keep "
+        "the message severity; non-matching tags untouched.",
+)
+def mmsnmptrapd_rewrite(spark, sf_dir):
+    from rsyslog_spark.operators.mm import mmsnmptrapd
+
+    ev = load(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    tag = (
+        F.when(uid % 3 == 0,
+               F.concat(F.lit("snmptrapd/warning/trap"),
+                        uid.cast("string"), F.lit(":")))
+        .when(uid % 5 == 0,
+              F.concat(F.lit("snmptrapd/bogus/trap"),
+                       uid.cast("string"), F.lit(":")))
+        .otherwise(F.concat(F.lit("app["), uid.cast("string"),
+                            F.lit("]:"))))
+    src = ev.select(
+        "event_id",
+        tag.alias("syslogtag"),
+        F.concat(F.lit("h"), (uid % 4).cast("string"))
+        .alias("hostname"),
+        (uid % 8).cast("int").alias("syslogseverity"),
+    )
+    out = mmsnmptrapd(src)
+    return out.select(
+        "event_id", "syslogtag", "hostname",
+        F.col("syslogseverity").cast("long").alias("severity"))
+
+
+@q(
+    "pmdb2diag_parse",
+    """
+    SELECT event_id,
+           CASE WHEN user_id % 9 = 0 THEN NULL ELSE
+             strptime(
+               '2024-03-01-12.30.' || lpad(CAST(event_id % 60 AS VARCHAR), 2, '0')
+               || '.' || lpad(CAST(event_id % 1000000 AS VARCHAR), 6, '0'),
+               '%Y-%m-%d-%H.%M.%S.%f')
+           END AS db2_time,
+           CASE WHEN user_id % 9 = 0 THEN NULL
+                ELSE CASE user_id % 4 WHEN 0 THEN 'CRITICAL'
+                     WHEN 1 THEN 'ERROR' WHEN 2 THEN 'WARNING'
+                     ELSE 'INFO' END END AS db2_level,
+           CAST(CASE WHEN user_id % 9 = 0 THEN NULL
+                ELSE CASE user_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3
+                     WHEN 2 THEN 4 ELSE 6 END END AS BIGINT)
+             AS db2_severity,
+           CASE WHEN user_id % 9 = 0 THEN NULL
+                ELSE CAST(user_id AS BIGINT) END AS db2_pid,
+           CASE WHEN user_id % 9 = 0 THEN NULL
+                ELSE CAST(event_id % 100 AS BIGINT) END AS db2_tid,
+           CASE WHEN user_id % 9 = 0 THEN NULL
+                ELSE 'db2sysc_' || event_type END AS db2_proc
+    FROM events
+    """,
+    doc="pmdb2diag DB2 diagnostic-log parse (ref: contrib/pmdb2diag/"
+        "pmdb2diag.c:96-176): microsecond timestamp, LEVEL token → "
+        "severity map, PID/TID/PROC extraction; non-DB2 lines yield "
+        "NULLs. Lines synthesized from events; oracle recomputes "
+        "each field (strptime %f = microseconds, matching Spark's "
+        "SSSSSS).",
+)
+def pmdb2diag_parse(spark, sf_dir):
+    from rsyslog_spark.parsers.vendors import pmdb2diag
+
+    ev = load(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    level = (F.when(uid % 4 == 0, "CRITICAL")
+             .when(uid % 4 == 1, "ERROR")
+             .when(uid % 4 == 2, "WARNING").otherwise("INFO"))
+    line = F.concat(
+        F.lit("2024-03-01-12.30."),
+        F.lpad((F.col("event_id") % 60).cast("string"), 2, "0"),
+        F.lit("."),
+        F.lpad((F.col("event_id") % 1000000).cast("string"), 6, "0"),
+        F.lit(" I123A45 LEVEL: "), level,
+        F.lit(" PID : "), uid.cast("string"),
+        F.lit(" TID : "), (F.col("event_id") % 100).cast("string"),
+        F.lit(" PROC : db2sysc_"), F.col("event_type"),
+    )
+    src = ev.select(
+        "event_id",
+        F.when(uid % 9 == 0,
+               F.concat(F.lit("not a db2 line "),
+                        F.col("event_id").cast("string")))
+        .otherwise(line).alias("msg"),
+    )
+    out = pmdb2diag(src)
+    return out.select(
+        "event_id", "db2_time",
+        F.col("db2_level").alias("db2_level"),
+        F.col("db2_severity").cast("long").alias("db2_severity"),
+        "db2_pid", "db2_tid", "db2_proc")
+
+
+@q(
+    "imjournal_field_map",
+    """
+    SELECT event_id,
+           'evt ' || event_type AS msg,
+           CAST(user_id % 8 AS BIGINT) AS severity,
+           CAST(3 AS BIGINT) AS facility,
+           CASE WHEN user_id % 2 = 0 THEN 'comm' || (user_id % 10)
+                ELSE 'ident' || (user_id % 10) END AS tag,
+           'host' || (user_id % 5) AS hostname,
+           CAST(user_id AS VARCHAR) AS procid,
+           make_timestamp(1700000000000000 + event_id) AS timereported
+    FROM events
+    """,
+    doc="imjournal journal-export field mapping (ref: plugins/"
+        "imjournal/imjournal.c readJSONfromJournalMsg:434-470): "
+        "MESSAGE/PRIORITY/SYSLOG_FACILITY/_HOSTNAME/_PID/"
+        "__REALTIME_TIMESTAMP promotion and the SYSLOG_IDENTIFIER→"
+        "_COMM tag fallback, exercised through the real export-entry "
+        "text parse (journal_entry_map — the same path imjournal "
+        "feeds).",
+)
+def imjournal_field_map(spark, sf_dir):
+    from rsyslog_spark.streaming.bridges import journal_entry_map
+
+    ev = load(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    nl = F.lit("\n")
+    ident = (
+        # odd user_ids carry SYSLOG_IDENTIFIER; even ones only _COMM
+        # (exercises the reference's fallback)
+        F.when(uid % 2 == 0,
+               F.concat(F.lit("_COMM=comm"),
+                        (uid % 10).cast("string")))
+        .otherwise(F.concat(
+            F.lit("SYSLOG_IDENTIFIER=ident"),
+            (uid % 10).cast("string"), nl,
+            F.lit("_COMM=comm"), (uid % 10).cast("string"))))
+    entry = F.concat(
+        F.lit("MESSAGE=evt "), F.col("event_type"), nl,
+        F.lit("PRIORITY="), (uid % 8).cast("string"), nl,
+        F.lit("SYSLOG_FACILITY=3"), nl,
+        ident, nl,
+        F.lit("_HOSTNAME=host"), (uid % 5).cast("string"), nl,
+        F.lit("_PID="), uid.cast("string"), nl,
+        F.lit("__REALTIME_TIMESTAMP="),
+        (F.lit(1700000000000000) + F.col("event_id")).cast("string"),
+    )
+    src = ev.select("event_id", entry.alias("entry"))
+    out = journal_entry_map(src, "entry")
+    return out.select(
+        "event_id", "msg",
+        F.col("syslogseverity").cast("long").alias("severity"),
+        F.col("syslogfacility").cast("long").alias("facility"),
+        "tag", "hostname", "procid", "timereported")

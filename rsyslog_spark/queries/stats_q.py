@@ -238,3 +238,47 @@ def action_exec_controls(spark, sf_dir):
     return every3.join(once, "event_type")
 
 
+
+
+@q(
+    "sessionize_stats",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_id
+      FROM lagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts)))
+                AS BIGINT) AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Gaps-and-islands sessionization + per-session aggregates "
+        "(operators/stats.py sessionize/session_stats — the "
+        "log-analytics staple the reference leaves to downstream "
+        "SQL, SURVEY §2.10). ONE shuffle on the key: lag gap-detect "
+        "and running-sum island numbering share the partitioning, "
+        "the groupBy rides it. Streaming twin uses native "
+        "session_window (e2e-tested in test_streaming).",
+)
+def sessionize_stats(spark, sf_dir):
+    from rsyslog_spark.operators.stats import session_stats
+
+    ev = load(spark, sf_dir, "events")
+    out = session_stats(ev, ["user_id"], "ts", gap="10 minutes")
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events", "session_start", "session_end",
+        F.col("duration_s").cast("long").alias("duration_s"))

@@ -383,8 +383,22 @@ def imjournal(spark: SparkSession, path: str, *,
            .select(F.col("value").alias("content")))
     entry = F.explode(
         F.split("content", r"\n(?:[ \t]*\n)+")).alias("entry")
+    ent = raw.select(entry).filter(F.trim("entry") != "")
+    return journal_entry_map(ent, "entry")
+
+
+def journal_entry_map(df: DataFrame, entry_col: str = "entry"
+                      ) -> DataFrame:
+    """One journal export-format entry (``FIELD=value`` lines) →
+    mapped message properties. The field mapping IS imjournal's
+    (readJSONfromJournalMsg, imjournal.c:434-470): MESSAGE→msg,
+    PRIORITY→syslogseverity, SYSLOG_FACILITY→syslogfacility,
+    SYSLOG_IDENTIFIER→tag (fallback _COMM), _HOSTNAME→hostname,
+    _PID→procid, __REALTIME_TIMESTAMP (µs)→timereported. Split out
+    of :func:`imjournal` so the map itself is oracle-checkable
+    (queries/normalize_q.imjournal_field_map)."""
     kv = F.filter(
-        F.split(F.col("entry"), "\n"),
+        F.split(F.col(entry_col), "\n"),
         lambda ln: ln.contains("="))
     pairs = F.transform(
         kv,
@@ -393,10 +407,11 @@ def imjournal(spark: SparkSession, path: str, *,
             F.substr(ln, F.instr(ln, "=") + 1).alias("value"),
         ))
     m = F.map_from_entries(pairs)
-    ent = raw.select(entry).filter(F.trim("entry") != "") \
-             .select(m.alias("j"))
+    keep = [c for c in df.columns if c != entry_col]
+    ent = df.select(*keep, m.alias("j"))
     g = F.col("j")
     return ent.select(
+        *keep,
         g["MESSAGE"].alias("msg"),
         g["PRIORITY"].cast("int").alias("syslogseverity"),
         g["SYSLOG_FACILITY"].cast("int").alias("syslogfacility"),
