@@ -310,11 +310,19 @@ class _Parser:
         return cfg
 
     def _register_template(self, params: dict) -> None:
+        # template(option.casesensitive="on") / legacy ",casesensitive"
+        # (ref: template.c:747,2101): keep var-name case in the
+        # template; default lowercases CEE/local/global names
+        cs = (str(params.get("option.casesensitive", "off")).lower()
+              in ("on", "true", "1")
+              or "casesensitive" in str(params.get("options", ""))
+              .lower().split(","))
         if params.get("type", "string") == "string" \
                 and "string" in params:
             from rsyslog_spark.templates import compile_template_string
             self.cfg.templates[params["name"]] = \
-                compile_template_string(params["string"])
+                compile_template_string(params["string"],
+                                        casesensitive=cs)
         elif params.get("type") == "subtree":
             # subtree template (ref: template.h:45-46): render a $!
             # path (or the whole tree) as its JSON text
@@ -354,7 +362,8 @@ class _Parser:
                     _JsonfTemplate(params["__elements__"])
             else:
                 self.cfg.templates[params["name"]] = \
-                    compile_template_list(params["__elements__"])
+                    compile_template_list(params["__elements__"],
+                                          casesensitive=cs)
         else:
             self.cfg.templates[params["name"]] = params
 
@@ -842,24 +851,26 @@ def _var_col(name: str, df: DataFrame | None = None) -> Column:
     the set-value winning (ref: runtime/msg.c MsgGetJSONPropJSON;
     writes and reads go through the same tree there)."""
     if name.startswith("$!"):
+        from rsyslog_spark.plans.ruleset import fold_var
+        name = fold_var(name)
         flat = varname(name)
         cols = set(df.columns) if df is not None else None
         if cols is None:
-            return rf.json_get("json", name)
+            return rf.tree_get("json", name)
         has_json = "json" in cols
         if flat in cols:
             c = F.col(flat).cast("string")
-            return F.coalesce(c, rf.json_get("json", name)) \
+            return F.coalesce(c, rf.tree_get("json", name)) \
                 if has_json else c
         # deep read INTO a flat JSON-subtree column (rs_json column
         # metadata — mmpstrucdata's $!rfc5424-sd, etc.)
         from rsyslog_spark.templates import flat_json_prefix_read
         sub = flat_json_prefix_read(name, df)
         if sub is not None:
-            return F.coalesce(sub, rf.json_get("json", name)) \
+            return F.coalesce(sub, rf.tree_get("json", name)) \
                 if has_json else sub
         if has_json:
-            return rf.json_get("json", name)
+            return rf.tree_get("json", name)
         return F.lit(None).cast("string")
     if name.startswith("$/"):
         # global vars resolve through the process-global plan-time
@@ -1223,11 +1234,17 @@ def _mm_transform(atype: str, params: dict):
             out = mmpstrucdata(df)
             m = F.col("rfc5424_sd")
             if _lc:
-                # sd_name.lowercase default on: SD-IDs fold to
-                # lowercase in the tree (mmpstrucdata.c)
+                # sd_name.lowercase default on: SD-IDs AND param
+                # names fold to lowercase in the tree (mmpstrucdata.c
+                # parseSD_NAME:259 runs for both; golden
+                # mmpstrucdata-case.sh pins the off mode)
                 m = F.map_from_arrays(
                     F.transform(F.map_keys(m), F.lower),
-                    F.map_values(m))
+                    F.transform(
+                        F.map_values(m),
+                        lambda pm: F.map_from_arrays(
+                            F.transform(F.map_keys(pm), F.lower),
+                            F.map_values(pm))))
             # the reference lands the parse at $!rfc5424-sd —
             # rendered/readable through the tree machinery (rs_json
             # marks the column as a JSON subtree for deep reads)
@@ -1287,6 +1304,13 @@ def load_config(src: str, tables: dict[str, Any] | None = None,
     from rsyslog_spark.plans.ruleset import RulesetEngine
 
     cfg = parse_config(src, base_dir=base_dir)
+    # global(variables.casesensitive=...) — process-global like the
+    # reference's fjson switch (glbl.c:1405); ALWAYS set so each
+    # config load re-establishes its own (or the default) mode
+    from rsyslog_spark.plans.ruleset import set_var_case_sensitive
+    set_var_case_sensitive(
+        str(cfg.directives.get("variables.casesensitive",
+                               "off")).lower() in ("on", "true", "1"))
     for name, params in cfg.lookup_tables.items():
         if "file" in params:
             cfg.active_tables[name] = LookupTable.from_json_file(

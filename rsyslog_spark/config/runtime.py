@@ -402,6 +402,31 @@ def _ruleset_parser_chain(cfg: ParsedConfig, ruleset: str) -> tuple:
     return known or ("pmrfc5424", "pmrfc3164")
 
 
+def _tz_table(cfg) -> dict[str, str]:
+    """timezone(id=.. offset=..) objects → abbreviation table (ref:
+    runtime/timezones.c glblProcessTimezone / addTimezoneInfo)."""
+    return {str(o.get("id")): str(o.get("offset"))
+            for o in cfg.objects.get("timezone", [])
+            if o.get("id") and o.get("offset")}
+
+
+def _vendor_parser_stage(cfg, ruleset: str):
+    """Vendor parsers referenced by ruleset(parser=..) run as a
+    post-chain stage. pmciscoios consumes the config's timezone()
+    table during its TZSTRING timestamp parse (the reference's only
+    PARSE3164_TZSTRING caller — pmciscoios.c:206)."""
+    pname = (cfg.ruleset_params.get(ruleset) or {}).get("parser")
+    if not pname:
+        return None
+    types = [p.get("type") for p in cfg.objects.get("parser", [])
+             if p.get("name") == pname]
+    if "pmciscoios" in types:
+        from rsyslog_spark.parsers.vendors import pmciscoios
+        tz = _tz_table(cfg)
+        return lambda df: pmciscoios(df, timezones=tz or None)
+    return None
+
+
 def _parser_opts(cfg) -> dict:
     """Global parser-option directives → parse_syslog kwargs.
 
@@ -472,11 +497,13 @@ def run_config_batch(
                          & (F.length("line") > 0)))
     else:
         lines = spark.read.text(path).withColumnRenamed("value", "line")
-    frame = _apply_main_queue_directives(
-        parse_syslog(lines,
-                     parsers=_ruleset_parser_chain(cfg, ruleset_name),
-                     **_parser_opts(cfg)),
-        cfg)
+    frame = parse_syslog(lines,
+                         parsers=_ruleset_parser_chain(cfg, ruleset_name),
+                         **_parser_opts(cfg))
+    vstage = _vendor_parser_stage(cfg, ruleset_name)
+    if vstage is not None:
+        frame = vstage(frame)
+    frame = _apply_main_queue_directives(frame, cfg)
     # persist the parsed batch once, every action filters from it —
     # the reference's direct-action batch commit (ruleset.c:632; the
     # streaming path does the same via fanout_sink). Without this,
@@ -685,6 +712,9 @@ def run_config_stream(
     frame = parse_syslog(
         lines, parsers=_ruleset_parser_chain(cfg, ruleset_name),
         **_parser_opts(cfg))
+    vstage = _vendor_parser_stage(cfg, ruleset_name)
+    if vstage is not None:
+        frame = vstage(frame)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()

@@ -21,7 +21,8 @@ from rsyslog_spark.functions.net import (
 )
 from rsyslog_spark.functions.hashing import hash32, hash32mod, hash64, hash64mod
 from rsyslog_spark.functions.json_fns import (
-    parse_json_variant, json_get, json_get_num, append_json, unflatten,
+    parse_json_variant, json_get, json_get_ci, json_get_num, tree_get,
+    append_json, unflatten,
 )
 from rsyslog_spark.functions.url import (
     faup, faup_scheme, faup_credential, faup_subdomain, faup_domain,
@@ -45,7 +46,8 @@ __all__ = [
     "http_request", "format_time", "parse_time", "is_time",
     "ipv42num", "num2ipv4", "int2hex", "b64_decode", "is_in_subnet",
     "hash32", "hash32mod", "hash64", "hash64mod",
-    "parse_json_variant", "json_get", "json_get_num", "append_json",
+    "parse_json_variant", "json_get", "json_get_ci", "json_get_num",
+    "tree_get", "append_json",
     "exec_template",
     "unflatten", "faup", "faup_scheme", "faup_credential", "faup_subdomain",
     "faup_domain", "faup_domain_without_tld", "faup_host", "faup_tld",

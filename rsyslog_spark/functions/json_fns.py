@@ -29,6 +29,42 @@ def json_get(json_col: ColumnOrName, path: str) -> Column:
     return F.get_json_object(rs_str(json_col), _json_path(path))
 
 
+def json_get_ci(json_col: ColumnOrName, path: str) -> Column:
+    """Case-insensitive tree read: each path segment matches the
+    FIRST key (object order) whose lowercase equals the segment's —
+    libfastjson's case-insensitive comparison, the reference default
+    (glbl.c variables.casesensitive=off). Level-by-level
+    map<string,string> walk (nested objects surface as their raw
+    JSON text, so chaining works); leaf semantics match
+    get_json_object (scalars unquoted, objects as JSON text)."""
+    segs = [s for s in path.lstrip("$").lstrip("!.")
+            .replace("!", ".").split(".") if s]
+    def key_match(low: str):
+        return lambda k, _v: F.lower(k) == low
+
+    cur = rs_str(json_col)
+    for seg in segs:
+        m = F.from_json(cur, "map<string,string>")
+        hits = F.map_filter(m, key_match(seg.lower()))
+        cur = F.try_element_at(F.map_values(hits), F.lit(1))
+    return cur
+
+
+def tree_get(json_col: ColumnOrName, path: str) -> Column:
+    """$!-tree read honoring variables.casesensitive: exact
+    (codegen'd get_json_object) when case-sensitive; in the default
+    case-insensitive mode the path is pre-folded by the caller and
+    the exact probe is backed by the case-insensitive walk, which
+    only evaluates on rows where the exact lookup misses (coalesce
+    is lazy per row) — the hot path stays get_json_object."""
+    from rsyslog_spark.plans.ruleset import var_case_sensitive
+
+    if var_case_sensitive():
+        return json_get(json_col, path)
+    return F.coalesce(json_get(json_col, path),
+                      json_get_ci(json_col, path))
+
+
 def json_get_num(json_col: ColumnOrName, path: str) -> Column:
     return F.coalesce((json_get(json_col, path)).try_cast("long"), F.lit(0))
 

@@ -83,30 +83,48 @@ def dnscache_enrich(
     out_col: str = "fromhost",
     resolver: Callable[[list[str]], list[str | None]] | None = None,
     max_batch: int = 10_000,
+    max_cardinality: int | None = None,
 ) -> DataFrame:
     """Reverse-DNS enrich with a cache (ref: runtime/dnscache.c).
 
     Distinct IPs in the frame are resolved ONCE through ``resolver``
-    (batched list-in/list-out) and joined back broadcast — the cache
-    is the dimension itself, so a million rows from one sender cost
-    one resolution, same as the reference's hash-table cache.
+    (batched list-in/list-out) and joined back — the cache is the
+    dimension itself, so a million rows from one sender cost one
+    resolution, same as the reference's hash-table cache.
+
+    The dimension never touches the driver: one partial-agg shuffle
+    of 4-16-byte keys builds the distinct set, resolution runs
+    EXECUTOR-side over Arrow batches (mapInPandas), and the join back
+    is a plain equi-join — AQE turns it into a broadcast join when
+    the resolved dim is small, and falls back to a shuffle join for
+    the IPv6-spray / DDoS-log cardinalities where a broadcast (or the
+    old driver-side collect) would OOM. ``max_cardinality`` caps
+    resolution like the reference cache's entry bound: only the first
+    N distinct IPs (sorted — deterministic) resolve, the overflow
+    passes through with ``out_col`` untouched.
     """
     resolver = resolver or _fake_resolver
-    spark = df.sparkSession
-    # deterministic batching: resolve ALL distinct IPs in max_batch
-    # chunks (an unordered limit() would resolve an arbitrary subset
-    # and leave the rest silently unresolved, varying run to run)
-    distinct_ips = sorted(
-        r[0] for r in df.select(ip_col).distinct().collect()
-        if r[0] is not None)
-    names = []
-    for off in range(0, len(distinct_ips), max_batch):
-        names.extend(resolver(distinct_ips[off:off + max_batch]))
-    dim = spark.createDataFrame(
-        list(zip(distinct_ips, names)) or [(None, None)],
-        f"{ip_col} string, __resolved string",
-    )
-    joined = df.join(F.broadcast(dim), on=ip_col, how="left")
+
+    ips = (df.select(F.col(ip_col))
+           .where(F.col(ip_col).isNotNull()).distinct())
+    if max_cardinality is not None:
+        # deterministic cap (an unordered limit() would resolve an
+        # arbitrary subset, varying run to run)
+        ips = ips.orderBy(ip_col).limit(max_cardinality)
+
+    def resolve_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals = pdf[ip_col].tolist()
+            names: list = []
+            for off in range(0, len(vals), max_batch):
+                names.extend(resolver(vals[off:off + max_batch]))
+            yield pd.DataFrame({ip_col: vals, "__resolved": names})
+
+    dim = ips.mapInPandas(resolve_batches,
+                          f"{ip_col} string, __resolved string")
+    joined = df.join(dim, on=ip_col, how="left")
     return joined.withColumn(
         out_col, F.coalesce(F.col("__resolved"), F.col(out_col))
     ).drop("__resolved")

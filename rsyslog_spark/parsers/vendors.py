@@ -66,20 +66,61 @@ def pmlastmsg_expand(
 
 
 # Cisco IOS: "%FACILITY-SEVERITY-MNEMONIC: text", optional "seq: " and
-# timestamp prefix (ref: plugins/pmciscoios/pmciscoios.c)
-_CISCO_RE = r"^(?:(\d+):\s+)?(?:[*.]?(\w{3}\s+\d+\s+[\d:.]+)(?:\s+\w+)?:\s+)?%(\w+)-(\d)-(\w+):\s*(.*)$"
+# timestamp prefix with optional TZ abbreviation (ref: plugins/
+# pmciscoios/pmciscoios.c — the only parser calling
+# ParseTIMESTAMP3164 with PARSE3164_TZSTRING, datetime.c:685)
+_CISCO_RE = (r"^(?:(\d+):\s+)?(?:[*.]?(\w{3}\s+\d+\s+[\d:.]+)"
+             r"(?:\s+(\w+))?:\s+)?%(\w+)-(\d)-(\w+):\s*(.*)$")
 
 
-def pmciscoios(df: DataFrame, msg_col: str = "msg") -> DataFrame:
+def _cisco_ts(ts: Column) -> Column:
+    """Cisco timestamp text ``Mmm [d]d hh:mm:ss[.mmm]`` → timestamp,
+    current-year inference like the 3164 parse."""
+    norm = F.regexp_replace(ts, "  +", " ")
+    year = F.date_format(F.current_timestamp(), "yyyy")
+    full = F.concat(year, F.lit(" "), norm)
+    return F.coalesce(
+        F.try_to_timestamp(full, F.lit("yyyy MMM d HH:mm:ss.SSS")),
+        F.try_to_timestamp(full, F.lit("yyyy MMM d HH:mm:ss")),
+    )
+
+
+def pmciscoios(df: DataFrame, msg_col: str = "msg",
+               timezones: dict[str, str] | None = None) -> DataFrame:
     """Parse Cisco IOS message bodies into typed columns:
     ``cisco_seq``, ``cisco_facility``, ``cisco_mnemonic``,
     ``cisco_severity`` (overrides syslogseverity when present, as the
-    reference does), and rewrites ``msg`` to the text after the
-    mnemonic. Non-matching rows pass through untouched."""
+    reference does), ``cisco_time`` (the IOS timestamp prefix, when
+    present), and rewrites ``msg`` to the text after the mnemonic.
+    Non-matching rows pass through untouched.
+
+    ``timezones`` consumes config ``timezone(id=.. offset=..)``
+    objects (ref: runtime/timezones.c glblProcessTimezone;
+    datetime.c:685-703 applies the table during the TZSTRING parse):
+    a recognized abbreviation after the timestamp converts the wall
+    time to UTC by subtracting its offset; unrecognized strings are
+    ignored like the reference ("invalid TZ string -- ignored").
+    When the frame carries ``timereported``, a parsed cisco_time
+    replaces it (the reference parser sets the message timestamp)."""
     m = F.col(msg_col)
-    fac = F.regexp_extract(m, _CISCO_RE, 3)
+    fac = F.regexp_extract(m, _CISCO_RE, 4)
     matched = fac != ""
-    return (
+    ts_txt = F.regexp_extract(m, _CISCO_RE, 2)
+    ts = F.when(matched & (ts_txt != ""), _cisco_ts(ts_txt))
+    if timezones:
+        tz_txt = F.regexp_extract(m, _CISCO_RE, 3)
+        # declared-table lookup compiled to a CASE over offsets;
+        # "+HH:MM" means local = UTC+offset, so UTC = wall - offset
+        off_min = F.lit(None).cast("int")
+        for tzid, offset in timezones.items():
+            sign = -1 if str(offset).startswith("-") else 1
+            hh, mm = str(offset).lstrip("+-").split(":")
+            off_min = F.when(tz_txt == tzid,
+                             F.lit(sign * (int(hh) * 60 + int(mm)))
+                             ).otherwise(off_min)
+        ts = F.when(off_min.isNotNull(),
+                    ts - F.make_interval(mins=off_min)).otherwise(ts)
+    out = (
         df.withColumn(
             "cisco_seq",
             F.when(matched,
@@ -89,16 +130,21 @@ def pmciscoios(df: DataFrame, msg_col: str = "msg") -> DataFrame:
         .withColumn("cisco_facility", F.when(matched, fac))
         .withColumn(
             "cisco_severity",
-            F.when(matched, F.regexp_extract(m, _CISCO_RE, 4).cast("int")),
+            F.when(matched, F.regexp_extract(m, _CISCO_RE, 5).cast("int")),
         )
         .withColumn(
             "cisco_mnemonic",
-            F.when(matched, F.regexp_extract(m, _CISCO_RE, 5)),
+            F.when(matched, F.regexp_extract(m, _CISCO_RE, 6)),
         )
-        .withColumn(
-            msg_col,
-            F.when(matched, F.regexp_extract(m, _CISCO_RE, 6)).otherwise(m),
-        )
+        .withColumn("cisco_time", ts)
+    )
+    if "timereported" in df.columns:
+        out = out.withColumn(
+            "timereported",
+            F.coalesce(F.col("cisco_time"), F.col("timereported")))
+    return out.withColumn(
+        msg_col,
+        F.when(matched, F.regexp_extract(m, _CISCO_RE, 7)).otherwise(m),
     )
 
 

@@ -82,8 +82,42 @@ def resolve_global(name: str, df: DataFrame) -> Column:
     return F.lit(None).cast("string")
 
 
+#: reference default: variable names compare case-INSENSITIVELY
+#: (glbl.c variables.casesensitive=off → libfastjson global
+#: case-insensitive key comparison). We emulate with canonical
+#: lowercase folding of $!/$./$/ names at BOTH set and read, so
+#: ``set $!aBc`` and ``%$!ABC%`` bind the same engine column —
+#: same observable equivalence, though a freshly-set key renders
+#: lowercase where the reference keeps the first-written case.
+_VAR_CASE_SENSITIVE = False
+
+
+def set_var_case_sensitive(on: bool) -> None:
+    """global(variables.casesensitive=...) — ref glbl.c:1405
+    fjson_global_do_case_sensitive_comparison. Process-global like
+    the reference's; config runtimes set it for a run and restore."""
+    global _VAR_CASE_SENSITIVE
+    _VAR_CASE_SENSITIVE = bool(on)
+
+
+def var_case_sensitive() -> bool:
+    return _VAR_CASE_SENSITIVE
+
+
+def fold_var(name: str) -> str:
+    """Canonical case for a $-variable name: identity when
+    variables.casesensitive=on, lowercase otherwise. Only
+    CEE/local/global variables fold (msg properties have their own
+    alias handling)."""
+    if _VAR_CASE_SENSITIVE or not name.startswith(("$!", "$.", "$/")):
+        return name
+    return name.lower()
+
+
 def varname(name: str) -> str:
-    """Map a RainerScript variable name to its engine column name."""
+    """Map a RainerScript variable name to its engine column name
+    (case-folded per variables.casesensitive — see fold_var)."""
+    name = fold_var(name)
     if name.startswith("$!"):
         return "cee_" + name[2:].replace("!", "_")
     if name.startswith("$."):
@@ -320,12 +354,13 @@ class _Compiler:
                 prev = F.col(name) if name in self.df.columns else F.lit(None)
                 self.df = self.df.withColumn(name, F.when(live, v).otherwise(prev))
                 if s.name.startswith("$!"):
-                    # record the ORIGINAL deep path — varname's
-                    # '!'->'_' flattening is lossy, and the $!-tree
-                    # renderers (%$!%, %jsonmesg%) rebuild nesting
-                    # from this metadata (templates._set_tree_json)
+                    # record the deep path (case-folded, so renders
+                    # and reads agree) — varname's '!'->'_'
+                    # flattening is lossy, and the $!-tree renderers
+                    # (%$!%, %jsonmesg%) rebuild nesting from this
+                    # metadata (templates._set_tree_json)
                     self.df = self.df.withMetadata(
-                        name, {"rs_path": s.name})
+                        name, {"rs_path": fold_var(s.name)})
                 if s.name.startswith("$/"):
                     # persist for later runs/batches (plan-time store)
                     GLOBAL_VARS[name] = s.value

@@ -160,11 +160,11 @@ def prop_col(name: str, df=None) -> Column:
         return _jsonmesg_col(df)
     if name.startswith(("$!", "!")):
         from rsyslog_spark.functions import json_fns
-        path = "$!" + name.lstrip("$").lstrip("!")
-        tree = json_fns.json_get("json", path)
+        from rsyslog_spark.plans.ruleset import fold_var, varname
+        path = fold_var("$!" + name.lstrip("$").lstrip("!"))
+        tree = json_fns.tree_get("json", path)
         if df is None:
             return tree
-        from rsyslog_spark.plans.ruleset import varname
         flat = varname(path)
         cols = set(df.columns)
         has_json = "json" in cols
@@ -209,7 +209,9 @@ def flat_json_prefix_read(path: str, df) -> Column | None:
             continue
         if (df.schema[pflat].metadata or {}).get("rs_json"):
             rest = "$!" + "!".join(segs[k:])
-            return json_fns.json_get(F.col(pflat).cast("string"),
+            # tree_get: the subtree read honors the same fjson
+            # case-insensitive comparison as the main $! tree
+            return json_fns.tree_get(F.col(pflat).cast("string"),
                                      rest)
         break
     return None
@@ -536,7 +538,8 @@ class _JsonfTemplate:
                         F.lit("}"))
 
 
-def compile_template_list(elements: list[tuple[str, dict]]) -> "Template":
+def compile_template_list(elements: list[tuple[str, dict]],
+                          casesensitive: bool = False) -> "Template":
     """v2 list template (ref: template.h:40-60 list type; doc
     templates.rst ``template(type="list") { constant(...)
     property(...) }``). Each property statement maps onto the same
@@ -584,6 +587,11 @@ def compile_template_list(elements: list[tuple[str, dict]]) -> "Template":
                 kw["escape"] = "controlchar"
             else:
                 raise ValueError(f"unsupported property param {k!r}")
+        if not casesensitive and name.lstrip("$").startswith(
+                ("!", ".", "/")):
+            # template option.casesensitive default: var names fold
+            # (ref template.c apply_case_sensitivity)
+            name = name.lower()
         parts.append(Prop(name, **kw))
     return Template(parts)
 
@@ -702,13 +710,20 @@ BUILTIN_TEMPLATES: dict[str, str] = {
 }
 
 
-def compile_template_string(s: str) -> "Template":
+def compile_template_string(s: str,
+                            casesensitive: bool = False) -> "Template":
     """Template-string compiler (ref: doc/source/configuration/
     property_replacer.rst; tplConstructFromString): ``"%msg:1:2%"``
     substrings, ``%msg:::lowercase%`` options, ``%msg:R:RE--end%``
     regex extraction, ``%msg:F,44:2%`` field extraction, ``$``-to-end,
     plain constants between tokens. Unknown options raise — silent
-    drops would hide template bugs from config authors."""
+    drops would hide template bugs from config authors.
+
+    ``casesensitive`` is template(option.casesensitive): unless on,
+    $!/$./$/ variable entry names LOWERCASE at compile — the
+    reference's apply_case_sensitivity (template.c:1233-1252) does
+    exactly this for CEE/local/global var fields, independent of the
+    global variables.casesensitive switch."""
     parts: list = []
     pos = 0
     for m in _TPL_TOKEN.finditer(s):
@@ -745,6 +760,9 @@ def compile_template_string(s: str) -> "Template":
                 if opt not in _TPL_OPTIONS:
                     raise ValueError(f"unknown template option {opt!r}")
                 kw.update(_TPL_OPTIONS[opt])
+        if not casesensitive and name.lstrip("$").startswith(
+                ("!", ".", "/")):
+            name = name.lower()
         parts.append(Prop(name, **kw))
         pos = m.end()
     if pos < len(s):

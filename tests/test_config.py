@@ -1468,6 +1468,120 @@ input(type="imfile" file="{src}" ruleset="ruleset1")
         ])
 
 
+class TestVariableCaseSensitivity:
+    """Goldens from tests/json_var_case.sh: global(
+    variables.casesensitive="on") + template option.casesensitive=
+    "on" keep six case-variant JSON variables distinct; the DEFAULT
+    folds variable names (libfastjson case-insensitive comparison +
+    template.c apply_case_sensitivity lowercase)."""
+
+    MSG = ('<167>Nov  6 12:34:56 172.0.0.1 test: @cee: { "abc": "1",'
+           ' "ABC": "2", "aBc": "3", "_abc": "4", "_ABC": "5",'
+           ' "_aBc": "6" }\n')
+
+    def _run(self, spark, tmp_path, conf_head, tpl):
+        import os
+        from rsyslog_spark.config.runtime import run_config_batch
+        from rsyslog_spark.plans.ruleset import set_var_case_sensitive
+
+        src = tmp_path / "in.log"
+        src.write_text(self.MSG)
+        out = tmp_path / "out"
+        conf = f'''
+{conf_head}
+{tpl}
+ruleset(name="m") {{
+  action(type="mmjsonparse")
+  set $!_aBc = "7";
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+        try:
+            run_config_batch(spark, conf)
+        finally:
+            set_var_case_sensitive(False)
+        f = [out / p for p in os.listdir(out) if p.startswith("part")]
+        return open(f[0]).read().strip()
+
+    def test_case_sensitive_on(self, spark, tmp_path):
+        # the reference test's exact EXPECTED line (set updates _aBc)
+        got = self._run(
+            spark, tmp_path,
+            'global(variables.casesensitive="on")',
+            'template(name="outfmt" type="string" string="abc:%$!abc%'
+            ' ABC:%$!ABC% aBc:%$!aBc% _abc:%$!_abc% _ABC:%$!_ABC%'
+            ' _aBc:%$!_aBc%\\n" option.casesensitive="on")')
+        assert got == "abc:1 ABC:2 aBc:3 _abc:4 _ABC:5 _aBc:7"
+
+    def test_default_folds_names(self, spark, tmp_path):
+        # default: template names lowercase AND variable compare is
+        # case-insensitive — every case variant of abc reads the
+        # first matching key, and the set folds onto _abc
+        got = self._run(
+            spark, tmp_path, "",
+            'template(name="outfmt" type="string" string="a:%$!ABC%'
+            ' b:%$!aBc% s:%$!_ABC%\\n")')
+        assert got == "a:1 b:1 s:7"
+
+    def test_ci_tree_read_mixed_case_key(self, spark):
+        # parsed key has NO lowercase twin: the case-insensitive walk
+        # finds it (fjson ci compare); with casesensitive=on it
+        # misses exactly
+        from rsyslog_spark.functions import json_fns
+        from rsyslog_spark.plans.ruleset import set_var_case_sensitive
+
+        df = spark.createDataFrame(
+            [('{"XyZ": {"InNer": 5}, "plain": 1}',)], "json string")
+        got = df.select(
+            json_fns.tree_get("json", "$!xyz!inner").alias("v"),
+            json_fns.json_get("json", "$!xyz!inner").alias("exact"),
+        ).first()
+        assert got["v"] == "5" and got["exact"] is None
+        try:
+            set_var_case_sensitive(True)
+            strict = df.select(
+                json_fns.tree_get("json", "$!xyz!inner").alias("v")
+            ).first()["v"]
+        finally:
+            set_var_case_sensitive(False)
+        assert strict is None
+
+
+def test_timezone_objects_consumed(spark, tmp_path):
+    """timezone(id=.. offset=..) config objects are APPLIED, not just
+    recorded (ref: runtime/timezones.c glblProcessTimezone;
+    datetime.c:685 applies the table in the TZSTRING parse path,
+    reached through pmciscoios): a config declaring CEST +02:00
+    parses an IOS timestamp bearing CEST to the correct UTC
+    instant."""
+    import datetime as dt
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text(
+        "<189>Mar  1 10:00:00 router1 123: *Mar  1 12:30:45 CEST: "
+        "%SYS-5-CONFIG_I: Configured from console\n")
+    out = tmp_path / "out"
+    conf = f'''
+timezone(id="CEST" offset="+02:00")
+parser(name="p.cisco" type="pmciscoios")
+template(name="t" type="string"
+         string="%timereported:::date-mysql% %msg%\\n")
+ruleset(name="m" parser="p.cisco") {{
+  action(type="omfile" file="{out}" template="t")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    import os
+    line = open([out / f for f in os.listdir(out)
+                 if f.startswith("part")][0]).read().strip()
+    # 12:30:45 CEST == 10:30:45 UTC (date-mysql: yyyymmddHHMMSS)
+    year = dt.datetime.now().year
+    assert line == f"{year}0301103045 Configured from console"
+
+
 def test_gated_mm_preserves_other_actions_writes(spark, tmp_path):
     """Two mmnormalize actions under different filters writing the
     SAME field: each action's extraction must survive on the rows the
@@ -1596,7 +1710,40 @@ input(type="imfile" file="{src}" ruleset="m")
     import os
     line = open([out / f for f in os.listdir(out)
                  if f.startswith("part")][0]).read().strip()
+    # sd_name.lowercase default ON: SD-ID and param names fold
+    # (mmpstrucdata.c:132,259); the deep read's eventID folds at
+    # template compile and matches
     assert line.startswith(
-        'SD:{"tcpflood@32473":{"eventID":"1011"}} ev:1011 all:')
+        'SD:{"tcpflood@32473":{"eventid":"1011"}} ev:1011 all:')
     tree = json.loads(line.split(" all:", 1)[1])
-    assert tree["rfc5424-sd"]["tcpflood@32473"]["eventID"] == "1011"
+    assert tree["rfc5424-sd"]["tcpflood@32473"]["eventid"] == "1011"
+
+
+def test_mmpstrucdata_case_golden(spark, tmp_path):
+    """Golden from tests/mmpstrucdata-case.sh: sd_name.lowercase=
+    "off" keeps eventID's case in the tree, and the template's
+    %$!RFC5424-SD% (lowercased at compile) still finds the subtree
+    via the case-insensitive variable compare."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text(
+        "<161>1 2003-03-01T01:00:00.000Z mymachine.example.com "
+        'tcpflood - tag [tcpflood@32473 eventID="1011"] valid '
+        "structured data\n")
+    out = tmp_path / "out"
+    conf = f'''
+template(name="outfmt" type="string" string="SD:%$!RFC5424-SD%\\n")
+ruleset(name="m") {{
+  action(type="mmpstrucdata" sd_name.lowercase="off")
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    import os
+    line = open([out / f for f in os.listdir(out)
+                 if f.startswith("part")][0]).read().strip()
+    # the reference's content check: eventID appears (case kept)
+    assert "eventID" in line
+    assert line == 'SD:{"tcpflood@32473":{"eventID":"1011"}}'

@@ -200,6 +200,29 @@ class TestDimensions:
         assert out["10.0.0.9"] == "host-9.example"  # resolver wins
         assert out[None] == "x"
 
+    def test_dnscache_enrich_max_cardinality(self, spark):
+        # cache entry bound: only the first N sorted distinct IPs
+        # resolve; overflow passes through with fromhost untouched
+        df = spark.createDataFrame(
+            [(f"10.0.0.{i}", f"orig{i}") for i in (1, 2, 3)],
+            "fromhost_ip string, fromhost string")
+        out = {r["fromhost_ip"]: r["fromhost"]
+               for r in dnscache_enrich(df, max_cardinality=2)
+               .collect()}
+        assert out == {"10.0.0.1": "host-1.example",
+                       "10.0.0.2": "host-2.example",
+                       "10.0.0.3": "orig3"}
+
+    def test_dnscache_enrich_no_driver_collect(self, spark):
+        # scale guard: the resolution dimension is built executor-side
+        # (mapInPandas over the distinct set) — the plan must contain
+        # no LocalTableScan of a driver-collected dim
+        df = spark.createDataFrame(
+            [("10.0.0.7", None)], "fromhost_ip string, fromhost string")
+        plan = dnscache_enrich(df)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert "MapInPandas" in plan
+
 
 class TestHmac:
     def test_hmac_sd_element(self, spark):

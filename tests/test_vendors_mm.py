@@ -52,6 +52,32 @@ def test_pmciscoios(spark):
     assert passthru.cisco_facility is None
 
 
+def test_pmciscoios_timezone_table(spark):
+    """timezone(id=.. offset=..) consumption (ref: runtime/
+    timezones.c; datetime.c:685-703 — pmciscoios is the only
+    PARSE3164_TZSTRING caller): a declared abbreviation after the
+    IOS timestamp converts wall time to UTC by its offset; unknown
+    abbreviations are ignored; no-TZ timestamps parse as before."""
+    import datetime as dt
+
+    rows = [
+        ("*Mar  1 12:30:45 CEST: %SYS-5-CONFIG_I: tz known",),
+        ("*Mar  1 12:30:45 XXX: %SYS-5-CONFIG_I: tz unknown",),
+        ("*Mar  1 12:30:45.500: %SYS-5-CONFIG_I: no tz",),
+    ]
+    df = spark.createDataFrame(rows, "msg string")
+    tz = {"CEST": "+02:00", "NST": "-03:30"}
+    out = {r.msg: r for r in
+           pmciscoios(df, timezones=tz).collect()}
+    year = dt.datetime.now().year
+    assert out["tz known"].cisco_time == \
+        dt.datetime(year, 3, 1, 10, 30, 45)        # 12:30:45 - 2h
+    assert out["tz unknown"].cisco_time == \
+        dt.datetime(year, 3, 1, 12, 30, 45)        # ignored
+    assert out["no tz"].cisco_time == \
+        dt.datetime(year, 3, 1, 12, 30, 45, 500000)
+
+
 def test_pmnull(spark):
     df = spark.createDataFrame(
         [("<34>raw as-is",), ("no pri at all",)], "line string"
