@@ -329,11 +329,14 @@ class _Parser:
             from rsyslog_spark.templates import prop_col, Template
             path = params.get("subtree", "$!")
             tpl = Template([])
+            # accepts the frame (tpl.col(df) from action dispatch)
+            # AND the zero-arg portable form — a positional-only
+            # path default would swallow df as the path
             if path in ("$!", "$!all-json"):
-                tpl.col = (lambda: prop_col("$!all-json")
+                tpl.col = (lambda df=None: prop_col("$!all-json", df)
                            )  # type: ignore[method-assign]
             else:
-                tpl.col = (lambda p=path: prop_col(p)
+                tpl.col = (lambda df=None, p=path: prop_col(p, df)
                            )  # type: ignore[method-assign]
             self.cfg.templates[params["name"]] = tpl
         elif params.get("type") == "plugin":
@@ -1190,9 +1193,51 @@ def _mm_transform(atype: str, params: dict):
                   mode=p.get("mode", "cookie"),
                   max_scan_bytes=int(p.get("max_scan_bytes", "65536")),
                   allow_trailing=flag("allow_trailing", "on"))
-        return Transform(atype, _gated_mm(
-            lambda df: mmjsonparse(df, **kw),
-            touched=("json", "json_parsed")))
+        # container="$!name" (mmjsonparse.c CONTAINER_NAME, default
+        # "$!"): the parse lands at a NAMED subtree instead of the
+        # root tree; useRawMsg scans the raw line (best practice per
+        # data_pipeline-qradar.sh when a header may be absent)
+        container = p.get("container", "$!")
+        use_raw = flag("userawmsg")
+
+        def fn(df, _kw=kw, _container=container, _raw=use_raw):
+            from rsyslog_spark.plans.ruleset import fold_var, varname
+            src = "rawmsg" if _raw and "rawmsg" in df.columns else "msg"
+            if _container in ("$!", "!"):
+                out = mmjsonparse(df, msg_col=src, **_kw)
+            else:
+                oc = varname(_container)
+                out = mmjsonparse(df, msg_col=src, out_col=oc, **_kw)
+                out = out.withMetadata(
+                    oc, {"rs_path": fold_var(_container),
+                         "rs_json": True})
+            # the reference overwrites bParseSuccess with the JSON
+            # parse result (MsgSetParseSuccess) — $parsesuccess
+            # filters see mmjsonparse's outcome
+            if "parsesuccess" in out.columns:
+                out = out.withColumn("parsesuccess",
+                                     F.col("json_parsed"))
+            return out
+        return Transform(atype, _gated_mm(fn))
+    if atype == "mmjsontransform":
+        from rsyslog_spark.operators.mm import mmjsontransform
+
+        def fn_t(df, _p=p):
+            from rsyslog_spark.plans.ruleset import fold_var, varname
+            inp = _p.get("input", "$!")
+            outp = _p.get("output", "$!transformed")
+            ic = varname(inp) if inp not in ("$!", "!") else "json"
+            oc = varname(outp)
+            out = mmjsontransform(
+                df, input_col=ic, output_col=oc,
+                mode=_p.get("mode", "unflatten"),
+                # stored text renders json-c SPACED so subtree
+                # templates are byte-exact (glblJsonFormatOpt
+                # default; data_pipeline-qradar.sh cmp_exact)
+                render="spaced")
+            return out.withMetadata(
+                oc, {"rs_path": fold_var(outp), "rs_json": True})
+        return Transform(atype, _gated_mm(fn_t))
     if atype == "mmfields":
         from rsyslog_spark.operators.mm import mmfields
         delim = p.get("separator", ",")
@@ -1200,10 +1245,10 @@ def _mm_transform(atype: str, params: dict):
             lambda df: mmfields(df, delim=delim, prefix="cee_f")))
     if atype == "mmanon":
         from rsyslog_spark.operators.mm import mmanon
-        # ipv4 on by default (ref mmanon defaults); ipv6 applies when
-        # explicitly enabled — our embedded ipv6 path supports the
-        # full-anonymization widths (bits>=128), anon_ipv6_col raises
-        # on unsupported widths rather than silently diverging
+        # ipv4 on by default (ref mmanon defaults); ipv6/embedded
+        # apply when explicitly enabled. r5: all modes implemented —
+        # zero/simple/random/random-consistent(-unique) at any bit
+        # width (partial ipv6 widths expand '::' per match)
         bits = (int(p.get("ipv4.bits", "16"))
                 if flag("ipv4.enable", "on") else 0)
         mode = p.get("ipv4.mode", p.get("mode", "zero"))

@@ -18,11 +18,20 @@ def _balanced_json_re(depth: int = 8) -> str:
     """Regex matching a braces-balanced, string-aware JSON object up
     to ``depth`` nesting levels (regular expressions can't balance
     unboundedly; 8 levels covers real log payloads — deeper objects
-    simply aren't found, like a scan-window miss)."""
-    s = r'"(?:[^"\\]|\\.)*"'
-    pat = rf'\{{(?:[^{{}}"]|{s})*\}}'
+    simply aren't found, like a scan-window miss).
+
+    Built with UNROLLED POSSESSIVE quantifiers (``x*+(?:y x*+)*+``
+    instead of ``(?:x|y)*``): java.util.regex pushes a stack frame
+    per '*' iteration, so the naive per-character alternation
+    overflows the JVM stack on multi-KB payloads (observed on the
+    2.4 KB qradar line); the unrolled form frames per TOKEN (string
+    or nested object). The grammar is deterministic — exactly one
+    alternative applies at each character — so possessive matching
+    is semantics-preserving."""
+    s = r'"[^"\\]*+(?:\\.[^"\\]*+)*+"'
+    pat = rf'\{{[^{{}}"]*+(?:{s}[^{{}}"]*+)*+\}}'
     for _ in range(depth - 1):
-        pat = rf'\{{(?:[^{{}}"]|{s}|{pat})*\}}'
+        pat = rf'\{{[^{{}}"]*+(?:(?:{s}|{pat})[^{{}}"]*+)*+\}}'
     return pat
 
 
@@ -126,14 +135,45 @@ def mmpstrucdata(df: DataFrame, sd_col: str = "structured_data",
     return df.withColumn(out_col, parse_structured_data(F.col(sd_col)))
 
 
-def anon_ipv4_col(c: ColumnOrName, bits: int = 8, mode: str = "zero") -> Column:
+_ANON_RANDOM_MODES = ("random", "random-consistent",
+                      "random-consistent-unique")
+
+
+def _anon_rand_bits(mode: str, key: Column, idx: Column,
+                    seed: int | None) -> Column:
+    """Random fill for mmanon RANDOMINT modes as a long Column.
+
+    random: fresh draw per MATCH (rand() evaluates per element inside
+    the transform — two occurrences of the same IP differ, like the
+    reference's rand_r stream; tests/mmanon_random_32_ipv4.sh).
+    random-consistent(-unique): seeded keyed hash of the ORIGINAL
+    address text — the same input IP maps to the same output within a
+    run (the reference's per-instance consistency table,
+    tests/mmanon_random_cons_32_ipv4.sh), different runs differ via
+    the run seed. -unique maps to the same path: a 64-bit keyed hash
+    is collision-free for practical cardinalities where the
+    reference retries on collision (documented divergence)."""
+    import random as _random
+
+    if seed is None:
+        seed = _random.getrandbits(62)
+    if mode == "random":
+        return F.xxhash64((F.rand() * (2 ** 62)).cast("long"),
+                          idx, F.lit(seed))
+    return F.xxhash64(key, F.lit(seed))
+
+
+def anon_ipv4_col(c: ColumnOrName, bits: int = 8, mode: str = "zero",
+                  seed: int | None = None) -> Column:
     """mmanon ipv4 embedded anonymization (ref: plugins/mmanon/mmanon.c:
     1-3): mask the low ``bits`` of every IPv4 in the text.
 
-    mode="zero": masked octets → 0 (we support octet-aligned bit
-    widths 8/16/24/32 in pure SQL; arbitrary widths would need an
-    integer round-trip on each match — available via ipv42num/num2ipv4
-    when applied to a pure-IP column).
+    mode="zero": masked bits → 0 (octet-aligned widths as one
+    regexp_replace; arbitrary widths via the integer round-trip).
+    mode="random"/"random-consistent"/"random-consistent-unique":
+    the masked low bits refill from the RNG (code_ipv4_int
+    RANDOMINT, mmanon.c:902-910) — see _anon_rand_bits for the
+    consistency semantics; ``seed`` pins the run for tests.
     """
     s = rs_str(c)
     bits = min(max(bits, 0), 32)    # ref clamps (mmanon_zero_33 test)
@@ -158,11 +198,9 @@ def anon_ipv4_col(c: ColumnOrName, bits: int = 8, mode: str = "zero") -> Column:
         masked = r"\.".join([o] * n)
         return F.regexp_replace(s, rf"({kept})\.{masked}",
                                 f"$1.{repl}")
-    if mode != "zero":
-        raise NotImplementedError("modes: zero, simple (random/"
-                                  "random-consistent need an RNG "
-                                  "keyed per run — out of scope)")
-    if bits % 8 == 0:
+    if mode not in ("zero",) + _ANON_RANDOM_MODES:
+        raise ValueError(f"mmanon ipv4 mode {mode!r}")
+    if mode == "zero" and bits % 8 == 0:
         keep = 4 - bits // 8
         if keep == 0:
             return F.regexp_replace(s, rf"(?:{o}\.){{3}}{o}",
@@ -172,26 +210,26 @@ def anon_ipv4_col(c: ColumnOrName, bits: int = 8, mode: str = "zero") -> Column:
         zeros = ".".join(["0"] * (4 - keep))
         return F.regexp_replace(s, rf"({kept})\.{masked}",
                                 f"$1.{zeros}")
-    # arbitrary (non-octet-aligned) widths, zero mode (golden:
-    # mmanon_zero_12_ipv4.sh — 172.0.234.255 @12 -> 172.0.224.0):
-    # regexp_replace has no compute-per-match, so split the text on
-    # the recognizer, numerically mask each extracted match, and
-    # stitch text and masked IPs back together — all column exprs.
+    # arbitrary widths and random modes (golden: mmanon_zero_12_ipv4
+    # — 172.0.234.255 @12 -> 172.0.224.0): regexp_replace has no
+    # compute-per-match, so split the text on the recognizer,
+    # numerically rewrite each extracted match, and stitch text and
+    # rewritten IPs back together — all column exprs.
     pat = rf"(?:{o}\.){{3}}{o}"
 
-    def mask_ip(ip: Column) -> Column:
+    def mask_ip(ip: Column, idx: Column) -> Column:
         octs = F.split(ip, r"\.")
-        outs = []
+        v = F.lit(0).cast("long")
         for i in range(4):
-            z = min(max(bits - 8 * (3 - i), 0), 8)
-            v = F.element_at(octs, i + 1).cast("int")
-            if z == 0:
-                outs.append(v)
-            elif z >= 8:
-                outs.append(F.lit(0))
-            else:
-                outs.append(F.shiftleft(F.shiftright(v, z), z))
-        return F.concat_ws(".", *[x.cast("string") for x in outs])
+            v = v * 256 + F.element_at(octs, i + 1).cast("long")
+        masked = F.shiftleft(F.shiftright(v, bits), bits)
+        if mode in _ANON_RANDOM_MODES:
+            lowmask = (1 << bits) - 1
+            masked = masked + _anon_rand_bits(mode, ip, idx, seed) \
+                .bitwiseAND(F.lit(lowmask))
+        return F.concat_ws(".", *[
+            F.shiftright(masked, sh).bitwiseAND(F.lit(255))
+            .cast("string") for sh in (24, 16, 8, 0)])
 
     parts = F.split(s, pat, -1)
     ips = F.regexp_extract_all(s, F.lit(f"({pat})"), 1)
@@ -219,24 +257,100 @@ IPV6_SCAN_RE = (rf"(?:{_HEXG}:){{7}}{_HEXG}"
                 rf"(?:{_HEXG}(?::{_HEXG})*)?")
 
 
+def _expand_hex_groups(head: Column, slots: int) -> Column:
+    """'::'-compressed hex-group text → array of ``slots`` LONG group
+    values (the reference's ipv6 split into halves, mmanon.c:78;
+    expansion inserts the elided zero groups)."""
+    has_dc = head.contains("::")
+    def grp(x):
+        return F.filter(F.split(x, ":"), lambda g: g != "")
+    left = grp(F.substring_index(head, "::", 1))
+    right = grp(F.substring_index(head, "::", -1))
+    mids = F.lit(slots) - F.size(left) - F.size(right)
+    txt = F.when(has_dc, F.concat(
+        left, F.array_repeat(F.lit("0"), mids), right)) \
+        .otherwise(grp(head))
+    return F.transform(txt, lambda g: F.conv(g, 16, 10).cast("long"))
+
+
+def _anon_group(g: Column, z: int, width: int, mode: str,
+                key: Column, idx: Column, seed: int | None,
+                salt: int) -> Column:
+    """Mask the low ``z`` bits of one ``width``-bit group, refilling
+    from the RNG in the RANDOMINT modes (code_ipv6_int/code_ipv4_int
+    masking shape)."""
+    if z <= 0:
+        return g
+    z = min(z, width)
+    out = F.shiftleft(F.shiftright(g, z), z)
+    if mode in _ANON_RANDOM_MODES:
+        import random as _random
+
+        if seed is None:
+            seed = _random.getrandbits(62)
+        if mode == "random":
+            rnd = F.xxhash64((F.rand() * (2 ** 62)).cast("long"),
+                             idx, F.lit(seed), F.lit(salt))
+        else:
+            rnd = F.xxhash64(key, F.lit(seed), F.lit(salt))
+        out = out + rnd.bitwiseAND(F.lit((1 << z) - 1))
+    return out
+
+
+def _splice(s: Column, pat: str, rewrite) -> Column:
+    """Split text on the recognizer, rewrite each match (rewrite(ip,
+    idx) -> Column), stitch back — the compute-per-match splice all
+    the partial/random mmanon paths share."""
+    parts = F.split(s, pat, -1)
+    ips = F.regexp_extract_all(s, F.lit(f"({pat})"), 1)
+    new = F.transform(ips, rewrite)
+    rest = F.zip_with(
+        new,
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+        lambda m, p: F.concat(m, p))
+    return F.concat(F.element_at(parts, 1), F.array_join(rest, ""))
+
+
+def _hexg_render(g: Column) -> Column:
+    return F.lower(F.conv(g.cast("string"), 10, 16))
+
+
 def anon_ipv6_col(c: ColumnOrName, bits: int = 128,
-                  mode: str = "zero") -> Column:
-    """mmanon ipv6 anonymization, zero mode (ref: plugins/mmanon
+                  mode: str = "zero",
+                  seed: int | None = None) -> Column:
+    """mmanon ipv6 anonymization (ref: plugins/mmanon
     ipv6.anonmode/ipv6.bits; bits over 128 clamp to 128 like the
-    reference's mmanon_zero_128 test which passes 129). Only full
-    anonymization (bits >= 128 → the address becomes
-    ``0:0:0:0:0:0:0:0``) has a pure-column form — partial bit widths
-    on '::'-compressed text need address expansion first, which is a
-    per-match integer round trip; use the parsed-column path
-    (ipv42num analog) for that."""
-    if mode != "zero":
-        raise NotImplementedError("only zero mode is implemented")
-    if bits < 128:
-        raise NotImplementedError(
-            "embedded ipv6 anonymization supports bits>=128 (full) "
-            "only — partial widths need '::' expansion per match")
-    return F.regexp_replace(rs_str(c), f"(?:{IPV6_SCAN_RE})",
-                            "0:0:0:0:0:0:0:0")
+    reference's mmanon_zero_128 test which passes 129).
+
+    All widths: partial bits expand the '::'-compressed text to 8
+    groups, mask the low ``bits``, and re-render every group from
+    its integer (lowercase, no padding, no re-compression — golden
+    mmanon_zero_96_ipv6.sh: 'FFFF:FFFF::…' @96 ->
+    'ffff:ffff:0:0:0:0:0:0'). RANDOMINT modes refill the masked bits
+    (code_ipv6_int, mmanon.c:1218-1297) — consistency semantics in
+    _anon_rand_bits."""
+    s = rs_str(c)
+    bits = min(max(bits, 0), 128)
+    if bits == 0:
+        return s
+    if mode not in ("zero",) + _ANON_RANDOM_MODES:
+        raise ValueError(f"mmanon ipv6 mode {mode!r}")
+    if mode == "zero" and bits >= 128:
+        # full-width zero stays a single regexp_replace (fast path)
+        return F.regexp_replace(s, f"(?:{IPV6_SCAN_RE})",
+                                "0:0:0:0:0:0:0:0")
+
+    def rewrite(ip: Column, idx: Column) -> Column:
+        groups = _expand_hex_groups(ip, 8)
+        outs = []
+        for i in range(8):
+            z = bits - 16 * (7 - i)
+            g = F.element_at(groups, i + 1)
+            outs.append(_hexg_render(
+                _anon_group(g, z, 16, mode, ip, idx, seed, i)))
+        return F.concat_ws(":", *outs)
+
+    return _splice(s, f"(?:{IPV6_SCAN_RE})", rewrite)
 
 
 def _embedded_ipv4_re() -> str:
@@ -261,17 +375,47 @@ def _embedded_ipv4_re() -> str:
 
 
 def anon_ipv6_embedded_col(c: ColumnOrName, bits: int = 128,
-                           mode: str = "zero") -> Column:
-    """mmanon embeddedipv4 anonymization, zero mode, full width —
-    every IPv4-in-IPv6 address becomes ``0:0:0:0:0:0:0.0.0.0`` (the
-    reference's rendering keeps the v4 tail dotted)."""
-    if mode != "zero":
-        raise NotImplementedError("only zero mode is implemented")
-    if bits < 128:
-        raise NotImplementedError(
-            "embedded ipv4-in-ipv6 supports bits>=128 (full) only")
-    return F.regexp_replace(rs_str(c), f"(?:{_embedded_ipv4_re()})",
-                            "0:0:0:0:0:0:0.0.0.0")
+                           mode: str = "zero",
+                           seed: int | None = None) -> Column:
+    """mmanon embeddedipv4 anonymization — every IPv4-in-IPv6
+    address rewrites with its low ``bits`` zeroed (or RNG-refilled
+    in the RANDOMINT modes); the rendering keeps the v4 tail dotted
+    (``0:0:0:0:0:0:0.0.0.0`` at full width). Partial widths expand
+    the '::'-compressed hex head to 6 slots; the dotted quad covers
+    bits 31..0 (code_ipv6_int over the split halves with the
+    embeddedIPv4 config, mmanon.c:1218)."""
+    s = rs_str(c)
+    bits = min(max(bits, 0), 128)
+    if bits == 0:
+        return s
+    if mode not in ("zero",) + _ANON_RANDOM_MODES:
+        raise ValueError(f"mmanon embeddedipv4 mode {mode!r}")
+    if mode == "zero" and bits >= 128:
+        return F.regexp_replace(s, f"(?:{_embedded_ipv4_re()})",
+                                "0:0:0:0:0:0:0.0.0.0")
+
+    def rewrite(ip: Column, idx: Column) -> Column:
+        v4 = F.substring_index(ip, ":", -1)
+        head = F.substr(ip, F.lit(1),
+                        F.length(ip) - F.length(v4))
+        groups = _expand_hex_groups(head, 6)
+        outs = []
+        for i in range(6):          # hex slots: bits 127..32
+            z = bits - 16 * (5 - i) - 32
+            g = F.element_at(groups, i + 1)
+            outs.append(_hexg_render(
+                _anon_group(g, z, 16, mode, ip, idx, seed, i)))
+        octs = F.split(v4, r"\.")
+        o_out = []
+        for j in range(4):          # v4 octets: bits 31..0
+            z = bits - 8 * (3 - j)
+            o = F.element_at(octs, j + 1).cast("long")
+            o_out.append(_anon_group(o, z, 8, mode, ip, idx, seed,
+                                     6 + j).cast("string"))
+        return F.concat(F.concat_ws(":", *outs), F.lit(":"),
+                        F.concat_ws(".", *o_out))
+
+    return _splice(s, f"(?:{_embedded_ipv4_re()})", rewrite)
 
 
 def mmanon(df: DataFrame, msg_col: str = "msg", bits: int = 8,
@@ -279,9 +423,10 @@ def mmanon(df: DataFrame, msg_col: str = "msg", bits: int = 8,
            ipv6_bits: int | None = None,
            ipv6_mode: str = "zero",
            embedded_bits: int | None = None,
-           embedded_mode: str = "zero") -> DataFrame:
-    out = df.withColumn(msg_col,
-                        anon_ipv4_col(F.col(msg_col), bits, mode))
+           embedded_mode: str = "zero",
+           seed: int | None = None) -> DataFrame:
+    out = df.withColumn(
+        msg_col, anon_ipv4_col(F.col(msg_col), bits, mode, seed))
     if embedded_bits is not None:
         # embedded v4-in-v6 runs BEFORE plain v6 so the dotted tail
         # is still present to recognize (the reference checks
@@ -289,11 +434,11 @@ def mmanon(df: DataFrame, msg_col: str = "msg", bits: int = 8,
         out = out.withColumn(
             msg_col, anon_ipv6_embedded_col(F.col(msg_col),
                                             embedded_bits,
-                                            embedded_mode))
+                                            embedded_mode, seed))
     if ipv6_bits is not None:
         out = out.withColumn(
             msg_col, anon_ipv6_col(F.col(msg_col), ipv6_bits,
-                                   ipv6_mode))
+                                   ipv6_mode, seed))
     return out
 
 
@@ -713,6 +858,33 @@ def mmsnmptrapd(df: DataFrame, tag_col: str = "syslogtag",
     )
 
 
+def _jsonc_dumps(val) -> str:
+    """Serialize like json-c's JSON_C_TO_STRING_SPACED — the
+    reference's default JSON render (glbl.c:104 glblJsonFormatOpt;
+    global(compactJsonString="on") flips to PLAIN): spaces inside
+    braces/brackets and after ':'/',', forward slashes escaped
+    (cmp_exact golden: tests/data_pipeline-qradar.sh EXPECTED)."""
+    import json as _json
+
+    def scalar(v):
+        return _json.dumps(v, ensure_ascii=False).replace("/", "\\/")
+
+    def walk(v):
+        if isinstance(v, dict):
+            if not v:
+                return "{ }"
+            inner = ", ".join(f"{scalar(str(k))}: {walk(x)}"
+                              for k, x in v.items())
+            return "{ " + inner + " }"
+        if isinstance(v, list):
+            if not v:
+                return "[ ]"
+            return "[ " + ", ".join(walk(x) for x in v) + " ]"
+        return scalar(v)
+
+    return walk(val)
+
+
 def mmjsontransform(
     df: DataFrame,
     input_col: str = "json",
@@ -721,12 +893,17 @@ def mmjsontransform(
     sep: str = ".",
     drop_keys: list[str] | None = None,
     rename_rules: dict[str, str] | None = None,
+    render: str = "compact",
 ) -> DataFrame:
     """Flatten/unflatten dotted JSON keys (ref: plugins/
     mmjsontransform/mmjsontransform.c:63-66 modes; dotted-path
     insert :116-156, flatten :157-192; dropKeys/renameRules applied
     during the rewrite, here on the flat-key representation both
     modes share).
+
+    ``render="spaced"`` emits json-c SPACED text (the reference's
+    default subtree/variable render — see _jsonc_dumps); the config
+    binding uses it so subtree templates render byte-exact.
 
     Arrow-batched pandas UDF — a config-rare structural rewrite, not
     a hot-path operator (same policy note as functions.unflatten).
@@ -736,6 +913,10 @@ def mmjsontransform(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if render not in ("compact", "spaced"):
+        raise ValueError(f"mmjsontransform render {render!r}")
+    dump = (_jsonc_dumps if render == "spaced"
+            else lambda v: _json.dumps(v, separators=(",", ":")))
     drop = set(drop_keys or ())
     ren = dict(rename_rules or {})
 
@@ -763,7 +944,7 @@ def mmjsontransform(
             flat = {ren.get(k, k): v for k, v in flat.items()
                     if k not in drop}
             if mode == "flatten":
-                return _json.dumps(flat, separators=(",", ":"))
+                return dump(flat)
             root: dict = {}
             for k, v in flat.items():
                 parts = str(k).split(sep)
@@ -778,7 +959,7 @@ def mmjsontransform(
                         cur[p] = nxt
                     cur = nxt
                 cur[parts[-1]] = v
-            return _json.dumps(root, separators=(",", ":"))
+            return dump(root)
 
         return s.map(one)
 

@@ -182,6 +182,11 @@ def prop_col(name: str, df=None) -> Column:
             return F.lit(None).cast("string")
         return F.col(local)
     lo = name.lstrip("$").lower()
+    if lo == "parsesuccess":
+        # renders/compares as "OK"/"FAIL" (ref: msg.c:2160-2164) —
+        # the engine column stays boolean
+        return F.when(F.col("parsesuccess"), F.lit("OK")) \
+            .otherwise(F.lit("FAIL"))
     sysprops = _system_props()
     if lo in sysprops:
         return sysprops[lo]

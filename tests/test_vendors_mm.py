@@ -886,12 +886,130 @@ def test_mmanon_recognize_ipv6_reference_golden(spark):
     assert got == cases
 
 
-def test_mmanon_ipv6_partial_bits_rejected():
-    import pytest
+_ANON_V6_LINES = [
+    " asdfghjk",
+    " FFFF:FFFF:FFFF:FFFF:FFFF:FFFF:FFFF:FFFF",
+    " 61:34:ad::7:F aa:ff43::756:99:0",
+    " ::",
+    " 0::",
+    " 13:abd:45:",
+    " textnoblank72:8374:adc7:47FFstillnoblank",
+]
+
+
+def test_mmanon_ipv6_partial_bits_goldens(spark):
+    """Partial ipv6 widths, zero mode — byte-exact vs the reference's
+    mmanon_zero_{96,64,50}_ipv6.sh EXPECTED blocks: '::' expansion,
+    group-level masking (50 bits clips FFFF -> fffc), and the
+    full-groups re-render (lowercase, no padding, no
+    re-compression)."""
     from rsyslog_spark.operators.mm import anon_ipv6_col
 
-    with pytest.raises(NotImplementedError):
-        anon_ipv6_col("msg", bits=96)
+    lines = _ANON_V6_LINES[:6] + [
+        " textnoblank72:8374:adc7:47FF::43:0:1AFEstillnoblank"]
+    expected = {
+        96: [" asdfghjk", " ffff:ffff:0:0:0:0:0:0",
+             " 61:34:0:0:0:0:0:0 aa:ff43:0:0:0:0:0:0",
+             " 0:0:0:0:0:0:0:0", " 0:0:0:0:0:0:0:0", " 13:abd:45:",
+             " textnoblank72:8374:0:0:0:0:0:0stillnoblank"],
+        64: [" asdfghjk", " ffff:ffff:ffff:ffff:0:0:0:0",
+             " 61:34:ad:0:0:0:0:0 aa:ff43:0:0:0:0:0:0",
+             " 0:0:0:0:0:0:0:0", " 0:0:0:0:0:0:0:0", " 13:abd:45:",
+             " textnoblank72:8374:adc7:47ff:0:0:0:0stillnoblank"],
+        50: [" asdfghjk", " ffff:ffff:ffff:ffff:fffc:0:0:0",
+             " 61:34:ad:0:0:0:0:0 aa:ff43:0:0:0:0:0:0",
+             " 0:0:0:0:0:0:0:0", " 0:0:0:0:0:0:0:0", " 13:abd:45:",
+             " textnoblank72:8374:adc7:47ff:0:0:0:0stillnoblank"],
+    }
+    df = spark.createDataFrame([(m,) for m in lines], "msg string")
+    for bits, want in expected.items():
+        got = {r["msg"]: r["a"] for r in df.select(
+            "msg", anon_ipv6_col("msg", bits=bits).alias("a"))
+            .collect()}
+        assert [got[m] for m in lines] == want, f"bits={bits}"
+
+
+def test_mmanon_random_modes_ipv4(spark):
+    """RANDOMINT mode properties from mmanon_random_32_ipv4.sh and
+    mmanon_random_cons_32_ipv4.sh: outputs differ from inputs and are
+    valid dotted quads; random varies per occurrence; consistent maps
+    the same input IP to the same output within a run and distinct
+    inputs to distinct outputs; the kept prefix survives partial
+    widths."""
+    from rsyslog_spark.operators.mm import anon_ipv4_col
+
+    df = spark.createDataFrame(
+        [(" 1.1.1.8 then 1.1.1.8 and 2.2.2.2",)], "msg string")
+    rnd = df.select(anon_ipv4_col("msg", bits=32, mode="random")
+                    .alias("a")).first()["a"]
+    ips = rnd.strip().replace(" then ", " ").replace(" and ", " ") \
+        .split(" ")
+    assert len(ips) == 3
+    for ip in ips:
+        octs = [int(x) for x in ip.split(".")]
+        assert len(octs) == 4 and all(0 <= o <= 255 for o in octs)
+    assert ips[0] != ips[1]              # random: per-occurrence draw
+
+    cons = df.select(anon_ipv4_col(
+        "msg", bits=32, mode="random-consistent", seed=7)
+        .alias("a")).first()["a"]
+    c1, c2, c3 = cons.strip().replace(" then ", " ") \
+        .replace(" and ", " ").split(" ")
+    assert c1 == c2 and c1 != c3         # consistent per input IP
+    again = df.select(anon_ipv4_col(
+        "msg", bits=32, mode="random-consistent", seed=7)
+        .alias("a")).first()["a"]
+    assert again == cons                 # same seed -> same run
+    other = df.select(anon_ipv4_col(
+        "msg", bits=32, mode="random-consistent", seed=8)
+        .alias("a")).first()["a"]
+    assert other != cons                 # new run -> new mapping
+
+    # partial width keeps the prefix above `bits`
+    part = spark.createDataFrame([(" 172.20.245.8",)], "msg string") \
+        .select(anon_ipv4_col("msg", bits=16,
+                              mode="random-consistent", seed=3)
+                .alias("a")).first()["a"]
+    assert part.startswith(" 172.20.")
+
+
+def test_mmanon_random_modes_ipv6_and_embedded(spark):
+    """RANDOMINT over ipv6 and embedded v4-in-v6 (mmanon_random_128_
+    ipv6.sh / mmanon_random_cons_128_ipembedded.sh shape): valid
+    renders, consistency per input, kept prefix on partial widths,
+    and the dotted tail preserved for embedded."""
+    import re
+    from rsyslog_spark.operators.mm import (
+        anon_ipv6_col, anon_ipv6_embedded_col)
+
+    df = spark.createDataFrame(
+        [(" 61:34:ad::7:F then 61:34:ad::7:F",)], "msg string")
+    cons = df.select(anon_ipv6_col(
+        "msg", bits=128, mode="random-consistent", seed=5)
+        .alias("a")).first()["a"]
+    a1, a2 = cons.strip().split(" then ")
+    assert a1 == a2
+    assert re.fullmatch(r"(?:[0-9a-f]{1,4}:){7}[0-9a-f]{1,4}", a1)
+    assert a1 != "61:34:ad:0:0:0:0:0"
+
+    part = df.select(anon_ipv6_col(
+        "msg", bits=64, mode="random-consistent", seed=5)
+        .alias("a")).first()["a"]
+    # top 4 groups (bits 127..64) keep the expanded original
+    assert part.strip().split(" then ")[0].startswith("61:34:ad:0:")
+
+    emb = spark.createDataFrame(
+        [(" 13:abd::5:1.2.3.4 tail",)], "msg string")
+    e_zero = emb.select(anon_ipv6_embedded_col(
+        "msg", bits=24).alias("a")).first()["a"]
+    # partial zero: low 24 bits live in the dotted tail (1.0.0.0)
+    assert e_zero == " 13:abd:0:0:0:5:1.0.0.0 tail"
+    e_rnd = emb.select(anon_ipv6_embedded_col(
+        "msg", bits=24, mode="random-consistent", seed=5)
+        .alias("a")).first()["a"]
+    m = re.fullmatch(
+        r" 13:abd:0:0:0:5:1\.(\d+)\.(\d+)\.(\d+) tail", e_rnd)
+    assert m and all(0 <= int(x) <= 255 for x in m.groups())
 
 
 class TestMmjsonparseFindJson:
