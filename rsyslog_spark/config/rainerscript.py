@@ -135,6 +135,9 @@ class ParsedConfig:
     # lookup tables visible to lookup() expressions compiled from THIS
     # config — scoped per config, not process-global
     active_tables: dict[str, Any] = dfield(default_factory=dict)
+    # $outchannel declarations: name → {file, maxsize, command}
+    # (ref: runtime/outchannel.c)
+    outchannels: dict[str, dict] = dfield(default_factory=dict)
     main: str = "RSYSLOG_DefaultRuleset"
 
 
@@ -402,6 +405,24 @@ class _Parser:
                 {"name": tname, "type": "string",
                  "string": _unquote(tstr.text),
                  "options": ",".join(opts)})
+        elif name == "outchannel":
+            # $outchannel name,file,maxsize[,rotate-command]
+            # (ref: runtime/outchannel.c ochAddLine — legacy
+            # size-capped rotation still common in distro configs)
+            bits = raw.split(",", 3)
+            if len(bits) < 2:
+                raise SyntaxError("$outchannel needs name,file")
+            size_s = bits[2].strip() if len(bits) > 2 else "0"
+            mult = 1
+            if size_s and size_s[-1].lower() in "kmg":
+                mult = {"k": 1 << 10, "m": 1 << 20,
+                        "g": 1 << 30}[size_s[-1].lower()]
+                size_s = size_s[:-1]
+            self.cfg.outchannels[bits[0].strip()] = {
+                "file": bits[1].strip(),
+                "maxsize": int(size_s or "0") * mult,
+                "command": bits[3].strip() if len(bits) > 3 else "",
+            }
         elif name == "includeconfig":
             self._splice_include({"file": raw})
         elif name == "ruleset":
@@ -718,6 +739,16 @@ class _Parser:
             self.next()
             tname = self.next().text
             return _make_action({"type": "omfile", "dynafile": tname})
+        if t.text.startswith("$"):        # $outchannel target
+            # (ref: tools/omfile.c cflineParseOutchannel:466-505 —
+            # '$name;template' resolves file + size limit + rotate
+            # command from the declared outchannel)
+            rest = self._rest_of_line(t.line)[1:]   # drop '$'
+            chname, _, tmpl = rest.partition(";")
+            p = {"type": "omfile", "outchannel": chname.strip()}
+            if tmpl:
+                p["template"] = tmpl
+            return _make_action(p)
         if t.text == "*":                 # wall message to all users
             self.next()
             return _make_action({"type": "omusrmsg", "target": "*"})

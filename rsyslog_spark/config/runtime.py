@@ -68,7 +68,104 @@ def _rendered_lines(df: DataFrame, cfg: ParsedConfig, params: dict,
     return df.select(tpl.col(df).alias("line"))
 
 
+def _outchannel_size_check(och: dict) -> None:
+    """Size-capped rotation (ref: outchannel.c uSizeLimit +
+    cmdOnSizeLimit; omfile.c:497-500 — when the written size passes
+    the cap, the configured command runs to rotate; legacy behavior
+    passes NO filename argument)."""
+    import os
+    import subprocess
+
+    limit = int(och.get("maxsize", 0))
+    if limit <= 0:
+        return
+    path = och["file"]
+    total = 0
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            total += os.path.getsize(os.path.join(path, f))
+    elif os.path.exists(path):
+        total = os.path.getsize(path)
+    if total > limit and och.get("command"):
+        subprocess.run(och["command"], shell=True, check=False)
+
+
+def _ratelimit_policy(cfg: ParsedConfig, name: str) -> dict:
+    """Resolve ratelimit(name=.. policy=..) → {scope, mode, interval,
+    burst} (ref: ChangeLog 2026-07-06 generic action output rate
+    limiting; tests/action-ratelimit-{drop,pace}.sh policy YAML)."""
+    for o in cfg.objects.get("ratelimit", []):
+        if o.get("name") != name:
+            continue
+        pol = {k: o[k] for k in ("scope", "mode", "interval", "burst")
+               if k in o}
+        path = o.get("policy")
+        if path:
+            with open(path, encoding="utf-8") as fh:
+                for ln in fh:
+                    k, _, v = ln.partition(":")
+                    if _ and k.strip() and not k.startswith("#"):
+                        pol.setdefault(k.strip(), v.strip())
+        pol["mode"] = str(pol.get("mode", "drop")).lower()
+        pol["interval"] = int(pol.get("interval", "0"))
+        pol["burst"] = int(pol.get("burst", "0"))
+        return pol
+    raise ValueError(f"ratelimit {name!r} not declared")
+
+
+def _apply_action_ratelimit(cfg: ParsedConfig, rl_name: str,
+                            df: DataFrame) -> tuple[DataFrame, float]:
+    """Action-scoped output rate limiting. drop: first ``burst`` rows
+    per interval window pass (arrival order), rest discarded before
+    the output module runs. pace: every row delivers, the action
+    worker sleeps so the configured rate is observable — returns the
+    pace duration for the caller to sleep AFTER the write (the
+    reference paces inside the action worker; shutdown is checked
+    before sleeping there, here the bound caps the stall)."""
+    from pyspark.sql import Window
+
+    pol = _ratelimit_policy(cfg, rl_name)
+    burst = pol["burst"]
+    if burst <= 0:
+        return df, 0.0
+    if pol["mode"] == "pace":
+        n = df.count()
+        extra_windows = max(0, -(-n // burst) - 1)
+        return df, float(extra_windows * pol["interval"])
+    # drop mode: arrival order within the batch (file/row order)
+    ts = "timegenerated" if "timegenerated" in df.columns else None
+    order = F.monotonically_increasing_id()
+    if ts and pol["interval"] > 0:
+        bucket = F.window(F.col(ts), f"{pol['interval']} seconds")[
+            "start"]
+        w = Window.partitionBy(bucket).orderBy(order)
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy(order)
+    gated = df.withColumn("__rl_rn", F.row_number().over(w)) \
+        .filter(F.col("__rl_rn") <= burst).drop("__rl_rn")
+    return gated, 0.0
+
+
 def _dispatch_action(
+    cfg: ParsedConfig, name: str, df: DataFrame, params: dict,
+    run: ConfigRun, sink_overrides: dict | None = None,
+) -> None:
+    """Route one action's rows to its sink, applying action-scoped
+    output rate limiting first (action.ratelimit.name — ChangeLog
+    2026-07-06; drop filters before the output module runs, pace
+    sleeps the worker after the write)."""
+    import time as _time
+
+    rl = params.get("action.ratelimit.name")
+    pace = 0.0
+    if rl:
+        df, pace = _apply_action_ratelimit(cfg, rl, df)
+    _dispatch_action_inner(cfg, name, df, params, run, sink_overrides)
+    if pace > 0:
+        _time.sleep(min(pace, 30.0))
+
+
+def _dispatch_action_inner(
     cfg: ParsedConfig, name: str, df: DataFrame, params: dict,
     run: ConfigRun, sink_overrides: dict | None = None,
 ) -> None:
@@ -76,6 +173,23 @@ def _dispatch_action(
     runtime/rsconf.c:1228-1268 — actions start first). Types without a
     runtime binding land in ``run.unbound`` for host wiring."""
     typ = params.get("type", "")
+    # $outchannel target: resolve file + size cap + rotate command
+    # (tools/omfile.c cflineParseOutchannel)
+    och_name = params.get("outchannel") or (
+        params.get("target", "")[1:]
+        if typ == "omfile" and params.get("target", "").startswith("$")
+        else "")
+    if och_name:
+        och = cfg.outchannels.get(och_name)
+        if och is None:
+            raise ValueError(f"outchannel {och_name!r} not declared")
+        params = {**params, "file": och["file"]}
+        params.pop("target", None)
+        params.pop("outchannel", None)
+        _dispatch_action_inner(cfg, name, df, params, run,
+                               sink_overrides)
+        _outchannel_size_check(och)
+        return
     if sink_overrides and typ in sink_overrides:
         out = sink_overrides[typ](name, df, params)
         run.written[name] = out if isinstance(out, str) else typ
@@ -121,6 +235,17 @@ def _dispatch_action(
             if zl > 0:
                 writer = writer.option("compression", "gzip")
             writer.parquet(out_path)
+        # sig.provider (ref: omfile.c:133-140 binds a sigprov per
+        # action; lmsig_ksi-ls12 block signing): chain-sign each
+        # committed part file, manifest next to it; verify with
+        # tools/logverify.py
+        sig = str(params.get("sig.provider", "")).lower()
+        if sig:
+            if sig not in ("ksi_ls12", "ksi-ls12", "hashchain"):
+                raise ValueError(f"unknown sig.provider {sig!r}")
+            from rsyslog_spark.streaming.sigprov import sign_directory
+            sign_directory(out_path, block_size=int(
+                params.get("sig.block.sizelimit", "1000")))
         run.written[name] = out_path
         return
     if typ == "omfwd" and params.get("target"):

@@ -1548,6 +1548,117 @@ input(type="imfile" file="{src}" ruleset="m")
         assert strict is None
 
 
+class TestActionRatelimitAndOutchannel:
+    """Goldens from tests/action-ratelimit-{drop,pace}.sh (ChangeLog
+    2026-07-06 generic output rate limiting) and the legacy
+    $outchannel directive (runtime/outchannel.c)."""
+
+    def _lines(self, out):
+        import os
+        ls = []
+        for f in sorted(os.listdir(out)):
+            if f.startswith("part") and not f.endswith(".sig"):
+                ls += open(out / f).read().splitlines()
+        return ls
+
+    def test_action_ratelimit_drop(self, spark, tmp_path):
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        pol = tmp_path / "drop.yaml"
+        pol.write_text("scope: output\nmode: drop\n"
+                       "interval: 60\nburst: 5\n")
+        src = tmp_path / "in.log"
+        src.write_text("".join(
+            f"<13>Mar  1 10:00:00 h1 tag: msgnum:{i:08d}\n"
+            for i in range(20)))
+        out = tmp_path / "out"
+        conf = f'''
+ratelimit(name="out_drop" policy="{pol}")
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="{out}" template="outfmt"
+         action.ratelimit.name="out_drop")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+        run_config_batch(spark, conf)
+        # exactly the FIRST five matching messages reach omfile
+        assert self._lines(out) == [
+            f"msgnum:{i:08d}" for i in range(5)]
+
+    def test_action_ratelimit_pace(self, spark, tmp_path):
+        import time
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        pol = tmp_path / "pace.yaml"
+        pol.write_text("scope: output\nmode: pace\n"
+                       "interval: 1\nburst: 2\n")
+        src = tmp_path / "in.log"
+        src.write_text("".join(
+            f"<13>Mar  1 10:00:00 h1 tag: msgnum:{i:08d}\n"
+            for i in range(4)))
+        out = tmp_path / "out"
+        conf = f'''
+ratelimit(name="out_pace" policy="{pol}")
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="{out}" template="outfmt"
+         action.ratelimit.name="out_pace")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+        t0 = time.monotonic()
+        run_config_batch(spark, conf)
+        elapsed = time.monotonic() - t0
+        # all four delivered AND the second window was reached
+        # (4 msgs / burst 2 -> one extra 1s window of pacing)
+        assert sorted(self._lines(out)) == [
+            f"msgnum:{i:08d}" for i in range(4)]
+        assert elapsed >= 1.0
+
+    def test_outchannel_rotation(self, spark, tmp_path):
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "in.log"
+        src.write_text("".join(
+            f"<13>Mar  1 10:00:00 h1 tag: filler message {i}\n"
+            for i in range(50)))
+        out = tmp_path / "och_out"
+        marker = tmp_path / "rotated.marker"
+        conf = f'''
+$outchannel log_rot,{out},64,touch {marker}
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  *.* $log_rot;outfmt
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+        run_config_batch(spark, conf)
+        got = self._lines(out)
+        assert len(got) == 50 and got[0] == "filler message 0"
+        # 50 records blow the 64-byte cap -> the rotate command ran
+        assert marker.exists()
+
+    def test_outchannel_under_cap_no_rotate(self, spark, tmp_path):
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "in.log"
+        src.write_text("<13>Mar  1 10:00:00 h1 tag: one line\n")
+        out = tmp_path / "och_out"
+        marker = tmp_path / "rotated.marker"
+        conf = f'''
+$outchannel log_rot,{out},1m,touch {marker}
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  *.* $log_rot;outfmt
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+        run_config_batch(spark, conf)
+        assert self._lines(out) == ["one line"]
+        assert not marker.exists()
+
+
 def test_timezone_objects_consumed(spark, tmp_path):
     """timezone(id=.. offset=..) config objects are APPLIED, not just
     recorded (ref: runtime/timezones.c glblProcessTimezone;
