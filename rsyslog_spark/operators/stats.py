@@ -65,6 +65,50 @@ def dynstats_counts(
     return counted
 
 
+def dynstats_lifecycle(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    interval: str = "1 hour",
+    life_windows: int = 1,
+) -> DataFrame:
+    """dyn_stats metric lifecycle (ref: runtime/dynstats.c
+    unusedMetricLife eviction + the new_metric_add / metrics_purged
+    lifecycle counters impstats reports; golden scenario:
+    tests/dynstats_reset.sh — bursts separated by idle > life yield
+    one add AND one purge per burst segment, and the per-flush
+    counter SUMS equal the true totals).
+
+    Batch form over event time: a key's appearance windows split into
+    SEGMENTS wherever the idle gap exceeds ``life_windows`` full
+    intervals; each segment is one metric add and (once idle) one
+    purge. Output per key: total cnt, n_windows, new_metric_add
+    (= segments = metrics_purged), first/last window.
+
+    Plan: one (key, window) partial-agg shuffle over events, then a
+    lag window + final agg over the REDUCED per-window frame (rows =
+    active keys × windows, not events) — the second exchange carries
+    near-nothing at any scale.
+    """
+    win = F.window(F.col(ts_col), interval)["start"]
+    per = df.groupBy(F.col(key_col).alias("key"),
+                     win.alias("w")) \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    lw = F.lag("w").over(Window.partitionBy("key").orderBy("w"))
+    n, unit = interval.split()
+    gap_limit = F.expr(f"INTERVAL {life_windows * int(n)} {unit}")
+    seg_start = F.when(
+        lw.isNull() | (F.col("w") > lw + gap_limit), 1).otherwise(0)
+    return (per.withColumn("__seg", seg_start)
+            .groupBy("key")
+            .agg(F.sum("cnt").alias("cnt"),
+                 F.count(F.lit(1)).alias("n_windows"),
+                 F.sum("__seg").alias("new_metric_add"),
+                 F.min("w").alias("first_window"),
+                 F.max("w").alias("last_window"))
+            .withColumn("metrics_purged", F.col("new_metric_add")))
+
+
 def percentile_stats(
     df: DataFrame,
     key_col: str,

@@ -174,6 +174,17 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     def ab(a: Column, b: Column) -> Column:
         return F.when(acc, a).otherwise(b)
 
+    # layer E — MSG materialized as a column. msg is the one field
+    # hot-path FILTERS reference (contains/regex routing); if it were
+    # built in the final projection, predicate pushdown would inline
+    # the whole CASE into the Filter node and the surviving rows
+    # would compute it AGAIN in the projection (measured: the
+    # flagship's contains-filter stage re-derived the chain). As a
+    # layer column both the pushed predicate and the canonical field
+    # reference __msgv, which the multi-reference check keeps
+    # CollapseProject from re-inlining.
+    layer_e = [ab(msg5, msg3).alias("__msgv")]
+
     hostname = ab(p5(3), F.when(has_ts, F.col("__m3host")))
     timereported = ab(ts5424,
                       F.when(has_ts, F.coalesce(
@@ -186,7 +197,7 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         if name == "rawmsg":
             return F.col("__line") if keep_raw else null_s
         if name == "msg":
-            return ab(msg5, msg3)
+            return F.col("__msgv")
         if name == "pri":
             return pri
         if name == "syslogfacility":
@@ -236,7 +247,7 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         raise KeyError(f"unknown canonical column {name!r}")
 
     final = [canonical(c).alias(c) for c in want]
-    return [layer_a, layer_b, layer_c, layer_d, final]
+    return [layer_a, layer_b, layer_c, layer_d, layer_e, final]
 
 
 def parse_syslog(

@@ -157,6 +157,7 @@ _TAIL = ("similarity_topk_bruteforce",
          "template_render", "scalar_battery",
          "scalar_battery_misc", "json_tree_battery",
          "lookup_battery", "vendor_parse_pair",
+         "lookup_sparse",
          "mm_seq_count", "text_battery",
          "pricing_summary")
 

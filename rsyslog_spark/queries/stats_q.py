@@ -282,3 +282,41 @@ def sessionize_stats(spark, sf_dir):
         F.col("session_id").cast("long").alias("session_id"),
         "n_events", "session_start", "session_end",
         F.col("duration_s").cast("long").alias("duration_s"))
+
+
+@q(
+    "dynstats_lifecycle_totals",
+    """
+    WITH per AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS w,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), seg AS (
+      SELECT key, w, cnt,
+             CASE WHEN lag(w) OVER win IS NULL
+                    OR w > lag(w) OVER win + INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS s
+      FROM per
+      WINDOW win AS (PARTITION BY key ORDER BY w)
+    )
+    SELECT key, SUM(cnt) AS cnt, COUNT(*) AS n_windows,
+           CAST(SUM(s) AS BIGINT) AS new_metric_add,
+           MIN(w) AS first_window, MAX(w) AS last_window,
+           CAST(SUM(s) AS BIGINT) AS metrics_purged
+    FROM seg GROUP BY key
+    """,
+    doc="dyn_stats metric lifecycle totals (ref: runtime/dynstats.c "
+        "unusedMetricLife + new_metric_add/metrics_purged counters; "
+        "golden scenario tests/dynstats_reset.sh): appearance "
+        "windows split into segments at idle gaps past the metric "
+        "life — each segment is one add and one purge, and segment "
+        "sums match the reference's per-flush counter totals. One "
+        "(key,window) partial-agg shuffle; the lag+final agg runs "
+        "over the reduced per-window frame.",
+)
+def dynstats_lifecycle_totals(spark, sf_dir):
+    from rsyslog_spark.operators.stats import dynstats_lifecycle
+
+    ev = load(spark, sf_dir, "events")
+    return dynstats_lifecycle(ev, "event_type", "ts",
+                              interval="1 hour", life_windows=1)

@@ -1548,6 +1548,53 @@ input(type="imfile" file="{src}" ruleset="m")
         assert strict is None
 
 
+def test_proprepltest_tag_goldens(spark, tmp_path):
+    """Goldens from tests/proprepltest-{rfctag,nolimittag}.sh: TAG
+    substring replacer %syslogtag:1:32% truncates long SP-terminated
+    tags, %syslogtag% renders them whole; ':pri, contains' filters
+    the PRI property as text."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    msgs = [
+        "<167>Mar  6 16:57:54 172.20.245.8 TAG: Rest of message...",
+        "<167>Mar  6 16:57:54 172.20.245.8 0 Rest of message...",
+        "<167>Mar  6 16:57:54 172.20.245.8 "
+        "01234567890123456789012345678901 Rest of message...",
+        "<167>Mar  6 16:57:54 172.20.245.8 "
+        "01234567890123456789012345678901-toolong Rest of message...",
+    ]
+    src = tmp_path / "in.log"
+    src.write_text("\n".join(msgs) + "\n")
+    out_rfc, out_nl = tmp_path / "rfc", tmp_path / "nl"
+    conf = f'''
+template(name="rfctag" type="string" string="+%syslogtag:1:32%+\\n")
+template(name="nolimit" type="string" string="+%syslogtag%+\\n")
+ruleset(name="m") {{
+  :pri, contains, "167" action(type="omfile" file="{out_rfc}" template="rfctag")
+  :pri, contains, "167" action(type="omfile" file="{out_nl}" template="nolimit")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    import os
+
+    def lines(d):
+        ls = []
+        for f in sorted(os.listdir(d)):
+            if f.startswith("part"):
+                ls += open(d / f).read().splitlines()
+        return sorted(ls)
+
+    assert lines(out_rfc) == sorted([
+        "+TAG:+", "+0+",
+        "+01234567890123456789012345678901+",
+        "+01234567890123456789012345678901+"])
+    assert lines(out_nl) == sorted([
+        "+TAG:+", "+0+",
+        "+01234567890123456789012345678901+",
+        "+01234567890123456789012345678901-toolong+"])
+
+
 class TestActionRatelimitAndOutchannel:
     """Goldens from tests/action-ratelimit-{drop,pace}.sh (ChangeLog
     2026-07-06 generic output rate limiting) and the legacy

@@ -363,3 +363,36 @@ class TestDiscardWatermark:
         gate(big, 1)                         # over: sev >= 6 dropped
         assert seen[0] == [1, 6, 7]
         assert seen[1] == [1, 2]
+
+
+def test_dynstats_lifecycle_reference_scenario(spark):
+    """The dynstats_reset.sh scenario (three bursts separated by idle
+    beyond the metric life; inputs dynstats_input_{1,2,3}): per-flush
+    counter SUMS must equal the true totals — foo=3 bar=1 baz=2,
+    new_metric_add=6, metrics_purged=6 (every burst segment is one
+    add and one purge)."""
+    import datetime as dt
+    from rsyslog_spark.operators.stats import dynstats_lifecycle
+
+    def burst(hour, keys):
+        return [(k, dt.datetime(2024, 3, 1, hour, 0, 0))
+                for k in keys]
+
+    rows = (burst(1, ["foo", "bar", "baz"])     # input_1
+            + burst(4, ["foo", "baz"])          # input_2 (idle > life)
+            + burst(7, ["foo"]))                # input_3
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = {r["key"]: r for r in dynstats_lifecycle(
+        df, "key", "ts", interval="1 hour", life_windows=1).collect()}
+    assert {k: v["cnt"] for k, v in out.items()} == \
+        {"foo": 3, "bar": 1, "baz": 2}
+    assert {k: v["new_metric_add"] for k, v in out.items()} == \
+        {"foo": 3, "bar": 1, "baz": 2}
+    assert sum(v["new_metric_add"] for v in out.values()) == 6
+    assert sum(v["metrics_purged"] for v in out.values()) == 6
+    # adjacent-window appearances stay ONE segment (no false purge)
+    adj = [("k", dt.datetime(2024, 3, 1, h)) for h in (1, 2, 3)]
+    one = dynstats_lifecycle(
+        spark.createDataFrame(adj, "key string, ts timestamp"),
+        "key", "ts", interval="1 hour", life_windows=1).first()
+    assert one["new_metric_add"] == 1 and one["n_windows"] == 3
