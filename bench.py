@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "pricing_summary",
     "top_revenue_orders",
     "supplier_part_volume",
+    "sessionize_stats",
+    "dynstats_lifecycle_totals",
 ]
 
 

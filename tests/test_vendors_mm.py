@@ -929,6 +929,57 @@ def test_mmanon_ipv6_partial_bits_goldens(spark):
         assert [got[m] for m in lines] == want, f"bits={bits}"
 
 
+def test_mmanon_ipv6_port_golden_subset(spark):
+    """mmanon_ipv6_port.sh (ipv6 zero @ the default 96 bits): plain,
+    [addr]:port, and 9-group trailing-port forms — byte-exact on the
+    well-formed rows. The reference's >8-group '::' and 5-digit-port
+    rows exercise its recognizer's acknowledged detection limits
+    (rsyslog issue #4856 comment linked from the test itself); our
+    scan makes the defensible leftmost-longest choice there and the
+    exact bytes differ — documented divergence, not asserted."""
+    from rsyslog_spark.operators.mm import anon_ipv6_col
+
+    cases = {
+        " asdfghjk": " asdfghjk",
+        " 1a00:c820:1180:c84c:ad3f:4024:d991:ec2e:4922":
+            " 1a00:c820:0:0:0:0:0:0:4922",
+        " 1a00:c820:1180:c84c:ad3f:4024:d991:ec2e":
+            " 1a00:c820:0:0:0:0:0:0",
+        " [1a00:c820:1180:c84c:ad3f:4024:d991:ec2e]:4922":
+            " [1a00:c820:0:0:0:0:0:0]:4922",
+        " [1a00:c820:1180:c84c:ad3f::d991:ec2e]:4922":
+            " [1a00:c820:0:0:0:0:0:0]:4922",
+    }
+    df = spark.createDataFrame([(m,) for m in cases], "msg string")
+    got = {r["msg"]: r["a"] for r in df.select(
+        "msg", anon_ipv6_col("msg", bits=96).alias("a")).collect()}
+    assert got == cases
+
+
+def test_mmanon_truncated_dotted_suffix_golden(spark):
+    """Byte-exact vs tests/mmanon_truncated_dotted_suffix.sh
+    (ipv4 zero 32 + embedded 128): incomplete dotted quads are NOT
+    addresses — '1.2.3.', '1.2.', '1.' and the 'aa:bb::1.2.3.'
+    embedded form pass untouched while a real quad beside them
+    anonymizes."""
+    from rsyslog_spark.operators.mm import (
+        anon_ipv4_col, anon_ipv6_embedded_col)
+
+    cases = {
+        " 1.2.3.": " 1.2.3.",
+        " 1.2.": " 1.2.",
+        " 1.": " 1.",
+        " 10.20.30.40 1.2.3.": " 0.0.0.0 1.2.3.",
+        " aa:bb::1.2.3.": " aa:bb::1.2.3.",
+    }
+    df = spark.createDataFrame([(m,) for m in cases], "msg string")
+    out = df.select("msg", anon_ipv6_embedded_col(
+        anon_ipv4_col("msg", bits=32, mode="zero"), bits=128)
+        .alias("a"))
+    got = {r["msg"]: r["a"] for r in out.collect()}
+    assert got == cases
+
+
 def test_mmanon_random_modes_ipv4(spark):
     """RANDOMINT mode properties from mmanon_random_32_ipv4.sh and
     mmanon_random_cons_32_ipv4.sh: outputs differ from inputs and are
