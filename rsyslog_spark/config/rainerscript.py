@@ -884,6 +884,11 @@ def _var_col(name: str, df: DataFrame | None = None) -> Column:
     or the original ``json`` tree column — reads must see BOTH, with
     the set-value winning (ref: runtime/msg.c MsgGetJSONPropJSON;
     writes and reads go through the same tree there)."""
+    if name in ("$!", "$."):
+        # bare tree roots read as whole-tree JSON text (golden
+        # rscript_bare_var_root.sh 'set $! = $.')
+        from rsyslog_spark.templates import prop_col
+        return prop_col(name, df)
     if name.startswith("$!"):
         from rsyslog_spark.plans.ruleset import fold_var
         name = fold_var(name)
@@ -1016,6 +1021,25 @@ def _to_col(ast, df: DataFrame | None = None,
             c = rs_str(_to_col(l, df, tables, templates)).isin(
                 [str(x) for x in ast[3][1]])
             return c if op == "==" else ~c
+        if ast[3][0] == "array" and op in (
+                "contains", "startswith", "endswith",
+                "contains_i", "startswith_i"):
+            # array RHS = OR over the members (ref: grammar array
+            # comparisons; golden endswith-basic.sh — $programname
+            # endswith ["_foo","-bar",".baz"])
+            lc = rs_str(_to_col(l, df, tables, templates))
+            base = op[:-2] if op.endswith("_i") else op
+            if op.endswith("_i"):
+                lc = F.lower(lc)
+            import functools as _ft
+            import operator as _op
+            def one(x):
+                v = F.lit(str(x).lower() if op.endswith("_i")
+                          else str(x))
+                return {"contains": lc.contains(v),
+                        "startswith": lc.startswith(v),
+                        "endswith": lc.endswith(v)}[base]
+            return _ft.reduce(_op.or_, (one(x) for x in ast[3][1]))
         if op in ("contains", "startswith", "endswith", "contains_i",
                   "startswith_i", "isequal", "regex"):
             lc = rs_str(_to_col(l, df, tables, templates))

@@ -621,7 +621,29 @@ def run_config_batch(
                  .filter(F.col("line").isNotNull()
                          & (F.length("line") > 0)))
     else:
-        lines = spark.read.text(path).withColumnRenamed("value", "line")
+        imf = next((i for i in cfg.inputs
+                    if i.get("type") == "imfile"
+                    and (input_path is None or i.get("file") == path)),
+                   {})
+        ml = (imf.get("startmsg.regex") or imf.get("endmsg.regex")
+              or imf.get("escapelf.replacement")
+              or imf.get("readMode") or imf.get("readmode")
+              or imf.get("addMetadata") or imf.get("addmetadata"))
+        if ml:
+            from rsyslog_spark.streaming.sources import imfile_batch
+            lines = imfile_batch(
+                spark, path,
+                startmsg_regex=imf.get("startmsg.regex"),
+                endmsg_regex=imf.get("endmsg.regex"),
+                read_mode=int(imf.get("readMode",
+                                      imf.get("readmode", "0"))),
+                escapelf_replacement=imf.get("escapelf.replacement"),
+                add_metadata=str(imf.get(
+                    "addMetadata", imf.get("addmetadata", "off"))
+                ).lower() in ("on", "true", "1"))
+        else:
+            lines = spark.read.text(path) \
+                .withColumnRenamed("value", "line")
     frame = parse_syslog(lines,
                          parsers=_ruleset_parser_chain(cfg, ruleset_name),
                          **_parser_opts(cfg))

@@ -24,10 +24,25 @@ def strlen(s: ColumnOrName) -> Column:
 
 
 def substring(s: ColumnOrName, start: int | Column, length: int | Column) -> Column:
-    """0-based substring (ref start is 0-based; Spark substr is 1-based)."""
+    """0-based substring with the reference's edge semantics
+    (grammar/rainerscript.c doFunct_Substring:2586-2615; goldens
+    func-substring-{invld-startpos,relative-endpos,large-endpos,
+    large-neg-endpos}.sh): negative start clamps to 0; start past the
+    string yields ''; a NEGATIVE length is relative to the SOURCE
+    length (len = lenSrc + length, floored at 0); oversized lengths
+    clamp to the remainder. Spark substr is 1-based."""
+    src = rs_str(s)
     start_c = _c(start) if isinstance(start, Column) else F.lit(start)
     len_c = _c(length) if isinstance(length, Column) else F.lit(length)
-    return rs_str(s).substr(start_c + 1, len_c)
+    start_c = F.greatest(start_c.cast("long"), F.lit(0))
+    n = F.length(src).cast("long")
+    eff_len = F.when(len_c < 0,
+                     F.greatest(n + len_c.cast("long"), F.lit(0))) \
+        .otherwise(len_c.cast("long"))
+    eff_len = F.least(eff_len, n - start_c)
+    return F.when(start_c >= n, F.lit("")) \
+        .otherwise(src.substr(start_c + 1,
+                              F.greatest(eff_len, F.lit(0))))
 
 
 def ltrim(s: ColumnOrName) -> Column:

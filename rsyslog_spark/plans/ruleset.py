@@ -348,6 +348,37 @@ class _Compiler:
     # (live minus rows that hit a Stop).
     def _exec(self, stmts: Sequence[Stmt], live: Column, depth: int) -> Column:
         for s in stmts:
+            if isinstance(s, Set) and s.name in ("$!", "$."):
+                # bare-root tree assignment (golden
+                # rscript_bare_var_root.sh: 'set $! = $.;' replaces
+                # the WHOLE message tree with the local tree). The
+                # value text becomes the tree; prior flat columns of
+                # the target prefix are superseded (nulled for live
+                # rows).
+                from rsyslog_spark.expr import rs_str
+                v = s.value(self.df) if callable(s.value) else s.value
+                vtxt = rs_str(v)
+                vtxt = F.when(vtxt == "", F.lit(None)).otherwise(vtxt)
+                prefix = "cee_" if s.name == "$!" else "local_"
+                for c in list(self.df.columns):
+                    if c.startswith(prefix) and c != "local__root":
+                        self.df = self.df.withColumn(
+                            c, F.when(live, F.lit(None))
+                            .otherwise(F.col(c)))
+                if s.name == "$!":
+                    prev = (F.col("json")
+                            if "json" in self.df.columns
+                            else F.lit(None).cast("string"))
+                    self.df = self.df.withColumn(
+                        "json", F.when(live, vtxt).otherwise(prev))
+                else:
+                    prev = (F.col("local__root")
+                            if "local__root" in self.df.columns
+                            else F.lit(None).cast("string"))
+                    self.df = self.df.withColumn(
+                        "local__root",
+                        F.when(live, vtxt).otherwise(prev))
+                continue
             if isinstance(s, Set):
                 v = s.value(self.df) if callable(s.value) else s.value
                 name = varname(s.name)

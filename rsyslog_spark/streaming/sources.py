@@ -32,6 +32,7 @@ def imfile(
     endmsg_regex: str | None = None,
     read_mode: int = 0,
     inputname: str = "imfile",
+    escapelf_replacement: str | None = None,
 ) -> DataFrame:
     """Tail files under a glob (ref: plugins/imfile/imfile.c:382-416).
 
@@ -69,28 +70,9 @@ def imfile(
                 F.input_file_name().alias("srcfile"),
             )
         )
-        if startmsg_regex:
-            pat = startmsg_regex.lstrip("^")
-            parts = F.split("content", f"(?m)(?=^{pat})")
-        elif endmsg_regex:
-            # no variable-length lookbehind in Java regex: stamp a
-            # sentinel after each end-matching line, split on it
-            marked = F.regexp_replace(
-                F.col("content"),
-                f"(?m)({endmsg_regex})\\n?", "$1\u0000")
-            parts = F.split(marked, "\u0000\\n?")
-        elif read_mode == 1:
-            parts = F.split("content", "(?m)(?=^[^ \\t])")
-        else:  # read_mode == 2: empty-line separated paragraphs
-            parts = F.split("content", "(?m)\\n(?:[ \\t]*\\n)+")
-        return content.select(
-            F.explode(
-                F.transform(parts,
-                            lambda x: F.regexp_replace(x, r"\n+$", ""))
-            ).alias("line"),
-            "srcfile",
-            F.lit(inputname).alias("inputname"),
-        ).filter(F.length(F.trim("line")) > 0)
+        return _split_multiline(content, startmsg_regex, endmsg_regex,
+                                read_mode, escapelf_replacement,
+                                inputname)
     return (
         reader.load(path)
         .select(
@@ -99,6 +81,105 @@ def imfile(
             F.lit(inputname).alias("inputname"),
         )
     )
+
+
+def _split_multiline(content: DataFrame, startmsg_regex, endmsg_regex,
+                     read_mode: int, escapelf_replacement,
+                     inputname: str) -> DataFrame:
+    """Wholetext content → multiline-reassembled line rows (the four
+    imfile modes; shared by the streaming reader and imfile_batch)."""
+    if startmsg_regex:
+        pat = startmsg_regex.lstrip("^")
+        parts = F.split("content", f"(?m)(?=^{pat})")
+    elif endmsg_regex:
+        # no variable-length lookbehind in Java regex: stamp a
+        # sentinel after each end-matching line, split on it
+        marked = F.regexp_replace(
+            F.col("content"),
+            f"(?m)({endmsg_regex})\\n?", "$1\u0000")
+        parts = F.split(marked, "\u0000\\n?")
+    elif read_mode == 1:
+        parts = F.split("content", "(?m)(?=^[^ \\t])")
+    else:  # read_mode == 2: empty-line separated paragraphs
+        parts = F.split("content", "(?m)\\n(?:[ \\t]*\\n)+")
+    out = content.select(
+        F.explode(
+            F.transform(parts,
+                        lambda x: F.regexp_replace(x, r"\n+$", ""))
+        ).alias("line"),
+        "srcfile",
+        F.lit(inputname).alias("inputname"),
+    ).filter(F.length(F.trim("line")) > 0)
+    if escapelf_replacement is not None:
+        # escapelf.replacement (imfile.c escapeLF*): the joined
+        # message's inner newlines render as the given string
+        # (golden: imfile-escapelf.replacement.sh '[LF]').
+        # Divergence note: the reference holds a final
+        # startmsg-mode message until more lines or a timeout
+        # arrive; the batch/file model treats EOF as complete and
+        # emits it.
+        out = out.withColumn("line", F.replace(
+            F.col("line"), F.lit("\n"),
+            F.lit(escapelf_replacement)))
+    return out
+
+
+def imfile_batch(
+    spark: SparkSession,
+    path: str,
+    *,
+    startmsg_regex: str | None = None,
+    endmsg_regex: str | None = None,
+    read_mode: int = 0,
+    inputname: str = "imfile",
+    escapelf_replacement: str | None = None,
+    add_metadata: bool = False,
+) -> DataFrame:
+    """Batch form of :func:`imfile` (same four multiline modes +
+    escapelf.replacement) for the config batch runtime.
+
+    ``add_metadata`` (imfile addMetadata="on", ref imfile.c
+    msgAddMetadata; golden imfile-metadata-line-number.sh): stamps
+    ``$!metadata!filename`` and ``$!metadata!line_number`` (1-based
+    per file) — plain line mode; multiline messages carry reassembly
+    metadata through :func:`reassemble_multiline` instead."""
+    multiline = (bool(startmsg_regex or endmsg_regex)
+                 or read_mode in (1, 2))
+    if not multiline and add_metadata:
+        content = (spark.read.format("text")
+                   .option("wholetext", True).load(path)
+                   .select(F.col("value").alias("content"),
+                           F.input_file_name().alias("srcfile")))
+        out = content.select(
+            F.posexplode(F.split(
+                F.regexp_replace("content", r"\n$", ""), "\n"))
+            .alias("__ln0", "line"),
+            "srcfile",
+            F.lit(inputname).alias("inputname"),
+        ).select(
+            "line", "srcfile", "inputname",
+            F.regexp_replace("srcfile", r"^file:/*", "/")
+            .alias("cee_metadata_filename"),
+            (F.col("__ln0") + 1).cast("string")
+            .alias("cee_metadata_line_number"),
+        )
+        out = out.withMetadata(
+            "cee_metadata_filename",
+            {"rs_path": "$!metadata!filename"}).withMetadata(
+            "cee_metadata_line_number",
+            {"rs_path": "$!metadata!line_number"})
+        return out
+    if not multiline:
+        return (spark.read.text(path)
+                .select(F.col("value").alias("line"),
+                        F.input_file_name().alias("srcfile"),
+                        F.lit(inputname).alias("inputname")))
+    content = (spark.read.format("text").option("wholetext", True)
+               .load(path)
+               .select(F.col("value").alias("content"),
+                       F.input_file_name().alias("srcfile")))
+    return _split_multiline(content, startmsg_regex, endmsg_regex,
+                            read_mode, escapelf_replacement, inputname)
 
 
 def immark(
@@ -179,6 +260,7 @@ def reassemble_multiline(
     file_col: str = "srcfile",
     order_col: str = "line_no",
     line_col: str = "line",
+    escapelf_replacement: str | None = None,
 ) -> DataFrame:
     """Multiline reassembly over an ordered line table (ref: imfile
     readMode 0/1/2 + startmsg.regex/endmsg.regex,
@@ -224,7 +306,9 @@ def reassemble_multiline(
         .agg(
             # collect_list order is NOT deterministic post-shuffle:
             # sort by line number inside the group before joining
-            F.concat_ws("\n", F.transform(
+            F.concat_ws(escapelf_replacement
+                        if escapelf_replacement is not None
+                        else "\n", F.transform(
                 F.array_sort(F.collect_list(F.struct(
                     F.col(order_col).alias("o"),
                     F.col(line_col).alias("l")))),

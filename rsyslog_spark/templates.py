@@ -154,8 +154,16 @@ def prop_col(name: str, df=None) -> Column:
         # MSG_PROP_ALL_JSON); engine keeps the parsed tree in `json`
         # and set-$! values in flat cee_* columns — render merges
         # both (set wins on top-level key collisions, like a set
-        # overriding a parsed field)
-        return _all_json_col(df)
+        # overriding a parsed field). Empty-tree fallback differs:
+        # %$!all-json% renders "{}" (msg.c:3998), the bare %$!%
+        # CEE-root property renders "" (golden
+        # rscript_bare_var_root-empty.sh 'empty--')
+        return _all_json_col(
+            df, empty="{}" if "all-json" in name else None)
+    if name in ("$.", "."):
+        # bare local-var root: the $. tree as JSON (golden
+        # rscript_bare_var_root.sh 'set $! = $.')
+        return _local_tree_json(df)
     if name.lstrip("$").lower() == "jsonmesg":
         return _jsonmesg_col(df)
     if name.startswith(("$!", "!")):
@@ -267,7 +275,34 @@ def _set_tree_json(df) -> Column | None:
     return F.to_json(build(root))
 
 
-def _all_json_col(df=None) -> Column:
+def _local_tree_json(df=None) -> Column:
+    """The whole ``$.`` tree as JSON text: flat ``local_*`` columns
+    rebuilt into one object (NULL leaves drop out; no columns → NULL,
+    which renders empty). A ``local__root`` holder (written by
+    ``set $. = <tree>``) merges under the flat values."""
+    if df is None:
+        return F.lit(None).cast("string")
+    fields = []
+    for fld in df.schema.fields:
+        if not fld.name.startswith("local_") \
+                or fld.name == "local__root":
+            continue
+        fields.append(F.col(fld.name).alias(fld.name[len("local_"):]))
+    built = F.to_json(F.struct(*fields)) if fields else None
+    root = (F.col("local__root").cast("string")
+            if "local__root" in df.columns else None)
+    if built is None and root is None:
+        return F.lit(None).cast("string")
+    if built is None:
+        return root
+    if root is None:
+        return F.when(built == "{}", F.lit(None)).otherwise(built)
+    merged = F.when(built == "{}", root).otherwise(built)
+    return F.when(F.coalesce(merged, F.lit("{}")) == "{}",
+                  F.lit(None)).otherwise(merged)
+
+
+def _all_json_col(df=None, empty: str | None = "{}") -> Column:
     """``%$!%`` / ``$!all-json``: the parsed tree merged with set-$!
     values. Set keys append after the parsed keys; when a set key
     also exists at the parsed top level, the parsed copy is DROPPED
@@ -277,11 +312,14 @@ def _all_json_col(df=None) -> Column:
     (map<string,variant> round-trip) only runs on rows with an
     actual collision; collision-free rows keep the raw string-concat
     (preserves the parsed text's original formatting)."""
-    tree = (F.coalesce(F.col("json"), F.lit("{}"))
-            if df is None or "json" in df.columns else F.lit("{}"))
+    has_json = df is None or "json" in df.columns
+    raw = F.col("json") if has_json else F.lit(None).cast("string")
+    tree = F.coalesce(raw, F.lit("{}"))
+    empty_lit = (F.lit(empty) if empty is not None
+                 else F.lit(None).cast("string"))
     setj = _set_tree_json(df)
     if setj is None:
-        return tree
+        return F.coalesce(raw, empty_lit)
     setj = F.coalesce(setj, F.lit("{}"))
     tkeys = F.coalesce(F.json_object_keys(tree), F.array())
     skeys = F.coalesce(F.json_object_keys(setj), F.array())
@@ -289,7 +327,8 @@ def _all_json_col(df=None) -> Column:
         F.map_filter(F.from_json(tree, "map<string,variant>"),
                      lambda k, _v: ~F.array_contains(skeys, k)),
         F.from_json(setj, "map<string,variant>")))
-    return (F.when(setj == "{}", tree)
+    return (F.when((setj == "{}") & raw.isNull(), empty_lit)
+            .when(setj == "{}", tree)
             .when(tree == "{}", setj)
             .when(F.arrays_overlap(tkeys, skeys), dedup)
             .otherwise(F.concat(
@@ -383,6 +422,7 @@ class Prop:
     fixed_width: int | None = None
     space_if_no_first_space: bool = False   # sp-if-no-1st-sp option
     strip_last_lf: bool = False             # drop-last-lf option
+    compress_space: bool = False            # compressSpace option
 
     def _resolve(self) -> tuple[str, str | None]:
         """Map legacy property spellings (ref: runtime/msg.c
@@ -435,6 +475,11 @@ class Prop:
             c = F.rpad(c.substr(1, self.fixed_width), self.fixed_width, " ")
         if self.strip_last_lf:
             c = F.regexp_replace(c, r"\n$", "")
+        if self.compress_space:
+            # compressSpace (ref: msg.c:4632-4686): runs of SPACE
+            # characters (only ' ') collapse to one, after all other
+            # processing and before escaping
+            c = F.regexp_replace(c, "  +", " ")
         if self.escape is not None:
             c = {
                 "csv": csv_escape, "json": json_escape,
@@ -588,6 +633,9 @@ def compile_template_list(elements: list[tuple[str, dict]],
                 kw["regex_nomatch"] = {"BLANK": "blank", "DFLT": "dflt",
                                        "FIELD": "whole", "ZERO": "zero"
                                        }.get(str(v).upper(), "blank")
+            elif lk == "compressspace":
+                kw["compress_space"] = str(v).lower() in (
+                    "on", "true", "1")
             elif lk == "controlcharacters":
                 kw["escape"] = "controlchar"
             else:
@@ -605,6 +653,7 @@ _TPL_TOKEN = _re.compile(r"%([^%]*)%")
 
 _TPL_OPTIONS = {
     "lowercase": dict(case="lower"),
+    "compressspace": dict(compress_space=True),
     "uppercase": dict(case="upper"),
     "date-rfc3339": dict(date_format="rfc3339"),
     "date-rfc3164": dict(date_format="rfc3164"),

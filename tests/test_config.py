@@ -1548,6 +1548,242 @@ input(type="imfile" file="{src}" ruleset="m")
         assert strict is None
 
 
+def test_func_substring_edge_goldens(spark, tmp_path):
+    """Goldens from tests/func-substring-{invld-startpos,
+    relative-endpos,large-endpos,large-neg-endpos}.sh: the reference's
+    substring() edge semantics (rainerscript.c doFunct_Substring) —
+    start past the string → '', negative length relative to the
+    SOURCE length, oversized lengths clamp."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text('<167>1 2003-03-01T01:00:00.000Z hostname1 sender '
+                   '- tag [tcpflood@32473 MSGNUM="0"] data\n')
+    out = tmp_path / "out"
+    conf = f'''
+template(name="outfmt" type="string"
+ string="a:%$!a%|b:%$!b%|c:%$!c%|d:%$!d%\\n")
+ruleset(name="m") {{
+  set $!a = substring($STRUCTURED-DATA, 2000, -3);
+  set $!b = substring($STRUCTURED-DATA, 1, -2);
+  set $!c = substring($STRUCTURED-DATA, 1, 99999999);
+  set $!d = substring($STRUCTURED-DATA, 1, -9999999);
+  local4.debug action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    import os
+    line = open([out / f for f in os.listdir(out)
+                 if f.startswith("part")][0]).read().strip()
+    assert line == ('a:|b:tcpflood@32473 MSGNUM="0"'
+                    '|c:tcpflood@32473 MSGNUM="0"]|d:')
+
+
+def test_compresssp_goldens(spark, tmp_path):
+    """Goldens from tests/compresssp{,-stringtpl}.sh: the
+    compressSpace property option collapses runs of spaces in the
+    rendered property (msg.c:4632-4686), in both list and string
+    template forms."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text("<165>1 2003-08-24T05:14:15.000003-07:00 192.0.2.1"
+                   " tcpflood 8710 - - msgnum:0000000 test   test  "
+                   "   test\n")
+    out_l, out_s = tmp_path / "lst", tmp_path / "str"
+    conf = f'''
+template(name="lfmt" type="list") {{
+  property(name="msg" compressSpace="on")
+  constant(value="\\n")
+}}
+template(name="sfmt" type="string" string="%msg:::compressspace%\\n")
+ruleset(name="m") {{
+  :msg, contains, "msgnum:" action(type="omfile" file="{out_l}" template="lfmt")
+  :msg, contains, "msgnum:" action(type="omfile" file="{out_s}" template="sfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    import os
+    for out in (out_l, out_s):
+        line = open([out / f for f in os.listdir(out)
+                     if f.startswith("part")][0]).read().strip()
+        assert line == "msgnum:0000000 test test test"
+
+
+def test_empty_app_name_golden(spark, tmp_path):
+    """Golden from tests/empty-app-name.sh: a '/no-app-name' TAG with
+    permitSlashes off yields an EMPTY programname (the '/' cuts at
+    position 0) and app-name renders '-'; the tag itself keeps the
+    slash."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text("<133>Aug  6 16:57:54 host /no-app-name msgh ...x\n")
+    out = tmp_path / "out"
+    conf = f'''
+global(parser.PermitSlashInProgramname="off")
+template(name="outfmt" type="string"
+         string="%syslogtag%,%programname%,%app-name%\\n")
+ruleset(name="m") {{
+  local0.* action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    import os
+    line = open([out / f for f in os.listdir(out)
+                 if f.startswith("part")][0]).read().strip()
+    assert line == "/no-app-name,,-"
+
+
+def test_imfile_add_metadata_golden(spark, tmp_path):
+    """Golden from tests/imfile-metadata-line-number.sh:
+    addMetadata="on" stamps $!metadata!filename and 1-based
+    $!metadata!line_number per file, readable through the template
+    tree."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.input"
+    src.write_text("<13>Mar  1 10:00:00 h1 t: msgnum:00000000:\n"
+                   "<13>Mar  1 10:00:00 h1 t: msgnum:00000001:\n")
+    out = tmp_path / "out"
+    conf = f'''
+template(name="outfmt" type="list") {{
+  property(name="msg" field.number="2" field.delimiter="58")
+  constant(value=" line:")
+  property(name="$!metadata!line_number")
+  constant(value="\\n")
+}}
+ruleset(name="m") {{
+  if $msg contains "msgnum:" then
+    action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" tag="file:" file="{src}" addMetadata="on")
+'''
+    run_config_batch(spark, conf)
+    import os
+    lines = []
+    for f in sorted(os.listdir(out)):
+        if f.startswith("part"):
+            lines += open(out / f).read().splitlines()
+    assert sorted(lines) == ["00000000 line:1", "00000001 line:2"]
+
+
+def test_bare_var_root_goldens(spark, tmp_path):
+    """Goldens from tests/rscript_bare_var_root{,-empty}.sh: bare
+    tree roots assign and read whole trees — 'set $! = $.' replaces
+    the message tree with the local tree (prior set-$! values
+    superseded), and with both trees empty %$!% renders EMPTY (the
+    CEE-root property, unlike %$!all-json%'s '{}')."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text("<13>Mar  1 10:00:00 h1 app: msgnum:0\n")
+    out1, out2 = tmp_path / "o1", tmp_path / "o2"
+    conf = f'''
+template(name="outfmt" type="string" string="%$!%\\n")
+template(name="emptyfmt" type="string" string="empty-%$!%-\\n")
+ruleset(name="rs") {{
+  set $!a = "TEST1";
+  set $.a = "TEST-overwritten";
+  set $! = $.;
+  action(type="omfile" file="{out1}" template="outfmt")
+}}
+ruleset(name="rs2") {{
+  set $. = $!;
+  set $! = $.;
+  action(type="omfile" file="{out2}" template="emptyfmt")
+}}
+input(type="imfile" file="{src}" ruleset="rs")
+'''
+    run = run_config_batch(spark, conf)
+    import os
+    line1 = open([out1 / f for f in os.listdir(out1)
+                  if f.startswith("part")][0]).read().strip()
+    # reference EXPECTED is the json-c SPACED render; our engine
+    # renders in the reference's compactJsonString="on" mode
+    # (documented divergence) — same tree, compact text
+    assert line1 == '{"a":"TEST-overwritten"}'
+    # second ruleset: run it over the same parsed input
+    from rsyslog_spark.config.rainerscript import load_config
+    eng, cfg = load_config(conf)
+    from rsyslog_spark.parsers import parse_syslog
+    lines = spark.read.text(str(src)).withColumnRenamed("value", "line")
+    actions, _ = eng.run(parse_syslog(lines), "rs2")
+    for name, df in actions:
+        tpl = cfg.templates["emptyfmt"]
+        vals = [r["v"] for r in df.select(
+            tpl.col(df).alias("v")).collect()]
+        assert vals == ["empty--\n"]
+
+
+def test_endswith_array_golden(spark, tmp_path):
+    """Golden from tests/endswith-basic.sh: endswith with an ARRAY
+    right-hand side ORs over the members."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text(
+        "<165>1 2003-03-01T01:00:00.000Z host service_foo - - - test1\n"
+        "<165>1 2003-03-01T01:00:00.000Z host service-bar - - - test2\n"
+        "<165>1 2003-03-01T01:00:00.000Z host service.baz - - - test3\n"
+        "<165>1 2003-03-01T01:00:00.000Z host otherprog - - - test4\n")
+    out = tmp_path / "out"
+    conf = f'''
+template(name="outfmt" type="string" string="%programname% %msg%\\n")
+ruleset(name="m") {{
+  if $programname endswith ["_foo", "-bar", ".baz"] then {{
+      action(type="omfile" file="{out}" template="outfmt")
+  }}
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    import os
+    lines = []
+    for f in sorted(os.listdir(out)):
+        if f.startswith("part"):
+            lines += open(out / f).read().splitlines()
+    assert sorted(lines) == ["service-bar test2", "service.baz test3",
+                             "service_foo test1"]
+
+
+def test_imfile_escapelf_replacement_golden(spark, tmp_path):
+    """Golden from tests/imfile-escapelf.replacement.sh: multiline
+    startmsg.regex reassembly renders inner newlines as the
+    configured replacement string. Divergence (documented in
+    sources._split_multiline): the reference holds the LAST
+    unterminated message for a readTimeout; the batch/file model
+    treats EOF as complete and emits it."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.input"
+    src.write_text("msg 1 part 1\n msg 1 part 2\nmsg 2\n"
+                   "msg 3 emitted at EOF\n")
+    out = tmp_path / "out"
+    conf = f'''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="output") {{
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" ruleset="output" escapelf.replacement="[LF]"
+      file="{src}" tag="file:" startmsg.regex="^msg")
+'''
+    run_config_batch(spark, conf)
+    import os
+    lines = []
+    for f in sorted(os.listdir(out)):
+        if f.startswith("part"):
+            lines += open(out / f).read().splitlines()
+    # the 3164 TAG scan eats the leading 'msg' token (SP-terminated
+    # tag), so %msg% renders the remainder — the [LF] replacement is
+    # the behavior under test
+    assert sorted(lines) == sorted([
+        "1 part 1[LF] msg 1 part 2", "2", "3 emitted at EOF"])
+
+
 def test_proprepltest_tag_goldens(spark, tmp_path):
     """Goldens from tests/proprepltest-{rfctag,nolimittag}.sh: TAG
     substring replacer %syslogtag:1:32% truncates long SP-terminated
