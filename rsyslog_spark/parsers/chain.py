@@ -221,13 +221,11 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
             return ab(prog5, prog3)
         if name == "app_name":
             # protocol 0 emulates app-name from programname
-            # (msg.c prepareAPPNAME:2518-2528) and empty maps to the
-            # RFC5424 NIL "-" (MsgSetAPPNAME:2065; golden
-            # empty-app-name.sh: '/no-app-name' tag -> programname ''
-            # -> app-name '-')
-            a3 = F.when(F.coalesce(prog3, F.lit("")) == "",
-                        F.lit("-")).otherwise(prog3)
-            return ab(F.coalesce(p5(4), F.lit("-")), a3)
+            # (msg.c prepareAPPNAME:2518-2528). Column stays NULL for
+            # NIL like the other header fields; the property LAYER
+            # renders NIL/empty as "-" (templates.prop_col — golden
+            # empty-app-name.sh)
+            return ab(p5(4), F.nullif(prog3, F.lit("")))
         if name == "procid":
             return ab(p5(5), F.when(procid3 != "", procid3))
         if name == "msgid":

@@ -89,6 +89,9 @@ def secpath_sanitize(c: ColumnOrName, mode: str = "replace") -> Column:
 # reference's builtin-template output.
 _PROP_ALIASES: dict[str, tuple[str, str | None]] = {
     "timestamp": ("timereported", "rfc3164"),
+    "timereported": ("timereported", "rfc3164"),
+    "timegenerated": ("timegenerated", "rfc3164"),
+    "fromhost-port": ("fromhost_port", None),
     "hostname": ("hostname", None),
     "source": ("hostname", None),
     "fromhost": ("fromhost", None),
@@ -190,11 +193,25 @@ def prop_col(name: str, df=None) -> Column:
             return F.lit(None).cast("string")
         return F.col(local)
     lo = name.lstrip("$").lower()
+    if lo in ("procid", "msgid", "structured-data",
+              "structured_data", "app-name", "app_name"):
+        # RFC5424 header properties render NIL/absent as "-" (ref:
+        # msg.c getPROCID:2134, getMSGID:2172, SD:2484,
+        # MsgSetAPPNAME:2065; golden empty-app-name.sh) — the engine
+        # COLUMNS stay NULL, the property layer supplies the NIL
+        col = _PROP_ALIASES.get(lo, (lo, None))[0]
+        return F.coalesce(F.nullif(F.col(col), F.lit("")),
+                          F.lit("-"))
     if lo == "parsesuccess":
         # renders/compares as "OK"/"FAIL" (ref: msg.c:2160-2164) —
         # the engine column stays boolean
         return F.when(F.col("parsesuccess"), F.lit("OK")) \
             .otherwise(F.lit("FAIL"))
+    if lo == "rawmsg-after-pri":
+        # ref: msg.c:426 PROP_RAWMSG_AFTER_PRI — the raw line minus
+        # its <PRI> prefix; derived, not a stored column
+        from rsyslog_spark.parsers.pri import strip_pri
+        return strip_pri(F.col("rawmsg"))
     sysprops = _system_props()
     if lo in sysprops:
         return sysprops[lo]

@@ -685,8 +685,42 @@ class TestRuntime:
         '''
         run_config_batch(spark, conf)
         got = [r["value"] for r in spark.read.text(str(outdir)).collect()]
+        # NIL procid/msgid read as "-" through the property layer
+        # (msg.c getPROCID/getMSGID), so onEmpty does NOT fire —
+        # jsonField only triggers on buflen==0 (msg.c:3536);
+        # genuinely-empty onEmpty behavior is asserted in
+        # test_jsonf_on_empty_fires below.
         assert got == ['{"host":"h1","sev":5,"message":"payload",'
-                       '"mid":null}']
+                       '"pid":"-","mid":"-"}']
+
+    def test_jsonf_on_empty_fires(self, spark, tmp_path):
+        # a genuinely EMPTY property (programname of a '/x' tag with
+        # slashes cut) triggers onEmpty skip/null
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "jfin2"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<13>Mar  1 10:00:00 h1 /noname payload\n")
+        outdir = tmp_path / "jfout2"
+        conf = f'''
+        template(name="jf" type="list" option.jsonf="on") {{
+            property(outname="host" name="hostname" format="jsonf")
+            property(outname="prog" name="programname" format="jsonf"
+                     onEmpty="skip")
+            property(outname="prog2" name="programname" format="jsonf"
+                     onEmpty="null")
+        }}
+        input(type="imfile" file="{src}/*.log" ruleset="main")
+        ruleset(name="main") {{
+            action(type="omfile" name="out" file="{outdir}"
+                   template="jf")
+        }}
+        '''
+        run_config_batch(spark, conf)
+        got = [r["value"] for r in
+               spark.read.text(str(outdir)).collect()]
+        assert got == ['{"host":"h1","prog2":null}']
 
     def test_yaml_config_end_to_end(self, spark, tmp_path):
         # yamlconf (ref: runtime/yamlconf.c): YAML renders to
