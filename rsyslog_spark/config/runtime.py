@@ -527,6 +527,45 @@ def _ruleset_parser_chain(cfg: ParsedConfig, ruleset: str) -> tuple:
     return known or ("pmrfc5424", "pmrfc3164")
 
 
+def _pm3164_opts(cfg: ParsedConfig, ruleset: str
+                 ) -> tuple[dict, dict | None]:
+    """Per-parser-instance pmrfc3164 options from parser() objects
+    (ref: pmrfc3164.c createInstance/newParserInst —
+    force.tagEndingByColon, detect.headerless + headerless.*).
+    Returns (parse_syslog kwargs, headerless route spec or None)."""
+    pname = (cfg.ruleset_params.get(ruleset) or {}).get("parser")
+    if not pname:
+        return {}, None
+    kwargs: dict = {}
+    route: dict | None = None
+    for p in cfg.objects.get("parser", []):
+        if p.get("name") != pname or p.get("type") != "pmrfc3164":
+            continue
+        lp = {k.lower(): v for k, v in p.items()}
+
+        def flag(key):
+            return str(lp.get(key, "off")).lower() in (
+                "on", "true", "1")
+        if flag("force.tagendingbycolon"):
+            kwargs["force_tag_colon"] = True
+        if flag("permit.atsignsinhostname"):
+            kwargs["permit_at_hostname"] = True
+        if flag("permit.slashesinhostname"):
+            kwargs["permit_slashes_hostname"] = True
+        if flag("permit.squarebracketsinhostname"):
+            kwargs["permit_brackets_hostname"] = True
+        if flag("detect.headerless"):
+            kwargs["headerless"] = (
+                lp.get("headerless.hostname"),
+                lp.get("headerless.tag"))
+            route = {
+                "ruleset": lp.get("headerless.ruleset"),
+                "drop": flag("headerless.drop"),
+                "errorfile": lp.get("headerless.errorfile"),
+            }
+    return kwargs, route
+
+
 def _tz_table(cfg) -> dict[str, str]:
     """timezone(id=.. offset=..) objects → abbreviation table (ref:
     runtime/timezones.c glblProcessTimezone / addTimezoneInfo)."""
@@ -644,12 +683,33 @@ def run_config_batch(
         else:
             lines = spark.read.text(path) \
                 .withColumnRenamed("value", "line")
+    pm_opts, hl_route = _pm3164_opts(cfg, ruleset_name)
     frame = parse_syslog(lines,
                          parsers=_ruleset_parser_chain(cfg, ruleset_name),
-                         **_parser_opts(cfg))
+                         **_parser_opts(cfg), **pm_opts)
     vstage = _vendor_parser_stage(cfg, ruleset_name)
     if vstage is not None:
         frame = vstage(frame)
+    # headerless routing (pmrfc3164 handleHeaderlessMessage): error
+    # file, drop, or a dedicated ruleset for headerless rows
+    hdr_frame = None
+    hl_ruleset = None
+    if hl_route is not None and "headerless" in frame.columns:
+        hdr_frame = frame.filter(F.col("headerless"))
+        if hl_route.get("errorfile"):
+            raws = [r[0] for r in hdr_frame.select("rawmsg").collect()]
+            if raws:
+                with open(hl_route["errorfile"], "a",
+                          encoding="utf-8") as fh:
+                    fh.write("\n".join(raws) + "\n")
+        if hl_route.get("drop"):
+            frame = frame.filter(~F.col("headerless"))
+            hdr_frame = None
+        elif hl_route.get("ruleset") in cfg.rulesets:
+            hl_ruleset = hl_route["ruleset"]
+            frame = frame.filter(~F.col("headerless"))
+        else:
+            hdr_frame = None
     frame = _apply_main_queue_directives(frame, cfg)
     # persist the parsed batch once, every action filters from it —
     # the reference's direct-action batch commit (ruleset.c:632; the
@@ -667,6 +727,12 @@ def run_config_batch(
             params = _action_params(cfg, ruleset_name, name)
             _dispatch_action(cfg, name, df, params, run,
                              sink_overrides)
+        if hl_ruleset is not None and hdr_frame is not None:
+            hdr_actions, _hs = eng.run(hdr_frame, hl_ruleset)
+            for name, df in hdr_actions:
+                params = _action_params(cfg, hl_ruleset, name)
+                _dispatch_action(cfg, name, df, params, run,
+                                 sink_overrides)
         # dyn_inc / percentile_observe buckets aggregate over the
         # batch (approximation note: the reference increments at the
         # statement's execution point; the batch form counts every
@@ -818,6 +884,16 @@ def run_config_stream(
                 tls = _tls_from_input(inp, cfg.directives)
                 if tls is not None:
                     kw["tls"] = tls
+                # $MaxMessageSize truncation + imptcp
+                # discardTruncatedMsg (tcps_sess.c; golden
+                # imptcp-discard-truncated-msg.sh)
+                mms = cfg.directives.get("maxmessagesize")
+                if mms:
+                    kw["max_message_size"] = int(mms)
+                lin = {k.lower(): v for k, v in inp.items()}
+                if str(lin.get("discardtruncatedmsg", "off")
+                       ).lower() in ("on", "true", "1"):
+                    kw["discard_truncated"] = True
             # $AllowedSender <PROTO>, ip, net/cidr, ... (net.c ACLs)
             acl_key = ("allowedsender.udp" if typ == "imudp"
                        else "allowedsender.tcp")

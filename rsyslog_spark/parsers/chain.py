@@ -37,7 +37,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rsyslog_spark.parsers.pri import DEFAULT_PRI, strip_pri
-from rsyslog_spark.parsers.rfc3164 import _REST_RE, _ts3164_to_timestamp
+from rsyslog_spark.parsers.rfc3164 import (
+    _REST_RE, TS3164_RE, TS3339_RE, _ts3164_to_timestamp)
 from rsyslog_spark.parsers.rfc5424 import _SD_MSG_RE, accepts_rfc5424
 from rsyslog_spark.schema import SYSLOG_COLUMNS
 
@@ -56,6 +57,11 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
                   parsers: tuple = ("pmrfc5424", "pmrfc3164"),
                   permit_slashes_in_programname: bool = False,
                   remove_msg_first_space: bool = True,
+                  force_tag_colon: bool = False,
+                  headerless: tuple | None = None,
+                  permit_at_hostname: bool = False,
+                  permit_slashes_hostname: bool = False,
+                  permit_brackets_hostname: bool = False,
                   ) -> list[list[Column]]:
     line = F.col(line_col)
     tgen = F.current_timestamp()
@@ -80,24 +86,51 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     rest = F.col("__rest")
     acc_b = F.col("__acc")
     m3_gate = (~acc_b) & F.lit(has_3164)
+    aft_re = rf"^(?:{TS3164_RE}|{TS3339_RE}) (.*)$"
     layer_b = [
         F.when(acc_b, F.split(rest, " ", 7)).alias("__p5"),
         F.when(m3_gate, F.regexp_extract(rest, _REST_RE, 1))
         .alias("__m3ts"),
-        F.when(m3_gate, F.regexp_extract(rest, _REST_RE, 2))
-        .alias("__m3host"),
-        F.when(m3_gate, F.regexp_extract(rest, _REST_RE, 3))
-        .alias("__m3rest"),
+        F.when(m3_gate, F.regexp_extract(rest, aft_re, 1))
+        .alias("__m3aft"),
     ]
 
-    # layer C — second-order intermediates
+    # layer C — second-order intermediates. HOSTNAME is VALIDATED
+    # like the reference (pmrfc3164.c:402-447): alnum . _ - chars
+    # (options add '@', '/', and a '[...]' bracket form), last char
+    # alnum, SP- or EOL-terminated. An invalid token is NOT a
+    # hostname — it stays in place for the TAG scan, hostname falls
+    # back to the receiver stamp (goldens
+    # pmrfc3164-AtSignsInHostname{,_off}.sh).
     has_ts = F.col("__m3ts") != ""
+    hn_chars = r"A-Za-z0-9._\-"
+    if permit_at_hostname:
+        hn_chars += "@"
+    if permit_slashes_hostname:
+        hn_chars += "/"
+    hn_core = rf"[{hn_chars}]*[A-Za-z0-9]"
+    hn_re = (rf"(?:\[[{hn_chars}]+\]|{hn_core})"
+             if permit_brackets_hostname else hn_core)
+    aft = F.col("__m3aft")
     layer_c = [
         F.when(acc_b, F.coalesce(
             F.try_element_at(F.col("__p5"), F.lit(7)), F.lit("-")))
         .alias("__tail"),
+        F.when(m3_gate & has_ts,
+               F.regexp_extract(aft, rf"^({hn_re})(?: |$)", 1))
+        .alias("__m3host"),
+    ]
+
+    # layer C2 — tagmsg depends on the validated hostname
+    host_ok = F.coalesce(F.col("__m3host"), F.lit("")) != ""
+    layer_c2 = [
         F.when(~acc_b,
-               F.when(has_ts, F.col("__m3rest")).otherwise(rest))
+               F.when(has_ts & host_ok,
+                      F.substr(aft,
+                               F.length("__m3host") + 2,
+                               F.lit(1 << 30)))
+               .when(has_ts, aft)
+               .otherwise(rest))
         .alias("__tagmsg"),
     ]
 
@@ -136,9 +169,18 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     tok = F.col("__tok")
     after3 = F.substr(tagmsg, F.length(tok) + 1, F.lit(1 << 30))
     colon_term = after3.startswith(":")
+    # completely-headerless heuristic (pmrfc3164.c:315-326, ALWAYS
+    # on): after the PRI, optional whitespace then '{' or '[' means
+    # no header at all — no TAG scan, MSG is the whole rest
+    brace_hdrless = rest.rlike(r"^[ \t]*[\{\[]")
+    # headerless OPTION (detect.headerless + headerless.* params,
+    # pmrfc3164.c:246-290,362-369): no timestamp → substitute
+    # hostname/tag, MSG is the whole rest
+    opt_hdrless = (F.lit(headerless is not None) & ~has_ts) \
+        | brace_hdrless
     syslogtag3 = F.when(tagmsg == "", F.lit("-")) \
         .otherwise(F.when(colon_term, F.concat(tok, F.lit(":")))
-                   .otherwise(tok))
+                   .otherwise(F.lit("-") if force_tag_colon else tok))
     # MSG leading-space policy (pmrfc3164.c:510 bRemoveMsgFirstSpace;
     # reference default = 0, keep the space — our ENGINE default
     # strips it, see parsers/rfc3164.py module note / COVERAGE row):
@@ -154,12 +196,37 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         msg3 = F.when(colon_term, F.substr(after3, F.lit(2),
                                            F.lit(1 << 30))) \
             .otherwise(after3)
+    if force_tag_colon:
+        # force.tagEndingByColon (pmrfc3164.c:480-494): a token not
+        # ended by ':' is NOT a tag — rewind it (incl. its leading
+        # space) into MSG, TAG becomes '-'
+        nocolon_msg = F.when(has_ts, F.concat(F.lit(" "), tagmsg)) \
+            .otherwise(tagmsg)
+        if remove_msg_first_space:
+            nocolon_msg = F.regexp_replace(nocolon_msg, r"^ ", "")
+        msg3 = F.when(colon_term, msg3).otherwise(nocolon_msg)
+    # headerless overlays: MSG is the whole after-PRI rest
+    hdrless_msg = (F.regexp_replace(rest, r"^ ", "")
+                   if remove_msg_first_space else rest)
+    msg3 = F.when(opt_hdrless, hdrless_msg).otherwise(msg3)
+    hl_tag = (headerless[1] if headerless and headerless[1]
+              else "headerless")
+    tag3_hdr = F.when(brace_hdrless, F.lit("-")) \
+        .otherwise(F.lit(hl_tag) if headerless is not None
+                   else F.lit("-"))
+    syslogtag3 = F.when(opt_hdrless, tag3_hdr).otherwise(syslogtag3)
     # programname terminators (msg.c acquireProgramName): ':', '[',
     # and '/' unless global(parser.permitSlashesInProgramname="on")
     prog_re = (r"^([^:\[]*)" if permit_slashes_in_programname
                else r"^([^:\[/]*)")
     prog3 = F.regexp_extract(tok, prog_re, 1)
-    procid3 = F.regexp_extract(tok, r"\[(\d+)\]$", 1)
+    if force_tag_colon:
+        prog3 = F.when(colon_term, prog3).otherwise(F.lit("-"))
+    prog3 = F.when(opt_hdrless,
+                   F.regexp_extract(tag3_hdr, prog_re, 1)) \
+        .otherwise(prog3)
+    procid3 = F.when(~opt_hdrless,
+                     F.regexp_extract(tok, r"\[(\d+)\]$", 1))
     # chain-exhausted fallback (ref: runtime/parser.c:615-660 — if no
     # parser accepts, message passes raw with bParseSuccess=0; pmnull
     # accepts everything and leaves MSG as the PRI-stripped line)
@@ -185,7 +252,14 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     # CollapseProject from re-inlining.
     layer_e = [ab(msg5, msg3).alias("__msgv")]
 
-    hostname = ab(p5(3), F.when(has_ts, F.col("__m3host")))
+    host3 = F.when(has_ts, F.nullif(F.col("__m3host"), F.lit("")))
+    if headerless is not None and headerless[0]:
+        # headerless.hostname substitutes for headerless rows
+        # (handleHeaderlessMessage; default falls back to the
+        # receiver stamp like getRcvFrom)
+        host3 = F.when(opt_hdrless & ~brace_hdrless,
+                       F.lit(headerless[0])).otherwise(host3)
+    hostname = ab(p5(3), host3)
     timereported = ab(ts5424,
                       F.when(has_ts, F.coalesce(
                           # RFC3339 in the 3164 slot parses directly
@@ -194,6 +268,9 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
                           _ts3164_to_timestamp(F.col("__m3ts")))))
 
     def canonical(name: str) -> Column:
+        if name == "headerless":
+            # marker for headerless.ruleset routing / headerless.drop
+            return (~acc) & F.coalesce(opt_hdrless, F.lit(False))
         if name == "rawmsg":
             return F.col("__line") if keep_raw else null_s
         if name == "msg":
@@ -252,7 +329,8 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         raise KeyError(f"unknown canonical column {name!r}")
 
     final = [canonical(c).alias(c) for c in want]
-    return [layer_a, layer_b, layer_c, layer_d, layer_e, final]
+    return [layer_a, layer_b, layer_c, layer_c2, layer_d,
+            layer_e, final]
 
 
 def parse_syslog(
@@ -265,6 +343,11 @@ def parse_syslog(
     parsers: tuple = ("pmrfc5424", "pmrfc3164"),
     permit_slashes_in_programname: bool = False,
     remove_msg_first_space: bool = True,
+    force_tag_colon: bool = False,
+    headerless: tuple | None = None,
+    permit_at_hostname: bool = False,
+    permit_slashes_hostname: bool = False,
+    permit_brackets_hostname: bool = False,
 ) -> DataFrame:
     """Raw lines → canonical syslog frame (SYSLOG_COLUMNS order).
 
@@ -286,18 +369,26 @@ def parse_syslog(
     from rsyslog_spark.session import session_cache_key
 
     want = columns if columns is not None else list(SYSLOG_COLUMNS)
+    if headerless is not None and "headerless" not in want:
+        want = want + ["headerless"]
     # keyed by applicationId so a JVM restart misses instead of
     # resolving Columns against a dead gateway
     sk = session_cache_key()
     key = (sk, line_col, inputname, keep_raw, with_uuid, tuple(want),
            tuple(parsers), permit_slashes_in_programname,
-           remove_msg_first_space)
+           remove_msg_first_space, force_tag_colon, headerless,
+           permit_at_hostname, permit_slashes_hostname,
+           permit_brackets_hostname)
     layers = _CHAIN_CACHE.get(key) if sk else None
     if layers is None:
         layers = _build_layers(line_col, inputname, keep_raw,
                                with_uuid, want, tuple(parsers),
                                permit_slashes_in_programname,
-                               remove_msg_first_space)
+                               remove_msg_first_space,
+                               force_tag_colon, headerless,
+                               permit_at_hostname,
+                               permit_slashes_hostname,
+                               permit_brackets_hostname)
         if sk:
             _CHAIN_CACHE[key] = layers
     # Receiver-stamped properties: the input module owns fromhost/

@@ -839,6 +839,27 @@ class imbatchreport:
         return moved
 
 
+def apply_max_message_size(msgs: list[bytes], max_size: int,
+                           discard_truncated: bool) -> list[bytes]:
+    """$MaxMessageSize truncation over framed messages (ref:
+    tcps_sess.c / imptcp discardTruncatedMsg; golden:
+    tests/imptcp-discard-truncated-msg.sh): an oversize message is
+    CUT at the cap; the remainder either continues as further
+    message(s) (default) or is discarded with the option."""
+    out: list[bytes] = []
+    for m in msgs:
+        if len(m) <= max_size:
+            out.append(m)
+            continue
+        out.append(m[:max_size])
+        if not discard_truncated:
+            rest = m[max_size:]
+            while rest:
+                out.append(rest[:max_size])
+                rest = rest[max_size:]
+    return out
+
+
 def split_tcp_frames(buf: bytes,
                      max_frame_size: int) -> tuple[list[bytes], bytes]:
     """RFC6587 frame split with per-frame autodetect (ref:
@@ -892,9 +913,13 @@ class imtcp(SpoolBridge):
 
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, max_frame_size: int = 200 * 1024,
+                 max_message_size: int | None = None,
+                 discard_truncated: bool = False,
                  tls=None, **kw):
         super().__init__(spool_dir, inputname="imtcp", **kw)
         self.max_frame_size = max_frame_size
+        self.max_message_size = max_message_size
+        self.discard_truncated = discard_truncated
         self.tls = tls
         self._tls_ctx = None
         if tls is not None:  # StreamDriver gtls (streaming/gtls.py)
@@ -978,6 +1003,9 @@ class imtcp(SpoolBridge):
             pass
 
     def _emit_msgs(self, msgs: list[bytes], peer: str) -> None:
+        if self.max_message_size is not None:
+            msgs = apply_max_message_size(
+                msgs, self.max_message_size, self.discard_truncated)
         recs = []
         for m in msgs:
             s = m.decode("utf-8", errors="replace").rstrip("\r\n")

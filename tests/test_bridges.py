@@ -1025,3 +1025,27 @@ def test_impcap_llc_snap_ipx_parsers(spark, tmp_path):
     assert b["IPX_dest_node"] == "01:02:03:04:05:a6"
     assert (b["IPX_dest_socket"], b["IPX_src_socket"]) == (
         0x451, 0x452)
+
+
+def test_apply_max_message_size_reference_golden():
+    """Byte-exact vs tests/imptcp-discard-truncated-msg.sh: 128-byte
+    $MaxMessageSize cut with discardTruncatedMsg dropping the
+    remainder; without the option the remainder continues as further
+    messages (tcps_sess.c truncation)."""
+    from rsyslog_spark.streaming.bridges import apply_max_message_size
+
+    long = (b"<120> 2011-03-01T11:22:12Z host tag: this is a way to "
+            b"long message that has abcdefghijklmnopqrstuvwxyz test1 "
+            b"test2 test3 test4 test5 test6 test7 test8 test9 test10 "
+            b"test11 test12 test13 test14 test15 test16")
+    short = b"<120> 2011-03-01T11:22:12Z host tag: this is a way to long message"
+    out = apply_max_message_size([long, short, long, short], 128, True)
+    want_trunc = (b"<120> 2011-03-01T11:22:12Z host tag: this is a "
+                  b"way to long message that has "
+                  b"abcdefghijklmnopqrstuvwxyz test1 test2 test3 "
+                  b"test4 t")
+    assert out == [want_trunc, short, want_trunc, short]
+    assert len(want_trunc) == 128
+    # without discard: the remainder continues as further messages
+    out2 = apply_max_message_size([long], 128, False)
+    assert out2[0] == want_trunc and b"".join(out2) == long

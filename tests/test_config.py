@@ -1672,6 +1672,133 @@ input(type="imfile" file="{src}" ruleset="m")
     assert line == "/no-app-name,,-"
 
 
+def test_pmrfc3164_force_tag_colon_golden(spark, tmp_path):
+    """Golden from tests/pmrfc3164-tagEndingByColon.sh: with
+    force.tagEndingByColon a token not ended by ':' is NOT a tag —
+    it rewinds into MSG (leading space included) and TAG becomes
+    '-', so the syslogtag-contains filter skips those rows. Adapted
+    with parser.removeMsgFirstSpace='off' for the reference's
+    default space handling (COVERAGE §2.2 divergent default)."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text(
+        "<129>Mar 10 01:00:00 Hostname1 tag1: msgnum:1\n"
+        "<129>Mar 10 01:00:00 Hostname2 tag2:  msgnum:2\n"
+        "<129>Mar 10 01:00:00 Hostname3 tag3 msgnum:3\n"
+        "<129>Mar 10 01:00:00 Hostname4 tag4 :\n"
+        "<129>Mar 10 01:00:00 Hostname5 tag5:msgnum:5\n")
+    out = tmp_path / "out"
+    conf = f'''
+global(parser.removeMsgFirstSpace="off")
+parser(name="custom.rfc3164" type="pmrfc3164"
+       force.tagEndingByColon="on")
+template(name="outfmt" type="string" string="-%syslogtag%-%msg%-\\n")
+ruleset(name="customparser" parser="custom.rfc3164") {{
+  :syslogtag, contains, "tag" action(type="omfile" file="{out}"
+                                     template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="customparser")
+'''
+    run_config_batch(spark, conf)
+    import os
+    lines = []
+    for f in sorted(os.listdir(out)):
+        if f.startswith("part"):
+            lines += open(out / f).read().splitlines()
+    assert sorted(lines) == sorted([
+        "-tag1:- msgnum:1-",
+        "-tag2:-  msgnum:2-",
+        "-tag5:-msgnum:5-"])
+
+
+def test_pmrfc3164_atsigns_hostname_goldens(spark, tmp_path):
+    """Goldens from tests/pmrfc3164-AtSignsInHostname{,_off}.sh: the
+    hostname charset is VALIDATED — '@' only counts with
+    permit.AtSignsInHostname; an invalid token is NOT a hostname
+    (stays for the TAG scan, hostname falls back to the receiver
+    stamp, here NULL)."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    msgs = ("<129>Mar 10 01:00:00 Hostname1 tag: msgnum:1\n"
+            "<129>Mar 10 01:00:00 Hostn@me2 tag:  msgnum:2\n"
+            "<129>Mar 10 01:00:00 Hostname3 tag:msgnum:3\n"
+            "<129>Mar 10 01:00:00 Hos@name4 tag4:\n")
+    src = tmp_path / "in.log"
+    src.write_text(msgs)
+    out_on, out_off = tmp_path / "on", tmp_path / "off"
+    conf = f'''
+global(parser.removeMsgFirstSpace="off")
+parser(name="p.at" type="pmrfc3164" permit.AtSignsInHostname="on")
+template(name="outfmt" type="string" string="-%hostname%-\\n")
+template(name="full" type="string" string="-%hostname%-%syslogtag%-%msg%-\\n")
+ruleset(name="r_on" parser="p.at") {{
+  action(type="omfile" file="{out_on}" template="outfmt")
+}}
+ruleset(name="r_off") {{
+  :hostname, contains, "Hostname" action(type="omfile" file="{out_off}" template="full")
+}}
+input(type="imfile" file="{src}" ruleset="r_on")
+'''
+    run_config_batch(spark, conf)
+    import os
+
+    def lines(d):
+        ls = []
+        for f in sorted(os.listdir(d)):
+            if f.startswith("part"):
+                ls += open(d / f).read().splitlines()
+        return sorted(ls)
+
+    assert lines(out_on) == sorted([
+        "-Hostname1-", "-Hostn@me2-", "-Hostname3-", "-Hos@name4-"])
+    # off (default): '@'-bearing tokens are not hostnames — those
+    # rows have no hostname and the contains-filter drops them
+    run_config_batch(spark, conf.replace(
+        'ruleset="r_on"', 'ruleset="r_off"'))
+    assert lines(out_off) == sorted([
+        "-Hostname1-tag:- msgnum:1-", "-Hostname3-tag:-msgnum:3-"])
+
+
+def test_pmrfc3164_headerless_golden(spark, tmp_path):
+    """Golden from tests/pmrfc3164-headerless.sh: detect.headerless
+    routes timestamp-less messages to headerless.ruleset with the
+    substituted hostname/tag; normal messages stay on the input
+    ruleset."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text("this is not syslog\n"
+                   "<13>Oct 11 22:14:15 host tag: normal\n")
+    out_ok, out_hdr = tmp_path / "ok", tmp_path / "hdr"
+    conf = f'''
+parser(name="p3164" type="pmrfc3164" detect.headerless="on"
+       headerless.hostname="n/a" headerless.tag="hdr"
+       headerless.ruleset="hdrules")
+template(name="t" type="string"
+         string="%hostname%|%syslogtag%|%msg%\\n")
+ruleset(name="input" parser="p3164") {{
+  action(type="omfile" file="{out_ok}" template="t")
+}}
+ruleset(name="hdrules") {{
+  action(type="omfile" file="{out_hdr}" template="t")
+}}
+input(type="imfile" file="{src}" ruleset="input")
+'''
+    run_config_batch(spark, conf)
+    import os
+
+    def lines(d):
+        ls = []
+        for f in sorted(os.listdir(d)):
+            if f.startswith("part"):
+                ls += open(d / f).read().splitlines()
+        return ls
+
+    assert lines(out_hdr) == ["n/a|hdr|this is not syslog"]
+    assert lines(out_ok) == ["host|tag:|normal"]
+
+
 def test_imfile_add_metadata_golden(spark, tmp_path):
     """Golden from tests/imfile-metadata-line-number.sh:
     addMetadata="on" stamps $!metadata!filename and 1-based
