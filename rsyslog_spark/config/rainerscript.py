@@ -563,7 +563,10 @@ class _Parser:
             orelse = self.parse_block_or_stmt() if self.accept("else") \
                 else []
             return If(self._cond(cond), then, orelse)
-        if t.text == "set":
+        if t.text in ("set", "reset"):
+            # reset (grammar S_SET force_reset): in the reference,
+            # set MERGES object values while reset REPLACES; engine
+            # columns replace either way, so both compile to Set
             self.next()
             var = self.next()
             if var.kind != "var":
