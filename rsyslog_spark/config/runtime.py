@@ -45,6 +45,22 @@ class ConfigRun:
     # dyn_inc/percentile_observe buckets → aggregated DataFrame
     # (counts per key / percentile summary), computed over the batch
     dynstats: dict[str, DataFrame] = dfield(default_factory=dict)
+    # per-action counters when module(load="impstats") is configured
+    # (ref: runtime/action.c:485-515 statsobj counters)
+    action_stats: dict[str, dict] = dfield(default_factory=dict)
+
+    def impstats_lines(self) -> list[str]:
+        """Per-action counters in the reference's legacy impstats
+        line format (statsobj legacy output: 'NAME: k=v ...')."""
+        order = ["processed", "batchesprocessed", "failed",
+                 "suspended", "suspended.duration", "resumed",
+                 "ratelimit.allowed", "ratelimit.dropped",
+                 "ratelimit.paced", "ratelimit.paced_usec"]
+        out = []
+        for name, ctr in self.action_stats.items():
+            kv = " ".join(f"{k}={ctr[k]}" for k in order if k in ctr)
+            out.append(f"{name}: origin=core.action {kv}")
+        return out
 
 
 # Default render template for line-oriented transports when the action
@@ -158,9 +174,42 @@ def _dispatch_action(
 
     rl = params.get("action.ratelimit.name")
     pace = 0.0
+    stats_on = any(str(m.get("load", "")).startswith("impstats")
+                   for m in cfg.modules)
+    n_before = df.count() if stats_on else None
     if rl:
         df, pace = _apply_action_ratelimit(cfg, rl, df)
-    _dispatch_action_inner(cfg, name, df, params, run, sink_overrides)
+    if stats_on:
+        # per-action counters (action.c:485-515); counting costs one
+        # extra job per action, paid only when impstats is loaded —
+        # like the reference only maintains statsobjs with impstats
+        n_after = df.count() if rl else n_before
+        ctr = run.action_stats.setdefault(name, {
+            "processed": 0, "batchesprocessed": 0, "failed": 0,
+            "suspended": 0, "suspended.duration": 0, "resumed": 0})
+        ctr["processed"] += n_after
+        ctr["batchesprocessed"] += 1
+        if rl:
+            ctr["ratelimit.allowed"] = \
+                ctr.get("ratelimit.allowed", 0) + n_after
+            if pace > 0:
+                ctr["ratelimit.paced"] = \
+                    ctr.get("ratelimit.paced", 0) + n_after
+                ctr["ratelimit.paced_usec"] = \
+                    ctr.get("ratelimit.paced_usec", 0) \
+                    + int(min(pace, 30.0) * 1_000_000)
+            else:
+                ctr["ratelimit.dropped"] = \
+                    ctr.get("ratelimit.dropped", 0) \
+                    + (n_before - n_after)
+    try:
+        _dispatch_action_inner(cfg, name, df, params, run,
+                               sink_overrides)
+    except Exception:
+        if stats_on:
+            run.action_stats[name]["failed"] += n_after
+            run.action_stats[name]["suspended"] += 1
+        raise
     if pace > 0:
         _time.sleep(min(pace, 30.0))
 
@@ -206,7 +255,9 @@ def _dispatch_action_inner(
             raise ValueError(
                 f"dynafile template {params['dynafile']!r} unknown "
                 "or not a string template")
-        omfile_dynafile_batch(df, src_str)
+        secure = str(cfg.directives.get(
+            "compatibility.defaults.secure", "")).lower() == "strict"
+        omfile_dynafile_batch(df, src_str, secure_paths=secure)
         run.written[name] = dynafile_partition_spec(src_str)[0]
         return
     if typ == "omfile" and params.get("file"):

@@ -17,9 +17,21 @@ intermediates are materialized as real columns across a few stacked
 SELECTs, each layer's expressions unconditional (computed once per
 row), and the final layer emits the canonical fields as small CASEs
 over plain column references. CollapseProject keeps the layers
-separate because each alias is non-cheap and referenced many times;
-predicate pushdown through the layers inlines only the one
-intermediate chain a filter's field needs.
+separate because each alias is non-cheap and referenced many times.
+
+The final layer is also a PUSHDOWN BARRIER (r5, measured): pushing a
+parsed-field predicate through the layers substitutes the full parse
+trees into the predicate with a copy per column reference — 2.7 MB
+of generated code for the flagship, a janino method-size compile
+failure (interpreted fallback), and ~+0.7s per execution from
+per-run source generation. Since no derived-field predicate can
+reach the parquet scan anyway (the scan reads `line`), every
+canonical column carries a nondeterministic-identity wrapper
+(when(monotonically_increasing_id() >= 0, col)), which stops
+PushPredicateThroughNonJoin at the final projection: predicates
+evaluate over materialized columns, generated code shrank 20x
+(133 KB) and the flagship runs ~2x faster than even the pre-r5
+plan. Column pruning still drops unused fields.
 
 A Generate barrier (explode(array(struct))) is NOT used: GenerateExec
 evaluates its generator interpreted (no codegen), ~7x slower, and a
@@ -86,22 +98,24 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     rest = F.col("__rest")
     acc_b = F.col("__acc")
     m3_gate = (~acc_b) & F.lit(has_3164)
-    aft_re = rf"^(?:{TS3164_RE}|{TS3339_RE}) (.*)$"
     layer_b = [
         F.when(acc_b, F.split(rest, " ", 7)).alias("__p5"),
         F.when(m3_gate, F.regexp_extract(rest, _REST_RE, 1))
         .alias("__m3ts"),
-        F.when(m3_gate, F.regexp_extract(rest, aft_re, 1))
-        .alias("__m3aft"),
+        F.when(m3_gate, F.regexp_extract(rest, _REST_RE, 2))
+        .alias("__m3host"),
+        F.when(m3_gate, F.regexp_extract(rest, _REST_RE, 3))
+        .alias("__m3rest"),
     ]
 
-    # layer C — second-order intermediates. HOSTNAME is VALIDATED
-    # like the reference (pmrfc3164.c:402-447): alnum . _ - chars
-    # (options add '@', '/', and a '[...]' bracket form), last char
-    # alnum, SP- or EOL-terminated. An invalid token is NOT a
-    # hostname — it stays in place for the TAG scan, hostname falls
-    # back to the receiver stamp (goldens
-    # pmrfc3164-AtSignsInHostname{,_off}.sh).
+    # HOSTNAME VALIDATION like the reference (pmrfc3164.c:402-447):
+    # alnum . _ - chars (options add '@', '/', and a '[...]' bracket
+    # form), last char alnum. Validation runs as a tiny anchored
+    # regex over the ALREADY-EXTRACTED token — never a second scan
+    # of the full line (hot-path cost measured; the A/B lives in
+    # SCALE.md). An invalid token is NOT a hostname — it stays in
+    # place for the TAG scan, hostname falls back to the receiver
+    # stamp (goldens pmrfc3164-AtSignsInHostname{,_off}.sh).
     has_ts = F.col("__m3ts") != ""
     hn_chars = r"A-Za-z0-9._\-"
     if permit_at_hostname:
@@ -111,25 +125,19 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     hn_core = rf"[{hn_chars}]*[A-Za-z0-9]"
     hn_re = (rf"(?:\[[{hn_chars}]+\]|{hn_core})"
              if permit_brackets_hostname else hn_core)
-    aft = F.col("__m3aft")
+    host_tok = F.col("__m3host")
+    host_ok = host_tok.rlike(f"^(?:{hn_re})$")
+
+    # layer C — second-order intermediates; an invalid hostname token
+    # rewinds into the TAG scan with its original spacing
     layer_c = [
         F.when(acc_b, F.coalesce(
             F.try_element_at(F.col("__p5"), F.lit(7)), F.lit("-")))
         .alias("__tail"),
-        F.when(m3_gate & has_ts,
-               F.regexp_extract(aft, rf"^({hn_re})(?: |$)", 1))
-        .alias("__m3host"),
-    ]
-
-    # layer C2 — tagmsg depends on the validated hostname
-    host_ok = F.coalesce(F.col("__m3host"), F.lit("")) != ""
-    layer_c2 = [
         F.when(~acc_b,
-               F.when(has_ts & host_ok,
-                      F.substr(aft,
-                               F.length("__m3host") + 2,
-                               F.lit(1 << 30)))
-               .when(has_ts, aft)
+               F.when(has_ts & host_ok, F.col("__m3rest"))
+               .when(has_ts, F.concat(host_tok, F.lit(" "),
+                                      F.col("__m3rest")))
                .otherwise(rest))
         .alias("__tagmsg"),
     ]
@@ -142,10 +150,29 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     # the reference's BSD-message accommodation). No charset
     # restriction inside the tag ('tag/with/slashes' is one tag).
     tagmsg = F.col("__tagmsg")
+    # completely-headerless heuristic (pmrfc3164.c:315-326, ALWAYS
+    # on): after the PRI, optional whitespace then '{' or '[' means
+    # no header at all. First-char dispatch keeps the common case
+    # regex-free; materialized as a LAYER column so the predicate is
+    # one column ref in every consumer instead of an inlined tree
+    # (codegen-size regression measured otherwise).
+    c1 = F.substring(rest, 1, 1)
+    brace_expr = c1.isin("{", "[") | (
+        c1.isin(" ", "\t") & rest.rlike(r"^[ \t]*[\{\[]"))
+    hl_expr = brace_expr
+    if headerless is not None:
+        # headerless OPTION (detect.headerless, pmrfc3164.c:362-369):
+        # no timestamp → headerless too
+        hl_expr = hl_expr | ~has_ts
     layer_d = [
         F.regexp_extract(F.col("__tail"), _SD_MSG_RE, 1).alias("__sd"),
         F.regexp_extract(F.col("__tail"), _SD_MSG_RE, 2).alias("__msg5"),
         F.regexp_extract(tagmsg, r"^([^: ]+)", 1).alias("__tok"),
+        # one boolean column when the option is off (__hl == brace)
+        *([F.when(m3_gate, brace_expr).otherwise(F.lit(False))
+           .alias("__brhl")] if headerless is not None else []),
+        F.when(m3_gate, hl_expr).otherwise(F.lit(False))
+        .alias("__hl"),
     ]
 
     # final layer — canonical fields over plain column refs
@@ -169,15 +196,9 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     tok = F.col("__tok")
     after3 = F.substr(tagmsg, F.length(tok) + 1, F.lit(1 << 30))
     colon_term = after3.startswith(":")
-    # completely-headerless heuristic (pmrfc3164.c:315-326, ALWAYS
-    # on): after the PRI, optional whitespace then '{' or '[' means
-    # no header at all — no TAG scan, MSG is the whole rest
-    brace_hdrless = rest.rlike(r"^[ \t]*[\{\[]")
-    # headerless OPTION (detect.headerless + headerless.* params,
-    # pmrfc3164.c:246-290,362-369): no timestamp → substitute
-    # hostname/tag, MSG is the whole rest
-    opt_hdrless = (F.lit(headerless is not None) & ~has_ts) \
-        | brace_hdrless
+    brace_hdrless = (F.col("__brhl") if headerless is not None
+                     else F.col("__hl"))
+    opt_hdrless = F.col("__hl")
     syslogtag3 = F.when(tagmsg == "", F.lit("-")) \
         .otherwise(F.when(colon_term, F.concat(tok, F.lit(":")))
                    .otherwise(F.lit("-") if force_tag_colon else tok))
@@ -211,9 +232,9 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     msg3 = F.when(opt_hdrless, hdrless_msg).otherwise(msg3)
     hl_tag = (headerless[1] if headerless and headerless[1]
               else "headerless")
-    tag3_hdr = F.when(brace_hdrless, F.lit("-")) \
-        .otherwise(F.lit(hl_tag) if headerless is not None
-                   else F.lit("-"))
+    tag3_hdr = (F.when(brace_hdrless, F.lit("-"))
+                .otherwise(F.lit(hl_tag))
+                if headerless is not None else F.lit("-"))
     syslogtag3 = F.when(opt_hdrless, tag3_hdr).otherwise(syslogtag3)
     # programname terminators (msg.c acquireProgramName): ':', '[',
     # and '/' unless global(parser.permitSlashesInProgramname="on")
@@ -252,7 +273,8 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     # CollapseProject from re-inlining.
     layer_e = [ab(msg5, msg3).alias("__msgv")]
 
-    host3 = F.when(has_ts, F.nullif(F.col("__m3host"), F.lit("")))
+    host3 = F.when(has_ts & host_ok,
+                   F.nullif(F.col("__m3host"), F.lit("")))
     if headerless is not None and headerless[0]:
         # headerless.hostname substitutes for headerless rows
         # (handleHeaderlessMessage; default falls back to the
@@ -328,9 +350,30 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
                 .otherwise(F.lit(has_3164 or has_null))
         raise KeyError(f"unknown canonical column {name!r}")
 
-    final = [canonical(c).alias(c) for c in want]
-    return [layer_a, layer_b, layer_c, layer_c2, layer_d,
-            layer_e, final]
+    # PUSHDOWN BARRIER: filters on parsed fields gain NOTHING from
+    # being pushed through the parse (the scan reads `line` either
+    # way — no derived predicate ever reaches parquet), but the
+    # push-through substitution INLINES the layered parse trees into
+    # the predicate with a copy per column reference — measured 2x
+    # generated-code size, a janino compile FAILURE (method too
+    # large → interpreted fallback), and ~+0.7s per execution on the
+    # flagship. A nondeterministic-but-identity wrapper
+    # (when(spark_partition_id() >= 0, col)) on the canonical
+    # columns makes
+    # PushPredicateThroughNonJoin stop at this projection
+    # (fields.forall(_.deterministic) gate), so predicates evaluate
+    # over the MATERIALIZED columns: one evaluation, no tree copies.
+    # Every column is wrapped because column pruning keeps only the
+    # referenced ones — whichever survive must carry the barrier.
+    # spark_partition_id is the cheapest nondeterministic-flagged
+    # expression (reads the partition index; no RNG, and unlike
+    # monotonically_increasing_id it IS allowed in streaming
+    # queries); Spark 4 bounds-folds rand()-based guards away, this
+    # one survives the optimizer.
+    final = [F.when(F.spark_partition_id() >= 0,
+                    canonical(c)).alias(c)
+             for c in want]
+    return [layer_a, layer_b, layer_c, layer_d, layer_e, final]
 
 
 def parse_syslog(

@@ -475,7 +475,8 @@ def omfwd_sink(
     return write
 
 
-def dynafile_partition_spec(template_str: str):
+def dynafile_partition_spec(template_str: str,
+                            secure_paths: bool = False):
     """omfile dynafile template → (base_dir, partition_cols, col_exprs)
     (SURVEY §4.1 custom rewrite (c): template→partitionBy extraction).
 
@@ -485,16 +486,25 @@ def dynafile_partition_spec(template_str: str):
     disappears: the committer handles concurrent partition dirs.
     Returns Column expressions so callers do
     ``df.withColumns(...).write.partitionBy(*cols)``.
+
+    ``secure_paths`` applies the secpath=replace sanitizer to every
+    property value ('/'→'_', '..'→'_') — the
+    global(compatibility.defaults.secure="strict") dynafile default
+    (goldens: compat-defaults-secure-dynafile-*.sh — 'a/b' lands in
+    the a_b file, never a subdirectory).
     """
-    from rsyslog_spark.templates import Prop, compile_template_string
+    from rsyslog_spark.templates import (
+        Prop, compile_template_string, secpath_sanitize)
 
     tpl = compile_template_string(template_str)
     consts: list[str] = []
     cols: dict = {}
     for part in tpl.parts:
         if isinstance(part, Prop):
-            cols[f"pt_{part.name.replace('!', '_').lstrip('$.')}"] = \
-                part.col()
+            c = part.col()
+            if secure_paths:
+                c = secpath_sanitize(c, "replace")
+            cols[f"pt_{part.name.replace('!', '_').lstrip('$.')}"] = c
         elif not cols:          # constants before the first property
             consts.append(part)
     base = "".join(consts)
@@ -506,10 +516,12 @@ def omfile_dynafile_batch(
     df: DataFrame,
     template_str: str,
     fmt: str = "parquet",
+    secure_paths: bool = False,
 ) -> None:
     """Batch dynafile write: derive partition columns from the
     template and write under the constant prefix."""
-    base, names, exprs = dynafile_partition_spec(template_str)
+    base, names, exprs = dynafile_partition_spec(
+        template_str, secure_paths=secure_paths)
     out = df
     for n, c in exprs.items():
         out = out.withColumn(n, c)

@@ -1799,6 +1799,73 @@ input(type="imfile" file="{src}" ruleset="input")
     assert lines(out_ok) == ["host|tag:|normal"]
 
 
+def test_action_impstats_counters(spark, tmp_path):
+    """Per-action impstats counters (ref: runtime/action.c:485-515):
+    processed/batchesprocessed per action, ratelimit.allowed/dropped
+    when a limiter is attached; rendered in the legacy line format.
+    Counting is gated on module(load="impstats") like the reference
+    only maintains statsobjs when impstats is present."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    pol = tmp_path / "drop.yaml"
+    pol.write_text("scope: output\nmode: drop\n"
+                   "interval: 60\nburst: 3\n")
+    src = tmp_path / "in.log"
+    src.write_text("".join(
+        f"<13>Mar  1 10:00:00 h1 t: msgnum:{i}\n" for i in range(10)))
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    conf = f'''
+module(load="impstats")
+ratelimit(name="rl" policy="{pol}")
+template(name="t" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" name="act_all" file="{out_a}" template="t")
+  action(type="omfile" name="act_rl" file="{out_b}" template="t"
+         action.ratelimit.name="rl")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run = run_config_batch(spark, conf)
+    assert run.action_stats["act_all"]["processed"] == 10
+    assert run.action_stats["act_all"]["batchesprocessed"] == 1
+    assert run.action_stats["act_rl"]["processed"] == 3
+    assert run.action_stats["act_rl"]["ratelimit.allowed"] == 3
+    assert run.action_stats["act_rl"]["ratelimit.dropped"] == 7
+    lines = run.impstats_lines()
+    assert any(ln.startswith("act_all: origin=core.action "
+                             "processed=10 batchesprocessed=1 "
+                             "failed=0 suspended=0")
+               for ln in lines)
+
+
+def test_secure_dynafile_defaults_golden(spark, tmp_path):
+    """Golden from tests/compat-defaults-secure-dynafile-
+    rainerscript.sh: global(compatibility.defaults.secure="strict")
+    applies the secpath=replace sanitizer to dynafile template
+    values — 'a/b' lands in the a_b partition, never a
+    subdirectory."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text("<129>Mar 10 01:00:00 172.20.245.8 tag "
+                   "secure-default:a/b:payload\n")
+    out = tmp_path / "dyn"
+    conf = f'''
+global(compatibility.defaults.secure="strict")
+template(name="dynfile" type="string"
+         string="{out}/%msg:F,58:2%.log")
+ruleset(name="m") {{
+  :msg, contains, "secure-default:" action(type="omfile"
+        dynafile="dynfile" template="dynfile")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    parts = [d for d in os.listdir(out) if d.startswith("pt_")]
+    assert parts == ["pt_msg=a_b"]
+
+
 def test_imfile_add_metadata_golden(spark, tmp_path):
     """Golden from tests/imfile-metadata-line-number.sh:
     addMetadata="on" stamps $!metadata!filename and 1-based

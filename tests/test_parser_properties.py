@@ -36,10 +36,16 @@ def rfc5424_case(draw):
     return line, pri, host, app, str(proc), msg
 
 
+# RFC3164 hostnames must be reference-VALID (pmrfc3164.c:402-447:
+# last char alphanumeric) — tokens like "." are correctly rejected
+# by the hostname validator and fall into the TAG scan instead
+_host3164 = _token.filter(lambda s: s[-1].isalnum())
+
+
 @st.composite
 def rfc3164_case(draw):
     pri = draw(st.integers(0, 191))
-    host = draw(_token)
+    host = draw(_host3164)
     prog = draw(st.text(
         alphabet=st.sampled_from(
             "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"),
