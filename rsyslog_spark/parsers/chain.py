@@ -370,9 +370,13 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     # monotonically_increasing_id it IS allowed in streaming
     # queries); Spark 4 bounds-folds rand()-based guards away, this
     # one survives the optimizer.
-    final = [F.when(F.spark_partition_id() >= 0,
-                    canonical(c)).alias(c)
-             for c in want]
+    import os as _os
+    if _os.environ.get("RSYSLOG_SPARK_NO_BARRIER"):
+        final = [canonical(c).alias(c) for c in want]
+    else:
+        final = [F.when(F.spark_partition_id() >= 0,
+                        canonical(c)).alias(c)
+                 for c in want]
     return [layer_a, layer_b, layer_c, layer_d, layer_e, final]
 
 
