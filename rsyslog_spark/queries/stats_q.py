@@ -299,7 +299,7 @@ def sessionize_stats(spark, sf_dir):
       FROM per
       WINDOW win AS (PARTITION BY key ORDER BY w)
     )
-    SELECT key, SUM(cnt) AS cnt, COUNT(*) AS n_windows,
+    SELECT key, CAST(SUM(cnt) AS BIGINT) AS cnt, COUNT(*) AS n_windows,
            CAST(SUM(s) AS BIGINT) AS new_metric_add,
            MIN(w) AS first_window, MAX(w) AS last_window,
            CAST(SUM(s) AS BIGINT) AS metrics_purged

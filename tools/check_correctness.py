@@ -40,6 +40,35 @@ def canon(v):
     return str(v)
 
 
+SPARK_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def typed_mismatches(con, sql, ocols, spark_dtypes):
+    """Flag DuckDB HUGEINT/DECIMAL columns whose Spark twin is integral.
+
+    The driver's value hash renders DuckDB HUGEINT (what SUM(BIGINT)
+    returns) and DECIMAL differently from Spark BIGINT even when the
+    values are numerically equal; canon() stringifies both to the same
+    text, so without this check the local gate passes what the driver
+    fails (verdict r5 finding #1, dynstats_lifecycle_totals).
+    """
+    try:
+        desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    except Exception:
+        return []
+    out = []
+    for row in desc:
+        cname, dtype = row[0], str(row[1]).upper()
+        st = spark_dtypes.get(cname)
+        if st in SPARK_INTEGRAL and (
+                dtype in ("HUGEINT", "INT128", "UHUGEINT")
+                or dtype.startswith("DECIMAL")):
+            out.append(
+                f"typed mismatch col={cname}: oracle {dtype} vs spark "
+                f"{st} (driver hash differs; CAST the oracle to BIGINT)")
+    return out
+
+
 def rows_key(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
@@ -87,6 +116,8 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        problems += typed_mismatches(con, oracles[name], ocols,
+                                     dict(sdf.dtypes))
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
