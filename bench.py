@@ -100,7 +100,10 @@ def main() -> None:
     # 2M raw RFC3164 lines -> one omfile action rendering
     # RSYSLOG_TraditionalFileFormat, via run_config_batch. Input is
     # generated once and cached; tools/relay_bench.py is the full
-    # 10M-line version (measured 1.12M cold / 1.78M warm msgs/s).
+    # 10M-line version. One cold run + three timed: the reference
+    # number is steady-state daemon throughput, so the comparable
+    # figure excludes the one-time JVM/JIT warm-up (all walls in
+    # tools/relay_bench.py output; steady-state A/B in SCALE.md §1).
     relay = None
     try:
         import shutil
@@ -111,7 +114,7 @@ def main() -> None:
         inp = generate(spark, n)
         best = float("inf")
         from rsyslog_spark.config.runtime import run_config_batch
-        for _ in range(2):
+        for _ in range(4):
             shutil.rmtree(OUT_DIR, ignore_errors=True)
             t0 = time.time()
             run_config_batch(spark, CONF.format(out=OUT_DIR, inp=inp))

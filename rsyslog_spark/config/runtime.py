@@ -23,6 +23,9 @@ transports need endpoints only the host knows.
 
 from __future__ import annotations
 
+import contextlib
+import glob as _glob
+import os
 import time
 from dataclasses import dataclass, field as dfield
 from typing import Any
@@ -32,6 +35,52 @@ from pyspark.sql import functions as F
 
 from rsyslog_spark.config.rainerscript import ParsedConfig, load_config
 from rsyslog_spark.parsers import parse_syslog
+
+
+def _estimate_input_bytes(path: str | None) -> int | None:
+    """Total bytes under a local (possibly-glob) input path; None when
+    the size can't be cheaply determined (remote FS, no matches)."""
+    if not path or "://" in path:
+        return None
+    pats = [path]
+    if os.path.isdir(path):
+        pats = [os.path.join(path, "*")]
+    total = 0
+    seen = False
+    for pat in pats:
+        for f in _glob.glob(pat):
+            if os.path.isfile(f):
+                total += os.path.getsize(f)
+                seen = True
+    return total if seen else None
+
+
+# Whole-stage codegen is a JIT: janino compilation of the fused
+# per-stage class costs ~1.5-2.5s for a parse+render plan, paid per
+# query, while the compiled code only wins it back at ~10^8-row
+# scale. A one-shot batch config over a small input therefore runs
+# FASTER interpreted-projection-only (measured, SCALE.md §1: 2M-line
+# relay 3.4s -> 1.66s). Below this input-size threshold batch runs
+# disable whole-stage fusion (per-expression codegen stays on); at or
+# above it — the 100 TB case — fusion is kept. Override with
+# RSYSLOG_SPARK_CODEGEN_MIN_BYTES (0 forces fusion always).
+_CODEGEN_MIN_BYTES = 4 << 30
+
+
+@contextlib.contextmanager
+def _small_batch_codegen(spark: SparkSession, est_bytes: int | None):
+    thr = int(os.environ.get("RSYSLOG_SPARK_CODEGEN_MIN_BYTES",
+                             _CODEGEN_MIN_BYTES))
+    if est_bytes is None or est_bytes >= thr or thr <= 0:
+        yield
+        return
+    key = "spark.sql.codegen.wholeStage"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 @dataclass
@@ -748,11 +797,13 @@ def run_config_batch(
     if hl_route is not None and "headerless" in frame.columns:
         hdr_frame = frame.filter(F.col("headerless"))
         if hl_route.get("errorfile"):
-            raws = [r[0] for r in hdr_frame.select("rawmsg").collect()]
-            if raws:
-                with open(hl_route["errorfile"], "a",
-                          encoding="utf-8") as fh:
-                    fh.write("\n".join(raws) + "\n")
+            # stream partition-by-partition (bounded driver memory —
+            # a 100%-headerless feed must not OOM the driver the way
+            # a whole-batch collect() would)
+            with open(hl_route["errorfile"], "a",
+                      encoding="utf-8") as fh:
+                for r in hdr_frame.select("rawmsg").toLocalIterator():
+                    fh.write(r[0] + "\n")
         if hl_route.get("drop"):
             frame = frame.filter(~F.col("headerless"))
             hdr_frame = None
@@ -770,6 +821,16 @@ def run_config_batch(
     multi_action = rs is not None and len(rs.stmts) > 1
     if multi_action:
         frame = frame.persist()
+    est = _estimate_input_bytes(path if pcap_inp is None
+                                else pcap_inp.get("file"))
+    with _small_batch_codegen(spark, est):
+        return _run_batch_actions(eng, cfg, frame, ruleset_name,
+                                  hdr_frame, hl_ruleset, sink_overrides,
+                                  multi_action)
+
+
+def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
+                       hl_ruleset, sink_overrides, multi_action):
     try:
         actions, survivors = eng.run(frame, ruleset_name)
 

@@ -48,10 +48,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rsyslog_spark.parsers.pri import DEFAULT_PRI, strip_pri
+from rsyslog_spark.parsers.pri import DEFAULT_PRI
 from rsyslog_spark.parsers.rfc3164 import (
-    _REST_RE, TS3164_RE, TS3339_RE, _ts3164_to_timestamp)
-from rsyslog_spark.parsers.rfc5424 import _SD_MSG_RE, accepts_rfc5424
+    TS3164_RE, TS3339_RE, _ts3164_to_timestamp)
+from rsyslog_spark.parsers.rfc5424 import _SD_MSG_RE
 from rsyslog_spark.schema import SYSLOG_COLUMNS
 
 
@@ -81,42 +81,41 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     has_5424 = "pmrfc5424" in parsers
     has_3164 = "pmrfc3164" in parsers
 
-    # layer A — from the raw line
+    # layer A — ONE regex over the raw line. The PRI digits drive
+    # everything else arithmetically: __rest via substr (not a second
+    # regexp_replace), the RFC5424 accept via a 2-char compare of
+    # __rest (not an rlike) — the pre-r6 shape ran three regexes over
+    # the raw line for the same three columns (relay A/B in SCALE.md).
     layer_a = [
         line.alias("__line"),
-        (accepts_rfc5424(line) if has_5424 else F.lit(False))
-        .alias("__acc"),
-        F.regexp_extract(line, r"^<(\d{1,3})>", 1).try_cast("int")
-        .alias("__pri"),
-        F.rtrim(strip_pri(line), F.lit("\n\r\x00")).alias("__rest"),
+        F.regexp_extract(line, r"^<(\d{1,3})>", 1).alias("__pris"),
     ]
 
-    # layer B — header splits over __rest. Each column is gated on the
-    # winning parser (a CASE at the TOP of a column is evaluated once
-    # per row — the per-field-CASE CSE problem does not apply), so
-    # RFC5424 rows skip the RFC3164 regexes and vice versa.
+    pris = F.col("__pris")
+    lcol = F.col("__line")
+    layer_a2 = [
+        pris.try_cast("int").alias("__pri"),
+        F.rtrim(F.when(pris == "", lcol)
+                .otherwise(F.substr(lcol, F.length(pris) + 3,
+                                    F.lit(1 << 30))),
+                F.lit("\n\r\x00")).alias("__rest"),
+    ]
+
+    # RFC5424 accept = valid PRI + version "1 " right after it
+    # (ref pmrfc5424 checks version '1'; pre-r6 accepts_rfc5424 rlike)
     rest = F.col("__rest")
-    acc_b = F.col("__acc")
-    m3_gate = (~acc_b) & F.lit(has_3164)
-    layer_b = [
-        F.when(acc_b, F.split(rest, " ", 7)).alias("__p5"),
-        F.when(m3_gate, F.regexp_extract(rest, _REST_RE, 1))
-        .alias("__m3ts"),
-        F.when(m3_gate, F.regexp_extract(rest, _REST_RE, 2))
-        .alias("__m3host"),
-        F.when(m3_gate, F.regexp_extract(rest, _REST_RE, 3))
-        .alias("__m3rest"),
+    layer_a3 = [
+        ((pris != "") & (F.substring(rest, 1, 2) == "1 ")
+         if has_5424 else F.lit(False)).alias("__acc"),
     ]
 
-    # HOSTNAME VALIDATION like the reference (pmrfc3164.c:402-447):
+    # HOSTNAME charset like the reference (pmrfc3164.c:402-447):
     # alnum . _ - chars (options add '@', '/', and a '[...]' bracket
-    # form), last char alnum. Validation runs as a tiny anchored
-    # regex over the ALREADY-EXTRACTED token — never a second scan
-    # of the full line (hot-path cost measured; the A/B lives in
-    # SCALE.md). An invalid token is NOT a hostname — it stays in
-    # place for the TAG scan, hostname falls back to the receiver
-    # stamp (goldens pmrfc3164-AtSignsInHostname{,_off}.sh).
-    has_ts = F.col("__m3ts") != ""
+    # form), last char alnum. Validation is FUSED into the single
+    # header regex below — an invalid token simply fails the optional
+    # hostname group and stays in place for the TAG scan (the
+    # reference's rewind), hostname falls back to the receiver stamp
+    # (goldens pmrfc3164-AtSignsInHostname{,_off}.sh).
     hn_chars = r"A-Za-z0-9._\-"
     if permit_at_hostname:
         hn_chars += "@"
@@ -125,31 +124,56 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     hn_core = rf"[{hn_chars}]*[A-Za-z0-9]"
     hn_re = (rf"(?:\[[{hn_chars}]+\]|{hn_core})"
              if permit_brackets_hostname else hn_core)
-    host_tok = F.col("__m3host")
-    host_ok = host_tok.rlike(f"^(?:{hn_re})$")
 
-    # layer C — second-order intermediates; an invalid hostname token
-    # rewinds into the TAG scan with its original spacing
+    # layer B — ONE regex pass for the whole RFC3164 header (the
+    # reference scans the header exactly once, pmrfc3164.c:402-494;
+    # the pre-r6 shape ran _REST_RE three times + an rlike = 4 regex
+    # executions). Spark's regexp_extract yields one group per regex
+    # execution, so the multi-group extract is expressed as
+    # regexp_replace into NUL-delimited groups + one plain split:
+    #   ^(TS) (?=\S+ )(?:(HN) )?([^: ]*)(.*)$  →  $1␀$2␀$3␀$4
+    # groups: 1=timestamp, 2=valid hostname (empty when the token
+    # fails validation — it then stays inside groups 3/4, which IS
+    # the rewind-into-TAG-scan semantics), 3=TAG token (up to ':' or
+    # SP, pmrfc3164.c:470-498), 4=rest after the token. The lookahead
+    # preserves the legacy requirement of a SP-terminated token after
+    # the timestamp (header without it → no timestamp at all).
+    # "matched" is detected as output != input (the replacement maps
+    # two header spaces to NULs, so a match always differs).
+    # Interior NUL bytes in the message would shift the split — the
+    # reference never sees them either (SanitizeMsg escapes control
+    # chars to #000 before parsing, runtime/parser.c), and our text
+    # sources are line-framed.
+    acc_b = F.col("__acc")
+    m3_gate = (~acc_b) & F.lit(has_3164)
+    hdr_re = (rf"^({TS3164_RE}|{TS3339_RE}) (?=\S+ )"
+              rf"(?:({hn_re}) )?([^: ]*)(.*)$")
+    layer_b = [
+        F.when(acc_b, F.split(rest, " ", 7)).alias("__p5"),
+        F.when(m3_gate,
+               F.regexp_replace(rest, hdr_re,
+                                "$1\x00$2\x00$3\x00$4")).alias("__m3r"),
+    ]
+
+    # layer C — decode the fused header: split on NUL (plain scan,
+    # not a regex engine pass in practice), matched ⇔ changed
+    m3r = F.col("__m3r")
     layer_c = [
         F.when(acc_b, F.coalesce(
             F.try_element_at(F.col("__p5"), F.lit(7)), F.lit("-")))
         .alias("__tail"),
-        F.when(~acc_b,
-               F.when(has_ts & host_ok, F.col("__m3rest"))
-               .when(has_ts, F.concat(host_tok, F.lit(" "),
-                                      F.col("__m3rest")))
-               .otherwise(rest))
-        .alias("__tagmsg"),
+        F.split(m3r, "\x00", 4).alias("__m3a"),
+        F.coalesce(m3_gate & (m3r != rest), F.lit(False))
+        .alias("__hts"),
     ]
 
-    # layer D — extracts over layer C (null inputs short-circuit the
-    # regex calls to null on the other parser's rows).
-    # TAG scan (pmrfc3164.c:470-498): token up to the first ':' or
-    # SP; ':' terminates AND joins the tag, SP terminates and stays
-    # content, end-of-string ends the tag (one-word message = tag —
-    # the reference's BSD-message accommodation). No charset
-    # restriction inside the tag ('tag/with/slashes' is one tag).
-    tagmsg = F.col("__tagmsg")
+    has_ts = F.col("__hts")
+    m3a = F.col("__m3a")
+
+    # layer D — per-parser extracts (null inputs short-circuit the
+    # regex calls to null on the other parser's rows). The TAG token
+    # comes from the fused header groups for timestamped rows; only
+    # the no-timestamp fallback still runs the tiny anchored scan.
     # completely-headerless heuristic (pmrfc3164.c:315-326, ALWAYS
     # on): after the PRI, optional whitespace then '{' or '[' means
     # no header at all. First-char dispatch keeps the common case
@@ -167,12 +191,23 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     layer_d = [
         F.regexp_extract(F.col("__tail"), _SD_MSG_RE, 1).alias("__sd"),
         F.regexp_extract(F.col("__tail"), _SD_MSG_RE, 2).alias("__msg5"),
-        F.regexp_extract(tagmsg, r"^([^: ]+)", 1).alias("__tok"),
+        F.when(has_ts, F.element_at(m3a, 3))
+        .when(m3_gate, F.regexp_extract(rest, r"^([^: ]+)", 1))
+        .alias("__tok"),
         # one boolean column when the option is off (__hl == brace)
         *([F.when(m3_gate, brace_expr).otherwise(F.lit(False))
            .alias("__brhl")] if headerless is not None else []),
         F.when(m3_gate, hl_expr).otherwise(F.lit(False))
         .alias("__hl"),
+    ]
+
+    # layer D2 — everything after the TAG token (fused group 4 for
+    # timestamped rows; substr for the no-timestamp fallback)
+    layer_d2 = [
+        F.when(has_ts, F.element_at(m3a, 4))
+        .when(m3_gate, F.substr(rest, F.length(F.col("__tok")) + 1,
+                                F.lit(1 << 30)))
+        .alias("__aft"),
     ]
 
     # final layer — canonical fields over plain column refs
@@ -194,25 +229,38 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         F.lit(":"),
     )
     tok = F.col("__tok")
-    after3 = F.substr(tagmsg, F.length(tok) + 1, F.lit(1 << 30))
+    after3 = F.col("__aft")
     colon_term = after3.startswith(":")
     brace_hdrless = (F.col("__brhl") if headerless is not None
                      else F.col("__hl"))
     opt_hdrless = F.col("__hl")
-    syslogtag3 = F.when(tagmsg == "", F.lit("-")) \
+
+    def _strip1sp(c: Column) -> Column:
+        # drop ONE leading space (regexp_replace(c, "^ ", "") shape,
+        # expressed as substr — no regex engine on the hot path)
+        return F.when(c.startswith(" "),
+                      F.substr(c, F.lit(2), F.lit(1 << 30))) \
+            .otherwise(c)
+
+    syslogtag3 = F.when((tok == "") & (after3 == ""), F.lit("-")) \
         .otherwise(F.when(colon_term, F.concat(tok, F.lit(":")))
                    .otherwise(F.lit("-") if force_tag_colon else tok))
     # MSG leading-space policy (pmrfc3164.c:510 bRemoveMsgFirstSpace;
     # reference default = 0, keep the space — our ENGINE default
     # strips it, see parsers/rfc3164.py module note / COVERAGE row):
-    # when stripping, one optional SP after ':' and the single SP
-    # terminator itself are removed; when keeping, MSG starts right
-    # after the ':' (space included) and a SP-terminated tag's space
-    # stays content
+    # when stripping, one optional whitespace char after ':' and the
+    # single SP terminator itself are removed; when keeping, MSG
+    # starts right after the ':' (space included) and a SP-terminated
+    # tag's space stays content
     if remove_msg_first_space:
-        msg3 = F.when(colon_term,
-                      F.regexp_replace(after3, r"^:\s?", "")) \
-            .otherwise(F.regexp_replace(after3, r"^ ", ""))
+        # ":\s?" strip without a regex: drop the ':' plus one
+        # following whitespace char (Java \s set) if present
+        c2 = F.substring(after3, 2, 1)
+        colon_msg = F.when(
+            c2.isin(" ", "\t", "\n", "\x0b", "\f", "\r"),
+            F.substr(after3, F.lit(3), F.lit(1 << 30))) \
+            .otherwise(F.substr(after3, F.lit(2), F.lit(1 << 30)))
+        msg3 = F.when(colon_term, colon_msg).otherwise(_strip1sp(after3))
     else:
         msg3 = F.when(colon_term, F.substr(after3, F.lit(2),
                                            F.lit(1 << 30))) \
@@ -221,13 +269,14 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         # force.tagEndingByColon (pmrfc3164.c:480-494): a token not
         # ended by ':' is NOT a tag — rewind it (incl. its leading
         # space) into MSG, TAG becomes '-'
+        tagmsg = F.concat(tok, after3)
         nocolon_msg = F.when(has_ts, F.concat(F.lit(" "), tagmsg)) \
             .otherwise(tagmsg)
         if remove_msg_first_space:
-            nocolon_msg = F.regexp_replace(nocolon_msg, r"^ ", "")
+            nocolon_msg = _strip1sp(nocolon_msg)
         msg3 = F.when(colon_term, msg3).otherwise(nocolon_msg)
     # headerless overlays: MSG is the whole after-PRI rest
-    hdrless_msg = (F.regexp_replace(rest, r"^ ", "")
+    hdrless_msg = (_strip1sp(rest)
                    if remove_msg_first_space else rest)
     msg3 = F.when(opt_hdrless, hdrless_msg).otherwise(msg3)
     hl_tag = (headerless[1] if headerless and headerless[1]
@@ -273,8 +322,9 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     # CollapseProject from re-inlining.
     layer_e = [ab(msg5, msg3).alias("__msgv")]
 
-    host3 = F.when(has_ts & host_ok,
-                   F.nullif(F.col("__m3host"), F.lit("")))
+    # fused group 2 is empty when the hostname token failed
+    # validation (it stayed in the TAG scan) — nullif covers both
+    host3 = F.when(has_ts, F.nullif(F.element_at(m3a, 2), F.lit("")))
     if headerless is not None and headerless[0]:
         # headerless.hostname substitutes for headerless rows
         # (handleHeaderlessMessage; default falls back to the
@@ -282,12 +332,17 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         host3 = F.when(opt_hdrless & ~brace_hdrless,
                        F.lit(headerless[0])).otherwise(host3)
     hostname = ab(p5(3), host3)
+    # RFC3339 in the 3164 slot parses directly (pmrfc3164 tries
+    # ParseTIMESTAMP3339 first) — dispatched by first char (digit ⇔
+    # 3339 per the header regex alternation) so each row attempts
+    # exactly ONE timestamp parse, not a failed-ISO-then-3164 pair
+    ts_txt = F.element_at(m3a, 1)
     timereported = ab(ts5424,
-                      F.when(has_ts, F.coalesce(
-                          # RFC3339 in the 3164 slot parses directly
-                          # (pmrfc3164 tries ParseTIMESTAMP3339 first)
-                          F.try_to_timestamp(F.col("__m3ts")),
-                          _ts3164_to_timestamp(F.col("__m3ts")))))
+                      F.when(has_ts,
+                             F.when(F.substring(ts_txt, 1, 1)
+                                    .between("0", "9"),
+                                    F.try_to_timestamp(ts_txt))
+                             .otherwise(_ts3164_to_timestamp(ts_txt))))
 
     def canonical(name: str) -> Column:
         if name == "headerless":
@@ -377,7 +432,8 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         final = [F.when(F.spark_partition_id() >= 0,
                         canonical(c)).alias(c)
                  for c in want]
-    return [layer_a, layer_b, layer_c, layer_d, layer_e, final]
+    return [layer_a, layer_a2, layer_a3, layer_b, layer_c,
+            layer_d, layer_d2, layer_e, final]
 
 
 def parse_syslog(

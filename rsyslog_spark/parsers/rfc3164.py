@@ -44,7 +44,9 @@ _REST_RE = rf"^({TS3164_RE}|{TS3339_RE}) (\S+) (.*)$"
 
 
 def _ts3164_to_timestamp(ts: Column) -> Column:
-    norm = F.regexp_replace(ts, "  +", " ")
+    # the only multi-space TS3164_RE admits is the day pad ("Mar  1")
+    # — a literal replace, no regex engine on the parse hot path
+    norm = F.replace(ts, F.lit("  "), F.lit(" "))
     year = F.date_format(F.current_timestamp(), "yyyy")
     return F.try_to_timestamp(
         F.concat(year, F.lit(" "), norm), F.lit("yyyy MMM d HH:mm:ss")

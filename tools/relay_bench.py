@@ -81,8 +81,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     inp = generate(spark, n)
 
+    # one cold run (JVM/JIT warm-up) + three timed runs: the
+    # reference's >1M msgs/s is the steady-state throughput of a
+    # long-running daemon, so the comparable figure here is the
+    # steady-state per-batch wall, not the first-ever JIT-compiling
+    # run. All walls are reported.
     runs = []
-    for attempt in ("cold", "warm"):
+    for attempt in ("cold", "warm1", "warm2", "warm3"):
         shutil.rmtree(OUT_DIR, ignore_errors=True)
         t0 = time.time()
         run_config_batch(spark, CONF.format(out=OUT_DIR, inp=inp))
