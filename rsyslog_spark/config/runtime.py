@@ -346,6 +346,20 @@ def _dispatch_action_inner(
             from rsyslog_spark.streaming.sigprov import sign_directory
             sign_directory(out_path, block_size=int(
                 params.get("sig.block.sizelimit", "1000")))
+        # cry.provider (ref: omfile.c:179-182 binds a cryprov per
+        # action; lmcry_gcry.c): encrypt each committed part file in
+        # place + .encinfo side file; decrypt with tools/logdec.py.
+        # Sign-then-encrypt: the sig manifest above chains the
+        # PLAINTEXT records, so verification happens after logdec —
+        # same layering as the reference (sigprov sees records,
+        # cryprov sees the byte stream).
+        cry = str(params.get("cry.provider", "")).lower()
+        if cry:
+            if cry not in ("gcry", "ossl"):
+                raise ValueError(f"unknown cry.provider {cry!r}")
+            from rsyslog_spark.streaming.cryprov import (
+                provider_from_params)
+            provider_from_params(params).encrypt_directory(out_path)
         run.written[name] = out_path
         return
     if typ == "omfwd" and params.get("target"):
