@@ -179,14 +179,23 @@ def _ratelimit_policy(cfg: ParsedConfig, name: str) -> dict:
 
 
 def _apply_action_ratelimit(cfg: ParsedConfig, rl_name: str,
-                            df: DataFrame) -> tuple[DataFrame, float]:
+                            df: DataFrame,
+                            state: dict | None = None
+                            ) -> tuple[DataFrame, float]:
     """Action-scoped output rate limiting. drop: first ``burst`` rows
     per interval window pass (arrival order), rest discarded before
     the output module runs. pace: every row delivers, the action
     worker sleeps so the configured rate is observable — returns the
     pace duration for the caller to sleep AFTER the write (the
     reference paces inside the action worker; shutdown is checked
-    before sleeping there, here the bound caps the stall)."""
+    before sleeping there, here the bound caps the stall).
+
+    ``state`` (streaming twin): per-action dict carrying admitted
+    counts per interval window ACROSS micro-batches — without it a
+    window that spans batches would re-admit ``burst`` rows per
+    batch. The bookkeeping is O(#windows in batch): one small agg to
+    learn per-window quota use, the row filter itself stays fully
+    distributed (no row collect)."""
     from pyspark.sql import Window
 
     pol = _ratelimit_policy(cfg, rl_name)
@@ -205,20 +214,41 @@ def _apply_action_ratelimit(cfg: ParsedConfig, rl_name: str,
             "start"]
         w = Window.partitionBy(bucket).orderBy(order)
     else:
+        bucket = F.lit("__all__").cast("timestamp")
         w = Window.partitionBy(F.lit(1)).orderBy(order)
-    gated = df.withColumn("__rl_rn", F.row_number().over(w)) \
-        .filter(F.col("__rl_rn") <= burst).drop("__rl_rn")
-    return gated, 0.0
+    ranked = df.withColumn("__rl_rn", F.row_number().over(w)) \
+        .withColumn("__rl_w", bucket)
+    if state is None:
+        gated = ranked.filter(F.col("__rl_rn") <= burst)
+    else:
+        # remaining quota per window = burst - already admitted in
+        # prior batches; windows present in this batch: small agg
+        counts = {r[0]: r[1] for r in
+                  ranked.groupBy("__rl_w").count().collect()}
+        quota = {wk: max(0, burst - state.get(wk, 0))
+                 for wk in counts}
+        qexpr = None
+        for wk, q in quota.items():
+            cond = F.col("__rl_w").eqNullSafe(F.lit(wk))
+            qexpr = F.when(cond, F.lit(q)) if qexpr is None \
+                else qexpr.when(cond, F.lit(q))
+        gated = ranked.filter(F.col("__rl_rn")
+                              <= F.coalesce(qexpr, F.lit(0)))
+        for wk, n in counts.items():
+            state[wk] = state.get(wk, 0) + min(n, quota[wk])
+    return gated.drop("__rl_rn", "__rl_w"), 0.0
 
 
 def _dispatch_action(
     cfg: ParsedConfig, name: str, df: DataFrame, params: dict,
     run: ConfigRun, sink_overrides: dict | None = None,
+    rl_state: dict | None = None,
 ) -> None:
     """Route one action's rows to its sink, applying action-scoped
     output rate limiting first (action.ratelimit.name — ChangeLog
     2026-07-06; drop filters before the output module runs, pace
-    sleeps the worker after the write)."""
+    sleeps the worker after the write). ``rl_state`` carries drop-mode
+    admitted counts across micro-batches (streaming twin)."""
     import time as _time
 
     rl = params.get("action.ratelimit.name")
@@ -227,7 +257,7 @@ def _dispatch_action(
                    for m in cfg.modules)
     n_before = df.count() if stats_on else None
     if rl:
-        df, pace = _apply_action_ratelimit(cfg, rl, df)
+        df, pace = _apply_action_ratelimit(cfg, rl, df, rl_state)
     if stats_on:
         # per-action counters (action.c:485-515); counting costs one
         # extra job per action, paid only when impstats is loaded —
@@ -1052,29 +1082,71 @@ def run_config_stream(
     if bridge is not None:
         lines = bridge.stream(spark)
     else:
+        lp = {k.lower(): v for k, v in imfile_params.items()}
+        mft = lp.get("maxfilespertrigger")   # engine-level knob:
+        # micro-batch sizing (no reference analog — imfile tails
+        # continuously; this bounds batch size for paced drains)
         lines = imfile(
             spark, path,
+            max_files_per_trigger=int(mft) if mft else None,
             startmsg_regex=imfile_params.get("startmsg.regex"),
             endmsg_regex=imfile_params.get("endmsg.regex"),
             read_mode=int(imfile_params.get(
                 "readMode", imfile_params.get("readmode", "0"))))
+    pm_opts, hl_route = _pm3164_opts(cfg, ruleset_name)
     frame = parse_syslog(
         lines, parsers=_ruleset_parser_chain(cfg, ruleset_name),
-        **_parser_opts(cfg))
+        **_parser_opts(cfg), **pm_opts)
     vstage = _vendor_parser_stage(cfg, ruleset_name)
     if vstage is not None:
         frame = vstage(frame)
 
+    # per-action drop-mode admitted counts, carried ACROSS
+    # micro-batches (the reference's ratelimiter lives in the action
+    # worker for the daemon's lifetime — per-batch-only admission
+    # would re-admit `burst` rows every micro-batch)
+    rl_states: dict[str, dict] = {}
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            gated = _apply_main_queue_directives(batch_df, cfg)
+            # headerless routing twin (pmrfc3164
+            # handleHeaderlessMessage — the reference applies it on
+            # the stream by construction, pmrfc3164.c:362-369)
+            bframe = batch_df
+            hdr_frame = None
+            hl_ruleset = None
+            if hl_route is not None and "headerless" in bframe.columns:
+                hdr_frame = bframe.filter(F.col("headerless"))
+                if hl_route.get("errorfile"):
+                    with open(hl_route["errorfile"], "a",
+                              encoding="utf-8") as fh:
+                        for r in hdr_frame.select("rawmsg") \
+                                .toLocalIterator():
+                            fh.write(r[0] + "\n")
+                if hl_route.get("drop"):
+                    bframe = bframe.filter(~F.col("headerless"))
+                    hdr_frame = None
+                elif hl_route.get("ruleset") in cfg.rulesets:
+                    hl_ruleset = hl_route["ruleset"]
+                    bframe = bframe.filter(~F.col("headerless"))
+                else:
+                    hdr_frame = None
+            gated = _apply_main_queue_directives(bframe, cfg)
             actions, _surv = eng.run(gated, ruleset_name)
             run = ConfigRun()
             for name, df in actions:
                 params = _action_params(cfg, ruleset_name, name)
                 _dispatch_action(cfg, name, df, params, run,
-                                 sink_overrides)
+                                 sink_overrides,
+                                 rl_state=rl_states.setdefault(
+                                     name, {}))
+            if hl_ruleset is not None and hdr_frame is not None:
+                hdr_actions, _hs = eng.run(hdr_frame, hl_ruleset)
+                for name, df in hdr_actions:
+                    params = _action_params(cfg, hl_ruleset, name)
+                    _dispatch_action(cfg, name, df, params, run,
+                                     sink_overrides)
         finally:
             batch_df.unpersist()
 

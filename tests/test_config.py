@@ -2369,3 +2369,136 @@ input(type="imfile" file="{src}" ruleset="m")
     # the reference's content check: eventID appears (case kept)
     assert "eventID" in line
     assert line == 'SD:{"tcpflood@32473":{"eventID":"1011"}}'
+
+
+class TestStreamingTwins:
+    """Streaming twins for r5 batch-only features (verdict r6 item 4):
+    headerless ruleset routing and action output ratelimit drop/pace
+    applied inside the run_config_stream micro-batch sink — the
+    reference applies these on streams by construction
+    (pmrfc3164.c:362-369; ChangeLog 2026-07-06)."""
+
+    def _lines(self, out):
+        import os
+        ls = []
+        for f in sorted(os.listdir(out)):
+            if f.startswith("part") and not f.endswith(".sig"):
+                ls += open(out / f).read().splitlines()
+        return ls
+
+    def test_stream_headerless_routing(self, spark, tmp_path):
+        from rsyslog_spark.config.runtime import run_config_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "this is not syslog\n"
+            "<13>Oct 11 22:14:15 host tag: normal\n")
+        out_ok, out_hdr = tmp_path / "ok", tmp_path / "hdr"
+        conf = f'''
+parser(name="p3164" type="pmrfc3164" detect.headerless="on"
+       headerless.hostname="n/a" headerless.tag="hdr"
+       headerless.ruleset="hdrules")
+template(name="t" type="string"
+         string="%hostname%|%syslogtag%|%msg%\\n")
+ruleset(name="input" parser="p3164") {{
+  action(type="omfile" file="{out_ok}" template="t")
+}}
+ruleset(name="hdrules") {{
+  action(type="omfile" file="{out_hdr}" template="t")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="input")
+'''
+        run_config_stream(spark, conf,
+                          checkpoint=str(tmp_path / "ck"))
+        assert self._lines(out_hdr) == ["n/a|hdr|this is not syslog"]
+        assert self._lines(out_ok) == ["host|tag:|normal"]
+
+    def test_stream_headerless_errorfile_drop(self, spark, tmp_path):
+        from rsyslog_spark.config.runtime import run_config_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "bad one\n"
+            "<13>Oct 11 22:14:15 host tag: normal\n"
+            "bad two\n")
+        out = tmp_path / "out"
+        errf = tmp_path / "err.log"
+        conf = f'''
+parser(name="p3164" type="pmrfc3164" detect.headerless="on"
+       headerless.errorfile="{errf}" headerless.drop="on")
+template(name="t" type="string" string="%msg%\\n")
+ruleset(name="input" parser="p3164") {{
+  action(type="omfile" file="{out}" template="t")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="input")
+'''
+        run_config_stream(spark, conf,
+                          checkpoint=str(tmp_path / "ck"))
+        assert self._lines(out) == ["normal"]
+        assert sorted(errf.read_text().splitlines()) == [
+            "bad one", "bad two"]
+
+    def test_stream_ratelimit_drop_across_batches(self, spark,
+                                                  tmp_path):
+        """burst=5 in one interval window must admit 5 rows TOTAL
+        across micro-batches, not 5 per batch — maxFilesPerTrigger=1
+        forces one file per micro-batch."""
+        from rsyslog_spark.config.runtime import run_config_stream
+
+        pol = tmp_path / "drop.yaml"
+        pol.write_text("scope: output\nmode: drop\n"
+                       "interval: 3600\nburst: 5\n")
+        src = tmp_path / "in"
+        src.mkdir()
+        # 3 files x 4 msgs, one micro-batch each -> 4 + 1 + 0 admitted
+        for fi in range(3):
+            (src / f"f{fi}.log").write_text("".join(
+                f"<13>Mar  1 10:00:00 h1 tag: msgnum:{fi}-{i}\n"
+                for i in range(4)))
+        out = tmp_path / "out"
+        conf = f'''
+ratelimit(name="out_drop" policy="{pol}")
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="{out}" template="outfmt"
+         action.ratelimit.name="out_drop")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m"
+      maxFilesPerTrigger="1")
+'''
+        run_config_stream(spark, conf,
+                          checkpoint=str(tmp_path / "ck"))
+        got = self._lines(out)
+        assert len(got) == 5, got
+
+    def test_stream_ratelimit_pace(self, spark, tmp_path):
+        import time
+        from rsyslog_spark.config.runtime import run_config_stream
+
+        pol = tmp_path / "pace.yaml"
+        pol.write_text("scope: output\nmode: pace\n"
+                       "interval: 1\nburst: 2\n")
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.log").write_text("".join(
+            f"<13>Mar  1 10:00:00 h1 tag: msgnum:{i:08d}\n"
+            for i in range(4)))
+        out = tmp_path / "out"
+        conf = f'''
+ratelimit(name="out_pace" policy="{pol}")
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="{out}" template="outfmt"
+         action.ratelimit.name="out_pace")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+        t0 = time.monotonic()
+        run_config_stream(spark, conf,
+                          checkpoint=str(tmp_path / "ck"))
+        elapsed = time.monotonic() - t0
+        assert sorted(self._lines(out)) == [
+            f"msgnum:{i:08d}" for i in range(4)]
+        assert elapsed >= 1.0
