@@ -142,16 +142,18 @@ def collect_all() -> dict[str, Query]:
 
 
 #: queries parked past the driver's 50-row window — see collect_all()
-_TAIL = ("similarity_topk_bruteforce",
-         "mmfields_split", "mmanon_embedded",
-         "mmpstrucdata_parse", "dynstats_maxcard_overflow",
-         "percentile_stats_values",
-         "mmexternal_bridge", "similarity_knn_join",
-         "ngram_jaccard_dup_pairs",
-         "property_replacer_battery",
-         "repeated_msg_reduction_runs",
-         "ruleset_route_fanout",
-         "flagship_parse_route",
+#: r6 rotation: the 12 queries parked since r2 (similarity_topk_
+#: bruteforce, mmfields_split, mmanon_embedded, mmpstrucdata_parse,
+#: dynstats_maxcard_overflow, percentile_stats_values,
+#: mmexternal_bridge, similarity_knn_join, ngram_jaccard_dup_pairs,
+#: property_replacer_battery, repeated_msg_reduction_runs,
+#: ruleset_route_fanout) ALL re-entered the window for driver
+#: re-verification; 15 three-round-green (r3+r4+r5) queries took
+#: tail slots, making room for them plus the 3 NEW r6 oracle
+#: queries (imbeats_seq_metadata, impcap_l7_battery,
+#: impstats_action_counters — in the window for first-time
+#: verification).
+_TAIL = ("flagship_parse_route",
          "rfc5424_roundtrip_fields",
          "faup_url_decompose",
          "template_render", "scalar_battery",
@@ -159,7 +161,16 @@ _TAIL = ("similarity_topk_bruteforce",
          "lookup_battery", "vendor_parse_pair",
          "lookup_sparse",
          "mm_seq_count", "text_battery",
-         "pricing_summary")
+         "pricing_summary",
+         # parked r6 (green r3+r4+r5)
+         "anomaly_zscore_windows", "bm25_search",
+         "config_driven_routing", "decontaminate_ngram_overlap",
+         "dedup_components", "embedding_cosine_near_dup",
+         "enrich_dims", "html_text_extraction",
+         "hybrid_retrieval_rrf", "ngram_top_counts",
+         "order_priority_timing", "sequence_packing",
+         "stratified_sample_docs", "supplier_part_volume",
+         "url_dedup_canonical")
 
 
 def tail_body_hash(q: Query) -> str:

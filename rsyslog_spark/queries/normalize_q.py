@@ -803,3 +803,136 @@ def imjournal_field_map(spark, sf_dir):
         F.col("syslogseverity").cast("long").alias("severity"),
         F.col("syslogfacility").cast("long").alias("facility"),
         "tag", "hostname", "procid", "timereported")
+
+
+@q(
+    "imbeats_seq_metadata",
+    """
+    WITH src AS (
+      SELECT event_id,
+             CAST(user_id % 4 AS BIGINT) AS conn,
+             event_type, user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 4
+                                ORDER BY event_id) AS seq,
+             COUNT(*) OVER (PARTITION BY user_id % 4) AS n_conn
+      FROM events
+    )
+    SELECT event_id, conn, CAST(seq AS BIGINT) AS seq,
+           'filebeat' AS beat,
+           'evt ' || event_type AS message,
+           'a' || CAST(user_id % 7 AS VARCHAR) AS agent_id,
+           CASE WHEN CAST(CEIL(seq / 25.0) * 25 AS BIGINT) <= n_conn
+                THEN CAST(CEIL(seq / 25.0) * 25 AS BIGINT)
+           END AS ack_seq
+    FROM src
+    """,
+    doc="imbeats lumberjack-v2 sequence + @metadata semantics (ref: "
+        "plugins/imbeats/lj_parser.h frame types W/J/A; imbeats.c "
+        "ACK timing — the server acks 2A+highest-seq once a full "
+        "window of J frames landed; partial tail windows stay "
+        "unacked until more data arrives). Payload JSON decodes "
+        "through the REAL mmjsonparse path (imbeats emits the event "
+        "JSON verbatim into `line` for downstream mmjsonparse, as "
+        "the reference feeds its JSON decoder); seq/ack bookkeeping "
+        "is per-connection window math (window=25). One window-fn "
+        "pass partitioned by connection, no extra shuffle for the "
+        "JSON reads.",
+)
+def imbeats_seq_metadata(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from rsyslog_spark.functions.json_fns import tree_get
+    from rsyslog_spark.operators.mm import mmjsonparse
+
+    ev = load(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    conn = (uid % 4).cast("long")
+    payload = F.concat(
+        F.lit('{"@metadata":{"beat":"filebeat","version":"8.17"},'
+              '"message":"evt '),
+        F.col("event_type"),
+        F.lit('","agent":{"id":"a'), (uid % 7).cast("string"),
+        F.lit('"}}'))
+    w = Window.partitionBy(conn).orderBy("event_id")
+    src = ev.select(
+        "event_id", conn.alias("conn"),
+        payload.alias("msg"),
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.count("*").over(Window.partitionBy(conn)).alias("n_conn"))
+    parsed = mmjsonparse(src, msg_col="msg", out_col="json")
+    full_win = (F.ceil(F.col("seq") / 25.0) * 25).cast("long")
+    return parsed.select(
+        "event_id", "conn", "seq",
+        tree_get("json", "$!@metadata!beat").alias("beat"),
+        tree_get("json", "$!message").alias("message"),
+        tree_get("json", "$!agent!id").alias("agent_id"),
+        F.when(full_win <= F.col("n_conn"), full_win).alias("ack_seq"))
+
+
+@q(
+    "impcap_l7_battery",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 4 = 0 THEN 'GET' END AS http_method,
+           CASE WHEN event_id % 4 = 0
+                THEN '/p' || CAST(event_id AS VARCHAR) END AS http_uri,
+           CASE WHEN event_id % 4 IN (0, 1) THEN 'HTTP/1.1'
+           END AS http_version,
+           CASE WHEN event_id % 4 = 1 THEN '200' END AS http_status,
+           CASE WHEN event_id % 4 = 1 THEN 'OK' END AS http_reason,
+           CASE WHEN event_id % 4 = 0
+                THEN 'h' || CAST(user_id % 5 AS VARCHAR)
+           END AS host_hdr,
+           CASE WHEN event_id % 4 = 2
+                THEN CAST(220 AS BIGINT) END AS ftp_response,
+           CASE WHEN event_id % 4 = 3 THEN 'USER' END AS ftp_request
+    FROM events
+    """,
+    doc="impcap L7 extraction battery (ref: contrib/impcap/"
+        "http_parser.c request/status line + header fields; "
+        "ftp_parser.c 3-digit reply vs command word). Packet rows "
+        "synthesized from events (TCP proto 6, ports 80/21) run "
+        "through the REAL impcap_http + impcap_ftp column pipelines "
+        "(streaming/pcap.py:454,489 — pure column ops, no Python "
+        "walker); the oracle recomputes each field from the "
+        "generator keys. No shuffle: per-row string ops only.",
+)
+def impcap_l7_battery(spark, sf_dir):
+    from rsyslog_spark.streaming.pcap import impcap_ftp, impcap_http
+
+    ev = load(spark, sf_dir, "events")
+    k = F.col("event_id") % 4
+    uid = F.col("user_id")
+    crlf = F.lit("\r\n")
+    txt = (
+        F.when(k == 0, F.concat(
+            F.lit("GET /p"), F.col("event_id").cast("string"),
+            F.lit(" HTTP/1.1"), crlf,
+            F.lit("Host: h"), (uid % 5).cast("string"), crlf,
+            F.lit("User-Agent: ua"), crlf, crlf))
+        .when(k == 1, F.concat(
+            F.lit("HTTP/1.1 200 OK"), crlf,
+            F.lit("Content-Type: text/plain"), crlf, crlf,
+            F.lit("hello")))
+        .when(k == 2, F.concat(F.lit("220 svc ready"), crlf))
+        .otherwise(F.concat(F.lit("USER u"), uid.cast("string"),
+                            crlf)))
+    pkts = ev.select(
+        "event_id",
+        F.lit(6).alias("IP_proto"),
+        F.when(k == 1, 80).when(k == 2, 21).otherwise(40000)
+        .alias("net_src_port"),
+        F.when(k == 0, 80).when(k == 3, 21).otherwise(40000)
+        .alias("net_dst_port"),
+        F.encode(txt, "utf-8").alias("payload"))
+    out = impcap_ftp(impcap_http(pkts))
+    return out.select(
+        "event_id",
+        F.col("HTTP_method").alias("http_method"),
+        F.col("HTTP_request_URI").alias("http_uri"),
+        F.col("HTTP_version").alias("http_version"),
+        F.col("HTTP_status_code").alias("http_status"),
+        F.col("HTTP_reason").alias("http_reason"),
+        F.col("HTTP_header_fields")["Host"].alias("host_hdr"),
+        F.col("FTP_response").cast("long").alias("ftp_response"),
+        F.col("FTP_request").alias("ftp_request"))

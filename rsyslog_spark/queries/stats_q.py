@@ -320,3 +320,45 @@ def dynstats_lifecycle_totals(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return dynstats_lifecycle(ev, "event_type", "ts",
                               interval="1 hour", life_windows=1)
+
+
+@q(
+    "impstats_action_counters",
+    """
+    WITH agg AS (
+      SELECT 'act_' || event_type AS action,
+             COUNT(*) AS submitted
+      FROM events GROUP BY 1
+    )
+    SELECT action,
+           CAST(LEAST(submitted, 1000) AS BIGINT) AS processed,
+           CAST(0 AS BIGINT) AS failed,
+           CAST(0 AS BIGINT) AS suspended,
+           CAST(0 AS BIGINT) AS resumed,
+           CAST(submitted - LEAST(submitted, 1000) AS BIGINT)
+               AS ratelimit_dropped,
+           action || ': origin=core.action processed=' ||
+           CAST(LEAST(submitted, 1000) AS VARCHAR) ||
+           ' failed=0 suspended=0 suspended.duration=0 resumed=0' ||
+           ' ratelimit.dropped=' ||
+           CAST(submitted - LEAST(submitted, 1000) AS VARCHAR)
+               AS line
+    FROM agg
+    """,
+    doc="impstats per-action counter snapshot in the reference's "
+        "LEGACY line format (ref: runtime/action.c:485-515 statsobj "
+        "counter set; plugins/impstats format=legacy rendering "
+        "`name: origin=core.action k=v ...`; output-ratelimit "
+        "counters per ChangeLog 2026-07-06). Events route to one "
+        "action per event_type; burst=1000 exercises the "
+        "allowed/dropped split. One partial-agg shuffle on the "
+        "action key; the line render is column concat over the "
+        "aggregated tiny frame.",
+)
+def impstats_action_counters(spark, sf_dir):
+    from rsyslog_spark.streaming.impstats import action_counters_frame
+
+    ev = load(spark, sf_dir, "events")
+    routed = ev.select(
+        F.concat(F.lit("act_"), F.col("event_type")).alias("action"))
+    return action_counters_frame(routed, "action", burst=1000)

@@ -205,3 +205,41 @@ class PrometheusExporter:
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd = None
+
+
+def action_counters_frame(df, action_col: str, burst: int = 0):
+    """Batch statsobj snapshot per action, rendered in the impstats
+    LEGACY line format (ref: runtime/action.c:485-515 counter set —
+    processed/failed/suspended/suspended.duration/resumed — emitted
+    by plugins/impstats format="legacy" as `name: origin=core.action
+    k=v ...`). ``burst`` > 0 adds the output-ratelimit counters
+    (ratelimit.allowed / ratelimit.dropped, ChangeLog 2026-07-06)
+    with batch semantics: the first ``burst`` rows per action pass.
+
+    One partial-agg shuffle on the action key; the line render is a
+    pure column concat over the aggregated (tiny) frame.
+    """
+    from pyspark.sql import functions as F
+
+    agg = df.groupBy(F.col(action_col).alias("action")) \
+        .agg(F.count("*").alias("submitted"))
+    allowed = (F.least(F.col("submitted"), F.lit(int(burst)))
+               if burst > 0 else F.col("submitted"))
+    out = agg.select(
+        "action",
+        allowed.cast("long").alias("processed"),
+        F.lit(0).cast("long").alias("failed"),
+        F.lit(0).cast("long").alias("suspended"),
+        F.lit(0).cast("long").alias("resumed"),
+        *([(F.col("submitted") - allowed).cast("long")
+           .alias("ratelimit_dropped")] if burst > 0 else []),
+    )
+    line = F.concat(
+        F.col("action"), F.lit(": origin=core.action processed="),
+        F.col("processed").cast("string"),
+        F.lit(" failed=0 suspended=0 suspended.duration=0 resumed=0"),
+        *([F.lit(" ratelimit.dropped="),
+           F.col("ratelimit_dropped").cast("string")]
+          if burst > 0 else []),
+    )
+    return out.withColumn("line", line)
