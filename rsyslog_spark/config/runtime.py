@@ -898,7 +898,31 @@ def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
                 continue
             key = key_fn(frame).alias("key")
             if kind == "dyn_inc":
-                run.dynstats[bucket] = frame.groupBy(key).count()
+                counts = frame.groupBy(key).count()
+                # dyn_stats persistStateInterval (dynstats.c:382-520;
+                # golden tests/dynstats-persist.sh): counters resume
+                # from the persisted state file across runs and the
+                # merged totals are persisted back. The bucket frame
+                # is per-key counts — O(#keys), collected to merge;
+                # the row-level aggregation stays distributed.
+                pobj = next((o for o in cfg.objects.get(
+                    "dyn_stats", []) if o.get("name") == bucket), None)
+                if pobj and int(pobj.get(
+                        "persistStateInterval", "0") or 0) > 0:
+                    from rsyslog_spark.operators.stats import (
+                        dynstats_load_state, dynstats_save_state)
+                    sdir = (pobj.get("statefile.directory")
+                            or cfg.directives.get("workdirectory")
+                            or ".")
+                    merged = dynstats_load_state(bucket, sdir)
+                    for r in counts.collect():
+                        merged[r["key"]] = \
+                            merged.get(r["key"], 0) + r["count"]
+                    dynstats_save_state(bucket, sdir, merged)
+                    counts = frame.sparkSession.createDataFrame(
+                        [(k, v) for k, v in merged.items()],
+                        "key string, count long")
+                run.dynstats[bucket] = counts
             else:
                 from rsyslog_spark.operators.stats import (
                     percentile_stats)

@@ -445,3 +445,47 @@ def session_stats(
                 "duration_s",
                 F.unix_timestamp("session_end")
                 - F.unix_timestamp("session_start")))
+
+
+# --- dynstats state persistence (ref: runtime/dynstats.c:382-520
+# persistBucketState/loadPersistedState; dyn_stats params
+# persistStateInterval + statefile.directory; golden
+# tests/dynstats-persist.sh) ------------------------------------------
+
+def dynstats_state_path(bucket: str, directory: str) -> str:
+    """State file path: ``<dir>/dynstats-state:<bucket>`` — slashes in
+    the bucket name sanitize to '_' (dynstats.c getStateFileName
+    path-traversal protection)."""
+    import os
+    return os.path.join(directory,
+                        "dynstats-state:" + bucket.replace("/", "_"))
+
+
+def dynstats_load_state(bucket: str, directory: str) -> dict:
+    """Read persisted counters; missing/unreadable file → {} (the
+    reference warns and continues fresh, dynstats.c:441-448).
+    Format: ``{"name": "<bucket>", "values": {"foo": 1}}``."""
+    import json
+    try:
+        with open(dynstats_state_path(bucket, directory),
+                  encoding="utf-8") as fh:
+            obj = json.load(fh)
+        return {str(k): int(v)
+                for k, v in (obj.get("values") or {}).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def dynstats_save_state(bucket: str, directory: str,
+                        values: dict) -> str:
+    """Write the bucket's counters in the reference's exact JSON
+    shape (persistBucketState: name + int64 values)."""
+    import json
+    import os
+    os.makedirs(directory, exist_ok=True)
+    path = dynstats_state_path(bucket, directory)
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump({"name": bucket,
+                   "values": {k: int(v) for k, v in values.items()}},
+                  fh)
+    return path
