@@ -1205,6 +1205,14 @@ def _gated_mm(fn, touched: tuple[str, ...] = ()):
                 continue
             if meta:
                 out = out.withMetadata(c, meta)
+        # an op that DROPPED a pre-existing column: non-live rows
+        # must keep their prior values (live rows take the drop —
+        # restored as NULL, the closest frame-level analog)
+        out_cols = set(out.columns)
+        for c in before:
+            if c not in out_cols and f"__mm_orig_{c}" in have_orig:
+                out = out.withColumn(
+                    c, F.when(~live, F.col(f"__mm_orig_{c}")))
         return out.drop(*sorted(have_orig))
     return apply
 

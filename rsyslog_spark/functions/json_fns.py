@@ -56,7 +56,17 @@ def tree_get(json_col: ColumnOrName, path: str) -> Column:
     case-insensitive mode the path is pre-folded by the caller and
     the exact probe is backed by the case-insensitive walk, which
     only evaluates on rows where the exact lookup misses (coalesce
-    is lazy per row) — the hot path stays get_json_object."""
+    is lazy per row) — the hot path stays get_json_object.
+
+    DOCUMENTED DIVERGENCE (duplicate case-variant keys): libfastjson's
+    case-insensitive lookup returns the FIRST key in object order
+    whose lowercase matches, so for ``{"ABC":1,"abc":2}`` the
+    reference's ``$!abc`` reads 1; the exact-probe-first shape here
+    reads 2 (the exact-case key wins regardless of order). Making the
+    ordered walk the sole path would double every tree read (measured
+    2x, SCALE.md case-insensitive table) to serve a corpus shape —
+    same object, two keys equal under lowercase — that any sane
+    producer avoids; pinned by test_tree_get_dup_case_divergence."""
     from rsyslog_spark.plans.ruleset import var_case_sensitive
 
     if var_case_sensitive():

@@ -2669,3 +2669,20 @@ input(type="imfile" file="{src}/*.log" ruleset="m")
         assert self._lines(out) == sorted(
             f"msgnum:{i:05d}"
             for i in list(range(10)) + list(range(20, 30)))
+
+
+def test_gated_mm_restores_dropped_columns(spark):
+    """ADVICE r5: a gated mm op that DROPS a pre-existing column must
+    restore the prior values on non-live rows (live rows take the
+    drop as NULL) instead of losing the column for everyone."""
+    from pyspark.sql import functions as F
+
+    from rsyslog_spark.config.rainerscript import _gated_mm
+
+    df = spark.createDataFrame(
+        [(1, "keep-a", "x"), (2, "keep-b", "y")], "id long, c string, d string")
+    gated = _gated_mm(lambda d: d.drop("c"))
+    out = gated(df, F.col("id") == 1)     # row id=1 is live
+    rows = {r["id"]: (r["c"], r["d"]) for r in out.collect()}
+    assert rows[1] == (None, "x")         # live: column dropped → NULL
+    assert rows[2] == ("keep-b", "y")     # non-live: prior value kept

@@ -277,3 +277,22 @@ def test_ngram_lm_scores(spark):
     assert 8 not in got
     # the unlikely doc scores HIGHER perplexity than in-distribution
     assert got[7]["ppl"] > out[1]["ppl"]
+
+
+def test_tree_get_dup_case_divergence(spark):
+    """Pin the DOCUMENTED divergence for duplicate case-variant keys
+    (json_fns.tree_get docstring): libfastjson's ci lookup returns
+    the first key in object order ({"ABC":1,"abc":2} -> $!abc = 1 in
+    the reference); our exact-probe-first shape returns the
+    exact-case key (2). Unique-key objects (every real corpus) agree
+    on both engines — also asserted here."""
+    from pyspark.sql import functions as F
+
+    from rsyslog_spark.functions.json_fns import tree_get
+
+    df = spark.createDataFrame(
+        [('{"ABC": 1, "abc": 2}',), ('{"ABC": 3}',)], "j string")
+    got = [r[0] for r in df.select(
+        tree_get(F.col("j"), "$!abc").alias("v")).collect()]
+    assert got[0] == "2"   # exact key wins (reference would read 1)
+    assert got[1] == "3"   # unique case-variant key: both agree
