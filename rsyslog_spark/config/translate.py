@@ -288,12 +288,17 @@ class _TxParser:
 
 def _splice_amp(stmts: list) -> list:
     """'&' continuations splice into the previous selector's action
-    list (conf.c cfline '&')."""
+    list (conf.c cfline '&'). Non-mutating: the previous statement is
+    rebuilt with a copied action list so repeated calls over the same
+    statements (warning scan + classification) don't double-splice."""
     out: list = []
     for s in stmts:
         if s[0] == "amp" and out and out[-1][0] in ("prifilt",
                                                     "propfilt"):
-            out[-1][2].append(s[1])
+            prev = list(out[-1])
+            prev[2] = list(prev[2]) + [s[1]]
+            out[-1] = type(out[-1])(prev) \
+                if isinstance(out[-1], tuple) else prev
         else:
             out.append(s)
     return out
@@ -381,6 +386,26 @@ def _act_params(stmt) -> list[Param] | None:
     if stmt[0] == "legacy_act":
         return _legacy_to_params(stmt[1])
     return None
+
+
+def _legacy_script_warnings(stmts: list) -> list[str]:
+    """Warnings for legacy actions that survive only as script text
+    (ref: translate.c:1076 emitActionSingleline — one warning when
+    legacyActionToNvlst can't structure the raw target, e.g.
+    ``:omstdout:``). Walks nested filter/if bodies."""
+    found = []
+
+    def walk(seq):
+        for s in seq:
+            if s[0] == "legacy_act" and _legacy_to_params(s[1]) is None:
+                found.append(
+                    "legacy action syntax preserved as script text")
+            for sub in s[2:]:
+                if isinstance(sub, list):
+                    walk(sub)
+
+    walk(stmts)
+    return found   # one warning PER occurrence (addWarning appends)
 
 
 def _prifilt_expr(selector: str) -> str:
@@ -474,7 +499,10 @@ def to_rainerscript(cfg: TConfig) -> str:
         else:
             items = cfg.sections.get(kw, [])
         for it in items:
-            for w in it.warnings:
+            extra = (_legacy_script_warnings(
+                _splice_amp(it.stmts or []))
+                if kw == "ruleset" else [])
+            for w in list(it.warnings) + extra:
                 out.append(f"# TRANSLATION WARNING: {w}\n")
             params = " ".join(f"{k}={_value_str(v)}"
                               for k, v in _sort_params(it.params))
@@ -573,7 +601,9 @@ def to_yaml(cfg: TConfig) -> str:
             return
         out.append(f"{name}:\n")
         for it in items:
-            for w in it.warnings:
+            extra = (_legacy_script_warnings(
+                _splice_amp(it.stmts or [])) if ruleset else [])
+            for w in list(it.warnings) + extra:
                 out.append(f"  # TRANSLATION WARNING: {w}\n")
             out.extend(_yaml_item(it.params, 1))
             if it.subobjs:

@@ -296,3 +296,60 @@ def test_cli_tool(tmp_path):
         capture_output=True, text=True)
     assert proc.returncode == 0, proc.stderr
     assert out.read_text().startswith("version: 2\n")
+
+
+def test_legacy_warning_coverage():
+    # config-translate-legacy-warning.sh: a legacy action target that
+    # legacyActionToNvlst can't structure (':omstdout:') survives as
+    # script text and the translation says so (translate.c:1076), on
+    # top of the implicit-default-ruleset normalization warning
+    out = translate('module(load="omstdout")\n*.* :omstdout:\n',
+                    "yaml")
+    for chk in (
+        '# TRANSLATION WARNING: top-level statements normalized '
+        'into explicit RSYSLOG_DefaultRuleset',
+        '# TRANSLATION WARNING: legacy action syntax preserved '
+        'as script text',
+        'name: "RSYSLOG_DefaultRuleset"',
+        '*.* :omstdout:',
+    ):
+        assert chk in out, chk
+
+
+def test_yaml_roundtrip_exact():
+    # config-translate-yaml-roundtrip.sh: canonical YAML -> rs ->
+    # YAML is byte-identical (cmp_exact_file), incl. dotted
+    # StreamDriver.* module params, array PermittedPeer, and the
+    # actions-form ruleset
+    yaml_src = '''version: 2
+
+global:
+  defaultNetstreamDriverCAFile: "/certs/ca.pem"
+  defaultNetstreamDriverCertFile: "/certs/cert.pem"
+  defaultNetstreamDriverKeyFile: "/certs/key.pem"
+
+modules:
+  - load: "../plugins/imtcp/.libs/imtcp"
+    PermittedPeer: ["rsyslog-client"]
+    StreamDriver.AuthMode: "x509/name"
+    StreamDriver.Mode: "1"
+    StreamDriver.Name: "gtls"
+inputs:
+  - type: "imtcp"
+    listenPortFileName: "/tmp/portfile"
+    port: "0"
+templates:
+  - name: "outfmt"
+    type: "string"
+    string: "%msg:F,58:2%\\n"
+rulesets:
+  - name: "main"
+    actions:
+      - type: "omfile"
+        file: "/tmp/out.log"
+        template: "outfmt"
+'''
+    rs = translate(yaml_src, "rainerscript")
+    assert 'StreamDriver.AuthMode="x509/name"' in rs
+    assert 'PermittedPeer=["rsyslog-client"]' in rs
+    assert translate(rs, "yaml") == yaml_src
