@@ -247,14 +247,58 @@ def _octet() -> str:
 
 #: one IPv6 hex group
 _HEXG = r"[0-9A-Fa-f]{1,4}"
-#: the reference's IPv6 recognizer as a leftmost-scan regex (ref:
-#: plugins/mmanon/mmanon.c ipv6 recognizer; golden tests/
-#: mmanon_recognize_ipv6.sh): either the full 8-group form or a
-#: '::'-compressed form (both sides optional — '::' alone matches).
-#: No word anchors — mid-word addresses anonymize, like ipv4.
-IPV6_SCAN_RE = (rf"(?:{_HEXG}:){{7}}{_HEXG}"
-                rf"|(?:{_HEXG}(?::{_HEXG})*)?::"
-                rf"(?:{_HEXG}(?::{_HEXG})*)?")
+
+
+def _ipv6_scan_re() -> str:
+    """The reference's IPv6 walker (mmanon.c syntax_ipv6:757-838) as
+    an exact regex, r6 rewrite byte-matched against the FULL
+    mmanon_ipv6_port.sh golden (incl. its >8-group and 5-digit-port
+    quirk rows, issue #4856):
+
+    * tokens are POSSESSIVE — the walker never backtracks: a 5+-hex
+      token is never shortened into a 4-hex group, and a failed
+      offset is rejected outright (the scan advances one byte, so
+      matches may start mid-token, e.g. inside '49225').
+    * no-abbrev form accepts at EXACTLY the 8th group, whatever
+      follows (walker accepts immediately at ipParts==8).
+    * '::' forms cap total groups at 7; an 8th group REJECTS the
+      whole offset (no shorter re-match). Acceptance needs a
+      boundary (next char neither ':' nor hex) or the 5-hex-digit
+      PORT tail (':' + >=5 hex, excluded from the match —
+      the walker's rewind-6; requires >=2 groups).
+
+    Known divergence (not exercised by any reference golden): '::'
+    immediately followed by >=5 hex digits — the walker's rewind
+    eats the second ':' of the abbrev and re-parses a broken
+    address; we reject the offset instead."""
+    h = "[0-9A-Fa-f]"
+    g = rf"{h}{{1,4}}+(?!{h})"
+    bnd = rf"(?!:)(?!{h})"
+    port = rf"(?=:{h}{{5}})"
+    alts = [rf"{g}(?::{g}){{7}}+"]          # 8 groups, no abbrev
+    for a in range(7, -1, -1):              # groups before '::'
+        pre = (g + (rf"(?::{g}){{{a - 1}}}+" if a > 1 else "")) \
+            if a else ""
+        maxb = 7 - a
+        if a >= 2:
+            sfx = (rf"(?:{g}(?::{g}){{0,{maxb - 1}}}+)?"
+                   if maxb >= 1 else "")
+            alts.append(f"{pre}::{sfx}(?:{port}|{bnd})")
+        elif a == 1:
+            # port tail needs total>=2 → at least 1 suffix group
+            both = rf"{g}(?::{g}){{0,{maxb - 1}}}+(?:{port}|{bnd})"
+            alts.append(f"{pre}::(?:{both}|{bnd})")
+        else:
+            big = rf"{g}:{g}(?::{g}){{0,{maxb - 2}}}+(?:{port}|{bnd})"
+            small = rf"(?:{g})?+{bnd}"
+            alts.append(f"::(?:{big}|{small})")
+    return "|".join(alts)
+
+
+#: the walker-exact recognizer (see _ipv6_scan_re). No word anchors —
+#: mid-word addresses anonymize, like ipv4 and like the reference's
+#: every-byte-offset scan.
+IPV6_SCAN_RE = _ipv6_scan_re()
 
 
 def _expand_hex_groups(head: Column, slots: int) -> Column:

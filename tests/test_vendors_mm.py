@@ -929,14 +929,14 @@ def test_mmanon_ipv6_partial_bits_goldens(spark):
         assert [got[m] for m in lines] == want, f"bits={bits}"
 
 
-def test_mmanon_ipv6_port_golden_subset(spark):
-    """mmanon_ipv6_port.sh (ipv6 zero @ the default 96 bits): plain,
-    [addr]:port, and 9-group trailing-port forms — byte-exact on the
-    well-formed rows. The reference's >8-group '::' and 5-digit-port
-    rows exercise its recognizer's acknowledged detection limits
-    (rsyslog issue #4856 comment linked from the test itself); our
-    scan makes the defensible leftmost-longest choice there and the
-    exact bytes differ — documented divergence, not asserted."""
+def test_mmanon_ipv6_port_golden_full(spark):
+    """mmanon_ipv6_port.sh (ipv6 zero @ the default 96 bits): the
+    FULL 10-row golden, byte-exact — including the issue-#4856 quirk
+    rows. The r6 walker-exact recognizer (_ipv6_scan_re) reproduces
+    the reference's every-byte-offset scan: matches can start inside
+    a failed token (row 10 re-matches from '9225:...'), the 5-digit
+    port tail is excluded with >=2 groups (rows 7-9), and a 9-token
+    '::' line re-matches one group in (row 5)."""
     from rsyslog_spark.operators.mm import anon_ipv6_col
 
     cases = {
@@ -947,8 +947,18 @@ def test_mmanon_ipv6_port_golden_subset(spark):
             " 1a00:c820:0:0:0:0:0:0",
         " [1a00:c820:1180:c84c:ad3f:4024:d991:ec2e]:4922":
             " [1a00:c820:0:0:0:0:0:0]:4922",
+        " 1a00:c820:1180:c84c:ad3f::d991:ec2e:4922":
+            " 1a00:c820:1180:0:0:0:0:0:0",
         " [1a00:c820:1180:c84c:ad3f::d991:ec2e]:4922":
             " [1a00:c820:0:0:0:0:0:0]:4922",
+        " 1a00:c820:1180:c84c:ad3f::d991:ec2e:49225":
+            " 1a00:c820:0:0:0:0:0:0:49225",
+        " 1a00:4922:4922:c84c:ad3f::d991:ec2e:49225":
+            " 1a00:4922:0:0:0:0:0:0:49225",
+        " 1a00:4922:1180:c84c:ad3f::d991:4922:49225":
+            " 1a00:4922:0:0:0:0:0:0:49225",
+        " 1a00:c820:49225:c84c:ad3f::d991:ec2e:49225":
+            " 1a00:c820:49225:c84c:0:0:0:0:0:0:49225",
     }
     df = spark.createDataFrame([(m,) for m in cases], "msg string")
     got = {r["msg"]: r["a"] for r in df.select(
