@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rsyslog_spark.parsers.pri import DEFAULT_PRI
+from rsyslog_spark.parsers.pri import DEFAULT_PRI, INVLD_PRI
 from rsyslog_spark.parsers.rfc3164 import (
     TS3164_RE, TS3339_RE, _ts3164_to_timestamp)
 from rsyslog_spark.parsers.rfc5424 import _SD_MSG_RE
@@ -93,19 +93,28 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
 
     pris = F.col("__pris")
     lcol = F.col("__line")
+    prin = pris.try_cast("int")
+    # a VALID PRI (0..191) strips; an out-of-range/malformed bracket
+    # stays in place — the header parse sees the raw line (ref:
+    # parserParsePRI sets AfterPRIOffs = 0 on compute_off failure,
+    # parser.c:588-598)
+    pri_ok = prin.isNotNull() & (prin <= 191)
     layer_a2 = [
-        pris.try_cast("int").alias("__pri"),
-        F.rtrim(F.when(pris == "", lcol)
-                .otherwise(F.substr(lcol, F.length(pris) + 3,
-                                    F.lit(1 << 30))),
+        prin.alias("__pri"),
+        F.rtrim(F.when(pri_ok,
+                       F.substr(lcol, F.length(pris) + 3,
+                                F.lit(1 << 30)))
+                .otherwise(lcol),
                 F.lit("\n\r\x00")).alias("__rest"),
     ]
 
-    # RFC5424 accept = valid PRI + version "1 " right after it
-    # (ref pmrfc5424 checks version '1'; pre-r6 accepts_rfc5424 rlike)
+    # RFC5424 accept = VALID PRI + version "1 " right after it (ref
+    # pmrfc5424 checks version '1' at AfterPRIOffs — an invalid-PRI
+    # line parses from offset 0 and fails the version check)
     rest = F.col("__rest")
     layer_a3 = [
-        ((pris != "") & (F.substring(rest, 1, 2) == "1 ")
+        ((F.coalesce(pri_ok, F.lit(False))
+          & (F.substring(rest, 1, 2) == "1 "))
          if has_5424 else F.lit(False)).alias("__acc"),
     ]
 
@@ -146,7 +155,11 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     # sources are line-framed.
     acc_b = F.col("__acc")
     m3_gate = (~acc_b) & F.lit(has_3164)
-    hdr_re = (rf"^({TS3164_RE}|{TS3339_RE}) (?=\S+ )"
+    # ' ?' before TS3164 only: the HP-Procurve accommodation — ONE
+    # leading space is skipped before retrying the 3164 parse, never
+    # the 3339 one (pmrfc3164.c:346-360; golden
+    # parsertest-parse-3164-buggyday.sh sends "<38> Mar  7 ...")
+    hdr_re = (rf"^( ?{TS3164_RE}|{TS3339_RE}) (?=\S+ )"
               rf"(?:({hn_re}) )?([^: ]*)(.*)$")
     layer_b = [
         F.when(acc_b, F.split(rest, " ", 7)).alias("__p5"),
@@ -305,8 +318,13 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         msg3 = F.col("__rest") if has_null else F.col("__line")
     msg5 = F.regexp_replace(F.col("__msg5"), "^﻿", "")
 
+    # invalid-PRI policy (parserParsePRI, parser.c:575-608): a line
+    # STARTING with '<' whose PRI fails the parse gets LOG_PRI_INVLD
+    # (facility 24 "invld", severity 7); no bracket at all → DEFUPRI
     pri_valid = F.col("__pri").isNotNull() & (F.col("__pri") <= 191)
-    pri = F.when(pri_valid, F.col("__pri")).otherwise(F.lit(DEFAULT_PRI))
+    pri = F.when(pri_valid, F.col("__pri")) \
+        .when(F.col("__line").startswith("<"), F.lit(INVLD_PRI)) \
+        .otherwise(F.lit(DEFAULT_PRI))
 
     def ab(a: Column, b: Column) -> Column:
         return F.when(acc, a).otherwise(b)
@@ -336,13 +354,16 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     # ParseTIMESTAMP3339 first) — dispatched by first char (digit ⇔
     # 3339 per the header regex alternation) so each row attempts
     # exactly ONE timestamp parse, not a failed-ISO-then-3164 pair
+    # ltrim: the HP-Procurve single leading space (hdr_re ' ?') is
+    # part of group 1 but not of the timestamp text
     ts_txt = F.element_at(m3a, 1)
     timereported = ab(ts5424,
                       F.when(has_ts,
                              F.when(F.substring(ts_txt, 1, 1)
                                     .between("0", "9"),
                                     F.try_to_timestamp(ts_txt))
-                             .otherwise(_ts3164_to_timestamp(ts_txt))))
+                             .otherwise(_ts3164_to_timestamp(
+                                 F.ltrim(ts_txt)))))
 
     def canonical(name: str) -> Column:
         if name == "headerless":

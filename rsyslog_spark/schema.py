@@ -69,4 +69,7 @@ FACILITIES: dict[str, int] = {
     "ntp": 12, "audit": 13, "alert": 14, "clock": 15,
     "local0": 16, "local1": 17, "local2": 18, "local3": 19,
     "local4": 20, "local5": 21, "local6": 22, "local7": 23,
+    # facility 24 = invalid-PRI marker (ref: rsyslog.h LOG_FAC_INVLD;
+    # srutils.c syslogFacNames "invld" — selectable: invld.=debug)
+    "invld": 24,
 }

@@ -403,7 +403,7 @@ def _pri_text(which: str) -> Column:
         # F.get is 0-based and NULL-safe out of range (facility 24+)
         return F.get(F.array(*[F.lit(x) for x in names]),
                      F.col("syslogseverity"))
-    names = [""] * 24
+    names = [""] * 25   # 24 = "invld" (msg.c syslog_fac_names)
     for k, v in FACILITIES.items():
         if not names[v]:
             names[v] = k
@@ -516,6 +516,11 @@ class Prop:
             return _rfc3339(ts)
         if fmt == "rfc3164":
             return _rfc3164(ts)
+        if fmt == "rfc3164-buggyday":
+            # old sysklogd zero-padded day ("Mar 07") — template.c
+            # tplFmtRFC3164BuggyDate (golden
+            # parsertest-parse-3164-buggyday.sh)
+            return F.date_format(ts, "MMM dd HH:mm:ss")
         if fmt == "unixtimestamp":
             return F.unix_timestamp(ts).cast("string")
         if fmt == "mysql":
@@ -674,6 +679,7 @@ _TPL_OPTIONS = {
     "uppercase": dict(case="upper"),
     "date-rfc3339": dict(date_format="rfc3339"),
     "date-rfc3164": dict(date_format="rfc3164"),
+    "date-rfc3164-buggyday": dict(date_format="rfc3164-buggyday"),
     "date-unixtimestamp": dict(date_format="unixtimestamp"),
     "date-mysql": dict(date_format="mysql"),
     "date-pgsql": dict(date_format="pgsql"),

@@ -2686,3 +2686,75 @@ def test_gated_mm_restores_dropped_columns(spark):
     rows = {r["id"]: (r["c"], r["d"]) for r in out.collect()}
     assert rows[1] == (None, "x")         # live: column dropped → NULL
     assert rows[2] == ("keep-b", "y")     # non-live: prior value kept
+
+
+def test_rscript_compare_matrix_goldens(spark, tmp_path):
+    """tests/rscript_compare_{num,numstr,str}x{num,numstr,str}.sh:
+    the 9-way comparison-coercion matrix through the FULL config path
+    (set $!var / if / template %$!result%) — every operator row must
+    print RIGHT for every type pairing (rscript_compare-common.sh
+    content checks; ref: grammar/rainerscript.c var_CmpOp coercion)."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    matrices = [
+        ("num-num", "1", "2"),
+        ("num-numstr", "1", '"2"'),
+        ("num-str", "1", '"b"'),
+        ("numstr-num", '"1"', "2"),
+        ("numstr-numstr", '"1"', '"2"'),
+        ("numstr-str", '"1"', '"abc"'),
+        ("str-num", '"-"', "1"),
+        ("str-numstr", '"-"', '"2"'),
+        ("str-str", '"a"', '"b"'),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text("<13>Mar  1 10:00:00 h t: one\n")
+    for name, lo, hi in matrices:
+        out = tmp_path / f"out_{name}"
+        conf = f'''
+template(name="outfmt" type="list") {{
+  property(name="$!result")
+  constant(value="\\n")
+}}
+ruleset(name="m") {{
+  set $!lower_nr  = {lo};
+  set $!higher_nr = {hi};
+  if $!lower_nr <= $!higher_nr
+    then {{ set $!result = "<= RIGHT"; }}
+    else {{ set $!result = "<= WRONG"; }}
+  action(type="omfile" file="{out}_a" template="outfmt")
+  if $!lower_nr < $!higher_nr
+    then {{ set $!result = "<  RIGHT"; }}
+    else {{ set $!result = "<  WRONG"; }}
+  action(type="omfile" file="{out}_b" template="outfmt")
+  if $!higher_nr >= $!lower_nr
+    then {{ set $!result = ">= RIGHT"; }}
+    else {{ set $!result = ">= WRONG"; }}
+  action(type="omfile" file="{out}_c" template="outfmt")
+  if $!higher_nr > $!lower_nr
+    then {{ set $!result = ">  RIGHT"; }}
+    else {{ set $!result = ">  WRONG"; }}
+  action(type="omfile" file="{out}_d" template="outfmt")
+  if $!higher_nr != $!lower_nr
+    then {{ set $!result = "!= RIGHT"; }}
+    else {{ set $!result = "!= WRONG"; }}
+  action(type="omfile" file="{out}_e" template="outfmt")
+  if $!higher_nr == $!lower_nr
+    then {{ set $!result = "== WRONG"; }}
+    else {{ set $!result = "== RIGHT"; }}
+  action(type="omfile" file="{out}_f" template="outfmt")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+        run_config_batch(spark, conf)
+        got = []
+        for sfx in "abcdef":
+            d = f"{out}_{sfx}"
+            for f in sorted(os.listdir(d)):
+                if f.startswith("part"):
+                    got += open(os.path.join(d, f)).read().splitlines()
+        assert got == ["<= RIGHT", "<  RIGHT", ">= RIGHT",
+                       ">  RIGHT", "!= RIGHT", "== RIGHT"], \
+            f"matrix {name}: {got}"

@@ -255,3 +255,159 @@ def test_permit_slashes_in_programname(spark):
     off = parse_syslog(df).first()["programname"]
     assert on == "tag/with/slashes"
     assert off == "tag"
+
+
+class TestFacilityGoldens:
+    """tests/fac_*.sh family: $syslogfacility-text selectors per
+    facility (PRI -P values from the scripts) and the invalid-PRI
+    policy (ref: parser.c:543-608 compute_off_after_pri +
+    parserParsePRI; rsyslog.h LOG_PRI_INVLD=199, facility 24
+    'invld'): a '<'-leading line whose PRI fails — malformed bracket,
+    4+ digits, or 3-digit value over 191 — gets facility invld /
+    severity debug and keeps the bracket in place (AfterPRIOffs=0);
+    a line with no bracket at all gets DEFUPRI (user.notice)."""
+
+    def test_facility_text_table(self, spark):
+        # fac_{local0,local7,mail,news,ntp,uucp,authpriv,ftp}.sh use
+        # tcpflood -P of facility<<3 | 1
+        from rsyslog_spark.parsers import parse_syslog
+        from rsyslog_spark.templates import prop_col
+
+        pairs = {129: "local0", 185: "local7", 17: "mail",
+                 57: "news", 97: "ntp", 65: "uucp",
+                 81: "authpriv", 89: "ftp"}
+        df = spark.createDataFrame(
+            [(f"<{p}>Aug 14 12:00:00 h t: m",) for p in pairs],
+            "line string")
+        out = parse_syslog(df)
+        got = [r["t"] for r in
+               out.select(prop_col("syslogfacility-text", out)
+                          .alias("t")).collect()]
+        assert got == list(pairs.values())
+
+    def test_invalid_pri_invld_facility(self, spark):
+        # fac_invld{1..4}: PRI values 1011 (4-digit), 999 (>191),
+        # malformed bracket; plus the no-bracket DEFUPRI case
+        from rsyslog_spark.parsers import parse_syslog
+        from rsyslog_spark.templates import prop_col
+
+        cases = {
+            "<1011>Aug 14 12:00:00 h t: m": (199, 24, 7, "invld"),
+            "<999>Aug 14 12:00:00 h t: m": (199, 24, 7, "invld"),
+            "<abc>Aug 14 12:00:00 h t: m": (199, 24, 7, "invld"),
+            "<999>1 2026-08-13T07:00:00Z h a 1 i - m":
+                (199, 24, 7, "invld"),   # fac_invld4: not RFC5424
+            "no bracket": (13, 1, 5, "user"),
+        }
+        df = spark.createDataFrame([(c,) for c in cases],
+                                   "line string")
+        out = parse_syslog(df)
+        rows = out.select(
+            "pri", "syslogfacility", "syslogseverity",
+            prop_col("syslogfacility-text", out).alias("ft"),
+            "protocol_version", "syslogtag").collect()
+        for (line, want), r in zip(cases.items(), rows):
+            assert (r["pri"], r["syslogfacility"],
+                    r["syslogseverity"], r["ft"]) == want, line
+            assert r["protocol_version"] == 0   # invld never 5424
+        # bracket NOT stripped: the TAG scan sees it
+        assert rows[0]["syslogtag"] == "<1011>Aug"
+
+    def test_invld_selector_routes(self, spark, tmp_path):
+        # fac_invld1.sh shape: 'invld.=debug' selects exactly the
+        # invalid-PRI messages, through the full config runtime
+        import os
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.log").write_text(
+            "<1011>Aug 14 12:00:00 h t: msgnum:0\n"
+            "<13>Aug 14 12:00:00 h t: msgnum:1\n"
+            "<999>Aug 14 12:00:00 h t: msgnum:2\n")
+        out = tmp_path / "out"
+        conf = f'''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  invld.=debug action(type="omfile" file="{out}"
+                      template="outfmt")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+        run_config_batch(spark, conf)
+        got = sorted(
+            ln for f in os.listdir(out) if f.startswith("part")
+            for ln in open(out / f).read().splitlines())
+        # invalid-PRI rows only; msg starts after the TAG scan of the
+        # unstripped line ('<1011>Aug' is the tag, msg is the rest)
+        assert got == ["14 12:00:00 h t: msgnum:0",
+                       "14 12:00:00 h t: msgnum:2"]
+
+
+def test_parsertest_3164_buggyday_golden(spark, tmp_path):
+    """Byte-exact vs tests/parsertest-parse-3164-buggyday.sh: the
+    date-rfc3164-buggyday format zero-pads the day ('Mar 07'), and
+    the '<38> Mar  7' input exercises the HP-Procurve single-space
+    skip before the 3164 timestamp (pmrfc3164.c:346-360). The
+    reference's raw-%msg% column keeps the leading space
+    (bRemoveMsgFirstSpace=0 default); our engine default strips it —
+    documented divergence, so the golden asserts with the engine's
+    parser.removeMsgFirstSpace="off" to match the reference bytes."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text(
+        "<38> Mar  7 19:06:53 example tag: testmessage (only date actually tested)\n"
+        "<38> Mar 17 19:06:53 example tag: testmessage (only date actually tested)\n")
+    out = tmp_path / "out"
+    conf = f'''
+global(parser.removeMsgFirstSpace="off")
+template(name="outfmt" type="string"
+         string="%PRI%,%syslogfacility-text%,%syslogseverity-text%,%timestamp:::date-rfc3164-buggyday%,%hostname%,%programname%,%syslogtag%,%msg%\\n")
+ruleset(name="ruleset1") {{
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="ruleset1")
+'''
+    run_config_batch(spark, conf)
+    got = sorted(
+        ln for f in os.listdir(out) if f.startswith("part")
+        for ln in open(out / f).read().splitlines())
+    assert got == [
+        "38,auth,info,Mar 07 19:06:53,example,tag,tag:,"
+        " testmessage (only date actually tested)",
+        "38,auth,info,Mar 17 19:06:53,example,tag,tag:,"
+        " testmessage (only date actually tested)",
+    ]
+
+
+def test_parsertest_nodate_fields(spark):
+    """tests/parsertest-parse-nodate.sh row 1: a PRI+TAG message with
+    NO timestamp — PRI/facility/severity/tag/programname match the
+    reference; msg matches modulo the documented
+    removeMsgFirstSpace default. DOCUMENTED DIVERGENCE (COVERAGE
+    §2.2): the reference content-parses HOSTNAME whenever the source
+    set PARSE_HOSTNAME (network inputs — imudp/imtcp/imuxsock), even
+    with no timestamp; imfile never does. Our chain parses hostname
+    exactly when a timestamp is present, whatever the source — so
+    the reference's no-timestamp network case (row 2 'This is a
+    message!' → hostname 'This', tag 'is') keeps hostname NULL and
+    tags 'This' here."""
+    from rsyslog_spark.parsers import parse_syslog
+
+    df = spark.createDataFrame(
+        [("<27>xapi: [error|xen3|15] Connection to master died.",),
+         ("This is a message!",)], "line string")
+    rows = parse_syslog(df).collect()
+    r = rows[0]
+    assert (r["pri"], r["syslogfacility"], r["syslogseverity"]) == \
+        (27, 3, 3)                                # daemon.err
+    assert r["syslogtag"] == "xapi:"
+    assert r["programname"] == "xapi"
+    assert r["hostname"] is None                  # receiver-stamp slot
+    assert r["msg"] == "[error|xen3|15] Connection to master died."
+    r2 = rows[1]
+    assert (r2["pri"], r2["syslogtag"], r2["hostname"]) == \
+        (13, "This", None)                        # divergence pinned
