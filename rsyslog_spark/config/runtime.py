@@ -155,6 +155,58 @@ def _outchannel_size_check(och: dict) -> None:
         subprocess.run(och["command"], shell=True, check=False)
 
 
+def _apply_oversize_policy(lines: DataFrame, cfg: ParsedConfig,
+                           write_errorfile: bool = True
+                           ) -> DataFrame:
+    """global(maxMessageSize=N [oversizemsg.input.mode=
+    truncate|split|accept] [oversizemsg.errorfile=F]) over a raw
+    line frame (ref: runtime/glbl.c:138-140; goldens
+    glbl-oversizeMsg-{truncate,split}.sh; errmsg.c
+    writeOversizeMessageLog — one JSON record per oversize message:
+    {"msg":..,"rawmsg":..,"input":..}).
+
+    truncate (the reference default): keep the first N chars.
+    split: the line becomes ceil(len/N) messages of N chars each
+    (pure column transform + explode — distributed).
+    accept: pass unchanged. The errorfile streams via
+    toLocalIterator (bounded driver memory), msg==rawmsg at intake
+    (the record is written before parsing, as in the reference)."""
+    mms = cfg.directives.get("maxmessagesize")
+    if not mms:
+        return lines
+    n = int(mms)
+    mode = str(cfg.directives.get("oversizemsg.input.mode",
+                                  "truncate")).lower()
+    if mode not in ("truncate", "split", "accept"):
+        raise ValueError(
+            f"unknown oversizemsg.input.mode {mode!r}")
+    errorfile = (cfg.directives.get("oversizemsg.errorfile")
+                 if write_errorfile else None)
+    line = F.col("line")
+    over = F.length(line) > n
+    if errorfile:
+        import json as _json
+        with open(errorfile, "a", encoding="utf-8") as fh:
+            for r in lines.filter(over).select("line") \
+                    .toLocalIterator():
+                fh.write(_json.dumps(
+                    {"msg": r[0], "rawmsg": r[0],
+                     "input": "imfile"}) + "\n")
+    if mode == "accept":
+        return lines
+    if mode == "truncate":
+        return lines.withColumn("line", F.substring(line, 1, n))
+    # split: N-char chunks, order preserved within the line
+    others = [c for c in lines.columns if c != "line"]
+    chunks = F.transform(
+        F.sequence(F.lit(0),
+                   F.floor((F.length(line) - 1) / n).cast("int")),
+        lambda i: F.substr(line, i * n + 1, F.lit(n)))
+    return lines.select(
+        *others, F.explode(F.when(over, chunks)
+                           .otherwise(F.array(line))).alias("line"))
+
+
 def _ratelimit_policy(cfg: ParsedConfig, name: str) -> dict:
     """Resolve ratelimit(name=.. policy=..) → {scope, mode, interval,
     burst} (ref: ChangeLog 2026-07-06 generic action output rate
@@ -827,6 +879,7 @@ def run_config_batch(
         else:
             lines = spark.read.text(path) \
                 .withColumnRenamed("value", "line")
+    lines = _apply_oversize_policy(lines, cfg)
     pm_opts, hl_route = _pm3164_opts(cfg, ruleset_name)
     frame = parse_syslog(lines,
                          parsers=_ruleset_parser_chain(cfg, ruleset_name),
@@ -1117,6 +1170,12 @@ def run_config_stream(
             endmsg_regex=imfile_params.get("endmsg.regex"),
             read_mode=int(imfile_params.get(
                 "readMode", imfile_params.get("readmode", "0"))))
+    # oversize policy: truncate/accept are column ops, stream-safe;
+    # split's explode is too. The errorfile collect is batch-only —
+    # streams surface oversize records via the headerless/errorfile
+    # pattern per micro-batch if configured (kept off the hot path)
+    lines = _apply_oversize_policy(lines, cfg,
+                                   write_errorfile=False)
     pm_opts, hl_route = _pm3164_opts(cfg, ruleset_name)
     frame = parse_syslog(
         lines, parsers=_ruleset_parser_chain(cfg, ruleset_name),

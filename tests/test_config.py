@@ -2758,3 +2758,74 @@ input(type="imfile" file="{src}/*.log" ruleset="m")
         assert got == ["<= RIGHT", "<  RIGHT", ">= RIGHT",
                        ">  RIGHT", "!= RIGHT", "== RIGHT"], \
             f"matrix {name}: {got}"
+
+
+class TestOversizeMsgPolicy:
+    """global(maxMessageSize + oversizemsg.*) goldens (ref:
+    glbl-oversizeMsg-{truncate,split,log}.sh; runtime/glbl.c:138-140;
+    errmsg.c writeOversizeMessageLog JSON records)."""
+
+    def _run(self, spark, tmp_path, extra, msg_len=240, mms=230):
+        import os
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "in"
+        src.mkdir(exist_ok=True)
+        hdr = "<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:00000000:"
+        body = "X" * (msg_len - len(hdr))
+        (src / "a.log").write_text(hdr + body + "\n"
+                                   "<13>Mar  1 01:00:00 h t: small\n")
+        out = tmp_path / "out"
+        conf = f'''
+global(maxMessageSize="{mms}"{extra})
+template(name="outfmt" type="string" string="%rawmsg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+        run_config_batch(spark, conf)
+        lines = sorted(
+            (ln for f in os.listdir(out) if f.startswith("part")
+             for ln in open(out / f).read().splitlines()),
+            key=len, reverse=True)
+        return hdr, body, lines
+
+    def test_truncate_default(self, spark, tmp_path):
+        hdr, body, lines = self._run(spark, tmp_path, "")
+        # the oversize line is cut at exactly maxMessageSize chars
+        assert lines[0] == (hdr + body)[:230]
+        assert len(lines[0]) == 230
+        assert "small" in lines[1]
+
+    def test_split_mode(self, spark, tmp_path):
+        hdr, body, lines = self._run(
+            spark, tmp_path, ' oversizemsg.input.mode="split"')
+        # first part = maxMessageSize chars, remainder a new message
+        full = hdr + body
+        assert lines[0] == full[:230]
+        assert full[230:] in lines            # the split tail
+        assert len(lines) == 3                # 2 parts + small
+
+    def test_accept_mode(self, spark, tmp_path):
+        hdr, body, lines = self._run(
+            spark, tmp_path, ' oversizemsg.input.mode="accept"')
+        assert lines[0] == hdr + body         # untouched
+
+    def test_errorfile_records(self, spark, tmp_path):
+        import json
+        errf = tmp_path / "oversize.log"
+        hdr, body, _ = self._run(
+            spark, tmp_path, f' oversizemsg.errorfile="{errf}"')
+        recs = [json.loads(ln) for ln in
+                errf.read_text().splitlines()]
+        assert len(recs) == 1                 # only the oversize row
+        assert recs[0]["rawmsg"] == hdr + body
+        assert recs[0]["msg"] == hdr + body
+        assert recs[0]["input"] == "imfile"
+
+    def test_bad_mode_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="oversizemsg"):
+            self._run(spark, tmp_path,
+                      ' oversizemsg.input.mode="nope"')
