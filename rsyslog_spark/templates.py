@@ -566,12 +566,23 @@ def csv_line(cols: list[ColumnOrName]) -> Column:
 
 class _JsonfTemplate:
     """``template(type="list" option.jsonf="on")`` (ref: template.h:
-    165-178 jsonf; doc templates.rst): each property statement emits
-    a ``"name":value`` fragment — outname overrides the key, dataType
-    number/bool controls quoting, onEmpty skip drops the fragment
-    (concat_ws skips NULLs) and onEmpty null emits ``"name":null``.
-    Fragment assembly mirrors the reference's jsonf rendering, so
-    numbers print unquoted exactly as the source value."""
+    165-178 jsonf; msg.c jsonEncode:3533-3595 for the per-field
+    dataType conversions; template.c tplJsonRenderChildren:488 for
+    the '", "' separator — goldens json-nonstring.sh,
+    json-omitifzero.sh, json-whitespace.sh, json-onempty-at-end.sh,
+    all byte-exact):
+
+    * number: value whitespace-trimmed; empty → ``0``; omitIfZero
+      drops the fragment when the trimmed value is exactly "0"; the
+      bytes otherwise emit UNVALIDATED, as the reference does.
+    * bool: exactly "0" → false, anything else → true.
+    * auto: non-empty all-'0'-'9' bytes emit unquoted, everything
+      else (signs, dots, empty) quoted — the reference inspects the
+      RENDERED BYTES, not the variable's JSON node type.
+    * string (default): always quoted, never trimmed.
+    * onEmpty skip drops the fragment (concat_ws skips NULLs),
+      onEmpty null emits ``"name":null``; omitIfZero applies only to
+      dataType number (a string "0" stays)."""
 
     def __init__(self, elements: list[tuple[str, dict]]):
         self.elements = elements
@@ -588,12 +599,23 @@ class _JsonfTemplate:
             key = str(p.get("outname", name)).replace('"', '\\"')
             sv = rs_str(prop_col(name, df))
             dt = p.get("dataType", p.get("datatype", "string")).lower()
+            omit0 = str(p.get("omitIfZero",
+                              p.get("omitifzero", "off"))).lower() \
+                in ("on", "true", "1")
+            skip0 = None
             if dt == "number":
-                val = F.when(sv.rlike(r"^-?\d+(\.\d+)?$"), sv) \
-                    .otherwise(F.lit("0"))
+                t = F.trim(sv)
+                if omit0:
+                    skip0 = t == "0"
+                val = F.when(F.length(t) == 0, F.lit("0")).otherwise(t)
             elif dt == "bool":
-                val = F.when(F.lower(sv).isin("on", "true", "1"),
-                             F.lit("true")).otherwise(F.lit("false"))
+                val = F.when(sv == "0", F.lit("false")) \
+                    .otherwise(F.lit("true"))
+            elif dt == "auto":
+                val = F.when((F.length(sv) > 0) & sv.rlike(r"^\d+$"),
+                             sv) \
+                    .otherwise(F.concat(F.lit('"'), json_escape(sv),
+                                        F.lit('"')))
             else:
                 val = F.concat(F.lit('"'), json_escape(sv), F.lit('"'))
             frag = F.concat(F.lit(f'"{key}":'), val)
@@ -605,8 +627,10 @@ class _JsonfTemplate:
             elif on_empty == "null":
                 frag = F.when(empty, F.lit(f'"{key}":null')) \
                     .otherwise(frag)
+            if skip0 is not None:
+                frag = F.when(skip0, F.lit(None)).otherwise(frag)
             frags.append(frag)
-        return F.concat(F.lit("{"), F.concat_ws(",", *frags),
+        return F.concat(F.lit("{"), F.concat_ws(", ", *frags),
                         F.lit("}"))
 
 

@@ -590,7 +590,7 @@ class TestRuntime:
         assert '{"index":{"_index":"logs"}}' in bulk
         assert '"message":"to elastic"' in bulk
         ingest = next(b for p, b in received if p == "/ingest").decode()
-        assert ingest == '{"host":"h1","message":"to elastic"}'
+        assert ingest == '{"host":"h1", "message":"to elastic"}'
 
     def test_ruleset_parser_chain(self, spark, tmp_path):
         # ruleset(parser=) + parser() objects select the parse chain
@@ -690,8 +690,10 @@ class TestRuntime:
         # jsonField only triggers on buflen==0 (msg.c:3536);
         # genuinely-empty onEmpty behavior is asserted in
         # test_jsonf_on_empty_fires below.
-        assert got == ['{"host":"h1","sev":5,"message":"payload",'
-                       '"pid":"-","mid":"-"}']
+        # ", " separator = the reference's tplJsonRenderChildren
+        # (template.c:488), pinned byte-exact r6
+        assert got == ['{"host":"h1", "sev":5, "message":"payload",'
+                       ' "pid":"-", "mid":"-"}']
 
     def test_jsonf_on_empty_fires(self, spark, tmp_path):
         # a genuinely EMPTY property (programname of a '/x' tag with
@@ -720,7 +722,7 @@ class TestRuntime:
         run_config_batch(spark, conf)
         got = [r["value"] for r in
                spark.read.text(str(outdir)).collect()]
-        assert got == ['{"host":"h1","prog2":null}']
+        assert got == ['{"host":"h1", "prog2":null}']
 
     def test_yaml_config_end_to_end(self, spark, tmp_path):
         # yamlconf (ref: runtime/yamlconf.c): YAML renders to
@@ -2829,3 +2831,91 @@ input(type="imfile" file="{src}/*.log" ruleset="m")
         with _pytest.raises(ValueError, match="oversizemsg"):
             self._run(spark, tmp_path,
                       ' oversizemsg.input.mode="nope"')
+
+
+class TestJsonfGoldens:
+    """Byte-exact jsonf dataType/omitIfZero/whitespace goldens (ref:
+    tests/json-nonstring.sh, json-omitifzero.sh, json-whitespace.sh,
+    json-onempty-at-end.sh; msg.c jsonEncode:3533-3595 conversions,
+    template.c:488 '", "' separator)."""
+
+    def _run(self, spark, tmp_path, tpl_body, sets):
+        import os
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        src = tmp_path / "in"
+        src.mkdir(exist_ok=True)
+        (src / "a.log").write_text("<13>Mar  1 10:00:00 h t: x\n")
+        out = tmp_path / "out"
+        conf = f'''
+template(name="json" type="list" option.jsonf="on") {{
+{tpl_body}
+}}
+ruleset(name="m") {{
+{sets}
+  action(type="omfile" file="{out}" template="json")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+        run_config_batch(spark, conf)
+        return [ln for f in sorted(os.listdir(out))
+                if f.startswith("part")
+                for ln in open(out / f).read().splitlines()]
+
+    def test_json_nonstring(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, '''
+  property(outname="number_0" format="jsonf" name="$!val0" datatype="number")
+  property(outname="bool_0" format="jsonf" name="$!val0" datatype="bool")
+  property(outname="empty" format="jsonf" name="$!empty" datatype="auto")
+  property(outname="empty_skip" format="jsonf" name="$!empty" onEmpty="skip")
+  property(outname="empty_null" format="jsonf" name="$!empty" onEmpty="null")
+  property(outname="empty_number" format="jsonf" name="$!empty" datatype="number")
+  property(outname="auto_string" format="jsonf" name="$!string" datatype="auto")
+  property(outname="auto" format="jsonf" name="$!val" datatype="auto" onEmpty="null")
+  property(outname="number" format="jsonf" name="$!val" datatype="number")
+  property(outname="bool" format="jsonf" name="$!val" datatype="bool")
+  property(outname="string" format="jsonf" name="$!val" datatype="string")
+  property(outname="no_datatype" format="jsonf" name="$!val")
+''', '''
+  set $!val0 = 0;
+  set $!val = 42;
+  set $!empty = "";
+  set $!string = "1.2.3.4";
+''')
+        assert got == ['{"number_0":0, "bool_0":false, "empty":"", '
+                       '"empty_null":null, "empty_number":0, '
+                       '"auto_string":"1.2.3.4", "auto":42, '
+                       '"number":42, "bool":true, "string":"42", '
+                       '"no_datatype":"42"}']
+
+    def test_json_omitifzero(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, '''
+  property(name="$!zero" outname="zero_default" format="jsonf" dataType="number")
+  property(name="$!zero" outname="zero_omit" format="jsonf" dataType="number" omitIfZero="on")
+  property(name="$!nonzero" outname="nonzero_omit" format="jsonf" dataType="number" omitIfZero="on")
+  property(name="$!zero" outname="zero_string_omit" format="jsonf" dataType="string" omitIfZero="on")
+  property(name="$!empty" outname="empty_omit" format="jsonf" dataType="number" omitIfZero="on" onEmpty="skip")
+''', '''
+  set $!zero = 0;
+  set $!nonzero = 42;
+  set $!empty = "";
+''')
+        assert got == ['{"zero_default":0, "nonzero_omit":42, '
+                       '"zero_string_omit":"0"}']
+
+    def test_json_whitespace(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, '''
+  property(name="$!msg" outname="msg" format="jsonf" dataType="string")
+''', '''
+  set $!msg = "  hello  ";
+''')
+        assert got == ['{"msg":"  hello  "}']
+
+    def test_json_onempty_at_end(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, '''
+  property(outname="empty_skip" format="jsonf" name="$!empty" onEmpty="skip")
+  property(outname="empty_null" format="jsonf" name="$!empty" onEmpty="null")
+''', '''
+  set $!empty = "";
+''')
+        assert got == ['{"empty_null":null}']
