@@ -229,3 +229,64 @@ def json_unset(json_col: ColumnOrName, path: str) -> Column:
         return pd.Series(out)
 
     return _unset(rs_str(json_col))
+
+
+#: a JSON string literal (quote-safe tokenizer for jsonc_spaced)
+_JSTR_RE = r'"(?:[^"\\]|\\.)*"'
+
+
+def jsonc_spaced(c: ColumnOrName) -> Column:
+    """Re-render compact JSON text in json-c's
+    JSON_C_TO_STRING_SPACED form — the reference's default render for
+    object/array-valued variable reads (glbl.c:104 glblJsonFormatOpt;
+    golden json_array_subscripting.sh: ``{ "baz": "other_msg" }``):
+    spaces inside braces/brackets and after ':'/',' with forward
+    slashes escaped, empty containers as ``{ }`` / ``[ ]``.
+
+    Pure column ops, quote-safe: string literals are extracted with
+    one regex pass, punctuation respacing happens on the
+    string-free skeleton (literal replaces, no regex), and the
+    literals re-inject via split+zip — contents of strings are never
+    touched (other than the json-c '/'→'\\/' escape)."""
+    s = rs_str(c)
+    strs = F.regexp_extract_all(s, F.lit(f"({_JSTR_RE})"), 1)
+    skel = F.regexp_replace(s, _JSTR_RE, "\x01")
+    skel = F.regexp_replace(skel, r"\s+", "")   # normalize compact
+    for a, b in (("{}", "\x02"), ("[]", "\x03"),
+                 ("{", "{ "), ("}", " }"), ("[", "[ "), ("]", " ]"),
+                 (",", ", "), (":", ": "),
+                 ("\x02", "{ }"), ("\x03", "[ ]")):
+        skel = F.replace(skel, F.lit(a), F.lit(b))
+    parts = F.split(skel, "\x01", -1)
+    esc = F.transform(
+        strs,
+        # escape '/' like json-c, idempotently: an already-escaped
+        # \/ (input previously rendered spaced) must not double
+        lambda x: F.replace(
+            F.replace(F.replace(x, F.lit("\\/"), F.lit("\x04")),
+                      F.lit("/"), F.lit("\\/")),
+            F.lit("\x04"), F.lit("\\/")))
+    rest = F.zip_with(
+        esc, F.slice(parts, 2, F.greatest(F.size(parts) - 1,
+                                          F.lit(0))),
+        lambda m, p: F.concat(m, p))
+    return F.concat(F.element_at(parts, 1), F.array_join(rest, ""))
+
+
+def render_var_value(c: ColumnOrName) -> Column:
+    """Variable-read render: object/array values re-render json-c
+    SPACED (the reference's json node → string conversion), scalars
+    pass through. Gated on BOTH the first char and an actual JSON
+    parse — plain log text that merely starts with '['/'{' must pass
+    through untouched. Lazy CASE arms: scalar reads pay one
+    first-char compare, brace-leading rows one try_parse_json.
+
+    Corner divergence (documented): a STRING-typed variable whose
+    text is itself valid JSON ('set $!v = "[1]"') re-renders spaced
+    here — the flat column cannot distinguish it from an array node;
+    the reference keeps string nodes verbatim."""
+    s = rs_str(c)
+    first = F.substring(s, 1, 1)
+    return F.when(first.isin("{", "[") &
+                  F.try_parse_json(s).isNotNull(),
+                  jsonc_spaced(s)).otherwise(s)

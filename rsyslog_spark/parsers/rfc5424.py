@@ -83,11 +83,24 @@ def parse_structured_data(sd) -> Column:
     elements, then per element regex-extract id and k="v" pairs.
     """
     c = rs_str(sd)
-    elements = F.regexp_extract_all(c, F.lit(r"\[([^\]]*)\]"), F.lit(1))
+    # an element body may contain ']' ESCAPED as '\]' inside param
+    # values (RFC5424 §6.3.3 escapes: '"', '\', ']'; golden
+    # mmpstrucdata-escaping.sh bracket="1\]2")
+    elements = F.regexp_extract_all(
+        c, F.lit(r"\[((?:[^\]\\]|\\.)*)\]"), F.lit(1))
+
     def elem_to_entry(e: Column):
         sd_id = F.regexp_extract(e, r"^(\S+)", 1)
-        keys = F.regexp_extract_all(e, F.lit(r'(\S+)="'), F.lit(1))
-        vals = F.regexp_extract_all(e, F.lit(r'="((?:[^"\\]|\\.)*)"'), F.lit(1))
+        # keys and values extract from the SAME pair matches (one
+        # pattern, two groups) so their counts can never diverge —
+        # separate key/value scans desynced on values containing
+        # escaped quotes
+        pair = r'(\S+?)="((?:[^"\\]|\\.)*)"'
+        keys = F.regexp_extract_all(e, F.lit(pair), F.lit(1))
+        vals = F.transform(
+            F.regexp_extract_all(e, F.lit(pair), F.lit(2)),
+            # unescape the RFC5424 PARAM-VALUE escapes \" \\ \]
+            lambda v: F.regexp_replace(v, r'\\(["\\\]])', r"$1"))
         params = F.map_from_arrays(keys, vals)
         return F.struct(sd_id.alias("key"), params.alias("value"))
     entries = F.transform(elements, elem_to_entry)

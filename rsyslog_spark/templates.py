@@ -172,26 +172,31 @@ def prop_col(name: str, df=None) -> Column:
     if name.startswith(("$!", "!")):
         from rsyslog_spark.functions import json_fns
         from rsyslog_spark.plans.ruleset import fold_var, varname
+        # object/array-valued reads re-render json-c SPACED (the
+        # reference's node→string conversion; goldens
+        # mmpstrucdata-escaping.sh, json_array_subscripting.sh)
+        rvv = json_fns.render_var_value
         path = fold_var("$!" + name.lstrip("$").lstrip("!"))
         tree = json_fns.tree_get("json", path)
         if df is None:
-            return tree
+            return rvv(tree)
         flat = varname(path)
         cols = set(df.columns)
         has_json = "json" in cols
         if flat in cols:
             c = F.col(flat).cast("string")
-            return F.coalesce(c, tree) if has_json else c
+            return rvv(F.coalesce(c, tree) if has_json else c)
         sub = flat_json_prefix_read(path, df)
         if sub is not None:
-            return F.coalesce(sub, tree) if has_json else sub
-        return tree if has_json else F.lit(None).cast("string")
+            return rvv(F.coalesce(sub, tree) if has_json else sub)
+        return rvv(tree) if has_json else F.lit(None).cast("string")
     if name.startswith(("$.", ".")):
+        from rsyslog_spark.functions.json_fns import render_var_value
         from rsyslog_spark.plans.ruleset import varname
         local = varname("$." + name.lstrip("$").lstrip("."))
         if df is not None and local not in df.columns:
             return F.lit(None).cast("string")
-        return F.col(local)
+        return render_var_value(F.col(local))
     lo = name.lstrip("$").lower()
     if lo in ("procid", "msgid", "structured-data",
               "structured_data", "app-name", "app_name"):

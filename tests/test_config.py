@@ -230,8 +230,11 @@ class TestTemplateString:
         df = spark.createDataFrame([('{"usr":{"f":1}}',)], "json string")
         assert df.select(cfg.templates["whole"].col().alias("v")) \
             .collect()[0]["v"] == '{"usr":{"f":1}}'
+        # json-c SPACED render on subtree-path reads (r6, matching
+        # mmpstrucdata-escaping.sh); the bare-root splice keeps the
+        # parsed text's formatting (qradar byte-exact golden)
         assert df.select(cfg.templates["part"].col().alias("v")) \
-            .collect()[0]["v"] == '{"f":1}'
+            .collect()[0]["v"] == '{ "f": 1 }'
 
     def test_unknown_option_raises(self):
         import pytest
@@ -2338,7 +2341,7 @@ input(type="imfile" file="{src}" ruleset="m")
     # (mmpstrucdata.c:132,259); the deep read's eventID folds at
     # template compile and matches
     assert line.startswith(
-        'SD:{"tcpflood@32473":{"eventid":"1011"}} ev:1011 all:')
+        'SD:{ "tcpflood@32473": { "eventid": "1011" } } ev:1011 all:')
     tree = json.loads(line.split(" all:", 1)[1])
     assert tree["rfc5424-sd"]["tcpflood@32473"]["eventid"] == "1011"
 
@@ -2370,7 +2373,7 @@ input(type="imfile" file="{src}" ruleset="m")
                  if f.startswith("part")][0]).read().strip()
     # the reference's content check: eventID appears (case kept)
     assert "eventID" in line
-    assert line == 'SD:{"tcpflood@32473":{"eventID":"1011"}}'
+    assert line == 'SD:{ "tcpflood@32473": { "eventID": "1011" } }'
 
 
 class TestStreamingTwins:
@@ -2919,3 +2922,74 @@ input(type="imfile" file="{src}/*.log" ruleset="m")
   set $!empty = "";
 ''')
         assert got == ['{"empty_null":null}']
+
+
+def test_json_array_subscripting_golden(spark, tmp_path):
+    """Byte-exact vs tests/json_array_subscripting.sh: 0-based array
+    subscripts in variable paths ($!foo[2], $!foo[3]!bar[0]!baz) in
+    both set statements and template properties; an object-valued
+    element renders json-c SPACED ({ "baz": "other_msg" })."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text(
+        '<167>Mar  6 16:57:54 172.20.245.8 %PIX-7-710005:@cee:'
+        '{"foo": ["abc0", "def1", "ghi2", {"bar": '
+        '[{"baz": "important_msg"}, {"baz": "other_msg"}]}]}\n')
+    out = tmp_path / "out"
+    conf = f'''
+template(name="outfmt" type="string"
+         string="msg: %$!foo[1]% | %$.quux% | %$.corge% | %$.grault% | %$!foo[3]!bar[1]!baz%\\n")
+ruleset(name="m") {{
+  action(type="mmjsonparse")
+  set $.quux = $!foo[2];
+  set $.corge = $!foo[3]!bar[0]!baz;
+  set $.grault = $!foo[3]!bar[1];
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    got = [ln for f in sorted(os.listdir(out)) if f.startswith("part")
+           for ln in open(out / f).read().splitlines()]
+    assert got == ['msg: def1 | ghi2 | important_msg | '
+                   '{ "baz": "other_msg" } | other_msg']
+
+
+def test_mmpstrucdata_escaping_golden(spark, tmp_path):
+    """Byte-exact vs tests/mmpstrucdata-escaping.sh: %$!rfc5424-sd%
+    renders the parsed SD tree json-c SPACED with lowercased param
+    names, escaped quotes kept, \\] unescaped to ], and the single
+    tick preserved."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    line = ('<85>1 2019-08-27T13:02:58.000+01:00 A/B-896747 ABC LMBNI '
+            'SUCCESS [origin software="ABC" swVersion="47.1"]'
+            '[ABC@32473 eventType="XYZ:IPIP,9:\\"free -m\\";" '
+            'remoteIp="192.0.2.1" singleTick="D\'E" bracket="1\\]2"] '
+            'TESTMESSAGE')
+    (src / "a.log").write_text(line + "\n")
+    out = tmp_path / "out"
+    conf = f'''
+template(name="outfmt" type="string" string="%$!rfc5424-sd%\\n")
+ruleset(name="m") {{
+  action(type="mmpstrucdata")
+  if $msg contains "TESTMESSAGE" then {{
+    action(type="omfile" template="outfmt" file="{out}")
+  }}
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    got = [ln for f in sorted(os.listdir(out)) if f.startswith("part")
+           for ln in open(out / f).read().splitlines()]
+    assert got == ['{ "origin": { "software": "ABC", "swversion": '
+                   '"47.1" }, "abc@32473": { "eventtype": '
+                   '"XYZ:IPIP,9:\\"free -m\\";", "remoteip": '
+                   '"192.0.2.1", "singletick": "D\'E", "bracket": '
+                   '"1]2" } }']
