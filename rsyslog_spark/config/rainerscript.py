@@ -927,11 +927,31 @@ def _var_col(name: str, df: DataFrame | None = None) -> Column:
         return prop_col(name.lstrip("$"), df)
     # $. local var: a read before any set yields NULL (the reference
     # reads nonexistent vars as empty — exists() returns false, a
-    # compare sees ""), never an analysis error
+    # compare sees ""), never an analysis error. A SUBPATH read
+    # ($.quux!bar) whose exact column is absent falls back to a
+    # json_get into the longest existing prefix column — foreach
+    # loop vars hold JSON element text (golden
+    # json_array_subscripting/looping.sh nested reads).
     flat = varname(name)
     if df is not None and flat not in df.columns:
+        sub = _local_prefix_read(name, df)
+        if sub is not None:
+            return sub
         return F.lit(None).cast("string")
     return F.col(flat)
+
+
+def _local_prefix_read(name: str, df: DataFrame):
+    """$.a!b!c with no exact column: json_get 'b!c' out of the
+    longest existing $.-prefix column (loop vars / object-valued
+    locals hold JSON text). None when no prefix column exists."""
+    segs = name[2:].split("!")
+    for k in range(len(segs) - 1, 0, -1):
+        p = varname("$." + "!".join(segs[:k]))
+        if p in df.columns:
+            return rf.json_get(F.col(p).cast("string"),
+                               "$!" + "!".join(segs[k:]))
+    return None
 
 
 # The full RainerScript function registry (ref: grammar/

@@ -485,10 +485,29 @@ class _Compiler:
                 probe_t = self.df.select(arr.alias("__fe_probe")) \
                     .schema[0].dataType
                 is_obj = False
+                is_str = False
                 if isinstance(probe_t, StringType):
-                    arr = F.map_entries(
-                        F.from_json(arr, "map<string,string>"))
+                    # STRING collections dispatch per ROW like the
+                    # reference's execForeach (ruleset.c:310-401):
+                    # a JSON array iterates element-wise (elements
+                    # coerce to their JSON text — objects/numbers
+                    # keep their serialization, strings unquote,
+                    # golden json_array_looping.sh), a JSON object
+                    # iterates as {key,value} entries. Both shapes
+                    # unify as array<struct<key,value>> (key NULL for
+                    # array elements) so one explode serves both.
+                    txt = F.trim(arr)
+                    obj_entries = F.map_entries(
+                        F.from_json(txt, "map<string,string>"))
+                    arr_entries = F.transform(
+                        F.from_json(txt, "array<string>"),
+                        lambda x: F.struct(
+                            F.lit(None).cast("string").alias("key"),
+                            x.alias("value")))
+                    arr = F.when(txt.startswith("["), arr_entries) \
+                        .otherwise(obj_entries)
                     is_obj = True
+                    is_str = True
                 elif isinstance(probe_t, MapType):
                     arr = F.map_entries(arr)
                     is_obj = True
@@ -533,6 +552,33 @@ class _Compiler:
                     exploded = exploded.withColumn(
                         f"{name}_key", F.col(name)["key"]).withColumn(
                         f"{name}_value", F.col(name)["value"])
+                if is_str:
+                    # string-collection loop var binds as TEXT: the
+                    # raw element for array iteration, the entry's
+                    # JSON for object iteration (templates respace it
+                    # json-c style — golden json_object_looping.sh
+                    # 'quux: { "key": ..., "value": ... }'). An
+                    # entry VALUE that is itself JSON inlines as a
+                    # real node, not a re-escaped string.
+                    kcol = F.col(f"{name}_key")
+                    vcol = F.col(f"{name}_value")
+
+                    def jstr(c):
+                        # JSON-escaped quoted scalar via to_json of a
+                        # 1-element array, brackets stripped
+                        a = F.to_json(F.array(c))
+                        return F.substr(a, F.lit(2), F.length(a) - 2)
+
+                    v1 = F.substring(F.trim(vcol), 1, 1)
+                    v_json = (v1.isin("{", "[")
+                              & F.try_parse_json(vcol).isNotNull())
+                    vtxt = F.when(v_json, vcol).otherwise(jstr(vcol))
+                    exploded = exploded.withColumn(
+                        name,
+                        F.when(kcol.isNull(), vcol)
+                        .otherwise(F.concat(
+                            F.lit('{"key":'), jstr(kcol),
+                            F.lit(',"value":'), vtxt, F.lit("}"))))
                 live_body = live & F.col(name).isNotNull()
                 from pyspark.sql.window import Window
                 w = Window.partitionBy(fe_id)

@@ -193,8 +193,14 @@ def prop_col(name: str, df=None) -> Column:
     if name.startswith(("$.", ".")):
         from rsyslog_spark.functions.json_fns import render_var_value
         from rsyslog_spark.plans.ruleset import varname
-        local = varname("$." + name.lstrip("$").lstrip("."))
+        lname = "$." + name.lstrip("$").lstrip(".")
+        local = varname(lname)
         if df is not None and local not in df.columns:
+            from rsyslog_spark.config.rainerscript import (
+                _local_prefix_read)
+            sub = _local_prefix_read(lname, df)
+            if sub is not None:
+                return render_var_value(sub)
             return F.lit(None).cast("string")
         return render_var_value(F.col(local))
     lo = name.lstrip("$").lower()

@@ -2993,3 +2993,110 @@ input(type="imfile" file="{src}/*.log" ruleset="m")
                    '"XYZ:IPIP,9:\\"free -m\\";", "remoteip": '
                    '"192.0.2.1", "singletick": "D\'E", "bracket": '
                    '"1]2" } }']
+
+
+class TestJsonLoopingGoldens:
+    """tests/json_array_looping.sh + json_object_looping.sh content
+    checks through the full config path: nested foreach over JSON
+    arrays and objects, loop-var subpath reads ($.quux!bar,
+    $.quux!value), reset/set in bodies, and json-c spaced renders of
+    element/entry values. DOCUMENTED DIVERGENCES: variable writes do
+    not accumulate ACROSS iterations (the garply running concat sees
+    the pre-loop value — carry is the last iteration's write, see
+    Foreach divergence note), and loop-var subtree writes
+    (set $.quux!random_key) / mid-loop unset of the source tree are
+    not modeled."""
+
+    PAYLOAD = ('<167>Mar  6 16:57:54 172.20.245.8 %PIX-7-710005:@cee:'
+               '{"foo": ["abc0", "def1", "ghi2", {"bar": '
+               '[{"baz": "important_msg"}, {"baz": "other_msg"}]}]}')
+
+    def _run(self, spark, tmp_path, payload, conf_body):
+        import os
+        src = tmp_path / "in"
+        src.mkdir(exist_ok=True)
+        (src / "a.log").write_text(payload + "\n")
+        conf = f'''
+template(name="garply" type="string" string="garply: %$.garply%\\n")
+template(name="grault" type="string" string="grault: %$.grault%\\n")
+template(name="quux" type="string" string="quux: %$.quux%\\n")
+ruleset(name="m") {{
+  action(type="mmjsonparse")
+{conf_body}
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+        from rsyslog_spark.config.runtime import run_config_batch
+        run_config_batch(spark, conf)
+
+        def lines(sub):
+            p = tmp_path / sub
+            if not p.is_dir():
+                return []
+            return sorted(
+                ln for f in os.listdir(p) if f.startswith("part")
+                for ln in open(p / f).read().splitlines())
+        return lines
+
+    def test_array_looping(self, spark, tmp_path):
+        lines = self._run(spark, tmp_path, self.PAYLOAD, f'''
+  set $.garply = "";
+  foreach ($.quux in $!foo) do {{
+    action(type="omfile" file="{tmp_path}/outq" template="quux")
+    foreach ($.corge in $.quux!bar) do {{
+      reset $.grault = $.corge;
+      action(type="omfile" file="{tmp_path}/outg" template="grault")
+      if ($.garply != "") then
+          set $.garply = $.garply & ", ";
+      reset $.garply = $.garply & $.grault!baz;
+    }}
+  }}
+  action(type="omfile" file="{tmp_path}/outx" template="garply")''')
+        # reference content checks (json_array_looping.sh:43-50)
+        assert lines("outq") == [
+            'quux: abc0', 'quux: def1', 'quux: ghi2',
+            'quux: { "bar": [ { "baz": "important_msg" }, '
+            '{ "baz": "other_msg" } ] }']
+        assert lines("outg") == [
+            'grault: { "baz": "important_msg" }',
+            'grault: { "baz": "other_msg" }']
+        # reference: 'garply: important_msg, other_msg' — divergence:
+        # per-iteration writes see the pre-loop value, carry = last
+        assert lines("outx") == ['garply: other_msg']
+
+    def test_object_looping(self, spark, tmp_path):
+        payload = ('<167>Mar  6 16:57:54 172.20.245.8 '
+                   '%PIX-7-710005:@cee:{"foo": {"str1": "abc0", '
+                   '"str2": "def1", "str3": "ghi2", "obj": {"bar": '
+                   '{"k1": "im", "k2": "om"}}}}')
+        lines = self._run(spark, tmp_path, payload, f'''
+  foreach ($.quux in $!foo) do {{
+    action(type="omfile" file="{tmp_path}/outq" template="quux")
+    foreach ($.corge in $.quux!value) do {{
+      reset $.grault = $.corge;
+      action(type="omfile" file="{tmp_path}/outg" template="grault")
+    }}
+  }}''')
+        # reference content checks (json_object_looping.sh:57-59):
+        # entries render as {key,value} pairs, document order
+        got = lines("outq")
+        assert 'quux: { "key": "str1", "value": "abc0" }' in got
+        assert 'quux: { "key": "str2", "value": "def1" }' in got
+        assert 'quux: { "key": "str3", "value": "ghi2" }' in got
+        # nested object entry iterates its value as entries again
+        assert lines("outg") == [
+            'grault: { "key": "bar", "value": '
+            '{ "k1": "im", "k2": "om" } }']
+
+    def test_nonarray_scalar_no_iteration(self, spark, tmp_path):
+        # json_nonarray_looping.sh: foreach over a SCALAR iterates
+        # nothing (no rows, no crash)
+        payload = ('<167>Mar  6 16:57:54 172.20.245.8 '
+                   '%PIX-7-710005:@cee:{"foo": "scalar"}')
+        lines = self._run(spark, tmp_path, payload, f'''
+  foreach ($.quux in $!foo) do {{
+    action(type="omfile" file="{tmp_path}/outq" template="quux")
+  }}
+  action(type="omfile" file="{tmp_path}/outx" template="garply")''')
+        assert lines("outq") == []
+        assert lines("outx") == ["garply: "]   # message itself lives
