@@ -57,6 +57,7 @@ from rsyslog_spark.plans.ruleset import (
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+|\#[^\n]*|/\*(?!\.)(?s:.*?)\*/|//[^\n]*)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<btick>`[^`]*`)
   | (?P<number>-?\d+)
   | (?P<var>\$[!./]?[A-Za-z0-9_!./-]*(?:\[\d+\][A-Za-z0-9_!./-]*)*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_-]*)
@@ -92,9 +93,61 @@ def _lex(src: str, line_base: int = 0) -> list[Tok]:
         line += text.count("\n")
         if kind == "ws":
             continue
+        if kind == "btick":
+            # backtick constants evaluate at CONFIG LOAD (ref:
+            # grammar/lexer.l:145-232 expand_backticks): `echo TEXT`
+            # expands $VAR/${VAR} env refs (unset -> ""), `cat FILE`
+            # reads the file, anything else is an error -> ""
+            kind = "string"
+            exp = _expand_backticks(text[1:-1])
+            text = '"' + exp.replace("\\", "\\\\") \
+                .replace('"', '\\"') + '"'
         toks.append(Tok(kind, text, m.start(), tok_line))
     toks.append(Tok("eof", "", len(src), line))
     return toks
+
+
+def _expand_backticks(param: str) -> str:
+    """lexer.l expand_backticks semantics, re-derived: echo with
+    $VAR ([A-Za-z0-9_]+ runs) and ${VAR} expansion — unset vars
+    expand to "" — and cat reading a file (failure yields the
+    reference's literal error-comment string)."""
+    import os as _os
+
+    if param.startswith("echo "):
+        out = []
+        i = 0
+        t = param[5:]
+        while i < len(t):
+            ch = t[i]
+            if ch == "$":
+                if i + 1 < len(t) and t[i + 1] == "{":
+                    j = t.find("}", i + 2)
+                    if j == -1:
+                        out.append(_os.environ.get(t[i + 2:], ""))
+                        i = len(t)
+                    else:
+                        out.append(_os.environ.get(t[i + 2:j], ""))
+                        i = j + 1
+                else:
+                    j = i + 1
+                    while j < len(t) and (t[j].isalnum()
+                                          or t[j] == "_"):
+                        j += 1
+                    out.append(_os.environ.get(t[i + 1:j], ""))
+                    i = j
+            else:
+                out.append(ch)
+                i += 1
+        return "".join(out)
+    if param.startswith("cat "):
+        try:
+            with open(param[4:], encoding="utf-8") as fh:
+                return fh.read()
+        except OSError:
+            return ("/* file could not be accessed - see "
+                    "error messages */")
+    return ""
 
 
 def _unquote(s: str) -> str:
@@ -282,6 +335,19 @@ class _Parser:
                 kind = self.next().text
                 params = self.parse_param_block()
                 for k, v in params.items():
+                    if kind == "global" \
+                            and k.lower() == "environment":
+                        # global(environment="K=V" | [...]) sets
+                        # process env at CONFIG LOAD (glbl.c
+                        # "environment" eCmdHdlrArray; golden
+                        # glbl_setenv.sh reads it back via getenv())
+                        import os as _os
+                        entries = v if isinstance(v, list) else [v]
+                        for ent in entries:
+                            ek, _, ev = str(ent).partition("=")
+                            if ek:
+                                _os.environ[ek] = ev
+                        continue
                     if kind == "main_queue":
                         k = "mainmsgqueue" + k.lower().replace(
                             "queue.", "")
@@ -523,8 +589,22 @@ class _Parser:
             while self.accept("."):       # dotted keys: queue.type=
                 key += "." + self.next().text
             self.expect("=")
-            v = self.next()
-            params[key] = _unquote(v.text) if v.kind == "string" else v.text
+            if self.peek().text == "[":
+                # array-valued params (eCmdHdlrArray — e.g.
+                # global(environment=[...]), PermittedPeer=[...])
+                self.next()
+                arr: list[str] = []
+                while not self.accept("]"):
+                    v = self.next()
+                    if v.text == ",":
+                        continue
+                    arr.append(_unquote(v.text)
+                               if v.kind == "string" else v.text)
+                params[key] = arr
+            else:
+                v = self.next()
+                params[key] = _unquote(v.text) \
+                    if v.kind == "string" else v.text
             self.accept(",")   # tolerated, not required
         return params
 

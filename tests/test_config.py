@@ -3100,3 +3100,98 @@ input(type="imfile" file="{src}/*.log" ruleset="m")
   action(type="omfile" file="{tmp_path}/outx" template="garply")''')
         assert lines("outq") == []
         assert lines("outx") == ["garply: "]   # message itself lives
+
+
+class TestBackticksAndSetenv:
+    """Backtick config constants (ref: grammar/lexer.l:145-232
+    expand_backticks; goldens rscript_backticks_braces_envvar.sh,
+    rscript_backticks_static_text.sh, rscript_backticks_empty_envvar.sh)
+    and $setenv-style env plumbing through them."""
+
+    def _run(self, spark, tmp_path, cond):
+        import os
+        src = tmp_path / "in"
+        src.mkdir(exist_ok=True)
+        (src / "a.log").write_text(
+            "<13>Mar  1 10:00:00 h t: msgnum:0\n")
+        out = tmp_path / "out"
+        conf = f'''
+template(name="t" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  if {cond} and $msg contains "msgnum" then {{
+    action(type="omfile" file=`echo {out}` template="t")
+  }}
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+        from rsyslog_spark.config.runtime import run_config_batch
+        run_config_batch(spark, conf)
+        if not out.is_dir():
+            return []
+        return [ln for f in sorted(os.listdir(out))
+                if f.startswith("part")
+                for ln in open(out / f).read().splitlines()]
+
+    def test_braces_envvar(self, spark, tmp_path, monkeypatch):
+        monkeypatch.setenv("MYVAR", "42")
+        assert self._run(spark, tmp_path,
+                         '`echo foo${MYVAR}bar` == "foo42bar"') \
+            == ["msgnum:0"]
+
+    def test_static_text(self, spark, tmp_path, monkeypatch):
+        monkeypatch.setenv("MYVAR", "42")
+        assert self._run(spark, tmp_path,
+                         '`echo Prefix-$MYVAR!` == "Prefix-42!"') \
+            == ["msgnum:0"]
+
+    def test_empty_envvar(self, spark, tmp_path, monkeypatch):
+        monkeypatch.delenv("DOES_NOT_EXIST_XX", raising=False)
+        assert self._run(spark, tmp_path,
+                         '`echo $DOES_NOT_EXIST_XX` == ""') \
+            == ["msgnum:0"]
+
+    def test_cat_file(self, spark, tmp_path):
+        f = tmp_path / "content.txt"
+        f.write_text("hello-from-file")
+        assert self._run(spark, tmp_path,
+                         f'`cat {f}` == "hello-from-file"') \
+            == ["msgnum:0"]
+
+    def test_invalid_backtick_empty(self, spark, tmp_path):
+        # lexer.l: invalid backtick parameter -> "" (with an error
+        # message in the reference; we accept-and-empty the same way)
+        assert self._run(spark, tmp_path, '`nope x` == ""') \
+            == ["msgnum:0"]
+
+
+def test_glbl_setenv_golden(spark, tmp_path, monkeypatch):
+    """cmp-exact vs tests/glbl_setenv.sh (+_2_vars variant):
+    global(environment="K=V") sets process env at config load;
+    getenv() reads it back into the $! tree."""
+    import os
+    monkeypatch.delenv("http_proxy", raising=False)
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text("<13>Mar  1 10:00:00 h t: msgnum:0\n")
+    out = tmp_path / "out"
+    conf = f'''
+global(environment="http_proxy=http://127.0.0.1")
+template(name="outfmt" type="string" string="%$!prx%\\n")
+ruleset(name="m") {{
+  set $!prx = getenv("http_proxy");
+  :msg, contains, "msgnum:" action(type="omfile" template="outfmt"
+                                   file=`echo {out}`)
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+    from rsyslog_spark.config.runtime import run_config_batch
+    run_config_batch(spark, conf)
+    got = [ln for f in sorted(os.listdir(out)) if f.startswith("part")
+           for ln in open(out / f).read().splitlines()]
+    assert got == ["http://127.0.0.1"]
+    # glbl_setenv_2_vars: array form sets both
+    from rsyslog_spark.config.rainerscript import parse_config
+    monkeypatch.delenv("V_ONE", raising=False)
+    monkeypatch.delenv("V_TWO", raising=False)
+    parse_config('global(environment=["V_ONE=a", "V_TWO=b"])')
+    assert os.environ["V_ONE"] == "a" and os.environ["V_TWO"] == "b"
