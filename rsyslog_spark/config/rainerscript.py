@@ -522,6 +522,12 @@ class _Parser:
         Missing files raise unless mode="optional"."""
         import glob as _glob
         import os
+        # include(... config.enabled=X): anything but "on" disables
+        # the whole include (ref: rscript-config_enable-{on,off}.sh —
+        # the off case comes from an EMPTY backtick env expansion)
+        if "config.enabled" in params and \
+                str(params["config.enabled"]).lower() != "on":
+            return
         texts: list[str] = []
         if "text" in params:
             texts.append(params["text"])
@@ -631,10 +637,19 @@ class _Parser:
     def parse_block_or_stmt(self) -> list:
         if self.accept("{"):
             return self.parse_stmts_until("}")
-        return [self.parse_stmt()]
+        got = self.parse_stmt()
+        return [got] if got is not None else []
 
     def parse_stmt(self):
         t = self.peek()
+        if t.text == "include" and self.peek(1).text == "(":
+            # statement-position include(): splice the included
+            # tokens right here (ref: the grammar accepts the include
+            # object inside statement lists — golden
+            # rscript-config_enable-on.sh puts one inside an if)
+            self.next()
+            self._splice_include(self.parse_param_block())
+            return None
         if t.text == "if":
             self.next()
             cond = self.parse_expr()

@@ -3195,3 +3195,76 @@ input(type="imfile" file="{src}/*.log" ruleset="m")
     monkeypatch.delenv("V_TWO", raising=False)
     parse_config('global(environment=["V_ONE=a", "V_TWO=b"])')
     assert os.environ["V_ONE"] == "a" and os.environ["V_TWO"] == "b"
+
+
+def test_config_enable_goldens(spark, tmp_path, monkeypatch):
+    """tests/rscript-config_enable-{on,off}.sh: include(text="stop"
+    config.enabled=`echo $DO_STOP`) — "on" splices the stop (msg 0
+    dropped), unset env/anything else disables the include."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    def run(env, sub):
+        if env is None:
+            monkeypatch.delenv("DO_STOP", raising=False)
+        else:
+            monkeypatch.setenv("DO_STOP", env)
+        src = tmp_path / f"in{sub}"
+        src.mkdir()
+        (src / "a.log").write_text("".join(
+            f"<13>Mar  1 10:00:00 h t: msgnum:{i}\n" for i in range(3)))
+        out = tmp_path / f"out{sub}"
+        conf = f'''
+template(name="t" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  if $msg contains "msgnum:" then {{
+    if $msg contains "msgnum:0" then {{
+      include(text="stop" config.enabled=`echo $DO_STOP`)
+    }}
+    action(type="omfile" template="t" file="{out}")
+  }}
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+        run_config_batch(spark, conf)
+        return sorted(
+            ln for f in os.listdir(out) if f.startswith("part")
+            for ln in open(out / f).read().splitlines())
+
+    assert run("on", "1") == ["msgnum:1", "msgnum:2"]   # stop active
+    assert run(None, "2") == ["msgnum:0", "msgnum:1", "msgnum:2"]
+
+
+def test_json_null_golden(spark, tmp_path):
+    """tests/json_null.sh: a null-valued $! member renders empty,
+    compares equal to "", and survives in %$!all-json%."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text(
+        '<167>Mar  6 16:57:54 172.20.245.8 test: @cee: '
+        '{ "nope": null }\n')
+    o1, o2 = tmp_path / "o1", tmp_path / "o2"
+    conf = f'''
+template(name="outfmt" type="string" string="%$!nope%\\n")
+template(name="outfmt-all-json" type="string" string="%$!all-json%\\n")
+ruleset(name="m") {{
+  action(type="mmjsonparse")
+  action(type="omfile" file="{o1}" template="outfmt")
+  if $!nope == "" then {{
+    action(type="omfile" file="{o2}" template="outfmt-all-json")
+  }}
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+
+    def lines(p):
+        return [ln for f in sorted(os.listdir(p))
+                if f.startswith("part")
+                for ln in open(p / f).read().splitlines()]
+    assert lines(o1) == [""]          # null renders empty
+    assert len(lines(o2)) == 1        # == "" comparison held
+    assert '"nope"' in lines(o2)[0] and "null" in lines(o2)[0]
