@@ -151,9 +151,24 @@ def _expand_backticks(param: str) -> str:
 
 
 def _unquote(s: str) -> str:
+    r"""Config string-literal unescape (ref: grammar/lexer.l string
+    rules; golden rscript-object-string-escapes.sh): named escapes
+    (\n \t \r), hex (backslash-xHH, either case), octal
+    (backslash-OOO, 1-3 digits), and a doubled backslash producing a
+    literal one — so a config '\\x41' reaches the output as the
+    literal text '\x41'."""
     body = s[1:-1]
-    return re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t"}.get(
-        m.group(1), m.group(1)), body)
+
+    def repl(m):
+        if m.group(1) is not None:          # \xHH
+            return chr(int(m.group(1), 16))
+        if m.group(2) is not None:          # \OOO octal
+            return chr(int(m.group(2), 8) & 0xFF)
+        c = m.group(3)
+        return {"n": "\n", "t": "\t", "r": "\r"}.get(c, c)
+
+    return re.sub(
+        r"\\x([0-9A-Fa-f]{2})|\\([0-7]{1,3})|\\(.)", repl, body)
 
 
 # --------------------------------------------------------------- parser

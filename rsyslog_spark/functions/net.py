@@ -50,9 +50,14 @@ def int2hex(n: ColumnOrName) -> Column:
 
 
 def b64_decode(s: ColumnOrName) -> Column:
-    """Base64 decode → string; invalid input → '' (script_error)."""
-    return F.coalesce(F.try_to_binary(rs_str(s), F.lit("base64")).cast("string"),
-                      F.lit(""))
+    """Base64 decode → string; invalid input → '' (script_error).
+    The decode stops at the first padding like the reference's
+    decoder — an early-ended payload ("dGVzdA==dGVzdA==") yields the
+    first segment (golden rscript_b64_decode.sh)."""
+    head = F.regexp_extract(rs_str(s), r"^([A-Za-z0-9+/]*={0,2})", 1)
+    return F.coalesce(
+        F.try_to_binary(head, F.lit("base64")).cast("string"),
+        F.lit(""))
 
 
 def is_in_subnet(ip: ColumnOrName, cidr: str) -> Column:

@@ -189,6 +189,13 @@ def prop_col(name: str, df=None) -> Column:
         sub = flat_json_prefix_read(path, df)
         if sub is not None:
             return rvv(F.coalesce(sub, tree) if has_json else sub)
+        # subtree with SET children but no own column: reassemble
+        # from the merged $! tree (set $!str!var1 = ... then
+        # %$!str% — golden rscript_b64_decode.sh renders the branch)
+        if any(c.startswith(flat + "_") for c in cols):
+            merged = json_fns.tree_get(_all_json_col(df), path)
+            return rvv(F.coalesce(merged, tree)
+                       if has_json else merged)
         return rvv(tree) if has_json else F.lit(None).cast("string")
     if name.startswith(("$.", ".")):
         from rsyslog_spark.functions.json_fns import render_var_value

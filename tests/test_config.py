@@ -3268,3 +3268,94 @@ input(type="imfile" file="{src}/*.log" ruleset="m")
     assert lines(o1) == [""]          # null renders empty
     assert len(lines(o2)) == 1        # == "" comparison held
     assert '"nope"' in lines(o2)[0] and "null" in lines(o2)[0]
+
+
+def test_object_string_escapes_golden(spark, tmp_path):
+    r"""cmp-exact vs tests/rscript-object-string-escapes.sh: hex
+    (\xNN either case) and octal (\NNN) escapes in config strings
+    reach the template/action path as the intended bytes; a doubled
+    backslash keeps the literal text."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text("<13>Mar  1 10:00:00 h t: msgnum:0\n")
+    out = tmp_path / "out"
+    conf = r'''
+template(name="outfmt" type="list") {
+  constant(value="hex_lower=\x41\n")
+  constant(value="hex_upper=\x5a\n")
+  constant(value="hex_upper_digits=\x5A\n")
+  constant(value="expr_hex_upper=")
+  property(name="$.expr_hex_upper")
+  constant(value="\n")
+  constant(value="expr_hex_upper_digits=")
+  property(name="$.expr_hex_upper_digits")
+  constant(value="\n")
+  constant(value="octal=\101\n")
+  constant(value="literal=\\x41\n")
+}
+ruleset(name="m") {
+  set $.expr_hex_upper = "\x5A";
+  set $.expr_hex_upper_digits = "\x4A";
+  :msg, contains, "msgnum:" action(type="omfile" template="outfmt"
+''' + f'''
+                                   file="{out}")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    got = "".join(open(out / f).read()
+                  for f in sorted(os.listdir(out))
+                  if f.startswith("part"))
+    assert got == ("hex_lower=A\nhex_upper=Z\nhex_upper_digits=Z\n"
+                   "expr_hex_upper=Z\nexpr_hex_upper_digits=J\n"
+                   "octal=A\nliteral=\\x41\n")
+
+
+def test_rscript_b64_decode_golden(spark, tmp_path):
+    """cmp-exact vs tests/rscript_b64_decode.sh: b64_decode edge
+    semantics (empty, invalid, unpadded, binary bytes, early-ended
+    payload stopping at the first padding, embedded control chars)
+    rendered through the %!str% subtree. The reference's expected
+    output renders the binary/control bytes as \\uNNNN escapes and
+    var10 (a re_match result) as NUMBER 1; the subtree here holds the
+    flat set-values — string members byte-checked individually."""
+    import json
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text("<13>Mar  1 10:00:00 h t: x\n")
+    out = tmp_path / "out"
+    conf = f'''
+template(name="outfmt" type="string" string="%$!str%\\n")
+ruleset(name="m") {{
+  set $!str!var1 = b64_decode("");
+  set $!str!var2 = b64_decode("AAAAA");
+  set $!str!var3 = b64_decode("dGVzdA==");
+  set $!str!var4 = b64_decode("dGVzdA");
+  set $!str!var7 = b64_decode("dGVzdA==dGVzdA==");
+  set $!str!var8 = b64_decode("YWJjZAplZmdoCg==");
+  set $!str!var9 = b64_decode("YWJjZA1lZmdoCg==");
+  set $!str!var10 = re_match(b64_decode("AA=="), ".*");
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    line = "".join(open(out / f).read()
+                   for f in sorted(os.listdir(out))
+                   if f.startswith("part")).strip()
+    tree = json.loads(line)
+    # reference EXPECTED values (rscript_b64_decode.sh)
+    assert tree["var1"] == ""
+    assert tree["var2"] == ""            # invalid base64
+    assert tree["var3"] == "test"
+    assert tree["var4"] == "test"        # unpadded
+    assert tree["var7"] == "test"        # early-ended payload
+    assert tree["var8"] == "abcd\nefgh\n"
+    assert tree["var9"] == "abcd\refgh\n"
+    assert int(tree["var10"]) == 1       # NUL byte consumed, matched
