@@ -444,7 +444,10 @@ class _Parser:
         elif params.get("type") == "list" and "__elements__" in params:
             from rsyslog_spark.templates import (
                 _JsonfTemplate, compile_template_list)
-            if params.get("option.jsonf", "off").lower() == "on":
+            if params.get("option.jsonftree", "off").lower() == "on":
+                self.cfg.templates[params["name"]] = \
+                    _JsonfTemplate(params["__elements__"], tree=True)
+            elif params.get("option.jsonf", "off").lower() == "on":
                 self.cfg.templates[params["name"]] = \
                     _JsonfTemplate(params["__elements__"])
             else:

@@ -602,54 +602,147 @@ class _JsonfTemplate:
       onEmpty null emits ``"name":null``; omitIfZero applies only to
       dataType number (a string "0" stays)."""
 
-    def __init__(self, elements: list[tuple[str, dict]]):
+    def __init__(self, elements: list[tuple[str, dict]],
+                 tree: bool = False):
         self.elements = elements
+        self.tree = tree
         self.source = None
 
-    def col(self, df=None) -> Column:
-        frags: list[Column] = []
+    def _fragments(self, df) -> list[tuple[str | None, Column]]:
+        """(outname-or-None, fragment) per entry. Constants with
+        format=jsonf contribute `"name": "value"` fragments in the
+        json-c colon-space form (template.c constantTpe builds the
+        fragment through json-c — golden template-const-jsonf.sh);
+        other constants yield (None, literal) and make a jsonf
+        container unsupported in the reference."""
+        out: list[tuple[str | None, Column]] = []
         for kind, p in self.elements:
+            if kind == "constant":
+                if str(p.get("format", "")).lower() == "jsonf":
+                    key = p.get("outname")
+                    if not key:
+                        raise ValueError(
+                            "constant format=jsonf needs outname=")
+                    val = str(p.get("value", ""))
+                    esc = val.replace("\\", "\\\\") \
+                        .replace('"', '\\"')
+                    out.append((key, F.lit(
+                        f'"{key}": "{esc}"')))
+                continue
             if kind != "property":
-                continue   # constants don't contribute jsonf fields
-            name = p.get("name")
-            if not name:
-                raise ValueError("property() needs name=")
-            key = str(p.get("outname", name)).replace('"', '\\"')
-            sv = rs_str(prop_col(name, df))
-            dt = p.get("dataType", p.get("datatype", "string")).lower()
-            omit0 = str(p.get("omitIfZero",
-                              p.get("omitifzero", "off"))).lower() \
-                in ("on", "true", "1")
-            skip0 = None
-            if dt == "number":
-                t = F.trim(sv)
-                if omit0:
-                    skip0 = t == "0"
-                val = F.when(F.length(t) == 0, F.lit("0")).otherwise(t)
-            elif dt == "bool":
-                val = F.when(sv == "0", F.lit("false")) \
-                    .otherwise(F.lit("true"))
-            elif dt == "auto":
-                val = F.when((F.length(sv) > 0) & sv.rlike(r"^\d+$"),
-                             sv) \
-                    .otherwise(F.concat(F.lit('"'), json_escape(sv),
-                                        F.lit('"')))
-            else:
-                val = F.concat(F.lit('"'), json_escape(sv), F.lit('"'))
-            frag = F.concat(F.lit(f'"{key}":'), val)
-            on_empty = p.get("onEmpty",
-                             p.get("onempty", "keep")).lower()
-            empty = F.length(sv) == 0
-            if on_empty == "skip":
-                frag = F.when(empty, F.lit(None)).otherwise(frag)
-            elif on_empty == "null":
-                frag = F.when(empty, F.lit(f'"{key}":null')) \
-                    .otherwise(frag)
-            if skip0 is not None:
-                frag = F.when(skip0, F.lit(None)).otherwise(frag)
-            frags.append(frag)
+                continue
+            frag = self._prop_fragment(p, df)
+            if frag is not None:
+                key = str(p.get("outname", p.get("name")))
+                out.append((key, frag))
+        return out
+
+    def col(self, df=None) -> Column:
+        if self.tree:
+            return self._tree_col(df)
+        frags = [f for _k, f in self._fragments(df)]
         return F.concat(F.lit("{"), F.concat_ws(", ", *frags),
                         F.lit("}"))
+
+    def _tree_col(self, df=None) -> Column:
+        """option.jsonftree: dotted outnames build NESTED objects
+        (template.c tplBuildJsonTree; goldens template-jsonf-nested
+        .sh). A structural CONFLICT — a key that is both a leaf and
+        a branch prefix — falls back to the FLAT jsonf render with
+        the full dotted names (template-jsonf-nested-fallback-flat
+        .sh)."""
+        frags = self._fragments(df)
+        paths = [tuple(str(k).split(".")) for k, _ in frags]
+        seen = set()
+        conflict = False
+        for pth in paths:
+            if pth in seen:
+                continue
+            for i in range(1, len(pth)):
+                if pth[:i] in seen:
+                    conflict = True
+            seen.add(pth)
+        branch_prefixes = {p[:i] for p in paths
+                           for i in range(1, len(p))}
+        if any(p in branch_prefixes for p in paths):
+            conflict = True
+        if conflict:
+            out_frags = [f for _k, f in frags]
+            return F.concat(F.lit("{"),
+                            F.concat_ws(", ", *out_frags),
+                            F.lit("}"))
+
+        # group fragments under their branches, order preserved
+        def build(items, depth):
+            cols: list[Column] = []
+            i = 0
+            while i < len(items):
+                pth, frag = items[i]
+                if len(pth) == depth + 1:
+                    # leaf: rewrite the fragment key to the last seg
+                    cols.append(frag)
+                    i += 1
+                    continue
+                seg = pth[depth]
+                group = []
+                while i < len(items) and len(items[i][0]) > depth \
+                        and items[i][0][depth] == seg:
+                    group.append(items[i])
+                    i += 1
+                inner = build(group, depth + 1)
+                cols.append(F.concat(
+                    F.lit(f'"{seg}": {{'), inner, F.lit("}")))
+            return F.concat_ws(", ", *cols)
+
+        # leaf fragments carry the FULL dotted key; rebuild them
+        # with just the last segment for the nested form
+        rekeyed = []
+        for (k, frag), pth in zip(frags, paths):
+            if len(pth) > 1:
+                old = f'"{k}":'
+                last = f'"{pth[-1]}":'
+                frag = F.replace(frag, F.lit(old), F.lit(last))
+            rekeyed.append((pth, frag))
+        return F.concat(F.lit("{"), build(rekeyed, 0), F.lit("}"))
+
+    def _prop_fragment(self, p: dict, df=None):
+        name = p.get("name")
+        if not name:
+            raise ValueError("property() needs name=")
+        key = str(p.get("outname", name)).replace('"', '\\"')
+        sv = rs_str(prop_col(name, df))
+        dt = p.get("dataType", p.get("datatype", "string")).lower()
+        omit0 = str(p.get("omitIfZero",
+                          p.get("omitifzero", "off"))).lower() \
+            in ("on", "true", "1")
+        skip0 = None
+        if dt == "number":
+            t = F.trim(sv)
+            if omit0:
+                skip0 = t == "0"
+            val = F.when(F.length(t) == 0, F.lit("0")).otherwise(t)
+        elif dt == "bool":
+            val = F.when(sv == "0", F.lit("false")) \
+                .otherwise(F.lit("true"))
+        elif dt == "auto":
+            val = F.when((F.length(sv) > 0) & sv.rlike(r"^\d+$"),
+                         sv) \
+                .otherwise(F.concat(F.lit('"'), json_escape(sv),
+                                    F.lit('"')))
+        else:
+            val = F.concat(F.lit('"'), json_escape(sv), F.lit('"'))
+        frag = F.concat(F.lit(f'"{key}":'), val)
+        on_empty = p.get("onEmpty",
+                         p.get("onempty", "keep")).lower()
+        empty = F.length(sv) == 0
+        if on_empty == "skip":
+            frag = F.when(empty, F.lit(None)).otherwise(frag)
+        elif on_empty == "null":
+            frag = F.when(empty, F.lit(f'"{key}":null')) \
+                .otherwise(frag)
+        if skip0 is not None:
+            frag = F.when(skip0, F.lit(None)).otherwise(frag)
+        return frag
 
 
 def compile_template_list(elements: list[tuple[str, dict]],
@@ -664,7 +757,19 @@ def compile_template_list(elements: list[tuple[str, dict]],
     parts: list = []
     for kind, p in elements:
         if kind == "constant":
-            parts.append(p.get("value", ""))
+            if str(p.get("format", "")).lower() == "jsonf":
+                # a jsonf-formatted constant renders its FRAGMENT
+                # (json-c colon-space form) even in a plain list
+                # template (golden template-const-jsonf.sh)
+                key = p.get("outname")
+                if not key:
+                    raise ValueError(
+                        "constant format=jsonf needs outname=")
+                val = str(p.get("value", "")) \
+                    .replace("\\", "\\\\").replace('"', '\\"')
+                parts.append(f'"{key}": "{val}"')
+            else:
+                parts.append(p.get("value", ""))
             continue
         kw: dict = {}
         name = p.get("name")

@@ -3359,3 +3359,63 @@ input(type="imfile" file="{src}/*.log" ruleset="m")
     assert tree["var8"] == "abcd\nefgh\n"
     assert tree["var9"] == "abcd\refgh\n"
     assert int(tree["var10"]) == 1       # NUL byte consumed, matched
+
+
+class TestJsonfTreeGoldens:
+    """template-const-jsonf.sh, template-jsonf-nested.sh,
+    template-jsonf-nested-fallback-flat.sh: jsonf constants render
+    their fragment in plain list templates; option.jsonftree builds
+    nested objects from dotted outnames; structural conflicts fall
+    back to valid flat JSON."""
+
+    def _run(self, spark, tmp_path, conf_tpl):
+        import os
+        src = tmp_path / "in"
+        src.mkdir(exist_ok=True)
+        (src / "a.log").write_text(
+            "<13>Mar  1 10:00:00 h t: msgnum:00000000:\n")
+        out = tmp_path / "out"
+        conf = f'''
+{conf_tpl}
+ruleset(name="m") {{
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+        from rsyslog_spark.config.runtime import run_config_batch
+        run_config_batch(spark, conf)
+        return "".join(open(out / f).read()
+                       for f in sorted(os.listdir(out))
+                       if f.startswith("part"))
+
+    def test_const_jsonf(self, spark, tmp_path):
+        got = self._run(spark, tmp_path, '''
+template(name="outfmt" type="list") {
+  constant(outname="@version" value="1" format="jsonf")
+  constant(value="\\n")
+}''')
+        assert got == '"@version": "1"\n'
+
+    def test_jsonf_nested(self, spark, tmp_path):
+        import json
+        got = self._run(spark, tmp_path, '''
+template(name="outfmt" type="list" option.jsonftree="on") {
+  constant(outname="host.hostname" value="testhost" format="jsonf")
+  constant(outname="host.ip" value="127.0.0.1" format="jsonf")
+  constant(outname="event.dataset.name" value="syslog" format="jsonf")
+  property(outname="event.original" name="msg" format="jsonf")
+}''')
+        tree = json.loads(got)
+        assert tree == {
+            "host": {"hostname": "testhost", "ip": "127.0.0.1"},
+            "event": {"dataset": {"name": "syslog"},
+                      "original": "msgnum:00000000:"}}
+
+    def test_jsonf_nested_fallback_flat(self, spark, tmp_path):
+        import json
+        got = self._run(spark, tmp_path, '''
+template(name="outfmt" type="list" option.jsonftree="on") {
+  constant(outname="a" value="A" format="jsonf")
+  constant(outname="a.b" value="B" format="jsonf")
+}''')
+        assert json.loads(got) == {"a": "A", "a.b": "B"}
