@@ -27,6 +27,9 @@ class ImpstatsListener(StreamingQueryListener):
 
     def __init__(self) -> None:
         self.stats: list[dict[str, Any]] = []
+        self._queue = {"size": 0, "enqueued": 0, "full": 0,
+                       "discarded.full": 0, "discarded.nf": 0,
+                       "maxqsize": 0}
 
     def onQueryStarted(self, event: Any) -> None:  # noqa: N802
         self.stats.append({"event": "started", "id": str(event.id),
@@ -35,12 +38,14 @@ class ImpstatsListener(StreamingQueryListener):
     def onQueryProgress(self, event: Any) -> None:  # noqa: N802
         p = event.progress
         state_rows = 0
+        state_mem = 0
         try:
             for so in p.stateOperators:
                 state_rows += so.numRowsTotal
+                state_mem += getattr(so, "memoryUsedBytes", 0) or 0
         except Exception:  # noqa: BLE001 — shape varies by query type
             pass
-        self.stats.append({
+        rec = {
             "event": "progress",
             "name": p.name,
             "batch_id": p.batchId,
@@ -48,13 +53,66 @@ class ImpstatsListener(StreamingQueryListener):
             "rows_per_sec": p.processedRowsPerSecond,
             "duration_ms": (p.durationMs or {}).get("triggerExecution"),
             "state_rows": state_rows,
-        })
+            "state_memory_bytes": state_mem,
+        }
+        self.stats.append(rec)
+        # queue-gauge analog (ref: runtime/queue.c statsobj counter
+        # set size/enqueued/maxqsize): the micro-batch engine's
+        # "main Q" is the pending-input window — size = this batch's
+        # rows in flight, enqueued = cumulative rows, maxqsize = the
+        # largest batch seen. full/discarded stay 0: Spark
+        # backpressures instead of dropping.
+        q = self._queue
+        q["enqueued"] += int(p.numInputRows or 0)
+        q["size"] = int(p.numInputRows or 0)
+        q["maxqsize"] = max(q["maxqsize"], q["size"])
 
     def onQueryTerminated(self, event: Any) -> None:  # noqa: N802
         self.stats.append({"event": "terminated", "id": str(event.id)})
 
     def onQueryIdle(self, event: Any) -> None:  # noqa: N802
         pass
+
+    def queue_line(self, name: str = "main Q") -> str:
+        """The queue statsobj in legacy line form (runtime/queue.c:
+        4013-4043 counter set — size/enqueued/full/discarded.full/
+        discarded.nf/maxqsize). full/discarded are structurally 0
+        here: Spark's micro-batch engine backpressures the source
+        instead of dropping at a bounded queue."""
+        q = self._queue
+        kv = " ".join(f"{k}={q[k]}" for k in (
+            "size", "enqueued", "full", "discarded.full",
+            "discarded.nf", "maxqsize"))
+        return f"{name}: origin=core.queue {kv}"
+
+    @staticmethod
+    def resource_usage_line() -> str:
+        """The impstats resource-usage statsobj (plugins/impstats/
+        impstats.c:680-700: utime/stime in usec, maxrss, minflt,
+        majflt, inblock, oublock, nvcsw, nivcsw, openfiles) from
+        getrusage + /proc/self/fd, in the legacy line form."""
+        import os
+        import resource
+
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        try:
+            openfiles = len(os.listdir("/proc/self/fd"))
+        except OSError:
+            openfiles = 0
+        vals = {
+            "utime": int(ru.ru_utime * 1_000_000),
+            "stime": int(ru.ru_stime * 1_000_000),
+            "maxrss": int(ru.ru_maxrss),
+            "minflt": int(ru.ru_minflt),
+            "majflt": int(ru.ru_majflt),
+            "inblock": int(ru.ru_inblock),
+            "oublock": int(ru.ru_oublock),
+            "nvcsw": int(ru.ru_nvcsw),
+            "nivcsw": int(ru.ru_nivcsw),
+            "openfiles": openfiles,
+        }
+        kv = " ".join(f"{k}={v}" for k, v in vals.items())
+        return f"resource-usage: origin=impstats {kv}"
 
     def as_log_lines(self) -> list[str]:
         """Render collected stats as impstats-style JSON log lines."""
