@@ -1365,6 +1365,94 @@ def _mm_transform(atype: str, params: dict):
     def flag(key, default="off"):
         return str(p.get(key, default)).lower() in ("on", "true", "1")
 
+    if atype == "mmdblookup":
+        # action(type="mmdblookup" mmdbfile=.. key="$!ip"
+        #        fields="city"|[":var:!path", "!a!b", ...])
+        # (ref: plugins/mmdblookup/mmdblookup.c:280-312 field parse;
+        # container default "!iplocation", mmdblookup.c:47). The
+        # .mmdb exports to an IPv4 range table at CONFIG LOAD
+        # (operators/mmdb.py, pure-spec reader) feeding the
+        # broadcast range join; deep field reads go through variant
+        # gets so numeric leaves stay numeric.
+        mmdbfile = p.get("mmdbfile")
+        keyvar = p.get("key", "$!ip")
+        raw_fields = p.get("fields", [])
+        if isinstance(raw_fields, str):
+            raw_fields = [raw_fields]
+        container = str(p.get("container", "!iplocation")).lstrip("!")
+        fields: list[tuple[str, list[str]]] = []
+        for param in raw_fields:
+            param = str(param)
+            varname_ = None
+            if param.startswith(":"):
+                b = param.index(":", 1)
+                varname_ = param[1:b]
+                param = param[b + 1:]
+            name = param.lstrip("!")
+            segs = name.split("!")
+            out_segs = (varname_.split("!") if varname_ else segs)
+            fields.append((name, out_segs))
+        try:
+            from rsyslog_spark.operators.mmdb import MMDBReader
+            MMDBReader(mmdbfile)           # validate at load
+        except (OSError, ValueError) as exc:
+            # the reference logs and keeps running with the action
+            # suspended (golden mmdb-open-missing.sh content check)
+            import sys as _sys
+            print(f"maxminddb error: cannot open database file "
+                  f"{mmdbfile}: {exc}", file=_sys.stderr)
+
+            def noop(df):
+                return df
+            return Transform("mmdblookup", _gated_mm(noop))
+
+        def fn(df, _file=mmdbfile, _key=keyvar, _fields=fields,
+               _container=container):
+            from rsyslog_spark.operators.lookup import (
+                geoip_range_join)
+            from rsyslog_spark.operators.mmdb import mmdb_ranges_df
+            ranges = mmdb_ranges_df(df.sparkSession, _file)
+            ip = rs_str(_var_col(_key, df))
+            joined = geoip_range_join(
+                df.withColumn("__mmdb_ip", ip), "__mmdb_ip", ranges)
+            rec = F.try_parse_json(F.col("record"))
+
+            def leaf(segs_in):
+                path = "$." + ".".join(segs_in)
+                return F.to_json(F.try_variant_get(
+                    rec, path, "variant"))
+
+            def build(items, depth):
+                cols = []
+                i = 0
+                while i < len(items):
+                    out_segs, in_name = items[i]
+                    if len(out_segs) == depth + 1:
+                        v = leaf(in_name.split("!"))
+                        cols.append(F.when(v.isNotNull(), F.concat(
+                            F.lit(f'"{out_segs[depth]}":'), v)))
+                        i += 1
+                        continue
+                    seg = out_segs[depth]
+                    group = []
+                    while i < len(items) \
+                            and len(items[i][0]) > depth \
+                            and items[i][0][depth] == seg:
+                        group.append(items[i])
+                        i += 1
+                    cols.append(F.concat(
+                        F.lit(f'"{seg}":{{'),
+                        build(group, depth + 1), F.lit("}")))
+                return F.concat_ws(",", *cols)
+
+            items = [(out_segs, name) for name, out_segs in _fields]
+            tree = F.concat(F.lit("{"), build(items, 0), F.lit("}"))
+            flat = varname("$!" + _container)
+            out = joined.withColumn(
+                flat, F.when(F.col("record").isNotNull(), tree)) \
+                .drop("__mmdb_ip", "range_lo", "range_hi", "record")
+            return out.withMetadata(flat, {"rs_json": True})
+        return Transform("mmdblookup", _gated_mm(fn))
     if atype == "mmnormalize":
         from rsyslog_spark.operators.normalize import (
             normalize, parse_rulebase)
