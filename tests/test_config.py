@@ -3419,3 +3419,60 @@ template(name="outfmt" type="list" option.jsonftree="on") {
   constant(outname="a.b" value="B" format="jsonf")
 }''')
         assert json.loads(got) == {"a": "A", "a.b": "B"}
+
+
+def test_omod_if_array_golden(spark, tmp_path):
+    """cmp-exact vs tests/omod-if-array.sh: PIX-style tag with '%'
+    chars — programname keeps '%' (terminators are only ':'/'['/'/'),
+    and the PRI/timestamp/hostname renders concatenate byte-exact."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text(
+        "<167>Mar  6 16:57:54 172.20.245.8 %PIX-7-710005: UDP request "
+        "discarded from SERVER1/2741 to test_app:255.255.255.255/61601\n")
+    out = tmp_path / "out"
+    conf = f'''
+template(name="outfmt" type="string"
+         string="%PRI%%timestamp%%hostname%%programname%%syslogtag%\\n")
+ruleset(name="ruleset1") {{
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="ruleset1")
+'''
+    run_config_batch(spark, conf)
+    got = "".join(open(out / f).read()
+                  for f in sorted(os.listdir(out))
+                  if f.startswith("part"))
+    assert got == ("167Mar  6 16:57:54172.20.245.8"
+                   "%PIX-7-710005%PIX-7-710005:\n")
+
+
+def test_key_dereference_uninitialized_tree(spark, tmp_path):
+    """tests/key_dereference_on_uninitialized_variable_space.sh:
+    reading $!foo from a message with NO json tree neither crashes
+    nor creates the tree — bare %$!% renders empty."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text("<13>Mar  1 10:00:00 h t: msgnum:0\n")
+    out = tmp_path / "out"
+    conf = f'''
+template(name="corge" type="string" string="cee:%$!%\\n")
+ruleset(name="echo") {{
+  if ($!foo == "bar") then {{
+    set $!baz = "quux";
+  }}
+  action(type="omfile" file="{out}" template="corge")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="echo")
+'''
+    run_config_batch(spark, conf)
+    got = [ln for f in sorted(os.listdir(out))
+           if f.startswith("part")
+           for ln in open(out / f).read().splitlines()]
+    assert got == ["cee:"]
