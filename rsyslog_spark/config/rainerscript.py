@@ -1059,7 +1059,10 @@ def _local_prefix_read(name: str, df: DataFrame):
     longest existing $.-prefix column (loop vars / object-valued
     locals hold JSON text). None when no prefix column exists."""
     segs = name[2:].split("!")
-    for k in range(len(segs) - 1, 0, -1):
+    # k=0 probes the bare local-tree ROOT column (varname("$.") —
+    # mmjsonparse container="$." lands the whole parse there,
+    # golden mmjsonparse_localvar.sh)
+    for k in range(len(segs) - 1, -1, -1):
         p = varname("$." + "!".join(segs[:k]))
         if p in df.columns:
             return rf.json_get(F.col(p).cast("string"),

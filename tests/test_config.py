@@ -3476,3 +3476,64 @@ input(type="imfile" file="{src}/*.log" ruleset="echo")
            if f.startswith("part")
            for ln in open(out / f).read().splitlines()]
     assert got == ["cee:"]
+
+
+def test_stop_localvar_golden(spark, tmp_path):
+    """tests/stop-localvar.sh: stop + local vars + cnum in nested
+    if/else — msgnums 100..999 survive (seq_check 100 999)."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text("".join(
+        f"<13>Mar  1 10:00:00 h tag: msgnum:{i:08d}:\n"
+        for i in range(0, 1200, 37)))
+    out = tmp_path / "out"
+    conf = f'''
+template(name="outfmt" type="string" string="%$.nbr%\\n")
+ruleset(name="m") {{
+  if $msg contains "msgnum:" then {{
+    set $.nbr = field($msg, 58, 2);
+    if cnum($.nbr) < 100 then
+      stop
+    else if not (cnum($.nbr) > 999) then {{
+      action(type="omfile" file="{out}" template="outfmt")
+    }}
+  }}
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    got = sorted(int(ln) for f in os.listdir(out)
+                 if f.startswith("part")
+                 for ln in open(out / f).read().splitlines())
+    assert got == [i for i in range(0, 1200, 37) if 100 <= i <= 999]
+
+
+def test_mmjsonparse_localvar_container(spark, tmp_path):
+    """tests/mmjsonparse_localvar.sh: mmjsonparse with a custom
+    cookie and container="$." lands fields in the LOCAL tree."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text("".join(
+        '<13>Mar  1 10:00:00 h tag: @cim: {"msgnum": "%08d"}\n' % i
+        for i in range(5)))
+    out = tmp_path / "out"
+    conf = f'''
+template(name="outfmt" type="string" string="%$.msgnum%\\n")
+ruleset(name="m") {{
+  action(type="mmjsonparse" cookie="@cim:" container="$.")
+  if $parsesuccess == "OK" then {{
+    action(type="omfile" file="{out}" template="outfmt")
+  }}
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    got = sorted(ln for f in os.listdir(out) if f.startswith("part")
+                 for ln in open(out / f).read().splitlines())
+    assert got == [f"{i:08d}" for i in range(5)]
