@@ -569,7 +569,17 @@ class _Parser:
                 raise FileNotFoundError(f"include: no config matches {pat!r}")
             for h in hits:
                 with open(h, encoding="utf-8") as f:
-                    texts.append(f.read())
+                    body = f.read()
+                if h.endswith((".yaml", ".yml")):
+                    # YAML configs include transparently: render to
+                    # RainerScript through yamlconf and splice that
+                    # (ref: runtime/yamlconf.c; goldens
+                    # yaml-script-localvar.sh include a .yaml from
+                    # the main conf)
+                    from rsyslog_spark.config.yamlconf import (
+                        yaml_to_conf)
+                    body = yaml_to_conf(body)
+                texts.append(body)
         spliced: list[Tok] = []
         for txt in texts:
             self._line_base += 1_000_000

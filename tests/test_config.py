@@ -3537,3 +3537,45 @@ input(type="imfile" file="{src}/*.log" ruleset="m")
     got = sorted(ln for f in os.listdir(out) if f.startswith("part")
                  for ln in open(out / f).read().splitlines())
     assert got == [f"{i:08d}" for i in range(5)]
+
+
+def test_yaml_script_localvar_include(spark, tmp_path):
+    """tests/yaml-script-localvar.sh: a .yaml config included from
+    the main conf routes through yamlconf transparently; the script:
+    ruleset with local vars + stop filters the 100..999 window, and
+    the %.nbr% dotted-property template spelling resolves."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    nums = [50, 150, 420, 999, 1000, 1500]
+    (src / "a.log").write_text("".join(
+        f"<13>Mar  1 10:00:00 h tag: msgnum:{i:08d}:\n"
+        for i in nums))
+    out = tmp_path / "out"
+    (tmp_path / "c.yaml").write_text(f'''
+templates:
+  - name: outfmt
+    type: string
+    string: "%.nbr%\\n"
+rulesets:
+  - name: main
+    script: |
+      if $msg contains "msgnum:" then {{
+        set $.nbr = field($msg, 58, 2);
+        if cnum($.nbr) < 100 then
+          stop
+        else if not (cnum($.nbr) > 999) then
+          action(type="omfile" file="{out}" template="outfmt")
+      }}
+''')
+    conf = f'''
+include(file="{tmp_path}/c.yaml")
+input(type="imfile" file="{src}/*.log" ruleset="main")
+'''
+    run_config_batch(spark, conf)
+    got = sorted(int(ln) for f in os.listdir(out)
+                 if f.startswith("part")
+                 for ln in open(out / f).read().splitlines())
+    assert got == [i for i in nums if 100 <= i <= 999]
