@@ -1394,3 +1394,41 @@ def run_config_stream_async(
               .trigger(availableNow=True).start())
         cq.awaitTermination(120)
     return written
+
+
+def dynstats_impstats_json(run: ConfigRun, cfg: ParsedConfig
+                           ) -> list[str]:
+    """Render a batch run's dyn_stats state as impstats
+    format="json" lines (ref: runtime/dynstats.c statsobj JSON
+    emission; golden tests/dynstats-json.sh): one global object with
+    every DECLARED bucket's lifecycle counters
+    (<bucket>.new_metric_add = distinct keys this run; overflow/
+    purge counters 0 in a plain batch — TTL/cardinality behavior
+    lives in the dynstats operators), then one
+    ``origin="dynstats.bucket"`` object per bucket with its counter
+    values. json-c SPACED text, byte-compatible with the golden."""
+    from rsyslog_spark.operators.mm import _jsonc_dumps
+
+    declared = [o.get("name") for o in cfg.objects.get("dyn_stats", [])
+                if o.get("name")]
+    names = declared or sorted(run.dynstats)
+    counts: dict[str, dict] = {}
+    for name in names:
+        df = run.dynstats.get(name)
+        counts[name] = (
+            {r["key"]: int(r["count"]) for r in df.collect()}
+            if df is not None else {})
+    gvals: dict[str, int] = {}
+    for name in names:
+        for ctr in ("ops_overflow", "new_metric_add", "no_metric",
+                    "metrics_purged", "ops_ignored",
+                    "purge_triggered"):
+            v = len(counts[name]) if ctr == "new_metric_add" else 0
+            gvals[f"{name}.{ctr}"] = v
+    lines = [_jsonc_dumps({"name": "global", "origin": "dynstats",
+                           "values": gvals})]
+    for name in names:
+        lines.append(_jsonc_dumps(
+            {"name": name, "origin": "dynstats.bucket",
+             "values": counts[name]}))
+    return lines

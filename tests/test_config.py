@@ -3579,3 +3579,47 @@ input(type="imfile" file="{src}/*.log" ruleset="main")
                  if f.startswith("part")
                  for ln in open(out / f).read().splitlines())
     assert got == [i for i in nums if 100 <= i <= 999]
+
+
+def test_dynstats_json_impstats_golden(spark, tmp_path):
+    """Byte-exact vs tests/dynstats-json.sh custom_content_checks:
+    impstats format=json dynstats objects — the global lifecycle
+    counters for every DECLARED bucket and one dynstats.bucket
+    object per bucket."""
+    from rsyslog_spark.config.runtime import (
+        dynstats_impstats_json, run_config_batch)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text(
+        "<13>Mar  1 10:00:00 h tag: foo 001\n")
+    conf = f'''
+dyn_stats(name="stats_one")
+dyn_stats(name="stats_two")
+ruleset(name="m") {{
+  if (field($msg, 32, 1) == "foo") then {{
+    set $.ign = dyn_inc("stats_one", field($msg, 32, 1));
+    set $.ign2 = dyn_inc("stats_two", field($msg, 32, 1));
+  }}
+  action(type="omfile" file="{tmp_path}/out")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+    run = run_config_batch(spark, conf)
+    from rsyslog_spark.config.rainerscript import load_config
+    _eng, cfg = load_config(conf)
+    lines = dynstats_impstats_json(run, cfg)
+    assert lines[0] == (
+        '{ "name": "global", "origin": "dynstats", "values": '
+        '{ "stats_one.ops_overflow": 0, '
+        '"stats_one.new_metric_add": 1, "stats_one.no_metric": 0, '
+        '"stats_one.metrics_purged": 0, "stats_one.ops_ignored": 0, '
+        '"stats_one.purge_triggered": 0, '
+        '"stats_two.ops_overflow": 0, '
+        '"stats_two.new_metric_add": 1, "stats_two.no_metric": 0, '
+        '"stats_two.metrics_purged": 0, "stats_two.ops_ignored": 0, '
+        '"stats_two.purge_triggered": 0 } }')
+    assert lines[1] == ('{ "name": "stats_one", "origin": '
+                        '"dynstats.bucket", "values": { "foo": 1 } }')
+    assert lines[2] == ('{ "name": "stats_two", "origin": '
+                        '"dynstats.bucket", "values": { "foo": 1 } }')
