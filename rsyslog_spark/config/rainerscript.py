@@ -1480,8 +1480,20 @@ def _mm_transform(atype: str, params: dict):
             raise ValueError("mmnormalize needs rulebase= or rule=")
         rules = parse_rulebase(rb_text)
         src = "rawmsg" if flag("userawmsg") else "msg"
+        # variable="$.x": normalize the VARIABLE's value instead of
+        # the message (mmnormalize.c "variable" param; golden
+        # mmnormalize_variable.sh pairs it with exec_template)
+        srcvar = p.get("variable")
 
-        def fn(df, _rules=rules, _src=src):
+        def fn(df, _rules=rules, _src=src, _var=srcvar):
+            if _var:
+                tmp = "__nrm_src"
+                df = df.withColumn(tmp, rs_str(_var_col(_var, df)))
+                return normalize(df, _rules, msg_col=tmp,
+                                 prefix="cee_",
+                                 rule_col="__nrm_tag",
+                                 match="specific") \
+                    .drop("__nrm_tag", tmp)
             col = _src if _src in df.columns else "msg"
             return normalize(df, _rules, msg_col=col, prefix="cee_",
                              rule_col="__nrm_tag",

@@ -448,6 +448,7 @@ class Prop:
     field_delim: str | None = None
     field_num: int | None = None
     regex: str | None = None
+    regex_match: int = 0             # which occurrence (0-based)
     regex_submatch: int = 0
     regex_nomatch: str = "blank"     # blank | dflt | whole | zero
     regex_dflt: str = ""
@@ -491,7 +492,17 @@ class Prop:
             length = (self.to - self.frm + 1) if self.to is not None else (1 << 30)
             c = c.substr(F.lit(self.frm), F.lit(length))
         if self.regex is not None:
-            got = F.regexp_extract(c, self.regex, self.regex_submatch)
+            if self.regex_match > 0:
+                # regex.match=N: the N-th occurrence (0-based —
+                # property_replacer regex 'match to use')
+                got = F.coalesce(F.try_element_at(
+                    F.regexp_extract_all(
+                        c, F.lit(f"({self.regex})"),
+                        F.lit(self.regex_submatch + 1)),
+                    F.lit(self.regex_match + 1)), F.lit(""))
+            else:
+                got = F.regexp_extract(c, self.regex,
+                                       self.regex_submatch)
             if self.regex_nomatch == "blank":
                 c = got
             elif self.regex_nomatch == "dflt":
@@ -796,6 +807,14 @@ def compile_template_list(elements: list[tuple[str, dict]],
                 kw["field_delim"] = chr(int(v))
             elif lk == "regex.expression":
                 kw["regex"] = v
+            elif lk == "regex.type":
+                # ERE|BRE (template.c regex.type) — the compiled
+                # Java regex accepts the ERE forms used in goldens;
+                # BRE metachar quirks are out of scope (documented)
+                if str(v).upper() not in ("ERE", "BRE"):
+                    raise ValueError(f"unknown regex.type {v!r}")
+            elif lk == "regex.match":
+                kw["regex_match"] = int(v)
             elif lk == "regex.submatch":
                 kw["regex_submatch"] = int(v)
             elif lk == "regex.nomatchmode":

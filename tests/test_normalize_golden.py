@@ -226,3 +226,77 @@ def test_rulebase_stats():
         [("v_analytics_prefix", "EvntSLog: ")]
     assert by_tag["FromFile"].literal_len > \
         max(r.literal_len for r in rules if r.tags == ["LNX"])
+
+
+def test_mmnormalize_regex_field_golden(spark, tmp_path):
+    """tests/mmnormalize_regex.sh: the regex field_type (allowRegex)
+    with a \\x3a hex escape and nested groups; content check
+    byte-exact. Fixture rulebase/input retyped from
+    testsuites/mmnormalize_regex.rulebase + regex_input."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text(
+        "<167>Mar  6 16:57:54 172.20.245.8 %PIX-7-710005:"
+        "http host ports are 192.168.1.2:80, 192.168.1.3, "
+        "192.168.1.4:443, 192.168.1.5 etc\n")
+    rb = tmp_path / "regex.rulebase"
+    rb.write_text(
+        "rule=:http host ports are "
+        "%hps:regex:([0-9.\\x3a]+(, )?)+% etc\n")
+    out = tmp_path / "out"
+    conf = f'''
+template(name="hosts_and_ports" type="string"
+         string="host and port list: %$!hps%\\n")
+ruleset(name="m") {{
+  action(type="mmnormalize" rulebase="{rb}")
+  action(type="omfile" file="{out}" template="hosts_and_ports")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    got = [ln for f in sorted(os.listdir(out))
+           if f.startswith("part")
+           for ln in open(out / f).read().splitlines()]
+    assert got == ["host and port list: 192.168.1.2:80, "
+                   "192.168.1.3, 192.168.1.4:443, 192.168.1.5"]
+
+
+def test_mmnormalize_variable_golden(spark, tmp_path):
+    """tests/mmnormalize_variable.sh: mmnormalize variable= support —
+    a regex-extracting exec_template feeds a local var, the rulebase
+    normalizes THAT value; content check 'h:13 m:20 s:18'."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.log").write_text(
+        "<167>Mar  6 16:57:54 172.20.245.8 %PIX-7-710005: at Thu "
+        "Oct 30 13:20:18 IST 2014 random number is 19597\n")
+    rb = tmp_path / "var.rulebase"
+    rb.write_text(
+        "rule=hms:%hr:number%:%min:number%:%sec:number% "
+        "%zone:word%\n")
+    out = tmp_path / "out"
+    conf = f'''
+template(name="outfmt" type="string"
+         string="h:%$!hr% m:%$!min% s:%$!sec%\\n")
+template(name="time_fragment" type="list") {{
+  property(name="msg" regex.Expression="[0-9]{{2}}:[0-9]{{2}}:[0-9]{{2}} [A-Z]+"
+           regex.Type="ERE" regex.Match="0")
+}}
+ruleset(name="m") {{
+  set $.time_frag = exec_template("time_fragment");
+  action(type="mmnormalize" rulebase="{rb}" variable="$.time_frag")
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" file="{src}/*.log" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    got = [ln for f in sorted(os.listdir(out))
+           if f.startswith("part")
+           for ln in open(out / f).read().splitlines()]
+    assert got == ["h:13 m:20 s:18"]
