@@ -1119,6 +1119,9 @@ _FN_MAP: dict[str, Callable[..., Column]] = {
     "faup_domain_without_tld": rf.faup_domain_without_tld,
     "faup_tld": rf.faup_tld, "faup_subdomain": rf.faup_subdomain,
     "faup_port": rf.faup_port, "faup_credential": rf.faup_credential,
+    "faup_resource_path": rf.faup_resource_path,
+    "faup_query_string": rf.faup_query_string,
+    "faup_fragment": rf.faup_fragment,
     "tocef": rf.tocef, "cef_ext_escape": rf.cef_ext_escape,
     # fmpcre (ref: plugins/fmpcre/fmpcre.c): Java regex stands in for
     # PCRE — common patterns overlap; exotic PCRE verbs differ

@@ -26,7 +26,8 @@ from rsyslog_spark.functions.json_fns import (
 )
 from rsyslog_spark.functions.url import (
     faup, faup_scheme, faup_credential, faup_subdomain, faup_domain,
-    faup_domain_without_tld, faup_host, faup_tld, faup_port, http_request,
+    faup_domain_without_tld, faup_host, faup_tld, faup_port,
+    faup_resource_path, faup_query_string, faup_fragment, http_request,
 )
 from rsyslog_spark.functions.cef import tocef, cef_ext_escape
 from rsyslog_spark.expr import prifilt
@@ -51,5 +52,6 @@ __all__ = [
     "exec_template",
     "unflatten", "faup", "faup_scheme", "faup_credential", "faup_subdomain",
     "faup_domain", "faup_domain_without_tld", "faup_host", "faup_tld",
-    "faup_port", "tocef", "cef_ext_escape", "prifilt",
+    "faup_port", "faup_resource_path", "faup_query_string",
+    "faup_fragment", "tocef", "cef_ext_escape", "prifilt",
 ]

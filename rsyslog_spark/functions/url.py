@@ -35,14 +35,50 @@ def faup_port(u: ColumnOrName) -> Column:
     return F.regexp_extract(_url(u), r"^[a-zA-Z][A-Za-z0-9+.-]*://[^/]*:(\d+)", 1)
 
 
+#: common second-level public suffixes (a compact subset of the
+#: Mozilla public-suffix list ffaup embeds — ffaup.c mozilla tld
+#: data; golden tests/rscript_faup_mozilla_tld.sh pins co.uk).
+#: Hosts whose last TWO labels are here get a 2-label tld and a
+#: 3-label registrable domain; everything else uses the 1-label
+#: heuristic. A production deployment at 100 TB should broadcast-join
+#: the full PSL table instead (operators/lookup.py machinery).
+_SLD_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "net.uk", "sch.uk",
+    "me.uk", "ltd.uk", "plc.uk", "nhs.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "co.za", "org.za", "web.za",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.mx", "com.ar", "com.tr", "gen.tr",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "co.kr", "or.kr", "go.kr", "ac.kr",
+    "com.sg", "com.hk", "com.tw", "co.th", "com.my", "co.id",
+    "com.vn", "com.eg", "co.il", "org.il", "com.sa", "com.pk",
+    "com.ph", "com.ua", "gov.ua", "com.pl", "com.ru", "com.co",
+    "com.pe", "com.ve", "com.ec", "com.uy", "com.do", "com.gt",
+    "com.ng", "co.ke", "com.gh",
+)
+
+
+def _last_labels(host: Column, n: int) -> Column:
+    pat = r"([^.]+" + r"\.[^.]+" * (n - 1) + r")$"
+    return F.regexp_extract(host, pat, 1)
+
+
 def faup_tld(u: ColumnOrName) -> Column:
     host = faup_host(u)
-    return F.regexp_extract(host, r"\.([^.]+)$", 1)
+    last2 = _last_labels(host, 2)
+    return F.when(last2.isin(*_SLD_SUFFIXES), last2) \
+            .otherwise(F.regexp_extract(host, r"\.([^.]+)$", 1))
 
 
 def faup_domain(u: ColumnOrName) -> Column:
     host = faup_host(u)
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    last2 = _last_labels(host, 2)
+    return F.when(last2.isin(*_SLD_SUFFIXES), _last_labels(host, 3)) \
+            .otherwise(last2)
 
 
 def faup_domain_without_tld(u: ColumnOrName) -> Column:
@@ -58,19 +94,48 @@ def faup_subdomain(u: ColumnOrName) -> Column:
     ).otherwise(F.lit(""))
 
 
+def faup_resource_path(u: ColumnOrName) -> Column:
+    """Path component, leading '/' kept (ffaup resource_path —
+    golden tests/rscript_faup_resource_path.sh)."""
+    return F.coalesce(F.parse_url(_url(u), F.lit("PATH")), F.lit(""))
+
+
+def faup_query_string(u: ColumnOrName) -> Column:
+    """Query INCLUDING the leading '?' (ffaup semantics — golden
+    tests/rscript_faup_query_string.sh expects '?param=value')."""
+    q = F.parse_url(_url(u), F.lit("QUERY"))
+    return F.when(q.isNotNull(), F.concat(F.lit("?"), q)) \
+            .otherwise(F.lit(""))
+
+
+def faup_fragment(u: ColumnOrName) -> Column:
+    """Fragment INCLUDING the leading '#' (ffaup semantics — golden
+    tests/rscript_faup_fragment.sh expects '#faup')."""
+    r = F.parse_url(_url(u), F.lit("REF"))
+    return F.when(r.isNotNull(), F.concat(F.lit("#"), r)) \
+            .otherwise(F.lit(""))
+
+
 def faup(u: ColumnOrName) -> Column:
-    """faup(url) → JSON object with all decomposed parts (the reference
-    returns a JSON container)."""
+    """faup(url) → JSON object with all decomposed parts, key order
+    and fields exactly ffaup's faup() container (ffaup.c:306-315;
+    byte-exact render golden tests/rscript_faup_all{,_2,_empty}.sh
+    via the json-c spaced variable render)."""
+    def s(c):
+        return F.coalesce(c, F.lit(""))
     return F.to_json(
         F.struct(
-            faup_scheme(u).alias("scheme"),
-            F.coalesce(faup_credential(u), F.lit("")).alias("credential"),
-            faup_subdomain(u).alias("subdomain"),
-            faup_domain(u).alias("domain"),
-            faup_domain_without_tld(u).alias("domain_without_tld"),
-            F.coalesce(faup_host(u), F.lit("")).alias("host"),
-            faup_tld(u).alias("tld"),
-            faup_port(u).alias("port"),
+            s(faup_scheme(u)).alias("scheme"),
+            s(faup_credential(u)).alias("credential"),
+            s(faup_subdomain(u)).alias("subdomain"),
+            s(faup_domain(u)).alias("domain"),
+            s(faup_domain_without_tld(u)).alias("domain_without_tld"),
+            s(faup_host(u)).alias("host"),
+            s(faup_tld(u)).alias("tld"),
+            s(faup_port(u)).alias("port"),
+            s(faup_resource_path(u)).alias("resource_path"),
+            s(faup_query_string(u)).alias("query_string"),
+            s(faup_fragment(u)).alias("fragment"),
         )
     )
 
