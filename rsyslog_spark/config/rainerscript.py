@@ -46,7 +46,8 @@ from pyspark.sql import functions as F
 
 import rsyslog_spark.functions as rf
 from rsyslog_spark.expr import prifilt as prifilt_col
-from rsyslog_spark.expr import rs_cmp, rs_concat, rs_div, rs_mod, rs_str
+from rsyslog_spark.expr import (rs_add, rs_cmp, rs_concat, rs_div,
+    rs_mod, rs_mul, rs_neg, rs_str, rs_sub)
 from rsyslog_spark.plans.ruleset import (
     Action, Call, CallIndirect, Foreach, If, PriFilt, PropFilt, Ruleset,
     Set, Stop, Transform, Unset, varname,
@@ -1094,7 +1095,7 @@ _FN_MAP: dict[str, Callable[..., Column]] = {
     "re_extract": rf.re_extract, "re_extract_i": rf.re_extract_i,
     "substring": rf.substring, "int2hex": rf.int2hex,
     "ipv42num": rf.ipv42num, "num2ipv4": rf.num2ipv4,
-    "is_in_subnet": rf.is_in_subnet,
+    "is_in_subnet": lambda ip, cidr: rf.is_in_subnet(ip, cidr).cast("long"),  # number 0/1 in RainerScript
     "b64_decode": rf.b64_decode,
     "format_time": rf.format_time, "parse_time": rf.parse_time,
     "is_time": rf.is_time,
@@ -1219,8 +1220,11 @@ def _to_col(ast, df: DataFrame | None = None,
         return rs_concat(_to_col(ast[1], df, tables, templates),
                          _to_col(ast[2], df, tables, templates))
     if kind in ("+", "-", "*"):
+        # rs_* coercion, not raw Column arithmetic: a non-numeric
+        # string operand reads as 0 (var2Number; golden
+        # rscript_str2num_empty.sh: 1+"" == 1, ANSI cast would throw)
         l, r = _to_col(ast[1], df, tables, templates), _to_col(ast[2], df, tables, templates)
-        return {"+": l + r, "-": l - r, "*": l * r}[kind]
+        return {"+": rs_add, "-": rs_sub, "*": rs_mul}[kind](l, r)
     if kind == "/":
         return rs_div(_to_col(ast[1], df, tables, templates),
                       _to_col(ast[2], df, tables, templates))
@@ -1228,7 +1232,7 @@ def _to_col(ast, df: DataFrame | None = None,
         return rs_mod(_to_col(ast[1], df, tables, templates),
                       _to_col(ast[2], df, tables, templates))
     if kind == "neg":
-        return -_to_col(ast[1], df, tables, templates)
+        return rs_neg(_to_col(ast[1], df, tables, templates))
     if kind == "callfn":
         _, name, args = ast
         if name == "lookup":

@@ -124,8 +124,13 @@ def field(s: ColumnOrName, delim: int | str, n: int) -> Column:
 
 
 def split_fn(s: ColumnOrName, delim: int | str) -> Column:
-    """split() → array, consumed by foreach/explode (ref rs-split.rst)."""
-    return F.split(rs_str(s), _re.escape(_delim_str(delim)), -1)
+    """split() → array, consumed by foreach/explode (ref
+    rs-split.rst). Empty separator → EMPTY array, not per-char split
+    (golden rscript_split.sh case 7: split("abc","") == [ ])."""
+    d = _delim_str(delim)
+    if d == "":
+        return F.array().cast("array<string>")
+    return F.split(rs_str(s), _re.escape(d), -1)
 
 
 def replace(s: ColumnOrName, find: str | Column, repl: str | Column) -> Column:
@@ -135,14 +140,19 @@ def replace(s: ColumnOrName, find: str | Column, repl: str | Column) -> Column:
     return F.replace(rs_str(s), find_c, repl_c)
 
 
-def wrap(s: ColumnOrName, wrapper: str, escape: str | None = None) -> Column:
-    """wrap(str, wrapper[, escape]): quote a string; occurrences of the
-    wrapper inside are replaced with ``escape`` when given
-    (ref: doc/source/rainerscript/functions/rs-wrap.rst)."""
+def wrap(s: ColumnOrName, wrapper: str | Column,
+         escape: str | Column | None = None) -> Column:
+    """wrap(str, wrapper[, escape]): quote a string; occurrences of
+    the wrapper inside are replaced with ``escape`` when given (ref:
+    doc/source/rainerscript/functions/rs-wrap.rst; goldens
+    rscript_wrap{2,3}.sh — both accept expression-valued wrapper/
+    escape args, e.g. wrap(..., "bc" & "def" & "bc", "ES" & "C"))."""
+    wrap_c = wrapper if isinstance(wrapper, Column) else F.lit(wrapper)
     inner = rs_str(s)
     if escape is not None:
-        inner = F.replace(inner, F.lit(wrapper), F.lit(escape))
-    return F.concat(F.lit(wrapper), inner, F.lit(wrapper))
+        esc_c = escape if isinstance(escape, Column) else F.lit(escape)
+        inner = F.replace(inner, wrap_c, esc_c)
+    return F.concat(wrap_c, inner, wrap_c)
 
 
 def getenv_fn(name: str, default: str = "") -> Column:

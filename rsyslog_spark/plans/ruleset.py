@@ -344,6 +344,21 @@ class _Compiler:
         return out.drop(*[c for c in out.columns
                           if c.startswith("__fe_")])
 
+    def _snap_cond(self, cond: Column) -> Column:
+        """Freeze a branch condition as a materialized boolean
+        column (``__fe_if*`` — swept with the other bookkeeping
+        columns). Branch bodies mutate ``self.df`` with gated
+        ``withColumn``s; an unresolved condition re-resolved after
+        that would (a) inline the mutated trees into itself — tree
+        size doubles per nested if, analyzer OOM on deep set/unset
+        chains — and (b) evaluate on POST-branch values, while the
+        reference evaluates each condition once on entry
+        (ruleset.c script execution order)."""
+        self._fe_ctr += 1
+        name = f"__fe_if{self._fe_ctr}"
+        self.df = self.df.withColumn(name, cond)
+        return F.col(name)
+
     # Executes stmts under `live`; returns the survivor predicate
     # (live minus rows that hit a Stop).
     def _exec(self, stmts: Sequence[Stmt], live: Column, depth: int) -> Column:
@@ -431,14 +446,27 @@ class _Compiler:
             elif isinstance(s, If):
                 cond = s.cond(self.df) if callable(s.cond) else s.cond
                 cond = F.coalesce(cond, F.lit(False))
+                # SNAPSHOT the condition as a materialized boolean
+                # column before running the branches. The branches
+                # mutate self.df via withColumn(when(live&cond,...)),
+                # and an unresolved `cond` re-resolved later (the
+                # else-branch `~cond`, or an enclosing live chain)
+                # would inline those mutated trees back into itself —
+                # exponential tree growth (analyzer OOM on the
+                # rscript_eq_var gauntlet) AND wrong semantics: the
+                # reference evaluates the condition ONCE on entry
+                # values (ruleset.c execIf), so a then-branch `set`
+                # must not flip which branch a row took.
+                cond = self._snap_cond(cond)
                 t = self._exec(s.then, live & cond, depth)
                 e = self._exec(s.orelse, live & ~cond, depth)
                 live = t | e
             elif isinstance(s, PriFilt):
-                t = self._exec(s.then, live & prifilt_col(s.spec), depth)
-                live = t | (live & ~prifilt_col(s.spec))
+                cond = self._snap_cond(prifilt_col(s.spec))
+                t = self._exec(s.then, live & cond, depth)
+                live = t | (live & ~cond)
             elif isinstance(s, PropFilt):
-                cond = _prop_cond(self.df, s)
+                cond = self._snap_cond(_prop_cond(self.df, s))
                 t = self._exec(s.then, live & cond, depth)
                 live = t | (live & ~cond)
             elif isinstance(s, Call):
@@ -466,7 +494,8 @@ class _Compiler:
                 for rname, target in self.rulesets.items():
                     if rname in self._stack:
                         continue
-                    sel = F.coalesce(nm == F.lit(rname), F.lit(False))
+                    sel = self._snap_cond(
+                        F.coalesce(nm == F.lit(rname), F.lit(False)))
                     matched_any = matched_any | sel
                     self._stack.append(rname)
                     out_live = out_live | self._exec(

@@ -184,7 +184,7 @@ def prop_col(name: str, df=None) -> Column:
         cols = set(df.columns)
         has_json = "json" in cols
         if flat in cols:
-            c = F.col(flat).cast("string")
+            c = _container_to_json(df, flat)
             return rvv(F.coalesce(c, tree) if has_json else c)
         sub = flat_json_prefix_read(path, df)
         if sub is not None:
@@ -209,7 +209,8 @@ def prop_col(name: str, df=None) -> Column:
             if sub is not None:
                 return render_var_value(sub)
             return F.lit(None).cast("string")
-        return render_var_value(F.col(local))
+        return render_var_value(_container_to_json(df, local)
+                                if df is not None else F.col(local))
     lo = name.lstrip("$").lower()
     if lo in ("procid", "msgid", "structured-data",
               "structured_data", "app-name", "app_name"):
@@ -239,6 +240,21 @@ def prop_col(name: str, df=None) -> Column:
         return _pri_text(lo)
     alias = _PROP_ALIASES.get(lo)
     return F.col(alias[0] if alias else name.lstrip("$"))
+
+
+def _container_to_json(df, colname: str) -> Column:
+    """Read a variable column for rendering: container-typed columns
+    (array/map/struct — e.g. split() results) serialize via to_json
+    so the json-c spaced re-render applies (golden rscript_split.sh:
+    '[ "a", "b" ]', not Spark's '[a, b]' toString); scalars cast."""
+    c = F.col(colname)
+    try:
+        tn = df.schema[colname].dataType.typeName()
+    except Exception:
+        tn = None
+    if tn in ("array", "map", "struct"):
+        return F.to_json(c)
+    return c.cast("string")
 
 
 def flat_json_prefix_read(path: str, df) -> Column | None:

@@ -157,7 +157,9 @@ ruleset(name="main") {
         assert red[0]["local_ft"].startswith("1970-01-01T00:00:00")
         assert int(red[0]["local_rt"]) == 0
         assert red[0]["local_env"] == "fallback"
-        assert red[0]["local_sub"] is True
+        # RainerScript is_in_subnet renders 0/1 numbers (golden
+        # rscript_is_in_subnet.sh EXPECTED)
+        assert int(red[0]["local_sub"]) == 1
         assert int(red[0]["local_h"]) == 0
         assert red[0]["local_g"] == "hi h1"
         assert red[0]["local_last"] == "one"   # foreach carry
