@@ -46,8 +46,8 @@ from pyspark.sql import functions as F
 
 import rsyslog_spark.functions as rf
 from rsyslog_spark.expr import prifilt as prifilt_col
-from rsyslog_spark.expr import (rs_add, rs_cmp, rs_concat, rs_div,
-    rs_mod, rs_mul, rs_neg, rs_str, rs_sub)
+from rsyslog_spark.expr import (qcol, rs_add, rs_cmp, rs_concat,
+    rs_div, rs_mod, rs_mul, rs_neg, rs_str, rs_sub)
 from rsyslog_spark.plans.ruleset import (
     Action, Call, CallIndirect, Foreach, If, PriFilt, PropFilt, Ruleset,
     Set, Stop, Transform, Unset, varname,
@@ -292,6 +292,40 @@ class _Parser:
     def _value(self, ast):
         self._scan_stats_calls(ast)
         return _value_fn(ast, self.tables, self.cfg.templates)
+
+    def _parse_json_set(self, retvar: str, expr) -> list:
+        """``set $.ret = parse_json(TEXT, CONTAINER)`` (ref: grammar/
+        rainerscript.c doFunc_parse_json:1868-1927): parse TEXT and
+        store the tree at CONTAINER, returning 0 (errno EOK); on a
+        failed parse return 1 (errno EINVAL) with CONTAINER
+        untouched. Splices into two Sets: the container store (per-row
+        no-op where the parse failed) then the numeric errcode, which
+        also records the script_error() expression."""
+        text_ast = expr[2][0]
+        container = str(expr[2][1][1])
+        if container.startswith(("!", ".")):
+            container = "$" + container
+        tables, templates = self.tables, self.cfg.templates
+
+        def _txt(d):
+            return rs_str(_to_col(text_ast, d, tables, templates))
+
+        def _store(d):
+            ok = F.try_parse_json(_txt(d)).isNotNull()
+            prev = _var_col(container, d)
+            return F.when(ok, _txt(d)).otherwise(prev)
+
+        def _err(d):
+            return F.when(F.try_parse_json(_txt(d)).isNotNull(),
+                          F.lit(0)).otherwise(F.lit(1))
+
+        def _ret(d):
+            from rsyslog_spark.plans.ruleset import set_script_errno
+            set_script_errno(_err)
+            return _err(d)
+
+        return [Set(container, _store, maybe_json=True),
+                Set(retvar, _ret)]
 
     def _scan_stats_calls(self, ast) -> None:
         """Record dyn_inc/percentile_observe call sites so the
@@ -659,7 +693,9 @@ class _Parser:
                 self.accept(";")
                 continue
             got = self.parse_stmt()
-            if got is not None:      # '&' continuations splice into
+            if isinstance(got, list):    # spliced compound (parse_json
+                out.extend(got)          # container-store + errcode)
+            elif got is not None:    # '&' continuations splice into
                 out.append(got)      # the previous filter
         return out
 
@@ -667,6 +703,8 @@ class _Parser:
         if self.accept("{"):
             return self.parse_stmts_until("}")
         got = self.parse_stmt()
+        if isinstance(got, list):
+            return got
         return [got] if got is not None else []
 
     def parse_stmt(self):
@@ -698,7 +736,13 @@ class _Parser:
             self.expect("=")
             expr = self.parse_expr()
             self.accept(";")
-            return Set(var.text, self._value(expr))
+            if (isinstance(expr, tuple) and expr[0] == "callfn"
+                    and expr[1] == "parse_json" and len(expr[2]) == 2
+                    and expr[2][1][0] == "lit"):
+                return self._parse_json_set(var.text, expr)
+            mj = (isinstance(expr, tuple) and expr[0] == "var"
+                  and str(expr[1]).startswith(("$!", "$.")))
+            return Set(var.text, self._value(expr), maybe_json=mj)
         if t.text == "unset":
             self.next()
             var = self.next()
@@ -1025,7 +1069,7 @@ def _var_col(name: str, df: DataFrame | None = None) -> Column:
             return rf.tree_get("json", name)
         has_json = "json" in cols
         if flat in cols:
-            c = F.col(flat).cast("string")
+            c = qcol(flat).cast("string")
             return F.coalesce(c, rf.tree_get("json", name)) \
                 if has_json else c
         # deep read INTO a flat JSON-subtree column (rs_json column
@@ -1061,8 +1105,16 @@ def _var_col(name: str, df: DataFrame | None = None) -> Column:
         sub = _local_prefix_read(name, df)
         if sub is not None:
             return sub
+        # subtree with SET children but no own column ('set $.x!a'
+        # then a read of $.x): reassemble from the $. tree, like the
+        # $!-side branch (golden rscript_unflatten_conflict2.sh
+        # 'set $!a.b = $.x')
+        if any(c.startswith(flat + "_") for c in df.columns):
+            from rsyslog_spark.templates import _local_tree_json
+            return rf.tree_get(_local_tree_json(df),
+                               "$!" + name[2:])
         return F.lit(None).cast("string")
-    return F.col(flat)
+    return qcol(flat)
 
 
 def _local_prefix_read(name: str, df: DataFrame):
@@ -1076,7 +1128,7 @@ def _local_prefix_read(name: str, df: DataFrame):
     for k in range(len(segs) - 1, -1, -1):
         p = varname("$." + "!".join(segs[:k]))
         if p in df.columns:
-            return rf.json_get(F.col(p).cast("string"),
+            return rf.json_get(qcol(p).cast("string"),
                                "$!" + "!".join(segs[k:]))
     return None
 
@@ -1259,10 +1311,38 @@ def _to_col(ast, df: DataFrame | None = None,
             from rsyslog_spark.templates import prop_col
             return rs_str(prop_col(str(args[1][1])))
         if name == "script_error":
-            # engine functions return values, not errno (documented
-            # divergence — SURVEY §2.5 companion-_err convention);
-            # error branches never fire
-            return F.lit(0)
+            # errno of the last fallible function call this run
+            # (ref: rainerscript.c doFunc_script_error reading the
+            # per-message wti errno): unflatten/parse_json call
+            # sites record a row-level errno expression; reads
+            # before any fallible call see 0
+            from rsyslog_spark.plans.ruleset import script_errno_col
+            return script_errno_col(df)
+        if name == "unflatten":
+            # fmunflatten (ref: contrib/fmunflatten/fmunflatten.c
+            # doFunc_unflatten:148-198): arg2 must be a single char
+            # (string) or its decimal charcode — anything else is an
+            # error return of NUMBER 0 with script_error()=1, src
+            # untouched; NULL/unset src likewise. Valid object src
+            # unflattens deeply; non-object src passes through.
+            from rsyslog_spark.plans.ruleset import set_script_errno
+            delim = None
+            if len(args) > 1 and args[1][0] == "lit":
+                v = args[1][1]
+                if isinstance(v, str) and len(v) == 1:
+                    delim = v
+                elif isinstance(v, (int, float)) and 0 < int(v) < 256:
+                    delim = chr(int(v))
+            if delim is None:
+                set_script_errno(lambda d: F.lit(1))
+                return F.lit(0)
+            def _unf(d, a=args[0], dl=delim):
+                return rf.unflatten(
+                    _to_col(a, d, tables, templates), dl)
+            set_script_errno(
+                lambda d: F.when(_unf(d).isNull(), F.lit(1))
+                .otherwise(F.lit(0)))
+            return F.coalesce(_unf(df), F.lit("0"))
         if name == "previous_action_suspended":
             # sink health is engine-level (failover_sink); row-level
             # expression form reads 'not suspended'

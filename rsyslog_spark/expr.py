@@ -50,6 +50,13 @@ def rs_str(x: ColumnOrName | int) -> Column:
     return F.coalesce(_c(x).cast("string"), F.lit(""))
 
 
+def qcol(name: str) -> Column:
+    """Column ref by LITERAL name: backtick-quoted so variable
+    columns whose flat name contains dots ('set $!a.b.c' →
+    ``cee_a.b.c``) don't parse as struct-field access."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def rs_bool(x: ColumnOrName | int) -> Column:
     """RainerScript truthiness: nonzero number is true (cbool rules)."""
     return rs_num(x) != 0

@@ -104,9 +104,63 @@ def append_json(dst_json: ColumnOrName, src_json: ColumnOrName) -> Column:
     return F.to_json(merged)
 
 
+#: fmunflatten segment buffer: 256-byte kbuf holds 255 chars + NUL
+#: (ref: contrib/fmunflatten/fmunflatten.c:39 FMUNFLATTEN_KBUFLEN)
+_UNFLATTEN_SEG_MAX = 255
+
+
+def _unflatten_add(dst: dict, key: str, value, delim: str) -> None:
+    """One flat key into the nested tree (ref: fmunflatten.c:56-132
+    unflatten_add): segments >255 chars truncate; a non-object node
+    in the way is DELETED and re-added (key moves to end of object
+    order, like json_object_object_del + _add); object values
+    recurse so nested trees unflatten too."""
+    p = 0
+    while True:
+        q = key.find(delim, p)
+        seg = key[p:] if q < 0 else key[p:q]
+        if len(seg) > _UNFLATTEN_SEG_MAX:
+            seg = seg[:_UNFLATTEN_SEG_MAX]
+        exists = seg in dst
+        if q >= 0:  # intermediate node
+            o = dst.get(seg)
+            if exists and isinstance(o, dict):
+                pass
+            else:
+                if exists:          # override: del + add, key → end
+                    del dst[seg]
+                o = {}
+                dst[seg] = o
+            dst = o
+            p = q + 1
+        else:  # final node
+            if isinstance(value, dict):
+                o = dst.get(seg)
+                if not (exists and isinstance(o, dict)):
+                    if exists:
+                        del dst[seg]
+                    o = {}
+                    dst[seg] = o
+                _unflatten_obj(value, o, delim)
+            else:
+                if exists:
+                    del dst[seg]
+                dst[seg] = value
+            return
+
+
+def _unflatten_obj(src: dict, dst: dict, delim: str) -> None:
+    for k, v in src.items():
+        _unflatten_add(dst, str(k), v, delim)
+
+
 def unflatten(json_col: ColumnOrName, sep: str = ".") -> Column:
-    """fmunflatten: dotted keys → nested objects (ref:
-    contrib/fmunflatten/fmunflatten.c:206-209).
+    """fmunflatten unflatten(src, delim) (ref: contrib/fmunflatten/
+    fmunflatten.c:148-198): NULL/unset src → NULL (the caller maps
+    that to the reference's number-0-with-script_error return); a
+    JSON *object* unflattens deeply; any other non-null value — JSON
+    scalar or plain text — passes through verbatim (the reference
+    deep-copies non-object json values, errno OK).
 
     Python implementation over Arrow batches (pandas_udf) — this is a
     config-rare operator, not a hot-path one; flagged as the UDF
@@ -119,25 +173,20 @@ def unflatten(json_col: ColumnOrName, sep: str = ".") -> Column:
 
     def _unflatten_series(s):
         def one(txt):
-            if txt is None:
+            if not txt:
+                # NULL/empty tree root ≡ the reference's never-
+                # touched $! (datatype not 'J' → EINVAL return)
                 return None
-            try:
-                flat = _json.loads(txt)
-            except ValueError:
-                return None
+            flat = None
+            if txt[:1] == "{":
+                try:
+                    flat = _json.loads(txt)
+                except ValueError:
+                    flat = None
             if not isinstance(flat, dict):
                 return txt
             root: dict = {}
-            for k, v in flat.items():
-                parts = str(k).split(sep)
-                cur = root
-                for p in parts[:-1]:
-                    nxt = cur.get(p)
-                    if not isinstance(nxt, dict):
-                        nxt = {}
-                        cur[p] = nxt
-                    cur = nxt
-                cur[parts[-1]] = v
+            _unflatten_obj(flat, root, sep)
             return _json.dumps(root, separators=(",", ":"))
 
         return s.map(one)

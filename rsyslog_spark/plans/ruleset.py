@@ -50,6 +50,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rsyslog_spark.expr import prifilt as prifilt_col
+from rsyslog_spark.expr import qcol
 
 MAX_CALL_DEPTH = 10  # ref: runtime/ruleset.c:222 (call depth limit)
 
@@ -80,6 +81,26 @@ def resolve_global(name: str, df: DataFrame) -> Column:
     if stored is not None:
         return stored(df) if callable(stored) else stored
     return F.lit(None).cast("string")
+
+
+# Per-run script errno (ref: runtime/wti.c wtiSetScriptErrno /
+# wtiGetScriptErrno; grammar/rainerscript.h:373-375 RS_SCRIPT_EOK /
+# RS_SCRIPT_EINVAL): fallible function call sites (unflatten,
+# parse_json) record a df→Column closure here as they compile; a
+# later script_error() in the same run reads it. Row-level, like the
+# reference's per-message wti errno. Reset at each ruleset run.
+_SCRIPT_ERRNO: list = [None]
+
+
+def set_script_errno(fn: Callable[[DataFrame], Column] | None) -> None:
+    _SCRIPT_ERRNO[0] = fn
+
+
+def script_errno_col(df: DataFrame) -> Column:
+    """script_error() (ref: rainerscript.c doFunc_script_error):
+    errno of the last fallible function call, 0 before any."""
+    fn = _SCRIPT_ERRNO[0]
+    return F.lit(0) if fn is None else fn(df)
 
 
 #: reference default: variable names compare case-INSENSITIVELY
@@ -134,9 +155,16 @@ def varname(name: str) -> str:
 
 @dataclass
 class Set:
-    """set $.x = EXPR; — conditional column assignment."""
+    """set $.x = EXPR; — conditional column assignment.
+
+    ``maybe_json``: the parser marks Sets whose RHS is a bare
+    tree-variable read ('set $!a.b = $.x') — the stored string may be
+    a whole JSON subtree, and the $!-tree renderers splice it raw
+    when it parses as an object/array (the reference deep-copies the
+    json NODE — runtime/msg.c msgAddJSON)."""
     name: str
     value: Union[Column, Callable[[DataFrame], Column]]
+    maybe_json: bool = False
 
 
 @dataclass
@@ -337,6 +365,7 @@ class _Compiler:
     def run(self, rs: Ruleset, df: DataFrame) -> DataFrame:
         self.df = df
         self._stack = [rs.name]
+        set_script_errno(None)   # errno starts EOK each run
         live = self._exec(rs.stmts, F.lit(True), depth=0)
         # rows surviving the whole ruleset (not stopped); internal
         # bookkeeping columns (__fe_*) never leave the engine
@@ -397,16 +426,28 @@ class _Compiler:
             if isinstance(s, Set):
                 v = s.value(self.df) if callable(s.value) else s.value
                 name = varname(s.name)
-                prev = F.col(name) if name in self.df.columns else F.lit(None)
+                prev = qcol(name) if name in self.df.columns else F.lit(None)
                 self.df = self.df.withColumn(name, F.when(live, v).otherwise(prev))
-                if s.name.startswith("$!"):
+                if s.name.startswith(("$!", "$.")) \
+                        and s.name not in ("$!", "$."):
                     # record the deep path (case-folded, so renders
                     # and reads agree) — varname's '!'->'_'
-                    # flattening is lossy, and the $!-tree renderers
-                    # (%$!%, %jsonmesg%) rebuild nesting from this
-                    # metadata (templates._set_tree_json)
-                    self.df = self.df.withMetadata(
-                        name, {"rs_path": fold_var(s.name)})
+                    # flattening is lossy, and the tree renderers
+                    # (%$!%, %$.%, %jsonmesg%) rebuild nesting from
+                    # this metadata (templates._set_tree_json /
+                    # _local_tree_json)
+                    meta = {"rs_path": fold_var(s.name)}
+                    if s.maybe_json and \
+                            self.df.schema[name].dataType.typeName() \
+                            == "string":
+                        # RHS was a tree-var read: the string may be
+                        # a JSON subtree — renderers splice it raw
+                        # when it parses (msg.c msgAddJSON node copy)
+                        meta["rs_json_maybe"] = True
+                    # not withMetadata: it parses dotted names
+                    # ('cee_a.b.c') as nested-field paths
+                    self.df = self.df.withColumn(
+                        name, qcol(name).alias(name, metadata=meta))
                 if s.name.startswith("$/"):
                     # persist for later runs/batches (plan-time store)
                     GLOBAL_VARS[name] = s.value
@@ -416,7 +457,7 @@ class _Compiler:
                     GLOBAL_VARS.pop(name, None)
                 if name in self.df.columns:
                     self.df = self.df.withColumn(
-                        name, F.when(live, F.lit(None)).otherwise(F.col(name))
+                        name, F.when(live, F.lit(None)).otherwise(qcol(name))
                     )
                 if s.name.startswith("$!") and "json" in self.df.columns:
                     # $! vars also live in the message JSON tree: a

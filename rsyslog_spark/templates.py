@@ -15,7 +15,7 @@ from dataclasses import dataclass, field as dc_field
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from rsyslog_spark.expr import ColumnOrName, _c, rs_str
+from rsyslog_spark.expr import ColumnOrName, _c, qcol, rs_str
 
 
 # ---------------------------------------------------------------------------
@@ -208,6 +208,10 @@ def prop_col(name: str, df=None) -> Column:
             sub = _local_prefix_read(lname, df)
             if sub is not None:
                 return render_var_value(sub)
+            if any(c.startswith(local + "_") for c in df.columns):
+                from rsyslog_spark.functions.json_fns import tree_get
+                return render_var_value(
+                    tree_get(_local_tree_json(df), "$!" + lname[2:]))
             return F.lit(None).cast("string")
         return render_var_value(_container_to_json(df, local)
                                 if df is not None else F.col(local))
@@ -247,7 +251,7 @@ def _container_to_json(df, colname: str) -> Column:
     (array/map/struct — e.g. split() results) serialize via to_json
     so the json-c spaced re-render applies (golden rscript_split.sh:
     '[ "a", "b" ]', not Spark's '[a, b]' toString); scalars cast."""
-    c = F.col(colname)
+    c = qcol(colname)
     try:
         tn = df.schema[colname].dataType.typeName()
     except Exception:
@@ -275,7 +279,7 @@ def flat_json_prefix_read(path: str, df) -> Column | None:
             rest = "$!" + "!".join(segs[k:])
             # tree_get: the subtree read honors the same fjson
             # case-insensitive comparison as the main $! tree
-            return json_fns.tree_get(F.col(pflat).cast("string"),
+            return json_fns.tree_get(qcol(pflat).cast("string"),
                                      rest)
         break
     return None
@@ -306,12 +310,7 @@ def _set_tree_json(df) -> Column | None:
                 nxt = {}
                 node[seg] = nxt
             node = nxt
-        leaf = F.col(fld.name)
-        if meta.get("rs_json"):
-            # the column holds a JSON SUBTREE (mmpstrucdata etc.) —
-            # splice it raw, not as a quoted string
-            leaf = F.try_parse_json(leaf.cast("string"))
-        node[segs[-1]] = leaf
+        node[segs[-1]] = _tree_leaf(qcol(fld.name), meta)
 
     if not root:
         return None
@@ -326,20 +325,59 @@ def _set_tree_json(df) -> Column | None:
     return F.to_json(build(root))
 
 
+def _tree_leaf(leaf: Column, meta: dict) -> Column:
+    """A flat variable column as a JSON tree leaf. ``rs_json``
+    columns hold a guaranteed JSON subtree (mmpstrucdata etc.) —
+    splice raw. ``rs_json_maybe`` columns (Set from a tree-var read)
+    splice raw only when the text actually parses as an
+    object/array, else embed as a JSON string (same gate and
+    documented divergence as render_var_value: a string whose text
+    is itself valid JSON re-renders as the tree)."""
+    if meta.get("rs_json"):
+        return F.try_parse_json(leaf.cast("string"))
+    if meta.get("rs_json_maybe"):
+        s = leaf.cast("string")
+        istree = (F.substring(s, 1, 1).isin("{", "[")
+                  & F.try_parse_json(s).isNotNull())
+        quoted = F.concat(F.lit('"'), json_escape(s), F.lit('"'))
+        return F.try_parse_json(F.when(istree, s).otherwise(quoted))
+    return leaf
+
+
 def _local_tree_json(df=None) -> Column:
     """The whole ``$.`` tree as JSON text: flat ``local_*`` columns
     rebuilt into one object (NULL leaves drop out; no columns → NULL,
-    which renders empty). A ``local__root`` holder (written by
-    ``set $. = <tree>``) merges under the flat values."""
+    which renders empty). Deep paths (``set $.x!a``) nest via the
+    ``rs_path`` metadata Set records, like _set_tree_json. A
+    ``local__root`` holder (written by ``set $. = <tree>``) merges
+    under the flat values."""
     if df is None:
         return F.lit(None).cast("string")
-    fields = []
+    root: dict = {}
     for fld in df.schema.fields:
         if not fld.name.startswith("local_") \
                 or fld.name == "local__root":
             continue
-        fields.append(F.col(fld.name).alias(fld.name[len("local_"):]))
-    built = F.to_json(F.struct(*fields)) if fields else None
+        meta = fld.metadata or {}
+        path = meta.get("rs_path") or ("$." + fld.name[len("local_"):])
+        segs = [s for s in path[2:].split("!") if s]
+        if not segs:
+            continue
+        node = root
+        for seg in segs[:-1]:
+            nxt = node.get(seg)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                node[seg] = nxt
+            node = nxt
+        node[segs[-1]] = _tree_leaf(qcol(fld.name), meta)
+
+    def build(node: dict) -> Column:
+        return F.struct(*[
+            (build(v) if isinstance(v, dict) else v).alias(k)
+            for k, v in node.items()])
+
+    built = F.to_json(build(root)) if root else None
     root = (F.col("local__root").cast("string")
             if "local__root" in df.columns else None)
     if built is None and root is None:
