@@ -546,6 +546,13 @@ class _Parser:
             self._splice_include({"file": raw})
         elif name == "ruleset":
             self._legacy_rs = raw
+        elif name == "rulesetparser":
+            # $RulesetParser NAME — bind a parser() instance to the
+            # CURRENT ruleset (ref: runtime/ruleset.c
+            # rulesetSetParser; golden
+            # hostname-with-slash-pmrfc3164.sh)
+            self.cfg.ruleset_params.setdefault(
+                self._legacy_rs, {})["parser"] = raw.strip()
         elif name in ("actionfiledefaulttemplate",
                       "actionforwarddefaulttemplate"):
             self.cfg.directives[name] = raw

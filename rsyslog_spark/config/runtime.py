@@ -716,6 +716,15 @@ def _ruleset_parser_chain(cfg: ParsedConfig, ruleset: str) -> tuple:
     pname = (cfg.ruleset_params.get(ruleset) or {}).get("parser")
     if not pname:
         return ("pmrfc5424", "pmrfc3164")
+    # built-in parser names bind without a parser() object (ref:
+    # parser.c default parser registry; golden
+    # hostname-with-slash-pmrfc5424.sh '$rulesetparser
+    # rsyslog.rfc5424')
+    builtin = {"rsyslog.rfc5424": ("pmrfc5424",),
+               "rsyslog.rfc3164": ("pmrfc3164",),
+               "rsyslog.pmnull": ("pmnull",)}.get(pname.lower())
+    if builtin:
+        return builtin
     types = [p.get("type") for p in cfg.objects.get("parser", [])
              if p.get("name") == pname]
     known = tuple(t for t in types

@@ -235,11 +235,13 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         F.try_to_timestamp(p5(2), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
         F.try_to_timestamp(p5(2), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
     )
+    # protocol-1 TAG emulation: "app[procid]" / bare "app" on NIL
+    # PROCID — no trailing colon (ref: runtime/msg.c
+    # tryEmulateTAG:2337-2345; golden contains-longer-needle.sh)
     syslogtag5 = F.concat(
         F.coalesce(p5(4), F.lit("-")),
         F.when(p5(5).isNotNull(),
                F.concat(F.lit("["), p5(5), F.lit("]"))).otherwise(F.lit("")),
-        F.lit(":"),
     )
     tok = F.col("__tok")
     after3 = F.col("__aft")

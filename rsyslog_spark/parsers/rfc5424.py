@@ -50,12 +50,14 @@ def rfc5424_fields(line) -> Column:
         F.try_to_timestamp(ts, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
         F.try_to_timestamp(ts, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
     )
-    # syslogtag compat: "app[procid]:" like the reference synthesizes
+    # syslogtag emulation: "app[procid]" / bare "app" when PROCID is
+    # NIL — NO trailing colon for protocol-1 messages (ref:
+    # runtime/msg.c tryEmulateTAG:2337-2345; golden
+    # contains-longer-needle.sh '$syslogtag == "app"')
     syslogtag = F.concat(
         F.coalesce(app_name, F.lit("-")),
         F.when(procid.isNotNull(), F.concat(F.lit("["), procid, F.lit("]")))
         .otherwise(F.lit("")),
-        F.lit(":"),
     )
     return F.struct(
         pri.alias("pri"),

@@ -203,6 +203,60 @@ def immark(
     )
 
 
+#: split.json.records fan-out ceiling (ref: plugins/imkafka/
+#: imkafka.c:175 IMKAFKA_MAX_JSON_SPLIT_RECORDS)
+_MAX_JSON_SPLIT_RECORDS = 10000
+
+
+def split_json_records(df: DataFrame, line_col: str = "line",
+                       ts_col: str = "timegenerated") -> DataFrame:
+    """imkafka ``split.json.records="on"`` (ref: plugins/imkafka/
+    imkafka.c splitJsonRecords:446-556): a payload shaped
+    ``{"records":[...]}`` fans out to one message per element, each
+    re-serialized compactly; everything else — unparseable JSON, no
+    ``records`` key, non-array, empty array, >10000 elements, or all
+    elements JSON-null — forwards as-is. Null elements are skipped
+    (the reference's NULL-pointer continue). A record's ``time`` key
+    (ISO 8601, fractional seconds dropped — the reference's strptime
+    stops at '.') becomes the message reception time.
+
+    Pure Column transform (variant parse + explode), shared by the
+    streaming imkafka frame and batch tests. Divergence (documented):
+    variant re-serialization sorts object keys, where fjson keeps
+    insertion order — same JSON value, different byte order.
+    """
+    recs = F.from_json(F.get_json_object(F.col(line_col), "$.records"),
+                       "array<variant>")
+    ok = (recs.isNotNull() & (F.size(recs) > 0)
+          & (F.size(recs) <= _MAX_JSON_SPLIT_RECORDS)
+          & F.exists(recs, lambda e: e.isNotNull()
+                     & ~F.is_variant_null(e)))
+    el = "__kjs_el"
+    ok_c = "__kjs_ok"
+    out = (df.withColumn(ok_c, ok)
+           .withColumn(el, F.explode(
+               F.when(F.col(ok_c), recs)
+               .otherwise(F.array(F.lit(None).cast("variant")))))
+           .filter(~F.col(ok_c)
+                   | (F.col(el).isNotNull()
+                      & ~F.is_variant_null(F.col(el)))))
+    rec_ts = F.try_to_timestamp(
+        F.regexp_extract(
+            F.try_variant_get(F.col(el), "$.time", "string"),
+            r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})", 1),
+        F.lit("yyyy-MM-dd'T'HH:mm:ss"))
+    out = out.withColumn(
+        line_col,
+        F.when(F.col(ok_c), F.to_json(F.col(el)))
+        .otherwise(F.col(line_col)))
+    if ts_col in df.columns:
+        out = out.withColumn(
+            ts_col, F.when(F.col(ok_c),
+                           F.coalesce(rec_ts, F.col(ts_col)))
+            .otherwise(F.col(ts_col)))
+    return out.drop(ok_c, el)
+
+
 def imkafka(
     spark: SparkSession,
     brokers: str,
@@ -210,9 +264,12 @@ def imkafka(
     *,
     max_offsets_per_trigger: int | None = None,
     starting_offsets: str = "latest",
+    split_json: bool = False,
 ) -> DataFrame:
     """Kafka consumer (ref: plugins/imkafka/imkafka.c). Value bytes →
-    ``line``; key/partition/offset kept for at-least-once bookkeeping."""
+    ``line``; key/partition/offset kept for at-least-once bookkeeping.
+    ``split_json``: the split.json.records batch fan-out (see
+    split_json_records)."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
@@ -221,13 +278,14 @@ def imkafka(
     )
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    return reader.load().select(
+    out = reader.load().select(
         F.col("value").cast("string").alias("line"),
         F.col("key").cast("string").alias("kafka_key"),
         "topic", "partition", "offset",
         F.col("timestamp").alias("timegenerated"),
         F.lit("imkafka").alias("inputname"),
     )
+    return split_json_records(out) if split_json else out
 
 
 def imtcp_socket_source(spark: SparkSession, host: str,

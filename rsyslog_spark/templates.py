@@ -215,6 +215,15 @@ def prop_col(name: str, df=None) -> Column:
             return F.lit(None).cast("string")
         return render_var_value(_container_to_json(df, local)
                                 if df is not None else F.col(local))
+    if name.startswith(("$/", "/")):
+        # $/ global variable render (golden json_var_cmpr.sh
+        # 'global prop:%$/val%')
+        from rsyslog_spark.functions.json_fns import render_var_value
+        from rsyslog_spark.plans.ruleset import resolve_global, varname
+        gname = "$/" + name.lstrip("$").lstrip("/")
+        if df is not None:
+            return render_var_value(resolve_global(gname, df))
+        return F.col(varname(gname))
     lo = name.lstrip("$").lower()
     if lo in ("procid", "msgid", "structured-data",
               "structured_data", "app-name", "app_name"):

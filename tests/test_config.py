@@ -1225,7 +1225,10 @@ class TestStockTemplates:
         row = df.select(*cols.values()).first()
         assert row["RSYSLOG_SyslogRFC5424Format"].startswith(
             "<34>1 2026-08-13T01:02:03")
-        assert "web01 app[7]:" in row["RSYSLOG_SysklogdFileFormat"]
+        # protocol-1 TAG emulation has no trailing colon (msg.c
+        # tryEmulateTAG); sp-if-no-1st-sp supplies the separator
+        assert "web01 app[7] disk error" in \
+            row["RSYSLOG_SysklogdFileFormat"]
         assert row["RSYSLOG_WallFmt"].startswith(
             "\r\n\x07Message from syslogd@web01")
         assert '"message":"disk error"' in row["RSYSLOG_StdJSONFmt"]

@@ -1,0 +1,169 @@
+"""Byte-exact goldens from assorted unmined reference tests:
+json_null_array.sh, json_var_cmpr.sh, empty-prop-comparison.sh,
+contains-longer-needle.sh, json-omitifzero-subtree.sh,
+hostname-with-slash-{pmrfc3164,pmrfc5424}.sh. EXPECTED strings are
+copied verbatim from the reference scripts."""
+
+from __future__ import annotations
+
+import os
+
+from rsyslog_spark.config.runtime import run_config_batch
+
+
+def _run(spark, tmp_path, conf: str, lines: str, sub: str = "o") -> str:
+    src = tmp_path / f"in_{sub}.log"
+    src.write_text(lines)
+    conf = conf.replace("@OUT@", f"{tmp_path}/out_{sub}") \
+               .replace("@IN@", str(src))
+    run_config_batch(spark, conf)
+    d = tmp_path / f"out_{sub}"
+    if not d.exists():
+        return ""
+    return "".join(
+        open(d / p).read()
+        for p in sorted(os.listdir(d)) if p.startswith("part"))
+
+
+def test_json_null_array(spark, tmp_path):
+    """json_null_array.sh: foreach over a JSON array with null
+    elements — nulls are skipped (the reference reads them as "" and
+    the guard drops them), numbers iterate in order (seq_check 0 4)."""
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%$.data%\\n")
+ruleset(name="m") {
+  action(type="mmjsonparse")
+  foreach ($.data in $!array) do {
+    if not ($.data == "") then
+      action(type="omfile" file="@OUT@" template="outfmt")
+  }
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', '<167>Mar  6 16:57:54 172.20.245.8 test: @cee: '
+     '{ "array": [0, 1, null, 2, 3, null, 4] }\n')
+    assert out == "0\n1\n2\n3\n4\n"
+
+
+def test_json_var_cmpr(spark, tmp_path):
+    """json_var_cmpr.sh: $!, $., $/ variables compare and reassign
+    independently — content_check string copied verbatim."""
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string"
+  string="json prop:%$!val%  local prop:%$.val%  global prop:%$/val%\\n")
+ruleset(name="m") {
+  action(type="mmjsonparse")
+  set $.val = "123";
+  set $.rval = "123";
+  if ($.val == $.rval) then {
+    set $.val = "def";
+  }
+  set $/val = "123";
+  set $/rval = "123";
+  if ($/val == $/rval) then {
+    set $/val = "ghi";
+  }
+  action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', '<167>Nov  6 12:34:56 172.0.0.1 test: @cee: { "val": "abc" }\n',
+       sub="v")
+    assert out == "json prop:abc  local prop:def  global prop:ghi\n"
+
+
+def test_empty_prop_comparison(spark, tmp_path):
+    """empty-prop-comparison.sh: a $!var set to "" compares equal to
+    "" (stop); the matched message renders field 2 of msg split on
+    char 58 (':') — seq_check 0 0."""
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%msg:F,58:2%\\n")
+ruleset(name="m") {
+  set $!doOutput = "";
+  if $msg contains "msgnum:0" then
+    set $!doOutput = "1";
+  if $!doOutput == "" then stop
+  action(type="omfile" template="outfmt" file="@OUT@")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<167>Mar  6 16:57:54 172.20.245.8 test: msgnum:0\n"
+     "<167>Mar  6 16:57:54 172.20.245.8 test: msgnum:\n",
+       sub="e")
+    assert out == "0\n"
+
+
+def test_contains_longer_needle(spark, tmp_path):
+    """contains-longer-needle.sh: contains with a needle longer than
+    the message is simply false (no over-read); the tag compare
+    routes the message."""
+    conf = '''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {
+  if $msg contains "this-needle-is-clearly-longer-than-the-message-under-test" then {
+    action(type="omfile" template="outfmt" file="@OUT@_unexpected")
+  }
+  if $syslogtag == "app" then {
+    action(type="omfile" template="outfmt" file="@OUT@")
+  }
+}
+input(type="imfile" file="@IN@" ruleset="m")
+'''
+    out = _run(spark, tmp_path, conf,
+               "<165>1 2003-03-01T01:00:00.000Z host app - - - short\n",
+               sub="n")
+    assert out == "short\n"
+    # the reference accepts an absent OR empty unexpected-file
+    # ('test ! -s "$UNEXPECTED_LOG"')
+    d = f"{tmp_path}/out_n_unexpected"
+    unexpected = "".join(
+        open(os.path.join(d, p)).read() for p in os.listdir(d)
+        if p.startswith("part")) if os.path.isdir(d) else ""
+    assert unexpected == ""
+
+
+def test_json_omitifzero_subtree(spark, tmp_path):
+    """json-omitifzero-subtree.sh: omitIfZero drops numeric zeros —
+    including the SPACED string " 0 " which coerces to 0."""
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="list" option.jsonftree="on") {
+    property(name="$!zero" outname="zero_omit" format="jsonf" dataType="number" omitIfZero="on")
+    property(name="$!nonzero" outname="nonzero_omit" format="jsonf" dataType="number" omitIfZero="on")
+    property(name="$!spacedzero" outname="spacedzero_omit" format="jsonf" dataType="number" omitIfZero="on")
+}
+ruleset(name="m") {
+  set $!zero = 0;
+  set $!nonzero = 42;
+  set $!spacedzero = " 0 ";
+  action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:00000000:\n",
+       sub="z")
+    assert out == '{"nonzero_omit":42}\n'
+
+
+def test_hostname_with_slash_pmrfc3164(spark, tmp_path):
+    """hostname-with-slash-pmrfc3164.sh: a parser() instance with
+    permit.slashesinhostname bound via legacy $rulesetparser."""
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%hostname%\\n")
+parser(name="pmrfc3164.hostname_with_slashes" type="pmrfc3164" permit.slashesinhostname="on")
+$rulesetparser pmrfc3164.hostname_with_slashes
+local4.debug action(type="omfile" template="outfmt" file="@OUT@")
+input(type="imfile" file="@IN@")
+''', "<167>Mar  6 16:57:54 hostname1/hostname2 test: msgnum:0\n",
+       sub="h3")
+    assert out == "hostname1/hostname2\n"
+
+
+def test_hostname_with_slash_pmrfc5424(spark, tmp_path):
+    """hostname-with-slash-pmrfc5424.sh: the RFC5424 parser accepts
+    slashes in HOSTNAME (any PRINTUSASCII); bound by builtin name
+    via $rulesetparser rsyslog.rfc5424."""
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%hostname%\\n")
+$rulesetparser rsyslog.rfc5424
+local4.debug action(type="omfile" template="outfmt" file="@OUT@")
+input(type="imfile" file="@IN@")
+''', '<167>1 2003-03-01T01:00:00.000Z hostname1/hostname2 tcpflood - '
+     'tag [tcpflood@32473 MSGNUM="0"] data\n',
+       sub="h5")
+    assert out == "hostname1/hostname2\n"

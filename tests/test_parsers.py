@@ -65,7 +65,9 @@ def test_rfc5424_full(spark):
     assert r["msgid"] == "ID47"
     assert r["structured_data"] == '[exampleSDID@32473 iut="3" eventSource="App"]'
     assert r["msg"] == "msg text"
-    assert r["syslogtag"] == "app[1234]:"
+    # no trailing colon: protocol-1 TAG emulation is "app[procid]"
+    # (msg.c tryEmulateTAG)
+    assert r["syslogtag"] == "app[1234]"
     assert r["timereported"].year == 2026
     assert r["timereported"].microsecond == 3000
 
