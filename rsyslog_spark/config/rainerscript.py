@@ -913,10 +913,17 @@ class _Parser:
             if tmpl:
                 p["template"] = tmpl
             return _make_action(p)
-        if t.text == "?":                 # ?DynaFile template target
+        if t.text == "?":                 # ?DynaFile[;template] target
+            # (ref: tools/omfile.c cflineParseDynaFile — the ';tpl'
+            # suffix picks the line template; golden
+            # discard-allmark.sh '?dynfile;outfmt')
             self.next()
-            tname = self.next().text
-            return _make_action({"type": "omfile", "dynafile": tname})
+            rest = self._rest_of_line(t.line)
+            dname, _, tmpl = rest.partition(";")
+            p = {"type": "omfile", "dynafile": dname.strip()}
+            if tmpl:
+                p["template"] = tmpl.strip()
+            return _make_action(p)
         if t.text.startswith("$"):        # $outchannel target
             # (ref: tools/omfile.c cflineParseOutchannel:466-505 —
             # '$name;template' resolves file + size limit + rotate

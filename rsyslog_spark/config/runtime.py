@@ -388,7 +388,14 @@ def _dispatch_action_inner(
                 "or not a string template")
         secure = str(cfg.directives.get(
             "compatibility.defaults.secure", "")).lower() == "strict"
-        omfile_dynafile_batch(df, src_str, secure_paths=secure)
+        # '?dynfile;outfmt' line template (ref: tools/omfile.c
+        # cflineParseDynaFile; golden discard-allmark.sh): rendered
+        # text lines, else the partitioned-parquet scale shape
+        ltpl = cfg.templates.get(params.get("template") or "")
+        line = ltpl.col(df) if ltpl is not None \
+            and hasattr(ltpl, "col") else None
+        omfile_dynafile_batch(df, src_str, secure_paths=secure,
+                              line=line)
         run.written[name] = dynafile_partition_spec(src_str)[0]
         return
     if typ == "omfile" and params.get("file"):

@@ -113,13 +113,17 @@ def _delim_str(delim: int | str) -> str:
     return chr(delim) if isinstance(delim, int) else delim
 
 
-def field(s: ColumnOrName, delim: int | str, n: int) -> Column:
+def field(s: ColumnOrName, delim: int | str, n: int,
+          not_found: str = FIELD_NOT_FOUND) -> Column:
     """n-th field (1-based) split by delimiter; absent → sentinel
-    (ref: doc/source/rainerscript/functions/rs-field.rst)."""
+    (ref: doc/source/rainerscript/functions/rs-field.rst;
+    rainerscript.c:2655 '***FIELD NOT FOUND***'). The template
+    F-field uses a DIFFERENT sentinel (msg.c:4153, two asterisks) —
+    callers pass it via ``not_found``."""
     d = _re.escape(_delim_str(delim))
     parts = F.split(rs_str(s), d, -1)
     return F.when(F.size(parts) >= n, F.element_at(parts, n)).otherwise(
-        F.lit(FIELD_NOT_FOUND)
+        F.lit(not_found)
     )
 
 

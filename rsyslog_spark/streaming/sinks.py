@@ -517,14 +517,27 @@ def omfile_dynafile_batch(
     template_str: str,
     fmt: str = "parquet",
     secure_paths: bool = False,
+    line: Column | None = None,
 ) -> None:
     """Batch dynafile write: derive partition columns from the
-    template and write under the constant prefix."""
+    template and write under the constant prefix. With ``line`` (the
+    action's rendered line template — '?dynfile;outfmt', ref:
+    tools/omfile.c cflineParseDynaFile) the output is TEXT lines
+    like the reference's, still partitioned by the dynafile's
+    property columns."""
     base, names, exprs = dynafile_partition_spec(
         template_str, secure_paths=secure_paths)
     out = df
     for n, c in exprs.items():
         out = out.withColumn(n, c)
+    if line is not None:
+        out = out.select(
+            F.regexp_replace(line, r"\n$", "").alias("value"), *names)
+        w = out.write.mode("append")
+        if names:
+            w = w.partitionBy(*names)
+        w.format("text").save(base)
+        return
     out.write.mode("append").partitionBy(*names).format(fmt).save(base)
 
 

@@ -182,24 +182,57 @@ def imfile_batch(
                             read_mode, escapelf_replacement, inputname)
 
 
-def immark(
-    spark: SparkSession, interval_seconds: int = 20, mark_text: str = "-- MARK --"
-) -> DataFrame:
-    """Heartbeat stream (ref: plugins/immark/immark.c:260-274).
+def mark_message_cols(mark_text: str = "-- MARK --") -> list:
+    """The fields of one MARK message (ref: plugins/immark/
+    immark.c injectMarkMessage:235-250): rawmsg/msg = the
+    markMessageText, TAG 'rsyslogd:', PRI = syslog.info (46), local
+    hostname, inputname 'immark'. Shared by the streaming source and
+    tests (goldens immark-ruleset{,-custom-msg}.sh,
+    immark-inputname.sh: the file render is
+    '... <host> rsyslogd: -- MARK --')."""
+    import socket as _socket
 
-    One MARK row per interval from the rate source; union it with the
-    main stream so sinks can prove liveness.
-    """
+    host = _socket.gethostname()
+    return [
+        F.lit(mark_text).alias("line"),
+        F.lit(mark_text).alias("rawmsg"),
+        F.lit(mark_text).alias("msg"),
+        F.lit("rsyslogd:").alias("syslogtag"),
+        F.lit("rsyslogd").alias("programname"),
+        F.lit(46).alias("pri"),                 # LOG_SYSLOG|LOG_INFO
+        F.lit(5).alias("syslogfacility"),
+        F.lit(6).alias("syslogseverity"),
+        F.lit(host).alias("hostname"),
+        F.lit(host).alias("fromhost"),
+        F.lit("immark").alias("inputname"),
+    ]
+
+
+def immark(
+    spark: SparkSession, interval_seconds: int = 20,
+    mark_text: str = "-- MARK --", ruleset: str | None = None,
+) -> DataFrame:
+    """Heartbeat stream (ref: plugins/immark/immark.c:260-274;
+    module params interval / markMessageText / ruleset —
+    immark.c:76-78, use.syslogcall="off" injection shape).
+
+    One MARK row per interval from the rate source, already in
+    parsed-message shape (mark_message_cols); union it with the main
+    stream so sinks can prove liveness. ``ruleset`` tags the row for
+    engine-level routing (the reference binds the injected message
+    to the configured ruleset, immark.c:249)."""
+    cols = mark_message_cols(mark_text) + [
+        F.col("timestamp").alias("timegenerated"),
+        F.col("timestamp").alias("timereported"),
+    ]
+    if ruleset:
+        cols.append(F.lit(ruleset).alias("ruleset"))
     return (
         spark.readStream.format("rate")
         .option("rowsPerSecond", 1)
         .load()
         .filter(F.col("value") % interval_seconds == 0)
-        .select(
-            F.lit(mark_text).alias("line"),
-            F.lit("immark").alias("inputname"),
-            F.col("timestamp").alias("timegenerated"),
-        )
+        .select(*cols)
     )
 
 

@@ -550,7 +550,13 @@ class Prop:
             c = self._apply_date(c, default_date)
         if self.field_delim is not None:
             from rsyslog_spark.functions.strings import field as field_fn
-            c = field_fn(c, self.field_delim, self.field_num or 1)
+            c = field_fn(c, self.field_delim, self.field_num or 1,
+                         # template F-field sentinel differs from the
+                         # script field() one: TWO asterisks (msg.c:
+                         # 4153 "**FIELD NOT FOUND**" vs
+                         # rainerscript.c:2655 "***...***"; golden
+                         # discard-rptdmsg.sh F,58:4)
+                         not_found="**FIELD NOT FOUND**")
         elif self.frm is not None:
             length = (self.to - self.frm + 1) if self.to is not None else (1 << 30)
             c = c.substr(F.lit(self.frm), F.lit(length))

@@ -167,3 +167,78 @@ input(type="imfile" file="@IN@")
      'tag [tcpflood@32473 MSGNUM="0"] data\n',
        sub="h5")
     assert out == "hostname1/hostname2\n"
+
+
+def test_discard_allmark_legacy(spark, tmp_path):
+    """discard-allmark.sh: legacy property-filter discard ('~') plus
+    a '?dynfile;outfmt' dynafile target with template suffix and a
+    legacy $template line — msgs 2..10 survive (1 discarded),
+    rendered as field 2 of msg split on ':' (seq_check 2 10)."""
+    lines = "".join(
+        f"<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:{i:08d}:\n"
+        for i in range(1, 11))
+    out = _run(spark, tmp_path, '''
+$ActionWriteAllMarkMessages on
+
+:msg, contains, "00000001" ~
+
+$template outfmt,"%msg:F,58:2%\\n"
+template(name="dynfile" type="string" string="@OUT@")
+:msg, contains, "msgnum:" ?dynfile;outfmt
+input(type="imfile" file="@IN@")
+''', lines, sub="am")
+    assert sorted(out.splitlines()) == [f"{i:08d}" for i in range(2, 11)]
+
+
+def test_discard_rptdmsg_legacy(spark, tmp_path):
+    """discard-rptdmsg.sh: $RepeatedMsgReduction on with all-unique
+    messages — nothing reduced, msg 1 discarded, fields 2/3/4 of the
+    ':'-split msg render (fields 3/4 empty: the trailing ':' yields
+    one empty field, field 4 is absent)."""
+    lines = "".join(
+        f"<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:{i:08d}:\n"
+        for i in range(1, 11))
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%msg:F,58:2%,%msg:F,58:3%,%msg:F,58:4%\\n")
+$RepeatedMsgReduction on
+
+:msg, contains, "00000001" ~
+:msg, contains, "msgnum:" action(type="omfile" file="@OUT@" template="outfmt")
+input(type="imfile" file="@IN@")
+''', lines, sub="rm")
+    assert sorted(out.splitlines()) == [
+        f"{i:08d},,**FIELD NOT FOUND**" for i in range(2, 11)]
+
+
+def test_immark_message_shape(spark, tmp_path):
+    """immark-ruleset{,-custom-msg}.sh / immark-inputname.sh: the
+    injected MARK message has TAG 'rsyslogd:', inputname 'immark',
+    PRI syslog.info, and the configured markMessageText — the stock
+    file render contains 'rsyslogd: -- MARK --' (content_check
+    strings copied verbatim)."""
+    from pyspark.sql import functions as F
+
+    from rsyslog_spark.streaming.sources import mark_message_cols
+    from rsyslog_spark.templates import (BUILTIN_TEMPLATES,
+                                         compile_template_string)
+
+    base = spark.range(1).select(
+        *mark_message_cols(),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        .alias("timereported"))
+    line = base.select(compile_template_string(
+        BUILTIN_TEMPLATES["RSYSLOG_FileFormat"]).col().alias("o")) \
+        .first()["o"]
+    assert "rsyslogd: -- MARK --" in line
+    row = base.first()
+    assert row["inputname"] == "immark"
+    assert row["pri"] == 46 and row["syslogfacility"] == 5
+
+    custom = spark.range(1).select(
+        *mark_message_cols("My MARK Message"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        .alias("timereported"))
+    line = custom.select(compile_template_string(
+        BUILTIN_TEMPLATES["RSYSLOG_FileFormat"]).col().alias("o")) \
+        .first()["o"]
+    assert "rsyslogd: My MARK Message" in line
