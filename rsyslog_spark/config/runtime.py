@@ -133,6 +133,78 @@ def _rendered_lines(df: DataFrame, cfg: ParsedConfig, params: dict,
     return df.select(tpl.col(df).alias("line"))
 
 
+def _apply_escape_on_receive(lines: DataFrame, cfg: ParsedConfig
+                             ) -> DataFrame:
+    """$Escape8BitCharactersOnReceive / $EscapeControlCharactersOnReceive
+    (and the modern global(parser.escape...=...) spellings) over the
+    raw line frame (ref: runtime/parser.c SanitizeMsg; glbl.c:147-151).
+    Applied only when a directive explicitly configures escaping —
+    see functions.strings.escape_on_receive for the divergent-default
+    note."""
+    def d(*keys):
+        for k in keys:
+            v = cfg.directives.get(k)
+            if v is not None:
+                return str(v).lower() in ("on", "true", "1")
+        return None
+
+    cc = d("escapecontrolcharactersonreceive",
+           "parser.escapecontrolcharactersonreceive")
+    b8 = d("escape8bitcharactersonreceive",
+           "parser.escape8bitcharactersonreceive")
+    if not cc and not b8:
+        return lines
+    tab = d("escapecontrolcharactertab",
+            "parser.escapecontrolcharactertab")
+    from rsyslog_spark.functions.strings import escape_on_receive
+    return lines.withColumn(
+        "line", escape_on_receive(
+            F.col("line"), controlchars=bool(cc), bit8=bool(b8),
+            tab=tab if tab is not None else True))
+
+
+def _noparse_frame(lines: DataFrame, imf: dict) -> DataFrame:
+    """imfile needparse="off" (the reference default, imfile.c:
+    1611-1614): no header parse — MSG/rawmsg = the whole line, TAG
+    and PRI from the input params (defaults local0.notice = 133),
+    hostname = the local host; canonical column shape matches
+    parse_syslog output."""
+    import socket as _socket
+
+    from rsyslog_spark.schema import SYSLOG_COLUMNS
+
+    tag = str(imf.get("tag", ""))
+    fac = int(imf.get("facility", 16))
+    sev = int(imf.get("severity", 5))
+    pri = (fac << 3) | sev if fac < 32 else fac | sev
+    prog = tag.split("[")[0].split(":")[0].split("/")[0]
+    host = F.lit(_socket.gethostname())
+    l = F.col("line")
+    tgen = F.current_timestamp()
+    null_s = F.lit(None).cast("string")
+    vals = {
+        "rawmsg": l, "msg": l,
+        "pri": F.lit(pri),
+        "syslogfacility": F.lit(pri >> 3),
+        "syslogseverity": F.lit(pri & 7),
+        "hostname": host, "fromhost": host,
+        "fromhost_ip": null_s,
+        "fromhost_port": F.lit(None).cast("int"),
+        "syslogtag": F.lit(tag), "programname": F.lit(prog),
+        "app_name": F.lit(prog) if prog else null_s,
+        "procid": null_s, "msgid": null_s,
+        "inputname": F.lit("imfile"),
+        "timereported": tgen, "timegenerated": tgen,
+        "tz_offset_sec": F.lit(0),
+        "protocol_version": F.lit(0),
+        "structured_data": null_s, "json": null_s, "uuid": null_s,
+        "parsesuccess": F.lit(True),
+    }
+    keep = [c for c in lines.columns if c != "line"]
+    return lines.select(
+        *keep, *[vals[c].alias(c) for c in SYSLOG_COLUMNS])
+
+
 def _outchannel_size_check(och: dict) -> None:
     """Size-capped rotation (ref: outchannel.c uSizeLimit +
     cmdOnSizeLimit; omfile.c:497-500 — when the written size passes
@@ -760,6 +832,12 @@ def _pm3164_opts(cfg: ParsedConfig, ruleset: str
                 "on", "true", "1")
         if flag("force.tagendingbycolon"):
             kwargs["force_tag_colon"] = True
+        if "remove.msgfirstspace" in lp:
+            # per-instance form of the global directive
+            # (pmrfc3164.c:64 'remove.msgfirstspace'; golden
+            # pmrfc3164-msgFirstSpace.sh)
+            kwargs["remove_msg_first_space"] = flag(
+                "remove.msgfirstspace")
         if flag("permit.atsignsinhostname"):
             kwargs["permit_at_hostname"] = True
         if flag("permit.slashesinhostname"):
@@ -896,10 +974,24 @@ def run_config_batch(
             lines = spark.read.text(path) \
                 .withColumnRenamed("value", "line")
     lines = _apply_oversize_policy(lines, cfg)
+    lines = _apply_escape_on_receive(lines, cfg)
     pm_opts, hl_route = _pm3164_opts(cfg, ruleset_name)
-    frame = parse_syslog(lines,
-                         parsers=_ruleset_parser_chain(cfg, ruleset_name),
-                         **_parser_opts(cfg), **pm_opts)
+    # imfile needparse (ref: imfile.c:420,1611-1614 — the REFERENCE
+    # default is OFF: no header parse, MSG = whole line, TAG/PRI
+    # from the input config, hostname = local. The ENGINE default
+    # stays ON so configs driven through imfile-as-wire-stand-in in
+    # tests parse like imtcp; divergent default documented in
+    # COVERAGE §2.1. Explicit needparse="off" restores the
+    # reference's file semantics — golden
+    # imfile-escapelf.replacement.sh.)
+    needparse = str(imf.get("needparse", "on")).lower() \
+        in ("on", "true", "1") if pcap_inp is None else True
+    if not needparse:
+        frame = _noparse_frame(lines, imf)
+    else:
+        frame = parse_syslog(
+            lines, parsers=_ruleset_parser_chain(cfg, ruleset_name),
+            **{**_parser_opts(cfg), **pm_opts})
     vstage = _vendor_parser_stage(cfg, ruleset_name)
     if vstage is not None:
         frame = vstage(frame)
@@ -1192,10 +1284,11 @@ def run_config_stream(
     # pattern per micro-batch if configured (kept off the hot path)
     lines = _apply_oversize_policy(lines, cfg,
                                    write_errorfile=False)
+    lines = _apply_escape_on_receive(lines, cfg)
     pm_opts, hl_route = _pm3164_opts(cfg, ruleset_name)
     frame = parse_syslog(
         lines, parsers=_ruleset_parser_chain(cfg, ruleset_name),
-        **_parser_opts(cfg), **pm_opts)
+        **{**_parser_opts(cfg), **pm_opts})
     vstage = _vendor_parser_stage(cfg, ruleset_name)
     if vstage is not None:
         frame = vstage(frame)

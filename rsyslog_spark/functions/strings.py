@@ -188,3 +188,43 @@ def get_property(name: str, json_col=None):
 
         return json_get(json_col if json_col is not None else "json", name)
     return F.col(name.lstrip("$"))
+
+
+def escape_on_receive(line: ColumnOrName, *, controlchars: bool = True,
+                      bit8: bool = False, tab: bool = True,
+                      prefix: str = "#") -> Column:
+    """Receive-time message sanitization (ref: runtime/parser.c
+    SanitizeMsg:430-520): control characters (< 32; TAB only when
+    ``parser.escapeControlCharacterTab``) and/or 8-bit characters
+    escape to ``#OOO`` per BYTE — a UTF-8 'ä' becomes '#303#244'
+    (golden parsertest-parse_8bit_escape.sh).
+
+    Pure column transform: per-char array transform; multi-byte
+    chars expand via encode→hex-pairs→octal. Only compiled when a
+    config enables the option, so the parse hot path never pays it.
+    The engine default differs from the reference's (control-char
+    escaping ON there): line-framed Spark sources cannot carry the
+    framing control bytes the reference guards against, so the
+    transform is opt-in (COVERAGE §2.2 divergent-default row)."""
+    s = rs_str(line)
+
+    def esc_bytes(c: Column) -> Column:
+        pairs = F.regexp_extract_all(
+            F.hex(F.encode(c, "UTF-8")), F.lit("(..)"), 1)
+        return F.array_join(F.transform(
+            pairs,
+            lambda p: F.concat(F.lit(prefix),
+                               F.lpad(F.conv(p, 16, 8), 3, "0"))), "")
+
+    def one(c: Column) -> Column:
+        cp = F.ascii(c)
+        cond = F.lit(False)
+        if controlchars:
+            tabcond = F.lit(True) if tab else (cp != 9)
+            cond = cond | ((cp < 32) & tabcond)
+        if bit8:
+            cond = cond | (cp > 127)
+        return F.when(cond, esc_bytes(c)).otherwise(c)
+
+    return F.array_join(
+        F.transform(F.split(s, ""), one), "")

@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 
 from rsyslog_spark.parsers.pri import DEFAULT_PRI, INVLD_PRI
 from rsyslog_spark.parsers.rfc3164 import (
-    TS3164_RE, TS3339_RE, _ts3164_to_timestamp)
+    TS3164_FAST_RE, TS3164_RE, TS3339_RE, _ts3164_to_timestamp)
 from rsyslog_spark.parsers.rfc5424 import _SD_MSG_RE
 from rsyslog_spark.schema import SYSLOG_COLUMNS
 
@@ -159,12 +159,24 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     # leading space is skipped before retrying the 3164 parse, never
     # the 3339 one (pmrfc3164.c:346-360; golden
     # parsertest-parse-3164-buggyday.sh sends "<38> Mar  7 ...")
-    hdr_re = (rf"^( ?{TS3164_RE}|{TS3339_RE}) (?=\S+ )"
-              rf"(?:({hn_re}) )?([^: ]*)(.*)$")
+    # TS terminator is ' ' OR end-of-line (datetime.c:121-126 — a
+    # bare timestamp is a valid header; hostname then falls back to
+    # the receiver stamp). The hostname group accepts a token
+    # terminated by ' ' (eaten) or line end (pmrfc3164.c:422-455 —
+    # "empty immediately after the hostname ... is valid"). The TS
+    # itself is OPTIONAL: hostname+TAG parse runs even without one
+    # (pmrfc3164.c:383 bParseHOSTNAMEandTAG is unconditional; golden
+    # parsertest-parse-nodate.sh 'This is a message!' → hostname
+    # 'This', tag 'is').
+    hdr_tail = rf"(?:({hn_re})(?: |$))?([^: ]*)(.*)$"
+    hdr_fast = (rf"^((?: ?{TS3164_FAST_RE}|{TS3339_RE})(?: |$))?"
+                + hdr_tail)
+    hdr_full = (rf"^((?: ?{TS3164_RE}|{TS3339_RE})(?: |$))?"
+                + hdr_tail)
     layer_b = [
         F.when(acc_b, F.split(rest, " ", 7)).alias("__p5"),
         F.when(m3_gate,
-               F.regexp_replace(rest, hdr_re,
+               F.regexp_replace(rest, hdr_fast,
                                 "$1\x00$2\x00$3\x00$4")).alias("__m3r"),
     ]
 
@@ -176,12 +188,31 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
             F.try_element_at(F.col("__p5"), F.lit(7)), F.lit("-")))
         .alias("__tail"),
         F.split(m3r, "\x00", 4).alias("__m3a"),
-        F.coalesce(m3_gate & (m3r != rest), F.lit(False))
-        .alias("__hts"),
+    ]
+
+    # layer C2 — full-grammar RETRY: when the fast pattern saw no
+    # timestamp, re-scan with the complete ParseTIMESTAMP3164 grammar
+    # (year/case/frac/colon variants). Lazy per row — canonical
+    # headers pay exactly ONE regex pass, variants and headerless
+    # lines two. __m3a is rebound to the retried groups.
+    m3a0 = F.col("__m3a")
+    layer_c2 = [
+        F.when(m3_gate & (F.element_at(m3a0, 1) == ""),
+               F.split(F.regexp_replace(rest, hdr_full,
+                                        "$1\x00$2\x00$3\x00$4"),
+                       "\x00", 4))
+        .otherwise(m3a0).alias("__m3b"),
+    ]
+    m3a = F.col("__m3b")
+    # layer C3 — TS presence = non-empty group 1 (the optional-TS
+    # pattern matches every line, so changed-detection no longer
+    # works); own layer so the split isn't re-evaluated
+    layer_c3 = [
+        F.coalesce(m3_gate & (F.element_at(m3a, 1) != ""),
+                   F.lit(False)).alias("__hts"),
     ]
 
     has_ts = F.col("__hts")
-    m3a = F.col("__m3a")
 
     # layer D — per-parser extracts (null inputs short-circuit the
     # regex calls to null on the other parser's rows). The TAG token
@@ -204,9 +235,7 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     layer_d = [
         F.regexp_extract(F.col("__tail"), _SD_MSG_RE, 1).alias("__sd"),
         F.regexp_extract(F.col("__tail"), _SD_MSG_RE, 2).alias("__msg5"),
-        F.when(has_ts, F.element_at(m3a, 3))
-        .when(m3_gate, F.regexp_extract(rest, r"^([^: ]+)", 1))
-        .alias("__tok"),
+        F.when(m3_gate, F.element_at(m3a, 3)).alias("__tok"),
         # one boolean column when the option is off (__hl == brace)
         *([F.when(m3_gate, brace_expr).otherwise(F.lit(False))
            .alias("__brhl")] if headerless is not None else []),
@@ -217,10 +246,7 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     # layer D2 — everything after the TAG token (fused group 4 for
     # timestamped rows; substr for the no-timestamp fallback)
     layer_d2 = [
-        F.when(has_ts, F.element_at(m3a, 4))
-        .when(m3_gate, F.substr(rest, F.length(F.col("__tok")) + 1,
-                                F.lit(1 << 30)))
-        .alias("__aft"),
+        F.when(m3_gate, F.element_at(m3a, 4)).alias("__aft"),
     ]
 
     # final layer — canonical fields over plain column refs
@@ -257,9 +283,12 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
                       F.substr(c, F.lit(2), F.lit(1 << 30))) \
             .otherwise(c)
 
-    syslogtag3 = F.when((tok == "") & (after3 == ""), F.lit("-")) \
-        .otherwise(F.when(colon_term, F.concat(tok, F.lit(":")))
-                   .otherwise(F.lit("-") if force_tag_colon else tok))
+    # an empty TAG is valid and renders empty (pmrfc3164.c:497-499
+    # "no TAG can only be detected if the message immediately ends,
+    # in which case an empty TAG is considered OK"; golden
+    # parsertest-parse1.sh '<14>Aug 30 23:00:05 X4711 ' → ',,,')
+    syslogtag3 = F.when(colon_term, F.concat(tok, F.lit(":"))) \
+        .otherwise(F.lit("-") if force_tag_colon else tok)
     # MSG leading-space policy (pmrfc3164.c:510 bRemoveMsgFirstSpace;
     # reference default = 0, keep the space — our ENGINE default
     # strips it, see parsers/rfc3164.py module note / COVERAGE row):
@@ -285,7 +314,12 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         # ended by ':' is NOT a tag — rewind it (incl. its leading
         # space) into MSG, TAG becomes '-'
         tagmsg = F.concat(tok, after3)
-        nocolon_msg = F.when(has_ts, F.concat(F.lit(" "), tagmsg)) \
+        # the rewind re-includes the SP the TS/hostname parse ate
+        # when one directly precedes the token (pmrfc3164.c:487
+        # pTagStart[-1] == ' '; golden pmrfc3164-defaultTag.sh
+        # 'Hostname1  msgnum:1' → msg '  msgnum:1')
+        ate_sp = has_ts | (F.element_at(m3a, 2) != "")
+        nocolon_msg = F.when(ate_sp, F.concat(F.lit(" "), tagmsg)) \
             .otherwise(tagmsg)
         if remove_msg_first_space:
             nocolon_msg = _strip1sp(nocolon_msg)
@@ -344,7 +378,7 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
 
     # fused group 2 is empty when the hostname token failed
     # validation (it stayed in the TAG scan) — nullif covers both
-    host3 = F.when(has_ts, F.nullif(F.element_at(m3a, 2), F.lit("")))
+    host3 = F.when(m3_gate, F.nullif(F.element_at(m3a, 2), F.lit("")))
     if headerless is not None and headerless[0]:
         # headerless.hostname substitutes for headerless rows
         # (handleHeaderlessMessage; default falls back to the
@@ -358,14 +392,33 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     # exactly ONE timestamp parse, not a failed-ISO-then-3164 pair
     # ltrim: the HP-Procurve single leading space (hdr_re ' ?') is
     # part of group 1 but not of the timestamp text
-    ts_txt = F.element_at(m3a, 1)
+    ts_txt = F.trim(F.element_at(m3a, 1))
+    # ISO-in-3164-slot ⇔ 'yyyy-' prefix (a digit first char with a
+    # SPACE at offset 5 is the Brocade leading-year 3164 form) — two
+    # char compares, no regex on the hot path
+    ts3_iso = F.substring(ts_txt, 1, 1).between("0", "9") \
+        & (F.substring(ts_txt, 5, 1) == "-")
     timereported = ab(ts5424,
                       F.when(has_ts,
-                             F.when(F.substring(ts_txt, 1, 1)
-                                    .between("0", "9"),
+                             F.when(ts3_iso,
                                     F.try_to_timestamp(ts_txt))
                              .otherwise(_ts3164_to_timestamp(
-                                 F.ltrim(ts_txt)))))
+                                 ts_txt))))
+
+    def _off_secs(txt: Column) -> Column:
+        # wire UTC offset → seconds ('Z'/none → 0); evaluated only
+        # on rows with an RFC3339-shaped timestamp
+        o = F.regexp_extract(txt, r"(Z|[+-]\d{2}:?\d{2})$", 1)
+        sec = (F.substring(o, 2, 2).try_cast("int") * 3600
+               + F.substring(o, -2, 2).try_cast("int") * 60)
+        return F.when((o == "") | (o == "Z"), F.lit(0)) \
+            .otherwise(F.when(o.startswith("-"), -sec).otherwise(sec))
+
+    tz_offset = ab(
+        F.coalesce(_off_secs(F.coalesce(p5(2), F.lit(""))), F.lit(0)),
+        F.when(has_ts & ts3_iso,
+               F.coalesce(_off_secs(ts_txt), F.lit(0)))
+        .otherwise(F.lit(0))).cast("int")
 
     def canonical(name: str) -> Column:
         if name == "headerless":
@@ -413,6 +466,8 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
             return F.coalesce(timereported.cast("timestamp"), tgen)
         if name == "timegenerated":
             return tgen
+        if name == "tz_offset_sec":
+            return tz_offset
         if name == "protocol_version":
             return F.when(acc, F.lit(1)).otherwise(F.lit(0))
         if name == "structured_data":
@@ -456,7 +511,7 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
                         canonical(c)).alias(c)
                  for c in want]
     return [layer_a, layer_a2, layer_a3, layer_b, layer_c,
-            layer_d, layer_d2, layer_e, final]
+            layer_c2, layer_c3, layer_d, layer_d2, layer_e, final]
 
 
 def parse_syslog(
@@ -539,4 +594,20 @@ def parse_syslog(
         out = out.withColumn(
             c, F.coalesce(F.col(f"__in_{c}"), F.col(c))
         ).drop(f"__in_{c}")
+    # HOSTNAME falls back to the receiver stamp when the header has
+    # none (ref: runtime/msg.c getHOSTNAME:2398-2414 — pszHOSTNAME
+    # NULL → RcvFrom; local inputs stamp the daemon host). The
+    # fromhost column itself gets the same default for local inputs.
+    if "hostname" in want or "fromhost" in want:
+        import socket as _socket
+
+        local = F.lit(_socket.gethostname())
+        rcv = F.coalesce(F.col("fromhost"), local) \
+            if "fromhost" in out.columns else local
+        if "hostname" in want:
+            out = out.withColumn(
+                "hostname", F.coalesce(F.col("hostname"), rcv))
+        if "fromhost" in want:
+            out = out.withColumn(
+                "fromhost", F.coalesce(F.col("fromhost"), local))
     return out

@@ -34,8 +34,25 @@ from pyspark.sql import functions as F
 from rsyslog_spark.expr import rs_str
 from rsyslog_spark.parsers.pri import pri_col, strip_pri
 
-# "Mar  1 01:00:00" | "Mar 11 01:00:00"
-TS3164_RE = r"[A-Z][a-z]{2} [ 0-9]\d \d{2}:\d{2}:\d{2}"
+# RFC3164 timestamp, full reference grammar (datetime.c
+# ParseTIMESTAMP3164:440-640; goldens parsertest-parse1.sh):
+# optional leading year (Brocade), case-INSENSITIVE 3-letter month,
+# 1-2-digit day with optional space pad, optional inline year before
+# the time (value 1971-2099 heuristic), 1-2-digit time fields,
+# optional fractional seconds (Cisco IOS), optional stray ':' after
+# the time. Terminator (' ' or end) is checked by the caller's
+# pattern, not here.
+_YEAR_RE = r"(?:19[7-9]\d|20\d\d)"
+TS3164_RE = (rf"(?:{_YEAR_RE} )?"
+             r"(?i:J(?:an|u[nl])|Feb|Ma[ry]|A(?:pr|ug)|Sep|Oct|Nov|Dec)"
+             rf"  ?\d{{1,2}}(?: {_YEAR_RE})?"
+             r" \d{1,2}:\d{1,2}:\d{1,2}(?:\.\d+)?:?")
+
+#: strict fast-lane shape — the canonical RFC3164 timestamp with
+#: exact-case month and no year/frac/colon variants; the parse chain
+#: tries this first and falls back to the full grammar above (one
+#: regex pass on the hot path, two only on variant headers)
+TS3164_FAST_RE = r"[A-Z][a-z]{2} [ 0-9]\d \d{2}:\d{2}:\d{2}"
 # RFC3339 in the 3164 slot (pmrfc3164 tries 3339 first)
 TS3339_RE = (r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
              r"(?:Z|[+-]\d{2}:\d{2})")
@@ -44,13 +61,34 @@ _REST_RE = rf"^({TS3164_RE}|{TS3339_RE}) (\S+) (.*)$"
 
 
 def _ts3164_to_timestamp(ts: Column) -> Column:
-    # the only multi-space TS3164_RE admits is the day pad ("Mar  1")
-    # — a literal replace, no regex engine on the parse hot path
-    norm = F.replace(ts, F.lit("  "), F.lit(" "))
+    """TS3164 text (full grammar above) → timestamp: one
+    regexp_replace canonicalizes every year/pad/frac/colon variant
+    into 'yyyy MMM d HH:mm:ss' ('' year when absent → current year
+    injected, the reference's year guess), initcap fixes
+    case-variant months ('AUG' → 'Aug'), then ONE try_to_timestamp
+    — same single-regex-pass budget as before on the parse hot
+    path."""
     year = F.date_format(F.current_timestamp(), "yyyy")
-    return F.try_to_timestamp(
-        F.concat(year, F.lit(" "), norm), F.lit("yyyy MMM d HH:mm:ss")
-    )
+    # hot-path fast lane: the canonical 15-char "Mon dd hh:mm:ss"
+    # shape converts with one literal replace + one to_timestamp
+    # (the pre-r6 cost); year/case/frac/colon variants take the
+    # normalizing regex below only when the fast parse misses
+    fast = F.when(
+        F.length(ts) == 15,
+        F.try_to_timestamp(
+            F.concat(year, F.lit(" "),
+                     F.replace(ts, F.lit("  "), F.lit(" "))),
+            F.lit("yyyy MMM d HH:mm:ss")))
+    norm = F.regexp_replace(
+        ts,
+        r"^(?:(\d{4}) )?([A-Za-z]{3})  ?(\d{1,2})(?: (\d{4}))?"
+        r" (\d{1,2}:\d{1,2}:\d{1,2})(?:\.\d+)?:?$",
+        "$1$4 $2 $3 $5")
+    norm = F.when(norm.startswith(" "), F.concat(year, norm)) \
+        .otherwise(norm)
+    slow = F.try_to_timestamp(
+        F.initcap(norm), F.lit("yyyy MMM d H:m:s"))
+    return F.coalesce(fast, slow)
 
 
 def rfc3164_fields(line, permit_slashes_in_programname: bool = False,

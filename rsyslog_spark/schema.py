@@ -37,6 +37,12 @@ SYSLOG_FIELDS: list[tuple[str, T.DataType]] = [
     ("inputname", T.StringType()),
     ("timereported", T.TimestampType()),
     ("timegenerated", T.TimestampType()),
+    ("tz_offset_sec", T.IntegerType()),    # wire TZ of timereported
+                                           # (syslogTime OffsetMode/
+                                           # Hour/Minute — renders
+                                           # show the ORIGINAL wall
+                                           # clock, datetime.c
+                                           # formatTimestamp3164)
     ("protocol_version", T.IntegerType()),  # 0=RFC3164, 1=RFC5424
     ("structured_data", T.StringType()),    # raw RFC5424 SD
     ("json", T.StringType()),               # $! tree as JSON text

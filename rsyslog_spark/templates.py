@@ -545,9 +545,25 @@ class Prop:
             # template.h options)
             return F.when(c.startswith(" "), F.lit("")) \
                 .otherwise(F.lit(" "))
-        if self.date_format is None and default_date is not None \
-                and self.frm is None and self.regex is None:
-            c = self._apply_date(c, default_date)
+        # timereported renders as the ORIGINAL wall clock: the wire
+        # TZ offset (tz_offset_sec column) shifts the stored UTC
+        # instant back (ref: datetime.c formatTimestamp3164 uses the
+        # parsed syslogTime fields verbatim; golden
+        # parsertest-parse1.sh '...05:14:15.000003-07:00' renders
+        # 'Aug 24 05:14:15')
+        offs = None
+        if (name == "timereported"
+                and df is not None and "tz_offset_sec" in df.columns):
+            offs = F.coalesce(F.col("tz_offset_sec"), F.lit(0))
+        # date formatting applies to the property FETCH, before
+        # field/substring/regex processing (template.c: the date is
+        # rendered into the property string first — golden
+        # parsertest-parse3.sh '%timereported:1:19:date-rfc3339%'
+        # substrings the RENDERED date)
+        if self.date_format is not None:
+            c = self._apply_date(c, None, offs)
+        elif default_date is not None:
+            c = self._apply_date(c, default_date, offs)
         if self.field_delim is not None:
             from rsyslog_spark.functions.strings import field as field_fn
             c = field_fn(c, self.field_delim, self.field_num or 1,
@@ -584,8 +600,6 @@ class Prop:
             c = F.upper(c)
         elif self.case == "lower":
             c = F.lower(c)
-        if self.date_format is not None:
-            c = self._apply_date(c)
         if self.fixed_width is not None:
             c = F.rpad(c.substr(1, self.fixed_width), self.fixed_width, " ")
         if self.strip_last_lf:
@@ -603,34 +617,47 @@ class Prop:
             }[self.escape](c)
         return c
 
-    def _apply_date(self, c: Column, fmt_override: str | None = None
-                    ) -> Column:
+    def _apply_date(self, c: Column, fmt_override: str | None = None,
+                    offs: Column | None = None) -> Column:
         """Date formats over a TIMESTAMP-castable property
-        (template.h:72-96)."""
+        (template.h:72-96). ``offs``: wire TZ offset seconds — wall-
+        clock formats shift by it so the ORIGINAL local time renders
+        (unixtimestamp stays epoch-true)."""
         ts = (c).try_cast("timestamp")
         fmt = fmt_override or self.date_format
+        wall = ts if offs is None else \
+            ts + F.make_dt_interval(secs=offs)
         from rsyslog_spark.functions.time_fns import _rfc3164, _rfc3339
         if fmt == "rfc3339":
-            return _rfc3339(ts)
+            if offs is None:
+                return _rfc3339(ts)
+            sign = F.when(offs < 0, F.lit("-")).otherwise(F.lit("+"))
+            aoff = F.abs(offs)
+            offstr = F.concat(
+                sign, F.lpad((aoff / 3600).cast("int"), 2, "0"),
+                F.lit(":"),
+                F.lpad(((aoff % 3600) / 60).cast("int"), 2, "0"))
+            return F.concat(
+                F.date_format(wall, "yyyy-MM-dd'T'HH:mm:ss"), offstr)
         if fmt == "rfc3164":
-            return _rfc3164(ts)
+            return _rfc3164(wall)
         if fmt == "rfc3164-buggyday":
             # old sysklogd zero-padded day ("Mar 07") — template.c
             # tplFmtRFC3164BuggyDate (golden
             # parsertest-parse-3164-buggyday.sh)
-            return F.date_format(ts, "MMM dd HH:mm:ss")
+            return F.date_format(wall, "MMM dd HH:mm:ss")
         if fmt == "unixtimestamp":
             return F.unix_timestamp(ts).cast("string")
         if fmt == "mysql":
-            return F.date_format(ts, "yyyyMMddHHmmss")
+            return F.date_format(wall, "yyyyMMddHHmmss")
         if fmt == "pgsql":
-            return F.date_format(ts, "yyyy-MM-dd HH:mm:ss")
+            return F.date_format(wall, "yyyy-MM-dd HH:mm:ss")
         simple = {
             "year": "yyyy", "month": "MM", "day": "dd", "hour": "HH",
             "minute": "mm", "second": "ss", "wday": "F", "week": "ww",
         }
         if fmt in simple:
-            return F.date_format(ts, simple[fmt])
+            return F.date_format(wall, simple[fmt])
         raise ValueError(f"unknown date format {fmt!r}")
 
 
@@ -1055,11 +1082,35 @@ def compile_template_string(s: str,
             if "," in segs[1]:
                 delim = chr(int(segs[1].split(",", 1)[1]))
             kw.update(field_delim=delim, field_num=int(segs[2]))
-        elif len(segs) >= 3 and segs[1] == "R":
-            regex = ":".join(segs[2:])
-            if regex.endswith("--end"):
-                regex = regex[:-5]
+        elif len(segs) >= 3 and (segs[1] == "R"
+                                 or segs[1].startswith("R,")):
+            # long form R,<type>,<match#>,<nomatch>,<submatch>
+            # (property_replacer.rst regex options; golden
+            # parsertest-parse3.sh '%syslogtag:R,ERE,0,BLANK:...%').
+            # '--end' TERMINATES the regex; a ':options' part may
+            # follow it (the regex itself can contain ':')
+            joined = ":".join(segs[2:])
+            regex, sep, after_end = joined.partition("--end")
+            if sep:
+                segs = segs[:3] + \
+                    ([after_end.lstrip(":")] if after_end else [])
+            else:
+                regex = joined
+                segs = segs[:3]
+            opts = segs[1].split(",")[1:]
             kw.update(regex=regex, regex_nomatch="blank")
+            if opts and opts[0].upper() in ("ERE", "BRE"):
+                opts.pop(0)      # Java regex ≈ ERE superset
+            if opts and opts[0].isdigit():
+                kw["regex_match"] = int(opts.pop(0))
+            if opts and opts[0].upper() in ("BLANK", "DFLT",
+                                            "FIELD", "ZERO"):
+                kw["regex_nomatch"] = {
+                    "BLANK": "blank", "DFLT": "dflt",
+                    "FIELD": "whole", "ZERO": "zero",
+                }[opts.pop(0).upper()]
+            if opts and opts[0].isdigit():
+                kw["regex_submatch"] = int(opts.pop(0))
         elif len(segs) >= 3:
             if segs[1]:
                 kw["frm"] = int(segs[1])

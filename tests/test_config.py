@@ -621,7 +621,10 @@ class TestRuntime:
                 spark.read.parquet(str(outdir)).collect()}
         assert rows[True]["hostname"] == "web01"
         assert rows[True]["msg"] == "rfc5424 ok"
-        assert rows[False]["hostname"] is None
+        # header has no hostname -> receiver-stamp fallback (msg.c
+        # getHOSTNAME; golden parsertest-parse1.sh bare-TS rows)
+        import socket
+        assert rows[False]["hostname"] == socket.gethostname()
         assert rows[False]["msg"].startswith("<13>Mar")   # raw line
 
     def test_dyn_inc_and_misc_functions(self, spark, tmp_path):
@@ -2007,7 +2010,8 @@ ruleset(name="output") {{
   action(type="omfile" file="{out}" template="outfmt")
 }}
 input(type="imfile" ruleset="output" escapelf.replacement="[LF]"
-      file="{src}" tag="file:" startmsg.regex="^msg")
+      file="{src}" tag="file:" startmsg.regex="^msg"
+      needparse="off")
 '''
     run_config_batch(spark, conf)
     import os
@@ -2015,11 +2019,13 @@ input(type="imfile" ruleset="output" escapelf.replacement="[LF]"
     for f in sorted(os.listdir(out)):
         if f.startswith("part"):
             lines += open(out / f).read().splitlines()
-    # the 3164 TAG scan eats the leading 'msg' token (SP-terminated
-    # tag), so %msg% renders the remainder — the [LF] replacement is
-    # the behavior under test
+    # needparse="off" (the reference imfile default): MSG is the
+    # WHOLE reassembled line — EXPECTED copied verbatim from
+    # imfile-escapelf.replacement.sh (plus the EOF-emission
+    # divergence row for the last message)
     assert sorted(lines) == sorted([
-        "1 part 1[LF] msg 1 part 2", "2", "3 emitted at EOF"])
+        "msg 1 part 1[LF] msg 1 part 2", "msg 2",
+        "msg 3 emitted at EOF"])
 
 
 def test_proprepltest_tag_goldens(spark, tmp_path):

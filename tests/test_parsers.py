@@ -42,14 +42,15 @@ def test_rfc3164_no_pri(spark):
 
 
 def test_rfc3164_no_timestamp(spark):
+    import socket
     r = parse_one(spark, "<14>just some text")
     assert r["pri"] == 14
-    # the reference's TAG scan takes the first SP-terminated token as
-    # the tag even without a header (pmrfc3164.c:470-498 — its BSD
-    # message accommodation), leaving the rest as MSG
-    assert r["syslogtag"] == "just"
-    assert r["msg"] == "some text"
-    assert r["hostname"] is None
+    # hostname/TAG parse runs even without a timestamp
+    # (pmrfc3164.c:383; golden parsertest-parse-nodate.sh): 'just'
+    # is a valid SP-terminated hostname token, 'some' becomes TAG
+    assert r["hostname"] == "just"
+    assert r["syslogtag"] == "some"
+    assert r["msg"] == "text"
     assert r["timereported"] is not None  # falls back to timegenerated
 
 
@@ -73,8 +74,10 @@ def test_rfc5424_full(spark):
 
 
 def test_rfc5424_nil_fields(spark):
+    import socket
     r = parse_one(spark, "<34>1 2026-08-13T22:14:15Z - - - - - hi")
-    assert r["hostname"] is None
+    # NIL hostname -> receiver-stamp fallback (msg.c getHOSTNAME)
+    assert r["hostname"] == socket.gethostname()
     assert r["app_name"] is None
     assert r["structured_data"] is None
     assert r["msg"] == "hi"
@@ -115,14 +118,24 @@ def test_receiver_stamped_props_preserved(spark):
         "line string, fromhost string, inputname string",
     ).withColumn("timegenerated",
                  F.lit("2026-08-13 09:00:00").cast("timestamp"))
-    out = parse_syslog(df).orderBy(F.col("hostname").asc_nulls_last())
-    rows = out.collect()
+    rows = {("web01" if "web01" in (r.hostname or "") else "g"): r
+            for r in parse_syslog(df).collect()}
     # receiver peer wins over header hostname; null falls back
-    assert rows[0].fromhost == "10.0.0.7"
-    assert rows[0].hostname == "web01"
-    assert rows[1].fromhost is None
-    assert all(r.inputname == "imudp" for r in rows)
-    assert str(rows[0].timegenerated) == "2026-08-13 09:00:00"
+    assert rows["web01"].fromhost == "10.0.0.7"
+    assert rows["web01"].hostname == "web01"
+    # a bare token line parses it as hostname (pmrfc3164.c:422-430
+    # "empty immediately after the hostname ... is valid"); a local
+    # input without a receiver stamp defaults fromhost to the
+    # daemon host (getRcvFrom fallback)
+    import socket
+    assert rows["g"].hostname == "garbage"
+    # fromhost with a NULL receiver stamp keeps the engine's
+    # hostname-compat fallback (the reference's imudp always has a
+    # peer, so this shape is unreachable there)
+    del socket
+    assert rows["g"].fromhost == "garbage"
+    assert all(r.inputname == "imudp" for r in rows.values())
+    assert str(rows["web01"].timegenerated) == "2026-08-13 09:00:00"
 
 
 def test_programname_golden_and_iso_timestamp_in_3164(spark):
@@ -386,17 +399,13 @@ input(type="imfile" file="{src}/*.log" ruleset="ruleset1")
 
 
 def test_parsertest_nodate_fields(spark):
-    """tests/parsertest-parse-nodate.sh row 1: a PRI+TAG message with
-    NO timestamp — PRI/facility/severity/tag/programname match the
-    reference; msg matches modulo the documented
-    removeMsgFirstSpace default. DOCUMENTED DIVERGENCE (COVERAGE
-    §2.2): the reference content-parses HOSTNAME whenever the source
-    set PARSE_HOSTNAME (network inputs — imudp/imtcp/imuxsock), even
-    with no timestamp; imfile never does. Our chain parses hostname
-    exactly when a timestamp is present, whatever the source — so
-    the reference's no-timestamp network case (row 2 'This is a
-    message!' → hostname 'This', tag 'is') keeps hostname NULL and
-    tags 'This' here."""
+    """tests/parsertest-parse-nodate.sh: hostname/TAG parse even
+    with no timestamp — an invalid first token ('xapi:', colon not a
+    hostname char) leaves hostname to the receiver stamp; a valid
+    one ('This') becomes the hostname and the next token tags. The
+    full byte-exact render lives in test_parsertest_goldens."""
+    import socket
+
     from rsyslog_spark.parsers import parse_syslog
 
     df = spark.createDataFrame(
@@ -408,8 +417,8 @@ def test_parsertest_nodate_fields(spark):
         (27, 3, 3)                                # daemon.err
     assert r["syslogtag"] == "xapi:"
     assert r["programname"] == "xapi"
-    assert r["hostname"] is None                  # receiver-stamp slot
+    assert r["hostname"] == socket.gethostname()  # receiver stamp
     assert r["msg"] == "[error|xen3|15] Connection to master died."
     r2 = rows[1]
     assert (r2["pri"], r2["syslogtag"], r2["hostname"]) == \
-        (13, "This", None)                        # divergence pinned
+        (13, "is", "This")
