@@ -220,6 +220,8 @@ _DIRECTIVE_NOOPS = frozenset({
     "privdroptouser", "privdroptogroup", "privdroptouserid",
     "privdroptogroupid", "maxopenfiles", "preservefqdn",
     "repeatedmsgreduction", "escapecontrolcharactersonreceive",
+    "escape8bitcharactersonreceive", "escapecontrolcharactertab",
+    "actionwriteallmarkmessages",
     "actionqueuetype", "actionqueuefilename", "actionqueuesize",
     "actionqueuemaxdiskspace", "actionqueuesaveonshutdown",
     "actionqueuetimeoutenqueue", "actionqueuedequeuebatchsize",
@@ -743,6 +745,17 @@ class _Parser:
             self.expect("=")
             expr = self.parse_expr()
             self.accept(";")
+            if var.text.startswith(("$!", "$.", "$/")) and any(
+                    len(seg) >= 1024
+                    for seg in var.text[2:].split("!")):
+                # overlong JSON path components are REFUSED, never
+                # truncated (ref: runtime/msg.c jsonPathFindNext:
+                # 4962-4968 MAX_VARIABLE_NAME_LEN; golden
+                # msg_json_set_regression.sh)
+                import warnings
+                warnings.warn("json path component too long in "
+                              f"'{var.text[:40]}...' - set refused")
+                return None
             if (isinstance(expr, tuple) and expr[0] == "callfn"
                     and expr[1] == "parse_json" and len(expr[2]) == 2
                     and expr[2][1][0] == "lit"):
@@ -1768,6 +1781,12 @@ def load_config(src: str, tables: dict[str, Any] | None = None,
     from rsyslog_spark.plans.ruleset import set_var_case_sensitive
     set_var_case_sensitive(
         str(cfg.directives.get("variables.casesensitive",
+                               "off")).lower() in ("on", "true", "1"))
+    # global(compactJsonString=...) — PLAIN vs SPACED whole-tree
+    # renders (glbl.c:1433); reference default SPACED
+    from rsyslog_spark.templates import set_compact_json_string
+    set_compact_json_string(
+        str(cfg.directives.get("compactjsonstring",
                                "off")).lower() in ("on", "true", "1"))
     for name, params in cfg.lookup_tables.items():
         if "file" in params:

@@ -792,23 +792,50 @@ def _ruleset_parser_chain(cfg: ParsedConfig, ruleset: str) -> tuple:
     parse_syslog chain (ref: per-ruleset parser list, runtime/
     parser.c:615-660). Unknown parser types keep the default chain —
     vendor parsers run as mm-style operator stages here."""
-    pname = (cfg.ruleset_params.get(ruleset) or {}).get("parser")
-    if not pname:
+    pnames = (cfg.ruleset_params.get(ruleset) or {}).get("parser")
+    if not pnames:
         return ("pmrfc5424", "pmrfc3164")
+    if isinstance(pnames, str):
+        pnames = [pnames]
     # built-in parser names bind without a parser() object (ref:
     # parser.c default parser registry; golden
     # hostname-with-slash-pmrfc5424.sh '$rulesetparser
-    # rsyslog.rfc5424')
-    builtin = {"rsyslog.rfc5424": ("pmrfc5424",),
-               "rsyslog.rfc3164": ("pmrfc3164",),
-               "rsyslog.pmnull": ("pmnull",)}.get(pname.lower())
-    if builtin:
-        return builtin
-    types = [p.get("type") for p in cfg.objects.get("parser", [])
-             if p.get("name") == pname]
+    # rsyslog.rfc5424'); parser=[...] ARRAYS resolve each entry in
+    # order (ruleset parser list — golden pmnull-withparams.sh)
+    builtin = {"rsyslog.rfc5424": "pmrfc5424",
+               "rsyslog.rfc3164": "pmrfc3164",
+               "rsyslog.pmnull": "pmnull"}
+    types: list[str] = []
+    for pname in pnames:
+        bt = builtin.get(str(pname).lower())
+        if bt:
+            types.append(bt)
+            continue
+        types.extend(p.get("type") for p in
+                     cfg.objects.get("parser", [])
+                     if p.get("name") == pname)
     known = tuple(t for t in types
                   if t in ("pmrfc5424", "pmrfc3164", "pmnull"))
     return known or ("pmrfc5424", "pmrfc3164")
+
+
+def _pmnull_opts(cfg: ParsedConfig, ruleset: str) -> dict | None:
+    """pmnull instance params when the ruleset's FIRST parser is a
+    pmnull instance (ref: plugins/pmnull/pmnull.c:95-148 — TAG and
+    PRI come from the parser config, MSG is the whole raw line;
+    golden pmnull-withparams.sh). None when pmnull isn't first."""
+    pnames = (cfg.ruleset_params.get(ruleset) or {}).get("parser")
+    if not pnames:
+        return None
+    first = pnames[0] if isinstance(pnames, list) else pnames
+    if str(first).lower() == "rsyslog.pmnull":
+        return {"tag": "", "facility": 1, "severity": 5}
+    for p in cfg.objects.get("parser", []):
+        if p.get("name") == first and p.get("type") == "pmnull":
+            return {"tag": str(p.get("tag", "")),
+                    "facility": int(p.get("syslogfacility", 1)),
+                    "severity": int(p.get("syslogseverity", 5))}
+    return None
 
 
 def _pm3164_opts(cfg: ParsedConfig, ruleset: str
@@ -986,7 +1013,12 @@ def run_config_batch(
     # imfile-escapelf.replacement.sh.)
     needparse = str(imf.get("needparse", "on")).lower() \
         in ("on", "true", "1") if pcap_inp is None else True
-    if not needparse:
+    pmnull = _pmnull_opts(cfg, ruleset_name)
+    if pmnull is not None:
+        # pmnull-first chain: no parse at all — TAG/PRI from the
+        # parser instance, MSG = the whole raw line (pmnull.c:140-148)
+        frame = _noparse_frame(lines, pmnull)
+    elif not needparse:
         frame = _noparse_frame(lines, imf)
     else:
         frame = parse_syslog(

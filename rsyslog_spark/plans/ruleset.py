@@ -427,6 +427,31 @@ class _Compiler:
                 v = s.value(self.df) if callable(s.value) else s.value
                 name = varname(s.name)
                 prev = qcol(name) if name in self.df.columns else F.lit(None)
+                if s.maybe_json and name in self.df.columns:
+                    # msgAddJSON merge semantics (runtime/msg.c:
+                    # 5134-5155; golden msg_json_set_regression.sh):
+                    # object over object → top-level jsonMerge (kept
+                    # keys keep their order, new keys append/replace);
+                    # NON-object over an existing object → the set is
+                    # REFUSED (RS_RET_INVLD_SETOP), value unchanged;
+                    # anything else replaces. `reset` bypasses via
+                    # plain Set (force_reset path).
+                    def _isobj(c):
+                        sc = c.cast("string")
+                        return (F.substring(sc, 1, 1) == "{") \
+                            & F.try_parse_json(sc).isNotNull()
+                    pv = prev.cast("string")
+                    nv = F.coalesce(v.cast("string"), F.lit(""))
+                    merged = F.to_json(F.map_concat(
+                        F.map_filter(
+                            F.from_json(pv, "map<string,variant>"),
+                            lambda k, _x: ~F.array_contains(
+                                F.coalesce(F.json_object_keys(nv),
+                                           F.array()), k)),
+                        F.from_json(nv, "map<string,variant>")))
+                    v = (F.when(_isobj(pv) & _isobj(nv), merged)
+                         .when(_isobj(pv) & ~_isobj(nv), pv)
+                         .otherwise(v))
                 self.df = self.df.withColumn(name, F.when(live, v).otherwise(prev))
                 if s.name.startswith(("$!", "$.")) \
                         and s.name not in ("$!", "$."):

@@ -138,6 +138,21 @@ def _system_props() -> dict:
     }
 
 
+#: global(compactJsonString=...) — reference default OFF = json-c
+#: SPACED renders for %$!%/%$!all-json% (glbl.c:104
+#: glblJsonFormatOpt = JSON_C_TO_STRING_SPACED)
+_COMPACT_JSON = False
+
+
+def set_compact_json_string(on: bool) -> None:
+    global _COMPACT_JSON
+    _COMPACT_JSON = bool(on)
+
+
+def compact_json_string() -> bool:
+    return _COMPACT_JSON
+
+
 def prop_col(name: str, df=None) -> Column:
     """Resolve a property NAME (legacy spelling and ``$``-prefixed
     system properties allowed) to its engine Column — the shared
@@ -160,9 +175,17 @@ def prop_col(name: str, df=None) -> Column:
         # overriding a parsed field). Empty-tree fallback differs:
         # %$!all-json% renders "{}" (msg.c:3998), the bare %$!%
         # CEE-root property renders "" (golden
-        # rscript_bare_var_root-empty.sh 'empty--')
-        return _all_json_col(
+        # rscript_bare_var_root-empty.sh 'empty--').
+        # Render is json-c SPACED (msg.c:4005 JSON_C_TO_STRING_SPACED
+        # for PROP_CEE_ALL_JSON; golden msg_json_set_regression.sh)
+        # unless global(compactJsonString="on") selects PLAIN
+        # (glbl.c:1433 glblJsonFormatOpt).
+        raw = _all_json_col(
             df, empty="{}" if "all-json" in name else None)
+        if compact_json_string():
+            return raw
+        from rsyslog_spark.functions.json_fns import jsonc_spaced
+        return F.when(raw.isNull() | raw.isin("", "{}"), raw)             .otherwise(jsonc_spaced(raw))
     if name in ("$.", "."):
         # bare local-var root: the $. tree as JSON (golden
         # rscript_bare_var_root.sh 'set $! = $.')
@@ -319,38 +342,56 @@ def _set_tree_json(df) -> Column | None:
                 nxt = {}
                 node[seg] = nxt
             node = nxt
-        node[segs[-1]] = _tree_leaf(qcol(fld.name), meta)
+        node[segs[-1]] = _leaf_json_text(qcol(fld.name), meta)
 
     if not root:
         return None
 
-    def build(node: dict) -> Column:
-        fields = []
-        for k, v in node.items():
-            c = build(v) if isinstance(v, dict) else v
-            fields.append(c.alias(k))
-        return F.struct(*fields)
-
-    return F.to_json(build(root))
+    return F.coalesce(_concat_obj(root), F.lit("{}"))
 
 
-def _tree_leaf(leaf: Column, meta: dict) -> Column:
-    """A flat variable column as a JSON tree leaf. ``rs_json``
-    columns hold a guaranteed JSON subtree (mmpstrucdata etc.) —
+def _leaf_json_text(leaf: Column, meta: dict) -> Column:
+    """A flat variable column as JSON TEXT (NULL when unset). The
+    tree renderers assemble nested objects by string concatenation —
+    NOT to_json(struct(variant)) — because variant re-serialization
+    SORTS object keys while libfastjson preserves insertion order
+    (golden msg_json_set_regression.sh pins '{"keep","escape"}'
+    order). ``rs_json`` columns hold a guaranteed JSON subtree —
     splice raw. ``rs_json_maybe`` columns (Set from a tree-var read)
     splice raw only when the text actually parses as an
     object/array, else embed as a JSON string (same gate and
-    documented divergence as render_var_value: a string whose text
-    is itself valid JSON re-renders as the tree)."""
+    documented divergence as render_var_value)."""
+    s = leaf.cast("string")
     if meta.get("rs_json"):
-        return F.try_parse_json(leaf.cast("string"))
+        return F.when(F.try_parse_json(s).isNotNull(), s)
+    # typed scalar → its JSON token via the 1-element-array trick
+    # (to_json renders numbers/bools unquoted, strings escaped)
+    arr = F.to_json(F.array(leaf))
+    scalar = F.when(leaf.isNotNull(),
+                    F.substr(arr, F.lit(2), F.length(arr) - 2))
     if meta.get("rs_json_maybe"):
-        s = leaf.cast("string")
         istree = (F.substring(s, 1, 1).isin("{", "[")
                   & F.try_parse_json(s).isNotNull())
-        quoted = F.concat(F.lit('"'), json_escape(s), F.lit('"'))
-        return F.try_parse_json(F.when(istree, s).otherwise(quoted))
-    return leaf
+        return F.when(istree, s).otherwise(scalar)
+    return scalar
+
+
+def _concat_obj(node: dict) -> Column:
+    """{key: json-text-Column | nested dict} → the object's JSON
+    text; NULL leaves drop out; all-NULL → NULL (caller decides
+    whether that renders '{}' or nothing)."""
+    import json as _json
+
+    pieces = []
+    for k, v in node.items():
+        vj = _concat_obj(v) if isinstance(v, dict) else v
+        pieces.append(
+            F.when(vj.isNotNull(),
+                   F.concat(F.lit(_json.dumps(k) + ":"), vj)))
+    arr = F.filter(F.array(*pieces), lambda x: x.isNotNull())
+    return F.when(F.size(arr) > 0,
+                  F.concat(F.lit("{"), F.array_join(arr, ","),
+                           F.lit("}")))
 
 
 def _local_tree_json(df=None) -> Column:
@@ -379,14 +420,10 @@ def _local_tree_json(df=None) -> Column:
                 nxt = {}
                 node[seg] = nxt
             node = nxt
-        node[segs[-1]] = _tree_leaf(qcol(fld.name), meta)
+        node[segs[-1]] = _leaf_json_text(qcol(fld.name), meta)
 
-    def build(node: dict) -> Column:
-        return F.struct(*[
-            (build(v) if isinstance(v, dict) else v).alias(k)
-            for k, v in node.items()])
-
-    built = F.to_json(build(root)) if root else None
+    built = F.coalesce(_concat_obj(root), F.lit("{}")) if root \
+        else None
     root = (F.col("local__root").cast("string")
             if "local__root" in df.columns else None)
     if built is None and root is None:
@@ -466,9 +503,15 @@ def _jsonmesg_col(df=None) -> Column:
         v = Prop(key).col(df)
         fields.append(F.coalesce(rs_str(v), F.lit("")).alias(out_key))
     head = F.to_json(F.struct(*fields))
-    return F.concat(F.regexp_replace(head, r"\}$", ""),
-                    F.lit(', "$!": '), _all_json_col(df),
-                    F.lit(" }"))
+    out = F.concat(F.regexp_replace(head, r"\}$", ""),
+                   F.lit(', "$!": '), _all_json_col(df),
+                   F.lit(" }"))
+    if compact_json_string():
+        return out
+    # json-c SPACED render (msg.c jsonToString → glblJsonFormatOpt;
+    # reference golden prop-jsonmesg-vg.sh greps '"msg": "...", ')
+    from rsyslog_spark.functions.json_fns import jsonc_spaced
+    return jsonc_spaced(out)
 
 
 def _pri_text(which: str) -> Column:

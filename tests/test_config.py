@@ -231,7 +231,7 @@ class TestTemplateString:
             'template(name="part" type="subtree" subtree="$!usr")')
         df = spark.createDataFrame([('{"usr":{"f":1}}',)], "json string")
         assert df.select(cfg.templates["whole"].col().alias("v")) \
-            .collect()[0]["v"] == '{"usr":{"f":1}}'
+            .collect()[0]["v"] == '{ "usr": { "f": 1 } }'
         # json-c SPACED render on subtree-path reads (r6, matching
         # mmpstrucdata-escaping.sh); the bare-root splice keeps the
         # parsed text's formatting (qradar byte-exact golden)
@@ -349,7 +349,7 @@ class TestRuntime:
         df2 = spark.createDataFrame(
             [('{"usr":{"f":"v1"}}', "L")], "json string, local_loc string")
         v2 = df2.select(t2.col().alias("v")).collect()[0]["v"]
-        assert v2 == 'f=v1 loc=L all={"usr":{"f":"v1"}}'
+        assert v2 == 'f=v1 loc=L all={ "usr": { "f": "v1" } }'
 
     def test_stock_distro_config(self, spark, tmp_path):
         # A stock RHEL-shaped config: builtin RSYSLOG_* templates,
@@ -1943,10 +1943,9 @@ input(type="imfile" file="{src}" ruleset="rs")
     import os
     line1 = open([out1 / f for f in os.listdir(out1)
                   if f.startswith("part")][0]).read().strip()
-    # reference EXPECTED is the json-c SPACED render; our engine
-    # renders in the reference's compactJsonString="on" mode
-    # (documented divergence) — same tree, compact text
-    assert line1 == '{"a":"TEST-overwritten"}'
+    # reference EXPECTED copied verbatim (json-c SPACED — the
+    # %$!% default render, msg.c:4005)
+    assert line1 == '{ "a": "TEST-overwritten" }'
     # second ruleset: run it over the same parsed input
     from rsyslog_spark.config.rainerscript import load_config
     eng, cfg = load_config(conf)

@@ -242,3 +242,92 @@ def test_immark_message_shape(spark, tmp_path):
         BUILTIN_TEMPLATES["RSYSLOG_FileFormat"]).col().alias("o")) \
         .first()["o"]
     assert "rsyslogd: My MARK Message" in line
+
+
+def test_fieldtest_f32(spark, tmp_path):
+    """fieldtest.sh: %msg:F,32:2% — field 2 of the space-split MSG
+    (char 32), EXPECTED copied verbatim."""
+    out = _run(spark, tmp_path, '''
+global(parser.removeMsgFirstSpace="off")
+template(name="outfmt" type="string" string="%msg:F,32:2%\\n")
+ruleset(name="ruleset1") {
+  action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="ruleset1")
+''', "<167>Mar  6 16:57:54 172.20.245.8 %PIX-7-710005: "
+     "DROP_url_www.sina.com.cn:IN=eth1 OUT=eth0 SRC=192.168.10.78 "
+     "DST=61.172.201.194 LEN=1182 TOS=0x00 PREC=0x00 TTL=63 ID=14368 "
+     "DF PROTO=TCP SPT=33343 DPT=80 WINDOW=92 RES=0x00 ACK PSH "
+     "URGP=0\n", sub="f32")
+    assert out == "DROP_url_www.sina.com.cn:IN=eth1\n"
+
+
+def test_mmnormalize_rule_from_array(spark, tmp_path):
+    """mmnormalize_rule_from_array.sh: three inline rule= entries as
+    a config ARRAY parse and bind; all messages flow (single-digit
+    'Mar 6' days exercise the 1-2-digit day grammar)."""
+    out = _run(spark, tmp_path, '''
+global(parser.removeMsgFirstSpace="off")
+template(name="outfmt" type="string" string="%hostname% %syslogtag%\\n")
+ruleset(name="norm") {
+  action(type="mmnormalize" rule=["rule=: no longer listening on %ip:ipv4%#%port:number%", "rule=: is sending messages on %ip:ipv4%", "rule=: apfelkuchen"])
+  action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="norm")
+''', "<167>Mar 6 16:57:54 ubuntu tag1: no longer listening on "
+     "127.168.0.1#10514\n"
+     "<167>Mar 6 16:57:54 debian tag2: is sending messages on "
+     "127.168.0.1\n"
+     "<167>Mar 6 16:57:54 centos tag3: apfelkuchen\n", sub="nra")
+    assert sorted(out.splitlines()) == sorted(
+        ["ubuntu tag1:", "debian tag2:", "centos tag3:"])
+
+
+def test_mmnormalize_rule_from_string(spark, tmp_path):
+    """mmnormalize_rule_from_string.sh: one inline rule= string over
+    useRawMsg (headerless lines; char-to:\\x3a hex-escape type)."""
+    out = _run(spark, tmp_path, r'''
+global(parser.removeMsgFirstSpace="off")
+template(name="outfmt" type="string" string="%hostname% %syslogtag%\n")
+ruleset(name="norm") {
+  action(type="mmnormalize" useRawMsg="on" rule="rule=:%host:word% %tag:char-to:\x3a%: no longer listening on %ip:ipv4%#%port:number%")
+  action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="norm")
+''', "ubuntu tag1: no longer listening on 127.168.0.1#10514\n"
+     "debian tag2: no longer listening on 127.168.0.2#10514\n"
+     "centos tag3: no longer listening on 192.168.0.1#10514\n",
+       sub="nrs")
+    assert sorted(out.splitlines()) == sorted(
+        ["ubuntu tag1:", "debian tag2:", "centos tag3:"])
+
+
+def test_msg_json_set_regression(spark, tmp_path):
+    """msg_json_set_regression.sh: a nested `set $!...` whose value
+    and existing leaf are both OBJECTS merges at the leaf
+    (msg.c:5139 jsonMerge), and an overlong (>=1024 char) path
+    component refuses the whole set instead of truncating
+    (jsonPathFindNext). EXPECTED copied verbatim."""
+    import warnings
+
+    long_comp = "toolong_" + "x" * 1200
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%$!%\\n")
+ruleset(name="m") {
+  set $.ret = parse_json("{\\"keep\\":\\"orig\\"}", "\\$.target");
+  set $.ret = parse_json("{\\"escape\\":\\"merged\\"}", "\\$.merge");
+  set $!target!node = $.target;
+  set $!target!node = $.merge;
+  unset $.target;
+  unset $.merge;
+  set $!LONGCOMP!child = "blocked";
+  action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+'''.replace("LONGCOMP", long_comp),
+            "<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:00000000:\n",
+            sub="mj")
+    assert out == ('{ "target": { "node": { "keep": "orig", '
+                   '"escape": "merged" } } }\n')

@@ -202,6 +202,9 @@ def test_jsonmesg_property(spark):
     p = parse_syslog(df)
     out = p.select(compile_template_string("%jsonmesg%").col(p)
                    .alias("j")).first()["j"]
+    # the reference golden greps the SPACED fragment verbatim
+    # (prop-jsonmesg-vg.sh EXPECTED='"msg": "msgnum:00000000:", ')
+    assert '"msg": "msgnum:00000000:", ' in out
     d = json.loads(out)
     assert d["msg"] == "msgnum:00000000:"       # the golden fragment
     assert d["syslogtag"] == "tag"

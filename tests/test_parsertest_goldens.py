@@ -305,3 +305,24 @@ input(type="imfile" file="@IN@" ruleset="ruleset1")
     assert out == ('6,kern,info,Aug 10 22:18:24,host,tag,tag, This '
                    'msg contains 8-bit European chars: '
                    '#303#244#303#266#303#274\n')
+
+
+def test_pmnull_withparams(spark, tmp_path):
+    """pmnull-withparams.sh: a pmnull parser instance sets TAG and
+    PRI from its config and leaves MSG as the WHOLE raw line
+    (including the wire PRI) — EXPECTED copied verbatim."""
+    out = _run_conf(spark, tmp_path, '''
+parser(name="custom.pmnull" type="pmnull" tag="mytag" syslogfacility="3" syslogseverity="1")
+template(name="test" type="string" string="tag: %syslogtag%, pri: %pri%, syslogfacility: %syslogfacility%, syslogseverity: %syslogseverity% msg: %msg%\\n")
+ruleset(name="ruleset" parser=["custom.pmnull", "rsyslog.pmnull"]) {
+  action(type="omfile" file="@OUT@" template="test")
+}
+input(type="imfile" file="@IN@" ruleset="ruleset")
+''', [
+        '<189>16261: May 28 16:09:56.185: %SYS-5-CONFIG_I: Configured '
+        'from console by adminsepp on vty0 (10.23.214.226)',
+    ], "pn2")
+    assert out == ('tag: mytag, pri: 25, syslogfacility: 3, '
+                   'syslogseverity: 1 msg: <189>16261: May 28 '
+                   '16:09:56.185: %SYS-5-CONFIG_I: Configured from '
+                   'console by adminsepp on vty0 (10.23.214.226)\n')
