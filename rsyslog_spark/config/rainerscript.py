@@ -405,7 +405,8 @@ class _Parser:
                             "queue.", "")
                     cfg.directives[k.lower()] = v
             elif t.text in ("parser", "timezone", "dyn_stats",
-                            "perctile_stats", "ratelimit") \
+                            "perctile_stats", "percentile_stats",
+                            "ratelimit") \
                     and self.peek(1).text == "(":
                 # declarative objects (CNFOBJ enum) recorded for the
                 # operators that consume them (dynstats/percentile/
@@ -1106,6 +1107,15 @@ def _var_col(name: str, df: DataFrame | None = None) -> Column:
         if sub is not None:
             return F.coalesce(sub, rf.tree_get("json", name)) \
                 if has_json else sub
+        # subtree with SET children but no own column: reassemble
+        # from the merged $! tree, like the render path (golden
+        # mmpstrucdata-container-null.sh filters on a jsonRoot
+        # subtree: '$!structured-data != ""')
+        if any(c.startswith(flat + "_") for c in cols):
+            from rsyslog_spark.templates import _all_json_col
+            merged = rf.tree_get(_all_json_col(df), name)
+            return F.coalesce(merged, rf.tree_get("json", name)) \
+                if has_json else merged
         if has_json:
             return rf.tree_get("json", name)
         return F.lit(None).cast("string")
@@ -1700,8 +1710,19 @@ def _mm_transform(atype: str, params: dict):
     if atype == "mmpstrucdata":
         from rsyslog_spark.operators.mm import mmpstrucdata
         lowercase = flag("sd_name.lowercase", "on")
+        # jsonRoot/container params (mmpstrucdata.c:54-55,153-175):
+        # the parse lands at <jsonRoot>!<container>; a leading '$' on
+        # jsonRoot is stripped (pre-8.35 compat)
+        jroot = str(p.get("jsonRoot", p.get("jsonroot",
+                                            "$!"))).lstrip("$")
+        cont = str(p.get("container", "rfc5424-sd"))
+        path = "$" + jroot.rstrip("!") + "!" + cont
+        flat = varname(path)
+        maxsd = int(p.get("maxStructuredDataSize",
+                          p.get("maxstructureddatasize", "0")))
 
-        def fn(df, _lc=lowercase):
+        def fn(df, _lc=lowercase, _flat=flat, _path=path,
+               _max=maxsd):
             out = mmpstrucdata(df)
             m = F.col("rfc5424_sd")
             if _lc:
@@ -1716,26 +1737,37 @@ def _mm_transform(atype: str, params: dict):
                         lambda pm: F.map_from_arrays(
                             F.transform(F.map_keys(pm), F.lower),
                             F.map_values(pm))))
-            # the reference lands the parse at $!rfc5424-sd —
-            # rendered/readable through the tree machinery (rs_json
-            # marks the column as a JSON subtree for deep reads)
-            out = out.withColumn("cee_rfc5424-sd", F.to_json(m)) \
-                .withMetadata("cee_rfc5424-sd",
-                              {"rs_path": "$!rfc5424-sd",
-                               "rs_json": True})
+            # doAction (mmpstrucdata.c): protocol-0 messages have no
+            # SD flag — untouched; NIL SD → an EXPLICIT json null
+            # container (parse_null_sd; golden
+            # mmpstrucdata-container-null.sh); oversize SD skipped
+            sd = F.col("structured_data")
+            proto1 = F.col("protocol_version") == 1
+            ok = sd.isNotNull()
+            if _max > 0:
+                ok = ok & (F.length(sd) <= _max)
+            val = F.when(proto1 & ok, F.to_json(m))                 .when(proto1 & sd.isNull(), F.lit("null"))
+            out = out.withColumn(_flat, val) \
+                .withMetadata(_flat, {"rs_path": _path,
+                                      "rs_json": True})
             return out
         return Transform(atype, _gated_mm(fn))
     if atype == "mmtaghostname":
         from rsyslog_spark.operators.mm import mmtaghostname
-        kw = {}
-        if p.get("tag"):
-            kw["tag"] = p["tag"]
-        if flag("forcelocalhostname"):
-            import socket as _socket
-            kw["hostname"] = _socket.gethostname()
+        tag = p.get("tag") or None
+        force = flag("forcelocalhostname")
+
+        def _mth(df, _tag=tag, _force=force):
+            # local_hostname() resolves at EXEC time so a
+            # global(localhostname=...) later in the config (set by
+            # load_config after parsing) is honored — golden
+            # mmtaghostname_server.sh
+            from rsyslog_spark.session import local_hostname
+            return mmtaghostname(
+                df, tag=_tag,
+                hostname=local_hostname() if _force else None)
         return Transform(atype, _gated_mm(
-            lambda df: mmtaghostname(df, **kw),
-            touched=("syslogtag", "hostname")))
+            _mth, touched=("syslogtag", "hostname")))
     return None
 
 
@@ -1788,6 +1820,10 @@ def load_config(src: str, tables: dict[str, Any] | None = None,
     set_compact_json_string(
         str(cfg.directives.get("compactjsonstring",
                                "off")).lower() in ("on", "true", "1"))
+    # global(localhostname=...) — engine-wide local-host override
+    # (glbl.c LocalHostName; golden mmtaghostname_server.sh)
+    from rsyslog_spark.session import set_local_hostname
+    set_local_hostname(cfg.directives.get("localhostname"))
     for name, params in cfg.lookup_tables.items():
         if "file" in params:
             cfg.active_tables[name] = LookupTable.from_json_file(

@@ -97,6 +97,31 @@ class ConfigRun:
     # per-action counters when module(load="impstats") is configured
     # (ref: runtime/action.c:485-515 statsobj counters)
     action_stats: dict[str, dict] = dfield(default_factory=dict)
+    # percentile bucket → statname delimiter (perctile_stats.c
+    # bucket config; feeds perctile_lines)
+    perctile_meta: dict[str, str] = dfield(default_factory=dict)
+
+    def perctile_lines(self) -> list[str]:
+        """Percentile buckets in the reference's legacy impstats
+        line shape (perctile_stats.c:230-280 counter naming:
+        '<key><delim>pN' / '<key><delim>window_{min,max,sum,count}';
+        golden perctile-simple.sh content checks)."""
+        out = []
+        for bucket, d in self.perctile_meta.items():
+            df = self.dynstats.get(bucket)
+            if df is None:
+                continue
+            parts = []
+            cols = [c for c in df.columns if c != "key"]
+            for r in df.orderBy("key").collect():
+                for c in cols:
+                    v = r[c]
+                    parts.append(
+                        f"{r['key']}{d}{c}="
+                        f"{int(v) if v is not None else 0}")
+            out.append(f"{bucket}: origin=percentile.bucket "
+                       + " ".join(parts))
+        return out
 
     def impstats_lines(self) -> list[str]:
         """Per-action counters in the reference's legacy impstats
@@ -178,7 +203,8 @@ def _noparse_frame(lines: DataFrame, imf: dict) -> DataFrame:
     sev = int(imf.get("severity", 5))
     pri = (fac << 3) | sev if fac < 32 else fac | sev
     prog = tag.split("[")[0].split(":")[0].split("/")[0]
-    host = F.lit(_socket.gethostname())
+    from rsyslog_spark.session import local_hostname
+    host = F.lit(local_hostname())
     l = F.col("line")
     tgen = F.current_timestamp()
     null_s = F.lit(None).cast("string")
@@ -944,6 +970,24 @@ def run_config_batch(
     names a template, parquet otherwise).
     """
     eng, cfg = load_config(conf_src, tables=tables)
+    # MULTIPLE imfile inputs (each bound to its ruleset) run as one
+    # batch per input — the reference starts every input and routes
+    # per binding (rsconf.c activation; golden empty-ruleset.sh two
+    # listeners). Sinks append, so outputs accumulate across inputs.
+    imfiles = [i for i in cfg.inputs if i.get("type") == "imfile"]
+    if input_path is None and main is None and len(imfiles) > 1:
+        agg = ConfigRun()
+        for i in imfiles:
+            sub = run_config_batch(
+                spark, conf_src, input_path=i.get("file"),
+                main=i.get("ruleset"), tables=tables,
+                sink_overrides=sink_overrides)
+            agg.written.update(sub.written)
+            agg.unbound.extend(sub.unbound)
+            agg.dynstats.update(sub.dynstats)
+            agg.action_stats.update(sub.action_stats)
+            agg.survivors = sub.survivors
+        return agg
     path = input_path
     pcap_inp = None
     ruleset_name = main
@@ -1086,12 +1130,19 @@ def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
         # batch (approximation note: the reference increments at the
         # statement's execution point; the batch form counts every
         # parsed row)
+        # aggregate over SURVIVORS (post-ruleset frame): observe
+        # expressions may reference $.-locals the ruleset set
+        # (golden perctile-simple.sh 'set $.val = ...;
+        # percentile_observe(..., $.val)'); stop-removed rows are
+        # excluded, matching execution-point semantics more closely
+        # than the raw parsed frame
+        sframe = survivors if survivors is not None else frame
         for kind, bucket, key_fn, val_fn in cfg.stats_calls:
             if key_fn is None:
                 continue
-            key = key_fn(frame).alias("key")
+            key = key_fn(sframe).alias("key")
             if kind == "dyn_inc":
-                counts = frame.groupBy(key).count()
+                counts = sframe.groupBy(key).count()
                 # dyn_stats persistStateInterval (dynstats.c:382-520;
                 # golden tests/dynstats-persist.sh): counters resume
                 # from the persisted state file across runs and the
@@ -1112,18 +1163,34 @@ def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
                         merged[r["key"]] = \
                             merged.get(r["key"], 0) + r["count"]
                     dynstats_save_state(bucket, sdir, merged)
-                    counts = frame.sparkSession.createDataFrame(
+                    counts = sframe.sparkSession.createDataFrame(
                         [(k, v) for k, v in merged.items()],
                         "key string, count long")
                 run.dynstats[bucket] = counts
             else:
                 from rsyslog_spark.operators.stats import (
                     percentile_stats)
-                vf = val_fn(frame) if val_fn is not None else \
+                vf = val_fn(sframe) if val_fn is not None else \
                     F.lit(None)
+                # bucket declaration (percentile_stats(name=...
+                # percentiles=[..] windowsize=..) — runtime/
+                # perctile_stats.c): reference-exact NEAREST-RANK
+                # pick over the window; golden perctile-simple.sh
+                pobj = next(
+                    (o for os_ in ("percentile_stats",
+                                   "perctile_stats")
+                     for o in cfg.objects.get(os_, [])
+                     if o.get("name") == bucket), {})
+                pcts = pobj.get("percentiles", ["50", "95", "99"])
+                if isinstance(pcts, str):
+                    pcts = [pcts]
                 run.dynstats[bucket] = percentile_stats(
-                    frame.select(key, vf.cast("double").alias("v")),
-                    "key", "v")
+                    sframe.select(key, vf.cast("long").alias("v")),
+                    "key", "v",
+                    percentiles=[int(x) for x in pcts],
+                    exact="ref")
+                run.perctile_meta[bucket] = str(
+                    pobj.get("delimiter", "|"))
     finally:
         if multi_action:
             frame.unpersist()

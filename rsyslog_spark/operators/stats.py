@@ -139,6 +139,29 @@ def percentile_stats(
             .orderBy(F.col(order_col).desc())
         df = df.withColumn("__rb_rn", F.row_number().over(w)) \
             .filter(F.col("__rb_rn") <= window_size).drop("__rb_rn")
+    if exact == "ref":
+        # the reference's NEAREST-RANK pick (perctile_stats.c:434:
+        # index = max(0, (p/100 * count) - 1) into the SORTED window)
+        # — not interpolating. collect_list is bounded by the window
+        # size (the ring buffer's analog), so per-key memory is
+        # capped like the reference's.
+        sarr = F.sort_array(F.collect_list(F.col(value_col)))
+        cnt = F.size(sarr)
+        aggs = []
+        for p in percentiles:
+            idx = F.greatest(
+                F.lit(0),
+                F.floor(F.lit(float(p)) / 100.0 * cnt - 1)
+            ).cast("int") + 1
+            aggs.append(F.try_element_at(sarr, idx)
+                        .alias(f"p{int(p)}"))
+        aggs += [
+            F.min(value_col).alias("window_min"),
+            F.max(value_col).alias("window_max"),
+            F.sum(value_col).alias("window_sum"),
+            F.count(F.lit(1)).alias("window_count"),
+        ]
+        return df.groupBy(key_col).agg(*aggs)
     fn = F.percentile if exact else F.percentile_approx
     aggs = [
         fn(F.col(value_col), F.lit(p)).alias(f"p{int(p * 100)}")

@@ -601,7 +601,8 @@ def parse_syslog(
     if "hostname" in want or "fromhost" in want:
         import socket as _socket
 
-        local = F.lit(_socket.gethostname())
+        from rsyslog_spark.session import local_hostname
+        local = F.lit(local_hostname())
         rcv = F.coalesce(F.col("fromhost"), local) \
             if "fromhost" in out.columns else local
         if "hostname" in want:

@@ -153,7 +153,8 @@ def collect_all() -> dict[str, Query]:
 #: queries (imbeats_seq_metadata, impcap_l7_battery,
 #: impstats_action_counters — in the window for first-time
 #: verification).
-_TAIL = ("flagship_parse_route",
+_TAIL = ("supplier_part_volume",
+         "flagship_parse_route",
          "rfc5424_roundtrip_fields",
          "faup_url_decompose",
          "template_render", "scalar_battery",

@@ -570,3 +570,48 @@ def json_tree_battery(spark, sf_dir):
         F.sum("kmm_n").cast("long").alias("sum_k_mm"),
         F.count("kmm_s").cast("long").alias("n_parsed"),
     )
+
+
+@q(
+    "imkafka_split_records",
+    """
+    WITH src AS (
+      SELECT event_id FROM events WHERE event_id % 37 = 0
+    ), expanded AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN NULL
+                  ELSE event_id END AS n
+      FROM src
+      UNION ALL
+      SELECT event_id + 1 AS n FROM src WHERE event_id % 2 <> 0
+    )
+    SELECT CAST(n % 7 AS BIGINT) AS bucket,
+           COUNT(*) AS cnt,
+           CAST(SUM(n) AS BIGINT) AS total
+    FROM expanded GROUP BY 1
+    """,
+    doc="imkafka split.json.records (ref: plugins/imkafka/imkafka.c "
+        "splitJsonRecords:446-556; goldens imkafka-json-split-*.sh): "
+        "{'records':[...]} payloads fan out one message per element "
+        "(compact re-serialization), unparseable payloads forward "
+        "as-is (NULL bucket). Pure variant-parse + explode — "
+        "a narrow per-row transform, no shuffle before the final "
+        "partial-agg; at 100 TB the fan-out multiplies rows inside "
+        "the scan stage without a repartition.",
+)
+def imkafka_split_records(spark, sf_dir):
+    from rsyslog_spark.streaming.sources import split_json_records
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_id") % 37 == 0)
+    eid = F.col("event_id")
+    line = F.when(
+        eid % 2 == 0, F.lit("not json")
+    ).otherwise(F.concat(
+        F.lit('{"records":[{"n":'), eid.cast("string"),
+        F.lit('},{"n":'), (eid + 1).cast("string"), F.lit("}]}")))
+    out = split_json_records(ev.select(line.alias("line")))
+    n = F.get_json_object("line", "$.n").cast("long")
+    return (out.select(n.alias("n"))
+            .groupBy((F.col("n") % 7).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("n").alias("total")))

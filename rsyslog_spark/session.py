@@ -99,3 +99,21 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+# global(localhostname="...") — overrides the OS hostname everywhere
+# the engine stamps/falls back to the local host ($myhostname,
+# receiver-stamp fallbacks, mmtaghostname forcelocalhostname — ref:
+# runtime/glbl.c LocalHostName; golden mmtaghostname_server.sh)
+_LOCAL_HOSTNAME: list = [None]
+
+
+def set_local_hostname(name: str | None) -> None:
+    _LOCAL_HOSTNAME[0] = name or None
+
+
+def local_hostname() -> str:
+    if _LOCAL_HOSTNAME[0]:
+        return _LOCAL_HOSTNAME[0]
+    import socket
+    return socket.gethostname()

@@ -133,7 +133,9 @@ def _system_props() -> dict:
         "minute": F.date_format(now, "mm"),
         "minute-utc": F.date_format(now, "mm"),
         "now-unixtimestamp": F.unix_timestamp(now).cast("string"),
-        "myhostname": F.lit(_socket.gethostname()),
+        "myhostname": F.lit(__import__(
+            "rsyslog_spark.session", fromlist=["local_hostname"]
+        ).local_hostname()),
         "bom": F.lit("\ufeff"),
     }
 
@@ -363,7 +365,11 @@ def _leaf_json_text(leaf: Column, meta: dict) -> Column:
     documented divergence as render_var_value)."""
     s = leaf.cast("string")
     if meta.get("rs_json"):
-        return F.when(F.try_parse_json(s).isNotNull(), s)
+        # an explicit 'null' container is a VALUE (mmpstrucdata NIL
+        # SD, parse_null_sd) — splice it; try_parse_json('null')
+        # yields a variant null that must not drop the key
+        return F.when(s == "null", s) \
+            .when(F.try_parse_json(s).isNotNull(), s)
     # typed scalar → its JSON token via the 1-element-array trick
     # (to_json renders numbers/bools unquoted, strings escaped)
     arr = F.to_json(F.array(leaf))

@@ -331,3 +331,150 @@ input(type="imfile" file="@IN@" ruleset="m")
             sub="mj")
     assert out == ('{ "target": { "node": { "keep": "orig", '
                    '"escape": "merged" } } }\n')
+
+
+def test_mmtaghostname_tag(spark, tmp_path):
+    """mmtaghostname_tag.sh: the tag= param replaces the message TAG
+    (source labeling for relayed feeds) — EXPECTED verbatim."""
+    out = _run(spark, tmp_path, '''
+template(name="test" type="string" string="tag: %syslogtag%, server: %hostname%, msg: %msg%\\n")
+ruleset(name="ruleset") {
+  action(type="mmtaghostname" tag="source-imtcp")
+  action(type="omfile" file="@OUT@" template="test")
+}
+input(type="imfile" file="@IN@" ruleset="ruleset")
+''', "<189>1 2019-03-03T16:09:56.185+00:00 server app 123.4 msgid - "
+     "%SYS-5-CONFIG_I: Configured from console by adminsepp on vty0 "
+     "(10.23.214.226)\n", sub="mth1")
+    assert out == ('tag: source-imtcp, server: server, msg: '
+                   '%SYS-5-CONFIG_I: Configured from console by '
+                   'adminsepp on vty0 (10.23.214.226)\n')
+
+
+def test_mmtaghostname_server(spark, tmp_path):
+    """mmtaghostname_server.sh: forceLocalHostname rewrites hostname
+    to global(localhostname=...); the non-numeric PROCID '123.4'
+    still emulates into the 'app[123.4]' tag — EXPECTED verbatim."""
+    out = _run(spark, tmp_path, '''
+global(localhostname="frontAPP")
+template(name="test" type="string" string="tag: %syslogtag%, server: %hostname%, msg: %msg%\\n")
+ruleset(name="ruleset") {
+  action(type="mmtaghostname" forcelocalhostname="on")
+  action(type="omfile" file="@OUT@" template="test")
+}
+input(type="imfile" file="@IN@" ruleset="ruleset")
+''', "<189>1 2019-03-03T16:09:56.185+00:00 server app 123.4 msgid - "
+     "%SYS-5-CONFIG_I: Configured from console by adminsepp on vty0 "
+     "(10.23.214.226)\n", sub="mth2")
+    assert out == ('tag: app[123.4], server: frontAPP, msg: '
+                   '%SYS-5-CONFIG_I: Configured from console by '
+                   'adminsepp on vty0 (10.23.214.226)\n')
+
+
+def test_omfile_subtree_jsonf(spark, tmp_path):
+    """omfile-subtree-jsonf.sh: exec_template of a subtree template
+    lands the SPACED json-c text in a local var; the jsonf list
+    template embeds it as an escaped JSON string value."""
+    import json as _json
+
+    out = _run(spark, tmp_path, '''
+template(name="eventSubtree" type="subtree" subtree="$!event")
+template(name="jsonfList" type="list" option.jsonf="on") {
+  property(outname="message" name="$.payload" format="jsonf")
+}
+ruleset(name="m") {
+  if $msg contains "msgnum:" then {
+    set $!event!level = "error";
+    set $!event!code = 500;
+    set $.payload = exec_template("eventSubtree");
+    action(type="omfile" file="@OUT@" template="jsonfList")
+  }
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:00000000:\n",
+       sub="osj")
+    payload = _json.loads(out)
+    assert payload["message"] == '{ "level": "error", "code": 500 }'
+
+
+def test_mmpstrucdata_container_null(spark, tmp_path):
+    """mmpstrucdata-container-null.sh + mmpstrucdata-rfc3164-skip.sh:
+    jsonRoot/container land the SD parse at a custom path; a NIL SD
+    ('-') stores an EXPLICIT json null container; a legacy message
+    without SD leaves the tree untouched (the filter sees '')."""
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%$!structured-data%\\n")
+ruleset(name="m") {
+  action(type="mmpstrucdata" jsonRoot="$!structured-data" container="custom-sd")
+  if $!structured-data != "" then
+    action(type="omfile" template="outfmt" file="@OUT@")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', '<85>1 2026-05-22T08:00:00.000+00:00 host app proc msgid '
+     '[test@32473 key="value"] MMPSTRUCDATA with sd\n'
+     '<85>1 2026-05-22T08:00:00.000+00:00 host app proc msgid - '
+     'MMPSTRUCDATA without sd\n'
+     '<85>May 22 08:00:00 host app: MMPSTRUCDATA legacy without sd\n',
+       sub="psd")
+    assert sorted(out.splitlines()) == sorted(
+        ['{ "custom-sd": { "test@32473": { "key": "value" } } }',
+         '{ "custom-sd": null }'])
+
+
+def test_empty_ruleset(spark, tmp_path):
+    """empty-ruleset.sh: messages bound to an EMPTY ruleset vanish;
+    the real ruleset's messages flow (seq_check analog)."""
+    lines_real = "".join(
+        f"<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:{i:08d}:\n"
+        for i in range(5000, 5005))
+    lines_empty = "".join(
+        f"<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:{i:08d}:\n"
+        for i in range(5))
+    srce = tmp_path / "in_empty.log"
+    srce.write_text(lines_empty)
+    out = _run(spark, tmp_path, f'''
+$template outfmt,"%msg:F,58:2%\\n"
+ruleset(name="empty") {{
+}}
+ruleset(name="real") {{
+  action(type="omfile" file="@OUT@" template="outfmt")
+}}
+input(type="imfile" file="{srce}" ruleset="empty")
+input(type="imfile" file="@IN@" ruleset="real")
+''', lines_real, sub="er")
+    assert sorted(out.splitlines()) == [
+        f"{i:08d}" for i in range(5000, 5005)]
+
+
+def test_perctile_simple(spark, tmp_path):
+    """perctile-simple.sh: percentile_observe over values 1..1000
+    with the reference's NEAREST-RANK pick — the impstats line
+    carries STATNAME|p95=950, p50=500, p99=990, window_min=1,
+    window_max=1000, window_sum=500500 (content checks verbatim)."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    lines = "".join(
+        f"<167>Mar  1 01:00:00 192.0.2.8 tag msgnum:{i}\n"
+        for i in range(1, 1001))
+    src = tmp_path / "in_pct.log"
+    src.write_text(lines)
+    conf = f'''
+global(parser.removeMsgFirstSpace="off")
+percentile_stats(name="pctbkt" percentiles=["95", "50", "99"]
+  windowsize="1000" delimiter="|")
+ruleset(name="m") {{
+  if $msg startswith " msgnum:" then {{
+    set $.val = field($msg, 58, 2);
+    set $.status = percentile_observe("pctbkt", "msgcount", $.val);
+  }}
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run = run_config_batch(spark, conf)
+    line = run.perctile_lines()[0]
+    for frag in ("msgcount|p95=950", "msgcount|p50=500",
+                 "msgcount|p99=990", "msgcount|window_min=1",
+                 "msgcount|window_max=1000",
+                 "msgcount|window_sum=500500",
+                 "msgcount|window_count=1000"):
+        assert frag in line, (frag, line)
