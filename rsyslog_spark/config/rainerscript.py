@@ -190,6 +190,9 @@ class ParsedConfig:
     lookup_tables: dict[str, Any] = dfield(default_factory=dict)
     ruleset_params: dict[str, dict] = dfield(default_factory=dict)
     reloads: list[str] = dfield(default_factory=list)
+    # reload_lookup_table(name, STUB): stub value per table for
+    # failed reloads (lookup.c stub_value_if_reload_fails)
+    reload_stubs: dict[str, str] = dfield(default_factory=dict)
     # dyn_inc / percentile_observe call sites: (kind, bucket,
     # key_fn, value_fn|None) — the runtime aggregates these over the
     # batch (ref: rainerscript.c:4490 dyn_inc/percentile_observe)
@@ -697,9 +700,18 @@ class _Parser:
                 # re-registering the table between micro-batches
                 self.next()
                 self.expect("(")
-                self.reloads.append(_unquote(self.next().text))
+                rname = _unquote(self.next().text)
+                self.reloads.append(rname)
                 while not self.accept(")"):
-                    self.next()
+                    tk = self.next()
+                    if tk.kind == "string":
+                        # 2nd arg: STUB value — a FAILED reload
+                        # switches the table to stub mode where
+                        # every lookup returns it (ref: lookup.c
+                        # lookupReload stub_value_if_reload_fails;
+                        # golden lookup_table_rscript_reload.sh)
+                        self.cfg.reload_stubs[rname] = _unquote(
+                            tk.text)
                 self.accept(";")
                 continue
             got = self.parse_stmt()
@@ -1702,7 +1714,19 @@ def _mm_transform(atype: str, params: dict):
             touched=("msg",)))
     if atype == "mmutf8fix":
         from rsyslog_spark.operators.mm import mmutf8fix
-        return Transform(atype, _gated_mm(mmutf8fix, touched=("msg",)))
+        # replacementChar / replacementSequence (mmutf8fix.c:81,
+        # 171-192 — mutually exclusive; the sequence may be
+        # multi-byte, e.g. the UTF-8 replacement char "\xef\xbf\xbd").
+        # DIVERGENCE (documented in the operator): the reference
+        # replaces each invalid BYTE; Spark strings arrive decoded,
+        # so each decoder-emitted U+FFFD is replaced instead.
+        repl = p.get("replacementSequence",
+                     p.get("replacementsequence",
+                           p.get("replacementChar",
+                                 p.get("replacementchar", " "))))
+        return Transform(atype, _gated_mm(
+            lambda df, _r=str(repl): mmutf8fix(df, replacement=_r),
+            touched=("msg",)))
     if atype == "mmrm1stspace":
         from rsyslog_spark.operators.mm import mmrm1stspace
         return Transform(atype, _gated_mm(mmrm1stspace,
@@ -1826,8 +1850,19 @@ def load_config(src: str, tables: dict[str, Any] | None = None,
     set_local_hostname(cfg.directives.get("localhostname"))
     for name, params in cfg.lookup_tables.items():
         if "file" in params:
-            cfg.active_tables[name] = LookupTable.from_json_file(
-                params["file"])
+            try:
+                cfg.active_tables[name] = LookupTable.from_json_file(
+                    params["file"])
+            except (FileNotFoundError, OSError):
+                stub = cfg.reload_stubs.get(name)
+                if stub is None:
+                    raise
+                # failed (re)load with a stub configured: the table
+                # enters STUB mode — every lookup returns the stub
+                # (lookup.c lookupReload; golden
+                # lookup_table_rscript_reload.sh 'reload_failed')
+                cfg.active_tables[name] = LookupTable(
+                    type="string", nomatch=stub, entries=[])
     for name, tbl in (tables or {}).items():
         cfg.active_tables[name] = tbl
     return RulesetEngine(list(cfg.rulesets.values())), cfg

@@ -478,3 +478,70 @@ input(type="imfile" file="{src}" ruleset="m")
                  "msgcount|window_sum=500500",
                  "msgcount|window_count=1000"):
         assert frag in line, (frag, line)
+
+
+def test_lookup_table_rscript_reload(spark, tmp_path):
+    """lookup_table_rscript_reload{,_without_stub}.sh (batch analog:
+    one reload per run — each run_config_batch re-reads the table
+    file, matching the reference's await_lookup_table_reload
+    phases): values follow the file versions; a MISSING file with a
+    reload stub configured switches the table to stub mode where
+    every lookup returns the stub."""
+    tblf = tmp_path / "xlate.lkp_tbl"
+    conf = f'''
+global(parser.removeMsgFirstSpace="off")
+lookup_table(name="xlate" file="{tblf}")
+template(name="outfmt" type="string" string="- %msg% %$.lkp%\\n")
+ruleset(name="m") {{
+  set $.lkp = lookup("xlate", $msg);
+  if ($msg == " msgnum:00000002:") then {{
+    reload_lookup_table("\\x78\\x6C\\x61\\x74\\x65", "\\x72\\x65\\x6C\\x6F\\x61\\x64\\x5F\\x66\\x61\\x69\\x6C\\x65\\x64")
+  }}
+  action(type="omfile" file="@OUT@" template="outfmt")
+}}
+input(type="imfile" file="@IN@" ruleset="m")
+'''
+    lines = "".join(
+        f"<167>Mar  1 01:00:00 h tag msgnum:{i:08d}:\n"
+        for i in range(3))
+    tblf.write_text('{"table":[' 
+                    '{"index":" msgnum:00000001:", "value":"bar_old"},'
+                    '{"index":" msgnum:00000000:", "value":"foo_old"}]}')
+    out = _run(spark, tmp_path, conf, lines, sub="lr1")
+    assert "msgnum:00000000: foo_old" in out
+    assert "msgnum:00000001: bar_old" in out
+    assert "baz" not in out
+    # phase 2: more entries
+    tblf.write_text('{"table":[' 
+                    '{"index":" msgnum:00000000:", "value":"foo_new"},'
+                    '{"index":" msgnum:00000001:", "value":"bar_new"},'
+                    '{"index":" msgnum:00000002:", "value":"baz"}]}')
+    out = _run(spark, tmp_path, conf, lines, sub="lr1")
+    assert "msgnum:00000000: foo_new" in out
+    assert "msgnum:00000002: baz" in out
+    # phase 3: file gone -> STUB mode, every lookup = reload_failed
+    import os as _os
+    _os.unlink(tblf)
+    out = _run(spark, tmp_path, conf, lines, sub="lr1")
+    assert "msgnum:00000000: reload_failed" in out
+
+
+def test_mmutf8fix_replacement_sequence(spark, tmp_path):
+    """mmutf8fix replacementSequence (mmutf8fix.c:81,171-192):
+    invalid UTF-8 replaces with a multi-char sequence. Divergence
+    (documented): the reference fixes raw BYTES; line-framed Spark
+    sources decode first, so each decoder-emitted U+FFFD is
+    replaced. Verified over a file containing an invalid byte."""
+    src = tmp_path / "raw_u8.log"
+    src.write_bytes(
+        b"<134>Mar  1 01:00:00 host tag: bad\xa0byte here\n")
+    out = _run(spark, tmp_path, f'''
+global(parser.removeMsgFirstSpace="off")
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="mmutf8fix" replacementSequence="<?>")
+  action(type="omfile" file="@OUT@" template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''', "", sub="u8")
+    assert out == " bad<?>byte here\n"
