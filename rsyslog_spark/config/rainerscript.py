@@ -374,6 +374,15 @@ class _Parser:
                 params = self.parse_param_block()
                 (cfg.modules if kind == "module" else cfg.inputs
                  ).append(params)
+                if kind == "module" and str(params.get(
+                        "load", "")).endswith("omfile") \
+                        and params.get("template"):
+                    # module(load="builtin:omfile" template=...)
+                    # sets the omfile DEFAULT template, same effect
+                    # as $ActionFileDefaultTemplate (ref: omfile.c
+                    # module params; golden omfile-outchannel.sh)
+                    cfg.directives["actionfiledefaulttemplate"] = \
+                        params["template"]
             elif t.text == "template":
                 params = self.parse_template_obj()
                 self._register_template(params)
@@ -935,7 +944,14 @@ class _Parser:
             self.accept(":")
             rest = self._rest_of_line(t.line)
             spec, _, tmpl = rest.partition(";")
-            p = {"type": mod, "target": spec}
+            if mod == "omfile" and spec.strip().startswith("$"):
+                # ':omfile:$channel' — outchannel by name (ref:
+                # omfile.c cflineParseOutchannel; golden
+                # omfile-outchannel.sh)
+                p = {"type": "omfile",
+                     "outchannel": spec.strip()[1:]}
+            else:
+                p = {"type": mod, "target": spec}
             if tmpl:
                 p["template"] = tmpl
             return _make_action(p)
@@ -1676,9 +1692,31 @@ def _mm_transform(atype: str, params: dict):
             outp = _p.get("output", "$!transformed")
             ic = varname(inp) if inp not in ("$!", "!") else "json"
             oc = varname(outp)
+            mode = _p.get("mode", "unflatten")
+            drop = rename = None
+            if _p.get("policy"):
+                # YAML policy file (mmjsontransform.c policyPath:
+                # version/mode/map.rename/map.drop; renames and
+                # drops apply on the FLAT key set both modes share).
+                # Read at EXEC time — each batch run re-reads the
+                # file, the per-run analog of the reference's HUP /
+                # policyWatch reload (golden
+                # mmjsontransform-policy-basic.sh phases)
+                import yaml
+                with open(_p["policy"], encoding="utf-8") as fh:
+                    pol = yaml.safe_load(fh) or {}
+                if pol.get("mode") not in ("flatten", "unflatten"):
+                    raise ValueError(
+                        "mmjsontransform: policy mode "
+                        f"{pol.get('mode')!r} is invalid; use "
+                        "'unflatten' or 'flatten'")
+                mode = pol.get("mode", mode)
+                m = pol.get("map") or {}
+                rename = m.get("rename") or None
+                drop = m.get("drop") or None
             out = mmjsontransform(
-                df, input_col=ic, output_col=oc,
-                mode=_p.get("mode", "unflatten"),
+                df, input_col=ic, output_col=oc, mode=mode,
+                drop_keys=drop, rename_rules=rename,
                 # stored text renders json-c SPACED so subtree
                 # templates are byte-exact (glblJsonFormatOpt
                 # default; data_pipeline-qradar.sh cmp_exact)

@@ -759,3 +759,41 @@ def translate(text: str, fmt: str) -> str:
     if fmt in ("rainerscript", "rs", "conf"):
         return to_rainerscript(cfg)
     raise ValueError(f"unknown translation format {fmt!r}")
+
+
+def full_config(text: str, base_dir: str = ".") -> str:
+    """The ``rsyslogd -o <path>`` merged-config output (ref:
+    grammar/lexer.l:569-573 fp_rs_full_conf_output): the config text
+    with every include() / $IncludeConfig splice expanded inline,
+    each included fragment prefixed by the lexer's
+    '##### BEGIN CONFIG: <file> (put on stack)' marker. Glob
+    includes expand one fragment per matching file (golden
+    config_output-o-option.sh)."""
+    import glob as _glob
+    import os as _os
+    import re as _re
+
+    def expand_file(path: str) -> str:
+        out = [f"\n##### BEGIN CONFIG: {path} (put on stack)\n"]
+        with open(path, encoding="utf-8") as fh:
+            out.append(expand(fh.read(),
+                              _os.path.dirname(path) or "."))
+        return "".join(out)
+
+    def expand(src: str, bdir: str) -> str:
+        def repl_obj(m):
+            pat = m.group(1)
+            if not _os.path.isabs(pat):
+                pat = _os.path.join(bdir, pat)
+            return "".join(expand_file(p)
+                           for p in sorted(_glob.glob(pat)))
+        src = _re.sub(
+            r'include\(\s*file="([^"]+)"[^)]*\)', repl_obj, src)
+        src = _re.sub(
+            r'^\$IncludeConfig\s+(\S+)\s*$',
+            lambda m: repl_obj(type("M", (), {
+                "group": lambda self, _i: m.group(1)})()),
+            src, flags=_re.MULTILINE)
+        return src
+
+    return expand(text, base_dir)

@@ -545,3 +545,92 @@ ruleset(name="m") {{
 input(type="imfile" file="{src}" ruleset="m")
 ''', "", sub="u8")
     assert out == " bad<?>byte here\n"
+
+
+def test_mmjsontransform_policy(spark, tmp_path):
+    """mmjsontransform-policy-basic.sh (per-run reload analog of the
+    reference's HUP phases): a YAML policy drives mode +
+    rename/drop on the shared flat-key representation — phase 1
+    flatten (usr→user.name, ctx.old→ctx.new, drop debug), phase 2
+    unflatten (usr→actor.name, ctx.old→ctx.after). Expected dicts
+    copied verbatim from the reference's python check."""
+    import json as _json
+
+    pol = tmp_path / "policy.yaml"
+    conf = f'''
+global(parser.removeMsgFirstSpace="off")
+template(name="outfmt" type="string" string="%$!output%\\n")
+ruleset(name="m") {{
+  set $.ret = parse_json($msg, "\\$!input");
+  action(type="mmjsontransform" policy="{pol}" input="$!input" output="$!output")
+  action(type="omfile" file="@OUT@" template="outfmt")
+}}
+input(type="imfile" file="@IN@" ruleset="m")
+'''
+    pol.write_text(
+        "version: 1\nmode: flatten\nmap:\n  rename:\n"
+        '    "usr": "user.name"\n    "ctx.old": "ctx.new"\n'
+        "  drop:\n    - \"debug\"\n")
+    out = _run(spark, tmp_path,
+               conf, '<166>Mar 10 01:00:00 host app: '
+               '{ "usr": "alice", "debug": true, "ctx": { "old": 1 } }'
+               "\n", sub="pol")
+    assert _json.loads(out) == {"user.name": "alice", "ctx.new": 1}
+    pol.write_text(
+        "version: 1\nmode: unflatten\nmap:\n  rename:\n"
+        '    "usr": "actor.name"\n    "ctx.old": "ctx.after"\n')
+    out = _run(spark, tmp_path,
+               conf, '<166>Mar 10 01:00:00 host app: '
+               '{ "usr": "bob", "debug": true, "ctx": { "old": 2 } }'
+               "\n", sub="pol2")
+    assert _json.loads(out) == {
+        "actor": {"name": "bob"}, "ctx": {"after": 2}, "debug": True}
+
+
+def test_omfile_outchannel_module_template(spark, tmp_path):
+    """omfile-outchannel.sh: ':omfile:$channel' selector target plus
+    module(load="builtin:omfile" template=...) as the default omfile
+    template — messages land in the outchannel's file rendered with
+    the module default (seq_check analog)."""
+    ch = tmp_path / "channel.log"
+    lines = "".join(
+        f"<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:{i:08d}:\n"
+        for i in range(5))
+    out = _run(spark, tmp_path, f'''
+template(name="outfmt" type="string" string="%msg:F,58:2%\\n")
+module(load="builtin:omfile" template="outfmt")
+$outchannel log_rotation,{ch}, 50000
+:msg, contains, "msgnum:" :omfile:$log_rotation
+input(type="imfile" file="@IN@")
+''', lines, sub="och")
+    del out
+    import os as _os
+    got = "".join(
+        open(_os.path.join(ch, p)).read()
+        for p in sorted(_os.listdir(ch)) if p.startswith("part")) \
+        if _os.path.isdir(ch) else open(ch).read()
+    assert sorted(got.splitlines()) == [f"{i:08d}" for i in range(5)]
+
+
+def test_config_output_o_option(tmp_path):
+    """config_output-o-option.sh: the -o merged-config output
+    expands include() splices inline with the lexer's
+    '##### BEGIN CONFIG: <file> (put on stack)' markers
+    (grammar/lexer.l:572) — content checks copied verbatim."""
+    import re
+
+    from rsyslog_spark.config.translate import full_config
+
+    inc = tmp_path / "include-std-omfile-action.conf"
+    inc.write_text('action(type="omfile" template="outfmt" '
+                   'file="/tmp/out.log")\n')
+    conf = ('template(name="outfmt" type="string" '
+            'string="%msg:F,58:2%\\n")\n'
+            'if $msg contains "msgnum:" then {\n'
+            f'  include(file="{tmp_path}/include-std-omfile-actio*.conf")\n'
+            '}\n')
+    full = full_config(conf, str(tmp_path))
+    assert 'if $msg contains "msgnum:" then' in full
+    assert 'action(type="omfile"' in full
+    assert re.search(
+        r"BEGIN CONFIG: .*include-std-omfile-action.conf", full)

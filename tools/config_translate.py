@@ -19,12 +19,21 @@ from rsyslog_spark.config.translate import translate
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-f", "--file", required=True)
-    ap.add_argument("-F", "--format", required=True,
-                    choices=["yaml", "rainerscript"])
+    ap.add_argument("-F", "--format", required=False,
+                    choices=["yaml", "rainerscript", "full"])
     ap.add_argument("-o", "--out", default="-")
     args = ap.parse_args()
     with open(args.file, encoding="utf-8") as fh:
-        out = translate(fh.read(), args.format)
+        src = fh.read()
+    if not args.format or args.format == "full":
+        # rsyslogd -o <path> without -F: merged-config echo with
+        # include markers (grammar/lexer.l:572)
+        import os as _os
+
+        from rsyslog_spark.config.translate import full_config
+        out = full_config(src, _os.path.dirname(args.file) or ".")
+    else:
+        out = translate(src, args.format)
     if args.out == "-":
         sys.stdout.write(out)
     else:
