@@ -472,6 +472,45 @@ def _dispatch_action_inner(
         out = sink_overrides[typ](name, df, params)
         run.written[name] = out if isinstance(out, str) else typ
         return
+    if typ == "omsendertrack" and params.get("statefile"):
+        # omsendertrack (plugins/omsendertrack/omsendertrack.c):
+        # per-sender message counts + first/last seen persisted as a
+        # JSON array statefile ('{"sender":..,"messages":N,
+        # "firstseen":T,"lastseen":T}'); senderid names the template
+        # that renders the sender id (golden
+        # omsendertrack-statefile.sh format checks). The per-sender
+        # aggregate is a partial-agg groupBy; only the O(#senders)
+        # result is collected for the statefile.
+        import json as _json
+        import os as _os
+
+        from rsyslog_spark.operators.stats import sendertrack
+
+        tpl = cfg.templates.get(params.get("senderid", ""))
+        sid = (tpl.col(df) if tpl is not None and hasattr(tpl, "col")
+               else F.col("fromhost"))
+        src = df.select(sid.alias("__sender"),
+                        F.col("timereported").alias("__ts"))
+        rows = sendertrack(src, "__sender", "__ts") \
+            .orderBy("__sender").collect()
+        path = params["statefile"]
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("[\n")
+            fh.write(",\n".join(
+                '{"sender":%s,"messages":%d,"firstseen":%d,'
+                '"lastseen":%d}' % (
+                    _json.dumps(r["__sender"] or ""),
+                    r["msg_count"],
+                    int(r["first_seen"].timestamp())
+                    if r["first_seen"] else 0,
+                    int(r["last_seen"].timestamp())
+                    if r["last_seen"] else 0)
+                for r in rows))
+            fh.write("\n]\n" if rows else "]\n")
+        _os.replace(tmp, path)   # atomic like the reference's rename
+        run.written[name] = path
+        return
     if typ == "omfile" and params.get("dynafile"):
         # ?DynaFile target (ref: tools/omfile.c dynafiles): the
         # template's property references become partition columns

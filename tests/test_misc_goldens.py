@@ -634,3 +634,31 @@ def test_config_output_o_option(tmp_path):
     assert 'action(type="omfile"' in full
     assert re.search(
         r"BEGIN CONFIG: .*include-std-omfile-action.conf", full)
+
+
+def test_omsendertrack_statefile(spark, tmp_path):
+    """omsendertrack-statefile.sh: the statefile is a JSON array of
+    {"sender","messages","firstseen","lastseen"} records written
+    atomically (writeSenderStats format, grep checks verbatim)."""
+    import json as _json
+
+    st = tmp_path / "sendertrack.json"
+    lines = ("<167>Mar  1 01:00:00 sender1.example.net tag "
+             "msgnum:00000000:\n"
+             "<167>Mar  1 01:00:00 sender1.example.net tag "
+             "msgnum:00000001:\n")
+    _run(spark, tmp_path, f'''
+template(name="hostname" type="string" string="%hostname%")
+template(name="outfmt" type="string" string="%msg:F,58:2%\\n")
+ruleset(name="m") {{
+  action(type="omsendertrack" senderid="hostname" statefile="{st}")
+  :msg, contains, "msgnum:" action(type="omfile" template="outfmt" file="@OUT@")
+}}
+input(type="imfile" file="@IN@" ruleset="m")
+''', lines, sub="str")
+    txt = st.read_text()
+    assert '"sender":"sender1.example.net"' in txt
+    assert '"messages":2' in txt
+    recs = _json.loads(txt)
+    assert recs[0]["firstseen"] > 0 and recs[0]["lastseen"] >= \
+        recs[0]["firstseen"]
