@@ -662,3 +662,39 @@ input(type="imfile" file="@IN@" ruleset="m")
     recs = _json.loads(txt)
     assert recs[0]["firstseen"] > 0 and recs[0]["lastseen"] >= \
         recs[0]["firstseen"]
+
+
+def test_container_noise_drop(spark, tmp_path):
+    """container-noise-drop.sh (reload-per-run analog of the HUP
+    phases): a REGEX lookup table tags noise lines; a non-empty tag
+    stops the message. Phase 1 empty table passes everything; phase
+    2 drops the matching line and keeps the rest."""
+    tbl = tmp_path / "noise.lkp_tbl"
+    conf = f'''
+lookup_table(name="container_noise" file="{tbl}")
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  set $.container_noise_tag = lookup("container_noise", $rawmsg);
+  if (strlen($.container_noise_tag) > 0) then {{
+    stop
+  }}
+  action(type="omfile" file="@OUT@" template="outfmt")
+}}
+input(type="imfile" file="@IN@" ruleset="m")
+'''
+    tbl.write_text('{ "version": 1, "nomatch": "", "type": "regex", '
+                   '"table": [] }')
+    out = _run(spark, tmp_path, conf,
+               "<165>1 2003-03-01T01:00:00.000Z host app - - - "
+               "empty-table-pass\n", sub="cn1")
+    assert "empty-table-pass" in out
+    tbl.write_text('{ "version": 1, "nomatch": "", "type": "regex", '
+                   '"table": [ { "regex": "drop-default", '
+                   '"tag": "drop" } ] }')
+    out = _run(spark, tmp_path, conf,
+               "<165>1 2003-03-01T01:00:00.000Z host app - - - "
+               "keep-default\n"
+               "<165>1 2003-03-01T01:00:01.000Z host app - - - "
+               "drop-default\n", sub="cn2")
+    assert "keep-default" in out
+    assert "drop-default" not in out
