@@ -521,6 +521,39 @@ def imkubernetes(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def imkubernetes_dockerjson(spark: SparkSession,
+                            path: str) -> DataFrame:
+    """imkubernetes docker json-file log format (ref: contrib/
+    imkubernetes/imkubernetes.c docker_json branch; golden
+    imkubernetes-dockerjson-basic.sh): each line is
+    ``{"log":..,"stream":..,"time":..}`` — MSG is ``log`` minus its
+    trailing newline; pod metadata comes from the
+    ``/var/log/containers/<pod>_<namespace>_<container>-<id>.log``
+    symlink naming convention; ``log_format`` is ``docker_json``.
+    Pure column ops: from_json + path regex, no shuffle."""
+    raw = (spark.read.text(path)
+           .withColumn("srcfile", F.input_file_name())
+           .filter(F.length("value") > 0))
+    rec = F.from_json(
+        F.col("value"),
+        "struct<log:string, stream:string, time:string>")
+    meta = r"([^/_]+)_([^/_]+)_([^/]+)-([0-9a-f]+)\.log$"
+    return raw.select(
+        F.regexp_replace(rec["log"], r"\n$", "").alias("line"),
+        rec["stream"].alias("stream"),
+        F.to_timestamp(
+            F.regexp_replace(rec["time"],
+                             r"(\.\d{6})\d*(Z|[+-]\d\d:\d\d)$",
+                             "$1$2")).alias("timegenerated"),
+        F.regexp_extract("srcfile", meta, 1).alias("pod"),
+        F.regexp_extract("srcfile", meta, 2).alias("namespace"),
+        F.regexp_extract("srcfile", meta, 3).alias("container"),
+        F.regexp_extract("srcfile", meta, 4).alias("container_id"),
+        F.lit("docker_json").alias("log_format"),
+        F.lit("imkubernetes").alias("inputname"),
+    )
+
+
 class imfifo(SpoolBridge):
     """Named-pipe input (ref: plugins/imfifo/imfifo.c): open the FIFO,
     read newline-framed messages, spool. The reader reopens on writer

@@ -698,3 +698,33 @@ input(type="imfile" file="@IN@" ruleset="m")
                "drop-default\n", sub="cn2")
     assert "keep-default" in out
     assert "drop-default" not in out
+
+
+def test_imkubernetes_dockerjson(spark, tmp_path):
+    """imkubernetes-dockerjson-basic.sh: docker json-file records
+    parse log/stream/time, pod metadata comes from the containers/
+    symlink name, log_format is 'docker_json' — assertions copied
+    from the reference's python check."""
+    d = tmp_path / "containers"
+    d.mkdir()
+    f = d / "pod-name2_namespace-name2_container-b-deadbeef.log"
+    f.write_text(
+        '{"log":"docker stdout line\\n","stream":"stdout",'
+        '"time":"2026-04-20T10:01:00.123456789Z"}\n'
+        '{"log":"docker stderr line\\n","stream":"stderr",'
+        '"time":"2026-04-20T10:01:01.123456789Z"}\n')
+    from rsyslog_spark.streaming.bridges import imkubernetes_dockerjson
+
+    rows = {r["line"]: r for r in
+            imkubernetes_dockerjson(spark, str(d)).collect()}
+    assert len(rows) == 2
+    so = rows["docker stdout line"]
+    assert so["namespace"] == "namespace-name2"
+    assert so["pod"] == "pod-name2"
+    assert so["container"] == "container-b"
+    assert so["stream"] == "stdout"
+    assert so["log_format"] == "docker_json"
+    assert so["container_id"] == "deadbeef"
+    se = rows["docker stderr line"]
+    assert se["stream"] == "stderr"
+    assert se["container_id"] == "deadbeef"
