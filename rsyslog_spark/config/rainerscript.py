@@ -1750,6 +1750,52 @@ def _mm_transform(atype: str, params: dict):
         return Transform(atype, _gated_mm(
             lambda df: mmanon(df, bits=bits, mode=mode, **kw),
             touched=("msg",)))
+    if atype == "mmleefparse":
+        # LEEF parser action (ref: plugins/mmleefparse/
+        # mmleefparse.c:398-541): useRawMsg defaults ON with a
+        # 64-char cookie search window, so the 'LEEF:' cookie is
+        # found past the syslog header; the parse lands at
+        # <container> as {header:{protocolVersion,vendor,product,
+        # productVersion,eventID}, fields:{k:v}} and $parsesuccess
+        # reflects the cookie/parse outcome (golden
+        # mmleefparse_basic.sh)
+        from rsyslog_spark.parsers.vendors import mmleefparse
+        cont = "$!" + str(p.get("container", "!leef"))             .lstrip("$").lstrip("!")
+        delim = str(p.get("delimiter", "\t"))
+        window = int(p.get("searchWindow",
+                           p.get("searchwindow", "64")))
+        flat = varname(cont)
+
+        def fn_l(df, _c=cont, _f=flat, _d=delim, _w=window):
+            from rsyslog_spark.plans.ruleset import fold_var
+            raw = F.col("rawmsg") if "rawmsg" in df.columns                 else F.col("msg")
+            pos = F.locate("LEEF:", F.substring(raw, 1, _w + 5))
+            leef = F.when(pos > 0,
+                          F.substr(raw, pos, F.lit(1 << 30)))
+            out = mmleefparse(df.withColumn("__lf_src", leef),
+                              msg_col="__lf_src", delimiter=_d,
+                              prefix="__lf_")
+            hdr = F.to_json(F.struct(
+                F.col("__lf_version").alias("protocolVersion"),
+                F.col("__lf_vendor").alias("vendor"),
+                F.col("__lf_product").alias("product"),
+                F.col("__lf_product_version").alias("productVersion"),
+                F.col("__lf_event_id").alias("eventID")))
+            tree = F.concat(
+                F.lit('{"header":'), hdr, F.lit(',"fields":'),
+                F.coalesce(F.to_json(F.col("__lf_fields")),
+                           F.lit("{}")), F.lit("}"))
+            matched = F.coalesce(F.col("__lf_matched"),
+                                 F.lit(False))
+            out = out.withColumn(_f, F.when(matched, tree))
+            out = out.withColumn(
+                _f, qcol(_f).alias(_f, metadata={
+                    "rs_path": fold_var(_c), "rs_json": True}))
+            if "parsesuccess" in out.columns:
+                out = out.withColumn("parsesuccess", matched)
+            return out.drop(*[c for c in out.columns
+                              if c.startswith("__lf_")])
+        return Transform(atype, _gated_mm(fn_l))
     if atype == "mmutf8fix":
         from rsyslog_spark.operators.mm import mmutf8fix
         # replacementChar / replacementSequence (mmutf8fix.c:81,

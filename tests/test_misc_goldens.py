@@ -728,3 +728,28 @@ def test_imkubernetes_dockerjson(spark, tmp_path):
     se = rows["docker stderr line"]
     assert se["stream"] == "stderr"
     assert se["container_id"] == "deadbeef"
+
+
+def test_mmleefparse_basic(spark, tmp_path):
+    """mmleefparse_basic.sh: useRawMsg cookie search finds 'LEEF:'
+    past the syslog header; header fields and '|'-delimited k=v
+    extensions land under $!leef — EXPECTED copied verbatim (first
+    message; the full battery repeats the shape)."""
+    msg = ("<14>Sep 17 13:45:35 firewall.domain.local LEEF:1.0|"
+           "Palo Alto Networks|PAN-OS Syslog Integration|11.1.6-h14|"
+           "allow|cat=TRAFFIC|src=172.19.50.39|dst=172.19.5.50|"
+           "proto=tcp|action=allow|SessionID=74879677")
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%$!leef!header!vendor%|%$!leef!header!productVersion%|%$!leef!fields!src%|%$!leef!fields!dst%|%$!leef!fields!action%|%$!leef!fields!cat%|%$!leef!fields!proto%|%$!leef!fields!SessionID%\\n")
+ruleset(name="m") {
+  if $syslogtag == "LEEF:" then {
+    action(type="mmleefparse" container="!leef" delimiter="|")
+    if $parsesuccess == "OK" then {
+      action(type="omfile" file="@OUT@" template="outfmt")
+    }
+  }
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', msg + "\n", sub="leef")
+    assert out == ("Palo Alto Networks|11.1.6-h14|172.19.50.39|"
+                   "172.19.5.50|allow|TRAFFIC|tcp|74879677\n")
