@@ -135,26 +135,42 @@ def collect_all() -> dict[str, Query]:
     # family periodically regains driver coverage.
     # tools/check_correctness.py still verifies ALL registered
     # queries, tail included.
+    # Structural guards (added r7 after the r6 governance bug: a
+    # duplicated _TAIL entry silently pushed impcap_l7_battery to
+    # position 51, outside the driver's recorded window):
+    #  (a) no duplicate tail entries — a dup shrinks the parked set
+    #      and overflows the window;
+    #  (b) the window must hold EVERY non-manifest query, i.e. the
+    #      non-tail prefix must fit inside the first 50 positions.
+    assert len(set(_TAIL)) == len(_TAIL), (
+        "duplicate entries in _TAIL: "
+        f"{sorted(t for t in _TAIL if _TAIL.count(t) > 1)}")
     for tail in _TAIL:
         out[tail] = out.pop(tail)
+    n_window = len(out) - len(_TAIL)
+    assert n_window <= 50, (
+        f"{n_window} non-tail queries exceed the driver's 50-query "
+        "correctness window — park more >=2-round-green queries in "
+        "_TAIL (never park a query the driver hasn't verified)")
     _verify_tail_manifest({t: out[t] for t in _TAIL})
     return out
 
 
 #: queries parked past the driver's 50-row window — see collect_all()
-#: r6 rotation: the 12 queries parked since r2 (similarity_topk_
-#: bruteforce, mmfields_split, mmanon_embedded, mmpstrucdata_parse,
-#: dynstats_maxcard_overflow, percentile_stats_values,
-#: mmexternal_bridge, similarity_knn_join, ngram_jaccard_dup_pairs,
-#: property_replacer_battery, repeated_msg_reduction_runs,
-#: ruleset_route_fanout) ALL re-entered the window for driver
-#: re-verification; 15 three-round-green (r3+r4+r5) queries took
-#: tail slots, making room for them plus the 3 NEW r6 oracle
-#: queries (imbeats_seq_metadata, impcap_l7_battery,
-#: impstats_action_counters — in the window for first-time
-#: verification).
-_TAIL = ("supplier_part_volume",
-         "flagship_parse_route",
+#: r7 rotation: the r6 _TAIL carried "supplier_part_volume" TWICE, so
+#: only 28 unique queries were parked and impcap_l7_battery (new r6
+#: oracle) slid to position 51 — never driver-verified. Fixed here:
+#: dedupe + asserts above; impcap_l7_battery is now IN the window for
+#: first-time verification. 8 of the 15 r6-parked queries rotate back
+#: into the window (anomaly_zscore_windows, bm25_search,
+#: config_driven_routing, decontaminate_ngram_overlap,
+#: dedup_components, embedding_cosine_near_dup, hybrid_retrieval_rrf,
+#: url_dedup_canonical); 9 long-green window queries (all green in
+#: >=4 rounds incl. r6, bodies untouched) take tail slots:
+#: action_exec_controls, dynstats_hourly, top_revenue_orders,
+#: training_pipeline_e2e, multimodal_battery, doc_repetition_filter,
+#: exact_substring_dedup, similarity_topk_ivf, semantic_dedup.
+_TAIL = ("flagship_parse_route",
          "rfc5424_roundtrip_fields",
          "faup_url_decompose",
          "template_render", "scalar_battery",
@@ -163,15 +179,17 @@ _TAIL = ("supplier_part_volume",
          "lookup_sparse",
          "mm_seq_count", "text_battery",
          "pricing_summary",
-         # parked r6 (green r3+r4+r5)
-         "anomaly_zscore_windows", "bm25_search",
-         "config_driven_routing", "decontaminate_ngram_overlap",
-         "dedup_components", "embedding_cosine_near_dup",
-         "enrich_dims", "html_text_extraction",
-         "hybrid_retrieval_rrf", "ngram_top_counts",
-         "order_priority_timing", "sequence_packing",
-         "stratified_sample_docs", "supplier_part_volume",
-         "url_dedup_canonical")
+         # parked r6+r7 (green r3+r4+r5)
+         "supplier_part_volume",
+         "order_priority_timing", "enrich_dims",
+         "html_text_extraction", "ngram_top_counts",
+         "sequence_packing", "stratified_sample_docs",
+         # parked r7 (green >=4 rounds incl. r6)
+         "action_exec_controls", "dynstats_hourly",
+         "top_revenue_orders", "training_pipeline_e2e",
+         "multimodal_battery", "doc_repetition_filter",
+         "exact_substring_dedup", "similarity_topk_ivf",
+         "semantic_dedup")
 
 
 def tail_body_hash(q: Query) -> str:
