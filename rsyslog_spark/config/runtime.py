@@ -992,6 +992,51 @@ def _parser_opts(cfg) -> dict:
     }
 
 
+def _imkafka_opts(inp: dict) -> dict:
+    """Normalize ``input(type="imkafka" ...)`` params (ref: plugins/
+    imkafka/imkafka.c:213-219 inppdescr: topic REQUIRED array,
+    broker/confParam arrays, consumergroup/ruleset strings,
+    parsehostname / split.json.records binary; :1030 broker default
+    localhost:9092 when unset)."""
+    lin = {k.lower(): v for k, v in inp.items()}
+
+    def arr(key: str) -> list[str]:
+        v = lin.get(key)
+        if v is None:
+            return []
+        return [str(x) for x in v] if isinstance(v, list) else [str(v)]
+
+    def on(key: str) -> bool:
+        return str(lin.get(key, "off")).lower() in ("on", "true", "1")
+
+    return {
+        "brokers": ",".join(arr("broker")) or "localhost:9092",
+        "topics": ",".join(arr("topic")),
+        "consumergroup": lin.get("consumergroup"),
+        "conf_params": arr("confparam"),
+        "split_json": on("split.json.records"),
+        "parse_hostname": on("parsehostname"),
+    }
+
+
+def _stamp_receiver_hostname(frame: DataFrame) -> DataFrame:
+    """parsehostname="off" (the imkafka default): the reference sets
+    msgFlags = NEEDS_PARSING without PARSE_HOSTNAME (imkafka.c:1022),
+    so pmrfc3164 never extracts a hostname token and the message
+    keeps the receiver's local hostname. Divergence (documented): our
+    chain still consumes a hostname-shaped token from the header
+    rather than folding it into TAG/MSG; only the stamped value
+    matches the reference."""
+    from rsyslog_spark.session import local_hostname
+
+    lh = local_hostname()
+    out = frame
+    for c in ("hostname", "fromhost"):
+        if c in frame.columns:
+            out = out.withColumn(c, F.lit(lh))
+    return out
+
+
 def run_config_batch(
     spark: SparkSession,
     conf_src: str,
@@ -1029,6 +1074,7 @@ def run_config_batch(
         return agg
     path = input_path
     pcap_inp = None
+    kafka_inp = None
     ruleset_name = main
     for inp in cfg.inputs:
         if inp.get("type") == "imfile" and path is None:
@@ -1036,8 +1082,17 @@ def run_config_batch(
         elif inp.get("type") == "impcap" and inp.get("file") \
                 and path is None and pcap_inp is None:
             pcap_inp = inp
+        elif inp.get("type") == "imkafka" and kafka_inp is None:
+            kafka_inp = inp
         if ruleset_name is None and inp.get("ruleset"):
             ruleset_name = inp["ruleset"]
+    if kafka_inp is not None and pcap_inp is None and path is None:
+        # batch replay of an imkafka input: input_path is the
+        # injected consumer feed (one kafka payload per line — the
+        # reference tests feed the topic via kcat, tests/imkafka.sh)
+        raise ValueError(
+            "imkafka batch replay needs input_path (the injected "
+            "consumer feed file)")
     if path is None and pcap_inp is None:
         raise ValueError("no imfile input in config and no input_path")
     if ruleset_name is None or ruleset_name not in cfg.rulesets:
@@ -1083,6 +1138,16 @@ def run_config_batch(
         else:
             lines = spark.read.text(path) \
                 .withColumnRenamed("value", "line")
+    # imkafka batch replay only when the feed IS the kafka one (no
+    # imfile input competes for input_path)
+    kafka_replay = (
+        _imkafka_opts(kafka_inp)
+        if kafka_inp is not None and pcap_inp is None
+        and not any(i.get("type") == "imfile" for i in cfg.inputs)
+        else None)
+    if kafka_replay is not None and kafka_replay["split_json"]:
+        from rsyslog_spark.streaming.sources import split_json_records
+        lines = split_json_records(lines)
     lines = _apply_oversize_policy(lines, cfg)
     lines = _apply_escape_on_receive(lines, cfg)
     pm_opts, hl_route = _pm3164_opts(cfg, ruleset_name)
@@ -1106,7 +1171,12 @@ def run_config_batch(
     else:
         frame = parse_syslog(
             lines, parsers=_ruleset_parser_chain(cfg, ruleset_name),
+            inputname=("imkafka" if kafka_replay is not None
+                       else "imfile"),
             **{**_parser_opts(cfg), **pm_opts})
+    if kafka_replay is not None \
+            and not kafka_replay["parse_hostname"]:
+        frame = _stamp_receiver_hostname(frame)
     vstage = _vendor_parser_stage(cfg, ruleset_name)
     if vstage is not None:
         frame = vstage(frame)
@@ -1330,11 +1400,20 @@ def run_config_stream(
     ruleset_name = main
     imfile_params: dict = {}
     bridge = None
+    kafka_inp = None
     for inp in cfg.inputs:
         typ = inp.get("type")
         if typ == "imfile" and path is None:
             path = inp.get("file")
             imfile_params = inp
+        elif typ == "imkafka" and kafka_inp is None \
+                and path is None and bridge is None:
+            # input(type="imkafka" broker topic consumergroup
+            # confParam parsehostname split.json.records) → the
+            # kafka readStream source (ref: plugins/imkafka/
+            # imkafka.c:1593 module bind; tests/imkafka.sh config
+            # shape)
+            kafka_inp = inp
         elif (bridge is None and path is None
               and typ in ("imtcp", "imptcp", "imudp", "imrelp",
                           "imhttp")):
@@ -1382,9 +1461,10 @@ def run_config_stream(
             bridge = cls(spool, **kw).start()
         if ruleset_name is None and inp.get("ruleset"):
             ruleset_name = inp["ruleset"]
-    if path is None and bridge is None:
+    if path is None and bridge is None and kafka_inp is None:
         raise ValueError(
-            "no imfile/socket input in config and no input_path")
+            "no imfile/socket/kafka input in config and no "
+            "input_path")
     if ruleset_name is None or ruleset_name not in cfg.rulesets:
         # undefined binding: warn-and-default, like the reference's
         # rulesetGetRuleset fallback (runtime/ruleset.c)
@@ -1404,6 +1484,18 @@ def run_config_stream(
 
     if bridge is not None:
         lines = bridge.stream(spark)
+    elif path is None and kafka_inp is not None:
+        from rsyslog_spark.streaming import sources as _src
+
+        ko = _imkafka_opts(kafka_inp)
+        lin = {k.lower(): v for k, v in kafka_inp.items()}
+        mopt = lin.get("maxoffsetspertrigger")  # engine-level knob
+        lines = _src.imkafka(
+            spark, ko["brokers"], ko["topics"],
+            consumergroup=ko["consumergroup"],
+            conf_params=ko["conf_params"],
+            max_offsets_per_trigger=int(mopt) if mopt else None,
+            split_json=ko["split_json"])
     else:
         lp = {k.lower(): v for k, v in imfile_params.items()}
         mft = lp.get("maxfilespertrigger")   # engine-level knob:
@@ -1426,7 +1518,12 @@ def run_config_stream(
     pm_opts, hl_route = _pm3164_opts(cfg, ruleset_name)
     frame = parse_syslog(
         lines, parsers=_ruleset_parser_chain(cfg, ruleset_name),
+        inputname=("imkafka" if path is None and bridge is None
+                   and kafka_inp is not None else "imfile"),
         **{**_parser_opts(cfg), **pm_opts})
+    if path is None and bridge is None and kafka_inp is not None \
+            and not _imkafka_opts(kafka_inp)["parse_hostname"]:
+        frame = _stamp_receiver_hostname(frame)
     vstage = _vendor_parser_stage(cfg, ruleset_name)
     if vstage is not None:
         frame = vstage(frame)

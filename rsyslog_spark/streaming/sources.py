@@ -295,6 +295,8 @@ def imkafka(
     brokers: str,
     topics: str,
     *,
+    consumergroup: str | None = None,
+    conf_params: list | None = None,
     max_offsets_per_trigger: int | None = None,
     starting_offsets: str = "latest",
     split_json: bool = False,
@@ -302,13 +304,23 @@ def imkafka(
     """Kafka consumer (ref: plugins/imkafka/imkafka.c). Value bytes →
     ``line``; key/partition/offset kept for at-least-once bookkeeping.
     ``split_json``: the split.json.records batch fan-out (see
-    split_json_records)."""
+    split_json_records). ``consumergroup`` maps to kafka ``group.id``
+    (imkafka.c:775); ``conf_params`` is the config's
+    ``confParam=["k=v", ...]`` list, passed through as ``kafka.k``
+    reader options (imkafka.c:753-763 rd_kafka_conf_set
+    pass-through)."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topics)
         .option("startingOffsets", starting_offsets)
     )
+    if consumergroup:
+        reader = reader.option("kafka.group.id", consumergroup)
+    for ent in conf_params or []:
+        k, _, v = str(ent).partition("=")
+        if k:
+            reader = reader.option(f"kafka.{k}", v)
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
     out = reader.load().select(

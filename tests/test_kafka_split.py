@@ -74,3 +74,130 @@ def test_split_fanout_ceiling(spark):
         f'{{"i":{i}}}' for i in range(10001)) + "]}"
     rows = _lines(spark, [big])
     assert len(rows) == 1 and rows[0]["line"] == big
+
+
+class TestImkafkaConfigBinding:
+    """input(type="imkafka" ...) reaching the engine through a .conf
+    (ref: plugins/imkafka/imkafka.c:1003-1030 param bind;
+    tests/imkafka.sh / imkafka-json-split-valid.sh config shapes).
+    Batch twin: input_path is the injected consumer feed — the
+    reference tests inject via kcat."""
+
+    CONF = '''
+    module(load="imkafka")
+    template(name="plain" type="string" string="%msg%")
+    input(type="imkafka"
+          topic="imkafka_test"
+          broker="127.0.0.1:29092"
+          consumergroup="default"
+          split.json.records="on"
+          confParam=[ "compression.codec=none",
+                      "session.timeout.ms=10000" ]
+          ruleset="rs")
+    ruleset(name="rs") {
+        action(type="omfile" name="out" file="OUTDIR"
+               template="plain")
+    }
+    '''
+
+    def test_split_records_e2e(self, spark, tmp_path):
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        feed = tmp_path / "feed.log"
+        feed.write_text(
+            '{"records":[{"msg":"msgnum:00000000:"},'
+            '{"msg":"msgnum:00000001:"}]}\n'
+            'plain non-json payload\n')
+        outdir = tmp_path / "out"
+        conf = self.CONF.replace("OUTDIR", str(outdir))
+        run = run_config_batch(spark, conf, input_path=str(feed))
+        assert "out" in run.written
+        got = sorted(r["value"] for r in
+                     spark.read.text(str(outdir)).collect())
+        # fan-out: 2 records + 1 pass-through = 3 messages. The
+        # pass-through line has no syslog header, so the 3164 chain
+        # consumes leading tokens as hostname/TAG (documented
+        # divergence in _stamp_receiver_hostname) — only the msg
+        # remainder is asserted.
+        assert len(got) == 3
+        assert any("msgnum:00000000:" in g for g in got)
+        assert any("msgnum:00000001:" in g for g in got)
+        assert any("payload" in g for g in got)
+
+    def test_missing_input_path_raises(self, spark, tmp_path):
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        conf = self.CONF.replace("OUTDIR", str(tmp_path / "o"))
+        try:
+            run_config_batch(spark, conf)
+        except ValueError as e:
+            assert "imkafka" in str(e)
+        else:
+            raise AssertionError("expected ValueError")
+
+    def test_parsehostname_off_stamps_receiver(self, spark, tmp_path):
+        """Default (no parsehostname): NEEDS_PARSING without
+        PARSE_HOSTNAME (imkafka.c:1022) — hostname stays the
+        receiver's local hostname."""
+        from rsyslog_spark.config.runtime import run_config_batch
+        from rsyslog_spark.session import local_hostname
+
+        feed = tmp_path / "feed.log"
+        feed.write_text(
+            "<13>Oct 11 22:14:15 otherhost app: hello\n")
+        outdir = tmp_path / "out"
+        conf = '''
+        template(name="h" type="string" string="%hostname%|%fromhost%")
+        input(type="imkafka" topic="t" broker="b:9092" ruleset="rs")
+        ruleset(name="rs") {
+            action(type="omfile" name="out" file="OUTDIR"
+                   template="h")
+        }
+        '''.replace("OUTDIR", str(outdir))
+        run_config_batch(spark, conf, input_path=str(feed))
+        lh = local_hostname()
+        got = [r["value"] for r in
+               spark.read.text(str(outdir)).collect()]
+        assert got == [f"{lh}|{lh}"]
+
+    def test_parsehostname_on_parses_message(self, spark, tmp_path):
+        from rsyslog_spark.config.runtime import run_config_batch
+
+        feed = tmp_path / "feed.log"
+        feed.write_text(
+            "<13>Oct 11 22:14:15 otherhost app: hello\n")
+        outdir = tmp_path / "out"
+        conf = '''
+        template(name="h" type="string" string="%hostname%")
+        input(type="imkafka" topic="t" broker="b:9092"
+              parsehostname="on" ruleset="rs")
+        ruleset(name="rs") {
+            action(type="omfile" name="out" file="OUTDIR"
+                   template="h")
+        }
+        '''.replace("OUTDIR", str(outdir))
+        run_config_batch(spark, conf, input_path=str(feed))
+        got = [r["value"] for r in
+               spark.read.text(str(outdir)).collect()]
+        assert got == ["otherhost"]
+
+    def test_imkafka_opts_normalization(self):
+        """Param normalization: arrays join, broker defaults to
+        localhost:9092 (imkafka.c:1030)."""
+        from rsyslog_spark.config.runtime import _imkafka_opts
+
+        ko = _imkafka_opts({
+            "type": "imkafka",
+            "topic": ["t1", "t2"],
+            "broker": ["b1:9092", "b2:9092"],
+            "confParam": ["a=1", "b=2"],
+            "consumergroup": "cg",
+            "split.json.records": "on",
+        })
+        assert ko["topics"] == "t1,t2"
+        assert ko["brokers"] == "b1:9092,b2:9092"
+        assert ko["conf_params"] == ["a=1", "b=2"]
+        assert ko["consumergroup"] == "cg"
+        assert ko["split_json"] and not ko["parse_hostname"]
+        assert _imkafka_opts({"type": "imkafka", "topic": "t"}
+                             )["brokers"] == "localhost:9092"
