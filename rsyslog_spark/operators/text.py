@@ -365,6 +365,15 @@ def ngram_lm_scores(
     stays a shuffle join (NOT broadcast) by design — then one
     groupBy(doc). Unknown bigrams/contexts (cross-corpus scoring)
     back off to the α floor via left joins.
+
+    Self-scoring (``train is None``) fuses C(w1) into the counts
+    frame via a window sum over the (vocab²-bounded) c2 table instead
+    of a second join: every scored bigram exists in c2 by
+    construction, so the context backoff can never fire and one
+    equi-join replaces two. That removes the w1-shuffle of the FULL
+    scored stream — the second-largest exchange in the plan — which
+    at 100 TB is a corpus-sized shuffle traded for a window over the
+    counts table.
     """
     def toks_of(frame):
         raw = F.split(F.lower(F.trim(rs_str(F.col(text_col)))),
@@ -387,7 +396,6 @@ def ngram_lm_scores(
 
     c2 = bigrams(tr, []).groupBy("__w1", "__w2") \
         .agg(F.count(F.lit(1)).alias("__c2"))
-    c1 = c2.groupBy("__w1").agg(F.sum("__c2").alias("__c1"))
     vocab = tr.select(F.explode("__toks").alias("__t")) \
         .agg(F.countDistinct("__t").alias("__v"))
 
@@ -395,10 +403,20 @@ def ngram_lm_scores(
     lp = F.log((F.coalesce(F.col("__c2"), F.lit(0)) + alpha)
                / (F.coalesce(F.col("__c1"), F.lit(0))
                   + alpha * F.col("__v")))
-    scored = (sc.join(c2, ["__w1", "__w2"], "left")
-              .join(c1, ["__w1"], "left")
-              .crossJoin(F.broadcast(vocab))
-              .withColumn("__lp", lp))
+    if train is None:
+        from pyspark.sql import Window
+
+        c2c1 = c2.withColumn(
+            "__c1", F.sum("__c2").over(Window.partitionBy("__w1")))
+        scored = (sc.join(c2c1, ["__w1", "__w2"], "left")
+                  .crossJoin(F.broadcast(vocab))
+                  .withColumn("__lp", lp))
+    else:
+        c1 = c2.groupBy("__w1").agg(F.sum("__c2").alias("__c1"))
+        scored = (sc.join(c2, ["__w1", "__w2"], "left")
+                  .join(c1, ["__w1"], "left")
+                  .crossJoin(F.broadcast(vocab))
+                  .withColumn("__lp", lp))
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("__lp"), round_to).alias("avg_logp"),

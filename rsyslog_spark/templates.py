@@ -113,25 +113,32 @@ _PROP_ALIASES: dict[str, tuple[str, str | None]] = {
 
 def _system_props() -> dict:
     """$now/$year/... system properties (ref: runtime/typedefs.h:
-    221-243 PROP_SYS_*): evaluated per batch from the session clock
-    (session tz is UTC — the reference's local-time variants follow
-    the daemon's tz; document the difference, don't emulate it)."""
+    221-243 PROP_SYS_*). Plain variants follow the daemon's local
+    time = the session timezone; ``-utc`` variants render the UTC
+    wall clock unconditionally (ref: msg.c getNOW with
+    utc_time/inUTC, msg.c:1647-1710) — ``to_utc_timestamp`` against
+    ``current_timezone()`` keeps them correct under ANY
+    ``spark.sql.session.timeZone``, not just UTC sessions."""
     import socket as _socket
 
     now = F.current_timestamp()
+    # date_format renders in the SESSION tz; shifting the instant by
+    # to_utc_timestamp(now, current_timezone()) makes the rendered
+    # wall clock read as UTC regardless of the session setting
+    utc = F.to_utc_timestamp(now, F.expr("current_timezone()"))
     return {
         "now": F.date_format(now, "yyyy-MM-dd"),
-        "now-utc": F.date_format(now, "yyyy-MM-dd"),
+        "now-utc": F.date_format(utc, "yyyy-MM-dd"),
         "year": F.date_format(now, "yyyy"),
-        "year-utc": F.date_format(now, "yyyy"),
+        "year-utc": F.date_format(utc, "yyyy"),
         "month": F.date_format(now, "MM"),
-        "month-utc": F.date_format(now, "MM"),
+        "month-utc": F.date_format(utc, "MM"),
         "day": F.date_format(now, "dd"),
-        "day-utc": F.date_format(now, "dd"),
+        "day-utc": F.date_format(utc, "dd"),
         "hour": F.date_format(now, "HH"),
-        "hour-utc": F.date_format(now, "HH"),
+        "hour-utc": F.date_format(utc, "HH"),
         "minute": F.date_format(now, "mm"),
-        "minute-utc": F.date_format(now, "mm"),
+        "minute-utc": F.date_format(utc, "mm"),
         "now-unixtimestamp": F.unix_timestamp(now).cast("string"),
         "myhostname": F.lit(__import__(
             "rsyslog_spark.session", fromlist=["local_hostname"]

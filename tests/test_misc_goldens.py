@@ -753,3 +753,47 @@ input(type="imfile" file="@IN@" ruleset="m")
 ''', msg + "\n", sub="leef")
     assert out == ("Palo Alto Networks|11.1.6-h14|172.19.50.39|"
                    "172.19.5.50|allow|TRAFFIC|tcp|74879677\n")
+
+
+def test_now_utc_props_under_non_utc_session_tz(spark):
+    """$now-utc / $hour-utc render the UTC wall clock under ANY
+    spark.sql.session.timeZone (ref: msg.c getNOW inUTC,
+    template date options template.h:72-96). Under America/New_York
+    (UTC-4/-5) the plain and -utc variants differ for most of the
+    day; the -utc ones must equal Python's datetime.now(UTC)."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from rsyslog_spark.templates import prop_col
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        before = datetime.now(timezone.utc)
+        row = spark.range(1).select(
+            prop_col("now-utc").alias("d"),
+            prop_col("hour-utc").alias("h"),
+            prop_col("minute-utc").alias("m"),
+            prop_col("now").alias("local_d"),
+            prop_col("hour").alias("local_h"),
+        ).first()
+        after = datetime.now(timezone.utc)
+        # tolerate crossing a minute/hour/day boundary mid-test
+        ok_d = {before.strftime("%Y-%m-%d"), after.strftime("%Y-%m-%d")}
+        ok_h = {before.strftime("%H"), after.strftime("%H")}
+        ok_m = {before.strftime("%M"), after.strftime("%M")}
+        assert row["d"] in ok_d
+        assert row["h"] in ok_h
+        assert row["m"] in ok_m
+        # and the local variants follow the session tz (EDT/EST is
+        # 4-5 hours behind UTC — hour must differ unless the local
+        # hour happens to collide across the boundary set)
+        ny_before = before.astimezone(
+            __import__("zoneinfo").ZoneInfo("America/New_York"))
+        assert row["local_h"] in {
+            ny_before.strftime("%H"),
+            after.astimezone(__import__("zoneinfo").ZoneInfo(
+                "America/New_York")).strftime("%H")}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
