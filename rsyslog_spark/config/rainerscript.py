@@ -1515,6 +1515,43 @@ def _gated_mm(fn, touched: tuple[str, ...] = ()):
     return apply
 
 
+#: last-good policy per path — the reference's policyWatch keeps the
+#: previously-built policy when a reload fails to parse/validate
+#: (plugins/mmjsontransform: buildPolicy failure on HUP/watch leaves
+#: pData->policy untouched and logs; golden
+#: mmjsontransform-policy-basic.sh phase 3)
+_POLICY_LAST_GOOD: dict[str, dict] = {}
+
+
+def _load_json_policy(path: str) -> dict:
+    """Load + validate a mmjsontransform YAML policy; on failure keep
+    serving the last good policy for this path (log the reload
+    failure), raising only when no good policy was ever loaded."""
+    import logging
+
+    import yaml
+
+    try:
+        with open(path, encoding="utf-8") as fh:
+            pol = yaml.safe_load(fh) or {}
+        if not isinstance(pol, dict):
+            raise ValueError("policy is not a mapping")
+        if pol.get("mode") not in ("flatten", "unflatten"):
+            raise ValueError(
+                f"policy mode {pol.get('mode')!r} is invalid; use "
+                "'unflatten' or 'flatten'")
+    except Exception as e:
+        old = _POLICY_LAST_GOOD.get(path)
+        if old is not None:
+            logging.getLogger("rsyslog_spark.mmjsontransform").warning(
+                "failed to reload policy file %s: %s — keeping "
+                "previous policy", path, e)
+            return old
+        raise ValueError(f"mmjsontransform: {e}") from e
+    _POLICY_LAST_GOOD[path] = pol
+    return pol
+
+
 def _mm_transform(atype: str, params: dict):
     """Compile an mm* action into an in-place Transform statement —
     the reference's message-modification actions mutate the message
@@ -1700,16 +1737,13 @@ def _mm_transform(atype: str, params: dict):
                 # drops apply on the FLAT key set both modes share).
                 # Read at EXEC time — each batch run re-reads the
                 # file, the per-run analog of the reference's HUP /
-                # policyWatch reload (golden
-                # mmjsontransform-policy-basic.sh phases)
-                import yaml
-                with open(_p["policy"], encoding="utf-8") as fh:
-                    pol = yaml.safe_load(fh) or {}
-                if pol.get("mode") not in ("flatten", "unflatten"):
-                    raise ValueError(
-                        "mmjsontransform: policy mode "
-                        f"{pol.get('mode')!r} is invalid; use "
-                        "'unflatten' or 'flatten'")
+                # policyWatch reload. An INVALID reload (bad YAML /
+                # bad mode) keeps serving the LAST GOOD policy and
+                # logs the failure (mmjsontransform-policy-basic.sh
+                # phase 3: mode "sideways" → message 3 still renders
+                # with policy 2, "failed to reload policy file"
+                # logged); only a first-ever load may raise.
+                pol = _load_json_policy(_p["policy"])
                 mode = pol.get("mode", mode)
                 m = pol.get("map") or {}
                 rename = m.get("rename") or None

@@ -929,6 +929,10 @@ def _jsonc_dumps(val) -> str:
     return walk(val)
 
 
+class _Conflict(Exception):
+    """mmjsontransform hierarchy conflict — see mmjsontransform()."""
+
+
 def mmjsontransform(
     df: DataFrame,
     input_col: str = "json",
@@ -989,20 +993,55 @@ def mmjsontransform(
                     if k not in drop}
             if mode == "flatten":
                 return dump(flat)
+            # unflatten with the reference's conflict semantics
+            # (jsontransformInsertDotted, mmjsontransform.c:1011-1110;
+            # doAction:557-565): an empty dotted segment, a scalar in
+            # the way of a path, or a leaf collision with unequal
+            # values is a HIERARCHY CONFLICT — the output property is
+            # never set for that message (the reference LogErrors the
+            # detail and aborts the action; golden
+            # mmjsontransform-policy-basic.sh phase 4 keeps the
+            # malformed '{"a.": ...}' message out of the output).
+            # Equal-valued leaf collisions dedupe; object-over-object
+            # merges recursively (jsontransformMergeObjects).
+            def merge(dst, src):
+                for mk, mv in src.items():
+                    if mk in dst:
+                        if isinstance(dst[mk], dict) \
+                                and isinstance(mv, dict):
+                            merge(dst[mk], mv)
+                        elif dst[mk] != mv:
+                            raise _Conflict(mk)
+                    else:
+                        dst[mk] = mv
+
             root: dict = {}
-            for k, v in flat.items():
-                parts = str(k).split(sep)
-                cur = root
-                for p in parts[:-1]:
-                    nxt = cur.get(p)
-                    if not isinstance(nxt, dict):
-                        # hierarchy conflict: scalar in the way →
-                        # object wins (the reference records the
-                        # conflict and keeps going)
-                        nxt = {}
-                        cur[p] = nxt
-                    cur = nxt
-                cur[parts[-1]] = v
+            try:
+                for k, v in flat.items():
+                    parts = str(k).split(sep)
+                    if any(p == "" for p in parts):
+                        raise _Conflict(k)   # empty segment
+                    cur = root
+                    for p in parts[:-1]:
+                        nxt = cur.get(p)
+                        if nxt is None:
+                            nxt = {}
+                            cur[p] = nxt
+                        elif not isinstance(nxt, dict):
+                            raise _Conflict(k)   # scalar in the way
+                        cur = nxt
+                    leaf = parts[-1]
+                    if leaf in cur:
+                        have = cur[leaf]
+                        if isinstance(have, dict) \
+                                and isinstance(v, dict):
+                            merge(have, v)
+                        elif have != v:
+                            raise _Conflict(k)
+                    else:
+                        cur[leaf] = v
+            except _Conflict:
+                return None
             return dump(root)
 
         return s.map(one)

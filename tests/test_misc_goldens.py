@@ -586,6 +586,47 @@ input(type="imfile" file="@IN@" ruleset="m")
     assert _json.loads(out) == {
         "actor": {"name": "bob"}, "ctx": {"after": 2}, "debug": True}
 
+    # phase 3: INVALID reload (mode "sideways") keeps serving the
+    # last good policy — message 3 renders with policy 2 — and the
+    # reload failure is logged (reference: "failed to reload policy
+    # file" in rsyslogd's log, policy-basic.sh:121)
+    import logging
+
+    pol.write_text(
+        "version: 1\nmode: sideways\nmap:\n  rename:\n"
+        '    "usr": "broken.name"\n')
+    records = []
+
+    class _Cap(logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    lg = logging.getLogger("rsyslog_spark.mmjsontransform")
+    h = _Cap()
+    lg.addHandler(h)
+    try:
+        out = _run(spark, tmp_path,
+                   conf, '<166>Mar 10 01:00:00 host app: '
+                   '{ "usr": "carol", "debug": true, '
+                   '"ctx": { "old": 3 } }'
+                   "\n", sub="pol3")
+    finally:
+        lg.removeHandler(h)
+    assert _json.loads(out) == {
+        "actor": {"name": "carol"}, "ctx": {"after": 3},
+        "debug": True}
+    assert any("failed to reload policy file" in m for m in records)
+
+    # phase 4: malformed dotted key ('a.' — trailing empty segment)
+    # is a hierarchy conflict: the output property is never set, so
+    # the message contributes no JSON line (reference checker strips
+    # empty lines; policy-basic.sh:65-67,126)
+    out = _run(spark, tmp_path,
+               conf, '<166>Mar 10 01:00:00 host app: '
+               '{ "a.": "bad" }'
+               "\n", sub="pol4")
+    assert out.strip() == ""
+
 
 def test_omfile_outchannel_module_template(spark, tmp_path):
     """omfile-outchannel.sh: ':omfile:$channel' selector target plus
