@@ -100,6 +100,9 @@ class ConfigRun:
     # percentile bucket → statname delimiter (perctile_stats.c
     # bucket config; feeds perctile_lines)
     perctile_meta: dict[str, str] = dfield(default_factory=dict)
+    # module(load="impstats" ...) params for line-format options
+    # (bracketing/format; impstats.c:117-121 modpdescr)
+    impstats_conf: dict = dfield(default_factory=dict)
 
     def perctile_lines(self) -> list[str]:
         """Percentile buckets in the reference's legacy impstats
@@ -125,7 +128,13 @@ class ConfigRun:
 
     def impstats_lines(self) -> list[str]:
         """Per-action counters in the reference's legacy impstats
-        line format (statsobj legacy output: 'NAME: k=v ...')."""
+        line format (statsobj legacy output: 'NAME: k=v ...').
+
+        ``module(load="impstats" bracketing="on")`` wraps each stats
+        cycle in literal BEGIN/END marker lines (impstats.c:800-802
+        submitLine around generateStatsMsgs — consumers use the
+        brackets to delimit one atomic snapshot; goldens dynstats.sh
+        / dynstats-json.sh configs)."""
         order = ["processed", "batchesprocessed", "failed",
                  "suspended", "suspended.duration", "resumed",
                  "ratelimit.allowed", "ratelimit.dropped",
@@ -134,6 +143,9 @@ class ConfigRun:
         for name, ctr in self.action_stats.items():
             kv = " ".join(f"{k}={ctr[k]}" for k in order if k in ctr)
             out.append(f"{name}: origin=core.action {kv}")
+        if str(self.impstats_conf.get("bracketing", "off")
+               ).lower() in ("on", "true", "1"):
+            out = ["BEGIN"] + out + ["END"]
         return out
 
 
@@ -1225,6 +1237,9 @@ def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
         actions, survivors = eng.run(frame, ruleset_name)
 
         run = ConfigRun(survivors=survivors)
+        run.impstats_conf = next(
+            (m for m in cfg.modules
+             if str(m.get("load", "")).startswith("impstats")), {})
         for name, df in actions:
             params = _action_params(cfg, ruleset_name, name)
             _dispatch_action(cfg, name, df, params, run,
@@ -1775,4 +1790,13 @@ def dynstats_impstats_json(run: ConfigRun, cfg: ParsedConfig
         lines.append(_jsonc_dumps(
             {"name": name, "origin": "dynstats.bucket",
              "values": counts[name]}))
+    # bracketing="on": literal BEGIN/END marker lines around each
+    # stats cycle, in EVERY format (impstats.c:800-802 submits them
+    # before/after generateStatsMsgs unconditionally; dynstats-json.sh
+    # config uses bracketing="on" format="json")
+    imp = next((m for m in cfg.modules
+                if str(m.get("load", "")).startswith("impstats")), {})
+    if str(imp.get("bracketing", "off")).lower() in ("on", "true",
+                                                     "1"):
+        lines = ["BEGIN"] + lines + ["END"]
     return lines

@@ -3788,3 +3788,42 @@ def test_rscript_faup_family_goldens(spark, tmp_path):
         part = [f for f in os.listdir(out) if f.startswith("part")]
         line = open(out / part[0]).read()
         assert line == f" msgnum:00000000: 0 {exp}\n", (name, line)
+
+
+def test_impstats_bracketing(spark, tmp_path):
+    """module(load="impstats" bracketing="on"): each stats cycle is
+    wrapped in literal BEGIN/END marker lines, in legacy AND json
+    format (impstats.c:800-802 submitLine around generateStatsMsgs;
+    config shapes from dynstats.sh / dynstats-json.sh)."""
+    from rsyslog_spark.config.rainerscript import load_config
+    from rsyslog_spark.config.runtime import (
+        dynstats_impstats_json, run_config_batch)
+
+    src = tmp_path / "in.log"
+    src.write_text("<13>Mar  1 10:00:00 h tag: foo 001\n")
+    conf = f'''
+module(load="impstats" interval="2" severity="7"
+       resetCounters="on" bracketing="on" format="json")
+dyn_stats(name="stats_one")
+ruleset(name="m") {{
+  set $.ign = dyn_inc("stats_one", field($msg, 32, 1));
+  action(type="omfile" name="out" file="{tmp_path}/out")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run = run_config_batch(spark, conf)
+    _eng, cfg = load_config(conf)
+    jlines = dynstats_impstats_json(run, cfg)
+    assert jlines[0] == "BEGIN" and jlines[-1] == "END"
+    assert jlines[2] == ('{ "name": "stats_one", "origin": '
+                         '"dynstats.bucket", "values": '
+                         '{ "foo": 1 } }')
+    lines = run.impstats_lines()
+    assert lines[0] == "BEGIN" and lines[-1] == "END"
+    assert lines[1].startswith("out: origin=core.action processed=1")
+
+    # bracketing off (the default) emits no markers
+    run2 = run_config_batch(
+        spark, conf.replace('bracketing="on" ', ""))
+    assert all(ln not in ("BEGIN", "END")
+               for ln in run2.impstats_lines())
