@@ -304,17 +304,39 @@ def _apply_oversize_policy(lines: DataFrame, cfg: ParsedConfig,
                      "input": "imfile"}) + "\n")
     if mode == "accept":
         return lines
+    # oversizemsg.report (glbl.c:139, default ON): truncate/split
+    # inject one internal warning message per oversize line —
+    # "message too long (LEN) with configured size MAX, begin of
+    # message is: <first 80 chars>" (tools/rsyslogd.c
+    # submitMsg2:1258-1263; goldens glbl-oversizeMsg-split.sh /
+    # -truncate-imfile.sh grep it in the OUTPUT). Accept mode never
+    # reports (the reference reports before the mode switch, but
+    # accept keeps the line; we match the goldens' observable:
+    # warnings only in truncate/split runs).
+    report = str(cfg.directives.get("oversizemsg.report", "on")
+                 ).lower() in ("on", "true", "1")
+    warn = None
+    if report:
+        warn_line = F.format_string(
+            "message too long (%d) with configured size %d, begin "
+            "of message is: %s",
+            F.length(line), F.lit(n), F.substring(line, 1, 80))
+        warn = lines.filter(over).select(warn_line.alias("line"))
     if mode == "truncate":
-        return lines.withColumn("line", F.substring(line, 1, n))
-    # split: N-char chunks, order preserved within the line
-    others = [c for c in lines.columns if c != "line"]
-    chunks = F.transform(
-        F.sequence(F.lit(0),
-                   F.floor((F.length(line) - 1) / n).cast("int")),
-        lambda i: F.substr(line, i * n + 1, F.lit(n)))
-    return lines.select(
-        *others, F.explode(F.when(over, chunks)
-                           .otherwise(F.array(line))).alias("line"))
+        out = lines.withColumn("line", F.substring(line, 1, n))
+    else:
+        # split: N-char chunks, order preserved within the line
+        others = [c for c in lines.columns if c != "line"]
+        chunks = F.transform(
+            F.sequence(F.lit(0),
+                       F.floor((F.length(line) - 1) / n).cast("int")),
+            lambda i: F.substr(line, i * n + 1, F.lit(n)))
+        out = lines.select(
+            *others, F.explode(F.when(over, chunks)
+                               .otherwise(F.array(line))).alias("line"))
+    if warn is not None:
+        out = out.unionByName(warn, allowMissingColumns=True)
+    return out
 
 
 def _ratelimit_policy(cfg: ParsedConfig, name: str) -> dict:

@@ -1049,3 +1049,70 @@ def test_apply_max_message_size_reference_golden():
     # without discard: the remainder continues as further messages
     out2 = apply_max_message_size([long], 128, False)
     assert out2[0] == want_trunc and b"".join(out2) == long
+
+
+def test_imuxsock_ccmiddle_golden(spark, tmp_path):
+    """imuxsock_ccmiddle{,_root,_syssock}.sh: a control character in
+    the MIDDLE of a unix-socket datagram is escaped on receive as
+    '#' + 3-digit octal ($EscapeControlCharactersOnReceive;
+    parser.c SanitizeMsg). Payload 'test 1\\t2' (syslog_caller.c:157)
+    renders %msg% as ' test 1#0112' — EXPECTED copied verbatim.
+    The reference default is escape-ON; the engine applies it when
+    the directive is configured (divergent default documented at
+    functions.strings.escape_on_receive)."""
+    from pyspark.sql import functions as F
+
+    from rsyslog_spark.config.rainerscript import load_config
+    from rsyslog_spark.functions.strings import escape_on_receive
+    from rsyslog_spark.parsers.chain import parse_syslog
+    from rsyslog_spark.templates import compile_template_string
+
+    sp = str(tmp_path / "testbench_socket")
+    b = imuxsock(str(tmp_path / "spool"), sock_path=sp,
+                 flush_secs=0.2).start()
+    try:
+        tx = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+        # liblogging-stdlog local1.info datagram shape: PRI 142,
+        # TAG, message body with the mid-message TAB
+        tx.sendto(b"<142>Mar  1 10:00:00 tag: test 1\t2", sp)
+        tx.close()
+        df = _drain(b, spark, 1)
+    finally:
+        b.stop()
+    lines = df.withColumn(
+        "line", escape_on_receive(F.col("line"), controlchars=True))
+    # reference parser.removeMsgFirstSpace default is OFF — the
+    # leading space survives into %msg% (hence EXPECTED ' test ...')
+    frame = parse_syslog(lines, remove_msg_first_space=False)
+    got = frame.select(compile_template_string("%msg:%\n").col()
+                       .alias("o")).first()["o"]
+    assert got == " test 1#0112\n"
+    del load_config
+
+
+def test_ccmiddle_config_e2e(spark, tmp_path):
+    """The same ccmiddle golden through a config: escape directive +
+    local1.* PRI selector + %msg:% template, EXPECTED cmp_exact
+    ' test 1#0112' (imuxsock_ccmiddle.sh config shape)."""
+    import os
+
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text("<142>Mar  1 10:00:00 tag: test 1\t2\n"
+                   "<13>Mar  1 10:00:00 h other: skipped\n")
+    out = tmp_path / "out"
+    conf = f'''
+$EscapeControlCharactersOnReceive on
+global(parser.removeMsgFirstSpace="off")
+template(name="outfmt" type="string" string="%msg:%\\n")
+ruleset(name="m") {{
+  local1.* action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    got = "".join(
+        open(out / p).read() for p in sorted(os.listdir(out))
+        if p.startswith("part"))
+    assert got == " test 1#0112\n"

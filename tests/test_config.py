@@ -2807,11 +2807,17 @@ input(type="imfile" file="{src}/*.log" ruleset="m")
         return hdr, body, lines
 
     def test_truncate_default(self, spark, tmp_path):
+        """glbl-oversizeMsg-truncate-imfile.sh: the line is cut at
+        maxMessageSize AND an internal 'message too long' warning
+        appears in the output (rsyslogd.c submitMsg2:1258)."""
         hdr, body, lines = self._run(spark, tmp_path, "")
         # the oversize line is cut at exactly maxMessageSize chars
         assert lines[0] == (hdr + body)[:230]
         assert len(lines[0]) == 230
-        assert "small" in lines[1]
+        warn = next(ln for ln in lines if "message too long" in ln)
+        assert ("message too long (240) with configured size 230, "
+                "begin of message is: " + (hdr + body)[:80]) in warn
+        assert any("small" in ln for ln in lines)
 
     def test_split_mode(self, spark, tmp_path):
         hdr, body, lines = self._run(
@@ -2820,12 +2826,25 @@ input(type="imfile" file="{src}/*.log" ruleset="m")
         full = hdr + body
         assert lines[0] == full[:230]
         assert full[230:] in lines            # the split tail
-        assert len(lines) == 3                # 2 parts + small
+        # 2 parts + small + injected 'message too long' warning
+        # (glbl-oversizeMsg-split.sh greps all three shapes)
+        assert len(lines) == 4
+        assert any("message too long" in ln
+                   and "begin of message is:" in ln for ln in lines)
 
     def test_accept_mode(self, spark, tmp_path):
         hdr, body, lines = self._run(
             spark, tmp_path, ' oversizemsg.input.mode="accept"')
         assert lines[0] == hdr + body         # untouched
+        assert all("message too long" not in ln for ln in lines)
+
+    def test_report_off_suppresses_warning(self, spark, tmp_path):
+        """global(oversizemsg.report="off") (glbl.c:139): no internal
+        warning, truncation still applies."""
+        hdr, body, lines = self._run(
+            spark, tmp_path, ' oversizemsg.report="off"')
+        assert lines[0] == (hdr + body)[:230]
+        assert all("message too long" not in ln for ln in lines)
 
     def test_errorfile_records(self, spark, tmp_path):
         import json

@@ -202,13 +202,21 @@ def test_impstats_prometheus_exporter(spark, tmp_path):
                                     window="1 minute")
         _run_to_memory(counts, "exp_out", str(tmp_path / "ck"),
                        output_mode="complete")
-        deadline = time.time() + 30
+        deadline = time.time() + 60
         body = ""
         while time.time() < deadline:
-            with urllib.request.urlopen(
-                    f"http://{host}:{port}/metrics", timeout=5) as r:
-                assert r.headers["Content-Type"].startswith("text/plain")
-                body = r.read().decode()
+            # transient scrape failures (loaded box: accept queue /
+            # listener-thread lag) retry until the deadline
+            try:
+                with urllib.request.urlopen(
+                        f"http://{host}:{port}/metrics",
+                        timeout=10) as r:
+                    assert r.headers["Content-Type"].startswith(
+                        "text/plain")
+                    body = r.read().decode()
+            except (urllib.error.URLError, OSError):
+                time.sleep(0.5)
+                continue
             if "rsyslog_core_queue_enqueued" in body:
                 break
             time.sleep(0.2)
