@@ -907,6 +907,12 @@ class _Parser:
         if t.text == "action":
             self.next()
             return _make_action(self.parse_param_block())
+        if t.text == "call":
+            # selector-gated ruleset call: '*.=notice call rs'
+            # (ref: rainerscript call statement usable as a legacy
+            # selector's action part — golden msgdup.sh)
+            self.next()
+            return Call(self.next().text)
         if t.text in ("~", "stop"):
             self.next()
             return Stop()

@@ -873,7 +873,15 @@ class _JsonfTemplate:
         if not name:
             raise ValueError("property() needs name=")
         key = str(p.get("outname", name)).replace('"', '\\"')
-        sv = rs_str(prop_col(name, df))
+        dfmt = p.get("dateFormat", p.get("dateformat"))
+        if dfmt:
+            # dateformat applies to the property value before the
+            # jsonf wrap (template.c: the entry's pTpe carries its
+            # date options into MsgGetProp; msgdup_props.sh renders
+            # timereported twice, plain and rfc3339)
+            sv = rs_str(Prop(name, date_format=dfmt).col(df))
+        else:
+            sv = rs_str(prop_col(name, df))
         dt = p.get("dataType", p.get("datatype", "string")).lower()
         omit0 = str(p.get("omitIfZero",
                           p.get("omitifzero", "off"))).lower() \
@@ -908,6 +916,24 @@ class _JsonfTemplate:
         return frag
 
 
+@dataclass
+class _JsonfProp:
+    """A property(format="jsonf") entry inside a PLAIN list template:
+    renders the jsonf field fragment ('"name": value', full dataType/
+    omitIfZero/onEmpty semantics) in-line with the other parts. An
+    omitted fragment (onEmpty=skip / omitIfZero) contributes the
+    empty string so the surrounding concat survives."""
+
+    p: dict
+
+    def col(self, df=None) -> Column:
+        frag = _JsonfTemplate([("property", self.p)]) \
+            ._prop_fragment(self.p, df)
+        if frag is None:
+            return F.lit("")
+        return F.coalesce(frag, F.lit(""))
+
+
 def compile_template_list(elements: list[tuple[str, dict]],
                           casesensitive: bool = False) -> "Template":
     """v2 list template (ref: template.h:40-60 list type; doc
@@ -933,6 +959,15 @@ def compile_template_list(elements: list[tuple[str, dict]],
                 parts.append(f'"{key}": "{val}"')
             else:
                 parts.append(p.get("value", ""))
+            continue
+        if kind == "property" \
+                and str(p.get("format", "")).lower() == "jsonf":
+            # property format="jsonf" in a PLAIN list template still
+            # renders the '"name": value' field fragment — same
+            # per-entry path option.jsonf uses (template.c
+            # tplJsonRenderValue applies per ENTRY, not per template;
+            # golden msgdup_props.sh all_properties template)
+            parts.append(_JsonfProp(p))
             continue
         kw: dict = {}
         name = p.get("name")

@@ -3846,3 +3846,100 @@ input(type="imfile" file="{src}" ruleset="m")
         spark, conf.replace('bracketing="on" ', ""))
     assert all(ln not in ("BEGIN", "END")
                for ln in run2.impstats_lines())
+
+
+def test_msgdup_queued_ruleset_no_duplication(spark, tmp_path):
+    """msgdup.sh: a trailing-LF message routed into a ruleset with
+    its own queue produces EXACTLY one output line (the reference bug
+    was message duplication at the queue hop), msg rendered intact —
+    EXPECTED ' test 0123...' cmp_exact."""
+    import os
+
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    body = ("test 0123456789012345678901234567890123456789"
+            "0123456789012345")
+    src = tmp_path / "in.log"
+    # PRI 13 = user.notice → *.=notice matches; trailing LF present
+    src.write_text(
+        f"<13>Mar  1 10:00:00 h RSYSLOG_TESTBENCH: {body}\n")
+    out = tmp_path / "out"
+    conf = f'''
+global(parser.removeMsgFirstSpace="off")
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="rs" queue.type="LinkedList") {{
+  action(type="omfile" file="{out}" template="outfmt")
+  stop
+}}
+ruleset(name="m") {{
+  *.=notice call rs
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+    got = "".join(open(out / p).read()
+                  for p in sorted(os.listdir(out))
+                  if p.startswith("part"))
+    assert got == f" {body}\n"          # exactly ONE copy
+
+
+def test_msgdup_props_queue_vs_direct_identical(spark, tmp_path):
+    """msgdup_props.sh: the same message rendered through a QUEUED
+    ruleset call and through the direct action must be byte-identical
+    across the full property set (incl. $!/$. variables set before
+    the call and both timestamps) — the reference cmp's the two
+    output files."""
+    import os
+
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text("<167>Mar  1 01:00:00 172.20.245.8 tag "
+                   "msgnum:00000000:\n")
+    out_q, out_d = tmp_path / "q", tmp_path / "d"
+    conf = f'''
+template(name="all_properties" type="list") {{
+  property(format="jsonf" name="fromhost") constant(value="\\n")
+  property(format="jsonf" name="hostname") constant(value="\\n")
+  property(format="jsonf" name="msg") constant(value="\\n")
+  property(format="jsonf" name="$!" outname="globalvar") constant(value="\\n")
+  property(format="jsonf" name="$." outname="localvar") constant(value="\\n")
+  property(format="jsonf" name="pri") constant(value="\\n")
+  property(format="jsonf" name="rawmsg") constant(value="\\n")
+  property(format="jsonf" name="syslogtag") constant(value="\\n")
+  property(format="jsonf" name="timereported" dateformat="rfc3339") constant(value="\\n")
+}}
+ruleset(name="rs_with_queue" queue.type="LinkedList"
+        queue.size="10000") {{
+  action(type="omfile" name="via_queue" file="{out_q}"
+         template="all_properties")
+}}
+ruleset(name="m") {{
+  set $!var = "msg var";
+  set $.var = "local var";
+  if $msg contains "msgnum:" then {{
+    call rs_with_queue
+    action(type="omfile" name="direct" file="{out_d}"
+           template="all_properties")
+  }}
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+    run_config_batch(spark, conf)
+
+    def slurp(d):
+        return "".join(open(d / p).read()
+                       for p in sorted(os.listdir(d))
+                       if p.startswith("part"))
+
+    got_q, got_d = slurp(out_q), slurp(out_d)
+    assert got_q == got_d               # the reference's cmp
+    # jsonf field fragments (template.c tplJsonRenderValue applies
+    # per entry even without option.jsonf)
+    assert '"msg":"msgnum:00000000:"' in got_q
+    assert '"globalvar"' in got_q and "msg var" in got_q
+    assert '"localvar"' in got_q and "local var" in got_q
+    assert '"pri":"167"' in got_q
+    assert '"syslogtag":"tag"' in got_q
+    # dateformat applies inside the jsonf fragment
+    assert '"timereported":"2026-03-01T01:00:00+00:00"' in got_q
