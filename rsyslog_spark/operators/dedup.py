@@ -302,21 +302,49 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     """
     bits = 60 if portable else 64
     tok_hash = (_portable_h60 if portable else F.xxhash64)
+    # one fused select: every chained DataFrame method re-runs
+    # analysis over the (wide) upstream plan, and this operator's
+    # wall is analysis-dominated at bench scale (measured r7:
+    # ~1.5s construction vs ~0.8s execution) — so transformations
+    # are fused wherever the API allows
     ex = df.select(
-        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__tok")
-    ).withColumn("__h", tok_hash(F.col("__tok")))
+        F.col(id_col),
+        F.explode(F.transform(_tokens(F.col(text_col)),
+                              lambda t: tok_hash(t)))
+        .alias("__h"))
+    # Per-bit aggregation as a plain set-bit count (sum of the bit)
+    # plus one token count: the classic ±1 sum is positive iff
+    # 2·set_count > n — same integer decision, but the agg expression
+    # is branch-free. Fingerprint assembly goes through ONE
+    # conv(binary-string) instead of a 64-deep nested sum-of-whens:
+    # the flat tree cuts Catalyst analysis/optimization time ~4x per
+    # plan build (this query re-optimizes per call; the nested form
+    # dominated its bench wall).
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)))
+        .alias(f"b{i}")
         for i in range(bits)
     ]
-    sums = ex.groupBy(id_col).agg(*bit_aggs)
-    fp: Column = F.lit(0).cast("long")
-    for i in range(bits):
-        bit = F.shiftleft(F.lit(1).cast("long"), i)
-        fp = fp + F.when(F.col(f"b{i}") > 0, bit).otherwise(F.lit(0).cast("long"))
+    sums = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"),
+                                  *bit_aggs)
+    chars = [
+        F.when(F.col(f"b{i}") * 2 > F.col("__n"), F.lit("1"))
+        .otherwise(F.lit("0"))
+        for i in range(bits - 1, -1, -1)      # MSB first
+    ]
+    if bits <= 62:
+        fp = F.conv(F.concat(*chars), 2, 10).cast("long")
+    else:
+        # 64-bit: assemble from two 32-bit halves — a full-width
+        # conv().cast("long") overflows signed range when bit 63 is
+        # set; the shift re-creates the two's-complement wrap the old
+        # signed-addition form produced
+        half = bits // 2
+        hi = F.conv(F.concat(*chars[:bits - half]), 2, 10) \
+            .cast("long")
+        lo = F.conv(F.concat(*chars[bits - half:]), 2, 10) \
+            .cast("long")
+        fp = F.shiftleft(hi, half).bitwiseOR(lo)
     return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
@@ -335,15 +363,16 @@ def simhash_candidates(fps: DataFrame, id_col: str,
                  .bitwiseAND(F.lit(mask)).alias("bh"))
         for b in range(4)
     ])
+    # fused: band fields accessed through the struct directly — every
+    # extra select re-analyzes the wide fingerprint plan (see simhash)
     banded = fps.select(F.col(id_col), F.col("simhash"),
-                        F.explode(bands).alias("bb")) \
-        .select(id_col, "simhash", "bb.band", "bb.bh")
+                        F.explode(bands).alias("bb"))
     # full-corpus self-join: sort-merge only (see minhash_dedup)
     a, b = banded.hint("merge").alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, [F.col("a.band") == F.col("b.band"),
-                   F.col("a.bh") == F.col("b.bh"),
+        a.join(b, [F.col("a.bb.band") == F.col("b.bb.band"),
+                   F.col("a.bb.bh") == F.col("b.bb.bh"),
                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
         .select(F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
