@@ -189,7 +189,11 @@ _TAIL = ("flagship_parse_route",
          "top_revenue_orders", "training_pipeline_e2e",
          "multimodal_battery", "doc_repetition_filter",
          "exact_substring_dedup", "similarity_topk_ivf",
-         "semantic_dedup")
+         "semantic_dedup",
+         # parked r7 wave 2 (green >=3 rounds incl. r6) — making
+         # window room for the NEW r7 oracle queries
+         # imdocker_jsonlog_parse + imkmsg_header_parse
+         "mmaitag_classify", "sendertrack_ratelimit")
 
 
 def tail_body_hash(q: Query) -> str:

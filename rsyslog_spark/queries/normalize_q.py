@@ -936,3 +936,117 @@ def impcap_l7_battery(spark, sf_dir):
         F.col("HTTP_header_fields")["Host"].alias("host_hdr"),
         F.col("FTP_response").cast("long").alias("ftp_response"),
         F.col("FTP_request").alias("ftp_request"))
+
+
+@q(
+    "imdocker_jsonlog_parse",
+    r"""
+    WITH raw AS (
+      SELECT event_id,
+             '{"log":"evt ' || event_type || ' #' || event_id ||
+             '\n","stream":"' ||
+             CASE WHEN event_id % 2 = 0 THEN 'stdout'
+                  ELSE 'stderr' END ||
+             '","time":"2026-01-01T00:' ||
+             lpad(CAST((event_id // 60) % 60 AS VARCHAR), 2, '0') ||
+             ':' || lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') ||
+             '.123456789Z"}' AS line
+      FROM events WHERE event_id < 2000
+    )
+    SELECT event_id,
+           regexp_replace(json_extract_string(line, '$.log'),
+                          '\n$', '') AS msg,
+           json_extract_string(line, '$.stream') AS stream,
+           strftime(strptime(
+               regexp_replace(json_extract_string(line, '$.time'),
+                              '(\.\d{6})\d*Z$', '\1Z'),
+               '%Y-%m-%dT%H:%M:%S.%fZ'),
+             '%Y-%m-%d %H:%M:%S.%f') AS ts
+    FROM raw
+    """,
+    doc="docker json-file log-driver record parse (ref: contrib/"
+        "imdocker/imdocker.c + contrib/imkubernetes docker_json "
+        "branch; golden imkubernetes-dockerjson-basic.sh): MSG = "
+        "log minus trailing newline, stream, RFC3339Nano time "
+        "trimmed to microseconds — through the exact column logic "
+        "imdocker/imkubernetes_dockerjson read files with "
+        "(bridges.dockerjson_cols).",
+)
+def imdocker_jsonlog_parse(spark, sf_dir):
+    from rsyslog_spark.streaming.bridges import dockerjson_cols
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    eid = F.col("event_id")
+    line = F.concat(
+        F.lit('{"log":"evt '), F.col("event_type"), F.lit(" #"),
+        eid.cast("string"), F.lit('\\n","stream":"'),
+        F.when(eid % 2 == 0, F.lit("stdout"))
+        .otherwise(F.lit("stderr")),
+        F.lit('","time":"2026-01-01T00:'),
+        F.lpad(((eid / 60).cast("long") % 60).cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((eid % 60).cast("string"), 2, "0"),
+        F.lit('.123456789Z"}'))
+    src = ev.select("event_id", line.alias("value"))
+    parsed = src.select("event_id",
+                        *dockerjson_cols(F.col("value")))
+    return parsed.select(
+        "event_id",
+        F.col("line").alias("msg"),
+        "stream",
+        F.date_format("timegenerated",
+                      "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"))
+
+
+@q(
+    "imkmsg_header_parse",
+    r"""
+    SELECT event_id,
+           'kernel ' || event_type AS msg,
+           CAST((event_id % 192) // 8 AS BIGINT) AS facility,
+           CAST((event_id % 192) % 8 AS BIGINT) AS severity,
+           CAST(event_id AS BIGINT) AS seq,
+           CAST(event_id * 1000 AS BIGINT) AS usec,
+           CASE WHEN event_id % 3 = 0 THEN event_type
+                ELSE '' END AS subsystem,
+           CASE WHEN event_id % 3 = 0
+                THEN '+pci:0000:00:' ||
+                     lpad(CAST(event_id % 32 AS VARCHAR), 2, '0')
+                ELSE '' END AS device
+    FROM events WHERE event_id < 3000
+    """,
+    doc="/dev/kmsg structured record parse (ref: contrib/imkmsg/"
+        "kmsg.c:64-140): 'pri,seq,usec,flags;message' header split, "
+        "PRI decompose, and indented SUBSYSTEM=/DEVICE= "
+        "continuation-line property lift — through the exact "
+        "record-level column logic imkmsg reads /dev/kmsg with "
+        "(bridges.kmsg_record_cols).",
+)
+def imkmsg_header_parse(spark, sf_dir):
+    from rsyslog_spark.streaming.bridges import kmsg_record_cols
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    eid = F.col("event_id")
+    cont = F.when(
+        eid % 3 == 0,
+        F.concat(F.lit("\n SUBSYSTEM="), F.col("event_type"),
+                 F.lit("\n DEVICE=+pci:0000:00:"),
+                 F.lpad((eid % 32).cast("string"), 2, "0"))
+    ).otherwise(F.lit(""))
+    rec = F.concat(
+        (eid % 192).cast("string"), F.lit(","),
+        eid.cast("string"), F.lit(","),
+        (eid * 1000).cast("string"),
+        F.lit(",-;kernel "), F.col("event_type"), cont)
+    src = ev.select("event_id", rec.alias("rec"))
+    parsed = src.select("event_id", *kmsg_record_cols(F.col("rec")))
+    return parsed.select(
+        "event_id", "msg",
+        F.col("syslogfacility").cast("long").alias("facility"),
+        F.col("syslogseverity").cast("long").alias("severity"),
+        F.col("sequnum").alias("seq"),
+        F.col("usec_since_boot").alias("usec"),
+        F.coalesce(F.col("kmsg_props")["SUBSYSTEM"], F.lit(""))
+        .alias("subsystem"),
+        F.coalesce(F.col("kmsg_props")["DEVICE"], F.lit(""))
+        .alias("device"))

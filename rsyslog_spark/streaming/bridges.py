@@ -521,6 +521,26 @@ def imkubernetes(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def dockerjson_cols(line: Column) -> list[Column]:
+    """Parsed columns of ONE docker json-file record — the
+    record-level core shared by :func:`imdocker` /
+    :func:`imkubernetes_dockerjson` and the oracle query
+    ``imdocker_jsonlog_parse``: MSG = ``log`` minus its trailing
+    newline, ``stream``, and RFC3339Nano ``time`` trimmed to µs
+    (contrib/imkubernetes docker_json branch; json-file log driver
+    format)."""
+    rec = F.from_json(
+        line, "struct<log:string, stream:string, time:string>")
+    return [
+        F.regexp_replace(rec["log"], r"\n$", "").alias("line"),
+        rec["stream"].alias("stream"),
+        F.to_timestamp(
+            F.regexp_replace(rec["time"],
+                             r"(\.\d{6})\d*(Z|[+-]\d\d:\d\d)$",
+                             "$1$2")).alias("timegenerated"),
+    ]
+
+
 def imkubernetes_dockerjson(spark: SparkSession,
                             path: str) -> DataFrame:
     """imkubernetes docker json-file log format (ref: contrib/
@@ -534,17 +554,9 @@ def imkubernetes_dockerjson(spark: SparkSession,
     raw = (spark.read.text(path)
            .withColumn("srcfile", F.input_file_name())
            .filter(F.length("value") > 0))
-    rec = F.from_json(
-        F.col("value"),
-        "struct<log:string, stream:string, time:string>")
     meta = r"([^/_]+)_([^/_]+)_([^/]+)-([0-9a-f]+)\.log$"
     return raw.select(
-        F.regexp_replace(rec["log"], r"\n$", "").alias("line"),
-        rec["stream"].alias("stream"),
-        F.to_timestamp(
-            F.regexp_replace(rec["time"],
-                             r"(\.\d{6})\d*(Z|[+-]\d\d:\d\d)$",
-                             "$1$2")).alias("timegenerated"),
+        *dockerjson_cols(F.col("value")),
         F.regexp_extract("srcfile", meta, 1).alias("pod"),
         F.regexp_extract("srcfile", meta, 2).alias("namespace"),
         F.regexp_extract("srcfile", meta, 3).alias("container"),
@@ -709,26 +721,37 @@ def imkmsg(spark: SparkSession, path: str, *,
            .select(F.col("value").alias("content")))
     rec = F.explode(F.split("content", r"\n(?=[^ \t])")).alias("rec")
     recs = raw.select(rec).filter(F.trim("rec") != "")
+    return recs.select(
+        *kmsg_record_cols(F.col("rec")),
+        F.lit("imkmsg").alias("inputname"),
+    ).filter(F.col("sequnum").isNotNull())
+
+
+def kmsg_record_cols(rec: Column) -> list[Column]:
+    """Parsed columns of ONE /dev/kmsg record (header + indented
+    KEY=value continuation lines already reassembled into ``rec``) —
+    the record-level core of :func:`imkmsg`, shared with the oracle
+    query ``imkmsg_header_parse`` (kmsg.c:64-140 header split,
+    PRI decompose, appended-property lift)."""
     hdr = r"^(\d+),(\d+),(\d+)[^;]*;"
-    pri = F.regexp_extract("rec", hdr, 1).try_cast("int")
-    first = F.substring_index("rec", "\n", 1)
+    pri = F.regexp_extract(rec, hdr, 1).try_cast("int")
+    first = F.substring_index(rec, "\n", 1)
     props = F.map_from_entries(F.transform(
-        F.filter(F.split("rec", "\n"),
+        F.filter(F.split(rec, "\n"),
                  lambda ln: ln.startswith(" ") & ln.contains("=")),
         lambda ln: F.struct(
             F.substring_index(F.trim(ln), "=", 1).alias("key"),
             F.substr(ln, F.instr(ln, "=") + 1).alias("value"))))
-    return recs.select(
+    return [
         F.regexp_replace(first, hdr, "").alias("msg"),
         F.shiftright(pri, 3).alias("syslogfacility"),
         pri.bitwiseAND(F.lit(7)).alias("syslogseverity"),
-        F.regexp_extract("rec", hdr, 2).try_cast("long")
+        F.regexp_extract(rec, hdr, 2).try_cast("long")
          .alias("sequnum"),
-        F.regexp_extract("rec", hdr, 3).try_cast("long")
+        F.regexp_extract(rec, hdr, 3).try_cast("long")
          .alias("usec_since_boot"),
         props.alias("kmsg_props"),
-        F.lit("imkmsg").alias("inputname"),
-    ).filter(F.col("sequnum").isNotNull())
+    ]
 
 
 def imklog(spark: SparkSession, path: str, *,
