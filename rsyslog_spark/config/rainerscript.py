@@ -367,6 +367,7 @@ class _Parser:
             t = self.peek()
             if t.text == "ruleset":
                 name, stmts, params = self.parse_ruleset_obj()
+                _check_queue_size(params)
                 cfg.rulesets[name] = Ruleset(name, stmts)
                 cfg.ruleset_params[name] = params
             elif t.text in ("module", "input"):
@@ -1919,7 +1920,35 @@ def _mm_transform(atype: str, params: dict):
     return None
 
 
+#: "overly large" in-memory queue watermark (runtime/queue.c:239)
+_OVERSIZE_QUEUE_WATERMARK = 500_000
+
+
+def _check_queue_size(params: dict) -> None:
+    """queue.size sanity warnings at config load (runtime/queue.c:
+    4955-4966: >2^31-1 corrected to maximum, >500000 'is very large';
+    golden queue_warnmsg-oversize.sh content_check)."""
+    raw = params.get("queue.size")
+    if raw is None:
+        return
+    try:
+        size = int(raw)
+    except (TypeError, ValueError):
+        return
+    import warnings
+    if size > 0x7FFFFFFF:
+        warnings.warn("queue.size higher than maximum (2147483647) "
+                      "- corrected to maximum")
+        params["queue.size"] = "2147483647"
+    elif size > _OVERSIZE_QUEUE_WATERMARK:
+        warnings.warn(
+            f"warning: queue.size={size} is very large - is this "
+            "really intended? More info at "
+            "https://www.rsyslog.com/avoid-overly-large-in-memory-queues/")
+
+
 def _make_action(params: dict[str, str]):
+    _check_queue_size(params)
     atype = params.get("type", "")
     if atype == "omdiscard":
         return Stop()

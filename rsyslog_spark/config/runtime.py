@@ -295,13 +295,45 @@ def _apply_oversize_policy(lines: DataFrame, cfg: ParsedConfig,
     line = F.col("line")
     over = F.length(line) > n
     if errorfile:
+        # full-message JSON record per oversize line (ref: errmsg.c
+        # oversizeJsonFromMsg:128-165 — msg/rawmsg plus the parsed
+        # header properties with RFC3339 timestamps, and the
+        # historical "input" alias of inputname at :330-334; golden
+        # imptcp-oversize-errorfile-truncate.sh content_checks).
+        # The parse runs ONLY over the oversize subset; the write
+        # streams via toLocalIterator (bounded driver memory).
         import json as _json
+
+        from rsyslog_spark.parsers.chain import parse_syslog
+
+        parsed = parse_syslog(lines.filter(over),
+                              inputname="imfile", keep_raw=True)
+        ts39 = "yyyy-MM-dd'T'HH:mm:ssXXX"
+        sel = parsed.select(
+            F.col("msg"), F.col("rawmsg"),
+            F.date_format("timereported", ts39).alias("timereported"),
+            "hostname", "syslogtag", "inputname", "fromhost",
+            F.coalesce(F.col("fromhost_ip"), F.lit(""))
+            .alias("fromhost-ip"),
+            F.col("pri").cast("string"),
+            F.col("syslogfacility").cast("string"),
+            F.col("syslogseverity").cast("string"),
+            F.date_format("timegenerated", ts39)
+            .alias("timegenerated"),
+            "programname",
+            F.coalesce(F.col("protocol_version").cast("string"),
+                       F.lit("0")).alias("protocol-version"),
+            F.coalesce(F.col("structured_data"), F.lit("-"))
+            .alias("structured-data"),
+            F.coalesce(F.col("app_name"), F.lit("")).alias("app-name"),
+            F.coalesce(F.col("procid"), F.lit("-")).alias("procid"),
+            F.coalesce(F.col("msgid"), F.lit("-")).alias("msgid"),
+        )
         with open(errorfile, "a", encoding="utf-8") as fh:
-            for r in lines.filter(over).select("line") \
-                    .toLocalIterator():
-                fh.write(_json.dumps(
-                    {"msg": r[0], "rawmsg": r[0],
-                     "input": "imfile"}) + "\n")
+            for r in sel.toLocalIterator():
+                rec = r.asDict()
+                rec["input"] = rec.get("inputname") or "imfile"
+                fh.write(_json.dumps(rec) + "\n")
     if mode == "accept":
         return lines
     # oversizemsg.report (glbl.c:139, default ON): truncate/split
@@ -1489,6 +1521,11 @@ def run_config_stream(
                 if str(lin.get("discardtruncatedmsg", "off")
                        ).lower() in ("on", "true", "1"):
                     kw["discard_truncated"] = True
+                # framing.delimiter.regex (imptcp.c:215; golden
+                # imptcp_framing_regex-oversize.sh)
+                if lin.get("framing.delimiter.regex"):
+                    kw["framing_regex"] = \
+                        lin["framing.delimiter.regex"]
             # $AllowedSender <PROTO>, ip, net/cidr, ... (net.c ACLs)
             acl_key = ("allowedsender.udp" if typ == "imudp"
                        else "allowedsender.tcp")

@@ -16,6 +16,7 @@ from rsyslog_spark.streaming.bridges import (
     imdocker,
     imhttp,
     imjournal,
+    imtcp,
     imudp,
     imuxsock,
 )
@@ -1116,3 +1117,70 @@ input(type="imfile" file="{src}" ruleset="m")
         open(out / p).read() for p in sorted(os.listdir(out))
         if p.startswith("part"))
     assert got == " test 1#0112\n"
+
+
+def test_regex_framing_oversize_golden():
+    """imptcp_framing_regex-oversize.sh: framing.delimiter.regex
+    byte-walk (imptcp.c processDataRcvd_regexFraming:1039-1086) over
+    the reference's own testdata, with maxMessageSize=256 — frames
+    end where the regex matches a new line, a 512-byte (2x) run
+    without a delimiter force-splits, and the oversize policy
+    truncates each emitted frame to 256. EXPECTED block mined
+    verbatim from the .sh."""
+    import re
+
+    from rsyslog_spark.streaming.bridges import RegexFramer
+
+    ref = "/root/reference/tests"
+    data = open(f"{ref}/testsuites/"
+                "imptcp_framing_regex-oversize.testdata", "rb").read()
+    sh = open(f"{ref}/imptcp_framing_regex-oversize.sh").read()
+    expected = re.search(r"export EXPECTED='(.*?)'\n", sh,
+                         re.S).group(1)
+
+    fr = RegexFramer(
+        "^<[0-9]{2}>(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)",
+        max_line=256)
+    frames = []
+    # feed in awkward chunk sizes — the walk must be chunk-invariant
+    for i in range(0, len(data), 7):
+        frames += fr.feed(data[i:i + 7])
+    # the trailing partial frame (testdata's 'test end' line) is
+    # DROPPED at close — it is absent from the reference EXPECTED
+    # oversize truncate mode: cut at maxMessageSize, drop the rest
+    rendered = "\n".join(
+        "NEWMSG: " + f[:256].decode().rstrip("\n") for f in frames)
+    assert rendered == expected
+
+    # chunk-invariance: one-shot feed yields the same frames
+    fr2 = RegexFramer(
+        "^<[0-9]{2}>(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)",
+        max_line=256)
+    assert fr2.feed(data) == frames
+
+
+def test_regex_framing_bridge_e2e(spark, tmp_path):
+    """The same regex framing through the live TCP bridge: messages
+    with embedded newlines frame on the header regex (socket e2e,
+    multi-line xml-ish payload kept inside one message); the final
+    unterminated frame drops at close, like the reference."""
+    payload = (b"<33>Mar  1 01:00:00 172.20.245.8 tag test1\n"
+               b"<33>Mar  1 01:00:00 172.20.245.8 tag xml\n"
+               b"<test/>\n"
+               b"<33>Mar  1 01:00:00 172.20.245.8 tag trailing\n")
+    b = imtcp(str(tmp_path / "spool"),
+              framing_regex=r"^<[0-9]{2}>(Jan|Feb|Mar|Apr|May|Jun|"
+                            r"Jul|Aug|Sep|Oct|Nov|Dec)",
+              flush_secs=0.2).start()
+    try:
+        tx = socket.create_connection(("127.0.0.1", b.port))
+        tx.sendall(payload)
+        tx.close()
+        df = _drain(b, spark, 2)
+        lines = sorted(r.line for r in df.collect())
+    finally:
+        b.stop()
+    assert lines == [
+        "<33>Mar  1 01:00:00 172.20.245.8 tag test1",
+        "<33>Mar  1 01:00:00 172.20.245.8 tag xml\n<test/>",
+    ]

@@ -2847,6 +2847,11 @@ input(type="imfile" file="{src}/*.log" ruleset="m")
         assert all("message too long" not in ln for ln in lines)
 
     def test_errorfile_records(self, spark, tmp_path):
+        """errmsg.c oversizeJsonFromMsg:128-165: the errorfile record
+        is the FULL message JSON — msg/rawmsg plus parsed header
+        properties with RFC3339 timestamps and the historical
+        'input' alias (imptcp-oversize-errorfile-truncate.sh
+        content_checks, imfile stand-in)."""
         import json
         errf = tmp_path / "oversize.log"
         hdr, body, _ = self._run(
@@ -2854,9 +2859,19 @@ input(type="imfile" file="{src}/*.log" ruleset="m")
         recs = [json.loads(ln) for ln in
                 errf.read_text().splitlines()]
         assert len(recs) == 1                 # only the oversize row
-        assert recs[0]["rawmsg"] == hdr + body
-        assert recs[0]["msg"] == hdr + body
-        assert recs[0]["input"] == "imfile"
+        r = recs[0]
+        assert r["rawmsg"] == hdr + body
+        assert "msgnum:00000000:" in r["msg"]
+        assert r["input"] == "imfile" and r["inputname"] == "imfile"
+        assert r["syslogtag"] == "tag"
+        assert r["hostname"] == "172.20.245.8"
+        assert r["pri"] == "167"
+        assert r["syslogfacility"] == "20"
+        assert r["syslogseverity"] == "7"
+        assert r["timereported"].startswith("20")   # RFC3339
+        assert "T" in r["timereported"]
+        assert r["timegenerated"]
+        assert "fromhost-ip" in r and "programname" in r
 
     def test_bad_mode_rejected(self, spark, tmp_path):
         import pytest as _pytest
@@ -3943,3 +3958,35 @@ input(type="imfile" file="{src}" ruleset="m")
     assert '"syslogtag":"tag"' in got_q
     # dateformat applies inside the jsonf fragment
     assert '"timereported":"2026-03-01T01:00:00+00:00"' in got_q
+
+
+def test_queue_warnmsg_oversize(spark, tmp_path):
+    """queue_warnmsg-oversize.sh: queue.size above the 500000
+    watermark warns 'queue.size=500001 is very large' at config load
+    (queue.c:4960); above 2^31-1 it corrects to maximum. Small sizes
+    stay silent."""
+    import warnings as _w
+
+    from rsyslog_spark.config.rainerscript import parse_config
+
+    conf = '''
+ruleset(name="m") {
+  action(type="omfile" file="/tmp/x"
+         queue.type="linkedList" queue.size="500001")
+}
+'''
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        parse_config(conf)
+    assert any("queue.size=500001 is very large" in str(r.message)
+               for r in rec)
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        cfg = parse_config(conf.replace("500001", "9999999999"))
+    assert any("corrected to maximum" in str(r.message) for r in rec)
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        parse_config(conf.replace("500001", "10000"))
+    assert not any("very large" in str(r.message) for r in rec)

@@ -838,3 +838,44 @@ def test_now_utc_props_under_non_utc_session_tz(spark):
                 "America/New_York")).strftime("%H")}
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_template_pos_from_to_oversize(spark, tmp_path):
+    """template-pos-from-to-oversize{,-lowercase}.sh: position.from/
+    to beyond the value's length renders EMPTY (never an error, never
+    padding) — EXPECTED '--' via cmp, string form, list form, and
+    with a case-conversion option stacked on top."""
+    line = "<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:00000000:\n"
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="-%msg:109:116:%-\\n")
+ruleset(name="m") {
+  :msg, contains, "msgnum:" action(type="omfile" file="@OUT@"
+                                   template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', line, sub="pstr")
+    assert out == "--\n"
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="list") {
+  constant(value="-")
+  property(name="msg" position.from="109" position.to="116")
+  constant(value="-")
+  constant(value="\\n")
+}
+ruleset(name="m") {
+  :msg, contains, "msgnum:" action(type="omfile" file="@OUT@"
+                                   template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', line, sub="plist")
+    assert out == "--\n"
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string"
+         string="-%msg:109:116:lowercase%-\\n")
+ruleset(name="m") {
+  :msg, contains, "msgnum:" action(type="omfile" file="@OUT@"
+                                   template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', line, sub="plc")
+    assert out == "--\n"
