@@ -442,6 +442,7 @@ class _Parser:
             prev = cfg.rulesets.get(rs_name)
             cfg.rulesets[rs_name] = Ruleset(
                 rs_name, (list(prev.stmts) if prev else []) + stmts)
+        _uniquify_action_names(cfg)
         return cfg
 
     def _register_template(self, params: dict) -> None:
@@ -504,7 +505,8 @@ class _Parser:
             else:
                 self.cfg.templates[params["name"]] = \
                     compile_template_list(params["__elements__"],
-                                          casesensitive=cs)
+                                          casesensitive=cs,
+                                          tpl_name=params["name"])
         else:
             self.cfg.templates[params["name"]] = params
 
@@ -1945,6 +1947,41 @@ def _check_queue_size(params: dict) -> None:
             f"warning: queue.size={size} is very large - is this "
             "really intended? More info at "
             "https://www.rsyslog.com/avoid-overly-large-in-memory-queues/")
+
+
+def _uniquify_action_names(cfg) -> None:
+    """Give actions UNIQUE engine names. Action names default to the
+    file=/topic= target, so two actions writing the same file collide
+    — and the runtime's name→params lookup (_action_params) would
+    hand EVERY such action the first one's params (template, options):
+    observed as all three actions of template-property-
+    transformations.sh rendering the first action's template. Each
+    reference action is a distinct instance (action.name only labels
+    stats); suffixing '#N' in statement order is deterministic per
+    parse, so per-run reload phases see stable names."""
+    from rsyslog_spark.plans.ruleset import Action
+
+    seen: dict[str, int] = {}
+    visited: set[int] = set()
+
+    def walk(stmts):
+        for s in stmts:
+            if isinstance(s, Action):
+                if id(s) in visited:      # '&' splices share objects
+                    continue
+                visited.add(id(s))
+                n = seen.get(s.name, 0) + 1
+                seen[s.name] = n
+                if n > 1:
+                    s.name = f"{s.name}#{n}"
+            for sub in (getattr(s, "then", None),
+                        getattr(s, "orelse", None),
+                        getattr(s, "body", None)):
+                if sub:
+                    walk(sub)
+
+    for rs in cfg.rulesets.values():
+        walk(rs.stmts)
 
 
 def _make_action(params: dict[str, str]):

@@ -236,7 +236,8 @@ def _noparse_frame(lines: DataFrame, imf: dict) -> DataFrame:
         "tz_offset_sec": F.lit(0),
         "protocol_version": F.lit(0),
         "structured_data": null_s, "json": null_s, "uuid": null_s,
-        "parsesuccess": F.lit(True),
+        # bParseSuccess is only set by mm modules (msg.c:2183)
+        "parsesuccess": F.lit(False),
     }
     keep = [c for c in lines.columns if c != "line"]
     return lines.select(
@@ -978,10 +979,15 @@ def _pm3164_opts(cfg: ParsedConfig, ruleset: str
     pname = (cfg.ruleset_params.get(ruleset) or {}).get("parser")
     if not pname:
         return {}, None
+    # parser= accepts a single name or an array (ruleset.c parser=
+    # [..]); instance options bind whichever pmrfc3164 member is in
+    # the chain
+    pnames = pname if isinstance(pname, (list, tuple)) else [pname]
     kwargs: dict = {}
     route: dict | None = None
     for p in cfg.objects.get("parser", []):
-        if p.get("name") != pname or p.get("type") != "pmrfc3164":
+        if p.get("name") not in pnames \
+                or p.get("type") != "pmrfc3164":
             continue
         lp = {k.lower(): v for k, v in p.items()}
 

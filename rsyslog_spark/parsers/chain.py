@@ -445,9 +445,11 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         if name == "programname":
             # programname derives from the TAG for BOTH parsers
             # (msg.c acquireProgramName runs on the final TAG) — the
-            # 5424 app-name gets the same terminator cuts
+            # 5424 app-name gets the same terminator cuts; a NIL
+            # app-name means TAG "-" so programname is "-" too
+            # (transformations golden shape_programname=-)
             prog5 = F.regexp_extract(
-                F.coalesce(p5(4), F.lit("")), prog_re, 1)
+                F.coalesce(p5(4), F.lit("-")), prog_re, 1)
             return ab(prog5, prog3)
         if name == "app_name":
             # protocol 0 emulates app-name from programname
@@ -477,10 +479,13 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
         if name == "uuid":
             return F.expr("uuid()") if with_uuid else null_s
         if name == "parsesuccess":
-            # RFC3164/pmnull are permissive tail parsers; without one
-            # a non-RFC5424 line exhausts the chain
-            return F.when(acc, F.lit(True)) \
-                .otherwise(F.lit(has_3164 or has_null))
+            # bParseSuccess starts 0 and NO header parser sets it —
+            # only mm modules call MsgSetParseSuccess (msg.c:685,
+            # :2183; setters: mmjsonparse/mmleefparse/mmsnareparse/
+            # mmnormalize/mmaudit). $parsesuccess renders FAIL on a
+            # freshly parsed message even when RFC5424 accepted
+            # (template-property-transformations.sh parsesuccess=FAIL)
+            return F.lit(False)
         raise KeyError(f"unknown canonical column {name!r}")
 
     # PUSHDOWN BARRIER: filters on parsed fields gain NOTHING from

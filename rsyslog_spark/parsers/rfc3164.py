@@ -159,5 +159,7 @@ def rfc3164_fields(line, permit_slashes_in_programname: bool = False,
         programname.alias("programname"),
         F.when(procid != "", procid).alias("procid"),
         msg.alias("msg"),
-        F.lit(True).alias("parsesuccess"),
+        # bParseSuccess is only set by mm modules (msg.c:2183);
+        # a header parse leaves it FAIL
+        F.lit(False).alias("parsesuccess"),
     )

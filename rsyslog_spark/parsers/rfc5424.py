@@ -72,7 +72,8 @@ def rfc5424_fields(line) -> Column:
         msg.alias("msg"),
         syslogtag.alias("syslogtag"),
         F.coalesce(app_name, F.lit("")).alias("programname"),
-        F.lit(True).alias("parsesuccess"),
+        # bParseSuccess is only set by mm modules (msg.c:2183)
+        F.lit(False).alias("parsesuccess"),
     )
 
 

@@ -321,7 +321,8 @@ def pmnull(df: DataFrame, line_col: str = "line",
         F.lit(tag).alias("syslogtag"),
         (F.col(hostname_col) if hostname_col else F.lit(None).cast("string"))
         .alias("hostname"),
-        F.lit(True).alias("parsesuccess"),
+        # parsers never set bParseSuccess (msg.c:2183)
+        F.lit(False).alias("parsesuccess"),
     )
 
 

@@ -524,7 +524,8 @@ def property_replacer_battery(spark, sf_dir):
         Prop("event_type", case="upper").col().alias("etype_uc"),
         Prop("ts", date_format="mysql").col().alias("ts_mysql"),
         Prop("ts", date_format="unixtimestamp").col().alias("ts_unix"),
-        Prop("event_type", fixed_width=10).col().alias("etype_fw"),
+        Prop("event_type", frm=1, to=10,
+             fixed_width=True).col().alias("etype_fw"),
     ).groupBy("head3", "code", "f1", "etype_uc", "ts_mysql", "ts_unix",
               "etype_fw").agg(F.count(F.lit(1)).alias("cnt"))
 

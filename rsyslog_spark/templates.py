@@ -30,12 +30,37 @@ def csv_escape(c: ColumnOrName) -> Column:
 
 
 def json_escape(c: ColumnOrName) -> Column:
-    """JSON string-value escaping (ref: OPT_JSON). to_json on a struct
-    is preferred for whole objects; this escapes a single value."""
+    """JSON string-value escaping for the property option paths —
+    reference-exact jsonEncode/jsonAddVal_escaped (msg.c:3360-3420,
+    escapeAll=TRUE): backslash doubled, quote and '/' escaped (the
+    reference escapes the solidus — json-c renders, a different code
+    path, do NOT), RFC4627 named escapes for BS/FF/LF/CR/TAB."""
     s = rs_str(c)
-    for find, repl in ((("\\"), ("\\\\")), ('"', '\\"'), ("\n", "\\n"),
-                      ("\r", "\\r"), ("\t", "\\t")):
+    for find, repl in (("\\", "\\\\"), ('"', '\\"'), ("/", "\\/"),
+                       ("\x08", "\\b"), ("\x0c", "\\f"),
+                       ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
         s = F.replace(s, F.lit(find), F.lit(repl))
+    return s
+
+
+#: sentinel-protected pairs for jsonr/jsonfr (msg.c jsonAddVal_escaped
+#: escapeAll=FALSE: a backslash followed by a valid JSON escape char
+#: passes through un-doubled — "attempt to not double encode")
+_JSONR_PAIRS = [('"', "\x01Q"), ("/", "\x01S"), ("\\", "\x01B"),
+                ("b", "\x01b"), ("f", "\x01f"), ("n", "\x01n"),
+                ("r", "\x01r"), ("t", "\x01t"), ("u", "\x01u")]
+
+
+def jsonr_escape(c: ColumnOrName) -> Column:
+    """jsonr/jsonfr escaping (msg.c jsonEncode escapeAll=RSFALSE):
+    like :func:`json_escape` but pre-escaped sequences (``\\"``,
+    ``\\n``, ``\\\\``, …) are preserved instead of double-encoded."""
+    s = rs_str(c)
+    for ch, sent in _JSONR_PAIRS:
+        s = F.replace(s, F.lit("\\" + ch), F.lit(sent))
+    s = json_escape(s)
+    for ch, sent in _JSONR_PAIRS:
+        s = F.replace(s, F.lit(sent), F.lit("\\" + ch))
     return s
 
 
@@ -51,32 +76,47 @@ def mysql_escape(c: ColumnOrName) -> Column:
     return s
 
 
+#: control characters the property options process (msg.c uses
+#: iscntrl(): 0x00-0x1F plus DEL)
+_CC_CHARS = [chr(i) for i in range(1, 0x20)] + ["\x7f"]
+
+
 def controlchar_escape(c: ColumnOrName, mode: str = "escape") -> Column:
-    """Control-character handling (template.h:150-159): drop | space |
-    escape (#oct)."""
+    """Control-character handling (template.h:150-159; msg.c
+    4401-4517): drop | space | escape (#DDD decimal, zero-padded —
+    bEscapeCC) | escape-octal (#OOO — bEscapeCCOctal). NB: distinct
+    from the RECEIVE-time $Escape...OnReceive escaping, which is
+    always octal."""
     s = rs_str(c)
     if mode == "drop":
         return F.regexp_replace(s, r"[\x00-\x1f\x7f]", "")
     if mode == "space":
         return F.regexp_replace(s, r"[\x00-\x1f\x7f]", " ")
-    if mode == "escape":
-        # common cases as named escapes, rest dropped-to-#: we keep
-        # parity for \n \t \r which the reference renders as #012 etc.
-        s = F.replace(s, F.lit("\n"), F.lit("#012"))
-        s = F.replace(s, F.lit("\t"), F.lit("#011"))
-        s = F.replace(s, F.lit("\r"), F.lit("#015"))
-        return F.regexp_replace(s, r"[\x00-\x1f\x7f]", "#")
+    if mode in ("escape", "escape-octal"):
+        for ch in _CC_CHARS:
+            code = ord(ch)
+            esc = (f"#{code:03o}" if mode == "escape-octal"
+                   else f"#{code:03d}")
+            s = F.replace(s, F.lit(ch), F.lit(esc))
+        return s
     raise ValueError(mode)
 
 
 def secpath_sanitize(c: ColumnOrName, mode: str = "replace") -> Column:
-    """secpath option for dynafile paths (template.h:157-158):
-    'drop' removes '/', 'replace' maps '/' and '..' to '_'."""
+    """securepath option (template.h:157-158; msg.c:4519-4604):
+    'drop' removes '/', 'replace' maps '/' to '_'; then the result
+    is made safe as a path COMPONENT — empty → ``_``, ``.`` → ``_``,
+    ``..`` → ``_.`` (reference-exact, template-property-
+    transformations.sh sec_* lines)."""
     s = rs_str(c)
     if mode == "drop":
-        return F.replace(s, F.lit("/"), F.lit(""))
-    s = F.replace(s, F.lit("/"), F.lit("_"))
-    return F.replace(s, F.lit(".."), F.lit("_"))
+        s = F.replace(s, F.lit("/"), F.lit(""))
+    else:
+        s = F.replace(s, F.lit("/"), F.lit("_"))
+    return (F.when(s == "", F.lit("_"))
+            .when(s == ".", F.lit("_"))
+            .when(s == "..", F.lit("_."))
+            .otherwise(s))
 
 
 # ---------------------------------------------------------------------------
@@ -91,6 +131,9 @@ _PROP_ALIASES: dict[str, tuple[str, str | None]] = {
     "timestamp": ("timereported", "rfc3164"),
     "timereported": ("timereported", "rfc3164"),
     "timegenerated": ("timegenerated", "rfc3164"),
+    # timereceived is an ALIAS of timegenerated (msg.c propNameToID;
+    # golden template-property-timereceived.sh)
+    "timereceived": ("timegenerated", "rfc3164"),
     "fromhost-port": ("fromhost_port", None),
     "hostname": ("hostname", None),
     "source": ("hostname", None),
@@ -276,6 +319,13 @@ def prop_col(name: str, df=None) -> Column:
         # its <PRI> prefix; derived, not a stored column
         from rsyslog_spark.parsers.pri import strip_pri
         return strip_pri(F.col("rawmsg"))
+    if lo == "pri-text":
+        # msg.c textpri(): "<facility>.<severity>" names
+        return F.concat(_pri_text("syslogfacility-text"), F.lit("."),
+                        _pri_text("syslogseverity-text"))
+    if lo == "iut":
+        # InfoUnitType — constant 1 (msg.c getIUT; MonitorWare legacy)
+        return F.lit("1")
     sysprops = _system_props()
     if lo in sysprops:
         return sysprops[lo]
@@ -570,11 +620,15 @@ class Prop:
     regex_match: int = 0             # which occurrence (0-based)
     regex_submatch: int = 0
     regex_nomatch: str = "blank"     # blank | dflt | whole | zero
-    regex_dflt: str = ""
+    regex_dflt: str = "**NO MATCH**"  # DFLT insert (msg.c:4195)
     case: str | None = None          # upper | lower
     date_format: str | None = None   # rfc3339 | rfc3164 | unixtimestamp | mysql | pgsql | year...|
-    escape: str | None = None        # csv | json | stdsql | mysql | controlchar
-    fixed_width: int | None = None
+    date_in_utc: bool = False        # date.inUTC (template.c:2442)
+    escape: str | None = None        # csv | json | jsonr | stdsql | mysql
+    cc_mode: str | None = None       # controlcharacters drop|space|escape|escape-octal
+    securepath: str | None = None    # drop | replace
+    rel_to_end: bool = False         # position.relativetoend
+    fixed_width: bool = False        # fixedwidth="on": pad to to-from+1
     space_if_no_first_space: bool = False   # sp-if-no-1st-sp option
     strip_last_lf: bool = False             # drop-last-lf option
     compress_space: bool = False            # compressSpace option
@@ -595,12 +649,6 @@ class Prop:
     def col(self, df=None) -> Column:
         name, default_date = self._resolve()
         c = rs_str(prop_col(name, df))
-        if self.space_if_no_first_space:
-            # the entry renders as a single space iff the property
-            # does NOT begin with one (RFC3164 spacing compat,
-            # template.h options)
-            return F.when(c.startswith(" "), F.lit("")) \
-                .otherwise(F.lit(" "))
         # timereported renders as the ORIGINAL wall clock: the wire
         # TZ offset (tz_offset_sec column) shifts the stored UTC
         # instant back (ref: datetime.c formatTimestamp3164 uses the
@@ -629,9 +677,46 @@ class Prop:
                          # rainerscript.c:2655 "***...***"; golden
                          # discard-rptdmsg.sh F,58:4)
                          not_found="**FIELD NOT FOUND**")
-        elif self.frm is not None:
-            length = (self.to - self.frm + 1) if self.to is not None else (1 << 30)
-            c = c.substr(F.lit(self.frm), F.lit(length))
+        elif self.rel_to_end and (self.frm or self.to):
+            # position.relativetoend (msg.c:4284-4287): from/to count
+            # back from the END, 0-based, clamped to the string start
+            frm, to = self.frm or 0, self.to or 0
+            ln = F.length(c)
+            f0 = F.when(ln < frm, F.lit(0)).otherwise(ln - frm)
+            t0 = F.when(ln < to, F.lit(0)).otherwise(ln - to)
+            c = F.when(f0 >= ln, F.lit("")).otherwise(
+                c.substr(f0 + 1, F.greatest(t0 - f0 + F.lit(1),
+                                            F.lit(0))))
+        elif self.frm is not None or self.to is not None:
+            frm, to = self.frm or 1, self.to
+            if to is not None and to < 0:
+                # negative to: offset from the end, 0-based clamp
+                # (msg.c:4292-4298 'we ADD negative value')
+                t0 = F.greatest(F.length(c) - 1 + to, F.lit(0))
+                c = F.when(F.lit(frm) > F.length(c), F.lit("")) \
+                    .otherwise(c.substr(
+                        F.lit(frm),
+                        F.greatest(t0 - F.lit(frm - 1) + F.lit(1),
+                                   F.lit(0))))
+            else:
+                if to is not None and frm > to:
+                    # from>to normalizes by swapping (template.c
+                    # parse; transformations golden legacy_swap)
+                    frm, to = to, frm
+                length = (to - frm + 1) if to is not None else (1 << 30)
+                c = c.substr(F.lit(frm), F.lit(length))
+                if self.fixed_width and to is not None:
+                    # fixedwidth="on": short values pad with spaces
+                    # up to the requested width (msg.c:4306-4345
+                    # skips the iTo clamp, the copy loop pads ' ')
+                    c = F.rpad(c, to - frm + 1, " ")
+        if self.space_if_no_first_space:
+            # AFTER substring (msg.c:4353): renders one space iff the
+            # (non-empty) value does not begin with one; empty stays
+            # empty
+            return (F.when(F.length(c) == 0, F.lit(""))
+                    .when(c.startswith(" "), F.lit(""))
+                    .otherwise(F.lit(" ")))
         if self.regex is not None:
             if self.regex_match > 0:
                 # regex.match=N: the N-th occurrence (0-based —
@@ -652,13 +737,19 @@ class Prop:
                 c = F.when(got == "", c).otherwise(got)
             elif self.regex_nomatch == "zero":
                 c = F.when(got == "", F.lit("0")).otherwise(got)
+        # option order is the reference's MsgGetProp sequence: case
+        # conversion (4366) → control-characters (4401) → securepath
+        # (4519) → droplastlf (4608, suppressed by escape-cc) →
+        # compressspace (4635) → csv/json family last (4693)
         if self.case == "upper":
             c = F.upper(c)
         elif self.case == "lower":
             c = F.lower(c)
-        if self.fixed_width is not None:
-            c = F.rpad(c.substr(1, self.fixed_width), self.fixed_width, " ")
-        if self.strip_last_lf:
+        if self.cc_mode is not None:
+            c = controlchar_escape(c, self.cc_mode)
+        if self.securepath is not None:
+            c = secpath_sanitize(c, self.securepath)
+        if self.strip_last_lf and self.cc_mode != "escape":
             c = F.regexp_replace(c, r"\n$", "")
         if self.compress_space:
             # compressSpace (ref: msg.c:4632-4686): runs of SPACE
@@ -668,8 +759,11 @@ class Prop:
         if self.escape is not None:
             c = {
                 "csv": csv_escape, "json": json_escape,
+                "jsonr": jsonr_escape,
                 "stdsql": stdsql_escape, "mysql": mysql_escape,
-                "controlchar": controlchar_escape,
+                # legacy alias kept for compiled-config reloads
+                "controlchar":
+                    lambda x: controlchar_escape(x, "escape"),
             }[self.escape](c)
         return c
 
@@ -678,15 +772,31 @@ class Prop:
         """Date formats over a TIMESTAMP-castable property
         (template.h:72-96). ``offs``: wire TZ offset seconds — wall-
         clock formats shift by it so the ORIGINAL local time renders
-        (unixtimestamp stays epoch-true)."""
+        (unixtimestamp stays epoch-true). ``date.inUTC`` converts to
+        the UTC wall clock instead (msg.c getTimeUTC:
+        timeConvertToUTC then format — tz parts render 00/00/+)."""
         ts = (c).try_cast("timestamp")
         fmt = fmt_override or self.date_format
-        wall = ts if offs is None else \
-            ts + F.make_dt_interval(secs=offs)
-        from rsyslog_spark.functions.time_fns import _rfc3164, _rfc3339
+        if self.date_in_utc:
+            # the stored instant IS UTC; under a non-UTC session tz
+            # date_format renders session-local, so shift back
+            wall = F.to_utc_timestamp(ts, F.expr("current_timezone()"))
+            offs = None
+        else:
+            wall = ts if offs is None else \
+                ts + F.make_dt_interval(secs=offs)
+        from rsyslog_spark.functions.time_fns import _rfc3164
+        # fractional seconds at parsed precision (datetime.c
+        # formatTimestamp3339 emits them when secfracPrecision > 0;
+        # micros-are-zero approximates precision 0)
+        frac6 = F.date_format(wall, "SSSSSS")
+        fracpart = F.when(frac6 == "000000", F.lit("")) \
+            .otherwise(F.concat(F.lit("."), frac6))
         if fmt == "rfc3339":
             if offs is None:
-                return _rfc3339(ts)
+                return F.concat(
+                    F.date_format(wall, "yyyy-MM-dd'T'HH:mm:ss"),
+                    fracpart, F.lit("+00:00"))
             sign = F.when(offs < 0, F.lit("-")).otherwise(F.lit("+"))
             aoff = F.abs(offs)
             offstr = F.concat(
@@ -694,7 +804,8 @@ class Prop:
                 F.lit(":"),
                 F.lpad(((aoff % 3600) / 60).cast("int"), 2, "0"))
             return F.concat(
-                F.date_format(wall, "yyyy-MM-dd'T'HH:mm:ss"), offstr)
+                F.date_format(wall, "yyyy-MM-dd'T'HH:mm:ss"),
+                fracpart, offstr)
         if fmt == "rfc3164":
             return _rfc3164(wall)
         if fmt == "rfc3164-buggyday":
@@ -708,9 +819,42 @@ class Prop:
             return F.date_format(wall, "yyyyMMddHHmmss")
         if fmt == "pgsql":
             return F.date_format(wall, "yyyy-MM-dd HH:mm:ss")
+        if fmt == "subseconds":
+            # secfrac digits at parsed precision; no fraction → "0"
+            # (msg.c tplFmtSecFrac / formatTimestampSecFrac)
+            stripped = F.regexp_replace(frac6, "0+$", "")
+            return F.when(stripped == "", F.lit("0")) \
+                .otherwise(stripped)
+        if fmt == "wdayname":
+            return F.date_format(wall, "EEE")   # Sun/Mon/... (msg.c
+            # wdayNames[getWeekdayNbr], English names)
+        if fmt == "wday":
+            # 0=Sunday (datetime.c getWeekdayNbr)
+            return (F.dayofweek(wall) - 1).cast("string")
+        if fmt == "ordinal":
+            # 1-based day of year (msg.c daysInYear[getOrdinal])
+            return F.dayofyear(wall).cast("string")
+        if fmt == "week":
+            # datetime.c getWeek: pin Jan 1 as week start, then
+            # adjust when the current weekday precedes Jan 1's
+            # (NOT ISO 8601 — golden: 2003-08-24 → 35)
+            yd0 = F.dayofyear(wall) - 1
+            wk = F.floor((yd0 + F.lit(6)) / 7)
+            curdow = F.dayofweek(wall) - 1
+            jan1dow = F.dayofweek(F.trunc(wall, "year")) - 1
+            wk = wk + F.when(curdow < jan1dow, 1).otherwise(0)
+            return F.lpad(wk.cast("int").cast("string"), 2, "0")
+        if fmt in ("tzoffshour", "tzoffsmin", "tzoffsdirection"):
+            o = offs if offs is not None else F.lit(0)
+            if fmt == "tzoffsdirection":
+                return F.when(o < 0, F.lit("-")).otherwise(F.lit("+"))
+            aoff = F.abs(o)
+            n = (F.floor(aoff / 3600) if fmt == "tzoffshour"
+                 else F.floor((aoff % 3600) / 60))
+            return F.lpad(n.cast("int").cast("string"), 2, "0")
         simple = {
             "year": "yyyy", "month": "MM", "day": "dd", "hour": "HH",
-            "minute": "mm", "second": "ss", "wday": "F", "week": "ww",
+            "minute": "mm", "second": "ss",
         }
         if fmt in simple:
             return F.date_format(wall, simple[fmt])
@@ -886,6 +1030,11 @@ class _JsonfTemplate:
         omit0 = str(p.get("omitIfZero",
                           p.get("omitifzero", "off"))).lower() \
             in ("on", "true", "1")
+        # jsonfr: the raw variant — pre-escaped sequences pass
+        # through (msg.c jsonField with RSFALSE)
+        esc = (jsonr_escape
+               if str(p.get("format", "")).lower() == "jsonfr"
+               else json_escape)
         skip0 = None
         if dt == "number":
             t = F.trim(sv)
@@ -898,10 +1047,10 @@ class _JsonfTemplate:
         elif dt == "auto":
             val = F.when((F.length(sv) > 0) & sv.rlike(r"^\d+$"),
                          sv) \
-                .otherwise(F.concat(F.lit('"'), json_escape(sv),
+                .otherwise(F.concat(F.lit('"'), esc(sv),
                                     F.lit('"')))
         else:
-            val = F.concat(F.lit('"'), json_escape(sv), F.lit('"'))
+            val = F.concat(F.lit('"'), esc(sv), F.lit('"'))
         frag = F.concat(F.lit(f'"{key}":'), val)
         on_empty = p.get("onEmpty",
                          p.get("onempty", "keep")).lower()
@@ -935,7 +1084,8 @@ class _JsonfProp:
 
 
 def compile_template_list(elements: list[tuple[str, dict]],
-                          casesensitive: bool = False) -> "Template":
+                          casesensitive: bool = False,
+                          tpl_name: str = "template") -> "Template":
     """v2 list template (ref: template.h:40-60 list type; doc
     templates.rst ``template(type="list") { constant(...)
     property(...) }``). Each property statement maps onto the same
@@ -961,7 +1111,8 @@ def compile_template_list(elements: list[tuple[str, dict]],
                 parts.append(p.get("value", ""))
             continue
         if kind == "property" \
-                and str(p.get("format", "")).lower() == "jsonf":
+                and str(p.get("format", "")).lower() in ("jsonf",
+                                                         "jsonfr"):
             # property format="jsonf" in a PLAIN list template still
             # renders the '"name": value' field fragment — same
             # per-entry path option.jsonf uses (template.c
@@ -973,21 +1124,42 @@ def compile_template_list(elements: list[tuple[str, dict]],
         name = p.get("name")
         if not name:
             raise ValueError("property() needs name=")
+        def _on(v) -> bool:
+            return str(v).lower() in ("on", "true", "1")
+
         for k, v in p.items():
             lk = k.lower()
             if lk in ("name", "outname", "onempty", "mandatory",
-                      "datatype", "format"):
+                      "datatype"):
                 # naming/typing for jsonf containers — no-op when the
                 # list renders as a string line
                 continue
-            if lk == "caseconversion":
+            if lk == "format":
+                # csv/json/jsonr as the final escape stage; jsonf and
+                # jsonfr were intercepted above (field fragments)
+                fv = str(v).lower()
+                if fv == "csv":
+                    kw["escape"] = "csv"
+                elif fv == "json":
+                    kw["escape"] = "json"
+                elif fv == "jsonr":
+                    kw["escape"] = "jsonr"
+                else:
+                    raise ValueError(f"unknown format {v!r}")
+            elif lk == "caseconversion":
                 kw["case"] = v                      # upper | lower
             elif lk == "dateformat":
                 kw["date_format"] = v
+            elif lk == "date.inutc":
+                kw["date_in_utc"] = _on(v)
             elif lk == "position.from":
                 kw["frm"] = int(v)
             elif lk == "position.to":
                 kw["to"] = int(v)
+            elif lk == "position.relativetoend":
+                kw["rel_to_end"] = _on(v)
+            elif lk == "fixedwidth":
+                kw["fixed_width"] = _on(v)
             elif lk == "field.number":
                 kw["field_num"] = int(v)
             elif lk == "field.delimiter":
@@ -1001,18 +1173,43 @@ def compile_template_list(elements: list[tuple[str, dict]],
                 if str(v).upper() not in ("ERE", "BRE"):
                     raise ValueError(f"unknown regex.type {v!r}")
             elif lk == "regex.match":
+                # regexec pmatch[] is fixed at 10 slots — reject
+                # out-of-range indexes at CONFIG time (template.c
+                # validation; golden template-regex-index-bounds.sh)
+                if not (0 <= int(v) <= 9):
+                    raise ValueError(
+                        f"template {tpl_name} error: regex.match="
+                        f"{v} is invalid (supported range 0..9)")
                 kw["regex_match"] = int(v)
             elif lk == "regex.submatch":
+                if not (0 <= int(v) <= 9):
+                    raise ValueError(
+                        f"template {tpl_name} error: regex.submatch="
+                        f"{v} is invalid (supported range 0..9)")
                 kw["regex_submatch"] = int(v)
             elif lk == "regex.nomatchmode":
                 kw["regex_nomatch"] = {"BLANK": "blank", "DFLT": "dflt",
                                        "FIELD": "whole", "ZERO": "zero"
                                        }.get(str(v).upper(), "blank")
             elif lk == "compressspace":
-                kw["compress_space"] = str(v).lower() in (
-                    "on", "true", "1")
+                kw["compress_space"] = _on(v)
             elif lk == "controlcharacters":
-                kw["escape"] = "controlchar"
+                cv = str(v).lower()
+                if cv not in ("drop", "space", "escape",
+                              "escape-octal"):
+                    raise ValueError(
+                        f"unknown controlcharacters mode {v!r}")
+                kw["cc_mode"] = cv
+            elif lk == "securepath":
+                sv = str(v).lower()
+                if sv not in ("drop", "replace"):
+                    raise ValueError(
+                        f"unknown securepath mode {v!r}")
+                kw["securepath"] = sv
+            elif lk == "spifno1stsp":
+                kw["space_if_no_first_space"] = _on(v)
+            elif lk == "droplastlf":
+                kw["strip_last_lf"] = _on(v)
             else:
                 raise ValueError(f"unsupported property param {k!r}")
         if not casesensitive and name.lstrip("$").startswith(
@@ -1025,6 +1222,10 @@ def compile_template_list(elements: list[tuple[str, dict]],
 
 
 _TPL_TOKEN = _re.compile(r"%([^%]*)%")
+
+#: the reference parses template integers into C int (template.c
+#: do_Parameter strtol guards — "... in template is too large")
+_TPL_INT_MAX = 0x7FFFFFFF
 
 _TPL_OPTIONS = {
     "lowercase": dict(case="lower"),
@@ -1042,12 +1243,29 @@ _TPL_OPTIONS = {
     "date-hour": dict(date_format="hour"),
     "date-minute": dict(date_format="minute"),
     "date-second": dict(date_format="second"),
+    "date-subseconds": dict(date_format="subseconds"),
+    "date-wdayname": dict(date_format="wdayname"),
+    "date-wday": dict(date_format="wday"),
+    "date-ordinal": dict(date_format="ordinal"),
+    "date-week": dict(date_format="week"),
+    "date-tzoffshour": dict(date_format="tzoffshour"),
+    "date-tzoffsmin": dict(date_format="tzoffsmin"),
+    "date-tzoffsdirection": dict(date_format="tzoffsdirection"),
+    "date-utc": dict(date_in_utc=True),
     "csv": dict(escape="csv"),
     "json": dict(escape="json"),
-    "jsonf": dict(escape="json"),
+    "jsonr": dict(escape="jsonr"),
+    # jsonf/jsonfr handled structurally in compile_template_string
+    # (they render a '"name":value' FIELD fragment, msg.c jsonField)
     "sql": dict(escape="mysql"),
     "stdsql": dict(escape="stdsql"),
-    "drop-cc": dict(escape="controlchar"),
+    "drop-cc": dict(cc_mode="drop"),
+    "space-cc": dict(cc_mode="space"),
+    "escape-cc": dict(cc_mode="escape"),
+    "fixed-width": dict(fixed_width=True),
+    "pos-end-relative": dict(rel_to_end=True),
+    "secpath-drop": dict(securepath="drop"),
+    "secpath-replace": dict(securepath="replace"),
     "sp-if-no-1st-sp": dict(space_if_no_first_space=True),
     "drop-last-lf": dict(strip_last_lf=True),
 }
@@ -1168,11 +1386,42 @@ def compile_template_string(s: str,
         name = segs[0]
         kw: dict = {}
         if len(segs) >= 3 and segs[1].startswith("F"):
-            # field mode: F or F,<delim-decimal>
+            # field mode: F or F,<delim-decimal>. Malformed spellings
+            # produce the reference's exact -N1 diagnostics
+            # (template.c do_Parameter; golden
+            # template-parameter-errors.sh)
             delim = ","
-            if "," in segs[1]:
-                delim = chr(int(segs[1].split(",", 1)[1]))
-            kw.update(field_delim=delim, field_num=int(segs[2]))
+            rest = segs[1][1:]
+            if rest:
+                if not rest.startswith(","):
+                    raise ValueError(
+                        'invalid character in frompos after "F"')
+                dtxt = rest[1:]
+                mdig = _re.match(r"(\d*)(.*)", dtxt)
+                digits, tail = mdig.group(1), mdig.group(2)
+                if not digits:
+                    raise ValueError(
+                        'invalid character in frompos after "F,"')
+                if tail:
+                    raise ValueError(
+                        f"invalid character '{tail[0]}' in frompos "
+                        'after "F,"')
+                if int(digits) > _TPL_INT_MAX:
+                    raise ValueError(
+                        "delimiter value in template is too large")
+                if int(digits) > 255:
+                    raise ValueError(
+                        "non-USASCII delimiter character value "
+                        f"{int(digits)}")
+                delim = chr(int(digits))
+            fnum, _sep, ftop = segs[2].partition(",")
+            if fnum.isdigit() and int(fnum) > _TPL_INT_MAX:
+                raise ValueError(
+                    "field number in template is too large")
+            if ftop.isdigit() and int(ftop) > _TPL_INT_MAX:
+                raise ValueError(
+                    "topos value in template is too large")
+            kw.update(field_delim=delim, field_num=int(fnum))
         elif len(segs) >= 3 and (segs[1] == "R"
                                  or segs[1].startswith("R,")):
             # long form R,<type>,<match#>,<nomatch>,<submatch>
@@ -1204,20 +1453,54 @@ def compile_template_string(s: str,
                 kw["regex_submatch"] = int(opts.pop(0))
         elif len(segs) >= 3:
             if segs[1]:
+                if segs[1].isdigit() and int(segs[1]) > _TPL_INT_MAX:
+                    raise ValueError(
+                        "frompos value in template is too large")
                 kw["frm"] = int(segs[1])
             if segs[2] and segs[2] != "$":
+                if segs[2].isdigit() and int(segs[2]) > _TPL_INT_MAX:
+                    raise ValueError(
+                        "topos value in template is too large")
                 kw["to"] = int(segs[2])
         if len(segs) >= 4 and segs[3]:
+            fmt_class = None   # json/jsonf/jsonr/jsonfr/csv conflict
             for opt in segs[3].split(","):
                 if not opt:
                     continue
+                if opt in ("json", "jsonf", "jsonr", "jsonfr", "csv"):
+                    # the format options are mutually exclusive; the
+                    # reference keeps the FIRST and warns (template.c;
+                    # golden template-parameter-errors.sh conflict_*)
+                    if fmt_class is not None:
+                        raise ValueError(
+                            "one option out of (json, jsonf, jsonr, "
+                            f"jsonfr, csv) - {opt} ignored")
+                    fmt_class = opt
+                if opt in ("jsonf", "jsonfr"):
+                    # a FIELD fragment ('"name":value'), not a value
+                    # escape (msg.c jsonField; transformations golden
+                    # legacy_jsonf/legacy_jsonfr). The field name is
+                    # the property name minus its variable prefix.
+                    kw["__jsonf"] = opt
+                    continue
                 if opt not in _TPL_OPTIONS:
-                    raise ValueError(f"unknown template option {opt!r}")
+                    # reference: warning + option ignored; -N1 under
+                    # abortOnUncleanConfig fails — the engine is
+                    # strict-always
+                    raise ValueError(
+                        "template error: invalid field option "
+                        f"'{opt}' specified - ignored")
                 kw.update(_TPL_OPTIONS[opt])
         if not casesensitive and name.lstrip("$").startswith(
                 ("!", ".", "/")):
             name = name.lower()
-        parts.append(Prop(name, **kw))
+        jf = kw.pop("__jsonf", None)
+        if jf is not None:
+            outname = name.lstrip("$").lstrip("!./")
+            parts.append(_JsonfProp({"name": name, "outname": outname,
+                                     "format": jf}))
+        else:
+            parts.append(Prop(name, **kw))
         pos = m.end()
     if pos < len(s):
         parts.append(s[pos:])

