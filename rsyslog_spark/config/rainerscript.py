@@ -1973,6 +1973,16 @@ def _uniquify_action_names(cfg) -> None:
                 n = seen.get(s.name, 0) + 1
                 seen[s.name] = n
                 if n > 1:
+                    if (s.params or {}).get("name"):
+                        # an EXPLICIT name= collision gets the
+                        # reference's load-time warning (action.c
+                        # qqueueSetActionName dup check; golden
+                        # action-duplicate-name.sh) — config loads on
+                        import warnings
+                        warnings.warn(
+                            f"action: duplicate name '{s.name}' in "
+                            "current config set; impstats counters "
+                            "may be ambiguous")
                     s.name = f"{s.name}#{n}"
             for sub in (getattr(s, "then", None),
                         getattr(s, "orelse", None),

@@ -78,4 +78,10 @@ FACILITIES: dict[str, int] = {
     # facility 24 = invalid-PRI marker (ref: rsyslog.h LOG_FAC_INVLD;
     # srutils.c syslogFacNames "invld" — selectable: invld.=debug)
     "invld": 24,
+    # selector-only aliases (srutils.c syslogFacNames:78-103): the
+    # RENDER names stay audit/alert/clock (msg.c:214)
+    "security": 4,          # DEPRECATED alias of auth
+    "bsd_security": 13,     # BSD, duplicate numeric of audit
+    "console": 14,          # BSD
+    "mark": 24,             # INTERNAL (LOG_MARK = 24<<3)
 }

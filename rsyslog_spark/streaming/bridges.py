@@ -1246,15 +1246,20 @@ class imrelp(SpoolBridge):
 
 
 def imtuxedoulog(spark: SparkSession, path: str, *,
+                 tag: str | None = None, facility: int = 16,
+                 severity: int = 6,
                  streaming: bool = False) -> DataFrame:
     """Tuxedo ULOG intake (ref: contrib/imtuxedoulog/
     imtuxedoulog.c:195-290): the DATE lives in the FILENAME
-    (``ULOG.MMDDYY``) and the line carries only
-    ``hhmmss.ff[f].hostname!prog.pid...: [gtrid ...: ] [ECID <...>]
+    (``<ulogbase>.MMDDYY``) and the line carries only
+    ``hhmmss.ff[f].hostname!prog.pid...: [gtrid ...: ] [ECID <...>:]
     text``. Pure column parse: header regex, procid = program token
     with its trailing qualifier dropped (the reference chops at the
     last '.'), optional gtrid prefix skipped, ECID promoted to
-    structured data as ``[ECID="..."]``."""
+    structured data as ``[ECID="..."]`` — the space AFTER the ECID
+    colon stays in MSG (imtuxedoulog_data.sh expects the double
+    space in the Protocol23 render). ``tag``/``facility``/``severity``
+    mirror the input() params (defaults local0.info)."""
     reader = (spark.readStream if streaming else spark.read)
     raw = (reader.format("text").load(path)
            .select(F.col("value").alias("line"),
@@ -1268,16 +1273,25 @@ def imtuxedoulog(spark: SparkSession, path: str, *,
     # optional "gtrid x1 x2 x3: " transaction prefix (case 4)
     rest = F.regexp_replace(rest, r"^gtrid [^:]*: ", "")
     ecid = F.regexp_extract(rest, r"^ECID <([^>]*)>", 1)
-    msg = F.regexp_replace(rest, r"^ECID <[^>]*>\s*:?\s*", "")
+    msg = F.regexp_replace(rest, r"^ECID <[^>]*>:", "")
     date = F.to_date(
-        F.regexp_extract("srcfile", r"ULOG\.(\d{6})", 1), "MMddyy")
+        F.regexp_extract("srcfile", r"\.(\d{6})$", 1), "MMddyy")
     ts = F.to_timestamp(F.concat(
         date.cast("string"), F.lit(" "),
         F.regexp_replace(hh, r"(\d\d)(\d\d)(\d\d)", "$1:$2:$3"),
         F.lit("."), frac))
+    pri = (facility << 3) | severity
+    tag_c = F.lit(tag) if tag else F.lit("imtuxedoulog")
     return raw.filter(hh != "").select(
+        F.col("line").alias("rawmsg"),
         msg.alias("msg"),
+        F.lit(pri).alias("pri"),
+        F.lit(facility).alias("syslogfacility"),
+        F.lit(severity).alias("syslogseverity"),
         host.alias("hostname"),
+        tag_c.alias("syslogtag"),
+        tag_c.alias("app_name"),
+        tag_c.alias("programname"),
         F.regexp_replace(prog, r"\.[^.]*$", "").alias("procid"),
         ts.alias("timereported"),
         F.when(ecid != "", F.concat(F.lit('[ECID="'), ecid,

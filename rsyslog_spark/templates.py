@@ -1467,6 +1467,10 @@ def compile_template_string(s: str,
             for opt in segs[3].split(","):
                 if not opt:
                     continue
+                # option names are case-insensitive (template.c
+                # strcasecmp dispatch; golden compresssp-stringtpl.sh
+                # spells 'compressSPACE')
+                opt = opt.lower()
                 if opt in ("json", "jsonf", "jsonr", "jsonfr", "csv"):
                     # the format options are mutually exclusive; the
                     # reference keeps the FIRST and warns (template.c;

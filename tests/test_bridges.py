@@ -392,7 +392,9 @@ def test_imtuxedoulog_parse(spark, tmp_path):
     assert (a.hostname, a.procid) == ("tuxhost", "GWTDOMAIN.1234.1")
     assert str(a.timereported) == "2026-08-14 12:34:56.780000"
     assert a.structured_data is None
-    assert b.msg == "TMS_ORA: transaction aborted"
+    # the space after the ECID colon stays in MSG (the reference
+    # renders a double space after the SD — imtuxedoulog_data.sh)
+    assert b.msg == " TMS_ORA: transaction aborted"
     assert b.structured_data == '[ECID="abc-123"]'
     assert str(b.timereported).startswith("2026-08-14 12:34:57.789")
 
@@ -1184,3 +1186,53 @@ def test_regex_framing_bridge_e2e(spark, tmp_path):
         "<33>Mar  1 01:00:00 172.20.245.8 tag test1",
         "<33>Mar  1 01:00:00 172.20.245.8 tag xml\n<test/>",
     ]
+
+
+def test_imtuxedoulog_data_golden(spark, tmp_path):
+    """imtuxedoulog_data.sh — the reference's 5 ULOG lines, field-
+    exact against its Protocol23Format EXPECTED block (tag= param →
+    APP-NAME slot, procid drops the trailing '.0', gtrid prefix
+    dropped, ECID → [ECID="..."] SD with the post-colon space kept
+    in MSG, millisecond time from the line + date from the file
+    name). Byte-compare is per-field: the reference's RFC3339 render
+    of the tz-less ULOG stamp omits the offset, a datetime.c quirk
+    the engine's rfc3339 (always +00:00) documents away."""
+    from rsyslog_spark.streaming.bridges import imtuxedoulog
+
+    (tmp_path / "tux.090314").write_text(
+        "164313.15.tst-tmsm1!ARTIMPP_UDB.40042721.1.0: gtrid x0 "
+        "x5624ee75 x1c88a0f: TRACE:at:    } tpfree\n"
+        "164313.151.tst-tmsm1!ARTIMPP_UDB.40042722.1.0: gtrid x0 "
+        "x5624ee75 x1c88a0f: ECID <000001833E1D4i^5pVl3iY00f02M003UF^>"
+        ": TRACE:at:    } tpfree\n"
+        "164313.152.tst-tmsm1!ARTIMPP_UDB.40042722.1.0: gtrid x0 "
+        "x5624ee75 x1c88a0f: ECID <000001833E1D4i^5pVl3iY00f02B003UF^>"
+        ": TRACE:at:    { tpcommit(0x0)\n"
+        "164313.153.tst-tmsm1!ARTIMPP_UDB.40042722.1.0: ECID "
+        "<000001833E1D4i^5pVl3iY00f02M003SF^>: TRACE:at:    "
+        "} tpcommit = 1\n"
+        "164313.154.tst-tmsm1!ARTIMPP_UDB.40042722.1.0: ECID "
+        "<000001833E1D4i^5pVl3iY00f02M003VF^>: TRACE:at:    "
+        '{ tpacall("ARTIGW_SVC_REPLY_00700_02101", 0x110405698, '
+        "0, 0xc)\n")
+    rows = (imtuxedoulog(spark, str(tmp_path / "tux.090314"),
+                         tag="domain", facility=16, severity=6)
+            .orderBy("timereported").collect())
+    assert len(rows) == 5
+    assert all(r.pri == 134 for r in rows)          # local0.info
+    assert all(r.app_name == "domain" for r in rows)
+    assert all(r.hostname == "tst-tmsm1" for r in rows)
+    assert rows[0].procid == "ARTIMPP_UDB.40042721.1"
+    assert all(r.procid == "ARTIMPP_UDB.40042722.1"
+               for r in rows[1:])
+    assert rows[0].structured_data is None           # renders "-"
+    assert rows[0].msg == "TRACE:at:    } tpfree"
+    assert (rows[1].structured_data ==
+            '[ECID="000001833E1D4i^5pVl3iY00f02M003UF^"]')
+    assert rows[1].msg == " TRACE:at:    } tpfree"   # double space
+    assert rows[4].msg == (' TRACE:at:    { tpacall('
+                           '"ARTIGW_SVC_REPLY_00700_02101", '
+                           '0x110405698, 0, 0xc)')
+    # 2025-09-03 from the FILE NAME; ms precision from the line
+    assert str(rows[0].timereported) == "2014-09-03 16:43:13.150000"
+    assert str(rows[1].timereported) == "2014-09-03 16:43:13.151000"

@@ -1134,3 +1134,94 @@ input(type="imfile" file="@IN@" ruleset="m")
     assert vals["legacy"].isdigit()
     # rfc3339 inUTC shape: +00:00 suffix like the reference golden
     assert vals["generated"].endswith("+00:00")
+
+
+def test_facility_selector_battery(spark, tmp_path):
+    """fac_{authpriv,ftp,local0,local7,mail,news,ntp,uucp,invld*}.sh
+    battery: each named facility selector matches exactly its PRI
+    range; malformed/overflow PRIs (<1011>, <3500000000>, <x112>)
+    land in the 'invld' facility (parser.c parsePRI → LOG_PRI_INVLD;
+    srutils.c syslogFacNames). One message per facility, each output
+    file must hold exactly its own msgnum."""
+    facs = {"authpriv": 81, "ftp": 89, "local0": 129, "local7": 185,
+            "mail": 17, "news": 57, "ntp": 97, "uucp": 65,
+            "security": 33,        # deprecated alias of auth (4)
+            "console": 113}        # BSD facility 14
+    lines = []
+    sel = []
+    for i, (name, pri) in enumerate(sorted(facs.items())):
+        lines.append(f"<{pri}>Mar  1 01:00:00 h tag msgnum:{name}\n")
+        sel.append(f'{name}.* action(type="omfile" '
+                   f'file="@OUT@_{name}" template="outfmt")')
+    for bad in ("1011", "3500000000", "x112"):
+        lines.append(f"<{bad}>Mar  1 01:00:00 h tag msgnum:inv{bad}\n")
+    sel.append('invld.=debug action(type="omfile" file="@OUT@_invld"'
+               ' template="outfmt")')
+    conf = ('template(name="outfmt" type="string" string="%msg%\\n")\n'
+            + "\n".join(sel)
+            + '\ninput(type="imfile" file="@IN@")\n')
+    _run(spark, tmp_path, conf, "".join(lines), sub="fac")
+
+    def read(name):
+        d = f"{tmp_path}/out_fac_{name}"
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            ln for p in os.listdir(d) if p.startswith("part")
+            for ln in open(os.path.join(d, p)).read().splitlines())
+
+    for name in facs:
+        got = read(name)
+        assert got == [f" msgnum:{name}"] or got == [f"msgnum:{name}"], \
+            (name, got)
+    # invalid PRIs keep the bracket in the raw line (AfterPRIOffs=0)
+    # so the header parse shifts — assert routing, not the msg shape
+    inv = read("invld")
+    assert len(inv) == 3
+    for marker in ("msgnum:inv1011", "msgnum:inv3500000000",
+                   "msgnum:invx112"):
+        assert any(marker in ln for ln in inv), (marker, inv)
+
+
+def test_compresssp_stringtpl(spark, tmp_path):
+    """compresssp-stringtpl.sh: the legacy option is spelled
+    'compressSPACE' (case-insensitive dispatch, template.c
+    strcasecmp) — runs of spaces collapse. EXPECTED copied."""
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%msg:::compressSPACE%\\n")
+ruleset(name="m") {
+  :msg, contains, "msgnum:" action(type="omfile" file="@OUT@"
+                                   template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<165>1 2003-08-24T05:14:15.000003-07:00 192.0.2.1 tcpflood "
+     "8710 - - msgnum:0000000 test   test     test\n", sub="csp")
+    assert out == "msgnum:0000000 test test test\n"
+
+
+def test_action_duplicate_name_warning(spark, tmp_path):
+    """action-duplicate-name.sh: duplicate EXPLICIT action names load
+    fine but warn with the reference's diagnostic; auto-derived name
+    collisions (file= targets) stay silent."""
+    import warnings as _w
+
+    from rsyslog_spark.config.rainerscript import parse_config
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        parse_config('''
+template(name="outfmt" type="string" string="%msg%\\n")
+action(name="dup_action" type="omfile" file="/tmp/a.1" template="outfmt")
+action(name="dup_action" type="omfile" file="/tmp/a.2" template="outfmt")
+''')
+    assert any("action: duplicate name 'dup_action' in current "
+               "config set; impstats counters may be ambiguous"
+               in str(r.message) for r in rec)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        parse_config('''
+template(name="outfmt" type="string" string="%msg%\\n")
+action(type="omfile" file="/tmp/same" template="outfmt")
+action(type="omfile" file="/tmp/same" template="outfmt")
+''')
+    assert not any("duplicate name" in str(r.message) for r in rec)
