@@ -457,7 +457,8 @@ def imdocker(spark: SparkSession, path: str, *,
     )
 
 
-def imkubernetes(spark: SparkSession, path: str) -> DataFrame:
+def imkubernetes(spark: SparkSession, path: str, *,
+                 max_message_size: int | None = None) -> DataFrame:
     """Kubernetes pod-log intake (ref: contrib/imkubernetes/
     imkubernetes.c): parse CRI-format container logs
     (``TIMESTAMP STREAM P|F MSG``) with partial-line reassembly
@@ -465,6 +466,16 @@ def imkubernetes(spark: SparkSession, path: str) -> DataFrame:
     record, imkubernetes.c partialAppend), and lift the pod metadata
     the reference reads from the kubelet path convention
     ``.../pods/<namespace>_<pod>_<uid>/<container>/N.log``.
+
+    ``max_message_size`` enables the PARTIAL HARD CAP: a run of ``P``
+    fragments reaching 10x maxMessageSize is force-submitted as the
+    first 10*N bytes and the REST OF THAT LOGICAL RECORD — further
+    fragments and its closing ``F`` — is discarded (goldens
+    imkubernetes-cri-partial-hard-cap.sh: the closing tail must not
+    appear standalone nor in the capped record). The accumulator
+    itself never truncates at maxMessageSize — completed records
+    reach the core oversize policy whole, so truncate/split/accept
+    apply THERE (imkubernetes-cri-partial-{bound,split,accept}.sh).
 
     Pure column ops end-to-end: wholetext read keeps in-file record
     order (posexplode index), the P/F reassembly is a gaps-and-islands
@@ -496,19 +507,35 @@ def imkubernetes(spark: SparkSession, path: str) -> DataFrame:
             F.sum((F.col("tag") == "F").cast("int")).over(w),
             F.lit(0)))
     wg = Window.partitionBy("srcfile", "stream", "grp").orderBy("pos")
+    wg_all = wg.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
     closed = (grp
               .withColumn("full_msg",
                           F.concat_ws("", F.collect_list("msg")
-                                      .over(wg.rowsBetween(
-                                          Window.unboundedPreceding,
-                                          Window.unboundedFollowing))))
+                                      .over(wg_all)))
+              # P-only prefix of the island — the hard-cap check runs
+              # on PARTIAL appends only (partialAppend), the closing
+              # F append always submits
+              .withColumn("p_concat", F.concat_ws(
+                  "", F.collect_list(
+                      F.when(F.col("tag") == "P", F.col("msg")))
+                  .over(wg_all)))
               .withColumn("first_ts",
                           F.first("ts_raw").over(wg))
               .filter(F.col("tag") == "F"))
+    line = F.col("full_msg")
+    if max_message_size is not None:
+        cap = 10 * max_message_size
+        line = F.when(F.length("p_concat") >= cap,
+                      F.col("p_concat").substr(1, cap)) \
+            .otherwise(line)
     meta = r"pods/([^/_]+)_([^/_]+)_([^/]+)/([^/]+)/[^/]+\.log$"
     return closed.select(
-        F.col("full_msg").alias("line"),
+        line.alias("line"),
         F.col("stream"),
+        # $!kubernetes!log_format (imkubernetes.c sets "cri" on this
+        # parse path; docker json-file records say "docker-json")
+        F.lit("cri").alias("log_format"),
         F.to_timestamp(
             F.regexp_replace(
                 "first_ts", r"(\.\d{6})\d*(Z|[+-]\d\d:\d\d)$", "$1$2")

@@ -1236,3 +1236,70 @@ def test_imtuxedoulog_data_golden(spark, tmp_path):
     # 2025-09-03 from the FILE NAME; ms precision from the line
     assert str(rows[0].timereported) == "2014-09-03 16:43:13.150000"
     assert str(rows[1].timereported) == "2014-09-03 16:43:13.151000"
+
+
+def test_imkubernetes_cri_partial_modes(spark, tmp_path):
+    """imkubernetes-cri-partial-{accept,bound,split,hard-cap}.sh:
+    the CRI partial accumulator NEVER truncates at maxMessageSize —
+    completed records pass whole to the core oversize policy (accept
+    keeps 233 chars, truncate/split happen downstream) — but a P run
+    reaching the 10x hard cap force-submits the first 10*N bytes and
+    discards the rest of that logical record including its closing F
+    ('closing-tail-must-not-standalone'). Assertions mirror the
+    reference's python oracles."""
+    from rsyslog_spark.streaming.bridges import imkubernetes
+
+    frag = "partial-fragment-0123456789"        # 27 chars
+
+    def logdir(name):
+        d = (tmp_path / name / "pods"
+             / "namespace-name1_pod-name1_uid1" / "container-a")
+        d.mkdir(parents=True)
+        return d
+
+    # --- accept / bound / split source: 8 fragments + F tail ------
+    d = logdir("small")
+    (d / "0.log").write_text(
+        "".join(f"2026-04-20T10:00:{i:02d}.000000000Z stdout P "
+                f"{frag}\n" for i in range(1, 9))
+        + "2026-04-20T10:00:30.000000000Z stdout F closing-tail-kept\n"
+        + "2026-04-20T10:00:31.000000000Z stdout F after accepted "
+          "partial\n")
+    rows = (imkubernetes(spark,
+                         str(tmp_path / "small" / "pods" / "*" / "*"
+                             / "*.log"),
+                         max_message_size=128)
+            .orderBy("timegenerated").collect())
+    assert len(rows) == 2
+    assert rows[0].line == frag * 8 + "closing-tail-kept"
+    assert len(rows[0].line) > 128          # accumulator didn't cut
+    assert rows[1].line == "after accepted partial"
+    assert all(r.log_format == "cri" and r.stream == "stdout"
+               and r.pod == "pod-name1" for r in rows)
+    # truncate/split are the CORE oversize policy over these lines
+    # (goldens TestOversizeMsgPolicy) — bound expects [:128]:
+    assert (rows[0].line[:128]
+            == (frag * 8)[:128])
+    assert "closing-tail" not in rows[0].line[:128]
+
+    # --- hard cap: 50 fragments (1350 chars) > 10*128=1280 --------
+    d = logdir("big")
+    (d / "0.log").write_text(
+        "".join(f"2026-04-20T10:0{i // 60}:{i % 60:02d}."
+                f"000000000Z stdout P {frag}\n"
+                for i in range(50))
+        + "2026-04-20T10:01:00.000000000Z stdout F "
+          "closing-tail-must-not-standalone\n"
+        + "2026-04-20T10:01:01.000000000Z stdout F after partial "
+          "hard cap\n")
+    rows = (imkubernetes(spark,
+                         str(tmp_path / "big" / "pods" / "*" / "*"
+                             / "*.log"),
+                         max_message_size=128)
+            .orderBy("timegenerated").collect())
+    assert len(rows) == 2
+    cap = 128 * 10
+    assert rows[0].line == (frag * 50)[:cap]
+    assert len(rows[0].line) == cap
+    assert "closing-tail-must-not-standalone" not in rows[0].line
+    assert rows[1].line == "after partial hard cap"
