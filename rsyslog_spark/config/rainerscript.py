@@ -357,6 +357,19 @@ class _Parser:
                     self._scan_stats_calls(x)
 
     # -- config objects ------------------------------------------------
+    def _mk_action(self, params: dict):
+        """Action factory honoring the STICKY legacy directive
+        ``$ActionExecOnlyWhenPreviousIsSuspended on|off`` (ref:
+        runtime/cfsysline.c; action.h bExecWhenPrevSusp — applies to
+        every subsequent action until turned off; goldens
+        failover-basic/-double/-no-basic.sh)."""
+        if getattr(self, "_act_prev_susp", False) \
+                and "action.execonlywhenpreviousissuspended" not in {
+                    k.lower() for k in params}:
+            params = {**params,
+                      "action.execonlywhenpreviousissuspended": "on"}
+        return _make_action(params)
+
     def parse_config(self) -> ParsedConfig:
         cfg = self.cfg
         # legacy $Ruleset directive re-binds where top-level statements
@@ -528,6 +541,11 @@ class _Parser:
             parts.append(a.text)
             prev_end = a.pos + len(a.text)
         raw = "".join(parts)
+        if name == "actionexeconlywhenpreviousissuspended":
+            # sticky until turned off (cfsysline.c; failover-*.sh)
+            self._act_prev_susp = raw.strip().lower() in (
+                "on", "true", "1")
+            return
         if name == "modload":
             self.cfg.modules.append({"load": raw})
         elif name == "template":
@@ -822,7 +840,7 @@ class _Parser:
         if t.text == "action":
             self.next()
             params = self.parse_param_block()
-            return _make_action(params)
+            return self._mk_action(params)
         if t.text == "&":
             # '&' continuation (ref: runtime/conf.c cfline '&'):
             # repeat the previous selector — the following target
@@ -909,7 +927,7 @@ class _Parser:
         t = self.peek()
         if t.text == "action":
             self.next()
-            return _make_action(self.parse_param_block())
+            return self._mk_action(self.parse_param_block())
         if t.text == "call":
             # selector-gated ruleset call: '*.=notice call rs'
             # (ref: rainerscript call statement usable as a legacy
@@ -923,7 +941,7 @@ class _Parser:
             self.next()
             t = self.peek()
             if t.kind == "string":        # -"quoted path"
-                return _make_action(
+                return self._mk_action(
                     {"type": "omfile", "file": _unquote(self.next().text),
                      "asyncWriting": "on"})
             rest = self._rest_of_line(t.line)
@@ -931,7 +949,7 @@ class _Parser:
             p = {"type": "omfile", "file": path, "asyncWriting": "on"}
             if tmpl:
                 p["template"] = tmpl
-            return _make_action(p)
+            return self._mk_action(p)
         if t.text == "@":                 # @host (udp) / @@host (tcp)
             self.next()
             proto = "udp"
@@ -946,7 +964,7 @@ class _Parser:
                 p["port"] = port
             if tmpl:
                 p["template"] = tmpl
-            return _make_action(p)
+            return self._mk_action(p)
         if t.text == ":":                 # :omusrmsg:users / :mod:params
             self.next()
             mod = self.next().text
@@ -963,7 +981,7 @@ class _Parser:
                 p = {"type": mod, "target": spec}
             if tmpl:
                 p["template"] = tmpl
-            return _make_action(p)
+            return self._mk_action(p)
         if t.text == "?":                 # ?DynaFile[;template] target
             # (ref: tools/omfile.c cflineParseDynaFile — the ';tpl'
             # suffix picks the line template; golden
@@ -974,7 +992,7 @@ class _Parser:
             p = {"type": "omfile", "dynafile": dname.strip()}
             if tmpl:
                 p["template"] = tmpl.strip()
-            return _make_action(p)
+            return self._mk_action(p)
         if t.text.startswith("$"):        # $outchannel target
             # (ref: tools/omfile.c cflineParseOutchannel:466-505 —
             # '$name;template' resolves file + size limit + rotate
@@ -984,14 +1002,14 @@ class _Parser:
             p = {"type": "omfile", "outchannel": chname.strip()}
             if tmpl:
                 p["template"] = tmpl
-            return _make_action(p)
+            return self._mk_action(p)
         if t.text == "*":                 # wall message to all users
             self.next()
-            return _make_action({"type": "omusrmsg", "target": "*"})
+            return self._mk_action({"type": "omusrmsg", "target": "*"})
         if t.text == "|":                 # named pipe
             self.next()
             rest = self._rest_of_line(t.line)
-            return _make_action({"type": "ompipe", "pipe": rest})
+            return self._mk_action({"type": "ompipe", "pipe": rest})
         if t.text == "^":                 # ^program: omshell
             # (ref: tools/omshell.c; conf.c cflineDoAction '^' case —
             # run program once per message, rendered line as argv[1])
@@ -1001,7 +1019,7 @@ class _Parser:
             p = {"type": "omshell", "program": prog}
             if tmpl:
                 p["template"] = tmpl
-            return _make_action(p)
+            return self._mk_action(p)
         if t.kind == "op" and t.text == "/":
             # file path target: rest of line, optional ;templateName
             rest = self._rest_of_line(t.line)
@@ -1009,9 +1027,9 @@ class _Parser:
             p = {"type": "omfile", "file": path}
             if tmpl:
                 p["template"] = tmpl
-            return _make_action(p)
+            return self._mk_action(p)
         if t.kind == "string":
-            return _make_action(
+            return self._mk_action(
                 {"type": "omfile", "file": _unquote(self.next().text)})
         raise SyntaxError(f"bad selector target {t.text!r} (line {t.line})")
 

@@ -103,6 +103,9 @@ class ConfigRun:
     # module(load="impstats" ...) params for line-format options
     # (bracketing/format; impstats.c:117-121 modpdescr)
     impstats_conf: dict = dfield(default_factory=dict)
+    # actions that failed at execution and SUSPENDED (action.c
+    # resume/suspend; failover-*.sh) — name → repr(error)
+    suspended: dict[str, str] = dfield(default_factory=dict)
 
     def perctile_lines(self) -> list[str]:
         """Percentile buckets in the reference's legacy impstats
@@ -1291,6 +1294,44 @@ def run_config_batch(
                                   multi_action)
 
 
+def _dispatch_action_seq(cfg, ruleset_name, actions, run,
+                         sink_overrides) -> None:
+    """Execute a ruleset's actions in order with the reference's
+    SUSPEND semantics (runtime/action.c): a failing OUTPUT action
+    suspends ITSELF — the rest of the config keeps running — and an
+    action marked execOnlyWhenPreviousIsSuspended runs only while the
+    directly preceding action is suspended (failover-basic/-double/
+    -no-basic.sh: dead @@primary → '&' file fallback gets every
+    message; healthy primary → fallback file stays empty). Config/
+    compile errors (ValueError & friends, AnalysisException) still
+    raise — only runtime sink failures suspend."""
+    import warnings as _warnings
+
+    from pyspark.errors import AnalysisException
+
+    prev_suspended = False
+    for name, df in actions:
+        params = _action_params(cfg, ruleset_name, name)
+        flag = str(params.get(
+            "action.execonlywhenpreviousissuspended",
+            params.get("action.execOnlyWhenPreviousIsSuspended",
+                       "off"))).lower() in ("on", "true", "1")
+        if flag and not prev_suspended:
+            continue
+        try:
+            _dispatch_action(cfg, name, df, params, run,
+                             sink_overrides)
+            prev_suspended = False
+        except (ValueError, SyntaxError, KeyError, TypeError,
+                AnalysisException):
+            raise
+        except Exception as e:  # noqa: BLE001 — sink health
+            prev_suspended = True
+            run.suspended[name] = repr(e)
+            _warnings.warn(
+                f"action {name!r} suspended: {e!r:.200}")
+
+
 def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
                        hl_ruleset, sink_overrides, multi_action):
     try:
@@ -1300,15 +1341,11 @@ def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
         run.impstats_conf = next(
             (m for m in cfg.modules
              if str(m.get("load", "")).startswith("impstats")), {})
-        for name, df in actions:
-            params = _action_params(cfg, ruleset_name, name)
-            _dispatch_action(cfg, name, df, params, run,
+        _dispatch_action_seq(cfg, ruleset_name, actions, run,
                              sink_overrides)
         if hl_ruleset is not None and hdr_frame is not None:
             hdr_actions, _hs = eng.run(hdr_frame, hl_ruleset)
-            for name, df in hdr_actions:
-                params = _action_params(cfg, hl_ruleset, name)
-                _dispatch_action(cfg, name, df, params, run,
+            _dispatch_action_seq(cfg, hl_ruleset, hdr_actions, run,
                                  sink_overrides)
         # dyn_inc / percentile_observe buckets aggregate over the
         # batch (approximation note: the reference increments at the

@@ -1225,3 +1225,100 @@ action(type="omfile" file="/tmp/same" template="outfmt")
 action(type="omfile" file="/tmp/same" template="outfmt")
 ''')
     assert not any("duplicate name" in str(r.message) for r in rec)
+
+
+def _read_out(tmp_path, sub):
+    d = f"{tmp_path}/out_{sub}"
+    if not os.path.isdir(d):
+        return None
+    return sorted(
+        ln for p in os.listdir(d) if p.startswith("part")
+        for ln in open(os.path.join(d, p)).read().splitlines())
+
+
+def test_failover_basic(spark, tmp_path):
+    """failover-basic.sh: dead @@TCP primary suspends; the '&'
+    continuation file action under $ActionExecOnlyWhenPreviousIs-
+    Suspended receives EVERY message (seq_check 0..N). The legacy
+    directive is sticky (action.h bExecWhenPrevSusp)."""
+    lines = "".join(
+        f"<13>Mar  1 01:00:00 h tag msgnum:{i:08d}:\n"
+        for i in range(50))
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        _run(spark, tmp_path, '''
+$template outfmt,"%msg:F,58:2%\\n"
+# note: the target server shall not be available!
+:msg, contains, "msgnum:" @@127.0.0.1:13514
+$ActionExecOnlyWhenPreviousIsSuspended on
+& @OUT@;outfmt
+input(type="imfile" file="@IN@")
+''', lines, sub="fob")
+    assert _read_out(tmp_path, "fob") == [
+        f"{i:08d}" for i in range(50)]
+
+
+def test_failover_double(spark, tmp_path):
+    """failover-double.sh: TWO dead @@ targets chained — the flag is
+    sticky across both '&' continuations until 'off'; the final file
+    fallback still gets everything."""
+    lines = "".join(
+        f"<13>Mar  1 01:00:00 h tag msgnum:{i:08d}:\n"
+        for i in range(10))
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        _run(spark, tmp_path, '''
+$template outfmt,"%msg:F,58:2%\\n"
+:msg, contains, "msgnum:" @@127.0.0.1:13514
+$ActionExecOnlyWhenPreviousIsSuspended on
+&	@@127.0.0.1:1234
+&	@OUT@;outfmt
+$ActionExecOnlyWhenPreviousIsSuspended off
+input(type="imfile" file="@IN@")
+''', lines, sub="fod")
+    assert _read_out(tmp_path, "fod") == [
+        f"{i:08d}" for i in range(10)]
+
+
+def test_failover_no_basic(spark, tmp_path):
+    """failover-no-basic.sh: when the primary action SUCCEEDS, the
+    execOnlyWhenPreviousIsSuspended fallback never executes — its
+    output file must be empty/absent (the reference cmp's /dev/null;
+    primary adapted to a writable file)."""
+    lines = "".join(
+        f"<13>Mar  1 01:00:00 h tag msgnum:{i:08d}:\n"
+        for i in range(10))
+    _run(spark, tmp_path, '''
+$template outfmt,"%msg:F,58:2%\\n"
+$RepeatedMsgReduction off
+# second action should never execute
+:msg, contains, "msgnum:" @OUT@_primary;outfmt
+$ActionExecOnlyWhenPreviousIsSuspended on
+& @OUT@;outfmt
+input(type="imfile" file="@IN@")
+''', lines, sub="fon")
+    assert _read_out(tmp_path, "fon") in (None, [])
+    assert len(_read_out(tmp_path, "fon_primary")) == 10
+
+
+def test_failover_async_both_actions(spark, tmp_path):
+    """failover-async.sh: WITHOUT the flag, '&' repeats the selector
+    — the file action gets every message even though the dead @@
+    primary suspends (a failing action never aborts the others)."""
+    lines = "".join(
+        f"<13>Mar  1 01:00:00 h tag msgnum:{i:08d}:\n"
+        for i in range(10))
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        _run(spark, tmp_path, '''
+$template outfmt,"%msg:F,58:2%\\n"
+$ActionQueueType LinkedList
+:msg, contains, "msgnum:" @@127.0.0.1:13514
+& @OUT@;outfmt
+input(type="imfile" file="@IN@")
+''', lines, sub="foa")
+    assert _read_out(tmp_path, "foa") == [
+        f"{i:08d}" for i in range(10)]
