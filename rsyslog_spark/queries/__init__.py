@@ -193,7 +193,11 @@ _TAIL = ("flagship_parse_route",
          # parked r7 wave 2 (green >=3 rounds incl. r6) — making
          # window room for the NEW r7 oracle queries
          # imdocker_jsonlog_parse + imkmsg_header_parse
-         "mmaitag_classify", "sendertrack_ratelimit")
+         "mmaitag_classify", "sendertrack_ratelimit",
+         # parked r7 wave 3 (green r1+r2+r6, body unchanged since its
+         # r6 driver verification) — room for the NEW
+         # imkubernetes_cri_reassembly
+         "mmanon_embedded")
 
 
 def tail_body_hash(q: Query) -> str:

@@ -1050,3 +1050,57 @@ def imkmsg_header_parse(spark, sf_dir):
         .alias("subsystem"),
         F.coalesce(F.col("kmsg_props")["DEVICE"], F.lit(""))
         .alias("device"))
+
+
+@q(
+    "imkubernetes_cri_reassembly",
+    r"""
+    SELECT 'pod' || CAST(event_id % 7 AS VARCHAR) AS srcfile,
+           CASE WHEN event_id % 2 = 0 THEN 'stdout'
+                ELSE 'stderr' END AS stream,
+           CAST(ROW_NUMBER() OVER (
+                    PARTITION BY event_id % 7, event_id % 2
+                    ORDER BY event_id) - 1 AS BIGINT) AS grp,
+           event_type || ' payload ' || event_id AS full_msg,
+           CAST(event_id % 3 + 1 AS BIGINT) AS n_frags
+    FROM events WHERE event_id < 2000
+    """,
+    doc="CRI partial-line reassembly (ref: contrib/imkubernetes/"
+        "imkubernetes.c partialAppend; goldens imkubernetes-cri-"
+        "partial-*.sh): messages split into k P-fragments + closing "
+        "F reassemble through the SAME gaps-and-islands window core "
+        "imkubernetes reads pod logs with (bridges.cri_reassemble) — "
+        "island id = count of prior F records per (file, stream), "
+        "windows partitioned per file so islands never cross "
+        "executors at scale. Oracle reconstructs analytically.",
+)
+def imkubernetes_cri_reassembly(spark, sf_dir):
+    from rsyslog_spark.streaming.bridges import cri_reassemble
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    eid = F.col("event_id")
+    full = F.concat(F.col("event_type"), F.lit(" payload "),
+                    eid.cast("string"))
+    k = (eid % 3 + 1).cast("int")
+    step = F.ceil(F.length(full) / k).cast("int")
+    frags = ev.select(
+        F.concat(F.lit("pod"), (eid % 7).cast("string"))
+        .alias("srcfile"),
+        F.when(eid % 2 == 0, F.lit("stdout")).otherwise(
+            F.lit("stderr")).alias("stream"),
+        (eid * 4).alias("base_pos"), eid.alias("eid"),
+        full.alias("full"), k.alias("k"), step.alias("step"),
+        F.explode(F.sequence(F.lit(0), k - 1)).alias("i"),
+    ).select(
+        "srcfile", "stream",
+        (F.col("base_pos") + F.col("i")).alias("pos"),
+        F.when(F.col("i") == F.col("k") - 1, F.lit("F"))
+        .otherwise(F.lit("P")).alias("tag"),
+        F.col("full").substr(
+            F.col("i") * F.col("step") + 1, F.col("step"))
+        .alias("msg"),
+    )
+    out = cri_reassemble(frags)
+    return out.select(
+        "srcfile", "stream", F.col("grp").cast("long").alias("grp"),
+        "full_msg", F.col("n_frags").cast("long").alias("n_frags"))

@@ -116,4 +116,7 @@ def local_hostname() -> str:
     if _LOCAL_HOSTNAME[0]:
         return _LOCAL_HOSTNAME[0]
     import socket
-    return socket.gethostname()
+    # gethostname() returning "" has been seen in practice; the
+    # reference hardcodes this fallback (net.c getLocalHostname;
+    # golden empty-hostname.sh)
+    return socket.gethostname() or "localhost-empty-hostname"

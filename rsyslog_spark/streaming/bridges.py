@@ -457,6 +457,54 @@ def imdocker(spark: SparkSession, path: str, *,
     )
 
 
+def cri_reassemble(parsed: DataFrame, *,
+                   max_message_size: int | None = None) -> DataFrame:
+    """CRI P/F partial reassembly core (imkubernetes.c partialAppend)
+    over a frame of (srcfile, stream, pos, tag, msg): gaps-and-islands
+    per (srcfile, stream) — count of prior ``F`` records is the island
+    id — concat_ws close on the ``F`` row, optional 10x hard cap on
+    the P-only prefix. Shared by :func:`imkubernetes` and the oracle
+    query ``imkubernetes_cri_reassembly``. Scale shape: two window
+    passes partitioned by (file, stream) — at 100 TB each log file is
+    its own partition key, so islands never cross executors and the
+    sort is per-file."""
+    w = (Window.partitionBy("srcfile", "stream").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    grp = parsed.withColumn(
+        "grp", F.coalesce(
+            F.sum((F.col("tag") == "F").cast("int")).over(w),
+            F.lit(0)))
+    wg = Window.partitionBy("srcfile", "stream", "grp").orderBy("pos")
+    wg_all = wg.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    closed = (grp
+              .withColumn("full_msg",
+                          F.concat_ws("", F.collect_list("msg")
+                                      .over(wg_all)))
+              # P-only prefix of the island — the hard-cap check runs
+              # on PARTIAL appends only (partialAppend), the closing
+              # F append always submits
+              .withColumn("p_concat", F.concat_ws(
+                  "", F.collect_list(
+                      F.when(F.col("tag") == "P", F.col("msg")))
+                  .over(wg_all)))
+              .withColumn("n_frags",
+                          F.count(F.lit(1)).over(wg_all))
+              .withColumn("first_ts",
+                          F.first("ts_raw").over(wg)
+                          if "ts_raw" in parsed.columns
+                          else F.lit(None).cast("string"))
+              .filter(F.col("tag") == "F"))
+    if max_message_size is not None:
+        cap = 10 * max_message_size
+        closed = closed.withColumn(
+            "full_msg",
+            F.when(F.length("p_concat") >= cap,
+                   F.col("p_concat").substr(1, cap))
+            .otherwise(F.col("full_msg")))
+    return closed
+
+
 def imkubernetes(spark: SparkSession, path: str, *,
                  max_message_size: int | None = None) -> DataFrame:
     """Kubernetes pod-log intake (ref: contrib/imkubernetes/
@@ -500,38 +548,11 @@ def imkubernetes(spark: SparkSession, path: str, *,
         F.element_at(parts, 3).alias("tag"),
         F.element_at(parts, 4).alias("msg"),
     ).filter(F.col("tag").isin("P", "F"))
-    w = (Window.partitionBy("srcfile", "stream").orderBy("pos")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    grp = parsed.withColumn(
-        "grp", F.coalesce(
-            F.sum((F.col("tag") == "F").cast("int")).over(w),
-            F.lit(0)))
-    wg = Window.partitionBy("srcfile", "stream", "grp").orderBy("pos")
-    wg_all = wg.rowsBetween(Window.unboundedPreceding,
-                            Window.unboundedFollowing)
-    closed = (grp
-              .withColumn("full_msg",
-                          F.concat_ws("", F.collect_list("msg")
-                                      .over(wg_all)))
-              # P-only prefix of the island — the hard-cap check runs
-              # on PARTIAL appends only (partialAppend), the closing
-              # F append always submits
-              .withColumn("p_concat", F.concat_ws(
-                  "", F.collect_list(
-                      F.when(F.col("tag") == "P", F.col("msg")))
-                  .over(wg_all)))
-              .withColumn("first_ts",
-                          F.first("ts_raw").over(wg))
-              .filter(F.col("tag") == "F"))
-    line = F.col("full_msg")
-    if max_message_size is not None:
-        cap = 10 * max_message_size
-        line = F.when(F.length("p_concat") >= cap,
-                      F.col("p_concat").substr(1, cap)) \
-            .otherwise(line)
+    closed = cri_reassemble(parsed,
+                            max_message_size=max_message_size)
     meta = r"pods/([^/_]+)_([^/_]+)_([^/]+)/([^/]+)/[^/]+\.log$"
     return closed.select(
-        line.alias("line"),
+        F.col("full_msg").alias("line"),
         F.col("stream"),
         # $!kubernetes!log_format (imkubernetes.c sets "cri" on this
         # parse path; docker json-file records say "docker-json")

@@ -1322,3 +1322,19 @@ input(type="imfile" file="@IN@")
 ''', lines, sub="foa")
     assert _read_out(tmp_path, "foa") == [
         f"{i:08d}" for i in range(10)]
+
+
+def test_empty_hostname_fallback(monkeypatch):
+    """empty-hostname.sh: gethostname() returning "" falls back to
+    the reference's hardcoded 'localhost-empty-hostname'."""
+    import socket
+
+    from rsyslog_spark import session as _s
+
+    monkeypatch.setattr(socket, "gethostname", lambda: "")
+    prev = _s._LOCAL_HOSTNAME[0]
+    _s._LOCAL_HOSTNAME[0] = ""
+    try:
+        assert _s.local_hostname() == "localhost-empty-hostname"
+    finally:
+        _s._LOCAL_HOSTNAME[0] = prev
