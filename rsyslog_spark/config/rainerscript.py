@@ -362,7 +362,13 @@ class _Parser:
         ``$ActionExecOnlyWhenPreviousIsSuspended on|off`` (ref:
         runtime/cfsysline.c; action.h bExecWhenPrevSusp — applies to
         every subsequent action until turned off; goldens
-        failover-basic/-double/-no-basic.sh)."""
+        failover-basic/-double/-no-basic.sh) and
+        ``config.enabled="off"`` (a disabled action compiles to a
+        no-op pass-through; golden config_enabled-off-action.sh)."""
+        if _config_disabled(params):
+            from rsyslog_spark.plans.ruleset import Transform
+            return Transform("config.disabled",
+                             lambda df, live: df)
         if getattr(self, "_act_prev_susp", False) \
                 and "action.execonlywhenpreviousissuspended" not in {
                     k.lower() for k in params}:
@@ -386,6 +392,13 @@ class _Parser:
             elif t.text in ("module", "input"):
                 kind = self.next().text
                 params = self.parse_param_block()
+                if _config_disabled(params):
+                    # config.enabled="off" skips the whole object —
+                    # parameters must NOT be validated/acted on
+                    # (rainerscript.c nvlstChkDisabled; golden
+                    # config_enabled-off.sh 'parameter .. not known'
+                    # must not appear)
+                    continue
                 (cfg.modules if kind == "module" else cfg.inputs
                  ).append(params)
                 if kind == "module" and str(params.get(
@@ -1965,6 +1978,16 @@ def _check_queue_size(params: dict) -> None:
             f"warning: queue.size={size} is very large - is this "
             "really intended? More info at "
             "https://www.rsyslog.com/avoid-overly-large-in-memory-queues/")
+
+
+def _config_disabled(params: dict) -> bool:
+    """config.enabled — accepted on EVERY object (rainerscript.c
+    nvlstChkDisabled): any value but "on" disables it; `off` is the
+    documented spelling. Goldens config_enabled-{on,off,off-action}.sh."""
+    for k, v in params.items():
+        if k.lower() == "config.enabled":
+            return str(v).lower() != "on"
+    return False
 
 
 def _uniquify_action_names(cfg) -> None:

@@ -1328,8 +1328,66 @@ def _dispatch_action_seq(cfg, ruleset_name, actions, run,
         except Exception as e:  # noqa: BLE001 — sink health
             prev_suspended = True
             run.suspended[name] = repr(e)
+            _write_action_errfile(cfg, name, params, df)
             _warnings.warn(
                 f"action {name!r} suspended: {e!r:.200}")
+
+
+#: generic failure status for error-file records — the engine has no
+#: per-module rsRetVal codes; RS_RET_SUSPENDED (rsyslog.h) stands in
+_RS_RET_SUSPENDED = -2007
+
+
+def _write_action_errfile(cfg, name, params, df,
+                          status: int = _RS_RET_SUSPENDED) -> None:
+    """action.errorfile / action.errorfile.maxsize (runtime/action.c
+    actionWriteErrorFile:1651-1730; goldens action-tx-errfile.sh,
+    errfile-basic.sh): each failed message appends a json-c SPACED
+    record ``{ "action": NAME, "status": RET, "template0":
+    RENDERED }``; maxsize caps the FILE — the final record is cut to
+    the remaining bytes with its last byte turned into LF. Failed
+    rows stream via toLocalIterator (bounded driver memory, same as
+    the oversize errorfile)."""
+    import json as _json
+    import os as _os
+
+    path = params.get("action.errorfile")
+    if not path:
+        return
+    try:
+        maxsize = int(params.get("action.errorfile.maxsize", 0) or 0)
+    except (TypeError, ValueError):
+        maxsize = 0
+    tpl = cfg.templates.get(params.get("template") or "")
+    if tpl is not None and hasattr(tpl, "col"):
+        rendered = tpl.col(df)
+    else:
+        from rsyslog_spark.templates import (
+            BUILTIN_TEMPLATES, compile_template_string)
+        rendered = compile_template_string(
+            BUILTIN_TEMPLATES["RSYSLOG_FileFormat"]).col(df)
+    try:
+        cur = _os.path.getsize(path)
+    except OSError:
+        cur = 0
+    # strip the action-name '#N' dedup suffix: the reference records
+    # the configured name
+    rec_name = name.split("#", 1)[0]
+    with open(path, "ab") as fh:
+        for r in df.select(rendered.cast("string").alias("t")) \
+                .toLocalIterator():
+            rec = ('{ "action": %s, "status": %d, "template0": %s }'
+                   % (_json.dumps(rec_name), status,
+                      _json.dumps(r["t"] if r["t"] is not None
+                                  else ""))).encode()
+            to_write = len(rec) + 1
+            if maxsize > 0:
+                if cur >= maxsize:
+                    break
+                to_write = min(to_write, maxsize - cur)
+                cur += to_write
+            if to_write > 0:
+                fh.write(rec[:to_write - 1] + b"\n")
 
 
 def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,

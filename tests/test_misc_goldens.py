@@ -1338,3 +1338,105 @@ def test_empty_hostname_fallback(monkeypatch):
         assert _s.local_hostname() == "localhost-empty-hostname"
     finally:
         _s._LOCAL_HOSTNAME[0] = prev
+
+
+def test_config_enabled_off(spark, tmp_path):
+    """config_enabled-{off,off-action,on}.sh: config.enabled="off"
+    skips the whole object WITHOUT validating its params (a disabled
+    action with invalid.param loads fine and is not instantiated);
+    enabled objects still work, and config.enabled itself is never
+    an unknown-parameter error."""
+    from rsyslog_spark.config.rainerscript import parse_config
+
+    # disabled input with a bogus path + disabled action with an
+    # invalid param: parse succeeds, neither registers
+    cfg = parse_config('''
+input(type="imfile" file="/tmp/notyet.txt" tag="testing-tag"
+      config.enabled="off")
+ruleset(name="m") {
+  action(type="omfile" file="/tmp/x1" invalid.param="error"
+         config.enabled="off")
+  action(type="omfile" file="/tmp/x2")
+}
+''')
+    assert cfg.inputs == []
+    from rsyslog_spark.plans.ruleset import Action, Transform
+    stmts = cfg.rulesets["m"].stmts
+    acts = [s for s in stmts if isinstance(s, Action)]
+    assert len(acts) == 1 and acts[0].params["file"] == "/tmp/x2"
+    assert any(isinstance(s, Transform)
+               and s.name == "config.disabled" for s in stmts)
+    # e2e: only the enabled action writes
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {
+  action(type="omfile" file="@OUT@_off" template="outfmt"
+         config.enabled="off")
+  action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<13>Mar  1 01:00:00 h tag enabled-check\n", sub="cen")
+    assert out == "enabled-check\n"  # engine strips 1st space
+    assert _read_out(tmp_path, "cen_off") in (None, [])
+
+
+def test_action_errorfile_records(spark, tmp_path):
+    """action-tx-errfile.sh / errfile-basic.sh: a failing action with
+    action.errorfile records each failed message as the reference's
+    json-c SPACED record '{ "action": NAME, "status": RET,
+    "template0": RENDERED }' (action.c actionWriteErrorFile);
+    action.errorfile.maxsize caps the file, cutting the final record
+    with its last byte turned into LF."""
+    import json
+    import warnings as _w
+
+    errf = tmp_path / "act.error.log"
+    lines = "".join(
+        f"<13>Mar  1 01:00:00 h tag msgnum:{i:08d}:\n"
+        for i in range(4))
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        _run(spark, tmp_path, '''
+template(name="tpl" type="string"
+         string="{\\"msgnum\\":\\"%msg:F,58:2%\\"}")
+ruleset(name="m") {
+  :msg, contains, "msgnum:"
+    action(name="my_http_action" type="omfwd"
+           target="127.0.0.1" port="13514" protocol="tcp"
+           template="tpl"
+           action.errorfile="''' + str(errf) + '''")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', lines, sub="aerr")
+    recs = [json.loads(ln) for ln in
+            errf.read_text().splitlines()]
+    assert len(recs) == 4
+    assert all(r["action"] == "my_http_action" for r in recs)
+    assert all(isinstance(r["status"], int) and r["status"] < 0
+               for r in recs)
+    assert sorted(r["template0"] for r in recs) == [
+        '{"msgnum":"%08d"}' % i for i in range(4)]
+    # json-c SPACED shape byte-check on one line
+    ln0 = errf.read_text().splitlines()[0]
+    assert ln0.startswith('{ "action": "my_http_action", "status": ')
+    assert ln0.endswith(' }')
+
+    # maxsize: second run truncates at the cap (last byte = LF)
+    errf2 = tmp_path / "act.maxsize.log"
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        _run(spark, tmp_path, '''
+template(name="tpl" type="string"
+         string="{\\"msgnum\\":\\"%msg:F,58:2%\\"}")
+ruleset(name="m") {
+  :msg, contains, "msgnum:"
+    action(type="omfwd" target="127.0.0.1" port="13514"
+           protocol="tcp" template="tpl"
+           action.errorfile="''' + str(errf2) + '''"
+           action.errorfile.maxsize="100")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', lines, sub="aerr2")
+    data = errf2.read_bytes()
+    assert len(data) == 100
+    assert data.endswith(b"\n")
