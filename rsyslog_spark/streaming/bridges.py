@@ -1067,6 +1067,11 @@ class imtcp(SpoolBridge):
     framing-detection (tcps_sess.c): a frame starting with digits
     followed by SP is octet-counted; anything else is read to LF."""
 
+    #: imtcp also records the sender's source port ($fromhost-port —
+    #: msg.c PROP_FROMHOST_PORT; golden fromhost-port-tuple.sh)
+    schema = ("line string, fromhost string, fromhost_port int, "
+              "timegenerated timestamp")
+
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, max_frame_size: int = 200 * 1024,
                  max_message_size: int | None = None,
@@ -1124,7 +1129,8 @@ class imtcp(SpoolBridge):
                     continue
             conn.settimeout(0.2)
             t = threading.Thread(target=self._conn_loop,
-                                 args=(conn, addr[0]), daemon=True)
+                                 args=(conn, addr[0], addr[1]),
+                                 daemon=True)
             t.start()
             conns.append((conn, t))
         for conn, t in conns:
@@ -1134,7 +1140,8 @@ class imtcp(SpoolBridge):
                 pass
             t.join(timeout=2)
 
-    def _conn_loop(self, conn, peer) -> None:
+    def _conn_loop(self, conn, peer,
+                   peer_port: int | None = None) -> None:
         # Framing autodetect is PER FRAME (tcps_sess.c): see
         # split_tcp_frames. Each parsed chunk emits as ONE batch (the
         # per-message emit + per-frame buffer slicing of the naive
@@ -1147,7 +1154,7 @@ class imtcp(SpoolBridge):
             if framer is None:
                 msgs, buf = split_tcp_frames(buf, self.max_frame_size)
                 if msgs:
-                    self._emit_msgs(msgs, peer)
+                    self._emit_msgs(msgs, peer, peer_port)
             try:
                 chunk = conn.recv(262144)
             except socket.timeout:
@@ -1162,12 +1169,12 @@ class imtcp(SpoolBridge):
                 # final 'test end' message is absent from EXPECTED).
                 # LF framing keeps the flush-on-close behavior.
                 if framer is None and buf.strip():
-                    self._emit_msgs([buf], peer)
+                    self._emit_msgs([buf], peer, peer_port)
                 break
             if framer is not None:
                 msgs = framer.feed(chunk)
                 if msgs:
-                    self._emit_msgs(msgs, peer)
+                    self._emit_msgs(msgs, peer, peer_port)
             else:
                 buf += chunk
         try:
@@ -1175,7 +1182,8 @@ class imtcp(SpoolBridge):
         except OSError:
             pass
 
-    def _emit_msgs(self, msgs: list[bytes], peer: str) -> None:
+    def _emit_msgs(self, msgs: list[bytes], peer: str,
+                   peer_port: int | None = None) -> None:
         if self.max_message_size is not None:
             msgs = apply_max_message_size(
                 msgs, self.max_message_size, self.discard_truncated)
@@ -1183,7 +1191,13 @@ class imtcp(SpoolBridge):
         for m in msgs:
             s = m.decode("utf-8", errors="replace").rstrip("\r\n")
             if s.strip():
-                recs.append({"line": s, "fromhost": peer})
+                rec = {"line": s, "fromhost": peer}
+                if peer_port is not None:
+                    # $fromhost-port — the sender's source port
+                    # (msg.c PROP_FROMHOST_PORT; golden
+                    # fromhost-port-tuple.sh)
+                    rec["fromhost_port"] = peer_port
+                recs.append(rec)
         if recs:
             self.emit_many(recs)
 

@@ -1303,3 +1303,21 @@ def test_imkubernetes_cri_partial_modes(spark, tmp_path):
     assert len(rows[0].line) == cap
     assert "closing-tail-must-not-standalone" not in rows[0].line
     assert rows[1].line == "after partial hard cap"
+
+
+def test_fromhost_port_tuple(spark, tmp_path):
+    """fromhost-port-tuple.sh: imtcp records the sender's SOURCE port
+    — `$fromhost-ip & ":" & $fromhost-port` renders the client
+    socket's local (ip, port) tuple."""
+    b = imtcp(str(tmp_path / "spool"), flush_secs=0.2).start()
+    try:
+        tx = socket.create_connection(("127.0.0.1", b.port))
+        my_port = tx.getsockname()[1]
+        tx.sendall(b"<13>Mar  1 01:00:00 h tag msgnum:0\n")
+        tx.close()
+        df = _drain(b, spark, 1)
+        r = df.collect()[0]
+    finally:
+        b.stop()
+    assert r.fromhost == "127.0.0.1"
+    assert r.fromhost_port == my_port

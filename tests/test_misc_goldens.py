@@ -1440,3 +1440,17 @@ input(type="imfile" file="@IN@" ruleset="m")
     data = errf2.read_bytes()
     assert len(data) == 100
     assert data.endswith(b"\n")
+
+
+def test_glbl_invalid_param_no_abort(spark):
+    """glbl-invld-param.sh: unknown global() parameters and invalid
+    values must not abort config load (the reference logs and
+    continues)."""
+    from rsyslog_spark.config.rainerscript import parse_config
+
+    cfg = parse_config('''
+global(invalid="off")
+global(debug.unloadModules="invalid")
+ruleset(name="m") { action(type="omfile" file="/tmp/x") }
+''')
+    assert "m" in cfg.rulesets
