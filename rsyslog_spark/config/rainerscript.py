@@ -782,6 +782,13 @@ class _Parser:
             self.next()
             self._splice_include(self.parse_param_block())
             return None
+        if t.text == "continue":
+            # explicit user NOP (grammar S_NOP; issues #2524/#2568 —
+            # must survive a strict abortOnUncleanConfig -N1 run;
+            # golden abort-uncleancfg-continue-nop.sh)
+            self.next()
+            self.accept(";")
+            return None
         if t.text == "if":
             self.next()
             cond = self.parse_expr()

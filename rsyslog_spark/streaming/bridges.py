@@ -803,10 +803,15 @@ def kmsg_record_cols(rec: Column) -> list[Column]:
 
 
 def imklog(spark: SparkSession, path: str, *,
+           permit_non_kernel_facility: bool = False,
            streaming: bool = False) -> DataFrame:
     """Classic kernel log intake — /proc/kmsg line format (ref:
     plugins/imklog/imklog.c): ``<pri>[seconds.usec] message``; the
-    bracketed monotonic timestamp is optional (kernel printk.time)."""
+    bracketed monotonic timestamp is optional (kernel printk.time).
+    Default ``permitnonkernelfacility=off`` SILENTLY DROPS records
+    whose PRI carries a non-kern facility (imklog.c:272 'silently
+    ignore'; golden imklog_permitnonkernelfacility_root.sh enables
+    it)."""
     reader = (spark.readStream if streaming else spark.read)
     raw = (reader.format("text").load(path)
            .select(F.col("value").alias("line")))
@@ -814,7 +819,10 @@ def imklog(spark: SparkSession, path: str, *,
     mono = F.regexp_extract("line", r"^<\d{1,3}>\[ *(\d+\.\d+)\]", 1)
     body = F.regexp_replace(
         "line", r"^<\d{1,3}>(\[ *\d+\.\d+\] )?", "")
-    return raw.filter(pri.isNotNull()).select(
+    keep = pri.isNotNull()
+    if not permit_non_kernel_facility:
+        keep = keep & (F.shiftright(pri, 3) == 0)
+    return raw.filter(keep).select(
         body.alias("msg"),
         F.shiftright(pri, 3).alias("syslogfacility"),
         pri.bitwiseAND(F.lit(7)).alias("syslogseverity"),

@@ -288,6 +288,18 @@ def test_imklog_proc_kmsg(spark, tmp_path):
     assert rows[1].secs_since_boot == 12.345678
     assert rows[0].msg == "no timestamp here"
     assert rows[0].secs_since_boot is None
+    # permitnonkernelfacility (imklog.c:272, default off → non-kern
+    # facility records SILENTLY dropped; golden
+    # imklog_permitnonkernelfacility_root.sh turns it on)
+    (tmp_path / "kmsg2").write_text(
+        "<6>kern info\n"
+        "<14>user notice via klog\n")
+    assert imklog(spark, str(tmp_path / "kmsg2")).count() == 1
+    rows = (imklog(spark, str(tmp_path / "kmsg2"),
+                   permit_non_kernel_facility=True)
+            .orderBy("syslogfacility").collect())
+    assert [r.syslogfacility for r in rows] == [0, 1]
+    assert rows[1].msg == "user notice via klog"
 
 
 def test_mmjsontransform_modes(spark):

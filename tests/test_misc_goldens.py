@@ -1454,3 +1454,52 @@ global(debug.unloadModules="invalid")
 ruleset(name="m") { action(type="omfile" file="/tmp/x") }
 ''')
     assert "m" in cfg.rulesets
+
+
+def test_hostname_with_slash_default_chain(spark, tmp_path):
+    """hostname-with-slash-dflt-{invld,slash-valid}.sh: under the
+    DEFAULT parser chain a slashed token is NOT a valid RFC3164
+    hostname (falls back to the receiver stamp, msg.c getHOSTNAME),
+    while RFC5424 accepts any PRINTUSASCII hostname incl. slashes."""
+    from rsyslog_spark.session import local_hostname
+
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%hostname%\\n")
+ruleset(name="m") {
+  action(type="omfile" template="outfmt" file="@OUT@")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<167>Mar  6 16:57:54 hostname1/hostname2 test: msgnum:0\n",
+        sub="hsd1")
+    assert out == local_hostname() + "\n"
+
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%hostname%\\n")
+ruleset(name="m") {
+  action(type="omfile" template="outfmt" file="@OUT@")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<167>1 2003-03-01T01:00:00.000Z hostname1/hostname2 tcpflood "
+     '- tag [tcpflood@32473 MSGNUM="0"] data\n', sub="hsd2")
+    assert out == "hostname1/hostname2\n"
+
+
+def test_continue_nop_statement(spark, tmp_path):
+    """abort-uncleancfg-continue-nop.sh (issues #2524/#2568): an
+    explicit 'continue' NOP inside an if branch parses cleanly and
+    routes correctly — whitelist messages pass (NOP = fall through),
+    everything else stops."""
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {
+  if re_match($msg, "whitelist.*") then {
+    continue
+  } else {
+    stop
+  }
+  action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<13>Mar  1 01:00:00 h tag whitelisted-one\n"
+     "<13>Mar  1 01:00:00 h tag blocked-two\n", sub="cnp")
+    assert out == "whitelisted-one\n"
