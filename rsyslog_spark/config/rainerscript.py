@@ -1820,12 +1820,19 @@ def _mm_transform(atype: str, params: dict):
                 if flag("ipv4.enable", "on") else 0)
         mode = p.get("ipv4.mode", p.get("mode", "zero"))
         kw = {}
-        if flag("ipv6.enable"):
-            kw["ipv6_bits"] = int(p.get("ipv6.bits", "128"))
+        if p.get("ipv4.replacechar"):
+            # simple-mode digit replacement char (mmanon.c
+            # replaceChar; golden mmanon_simple_33_ipv4.sh '*')
+            kw["replace_char"] = str(p["ipv4.replacechar"])[:1]
+        # ipv6 + embedded-ipv4 are ON BY DEFAULT, like ipv4 (mmanon.c
+        # setInstParamDefaults:279-305: enable=1, ipv6 bits 96;
+        # golden mmanon_zero_50_ipv6.sh sets only ipv6.bits)
+        if flag("ipv6.enable", "on"):
+            kw["ipv6_bits"] = int(p.get("ipv6.bits", "96"))
             kw["ipv6_mode"] = p.get("ipv6.anonmode", "zero")
-        if flag("embeddedipv4.enable") or "embeddedipv4.bits" in p:
+        if flag("embeddedipv4.enable", "on"):
             kw["embedded_bits"] = int(p.get("embeddedipv4.bits",
-                                            "128"))
+                                            "96"))
             kw["embedded_mode"] = p.get("embeddedipv4.anonmode",
                                         "zero")
         return Transform(atype, _gated_mm(

@@ -164,7 +164,8 @@ def _anon_rand_bits(mode: str, key: Column, idx: Column,
 
 
 def anon_ipv4_col(c: ColumnOrName, bits: int = 8, mode: str = "zero",
-                  seed: int | None = None) -> Column:
+                  seed: int | None = None,
+                  replace_char: str = "x") -> Column:
     """mmanon ipv4 embedded anonymization (ref: plugins/mmanon/mmanon.c:
     1-3): mask the low ``bits`` of every IPv4 in the text.
 
@@ -187,17 +188,37 @@ def anon_ipv4_col(c: ColumnOrName, bits: int = 8, mode: str = "zero",
     # '56.0.0.0' matches after the '2', and IPs embedded mid-word
     # anonymize too). The leftmost-match regex scan reproduces it.
     if mode == "simple":
-        # simple mode rounds UP to whole octets and overwrites each
-        # with ONE replacement char (golden: mmanon_simple_12_ipv4.sh
-        # — bits=12 -> '172.0.234.255' becomes '172.0.x.x')
+        # simple mode corrects bits UP to a whole-octet boundary
+        # (mmanon.c:512-529 "corrected to N") and overwrites EVERY
+        # DIGIT of the masked octets with the replacement char —
+        # length-preserving (simpleAnon:1127-1146; goldens
+        # mmanon_simple_{8,12,33}_ipv4.sh: '172.0.234.255' @12→16 is
+        # '172.0.xxx.xxx', @8 '...234.xxx'; 33→32; replacechar '*')
         n = min((bits + 7) // 8, 4)
-        repl = ".".join(["x"] * n)
         if n == 4:
-            return F.regexp_replace(s, rf"(?:{o}\.){{3}}{o}", repl)
-        kept = r"\.".join([o] * (4 - n))
-        masked = r"\.".join([o] * n)
-        return F.regexp_replace(s, rf"({kept})\.{masked}",
-                                f"$1.{repl}")
+            # full-width: simpleAnon's backward digit walk EXTENDS
+            # past the match start through the adjoining digit run
+            # ('256.0.0.0' matches at '56...' but renders
+            # '***.*.*.*'; '1111.1.1.8.1' → '****.*.*.*.1' —
+            # mmanon_simple_33_ipv4.sh). The leading \d* absorbs it.
+            pat = rf"\d*(?:{o}\.){{3}}{o}"
+            return _rewrite_ips(
+                s, pat,
+                lambda ip, _i: F.regexp_replace(ip, r"\d",
+                                                replace_char))
+        pat = rf"(?:{o}\.){{3}}{o}"
+
+        def simple_ip(ip: Column, _idx: Column) -> Column:
+            octs = F.split(ip, r"\.")
+            outs = []
+            for i in range(4):
+                oc = F.element_at(octs, i + 1)
+                if i >= 4 - n:
+                    oc = F.regexp_replace(oc, r"\d", replace_char)
+                outs.append(oc)
+            return F.concat_ws(".", *outs)
+
+        return _rewrite_ips(s, pat, simple_ip)
     if mode not in ("zero",) + _ANON_RANDOM_MODES:
         raise ValueError(f"mmanon ipv4 mode {mode!r}")
     if mode == "zero" and bits % 8 == 0:
@@ -231,9 +252,16 @@ def anon_ipv4_col(c: ColumnOrName, bits: int = 8, mode: str = "zero",
             F.shiftright(masked, sh).bitwiseAND(F.lit(255))
             .cast("string") for sh in (24, 16, 8, 0)])
 
+    return _rewrite_ips(s, pat, mask_ip)
+
+
+def _rewrite_ips(s: Column, pat: str, fn) -> Column:
+    """Rewrite every regex match of ``pat`` in ``s`` through ``fn``
+    (Column→Column): split on the pattern, transform the extracted
+    matches, stitch back — all column exprs, no per-row Python."""
     parts = F.split(s, pat, -1)
     ips = F.regexp_extract_all(s, F.lit(f"({pat})"), 1)
-    masked_ips = F.transform(ips, mask_ip)
+    masked_ips = F.transform(ips, fn)
     rest = F.zip_with(
         masked_ips,
         F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
@@ -468,9 +496,11 @@ def mmanon(df: DataFrame, msg_col: str = "msg", bits: int = 8,
            ipv6_mode: str = "zero",
            embedded_bits: int | None = None,
            embedded_mode: str = "zero",
-           seed: int | None = None) -> DataFrame:
+           seed: int | None = None,
+           replace_char: str = "x") -> DataFrame:
     out = df.withColumn(
-        msg_col, anon_ipv4_col(F.col(msg_col), bits, mode, seed))
+        msg_col, anon_ipv4_col(F.col(msg_col), bits, mode, seed,
+                               replace_char=replace_char))
     if embedded_bits is not None:
         # embedded v4-in-v6 runs BEFORE plain v6 so the dotted tail
         # is still present to recognize (the reference checks

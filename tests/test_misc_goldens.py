@@ -1503,3 +1503,42 @@ input(type="imfile" file="@IN@" ruleset="m")
 ''', "<13>Mar  1 01:00:00 h tag whitelisted-one\n"
      "<13>Mar  1 01:00:00 h tag blocked-two\n", sub="cnp")
     assert out == "whitelisted-one\n"
+
+
+def test_mmanon_variant_battery(spark, tmp_path):
+    """mmanon_{zero_8,simple_8,simple_33,simple_mallformed}_ipv4 +
+    mmanon_zero_{50,64,128}_ipv6 + mmanon_both_modes_compatible:
+    each reference variant's action params, INPUT messages, and
+    EXPECTED block are extracted from its .sh verbatim and run
+    through the engine config path — byte-exact cmp_exact."""
+    import re
+
+    ref = "/root/reference/tests"
+    variants = ["mmanon_zero_8_ipv4", "mmanon_simple_8_ipv4",
+                "mmanon_simple_33_ipv4",
+                "mmanon_simple_mallformed_ipv4",
+                "mmanon_zero_50_ipv6", "mmanon_zero_64_ipv6",
+                "mmanon_zero_128_ipv6",
+                "mmanon_both_modes_compatible"]
+    ran = 0
+    for i, name in enumerate(variants):
+        sh = open(f"{ref}/{name}.sh").read()
+        act = re.search(r'action\(type="mmanon"[^)]*\)', sh)
+        msgs = re.search(r'tcpflood[^\n]*-M\s+"\\"(.*?)\\""', sh,
+                         re.S)
+        exp = re.search(r"export EXPECTED='(.*?)'\n", sh, re.S)
+        if not (act and msgs and exp):
+            continue
+        lines = msgs.group(1)
+        out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%msg%\\n")
+parser(name="p3164" type="pmrfc3164" remove.msgFirstSpace="off")
+ruleset(name="testing" parser="p3164") {
+  ''' + act.group(0) + '''
+  action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="testing")
+''', lines + "\n", sub=f"anon{i}")
+        assert out == exp.group(1) + "\n", (name, out)
+        ran += 1
+    assert ran >= 6, f"only {ran} variants matched the extract shape"

@@ -1227,8 +1227,10 @@ def test_mmanon_partial_bits_and_simple_mode_goldens(spark):
            mmanon(df, bits=12, mode="zero").collect()}
     assert got == zero12
 
+    # simple mode is DIGIT-WISE, length-preserving (mmanon.c
+    # simpleAnon; reference EXPECTED of mmanon_simple_12_ipv4.sh)
     simple12 = {" 1.1.1.8": " 1.1.x.x", " 0.0.0.0": " 0.0.x.x",
-                " 172.0.234.255": " 172.0.x.x",
+                " 172.0.234.255": " 172.0.xxx.xxx",
                 " 111.1.1.8.": " 111.1.x.x."}
     df2 = spark.createDataFrame([(m,) for m in simple12],
                                 "msg string").withColumn(
