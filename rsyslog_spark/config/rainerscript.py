@@ -416,6 +416,13 @@ class _Parser:
             elif t.text == "lookup_table":
                 self.next()
                 params = self.parse_param_block()
+                if params["name"] in cfg.lookup_tables:
+                    # issue #5316: duplicates made unreachable tables
+                    # + stray reloader threads (lookup.c:1206; golden
+                    # lookup_table_duplicate.sh -N1 failure)
+                    raise ValueError(
+                        "lookup_table: duplicate name "
+                        f"'{params['name']}' in current config set")
                 cfg.lookup_tables[params["name"]] = params
             elif t.text in ("global", "main_queue") \
                     and self.peek(1).text == "(":
@@ -554,6 +561,13 @@ class _Parser:
             parts.append(a.text)
             prev_end = a.pos + len(a.text)
         raw = "".join(parts)
+        if name in ("optimizeforuniprocessor",):
+            # eCmdHdlrGoneAway directives (glbl.c:1685): warn +
+            # ignore (golden conf-directive-gone-away.sh)
+            import warnings
+            warnings.warn(
+                "config directive is no longer supported -- ignored")
+            return
         if name == "actionexeconlywhenpreviousissuspended":
             # sticky until turned off (cfsysline.c; failover-*.sh)
             self._act_prev_susp = raw.strip().lower() in (

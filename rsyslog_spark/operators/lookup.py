@@ -44,9 +44,22 @@ class LookupTable:
 
     @classmethod
     def from_json_file(cls, path: str) -> "LookupTable":
-        with open(path) as fh:
-            doc = json.load(fh)
-        return cls.from_dict(doc)
+        """Bad table FILES (empty, invalid JSON, rows missing the
+        index key) degrade to an EMPTY table — every lookup returns
+        nomatch — instead of failing the config (lookup.c
+        lookupReadFile error path; golden lookup_table_bad_configs.sh
+        phases: empty/invalid-json/no-index tables serve no foo/bar/
+        baz values while the daemon keeps running)."""
+        import warnings
+        with open(path) as fh:   # missing file still raises (the
+            text = fh.read()     # stub-mode trigger, load_config)
+        try:
+            return cls.from_dict(json.loads(text))
+        except (ValueError, KeyError, TypeError) as e:
+            warnings.warn(
+                f"lookup table file {path!r} could not be loaded "
+                f"({e!r:.120}) - table is empty")
+            return cls(type="string")
 
     @classmethod
     def from_dict(cls, doc: dict) -> "LookupTable":

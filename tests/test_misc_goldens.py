@@ -1542,3 +1542,59 @@ input(type="imfile" file="@IN@" ruleset="testing")
         assert out == exp.group(1) + "\n", (name, out)
         ran += 1
     assert ran >= 6, f"only {ran} variants matched the extract shape"
+
+
+def test_lookup_table_validation_battery(spark, tmp_path):
+    """lookup_table_duplicate.sh: duplicate names fail config load
+    with the reference's message (issue #5316).
+    lookup_table_bad_configs.sh: malformed table FILES (empty,
+    invalid JSON, rows without the index key) degrade to empty tables
+    — lookups return nomatch, the run continues.
+    conf-directive-gone-away.sh: $optimizeForUniprocessor warns
+    'config directive is no longer supported' and loads."""
+    import warnings as _w
+
+    import pytest as _pytest
+
+    from rsyslog_spark.config.rainerscript import parse_config
+
+    with _pytest.raises(ValueError) as ei:
+        parse_config(f'''
+lookup_table(name="xlate" file="{tmp_path}/x.lkp_tbl")
+lookup_table(name="xlate" file="{tmp_path}/x.lkp_tbl")
+''')
+    assert ("lookup_table: duplicate name 'xlate' in current config "
+            "set") in str(ei.value)
+
+    ref = "/root/reference/tests/testsuites"
+    for bad in ("xlate_empty_file", "xlate_invalid_json",
+                "xlate_string_no_index", "xlate_array_no_index",
+                "xlate_sparseArray_no_index"):
+        import shutil
+        shutil.copy(f"{ref}/{bad}.lkp_tbl",
+                    tmp_path / "xlate.lkp_tbl")
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            out = _run(spark, tmp_path, f'''
+lookup_table(name="xlate" file="{tmp_path}/xlate.lkp_tbl")
+template(name="outfmt" type="string" string="%msg% %$.lkp%\\n")
+ruleset(name="m") {{
+  set $.num = field($msg, 58, 2);
+  set $.lkp = lookup("xlate", $.num);
+  action(type="omfile" file="@OUT@" template="outfmt")
+}}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<13>Mar  1 01:00:00 h tag msgnum:00000000:\n",
+                sub=f"lkb_{bad}")
+        assert "foo" not in out and "bar" not in out \
+            and "baz" not in out, (bad, out)
+        assert "msgnum:00000000" in out
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        parse_config('''
+$optimizeForUniprocessor
+ruleset(name="m") { action(type="omfile" file="/tmp/x") }
+''')
+    assert any("config directive is no longer supported" in
+               str(r.message) for r in rec)
