@@ -1751,6 +1751,11 @@ def _mm_transform(atype: str, params: dict):
         return Transform("mmnormalize", _gated_mm(fn))
     if atype == "mmjsonparse":
         from rsyslog_spark.operators.mm import mmjsonparse
+        if p.get("mode", "cookie") not in ("cookie", "find-json"):
+            # mmjsonparse.c mode validation (golden
+            # mmjsonparse-find-json-invalid-mode.sh)
+            raise ValueError(
+                f"mmjsonparse: invalid mode '{p.get('mode')}'")
         kw = dict(cookie=p.get("cookie", "@cee:"),
                   mode=p.get("mode", "cookie"),
                   max_scan_bytes=int(p.get("max_scan_bytes", "65536")),
@@ -1770,6 +1775,29 @@ def _mm_transform(atype: str, params: dict):
             else:
                 oc = varname(_container)
                 out = mmjsonparse(df, msg_col=src, out_col=oc, **_kw)
+                # hierarchy conflict: a container path whose PARENT
+                # variable holds a SCALAR cannot be created — the
+                # parse FAILS for those rows and the tree keeps the
+                # scalar (msg.c msgAddJSON refuses non-object
+                # overwrite; golden mmjsonparse-find-json-conflict.sh
+                # 'parsesuccess=FAIL json={ "conflict": "scalar" }')
+                segs = _container.lstrip("$").lstrip("!").split("!")
+                confl = None
+                for k in range(1, len(segs)):
+                    pcol = varname("$!" + "!".join(segs[:k]))
+                    if pcol in df.columns and not (
+                            df.schema[pcol].metadata or {}
+                    ).get("rs_json"):
+                        c = qcol(pcol).isNotNull()
+                        confl = c if confl is None else (confl | c)
+                if confl is not None:
+                    out = out.withColumn(
+                        oc, F.when(confl, F.lit(None).cast("string"))
+                        .otherwise(qcol(oc)))
+                    out = out.withColumn(
+                        "json_parsed",
+                        F.when(confl, F.lit(False))
+                        .otherwise(F.col("json_parsed")))
                 out = out.withMetadata(
                     oc, {"rs_path": fold_var(_container),
                          "rs_json": True})

@@ -398,10 +398,20 @@ def _set_tree_json(df) -> Column | None:
         for seg in segs[:-1]:
             nxt = node.get(seg)
             if not isinstance(nxt, dict):
-                nxt = {}
+                # a branch over an existing SCALAR leaf: keep the
+                # scalar as the per-row fallback — rows where the
+                # branch is NULL (e.g. a refused hierarchy-conflict
+                # store, mmjsonparse-find-json-conflict.sh) render
+                # the scalar, rows with branch values render the
+                # object
+                nxt = {} if nxt is None else {"\0self": nxt}
                 node[seg] = nxt
             node = nxt
-        node[segs[-1]] = _leaf_json_text(qcol(fld.name), meta)
+        leaf = _leaf_json_text(qcol(fld.name), meta)
+        if isinstance(node.get(segs[-1]), dict):
+            node[segs[-1]]["\0self"] = leaf
+        else:
+            node[segs[-1]] = leaf
 
     if not root:
         return None
@@ -447,7 +457,16 @@ def _concat_obj(node: dict) -> Column:
 
     pieces = []
     for k, v in node.items():
-        vj = _concat_obj(v) if isinstance(v, dict) else v
+        if isinstance(v, dict):
+            selfcol = v.pop("\0self", None)
+            vj = _concat_obj(v)
+            if selfcol is not None:
+                # leaf+branch under one key: the branch object when
+                # present, else the scalar (a row never has both —
+                # the store under a scalar parent is REFUSED)
+                vj = F.coalesce(vj, selfcol)
+        else:
+            vj = v
         pieces.append(
             F.when(vj.isNotNull(),
                    F.concat(F.lit(_json.dumps(k) + ":"), vj)))

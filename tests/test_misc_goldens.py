@@ -1598,3 +1598,39 @@ ruleset(name="m") { action(type="omfile" file="/tmp/x") }
 ''')
     assert any("config directive is no longer supported" in
                str(r.message) for r in rec)
+
+
+def test_mmjsonparse_find_json_conflict(spark, tmp_path):
+    """mmjsonparse-find-json-conflict.sh: a container path whose
+    parent variable holds a SCALAR cannot be created — the parse
+    FAILS (parsesuccess=FAIL) and the tree keeps the scalar.
+    EXPECTED copied verbatim (engine default strips msg 1st space —
+    restored via the parser param). Also: invalid mode= fails load
+    with the reference message (mmjsonparse-find-json-invalid-mode)."""
+    import pytest as _pytest
+
+    from rsyslog_spark.config.rainerscript import parse_config
+
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string"
+         string="%msg% parsesuccess=%parsesuccess% json=%$!%\\n")
+parser(name="p3164" type="pmrfc3164" remove.msgFirstSpace="off")
+ruleset(name="m" parser="p3164") {
+  if $msg contains "CONFLICT" then {
+    set $!conflict = "scalar";
+    action(type="mmjsonparse" mode="find-json"
+           container="$!conflict!parsed")
+    action(type="omfile" file="@OUT@" template="outfmt")
+  }
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', '<167>Jan 16 16:57:54 host.example.net TAG: CONFLICT prefix '
+     '{"field":"value"}\n', sub="fjc")
+    assert out == (' CONFLICT prefix {"field":"value"} '
+                   'parsesuccess=FAIL json={ "conflict": "scalar" }\n')
+
+    with _pytest.raises(ValueError) as ei:
+        parse_config('''
+ruleset(name="m") { action(type="mmjsonparse" mode="INVALID") }
+''')
+    assert "mmjsonparse: invalid mode 'INVALID'" in str(ei.value)
