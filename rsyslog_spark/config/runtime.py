@@ -1223,6 +1223,15 @@ def run_config_batch(
     if kafka_replay is not None and kafka_replay["split_json"]:
         from rsyslog_spark.streaming.sources import split_json_records
         lines = split_json_records(lines)
+    if str(cfg.directives.get(
+            "parser.droptrailingcronreception", "off")).lower() in (
+            "on", "true", "1"):
+        # global(parser.dropTrailingCROnReception) — strip ONE CR
+        # left after LF framing (SanitizeMsg; golden
+        # parser-drop-trailing-cr.sh; without it the CR escapes as
+        # #015 under the cc options)
+        lines = lines.withColumn(
+            "line", F.regexp_replace("line", r"\r$", ""))
     lines = _apply_oversize_policy(lines, cfg)
     lines = _apply_escape_on_receive(lines, cfg)
     pm_opts, hl_route = _pm3164_opts(cfg, ruleset_name)

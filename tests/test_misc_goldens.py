@@ -1634,3 +1634,60 @@ input(type="imfile" file="@IN@" ruleset="m")
 ruleset(name="m") { action(type="mmjsonparse" mode="INVALID") }
 ''')
     assert "mmjsonparse: invalid mode 'INVALID'" in str(ei.value)
+
+
+def test_parser_drop_trailing_cr(spark, tmp_path):
+    """parser-drop-trailing-cr.sh: with global(parser.
+    dropTrailingCROnReception="on") the CR left after LF framing is
+    stripped — %msg% renders ' payload'; without it the CR stays in
+    MSG (and would escape as #015 under the cc options)."""
+    line = "<167>Mar  6 16:57:54 172.20.245.8 test: payload\r\n"
+    conf = '''
+global(parser.dropTrailingCROnReception="on")
+template(name="outfmt" type="string" string="%msg%\\n")
+parser(name="p3164" type="pmrfc3164" remove.msgFirstSpace="off")
+ruleset(name="rs" parser="p3164") {
+  action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="rs")
+'''
+    out = _run(spark, tmp_path, conf, line, sub="crdrop")
+    assert out == " payload\n"
+    # documented divergence: the engine's ingest paths (Spark text
+    # reader auto lineSep, imtcp bridge rstrip) already drop the CR,
+    # so the OFF default behaves like ON — the reference would keep
+    # the CR (rendering #015 under cc escaping)
+    out = _run(spark, tmp_path, conf.replace('"on"', '"off"'), line,
+               sub="crkeep")
+    assert out == " payload\n"
+
+
+def test_malformed_tail_robustness(spark, tmp_path):
+    """pmciscoios_truncated_input.sh / pmdb2diag_malformed_tail.sh /
+    pmsnare_malformed_tag_tail.sh: truncated/malformed vendor-format
+    heads must not wedge the parser — a later valid message still
+    routes (EXPECTED 'valid-after')."""
+    cases = [
+        ("pmciscoios", "custom.ciscoios",
+         "<14>1: \n<14>2: .\n<14>valid-after\n"),
+        ("pmdb2diag", "custom.db2",
+         "<14>2024-05-21-12.00.01.000000 I1A1 LEVEL\n"
+         "<14>valid-after\n"),
+        ("pmsnare", "custom.snare",
+         "<14>May 21 12:00:01 host MSWinEventLog\n"
+         "<14>May 21 12:00:01 host LinuxKAudit\n"
+         "<14>host\tMSWinEventLog\n"
+         "<14>valid-after\n"),
+    ]
+    for i, (ptype, pname, lines) in enumerate(cases):
+        out = _run(spark, tmp_path, f'''
+parser(name="{pname}" type="{ptype}")
+template(name="outfmt" type="string" string="valid-after\\n")
+ruleset(name="testing" parser=["{pname}", "rsyslog.rfc3164"]) {{
+  if $rawmsg contains "valid-after" then {{
+    action(type="omfile" file="@OUT@" template="outfmt")
+  }}
+}}
+input(type="imfile" file="@IN@" ruleset="testing")
+''', lines, sub=f"mft{i}")
+        assert out == "valid-after\n", (ptype, out)
