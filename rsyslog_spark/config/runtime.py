@@ -1297,10 +1297,36 @@ def run_config_batch(
         frame = frame.persist()
     est = _estimate_input_bytes(path if pcap_inp is None
                                 else pcap_inp.get("file"))
-    with _small_batch_codegen(spark, est):
-        return _run_batch_actions(eng, cfg, frame, ruleset_name,
-                                  hdr_frame, hl_ruleset, sink_overrides,
-                                  multi_action)
+    # global(operatingStateFile=) — crash-forensics journal
+    # (runtime/operatingstate.c; goldens operatingstate-*.sh)
+    osf = None
+    osf_path = cfg.directives.get("operatingstatefile")
+    if osf_path:
+        from rsyslog_spark.config.opstate import OperatingStateFile
+        import warnings as _w
+        with _w.catch_warnings(record=True) as _rec:
+            _w.simplefilter("always")
+            osf = OperatingStateFile(str(osf_path))
+        for r in _rec:
+            osf.msg(str(r.message))
+            _w.warn(str(r.message))   # still surfaces like LogError
+    try:
+        with _small_batch_codegen(spark, est):
+            run = _run_batch_actions(eng, cfg, frame, ruleset_name,
+                                     hdr_frame, hl_ruleset,
+                                     sink_overrides, multi_action)
+        if osf is not None:
+            for nm, df_p, params in run.unbound:
+                # the reference logs module-load/type errors into the
+                # osf (operatingstate-basic.sh 'invalid-type')
+                osf.msg(f"action type '{params.get('type', nm)}' "
+                        "has no runtime binding")
+            for nm, err in run.suspended.items():
+                osf.msg(f"action '{nm}' suspended: {err}")
+        return run
+    finally:
+        if osf is not None:
+            osf.close()
 
 
 def _dispatch_action_seq(cfg, ruleset_name, actions, run,

@@ -1691,3 +1691,50 @@ ruleset(name="testing" parser=["{pname}", "rsyslog.rfc3164"]) {{
 input(type="imfile" file="@IN@" ruleset="testing")
 ''', lines, sub=f"mft{i}")
         assert out == "valid-after\n", (ptype, out)
+
+
+def test_operatingstate_file(spark, tmp_path):
+    """operatingstate-{basic,empty,unclean}.sh: the operatingState
+    journal writes 'YYYYMMDD-HHMMSS: TAG   line' entries —
+    INITIALIZING on open, MSG for internal problems (an action type
+    without a binding), CLEAN CLOSE on shutdown. A clean pre-existing
+    file appends (.previous never created); an UNCLEAN one rotates
+    to .previous byte-intact with the reference's diagnostic."""
+    import re
+    import warnings as _w
+
+    osf = tmp_path / "run.osf"
+    conf = f'''
+global(operatingStateFile="{osf}")
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="@OUT@" template="outfmt")
+  action(type="invalid-type")
+}}
+input(type="imfile" file="@IN@" ruleset="m")
+'''
+    line = "<13>Mar  1 01:00:00 h tag osf-check\n"
+    _run(spark, tmp_path, conf, line, sub="osf1")
+    txt = osf.read_text()
+    assert not os.path.exists(str(osf) + ".previous")
+    assert "invalid-type" in txt
+    assert txt.rstrip().endswith("CLEAN CLOSE")
+    assert re.match(r"\d{8}-\d{6}: STATE INITIALIZING ",
+                    txt.splitlines()[0])
+
+    # clean file → second run APPENDS, still no .previous
+    _run(spark, tmp_path, conf, line, sub="osf2")
+    assert not os.path.exists(str(osf) + ".previous")
+    assert osf.read_text().count("CLEAN CLOSE") == 2
+
+    # unclean file → rotated to .previous byte-intact + diagnostic
+    err = ("20180924-160109: STATE INITIALIZING 8.39.0.master\n"
+           "20180924-160110: STATE\n")
+    osf.write_text(err)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        _run(spark, tmp_path, conf, line, sub="osf3")
+    assert open(str(osf) + ".previous").read() == err
+    assert osf.read_text().rstrip().endswith("CLEAN CLOSE")
+    assert any("does not end with 'CLEAN CLOSE" in str(r.message)
+               for r in rec)
