@@ -1880,6 +1880,15 @@ def _mm_transform(atype: str, params: dict):
         return Transform(atype, _gated_mm(
             lambda df: mmanon(df, bits=bits, mode=mode, **kw),
             touched=("msg",)))
+    if atype == "mmsnareparse":
+        from rsyslog_spark.parsers.vendors import mmsnareparse
+
+        def fn_snare(df, _p=p):
+            return mmsnareparse(
+                df, ignore_trailing_pattern=_p.get(
+                    "ignoreTrailingPattern",
+                    _p.get("ignoretrailingpattern")))
+        return Transform(atype, _gated_mm(fn_snare))
     if atype == "mmleefparse":
         # LEEF parser action (ref: plugins/mmleefparse/
         # mmleefparse.c:398-541): useRawMsg defaults ON with a
@@ -2016,7 +2025,20 @@ _OVERSIZE_QUEUE_WATERMARK = 500_000
 def _check_queue_size(params: dict) -> None:
     """queue.size sanity warnings at config load (runtime/queue.c:
     4955-4966: >2^31-1 corrected to maximum, >500000 'is very large';
-    golden queue_warnmsg-oversize.sh content_check)."""
+    golden queue_warnmsg-oversize.sh content_check). Also the
+    positive-int grammar check for queue.workerthreads
+    (grammar/rainerscript.c:1105; golden
+    queue-invalid-workerthreads-zero.sh)."""
+    wt = params.get("queue.workerthreads")
+    if wt is not None:
+        try:
+            n = int(wt)
+        except (TypeError, ValueError):
+            n = 1
+        if n < 1:
+            raise ValueError(
+                "parameter 'queue.workerthreads' cannot be less "
+                f"than one (was {n})")
     raw = params.get("queue.size")
     if raw is None:
         return
@@ -2094,6 +2116,25 @@ def _uniquify_action_names(cfg) -> None:
 def _make_action(params: dict[str, str]):
     _check_queue_size(params)
     atype = params.get("type", "")
+    if atype == "omfile":
+        # omfile.c newActInst:1485-1495 + :1559 (goldens
+        # omfile-null-filename.sh, omfile-whitespace-filename.sh,
+        # omfile_both_files_set.sh)
+        if params.get("file") and params.get("dynafile"):
+            import warnings
+            warnings.warn('omfile: both "file" and "dynafile" set, '
+                          "will use dynafile")
+            params = {k: v for k, v in params.items() if k != "file"}
+        if not str(params.get("file", params.get(
+                "dynafile", ""))).strip() \
+                and not params.get("outchannel") \
+                and not params.get("target") \
+                and not params.get("name"):
+            # name-only omfile actions stay legal: the engine exposes
+            # them as named captured frames (eng.run() consumers)
+            raise ValueError(
+                'omfile: either the "file" or "dynafile" parameter '
+                "must be given")
     if atype == "omdiscard":
         return Stop()
     if atype.startswith("mm"):

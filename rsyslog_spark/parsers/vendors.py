@@ -335,3 +335,260 @@ def pmnormalize(df: DataFrame, rulebase: str,
     from rsyslog_spark.operators.normalize import normalize
 
     return normalize(df, rulebase, msg_col=line_col, **kw)
+
+
+#: mmsnareparse description SECTION headers (mmsnareparse.c section
+#: tables; the description tokenizes on 2+-space runs, a known header
+#: token opens a section, everything else is Key/Value pairs)
+_SNARE_SECTIONS = {
+    "Subject": "Subject",
+    "Logon Information": "LogonInformation",
+    "New Logon": "NewLogon",
+    "Process Information": "Process",
+    "Network Information": "Network",
+    "Detailed Authentication Information": "DetailedAuthentication",
+    "Filter Information": "Filter",
+    "Application Information": "Application",
+    "TLS Inspection": "TLSInspection",
+    "Account Information": "AccountInformation",
+    "Account For Which Logon Failed": "AccountForWhichLogonFailed",
+    "Failure Information": "FailureInformation",
+}
+
+#: LogonType → canonical name (mmsnareparse.c fieldValueLogonType)
+_SNARE_LOGON_TYPES = {
+    "2": "Interactive", "3": "Network", "4": "Batch", "5": "Service",
+    "7": "Unlock", "8": "NetworkCleartext", "9": "NewCredentials",
+    "10": "RemoteInteractive", "11": "CachedInteractive",
+}
+
+
+def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
+                 ignore_trailing_pattern: str | None = None
+                 ) -> DataFrame:
+    """Structured Snare/NXLog Windows-event parser (ref: plugins/
+    mmsnareparse/mmsnareparse.c — the 5.7k-LoC original; this is the
+    documented CORE SUBSET: tab header → ``$!win!Event``, description
+    sections → per-section containers, root pairs → ``EventData`` or
+    the source-specific WDAC/WUFB containers, LAPS Context k=v,
+    Remote Credential Guard → ``$!win!Logon``, LogonType
+    canonicalization — everything mmsnareparse-basic.sh checks).
+
+    The tab-separated Snare payload after ``MSWinEventLog``:
+    criticality, Channel, counter, date, EventID, SourceName, user,
+    sidtype, EventLogType, Computer, Category, <reserved>,
+    description, checksum. The DESCRIPTION tokenizes on 2+-space
+    runs: a known section-header token opens a section; ``Key:``
+    tokens take the next token as value; ``Key: value`` single-space
+    tokens are inline pairs. Pure column ops — the token walk is an
+    O(tokens²) higher-order-function scan per row, bounded by the
+    event text (~40 tokens).
+
+    ``ignore_trailing_pattern``: text from the first occurrence of
+    the pattern onward is cut BEFORE parsing and stored in
+    ``$!extradata_section`` (mmsnareparse-trailing-extradata.sh).
+    """
+    from rsyslog_spark.plans.ruleset import fold_var
+
+    from rsyslog_spark.expr import rs_str
+
+    m = rs_str(F.col(msg_col))
+    # the Snare marker may have been eaten by the HEADER parse (a
+    # 3164 TAG 'MSWinEventLog' followed by a tab) — fall back to the
+    # raw line from the marker on, like the reference's marker search
+    if "rawmsg" in df.columns:
+        raw = rs_str(F.col("rawmsg"))
+        m = F.when(m.contains("MSWinEventLog"), m).otherwise(
+            F.when(raw.contains("MSWinEventLog"),
+                   F.expr("substring(rawmsg, "
+                          "locate('MSWinEventLog', rawmsg))"))
+            .otherwise(m))
+    out = df
+    if ignore_trailing_pattern:
+        # with-tabs path (detect_and_truncate_trailing_extradata:
+        # 5150-5210): the pattern must appear in the LAST tab token —
+        # that WHOLE token becomes $!extradata_section and the
+        # message truncates AT the last tab
+        last_tok = F.element_at(F.split(m, "\t"), -1)
+        has = F.locate(ignore_trailing_pattern, last_tok) > 0
+        out = out.withColumn("cee_extradata_section",
+                             F.when(has, last_tok).alias(
+                                 "cee_extradata_section",
+                                 metadata={"rs_path":
+                                           "$!extradata_section"}))
+        m = F.when(has, m.substr(
+            F.lit(1), F.length(m) - F.length(last_tok) - 1)) \
+            .otherwise(m)
+
+    tabs = F.split(m, "\t")
+    base = F.array_position(tabs, "MSWinEventLog").cast("int")
+    ok = base > 0
+
+    def fld(off: int):
+        return F.when(ok, F.element_at(tabs, base + off))
+
+    event_id = fld(5)
+    source = fld(6)
+    event_obj = F.to_json(F.struct(
+        event_id.alias("EventID"),
+        fld(2).alias("Channel"),
+        fld(3).alias("SnareCounter"),
+        fld(9).alias("EventLogType"),
+        source.alias("SourceName"),
+        fld(10).alias("Computer"),
+        fld(11).alias("Category"),
+    ))
+    desc = F.coalesce(fld(13), F.lit(""))
+
+    # ---- tokenize + section walk (all higher-order column fns) ----
+    # NB: transform(arr, F.trim) would call trim(elem, INDEX) — the
+    # two-arg TRIM strips the index's DIGITS off the token ends
+    toks = F.filter(
+        F.transform(F.split(desc, r"\s{2,}"), lambda t: F.trim(t)),
+        lambda t: t != "")
+    n = F.size(toks)
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)) \
+        .otherwise(F.array().cast("array<int>"))
+    sec_names = list(_SNARE_SECTIONS)
+
+    def tok(i):
+        return F.element_at(toks, i)
+
+    def is_section(t):
+        return F.rtrim(t).isin(*[s + ":" for s in sec_names])
+
+    def section_of(i):
+        # last section header at or before i (O(n) filter per token)
+        prior = F.filter(idx, lambda j: (j <= i)
+                         & is_section(F.element_at(toks, j)))
+        return F.when(
+            F.size(prior) > 0,
+            F.rtrim(F.element_at(toks, F.element_at(prior, -1)))
+        ).otherwise(F.lit("Root:"))
+
+    # per-token (section, key, value) — null when the token is a
+    # section header or a consumed value
+    def entry_of(i):
+        t = tok(i)
+        nxt = F.element_at(toks, F.least(i + 1, n))
+        prev = F.element_at(toks, F.greatest(i - 1, F.lit(1)))
+        inline = t.rlike(r"^[A-Za-z][^:]*: \S")
+        key_only = t.rlike(r"^[A-Za-z][^:]*:$") & ~is_section(t)
+        # a bare token is a VALUE if the previous token was key-only
+        consumed = prev.rlike(r"^[A-Za-z][^:]*:$") \
+            & ~is_section(prev) & (i > 1)
+        key = F.when(inline,
+                     F.regexp_extract(t, r"^([^:]*):", 1)) \
+            .when(key_only, F.rtrim(F.regexp_replace(t, ":$", "")))
+        val = F.when(inline, F.regexp_extract(t, r"^[^:]*: (.*)$", 1)) \
+            .when(key_only & (i < n)
+                  & ~nxt.rlike(r"^[A-Za-z][^:]*:( \S.*)?$"),
+                  nxt) \
+            .when(key_only, F.lit(""))
+        return F.when(
+            key.isNotNull() & ~consumed,
+            F.struct(F.regexp_replace(section_of(i), ":$", "")
+                     .alias("sec"),
+                     F.regexp_replace(
+                         F.regexp_replace(key, r"\s*\([^)]*\)", ""),
+                         r"\s+", "").alias("k"),
+                     F.coalesce(val, F.lit("")).alias("v")))
+
+    # MATERIALIZE the token-walk result as one column: every section
+    # container references it, and inlining the O(tokens²) walk into
+    # each of the ~12 container expressions multiplied the plan tree
+    # ~12x (minutes of analyzer time per query)
+    out = out.withColumn(
+        "__snare_entries",
+        F.filter(F.transform(idx, entry_of),
+                 lambda e: e.isNotNull()))
+    entries = F.col("__snare_entries")
+
+    def section_map(section: str):
+        sec = F.filter(entries, lambda e: e["sec"] == section)
+        return F.when(
+            F.size(sec) > 0,
+            F.to_json(F.map_from_entries(F.transform(
+                sec, lambda e: F.struct(e["k"], e["v"])))))
+
+    def container(colname: str, path: str, col):
+        nonlocal out
+        out = out.withColumn(colname, col.alias(
+            colname, metadata={"rs_path": path, "rs_json": True}))
+
+    container("cee_win_event", "$!win!Event", F.when(ok, event_obj))
+    for ref_sec, cont in _SNARE_SECTIONS.items():
+        container(f"cee_win_{cont.lower()}", f"$!win!{cont}",
+                  _snare_section_post(cont, section_map(ref_sec)))
+    root_map = F.filter(entries, lambda e: (e["sec"] == "Root")
+                        & (e["k"] != "LAPSContext")
+                        & (e["k"] != "RemoteCredentialGuard"))
+    root_obj = F.when(F.size(root_map) > 0, F.to_json(
+        F.map_from_entries(F.transform(
+            root_map, lambda e: F.struct(e["k"], e["v"])))))
+    # source-specific root containers (mmsnareparse.c event tables):
+    # CodeIntegrity → WDAC, WindowsUpdateClient → WUFB, else the
+    # generic EventData bucket
+    container("cee_win_wdac", "$!win!WDAC",
+              F.when(source == "Microsoft-Windows-CodeIntegrity",
+                     root_obj))
+    container("cee_win_wufb", "$!win!WUFB",
+              F.when(source == "Microsoft-Windows-WindowsUpdateClient",
+                     root_obj))
+    container("cee_win_eventdata", "$!win!EventData",
+              F.when(~source.isin("Microsoft-Windows-CodeIntegrity",
+                                  "Microsoft-Windows-WindowsUpdateClient"),
+                     root_obj))
+    # Remote Credential Guard root pair → $!win!Logon (boolean)
+    rcg = F.filter(entries,
+                   lambda e: e["k"] == "RemoteCredentialGuard")
+    container("cee_win_logon", "$!win!Logon", F.when(
+        F.size(rcg) > 0,
+        F.concat(F.lit('{"RemoteCredentialGuard":"'),
+                 F.when(F.lower(F.element_at(rcg, 1)["v"])
+                        .isin("enabled", "true", "yes", "1"),
+                        F.lit("true")).otherwise(F.lit("false")),
+                 F.lit('"}'))))
+    # LAPS Context: 'K=V; K2=V2' root pair → $!win!LAPS, True/False
+    # lowercased (fieldValueBoolean canonical form)
+    laps = F.filter(entries, lambda e: e["k"] == "LAPSContext")
+    laps_pairs = F.filter(
+        F.transform(
+            F.split(F.element_at(laps, F.least(F.size(laps),
+                                               F.lit(1)))["v"],
+                    r";\s*"),
+            lambda kv: F.when(
+                kv.contains("="),
+                F.struct(
+                    F.trim(F.split_part(kv, F.lit("="), F.lit(1)))
+                    .alias("k"),
+                    F.when(F.lower(F.trim(F.split_part(
+                        kv, F.lit("="), F.lit(2))))
+                        .isin("true", "false"),
+                        F.lower(F.trim(F.split_part(
+                            kv, F.lit("="), F.lit(2)))))
+                    .otherwise(F.trim(F.split_part(
+                        kv, F.lit("="), F.lit(2)))).alias("v")))),
+        lambda e: e.isNotNull())
+    container("cee_win_laps", "$!win!LAPS", F.when(
+        F.size(laps) > 0,
+        F.to_json(F.map_from_entries(laps_pairs))))
+    return out.drop("__snare_entries")
+
+
+def _snare_section_post(container: str, obj_json):
+    """Section post-processing: LogonInformation gains the canonical
+    LogonTypeName derived from LogonType (mmsnareparse.c
+    fieldValueLogonType)."""
+    if container != "LogonInformation":
+        return obj_json
+    lt = F.get_json_object(obj_json, "$.LogonType")
+    name = None
+    for num, nm in _SNARE_LOGON_TYPES.items():
+        c = F.when(lt == num, F.lit(nm))
+        name = c if name is None else F.coalesce(name, c)
+    return F.when(
+        obj_json.isNotNull() & lt.isNotNull() & name.isNotNull(),
+        F.concat(F.regexp_replace(obj_json, r"\}$", ""),
+                 F.lit(',"LogonTypeName":"'), name, F.lit('"}'))
+    ).otherwise(obj_json)

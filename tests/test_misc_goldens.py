@@ -1738,3 +1738,136 @@ input(type="imfile" file="@IN@" ruleset="m")
     assert osf.read_text().rstrip().endswith("CLEAN CLOSE")
     assert any("does not end with 'CLEAN CLOSE" in str(r.message)
                for r in rec)
+
+
+def test_queue_and_omfile_param_validation(spark, tmp_path):
+    """queue-invalid-workerthreads-zero.sh: queue.workerthreads=0
+    fails load with the grammar's positive-int message.
+    omfile-{null,whitespace}-filename.sh: an omfile action without a
+    usable file/dynafile fails with the reference message.
+    omfile_both_files_set.sh: file+dynafile together warns and USES
+    the dynafile."""
+    import warnings as _w
+
+    import pytest as _pytest
+
+    from rsyslog_spark.config.rainerscript import parse_config
+
+    with _pytest.raises(ValueError) as ei:
+        parse_config('''
+ruleset(name="m") {
+  action(type="omfile" file="/tmp/x"
+         queue.type="linkedList" queue.workerthreads="0")
+}
+''')
+    assert ("parameter 'queue.workerthreads' cannot be less than "
+            "one (was 0)") in str(ei.value)
+
+    for fparam in ('', ' file=""', ' file="   "'):
+        with _pytest.raises(ValueError) as ei:
+            parse_config(
+                'ruleset(name="m") { action(type="omfile"%s) }'
+                % fparam)
+        assert ('omfile: either the "file" or "dynafile" parameter '
+                "must be given") in str(ei.value)
+
+    # both set: warn + dynafile wins — '- msgnum:1-' lands at the
+    # dynafile target, the plain file is never created
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = _run(spark, tmp_path, '''
+template(name="dynafile" type="string" string="@OUT@")
+template(name="outfmt" type="string" string="-%msg%-\\n")
+parser(name="p3164" type="pmrfc3164" remove.msgFirstSpace="off")
+ruleset(name="m" parser="p3164") {
+  :msg, contains, "msgnum:"
+    action(type="omfile" template="outfmt"
+           file="@OUT@_plain" dynafile="dynafile")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<129>Mar 10 01:00:00 172.20.245.8 tag: msgnum:1\n",
+            sub="bfs")
+    assert any('will use dynafile' in str(r.message) for r in rec)
+    assert out == "- msgnum:1-\n"
+    assert _read_out(tmp_path, "bfs_plain") in (None, [])
+
+
+def test_mmrm1stspace_basic(spark, tmp_path):
+    """mmrm1stspace-basic.sh: removes exactly ONE erroneous leading
+    space from MSG — 'tag: x'→'x', 'tag:  x'→' x', 'tag:x'
+    unchanged, empty stays empty. EXPECTED copied verbatim."""
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="-%msg%-\\n")
+parser(name="p3164" type="pmrfc3164" remove.msgFirstSpace="off")
+ruleset(name="m" parser="p3164") {
+  action(type="mmrm1stspace")
+  :syslogtag, contains, "tag" action(type="omfile" template="outfmt"
+                                     file="@OUT@")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<129>Mar 10 01:00:00 172.20.245.8 tag: msgnum:1\n"
+     "<129>Mar 10 01:00:00 172.20.245.8 tag:  msgnum:2\n"
+     "<129>Mar 10 01:00:00 172.20.245.8 tag:msgnum:3\n"
+     "<129>Mar 10 01:00:00 172.20.245.8 tag4:\n", sub="rm1")
+    assert out == "-msgnum:1-\n- msgnum:2-\n-msgnum:3-\n--\n"
+
+
+def test_mmsnareparse_basic(spark, tmp_path):
+    """mmsnareparse-basic.sh: representative NXLog Security samples
+    through the structured win-event parser — the reference's four
+    content_check lines byte-exact: EventID from the tab header,
+    Logon Information section (LogonType + canonical LogonTypeName),
+    LAPS Context k=v (booleans lowercased), TLS Inspection section,
+    CodeIntegrity→WDAC / WindowsUpdateClient→WUFB root containers,
+    Remote Credential Guard → $!win!Logon boolean, Network section
+    SourcePort."""
+    import re
+
+    sh = open("/root/reference/tests/mmsnareparse-basic.sh").read()
+    msgs = re.search(r"cat <<'MSG' > \S+\n(.*?)\nMSG\n", sh,
+                     re.S).group(1)
+    tpl = re.search(r'(template\(name="outfmt".*?\n\})\n', sh,
+                    re.S).group(1)
+    out = _run(spark, tmp_path, tpl + '''
+ruleset(name="m") {
+  action(type="mmsnareparse")
+  action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', msgs + "\n", sub="snb")
+    lines = out.splitlines()
+    for want in ("4624,2,Interactive,2,true,,,,,true,59122",
+                 "5157,,,,,Unapproved Root Authority,,,,,57912",
+                 "6281,,,,,,3.2.0,4128,,,",
+                 "1243,,,,,,,,"
+                 "2f9c4414-3f71-4f2b-9a7e-cc98a6d96970,,"):
+        assert want in lines, (want, lines)
+
+
+def test_mmsnareparse_trailing_extradata(spark, tmp_path):
+    """mmsnareparse-trailing-extradata.sh: ignoreTrailingPattern in
+    the LAST tab token moves that whole token to
+    $!extradata_section and truncates the message at the last tab
+    before parsing — Sysmon EventID 13 fields parse clean, the
+    custom section never leaks into them. content_check byte-exact."""
+    import re
+
+    sh = open("/root/reference/tests/"
+              "mmsnareparse-trailing-extradata.sh").read()
+    msgs = re.search(r"cat <<'MSG' > \S+\n(.*?)\nMSG\n", sh,
+                     re.S).group(1)
+    tpl = re.search(r'(template\(name="outfmt".*?\n\})\n', sh,
+                    re.S).group(1)
+    out = _run(spark, tmp_path, tpl + '''
+ruleset(name="m") {
+  action(type="mmsnareparse"
+         ignoreTrailingPattern="custom_section:")
+  action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', msgs + "\n", sub="snt")
+    assert out.splitlines() == [
+        "13,Microsoft-Windows-Sysmon/Operational,SetValue,"
+        r"HKLM\System\CurrentControlSet\Services\TestService"
+        r"\ImagePath,NT AUTHORITY\SYSTEM,"
+        "3385599 custom_section: fromhost-ip=192.168.45.217"]
