@@ -434,9 +434,13 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
         fld(2).alias("Channel"),
         fld(3).alias("SnareCounter"),
         fld(9).alias("EventLogType"),
+        # reference spellings exposed by mmsnareparse-syslog.sh:
+        # EventType (= the Snare audit-type field) and CategoryText
+        fld(9).alias("EventType"),
         source.alias("SourceName"),
         fld(10).alias("Computer"),
         fld(11).alias("Category"),
+        fld(11).alias("CategoryText"),
     ))
     desc = F.coalesce(fld(13), F.lit(""))
 

@@ -1871,3 +1871,38 @@ input(type="imfile" file="@IN@" ruleset="m")
         r"HKLM\System\CurrentControlSet\Services\TestService"
         r"\ImagePath,NT AUTHORITY\SYSTEM,"
         "3385599 custom_section: fromhost-ip=192.168.45.217"]
+
+
+def test_mmsnareparse_syslog_samples(spark, tmp_path):
+    """mmsnareparse-syslog.sh: the reference's REAL Windows
+    2022/2025 Security sample captures through the parser — EventID/
+    Channel/EventType/CategoryText/Computer content_checks."""
+    data = (open("/root/reference/tests/testsuites/mmsnareparse/"
+                 "sample-windows2022-security.data").read()
+            + open("/root/reference/tests/testsuites/mmsnareparse/"
+                   "sample-windows2025-security.data").read())
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="list") {
+    property(name="$!win!Event!EventID")
+    constant(value=",")
+    property(name="$!win!Event!Channel")
+    constant(value=",")
+    property(name="$!win!Event!EventType")
+    constant(value=",")
+    property(name="$!win!Event!CategoryText")
+    constant(value=",")
+    property(name="$!win!Event!Computer")
+    constant(value="\\n")
+}
+ruleset(name="winsec") {
+    action(type="mmsnareparse")
+    action(type="omfile" file="@OUT@" template="outfmt")
+}
+input(type="imfile" file="@IN@" ruleset="winsec")
+''', data, sub="snsys")
+    lines = out.splitlines()
+    for want in ("4608,Security,Success Audit,Security State Change,"
+                 "WIN-5SB1I3G0V7U",
+                 "4616,Security,Success Audit,Security State Change,"
+                 "WIN-5SB1I3G0V7U"):
+        assert want in lines, (want, lines[:5])
