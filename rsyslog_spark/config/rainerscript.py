@@ -60,7 +60,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<btick>`[^`]*`)
   | (?P<number>-?\d+)
-  | (?P<var>\$[!./]?[A-Za-z0-9_!./-]*(?:\[\d+\][A-Za-z0-9_!./-]*)*)
+  | (?P<var>\$[!./]?[A-Za-z0-9_!./@-]*(?:\[\d+\][A-Za-z0-9_!./@-]*)*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_-]*)
   | (?P<op><=|>=|==|!=|<>|&&|\|\||[-+*/%&(){},;=\[\]<>~:!.@|?^])
   | (?P<prispec>\*\.[*a-z=!0-9,;.*]+)

@@ -281,7 +281,7 @@ def json_unset(json_col: ColumnOrName, path: str) -> Column:
 
 
 #: a JSON string literal (quote-safe tokenizer for jsonc_spaced)
-_JSTR_RE = r'"(?:[^"\\]|\\.)*"'
+_JSTR_RE = r'"[^"\\]*+(?:\\.[^"\\]*+)*+"'
 
 
 def jsonc_spaced(c: ColumnOrName) -> Column:

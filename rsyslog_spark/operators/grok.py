@@ -42,7 +42,7 @@ BASE_PATTERNS: dict[str, str] = {
                          r"(?:Z|[+-][0-9]{2}:?[0-9]{2})?",
     "SYSLOGTIMESTAMP": r"[A-Z][a-z]{2} +[0-9]{1,2} [0-9]{2}:[0-9]{2}:"
                        r"[0-9]{2}",
-    "QUOTEDSTRING": r'"(?:[^"\\]|\\.)*"',
+    "QUOTEDSTRING": r'"[^"\\]*+(?:\\.[^"\\]*+)*+"',
     "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
     "PATH": r"(?:/[\w_%!$@:.,~-]+)+",
 }

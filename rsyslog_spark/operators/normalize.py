@@ -117,7 +117,7 @@ def _type_pattern(ftype: str, extra: str | None) -> str:
             raise ValueError("char-sep needs :C extra")
         return rf"[^{re.escape(_decode_extra(extra))}]*"
     if ftype == "quoted-string":
-        return r'"(?:[^"\\]|\\.)*"'
+        return r'"[^"\\]*+(?:\\.[^"\\]*+)*+"'
     if ftype == "regex":
         if not extra:
             raise ValueError("regex needs :pattern extra")

@@ -88,9 +88,15 @@ def parse_structured_data(sd) -> Column:
     c = rs_str(sd)
     # an element body may contain ']' ESCAPED as '\]' inside param
     # values (RFC5424 §6.3.3 escapes: '"', '\', ']'; golden
-    # mmpstrucdata-escaping.sh bracket="1\]2")
+    # mmpstrucdata-escaping.sh bracket="1\]2").
+    # UNROLLED-LOOP + POSSESSIVE quantifiers: the naive
+    # (?:[^X\\]|\\.)* alternation recurses per character in Java's
+    # regex engine — a 70k-char param value StackOverflowErrors the
+    # executor (mmpstrucdata-large-sd.sh blob). The unrolled form
+    # iterates the group only per ESCAPE, so arbitrary-size values
+    # scan flat — the 100 TB shape too.
     elements = F.regexp_extract_all(
-        c, F.lit(r"\[((?:[^\]\\]|\\.)*)\]"), F.lit(1))
+        c, F.lit(r"\[([^\]\\]*+(?:\\.[^\]\\]*+)*+)\]"), F.lit(1))
 
     def elem_to_entry(e: Column):
         sd_id = F.regexp_extract(e, r"^(\S+)", 1)
@@ -98,7 +104,7 @@ def parse_structured_data(sd) -> Column:
         # pattern, two groups) so their counts can never diverge —
         # separate key/value scans desynced on values containing
         # escaped quotes
-        pair = r'(\S+?)="((?:[^"\\]|\\.)*)"'
+        pair = r'(\S+?)="([^"\\]*+(?:\\.[^"\\]*+)*+)"'
         keys = F.regexp_extract_all(e, F.lit(pair), F.lit(1))
         vals = F.transform(
             F.regexp_extract_all(e, F.lit(pair), F.lit(2)),

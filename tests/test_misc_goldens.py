@@ -1906,3 +1906,44 @@ input(type="imfile" file="@IN@" ruleset="winsec")
                  "4616,Security,Success Audit,Security State Change,"
                  "WIN-5SB1I3G0V7U"):
         assert want in lines, (want, lines[:5])
+
+
+def test_mmpstrucdata_size_goldens(spark, tmp_path):
+    """mmpstrucdata-large-sd.sh: a 70k-char SD param value parses
+    whole (no silent truncation) — EXPECTED 'ok' from the param AFTER
+    the blob. mmpstrucdata-max-sd-size.sh: maxStructuredDataSize=64
+    drops oversized SD while smaller messages still parse — EXPECTED
+    'yes'."""
+    blob = "x" * 70000
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string"
+         string="%$!structured-data!custom-sd!large@32473!tail%\\n")
+ruleset(name="m") {
+  action(type="mmpstrucdata" jsonRoot="$!structured-data"
+         container="custom-sd")
+  if $msg contains "MMPSTRUCDATA" then
+    action(type="omfile" template="outfmt" file="@OUT@")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<85>1 2026-05-22T08:00:00.000+00:00 host app proc msgid "
+     f'[large@32473 blob="{blob}" tail="ok"] MMPSTRUCDATA large sd\n',
+        sub="psd1")
+    assert out == "ok\n"
+
+    out = _run(spark, tmp_path, '''
+template(name="outfmt" type="string"
+         string="%$!structured-data!custom-sd!small@32473!ok%\\n")
+ruleset(name="m") {
+  action(type="mmpstrucdata" jsonRoot="$!structured-data"
+         container="custom-sd" maxStructuredDataSize="64")
+  if $!structured-data!custom-sd!small@32473!ok == "yes" then
+    action(type="omfile" template="outfmt" file="@OUT@")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "<85>1 2026-05-22T08:00:00.000+00:00 host app proc msgid "
+     '[large@32473 blob="'
+     + "x" * 80 +
+     '" tail="skip"] MMPSTRUCDATA too large\n'
+     "<85>1 2026-05-22T08:00:00.000+00:00 host app proc msgid "
+     '[small@32473 ok="yes"] MMPSTRUCDATA accepted\n', sub="psd2")
+    assert out == "yes\n"
