@@ -531,10 +531,12 @@ class _Parser:
                 _JsonfTemplate, compile_template_list)
             if params.get("option.jsonftree", "off").lower() == "on":
                 self.cfg.templates[params["name"]] = \
-                    _JsonfTemplate(params["__elements__"], tree=True)
+                    _JsonfTemplate(params["__elements__"], tree=True,
+                                   casesensitive=cs)
             elif params.get("option.jsonf", "off").lower() == "on":
                 self.cfg.templates[params["name"]] = \
-                    _JsonfTemplate(params["__elements__"])
+                    _JsonfTemplate(params["__elements__"],
+                                   casesensitive=cs)
             else:
                 self.cfg.templates[params["name"]] = \
                     compile_template_list(params["__elements__"],

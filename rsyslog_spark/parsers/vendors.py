@@ -429,8 +429,16 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
 
     event_id = fld(5)
     source = fld(6)
+    # TimeCreated.Normalized: the event time normalized to ISO8601
+    # (mmsnareparse.c time normalization; mmsnareparse-json.sh
+    # '"timecreatednormalized":"2025-02-18T06:42:17...')
+    tnorm = (F.date_format("timereported",
+                           "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+             if "timereported" in df.columns
+             else F.lit(None).cast("string"))
     event_obj = F.to_json(F.struct(
         event_id.alias("EventID"),
+        F.struct(tnorm.alias("Normalized")).alias("TimeCreated"),
         fld(2).alias("Channel"),
         fld(3).alias("SnareCounter"),
         fld(9).alias("EventLogType"),

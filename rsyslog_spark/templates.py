@@ -929,9 +929,14 @@ class _JsonfTemplate:
       dataType number (a string "0" stays)."""
 
     def __init__(self, elements: list[tuple[str, dict]],
-                 tree: bool = False):
+                 tree: bool = False, casesensitive: bool = False):
         self.elements = elements
         self.tree = tree
+        # template.c apply_case_sensitivity: unless
+        # option.casesensitive, VARIABLE property entries fold their
+        # field name (outname) lowercase too — mmsnareparse-json.sh
+        # content-checks '"eventid":...' for outname="EventID"
+        self.casesensitive = casesensitive
         self.source = None
 
     def _fragments(self, df) -> list[tuple[str | None, Column]]:
@@ -960,6 +965,10 @@ class _JsonfTemplate:
             frag = self._prop_fragment(p, df)
             if frag is not None:
                 key = str(p.get("outname", p.get("name")))
+                if not getattr(self, "casesensitive", False) \
+                        and str(p.get("name", "")).lstrip("$") \
+                        .startswith(("!", ".", "/")):
+                    key = key.lower()
                 out.append((key, frag))
         return out
 
@@ -1036,6 +1045,9 @@ class _JsonfTemplate:
         if not name:
             raise ValueError("property() needs name=")
         key = str(p.get("outname", name)).replace('"', '\\"')
+        if not getattr(self, "casesensitive", False) \
+                and str(name).lstrip("$").startswith(("!", ".", "/")):
+            key = key.lower()
         dfmt = p.get("dateFormat", p.get("dateformat"))
         if dfmt:
             # dateformat applies to the property value before the

@@ -1947,3 +1947,26 @@ input(type="imfile" file="@IN@" ruleset="m")
      "<85>1 2026-05-22T08:00:00.000+00:00 host app proc msgid "
      '[small@32473 ok="yes"] MMPSTRUCDATA accepted\n', sub="psd2")
     assert out == "yes\n"
+
+
+def test_mmsnareparse_json_output(spark, tmp_path):
+    """mmsnareparse-json.sh: the win-event tree rendered through an
+    option.jsonf template — variable outnames fold LOWERCASE
+    (template.c apply_case_sensitivity), TimeCreated.Normalized is
+    the ISO8601 event time. All 13 reference content_checks."""
+    import re
+
+    sh = open("/root/reference/tests/mmsnareparse-json.sh").read()
+    msgs = re.search(r"cat <<'MSG' > \S+\n(.*?)\nMSG\n", sh,
+                     re.S).group(1)
+    tpl = re.search(r'(template\(name="jsonfmt".*?\n\})\n', sh,
+                    re.S).group(1)
+    out = _run(spark, tmp_path, tpl + '''
+ruleset(name="m") {
+  action(type="mmsnareparse")
+  action(type="omfile" file="@OUT@" template="jsonfmt")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', msgs + "\n", sub="snj")
+    for want in re.findall(r"content_check '([^']+)'", sh):
+        assert want in out, (want, out[:400])
