@@ -1333,3 +1333,21 @@ def test_fromhost_port_tuple(spark, tmp_path):
         b.stop()
     assert r.fromhost == "127.0.0.1"
     assert r.fromhost_port == my_port
+
+
+def test_imuxsock_trailing_lf(spark, tmp_path):
+    """imuxsock_traillf.sh: a datagram with a trailing LF delivers
+    the message WITHOUT it — EXPECTED ' test' (the reference strips
+    exactly the terminator)."""
+    sp = str(tmp_path / "tb_socket")
+    b = imuxsock(str(tmp_path / "spool"), sock_path=sp,
+                 flush_secs=0.2).start()
+    try:
+        tx = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+        tx.sendto(b"<142>Mar  1 01:00:00 tag:  test\n", sp)
+        tx.close()
+        df = _drain(b, spark, 1)
+        line = df.collect()[0].line
+    finally:
+        b.stop()
+    assert line == "<142>Mar  1 01:00:00 tag:  test"   # LF gone

@@ -1970,3 +1970,49 @@ input(type="imfile" file="@IN@" ruleset="m")
 ''', msgs + "\n", sub="snj")
     for want in re.findall(r"content_check '([^']+)'", sh):
         assert want in out, (want, out[:400])
+
+
+def test_multiple_lookup_tables_independent_reload(spark, tmp_path):
+    """multiple_lookup_tables.sh: two lookup_table objects resolve
+    independently and RELOAD independently — updating table 0's file
+    changes only 0_ values (phase 2), then table 1 catches up (phase
+    3). HUP ≙ the engine's per-run table load; tables and keys from
+    the reference's testsuites verbatim (msg keys keep the leading
+    space — remove.msgFirstSpace=off)."""
+    import shutil
+
+    ref = "/root/reference/tests/testsuites"
+    t0 = tmp_path / "xlate.lkp_tbl"
+    t1 = tmp_path / "xlate_1.lkp_tbl"
+    shutil.copy(f"{ref}/xlate.lkp_tbl", t0)
+    shutil.copy(f"{ref}/xlate.lkp_tbl", t1)
+    conf = f'''
+lookup_table(name="xlate_0" file="{t0}")
+lookup_table(name="xlate_1" file="{t1}")
+template(name="outfmt" type="string"
+         string="- %msg% 0_%$.lkp_0% 1_%$.lkp_1%\\n")
+parser(name="p3164" type="pmrfc3164" remove.msgFirstSpace="off")
+ruleset(name="m" parser="p3164") {{
+  set $.lkp_0 = lookup("xlate_0", $msg);
+  set $.lkp_1 = lookup("xlate_1", $msg);
+  action(type="omfile" file="@OUT@" template="outfmt")
+}}
+input(type="imfile" file="@IN@" ruleset="m")
+'''
+    lines = "".join(
+        f"<13>Mar  1 01:00:00 h tag msgnum:{i:08d}:\n"
+        for i in range(3))
+    out = _run(spark, tmp_path, conf, lines, sub="mlt1")
+    assert "msgnum:00000000: 0_foo_old 1_foo_old" in out
+    assert "msgnum:00000001: 0_bar_old 1_bar_old" in out
+    assert "baz" not in out
+
+    shutil.copy(f"{ref}/xlate_more.lkp_tbl", t0)
+    out = _run(spark, tmp_path, conf, lines, sub="mlt2")
+    assert "msgnum:00000000: 0_foo_new 1_foo_old" in out
+    assert "msgnum:00000001: 0_bar_new 1_bar_old" in out
+    assert "msgnum:00000002: 0_baz" in out and "1_baz" not in out
+
+    shutil.copy(f"{ref}/xlate_more.lkp_tbl", t1)
+    out = _run(spark, tmp_path, conf, lines, sub="mlt3")
+    assert "msgnum:00000002: 0_baz 1_baz" in out
