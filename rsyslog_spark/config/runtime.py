@@ -146,6 +146,11 @@ class ConfigRun:
         for name, ctr in self.action_stats.items():
             kv = " ".join(f"{k}={ctr[k]}" for k in order if k in ctr)
             out.append(f"{name}: origin=core.action {kv}")
+        # the dynstats subsystem's GLOBAL statsobj emits every cycle
+        # even with zero buckets configured (dynstats.c global
+        # counters; golden no-dynstats.sh checks
+        # 'global: origin=dynstats' appears)
+        out.append("global: origin=dynstats")
         if str(self.impstats_conf.get("bracketing", "off")
                ).lower() in ("on", "true", "1"):
             out = ["BEGIN"] + out + ["END"]

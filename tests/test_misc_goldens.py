@@ -2016,3 +2016,25 @@ input(type="imfile" file="@IN@" ruleset="m")
     shutil.copy(f"{ref}/xlate_more.lkp_tbl", t1)
     out = _run(spark, tmp_path, conf, lines, sub="mlt3")
     assert "msgnum:00000002: 0_baz 1_baz" in out
+
+
+def test_impstats_dynstats_global_line(spark, tmp_path):
+    """no-dynstats.sh: the dynstats subsystem's GLOBAL statsobj line
+    ('global: origin=dynstats') emits every impstats cycle even when
+    no dyn_stats buckets are configured; with bracketing it sits
+    inside the BEGIN/END markers."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text("<13>Mar  1 01:00:00 h tag one\n")
+    run = run_config_batch(spark, f'''
+module(load="impstats" bracketing="on")
+ruleset(name="m") {{
+  action(type="omfile" name="out" file="{tmp_path}/out"
+         template="RSYSLOG_FileFormat")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+    lines = run.impstats_lines()
+    assert "global: origin=dynstats" in lines
+    assert lines[0] == "BEGIN" and lines[-1] == "END"
