@@ -2038,3 +2038,35 @@ input(type="imfile" file="{src}" ruleset="m")
     lines = run.impstats_lines()
     assert "global: origin=dynstats" in lines
     assert lines[0] == "BEGIN" and lines[-1] == "END"
+
+
+def test_gzipwr_ziplevel_readback(spark, tmp_path):
+    """gzipwr_rscript.sh (shape): omfile zipLevel>0 writes gzip part
+    files; gunzip of the output yields the exact rendered lines
+    (gzip_seq_check analog)."""
+    import gzip
+
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    lines = "".join(
+        f"<129>Mar 10 01:00:00 h tag msgnum:{i:08d}:\n"
+        for i in range(50))
+    src = tmp_path / "in_gz.log"
+    src.write_text(lines)
+    d = f"{tmp_path}/out_gz"
+    run_config_batch(spark, f'''
+template(name="outfmt" type="string" string="%msg:F,58:2%\\n")
+ruleset(name="m") {{
+  :msg, contains, "msgnum:"
+    action(type="omfile" template="outfmt" zipLevel="6"
+           file="{d}")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+    parts = [p for p in os.listdir(d) if p.startswith("part")]
+    assert parts and all(p.endswith(".gz") for p in parts), parts
+    got = sorted(
+        ln for p in parts
+        for ln in gzip.open(os.path.join(d, p), "rt").read()
+        .splitlines())
+    assert got == [f"{i:08d}" for i in range(50)]
