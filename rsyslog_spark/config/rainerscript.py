@@ -402,6 +402,15 @@ class _Parser:
                 (cfg.modules if kind == "module" else cfg.inputs
                  ).append(params)
                 if kind == "module" and str(params.get(
+                        "load", "")).endswith("mmsnareparse"):
+                    # module-level definition.file / validation.mode
+                    # become defaults for every mmsnareparse action
+                    # in this config (mmsnareparse.c modpblk)
+                    _SNARE_MODULE_PARAMS.clear()
+                    _SNARE_MODULE_PARAMS.update(
+                        {k: v for k, v in params.items()
+                         if k != "load"})
+                if kind == "module" and str(params.get(
                         "load", "")).endswith("omfile") \
                         and params.get("template"):
                     # module(load="builtin:omfile" template=...)
@@ -1615,6 +1624,11 @@ def _load_json_policy(path: str) -> dict:
     return pol
 
 
+# module(load="…mmsnareparse" …) defaults captured at parse time —
+# reset per parse_config() call, applied by the mmsnareparse action
+_SNARE_MODULE_PARAMS: dict = {}
+
+
 def _mm_transform(atype: str, params: dict):
     """Compile an mm* action into an in-place Transform statement —
     the reference's message-modification actions mutate the message
@@ -1885,11 +1899,20 @@ def _mm_transform(atype: str, params: dict):
     if atype == "mmsnareparse":
         from rsyslog_spark.parsers.vendors import mmsnareparse
 
-        def fn_snare(df, _p=p):
+        # module(load="…mmsnareparse" definition.file=… ) params act
+        # as per-action defaults (mmsnareparse.c modpdescr :5356)
+        mp = dict(_SNARE_MODULE_PARAMS)
+        mp.update(p)
+
+        def fn_snare(df, _p=mp):
             return mmsnareparse(
                 df, ignore_trailing_pattern=_p.get(
                     "ignoreTrailingPattern",
-                    _p.get("ignoretrailingpattern")))
+                    _p.get("ignoretrailingpattern")),
+                definition=_p.get("definition.file",
+                                  _p.get("definition.json")),
+                validation_mode=_p.get("validation.mode",
+                                       "permissive"))
         return Transform(atype, _gated_mm(fn_snare))
     if atype == "mmleefparse":
         # LEEF parser action (ref: plugins/mmleefparse/
@@ -1945,10 +1968,20 @@ def _mm_transform(atype: str, params: dict):
         # DIVERGENCE (documented in the operator): the reference
         # replaces each invalid BYTE; Spark strings arrive decoded,
         # so each decoder-emitted U+FFFD is replaced instead.
-        repl = p.get("replacementSequence",
-                     p.get("replacementsequence",
-                           p.get("replacementChar",
-                                 p.get("replacementchar", " "))))
+        rseq = p.get("replacementSequence",
+                     p.get("replacementsequence"))
+        rchar = p.get("replacementChar", p.get("replacementchar"))
+        if rseq is not None and rchar is not None:
+            # mmutf8fix.c:192 RS_RET_CONFIG_ERROR (golden
+            # mmutf8fix_replacement_sequence_conflict.sh)
+            raise ValueError(
+                "mmutf8fix: replacementChar and replacementSequence "
+                "are mutually exclusive")
+        if rseq is not None and str(rseq) == "":
+            raise ValueError(
+                "mmutf8fix: replacementSequence must not be empty")
+        repl = rseq if rseq is not None else (
+            rchar if rchar is not None else " ")
         return Transform(atype, _gated_mm(
             lambda df, _r=str(repl): mmutf8fix(df, replacement=_r),
             touched=("msg",)))
@@ -2154,6 +2187,7 @@ def parse_config(src: str, base_dir: str = ".") -> ParsedConfig:
     """Parse rsyslog.conf text → ParsedConfig (rulesets compiled to
     the plans/ruleset DSL; modules/inputs/templates recorded).
     ``base_dir`` resolves relative include()/$IncludeConfig paths."""
+    _SNARE_MODULE_PARAMS.clear()
     return _Parser(_lex(src), base_dir=base_dir).parse_config()
 
 

@@ -337,60 +337,148 @@ def pmnormalize(df: DataFrame, rulebase: str,
     return normalize(df, rulebase, msg_col=line_col, **kw)
 
 
-#: mmsnareparse description SECTION headers (mmsnareparse.c section
-#: tables; the description tokenizes on 2+-space runs, a known header
-#: token opens a section, everything else is Key/Value pairs)
-_SNARE_SECTIONS = {
-    "Subject": "Subject",
-    "Logon Information": "LogonInformation",
-    "New Logon": "NewLogon",
-    "Process Information": "Process",
-    "Network Information": "Network",
-    "Detailed Authentication Information": "DetailedAuthentication",
-    "Filter Information": "Filter",
-    "Application Information": "Application",
-    "TLS Inspection": "TLSInspection",
-    "Account Information": "AccountInformation",
-    "Account For Which Logon Failed": "AccountForWhichLogonFailed",
-    "Failure Information": "FailureInformation",
-}
+#: single-space ``Key: value`` boundary (parse_key_value_sequence,
+#: mmsnareparse.c:3965-4045): a new key starts at whitespace followed
+#: by an uppercase-initial single alnum word ending in ':' — used as
+#: a SECONDARY split for Sysmon-style descriptions where pairs are
+#: single-space separated (mmsnareparse-sysmon.sh)
+_SNARE_KVRX = r"\s+(?=[A-Z][A-Za-z0-9]*:(\s|$))"
 
-#: LogonType → canonical name (mmsnareparse.c fieldValueLogonType)
-_SNARE_LOGON_TYPES = {
-    "2": "Interactive", "3": "Network", "4": "Batch", "5": "Service",
-    "7": "Unlock", "8": "NetworkCleartext", "9": "NewCredentials",
-    "10": "RemoteInteractive", "11": "CachedInteractive",
-}
+
+def _snare_lit_map(d: dict[str, str]):
+    items = []
+    for k, v in d.items():
+        items += [F.lit(k), F.lit(v)]
+    return F.create_map(*items) if items else None
+
+
+def _snare_route_maps(fields):
+    """Compile a field-pattern list into the three lookup maps of
+    select_field_pattern (mmsnareparse.c:3472), with the resolution
+    ORDER folded in at PLAN TIME so each entry costs two map probes:
+
+    - ``msec``  — "sec\\0key" → route: section-specific patterns,
+      matched against the entry's lexical section (highest rank).
+    - ``m_insec`` — key → route inside any section: generic pattern
+      ('~' = stay in the lexical section) else fallback-to-pattern's
+      -own-section (the Kerberos escape).
+    - ``m_root`` — key → route at Root: generic → EventData, else
+      the EventData-section preference, else fallback.
+
+    Ties keep the FIRST row (the C scan replaces only on
+    strictly-greater priority)."""
+    msec, msec_p = {}, {}
+    mgen, mgen_p = {}, {}
+    medp = {}
+    mfall, mfall_p = {}, {}
+    for canon, vt, sec, prio in fields:
+        if sec is None:
+            if prio > mgen_p.get(canon, -10**9):
+                mgen[canon] = f"~|{vt}"
+                mgen_p[canon] = prio
+            continue
+        key = f"{sec}\x00{canon}"
+        if prio > msec_p.get(key, -10**9):
+            msec[key] = f"{sec}|{vt}"
+            msec_p[key] = prio
+        if sec == "EventData" and canon not in medp:
+            medp[canon] = f"EventData|{vt}"
+        if prio > mfall_p.get(canon, -10**9):
+            mfall[canon] = f"{sec}|{vt}"
+            mfall_p[canon] = prio
+    m_insec, m_root = {}, {}
+    for k in set(mgen) | set(mfall) | set(medp):
+        m_insec[k] = mgen.get(k) or mfall[k]
+        if k in mgen:
+            m_root[k] = "EventData|" + mgen[k].split("|")[1]
+        elif k in medp:
+            m_root[k] = medp[k]
+        else:
+            m_root[k] = mfall[k]
+    return msec, m_insec, m_root
+
+
+# value-validation regexes (is_guid_format mmsnareparse.c:816,
+# is_ip_address :854 — v6 approximated, is_iso8601_timestamp :898
+# — day-in-month approximated to 31, is_windows_event_timestamp :976)
+_SN_GUID_RX = (r"^(\{[0-9A-Fa-f]{8}(-[0-9A-Fa-f]{4}){3}"
+               r"-[0-9A-Fa-f]{12}\}|[0-9A-Fa-f]{8}"
+               r"(-[0-9A-Fa-f]{4}){3}-[0-9A-Fa-f]{12})$")
+_SN_IP4_RX = (r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+              r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$")
+_SN_IP6_RX = (r"^(([0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f]{0,4}"
+              r"|::([0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{0,4})$")
+_SN_ISO_RX = (r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])"
+              r"T([01]\d|2[0-3]):[0-5]\d:([0-5]\d|60)(\.\d+)?"
+              r"([Zz]|[+-]([01]\d|2[0-3])(:?[0-5]\d)?)\s*$")
+_SN_WIN_RX = (r"^(Mon|Tue|Wed|Thu|Fri|Sat|Sun) "
+              r"(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+              r" {1,2}([1-9]|[12]\d|3[01]) ([01]\d|2[0-3]):[0-5]\d"
+              r":([0-5]\d|60) \d{4}$")
+
+
+def _snare_jq(c: Column) -> Column:
+    """JSON-quote a string value: '"escaped"' (via to_json of a
+    1-element array, sliced — exact JSON escaping, JVM-side)."""
+    j = F.to_json(F.array(c))
+    return j.substr(F.lit(2), F.length(j) - 2)
 
 
 def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
-                 ignore_trailing_pattern: str | None = None
-                 ) -> DataFrame:
+                 ignore_trailing_pattern: str | None = None,
+                 definition=None,
+                 validation_mode: str = "permissive") -> DataFrame:
     """Structured Snare/NXLog Windows-event parser (ref: plugins/
-    mmsnareparse/mmsnareparse.c — the 5.7k-LoC original; this is the
-    documented CORE SUBSET: tab header → ``$!win!Event``, description
-    sections → per-section containers, root pairs → ``EventData`` or
-    the source-specific WDAC/WUFB containers, LAPS Context k=v,
-    Remote Credential Guard → ``$!win!Logon``, LogonType
-    canonicalization — everything mmsnareparse-basic.sh checks).
+    mmsnareparse/mmsnareparse.c): tab header → ``$!win!Event`` (with
+    the builtin EventID→Category/Subtype/Outcome table), description
+    sections → per-section containers, every Key/Value routed through
+    the core + event-specific + custom field-pattern tables (section
+    escape, e.g. TicketOptions → ``$!win!Kerberos``), typed values
+    (int64/bool/guid/ip/timestamp — validation failures store the raw
+    string and record ``$!win!Validation!Errors``), placeholder
+    values dropped, LAPS Context k=v, Remote Credential Guard →
+    ``$!win!Logon``, LogonType canonicalization.
 
     The tab-separated Snare payload after ``MSWinEventLog``:
     criticality, Channel, counter, date, EventID, SourceName, user,
     sidtype, EventLogType, Computer, Category, <reserved>,
     description, checksum. The DESCRIPTION tokenizes on 2+-space
-    runs: a known section-header token opens a section; ``Key:``
-    tokens take the next token as value; ``Key: value`` single-space
-    tokens are inline pairs. Pure column ops — the token walk is an
-    O(tokens²) higher-order-function scan per row, bounded by the
-    event text (~40 tokens).
+    runs; tokens carrying 3+ single-space ``Key: value`` pairs
+    (Sysmon style) are sub-split on the single-space key boundary
+    (parse_key_value_sequence). A tab-free payload (the value-types
+    samples) walks the whole text after ``MSWinEventLog`` — header
+    words are bare tokens and drop out of the pair walk naturally.
 
-    ``ignore_trailing_pattern``: text from the first occurrence of
-    the pattern onward is cut BEFORE parsing and stored in
-    ``$!extradata_section`` (mmsnareparse-trailing-extradata.sh).
+    ``definition`` loads a custom table set (path / JSON text /
+    dict — ``definition.file`` / ``definition.json``);
+    ``ignore_trailing_pattern`` cuts the trailing extra-data tab
+    token to ``$!extradata_section`` before parsing;
+    ``validation_mode`` is accepted for config parity (strict-mode
+    message rejection is not modeled — errors always record and
+    values fall back, the reference's permissive default).
+
+    Scale: pure column ops; the token walk is an O(tokens²)
+    higher-order-function scan per row bounded by the event text, and
+    the routed-entry array is MATERIALIZED once so the ~300-literal
+    routing maps appear a single time in the plan.
     """
-    from rsyslog_spark.plans.ruleset import fold_var
-
     from rsyslog_spark.expr import rs_str
+    from rsyslog_spark.parsers.snare_tables import (
+        SNARE_BUILTIN_SECTIONS, SNARE_CORE_FIELDS, SNARE_EVENTS,
+        SNARE_EVENT_FIELDS, SNARE_LOGON_TYPES, SNARE_PLACEHOLDERS,
+        load_snare_definitions)
+
+    defs = load_snare_definitions(definition) if definition else None
+    sections = list(SNARE_BUILTIN_SECTIONS)
+    fields = list(SNARE_CORE_FIELDS)
+    event_fields = {k: list(v) for k, v in SNARE_EVENT_FIELDS.items()}
+    events = dict(SNARE_EVENTS)
+    if defs:
+        sections += defs["sections"]
+        fields += defs["fields"]
+        for eid, rows in defs["event_fields"].items():
+            event_fields[eid] = rows + event_fields.get(eid, [])
+        events.update(defs["events"])
 
     m = rs_str(F.col(msg_col))
     # the Snare marker may have been eaten by the HEADER parse (a
@@ -420,7 +508,15 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
             F.lit(1), F.length(m) - F.length(last_tok) - 1)) \
             .otherwise(m)
 
-    tabs = F.split(m, "\t")
+    # MATERIALIZE the message + its tab split: fld() is referenced
+    # ~15x (event fields, desc, event-id routing) and an inline
+    # `split(m, tab)` expression re-splits the full message at EVERY
+    # reference (jstack showed all workers in UTF8String.split — this
+    # was ~40s of fixed wall per query at sf0.1)
+    out = out.withColumn("__snare_m", m)
+    m = F.col("__snare_m")
+    out = out.withColumn("__snare_tabs", F.split(m, "\t"))
+    tabs = F.col("__snare_tabs")
     base = F.array_position(tabs, "MSWinEventLog").cast("int")
     ok = base > 0
 
@@ -429,6 +525,30 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
 
     event_id = fld(5)
     source = fld(6)
+    # event id as int, materialized — consulted per ENTRY by the
+    # event-specific routing maps
+    _eid_t = F.trim(F.coalesce(event_id, F.lit("")))
+    out = out.withColumn(
+        "__snare_eid",
+        F.when(_eid_t.rlike(r"^\d{1,9}$"), _eid_t).cast("int"))
+    eid_i = F.col("__snare_eid")
+
+    # EventID → Category/Subtype/Outcome (apply_event_mapping,
+    # mmsnareparse.c:3851; outcome falls back to derive_outcome over
+    # the audit-result token :3765)
+    mcat = _snare_lit_map({str(k): v[0] for k, v in events.items()
+                           if v[0]})
+    msub = _snare_lit_map({str(k): v[1] for k, v in events.items()
+                           if v[1]})
+    mout = _snare_lit_map({str(k): v[2] for k, v in events.items()
+                           if v[2]})
+    audit = F.lower(F.coalesce(fld(9), F.lit("")))
+    derived = (F.when(audit.contains("success"), "success")
+               .when(audit.contains("fail"), "failure")
+               .when(audit.contains("error"), "error")
+               .when(audit.contains("warning"), "warning")
+               .when(audit.contains("information"), "information"))
+    ev_key = F.trim(F.coalesce(event_id, F.lit("")))
     # TimeCreated.Normalized: the event time normalized to ISO8601
     # (mmsnareparse.c time normalization; mmsnareparse-json.sh
     # '"timecreatednormalized":"2025-02-18T06:42:17...')
@@ -447,81 +567,252 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
         fld(9).alias("EventType"),
         source.alias("SourceName"),
         fld(10).alias("Computer"),
-        fld(11).alias("Category"),
+        # Category comes ONLY from the event mapping — the tab field
+        # populates CategoryText (apply_event_mapping :3854)
+        (F.element_at(mcat, ev_key) if mcat is not None
+         else F.lit(None).cast("string")).alias("Category"),
         fld(11).alias("CategoryText"),
+        (F.element_at(msub, ev_key) if msub is not None
+         else F.lit(None).cast("string")).alias("Subtype"),
+        F.coalesce(F.element_at(mout, ev_key) if mout is not None
+                   else F.lit(None).cast("string"),
+                   derived).alias("Outcome"),
     ))
-    desc = F.coalesce(fld(13), F.lit(""))
+    # tab-free payloads (mmsnareparse-value-types.sh samples) walk
+    # the whole text after MSWinEventLog: header words become bare
+    # tokens and drop out of the pair walk
+    desc = F.when(ok, F.coalesce(fld(13), F.lit(""))) \
+        .when(m.contains("MSWinEventLog"), m).otherwise(F.lit(""))
 
     # ---- tokenize + section walk (all higher-order column fns) ----
     # NB: transform(arr, F.trim) would call trim(elem, INDEX) — the
     # two-arg TRIM strips the index's DIGITS off the token ends
-    toks = F.filter(
+    toks1 = F.filter(
         F.transform(F.split(desc, r"\s{2,}"), lambda t: F.trim(t)),
         lambda t: t != "")
-    n = F.size(toks)
-    idx = F.when(n > 0, F.sequence(F.lit(1), n)) \
-        .otherwise(F.array().cast("array<int>"))
-    sec_names = list(_SNARE_SECTIONS)
+    # secondary split: Sysmon-style single-space 'Key: value' runs
+    # (>= 3 pieces means a real multi-pair token, not a value that
+    # merely contains one 'Word:' sequence). The split result is
+    # bound through an inner transform so the regex runs ONCE per
+    # token (size check + use).
+    toks = F.flatten(F.transform(
+        F.transform(toks1, lambda t: F.struct(
+            t.alias("t"), F.split(t, _SNARE_KVRX).alias("sp"))),
+        lambda s: F.when(
+            F.size(s["sp"]) >= 3,
+            F.filter(F.transform(s["sp"], lambda p: F.trim(p)),
+                     lambda p: p != ""))
+        .otherwise(F.array(s["t"]))))
 
-    def tok(i):
-        return F.element_at(toks, i)
+    # section descriptors: exact or trailing-* wildcard header match
+    # (section_pattern_matches, mmsnareparse.c:2825); only 'std'
+    # behavior opens a walk section — inline/semi/list headers stay
+    # ordinary Key: tokens handled by their special paths below.
+    # PERF: all per-token classification (section canonical, inline /
+    # key-only flags, cleaned key, inline value) happens ONCE in the
+    # materialized __snare_toks struct array — the O(tokens²)
+    # section/consume walk below then touches only cheap struct
+    # fields. (The first cut re-ran the descriptor regex chain inside
+    # the n² loop: ~50x slower at sf0.1.)
+    std_secs = [(p, c) for p, c, b in sections if b == "std"]
 
-    def is_section(t):
-        return F.rtrim(t).isin(*[s + ":" for s in sec_names])
+    def _base_info(t):
+        return F.struct(
+            t.alias("t"),
+            F.regexp_replace(t, ":$", "").alias("name"),
+            t.endswith(":").alias("ends"),
+            t.rlike(r"^[A-Za-z][^:]*: \S").alias("inl"),
+            t.rlike(r"^[A-Za-z][^:]*:$").alias("ko0"),
+        )
 
-    def section_of(i):
-        # last section header at or before i (O(n) filter per token)
-        prior = F.filter(idx, lambda j: (j <= i)
-                         & is_section(F.element_at(toks, j)))
-        return F.when(
-            F.size(prior) > 0,
-            F.rtrim(F.element_at(toks, F.element_at(prior, -1)))
-        ).otherwise(F.lit("Root:"))
+    def _enrich(e):
+        sec = F.lit(None).cast("string")
+        for pat, canon in reversed(std_secs):
+            if pat.endswith("*"):
+                cond = F.lower(e["name"]).startswith(
+                    pat[:-1].lower())
+            else:
+                cond = e["name"] == pat
+            sec = F.when(e["ends"] & cond, F.lit(canon)) \
+                .otherwise(sec)
+        # keys canonicalize like normalize_label (mmsnareparse.c:
+        # 1057): parenthesised runs drop, non-alphanumerics collapse
+        # ("Pre-Authentication Type" → PreAuthenticationType)
+        key0 = F.when(e["inl"],
+                      F.regexp_extract(e["t"], r"^([^:]*):", 1)) \
+            .when(e["ko0"], F.rtrim(e["name"]))
+        return F.struct(
+            e["t"].alias("t"),
+            sec.alias("sec"),
+            (e["inl"] & sec.isNull()).alias("inl"),
+            (e["ko0"] & sec.isNull()).alias("ko"),
+            F.regexp_replace(
+                F.regexp_replace(key0, r"\s*\([^)]*\)", ""),
+                r"[^A-Za-z0-9]+", "").alias("k"),
+            F.regexp_extract(e["t"], r"^[^:]*: (.*)$", 1)
+            .alias("iv"),
+        )
+
+    out = out.withColumn(
+        "__snare_toks",
+        F.transform(F.transform(toks, _base_info), _enrich))
+    info = F.col("__snare_toks")
 
     # per-token (section, key, value) — null when the token is a
-    # section header or a consumed value
-    def entry_of(i):
-        t = tok(i)
-        nxt = F.element_at(toks, F.least(i + 1, n))
-        prev = F.element_at(toks, F.greatest(i - 1, F.lit(1)))
-        inline = t.rlike(r"^[A-Za-z][^:]*: \S")
-        key_only = t.rlike(r"^[A-Za-z][^:]*:$") & ~is_section(t)
-        # a bare token is a VALUE if the previous token was key-only
-        consumed = prev.rlike(r"^[A-Za-z][^:]*:$") \
-            & ~is_section(prev) & (i > 1)
-        key = F.when(inline,
-                     F.regexp_extract(t, r"^([^:]*):", 1)) \
-            .when(key_only, F.rtrim(F.regexp_replace(t, ":$", "")))
-        val = F.when(inline, F.regexp_extract(t, r"^[^:]*: (.*)$", 1)) \
-            .when(key_only & (i < n)
-                  & ~nxt.rlike(r"^[A-Za-z][^:]*:( \S.*)?$"),
-                  nxt) \
-            .when(key_only, F.lit(""))
+    # section header or a consumed bare value. Iterates the
+    # MATERIALIZED info column with transform's index arg — no
+    # reference back to the raw tokenizer expressions (idx/n over
+    # `toks` would re-tokenize per element: n× the split work).
+    def entry_of(e, i0):
+        i = i0 + F.lit(1)
+        nfo = F.size(info)
+        nxt = F.element_at(info, F.least(i + 1, nfo))
+        prev = F.element_at(info, F.greatest(i - 1, F.lit(1)))
+        consumed = prev["ko"] & (i > 1)
+        # last section header at or before i (O(i), cheap fields)
+        priors = F.filter(F.slice(info, 1, i),
+                          lambda x: x["sec"].isNotNull())
+        sec = F.when(F.size(priors) > 0,
+                     F.element_at(priors, -1)["sec"]) \
+            .otherwise(F.lit("Root"))
+        nxt_keyish = nxt["inl"] | nxt["ko"] | nxt["sec"].isNotNull()
+        val = F.when(e["inl"], e["iv"]) \
+            .when(e["ko"] & (i < nfo) & ~nxt_keyish, nxt["t"]) \
+            .when(e["ko"], F.lit(""))
         return F.when(
-            key.isNotNull() & ~consumed,
-            F.struct(F.regexp_replace(section_of(i), ":$", "")
-                     .alias("sec"),
-                     F.regexp_replace(
-                         F.regexp_replace(key, r"\s*\([^)]*\)", ""),
-                         r"\s+", "").alias("k"),
+            (e["inl"] | e["ko"]) & ~consumed,
+            F.struct(sec.alias("sec"), e["k"].alias("k"),
                      F.coalesce(val, F.lit("")).alias("v")))
 
     # MATERIALIZE the token-walk result as one column: every section
     # container references it, and inlining the O(tokens²) walk into
-    # each of the ~12 container expressions multiplied the plan tree
-    # ~12x (minutes of analyzer time per query)
+    # each of the ~25 container expressions multiplied the plan tree
+    # (minutes of analyzer time per query)
     out = out.withColumn(
         "__snare_entries",
-        F.filter(F.transform(idx, entry_of),
+        F.filter(F.transform(info, entry_of),
                  lambda e: e.isNotNull()))
     entries = F.col("__snare_entries")
 
-    def section_map(section: str):
-        sec = F.filter(entries, lambda e: e["sec"] == section)
+    # ---- field routing (select_field_pattern mmsnareparse.c:3472:
+    # section-match > generic > root-EventData-preference > fallback
+    # to the pattern's own section; event-specific tables override).
+    # Resolution order is folded into the maps at plan time — two
+    # probes per entry (plus the tiny per-event maps when active).
+    msec_d, insec_d, root_d = _snare_route_maps(fields)
+    m_sec = _snare_lit_map(msec_d)
+    m_insec = _snare_lit_map(insec_d)
+    m_root = _snare_lit_map(root_d)
+    ev_maps = {}
+    for eid, rows in event_fields.items():
+        es, ei, er = _snare_route_maps(rows)
+        ev_maps[eid] = (_snare_lit_map(es), _snare_lit_map(ei),
+                        _snare_lit_map(er))
+
+    lt_map = _snare_lit_map(SNARE_LOGON_TYPES)
+    _none = F.lit(None).cast("string")
+
+    def _elem(mp, key):
+        return F.element_at(mp, key) if mp is not None else _none
+
+    def route_of(sec, k):
+        seckey = F.concat(sec, F.lit("\x00"), k)
+        is_root = sec == "Root"
+        # event-specific override first (NOTE: with the shipped
+        # tables no event-table key collides with a core GENERIC
+        # pattern, so the C's generic-beats-event-fallback nuance
+        # cannot change an answer here)
+        parts = []
+        for eid, (es, ei, er) in ev_maps.items():
+            hit = F.coalesce(
+                _elem(es, seckey),
+                F.when(is_root, _elem(er, k))
+                .otherwise(_elem(ei, k)))
+            parts.append(F.when(eid_i == eid, hit))
+        return F.coalesce(
+            *parts,
+            _elem(m_sec, seckey),
+            F.when(is_root, _elem(m_root, k))
+            .otherwise(_elem(m_insec, k)),
+            F.lit("~|str"))
+
+    def routed_of(e):
+        sec, k, v = e["sec"], e["k"], e["v"]
+        route = route_of(sec, k)
+        target0 = F.split_part(route, F.lit("|"), F.lit(1))
+        vt = F.split_part(route, F.lit("|"), F.lit(2))
+        target = F.when(target0 == "~",
+                        F.when(sec == "Root", F.lit("EventData"))
+                        .otherwise(sec)).otherwise(target0)
+        # special targets: RCG → $!win!Logon (inline-section
+        # behavior, handle_inline_remote_credential_guard);
+        # Privileges list → PrivilegeList; LAPS handled separately
+        target = F.when(vt == "rcg", F.lit("Logon")) \
+            .when(vt == "priv", F.lit("Privileges")) \
+            .otherwise(target)
+        lv = F.lower(v)
+        placeholder = lv.isin(*SNARE_PLACEHOLDERS) | (v == "")
+        num_ok = v.rlike(r"^[+-]?\d{1,18}$")
+        bool_t = lv.isin("true", "yes", "enabled", "on") | (v == "1")
+        bool_f = lv.isin("false", "no", "disabled", "off") \
+            | (v == "0")
+        guid_ok = v.rlike(_SN_GUID_RX)
+        ip_ok = v.rlike(_SN_IP4_RX) | v.rlike(_SN_IP6_RX)
+        ts_ok = v.rlike(_SN_ISO_RX) | v.rlike(_SN_WIN_RX)
+        err = (F.when((vt == "guid") & ~guid_ok,
+                      F.concat(k, F.lit(": invalid GUID")))
+               .when((vt == "ip") & ~ip_ok,
+                     F.concat(k, F.lit(": invalid IP address")))
+               .when((vt == "ts") & ~ts_ok,
+                     F.concat(k, F.lit(": invalid timestamp")))
+               .when(vt.isin("int", "intraw") & ~num_ok,
+                     F.concat(k, F.lit(": expected integer")))
+               .when((vt == "bool") & ~(bool_t | bool_f),
+                     F.concat(k, F.lit(": expected boolean")))
+               .when((vt == "logon") & ~num_ok,
+                     F.concat(k, F.lit(": invalid logon type"))))
+        k_out = (F.when((vt == "intraw") & ~num_ok,
+                        F.concat(k, F.lit("Raw")))
+                 .when(vt == "priv", F.lit("PrivilegeList"))
+                 .otherwise(k))
+        # ANSI-safe: the cast input is nulled when not numeric (the
+        # When guard alone doesn't stop eval of the branch expr)
+        ival = F.when(num_ok, v).cast("long").cast("string")
+        val_json = (F.when(vt.isin("int", "intraw", "logon")
+                           & num_ok, ival)
+                    .when(vt.isin("bool", "rcg") & bool_t,
+                          F.lit("true"))
+                    .when(vt.isin("bool", "rcg") & bool_f,
+                          F.lit("false"))
+                    .otherwise(_snare_jq(v)))
+        pj = F.concat(F.lit('"'), k_out, F.lit('":'), val_json)
+        ltname = (F.element_at(lt_map, ival)
+                  if lt_map is not None else F.lit(None))
+        pj = F.when((vt == "logon") & num_ok & ltname.isNotNull(),
+                    F.concat(pj, F.lit(',"LogonTypeName":"'),
+                             ltname, F.lit('"'))).otherwise(pj)
         return F.when(
-            F.size(sec) > 0,
-            F.to_json(F.map_from_entries(F.transform(
-                sec, lambda e: F.struct(e["k"], e["v"])))))
+            ~placeholder & (k != "LAPSContext"),
+            F.struct(target.alias("t"), k_out.alias("k"),
+                     pj.alias("pj"), err.alias("err")))
+
+    out = out.withColumn(
+        "__snare_routed",
+        F.filter(F.transform(entries, routed_of),
+                 lambda e: e.isNotNull()))
+    routed = F.col("__snare_routed")
+    # keep-LAST duplicate semantics (json_object_object_add replaces)
+    out = out.withColumn(
+        "__snare_ri",
+        F.transform(routed, lambda e, i: F.struct(
+            e["t"].alias("t"), e["k"].alias("k"),
+            e["pj"].alias("pj"), i.alias("i"))))
+    ri = F.col("__snare_ri")
+    keep = F.filter(ri, lambda x: F.size(F.filter(
+        ri, lambda y: (y["t"] == x["t"]) & (y["k"] == x["k"])
+        & (y["i"] > x["i"]))) == 0)
+    out = out.withColumn("__snare_keep", keep)
+    kept = F.col("__snare_keep")
 
     def container(colname: str, path: str, col):
         nonlocal out
@@ -529,40 +820,58 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
             colname, metadata={"rs_path": path, "rs_json": True}))
 
     container("cee_win_event", "$!win!Event", F.when(ok, event_obj))
-    for ref_sec, cont in _SNARE_SECTIONS.items():
-        container(f"cee_win_{cont.lower()}", f"$!win!{cont}",
-                  _snare_section_post(cont, section_map(ref_sec)))
-    root_map = F.filter(entries, lambda e: (e["sec"] == "Root")
-                        & (e["k"] != "LAPSContext")
-                        & (e["k"] != "RemoteCredentialGuard"))
-    root_obj = F.when(F.size(root_map) > 0, F.to_json(
-        F.map_from_entries(F.transform(
-            root_map, lambda e: F.struct(e["k"], e["v"])))))
-    # source-specific root containers (mmsnareparse.c event tables):
-    # CodeIntegrity → WDAC, WindowsUpdateClient → WUFB, else the
-    # generic EventData bucket
-    container("cee_win_wdac", "$!win!WDAC",
-              F.when(source == "Microsoft-Windows-CodeIntegrity",
-                     root_obj))
-    container("cee_win_wufb", "$!win!WUFB",
-              F.when(source == "Microsoft-Windows-WindowsUpdateClient",
-                     root_obj))
-    container("cee_win_eventdata", "$!win!EventData",
-              F.when(~source.isin("Microsoft-Windows-CodeIntegrity",
-                                  "Microsoft-Windows-WindowsUpdateClient"),
-                     root_obj))
-    # Remote Credential Guard root pair → $!win!Logon (boolean)
-    rcg = F.filter(entries,
-                   lambda e: e["k"] == "RemoteCredentialGuard")
-    container("cee_win_logon", "$!win!Logon", F.when(
-        F.size(rcg) > 0,
-        F.concat(F.lit('{"RemoteCredentialGuard":"'),
-                 F.when(F.lower(F.element_at(rcg, 1)["v"])
-                        .isin("enabled", "true", "yes", "1"),
-                        F.lit("true")).otherwise(F.lit("false")),
-                 F.lit('"}'))))
-    # LAPS Context: 'K=V; K2=V2' root pair → $!win!LAPS, True/False
-    # lowercased (fieldValueBoolean canonical form)
+
+    targets = sorted({c for _p, c, b in sections if b == "std"}
+                     | {sec for _k, _v, sec, _p in fields
+                        if sec is not None}
+                     | {sec for rows in event_fields.values()
+                        for _k, _v, sec, _p in rows if sec is not None}
+                     | {"EventData", "Logon", "Privileges"})
+    targets = [t for t in targets if t not in ("LAPS",)]
+    # ONE pass over the (few) targets actually present in the row —
+    # a map target → assembled JSON object; the ~25 plan-time
+    # container columns then read it with a cheap map probe instead
+    # of each rescanning the entry array (interpreted-eval hot path)
+    present = F.array_distinct(F.transform(kept, lambda e: e["t"]))
+    out = out.withColumn(
+        "__snare_objs",
+        F.map_from_entries(F.transform(present, lambda t: F.struct(
+            t.alias("t"),
+            F.concat(
+                F.lit("{"),
+                F.array_join(F.transform(
+                    F.filter(kept, lambda e: e["t"] == t),
+                    lambda e: e["pj"]), ","),
+                F.lit("}")).alias("obj")))))
+    objs = F.col("__snare_objs")
+    for cname in targets:
+        container(f"cee_win_{cname.lower()}", f"$!win!{cname}",
+                  F.element_at(objs, cname))
+
+    # validation errors → $!win!Validation!Errors
+    # (handle_parsing_error, mmsnareparse.c:3778 '%s: %s')
+    errs = F.filter(F.transform(routed, lambda e: e["err"]),
+                    lambda x: x.isNotNull())
+    container("cee_win_validation", "$!win!Validation", F.when(
+        F.size(errs) > 0,
+        F.concat(F.lit('{"Errors":['),
+                 F.array_join(F.transform(errs, _snare_jq), ","),
+                 F.lit("]}"))))
+
+    # Summary: first description token that is prose (no colon) —
+    # tab path only (parse_line summary branch)
+    first_tok = F.element_at(
+        info, F.least(F.size(info), F.lit(1)))["t"]
+    summary = F.when(
+        ok & (F.size(info) > 0) & ~first_tok.contains(":")
+        & first_tok.contains(" "), first_tok)
+    out = out.withColumn(
+        "cee_win_summary",
+        summary.alias("cee_win_summary",
+                      metadata={"rs_path": "$!win!Summary"}))
+
+    # LAPS Context: 'K=V; K2=V2' pair → $!win!LAPS, True/False
+    # lowercased (parse_semicolon_sequence + CredentialRotation bool)
     laps = F.filter(entries, lambda e: e["k"] == "LAPSContext")
     laps_pairs = F.filter(
         F.transform(
@@ -585,22 +894,10 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
     container("cee_win_laps", "$!win!LAPS", F.when(
         F.size(laps) > 0,
         F.to_json(F.map_from_entries(laps_pairs))))
-    return out.drop("__snare_entries")
-
-
-def _snare_section_post(container: str, obj_json):
-    """Section post-processing: LogonInformation gains the canonical
-    LogonTypeName derived from LogonType (mmsnareparse.c
-    fieldValueLogonType)."""
-    if container != "LogonInformation":
-        return obj_json
-    lt = F.get_json_object(obj_json, "$.LogonType")
-    name = None
-    for num, nm in _SNARE_LOGON_TYPES.items():
-        c = F.when(lt == num, F.lit(nm))
-        name = c if name is None else F.coalesce(name, c)
-    return F.when(
-        obj_json.isNotNull() & lt.isNotNull() & name.isNotNull(),
-        F.concat(F.regexp_replace(obj_json, r"\}$", ""),
-                 F.lit(',"LogonTypeName":"'), name, F.lit('"}'))
-    ).otherwise(obj_json)
+    import os
+    if os.environ.get("RSYSLOG_SPARK_SNARE_DEBUG"):
+        return out  # keep intermediate walk columns for profiling
+    return out.drop("__snare_m", "__snare_tabs", "__snare_eid",
+                    "__snare_toks", "__snare_entries",
+                    "__snare_routed", "__snare_ri", "__snare_keep",
+                    "__snare_objs")

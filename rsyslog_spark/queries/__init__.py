@@ -170,12 +170,13 @@ def collect_all() -> dict[str, Query]:
 #: action_exec_controls, dynstats_hourly, top_revenue_orders,
 #: training_pipeline_e2e, multimodal_battery, doc_repetition_filter,
 #: exact_substring_dedup, similarity_topk_ivf, semantic_dedup.
-_TAIL = ("flagship_parse_route",
-         "rfc5424_roundtrip_fields",
-         "faup_url_decompose",
-         "template_render", "scalar_battery",
-         "scalar_battery_misc", "json_tree_battery",
-         "lookup_battery", "vendor_parse_pair",
+#: r8 rotation: the 8 LONGEST-parked queries (r2/r3-green cohort:
+#: flagship_parse_route, rfc5424_roundtrip_fields, faup_url_decompose,
+#: template_render, scalar_battery, scalar_battery_misc,
+#: json_tree_battery, lookup_battery) re-enter the window for fresh
+#: driver verification; 9 r6+r7-green window queries take tail slots
+#: to make room for them plus the NEW mmsnareparse_win_event oracle.
+_TAIL = ("vendor_parse_pair",
          "lookup_sparse",
          "mm_seq_count", "text_battery",
          "pricing_summary",
@@ -197,7 +198,13 @@ _TAIL = ("flagship_parse_route",
          # parked r7 wave 3 (green r1+r2+r6, body unchanged since its
          # r6 driver verification) — room for the NEW
          # imkubernetes_cri_reassembly
-         "mmanon_embedded")
+         "mmanon_embedded",
+         # parked r8 (green r6+r7, bodies untouched) — room for the
+         # 8 rotated-back r2/r3-cohort queries + mmsnareparse_win_event
+         "pri_filter_selectors", "rs_expr_battery", "field_extract",
+         "ruleset_route_fanout", "mmfields_split",
+         "mmpstrucdata_parse", "foreach_explode_sum",
+         "similarity_knn_join", "text_lang_id")
 
 
 def tail_body_hash(q: Query) -> str:

@@ -1104,3 +1104,96 @@ def imkubernetes_cri_reassembly(spark, sf_dir):
     return out.select(
         "srcfile", "stream", F.col("grp").cast("long").alias("grp"),
         "full_msg", F.col("n_frags").cast("long").alias("n_frags"))
+
+
+@q(
+    "mmsnareparse_win_event",
+    """
+    SELECT CASE WHEN event_id % 2 = 0 THEN 'success' ELSE 'failure'
+           END AS outcome,
+           COUNT(*) AS cnt,
+           CAST(SUM(50000 + event_id % 999) AS BIGINT) AS sum_port,
+           CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS bad_guids,
+           CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_badraw,
+           COUNT(DISTINCT event_id % 4) AS n_ltn,
+           CAST(SUM(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_interactive,
+           COUNT(DISTINCT event_id % 16) AS n_topt,
+           COUNT(DISTINCT CAST(user_id % 200 AS VARCHAR) || '.'
+                 || CAST(event_id % 250 AS VARCHAR)) AS n_ip
+    FROM events GROUP BY 1
+    """,
+    doc="mmsnareparse end-to-end: rendered Snare tab headers + a full "
+        "description section walk per row — EventID→Outcome mapping "
+        "(g_eventMappings), LogonType canonicalization, NewLogon GUID "
+        "validation (invalid → raw string + Validation!Errors), "
+        "Network int64 SourcePort, ip typing, and the Additional "
+        "Information → Kerberos section escape (ref: plugins/"
+        "mmsnareparse/mmsnareparse.c:197-383,3472; tests/"
+        "mmsnareparse-{basic,kerberos,value-types}.sh).",
+)
+def mmsnareparse_win_event(spark, sf_dir):
+    from rsyslog_spark.parsers.vendors import mmsnareparse
+
+    ev = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    uid = F.col("user_id")
+    win_id = F.when(eid % 2 == 0, F.lit("4624")) \
+        .otherwise(F.lit("4625"))
+    lt = ((eid % 4) + 2).cast("string")
+    port = (eid % 999 + 50000).cast("string")
+    ip = F.concat(F.lit("10."), (uid % 200).cast("string"),
+                  F.lit(".0."), (eid % 250).cast("string"))
+    guid = F.when(eid % 3 == 0, F.lit("not-a-guid")).otherwise(
+        F.concat(F.lit("{5a8f0679-9b23-4cb7-a8c7-"),
+                 F.lpad((eid % 100000).cast("string"), 12, "0"),
+                 F.lit("}")))
+    topt = F.concat(F.lit("0x"),
+                    F.conv((eid % 16).cast("string"), 10, 16))
+    msg = F.concat(
+        F.lit("MSWinEventLog\t1\tSecurity\t"), eid.cast("string"),
+        F.lit("\tTue Feb 18 06:42:17 2025\t"), win_id,
+        F.lit("\tMicrosoft-Windows-Security-Auditing\tN/A\tN/A\t"),
+        F.when(eid % 2 == 0, F.lit("Success Audit"))
+        .otherwise(F.lit("Failure Audit")),
+        F.lit("\tHOST-01\tLogon\t\tAn account logon was processed."
+              "    Subject:   Security ID:  S-1-5-18"
+              "    Logon Information:   Logon Type:  "), lt,
+        F.lit("    New Logon:   Account Name:  U"),
+        (uid % 50).cast("string"),
+        F.lit("   Logon GUID:  "), guid,
+        F.lit("    Network Information:"
+              "   Source Network Address: "), ip,
+        F.lit("   Source Port:  "), port,
+        F.lit("    Additional Information:   Ticket Options:  "),
+        topt,
+        F.lit("\t"), eid.cast("string"))
+    parsed = mmsnareparse(ev.select(msg.alias("msg")))
+
+    def j(c, p):
+        return F.get_json_object(F.col(c), p)
+
+    return parsed.select(
+        j("cee_win_event", "$.Outcome").alias("outcome"),
+        j("cee_win_logoninformation", "$.LogonTypeName").alias("ltn"),
+        j("cee_win_newlogon", "$.LogonGUID").alias("guid"),
+        j("cee_win_network", "$.SourcePort").cast("long")
+        .alias("port"),
+        j("cee_win_network", "$.SourceNetworkAddress").alias("srcip"),
+        j("cee_win_kerberos", "$.TicketOptions").alias("topt"),
+        F.col("cee_win_validation").isNotNull().cast("long")
+        .alias("bad"),
+    ).groupBy("outcome").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("port").alias("sum_port"),
+        F.sum("bad").alias("bad_guids"),
+        F.sum((F.col("guid") == "not-a-guid").cast("long"))
+        .alias("n_badraw"),
+        F.countDistinct("ltn").alias("n_ltn"),
+        F.sum((F.col("ltn") == "Interactive").cast("long"))
+        .alias("n_interactive"),
+        F.countDistinct("topt").alias("n_topt"),
+        F.countDistinct("srcip").alias("n_ip"),
+    )

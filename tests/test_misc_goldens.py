@@ -1861,6 +1861,7 @@ def test_mmsnareparse_trailing_extradata(spark, tmp_path):
     out = _run(spark, tmp_path, tpl + '''
 ruleset(name="m") {
   action(type="mmsnareparse"
+         definition.file="/root/reference/plugins/mmsnareparse/sysmon_definitions.json"
          ignoreTrailingPattern="custom_section:")
   action(type="omfile" file="@OUT@" template="outfmt")
 }
