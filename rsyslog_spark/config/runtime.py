@@ -197,6 +197,13 @@ def _apply_escape_on_receive(lines: DataFrame, cfg: ParsedConfig
            "parser.escapecontrolcharactersonreceive")
     b8 = d("escape8bitcharactersonreceive",
            "parser.escape8bitcharactersonreceive")
+    cstyle = d("parser.escapecontrolcharacterscstyle")
+    if cstyle and cc is None:
+        # asking for C-STYLE escaping implies escaping (the reference
+        # default for EscapeControlCharactersOnReceive is ON; the
+        # engine's divergent default is off — pmsnare-cccstyle.sh
+        # enables only the cstyle switch)
+        cc = True
     if not cc and not b8:
         return lines
     tab = d("escapecontrolcharactertab",
@@ -205,7 +212,64 @@ def _apply_escape_on_receive(lines: DataFrame, cfg: ParsedConfig
     return lines.withColumn(
         "line", escape_on_receive(
             F.col("line"), controlchars=bool(cc), bit8=bool(b8),
-            tab=tab if tab is not None else True))
+            tab=tab if tab is not None else True,
+            cstyle=bool(cstyle)))
+
+
+def _apply_snare_prestage(lines: DataFrame, cfg: ParsedConfig,
+                          ruleset: str) -> DataFrame:
+    """pmsnare as a ruleset parser (contrib/pmsnare/pmsnare.c
+    BEGINparse2): when ``ruleset(parser=[..])`` lists
+    ``rsyslog.snare``, Snare wire lines are FIXED UP before the
+    normal chain parses them — the tab (in its post-sanitization
+    representation: '#011' by default, '\\t' under
+    escapeControlCharactersCStyle, a raw TAB with escaping off)
+    between hostname and the Snare tag, and the tab after the tag,
+    each become one space. The chain then proceeds exactly as the
+    reference's parser list does (pmsnare always returns
+    COULD_NOT_PARSE so rfc5424/rfc3164 do the real parse). Goldens:
+    pmsnare-{ccdefault,ccbackslash,cccstyle,ccoff}.sh."""
+    import re as _re
+
+    pnames = (cfg.ruleset_params.get(ruleset) or {}).get("parser")
+    if not pnames:
+        return lines
+    if isinstance(pnames, str):
+        pnames = [pnames]
+    if not any(str(p).lower() == "rsyslog.snare" for p in pnames):
+        return lines
+
+    def d(*keys):
+        for k in keys:
+            v = cfg.directives.get(k)
+            if v is not None:
+                return str(v).lower() in ("on", "true", "1")
+        return None
+
+    cc = d("escapecontrolcharactersonreceive",
+           "parser.escapecontrolcharactersonreceive")
+    cstyle = d("parser.escapecontrolcharacterscstyle")
+    if cstyle and cc is None:
+        cc = True
+    # tabRepresentation (pmsnare.c createInstance): the escaped form
+    # the sanitizer produced for the TAB byte
+    if cc and cstyle:
+        tr = "\\t"
+    elif cc:
+        tr = "#011"
+    else:
+        tr = "\t"
+    trq = _re.escape(tr)
+    tags = "(?:MSWinEventLog|LinuxKAudit)"
+    line = F.col("line")
+    # non-syslog form: host<tab>TAG<tab>…  → both tabs become spaces
+    line = F.regexp_replace(
+        line, f"^((?:<\\d+>)?)([^ \\t]+?){trq}({tags}){trq}",
+        "$1$2 $3 ")
+    # syslog form: the first ' TAG<tab>' after the 3164 header
+    line = F.regexp_replace(
+        line, f"^(.*? {tags}){trq}", "$1 ")
+    return lines.withColumn("line", line)
 
 
 def _noparse_frame(lines: DataFrame, imf: dict) -> DataFrame:
@@ -1239,6 +1303,7 @@ def run_config_batch(
             "line", F.regexp_replace("line", r"\r$", ""))
     lines = _apply_oversize_policy(lines, cfg)
     lines = _apply_escape_on_receive(lines, cfg)
+    lines = _apply_snare_prestage(lines, cfg, ruleset_name)
     pm_opts, hl_route = _pm3164_opts(cfg, ruleset_name)
     # imfile needparse (ref: imfile.c:420,1611-1614 — the REFERENCE
     # default is OFF: no header parse, MSG = whole line, TAG/PRI
@@ -1730,6 +1795,7 @@ def run_config_stream(
     lines = _apply_oversize_policy(lines, cfg,
                                    write_errorfile=False)
     lines = _apply_escape_on_receive(lines, cfg)
+    lines = _apply_snare_prestage(lines, cfg, ruleset_name)
     pm_opts, hl_route = _pm3164_opts(cfg, ruleset_name)
     frame = parse_syslog(
         lines, parsers=_ruleset_parser_chain(cfg, ruleset_name),

@@ -190,9 +190,15 @@ def get_property(name: str, json_col=None):
     return F.col(name.lstrip("$"))
 
 
+#: C-style control escapes (runtime/parser.c SanitizeMsg:455-495:
+#: named escapes for the C set, \xHH for the rest)
+_CSTYLE_NAMED = {0: "\\0", 7: "\\a", 8: "\\b", 27: "\\e", 12: "\\f",
+                 10: "\\n", 13: "\\r", 9: "\\t", 11: "\\v"}
+
+
 def escape_on_receive(line: ColumnOrName, *, controlchars: bool = True,
                       bit8: bool = False, tab: bool = True,
-                      prefix: str = "#") -> Column:
+                      prefix: str = "#", cstyle: bool = False) -> Column:
     """Receive-time message sanitization (ref: runtime/parser.c
     SanitizeMsg:430-520): control characters (< 32; TAB only when
     ``parser.escapeControlCharacterTab``) and/or 8-bit characters
@@ -211,6 +217,11 @@ def escape_on_receive(line: ColumnOrName, *, controlchars: bool = True,
     def esc_bytes(c: Column) -> Column:
         pairs = F.regexp_extract_all(
             F.hex(F.encode(c, "UTF-8")), F.lit("(..)"), 1)
+        if cstyle:
+            # parser.escapeControlCharactersCStyle: \xHH per byte
+            # for anything without a named C escape
+            return F.array_join(F.transform(
+                pairs, lambda p: F.concat(F.lit("\\x"), p)), "")
         return F.array_join(F.transform(
             pairs,
             lambda p: F.concat(F.lit(prefix),
@@ -224,7 +235,13 @@ def escape_on_receive(line: ColumnOrName, *, controlchars: bool = True,
             cond = cond | ((cp < 32) & tabcond)
         if bit8:
             cond = cond | (cp > 127)
-        return F.when(cond, esc_bytes(c)).otherwise(c)
+        esc = esc_bytes(c)
+        if cstyle:
+            named = esc
+            for code, rep in sorted(_CSTYLE_NAMED.items()):
+                named = F.when(cp == code, F.lit(rep)).otherwise(named)
+            esc = named
+        return F.when(cond, esc).otherwise(c)
 
     return F.array_join(
         F.transform(F.split(s, ""), one), "")

@@ -335,9 +335,12 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
                 if headerless is not None else F.lit("-"))
     syslogtag3 = F.when(opt_hdrless, tag3_hdr).otherwise(syslogtag3)
     # programname terminators (msg.c acquireProgramName): ':', '[',
-    # and '/' unless global(parser.permitSlashesInProgramname="on")
-    prog_re = (r"^([^:\[]*)" if permit_slashes_in_programname
-               else r"^([^:\[/]*)")
+    # any non-printable char (isprint — a raw TAB in a no-timestamp
+    # Snare tag ends the name, parsertest-snare_ccoff_udp.sh), and
+    # '/' unless global(parser.permitSlashesInProgramname="on")
+    prog_re = (r"^([^:\[\x00-\x1F\x7F]*)"
+               if permit_slashes_in_programname
+               else r"^([^:\[/\x00-\x1F\x7F]*)")
     prog3 = F.regexp_extract(tok, prog_re, 1)
     if force_tag_colon:
         prog3 = F.when(colon_term, prog3).otherwise(F.lit("-"))
