@@ -106,6 +106,9 @@ class ConfigRun:
     # actions that failed at execution and SUSPENDED (action.c
     # resume/suspend; failover-*.sh) — name → repr(error)
     suspended: dict[str, str] = dfield(default_factory=dict)
+    # the log.file sink used for this run's stats cycle, when
+    # module(load="impstats" log.file=..) is configured
+    impstats_sink: object = None
 
     def perctile_lines(self) -> list[str]:
         """Percentile buckets in the reference's legacy impstats
@@ -151,6 +154,11 @@ class ConfigRun:
         # counters; golden no-dynstats.sh checks
         # 'global: origin=dynstats' appears)
         out.append("global: origin=dynstats")
+        # resource-usage emits every cycle too (impstats.c:680-700
+        # getrusage statsobj; impstats-{overwrite,no-overwrite}.sh
+        # count its occurrences to tell append from overwrite)
+        from rsyslog_spark.streaming.impstats import ImpstatsListener
+        out.append(ImpstatsListener.resource_usage_line())
         if str(self.impstats_conf.get("bracketing", "off")
                ).lower() in ("on", "true", "1"):
             out = ["BEGIN"] + out + ["END"]
@@ -1578,6 +1586,29 @@ def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
     finally:
         if multi_action:
             frame.unpersist()
+    # module(load="impstats" log.file=..): write this run's stats
+    # cycle through the file lifecycle (impstats.c doSubmitToFile —
+    # overwrite truncates per cycle, default appends; push.url POSTs
+    # the prometheus rendering, best-effort)
+    ic = {k.lower(): v for k, v in run.impstats_conf.items()}
+    if ic.get("log.file"):
+        from rsyslog_spark.streaming.impstats import ImpstatsFileSink
+
+        def on(key):
+            return str(ic.get(key, "off")).lower() in (
+                "on", "true", "1")
+        labels = ic.get("push.labels") or []
+        if isinstance(labels, str):
+            labels = [labels]
+        sink = ImpstatsFileSink(
+            str(ic["log.file"]),
+            overwrite=on("log.file.overwrite"),
+            push_url=ic.get("push.url"),
+            push_labels=[str(x) for x in labels],
+            push_timeout_ms=int(ic.get("push.timeout.ms", 2000)))
+        sink.emit_cycle(run.impstats_lines())
+        sink.close()
+        run.impstats_sink = sink
     return run
 
 

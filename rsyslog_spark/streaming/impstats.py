@@ -301,3 +301,100 @@ def action_counters_frame(df, action_col: str, burst: int = 0):
           if burst > 0 else []),
     )
     return out.withColumn("line", line)
+
+
+class ImpstatsFileSink:
+    """The impstats log.file lifecycle (plugins/impstats/impstats.c
+    doSubmitToFile + initConfigSettings 'log.file' / 'log.file.
+    overwrite', doHUP reopen; push.* remote-write params).
+
+    - default mode APPENDS each stats cycle to ``path`` and keeps the
+      handle OPEN between cycles (impstats-no-overwrite.sh: >= 2
+      cycles accumulate);
+    - ``overwrite=True`` truncates the file at every cycle so it
+      always holds exactly the LAST snapshot (impstats-overwrite.sh:
+      exactly one 'resource-usage' after many cycles);
+    - :meth:`hup` closes the handle so the next cycle reopens by
+      path — after an external rename the old file keeps the pre-HUP
+      cycles and a fresh file receives the rest (impstats-hup.sh);
+    - ``push_url`` POSTs the prometheus text rendering of each cycle
+      with the configured constant labels; a dead endpoint logs the
+      failure and never blocks local emission
+      (impstats-push-basic.sh runs without a listener on purpose).
+    """
+
+    def __init__(self, path: str, *, overwrite: bool = False,
+                 push_url: str | None = None,
+                 push_labels: list[str] | None = None,
+                 push_timeout_ms: int = 2000) -> None:
+        self.path = path
+        self.overwrite = overwrite
+        self.push_url = push_url
+        self.push_labels = list(push_labels or [])
+        self.push_timeout_ms = push_timeout_ms
+        self._fh = None
+        self.push_errors: list[str] = []
+        self.pushes = 0
+
+    def emit_cycle(self, lines: list[str]) -> None:
+        if self.overwrite:
+            # truncate-and-rewrite: the file holds ONE snapshot
+            with open(self.path, "w", encoding="utf-8") as fh:
+                fh.write("".join(ln + "\n" for ln in lines))
+        else:
+            if self._fh is None:
+                self._fh = open(self.path, "a", encoding="utf-8")
+            self._fh.write("".join(ln + "\n" for ln in lines))
+            self._fh.flush()
+        if self.push_url:
+            self._push(lines)
+
+    def hup(self) -> None:
+        """HUP analog: close so the next cycle reopens by path
+        (impstats.c doHUP → closeLogFile)."""
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+    def close(self) -> None:
+        self.hup()
+
+    def _push(self, lines: list[str]) -> bool:
+        """POST the cycle to push.url as prometheus exposition text
+        with the constant push.labels (impstats.c push path). Errors
+        record and return False — emission never fails on push."""
+        import urllib.request
+
+        labels = ",".join(f'{k}="{v}"' for k, v in
+                          (s.split("=", 1) for s in self.push_labels))
+        metrics = []
+        for ln in lines:
+            if ": origin=" not in ln:
+                continue
+            name, rest = ln.split(": origin=", 1)
+            parts = rest.split()
+            origin = parts[0]
+            for kv in parts[1:]:
+                if "=" not in kv:
+                    continue
+                k, v = kv.split("=", 1)
+                if not v.lstrip("-").isdigit():
+                    continue
+                mname = _sanitize(f"rsyslog_{origin}_{k}")
+                lab = (f'name="{_sanitize(name)}"'
+                       + ("," + labels if labels else ""))
+                metrics.append(f"{mname}{{{lab}}} {v}")
+        body = "\n".join(metrics) + "\n"
+        try:
+            req = urllib.request.Request(
+                self.push_url, data=body.encode(),
+                headers={"Content-Type":
+                         "text/plain; version=0.0.4"})
+            with urllib.request.urlopen(
+                    req, timeout=self.push_timeout_ms / 1000.0):
+                pass
+            self.pushes += 1
+            return True
+        except Exception as ex:  # noqa: BLE001 — push is best-effort
+            self.push_errors.append(str(ex))
+            return False
