@@ -221,7 +221,10 @@ _DIRECTIVE_NOOPS = frozenset({
     "umask", "fileowner", "filegroup", "dirowner", "dirgroup",
     "filecreatemode", "dircreatemode", "workdirectory", "privdropto",
     "privdroptouser", "privdroptogroup", "privdroptouserid",
-    "privdroptogroupid", "maxopenfiles", "preservefqdn",
+    "privdroptogroupid", "maxopenfiles",
+    # NOT a noop: interpreted at activation (set_preserve_fqdn);
+    # listed here so the legacy spelling doesn't warn
+    "preservefqdn",
     "repeatedmsgreduction", "escapecontrolcharactersonreceive",
     "escape8bitcharactersonreceive", "escapecontrolcharactertab",
     "actionwriteallmarkmessages",
@@ -2220,8 +2223,16 @@ def load_config(src: str, tables: dict[str, Any] | None = None,
                                "off")).lower() in ("on", "true", "1"))
     # global(localhostname=...) — engine-wide local-host override
     # (glbl.c LocalHostName; golden mmtaghostname_server.sh)
-    from rsyslog_spark.session import set_local_hostname
+    from rsyslog_spark.session import (set_local_hostname,
+                                       set_preserve_fqdn)
     set_local_hostname(cfg.directives.get("localhostname"))
+    # $PreserveFQDN / global(preserveFQDN=..): keep the full
+    # locally-resolved name instead of stripping at the first dot
+    # (glbl.c:899 glblGetLocalHostName; tools/rsyslogd.c
+    # queryLocalHostname dot-split)
+    set_preserve_fqdn(
+        str(cfg.directives.get("preservefqdn", "off")).lower()
+        in ("on", "true", "1"))
     for name, params in cfg.lookup_tables.items():
         if "file" in params:
             try:

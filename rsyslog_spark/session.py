@@ -106,17 +106,41 @@ def write_bucketed(
 # receiver-stamp fallbacks, mmtaghostname forcelocalhostname — ref:
 # runtime/glbl.c LocalHostName; golden mmtaghostname_server.sh)
 _LOCAL_HOSTNAME: list = [None]
+# $PreserveFQDN (glbl.c:81 bPreserveFQDN, default 0): locally-stamped
+# hostnames use the SHORT name (the FQDN up to the first dot,
+# tools/rsyslogd.c queryLocalHostname) unless preservefqdn is on
+_PRESERVE_FQDN: list = [False]
 
 
 def set_local_hostname(name: str | None) -> None:
     _LOCAL_HOSTNAME[0] = name or None
 
 
-def local_hostname() -> str:
-    if _LOCAL_HOSTNAME[0]:
-        return _LOCAL_HOSTNAME[0]
+def set_preserve_fqdn(on: bool) -> None:
+    _PRESERVE_FQDN[0] = bool(on)
+
+
+def local_fqdn() -> str:
+    """The unstripped locally-resolved name (glbl LocalFQDNName)."""
     import socket
     # gethostname() returning "" has been seen in practice; the
     # reference hardcodes this fallback (net.c getLocalHostname;
     # golden empty-hostname.sh)
     return socket.gethostname() or "localhost-empty-hostname"
+
+
+def local_domain() -> str:
+    """Everything after the first dot of the FQDN (glbl LocalDomain,
+    '' when the name is unqualified)."""
+    fq = local_fqdn()
+    return fq.split(".", 1)[1] if "." in fq else ""
+
+
+def local_hostname() -> str:
+    """glblGetLocalHostName (glbl.c:888): the $LocalHostName override
+    wins; otherwise the FQDN with PreserveFQDN on, the domain-stripped
+    short name by default."""
+    if _LOCAL_HOSTNAME[0]:
+        return _LOCAL_HOSTNAME[0]
+    fq = local_fqdn()
+    return fq if _PRESERVE_FQDN[0] else fq.split(".", 1)[0]

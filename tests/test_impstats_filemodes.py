@@ -143,3 +143,58 @@ input(type="imfile" file="{src}" ruleset="m")
     assert text.count("resource-usage") == 1
     assert run.impstats_sink is not None
     assert run.impstats_sink.push_errors  # dead endpoint recorded
+
+
+def test_preservefqdn_hostname_semantics(spark, tmp_path, monkeypatch):
+    """$PreserveFQDN (glbl.c:81, glblGetLocalHostName :888;
+    queryLocalHostname dot-split in tools/rsyslogd.c): locally-stamped
+    hostnames use the SHORT name by default, the FQDN with the
+    directive on, and $LocalHostName overrides both."""
+    import socket as _socket
+
+    import rsyslog_spark.session as sess
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    monkeypatch.setattr(_socket, "gethostname",
+                        lambda: "node7.corp.example.com")
+    # unit level: the dot-split + toggles
+    sess.set_local_hostname(None)
+    sess.set_preserve_fqdn(False)
+    assert sess.local_hostname() == "node7"
+    assert sess.local_fqdn() == "node7.corp.example.com"
+    assert sess.local_domain() == "corp.example.com"
+    sess.set_preserve_fqdn(True)
+    assert sess.local_hostname() == "node7.corp.example.com"
+    sess.set_preserve_fqdn(False)
+
+    # config level: a headerless-stamped message renders the short
+    # vs full name per the directive
+    src = tmp_path / "in.log"
+    src.write_text("<13>Mar  1 01:00:00 src1 tag: hello\n")
+    tpl = ('template(name="o" type="string" '
+           'string="%$myhostname%\\n")')
+    base = '''
+ruleset(name="m") {
+  action(type="omfile" file="@OUT@" template="o")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+'''
+
+    def run(conf, sub):
+        run_config_batch(spark, (conf + tpl + base)
+                         .replace("@OUT@", f"{tmp_path}/out_{sub}")
+                         .replace("@IN@", str(src)))
+        return "".join(
+            open(f"{tmp_path}/out_{sub}/{p}").read()
+            for p in sorted(os.listdir(f"{tmp_path}/out_{sub}"))
+            if p.startswith("part"))
+
+    try:
+        assert run("", "short") == "node7\n"
+        assert run("$PreserveFQDN on\n", "fq") == \
+            "node7.corp.example.com\n"
+        assert run('global(localHostname="over")\n'
+                   "$PreserveFQDN on\n", "ovr") == "over\n"
+    finally:
+        sess.set_local_hostname(None)
+        sess.set_preserve_fqdn(False)
