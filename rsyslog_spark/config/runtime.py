@@ -109,6 +109,10 @@ class ConfigRun:
     # the log.file sink used for this run's stats cycle, when
     # module(load="impstats" log.file=..) is configured
     impstats_sink: object = None
+    # internal error-message texts generated during action dispatch
+    # (errmsg.c LogError analog) — routed through the ruleset as
+    # rsyslogd-tagged messages after the primary dispatch
+    internal_msgs: list = dfield(default_factory=list)
 
     def perctile_lines(self) -> list[str]:
         """Percentile buckets in the reference's legacy impstats
@@ -1442,6 +1446,16 @@ def _dispatch_action_seq(cfg, ruleset_name, actions, run,
             prev_suspended = True
             run.suspended[name] = repr(e)
             _write_action_errfile(cfg, name, params, df)
+            if str(params.get("type", "")) == "omfile":
+                # stream.c:333 LogError "file '%s': open error" — an
+                # internal message the config's own rules then route
+                # (golden omfile-read-only-errmsg.sh greps it in the
+                # catch-all output file)
+                tgt = params.get("file") or params.get("dynafile") \
+                    or name
+                detail = " ".join(str(e).split())[:160]
+                run.internal_msgs.append(
+                    f"file '{tgt}': open error: {detail}")
             _warnings.warn(
                 f"action {name!r} suspended: {e!r:.200}")
 
@@ -1518,6 +1532,29 @@ def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
             hdr_actions, _hs = eng.run(hdr_frame, hl_ruleset)
             _dispatch_action_seq(cfg, hl_ruleset, hdr_actions, run,
                                  sink_overrides)
+        if run.internal_msgs:
+            # errmsg.c LogError → internal messages re-enter the
+            # ruleset as rsyslogd-tagged syslog lines (pri 43 =
+            # syslogd.error) so the config's own filters route them —
+            # omfile-read-only-errmsg.sh greps the catch-all output
+            import datetime as _dt
+
+            from rsyslog_spark.parsers.chain import parse_syslog
+            from rsyslog_spark.session import local_hostname
+            stamp = _dt.datetime.now().strftime("%b %e %H:%M:%S")
+            ilines = frame.sparkSession.createDataFrame(
+                [(f"<43>{stamp} {local_hostname()} rsyslogd: {m}",)
+                 for m in run.internal_msgs], "line string")
+            run.internal_msgs = []
+            try:
+                iacts, _si = eng.run(parse_syslog(ilines),
+                                     ruleset_name)
+                _dispatch_action_seq(cfg, ruleset_name, iacts, run,
+                                     sink_overrides)
+            except Exception as e:  # noqa: BLE001 — best-effort path
+                import warnings as _w
+                _w.warn(f"internal-message routing failed: {e!r:.200}")
+            run.internal_msgs = []  # no second-level re-injection
         # dyn_inc / percentile_observe buckets aggregate over the
         # batch (approximation note: the reference increments at the
         # statement's execution point; the batch form counts every

@@ -1,0 +1,99 @@
+"""omfile error paths (round-8 verdict item 7).
+
+omfile-read-only-errmsg.sh: an unwritable target suspends the action
+AND emits the internal "file '<path>': open error" message (runtime/
+stream.c:333 LogError), which re-enters the ruleset as an
+rsyslogd-tagged syslog line so the config's own filters route it —
+the catch-all file receives it, the msg-filtered file does not.
+
+dynfile_invalid2.sh: one uncreatable dynafile target must not take
+down the others — the good targets receive their full sequences. The
+engine's partitionBy layout escapes the path instead of open-failing
+(documented divergence: the bad row is isolated in its own escaped
+partition, not discarded).
+"""
+import os
+import warnings
+
+from rsyslog_spark.config.runtime import run_config_batch
+
+
+def _read_parts(d):
+    if not os.path.isdir(d):
+        return ""
+    return "".join(
+        open(os.path.join(d, p)).read()
+        for p in sorted(os.listdir(d)) if p.startswith("part"))
+
+
+def test_omfile_read_only_errmsg(spark, tmp_path):
+    ro = tmp_path / "readonly_target"
+    ro.write_text("")
+    ro.chmod(0o400)
+    src = tmp_path / "in.log"
+    src.write_text("<13>Mar  1 01:00:00 h tag msgnum:00000000:\n")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        run = run_config_batch(spark, f'''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  if $msg contains "msgnum:" then {{
+    action(type="omfile" name="ro" template="outfmt"
+           file="{ro}")
+  }}
+  action(type="omfile" file="{tmp_path}/catchall"
+         template="RSYSLOG_FileFormat")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+    assert "ro" in run.suspended
+    out = _read_parts(f"{tmp_path}/catchall")
+    # the original message AND the internal open-error line, exactly
+    # the reference's grep "<path>.* open error"
+    assert "msgnum:00000000:" in out
+    assert f"file '{ro}'" in out and "open error" in out, out
+    assert "rsyslogd:" in out
+    # the read-only target received nothing (suspended, not crashed)
+    assert ro.read_text() == ""
+
+
+def test_dynfile_invalid2_good_targets_survive(spark, tmp_path):
+    """dynfile_invalid2.sh: 4 good dynafile targets + one uncreatable
+    (/proc/...) — every good target holds its full sequence (the
+    reference's seq_check 0 7 after concatenating the good files)."""
+    msgs = []
+    for i in range(4):
+        msgs.append(f"<129>Mar 10 01:00:00 h tag "
+                    f"msg:{tmp_path}/out.{i}.log:{i}")
+    msgs.append("<129>Mar 10 01:00:00 h tag "
+                "msg:/proc/rsyslog.error.file:boom")
+    for i in range(4):
+        msgs.append(f"<129>Mar 10 01:00:00 h tag "
+                    f"msg:{tmp_path}/out.{i}.log:{i + 4}")
+    src = tmp_path / "in.log"
+    src.write_text("".join(m + "\n" for m in msgs))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        run_config_batch(spark, f'''
+template(name="outfmt" type="string" string="%msg:F,58:3%\\n")
+template(name="dynfile" type="string" string="%msg:F,58:2%.log")
+ruleset(name="m") {{
+  action(type="omfile" dynafile="dynfile" template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+    # dynafile → partitionBy layout: values land under escaped
+    # partition dirs of the base; collect every good partition
+    seqs = []
+    base = "."
+    part_root = None
+    for root, dirs, files in os.walk(base):
+        if "pt_msg" in root and str(tmp_path).replace("/", "%2F") \
+                in root.replace("%2f", "%2F"):
+            part_root = root
+            for f in files:
+                if f.startswith("part"):
+                    seqs += [ln for ln in open(
+                        os.path.join(root, f)).read().splitlines()]
+    assert part_root is not None, "no dynafile partitions written"
+    assert sorted(seqs) == [str(i) for i in range(8)], seqs
