@@ -247,6 +247,48 @@ _DIRECTIVE_NOOPS = frozenset({
 })
 
 
+class CIParams(dict):
+    """Object-parameter dict with case-insensitive FALLBACK lookup.
+
+    The reference matches object parameter names case-insensitively
+    (grammar/rainerscript.c nvlstFindName → es_strcasebufcmp), so
+    config authors freely mix ``File=``/``file=``/``Template=``.
+    Keys keep their written spelling (iteration, error messages);
+    an exact-case lookup wins, a miss retries case-folded."""
+
+    def _fold_key(self, key):
+        kl = key.lower()
+        for k in self:
+            if isinstance(k, str) and k.lower() == kl:
+                return k
+        raise KeyError(key)
+
+    def __getitem__(self, key):
+        try:
+            return super().__getitem__(key)
+        except KeyError:
+            if not isinstance(key, str):
+                raise
+            return super().__getitem__(self._fold_key(key))
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def __contains__(self, key):
+        if super().__contains__(key):
+            return True
+        if not isinstance(key, str):
+            return False
+        try:
+            self._fold_key(key)
+            return True
+        except KeyError:
+            return False
+
+
 class _Parser:
     def __init__(self, toks: list[Tok], base_dir: str = "."):
         self.toks = toks
@@ -734,9 +776,15 @@ class _Parser:
         return params
 
     def parse_param_block(self) -> dict[str, str]:
-        """``( key="value" key2="v2" ... )`` — order preserved."""
+        """``( key="value" key2="v2" ... )`` — order preserved.
+        Returned dict matches keys case-insensitively on miss: the
+        reference compares parameter names with strcasecmp
+        (rainerscript nvlstFindName / libestr es_strcasebufcmp), so
+        ``action(type="omfile" File=...)`` is the same as
+        ``file=...`` (mmnormalize_processing_test3.sh spells it
+        ``File``)."""
         self.expect("(")
-        params: dict[str, str] = {}
+        params: dict[str, str] = CIParams()
         while not self.accept(")"):
             key = self.next().text
             while self.accept("."):       # dotted keys: queue.type=
@@ -1908,14 +1956,21 @@ def _mm_transform(atype: str, params: dict):
         mp.update(p)
 
         def fn_snare(df, _p=mp):
+            def ci(key, default=None):
+                kl = key.lower()
+                for k, v in _p.items():
+                    if k.lower() == kl:
+                        return v
+                return default
             return mmsnareparse(
-                df, ignore_trailing_pattern=_p.get(
-                    "ignoreTrailingPattern",
-                    _p.get("ignoretrailingpattern")),
-                definition=_p.get("definition.file",
-                                  _p.get("definition.json")),
-                validation_mode=_p.get("validation.mode",
-                                       "permissive"))
+                df,
+                ignore_trailing_pattern=ci("ignoreTrailingPattern"),
+                ignore_trailing_regex=ci("ignoreTrailingPattern.regex"),
+                search_window=int(
+                    ci("ignoreTrailingPattern.searchWindow", 256)),
+                definition=ci("definition.file",
+                              ci("definition.json")),
+                validation_mode=ci("validation.mode", "permissive"))
         return Transform(atype, _gated_mm(fn_snare))
     if atype == "mmleefparse":
         # LEEF parser action (ref: plugins/mmleefparse/

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from rsyslog_spark.config.rainerscript import ParsedConfig, load_config
 from rsyslog_spark.parsers import parse_syslog
+from rsyslog_spark.session import now_col as _now_col
 
 
 def _estimate_input_bytes(path: str | None) -> int | None:
@@ -302,7 +303,7 @@ def _noparse_frame(lines: DataFrame, imf: dict) -> DataFrame:
     from rsyslog_spark.session import local_hostname
     host = F.lit(local_hostname())
     l = F.col("line")
-    tgen = F.current_timestamp()
+    tgen = _now_col()
     null_s = F.lit(None).cast("string")
     vals = {
         "rawmsg": l, "msg": l,
@@ -317,7 +318,8 @@ def _noparse_frame(lines: DataFrame, imf: dict) -> DataFrame:
         "procid": null_s, "msgid": null_s,
         "inputname": F.lit("imfile"),
         "timereported": tgen, "timegenerated": tgen,
-        "tz_offset_sec": F.lit(0),
+        # NULL = locally-stamped time, session-zone render semantics
+        "tz_offset_sec": F.lit(None).cast("int"),
         "protocol_version": F.lit(0),
         "structured_data": null_s, "json": null_s, "uuid": null_s,
         # bParseSuccess is only set by mm modules (msg.c:2183)

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from rsyslog_spark.expr import ColumnOrName, _c, rs_num, rs_str
 
+from rsyslog_spark.session import now_col as _now_col
+
 
 def _rfc3164(ts: Column) -> Column:
     # "Mar  1 01:00:00" — day-of-month is SPACE-padded to width 2,
@@ -56,7 +58,7 @@ def parse_time_ts(s: ColumnOrName) -> Column:
     # RFC3164: no year — the reference assumes the current year
     # (tools/pmrfc3164.c year inference); normalize double spaces first.
     c3164 = F.regexp_replace(c, "  +", " ")
-    year = F.date_format(F.current_timestamp(), "yyyy")
+    year = F.date_format(_now_col(), "yyyy")
     attempts.append(
         F.try_to_timestamp(F.concat(year, F.lit(" "), c3164),
                            F.lit("yyyy MMM d HH:mm:ss"))

@@ -53,6 +53,7 @@ from rsyslog_spark.parsers.rfc3164 import (
     TS3164_FAST_RE, TS3164_RE, TS3339_RE, _ts3164_to_timestamp)
 from rsyslog_spark.parsers.rfc5424 import _SD_MSG_RE
 from rsyslog_spark.schema import SYSLOG_COLUMNS
+from rsyslog_spark.session import now_col as _now_col
 
 
 # plan-build memo: Columns are immutable unresolved trees, safe to
@@ -76,7 +77,7 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
                   permit_brackets_hostname: bool = False,
                   ) -> list[list[Column]]:
     line = F.col(line_col)
-    tgen = F.current_timestamp()
+    tgen = _now_col()
     null_s = F.lit(None).cast("string")
     has_5424 = "pmrfc5424" in parsers
     has_3164 = "pmrfc3164" in parsers
@@ -409,19 +410,24 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
                                  ts_txt))))
 
     def _off_secs(txt: Column) -> Column:
-        # wire UTC offset → seconds ('Z'/none → 0); evaluated only
-        # on rows with an RFC3339-shaped timestamp
+        # wire UTC offset → seconds ('Z' → 0; NO suffix → NULL: the
+        # reference fills zone-less timestamps with the daemon's
+        # LOCAL zone — datetime.c ParseTIMESTAMP3164 inherits the
+        # reception offset — and the template layer renders NULL as
+        # session-local); evaluated only on rows with an
+        # RFC3339-shaped timestamp
         o = F.regexp_extract(txt, r"(Z|[+-]\d{2}:?\d{2})$", 1)
         sec = (F.substring(o, 2, 2).try_cast("int") * 3600
                + F.substring(o, -2, 2).try_cast("int") * 60)
-        return F.when((o == "") | (o == "Z"), F.lit(0)) \
+        return F.when(o == "", F.lit(None).cast("int")) \
+            .when(o == "Z", F.lit(0)) \
             .otherwise(F.when(o.startswith("-"), -sec).otherwise(sec))
 
+    null_i = F.lit(None).cast("int")
     tz_offset = ab(
-        F.coalesce(_off_secs(F.coalesce(p5(2), F.lit(""))), F.lit(0)),
-        F.when(has_ts & ts3_iso,
-               F.coalesce(_off_secs(ts_txt), F.lit(0)))
-        .otherwise(F.lit(0))).cast("int")
+        _off_secs(F.coalesce(p5(2), F.lit(""))),
+        F.when(has_ts & ts3_iso, _off_secs(ts_txt))
+        .otherwise(null_i)).cast("int")
 
     def canonical(name: str) -> Column:
         if name == "headerless":
@@ -555,7 +561,8 @@ def parse_syslog(
     Without a permissive tail parser, non-matching lines exhaust the
     chain: raw message, parsesuccess=false.
     """
-    from rsyslog_spark.session import session_cache_key
+    from rsyslog_spark.session import (fake_now_key,
+                                        session_cache_key)
 
     want = columns if columns is not None else list(SYSLOG_COLUMNS)
     if headerless is not None and "headerless" not in want:
@@ -563,7 +570,7 @@ def parse_syslog(
     # keyed by applicationId so a JVM restart misses instead of
     # resolving Columns against a dead gateway
     sk = session_cache_key()
-    key = (sk, line_col, inputname, keep_raw, with_uuid, tuple(want),
+    key = (sk, fake_now_key(), line_col, inputname, keep_raw, with_uuid, tuple(want),
            tuple(parsers), permit_slashes_in_programname,
            remove_msg_first_space, force_tag_colon, headerless,
            permit_at_hostname, permit_slashes_hostname,

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from rsyslog_spark.expr import rs_str
 from rsyslog_spark.parsers.pri import pri_col, strip_pri
+from rsyslog_spark.session import now_col as _now_col
 
 # RFC3164 timestamp, full reference grammar (datetime.c
 # ParseTIMESTAMP3164:440-640; goldens parsertest-parse1.sh):
@@ -68,7 +69,7 @@ def _ts3164_to_timestamp(ts: Column) -> Column:
     case-variant months ('AUG' → 'Aug'), then ONE try_to_timestamp
     — same single-regex-pass budget as before on the parse hot
     path."""
-    year = F.date_format(F.current_timestamp(), "yyyy")
+    year = F.date_format(_now_col(), "yyyy")
     # hot-path fast lane: the canonical 15-char "Mon dd hh:mm:ss"
     # shape converts with one literal replace + one to_timestamp
     # (the pre-r6 cost); year/case/frac/colon variants take the

@@ -112,6 +112,36 @@ _LOCAL_HOSTNAME: list = [None]
 _PRESERVE_FQDN: list = [False]
 
 
+#: faketime analog — the reference's timing goldens run the daemon
+#: under libfaketime (tests/faketime_common.sh, FAKETIME='2017-03-08
+#: 14:23:51'); pinning the engine's reception clock reproduces them
+#: byte-exact ($year/$month/$day, timegenerated, rfc3164 year
+#: inference). The string is interpreted in the SESSION timezone,
+#: exactly like FAKETIME is interpreted in the daemon's TZ.
+_FAKE_NOW: list = [None]
+
+
+def set_fake_now(ts: str | None) -> None:
+    _FAKE_NOW[0] = ts or None
+
+
+def fake_now_key() -> str | None:
+    """Current fake-now value, for memo-cache keys of Column trees
+    that bake now_col() in (parsers.chain layer cache)."""
+    return _FAKE_NOW[0]
+
+
+def now_col():
+    """The engine's 'now': ``current_timestamp()`` normally, the
+    pinned faketime instant when set (session-tz wall clock, like
+    the daemon's localtime under TZ=...)."""
+    from pyspark.sql import functions as F
+
+    if _FAKE_NOW[0] is None:
+        return F.current_timestamp()
+    return F.to_timestamp(F.lit(_FAKE_NOW[0]))
+
+
 def set_local_hostname(name: str | None) -> None:
     _LOCAL_HOSTNAME[0] = name or None
 

@@ -1076,9 +1076,11 @@ class imtcp(SpoolBridge):
     followed by SP is octet-counted; anything else is read to LF."""
 
     #: imtcp also records the sender's source port ($fromhost-port —
-    #: msg.c PROP_FROMHOST_PORT; golden fromhost-port-tuple.sh)
-    schema = ("line string, fromhost string, fromhost_port int, "
-              "timegenerated timestamp")
+    #: msg.c PROP_FROMHOST_PORT; golden fromhost-port-tuple.sh) and
+    #: the sender IP ($fromhost-ip — msg.c PROP_FROMHOST_IP; the
+    #: peer address verbatim, while fromhost may resolve to a name)
+    schema = ("line string, fromhost string, fromhost_ip string, "
+              "fromhost_port int, timegenerated timestamp")
 
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, max_frame_size: int = 200 * 1024,
@@ -1199,7 +1201,8 @@ class imtcp(SpoolBridge):
         for m in msgs:
             s = m.decode("utf-8", errors="replace").rstrip("\r\n")
             if s.strip():
-                rec = {"line": s, "fromhost": peer}
+                rec = {"line": s, "fromhost": peer,
+                       "fromhost_ip": peer}
                 if peer_port is not None:
                     # $fromhost-port — the sender's source port
                     # (msg.c PROP_FROMHOST_PORT; golden

@@ -16,6 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from rsyslog_spark.expr import ColumnOrName, _c, qcol, rs_str
+from rsyslog_spark.session import now_col as _now_col
 
 
 # ---------------------------------------------------------------------------
@@ -164,7 +165,7 @@ def _system_props() -> dict:
     ``spark.sql.session.timeZone``, not just UTC sessions."""
     import socket as _socket
 
-    now = F.current_timestamp()
+    now = _now_col()
     # date_format renders in the SESSION tz; shifting the instant by
     # to_utc_timestamp(now, current_timezone()) makes the rendered
     # wall clock read as UTC regardless of the session setting
@@ -677,7 +678,9 @@ class Prop:
         offs = None
         if (name == "timereported"
                 and df is not None and "tz_offset_sec" in df.columns):
-            offs = F.coalesce(F.col("tz_offset_sec"), F.lit(0))
+            # per-row: NULL = no wire zone → session-local semantics
+            # in _apply_date (parsed offsets pass through, Z → 0)
+            offs = F.col("tz_offset_sec")
         # date formatting applies to the property FETCH, before
         # field/substring/regex processing (template.c: the date is
         # rendered into the property string first — golden
@@ -796,32 +799,56 @@ class Prop:
         timeConvertToUTC then format — tz parts render 00/00/+)."""
         ts = (c).try_cast("timestamp")
         fmt = fmt_override or self.date_format
+        sess_tz = F.expr("current_timezone()")
+        utc_session = False
         if self.date_in_utc:
             # the stored instant IS UTC; under a non-UTC session tz
             # date_format renders session-local, so shift back
-            wall = F.to_utc_timestamp(ts, F.expr("current_timezone()"))
+            wall = F.to_utc_timestamp(ts, sess_tz)
             offs = None
+            utc_session = True
+        elif offs is None:
+            # no wire-zone concept (timegenerated & co): daemon-local
+            # wall clock, i.e. the session timezone's render
+            wall = ts
         else:
-            wall = ts if offs is None else \
-                ts + F.make_dt_interval(secs=offs)
+            # per-row: a NULL tz_offset_sec means the wire carried no
+            # zone — the reference fills the parsed syslogTime with
+            # the daemon's LOCAL zone (datetime.c ParseTIMESTAMP3164
+            # inherits the reception offset), i.e. session-local
+            # here; a non-NULL offset re-renders the ORIGINAL wire
+            # wall clock (datetime.c formatTimestamp* use the parsed
+            # fields verbatim). from_utc_timestamp makes the shifted
+            # wall render correctly under ANY session timezone.
+            offs0 = F.coalesce(offs, F.lit(0))
+            wall = F.when(offs.isNull(), ts).otherwise(
+                F.to_utc_timestamp(
+                    ts + F.make_dt_interval(secs=offs0), sess_tz))
         from rsyslog_spark.functions.time_fns import _rfc3164
         # fractional seconds at parsed precision (datetime.c
         # formatTimestamp3339 emits them when secfracPrecision > 0;
-        # micros-are-zero approximates precision 0)
-        frac6 = F.date_format(wall, "SSSSSS")
+        # micros-are-zero approximates precision 0) — zone shifts are
+        # whole minutes, so the fraction comes from the instant
+        frac6 = F.date_format(ts, "SSSSSS")
         fracpart = F.when(frac6 == "000000", F.lit("")) \
             .otherwise(F.concat(F.lit("."), frac6))
+        # session-zone suffix at instant ts ("xxx" → "+00:00" form,
+        # DST-correct per row)
+        sess_offstr = F.date_format(ts, "xxx")
         if fmt == "rfc3339":
             if offs is None:
                 return F.concat(
                     F.date_format(wall, "yyyy-MM-dd'T'HH:mm:ss"),
-                    fracpart, F.lit("+00:00"))
-            sign = F.when(offs < 0, F.lit("-")).otherwise(F.lit("+"))
-            aoff = F.abs(offs)
-            offstr = F.concat(
-                sign, F.lpad((aoff / 3600).cast("int"), 2, "0"),
-                F.lit(":"),
-                F.lpad(((aoff % 3600) / 60).cast("int"), 2, "0"))
+                    fracpart,
+                    F.lit("+00:00") if utc_session else sess_offstr)
+            offs0 = F.coalesce(offs, F.lit(0))
+            sign = F.when(offs0 < 0, F.lit("-")).otherwise(F.lit("+"))
+            aoff = F.abs(offs0)
+            offstr = F.when(offs.isNull(), sess_offstr).otherwise(
+                F.concat(
+                    sign, F.lpad((aoff / 3600).cast("int"), 2, "0"),
+                    F.lit(":"),
+                    F.lpad(((aoff % 3600) / 60).cast("int"), 2, "0")))
             return F.concat(
                 F.date_format(wall, "yyyy-MM-dd'T'HH:mm:ss"),
                 fracpart, offstr)
@@ -864,7 +891,18 @@ class Prop:
             wk = wk + F.when(curdow < jan1dow, 1).otherwise(0)
             return F.lpad(wk.cast("int").cast("string"), 2, "0")
         if fmt in ("tzoffshour", "tzoffsmin", "tzoffsdirection"):
-            o = offs if offs is not None else F.lit(0)
+            # session-zone seconds for rows without a wire zone
+            # (date.inUTC keeps 00/00/+ — msg.c getTimeUTC)
+            sess_sec = (F.when(F.substring(sess_offstr, 1, 1) == "-",
+                               F.lit(-1)).otherwise(F.lit(1))
+                        * (F.substring(sess_offstr, 2, 2).cast("int")
+                           * 3600
+                           + F.substring(sess_offstr, -2, 2)
+                           .cast("int") * 60))
+            if offs is not None:
+                o = F.coalesce(offs, sess_sec)
+            else:
+                o = F.lit(0) if utc_session else sess_sec
             if fmt == "tzoffsdirection":
                 return F.when(o < 0, F.lit("-")).otherwise(F.lit("+"))
             aoff = F.abs(o)

@@ -1519,6 +1519,188 @@ input(type="imfile" file="{src}" ruleset="ruleset1")
         ])
 
 
+class TestMmnormalizeProcessingPipelines34:
+    """mmnormalize_processing_test3/4.sh BYTE-EXACT: the full
+    faketime+TZ pipeline — imtcp ingest (fromhost-ip), mmnormalize
+    extraction, $year/$month/$day system properties pinned by the
+    engine's faketime analog (session.set_fake_now), timestamp
+    rendering under a non-UTC session timezone (TZ=TEST+01:00 ⇔
+    session "-01:00" — POSIX TZ signs are inverted), date-rfc3339 /
+    date-unixtimestamp, and hyphenated $!v_fromhost-ip variables.
+
+    The reference cmp-compares ONE output file that three actions
+    append to in action order; the engine commits actions
+    sequentially per batch, so read-back in part-file mtime order IS
+    that append order."""
+
+    def _read_ordered(self, outdir):
+        import os
+        parts = []
+        for f in os.listdir(outdir):
+            if f.startswith("part"):
+                p = os.path.join(outdir, f)
+                parts.append((os.stat(p).st_mtime_ns, p))
+        lines = []
+        for _, p in sorted(parts):
+            with open(p, encoding="utf-8") as fh:
+                lines += fh.read().splitlines()
+        return lines
+
+    def _run(self, spark, tmp_path, tz, fake, conf, port, payload):
+        import socket
+        import threading
+        import time as _time
+        from rsyslog_spark.config.runtime import run_config_stream
+        from rsyslog_spark.session import set_fake_now
+
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        set_fake_now(fake)
+        try:
+            def send_when_up():
+                for _ in range(100):
+                    try:
+                        c = socket.create_connection(
+                            ("127.0.0.1", port), timeout=0.2)
+                        c.sendall(payload)
+                        c.close()
+                        return
+                    except OSError:
+                        _time.sleep(0.1)
+
+            th = threading.Thread(target=send_when_up)
+            th.start()
+            run_config_stream(spark, conf,
+                              checkpoint=str(tmp_path / "ck"),
+                              drain_grace=3.0)
+            th.join(timeout=10)
+        finally:
+            set_fake_now(None)
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+    @staticmethod
+    def _free_port():
+        import socket
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+        return port
+
+    def test_processing_test3(self, spark, tmp_path):
+        from test_normalize_golden import PROCESSING_RB
+
+        rb = tmp_path / "proc.rulebase"
+        rb.write_text(PROCESSING_RB)
+        out = tmp_path / "out"
+        port = self._free_port()
+        conf = f'''
+input(type="imtcp" address="127.0.0.1" port="{port}"
+      ruleset="ruleset1" spool="{tmp_path}/spool")
+
+template(name="t_file_record" type="string" string="%timestamp:::date-rfc3339% %timestamp:::date-rfc3339% %hostname% %$!v_tag% %$!v_msg%\\n")
+template(name="t_file_path" type="string" string="/sb/logs/incoming/%$year%/%$month%/%$day%/svc_%$!v_svc%/ret_%$!v_ret%/os_%$!v_os%/%fromhost-ip%/r_relay1/%$!v_file:::lowercase%.gz\\n")
+
+template(name="t_fromhost-ip" type="string" string="%fromhost-ip%")
+template(name="t_analytics_msg_default" type="string" string="%$!v_analytics_prefix%%rawmsg-after-pri%")
+template(name="t_analytics_tag_prefix" type="string" string="%$!v_tag%: ")
+template(name="t_analytics_msg_normalized" type="string" string="%timereported% %$!v_hostname% %$!v_analytics_prefix%%$!v_msg%")
+template(name="t_analytics_msg_normalized_vc" type="string" string="%timereported:1:6% %$year% %timereported:8:$% %$!v_hostname% %$!v_analytics_prefix%%$!v_msg%")
+template(name="t_analytics" type="string" string="[][][%$!v_fromhost-ip%][%timestamp:::date-unixtimestamp%][] %$!v_analytics_msg%\\n")
+
+ruleset(name="ruleset1") {{
+        action(type="mmnormalize" rulebase="{rb}" useRawMsg="on")
+        if ($!v_file == "") then {{
+                set $!v_file=$!v_tag;
+        }}
+        action(type="omfile" File="{out}" template="t_file_record")
+        action(type="omfile" File="{out}" template="t_file_path")
+
+        set $!v_forward="PCI";
+
+        if ($!v_forward contains "PCI") then {{
+                if ($!v_fromhost-ip == "") then {{
+                        set $!v_fromhost-ip=exec_template("t_fromhost-ip");
+                }}
+                if ($!v_msg == "" or $!v_tag == "") then {{
+                        set $!v_analytics_msg=exec_template("t_analytics_msg_default");
+                }} else {{
+                        if ($!v_analytics_prefix == "") then {{
+                                set $!v_analytics_prefix=exec_template("t_analytics_tag_prefix");
+                        }}
+                        if ($!v_hostname == "") then {{
+                                set $!v_hostname=exec_template("t_fromhost-ip");
+                        }}
+                        if ($!v_exception == "VC") then {{
+                                set $!v_analytics_msg=exec_template("t_analytics_msg_normalized_vc");
+                        }} else {{
+                                set $!v_analytics_msg=exec_template("t_analytics_msg_normalized");
+                        }}
+                }}
+                action(type="omfile" File="{out}" template="t_analytics")
+        }}
+}}
+'''
+        # TZ=TEST+01:00 is UTC-1; FAKETIME='2017-03-08 14:23:51'
+        self._run(
+            spark, tmp_path, "-01:00", "2017-03-08 14:23:51", conf,
+            port,
+            b"<182>Mar  8 14:23:51 host3 audispd: "
+            b"{SER3.local6 Y01 LNX [SRCH ALRT DASH REPT ANOM]}  "
+            b"node=host3.domain.com type=SYSCALL "
+            b"msg=audit(1488975831.267:230190721):\n")
+        assert self._read_ordered(out) == [
+            "2017-03-08T14:23:51-01:00 2017-03-08T14:23:51-01:00 "
+            "host3 audispd  node=host3.domain.com type=SYSCALL "
+            "msg=audit(1488975831.267:230190721):",
+            "/sb/logs/incoming/2017/03/08/svc_SER3/ret_Y01/os_LNX/"
+            "127.0.0.1/r_relay1/local6.gz",
+            "[][][127.0.0.1][1488986631][] Mar  8 14:23:51 host3 "
+            "audispd:  node=host3.domain.com type=SYSCALL "
+            "msg=audit(1488975831.267:230190721):",
+        ]
+
+    def test_processing_test4(self, spark, tmp_path):
+        from test_normalize_golden import PROCESSING_RB
+
+        rb = tmp_path / "proc.rulebase"
+        rb.write_text(PROCESSING_RB)
+        out = tmp_path / "out"
+        port = self._free_port()
+        conf = f'''
+input(type="imtcp" address="127.0.0.1" port="{port}"
+      ruleset="ruleset1" spool="{tmp_path}/spool")
+
+template(name="t_file_record" type="string" string="%timestamp:::date-rfc3339% %timestamp:::date-rfc3339% %hostname% %$!v_tag% %$!v_msg%\\n")
+template(name="t_file_path" type="string" string="/sb/logs/incoming/%$year%/%$month%/%$day%/svc_%$!v_svc%/ret_%$!v_ret%/os_%$!v_os%/%fromhost-ip%/r_relay1/%$!v_file:::lowercase%.gz\\n")
+
+ruleset(name="ruleset1") {{
+        action(type="mmnormalize" rulebase="{rb}" useRawMsg="on")
+        if ($!v_file == "") then {{
+                set $!v_file=$!v_tag;
+        }}
+        action(type="omfile" File="{out}" template="t_file_record")
+        action(type="omfile" File="{out}" template="t_file_path")
+
+}}
+'''
+        # TZ=TEST-02:00 is UTC+2; FAKETIME='2017-03-08 14:56:37'
+        self._run(
+            spark, tmp_path, "+02:00", "2017-03-08 14:56:37", conf,
+            port,
+            b"<187>Mar  8 14:56:37 host4 Process2: "
+            b"{SER4.local7 Y01 LNX [SRCH ALRT DASH REPT ANOM]} "
+            b"(/sb/env/logs/dir1/dir2/log_20170308.log) "
+            b"in 1: X/c79RgpDtrva5we84XHTg== (String)\n")
+        assert self._read_ordered(out) == [
+            "2017-03-08T14:56:37+02:00 2017-03-08T14:56:37+02:00 "
+            "host4 Process2 in 1: X/c79RgpDtrva5we84XHTg== (String)",
+            "/sb/logs/incoming/2017/03/08/svc_SER4/ret_Y01/os_LNX/"
+            "127.0.0.1/r_relay1/sb/env/logs/dir1/dir2/"
+            "log_20170308.log.gz",
+        ]
+
+
 class TestVariableCaseSensitivity:
     """Goldens from tests/json_var_case.sh: global(
     variables.casesensitive="on") + template option.casesensitive=
