@@ -75,13 +75,42 @@ def cbool(x: ColumnOrName) -> Column:
     return F.when(s.isin("on", "true", "yes"), F.lit(True)).otherwise(rs_num(x) != 0)
 
 
+#: POSIX bracket classes → Java regex equivalents. The reference
+#: compiles patterns with POSIX regcomp(REG_EXTENDED), where
+#: ``[[:space:]]`` is a class inside a bracket expression; Java
+#: regex (Spark rlike/regexp_*) spells these ``\p{...}``
+#: (golden mmsnareparse-trailing-extradata-regex.sh uses
+#: ``[[:space:]]+``).
+_POSIX_CLASSES = {
+    "alpha": r"\p{Alpha}", "digit": r"\d", "alnum": r"\p{Alnum}",
+    "space": r"\s", "upper": r"\p{Upper}", "lower": r"\p{Lower}",
+    "punct": r"\p{Punct}", "blank": r"\p{Blank}",
+    "cntrl": r"\p{Cntrl}", "xdigit": r"\p{XDigit}",
+    "print": r"\p{Print}", "graph": r"\p{Graph}",
+}
+
+
+def posix_ere_to_java(pattern: str) -> str:
+    """Rewrite POSIX ``[:class:]`` atoms to Java ``\\p{...}``
+    equivalents (legal inside Java character classes), leaving the
+    rest of the ERE untouched — Java regex is otherwise an ERE
+    superset."""
+    import re as _re
+
+    return _re.sub(
+        r"\[:(\w+):\]",
+        lambda m: _POSIX_CLASSES.get(m.group(1), m.group(0)),
+        pattern)
+
+
 def re_match(s: ColumnOrName, pattern: str) -> Column:
-    """ERE match (ref: doFunc re_match; Java regex is an ERE superset)."""
-    return rs_str(s).rlike(pattern)
+    """ERE match (ref: doFunc re_match; Java regex is an ERE superset
+    modulo POSIX bracket classes, translated here)."""
+    return rs_str(s).rlike(posix_ere_to_java(pattern))
 
 
 def re_match_i(s: ColumnOrName, pattern: str) -> Column:
-    return rs_str(s).rlike(f"(?i){pattern}")
+    return rs_str(s).rlike(f"(?i){posix_ere_to_java(pattern)}")
 
 
 def re_extract(

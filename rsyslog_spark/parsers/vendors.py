@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from rsyslog_spark.session import now_col as _now_col
+
 # "last message repeated n times" (ref: plugins/pmlastmsg/pmlastmsg.c:1-6)
 _REPEAT_RE = r"^\s*last message repeated (\d+) times\s*$"
 
@@ -77,7 +79,7 @@ def _cisco_ts(ts: Column) -> Column:
     """Cisco timestamp text ``Mmm [d]d hh:mm:ss[.mmm]`` → timestamp,
     current-year inference like the 3164 parse."""
     norm = F.regexp_replace(ts, "  +", " ")
-    year = F.date_format(F.current_timestamp(), "yyyy")
+    year = F.date_format(_now_col(), "yyyy")
     full = F.concat(year, F.lit(" "), norm)
     return F.coalesce(
         F.try_to_timestamp(full, F.lit("yyyy MMM d HH:mm:ss.SSS")),
@@ -426,6 +428,8 @@ def _snare_jq(c: Column) -> Column:
 
 def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
                  ignore_trailing_pattern: str | None = None,
+                 ignore_trailing_regex: str | None = None,
+                 search_window: int = 256,
                  definition=None,
                  validation_mode: str = "permissive") -> DataFrame:
     """Structured Snare/NXLog Windows-event parser (ref: plugins/
@@ -492,13 +496,40 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
                           "locate('MSWinEventLog', rawmsg))"))
             .otherwise(m))
     out = df
-    if ignore_trailing_pattern:
+    if ignore_trailing_pattern or ignore_trailing_regex:
         # with-tabs path (detect_and_truncate_trailing_extradata:
-        # 5150-5210): the pattern must appear in the LAST tab token —
-        # that WHOLE token becomes $!extradata_section and the
-        # message truncates AT the last tab
+        # mmsnareparse.c:5176-5243): the pattern must appear in the
+        # LAST tab token — that WHOLE token becomes
+        # $!extradata_section and the message truncates AT the last
+        # tab. The search is bounded to the trailing searchWindow
+        # bytes of the token: static patterns strstr within that
+        # window; regex patterns run against the window-truncated
+        # PREFIX with REG_NOTEOL when truncation happened, so an
+        # end-anchored pattern cannot treat the window boundary as
+        # end-of-token (golden
+        # mmsnareparse-trailing-extradata-regex-anchor.sh:
+        # '^[0-9]+$' window 3 must NOT match '123abc'). NOTEOL is
+        # emulated by appending a NUL sentinel to a truncated
+        # prefix — '$' then has no digit before end-of-input.
+        # (The reference's tab-FREE fallback — last-20%% heuristic
+        # truncation — is not modeled; Snare payloads are tabbed.)
+        win = max(1, int(search_window))
         last_tok = F.element_at(F.split(m, "\t"), -1)
-        has = F.locate(ignore_trailing_pattern, last_tok) > 0
+        tok_len = F.length(last_tok)
+        if ignore_trailing_regex:
+            from rsyslog_spark.functions.strings import (
+                posix_ere_to_java)
+            bounded = F.substring(last_tok, 1, win)
+            probe = F.when(
+                tok_len > win,
+                F.concat(bounded, F.lit("\x00"))).otherwise(last_tok)
+            has = probe.rlike(posix_ere_to_java(
+                ignore_trailing_regex))
+        else:
+            tailw = F.when(tok_len > win,
+                           last_tok.substr(tok_len - win + 1, F.lit(win))) \
+                .otherwise(last_tok)
+            has = F.locate(ignore_trailing_pattern, tailw) > 0
         out = out.withColumn("cee_extradata_section",
                              F.when(has, last_tok).alias(
                                  "cee_extradata_section",
@@ -581,7 +612,22 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
     # tab-free payloads (mmsnareparse-value-types.sh samples) walk
     # the whole text after MSWinEventLog: header words become bare
     # tokens and drop out of the pair walk
-    desc = F.when(ok, F.coalesce(fld(13), F.lit(""))) \
+    # descriptions may span multiple tab tokens: the reference joins
+    # tokens[descriptionIdx..end] with single spaces, skipping
+    # placeholder tokens (parse_snare_text concat loop,
+    # mmsnareparse.c:4862-4895). A NON-numeric token in the checksum
+    # slot therefore folds INTO the description (golden
+    # mmsnareparse-trailing-extradata-regex-anchor.sh expects
+    # 'User: NT AUTHORITY\\SYSTEM 123abc'), while a real numeric
+    # checksum lands after the description's trailing spaces as a
+    # bare 2+-space token and drops out of the pair walk
+    tail_toks = F.slice(
+        tabs, base + 13,
+        F.greatest(F.size(tabs) - (base + 12), F.lit(0)))
+    joined = F.array_join(F.filter(
+        tail_toks, lambda t: (t != "")
+        & ~F.lower(F.trim(t)).isin(*SNARE_PLACEHOLDERS)), " ")
+    desc = F.when(ok, joined) \
         .when(m.contains("MSWinEventLog"), m).otherwise(F.lit(""))
 
     # ---- tokenize + section walk (all higher-order column fns) ----

@@ -1169,7 +1169,12 @@ def mmsnareparse_win_event(spark, sf_dir):
         F.lit("   Source Port:  "), port,
         F.lit("    Additional Information:   Ticket Options:  "),
         topt,
-        F.lit("\t"), eid.cast("string"))
+        # real Snare descriptions end with trailing spaces before the
+        # checksum tab; without them the multi-token description join
+        # (parse_snare_text concat loop) would fold the numeric
+        # checksum into the last value — exactly what the reference
+        # does too (see the trailing-extradata-regex-anchor golden)
+        F.lit("   \t"), eid.cast("string"))
     parsed = mmsnareparse(ev.select(msg.alias("msg")))
 
     def j(c, p):

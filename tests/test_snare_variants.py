@@ -176,3 +176,68 @@ input(type="imfile" file="@IN@" ruleset="m")
 ''', msgs.splitlines()[0] + "\n", sub="mod")
     assert ("1,Microsoft-Windows-Sysmon/Operational,Process,"
             "Creation,6228,") in out, out
+
+
+def test_mmsnareparse_trailing_extradata_regex(spark, tmp_path):
+    """mmsnareparse-trailing-extradata-regex.sh: the 6 dynamic
+    numeric-prefix variants — ignoreTrailingPattern.regex matches
+    within searchWindow bytes of the LAST tab token; the whole token
+    (number prefix included) lands in $!extradata_section and the
+    parse sees the truncated message. Byte-exact reference
+    content_check lines."""
+    sh = open(f"{REF}/mmsnareparse-trailing-extradata-regex.sh").read()
+    msgs = re.findall(r"cat <<'MSG' > \S+\n(.*?)\nMSG\n", sh, re.S)
+    assert len(msgs) == 6
+    tpl = re.search(r'(template\(name="outfmt".*?\n\})\n', sh,
+                    re.S).group(1)
+    out = _run(spark, tmp_path, tpl + f'''
+ruleset(name="m") {{
+  action(type="mmsnareparse" definition.file="{DEFS}"
+         ignoreTrailingPattern.regex="^[0-9]+[[:space:]]+custom_section:"
+         ignoreTrailingPattern.searchWindow="32")
+  action(type="omfile" file="@OUT@" template="outfmt")
+}}
+input(type="imfile" file="@IN@" ruleset="m")
+''', "\n".join(msgs) + "\n", sub="treg")
+    expected_tail = [
+        "3385599 custom_section: fromhost-ip=192.168.45.217",
+        "12345 custom_section: fromhost-ip=192.168.45.218",
+        "9 custom_section: fromhost-ip=192.168.45.219",
+        "999999999 custom_section: fromhost-ip=192.168.45.220",
+        "42   custom_section: fromhost-ip=192.168.45.221",
+        "000123 custom_section: fromhost-ip=192.168.45.222",
+    ]
+    for tail in expected_tail:
+        line = ("13,Microsoft-Windows-Sysmon/Operational,SetValue,"
+                "HKLM\\System\\CurrentControlSet\\Services\\"
+                "TestService\\ImagePath,NT AUTHORITY\\SYSTEM,"
+                + tail)
+        assert line + "\n" in out, (line, out)
+
+
+def test_mmsnareparse_trailing_extradata_regex_anchor(spark,
+                                                      tmp_path):
+    """mmsnareparse-trailing-extradata-regex-anchor.sh: the search
+    window boundary must NOT act as end-of-token — '^[0-9]+$' with
+    searchWindow=3 must not match the bounded prefix '123' of
+    '123abc' (the reference passes REG_NOTEOL on truncation). The
+    unmatched token stays message content and folds into the
+    description: User renders 'NT AUTHORITY\\SYSTEM 123abc', no
+    extradata_section."""
+    sh = open(f"{REF}/mmsnareparse-trailing-extradata-regex-anchor.sh"
+              ).read()
+    msgs = re.findall(r"cat <<'MSG' > \S+\n(.*?)\nMSG\n", sh, re.S)
+    tpl = re.search(r'(template\(name="outfmt".*?\n\})\n', sh,
+                    re.S).group(1)
+    out = _run(spark, tmp_path, tpl + f'''
+ruleset(name="m") {{
+  action(type="mmsnareparse" definition.file="{DEFS}"
+         ignoreTrailingPattern.regex="^[0-9]+$"
+         ignoreTrailingPattern.searchWindow="3")
+  action(type="omfile" file="@OUT@" template="outfmt")
+}}
+input(type="imfile" file="@IN@" ruleset="m")
+''', msgs[0] + "\n", sub="tanch")
+    assert re.search(r"^13,Microsoft-Windows-Sysmon/Operational,"
+                     r"NT AUTHORITY\\SYSTEM 123abc,$", out,
+                     re.M), out
