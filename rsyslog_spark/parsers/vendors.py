@@ -596,7 +596,11 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
         # reference spellings exposed by mmsnareparse-syslog.sh:
         # EventType (= the Snare audit-type field) and CategoryText
         fld(9).alias("EventType"),
-        source.alias("SourceName"),
+        # the reference's key is Provider (populate_event_metadata
+        # mmsnareparse.c:4698, placeholder-gated) — there is no
+        # SourceName key in its output
+        F.when(~F.lower(F.trim(F.coalesce(source, F.lit("-"))))
+               .isin(*SNARE_PLACEHOLDERS), source).alias("Provider"),
         fld(10).alias("Computer"),
         # Category comes ONLY from the event mapping — the tab field
         # populates CategoryText (apply_event_mapping :3854)
@@ -631,24 +635,92 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
         .when(m.contains("MSWinEventLog"), m).otherwise(F.lit(""))
 
     # ---- tokenize + section walk (all higher-order column fns) ----
-    # NB: transform(arr, F.trim) would call trim(elem, INDEX) — the
-    # two-arg TRIM strips the index's DIGITS off the token ends
-    toks1 = F.filter(
-        F.transform(F.split(desc, r"\s{2,}"), lambda t: F.trim(t)),
+    # C-faithful tokenization (verified against a compiled extract of
+    # the reference's tokenize_on_multispace):
+    #   1. runs of 3+ spaces separate logical LINES
+    #      (normalize_description mmsnareparse.c:4208-4246);
+    #   2. each line splits at its FIRST colon into header + rest
+    #      (parse_line :4323); the header re-attaches as a 'Key:'
+    #      token so the section walk below sees it (prose prefixes
+    #      before an embedded section header ride along — the walk's
+    #      suffix match handles '...logged on. Subject:');
+    #   3. the rest tokenizes like tokenize_on_multispace (:687):
+    #      a 2-space run delimits unless it directly follows the
+    #      colon (the 'Key:  value' form), ANY space delimits when
+    #      the text ahead looks like a label (looks_like_label_start
+    #      :671 — uppercase start, [A-Za-z0-9 /()#-]* up to a colon),
+    #      and NO delimiter applies until the current token carries
+    #      a complete 'key: value' (tokenSawColon/tokenHasValue).
+    # This replaces the previous 2+-space-split + Sysmon sub-split:
+    # single-space Windows 4624-style payloads now tokenize into the
+    # reference's multi-word keys ('Security ID: SYSTEM') instead of
+    # single-word fragments.
+    _label_rx = "^[A-Z][A-Za-z0-9 /()#-]*:"
+    _big = F.lit(1 << 20)
+
+    def c_tokenize(rest):
+        words = F.split(rest, " ")
+        ws = F.transform(words, lambda w, i: F.struct(
+            w.alias("w"),
+            F.array_join(F.slice(words, i + 1, _big), " ")
+            .rlike(_label_rx).alias("lab")))
+        init = F.struct(
+            F.array().cast("array<string>").alias("toks"),
+            F.lit("").alias("cur"), F.lit(0).alias("sep"))
+
+        def step(acc, x):
+            w, lab = x["w"], x["lab"]
+            cur, sep = acc["cur"], acc["sep"] + 1
+            # tokenHasValue: some non-space/non-colon char after a ':'
+            complete = cur.rlike(":.*[^ :]")
+            delim = (((sep >= 2) & ~cur.endswith(":")) | lab) \
+                & complete
+            grown = F.when(cur == "", w).otherwise(
+                F.concat(cur, F.repeat(F.lit(" "), sep), w))
+            return F.when(w == "", F.struct(
+                acc["toks"].alias("toks"), cur.alias("cur"),
+                sep.alias("sep"))).otherwise(F.struct(
+                    F.when(delim & (cur != ""),
+                           F.array_append(acc["toks"], cur))
+                    .otherwise(acc["toks"]).alias("toks"),
+                    F.when(delim, w).otherwise(grown).alias("cur"),
+                    F.lit(0).alias("sep")))
+
+        return F.aggregate(
+            ws, init, step,
+            lambda acc: F.when(acc["cur"] != "",
+                               F.array_append(acc["toks"],
+                                              acc["cur"]))
+            .otherwise(acc["toks"]))
+
+    def line_tokens(line):
+        pos = F.instr(line, ":")
+        hdr = F.trim(F.substr(line, F.lit(1), pos))
+        rest = F.ltrim(F.substr(line, pos + 1, _big))
+        # pass-2 overlay (parse_key_value_sequence's single-word-key
+        # scan, mmsnareparse.c:3960-4050): single-space runs where a
+        # value legitimately contains ' WORD ' before the next label
+        # mis-split in pass 1 ('User: CORP\\NETWORK | SERVICE
+        # Hashes: ...'); the second scan re-pairs on single-word keys
+        # and json_object_object_add REPLACE semantics make it win.
+        # Overlay tokens ride flagged (\x01) after the line's pass-1
+        # tokens: keep-LAST dedup reproduces the overwrite, and the
+        # ParsingStats counter excludes them (the reference's own
+        # test expectations — mmsnareparse-enhanced-validation.sh
+        # total_fields=25 — count the pass-1 dispatches only).
+        overlay = F.transform(
+            F.filter(
+                F.split(rest, r"\s+(?=[A-Z][A-Za-z0-9]*:)"),
+                lambda p: p.rlike(r"^[A-Z][A-Za-z0-9]*: +\S")),
+            lambda p: F.concat(F.lit("\x01"), p))
+        return F.when(
+            pos > 0,
+            F.concat(F.array(hdr), c_tokenize(rest), overlay)) \
+            .otherwise(F.array(F.trim(line)))
+
+    toks = F.filter(
+        F.flatten(F.transform(F.split(desc, " {3,}"), line_tokens)),
         lambda t: t != "")
-    # secondary split: Sysmon-style single-space 'Key: value' runs
-    # (>= 3 pieces means a real multi-pair token, not a value that
-    # merely contains one 'Word:' sequence). The split result is
-    # bound through an inner transform so the regex runs ONCE per
-    # token (size check + use).
-    toks = F.flatten(F.transform(
-        F.transform(toks1, lambda t: F.struct(
-            t.alias("t"), F.split(t, _SNARE_KVRX).alias("sp"))),
-        lambda s: F.when(
-            F.size(s["sp"]) >= 3,
-            F.filter(F.transform(s["sp"], lambda p: F.trim(p)),
-                     lambda p: p != ""))
-        .otherwise(F.array(s["t"]))))
 
     # section descriptors: exact or trailing-* wildcard header match
     # (section_pattern_matches, mmsnareparse.c:2825); only 'std'
@@ -662,13 +734,19 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
     # the n² loop: ~50x slower at sf0.1.)
     std_secs = [(p, c) for p, c, b in sections if b == "std"]
 
-    def _base_info(t):
+    def _base_info(t0):
+        ov = t0.startswith("\x01")
+        t = F.when(ov, F.substr(t0, F.lit(2), _big)).otherwise(t0)
         return F.struct(
             t.alias("t"),
+            ov.alias("ov"),
             F.regexp_replace(t, ":$", "").alias("name"),
-            t.endswith(":").alias("ends"),
-            t.rlike(r"^[A-Za-z][^:]*: \S").alias("inl"),
-            t.rlike(r"^[A-Za-z][^:]*:$").alias("ko0"),
+            (t.endswith(":") & ~ov).alias("ends"),
+            # a key-value token needs whitespace after the colon —
+            # 'C:\\Windows\\...' path VALUES must not read as key 'C'
+            # (the reference never key-splits inside a stored value)
+            t.rlike(r"^[A-Za-z][^:]*: +\S").alias("inl"),
+            (t.rlike(r"^[A-Za-z][^:]*:$") & ~ov).alias("ko0"),
         )
 
     def _enrich(e):
@@ -678,7 +756,11 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
                 cond = F.lower(e["name"]).startswith(
                     pat[:-1].lower())
             else:
-                cond = e["name"] == pat
+                # exact header OR embedded at the end of a prose
+                # prefix ('An account was ... logged on. Subject:' —
+                # find_embedded_section_descriptor, parse_line path)
+                cond = (e["name"] == pat) \
+                    | e["name"].endswith(" " + pat)
             sec = F.when(e["ends"] & cond, F.lit(canon)) \
                 .otherwise(sec)
         # keys canonicalize like normalize_label (mmsnareparse.c:
@@ -689,13 +771,14 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
             .when(e["ko0"], F.rtrim(e["name"]))
         return F.struct(
             e["t"].alias("t"),
+            e["ov"].alias("ov"),
             sec.alias("sec"),
             (e["inl"] & sec.isNull()).alias("inl"),
             (e["ko0"] & sec.isNull()).alias("ko"),
             F.regexp_replace(
                 F.regexp_replace(key0, r"\s*\([^)]*\)", ""),
                 r"[^A-Za-z0-9]+", "").alias("k"),
-            F.regexp_extract(e["t"], r"^[^:]*: (.*)$", 1)
+            F.regexp_extract(e["t"], r"^[^:]*:\s*(.*)$", 1)
             .alias("iv"),
         )
 
@@ -728,7 +811,8 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
         return F.when(
             (e["inl"] | e["ko"]) & ~consumed,
             F.struct(sec.alias("sec"), e["k"].alias("k"),
-                     F.coalesce(val, F.lit("")).alias("v")))
+                     F.coalesce(val, F.lit("")).alias("v"),
+                     e["ov"].alias("ov")))
 
     # MATERIALIZE the token-walk result as one column: every section
     # container references it, and inlining the O(tokens²) walk into
@@ -798,7 +882,17 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
             .otherwise(target)
         lv = F.lower(v)
         placeholder = lv.isin(*SNARE_PLACEHOLDERS) | (v == "")
-        num_ok = v.rlike(r"^[+-]?\d{1,18}$")
+        # strtoll(base 0) semantics (try_parse_int64 mmsnareparse.c:
+        # 3382): a leading decimal or 0x-hex literal parses even when
+        # SPACE-separated trailing text follows ('Key Length: 0 1' —
+        # the joined snare counter — stores 0, no error); the
+        # trailing check only rejects a non-space char glued to the
+        # number. Octal interpretation of leading zeros is not
+        # modeled (decimal instead).
+        num_pre = F.regexp_extract(v, r"^([+-]?\d{1,18})(?:\s.*)?$", 1)
+        hex_pre = F.regexp_extract(
+            v, r"^(?:\+?)0[xX]([0-9a-fA-F]{1,15})(?:\s.*)?$", 1)
+        num_ok = (num_pre != "") | (hex_pre != "")
         bool_t = lv.isin("true", "yes", "enabled", "on") | (v == "1")
         bool_f = lv.isin("false", "no", "disabled", "off") \
             | (v == "0")
@@ -823,7 +917,10 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
                  .otherwise(k))
         # ANSI-safe: the cast input is nulled when not numeric (the
         # When guard alone doesn't stop eval of the branch expr)
-        ival = F.when(num_ok, v).cast("long").cast("string")
+        ival = F.when(num_pre != "", num_pre).cast("long") \
+            .cast("string")
+        ival = F.coalesce(
+            ival, F.when(hex_pre != "", F.conv(hex_pre, 16, 10)))
         val_json = (F.when(vt.isin("int", "intraw", "logon")
                            & num_ok, ival)
                     .when(vt.isin("bool", "rcg") & bool_t,
@@ -840,7 +937,8 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
         return F.when(
             ~placeholder & (k != "LAPSContext"),
             F.struct(target.alias("t"), k_out.alias("k"),
-                     pj.alias("pj"), err.alias("err")))
+                     pj.alias("pj"), err.alias("err"),
+                     e["ov"].alias("ov")))
 
     out = out.withColumn(
         "__snare_routed",
@@ -895,14 +993,36 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
                   F.element_at(objs, cname))
 
     # validation errors → $!win!Validation!Errors
-    # (handle_parsing_error, mmsnareparse.c:3778 '%s: %s')
+    # (handle_parsing_error, mmsnareparse.c:3778 '%s: %s'). The
+    # Errors array and the Stats!ParsingStats object are emitted for
+    # EVERY parsed message — initialize_observability (:3346-3356)
+    # creates both unconditionally, so a clean message renders
+    # Errors=[] (golden mmsnareparse-enhanced-validation.sh asserts
+    # the empty array + exact counts).
+    engaged = m.contains("MSWinEventLog")
     errs = F.filter(F.transform(routed, lambda e: e["err"]),
                     lambda x: x.isNotNull())
     container("cee_win_validation", "$!win!Validation", F.when(
-        F.size(errs) > 0,
+        engaged,
         F.concat(F.lit('{"Errors":['),
                  F.array_join(F.transform(errs, _snare_jq), ","),
                  F.lit("]}"))))
+    # ParsingStats (finalize_parsing_stats :3359-3365): every
+    # non-placeholder dispatch_field store counts total+successful —
+    # INCLUDING validation-failure fallbacks (parse_field_value_
+    # enhanced stores the raw string, stored=1, so dispatch_field
+    # :3754 counts it successful; the error is recorded in Errors
+    # instead). failed_parses increments only on strict-mode
+    # rejection or a store miss — 0 in the permissive/fallback model.
+    # Divergence note: the reference counts a LAPS Context dispatch
+    # once; our routed array excludes it (parsed separately below).
+    n_routed = F.size(F.filter(routed, lambda e: ~e["ov"])) \
+        .cast("string")
+    container("cee_win_stats", "$!win!Stats", F.when(
+        engaged,
+        F.concat(F.lit('{"ParsingStats":{"total_fields":'), n_routed,
+                 F.lit(',"successful_parses":'), n_routed,
+                 F.lit(',"failed_parses":0}}'))))
 
     # Summary: first description token that is prose (no colon) —
     # tab path only (parse_line summary branch)

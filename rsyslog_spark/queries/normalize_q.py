@@ -1188,7 +1188,11 @@ def mmsnareparse_win_event(spark, sf_dir):
         .alias("port"),
         j("cee_win_network", "$.SourceNetworkAddress").alias("srcip"),
         j("cee_win_kerberos", "$.TicketOptions").alias("topt"),
-        F.col("cee_win_validation").isNotNull().cast("long")
+        # Validation now always renders (Errors=[] when clean, like
+        # initialize_observability) — flag rows whose array is
+        # non-empty
+        F.get_json_object(F.col("cee_win_validation"),
+                          "$.Errors[0]").isNotNull().cast("long")
         .alias("bad"),
     ).groupBy("outcome").agg(
         F.count(F.lit(1)).alias("cnt"),

@@ -241,3 +241,167 @@ input(type="imfile" file="@IN@" ruleset="m")
     assert re.search(r"^13,Microsoft-Windows-Sysmon/Operational,"
                      r"NT AUTHORITY\\SYSTEM 123abc,$", out,
                      re.M), out
+
+
+def test_mmsnareparse_realworld_4624_4634_5140(spark, tmp_path):
+    """mmsnareparse-realworld-4624-4634-5140.sh: three real-world
+    Windows events with a RUNTIME field override from
+    definition.file — 'Source Address' (5140 spells it without
+    'Network') routes to $!win!Network!SourceNetworkAddress as an
+    ip_address at priority 80. All 9 reference content_checks."""
+    sh = open(f"{REF}/mmsnareparse-realworld-4624-4634-5140.sh").read()
+    defs = re.search(r"cat >\"\$DEF_FILE\" <<'JSON'\n(.*?)\nJSON\n",
+                     sh, re.S).group(1)
+    msgs = re.search(r"cat > \S+\.input <<'DATA'\n(.*?)\nDATA\n",
+                     sh, re.S).group(1)
+    tpl = re.search(r'(template\(name="outjson".*?\n\})\n', sh,
+                    re.S).group(1)
+    dfp = tmp_path / "defs.json"
+    dfp.write_text(defs)
+    out = _run(spark, tmp_path, f'''
+module(load="mmsnareparse" definition.file="{dfp}")
+''' + tpl + '''
+ruleset(name="m") {
+  action(type="mmsnareparse")
+  action(type="omfile" file="@OUT@" template="outjson")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', msgs + "\n", sub="rw")
+    for frag in ['"eventid":"5140"', '"clientip":"10.10.10.10"',
+                 '"clientport":"57814"', '"eventid":"4624"',
+                 '"clientport":"62029"',
+                 '"logontypelogoninfo":"3"',
+                 '"logontypenamelogoninfo":"Network"',
+                 '"eventid":"4634"']:
+        assert frag in out, (frag, out)
+
+
+def test_mmsnareparse_comprehensive(spark, tmp_path):
+    """mmsnareparse-comprehensive.sh: the full Windows 2022 + 2025 +
+    sample-events corpora (383 real security events) through both the
+    jsonf and the basic list template — every reference content_check
+    and check_not_present (placeholder '-' values never surface)."""
+    sh = open(f"{REF}/mmsnareparse-comprehensive.sh").read()
+    jsonfmt = re.search(r'(template\(name="jsonfmt".*?\n\})\n', sh,
+                        re.S).group(1)
+    basicfmt = re.search(r'(template\(name="basicfmt".*?\n\})\n', sh,
+                         re.S).group(1)
+    data = ""
+    for f in ("sample-windows2022-security.data",
+              "sample-windows2025-security.data",
+              "sample-events.data"):
+        data += open(f"{REF}/testsuites/mmsnareparse/{f}").read() \
+            .rstrip("\n") + "\n"
+    outj = tmp_path / "out_compj"
+    conf = jsonfmt + "\n" + basicfmt + f'''
+ruleset(name="winsec") {{
+  action(type="mmsnareparse")
+  action(type="omfile" file="{outj}" template="jsonfmt")
+  action(type="omfile" file="@OUT@" template="basicfmt")
+}}
+input(type="imfile" file="@IN@" ruleset="winsec")
+'''
+    basic = _run(spark, tmp_path, conf, data, sub="compb")
+    js = "".join(open(outj / p).read() for p in sorted(os.listdir(outj))
+                 if p.startswith("part"))
+    for line in [
+        "4624,Security,Success Audit,Logon,WIN-5SB1I3G0V7U,"
+        "Microsoft-Windows-Security-Auditing",
+        "4634,Security,Success Audit,Logoff,WIN-5SB1I3G0V7U,"
+        "Microsoft-Windows-Security-Auditing",
+        "4647,Security,Success Audit,Logoff,WIN-5SB1I3G0V7U,"
+        "Microsoft-Windows-Security-Auditing",
+        "4648,Security,Success Audit,Logon,WIN-5SB1I3G0V7U,"
+        "Microsoft-Windows-Security-Auditing",
+        "4672,Security,Success Audit,Special Logon,WIN-5SB1I3G0V7U,"
+        "Microsoft-Windows-Security-Auditing",
+        "4688,Security,Success Audit,Process Creation,WIN-5SB1I3G0V7U,"
+        "Microsoft-Windows-Security-Auditing",
+        "4624,Security,Success Audit,Audit Policy Change,"
+        "WIN-IKCCUTRJI52,Microsoft-Windows-Security-Auditing",
+        "4647,Security,Success Audit,Audit Policy Change,"
+        "WIN-IKCCUTRJI52,Microsoft-Windows-Security-Auditing",
+        "4648,Security,Success Audit,Audit Policy Change,"
+        "WIN-IKCCUTRJI52,Microsoft-Windows-Security-Auditing",
+        "4672,Security,Success Audit,Audit Policy Change,"
+        "WIN-IKCCUTRJI52,Microsoft-Windows-Security-Auditing",
+        "4688,Security,Success Audit,Audit Policy Change,"
+        "WIN-IKCCUTRJI52,Microsoft-Windows-Security-Auditing",
+    ]:
+        assert line in basic, ("basic", line)
+    for frag in [
+        "WIN-5SB1I3G0V7U", "WIN-IKCCUTRJI52",
+        '"eventid":"4624"', '"categorytext":"Logon"',
+        '"computer":"DC25-PREVIEW"',
+        '"subjectaccountname":"WIN-IKCCUTRJI52$"',
+        '"logontype":"5"', '"logontypename":"Service"',
+        '"processname":"C:\\\\Windows\\\\System32\\\\services.exe"',
+        '"newlogonaccountname":"SYSTEM"',
+        '"newlogonaccountdomain":"NT AUTHORITY"',
+        '"logonprocess":"Advapi"',
+        '"authenticationpackage":"Negotiate"',
+        '"categorytext":"Audit Policy Change"',
+        '"computer":"WIN-IKCCUTRJI52"',
+        '"subjectaccountdomain":"WORKGROUP"',
+        '"privilegelist":"SeAssignPrimaryTokenPrivilege',
+        '"newlogonaccountname":"DWM-1"',
+        '"newlogonaccountdomain":"Window Manager"',
+        '"subjectaccountname":"Administrator"',
+        '"subjectaccountdomain":"WIN-5SB1I3G0V7U"',
+        '"virtualaccount":"No"', '"elevatedtoken":"Yes"',
+        '"eventid":"4634"', '"eventid":"4647"',
+        '"eventid":"4648"', '"eventid":"4672"',
+        '"eventid":"4688"',
+    ]:
+        assert frag in js, ("json", frag)
+    for absent in ['"restrictedadminmode":"-"',
+                   '"networkaccountname":"-"',
+                   '"sourcenetworkaddress":"-"',
+                   '"sourceport":"-"', '"transitedservices":"-"',
+                   '"packagename":"-"']:
+        assert absent not in js, ("placeholder leaked", absent)
+
+
+def test_mmsnareparse_enhanced_validation(spark, tmp_path):
+    """mmsnareparse-enhanced-validation.sh: the observability
+    surfaces — $!win!Validation!Errors is ALWAYS an array ([] on a
+    clean message) and $!win!Stats!ParsingStats carries the exact
+    dispatch counts (25 non-placeholder 'key: value' stores for the
+    reference's single-space 4624 sample; placeholder '-' fields are
+    dropped, never stored). Replays the reference's python assertion
+    block."""
+    sh = open(f"{REF}/mmsnareparse-enhanced-validation.sh").read()
+    m = re.search(r'tcpflood -m1 -M "\\"(.*?)\\""', sh, re.S).group(1)
+    msg = m.replace("\\t", "\t").replace("\\\\", "\\") \
+        .replace('\\"', '"')
+    tpl = re.search(
+        r'(template\(name="validation_test_json".*?\n\})\n', sh,
+        re.S).group(1)
+    out = _run(spark, tmp_path, tpl + '''
+ruleset(name="m") {
+  action(type="mmsnareparse" validation_mode="strict")
+  action(type="omfile" file="@OUT@" template="validation_test_json")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', msg + "\n", sub="enh")
+    data = [json.loads(line) for line in out.splitlines()
+            if line.strip()]
+    event = next((e for e in data if e.get("eventid")), None)
+    assert event is not None, out[:400]
+    assert event["eventid"] == "4624"
+    assert json.loads(event["validation_errors"]) == []
+    assert json.loads(event["parsing_stats"]) == {
+        "total_fields": 25, "successful_parses": 25,
+        "failed_parses": 0}
+    root = json.loads(event["event_json"])
+    for container, field in [
+        ("Logon", "RemoteCredentialGuard"),
+        ("NewLogon", "NetworkAccountName"),
+        ("NewLogon", "NetworkAccountDomain"),
+        ("Network", "SourceNetworkAddress"),
+        ("Network", "SourcePort"),
+        ("Authentication", "TransitedServices"),
+        ("Authentication", "PackageName"),
+    ]:
+        obj = root.get(container, {})
+        assert field not in obj, (container, field, obj)
