@@ -1054,8 +1054,25 @@ class _Parser:
                 proto = "tcp"
             rest = self._rest_of_line(t.line)
             spec, _, tmpl = rest.partition(";")
+            p = {"type": "omfwd", "protocol": proto}
+            # legacy option parens '@@(o,z5)host:port'
+            # (tools/omfwd.c loadTCPSendOptions: 'o' = octet-counted
+            # framing, 'zN' = single-message zlib at level N —
+            # golden imptcp-compression-none-legacy-single.sh)
+            spec = spec.strip()
+            import re as _re
+            mflags = _re.match(r"^\(([^)]*)\)", spec)
+            if mflags:
+                spec = spec[mflags.end():]
+                for flag in mflags.group(1).split(","):
+                    flag = flag.strip()
+                    if flag == "o":
+                        p["tcp_framing"] = "octet-counted"
+                    elif flag.startswith("z") and flag[1:].isdigit():
+                        p["compression.mode"] = "single"
+                        p["compressionlevel"] = flag[1:]
             host, _, port = spec.partition(":")
-            p = {"type": "omfwd", "target": host, "protocol": proto}
+            p["target"] = host
             if port:
                 p["port"] = port
             if tmpl:

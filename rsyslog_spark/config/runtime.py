@@ -762,7 +762,16 @@ def _dispatch_action_inner(
                if proto == "tcp" else None)
         _with_retry(params, omfwd_sink(
             params["target"], port, "line",
-            framing=framing, protocol=proto, tls=tls))(lines, 0)
+            framing=framing, protocol=proto, tls=tls,
+            compression=params.get("compression.mode", "none"),
+            compression_driver=params.get("compression.driver",
+                                          "zlib"),
+            compression_level=int(params.get("compressionlevel",
+                                             params.get("ziplevel",
+                                                        "6"))),
+            flush_on_txend=str(params.get(
+                "compression.stream.flushontxend", "on"))
+            .lower() != "off"))(lines, 0)
         run.written[name] = f"{proto}://{params['target']}:{port}"
         return
     if typ == "ompipe" and params.get("pipe"):
@@ -1802,6 +1811,13 @@ def run_config_stream(
                 if lin.get("framing.delimiter.regex"):
                     kw["framing_regex"] = \
                         lin["framing.delimiter.regex"]
+                # compression.mode / compression.driver (imtcp.c:
+                # 376-411; goldens imtcp-stream-always-*.sh)
+                if lin.get("compression.mode"):
+                    kw["compression_mode"] = lin["compression.mode"]
+                if lin.get("compression.driver"):
+                    kw["compression_driver"] = \
+                        lin["compression.driver"]
             # $AllowedSender <PROTO>, ip, net/cidr, ... (net.c ACLs)
             acl_key = ("allowedsender.udp" if typ == "imudp"
                        else "allowedsender.tcp")

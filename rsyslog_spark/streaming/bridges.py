@@ -1067,6 +1067,29 @@ def split_tcp_frames(buf: bytes,
     return msgs, (buf[pos:] if pos else buf)
 
 
+def _zlib_auto_detect(buf: bytes) -> bool | None:
+    """imptcp.c compressionAutoDetect: RFC1950 header check (CMF
+    0x78, FCHECK mod-31, no FDICT) then a throw-away inflate probe.
+    True/False = verdict; None = need more bytes."""
+    import zlib
+
+    if len(buf) < 2:
+        return None
+    cmf, flg = buf[0], buf[1]
+    if cmf != 0x78 or ((cmf << 8) + flg) % 31 != 0 or (flg & 0x20):
+        return False
+    probe = zlib.decompressobj()
+    try:
+        out = probe.decompress(buf, 4096)
+    except zlib.error:
+        return False
+    if out or probe.eof:
+        return True
+    if len(buf) >= 4096:
+        return True
+    return None
+
+
 class imtcp(SpoolBridge):
     """TCP syslog server (ref: plugins/imtcp/imtcp.c; the epoll
     variant imptcp differs only in I/O strategy, which Python's
@@ -1087,12 +1110,52 @@ class imtcp(SpoolBridge):
                  max_message_size: int | None = None,
                  discard_truncated: bool = False,
                  framing_regex: str | None = None,
+                 compression_mode: str = "none",
+                 compression_driver: str = "zlib",
+                 support_compression_extension: bool = True,
                  tls=None, **kw):
         super().__init__(spool_dir, inputname="imtcp", **kw)
         self.max_frame_size = max_frame_size
         self.max_message_size = max_message_size
         self.discard_truncated = discard_truncated
         self.framing_regex = framing_regex
+        # compression.mode none|stream:always|auto +
+        # compression.driver zlib|zstd (imtcp.c:376-411; imptcp.c
+        # DataRcvd). 'stream:always' inflates the CONNECTION byte
+        # stream before framing; 'auto' sniffs the zlib header
+        # (imptcp.c compressionAutoDetect: CMF 0x78, FCHECK mod-31,
+        # no FDICT, probe inflate) and locks the session mode.
+        # 'zstd' needs a zstd codec, which this environment lacks —
+        # same config-time error as an un-built libzstd.
+        cm = (compression_mode or "none").lower()
+        if cm not in ("none", "stream:always", "auto"):
+            raise ValueError(
+                f"imtcp: invalid compression.mode {compression_mode!r}"
+                " - supported: 'none', 'stream:always', 'auto'")
+        cd = (compression_driver or "zlib").lower()
+        if cd == "zstd":
+            try:
+                import zstandard  # noqa: F401
+            except ImportError:
+                raise ValueError(
+                    "imtcp: compression.driver='zstd' requires a "
+                    "zstd codec (the reference requires rsyslog "
+                    "built with libzstd)")
+        elif cd != "zlib":
+            raise ValueError(
+                f"imtcp: invalid compression.driver "
+                f"{compression_driver!r}, supported values are "
+                "'zlib' and 'zstd'")
+        self.compression_mode = cm
+        self.compression_driver = cd
+        #: legacy single-message 'z' frames (parser.c
+        #: uncompressMessage: bSupportCompressionExtension) — frames
+        #: whose payload starts 'z'+zlib-header inflate per frame;
+        #: DISABLED on stream-decompressed sessions
+        #: (NO_LEGACY_Z_DECOMPRESS, golden
+        #: imtcp-stream-always-zlib-z-prefix.sh)
+        self.support_compression_extension = \
+            support_compression_extension
         self.tls = tls
         self._tls_ctx = None
         if tls is not None:  # StreamDriver gtls (streaming/gtls.py)
@@ -1160,43 +1223,128 @@ class imtcp(SpoolBridge):
                               self.max_message_size or 8 * 1024)
                   if self.framing_regex else None)
         buf = b""
-        while not self._stop.is_set():
+        # per-session stream decompression state (imptcp.c DataRcvd):
+        # 'stream:always' → inflate everything; 'auto' → sniff, then
+        # lock the session to compressed or plain
+        mode = self.compression_mode
+        decomp = None
+        sniff = b""
+        legacy_z = self.support_compression_extension
+        if mode == "stream:always":
+            decomp = self._new_decompressor()
+            legacy_z = False
+
+        def inflate(chunk: bytes) -> bytes | None:
+            # None → corrupt stream: drop session remainder like the
+            # reference's inflate() failure path (golden
+            # imtcp-stream-always-zlib-corrupt.sh: messages decoded
+            # before the corruption survive)
+            import zlib as _z
+            try:
+                return decomp.decompress(chunk)
+            except (_z.error, Exception):
+                return None
+
+        closed = False
+        while not self._stop.is_set() and not closed:
             if framer is None:
                 msgs, buf = split_tcp_frames(buf, self.max_frame_size)
                 if msgs:
-                    self._emit_msgs(msgs, peer, peer_port)
+                    self._emit_msgs(msgs, peer, peer_port,
+                                    legacy_z=legacy_z)
             try:
                 chunk = conn.recv(262144)
             except socket.timeout:
                 continue
             except OSError:
                 break
-            if not chunk:
+            closed = not chunk
+            if mode == "auto":
+                # buffer session-start bytes until the zlib sniff
+                # decides (imptcp.c compressionAutoDetect); session
+                # close before a verdict → treat buffered bytes as
+                # plain
+                sniff += chunk
+                verdict = _zlib_auto_detect(sniff)
+                if verdict is None and len(sniff) < 4096 \
+                        and not closed:
+                    continue
+                mode = "stream:always" if verdict else "none"
+                if verdict:
+                    decomp = self._new_decompressor()
+                    legacy_z = False
+                chunk, sniff = sniff, b""
+            if chunk and decomp is not None:
+                chunk = inflate(chunk)
+                if chunk is None:
+                    # corrupt compressed stream: drop the session
+                    # remainder (reference logs + stops inflating)
+                    closed = True
+                    chunk = b""
+            if chunk:
+                if framer is not None:
+                    msgs = framer.feed(chunk)
+                    if msgs:
+                        self._emit_msgs(msgs, peer, peer_port,
+                                        legacy_z=legacy_z)
+                else:
+                    buf += chunk
+            if closed:
                 # regex framing: the trailing partial frame is
                 # DROPPED at session close — no delimiter ever proves
                 # the frame complete (observable in
                 # imptcp_framing_regex-oversize.sh: the testdata's
                 # final 'test end' message is absent from EXPECTED).
                 # LF framing keeps the flush-on-close behavior.
-                if framer is None and buf.strip():
-                    self._emit_msgs([buf], peer, peer_port)
-                break
-            if framer is not None:
-                msgs = framer.feed(chunk)
-                if msgs:
-                    self._emit_msgs(msgs, peer, peer_port)
-            else:
-                buf += chunk
+                if framer is None:
+                    msgs, buf = split_tcp_frames(
+                        buf, self.max_frame_size)
+                    if msgs:
+                        self._emit_msgs(msgs, peer, peer_port,
+                                        legacy_z=legacy_z)
+                    if buf.strip():
+                        self._emit_msgs([buf], peer, peer_port,
+                                        legacy_z=legacy_z)
         try:
             conn.close()
         except OSError:
             pass
 
+    def _new_decompressor(self):
+        if self.compression_driver == "zstd":
+            import zstandard
+            return zstandard.ZstdDecompressor().decompressobj()
+        import zlib
+        return zlib.decompressobj()
+
     def _emit_msgs(self, msgs: list[bytes], peer: str,
-                   peer_port: int | None = None) -> None:
+                   peer_port: int | None = None, *,
+                   legacy_z: bool | None = None) -> None:
         if self.max_message_size is not None:
             msgs = apply_max_message_size(
                 msgs, self.max_message_size, self.discard_truncated)
+        if legacy_z is None:
+            legacy_z = self.support_compression_extension
+        if legacy_z:
+            # legacy single-message compression (omfwd
+            # compression.mode="single" / '@@(zN)' — parser.c
+            # uncompressMessage): a frame payload of 'z' + zlib
+            # stream inflates per frame; inflate failure drops the
+            # message like the reference ("Message ignored").
+            # Guarded on the zlib CMF byte so ordinary text starting
+            # with 'z' is untouched (a protective narrowing of the
+            # reference's first-byte-only check).
+            import zlib
+
+            def legacy(m: bytes) -> bytes | None:
+                if m[:1] != b"z" or m[1:2] != b"\x78":
+                    return m
+                try:
+                    return zlib.decompress(m[1:])
+                except zlib.error:
+                    return None
+            msgs = [d for d in (legacy(m) for m in msgs)
+                    if d is not None]
         recs = []
         for m in msgs:
             s = m.decode("utf-8", errors="replace").rstrip("\r\n")

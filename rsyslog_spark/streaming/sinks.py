@@ -415,6 +415,10 @@ def omfwd_sink(
     framing: str = "octet-counted",
     protocol: str = "tcp",
     tls=None,
+    compression: str = "none",
+    compression_driver: str = "zlib",
+    compression_level: int = 6,
+    flush_on_txend: bool = True,
 ) -> Callable[[DataFrame, int], None]:
     """omfwd TCP forward (ref: tools/omfwd.c): RFC6587 framing —
     octet-counted (``LEN SP MSG``) or non-transparent (LF-terminated).
@@ -430,6 +434,26 @@ def omfwd_sink(
         raise ValueError(f"unknown protocol {protocol!r}")
     if tls is not None and protocol != "tcp":
         raise ValueError("tls requires protocol='tcp'")
+    # compression.mode (tools/omfwd.c:153-157,243-245):
+    # 'single' = legacy per-message zlib, payload 'z'+deflate BEFORE
+    # framing (the '@@(zN)' selector form); 'stream:always' = the
+    # connection byte stream is ONE deflate stream, Z_SYNC_FLUSH per
+    # transmit when compression.stream.flushOnTXEnd is on so the
+    # receiver can decode incrementally.
+    comp = (compression or "none").lower()
+    if comp not in ("none", "single", "stream:always"):
+        raise ValueError(f"unknown compression.mode {compression!r}")
+    cdrv = (compression_driver or "zlib").lower()
+    if cdrv == "zstd":
+        try:
+            import zstandard  # noqa: F401
+        except ImportError:
+            raise ValueError(
+                "omfwd: compression.driver='zstd' requires a zstd "
+                "codec (the reference requires libzstd)")
+    elif cdrv != "zlib":
+        raise ValueError(
+            f"unknown compression.driver {compression_driver!r}")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         lines = batch_df.select(F.col(line_col).cast("string").alias("l"))
@@ -453,19 +477,45 @@ def omfwd_sink(
                 sock = client_context(tls).wrap_socket(
                     sock, server_hostname=host)
                 check_peer(sock, tls)
+            cobj = None
+            if comp == "stream:always":
+                if cdrv == "zstd":
+                    import zstandard
+                    cobj = zstandard.ZstdCompressor(
+                        level=compression_level).compressobj()
+                else:
+                    import zlib
+                    cobj = zlib.compressobj(compression_level)
+
+            def send(data: bytes, *, final: bool = False) -> None:
+                if cobj is None:
+                    sock.sendall(data)
+                    return
+                out = cobj.compress(data)
+                if final:
+                    out += cobj.flush()
+                elif flush_on_txend:
+                    import zlib
+                    out += cobj.flush(zlib.Z_SYNC_FLUSH) \
+                        if cdrv == "zlib" else b""
+                if out:
+                    sock.sendall(out)
             try:
                 buf = bytearray()
                 for r in rows:
                     payload = (r.l or "").encode("utf-8")
+                    if comp == "single":
+                        import zlib
+                        payload = b"z" + zlib.compress(
+                            payload, compression_level)
                     if framing == "octet-counted":
                         buf += str(len(payload)).encode() + b" " + payload
                     else:
                         buf += payload + b"\n"
                     if len(buf) >= 256 * 1024:
-                        sock.sendall(buf)
+                        send(bytes(buf))
                         buf.clear()
-                if buf:
-                    sock.sendall(buf)
+                send(bytes(buf), final=True)
             finally:
                 sock.close()
             return iter(())
