@@ -750,7 +750,11 @@ def _dispatch_action_inner(
             params = {**params, "template": fwd_default}
         lines = _rendered_lines(df, cfg, params)
         proto = params.get("protocol", "udp").lower()
-        port = int(params.get("port", "514"))
+        # target/port accept ARRAYS — the native LB pool
+        # (omfwd.c:233,237 eCmdHdlrArray; omfwd-lb-2target-basic.sh)
+        rawp = params.get("port", "514")
+        port = ([int(p) for p in rawp]
+                if isinstance(rawp, (list, tuple)) else int(rawp))
         # reference default TCP_Framing is "traditional" (LF,
         # ref tools/omfwd.c); octet-counted on request
         framing = ("octet-counted"

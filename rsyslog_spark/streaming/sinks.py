@@ -407,9 +407,97 @@ def dequeue_window_gate(
     return in_window
 
 
+def _pool_send(rows, targets, *, framing, tls, comp, cdrv, level,
+               flush_on_txend):
+    """omfwd native LB pool (omfwd.c doTryResume/pool walk): each
+    message goes to ONE target, round-robin over healthy targets;
+    connect/send failure suspends the target for the rest of the
+    batch and its share re-routes to the survivors; all targets
+    dead → raise (the action retry/suspend wrapper takes over)."""
+    import socket as _socket
+
+    n = len(targets)
+    conns: list = [None] * n
+    cobjs: list = [None] * n
+    dead = [False] * n
+
+    def conn_for(i):
+        if conns[i] is None:
+            s = _socket.create_connection(targets[i], timeout=10)
+            if tls is not None:
+                from rsyslog_spark.streaming.gtls import (
+                    check_peer, client_context)
+                s = client_context(tls).wrap_socket(
+                    s, server_hostname=targets[i][0])
+                check_peer(s, tls)
+            conns[i] = s
+            if comp == "stream:always":
+                if cdrv == "zstd":
+                    import zstandard
+                    cobjs[i] = zstandard.ZstdCompressor(
+                        level=level).compressobj()
+                else:
+                    import zlib
+                    cobjs[i] = zlib.compressobj(level)
+        return conns[i]
+
+    def send(i, data: bytes) -> None:
+        if cobjs[i] is not None:
+            import zlib
+            out = cobjs[i].compress(data)
+            if flush_on_txend and cdrv == "zlib":
+                out += cobjs[i].flush(zlib.Z_SYNC_FLUSH)
+            if not out:
+                return
+            data = out
+        conn_for(i).sendall(data)
+
+    rr = 0
+    try:
+        for r in rows:
+            payload = (r.l or "").encode("utf-8")
+            if comp == "single":
+                import zlib
+                payload = b"z" + zlib.compress(payload, level)
+            if framing == "octet-counted":
+                frame = str(len(payload)).encode() + b" " + payload
+            else:
+                frame = payload + b"\n"
+            start, rr = rr, rr + 1
+            for k in range(n):
+                i = (start + k) % n
+                if dead[i]:
+                    continue
+                try:
+                    send(i, frame)
+                    break
+                except OSError:
+                    dead[i] = True
+                    if conns[i] is not None:
+                        try:
+                            conns[i].close()
+                        except OSError:
+                            pass
+                        conns[i] = None
+            else:
+                raise OSError("omfwd: all pool targets failed")
+    finally:
+        for i, s in enumerate(conns):
+            if s is None:
+                continue
+            try:
+                if cobjs[i] is not None:
+                    tail = cobjs[i].flush()
+                    if tail:
+                        s.sendall(tail)
+                s.close()
+            except OSError:
+                pass
+
+
 def omfwd_sink(
-    host: str,
-    port: int,
+    host: str | list[str],
+    port: int | list[int],
     line_col: str = "line",
     *,
     framing: str = "octet-counted",
@@ -454,6 +542,22 @@ def omfwd_sink(
     elif cdrv != "zlib":
         raise ValueError(
             f"unknown compression.driver {compression_driver!r}")
+    # native load-balancing pool (omfwd.c target/port eCmdHdlrArray
+    # :233,237; golden omfwd-lb-2target-basic.sh): N targets, one
+    # message to ONE target, round-robin → an even split across
+    # healthy targets; a failed target's share re-routes to the
+    # survivors (omfwd-lb-2target-one_fail.sh). Round-robin here is
+    # per PARTITION — exact 50/50 on one partition like the golden,
+    # statistically even at cluster scale without serial state.
+    hosts = list(host) if isinstance(host, (list, tuple)) else [host]
+    ports = list(port) if isinstance(port, (list, tuple)) else [port]
+    if len(ports) == 1 and len(hosts) > 1:
+        ports = ports * len(hosts)
+    if len(hosts) != len(ports):
+        raise ValueError(
+            f"omfwd: {len(hosts)} targets but {len(ports)} ports")
+    targets = [(h, int(p)) for h, p in zip(hosts, ports)]
+    host, port = targets[0]
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         lines = batch_df.select(F.col(line_col).cast("string").alias("l"))
@@ -461,12 +565,20 @@ def omfwd_sink(
         def per_partition(rows):
             import socket
 
+            if protocol == "tcp" and len(targets) > 1:
+                _pool_send(rows, targets, framing=framing, tls=tls,
+                           comp=comp, cdrv=cdrv,
+                           level=compression_level,
+                           flush_on_txend=flush_on_txend)
+                return iter(())
             if protocol == "udp":
                 sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
                 try:
+                    rr = 0
                     for r in rows:
                         sock.sendto((r.l or "").encode("utf-8"),
-                                    (host, port))
+                                    targets[rr % len(targets)])
+                        rr += 1
                 finally:
                     sock.close()
                 return iter(())

@@ -1,0 +1,147 @@
+"""omfwd native load-balancing pool (tools/omfwd.c target/port
+arrays): goldens omfwd-lb-2target-basic.sh (exact even split across
+two healthy targets, combined sequence complete) and
+omfwd-lb-2target-one_fail.sh (a dead target's share re-routes to the
+survivor)."""
+
+import socket
+import threading
+
+
+class _MiniTcpSrv:
+    """minitcpsrvr analog: accept loop recording received lines."""
+
+    def __init__(self):
+        self.srv = socket.socket()
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(8)
+        self.srv.settimeout(0.2)
+        self.port = self.srv.getsockname()[1]
+        self.data = bytearray()
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._serve, daemon=True)
+        self._t.start()
+
+    def _serve(self):
+        while not self._stop.is_set():
+            try:
+                conn, _ = self.srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            conn.settimeout(0.2)
+            while not self._stop.is_set():
+                try:
+                    chunk = conn.recv(65536)
+                except socket.timeout:
+                    continue
+                except OSError:
+                    break
+                if not chunk:
+                    break
+                self.data += chunk
+            conn.close()
+
+    def lines(self):
+        return [l for l in bytes(self.data).decode().splitlines()
+                if l]
+
+    def stop(self):
+        self._stop.set()
+        try:
+            self.srv.close()
+        except OSError:
+            pass
+        self._t.join(timeout=2)
+
+
+def _msgs(n):
+    return [f"msgnum:{i:07d}" for i in range(n)]
+
+
+def test_lb_2target_even_split(spark):
+    """omfwd-lb-2target-basic.sh: each healthy target receives
+    exactly half; the union is sequence-complete."""
+    from rsyslog_spark.streaming.sinks import omfwd_sink
+
+    s1, s2 = _MiniTcpSrv(), _MiniTcpSrv()
+    try:
+        lines = _msgs(100)
+        df = spark.createDataFrame([(l,) for l in lines],
+                                   "line string").coalesce(1)
+        omfwd_sink(["127.0.0.1", "127.0.0.1"], [s1.port, s2.port],
+                   framing="lf")(df, 0)
+        import time
+        deadline = time.time() + 10
+        while time.time() < deadline and \
+                len(s1.lines()) + len(s2.lines()) < 100:
+            time.sleep(0.2)
+        l1, l2 = s1.lines(), s2.lines()
+        assert len(l1) == 50 and len(l2) == 50, (len(l1), len(l2))
+        assert sorted(l1 + l2) == lines
+    finally:
+        s1.stop()
+        s2.stop()
+
+
+def test_lb_one_fail_reroutes(spark):
+    """omfwd-lb-2target-one_fail.sh: a target that refuses
+    connections is suspended and its share goes to the survivor —
+    nothing is lost."""
+    from rsyslog_spark.streaming.sinks import omfwd_sink
+
+    s1 = _MiniTcpSrv()
+    # reserve a port and close it so connects fail fast
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    dead_port = probe.getsockname()[1]
+    probe.close()
+    try:
+        lines = _msgs(60)
+        df = spark.createDataFrame([(l,) for l in lines],
+                                   "line string").coalesce(1)
+        omfwd_sink(["127.0.0.1", "127.0.0.1"], [s1.port, dead_port],
+                   framing="lf")(df, 0)
+        import time
+        deadline = time.time() + 10
+        while time.time() < deadline and len(s1.lines()) < 60:
+            time.sleep(0.2)
+        assert sorted(s1.lines()) == lines
+    finally:
+        s1.stop()
+
+
+def test_lb_config_binding_arrays(spark, tmp_path):
+    """action(type=omfwd target=[...] port=[...]) through
+    run_config_batch splits across both receivers."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    s1, s2 = _MiniTcpSrv(), _MiniTcpSrv()
+    try:
+        src = tmp_path / "in.log"
+        src.write_text("".join(
+            f"<13>Mar  1 10:00:00 h1 app: msgnum:{i:03d}\n"
+            for i in range(20)))
+        conf = f'''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfwd" target=["127.0.0.1", "127.0.0.1"]
+         port=["{s1.port}", "{s2.port}"]
+         protocol="tcp" template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+'''
+        run_config_batch(spark, conf)
+        import time
+        deadline = time.time() + 10
+        while time.time() < deadline and \
+                len(s1.lines()) + len(s2.lines()) < 20:
+            time.sleep(0.2)
+        got = sorted(s1.lines() + s2.lines())
+        assert len(got) == 20
+        assert all("msgnum:" in l for l in got)
+        assert s1.lines() and s2.lines()   # both targets used
+    finally:
+        s1.stop()
+        s2.stop()
