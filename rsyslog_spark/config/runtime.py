@@ -41,6 +41,10 @@ from rsyslog_spark.session import now_col as _now_col
 def _estimate_input_bytes(path: str | None) -> int | None:
     """Total bytes under a local (possibly-glob) input path; None when
     the size can't be cheaply determined (remote FS, no matches)."""
+    if isinstance(path, (list, tuple)):   # ignoreOlderThan path list
+        vals = [_estimate_input_bytes(p) for p in path]
+        vals = [v for v in vals if v]
+        return sum(vals) if vals else None
     if not path or "://" in path:
         return None
     pats = [path]
@@ -1294,7 +1298,29 @@ def run_config_batch(
               or imf.get("escapelf.replacement")
               or imf.get("readMode") or imf.get("readmode")
               or imf.get("addMetadata") or imf.get("addmetadata"))
-        if ml:
+        # ignoreOlderThan: skip files whose mtime at discovery is
+        # older than N seconds (imfile.c; goldens
+        # imfile-ignore-old-file-{1..7}.sh). A refreshed mtime makes
+        # the file eligible again, reading from the start — batch
+        # re-runs reproduce that discovery-time behavior. (The
+        # STREAMING file source tracks processed files in its
+        # checkpoint instead; old-file exclusion there is a startup
+        # concern the checkpoint subsumes — divergence documented in
+        # COVERAGE.)
+        iot = int(imf.get("ignoreolderthan", "0") or 0)
+        if iot > 0 and path:
+            from rsyslog_spark.streaming.sources import (
+                ignore_older_than_paths)
+            eligible = ignore_older_than_paths(path, iot)
+            if not eligible:
+                lines = spark.createDataFrame([], "line string")
+                ml = None
+                path = None
+            else:
+                path = eligible
+        if path is None and iot > 0:
+            pass   # empty frame built above
+        elif ml:
             from rsyslog_spark.streaming.sources import imfile_batch
             lines = imfile_batch(
                 spark, path,

@@ -124,6 +124,29 @@ def _split_multiline(content: DataFrame, startmsg_regex, endmsg_regex,
     return out
 
 
+def ignore_older_than_paths(path: str, seconds: int) -> list[str]:
+    """imfile ``ignoreOlderThan`` (imfile.c:1715 ignore_old_file /
+    stream strmSetIgnoreOlderThan): a file whose mtime at DISCOVERY
+    is older than N seconds is skipped; 0 disables. A later write
+    refreshes the mtime, so the file becomes eligible and reads from
+    the START (golden imfile-ignore-old-file-2.sh expects the full
+    0..1999 sequence after appending to an old file). Returns the
+    eligible concrete paths for the glob — possibly empty."""
+    import glob as _glob
+    import os
+    import time
+
+    cutoff = time.time() - seconds
+    out = []
+    for p in _glob.glob(path):
+        try:
+            if os.path.getmtime(p) >= cutoff:
+                out.append(p)
+        except OSError:
+            pass
+    return out
+
+
 def imfile_batch(
     spark: SparkSession,
     path: str,

@@ -4176,3 +4176,103 @@ ruleset(name="m") {
         _w.simplefilter("always")
         parse_config(conf.replace("500001", "10000"))
     assert not any("very large" in str(r.message) for r in rec)
+
+
+class TestImfileIgnoreOlderThan:
+    """imfile-ignore-old-file-{1..4}.sh: ignoreOlderThan skips files
+    whose mtime at discovery is older than N seconds; 0 disables; a
+    refreshed mtime re-admits the file, reading from the START."""
+
+    def _conf(self, src, out, iot):
+        return f'''
+input(type="imfile" File="{src}" ignoreolderthan="{iot}"
+      Tag="file:" ruleset="rs")
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="rs") {{
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+'''
+
+    @staticmethod
+    def _lines(out):
+        import os
+        if not out.exists():
+            return []
+        res = []
+        for f in sorted(os.listdir(out)):
+            if f.startswith("part"):
+                res += open(out / f).read().splitlines()
+        return sorted(res)
+
+    @staticmethod
+    def _age(path, seconds):
+        import os
+        import time
+        old = time.time() - seconds
+        os.utime(path, (old, old))
+
+    def test_old_file_skipped(self, spark, tmp_path):
+        from rsyslog_spark.config.runtime import run_config_batch
+        src = tmp_path / "in.input"
+        src.write_text("".join(
+            f"<13>Mar  1 10:00:00 h t: msgnum:{i:03d}\n"
+            for i in range(10)))
+        self._age(src, 2_000_000)   # ~23 days old
+        out = tmp_path / "out"
+        run_config_batch(spark, self._conf(src, out, 604800))
+        assert self._lines(out) == []
+
+    def test_refreshed_mtime_reads_from_start(self, spark, tmp_path):
+        """imfile-ignore-old-file-2.sh: appending to the old file
+        refreshes its mtime — the next discovery reads the WHOLE
+        file (0..19, not just the appended half)."""
+        from rsyslog_spark.config.runtime import run_config_batch
+        src = tmp_path / "in.input"
+        src.write_text("".join(
+            f"<13>Mar  1 10:00:00 h t: msgnum:{i:03d}\n"
+            for i in range(10)))
+        self._age(src, 2_000_000)
+        out = tmp_path / "out"
+        conf = self._conf(src, out, 604800)
+        run_config_batch(spark, conf)
+        assert self._lines(out) == []
+        with open(src, "a") as fh:
+            fh.write("".join(
+                f"<13>Mar  1 10:00:00 h t: msgnum:{i:03d}\n"
+                for i in range(10, 20)))
+        run_config_batch(spark, conf)
+        assert self._lines(out) == sorted(
+            f"msgnum:{i:03d}" for i in range(20))
+
+    def test_mixed_old_and_new_glob(self, spark, tmp_path):
+        """imfile-ignore-old-file-3.sh: with a glob over one old and
+        one fresh file, only the fresh file's sequence appears."""
+        from rsyslog_spark.config.runtime import run_config_batch
+        old = tmp_path / "a.input"
+        old.write_text("".join(
+            f"<13>Mar  1 10:00:00 h t: msgnum:{i:03d}\n"
+            for i in range(10)))
+        self._age(old, 2_000_000)
+        new = tmp_path / "b.input"
+        new.write_text("".join(
+            f"<13>Mar  1 10:00:00 h t: msgnum:{i:03d}\n"
+            for i in range(10, 20)))
+        out = tmp_path / "out"
+        run_config_batch(spark, self._conf(
+            f"{tmp_path}/*.input", out, 604800))
+        assert self._lines(out) == sorted(
+            f"msgnum:{i:03d}" for i in range(10, 20))
+
+    def test_zero_disables(self, spark, tmp_path):
+        """imfile-ignore-old-file-4.sh: ignoreolderthan='0' reads the
+        old file normally."""
+        from rsyslog_spark.config.runtime import run_config_batch
+        src = tmp_path / "in.input"
+        src.write_text("".join(
+            f"<13>Mar  1 10:00:00 h t: msgnum:{i:03d}\n"
+            for i in range(10)))
+        self._age(src, 2_000_000)
+        out = tmp_path / "out"
+        run_config_batch(spark, self._conf(src, out, 0))
+        assert self._lines(out) == sorted(
+            f"msgnum:{i:03d}" for i in range(10))
