@@ -324,6 +324,8 @@ def _noparse_frame(lines: DataFrame, imf: dict) -> DataFrame:
         "timereported": tgen, "timegenerated": tgen,
         # NULL = locally-stamped time, session-zone render semantics
         "tz_offset_sec": F.lit(None).cast("int"),
+        "tz_zulu": F.lit(None).cast("boolean"),
+        "secfrac_prec": F.lit(None).cast("int"),
         "protocol_version": F.lit(0),
         "structured_data": null_s, "json": null_s, "uuid": null_s,
         # bParseSuccess is only set by mm modules (msg.c:2183)

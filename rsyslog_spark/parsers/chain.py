@@ -256,11 +256,19 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
     def p5(i: int) -> Column:
         return _nil(F.element_at(F.col("__p5"), i))
 
+    # over-long fractions (7-9 digits) truncate to micros before the
+    # parse — the reference accepts any precision and
+    # getNormalizedSecFracPower divides down to 6 for rendering
+    # (golden timestamp-3339.sh '…41.000006930Z' → '…41.000006Z')
+    ts5_txt = F.regexp_replace(
+        F.coalesce(p5(2), F.lit("")),
+        r"(\.\d{6})\d+", "$1")
     ts5424 = F.coalesce(
-        F.try_to_timestamp(p5(2),
+        F.try_to_timestamp(ts5_txt,
                            F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
-        F.try_to_timestamp(p5(2), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
-        F.try_to_timestamp(p5(2), F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(ts5_txt,
+                           F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(ts5_txt, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
     )
     # protocol-1 TAG emulation: "app[procid]" / bare "app" on NIL
     # PROCID — no trailing colon (ref: runtime/msg.c
@@ -479,6 +487,23 @@ def _build_layers(line_col: str, inputname: str, keep_raw: bool,
             return tgen
         if name == "tz_offset_sec":
             return tz_offset
+        if name in ("tz_zulu", "secfrac_prec"):
+            # wire-timestamp metadata (syslogTime OffsetMode /
+            # secfracPrecision): 'Z' re-renders as 'Z' (datetime.c
+            # formatTimestamp3339:945) and the fraction renders at
+            # its PARSED digit count (getNormalizedSecFracPower,
+            # capped at 6). NULL = no wire timestamp (reception-time
+            # fallback rows keep engine-default rendering).
+            wire_ts = ab(
+                F.coalesce(F.nullif(p5(2), F.lit("-")), F.lit("")),
+                F.when(has_ts, ts_txt).otherwise(F.lit("")))
+            if name == "tz_zulu":
+                return F.when(wire_ts == "",
+                              F.lit(None).cast("boolean")) \
+                    .otherwise(wire_ts.endswith("Z"))
+            return F.when(wire_ts == "", F.lit(None).cast("int")) \
+                .otherwise(F.length(
+                    F.regexp_extract(wire_ts, r"\.(\d+)", 1)))
         if name == "protocol_version":
             return F.when(acc, F.lit(1)).otherwise(F.lit(0))
         if name == "structured_data":

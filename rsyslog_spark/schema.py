@@ -42,7 +42,18 @@ SYSLOG_FIELDS: list[tuple[str, T.DataType]] = [
                                            # Hour/Minute — renders
                                            # show the ORIGINAL wall
                                            # clock, datetime.c
-                                           # formatTimestamp3164)
+                                           # formatTimestamp3164);
+                                           # NULL = no wire zone →
+                                           # daemon-local semantics
+    ("tz_zulu", T.BooleanType()),          # wire zone was literal
+                                           # 'Z' (OffsetMode 'Z' —
+                                           # rfc3339 re-renders 'Z',
+                                           # not '+00:00')
+    ("secfrac_prec", T.IntegerType()),     # wire fractional-second
+                                           # DIGIT COUNT (syslogTime
+                                           # secfracPrecision; render
+                                           # caps at 6); NULL = no
+                                           # wire timestamp info
     ("protocol_version", T.IntegerType()),  # 0=RFC3164, 1=RFC5424
     ("structured_data", T.StringType()),    # raw RFC5424 SD
     ("json", T.StringType()),               # $! tree as JSON text

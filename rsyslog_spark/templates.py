@@ -676,20 +676,26 @@ class Prop:
         # parsertest-parse1.sh '...05:14:15.000003-07:00' renders
         # 'Aug 24 05:14:15')
         offs = None
+        zulu = None
+        prec = None
         if (name == "timereported"
                 and df is not None and "tz_offset_sec" in df.columns):
             # per-row: NULL = no wire zone → session-local semantics
             # in _apply_date (parsed offsets pass through, Z → 0)
             offs = F.col("tz_offset_sec")
+            if "tz_zulu" in df.columns:
+                zulu = F.col("tz_zulu")
+            if "secfrac_prec" in df.columns:
+                prec = F.col("secfrac_prec")
         # date formatting applies to the property FETCH, before
         # field/substring/regex processing (template.c: the date is
         # rendered into the property string first — golden
         # parsertest-parse3.sh '%timereported:1:19:date-rfc3339%'
         # substrings the RENDERED date)
         if self.date_format is not None:
-            c = self._apply_date(c, None, offs)
+            c = self._apply_date(c, None, offs, zulu, prec)
         elif default_date is not None:
-            c = self._apply_date(c, default_date, offs)
+            c = self._apply_date(c, default_date, offs, zulu, prec)
         if self.field_delim is not None:
             from rsyslog_spark.functions.strings import field as field_fn
             c = field_fn(c, self.field_delim, self.field_num or 1,
@@ -790,7 +796,9 @@ class Prop:
         return c
 
     def _apply_date(self, c: Column, fmt_override: str | None = None,
-                    offs: Column | None = None) -> Column:
+                    offs: Column | None = None,
+                    zulu: Column | None = None,
+                    prec: Column | None = None) -> Column:
         """Date formats over a TIMESTAMP-castable property
         (template.h:72-96). ``offs``: wire TZ offset seconds — wall-
         clock formats shift by it so the ORIGINAL local time renders
@@ -832,6 +840,18 @@ class Prop:
         frac6 = F.date_format(ts, "SSSSSS")
         fracpart = F.when(frac6 == "000000", F.lit("")) \
             .otherwise(F.concat(F.lit("."), frac6))
+        if prec is not None:
+            # render the fraction at the PARSED digit count
+            # (syslogTime secfracPrecision, capped at 6 by
+            # getNormalizedSecFracPower — '.003' stays 3 digits,
+            # '.0300000' renders '.030000'); NULL precision keeps
+            # the engine default above
+            p6 = F.least(prec, F.lit(6))
+            fracpart = F.when(prec.isNull(), fracpart) \
+                .when(prec <= 0, F.lit("")) \
+                .otherwise(F.concat(F.lit("."),
+                                    F.substring(frac6, 1, 6)
+                                    .substr(F.lit(1), p6)))
         # session-zone suffix at instant ts ("xxx" → "+00:00" form,
         # DST-correct per row)
         sess_offstr = F.date_format(ts, "xxx")
@@ -849,6 +869,10 @@ class Prop:
                     sign, F.lpad((aoff / 3600).cast("int"), 2, "0"),
                     F.lit(":"),
                     F.lpad(((aoff % 3600) / 60).cast("int"), 2, "0")))
+            if zulu is not None:
+                # wire 'Z' re-renders as 'Z' (datetime.c
+                # formatTimestamp3339:945 OffsetMode)
+                offstr = F.when(zulu, F.lit("Z")).otherwise(offstr)
             return F.concat(
                 F.date_format(wall, "yyyy-MM-dd'T'HH:mm:ss"),
                 fracpart, offstr)
@@ -860,7 +884,14 @@ class Prop:
             # parsertest-parse-3164-buggyday.sh)
             return F.date_format(wall, "MMM dd HH:mm:ss")
         if fmt == "unixtimestamp":
-            return F.unix_timestamp(ts).cast("string")
+            # out-of-range years render 0 (datetime.c
+            # syslogTime2time_t:1022 guard — goldens
+            # timegenerated-uxtimestamp-invld.sh). The RANGE check is
+            # on the WALL-CLOCK year like the C (parsed fields).
+            return F.when(
+                (F.year(wall) < 1970) | (F.year(wall) > 2100),
+                F.lit("0")) \
+                .otherwise(F.unix_timestamp(ts).cast("string"))
         if fmt == "mysql":
             return F.date_format(wall, "yyyyMMddHHmmss")
         if fmt == "pgsql":
@@ -868,7 +899,19 @@ class Prop:
         if fmt == "subseconds":
             # secfrac digits at parsed precision; no fraction → "0"
             # (msg.c tplFmtSecFrac / formatTimestampSecFrac)
+            if prec is not None:
+                exact = F.when(
+                    prec > 0,
+                    F.substring(frac6, 1, 6)
+                    .substr(F.lit(1), F.least(prec, F.lit(6)))) \
+                    .otherwise(F.lit("0"))
+            else:
+                exact = None
             stripped = F.regexp_replace(frac6, "0+$", "")
+            if exact is not None:
+                return F.when(prec.isNotNull(), exact).otherwise(
+                    F.when(stripped == "", F.lit("0"))
+                    .otherwise(stripped))
             return F.when(stripped == "", F.lit("0")) \
                 .otherwise(stripped)
         if fmt == "wdayname":
@@ -878,8 +921,10 @@ class Prop:
             # 0=Sunday (datetime.c getWeekdayNbr)
             return (F.dayofweek(wall) - 1).cast("string")
         if fmt == "ordinal":
-            # 1-based day of year (msg.c daysInYear[getOrdinal])
-            return F.dayofyear(wall).cast("string")
+            # 1-based day of year, THREE digits (msg.c
+            # daysInYear[getOrdinal] — the table holds "001".."366";
+            # golden timegenerated-dateordinal.sh)
+            return F.lpad(F.dayofyear(wall).cast("string"), 3, "0")
         if fmt == "week":
             # datetime.c getWeek: pin Jan 1 as week start, then
             # adjust when the current weekday precedes Jan 1's
@@ -890,6 +935,22 @@ class Prop:
             jan1dow = F.dayofweek(F.trunc(wall, "year")) - 1
             wk = wk + F.when(curdow < jan1dow, 1).otherwise(0)
             return F.lpad(wk.cast("int").cast("string"), 2, "0")
+        if fmt in ("iso-week", "iso-week-year"):
+            # ISO 8601 week via the Thursday rule (datetime.c
+            # getISOWeek — equivalent closed form; Spark bans the
+            # week-based 'w'/'Y' patterns). Render: zero-padded week,
+            # plain year; outside 1970-2099 the reference emits a
+            # fixed error string (msg.c formatISOWeekOrYear:1624).
+            dow = ((F.dayofweek(wall) + 5) % 7) + 1   # Mon=1..Sun=7
+            thu = F.date_add(wall.cast("date"), 4 - dow)
+            oor = (F.year(wall) < 1970) | (F.year(wall) > 2099)
+            if fmt == "iso-week-year":
+                val = F.year(thu).cast("string")
+            else:
+                wk = (F.floor((F.dayofyear(thu) - 1) / 7) + 1)
+                val = F.lpad(wk.cast("int").cast("string"), 2, "0")
+            return F.when(oor, F.lit("YEAR OUT OF RANGE(1970-2099)")
+                          ).otherwise(val)
         if fmt in ("tzoffshour", "tzoffsmin", "tzoffsdirection"):
             # session-zone seconds for rows without a wire zone
             # (date.inUTC keeps 00/00/+ — msg.c getTimeUTC)
@@ -1316,6 +1377,8 @@ _TPL_OPTIONS = {
     "date-wdayname": dict(date_format="wdayname"),
     "date-wday": dict(date_format="wday"),
     "date-ordinal": dict(date_format="ordinal"),
+    "date-iso-week": dict(date_format="iso-week"),
+    "date-iso-week-year": dict(date_format="iso-week-year"),
     "date-week": dict(date_format="week"),
     "date-tzoffshour": dict(date_format="tzoffshour"),
     "date-tzoffsmin": dict(date_format="tzoffsmin"),
