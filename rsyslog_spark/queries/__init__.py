@@ -204,7 +204,10 @@ _TAIL = ("vendor_parse_pair",
          "pri_filter_selectors", "rs_expr_battery", "field_extract",
          "ruleset_route_fanout", "mmfields_split",
          "mmpstrucdata_parse", "foreach_explode_sum",
-         "similarity_knn_join", "text_lang_id")
+         "similarity_knn_join", "text_lang_id",
+         # parked r8 wave 2 (green r5+r6+r7, body untouched) — room
+         # for the NEW timestamp_render_battery oracle
+         "dedup_exact")
 
 
 def tail_body_hash(q: Query) -> str:

@@ -616,3 +616,86 @@ def imkafka_split_records(spark, sf_dir):
             .groupBy((F.col("n") % 7).alias("bucket"))
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.sum("n").alias("total")))
+
+
+@q(
+    "timestamp_render_battery",
+    """
+    WITH w AS (
+      SELECT ts,
+             event_id % 3 AS prec,
+             CAST(isoyear(ts) AS BIGINT) AS wky,
+             lpad(CAST(week(ts) AS VARCHAR), 2, '0') AS wk
+      FROM events
+    ), r AS (
+      SELECT wky, wk,
+             strftime(ts, '%Y-%m-%dT%H:%M:%S')
+               || CASE WHEN prec = 1
+                       THEN '.' || substr(strftime(ts, '%f'), 1, 3)
+                       WHEN prec = 2
+                       THEN '.' || strftime(ts, '%f')
+                       ELSE '' END
+               || 'Z' AS rfc3339,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ux,
+             lpad(CAST(dayofyear(ts) AS VARCHAR), 3, '0') AS ord,
+             CASE WHEN prec = 1 THEN substr(strftime(ts, '%f'), 1, 3)
+                  WHEN prec = 2 THEN strftime(ts, '%f')
+                  ELSE '0' END AS ss,
+             strftime(ts, '%Y%m%d%H%M%S') AS my
+      FROM w
+    )
+    SELECT wky, wk, COUNT(*) AS cnt,
+           MIN(rfc3339) AS rfc_min, MAX(rfc3339) AS rfc_max,
+           MIN(ux) AS ux_min, MAX(ux) AS ux_max,
+           MIN(ord) AS ord_min, MAX(ord) AS ord_max,
+           MAX(ss) AS ss_max, MIN(my) AS my_min
+    FROM r GROUP BY wky, wk
+    """,
+    doc="Timestamp render battery: events.ts re-rendered as RFC5424 "
+        "wire lines at THREE wire precisions (none/.SSS/.SSSSSS), "
+        "parsed back, then rendered through date-rfc3339 (wire-exact "
+        "'Z' + parsed-precision fraction), date-unixtimestamp, "
+        "date-iso-week{,-year} (getISOWeek Thursday rule), "
+        "date-ordinal (3-digit), date-subseconds, date-mysql — "
+        "grouped by ISO week (ref: runtime/datetime.c "
+        "formatTimestamp3339/getISOWeek; tests/timestamp-*.sh, "
+        "timegenerated-*.sh).",
+)
+def timestamp_render_battery(spark, sf_dir):
+    from rsyslog_spark.templates import compile_template_string
+
+    ev = load(spark, sf_dir, "events")
+    ts = F.col("ts")
+    us = F.date_format(ts, "SSSSSS")
+    base = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+    prec = (F.col("event_id") % 3).cast("int")
+    frac = (F.when(prec == 1,
+                   F.concat(F.lit("."), F.substring(us, 1, 3)))
+            .when(prec == 2, F.concat(F.lit("."), us))
+            .otherwise(F.lit("")))
+    line = F.concat(F.lit("<34>1 "), base, frac, F.lit("Z"),
+                    F.lit(" host app - ID47 - msgnum"))
+    parsed = parse_syslog(ev.select(line.alias("line")))
+
+    def render(tpl):
+        return compile_template_string(tpl).col(parsed)
+
+    r = parsed.select(
+        render("%timestamp:::date-iso-week-year%").cast("long")
+        .alias("wky"),
+        render("%timestamp:::date-iso-week%").alias("wk"),
+        render("%timestamp:::date-rfc3339%").alias("rfc3339"),
+        render("%timestamp:::date-unixtimestamp%").cast("long")
+        .alias("ux"),
+        render("%timestamp:::date-ordinal%").alias("ord"),
+        render("%timestamp:::date-subseconds%").alias("ss"),
+        render("%timestamp:::date-mysql%").alias("my"),
+    )
+    return r.groupBy("wky", "wk").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("rfc3339").alias("rfc_min"),
+        F.max("rfc3339").alias("rfc_max"),
+        F.min("ux").alias("ux_min"), F.max("ux").alias("ux_max"),
+        F.min("ord").alias("ord_min"), F.max("ord").alias("ord_max"),
+        F.max("ss").alias("ss_max"), F.min("my").alias("my_min"),
+    )
