@@ -1802,7 +1802,7 @@ def run_config_stream(
             kafka_inp = inp
         elif (bridge is None and path is None
               and typ in ("imtcp", "imptcp", "imudp", "imrelp",
-                          "imhttp")):
+                          "imhttp", "imhiredis")):
             # socket inputs: start the matching receive bridge; the
             # stream reads its spool (ref input() port binding, e.g.
             # plugins/imtcp — inputs start LAST in the activation
@@ -1821,9 +1821,37 @@ def run_config_stream(
                 kw["host"] = inp["address"]
             cls = {"imtcp": _b.imtcp, "imptcp": _b.imptcp,
                    "imudp": _b.imudp, "imrelp": _b.imrelp,
-                   "imhttp": _b.imhttp}[typ]
+                   "imhttp": _b.imhttp,
+                   "imhiredis": _b.imhiredis}[typ]
             if typ == "imhttp" and inp.get("endpoint"):
                 kw["endpoint"] = inp["endpoint"]
+            if typ == "imhiredis":
+                # imhiredis.c params: server/port/key/mode +
+                # stream.* (consumerGroup/consumerName/readFrom/
+                # autoclaimIdleTime/ack) — goldens
+                # imhiredis-{queue,stream*}.sh
+                lin = {k.lower(): v for k, v in inp.items()}
+                kw.pop("host", None)
+                if lin.get("server"):
+                    kw["host"] = lin["server"]
+                kw["key"] = lin.get("key", "")
+                if lin.get("mode"):
+                    kw["mode"] = lin["mode"]
+                if str(lin.get("uselpop", "on")).lower() in (
+                        "off", "false", "0"):
+                    kw["use_lpop"] = False
+                if lin.get("stream.consumergroup"):
+                    kw["stream_consumer_group"] =                         lin["stream.consumergroup"]
+                if lin.get("stream.consumername"):
+                    kw["stream_consumer_name"] =                         lin["stream.consumername"]
+                if lin.get("stream.readfrom"):
+                    kw["stream_read_from"] = lin["stream.readfrom"]
+                if lin.get("stream.autoclaimidletime"):
+                    kw["stream_autoclaim_idle_time"] = int(
+                        lin["stream.autoclaimidletime"])
+                if str(lin.get("stream.ack", "on")).lower() in (
+                        "off", "false", "0"):
+                    kw["stream_ack"] = False
             if typ in ("imtcp", "imptcp"):
                 tls = _tls_from_input(inp, cfg.directives)
                 if tls is not None:

@@ -618,8 +618,10 @@ def parse_syslog(
     # runtime/msg.c MsgSetRcvFrom — parsers never overwrite them).
     # When the incoming frame already carries one (imudp/imuxsock/
     # imhttp bridges, imkafka), prefer it over the synthesized value.
+    # (json rides along for inputs that deliver a pre-built $! tree —
+    # imhiredis stream entries, enqueueRedisStreamReply)
     recv = [c for c in ("fromhost", "fromhost_ip", "fromhost_port",
-                        "inputname", "timegenerated")
+                        "inputname", "timegenerated", "json")
             if c in df.columns and c in want]
     if recv:
         df = df.withColumnsRenamed({c: f"__in_{c}" for c in recv})

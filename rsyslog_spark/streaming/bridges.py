@@ -333,8 +333,25 @@ class imhttp(SpoolBridge):
                     self.end_headers()
                     return
                 n = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(n).decode(
-                    "utf-8", errors="replace")
+                raw = self.rfile.read(n)
+                # Content-Encoding: gzip / deflate POST bodies
+                # (imhttp.c handles compressed payloads via civetweb;
+                # golden imhttp-post-payload-compress.sh). A body
+                # that fails to decode answers 400 and is dropped.
+                enc = (self.headers.get("Content-Encoding") or "") \
+                    .lower()
+                if enc in ("gzip", "deflate", "x-gzip"):
+                    import gzip as _gz
+                    import zlib as _zl
+                    try:
+                        raw = (_gz.decompress(raw)
+                               if "gzip" in enc
+                               else _zl.decompress(raw))
+                    except (OSError, _zl.error):
+                        self.send_response(400)
+                        self.end_headers()
+                        return
+                body = raw.decode("utf-8", errors="replace")
                 for ln in body.splitlines():
                     if ln.strip():
                         bridge.emit({
@@ -697,18 +714,42 @@ class imhiredis(SpoolBridge):
     with ``use_lpop=False`` — the reference's uselpop flag, queue
     mode only); mode='subscribe' consumes SUBSCRIBE push messages."""
 
+    #: stream-mode records carry the entry's field dict as a JSON
+    #: tree (enqueueRedisStreamReply builds $! from the XADD fields
+    #: and $.redis metadata) — the spool exposes both
+    schema = ("line string, json string, fromhost string, "
+              "timegenerated timestamp")
+
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 6379, key: str, mode: str = "queue",
-                 use_lpop: bool = True, poll_secs: float = 0.2, **kw):
-        if mode not in ("queue", "subscribe"):
-            raise ValueError(f"imhiredis mode {mode!r} (stream mode: "
-                             "use imkafka-style offsets via XREAD — "
-                             "not implemented)")
+                 use_lpop: bool = True, poll_secs: float = 0.2,
+                 stream_consumer_group: str | None = None,
+                 stream_consumer_name: str | None = None,
+                 stream_read_from: str = "$",
+                 stream_autoclaim_idle_time: int = 0,
+                 stream_ack: bool = True, **kw):
+        if mode not in ("queue", "subscribe", "stream"):
+            raise ValueError(f"imhiredis mode {mode!r}")
+        if len(stream_read_from or "") >= 44:
+            # STREAM_INDEX_STR_BUFSZ 44 guard (imhiredis.c:70;
+            # golden imhiredis-stream-readfrom-too-long.sh)
+            raise ValueError(
+                "imhiredis: stream.readFrom exceeds the maximum "
+                "stream index length (43 characters)")
+        if stream_autoclaim_idle_time and not stream_consumer_group:
+            raise ValueError(
+                "imhiredis: 'stream.autoclaimIdleTime' requires a "
+                "consumer group (imhiredis.c:426)")
         super().__init__(spool_dir, inputname="imhiredis", **kw)
         self.host, self.port = host, port
         self.key, self.mode = key, mode
         self.use_lpop = use_lpop
         self.poll_secs = poll_secs
+        self.group = stream_consumer_group
+        self.consumer = stream_consumer_name or "rsyslog"
+        self.read_from = stream_read_from or "$"
+        self.autoclaim_ms = int(stream_autoclaim_idle_time)
+        self.ack = stream_ack
         self._sock = None
 
     def _serve(self) -> None:
@@ -730,6 +771,8 @@ class imhiredis(SpoolBridge):
                             and got[0] == "message"):
                         self.emit({"line": got[2],
                                    "fromhost": self.host})
+            elif self.mode == "stream":
+                self._stream_loop(f)
             else:
                 cmd = "LPOP" if self.use_lpop else "RPOP"
                 while not self._stop.is_set():
@@ -747,6 +790,104 @@ class imhiredis(SpoolBridge):
                 self._sock.close()
             except OSError:
                 pass
+
+    def _stream_loop(self, f) -> None:
+        """Redis Streams intake (imhiredis.c workerLoop stream arm):
+        without a consumer group, XREAD from ``stream.readFrom``
+        ('$' = only entries arriving after startup — golden
+        imhiredis-stream.sh skips pre-existing messages; '0' = from
+        the beginning); with a group, XGROUP CREATE … MKSTREAM then
+        XREADGROUP '>' per batch, XACK after enqueue when
+        ``stream.ack`` (default on), and XAUTOCLAIM re-claims pending
+        entries idle past ``stream.autoclaimIdleTime`` ms. Each
+        entry becomes one message whose $! tree is the field dict
+        and $.redis carries stream/index/group/consumer
+        (enqueueRedisStreamReply)."""
+        import json as _json
+
+        from rsyslog_spark.streaming.transports import _resp
+
+        def emit_entry(entry_id: str, fields: list) -> None:
+            d = {}
+            for i in range(0, len(fields) - 1, 2):
+                d[fields[i]] = fields[i + 1]
+            rec = {"line": _json.dumps(d, separators=(",", ":")),
+                   "json": _json.dumps(d, separators=(",", ":")),
+                   "fromhost": self.host}
+            self.emit(rec)
+            if self.group and self.ack:
+                self._sock.sendall(_resp(
+                    "XACK", self.key, self.group, entry_id))
+                _resp_read(f)
+
+        def handle_xread(got) -> None:
+            # [[stream, [[id, [k, v, ...]], ...]], ...]
+            if not isinstance(got, list):
+                return
+            for stream in got:
+                if not (isinstance(stream, list) and len(stream) == 2):
+                    continue
+                for ent in stream[1] or []:
+                    if isinstance(ent, list) and len(ent) == 2:
+                        emit_entry(ent[0], ent[1] or [])
+
+        if self.group:
+            self._sock.sendall(_resp(
+                "XGROUP", "CREATE", self.key, self.group,
+                self.read_from, "MKSTREAM"))
+            try:
+                _resp_read(f)
+            except RuntimeError:
+                pass            # BUSYGROUP: the group already exists
+            autoclaim_cursor = "0-0"
+            while not self._stop.is_set():
+                if self.autoclaim_ms:
+                    self._sock.sendall(_resp(
+                        "XAUTOCLAIM", self.key, self.group,
+                        self.consumer, str(self.autoclaim_ms),
+                        autoclaim_cursor, "COUNT", "10"))
+                    got = _resp_read(f)
+                    if isinstance(got, list) and len(got) >= 2:
+                        autoclaim_cursor = got[0] or "0-0"
+                        for ent in got[1] or []:
+                            if isinstance(ent, list) and len(ent) == 2:
+                                emit_entry(ent[0], ent[1] or [])
+                self._sock.sendall(_resp(
+                    "XREADGROUP", "GROUP", self.group, self.consumer,
+                    "COUNT", "10", "STREAMS", self.key, ">"))
+                got = _resp_read(f)
+                if got is None:
+                    time.sleep(self.poll_secs)
+                else:
+                    handle_xread(got)
+        else:
+            last = self.read_from
+            if last == "$":
+                # resolve '$' ONCE at startup to the stream's newest
+                # id — entries already in the stream never deliver
+                # (imhiredis-stream.sh: message1-3 skipped)
+                self._sock.sendall(_resp(
+                    "XREVRANGE", self.key, "+", "-", "COUNT", "1"))
+                try:
+                    got = _resp_read(f)
+                except RuntimeError:
+                    got = None
+                last = (got[0][0] if isinstance(got, list) and got
+                        and isinstance(got[0], list) else "0-0")
+            while not self._stop.is_set():
+                self._sock.sendall(_resp(
+                    "XREAD", "COUNT", "10", "STREAMS",
+                    self.key, last))
+                got = _resp_read(f)
+                if got is None:
+                    time.sleep(self.poll_secs)
+                    continue
+                if isinstance(got, list):
+                    for stream in got:
+                        if (isinstance(stream, list)
+                                and len(stream) == 2 and stream[1]):
+                            last = stream[1][-1][0]
+                    handle_xread(got)
 
     def _shutdown(self) -> None:
         if self._sock is not None:

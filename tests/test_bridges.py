@@ -1351,3 +1351,384 @@ def test_imuxsock_trailing_lf(spark, tmp_path):
     finally:
         b.stop()
     assert line == "<142>Mar  1 01:00:00 tag:  test"   # LF gone
+
+
+def test_imhttp_gzip_post_payload(spark, tmp_path):
+    """imhttp-post-payload-compress.sh: a gzip Content-Encoding POST
+    body inflates before line framing; the JSON line arrives intact.
+    A corrupt compressed body answers 400 and drops."""
+    import gzip
+    import urllib.error
+
+    b = imhttp(str(tmp_path / "spool"), flush_secs=0.2).start()
+    try:
+        payload = (b'[{"foo":"bar","bar":"foo"},'
+                   b'{"one":"two","three":"four"}]')
+        for _ in range(5):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{b.port}/postrequest",
+                data=gzip.compress(payload),
+                headers={"Content-Encoding": "gzip"})
+            assert urllib.request.urlopen(req).status == 200
+        df = _drain(b, spark, 5)
+        rows = df.collect()
+        assert len(rows) == 5
+        assert all(r.line == payload.decode() for r in rows)
+        # corrupt gzip → 400, nothing emitted
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{b.port}/postrequest",
+            data=b"\x1f\x8b garbage not gzip",
+            headers={"Content-Encoding": "gzip"})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("corrupt body must answer 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert _drain(b, spark, 5).count() == 5
+    finally:
+        b.stop()
+
+
+class _MockRedisStream:
+    """RESP server with a minimal Streams engine: XADD, XREAD,
+    XGROUP CREATE, XREADGROUP, XACK, XAUTOCLAIM, XINFO GROUPS —
+    enough for the imhiredis-stream-*.sh golden shapes."""
+
+    def __init__(self):
+        self.streams: dict = {}     # key -> list[(id, [k,v,...])]
+        self.groups: dict = {}      # (key,group) -> {"last": id,
+                                    #  "pending": {id: consumer}}
+        self._seq = [0]
+        self._lock = threading.Lock()
+        self.acked: list = []
+        self.srv = socket.socket()
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(4)
+        self.srv.settimeout(0.2)
+        self.port = self.srv.getsockname()[1]
+        self._stop = threading.Event()
+        self.t = threading.Thread(target=self._serve, daemon=True)
+        self.t.start()
+
+    # -- stream engine ------------------------------------------------
+    def xadd(self, key, fields):
+        with self._lock:
+            self._seq[0] += 1
+            eid = f"{1700000000000 + self._seq[0]}-0"
+            self.streams.setdefault(key, []).append((eid, fields))
+            return eid
+
+    @staticmethod
+    def _after(eid, ref):
+        def parts(x):
+            a, _, b = x.partition("-")
+            return (int(a), int(b or 0))
+        return parts(eid) > parts(ref)
+
+    # -- RESP plumbing ------------------------------------------------
+    @staticmethod
+    def _enc(v):
+        if v is None:
+            return b"*-1\r\n"
+        if isinstance(v, bytes):
+            return b"$%d\r\n%s\r\n" % (len(v), v)
+        if isinstance(v, str):
+            vb = v.encode()
+            return b"$%d\r\n%s\r\n" % (len(vb), vb)
+        if isinstance(v, int):
+            return b":%d\r\n" % v
+        out = b"*%d\r\n" % len(v)
+        for x in v:
+            out += _MockRedisStream._enc(x)
+        return out
+
+    def _serve(self):
+        conns = []
+        while not self._stop.is_set():
+            try:
+                conn, _ = self.srv.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            t = threading.Thread(target=self._conn, args=(conn,),
+                                 daemon=True)
+            t.start()
+            conns.append(conn)
+        for c in conns:
+            try:
+                c.close()
+            except OSError:
+                pass
+
+    def _conn(self, conn):
+        f = conn.makefile("rb")
+        try:
+            while not self._stop.is_set():
+                hdr = f.readline()
+                if not hdr or not hdr.startswith(b"*"):
+                    break
+                args = []
+                for _ in range(int(hdr[1:-2])):
+                    ln = f.readline()
+                    args.append(
+                        f.read(int(ln[1:-2]) + 2)[:-2].decode())
+                conn.sendall(self._dispatch(args))
+        except (OSError, ValueError):
+            pass
+        finally:
+            conn.close()
+
+    def _dispatch(self, a):
+        cmd = a[0].upper()
+        enc = self._enc
+        if cmd == "XADD":
+            key = a[1]
+            i = 3 if a[2] == "*" else 3
+            return enc(self.xadd(key, a[i:]))
+        if cmd == "XGROUP" and a[1].upper() == "CREATE":
+            key, group, start = a[2], a[3], a[4]
+            gk = (key, group)
+            if gk in self.groups:
+                return b"-BUSYGROUP Consumer Group name exists\r\n"
+            last = "0-0"
+            if start == "$":
+                ents = self.streams.get(key, [])
+                last = ents[-1][0] if ents else "0-0"
+            elif start != "0":
+                last = start
+            self.groups[gk] = {"last": last, "pending": {}}
+            return b"+OK\r\n"
+        if cmd == "XREVRANGE":
+            key = a[1]
+            ents = self.streams.get(key, [])
+            if not ents:
+                return enc([])
+            return enc([[ents[-1][0], ents[-1][1]]])
+        if cmd == "XREAD":
+            i = a.index("STREAMS")
+            key, ref = a[i + 1], a[i + 2]
+            got = [e for e in self.streams.get(key, [])
+                   if self._after(e[0], ref)][:10]
+            if not got:
+                return enc(None)
+            return enc([[key, [[i2, fl] for i2, fl in got]]])
+        if cmd == "XREADGROUP":
+            group, consumer = a[2], a[3]
+            i = a.index("STREAMS")
+            key = a[i + 1]
+            gk = (key, group)
+            g = self.groups.get(gk)
+            if g is None:
+                return (b"-NOGROUP No such consumer group\r\n")
+            got = [e for e in self.streams.get(key, [])
+                   if self._after(e[0], g["last"])][:10]
+            if not got:
+                return enc(None)
+            g["last"] = got[-1][0]
+            for eid, _fl in got:
+                g["pending"][eid] = consumer
+            return enc([[key, [[i2, fl] for i2, fl in got]]])
+        if cmd == "XACK":
+            key, group, eid = a[1], a[2], a[3]
+            g = self.groups.get((key, group), {"pending": {}})
+            hit = g["pending"].pop(eid, None)
+            if hit is not None:
+                self.acked.append(eid)
+            return enc(1 if hit is not None else 0)
+        if cmd == "XAUTOCLAIM":
+            key, group, consumer = a[1], a[2], a[3]
+            g = self.groups.get((key, group))
+            if g is None:
+                return b"-NOGROUP no such group\r\n"
+            ids = sorted(g["pending"])
+            ents = [e for e in self.streams.get(key, [])
+                    if e[0] in ids]
+            for eid, _fl in ents:
+                g["pending"][eid] = consumer
+            return enc(["0-0",
+                        [[i2, fl] for i2, fl in ents], []])
+        if cmd == "XINFO" and a[1].upper() == "GROUPS":
+            key = a[2]
+            out = []
+            for (k, gname), g in self.groups.items():
+                if k == key:
+                    out.append(["name", gname,
+                                "pending", len(g["pending"])])
+            return enc(out)
+        return b"+OK\r\n"
+
+    def close(self):
+        self._stop.set()
+        try:
+            self.srv.close()
+        except OSError:
+            pass
+
+
+def test_imhiredis_stream_only_new_entries(spark, tmp_path):
+    """imhiredis-stream.sh: readFrom '$' (default) skips entries that
+    existed before startup; new XADDs flow with $!msg from the entry
+    fields."""
+    from rsyslog_spark.streaming.bridges import imhiredis
+
+    srv = _MockRedisStream()
+    for i in (1, 2, 3):
+        srv.xadd("mystream", ["msg", f"message{i}"])
+    b = imhiredis(str(tmp_path / "spool"), port=srv.port,
+                  key="mystream", mode="stream",
+                  poll_secs=0.1, flush_secs=0.2).start()
+    try:
+        time.sleep(0.8)     # listener live, pre-existing skipped
+        for i in (4, 5, 6):
+            srv.xadd("mystream", ["msg", f"message{i}"])
+        df = _drain(b, spark, 3)
+        rows = df.collect()
+        got = sorted(json.loads(r.json)["msg"] for r in rows)
+        assert got == ["message4", "message5", "message6"], got
+        assert all("message1" not in (r.line or "") for r in rows)
+    finally:
+        b.stop()
+        srv.close()
+
+
+def test_imhiredis_stream_from_beginning(spark, tmp_path):
+    """imhiredis-stream-from-beginning.sh: stream.readFrom='0' reads
+    the pre-existing entries too."""
+    from rsyslog_spark.streaming.bridges import imhiredis
+
+    srv = _MockRedisStream()
+    for i in (1, 2, 3):
+        srv.xadd("mystream", ["msg", f"message{i}"])
+    b = imhiredis(str(tmp_path / "spool"), port=srv.port,
+                  key="mystream", mode="stream",
+                  stream_read_from="0",
+                  poll_secs=0.1, flush_secs=0.2).start()
+    try:
+        df = _drain(b, spark, 3)
+        got = sorted(json.loads(r.json)["msg"] for r in df.collect())
+        assert got == ["message1", "message2", "message3"], got
+    finally:
+        b.stop()
+        srv.close()
+
+
+def test_imhiredis_stream_consumer_group_ack(spark, tmp_path):
+    """imhiredis-stream-consumerGroup-ack.sh: XREADGROUP + XACK per
+    entry (stream.ack default on) — the pending list drains."""
+    from rsyslog_spark.streaming.bridges import imhiredis
+
+    srv = _MockRedisStream()
+    b = imhiredis(str(tmp_path / "spool"), port=srv.port,
+                  key="s1", mode="stream",
+                  stream_consumer_group="g1",
+                  stream_consumer_name="c1",
+                  stream_read_from="0",
+                  poll_secs=0.1, flush_secs=0.2).start()
+    try:
+        for i in range(4):
+            srv.xadd("s1", ["msg", f"m{i}"])
+        df = _drain(b, spark, 4)
+        assert df.count() == 4
+        deadline = time.time() + 5
+        while time.time() < deadline and len(srv.acked) < 4:
+            time.sleep(0.1)
+        assert len(srv.acked) == 4
+        assert not srv.groups[("s1", "g1")]["pending"]
+    finally:
+        b.stop()
+        srv.close()
+
+
+def test_imhiredis_stream_consumer_group_noack(spark, tmp_path):
+    """imhiredis-stream-consumerGroup-noack.sh: stream.ack='off'
+    leaves entries pending."""
+    from rsyslog_spark.streaming.bridges import imhiredis
+
+    srv = _MockRedisStream()
+    b = imhiredis(str(tmp_path / "spool"), port=srv.port,
+                  key="s2", mode="stream",
+                  stream_consumer_group="g2",
+                  stream_read_from="0", stream_ack=False,
+                  poll_secs=0.1, flush_secs=0.2).start()
+    try:
+        for i in range(3):
+            srv.xadd("s2", ["msg", f"m{i}"])
+        df = _drain(b, spark, 3)
+        assert df.count() == 3
+        assert not srv.acked
+        assert len(srv.groups[("s2", "g2")]["pending"]) == 3
+    finally:
+        b.stop()
+        srv.close()
+
+
+def test_imhiredis_stream_autoclaim_reclaims(spark, tmp_path):
+    """imhiredis-stream-consumerGroup-reclaim.sh: entries left
+    PENDING by a dead consumer re-deliver through XAUTOCLAIM when
+    stream.autoclaimIdleTime is set."""
+    from rsyslog_spark.streaming.bridges import imhiredis
+
+    srv = _MockRedisStream()
+    # simulate a dead consumer: group exists with pending entries
+    for i in range(2):
+        srv.xadd("s3", ["msg", f"stale{i}"])
+    srv.groups[("s3", "g3")] = {
+        "last": max(e[0] for e in srv.streams["s3"]),
+        "pending": {e[0]: "dead" for e in srv.streams["s3"]}}
+    b = imhiredis(str(tmp_path / "spool"), port=srv.port,
+                  key="s3", mode="stream",
+                  stream_consumer_group="g3",
+                  stream_consumer_name="alive",
+                  stream_autoclaim_idle_time=10,
+                  stream_read_from="0",
+                  poll_secs=0.1, flush_secs=0.2).start()
+    try:
+        df = _drain(b, spark, 2)
+        got = sorted(json.loads(r.json)["msg"] for r in df.collect())
+        assert got == ["stale0", "stale1"], got
+    finally:
+        b.stop()
+        srv.close()
+
+
+def test_imhiredis_stream_readfrom_too_long_rejected(tmp_path):
+    """imhiredis-stream-readfrom-too-long.sh: a readFrom value past
+    the 43-char stream-index maximum is a config error."""
+    import pytest
+    from rsyslog_spark.streaming.bridges import imhiredis
+
+    with pytest.raises(ValueError, match="readFrom"):
+        imhiredis(str(tmp_path / "spool"), key="k", mode="stream",
+                  stream_read_from="9" * 50)
+
+
+def test_imhiredis_stream_config_binding(spark, tmp_path):
+    """input(type=imhiredis mode=stream stream.*=...) through
+    run_config_stream: $!msg renders from the entry fields."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_stream
+
+    srv = _MockRedisStream()
+    srv.xadd("cfgstream", ["msg", "hello-cfg"])
+    out = tmp_path / "out"
+    conf = f'''
+input(type="imhiredis" server="127.0.0.1" port="{srv.port}"
+      key="cfgstream" mode="stream" stream.readFrom="0"
+      ruleset="redis" spool="{tmp_path}/spool")
+template(name="outfmt" type="string" string="%$!msg%\\n")
+ruleset(name="redis") {{
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+'''
+    try:
+        run_config_stream(spark, conf,
+                          checkpoint=str(tmp_path / "ck"),
+                          drain_grace=3.0)
+        lines = []
+        for fme in sorted(os.listdir(out)):
+            if fme.startswith("part"):
+                lines += open(out / fme).read().splitlines()
+        assert lines == ["hello-cfg"]
+    finally:
+        srv.close()
