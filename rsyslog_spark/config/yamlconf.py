@@ -56,7 +56,13 @@ def _stmt(s: dict, indent: str) -> str:
     out: list[str] = []
     if "if" in s:
         out.append(f"{indent}if {s['if']} then {{")
-        for sub in s.get("then", []):
+        # the reference accepts a SIBLING action: next to if: as the
+        # one-statement then-branch (yamlconf.c:1129 — the
+        # yaml-statements-basic.sh shape)
+        body = s.get("then")
+        if body is None and "action" in s:
+            body = [{"action": s["action"]}]
+        for sub in body or []:
             out.append(_stmt(sub, indent + "    "))
         out.append(indent + "}")
         if s.get("else"):
@@ -67,7 +73,9 @@ def _stmt(s: dict, indent: str) -> str:
     elif "action" in s:
         out.append(f"{indent}action({_params(s['action'])})")
     elif "set" in s:
-        var, value = s["set"]["var"], s["set"]["value"]
+        # yamlconf.c:1002 reads var/expr; value: tolerated as an alias
+        var = s["set"]["var"]
+        value = s["set"].get("expr", s["set"].get("value"))
         out.append(f"{indent}set {var} = {value};")
     elif "unset" in s:
         out.append(f"{indent}unset {s['unset']};")
@@ -81,6 +89,10 @@ def _stmt(s: dict, indent: str) -> str:
         for sub in fe.get("do", []):
             out.append(_stmt(sub, indent + "    "))
         out.append(indent + "}")
+    elif "type" in s:
+        # a bare mapping with type: is an action object
+        # (yamlconf.c:1318 has_type — '- type: mmjsonparse' form)
+        out.append(f"{indent}action({_params(s)})")
     else:
         raise ValueError(f"unknown statement key in {s!r}")
     return "\n".join(out)
