@@ -4276,3 +4276,73 @@ ruleset(name="rs") {{
         run_config_batch(spark, self._conf(src, out, 0))
         assert self._lines(out) == sorted(
             f"msgnum:{i:03d}" for i in range(10))
+
+
+class TestImfileWildcardDirs:
+    """imfile-wildcards-dirs{,-multi,-multi4,-multi5}.sh shapes: glob
+    patterns spanning directory levels (*/, ?, deep nesting, and TWO
+    imfile inputs with distinct globs) all resolve — Spark's file
+    source shares the reference's glob semantics."""
+
+    @staticmethod
+    def _mk(root, rel, text):
+        p = root / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(text)
+
+    @staticmethod
+    def _lines(out):
+        import os
+        res = []
+        for f in sorted(os.listdir(out)):
+            if f.startswith("part"):
+                res += open(out / f).read().splitlines()
+        return sorted(res)
+
+    def test_dir_level_wildcards(self, spark, tmp_path):
+        from rsyslog_spark.config.runtime import run_config_batch
+        for i in range(3):
+            self._mk(tmp_path, f"input.dir{i}/file.logfile",
+                     f"<13>Mar  1 10:00:00 h t: msgnum:{i:03d}\n")
+        self._mk(tmp_path, "input.dir0/file.other", "<13>h t: no\n")
+        out = tmp_path / "out"
+        conf = f'''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imfile" File="{tmp_path}/input.*/*.logfile"
+      ruleset="m")
+'''
+        run_config_batch(spark, conf)
+        assert self._lines(out) == [
+            f"msgnum:{i:03d}" for i in range(3)]
+
+    def test_deep_nesting_and_question_mark(self, spark, tmp_path):
+        from rsyslog_spark.config.runtime import run_config_batch
+        self._mk(tmp_path,
+                 "input.dir1/a/b/c/d/e/file.logfile",
+                 "<13>Mar  1 10:00:00 h t: msgnum:deep\n")
+        self._mk(tmp_path, "input.dir2/x/one.logfile",
+                 "<13>Mar  1 10:00:00 h t: msgnum:q1\n")
+        out1, out2 = tmp_path / "o1", tmp_path / "o2"
+        conf = f'''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m1") {{
+  action(type="omfile" file="{out1}" template="outfmt")
+}}
+input(type="imfile" File="{tmp_path}/input.dir1/*/*/*/*/*/file.logfile"
+      ruleset="m1")
+'''
+        run_config_batch(spark, conf)
+        assert self._lines(out1) == ["msgnum:deep"]
+        conf2 = f'''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m2") {{
+  action(type="omfile" file="{out2}" template="outfmt")
+}}
+input(type="imfile" File="{tmp_path}/input.dir?/*/*.logfile"
+      ruleset="m2")
+'''
+        run_config_batch(spark, conf2)
+        assert self._lines(out2) == ["msgnum:q1"]
