@@ -816,15 +816,58 @@ def _dispatch_action_inner(
         from rsyslog_spark.streaming.sinks import omhttp_sink
 
         host = params["server"]
+        if isinstance(host, (list, tuple)):   # server array: first
+            host = host[0]
         port = params.get("serverport", "80")
-        path = "/" + params.get("restpath", "").lstrip("/")
-        url = (host if "://" in host else f"http://{host}:{port}") \
-            + path
+        scheme = ("https" if str(params.get("usehttps", "off"))
+                  .lower() in ("on", "true", "1") else "http")
+        base = (host if "://" in host
+                else f"{scheme}://{host}:{port}")
+        path = "/" + str(params.get("restpath", "")).lstrip("/")
+        batch_on = str(params.get("batch", "off")).lower() in (
+            "on", "true", "1")
+        fmt = str(params.get("batch.format", "newline")).lower()
+        # headers: single key/value pair + the httpheaders array of
+        # 'Key: value' strings (omhttp.c:276-278)
+        hdrs = {}
+        if params.get("httpheaderkey"):
+            hdrs[params["httpheaderkey"]] = params.get(
+                "httpheadervalue", "")
+        for h in params.get("httpheaders") or []:
+            k, _, v = str(h).partition(":")
+            if k.strip():
+                hdrs[k.strip()] = v.strip()
+        transport = _omhttp_transport(
+            base, path,
+            fmt=fmt if batch_on else "newline",
+            content_type=params.get("httpcontenttype"),
+            headers=hdrs,
+            uid=params.get("uid"), pwd=params.get("pwd"),
+            token=params.get("token"),
+            compress=str(params.get("compress", "off")).lower()
+            in ("on", "true", "1"),
+            compress_level=int(params.get("compress.level", "-1")))
+        dyn = str(params.get("dynrestpath", "off")).lower() in (
+            "on", "true", "1")
         doc = _rendered_lines(df, cfg, params)
+        path_col = None
+        if dyn and params.get("restpath") in cfg.templates:
+            # dynrestpath: restpath names a TEMPLATE rendered per
+            # message (omhttp.c:284; omhttp-batch-dynrestpath.sh)
+            rtpl = cfg.templates[params["restpath"]]
+            mtpl = cfg.templates.get(params.get("template", ""))
+            doc = df.select(
+                (mtpl.col(df) if mtpl is not None
+                 and hasattr(mtpl, "col")
+                 else F.col("msg")).alias("line"),
+                rtpl.col(df).alias("__rest_path"))
+            path_col = "__rest_path"
         _with_retry(params, omhttp_sink(
-            "line", transport=_http_post_transport(url),
-            batch_size=int(params.get("batch.maxsize", "100"))))(doc, 0)
-        run.written[name] = url
+            "line", transport=transport,
+            batch_size=(int(params.get("batch.maxsize", "100"))
+                        if batch_on else 1),
+            path_col=path_col))(doc, 0)
+        run.written[name] = base + path
         return
     if typ == "omprog" and params.get("binary"):
         import shlex
@@ -970,6 +1013,46 @@ def _http_post_transport(url: str):
         req = urllib.request.Request(
             url, data=("\n".join(chunk)).encode("utf-8"),
             headers={"Content-Type": "text/plain"})
+        urllib.request.urlopen(req, timeout=30).read()
+
+    return post
+
+
+def _omhttp_transport(base: str, path: str, *, fmt: str = "newline",
+                      content_type: str | None = None,
+                      headers: dict | None = None,
+                      uid: str | None = None, pwd: str | None = None,
+                      token: str | None = None,
+                      compress: bool = False,
+                      compress_level: int = -1):
+    """omhttp HTTP client (contrib/omhttp/omhttp.c buildCurlHeaders /
+    serializeBatch*): batch-format body, custom headers, basic auth
+    (uid/pwd) or bearer token, gzip Content-Encoding on compress."""
+    def post(chunk: list[str], dyn_path: str | None = None) -> None:
+        import base64
+        import urllib.request
+
+        from rsyslog_spark.streaming.sinks import omhttp_serialize
+
+        body, ctype = omhttp_serialize(chunk, fmt)
+        hdrs = {"Content-Type": content_type or ctype}
+        hdrs.update(headers or {})
+        if uid is not None:
+            cred = base64.b64encode(
+                f"{uid}:{pwd or ''}".encode()).decode()
+            hdrs["Authorization"] = f"Basic {cred}"
+        elif token:
+            hdrs["Authorization"] = f"Bearer {token}"
+        if compress:
+            import zlib
+            co = zlib.compressobj(
+                compress_level if compress_level >= 0 else -1,
+                zlib.DEFLATED, 31)   # 31 = gzip container
+            body = co.compress(body) + co.flush()
+            hdrs["Content-Encoding"] = "gzip"
+        p = ("/" + dyn_path.lstrip("/")) if dyn_path else path
+        req = urllib.request.Request(base + p, data=body,
+                                     headers=hdrs)
         urllib.request.urlopen(req, timeout=30).read()
 
     return post

@@ -176,28 +176,74 @@ def omelasticsearch_sink(
     return write
 
 
+def omhttp_serialize(chunk: list[str], fmt: str) -> tuple[bytes, str]:
+    """omhttp batch serializers (contrib/omhttp/omhttp.c:1446-1726):
+    newline = raw lines joined; jsonarray = '[msg,…]' with each
+    message kept as PARSED json when it parses (string otherwise);
+    kafkarest = '{"records":[{"value":msg},…]}'; lokirest =
+    '{"streams":[msg,…]}' (each message is a pre-rendered Loki
+    stream object). Returns (body, content_type)."""
+    import json as _json
+
+    def pv(m: str):
+        try:
+            return _json.loads(m)
+        except ValueError:
+            return m
+
+    if fmt == "jsonarray":
+        return (_json.dumps([pv(m) for m in chunk],
+                            separators=(",", ":")).encode(),
+                "application/json")
+    if fmt == "kafkarest":
+        return (_json.dumps({"records": [{"value": pv(m)}
+                                         for m in chunk]},
+                            separators=(",", ":")).encode(),
+                "application/vnd.kafka.json.v2+json")
+    if fmt == "lokirest":
+        return (_json.dumps({"streams": [pv(m) for m in chunk]},
+                            separators=(",", ":")).encode(),
+                "application/json")
+    return "\n".join(chunk).encode(), "text/plain"
+
+
 def omhttp_sink(
     doc_col: str,
     *,
-    transport: Callable[[list[str]], None],
+    transport: Callable[..., None],
     batch_size: int = 500,
+    path_col: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """omhttp batched POST (ref: contrib/omhttp/omhttp.c): group rows
     into ``batch_size`` payload lists per partition; transport is the
-    injected HTTP client (retry via retrying_foreach_batch)."""
+    injected HTTP client (retry via retrying_foreach_batch).
+    ``path_col`` = dynrestpath: rows carry their rendered REST path
+    and batches group by it (omhttp.c dynrestpath)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.select(F.col(doc_col).alias("d"))
+        cols = [F.col(doc_col).alias("d")]
+        if path_col:
+            cols.append(F.col(path_col).alias("p"))
+        docs = batch_df.select(*cols)
 
         def per_partition(rows):
-            chunk: list[str] = []
+            chunks: dict = {}
             for r in rows:
+                key = r.p if path_col else None
+                chunk = chunks.setdefault(key, [])
                 chunk.append(r.d)
                 if len(chunk) >= batch_size:
-                    transport(chunk)
-                    chunk = []
-            if chunk:
-                transport(chunk)
+                    if path_col:
+                        transport(chunk, key)
+                    else:
+                        transport(chunk)
+                    chunks[key] = []
+            for key, chunk in chunks.items():
+                if chunk:
+                    if path_col:
+                        transport(chunk, key)
+                    else:
+                        transport(chunk)
             return iter(())
 
         docs.rdd.mapPartitions(per_partition).count()

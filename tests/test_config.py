@@ -4346,3 +4346,61 @@ input(type="imfile" File="{tmp_path}/input.dir?/*/*.logfile"
 '''
         run_config_batch(spark, conf2)
         assert self._lines(out2) == ["msgnum:q1"]
+
+
+def test_exists_if_branch_goldens(spark, tmp_path):
+    """rscript_exists-{not2,not4,yes}.sh: exists() inside
+    if/then/else branches (with an unrelated sibling set to
+    complicate the tree), including the 'not exists' form and a
+    pre-populated subtree — expected single-line outputs off/off/on.
+    Top-level statements run before the ruleset body (the reference's
+    default ruleset preamble)."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    cases = [
+        ("not2", '''
+set $!somevar = "test";
+if $msg contains "msgnum" then {
+    if exists($!p1!p2!val) then
+        set $!result = "on";
+    else
+        set $!result = "off";
+    action(type="omfile" file="@OUT@" template="outfmt")
+}
+''', "off"),
+        ("not4", '''
+set $.somevar = "test";
+if $msg contains "msgnum" then {
+    if not exists($.p1!p2!val) then
+        set $!result = "off";
+    else
+        set $!result = "on";
+    action(type="omfile" file="@OUT@" template="outfmt")
+}
+''', "off"),
+        ("yes", '''
+set $!p1!p2!val="yes!";
+if $msg contains "msgnum" then {
+    if exists($!p1!p2!val) then
+        set $!result = "on";
+    else
+        set $!result = "off";
+    action(type="omfile" file="@OUT@" template="outfmt")
+}
+''', "on"),
+    ]
+    for name, body, want in cases:
+        src = tmp_path / f"in_{name}.log"
+        src.write_text("<13>Mar  1 10:00:00 h t: msgnum:1\n")
+        out = tmp_path / f"out_{name}"
+        conf = ('template(name="outfmt" type="string" '
+                'string="%!result%\\n")\n'
+                + body.replace("@OUT@", str(out))
+                + f'\ninput(type="imfile" file="{src}")\n')
+        run_config_batch(spark, conf)
+        lines = []
+        for f in sorted(os.listdir(out)):
+            if f.startswith("part"):
+                lines += open(out / f).read().splitlines()
+        assert lines == [want], (name, lines)
