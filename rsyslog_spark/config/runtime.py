@@ -1869,6 +1869,7 @@ def run_config_stream(
     ruleset_name = main
     imfile_params: dict = {}
     bridge = None
+    bridges: list = []
     kafka_inp = None
     for inp in cfg.inputs:
         typ = inp.get("type")
@@ -1883,20 +1884,27 @@ def run_config_stream(
             # imkafka.c:1593 module bind; tests/imkafka.sh config
             # shape)
             kafka_inp = inp
-        elif (bridge is None and path is None
+        elif (path is None
               and typ in ("imtcp", "imptcp", "imudp", "imrelp",
                           "imhttp", "imhiredis")):
             # socket inputs: start the matching receive bridge; the
             # stream reads its spool (ref input() port binding, e.g.
             # plugins/imtcp — inputs start LAST in the activation
             # sequence, rsconf.c:1228-1268, which is exactly when
-            # this query begins polling)
+            # this query begins polling). EVERY socket input starts
+            # its own listener; additional bridges SHARE the first
+            # one's spool so one streaming query drains them all
+            # (the reference's N listeners → one main queue;
+            # imtcp-multi-drvr-basic.sh). All inputs feed the bound
+            # ruleset of the FIRST input — per-input ruleset fan-out
+            # across socket inputs is a documented divergence.
             import tempfile
 
             from rsyslog_spark.streaming import bridges as _b
 
-            spool = inp.get("spool") or tempfile.mkdtemp(
-                prefix=f"rsyslog_spark_{typ}_")
+            spool = inp.get("spool") or (
+                bridges[0].spool_dir if bridges else
+                tempfile.mkdtemp(prefix=f"rsyslog_spark_{typ}_"))
             kw: dict = {}
             if inp.get("port"):
                 kw["port"] = int(inp["port"])
@@ -1967,7 +1975,9 @@ def run_config_stream(
             if cfg.directives.get(acl_key):
                 kw["allowed_senders"] = [
                     e for e in cfg.directives[acl_key].split(",") if e]
-            bridge = cls(spool, **kw).start()
+            bridges.append(cls(spool, **kw).start())
+            if bridge is None:
+                bridge = bridges[0]
         if ruleset_name is None and inp.get("ruleset"):
             ruleset_name = inp["ruleset"]
     if path is None and bridge is None and kafka_inp is None:
@@ -1992,7 +2002,16 @@ def run_config_stream(
         spark.streams.addListener(listener)
 
     if bridge is not None:
-        lines = bridge.stream(spark)
+        union_schema = None
+        if len(bridges) > 1:
+            cols: dict = {}
+            for b in bridges:
+                for part in b.schema.split(","):
+                    n, _, t = part.strip().partition(" ")
+                    cols.setdefault(n, t)
+            union_schema = ", ".join(
+                f"{n} {t}" for n, t in cols.items())
+        lines = bridge.stream(spark, schema=union_schema)
     elif path is None and kafka_inp is not None:
         from rsyslog_spark.streaming import sources as _src
 
@@ -2098,16 +2117,18 @@ def run_config_stream(
         # only; in run mode the micro-batch loop picks up every later
         # flush.
         time.sleep(float(drain_grace))
-        bridge.flush()
+        for b in bridges:
+            b.flush()
     q = writer.start()
     if available_now:
         q.awaitTermination(120)
-        if bridge is not None:
-            bridge.stop()
+        for b in bridges:
+            b.stop()
     if listener is not None:
         q.impstats = listener   # host reads .stats / .as_log_lines()
     if bridge is not None:
         q.bridge = bridge       # caller owns lifecycle in run mode
+        q.bridges = bridges
     return q
 
 

@@ -60,6 +60,11 @@ class SpoolBridge:
         self._buf: list[dict] = []
         self._lock = threading.Lock()
         self._seq = 0
+        # several bridges may SHARE one spool directory (multi-input
+        # configs — each input() starts its own listener, rsconf.c
+        # activates them all); the instance token keeps their spool
+        # files collision-free
+        self._uid = f"{id(self):x}"
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
         # $AllowedSender ACL (ref: runtime/net.c AllowedSenders —
@@ -130,7 +135,12 @@ class SpoolBridge:
         if not self._buf:
             return
         self._seq += 1
-        name = f"{self.inputname}-{os.getpid()}-{self._seq:08d}.ndjson"
+        name = (f"{self.inputname}-{os.getpid()}-{self._uid}-"
+                f"{self._seq:08d}.ndjson")
+        # stamp the record's origin so shared-spool streams can
+        # route per input (%inputname% property)
+        for rec in self._buf:
+            rec.setdefault("inputname", self.inputname)
         tmp = os.path.join(self.spool_dir, f".{name}.tmp")
         dumps = json.dumps
         with open(tmp, "w") as f:
@@ -167,22 +177,36 @@ class SpoolBridge:
 
     # -- Spark side ---------------------------------------------------
     def stream(self, spark: SparkSession,
-               max_files_per_trigger: int | None = None) -> DataFrame:
-        reader = spark.readStream.schema(self.schema).format("json")
+               max_files_per_trigger: int | None = None,
+               schema: str | None = None) -> DataFrame:
+        """``schema`` override: the UNION schema when several bridges
+        share this spool (missing NDJSON keys read as null)."""
+        sch = schema or self.schema
+        if "inputname" not in sch:
+            sch += ", inputname string"
+        reader = spark.readStream.schema(sch).format("json")
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger",
                                    max_files_per_trigger)
         return (
             reader.load(self.spool_dir)
-            .withColumn("inputname", F.lit(self.inputname))
+            .withColumn("inputname",
+                        F.coalesce(F.col("inputname"),
+                                   F.lit(self.inputname)))
         )
 
-    def batch(self, spark: SparkSession) -> DataFrame:
+    def batch(self, spark: SparkSession,
+              schema: str | None = None) -> DataFrame:
         """Batch read of everything spooled so far (test drains)."""
+        sch = schema or self.schema
+        if "inputname" not in sch:
+            sch += ", inputname string"
         return (
-            spark.read.schema(self.schema).format("json")
+            spark.read.schema(sch).format("json")
             .load(self.spool_dir)
-            .withColumn("inputname", F.lit(self.inputname))
+            .withColumn("inputname",
+                        F.coalesce(F.col("inputname"),
+                                   F.lit(self.inputname)))
         )
 
 

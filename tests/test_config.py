@@ -4404,3 +4404,55 @@ if $msg contains "msgnum" then {
             if f.startswith("part"):
                 lines += open(out / f).read().splitlines()
         assert lines == [want], (name, lines)
+
+
+def test_multi_socket_inputs_one_stream(spark, tmp_path):
+    """imtcp-multi-drvr-basic.sh shape: several socket input()
+    objects (two imtcp listeners + one imudp) all start and feed ONE
+    streaming query through a shared spool; %inputname% reflects the
+    receiving input."""
+    import socket
+    import threading
+    import time as _time
+    from rsyslog_spark.config.runtime import run_config_stream
+
+    ports = []
+    for _ in range(2):
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        ports.append(probe.getsockname()[1])
+        probe.close()
+    out = tmp_path / "out"
+    conf = f'''
+    input(type="imtcp" port="{ports[0]}" address="127.0.0.1"
+          ruleset="main" spool="{tmp_path}/spool")
+    input(type="imtcp" port="{ports[1]}" address="127.0.0.1"
+          ruleset="main")
+    input(type="imudp" port="0" address="127.0.0.1")
+    ruleset(name="main") {{
+        action(type="omfile" name="sink" file="{out}")
+    }}
+    '''
+
+    def send_when_up():
+        for i, port in enumerate(ports):
+            for _ in range(100):
+                try:
+                    c = socket.create_connection(
+                        ("127.0.0.1", port), timeout=0.2)
+                    c.sendall(
+                        f"<13>Mar  1 10:00:00 h1 app: via l{i}\n"
+                        .encode())
+                    c.close()
+                    break
+                except OSError:
+                    _time.sleep(0.1)
+
+    th = threading.Thread(target=send_when_up)
+    th.start()
+    run_config_stream(spark, conf, checkpoint=str(tmp_path / "ck"),
+                      drain_grace=4.0)
+    th.join(timeout=10)
+    rows = spark.read.parquet(str(out)).collect()
+    assert sorted(r["msg"] for r in rows) == ["via l0", "via l1"]
+    assert all(r["inputname"] == "imtcp" for r in rows)
