@@ -1697,7 +1697,11 @@ class imbeats(SpoolBridge):
     server acks ``2A`` + highest-seq at each window boundary — the
     batching contract Filebeat retries on. Event JSON lands in
     ``line`` verbatim (route through mmjsonparse downstream, as the
-    reference feeds its JSON decoder)."""
+    reference feeds its JSON decoder); server-assigned
+    ``$!metadata!imbeats`` rides in the json column."""
+
+    schema = ("line string, json string, fromhost string, "
+              "timegenerated timestamp")
 
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, **kw):
@@ -1721,6 +1725,7 @@ class imbeats(SpoolBridge):
                              args=(conn, addr[0]), daemon=True).start()
 
     def _session(self, conn, peer) -> None:
+        import json as _json
         import struct
         import zlib
 
@@ -1730,17 +1735,50 @@ class imbeats(SpoolBridge):
         def u32(buf, off):
             return struct.unpack_from(">I", buf, off)[0]
 
+        # per-connection protocol state (imbeats.c session):
+        # sequences are CUMULATIVE across windows (goldens
+        # imbeats-seq-cumulative-{two-windows,after-multi-event-
+        # window}.sh — ack values 1 then 2); a seq at or below the
+        # last seen one is a RESET and rejects the event without
+        # submit or ack, dropping the session
+        # (imbeats-seq-reset-rejected.sh). The ack fires when the
+        # current window's event COUNT reaches the announced window
+        # size, carrying the cumulative max seq.
+        st = {"win": 0, "count": 0, "last": 0, "bad": False}
+
+        def submit(seq: int, payload: bytes) -> None:
+            # $!metadata!imbeats!{protocol,sequence,tls_enabled} —
+            # SERVER-assigned, so an attacker-supplied metadata key
+            # in the payload never wins
+            # (imbeats-metadata-collision.sh)
+            meta = {"metadata": {"imbeats": {
+                "protocol": "lumberjack-v2", "sequence": seq,
+                "tls_enabled": False}}}
+            self.emit({"line": payload.decode(
+                "utf-8", errors="replace"),
+                "json": _json.dumps(meta, separators=(",", ":")),
+                "fromhost": peer})
+
+        def on_event(seq: int, payload: bytes) -> None:
+            if seq <= st["last"]:
+                st["bad"] = True
+                return
+            st["last"] = seq
+            st["count"] += 1
+            submit(seq, payload)
+
         def handle(buf):
-            """Parse complete frames from buf; returns (consumed,
-            window, max_seq) — an incomplete trailing frame is left
-            for the next recv to finish."""
-            off, window, max_seq = 0, 0, 0
-            while off + 2 <= len(buf):
+            """Parse complete frames from buf; returns consumed
+            bytes — an incomplete trailing frame is left for the
+            next recv to finish."""
+            off = 0
+            while off + 2 <= len(buf) and not st["bad"]:
                 typ = buf[off + 1:off + 2]
                 if typ == b"W":
                     if off + 6 > len(buf):
                         break
-                    window = u32(buf, off + 2)
+                    st["win"] = u32(buf, off + 2)
+                    st["count"] = 0
                     off += 6
                 elif typ == b"J":
                     if off + 10 > len(buf):
@@ -1749,12 +1787,8 @@ class imbeats(SpoolBridge):
                     plen = u32(buf, off + 6)
                     if off + 10 + plen > len(buf):
                         break
-                    payload = buf[off + 10:off + 10 + plen]
+                    on_event(seq, buf[off + 10:off + 10 + plen])
                     off += 10 + plen
-                    self.emit({"line": payload.decode(
-                        "utf-8", errors="replace"),
-                        "fromhost": peer})
-                    max_seq = max(max_seq, seq)
                 elif typ == b"C":
                     if off + 6 > len(buf):
                         break
@@ -1763,20 +1797,14 @@ class imbeats(SpoolBridge):
                         break
                     inner = zlib.decompress(buf[off + 6:off + 6 + clen])
                     off += 6 + clen
-                    _c, w, s = handle(inner)
-                    if w:
-                        window = w
-                    max_seq = max(max_seq, s)
+                    handle(inner)
                 else:       # unknown frame: drop connection state
                     off = len(buf)
                     break
-            return off, window, max_seq
+            return off
 
         try:
             pending = b""
-            window = 0
-            seen = 0
-            max_seq = 0
             while not self._stop.is_set():
                 try:
                     chunk = conn.recv(65536)
@@ -1787,22 +1815,15 @@ class imbeats(SpoolBridge):
                 if not chunk:
                     break
                 pending += chunk
-                consumed, w, s = handle(pending)
+                consumed = handle(pending)
                 pending = pending[consumed:]
-                if w:
-                    window = w
-                if s:
-                    seen += 1
-                    max_seq = max(max_seq, s)
-                if window and max_seq >= window:
-                    f.write(b"2A" + max_seq.to_bytes(4, "big"))
+                if st["bad"]:
+                    break   # protocol violation: no ack, drop session
+                if st["win"] and st["count"] >= st["win"]:
+                    f.write(b"2A" + st["last"].to_bytes(4, "big"))
                     f.flush()
-                    # sequence numbers restart per batch (go-lumber
-                    # resets seq after each window ack) — clear both
-                    # so the next batch's first frame can't trigger a
-                    # premature ack against the old max
-                    window = 0
-                    max_seq = 0
+                    st["win"] = 0
+                    st["count"] = 0
         finally:
             try:
                 conn.close()

@@ -468,8 +468,10 @@ def test_imdiag_injectmsg(spark, tmp_path):
 
 
 def test_imbeats_multiple_batches_ack_per_window(spark, tmp_path):
-    """Sequence numbers restart per batch; each window gets its own
-    ack at its own boundary (no premature ack from the prior max)."""
+    """Sequence numbers are CUMULATIVE across windows
+    (imbeats-seq-cumulative-after-multi-event-window.sh): each window
+    acks at its own boundary with the cumulative max — no premature
+    ack mid-window."""
     import struct
     from rsyslog_spark.streaming.bridges import imbeats
 
@@ -481,20 +483,86 @@ def test_imbeats_multiple_batches_ack_per_window(spark, tmp_path):
 
         c = socket.create_connection(("127.0.0.1", b.port))
         c.settimeout(10)
-        # batch 1: window 2
+        # batch 1: window 2, seqs 1-2
         c.sendall(b"2W" + struct.pack(">I", 2)
                   + jframe(1, "b1m1") + jframe(2, "b1m2"))
         ack1 = c.recv(6)
         assert struct.unpack(">I", ack1[2:])[0] == 2
-        # batch 2: window 3, seqs restart at 1 — ack only at seq 3
-        c.sendall(b"2W" + struct.pack(">I", 3) + jframe(1, "b2m1"))
-        c.sendall(jframe(2, "b2m2"))
-        c.sendall(jframe(3, "b2m3"))
+        # batch 2: window 3, seqs CONTINUE at 3 — ack only at seq 5
+        c.sendall(b"2W" + struct.pack(">I", 3) + jframe(3, "b2m1"))
+        c.sendall(jframe(4, "b2m2"))
+        c.sendall(jframe(5, "b2m3"))
         ack2 = c.recv(6)
-        assert struct.unpack(">I", ack2[2:])[0] == 3
+        assert struct.unpack(">I", ack2[2:])[0] == 5
         c.close()
         df = _drain(b, spark, 5)
         assert df.count() == 5
+    finally:
+        b.stop()
+
+
+def test_imbeats_seq_reset_rejected(spark, tmp_path):
+    """imbeats-seq-reset-rejected.sh: reusing a sequence number on an
+    established connection is rejected WITHOUT submit or ack and the
+    session drops; only the first event survives."""
+    import struct
+    from rsyslog_spark.streaming.bridges import imbeats
+
+    b = imbeats(str(tmp_path / "spool"), flush_secs=0.2).start()
+    try:
+        def jframe(seq, text):
+            p = json.dumps({"message": text},
+                           separators=(",", ":")).encode()
+            return b"2J" + struct.pack(">II", seq, len(p)) + p
+
+        c = socket.create_connection(("127.0.0.1", b.port))
+        c.settimeout(5)
+        c.sendall(b"2W" + struct.pack(">I", 1) + jframe(1, "first"))
+        ack = c.recv(6)
+        assert ack == b"2A" + (1).to_bytes(4, "big")
+        c.sendall(b"2W" + struct.pack(">I", 1) + jframe(1, "reset"))
+        try:
+            data = c.recv(6)
+        except (ConnectionResetError, TimeoutError, socket.timeout):
+            data = b""
+        assert data == b"", "no ack for a reset sequence"
+        c.close()
+        df = _drain(b, spark, 1)
+        rows = df.collect()
+        assert [r.line for r in rows] == ['{"message":"first"}']
+    finally:
+        b.stop()
+
+
+def test_imbeats_metadata_server_assigned(spark, tmp_path):
+    """imbeats-metadata-collision.sh: $!metadata!imbeats!* is
+    SERVER-assigned (protocol/sequence/tls_enabled) — an
+    attacker-supplied metadata key inside the payload does not
+    override it, and the raw message keeps the attacker text."""
+    import struct
+    from rsyslog_spark.streaming.bridges import imbeats
+
+    b = imbeats(str(tmp_path / "spool"), flush_secs=0.2).start()
+    try:
+        payload = json.dumps({
+            "message": "metadata collision",
+            "metadata": {"imbeats": {"protocol": "attacker",
+                                     "sequence": 999,
+                                     "tls_enabled": True}}},
+            separators=(",", ":")).encode()
+        c = socket.create_connection(("127.0.0.1", b.port))
+        c.settimeout(5)
+        c.sendall(b"2W" + struct.pack(">I", 1)
+                  + b"2J" + struct.pack(">II", 1, len(payload))
+                  + payload)
+        assert c.recv(6) == b"2A" + (1).to_bytes(4, "big")
+        c.close()
+        df = _drain(b, spark, 1)
+        r = df.collect()[0]
+        assert "attacker" in r.line          # raw msg untouched
+        meta = json.loads(r["json"])["metadata"]["imbeats"]
+        assert meta == {"protocol": "lumberjack-v2", "sequence": 1,
+                        "tls_enabled": False}
     finally:
         b.stop()
 
