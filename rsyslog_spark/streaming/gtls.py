@@ -53,15 +53,39 @@ class TLSConfig:
             raise ValueError(f"{self.authmode} needs cafile")
 
 
+class TLSSetupError(ValueError):
+    """Config-time TLS material failure — message shapes follow
+    nsd_ossl.c osslGlblInit error texts so configs/operators grepping
+    the reference's diagnostics keep working
+    (imtcp-tls-ossl-error-{ca,cert,key,key2}.sh content_checks)."""
+
+
 def _base_context(cfg: TLSConfig, purpose) -> ssl.SSLContext:
     ctx = ssl.SSLContext(purpose)
     ctx.check_hostname = False  # peer auth is authmode-driven below
     if cfg.certfile:
-        ctx.load_cert_chain(cfg.certfile, cfg.keyfile)
+        try:
+            ctx.load_cert_chain(cfg.certfile, cfg.keyfile)
+        except (OSError, ssl.SSLError) as exc:
+            # distinguish the cert file vs the key like the
+            # reference: a readable cert with a broken/missing key
+            # is a Key error (osslGlblInit)
+            import os
+            what = ("Certificate file"
+                    if not os.path.exists(cfg.certfile)
+                    else "Key")
+            raise TLSSetupError(
+                f"Error: {what} could not be accessed. OpenSSL "
+                f"Error Stack: {exc}") from exc
     if cfg.authmode == "anon":
         ctx.verify_mode = ssl.CERT_NONE
     else:
-        ctx.load_verify_locations(cafile=cfg.cafile)
+        try:
+            ctx.load_verify_locations(cafile=cfg.cafile)
+        except (OSError, ssl.SSLError) as exc:
+            raise TLSSetupError(
+                "Error: CA certificate could not be accessed. "
+                f"OpenSSL Error Stack: {exc}") from exc
         ctx.verify_mode = ssl.CERT_REQUIRED
     return ctx
 

@@ -1800,3 +1800,41 @@ ruleset(name="redis") {{
         assert lines == ["hello-cfg"]
     finally:
         srv.close()
+
+
+def test_tls_setup_error_shapes(tmp_path):
+    """imtcp-tls-ossl-error-{ca,cert,key}.sh: missing/broken TLS
+    material fails config-time with the reference's diagnostic
+    shapes ('Error: <what> could not be accessed' + an OpenSSL
+    error-stack line)."""
+    import pytest
+    from rsyslog_spark.streaming.gtls import (
+        TLSConfig, TLSSetupError, server_context)
+
+    good_cert = tmp_path / "c.crt"
+    good_cert.write_text("not really a cert")
+    # missing certificate file
+    with pytest.raises(TLSSetupError,
+                       match="Certificate file could not be"):
+        server_context(TLSConfig(
+            certfile=str(tmp_path / "missing.crt"),
+            keyfile=str(tmp_path / "missing.key")))
+    # cert present, key missing/invalid → Key error
+    with pytest.raises(TLSSetupError, match="Key could not be"):
+        server_context(TLSConfig(
+            certfile=str(good_cert),
+            keyfile=str(tmp_path / "missing.key")))
+    # CA file missing under certvalid
+    import subprocess
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "ed25519", "-nodes",
+         "-keyout", str(tmp_path / "s.key"),
+         "-out", str(tmp_path / "s.crt"), "-subj", "/CN=s",
+         "-days", "2"], capture_output=True)
+    with pytest.raises(TLSSetupError,
+                       match="CA certificate could not be"):
+        server_context(TLSConfig(
+            certfile=str(tmp_path / "s.crt"),
+            keyfile=str(tmp_path / "s.key"),
+            cafile=str(tmp_path / "missing-ca.crt"),
+            authmode="x509/certvalid"))
