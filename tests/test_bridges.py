@@ -1552,7 +1552,7 @@ class _MockRedisStream:
         enc = self._enc
         if cmd == "XADD":
             key = a[1]
-            i = 3 if a[2] == "*" else 3
+            i = a.index("*") + 1      # skips MAXLEN ~ N when present
             return enc(self.xadd(key, a[i:]))
         if cmd == "XGROUP" and a[1].upper() == "CREATE":
             key, group, start = a[2], a[3], a[4]
@@ -1838,3 +1838,27 @@ def test_tls_setup_error_shapes(tmp_path):
             keyfile=str(tmp_path / "s.key"),
             cafile=str(tmp_path / "missing-ca.crt"),
             authmode="x509/certvalid"))
+
+
+def test_omhiredis_stream_xadd_roundtrip(spark, tmp_path):
+    """omhiredis-stream.sh: mode='stream' XADDs each rendered
+    message under the configured key (msg field), creating the
+    stream; entries read back in order, and the MAXLEN form still
+    lands entries."""
+    from rsyslog_spark.streaming.transports import omhiredis_sink
+
+    srv = _MockRedisStream()
+    try:
+        df = spark.createDataFrame(
+            [(f"message{i}",) for i in range(4)],
+            "line string").coalesce(1)
+        omhiredis_sink("127.0.0.1", srv.port, mode="stream",
+                       key="outStream")(df, 0)
+        ents = srv.streams.get("outStream", [])
+        assert [fl for _id, fl in ents] == [
+            ["msg", f"message{i}"] for i in range(4)]
+        omhiredis_sink("127.0.0.1", srv.port, mode="stream",
+                       key="outStream", stream_maxlen=100)(df, 0)
+        assert len(srv.streams["outStream"]) == 8
+    finally:
+        srv.close()
