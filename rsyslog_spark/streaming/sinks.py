@@ -15,6 +15,7 @@ tools/omfile.c:133-140).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Sequence
 
@@ -717,6 +718,11 @@ def dynafile_partition_spec(template_str: str,
             consts.append(part)
     base = "".join(consts)
     base = base.rstrip("/") or "."
+    # Resolve relative bases against the *Python* CWD at spec time:
+    # Spark would otherwise anchor "." to the JVM's launch directory,
+    # which a caller's chdir can never move.
+    if not base.startswith(("/", "file:", "hdfs:", "s3")):
+        base = os.path.abspath(base)
     return base, list(cols), cols
 
 

@@ -57,10 +57,16 @@ input(type="imfile" file="{src}" ruleset="m")
     assert ro.read_text() == ""
 
 
-def test_dynfile_invalid2_good_targets_survive(spark, tmp_path):
+def test_dynfile_invalid2_good_targets_survive(spark, tmp_path,
+                                               monkeypatch):
     """dynfile_invalid2.sh: 4 good dynafile targets + one uncreatable
     (/proc/...) — every good target holds its full sequence (the
-    reference's seq_check 0 7 after concatenating the good files)."""
+    reference's seq_check 0 7 after concatenating the good files).
+
+    The dynafile template starts with a property, so the partition
+    base resolves to CWD — chdir to tmp_path so the partitions land
+    there, not in the repo root."""
+    monkeypatch.chdir(tmp_path)
     msgs = []
     for i in range(4):
         msgs.append(f"<129>Mar 10 01:00:00 h tag "
