@@ -1928,9 +1928,12 @@ def run_config_stream(
                 kw["key"] = lin.get("key", "")
                 if lin.get("mode"):
                     kw["mode"] = lin["mode"]
-                if str(lin.get("uselpop", "on")).lower() in (
-                        "off", "false", "0"):
-                    kw["use_lpop"] = False
+                # useLPop defaults to 0 in the reference
+                # (imhiredis.c:300) — RPOP/FIFO is the default for
+                # LPUSH producers; uselpop="on" opts into LPOP
+                if str(lin.get("uselpop", "off")).lower() in (
+                        "on", "true", "1"):
+                    kw["use_lpop"] = True
                 if lin.get("stream.consumergroup"):
                     kw["stream_consumer_group"] =                         lin["stream.consumergroup"]
                 if lin.get("stream.consumername"):

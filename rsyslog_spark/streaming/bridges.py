@@ -222,8 +222,16 @@ class imudp(SpoolBridge):
     """
 
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
-                 port: int = 0, rcvbuf: int = 8 * 1024 * 1024, **kw):
+                 port: int = 0, rcvbuf: int = 8 * 1024 * 1024,
+                 support_compression_extension: bool = True, **kw):
         super().__init__(spool_dir, inputname="imudp", **kw)
+        #: legacy 'z'+zlib datagrams inflate here — the reference
+        #: decompresses at the PARSER stage for every transport
+        #: (runtime/parser.c:262 uncompressMessage,
+        #: bSupportCompressionExtension), so '@(zN)host' UDP
+        #: senders round-trip
+        self.support_compression_extension = \
+            support_compression_extension
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         # big kernel receive buffer absorbs sender bursts while the
         # userspace loop drains (the reference's $UDPRcvBufSize /
@@ -264,6 +272,21 @@ class imudp(SpoolBridge):
                     break
                 except OSError:
                     return
+            if self.support_compression_extension:
+                import zlib
+
+                def inflate(d: bytes) -> bytes | None:
+                    # zlib CMF guard as in the TCP path — plain
+                    # text starting 'z' passes through
+                    if d[:1] != b"z" or d[1:2] != b"\x78":
+                        return d
+                    try:
+                        return zlib.decompress(d[1:])
+                    except zlib.error:
+                        return None   # "Message ignored"
+                batch = [(b, a) for b, a in
+                         ((inflate(d), a) for d, a in batch)
+                         if b is not None]
             recs = [
                 {"line": d.decode("utf-8", errors="replace")
                          .rstrip("\n"),
@@ -734,9 +757,10 @@ def _resp_read(f):
 
 class imhiredis(SpoolBridge):
     """Redis input speaking RESP natively (ref: contrib/imhiredis/
-    imhiredis.c modes :72,408-419): mode='queue' polls LPOP (or RPOP
-    with ``use_lpop=False`` — the reference's uselpop flag, queue
-    mode only); mode='subscribe' consumes SUBSCRIBE push messages."""
+    imhiredis.c modes :72,408-419): mode='queue' polls RPOP by
+    default (FIFO for LPUSH producers — imhiredis.c:300 useLPop=0),
+    LPOP with ``use_lpop=True``, queue mode only); mode='subscribe'
+    consumes SUBSCRIBE push messages."""
 
     #: stream-mode records carry the entry's field dict as a JSON
     #: tree (enqueueRedisStreamReply builds $! from the XADD fields
@@ -746,7 +770,7 @@ class imhiredis(SpoolBridge):
 
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 6379, key: str, mode: str = "queue",
-                 use_lpop: bool = True, poll_secs: float = 0.2,
+                 use_lpop: bool = False, poll_secs: float = 0.2,
                  stream_consumer_group: str | None = None,
                  stream_consumer_name: str | None = None,
                  stream_read_from: str = "$",

@@ -179,31 +179,41 @@ def omelasticsearch_sink(
 
 def omhttp_serialize(chunk: list[str], fmt: str) -> tuple[bytes, str]:
     """omhttp batch serializers (contrib/omhttp/omhttp.c:1446-1726):
-    newline = raw lines joined; jsonarray = '[msg,…]' with each
-    message kept as PARSED json when it parses (string otherwise);
-    kafkarest = '{"records":[{"value":msg},…]}'; lokirest =
+    newline = raw lines joined; jsonarray = '[msg,…]' of parsed
+    messages; kafkarest = '{"records":[{"value":msg},…]}'; lokirest =
     '{"streams":[msg,…]}' (each message is a pre-rendered Loki
-    stream object). Returns (body, content_type)."""
+    stream object). Messages that fail JSON parsing are DROPPED from
+    the three JSON formats — the reference's serializeBatch* log
+    'failed to parse %s as json ignoring it' and skip
+    (omhttp.c:1659,1709,1757). Returns (body, content_type)."""
     import json as _json
+    import warnings as _warnings
 
-    def pv(m: str):
-        try:
-            return _json.loads(m)
-        except ValueError:
-            return m
+    def parsed(fname: str):
+        out = []
+        for m in chunk:
+            try:
+                out.append(_json.loads(m))
+            except ValueError:
+                _warnings.warn(
+                    f"omhttp: {fname} failed to parse {m!r} as "
+                    "json, ignoring it", stacklevel=3)
+        return out
 
     if fmt == "jsonarray":
-        return (_json.dumps([pv(m) for m in chunk],
+        return (_json.dumps(parsed("serializeBatchJsonArray"),
                             separators=(",", ":")).encode(),
                 "application/json")
     if fmt == "kafkarest":
-        return (_json.dumps({"records": [{"value": pv(m)}
-                                         for m in chunk]},
-                            separators=(",", ":")).encode(),
+        return (_json.dumps(
+            {"records": [{"value": v}
+                         for v in parsed("serializeBatchKafkaRest")]},
+            separators=(",", ":")).encode(),
                 "application/vnd.kafka.json.v2+json")
     if fmt == "lokirest":
-        return (_json.dumps({"streams": [pv(m) for m in chunk]},
-                            separators=(",", ":")).encode(),
+        return (_json.dumps(
+            {"streams": parsed("serializeBatchLokiRest")},
+            separators=(",", ":")).encode(),
                 "application/json")
     return "\n".join(chunk).encode(), "text/plain"
 
@@ -454,6 +464,19 @@ def dequeue_window_gate(
     return in_window
 
 
+def _z_single(payload: bytes, level: int) -> bytes:
+    """Legacy single-message compression (tools/omfwd.c:1781-1806):
+    only messages longer than CONF_MIN_SIZE_FOR_COMPRESS (60,
+    runtime/rsyslog.h:244) are compressed, and the 'z'+deflate form
+    is used only when it is actually SMALLER than the original —
+    otherwise the plain payload goes out (receivers handle both)."""
+    if len(payload) <= 60:
+        return payload
+    import zlib
+    z = b"z" + zlib.compress(payload, level)
+    return z if len(z) < len(payload) else payload
+
+
 def _pool_send(rows, targets, *, framing, tls, comp, cdrv, level,
                flush_on_txend):
     """omfwd native LB pool (omfwd.c doTryResume/pool walk): each
@@ -489,6 +512,11 @@ def _pool_send(rows, targets, *, framing, tls, comp, cdrv, level,
         return conns[i]
 
     def send(i, data: bytes) -> None:
+        # Connect (which also creates the stream compressor) BEFORE
+        # consulting cobjs[i] — otherwise the first frame on every
+        # pooled connection would bypass the zlib stream and the
+        # receiver's inflate fails on it ('incorrect header check').
+        s = conn_for(i)
         if cobjs[i] is not None:
             import zlib
             out = cobjs[i].compress(data)
@@ -497,15 +525,14 @@ def _pool_send(rows, targets, *, framing, tls, comp, cdrv, level,
             if not out:
                 return
             data = out
-        conn_for(i).sendall(data)
+        s.sendall(data)
 
     rr = 0
     try:
         for r in rows:
             payload = (r.l or "").encode("utf-8")
             if comp == "single":
-                import zlib
-                payload = b"z" + zlib.compress(payload, level)
+                payload = _z_single(payload, level)
             if framing == "octet-counted":
                 frame = str(len(payload)).encode() + b" " + payload
             else:
@@ -578,6 +605,10 @@ def omfwd_sink(
     comp = (compression or "none").lower()
     if comp not in ("none", "single", "stream:always"):
         raise ValueError(f"unknown compression.mode {compression!r}")
+    if comp == "stream:always" and protocol != "tcp":
+        raise ValueError(
+            "omfwd: compression.mode='stream:always' is a TCP "
+            "connection-stream mode; use 'single' with udp")
     cdrv = (compression_driver or "zlib").lower()
     if cdrv == "zstd":
         try:
@@ -619,11 +650,19 @@ def omfwd_sink(
                            flush_on_txend=flush_on_txend)
                 return iter(())
             if protocol == "udp":
+                # the reference's COMPRESS_SINGLE_MSG path runs
+                # BEFORE the UDP/TCP fork (omfwd.c:1781,1810) — the
+                # legacy '@(zN)host' selector compresses UDP
+                # datagrams too (ActionSendZipLevel semantics)
                 sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
                 try:
                     rr = 0
                     for r in rows:
-                        sock.sendto((r.l or "").encode("utf-8"),
+                        payload = (r.l or "").encode("utf-8")
+                        if comp == "single":
+                            payload = _z_single(
+                                payload, compression_level)
+                        sock.sendto(payload,
                                     targets[rr % len(targets)])
                         rr += 1
                 finally:
@@ -664,8 +703,7 @@ def omfwd_sink(
                 for r in rows:
                     payload = (r.l or "").encode("utf-8")
                     if comp == "single":
-                        import zlib
-                        payload = b"z" + zlib.compress(
+                        payload = _z_single(
                             payload, compression_level)
                     if framing == "octet-counted":
                         buf += str(len(payload)).encode() + b" " + payload

@@ -62,6 +62,44 @@ def test_imudp_datagrams_to_stream(spark, tmp_path):
         b.stop()
 
 
+def test_udp_legacy_z_compression_roundtrip(spark, tmp_path):
+    """'@(zN)host' legacy UDP selector (omfwd.c:1781 single-message
+    compression runs BEFORE the UDP/TCP fork; parser.c:262
+    uncompressMessage inflates on receive, any transport): omfwd
+    protocol=udp compression=single → imudp round-trips. Messages
+    ≤ CONF_MIN_SIZE_FOR_COMPRESS (60, rsyslog.h:244) go out plain;
+    longer ones arrive as 'z'+zlib datagrams and inflate."""
+    from rsyslog_spark.streaming.sinks import omfwd_sink
+
+    b = imudp(str(tmp_path / "spool"), flush_secs=0.2).start()
+    try:
+        short = "<13>short udp line"
+        long1 = "<13>long udp " + "payload " * 20 + "end"
+        long2 = "<13>zzz " + "x" * 100
+        lines = [short, long1, long2]
+        df = spark.createDataFrame([(l,) for l in lines],
+                                   "line string").coalesce(1)
+        omfwd_sink("127.0.0.1", b.port, protocol="udp",
+                   compression="single", framing="lf")(df, 0)
+        df2 = _drain(b, spark, 3)
+        assert sorted(r.line for r in df2.collect()) == sorted(lines)
+    finally:
+        b.stop()
+
+
+def test_udp_stream_compression_rejected():
+    """stream:always is a TCP connection-stream mode; with
+    protocol='udp' it must be a config-time error, not silent
+    uncompressed sends."""
+    import pytest
+
+    from rsyslog_spark.streaming.sinks import omfwd_sink
+
+    with pytest.raises(ValueError, match="stream:always"):
+        omfwd_sink("127.0.0.1", 5140, protocol="udp",
+                   compression="stream:always")
+
+
 def test_imuxsock_unix_datagrams(spark, tmp_path):
     sp = str(tmp_path / "dev_log")
     b = imuxsock(str(tmp_path / "spool"), sock_path=sp,
@@ -172,6 +210,7 @@ class _MockRedis:
 
     def __init__(self, items):
         self.items = list(items)
+        self.seen = []          # commands received, for assertions
         self.srv = socket.socket()
         self.srv.bind(("127.0.0.1", 0))
         self.srv.listen(1)
@@ -195,6 +234,7 @@ class _MockRedis:
                     ln = f.readline()           # $len
                     args.append(f.read(int(ln[1:-2]) + 2)[:-2])
                 cmd = args[0].upper()
+                self.seen.append(cmd)
                 if cmd in (b"LPOP", b"RPOP"):
                     if self.items:
                         v = (self.items.pop(0) if cmd == b"LPOP"
@@ -235,6 +275,35 @@ def test_imhiredis_queue_mode(spark, tmp_path):
     finally:
         b.stop()
         srv.close()
+
+
+def test_imhiredis_queue_default_rpop(spark, tmp_path):
+    """imhiredis.c:300 sets useLPop=0 at instance creation — queue
+    mode pops with RPOP by default (FIFO against LPUSH producers);
+    uselpop='on' opts into LPOP."""
+    from rsyslog_spark.streaming.bridges import imhiredis
+
+    srv = _MockRedis(["d1", "d2"])
+    b = imhiredis(str(tmp_path / "s1"), port=srv.port,
+                  key="logs", flush_secs=0.2).start()
+    try:
+        _drain(b, spark, 2)
+        pops = {c for c in srv.seen if c in (b"LPOP", b"RPOP")}
+        assert pops == {b"RPOP"}, srv.seen
+    finally:
+        b.stop()
+        srv.close()
+
+    srv2 = _MockRedis(["d1", "d2"])
+    b2 = imhiredis(str(tmp_path / "s2"), port=srv2.port,
+                   key="logs", use_lpop=True, flush_secs=0.2).start()
+    try:
+        _drain(b2, spark, 2)
+        pops = {c for c in srv2.seen if c in (b"LPOP", b"RPOP")}
+        assert pops == {b"LPOP"}, srv2.seen
+    finally:
+        b2.stop()
+        srv2.close()
 
 
 def test_imhiredis_subscribe_mode(spark, tmp_path):

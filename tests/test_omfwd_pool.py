@@ -112,6 +112,44 @@ def test_lb_one_fail_reroutes(spark):
         s1.stop()
 
 
+def test_lb_pool_stream_compression_first_frame(spark):
+    """Pooled targets + compression stream:always: EVERY frame on a
+    pooled connection must pass through that connection's zlib
+    stream — including the first one (regression: send() used to
+    consult the compressor before conn_for() had created it, so the
+    first frame went out raw and the receiver's inflate died with
+    'incorrect header check')."""
+    import zlib
+
+    from rsyslog_spark.streaming.sinks import omfwd_sink
+
+    s1, s2 = _MiniTcpSrv(), _MiniTcpSrv()
+    try:
+        lines = _msgs(40)
+        df = spark.createDataFrame([(l,) for l in lines],
+                                   "line string").coalesce(1)
+        omfwd_sink(["127.0.0.1", "127.0.0.1"], [s1.port, s2.port],
+                   framing="lf", compression="stream:always")(df, 0)
+        import time
+        deadline = time.time() + 10
+        while time.time() < deadline and \
+                (not s1.data or not s2.data):
+            time.sleep(0.2)
+        time.sleep(0.5)
+        got = []
+        for srv in (s1, s2):
+            # the whole byte stream must be ONE valid zlib stream —
+            # an uncompressed first frame makes this raise
+            plain = zlib.decompressobj().decompress(bytes(srv.data))
+            part = [l for l in plain.decode().splitlines() if l]
+            assert part, "target received no compressed lines"
+            got += part
+        assert sorted(got) == lines
+    finally:
+        s1.stop()
+        s2.stop()
+
+
 def test_lb_config_binding_arrays(spark, tmp_path):
     """action(type=omfwd target=[...] port=[...]) through
     run_config_batch splits across both receivers."""

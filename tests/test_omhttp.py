@@ -189,3 +189,30 @@ input(type="imfile" file="{src}" ruleset="m")
     ga = "\n".join(paths["/endpoint/groupA"])
     assert "msgnum:0" in ga and "msgnum:2" in ga
     assert "msgnum:1" in "\n".join(paths["/endpoint/groupB"])
+
+
+def test_serializers_drop_unparseable_json():
+    """omhttp.c:1659/1709/1757: messages that fail JSON parsing are
+    SKIPPED from jsonarray/kafkarest/lokirest batches ('failed to
+    parse %s as json ignoring it') — only newline keeps raw text."""
+    import warnings
+
+    from rsyslog_spark.streaming.sinks import omhttp_serialize
+
+    chunk = ['{"a":1}', "not json", '{"b":2}']
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        body, _ = omhttp_serialize(chunk, "jsonarray")
+        assert json.loads(body) == [{"a": 1}, {"b": 2}]
+        body, _ = omhttp_serialize(chunk, "kafkarest")
+        assert json.loads(body) == {
+            "records": [{"value": {"a": 1}}, {"value": {"b": 2}}]}
+        body, _ = omhttp_serialize(chunk, "lokirest")
+        assert json.loads(body) == {"streams": [{"a": 1}, {"b": 2}]}
+    body, _ = omhttp_serialize(chunk, "newline")
+    assert body == b'{"a":1}\nnot json\n{"b":2}'
+    # the skip is warned, mirroring the reference's LogError line
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        omhttp_serialize(["nope"], "jsonarray")
+    assert any("ignoring it" in str(x.message) for x in w)
