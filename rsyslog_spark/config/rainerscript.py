@@ -503,6 +503,24 @@ class _Parser:
                     if kind == "main_queue":
                         k = "mainmsgqueue" + k.lower().replace(
                             "queue.", "")
+                    if kind == "global" \
+                            and k.lower() == "internalmsg.severity":
+                        # eCmdHdlrSeverity decode + 0..7 range check
+                        # (glbl.c:1568-1573) — out-of-range, unknown
+                        # symbolic, and overflowing numerics are all
+                        # load errors (goldens glbl-internalmsg_
+                        # severity-invalid-long.sh: -N1 must fail
+                        # with this exact text)
+                        from rsyslog_spark.schema import SEVERITIES
+                        sv = str(v).strip()
+                        try:
+                            n = int(sv)
+                        except ValueError:
+                            n = SEVERITIES.get(sv.lower(), -1)
+                        if n < 0 or n > 7:
+                            raise ValueError(
+                                "invalid internalmsg.severity value")
+                        v = str(n)
                     cfg.directives[k.lower()] = v
             elif t.text in ("parser", "timezone", "dyn_stats",
                             "perctile_stats", "percentile_stats",

@@ -114,9 +114,11 @@ class ConfigRun:
     # the log.file sink used for this run's stats cycle, when
     # module(load="impstats" log.file=..) is configured
     impstats_sink: object = None
-    # internal error-message texts generated during action dispatch
-    # (errmsg.c LogError analog) — routed through the ruleset as
-    # rsyslogd-tagged messages after the primary dispatch
+    # internal messages generated during the run (errmsg.c LogError/
+    # LogMsg analog) — (severity, text) tuples routed through the
+    # ruleset as rsyslogd-tagged messages after the primary
+    # dispatch, gated by global(internalmsg.severity=..)
+    # (rsyslogd.c:1052 logmsgInternal_doWrite)
     internal_msgs: list = dfield(default_factory=list)
 
     def perctile_lines(self) -> list[str]:
@@ -1581,7 +1583,7 @@ def _dispatch_action_seq(cfg, ruleset_name, actions, run,
                     or name
                 detail = " ".join(str(e).split())[:160]
                 run.internal_msgs.append(
-                    f"file '{tgt}': open error: {detail}")
+                    (3, f"file '{tgt}': open error: {detail}"))
             _warnings.warn(
                 f"action {name!r} suspended: {e!r:.200}")
 
@@ -1643,6 +1645,21 @@ def _write_action_errfile(cfg, name, params, df,
                 fh.write(rec[:to_write - 1] + b"\n")
 
 
+def _intmsg_sev_filter(cfg) -> int:
+    """global(internalmsg.severity=..) threshold; default admits
+    warning..info and suppresses debug (DFLT_INT_MSGS_SEV_FILTER=6,
+    runtime/rsconf.h:49; applied rsyslogd.c:1052 as
+    ``pri % 8 <= filter``). The value is pre-validated to 0..7 at
+    config load (rainerscript.py)."""
+    v = cfg.directives.get("internalmsg.severity")
+    if v is None:
+        return 6
+    try:
+        return int(str(v))
+    except (TypeError, ValueError):
+        return 6
+
+
 def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
                        hl_ruleset, sink_overrides, multi_action):
     try:
@@ -1652,25 +1669,51 @@ def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
         run.impstats_conf = next(
             (m for m in cfg.modules
              if str(m.get("load", "")).startswith("impstats")), {})
+        if ruleset_name == cfg.main:
+            # startup-lifecycle internal messages enter the DEFAULT
+            # ruleset only (the reference submits them before any
+            # input traffic; a config whose work lives in a named
+            # ruleset never sees them — goldens glbl-internalmsg_
+            # severity-{debug-not_shown,debug-shown,info-shown}.sh):
+            # the begin-processing line is LOG_DEBUG
+            # (rsyslogd.c:2687), per-table load is LOG_INFO
+            # (lookup.c:1221)
+            for lt in cfg.lookup_tables.values():
+                run.internal_msgs.append(
+                    (6, "lookup table '%s' loaded from file '%s'"
+                        % (lt.get("name"), lt.get("file", ""))))
+            run.internal_msgs.append(
+                (7, "rsyslogd fully started up and initialized "
+                    "- begin actual processing"))
         _dispatch_action_seq(cfg, ruleset_name, actions, run,
                              sink_overrides)
         if hl_ruleset is not None and hdr_frame is not None:
             hdr_actions, _hs = eng.run(hdr_frame, hl_ruleset)
             _dispatch_action_seq(cfg, hl_ruleset, hdr_actions, run,
                                  sink_overrides)
-        if run.internal_msgs:
-            # errmsg.c LogError → internal messages re-enter the
-            # ruleset as rsyslogd-tagged syslog lines (pri 43 =
-            # syslogd.error) so the config's own filters route them —
-            # omfile-read-only-errmsg.sh greps the catch-all output
+        # internalmsg.severity gate (rsyslogd.c:1052
+        # logmsgInternal_doWrite: ``pri % 8 <= filter``; default 6
+        # suppresses debug-level internals)
+        sev_filter = _intmsg_sev_filter(cfg)
+        admitted = [
+            m if isinstance(m, tuple) else (3, m)
+            for m in run.internal_msgs]
+        admitted = [(s, t) for s, t in admitted if s <= sev_filter]
+        if admitted:
+            # errmsg.c LogError/LogMsg → internal messages re-enter
+            # the ruleset as rsyslogd-tagged syslog lines (PRI =
+            # LOG_SYSLOG | severity = 40+sev) so the config's own
+            # filters route them — omfile-read-only-errmsg.sh greps
+            # the catch-all output
             import datetime as _dt
 
             from rsyslog_spark.parsers.chain import parse_syslog
             from rsyslog_spark.session import local_hostname
             stamp = _dt.datetime.now().strftime("%b %e %H:%M:%S")
             ilines = frame.sparkSession.createDataFrame(
-                [(f"<43>{stamp} {local_hostname()} rsyslogd: {m}",)
-                 for m in run.internal_msgs], "line string")
+                [(f"<{40 + s}>{stamp} {local_hostname()} "
+                  f"rsyslogd: {t}",)
+                 for s, t in admitted], "line string")
             run.internal_msgs = []
             try:
                 iacts, _si = eng.run(parse_syslog(ilines),
@@ -1680,7 +1723,8 @@ def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
             except Exception as e:  # noqa: BLE001 — best-effort path
                 import warnings as _w
                 _w.warn(f"internal-message routing failed: {e!r:.200}")
-            run.internal_msgs = []  # no second-level re-injection
+        run.internal_msgs = []  # consumed (or suppressed); no
+        # second-level re-injection
         # dyn_inc / percentile_observe buckets aggregate over the
         # batch (approximation note: the reference increments at the
         # statement's execution point; the batch form counts every
@@ -1895,9 +1939,10 @@ def run_config_stream(
             # its own listener; additional bridges SHARE the first
             # one's spool so one streaming query drains them all
             # (the reference's N listeners → one main queue;
-            # imtcp-multi-drvr-basic.sh). All inputs feed the bound
-            # ruleset of the FIRST input — per-input ruleset fan-out
-            # across socket inputs is a documented divergence.
+            # imtcp-multi-drvr-basic.sh). Each input binds its OWN
+            # ruleset (imtcp.c:140 pszBindRuleset): the bridge
+            # stamps records with a 'binding' column and the sink
+            # fans the micro-batch out per bound ruleset.
             import tempfile
 
             from rsyslog_spark.streaming import bridges as _b
@@ -1978,7 +2023,26 @@ def run_config_stream(
             if cfg.directives.get(acl_key):
                 kw["allowed_senders"] = [
                     e for e in cfg.directives[acl_key].split(",") if e]
-            bridges.append(cls(spool, **kw).start())
+            b = cls(spool, **kw)
+            # input(... name="i2") → %inputname% (imtcp.c
+            # pszInputName; tests/imtcp-name.sh shape)
+            if inp.get("name"):
+                b.inputname = inp["name"]
+            # per-input ruleset binding; an unknown name warns and
+            # falls back to the default, exactly the reference's
+            # "ruleset '%s' for port %s not found - using default
+            # ruleset instead" (imtcp.c:1332-1336)
+            rbind = inp.get("ruleset")
+            if rbind:
+                if rbind in cfg.rulesets:
+                    b.ruleset = rbind
+                else:
+                    import warnings as _w
+                    _w.warn(
+                        f"{typ}: ruleset {rbind!r} for port "
+                        f"{inp.get('port')} not found - using "
+                        "default ruleset instead")
+            bridges.append(b.start())
             if bridge is None:
                 bridge = bridges[0]
         if ruleset_name is None and inp.get("ruleset"):
@@ -2046,68 +2110,118 @@ def run_config_stream(
     lines = _apply_oversize_policy(lines, cfg,
                                    write_errorfile=False)
     lines = _apply_escape_on_receive(lines, cfg)
-    lines = _apply_snare_prestage(lines, cfg, ruleset_name)
-    pm_opts, hl_route = _pm3164_opts(cfg, ruleset_name)
-    frame = parse_syslog(
-        lines, parsers=_ruleset_parser_chain(cfg, ruleset_name),
-        inputname=("imkafka" if path is None and bridge is None
-                   and kafka_inp is not None else "imfile"),
-        **{**_parser_opts(cfg), **pm_opts})
-    if path is None and bridge is None and kafka_inp is not None \
-            and not _imkafka_opts(kafka_inp)["parse_hostname"]:
-        frame = _stamp_receiver_hostname(frame)
-    vstage = _vendor_parser_stage(cfg, ruleset_name)
-    if vstage is not None:
-        frame = vstage(frame)
+
+    # per-input ruleset fan-out (imtcp.c:140 pszBindRuleset;
+    # imtcp-multi-drvr-basic.sh shape with distinct rulesets): when
+    # any socket input binds a ruleset OTHER than the default, the
+    # sink slices each micro-batch by the bridge-stamped 'binding'
+    # column and runs every bound ruleset's parser chain + DAG on
+    # its own slice. One streaming query, one spool scan, one
+    # persist — the fan-out is a set of filters on the cached batch.
+    extra_rulesets: list[str] = []
+    for b in bridges:
+        r = getattr(b, "ruleset", None)
+        if r and r in cfg.rulesets and r != ruleset_name \
+                and r not in extra_rulesets:
+            extra_rulesets.append(r)
+
+    def _stage(src: DataFrame, rname: str) -> DataFrame:
+        """Ruleset-specific pre-parse + parse + vendor stages."""
+        s = _apply_snare_prestage(src, cfg, rname)
+        pm_o, _hl = _pm3164_opts(cfg, rname)
+        fr = parse_syslog(
+            s, parsers=_ruleset_parser_chain(cfg, rname),
+            inputname=("imkafka" if path is None and bridge is None
+                       and kafka_inp is not None else "imfile"),
+            **{**_parser_opts(cfg), **pm_o})
+        if path is None and bridge is None and kafka_inp is not None \
+                and not _imkafka_opts(kafka_inp)["parse_hostname"]:
+            fr = _stamp_receiver_hostname(fr)
+        vst = _vendor_parser_stage(cfg, rname)
+        if vst is not None:
+            fr = vst(fr)
+        return fr
 
     # per-action drop-mode admitted counts, carried ACROSS
     # micro-batches (the reference's ratelimiter lives in the action
     # worker for the daemon's lifetime — per-batch-only admission
     # would re-admit `burst` rows every micro-batch)
-    rl_states: dict[str, dict] = {}
+    rl_states: dict[tuple, dict] = {}
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.persist()
-        try:
-            # headerless routing twin (pmrfc3164
-            # handleHeaderlessMessage — the reference applies it on
-            # the stream by construction, pmrfc3164.c:362-369)
-            bframe = batch_df
-            hdr_frame = None
-            hl_ruleset = None
-            if hl_route is not None and "headerless" in bframe.columns:
-                hdr_frame = bframe.filter(F.col("headerless"))
-                if hl_route.get("errorfile"):
-                    with open(hl_route["errorfile"], "a",
-                              encoding="utf-8") as fh:
-                        for r in hdr_frame.select("rawmsg") \
-                                .toLocalIterator():
-                            fh.write(r[0] + "\n")
-                if hl_route.get("drop"):
-                    bframe = bframe.filter(~F.col("headerless"))
-                    hdr_frame = None
-                elif hl_route.get("ruleset") in cfg.rulesets:
-                    hl_ruleset = hl_route["ruleset"]
-                    bframe = bframe.filter(~F.col("headerless"))
-                else:
-                    hdr_frame = None
-            gated = _apply_main_queue_directives(bframe, cfg)
-            actions, _surv = eng.run(gated, ruleset_name)
-            run = ConfigRun()
-            for name, df in actions:
-                params = _action_params(cfg, ruleset_name, name)
+    def _run_ruleset(bframe: DataFrame, rname: str) -> None:
+        """Headerless routing + main-queue gate + ruleset DAG +
+        action dispatch for one parsed (sub-)batch."""
+        _pm_o, hl_route = _pm3164_opts(cfg, rname)
+        # headerless routing twin (pmrfc3164
+        # handleHeaderlessMessage — the reference applies it on
+        # the stream by construction, pmrfc3164.c:362-369)
+        hdr_frame = None
+        hl_ruleset = None
+        if hl_route is not None and "headerless" in bframe.columns:
+            hdr_frame = bframe.filter(F.col("headerless"))
+            if hl_route.get("errorfile"):
+                with open(hl_route["errorfile"], "a",
+                          encoding="utf-8") as fh:
+                    for r in hdr_frame.select("rawmsg") \
+                            .toLocalIterator():
+                        fh.write(r[0] + "\n")
+            if hl_route.get("drop"):
+                bframe = bframe.filter(~F.col("headerless"))
+                hdr_frame = None
+            elif hl_route.get("ruleset") in cfg.rulesets:
+                hl_ruleset = hl_route["ruleset"]
+                bframe = bframe.filter(~F.col("headerless"))
+            else:
+                hdr_frame = None
+        gated = _apply_main_queue_directives(bframe, cfg)
+        actions, _surv = eng.run(gated, rname)
+        run = ConfigRun()
+        for name, df in actions:
+            params = _action_params(cfg, rname, name)
+            _dispatch_action(cfg, name, df, params, run,
+                             sink_overrides,
+                             rl_state=rl_states.setdefault(
+                                 (rname, name), {}))
+        if hl_ruleset is not None and hdr_frame is not None:
+            hdr_actions, _hs = eng.run(hdr_frame, hl_ruleset)
+            for name, df in hdr_actions:
+                params = _action_params(cfg, hl_ruleset, name)
                 _dispatch_action(cfg, name, df, params, run,
-                                 sink_overrides,
-                                 rl_state=rl_states.setdefault(
-                                     name, {}))
-            if hl_ruleset is not None and hdr_frame is not None:
-                hdr_actions, _hs = eng.run(hdr_frame, hl_ruleset)
-                for name, df in hdr_actions:
-                    params = _action_params(cfg, hl_ruleset, name)
-                    _dispatch_action(cfg, name, df, params, run,
-                                     sink_overrides)
-        finally:
-            batch_df.unpersist()
+                                 sink_overrides)
+
+    if not extra_rulesets:
+        frame = _stage(lines, ruleset_name)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.persist()
+            try:
+                _run_ruleset(batch_df, ruleset_name)
+            finally:
+                batch_df.unpersist()
+    else:
+        # multi-binding: stream the RAW lines; parse per slice (each
+        # ruleset may declare its own parser chain, ruleset.c parser=)
+        frame = lines
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.persist()
+            try:
+                for rname in [ruleset_name] + extra_rulesets:
+                    cond = F.col("binding") == rname
+                    if rname == ruleset_name:
+                        # unbound inputs feed the default ruleset
+                        cond = cond | F.col("binding").isNull()
+                    sl = batch_df.filter(cond)
+                    if not sl.take(1):
+                        continue
+                    parsed = _stage(sl, rname)
+                    parsed.persist()
+                    try:
+                        _run_ruleset(parsed, rname)
+                    finally:
+                        parsed.unpersist()
+            finally:
+                batch_df.unpersist()
 
     writer = frame.writeStream.foreachBatch(sink) \
         .option("checkpointLocation", checkpoint)

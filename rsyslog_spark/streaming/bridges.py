@@ -49,6 +49,12 @@ class SpoolBridge:
     #: columns every bridge emits (subclasses may add more)
     schema = "line string, fromhost string, timegenerated timestamp"
 
+    #: per-input ruleset binding (input(... ruleset="x") —
+    #: imtcp.c:140 pszBindRuleset): when set, every record this
+    #: bridge spools carries it in the 'binding' column so a shared
+    #: spool can fan out per input's ruleset downstream
+    ruleset: str | None = None
+
     def __init__(self, spool_dir: str, *, inputname: str,
                  flush_every: int = 512, flush_secs: float = 0.5,
                  allowed_senders: list[str] | None = None):
@@ -138,9 +144,12 @@ class SpoolBridge:
         name = (f"{self.inputname}-{os.getpid()}-{self._uid}-"
                 f"{self._seq:08d}.ndjson")
         # stamp the record's origin so shared-spool streams can
-        # route per input (%inputname% property)
+        # route per input (%inputname% property) and per bound
+        # ruleset (imtcp.c ruleset= → 'binding')
         for rec in self._buf:
             rec.setdefault("inputname", self.inputname)
+            if self.ruleset:
+                rec.setdefault("binding", self.ruleset)
         tmp = os.path.join(self.spool_dir, f".{name}.tmp")
         dumps = json.dumps
         with open(tmp, "w") as f:
@@ -184,6 +193,8 @@ class SpoolBridge:
         sch = schema or self.schema
         if "inputname" not in sch:
             sch += ", inputname string"
+        if "binding" not in sch:
+            sch += ", binding string"
         reader = spark.readStream.schema(sch).format("json")
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger",
@@ -201,6 +212,8 @@ class SpoolBridge:
         sch = schema or self.schema
         if "inputname" not in sch:
             sch += ", inputname string"
+        if "binding" not in sch:
+            sch += ", binding string"
         return (
             spark.read.schema(sch).format("json")
             .load(self.spool_dir)

@@ -4456,3 +4456,110 @@ def test_multi_socket_inputs_one_stream(spark, tmp_path):
     rows = spark.read.parquet(str(out)).collect()
     assert sorted(r["msg"] for r in rows) == ["via l0", "via l1"]
     assert all(r["inputname"] == "imtcp" for r in rows)
+
+
+def _send_tcp_when_up(port, lines, attempts=100):
+    import socket
+    import time as _time
+
+    for _ in range(attempts):
+        try:
+            c = socket.create_connection(("127.0.0.1", port),
+                                         timeout=0.2)
+            c.sendall("".join(l + "\n" for l in lines).encode())
+            c.close()
+            return
+        except OSError:
+            _time.sleep(0.1)
+
+
+def test_multi_socket_per_input_ruleset_fanout(spark, tmp_path):
+    """imtcp-multi-drvr-basic.sh + multi-ruleset shape (imtcp.c:140
+    pszBindRuleset): each input() binds its OWN ruleset — messages
+    arriving on listener 1 route through ruleset 'ra' to file A,
+    listener 2 through 'rb' to file B, with zero cross-talk. Also
+    pins input(name=...) → %inputname% (imtcp.c pszInputName)."""
+    import socket
+    import threading
+    from rsyslog_spark.config.runtime import run_config_stream
+
+    ports = []
+    for _ in range(2):
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        ports.append(probe.getsockname()[1])
+        probe.close()
+    out_a, out_b = tmp_path / "outA", tmp_path / "outB"
+    conf = f'''
+    input(type="imtcp" port="{ports[0]}" address="127.0.0.1"
+          name="i1" ruleset="ra" spool="{tmp_path}/spool")
+    input(type="imtcp" port="{ports[1]}" address="127.0.0.1"
+          name="i2" ruleset="rb")
+    ruleset(name="ra") {{
+        action(type="omfile" name="sa" file="{out_a}")
+    }}
+    ruleset(name="rb") {{
+        action(type="omfile" name="sb" file="{out_b}")
+    }}
+    '''
+    th = [threading.Thread(
+        target=_send_tcp_when_up, args=(ports[0],
+            [f"<13>Mar  1 10:00:00 h1 app: ra msg {i}"
+             for i in range(3)])),
+          threading.Thread(
+        target=_send_tcp_when_up, args=(ports[1],
+            [f"<13>Mar  1 10:00:00 h2 app: rb msg {i}"
+             for i in range(2)]))]
+    for t in th:
+        t.start()
+    run_config_stream(spark, conf, checkpoint=str(tmp_path / "ck"),
+                      drain_grace=4.0)
+    for t in th:
+        t.join(timeout=10)
+    rows_a = spark.read.parquet(str(out_a)).collect()
+    rows_b = spark.read.parquet(str(out_b)).collect()
+    assert sorted(r["msg"] for r in rows_a) == [
+        f"ra msg {i}" for i in range(3)]
+    assert sorted(r["msg"] for r in rows_b) == [
+        f"rb msg {i}" for i in range(2)]
+    assert all(r["inputname"] == "i1" for r in rows_a)
+    assert all(r["inputname"] == "i2" for r in rows_b)
+
+
+def test_multi_socket_unknown_ruleset_falls_back(spark, tmp_path):
+    """imtcp.c:1332-1336: an input bound to a nonexistent ruleset
+    warns ('... not found - using default ruleset instead') and its
+    messages take the default ruleset."""
+    import socket
+    import threading
+    import warnings
+    from rsyslog_spark.config.runtime import run_config_stream
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    out = tmp_path / "out"
+    conf = f'''
+    input(type="imtcp" port="{port}" address="127.0.0.1"
+          ruleset="main" spool="{tmp_path}/spool")
+    input(type="imudp" port="0" address="127.0.0.1"
+          ruleset="no_such_ruleset")
+    ruleset(name="main") {{
+        action(type="omfile" name="sink" file="{out}")
+    }}
+    '''
+    th = threading.Thread(
+        target=_send_tcp_when_up,
+        args=(port, ["<13>Mar  1 10:00:00 h1 app: hello"]))
+    th.start()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        run_config_stream(spark, conf,
+                          checkpoint=str(tmp_path / "ck"),
+                          drain_grace=4.0)
+    th.join(timeout=10)
+    assert any("not found - using default ruleset" in str(x.message)
+               for x in w)
+    rows = spark.read.parquet(str(out)).collect()
+    assert [r["msg"] for r in rows] == ["hello"]
