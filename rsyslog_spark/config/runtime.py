@@ -783,7 +783,16 @@ def _dispatch_action_inner(
                                                         "6"))),
             flush_on_txend=str(params.get(
                 "compression.stream.flushontxend", "on"))
-            .lower() != "off"))(lines, 0)
+            .lower() != "off",
+            # keepalive family (omfwd.c actpblk keepalive.* /
+            # legacy $ActionSendTCPKeepAlive*)
+            keepalive=str(params.get("keepalive", "off")).lower()
+            in ("on", "true", "1"),
+            keepalive_probes=int(params.get("keepalive.probes", 0)
+                                 or 0),
+            keepalive_time=int(params.get("keepalive.time", 0) or 0),
+            keepalive_intvl=int(params.get("keepalive.interval", 0)
+                                or 0)))(lines, 0)
         run.written[name] = f"{proto}://{params['target']}:{port}"
         return
     if typ == "ompipe" and params.get("pipe"):
@@ -2017,6 +2026,17 @@ def run_config_stream(
                 if lin.get("compression.driver"):
                     kw["compression_driver"] = \
                         lin["compression.driver"]
+                # keepalive family (imtcp.c:269-272 / imptcp.c —
+                # binary + three non-negative ints)
+                if str(lin.get("keepalive", "off")).lower() in (
+                        "on", "true", "1"):
+                    kw["keepalive"] = True
+                for rk, pk in (
+                        ("keepalive.probes", "keepalive_probes"),
+                        ("keepalive.time", "keepalive_time"),
+                        ("keepalive.interval", "keepalive_intvl")):
+                    if lin.get(rk):
+                        kw[pk] = int(lin[rk])
             # $AllowedSender <PROTO>, ip, net/cidr, ... (net.c ACLs)
             acl_key = ("allowedsender.udp" if typ == "imudp"
                        else "allowedsender.tcp")

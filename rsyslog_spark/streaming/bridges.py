@@ -34,6 +34,37 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def apply_keepalive(sock, enable: bool, probes: int = 0,
+                    idle_time: int = 0, intvl: int = 0) -> dict:
+    """TCP keepalive tuning (nsd_ptcp.c:904 EnableKeepAlive;
+    imtcp.c/imptcp.c/omfwd.c keepalive{,.probes,.time,.interval}
+    params): SO_KEEPALIVE on, then each TCP_* knob where the value
+    is >0 AND the platform defines the option — absence or a
+    setsockopt failure is a recorded no-op, exactly the reference's
+    ``#if defined(...)`` guards + dbgprintf-and-continue. Returns
+    what was actually applied (None = attempted but refused)."""
+    applied: dict = {}
+    if not enable:
+        return applied
+    try:
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_KEEPALIVE, 1)
+        applied["keepalive"] = True
+    except OSError:
+        applied["keepalive"] = False
+    for optname, val, key in (
+            ("TCP_KEEPCNT", probes, "probes"),
+            ("TCP_KEEPIDLE", idle_time, "time"),
+            ("TCP_KEEPINTVL", intvl, "interval")):
+        if val and hasattr(socket, optname):
+            try:
+                sock.setsockopt(socket.IPPROTO_TCP,
+                                getattr(socket, optname), int(val))
+                applied[key] = int(val)
+            except OSError:
+                applied[key] = None
+    return applied
+
+
 class SpoolBridge:
     """Receive-loop → atomic NDJSON spool files → streaming source.
 
@@ -1315,8 +1346,20 @@ class imtcp(SpoolBridge):
                  compression_mode: str = "none",
                  compression_driver: str = "zlib",
                  support_compression_extension: bool = True,
+                 keepalive: bool = False,
+                 keepalive_probes: int = 0,
+                 keepalive_time: int = 0,
+                 keepalive_intvl: int = 0,
                  tls=None, **kw):
         super().__init__(spool_dir, inputname="imtcp", **kw)
+        # keepalive/keepalive.{probes,time,interval} (imtcp.c:269-272
+        # inppdescr; applied per accepted session like
+        # nsd_ptcp.c EnableKeepAlive)
+        self.keepalive = bool(keepalive)
+        self.keepalive_probes = int(keepalive_probes or 0)
+        self.keepalive_time = int(keepalive_time or 0)
+        self.keepalive_intvl = int(keepalive_intvl or 0)
+        self.keepalive_applied: dict = {}
         self.max_frame_size = max_frame_size
         self.max_message_size = max_message_size
         self.discard_truncated = discard_truncated
@@ -1335,10 +1378,11 @@ class imtcp(SpoolBridge):
                 f"imtcp: invalid compression.mode {compression_mode!r}"
                 " - supported: 'none', 'stream:always', 'auto'")
         cd = (compression_driver or "zlib").lower()
+        self._zstd = None
         if cd == "zstd":
-            try:
-                import zstandard  # noqa: F401
-            except ImportError:
+            from rsyslog_spark.streaming.zstdcodec import get_codec
+            self._zstd = get_codec()
+            if self._zstd is None:
                 raise ValueError(
                     "imtcp: compression.driver='zstd' requires a "
                     "zstd codec (the reference requires rsyslog "
@@ -1387,6 +1431,10 @@ class imtcp(SpoolBridge):
                 except OSError:
                     pass
                 continue
+            if self.keepalive:
+                self.keepalive_applied = apply_keepalive(
+                    conn, True, self.keepalive_probes,
+                    self.keepalive_time, self.keepalive_intvl)
             if self._tls_ctx is not None:
                 from rsyslog_spark.streaming.gtls import check_peer
                 try:
@@ -1514,8 +1562,7 @@ class imtcp(SpoolBridge):
 
     def _new_decompressor(self):
         if self.compression_driver == "zstd":
-            import zstandard
-            return zstandard.ZstdDecompressor().decompressobj()
+            return self._zstd.ZstdDecompressor().decompressobj()
         import zlib
         return zlib.decompressobj()
 

@@ -478,7 +478,7 @@ def _z_single(payload: bytes, level: int) -> bytes:
 
 
 def _pool_send(rows, targets, *, framing, tls, comp, cdrv, level,
-               flush_on_txend):
+               flush_on_txend, keepalive=None, zcodec=None):
     """omfwd native LB pool (omfwd.c doTryResume/pool walk): each
     message goes to ONE target, round-robin over healthy targets;
     connect/send failure suspends the target for the rest of the
@@ -494,6 +494,10 @@ def _pool_send(rows, targets, *, framing, tls, comp, cdrv, level,
     def conn_for(i):
         if conns[i] is None:
             s = _socket.create_connection(targets[i], timeout=10)
+            if keepalive:
+                from rsyslog_spark.streaming.bridges import (
+                    apply_keepalive)
+                apply_keepalive(s, True, *keepalive)
             if tls is not None:
                 from rsyslog_spark.streaming.gtls import (
                     check_peer, client_context)
@@ -503,8 +507,7 @@ def _pool_send(rows, targets, *, framing, tls, comp, cdrv, level,
             conns[i] = s
             if comp == "stream:always":
                 if cdrv == "zstd":
-                    import zstandard
-                    cobjs[i] = zstandard.ZstdCompressor(
+                    cobjs[i] = zcodec.ZstdCompressor(
                         level=level).compressobj()
                 else:
                     import zlib
@@ -581,6 +584,10 @@ def omfwd_sink(
     compression_driver: str = "zlib",
     compression_level: int = 6,
     flush_on_txend: bool = True,
+    keepalive: bool = False,
+    keepalive_probes: int = 0,
+    keepalive_time: int = 0,
+    keepalive_intvl: int = 0,
 ) -> Callable[[DataFrame, int], None]:
     """omfwd TCP forward (ref: tools/omfwd.c): RFC6587 framing —
     octet-counted (``LEN SP MSG``) or non-transparent (LF-terminated).
@@ -610,10 +617,13 @@ def omfwd_sink(
             "omfwd: compression.mode='stream:always' is a TCP "
             "connection-stream mode; use 'single' with udp")
     cdrv = (compression_driver or "zlib").lower()
+    zcodec = None
     if cdrv == "zstd":
-        try:
-            import zstandard  # noqa: F401
-        except ImportError:
+        # resolve the codec ON THE DRIVER and close over it — the
+        # injection never reaches Spark's Python workers by itself
+        from rsyslog_spark.streaming.zstdcodec import get_codec
+        zcodec = get_codec()
+        if zcodec is None:
             raise ValueError(
                 "omfwd: compression.driver='zstd' requires a zstd "
                 "codec (the reference requires libzstd)")
@@ -643,11 +653,14 @@ def omfwd_sink(
         def per_partition(rows):
             import socket
 
+            ka = ((keepalive_probes, keepalive_time,
+                   keepalive_intvl) if keepalive else None)
             if protocol == "tcp" and len(targets) > 1:
                 _pool_send(rows, targets, framing=framing, tls=tls,
                            comp=comp, cdrv=cdrv,
                            level=compression_level,
-                           flush_on_txend=flush_on_txend)
+                           flush_on_txend=flush_on_txend,
+                           keepalive=ka, zcodec=zcodec)
                 return iter(())
             if protocol == "udp":
                 # the reference's COMPRESS_SINGLE_MSG path runs
@@ -669,6 +682,12 @@ def omfwd_sink(
                     sock.close()
                 return iter(())
             sock = socket.create_connection((host, port), timeout=30)
+            if ka is not None:
+                # actionsendtcpkeepalive* / keepalive.* action params
+                # (omfwd.c:215-218; applied nsd_ptcp.c EnableKeepAlive)
+                from rsyslog_spark.streaming.bridges import (
+                    apply_keepalive)
+                apply_keepalive(sock, True, *ka)
             if tls is not None:
                 from rsyslog_spark.streaming.gtls import (
                     check_peer, client_context)
@@ -678,8 +697,7 @@ def omfwd_sink(
             cobj = None
             if comp == "stream:always":
                 if cdrv == "zstd":
-                    import zstandard
-                    cobj = zstandard.ZstdCompressor(
+                    cobj = zcodec.ZstdCompressor(
                         level=compression_level).compressobj()
                 else:
                     import zlib

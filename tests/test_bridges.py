@@ -1931,3 +1931,63 @@ def test_omhiredis_stream_xadd_roundtrip(spark, tmp_path):
         assert len(srv.streams["outStream"]) == 8
     finally:
         srv.close()
+
+
+def test_apply_keepalive_socket_options():
+    """nsd_ptcp.c:904 EnableKeepAlive analog: SO_KEEPALIVE set, then
+    TCP_KEEPCNT/KEEPIDLE/KEEPINTVL where >0; values read back via
+    getsockopt on Linux."""
+    from rsyslog_spark.streaming.bridges import apply_keepalive
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    cli = socket.create_connection(srv.getsockname())
+    conn, _ = srv.accept()
+    try:
+        applied = apply_keepalive(cli, True, probes=3, idle_time=30,
+                                  intvl=10)
+        assert applied.get("keepalive") is True
+        assert cli.getsockopt(socket.SOL_SOCKET,
+                              socket.SO_KEEPALIVE) == 1
+        if hasattr(socket, "TCP_KEEPIDLE"):
+            assert applied["time"] == 30
+            assert cli.getsockopt(socket.IPPROTO_TCP,
+                                  socket.TCP_KEEPIDLE) == 30
+        if hasattr(socket, "TCP_KEEPCNT"):
+            assert cli.getsockopt(socket.IPPROTO_TCP,
+                                  socket.TCP_KEEPCNT) == 3
+        if hasattr(socket, "TCP_KEEPINTVL"):
+            assert cli.getsockopt(socket.IPPROTO_TCP,
+                                  socket.TCP_KEEPINTVL) == 10
+        # disabled → recorded no-op, socket untouched
+        s2 = socket.socket()
+        assert apply_keepalive(s2, False, 9, 9, 9) == {}
+        assert s2.getsockopt(socket.SOL_SOCKET,
+                             socket.SO_KEEPALIVE) == 0
+        s2.close()
+    finally:
+        cli.close()
+        conn.close()
+        srv.close()
+
+
+def test_imtcp_keepalive_session(spark, tmp_path):
+    """imtcp keepalive params bind and apply per accepted session
+    (imtcp.c:269-272 inppdescr)."""
+    from rsyslog_spark.streaming.bridges import imtcp
+
+    b = imtcp(str(tmp_path / "spool"), keepalive=True,
+              keepalive_time=25, keepalive_probes=4,
+              flush_secs=0.2).start()
+    try:
+        c = socket.create_connection(("127.0.0.1", b.port))
+        c.sendall(b"<13>ka line\n")
+        df = _drain(b, spark, 1)
+        assert df.first().line == "<13>ka line"
+        assert b.keepalive_applied.get("keepalive") is True
+        if hasattr(socket, "TCP_KEEPIDLE"):
+            assert b.keepalive_applied.get("time") == 25
+        c.close()
+    finally:
+        b.stop()

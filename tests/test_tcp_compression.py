@@ -247,3 +247,69 @@ def test_config_stream_compression_binding(spark, tmp_path):
     th.join(timeout=10)
     rows = spark.read.parquet(str(out)).collect()
     assert len(rows) == 1 and rows[0]["msg"] == "compressed cfg"
+
+
+def test_zstd_driver_roundtrip_injected_codec(spark, tmp_path):
+    """compression.driver='zstd' (imtcp.c:376-411; omfwd.c
+    compression.driver): with a codec injected, omfwd stream:always
+    zstd → imtcp stream:always zstd round-trips; without one, both
+    sides keep the config-time error (un-built libzstd analog)."""
+    import pytest
+
+    from rsyslog_spark.streaming import zstdcodec
+    from rsyslog_spark.streaming.bridges import imtcp
+    from rsyslog_spark.streaming.sinks import omfwd_sink
+
+    # codec absent → config-time errors on both sides
+    assert zstdcodec.get_codec() is None
+    with pytest.raises(ValueError, match="zstd codec"):
+        imtcp(str(tmp_path / "s0"), compression_mode="stream:always",
+              compression_driver="zstd")
+    with pytest.raises(ValueError, match="zstd codec"):
+        omfwd_sink("127.0.0.1", 5140, compression="stream:always",
+                   compression_driver="zstd")
+
+    zstdcodec.set_codec(zstdcodec.ZlibBackedZstd)
+    try:
+        b = imtcp(str(tmp_path / "spool"),
+                  compression_mode="stream:always",
+                  compression_driver="zstd", flush_secs=0.2).start()
+        try:
+            lines = _seq_lines(30)
+            df = spark.createDataFrame([(l,) for l in lines],
+                                       "line string").coalesce(1)
+            omfwd_sink("127.0.0.1", b.port,
+                       compression="stream:always",
+                       compression_driver="zstd",
+                       compression_level=3)(df, 0)
+            got = _drain(b, spark, 30)
+            assert sorted(r.line for r in got.collect()) == lines
+        finally:
+            b.stop()
+    finally:
+        zstdcodec.set_codec(None)
+
+
+def test_zstd_driver_roundtrip_real_lib(spark, tmp_path):
+    """Same round trip against the real zstandard package when the
+    environment has it (skip-if-unavailable, like the reference's
+    libzstd-gated tests)."""
+    import pytest
+
+    pytest.importorskip("zstandard")
+    from rsyslog_spark.streaming.bridges import imtcp
+    from rsyslog_spark.streaming.sinks import omfwd_sink
+
+    b = imtcp(str(tmp_path / "spool"),
+              compression_mode="stream:always",
+              compression_driver="zstd", flush_secs=0.2).start()
+    try:
+        lines = _seq_lines(30)
+        df = spark.createDataFrame([(l,) for l in lines],
+                                   "line string").coalesce(1)
+        omfwd_sink("127.0.0.1", b.port, compression="stream:always",
+                   compression_driver="zstd")(df, 0)
+        got = _drain(b, spark, 30)
+        assert sorted(r.line for r in got.collect()) == lines
+    finally:
+        b.stop()
