@@ -176,14 +176,15 @@ def collect_all() -> dict[str, Query]:
 #: json_tree_battery, lookup_battery) re-enter the window for fresh
 #: driver verification; 9 r6+r7-green window queries take tail slots
 #: to make room for them plus the NEW mmsnareparse_win_event oracle.
-_TAIL = ("vendor_parse_pair",
-         "lookup_sparse",
-         "mm_seq_count", "text_battery",
-         "pricing_summary",
-         # parked r6+r7 (green r3+r4+r5)
-         "supplier_part_volume",
-         "order_priority_timing", "enrich_dims",
-         "html_text_extraction", "ngram_top_counts",
+#: r9 rotation: the 8 longest-parked queries (vendor_parse_pair,
+#: lookup_sparse, mm_seq_count, text_battery, pricing_summary,
+#: supplier_part_volume, order_priority_timing, enrich_dims) re-enter
+#: the window for fresh driver verification; 9 r7+r8-green window
+#: queries (bodies untouched this round) take tail slots to make room
+#: for them plus the NEW tcp_compression_roundtrip oracle. Both r8
+#: newcomers (timestamp_render_battery, mmsnareparse_win_event) stay
+#: in-window for a second green round.
+_TAIL = ("html_text_extraction", "ngram_top_counts",
          "sequence_packing", "stratified_sample_docs",
          # parked r7 (green >=4 rounds incl. r6)
          "action_exec_controls", "dynstats_hourly",
@@ -207,7 +208,15 @@ _TAIL = ("vendor_parse_pair",
          "similarity_knn_join", "text_lang_id",
          # parked r8 wave 2 (green r5+r6+r7, body untouched) — room
          # for the NEW timestamp_render_battery oracle
-         "dedup_exact")
+         "dedup_exact",
+         # parked r9 (green r7+r8, bodies untouched) — room for the
+         # 8 rotated-back longest-parked queries +
+         # tcp_compression_roundtrip
+         "anomaly_zscore_windows", "bm25_search",
+         "config_driven_routing", "decontaminate_ngram_overlap",
+         "dedup_components", "embedding_cosine_near_dup",
+         "hybrid_retrieval_rrf", "url_dedup_canonical",
+         "lm_perplexity_filter")
 
 
 def tail_body_hash(q: Query) -> str:

@@ -1206,3 +1206,97 @@ def mmsnareparse_win_event(spark, sf_dir):
         F.countDistinct("topt").alias("n_topt"),
         F.countDistinct("srcip").alias("n_ip"),
     )
+
+
+@q(
+    "tcp_compression_roundtrip",
+    """
+    WITH lines AS (
+      SELECT event_id % 8 AS bucket,
+             '<13>Mar  1 01:00:00 h app: ev ' || event_type
+               || ' #' || CAST(event_id AS VARCHAR) || ' '
+               || repeat('x', CAST(event_id % 90 AS INT)) AS line
+      FROM events
+    )
+    SELECT bucket,
+           COUNT(*) AS n,
+           COUNT(*) AS stream_ok,
+           COUNT(*) AS single_ok,
+           CAST(SUM(length(line)) AS BIGINT) AS total_chars
+    FROM lines GROUP BY bucket
+    """,
+    doc="TCP compression round trip (imtcp.c:376-411 stream modes; "
+        "omfwd.c:153-157 single + stream:always; parser.c:262 "
+        "uncompressMessage): each partition deflates its lines as "
+        "ONE zlib stream with Z_SYNC_FLUSH per octet-counted frame "
+        "(the omfwd stream:always wire shape), inflates it back "
+        "through split_tcp_frames; the legacy path runs _z_single "
+        "(>60-byte + only-if-gain rule) + inflate_legacy_z per "
+        "message. The oracle assumes LOSSLESSNESS — any framing/"
+        "inflate/threshold bug breaks the equality counts.",
+)
+def tcp_compression_roundtrip(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    src = ev.select(
+        (F.col("event_id") % 8).cast("long").alias("bucket"),
+        F.concat(
+            F.lit("<13>Mar  1 01:00:00 h app: ev "),
+            F.col("event_type"), F.lit(" #"),
+            F.col("event_id").cast("string"), F.lit(" "),
+            F.expr("repeat('x', cast(event_id % 90 as int))"),
+        ).alias("line"),
+    )
+
+    def roundtrip(pdfs):
+        import pandas as pd
+        import zlib
+
+        from rsyslog_spark.streaming.bridges import (
+            inflate_legacy_z, split_tcp_frames)
+        from rsyslog_spark.streaming.sinks import _z_single
+
+        for pdf in pdfs:
+            lines = pdf["line"].tolist()
+            if not lines:
+                continue
+            # omfwd stream:always sender shape: one deflate stream,
+            # Z_SYNC_FLUSH per transmit, octet-counted framing
+            comp = zlib.compressobj(6)
+            wire = bytearray()
+            for l in lines:
+                p = l.encode("utf-8")
+                frame = str(len(p)).encode() + b" " + p
+                wire += comp.compress(frame)
+                wire += comp.flush(zlib.Z_SYNC_FLUSH)
+            wire += comp.flush()
+            # imtcp receiver shape: inflate the CONNECTION stream,
+            # then per-frame split (framing autodetect)
+            plain = zlib.decompressobj().decompress(bytes(wire))
+            msgs, rest = split_tcp_frames(plain, 200 * 1024)
+            stream_rt = [m.decode("utf-8") for m in msgs]
+            if rest or len(stream_rt) != len(lines):
+                stream_rt = [""] * len(lines)   # loss → all mismatch
+            # legacy single-message path per line
+            single_rt = []
+            for l in lines:
+                r = inflate_legacy_z(_z_single(l.encode("utf-8"), 6))
+                single_rt.append("" if r is None
+                                 else r.decode("utf-8"))
+            yield pd.DataFrame({
+                "bucket": pdf["bucket"],
+                "orig": lines,
+                "stream_rt": stream_rt,
+                "single_rt": single_rt,
+            })
+
+    rt = src.mapInPandas(
+        roundtrip,
+        "bucket long, orig string, stream_rt string, single_rt string")
+    return rt.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("stream_rt") == F.col("orig")).cast("long"))
+        .alias("stream_ok"),
+        F.sum((F.col("single_rt") == F.col("orig")).cast("long"))
+        .alias("single_ok"),
+        F.sum(F.length("orig")).cast("long").alias("total_chars"),
+    )

@@ -34,6 +34,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def inflate_legacy_z(m: bytes) -> bytes | None:
+    """Legacy single-message decompression (parser.c:262
+    uncompressMessage): payload 'z' + zlib stream inflates; inflate
+    failure → None (the reference drops the message, "Message
+    ignored"). Guarded on the zlib CMF byte so ordinary text
+    starting with 'z' passes through untouched (a protective
+    narrowing of the reference's first-byte-only check)."""
+    if m[:1] != b"z" or m[1:2] != b"\x78":
+        return m
+    import zlib
+    try:
+        return zlib.decompress(m[1:])
+    except zlib.error:
+        return None
+
+
 def apply_keepalive(sock, enable: bool, probes: int = 0,
                     idle_time: int = 0, intvl: int = 0) -> dict:
     """TCP keepalive tuning (nsd_ptcp.c:904 EnableKeepAlive;
@@ -317,19 +333,8 @@ class imudp(SpoolBridge):
                 except OSError:
                     return
             if self.support_compression_extension:
-                import zlib
-
-                def inflate(d: bytes) -> bytes | None:
-                    # zlib CMF guard as in the TCP path — plain
-                    # text starting 'z' passes through
-                    if d[:1] != b"z" or d[1:2] != b"\x78":
-                        return d
-                    try:
-                        return zlib.decompress(d[1:])
-                    except zlib.error:
-                        return None   # "Message ignored"
                 batch = [(b, a) for b, a in
-                         ((inflate(d), a) for d, a in batch)
+                         ((inflate_legacy_z(d), a) for d, a in batch)
                          if b is not None]
             recs = [
                 {"line": d.decode("utf-8", errors="replace")
@@ -1576,23 +1581,9 @@ class imtcp(SpoolBridge):
             legacy_z = self.support_compression_extension
         if legacy_z:
             # legacy single-message compression (omfwd
-            # compression.mode="single" / '@@(zN)' — parser.c
-            # uncompressMessage): a frame payload of 'z' + zlib
-            # stream inflates per frame; inflate failure drops the
-            # message like the reference ("Message ignored").
-            # Guarded on the zlib CMF byte so ordinary text starting
-            # with 'z' is untouched (a protective narrowing of the
-            # reference's first-byte-only check).
-            import zlib
-
-            def legacy(m: bytes) -> bytes | None:
-                if m[:1] != b"z" or m[1:2] != b"\x78":
-                    return m
-                try:
-                    return zlib.decompress(m[1:])
-                except zlib.error:
-                    return None
-            msgs = [d for d in (legacy(m) for m in msgs)
+            # compression.mode="single" / '@@(zN)'): see
+            # inflate_legacy_z
+            msgs = [d for d in (inflate_legacy_z(m) for m in msgs)
                     if d is not None]
         recs = []
         for m in msgs:

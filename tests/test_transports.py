@@ -561,3 +561,41 @@ def test_snmp_ber_roundtrip_property():
         assert msg_val[1].decode() == msg
 
     check()
+
+
+def test_omczmq_imczmq_real_pyzmq_loop(spark, tmp_path):
+    """The DEFAULT socket factories against the real pyzmq engine
+    (skip-if-unavailable — contrib/omczmq links czmq the same way):
+    imczmq PULL binds, omczmq PUSH connects, messages round-trip
+    over a real tcp:// socket with no injection."""
+    import pytest
+
+    pytest.importorskip("zmq")
+    import socket as _s
+
+    from rsyslog_spark.streaming.bridges import imczmq
+    from rsyslog_spark.streaming.transports import omczmq_sink
+
+    probe = _s.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    ep = f"tcp://127.0.0.1:{port}"
+
+    b = imczmq(str(tmp_path / "spool"), endpoints=ep,
+               socktype="PULL", flush_secs=0.2).start()
+    try:
+        import time as _t
+        _t.sleep(0.5)   # PULL bind up before PUSH connects
+        omczmq_sink(ep, socktype="PUSH")(
+            _lines_df(spark, ["zr1", "zr2"]).coalesce(1), 0)
+        deadline = _t.time() + 10
+        while _t.time() < deadline:
+            b.flush()
+            if b.batch(spark).count() >= 2:
+                break
+            _t.sleep(0.3)
+        got = sorted(r.line for r in b.batch(spark).collect())
+        assert got == ["zr1", "zr2"]
+    finally:
+        b.stop()
