@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "supplier_part_volume",
     "sessionize_stats",
     "dynstats_lifecycle_totals",
+    "tcp_compression_roundtrip",
 ]
 
 

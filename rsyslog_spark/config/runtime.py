@@ -784,15 +784,23 @@ def _dispatch_action_inner(
             flush_on_txend=str(params.get(
                 "compression.stream.flushontxend", "on"))
             .lower() != "off",
-            # keepalive family (omfwd.c actpblk keepalive.* /
-            # legacy $ActionSendTCPKeepAlive*)
-            keepalive=str(params.get("keepalive", "off")).lower()
+            # keepalive family (omfwd.c actpblk keepalive.* with
+            # legacy $ActionSendTCPKeepAlive* fallbacks,
+            # omfwd.c:2838-2842)
+            keepalive=str(params.get(
+                "keepalive", cfg.directives.get(
+                    "actionsendtcpkeepalive", "off"))).lower()
             in ("on", "true", "1"),
-            keepalive_probes=int(params.get("keepalive.probes", 0)
-                                 or 0),
-            keepalive_time=int(params.get("keepalive.time", 0) or 0),
-            keepalive_intvl=int(params.get("keepalive.interval", 0)
-                                or 0)))(lines, 0)
+            keepalive_probes=int(params.get(
+                "keepalive.probes", cfg.directives.get(
+                    "actionsendtcpkeepalive_probes", 0)) or 0),
+            keepalive_time=int(params.get(
+                "keepalive.time", cfg.directives.get(
+                    "actionsendtcpkeepalive_time", 0)) or 0),
+            keepalive_intvl=int(params.get(
+                "keepalive.interval", cfg.directives.get(
+                    "actionsendtcpkeepalive_intvl", 0)) or 0)))(
+            lines, 0)
         run.written[name] = f"{proto}://{params['target']}:{port}"
         return
     if typ == "ompipe" and params.get("pipe"):
@@ -1669,6 +1677,42 @@ def _intmsg_sev_filter(cfg) -> int:
         return 6
 
 
+def _route_internal_msgs(eng, cfg, spark, run, ruleset_name,
+                         sink_overrides) -> None:
+    """internalmsg.severity gate + re-entry (rsyslogd.c:1052
+    logmsgInternal_doWrite: ``pri % 8 <= filter``, default 6
+    suppresses debug-level internals; errmsg.c LogError/LogMsg):
+    admitted internal messages re-enter the ruleset as
+    rsyslogd-tagged syslog lines (PRI = LOG_SYSLOG | severity =
+    40+sev) so the config's own filters route them —
+    omfile-read-only-errmsg.sh greps the catch-all output."""
+    sev_filter = _intmsg_sev_filter(cfg)
+    admitted = [
+        m if isinstance(m, tuple) else (3, m)
+        for m in run.internal_msgs]
+    admitted = [(s, t) for s, t in admitted if s <= sev_filter]
+    run.internal_msgs = []  # consumed (or suppressed); no
+    # second-level re-injection
+    if not admitted:
+        return
+    import datetime as _dt
+
+    from rsyslog_spark.parsers.chain import parse_syslog
+    from rsyslog_spark.session import local_hostname
+    stamp = _dt.datetime.now().strftime("%b %e %H:%M:%S")
+    ilines = spark.createDataFrame(
+        [(f"<{40 + s}>{stamp} {local_hostname()} rsyslogd: {t}",)
+         for s, t in admitted], "line string")
+    try:
+        iacts, _si = eng.run(parse_syslog(ilines), ruleset_name)
+        _dispatch_action_seq(cfg, ruleset_name, iacts, run,
+                             sink_overrides)
+    except Exception as e:  # noqa: BLE001 — best-effort path
+        import warnings as _w
+        _w.warn(f"internal-message routing failed: {e!r:.200}")
+    run.internal_msgs = []
+
+
 def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
                        hl_ruleset, sink_overrides, multi_action):
     try:
@@ -1700,40 +1744,8 @@ def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
             hdr_actions, _hs = eng.run(hdr_frame, hl_ruleset)
             _dispatch_action_seq(cfg, hl_ruleset, hdr_actions, run,
                                  sink_overrides)
-        # internalmsg.severity gate (rsyslogd.c:1052
-        # logmsgInternal_doWrite: ``pri % 8 <= filter``; default 6
-        # suppresses debug-level internals)
-        sev_filter = _intmsg_sev_filter(cfg)
-        admitted = [
-            m if isinstance(m, tuple) else (3, m)
-            for m in run.internal_msgs]
-        admitted = [(s, t) for s, t in admitted if s <= sev_filter]
-        if admitted:
-            # errmsg.c LogError/LogMsg → internal messages re-enter
-            # the ruleset as rsyslogd-tagged syslog lines (PRI =
-            # LOG_SYSLOG | severity = 40+sev) so the config's own
-            # filters route them — omfile-read-only-errmsg.sh greps
-            # the catch-all output
-            import datetime as _dt
-
-            from rsyslog_spark.parsers.chain import parse_syslog
-            from rsyslog_spark.session import local_hostname
-            stamp = _dt.datetime.now().strftime("%b %e %H:%M:%S")
-            ilines = frame.sparkSession.createDataFrame(
-                [(f"<{40 + s}>{stamp} {local_hostname()} "
-                  f"rsyslogd: {t}",)
-                 for s, t in admitted], "line string")
-            run.internal_msgs = []
-            try:
-                iacts, _si = eng.run(parse_syslog(ilines),
-                                     ruleset_name)
-                _dispatch_action_seq(cfg, ruleset_name, iacts, run,
-                                     sink_overrides)
-            except Exception as e:  # noqa: BLE001 — best-effort path
-                import warnings as _w
-                _w.warn(f"internal-message routing failed: {e!r:.200}")
-        run.internal_msgs = []  # consumed (or suppressed); no
-        # second-level re-injection
+        _route_internal_msgs(eng, cfg, frame.sparkSession, run,
+                             ruleset_name, sink_overrides)
         # dyn_inc / percentile_observe buckets aggregate over the
         # batch (approximation note: the reference increments at the
         # statement's execution point; the batch form counts every

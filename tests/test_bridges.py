@@ -1991,3 +1991,27 @@ def test_imtcp_keepalive_session(spark, tmp_path):
         c.close()
     finally:
         b.stop()
+
+
+def test_udp_z_selector_config_e2e(spark, tmp_path):
+    """'@(z5)host:port' legacy selector end-to-end: run_config_batch
+    parses the UDP selector with compression flags, omfwd compresses
+    datagrams >60 bytes, imudp inflates them (parser.c:262)."""
+    from rsyslog_spark.config.runtime import run_config_batch
+    from rsyslog_spark.streaming.bridges import imudp
+
+    b = imudp(str(tmp_path / "spool"), flush_secs=0.2).start()
+    try:
+        src = tmp_path / "in.log"
+        long_msg = "udpz " + "payload " * 15
+        src.write_text(
+            f"<13>Mar  1 10:00:00 h1 app: {long_msg}\n")
+        run_config_batch(
+            spark,
+            f"*.* @(z5)127.0.0.1:{b.port}\n"
+            f'input(type="imfile" file="{src}")\n')
+        df = _drain(b, spark, 1)
+        got = df.first().line
+        assert long_msg in got, got
+    finally:
+        b.stop()

@@ -4526,6 +4526,48 @@ def test_multi_socket_per_input_ruleset_fanout(spark, tmp_path):
     assert all(r["inputname"] == "i2" for r in rows_b)
 
 
+def test_imtcp_multiport_golden_shape(spark, tmp_path):
+    """imtcp-multiport.sh: three imtcp input() blocks feed the
+    TOP-LEVEL (default-ruleset) selector line; the union of
+    messages across all ports is sequence-complete (seq_check)."""
+    import socket
+    import threading
+    from rsyslog_spark.config.runtime import run_config_stream
+
+    ports = []
+    for _ in range(3):
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        ports.append(probe.getsockname()[1])
+        probe.close()
+    out = tmp_path / "out"
+    conf = f'''
+    input(type="imtcp" address="127.0.0.1" port="{ports[0]}"
+          name="i1" spool="{tmp_path}/spool")
+    input(type="imtcp" address="127.0.0.1" port="{ports[1]}" name="i2")
+    input(type="imtcp" address="127.0.0.1" port="{ports[2]}" name="i3")
+    template(name="outfmt" type="string" string="%msg:F,58:2%\\n")
+    :msg, contains, "msgnum:" action(type="omfile" file="{out}"
+                                     template="outfmt")
+    '''
+    ths = []
+    for k, port in enumerate(ports):
+        lines = [f"<13>Mar  1 10:00:00 h app: msgnum:{k * 10 + i}:x"
+                 for i in range(10)]
+        ths.append(threading.Thread(target=_send_tcp_when_up,
+                                    args=(port, lines)))
+    for t in ths:
+        t.start()
+    run_config_stream(spark, conf, checkpoint=str(tmp_path / "ck"),
+                      drain_grace=4.0)
+    for t in ths:
+        t.join(timeout=10)
+    got = sorted(
+        int(r["value"]) for r in
+        spark.read.text(str(out)).collect())
+    assert got == list(range(30)), got   # seq_check 0..29
+
+
 def test_multi_socket_unknown_ruleset_falls_back(spark, tmp_path):
     """imtcp.c:1332-1336: an input bound to a nonexistent ruleset
     warns ('... not found - using default ruleset instead') and its
