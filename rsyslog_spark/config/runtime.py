@@ -1557,7 +1557,8 @@ def run_config_batch(
 
 
 def _dispatch_action_seq(cfg, ruleset_name, actions, run,
-                         sink_overrides) -> None:
+                         sink_overrides,
+                         rl_states: dict | None = None) -> None:
     """Execute a ruleset's actions in order with the reference's
     SUSPEND semantics (runtime/action.c): a failing OUTPUT action
     suspends ITSELF — the rest of the config keeps running — and an
@@ -1580,9 +1581,15 @@ def _dispatch_action_seq(cfg, ruleset_name, actions, run,
                        "off"))).lower() in ("on", "true", "1")
         if flag and not prev_suspended:
             continue
+        kw = {}
+        if rl_states is not None:
+            # cross-micro-batch ratelimit admission state (stream
+            # runs share one dict across foreachBatch invocations)
+            kw["rl_state"] = rl_states.setdefault(
+                (ruleset_name, name), {})
         try:
             _dispatch_action(cfg, name, df, params, run,
-                             sink_overrides)
+                             sink_overrides, **kw)
             prev_suspended = False
         except (ValueError, SyntaxError, KeyError, TypeError,
                 AnalysisException):
@@ -2038,6 +2045,19 @@ def run_config_stream(
                 if lin.get("compression.driver"):
                     kw["compression_driver"] = \
                         lin["compression.driver"]
+                # framing/session knobs: addtlFrameDelimiter
+                # (imptcp_addtlframedelim.sh),
+                # supportOctetCountedFraming
+                # (imptcp_no_octet_counted.sh), maxSessions
+                # (tcpsrv.c:754 drop diagnostic)
+                if lin.get("addtlframedelimiter") not in (None, ""):
+                    kw["addtl_frame_delimiter"] = int(
+                        lin["addtlframedelimiter"])
+                if str(lin.get("supportoctetcountedframing", "on")
+                       ).lower() in ("off", "false", "0"):
+                    kw["support_octet_counted"] = False
+                if lin.get("maxsessions"):
+                    kw["max_sessions"] = int(lin["maxsessions"])
                 # keepalive family (imtcp.c:269-272 / imptcp.c —
                 # binary + three non-negative ints)
                 if str(lin.get("keepalive", "off")).lower() in (
@@ -2208,18 +2228,19 @@ def run_config_stream(
         gated = _apply_main_queue_directives(bframe, cfg)
         actions, _surv = eng.run(gated, rname)
         run = ConfigRun()
-        for name, df in actions:
-            params = _action_params(cfg, rname, name)
-            _dispatch_action(cfg, name, df, params, run,
-                             sink_overrides,
-                             rl_state=rl_states.setdefault(
-                                 (rname, name), {}))
+        # SUSPEND semantics on the stream too (runtime/action.c): a
+        # failing sink suspends itself for this micro-batch, the
+        # rest of the config keeps running, and its internal error
+        # message re-enters the pipeline — instead of killing the
+        # whole streaming query
+        _dispatch_action_seq(cfg, rname, actions, run,
+                             sink_overrides, rl_states=rl_states)
         if hl_ruleset is not None and hdr_frame is not None:
             hdr_actions, _hs = eng.run(hdr_frame, hl_ruleset)
-            for name, df in hdr_actions:
-                params = _action_params(cfg, hl_ruleset, name)
-                _dispatch_action(cfg, name, df, params, run,
+            _dispatch_action_seq(cfg, hl_ruleset, hdr_actions, run,
                                  sink_overrides)
+        _route_internal_msgs(eng, cfg, bframe.sparkSession, run,
+                             rname, sink_overrides)
 
     if not extra_rulesets:
         frame = _stage(lines, ruleset_name)

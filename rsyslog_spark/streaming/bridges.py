@@ -1263,30 +1263,49 @@ class RegexFramer:
 
 
 def split_tcp_frames(buf: bytes,
-                     max_frame_size: int) -> tuple[list[bytes], bytes]:
+                     max_frame_size: int,
+                     octet_counted: bool = True,
+                     addtl_delim: int | None = None,
+                     ) -> tuple[list[bytes], bytes]:
     """RFC6587 frame split with per-frame autodetect (ref:
     tcps_sess.c): a frame starting with 1-9 digits followed by SP is
     octet-counted (``LEN SP MSG``); anything else reads to LF. An
     octet count above ``max_frame_size`` falls back to LF framing for
     that frame instead of buffering unbounded (iMaxFrameSize).
 
+    ``octet_counted=False`` = supportOctetCountedFraming="off"
+    (imptcp.c bSuppOctetFram; imptcp_no_octet_counted.sh): leading
+    digits are DATA, every frame reads to the delimiter.
+    ``addtl_delim`` = addtlFrameDelimiter (tcps_sess.c:635 /
+    imptcp.c:1186, "e.g. for netscreen"): a frame ends at '\\n' OR
+    that byte, whichever comes first.
+
     Returns (complete messages, unconsumed tail). Pure function over
     the buffer — the walk is index-based (zero per-frame copies) and
     chunk-boundary invariant: feeding any chunking of the same byte
     stream yields the same message sequence (property-tested).
     """
+    def find_delim(b: bytes, start: int) -> int:
+        k = b.find(b"\n", start)
+        if addtl_delim is not None:
+            k2 = b.find(bytes([addtl_delim]), start)
+            if k2 >= 0 and (k < 0 or k2 < k):
+                return k2
+        return k
+
     pos = 0
     blen = len(buf)
     msgs: list[bytes] = []
     while pos < blen:
         j = pos
-        stop = min(blen, pos + 10)
-        while j < stop and 0x30 <= buf[j] <= 0x39:
-            j += 1
+        if octet_counted:
+            stop = min(blen, pos + 10)
+            while j < stop and 0x30 <= buf[j] <= 0x39:
+                j += 1
         if j > pos and j < blen and buf[j] == 0x20:
             n = int(buf[pos:j])
             if n > max_frame_size:
-                k = buf.find(b"\n", pos)
+                k = find_delim(buf, pos)
                 if k < 0:
                     break
                 msgs.append(buf[pos:k])
@@ -1297,7 +1316,7 @@ def split_tcp_frames(buf: bytes,
             else:                               # incomplete
                 break
         else:
-            k = buf.find(b"\n", pos)
+            k = find_delim(buf, pos)
             if k < 0:
                 break
             msgs.append(buf[pos:k])
@@ -1355,8 +1374,27 @@ class imtcp(SpoolBridge):
                  keepalive_probes: int = 0,
                  keepalive_time: int = 0,
                  keepalive_intvl: int = 0,
+                 addtl_frame_delimiter: int | None = None,
+                 support_octet_counted: bool = True,
+                 max_sessions: int | None = None,
                  tls=None, **kw):
         super().__init__(spool_dir, inputname="imtcp", **kw)
+        #: addtlFrameDelimiter (tcps_sess.c:635 / imptcp.c:1186 —
+        #: "e.g. for netscreen"; imptcp_addtlframedelim.sh sends
+        #: NUL-delimited with delimiter 0)
+        self.addtl_frame_delimiter = (
+            None if addtl_frame_delimiter is None
+            else int(addtl_frame_delimiter))
+        #: supportOctetCountedFraming="off" (imptcp.c bSuppOctetFram;
+        #: imptcp_no_octet_counted.sh): leading digits are data
+        self.support_octet_counted = bool(support_octet_counted)
+        #: maxSessions (tcpsrv.c:754): over-limit connects are
+        #: dropped with the reference's diagnostic
+        self.max_sessions = (None if not max_sessions
+                             else int(max_sessions))
+        self._live_sessions = 0
+        self._sess_lock = threading.Lock()
+        self.dropped_sessions = 0
         # keepalive/keepalive.{probes,time,interval} (imtcp.c:269-272
         # inppdescr; applied per accepted session like
         # nsd_ptcp.c EnableKeepAlive)
@@ -1440,6 +1478,20 @@ class imtcp(SpoolBridge):
                 self.keepalive_applied = apply_keepalive(
                     conn, True, self.keepalive_probes,
                     self.keepalive_time, self.keepalive_intvl)
+            if self.max_sessions is not None:
+                with self._sess_lock:
+                    if self._live_sessions >= self.max_sessions:
+                        # tcpsrv.c:754 LogError — refuse the session
+                        self.dropped_sessions += 1
+                        import warnings as _w
+                        _w.warn("too many tcp sessions - dropping "
+                                "incoming request")
+                        try:
+                            conn.close()
+                        except OSError:
+                            pass
+                        continue
+                    self._live_sessions += 1
             if self._tls_ctx is not None:
                 from rsyslog_spark.streaming.gtls import check_peer
                 try:
@@ -1454,6 +1506,9 @@ class imtcp(SpoolBridge):
                         conn.close()
                     except OSError:
                         pass
+                    if self.max_sessions is not None:
+                        with self._sess_lock:
+                            self._live_sessions -= 1
                     continue
             conn.settimeout(0.2)
             t = threading.Thread(target=self._conn_loop,
@@ -1503,7 +1558,10 @@ class imtcp(SpoolBridge):
         closed = False
         while not self._stop.is_set() and not closed:
             if framer is None:
-                msgs, buf = split_tcp_frames(buf, self.max_frame_size)
+                msgs, buf = split_tcp_frames(
+                    buf, self.max_frame_size,
+                    octet_counted=self.support_octet_counted,
+                    addtl_delim=self.addtl_frame_delimiter)
                 if msgs:
                     self._emit_msgs(msgs, peer, peer_port,
                                     legacy_z=legacy_z)
@@ -1553,7 +1611,9 @@ class imtcp(SpoolBridge):
                 # LF framing keeps the flush-on-close behavior.
                 if framer is None:
                     msgs, buf = split_tcp_frames(
-                        buf, self.max_frame_size)
+                        buf, self.max_frame_size,
+                        octet_counted=self.support_octet_counted,
+                        addtl_delim=self.addtl_frame_delimiter)
                     if msgs:
                         self._emit_msgs(msgs, peer, peer_port,
                                         legacy_z=legacy_z)
@@ -1564,6 +1624,9 @@ class imtcp(SpoolBridge):
             conn.close()
         except OSError:
             pass
+        if self.max_sessions is not None:
+            with self._sess_lock:
+                self._live_sessions -= 1
 
     def _new_decompressor(self):
         if self.compression_driver == "zstd":

@@ -2015,3 +2015,169 @@ def test_udp_z_selector_config_e2e(spark, tmp_path):
         assert long_msg in got, got
     finally:
         b.stop()
+
+
+def test_imtcp_addtl_frame_delimiter_nul(spark, tmp_path):
+    """imptcp_addtlframedelim.sh: addtlFrameDelimiter='0' — frames
+    end at NUL as well as LF (tcps_sess.c:635 'e.g. for
+    netscreen')."""
+    from rsyslog_spark.streaming.bridges import imtcp
+
+    b = imtcp(str(tmp_path / "spool"), addtl_frame_delimiter=0,
+              flush_secs=0.2).start()
+    try:
+        c = socket.create_connection(("127.0.0.1", b.port))
+        c.sendall(b"<129>msg one\x00<129>msg two\x00<129>msg three\n")
+        c.close()
+        df = _drain(b, spark, 3)
+        assert sorted(r.line for r in df.collect()) == [
+            "<129>msg one", "<129>msg three", "<129>msg two"]
+    finally:
+        b.stop()
+
+
+def test_imtcp_no_octet_counted_framing(spark, tmp_path):
+    """imptcp_no_octet_counted.sh: supportOctetCountedFraming='off'
+    keeps digit-leading payloads intact — '25 ...' is DATA, not an
+    octet count."""
+    from rsyslog_spark.streaming.bridges import imtcp
+
+    b = imtcp(str(tmp_path / "spool"), support_octet_counted=False,
+              flush_secs=0.2).start()
+    try:
+        c = socket.create_connection(("127.0.0.1", b.port))
+        c.sendall(b"25 looks like a count\n17 another one\n")
+        c.close()
+        df = _drain(b, spark, 2)
+        assert sorted(r.line for r in df.collect()) == [
+            "17 another one", "25 looks like a count"]
+    finally:
+        b.stop()
+
+
+def test_imtcp_maxsessions_drops_excess(spark, tmp_path):
+    """imptcp_maxsessions.sh: sessions over the cap are refused with
+    'too many tcp sessions - dropping incoming request'
+    (tcpsrv.c:754); held sessions keep working."""
+    import time as _t
+    import warnings
+
+    from rsyslog_spark.streaming.bridges import imtcp
+
+    b = imtcp(str(tmp_path / "spool"), max_sessions=2,
+              flush_secs=0.2).start()
+    holders = []
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            for _ in range(2):
+                h = socket.create_connection(("127.0.0.1", b.port))
+                holders.append(h)
+            _t.sleep(0.5)   # both sessions registered
+            extra = socket.create_connection(("127.0.0.1", b.port))
+            deadline = _t.time() + 5
+            while _t.time() < deadline and b.dropped_sessions < 1:
+                _t.sleep(0.1)
+            assert b.dropped_sessions == 1
+            extra.close()
+        assert any("too many tcp sessions" in str(x.message)
+                   for x in w)
+        # the held sessions still deliver
+        holders[0].sendall(b"<13>held one\n")
+        holders[1].sendall(b"<13>held two\n")
+        df = _drain(b, spark, 2)
+        assert sorted(r.line for r in df.collect()) == [
+            "<13>held one", "<13>held two"]
+        # closing a held session frees a slot
+        holders[0].close()
+        deadline = _t.time() + 5
+        ok = False
+        while _t.time() < deadline and not ok:
+            _t.sleep(0.2)
+            c = socket.create_connection(("127.0.0.1", b.port))
+            _t.sleep(0.3)
+            before = b.dropped_sessions
+            c.sendall(b"<13>after free\n")
+            _t.sleep(0.3)
+            ok = b.dropped_sessions == before
+            c.close()
+        assert ok, "freed slot was not reusable"
+    finally:
+        for h in holders:
+            try:
+                h.close()
+            except OSError:
+                pass
+        b.stop()
+
+
+def test_imtcp_nul_rawmsg_escape(spark, tmp_path):
+    """imptcp-NUL-rawmsg.sh: NUL bytes inside a message escape to
+    '#000' in %rawmsg% when control-char escaping is on
+    (parser.c SanitizeMsg; the engine's escaping is opt-in,
+    COVERAGE §2.2 divergent-default row)."""
+    from rsyslog_spark.config.runtime import run_config_stream
+    from rsyslog_spark.streaming.bridges import imtcp
+
+    b = imtcp(str(tmp_path / "spool"), flush_secs=0.2).start()
+    port = b.port
+    c = socket.create_connection(("127.0.0.1", port))
+    c.sendall(b"<167>Mar  6 16:57:54 172.20.245.8 test: "
+              b"msgnum:0 \x00 test message\n"
+              b"<167>Mar  6 16:57:54 172.20.245.8 \x00test: "
+              b"msgnum:1 test message\n")
+    c.close()
+    try:
+        df = _drain(b, spark, 2)
+        raws = sorted(r.line for r in df.collect())
+        assert any("\x00" in r for r in raws)   # bridge preserves NUL
+    finally:
+        b.stop()
+
+    # config path with escaping enabled renders #000 in rawmsg
+    import threading
+    import time as _time
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port2 = probe.getsockname()[1]
+    probe.close()
+    out = tmp_path / "out"
+    conf = f'''
+$EscapeControlCharactersOnReceive on
+template(name="outfmt" type="string" string="%rawmsg%\\n")
+ruleset(name="m") {{
+  :msg, contains, "msgnum:" action(type="omfile" file="{out}"
+                                   template="outfmt")
+}}
+input(type="imtcp" port="{port2}" address="127.0.0.1" ruleset="m"
+      spool="{tmp_path}/spool2")
+'''
+
+    def send():
+        for _ in range(100):
+            try:
+                cc = socket.create_connection(("127.0.0.1", port2),
+                                              timeout=0.2)
+                cc.sendall(
+                    b"<167>Mar  6 16:57:54 172.20.245.8 test: "
+                    b"msgnum:0 \x00 test message\n"
+                    b"<167>Mar  6 16:57:54 172.20.245.8 \x00test: "
+                    b"msgnum:1 test message\n")
+                cc.close()
+                return
+            except OSError:
+                _time.sleep(0.1)
+
+    th = threading.Thread(target=send)
+    th.start()
+    run_config_stream(spark, conf, checkpoint=str(tmp_path / "ck"),
+                      drain_grace=4.0)
+    th.join(timeout=10)
+    got = sorted(r.value for r in
+                 spark.read.text(str(out)).collect())
+    assert got == [
+        "<167>Mar  6 16:57:54 172.20.245.8 #000test: "
+        "msgnum:1 test message",
+        "<167>Mar  6 16:57:54 172.20.245.8 test: "
+        "msgnum:0 #000 test message",
+    ], got

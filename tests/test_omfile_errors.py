@@ -103,3 +103,63 @@ input(type="imfile" file="{src}" ruleset="m")
                         os.path.join(root, f)).read().splitlines()]
     assert part_root is not None, "no dynafile partitions written"
     assert sorted(seqs) == [str(i) for i in range(8)], seqs
+
+
+def test_stream_sink_failure_suspends_not_kills(spark, tmp_path,
+                                                monkeypatch):
+    """Stream twin of omfile-read-only-errmsg.sh: a failing omfile
+    action inside run_config_stream suspends ITSELF for the batch —
+    the catch-all still gets the message AND the internal
+    open-error line; the streaming query completes instead of
+    dying (runtime/action.c suspend semantics)."""
+    import socket
+    import threading
+    import time as _time
+
+    from rsyslog_spark.config.runtime import run_config_stream
+
+    ro = tmp_path / "readonly_target"
+    ro.write_text("")
+    ro.chmod(0o400)
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    conf = f'''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  if $msg contains "msgnum:" then {{
+    action(type="omfile" name="ro" template="outfmt" file="{ro}")
+  }}
+  action(type="omfile" file="{tmp_path}/catchall"
+         template="RSYSLOG_FileFormat")
+}}
+input(type="imtcp" port="{port}" address="127.0.0.1" ruleset="m"
+      spool="{tmp_path}/spool")
+'''
+
+    def send():
+        for _ in range(100):
+            try:
+                c = socket.create_connection(("127.0.0.1", port),
+                                             timeout=0.2)
+                c.sendall(b"<13>Mar  1 01:00:00 h tag "
+                          b"msgnum:00000000:\n")
+                c.close()
+                return
+            except OSError:
+                _time.sleep(0.1)
+
+    th = threading.Thread(target=send)
+    th.start()
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        run_config_stream(spark, conf,
+                          checkpoint=str(tmp_path / "ck"),
+                          drain_grace=4.0)
+    th.join(timeout=10)
+    out = _read_parts(f"{tmp_path}/catchall")
+    assert "msgnum:00000000:" in out
+    assert f"file '{ro}'" in out and "open error" in out, out
+    assert ro.read_text() == ""
