@@ -977,15 +977,25 @@ class _Parser:
             self.expect(",")
             val = self.next()
             value = _unquote(val.text) if val.kind == "string" else val.text
-            target = self._parse_selector_target()
-            stmt = PropFilt(prop, op, value, negate, [target])
+            # selector followed by a { block } of statements (the
+            # reference wraps selector lines in RainerScript blocks,
+            # e.g. ':msg, contains, "x" { action(...) action(...) }'
+            # — omfile-read-only-errmsg.sh config shape)
+            if self.peek().text == "{":
+                body = self.parse_block_or_stmt()
+            else:
+                body = [self._parse_selector_target()]
+            stmt = PropFilt(prop, op, value, negate, body)
             self._last_sel_filter = stmt
             return stmt
-        # legacy selector line:  SELECTOR target
+        # legacy selector line:  SELECTOR target | SELECTOR { block }
         sel = self._try_selector()
         if sel is not None:
-            target = self._parse_selector_target()
-            stmt = PriFilt(sel, [target])
+            if self.peek().text == "{":
+                body = self.parse_block_or_stmt()
+            else:
+                body = [self._parse_selector_target()]
+            stmt = PriFilt(sel, body)
             self._last_sel_filter = stmt
             return stmt
         raise SyntaxError(f"unknown statement at {t.text!r} (line {t.line})")

@@ -489,6 +489,98 @@ def _ratelimit_policy(cfg: ParsedConfig, name: str) -> dict:
     raise ValueError(f"ratelimit {name!r} not declared")
 
 
+def _persource_policy(cfg: ParsedConfig, name: str) -> dict | None:
+    """ratelimit(name=.. policy=..) perSource section (ref:
+    runtime/ratelimit.c:750-947 — policy YAML with enabled,
+    keyTemplate, default.max/window, overrides[key→max/window];
+    golden imptcp-persource-ratelimit-policy.sh). Returns None when
+    the object has no enabled perSource section."""
+    for o in cfg.objects.get("ratelimit", []):
+        if o.get("name") != name:
+            continue
+        path = o.get("policy")
+        if not path:
+            return None
+        try:
+            import yaml
+        except ImportError:
+            return None
+        with open(path, encoding="utf-8") as fh:
+            doc = yaml.safe_load(fh) or {}
+        ps = doc.get("perSource")
+        if not isinstance(ps, dict):
+            return None
+        en = ps.get("enabled")
+        if not (en is True or str(en).lower() in ("true", "1", "on",
+                                                  "yes")):
+            return None
+
+        def win_s(v) -> int:
+            s = str(v).strip().lower()
+            if s.endswith("ms"):
+                return max(1, int(round(float(s[:-2]) / 1000.0)))
+            if s.endswith("s"):
+                return int(float(s[:-1]))
+            if s.endswith("m"):
+                return int(float(s[:-1]) * 60)
+            if s.endswith("h"):
+                return int(float(s[:-1]) * 3600)
+            return int(float(s))
+
+        dflt = ps.get("default") or {}
+        if "max" not in dflt or "window" not in dflt:
+            raise ValueError(
+                f"ratelimit: policy file {path} perSource section "
+                "missing default.max or default.window")
+        return {
+            "key_template": ps.get("keyTemplate"),
+            "max": int(dflt["max"]),
+            "window": win_s(dflt["window"]),
+            "overrides": {
+                str(ov["key"]): (int(ov.get("max", dflt["max"])),
+                                 win_s(ov.get("window",
+                                              dflt["window"])))
+                for ov in (ps.get("overrides") or [])
+                if isinstance(ov, dict) and "key" in ov},
+        }
+    raise ValueError(f"ratelimit {name!r} not declared")
+
+
+def _apply_persource_ratelimit(cfg: ParsedConfig, inp: dict | None,
+                               frame: DataFrame) -> DataFrame:
+    """input(... ratelimit.name=..) per-source admission
+    (ratelimit.c ratelimitAddMsg: key = the rendered keyTemplate;
+    per-key max per window, overrides per key; excess rows discard
+    SILENTLY with discard status — never counted as submitted).
+    One shuffle on (key, window-bucket); row_number against a
+    per-key quota column keeps variable override windows in one
+    pass."""
+    lin = {k.lower(): v for k, v in (inp or {}).items()}
+    name = lin.get("ratelimit.name")
+    if not name:
+        return frame
+    pol = _persource_policy(cfg, name)
+    if pol is None:
+        return frame
+    from pyspark.sql import Window
+
+    tpl = cfg.templates.get(pol["key_template"] or "")
+    key = tpl.col(frame) if tpl is not None and hasattr(tpl, "col") \
+        else F.col("hostname")
+    ts = "timegenerated" if "timegenerated" in frame.columns \
+        else "timereported"
+    mx = F.lit(pol["max"])
+    win = F.lit(pol["window"])
+    for k, (m, wsec) in pol["overrides"].items():
+        mx = F.when(key == k, F.lit(m)).otherwise(mx)
+        win = F.when(key == k, F.lit(wsec)).otherwise(win)
+    bucket = F.floor(F.unix_timestamp(F.col(ts)) / win)
+    w = Window.partitionBy(key, bucket).orderBy(
+        F.monotonically_increasing_id())
+    return frame.withColumn("__ps_rn", F.row_number().over(w)) \
+        .filter(F.col("__ps_rn") <= mx).drop("__ps_rn")
+
+
 def _apply_action_ratelimit(cfg: ParsedConfig, rl_name: str,
                             df: DataFrame,
                             state: dict | None = None
@@ -1491,6 +1583,10 @@ def run_config_batch(
     vstage = _vendor_parser_stage(cfg, ruleset_name)
     if vstage is not None:
         frame = vstage(frame)
+    # per-source ratelimit at submission (ratelimitAddMsg — before
+    # the ruleset runs; imptcp-persource-ratelimit-policy.sh)
+    frame = _apply_persource_ratelimit(
+        cfg, imf if pcap_inp is None else pcap_inp, frame)
     # headerless routing (pmrfc3164 handleHeaderlessMessage): error
     # file, drop, or a dedicated ruleset for headerless rows
     hdr_frame = None
@@ -2058,6 +2154,16 @@ def run_config_stream(
                     kw["support_octet_counted"] = False
                 if lin.get("maxsessions"):
                     kw["max_sessions"] = int(lin["maxsessions"])
+                # notifyOnConnection{Open,Close} (imptcp.c:221-222;
+                # golden imptcp-connection-msg-received.sh)
+                for rk, pk in (
+                        ("notifyonconnectionopen",
+                         "notify_on_connection_open"),
+                        ("notifyonconnectionclose",
+                         "notify_on_connection_close")):
+                    if str(lin.get(rk, "off")).lower() in (
+                            "on", "true", "1"):
+                        kw[pk] = True
                 # keepalive family (imtcp.c:269-272 / imptcp.c —
                 # binary + three non-negative ints)
                 if str(lin.get("keepalive", "off")).lower() in (
@@ -2192,6 +2298,13 @@ def run_config_stream(
         vst = _vendor_parser_stage(cfg, rname)
         if vst is not None:
             fr = vst(fr)
+        # per-source ratelimit at submission (ratelimitAddMsg;
+        # imptcp-persource-ratelimit-policy.sh): first input
+        # declaring ratelimit.name governs the shared pipeline
+        rl_inp = next(
+            (i for i in cfg.inputs
+             if any(k.lower() == "ratelimit.name" for k in i)), None)
+        fr = _apply_persource_ratelimit(cfg, rl_inp, fr)
         return fr
 
     # per-action drop-mode admitted counts, carried ACROSS
@@ -2242,6 +2355,21 @@ def run_config_stream(
         _route_internal_msgs(eng, cfg, bframe.sparkSession, run,
                              rname, sink_overrides)
 
+    def _route_bridge_internals(spark_sess) -> None:
+        """Drain bridge lifecycle notifications (connection open/
+        close, imptcp.c:951,1835) into the internalmsg gate, routed
+        through the default-bound ruleset like the reference's
+        LogMsg submissions."""
+        pend: list = []
+        for b in bridges:
+            pend += b.drain_internal_msgs()
+        if not pend:
+            return
+        r2 = ConfigRun()
+        r2.internal_msgs = pend
+        _route_internal_msgs(eng, cfg, spark_sess, r2,
+                             ruleset_name, sink_overrides)
+
     if not extra_rulesets:
         frame = _stage(lines, ruleset_name)
 
@@ -2251,6 +2379,7 @@ def run_config_stream(
                 _run_ruleset(batch_df, ruleset_name)
             finally:
                 batch_df.unpersist()
+            _route_bridge_internals(batch_df.sparkSession)
     else:
         # multi-binding: stream the RAW lines; parse per slice (each
         # ruleset may declare its own parser chain, ruleset.c parser=)
@@ -2275,6 +2404,7 @@ def run_config_stream(
                         parsed.unpersist()
             finally:
                 batch_df.unpersist()
+            _route_bridge_internals(batch_df.sparkSession)
 
     writer = frame.writeStream.foreachBatch(sink) \
         .option("checkpointLocation", checkpoint)

@@ -120,6 +120,11 @@ class SpoolBridge:
         self._uid = f"{id(self):x}"
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
+        #: pending internal messages (severity, text) — lifecycle
+        #: notifications (e.g. imptcp connection open/close,
+        #: imptcp.c:951,1835) the config runtime drains per
+        #: micro-batch and routes through the internalmsg gate
+        self._internal_msgs: list[tuple[int, str]] = []
         # $AllowedSender ACL (ref: runtime/net.c AllowedSenders —
         # IPs and CIDR nets; None = allow all, the reference default)
         self._acl = None
@@ -179,6 +184,16 @@ class SpoolBridge:
             self._buf.extend(recs)
             if len(self._buf) >= self.flush_every:
                 self._flush_locked()
+
+    def emit_internal(self, severity: int, text: str) -> None:
+        """Queue a lifecycle internal message (LogMsg analog)."""
+        with self._lock:
+            self._internal_msgs.append((int(severity), text))
+
+    def drain_internal_msgs(self) -> list[tuple[int, str]]:
+        with self._lock:
+            out, self._internal_msgs = self._internal_msgs, []
+        return out
 
     def flush(self) -> None:
         with self._lock:
@@ -1377,6 +1392,8 @@ class imtcp(SpoolBridge):
                  addtl_frame_delimiter: int | None = None,
                  support_octet_counted: bool = True,
                  max_sessions: int | None = None,
+                 notify_on_connection_open: bool = False,
+                 notify_on_connection_close: bool = False,
                  tls=None, **kw):
         super().__init__(spool_dir, inputname="imtcp", **kw)
         #: addtlFrameDelimiter (tcps_sess.c:635 / imptcp.c:1186 —
@@ -1392,6 +1409,14 @@ class imtcp(SpoolBridge):
         #: dropped with the reference's diagnostic
         self.max_sessions = (None if not max_sessions
                              else int(max_sessions))
+        #: notifyOnConnection{Open,Close} (imptcp.c:221-222, both
+        #: default off): LOG_INFO internals at session open/close
+        #: (imptcp.c:951 'connection established with host',
+        #: imptcp.c:1835 'session on socket %d closed')
+        self.notify_on_connection_open = bool(
+            notify_on_connection_open)
+        self.notify_on_connection_close = bool(
+            notify_on_connection_close)
         self._live_sessions = 0
         self._sess_lock = threading.Lock()
         self.dropped_sessions = 0
@@ -1511,6 +1536,11 @@ class imtcp(SpoolBridge):
                             self._live_sessions -= 1
                     continue
             conn.settimeout(0.2)
+            if self.notify_on_connection_open:
+                # imptcp.c:951 LogMsg LOG_INFO
+                self.emit_internal(
+                    6, "imptcp: connection established with "
+                       f"host: {addr[0]}")
             t = threading.Thread(target=self._conn_loop,
                                  args=(conn, addr[0], addr[1]),
                                  daemon=True)
@@ -1620,10 +1650,17 @@ class imtcp(SpoolBridge):
                     if buf.strip():
                         self._emit_msgs([buf], peer, peer_port,
                                         legacy_z=legacy_z)
+        fd = -1
         try:
+            fd = conn.fileno()
             conn.close()
         except OSError:
             pass
+        if self.notify_on_connection_close:
+            # imptcp.c:1835 LogMsg LOG_INFO
+            self.emit_internal(
+                6, f"imptcp: session on socket {fd} closed "
+                   "with iRet 0.")
         if self.max_sessions is not None:
             with self._sess_lock:
                 self._live_sessions -= 1

@@ -2181,3 +2181,69 @@ input(type="imtcp" port="{port2}" address="127.0.0.1" ruleset="m"
         "<167>Mar  6 16:57:54 172.20.245.8 test: "
         "msgnum:0 #000 test message",
     ], got
+
+
+def test_imtcp_connection_notify_msgs(spark, tmp_path):
+    """imptcp-connection-msg-received.sh: with
+    notifyOnConnection{Open,Close}='on', the LOG_INFO lifecycle
+    internals route through the config — the catch-all receives
+    'imptcp: connection established' and 'imptcp: session on
+    socket ... closed'; the msg-filtered file gets only the data
+    message. Off by default (imptcp-connection-msg-disabled.sh)."""
+    import threading
+    import time as _time
+
+    from rsyslog_spark.config.runtime import run_config_stream
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    out1, out2 = tmp_path / "catchall", tmp_path / "filtered"
+    conf = f'''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  :msg, contains, "msgnum:" action(type="omfile" file="{out2}"
+                                   template="outfmt")
+  action(type="omfile" file="{out1}"
+         template="RSYSLOG_FileFormat")
+}}
+input(type="imtcp" port="{port}" address="127.0.0.1" ruleset="m"
+      notifyonconnectionclose="on" notifyonconnectionopen="on"
+      spool="{tmp_path}/spool")
+'''
+
+    def send():
+        for _ in range(100):
+            try:
+                c = socket.create_connection(("127.0.0.1", port),
+                                             timeout=0.2)
+                c.sendall(b"<129>Mar 10 01:00:00 172.20.245.8 "
+                          b"tag: msgnum:1\n")
+                c.close()
+                return
+            except OSError:
+                _time.sleep(0.1)
+
+    th = threading.Thread(target=send)
+    th.start()
+    run_config_stream(spark, conf, checkpoint=str(tmp_path / "ck"),
+                      drain_grace=4.0)
+    th.join(timeout=10)
+
+    def parts(d):
+        import os as _os
+        if not _os.path.isdir(d):
+            return ""
+        return "".join(open(_os.path.join(d, p)).read()
+                       for p in sorted(_os.listdir(d))
+                       if p.startswith("part"))
+
+    catch = parts(str(out1))
+    assert "imptcp: connection established" in catch, catch
+    assert "imptcp: session on socket" in catch \
+        and "closed" in catch, catch
+    assert "msgnum:1" in catch
+    filt = parts(str(out2))
+    assert "msgnum:1" in filt
+    assert "imptcp" not in filt

@@ -4605,3 +4605,115 @@ def test_multi_socket_unknown_ruleset_falls_back(spark, tmp_path):
                for x in w)
     rows = spark.read.parquet(str(out)).collect()
     assert [r["msg"] for r in rows] == ["hello"]
+
+
+def test_selector_block_targets(spark, tmp_path):
+    """Selector lines followed by a RainerScript { block } (the
+    reference's omfile-read-only-errmsg.sh / imptcp-connection-msg
+    config shape): both the property-filter and the legacy
+    PRI-selector forms accept multi-statement blocks."""
+    src = tmp_path / "in.log"
+    src.write_text(
+        "<13>Mar  1 01:00:00 h tag: msgnum:1 payload\n"
+        "<13>Mar  1 01:00:00 h tag: other line\n"
+        "<129>Mar  1 01:00:00 h tag: local0 line\n")
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    run_config_batch(spark, f'''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  :msg, contains, "msgnum:" {{
+    set $.tagged = "yes";
+    action(type="omfile" file="{tmp_path}/block1"
+           template="outfmt")
+    action(type="omfile" file="{tmp_path}/block2"
+           template="outfmt")
+  }}
+  local0.* {{
+    action(type="omfile" file="{tmp_path}/l0" template="outfmt")
+  }}
+  action(type="omfile" file="{tmp_path}/all" template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+
+    import os
+
+    def parts(d):
+        if not os.path.isdir(d):
+            return ""
+        return "".join(open(os.path.join(d, p)).read()
+                       for p in sorted(os.listdir(d))
+                       if p.startswith("part"))
+
+    b1, b2 = parts(f"{tmp_path}/block1"), parts(f"{tmp_path}/block2")
+    assert "msgnum:1" in b1 and "other" not in b1
+    assert b1 == b2                      # both actions in the block
+    l0 = parts(f"{tmp_path}/l0")
+    assert "local0 line" in l0 and "msgnum:1" not in l0
+    assert parts(f"{tmp_path}/all").count("\n") == 3
+
+
+def test_persource_ratelimit_policy(spark, tmp_path):
+    """imptcp-persource-ratelimit-policy.sh: ratelimit(name= policy=)
+    with a perSource YAML section — key from keyTemplate, default
+    max/window, per-key override; excess rows discard silently
+    before the ruleset runs."""
+    import os
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    pol = tmp_path / "policy.yaml"
+    pol.write_text('''perSource:
+  enabled: true
+  keyTemplate: "PerSourceKey"
+  default:
+    max: 5
+    window: 2s
+  overrides:
+    - key: "quiethost"
+      max: 50
+      window: 2s
+''')
+    src = tmp_path / "in.log"
+    lines = []
+    for i in range(10):
+        lines.append(f"<13>Mar  1 01:00:00 chatty tag: msgnum:{i}")
+    for i in range(10):
+        lines.append(f"<13>Mar  1 01:00:00 quiethost tag: qn:{i}")
+    src.write_text("".join(l + "\n" for l in lines))
+    run_config_batch(spark, f'''
+template(name="PerSourceKey" type="string" string="%hostname%")
+ratelimit(name="per_source" policy="{pol}")
+template(name="outfmt" type="string"
+         string="host=%hostname% msg=%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="{tmp_path}/out" template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m"
+      ratelimit.name="per_source")
+''')
+    out = "".join(
+        open(os.path.join(f"{tmp_path}/out", p)).read()
+        for p in sorted(os.listdir(f"{tmp_path}/out"))
+        if p.startswith("part"))
+    assert out.count("host=chatty") == 5, out      # default max 5
+    assert out.count("host=quiethost") == 10, out  # override 50
+
+
+def test_persource_policy_missing_default_is_error(spark, tmp_path):
+    """ratelimit.c:947: a perSource section without default.max or
+    default.window is a config error."""
+    import pytest
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    pol = tmp_path / "bad.yaml"
+    pol.write_text("perSource:\n  enabled: true\n  default:\n"
+                   "    max: 5\n")
+    src = tmp_path / "in.log"
+    src.write_text("<13>Mar  1 01:00:00 h tag: x\n")
+    with pytest.raises(ValueError, match="missing default.max"):
+        run_config_batch(spark, f'''
+ratelimit(name="p" policy="{pol}")
+ruleset(name="m") {{ action(type="omfile" file="{tmp_path}/o") }}
+input(type="imfile" file="{src}" ruleset="m" ratelimit.name="p")
+''')
