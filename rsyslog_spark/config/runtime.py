@@ -212,6 +212,13 @@ def _apply_escape_on_receive(lines: DataFrame, cfg: ParsedConfig
                 return str(v).lower() in ("on", "true", "1")
         return None
 
+    # $SpaceLFOnReceive / global(parser.spaceLFOnReceive): embedded
+    # LF bytes rewrite to spaces, composing with the general
+    # sanitizer below (parser.c:393; ChangeLog 2026-06-30 — mixed
+    # LF + control/8-bit input sanitizes consistently)
+    if d("spacelfonreceive", "parser.spacelfonreceive"):
+        lines = lines.withColumn(
+            "line", F.regexp_replace(F.col("line"), "\n", " "))
     cc = d("escapecontrolcharactersonreceive",
            "parser.escapecontrolcharactersonreceive")
     b8 = d("escape8bitcharactersonreceive",
@@ -2175,12 +2182,34 @@ def run_config_stream(
                         ("keepalive.interval", "keepalive_intvl")):
                     if lin.get(rk):
                         kw[pk] = int(lin[rk])
-            # $AllowedSender <PROTO>, ip, net/cidr, ... (net.c ACLs)
-            acl_key = ("allowedsender.udp" if typ == "imudp"
-                       else "allowedsender.tcp")
-            if cfg.directives.get(acl_key):
-                kw["allowed_senders"] = [
-                    e for e in cfg.directives[acl_key].split(",") if e]
+            # allowedSender ACLs — modern arrays first (ChangeLog
+            # 2026-07-02: input-level lists REPLACE module-level
+            # defaults; empty arrays rejected), legacy
+            # $AllowedSender <PROTO> directive as fallback
+            lin = {k.lower(): v for k, v in inp.items()}
+            asl = lin.get("allowedsender")
+            if asl is None:
+                for m in cfg.modules:
+                    if str(m.get("load", "")).startswith(typ):
+                        masl = {k.lower(): v for k, v in m.items()
+                                }.get("allowedsender")
+                        if masl is not None:
+                            asl = masl
+            if asl is not None:
+                entries = (list(asl) if isinstance(asl, (list, tuple))
+                           else [x.strip() for x in str(asl).split(",")
+                                 if x.strip()])
+                if not entries:
+                    raise ValueError(
+                        f"{typ}: empty allowedSender list is invalid")
+                kw["allowed_senders"] = [str(e) for e in entries]
+            else:
+                acl_key = ("allowedsender.udp" if typ == "imudp"
+                           else "allowedsender.tcp")
+                if cfg.directives.get(acl_key):
+                    kw["allowed_senders"] = [
+                        e for e in cfg.directives[acl_key].split(",")
+                        if e]
             b = cls(spool, **kw)
             # input(... name="i2") → %inputname% (imtcp.c
             # pszInputName; tests/imtcp-name.sh shape)

@@ -4717,3 +4717,124 @@ ratelimit(name="p" policy="{pol}")
 ruleset(name="m") {{ action(type="omfile" file="{tmp_path}/o") }}
 input(type="imfile" file="{src}" ruleset="m" ratelimit.name="p")
 ''')
+
+
+def test_spacelf_on_receive(spark, tmp_path):
+    """$SpaceLFOnReceive / parser.spaceLFOnReceive (parser.c:393;
+    ChangeLog 2026-06-30): embedded LF inside an octet-counted
+    frame rewrites to a space, composing with control-char
+    escaping for other bytes."""
+    import os
+    import socket
+    import threading
+    import time as _time
+    from rsyslog_spark.config.runtime import run_config_stream
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    out = tmp_path / "out"
+    conf = f'''
+$SpaceLFOnReceive on
+$EscapeControlCharactersOnReceive on
+template(name="outfmt" type="string" string="%rawmsg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="{out}" template="outfmt")
+}}
+input(type="imtcp" port="{port}" address="127.0.0.1" ruleset="m"
+      spool="{tmp_path}/spool")
+'''
+
+    def send():
+        payload = b"<13>Mar  1 01:00:00 h tag: line\none\x01x"
+        frame = str(len(payload)).encode() + b" " + payload
+        for _ in range(100):
+            try:
+                c = socket.create_connection(("127.0.0.1", port),
+                                             timeout=0.2)
+                c.sendall(frame)
+                c.close()
+                return
+            except OSError:
+                _time.sleep(0.1)
+
+    th = threading.Thread(target=send)
+    th.start()
+    run_config_stream(spark, conf, checkpoint=str(tmp_path / "ck"),
+                      drain_grace=4.0)
+    th.join(timeout=10)
+    got = "".join(r.value + "\n" for r in
+                  spark.read.text(str(out)).collect())
+    # LF → space; \x01 → #001 (both sanitizers applied)
+    assert "line one#001x" in got, got
+
+
+def test_modern_allowedsender_arrays(spark, tmp_path):
+    """ChangeLog 2026-07-02 net ACLs: input-level allowedSender
+    arrays replace module defaults; unlisted senders are refused;
+    empty arrays are a load error."""
+    import socket
+    import threading
+    import time as _time
+
+    import pytest
+    from rsyslog_spark.config.runtime import run_config_stream
+
+    def mk_conf(acl, port):
+        return f'''
+module(load="imtcp" allowedSender=["10.0.0.0/8"])
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="{tmp_path}/out_{port}"
+         template="outfmt")
+}}
+input(type="imtcp" port="{port}" address="127.0.0.1" ruleset="m"
+      allowedSender={acl} spool="{tmp_path}/spool_{port}")
+'''
+
+    def send(port):
+        for _ in range(100):
+            try:
+                c = socket.create_connection(("127.0.0.1", port),
+                                             timeout=0.2)
+                c.sendall(b"<13>Mar  1 01:00:00 h tag: acl line\n")
+                c.close()
+                return
+            except OSError:
+                _time.sleep(0.1)
+
+    # input-level list REPLACES the module default and admits lo
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    p1 = probe.getsockname()[1]
+    probe.close()
+    th = threading.Thread(target=send, args=(p1,))
+    th.start()
+    run_config_stream(spark, mk_conf('["127.0.0.1"]', p1),
+                      checkpoint=str(tmp_path / "ck1"),
+                      drain_grace=4.0)
+    th.join(timeout=10)
+    rows = spark.read.text(f"{tmp_path}/out_{p1}").collect()
+    assert [r["value"] for r in rows] == ["acl line"]
+
+    # no input-level list → module default (10/8) refuses loopback
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    p2 = probe.getsockname()[1]
+    probe.close()
+    conf2 = mk_conf("REMOVE", p2).replace(
+        '\n      allowedSender=REMOVE', "")
+    th = threading.Thread(target=send, args=(p2,))
+    th.start()
+    run_config_stream(spark, conf2,
+                      checkpoint=str(tmp_path / "ck2"),
+                      drain_grace=4.0)
+    th.join(timeout=10)
+    import os
+    assert not os.path.isdir(f"{tmp_path}/out_{p2}")
+
+    # empty array → load error
+    with pytest.raises(ValueError, match="empty allowedSender"):
+        run_config_stream(spark, mk_conf("[]", 5599),
+                          checkpoint=str(tmp_path / "ck3"))
