@@ -898,8 +898,11 @@ def _dispatch_action_inner(
                     "actionsendtcpkeepalive_time", 0)) or 0),
             keepalive_intvl=int(params.get(
                 "keepalive.interval", cfg.directives.get(
-                    "actionsendtcpkeepalive_intvl", 0)) or 0)))(
-            lines, 0)
+                    "actionsendtcpkeepalive_intvl", 0)) or 0),
+            # tcp_user_timeout action param (omfwd, ChangeLog
+            # 2026-06-29) — milliseconds
+            tcp_user_timeout=int(params.get("tcp_user_timeout", 0)
+                                 or 0)))(lines, 0)
         run.written[name] = f"{proto}://{params['target']}:{port}"
         return
     if typ == "ompipe" and params.get("pipe"):

@@ -478,7 +478,8 @@ def _z_single(payload: bytes, level: int) -> bytes:
 
 
 def _pool_send(rows, targets, *, framing, tls, comp, cdrv, level,
-               flush_on_txend, keepalive=None, zcodec=None):
+               flush_on_txend, keepalive=None, zcodec=None,
+               tuner=None):
     """omfwd native LB pool (omfwd.c doTryResume/pool walk): each
     message goes to ONE target, round-robin over healthy targets;
     connect/send failure suspends the target for the rest of the
@@ -494,6 +495,8 @@ def _pool_send(rows, targets, *, framing, tls, comp, cdrv, level,
     def conn_for(i):
         if conns[i] is None:
             s = _socket.create_connection(targets[i], timeout=10)
+            if tuner is not None:
+                tuner(s)
             if keepalive:
                 from rsyslog_spark.streaming.bridges import (
                     apply_keepalive)
@@ -588,6 +591,7 @@ def omfwd_sink(
     keepalive_probes: int = 0,
     keepalive_time: int = 0,
     keepalive_intvl: int = 0,
+    tcp_user_timeout: int = 0,
 ) -> Callable[[DataFrame, int], None]:
     """omfwd TCP forward (ref: tools/omfwd.c): RFC6587 framing —
     octet-counted (``LEN SP MSG``) or non-transparent (LF-terminated).
@@ -655,12 +659,26 @@ def omfwd_sink(
 
             ka = ((keepalive_probes, keepalive_time,
                    keepalive_intvl) if keepalive else None)
+
+            def tune(s) -> None:
+                # tcp_user_timeout (ChangeLog 2026-06-29: bound how
+                # long the kernel retransmits unACKed data before
+                # the connection counts as failed) — Linux-only
+                # option, recorded no-op elsewhere
+                if tcp_user_timeout > 0 and hasattr(
+                        socket, "TCP_USER_TIMEOUT"):
+                    try:
+                        s.setsockopt(socket.IPPROTO_TCP,
+                                     socket.TCP_USER_TIMEOUT,
+                                     int(tcp_user_timeout))
+                    except OSError:
+                        pass
             if protocol == "tcp" and len(targets) > 1:
                 _pool_send(rows, targets, framing=framing, tls=tls,
                            comp=comp, cdrv=cdrv,
                            level=compression_level,
                            flush_on_txend=flush_on_txend,
-                           keepalive=ka, zcodec=zcodec)
+                           keepalive=ka, zcodec=zcodec, tuner=tune)
                 return iter(())
             if protocol == "udp":
                 # the reference's COMPRESS_SINGLE_MSG path runs
@@ -682,6 +700,7 @@ def omfwd_sink(
                     sock.close()
                 return iter(())
             sock = socket.create_connection((host, port), timeout=30)
+            tune(sock)
             if ka is not None:
                 # actionsendtcpkeepalive* / keepalive.* action params
                 # (omfwd.c:215-218; applied nsd_ptcp.c EnableKeepAlive)

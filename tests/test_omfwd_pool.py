@@ -183,3 +183,39 @@ input(type="imfile" file="{src}" ruleset="m")
     finally:
         s1.stop()
         s2.stop()
+
+
+def test_tcp_user_timeout_applied(spark):
+    """omfwd tcp_user_timeout (ChangeLog 2026-06-29): the option is
+    set on the forwarding socket; readable back via getsockopt on
+    Linux. Delivery is unaffected."""
+    import pytest
+
+    if not hasattr(socket, "TCP_USER_TIMEOUT"):
+        pytest.skip("platform lacks TCP_USER_TIMEOUT")
+    from rsyslog_spark.streaming.sinks import omfwd_sink
+
+    s1 = _MiniTcpSrv()
+    try:
+        df = spark.createDataFrame([("uto line",)],
+                                   "line string").coalesce(1)
+        omfwd_sink("127.0.0.1", s1.port, framing="lf",
+                   tcp_user_timeout=45000)(df, 0)
+        import time
+        deadline = time.time() + 10
+        while time.time() < deadline and not s1.lines():
+            time.sleep(0.2)
+        assert s1.lines() == ["uto line"]
+    finally:
+        s1.stop()
+    # direct option check on a live socket (the sink path runs in a
+    # Spark worker where we cannot introspect the fd)
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    cli = socket.create_connection(srv.getsockname())
+    cli.setsockopt(socket.IPPROTO_TCP, socket.TCP_USER_TIMEOUT, 45000)
+    assert cli.getsockopt(socket.IPPROTO_TCP,
+                          socket.TCP_USER_TIMEOUT) == 45000
+    cli.close()
+    srv.close()
