@@ -204,10 +204,10 @@ class PriFilter:
             if prio == "*":
                 bits = (1 << 8) - 1
             elif prio == "none":
-                bits = 0
-                negate = False
+                # '.none' clears; '.!none' fills (conf.c:402-406
+                # INTERNAL_NOPRI: ignorepri → TABLE_ALLPRI)
                 for f_ in facilities:
-                    flt.pmask[f_] = 0
+                    flt.pmask[f_] = 0xFF if negate else 0
                 continue
             else:
                 if prio not in SEVERITIES:
@@ -220,6 +220,14 @@ class PriFilter:
                     bits = (1 << (sev + 1)) - 1
             for f_ in facilities:
                 if negate:
+                    # standalone negated selectors ('local4.!=debug')
+                    # fill the untouched facility mask BEFORE
+                    # clearing, so they match everything except the
+                    # excluded priorities (conf.c:409,422
+                    # 'if pmask==TABLE_NOPRI → TABLE_ALLPRI';
+                    # ChangeLog 2026-06-22)
+                    if flt.pmask[f_] == 0:
+                        flt.pmask[f_] = 0xFF
                     flt.pmask[f_] &= ~bits & 0xFF
                 else:
                     flt.pmask[f_] |= bits

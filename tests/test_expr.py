@@ -142,3 +142,24 @@ class TestCompareMatrixGolden:
             for op in ("le", "lt", "ge", "gt", "ne"):
                 assert row[f"local_r{i}_{op}"] is True, (pair, op)
             assert row[f"local_r{i}_eq"] is False, (pair, "eq")
+
+
+def test_negated_priority_selectors():
+    """conf.c:409,422 / ChangeLog 2026-06-22: standalone negated
+    selectors ('local4.!=debug', 'local4.!err') fill the untouched
+    facility mask before clearing, matching everything except the
+    excluded priorities; cumulative use after a positive part only
+    clears. '.!none' fills, '.none' clears."""
+    from rsyslog_spark.expr import PriFilter
+
+    def sevs(spec, fac=20):
+        f = PriFilter.parse(spec)
+        return [s for s in range(8) if (f.pmask[fac] >> s) & 1]
+
+    assert sevs("local4.!=debug") == [0, 1, 2, 3, 4, 5, 6]
+    assert sevs("local4.!err") == [4, 5, 6, 7]
+    # cumulative within one line: start from *.err, then clear debug
+    # (no fill — the mask was already touched)
+    assert sevs("*.err;local4.!=debug") == [0, 1, 2, 3]
+    assert sevs("local4.!none") == list(range(8))
+    assert sevs("local4.none") == []
