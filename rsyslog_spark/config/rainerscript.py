@@ -1178,11 +1178,25 @@ class _Parser:
     def parse_expr(self):
         return self.parse_or()
 
+    @staticmethod
+    def _warn_const_bool_operand(op: str, left, right) -> None:
+        """rainerscript.c cnfexprNew (issue #1046; ChangeLog
+        2026-06-18): a bare string/number constant as an AND/OR
+        operand is almost always a mistake ('$msg contains "a" or
+        "b"') — warn at construction, behavior unchanged."""
+        import warnings as _w
+        for side, node in (("left", left), ("right", right)):
+            if isinstance(node, tuple) and node[0] == "lit":
+                _w.warn(
+                    f"boolean operator '{op}' has constant {side} "
+                    "operand; did you mean to repeat the comparison?")
+
     def parse_or(self):
         left = self.parse_and()
         while self.peek().text in ("or", "||"):
             self.next()
             right = self.parse_and()
+            self._warn_const_bool_operand("or", left, right)
             left = ("or", left, right)
         return left
 
@@ -1191,6 +1205,7 @@ class _Parser:
         while self.peek().text in ("and", "&&"):
             self.next()
             right = self.parse_not()
+            self._warn_const_bool_operand("and", left, right)
             left = ("and", left, right)
         return left
 
@@ -1389,7 +1404,7 @@ _FN_MAP: dict[str, Callable[..., Column]] = {
     "ip42num": rf.ipv42num,            # registry alias (ref 4480)
     # session tz is UTC; the localtz variant follows the daemon's tz
     # in the reference — documented divergence, same parse rules
-    "parse_time_localtz": rf.parse_time,
+    "parse_time_localtz": rf.parse_time_localtz,
     "append_json": rf.append_json,
     "parse_json": rf.parse_json_variant,   # divergence: returns the
     # parsed tree as a VALUE (the reference writes into a $! path and

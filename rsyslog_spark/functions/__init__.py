@@ -14,7 +14,7 @@ from rsyslog_spark.functions.strings import (
     wrap, getenv_fn, random_fn, FIELD_NOT_FOUND, pcre_match, get_property,
 )
 from rsyslog_spark.functions.time_fns import (
-    format_time, parse_time, is_time,
+    format_time, parse_time, parse_time_localtz, is_time,
 )
 from rsyslog_spark.functions.net import (
     ipv42num, num2ipv4, int2hex, b64_decode, is_in_subnet,
@@ -44,7 +44,7 @@ __all__ = [
     "cstr", "cnum", "cbool", "re_match", "re_match_i", "re_extract",
     "re_extract_i", "field", "split_fn", "replace", "wrap", "getenv_fn",
     "random_fn", "FIELD_NOT_FOUND", "pcre_match", "get_property",
-    "http_request", "format_time", "parse_time", "is_time",
+    "http_request", "format_time", "parse_time", "parse_time_localtz", "is_time",
     "ipv42num", "num2ipv4", "int2hex", "b64_decode", "is_in_subnet",
     "hash32", "hash32mod", "hash64", "hash64mod",
     "parse_json_variant", "json_get", "json_get_ci", "json_get_num",

@@ -72,6 +72,33 @@ def parse_time(s: ColumnOrName) -> Column:
     return F.coalesce(F.unix_timestamp(parse_time_ts(s)), F.lit(0).cast("long"))
 
 
+def parse_time_localtz(s: ColumnOrName) -> Column:
+    """parse_time_localtz(ts) → unix seconds with naive stamps
+    interpreted in the DAEMON's local timezone
+    (grammar/rainerscript.c:2865 doFunct_ParseTimeLocalTz →
+    syslogTime2time_tLocalTZ; ChangeLog 2026-06-01) instead of
+    parse_time's UTC. The engine's daemon-local zone is the process
+    TZ (the $TZ env / OS zone), independent of the Spark session
+    timezone (which this engine pins to UTC for determinism)."""
+    import datetime as _dt
+    import os as _os
+
+    tz = _os.environ.get("TZ")
+    if not tz:
+        z = _dt.datetime.now().astimezone().strftime("%z") or "+0000"
+        tz = f"GMT{z[:3]}:{z[3:]}"
+    ts = parse_time_ts(s)
+    # stamps carrying an explicit offset (or 'Z') are already
+    # absolute — the reference skips the local-TZ adjustment for
+    # them (datetime.c:1118 'Offset TZ already done')
+    has_off = rs_str(s).rlike(r"(?i)(z|[+-]\d{2}:?\d{2})\s*$")
+    return F.coalesce(
+        F.unix_timestamp(
+            F.when(has_off, ts)
+            .otherwise(F.to_utc_timestamp(ts, tz))),
+        F.lit(0).cast("long"))
+
+
 def is_time(s: ColumnOrName, fmt: str | None = None) -> Column:
     """is_time(ts[, fmt]) validity test (ref rs-is_time.rst)."""
     if fmt is None:

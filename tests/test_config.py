@@ -4838,3 +4838,35 @@ input(type="imtcp" port="{port}" address="127.0.0.1" ruleset="m"
     with pytest.raises(ValueError, match="empty allowedSender"):
         run_config_stream(spark, mk_conf("[]", 5599),
                           checkpoint=str(tmp_path / "ck3"))
+
+
+def test_constant_bool_operand_warning():
+    """rainerscript.c cnfexprNew (issue #1046, ChangeLog
+    2026-06-18): '$msg contains "a" or "b"' warns about the
+    constant operand; behavior is unchanged, and real comparisons
+    do not warn."""
+    import warnings
+
+    from rsyslog_spark.config.rainerscript import parse_config
+
+    conf = '''
+ruleset(name="m") {
+  if $msg contains "a" or "b" then { stop }
+  action(type="omfile" file="/tmp/x")
+}
+'''
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        parse_config(conf)
+    assert any("constant right operand" in str(x.message)
+               for x in w), [str(x.message) for x in w]
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        parse_config('''
+ruleset(name="m") {
+  if $msg contains "a" or $msg contains "b" then { stop }
+  action(type="omfile" file="/tmp/x")
+}
+''')
+    assert not any("constant" in str(x.message) for x in w)

@@ -296,3 +296,29 @@ def test_tree_get_dup_case_divergence(spark):
         tree_get(F.col("j"), "$!abc").alias("v")).collect()]
     assert got[0] == "2"   # exact key wins (reference would read 1)
     assert got[1] == "3"   # unique case-variant key: both agree
+
+
+def test_parse_time_localtz(spark, monkeypatch):
+    """parse_time_localtz (rainerscript.c:2865, ChangeLog
+    2026-06-01): naive stamps interpret in the daemon's local TZ;
+    parse_time stays UTC. With TZ=Europe/Berlin in August the two
+    differ by exactly 2 hours; RFC3339 stamps WITH an explicit
+    offset are identical under both."""
+    import time as _t
+
+    from rsyslog_spark.functions import parse_time, parse_time_localtz
+
+    monkeypatch.setenv("TZ", "Europe/Berlin")
+    _t.tzset()
+    try:
+        df = spark.createDataFrame(
+            [("2026-08-16T12:00:00",),
+             ("2026-08-16T12:00:00+02:00",)], "ts string")
+        rows = df.select(
+            parse_time("ts").alias("utc"),
+            parse_time_localtz("ts").alias("loc")).collect()
+        assert rows[0].utc - rows[0].loc == 7200
+        assert rows[1].utc == rows[1].loc   # explicit offset wins
+    finally:
+        monkeypatch.delenv("TZ")
+        _t.tzset()
