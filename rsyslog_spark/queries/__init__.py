@@ -216,7 +216,11 @@ _TAIL = ("html_text_extraction", "ngram_top_counts",
          "config_driven_routing", "decontaminate_ngram_overlap",
          "dedup_components", "embedding_cosine_near_dup",
          "hybrid_retrieval_rrf", "url_dedup_canonical",
-         "lm_perplexity_filter")
+         "lm_perplexity_filter",
+         # parked r9 wave 2 (green r7+r8, body untouched) — room for
+         # the NEW pri_filter_negated oracle (pins the negated
+         # selector fix in the driver gate)
+         "mmjsontransform_unflatten")
 
 
 def tail_body_hash(q: Query) -> str:

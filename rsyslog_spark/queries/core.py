@@ -147,6 +147,38 @@ def pri_filter_selectors(spark, sf_dir):
 
 
 @q(
+    "pri_filter_negated",
+    """
+    SELECT CAST(user_id % 24 AS BIGINT) AS facility,
+           CAST(event_id % 8 AS BIGINT) AS severity,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE ((user_id % 24) = 20 AND (event_id % 8) <> 7)
+       OR ((user_id % 24) = 4 AND (event_id % 8) >= 3)
+       OR ((user_id % 24) = 2)
+    GROUP BY 1, 2
+    """,
+    doc="Negated priority selectors (conf.c:402-422 "
+        "TABLE_NOPRI→TABLE_ALLPRI; ChangeLog 2026-06-22 fix): "
+        "standalone 'local4.!=debug' matches every severity except "
+        "debug, 'auth.!crit' excludes crit-and-more-severe "
+        "(leaving 3..7), 'mail.!none' fills the facility.",
+)
+def pri_filter_negated(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    fac = (F.col("user_id") % 24).cast("int")
+    sev = (F.col("event_id") % 8).cast("int")
+    df = ev.select(fac.alias("facility"), sev.alias("severity"))
+    return (
+        df.filter(prifilt("local4.!=debug;auth.!crit;mail.!none",
+                          "facility", "severity"))
+        .groupBy(F.col("facility").cast("long").alias("facility"),
+                 F.col("severity").cast("long").alias("severity"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@q(
     "rs_expr_battery",
     """
     SELECT event_type,
