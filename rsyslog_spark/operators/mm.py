@@ -560,6 +560,8 @@ def mmexternal(
     *,
     msg_col: str = "msg",
     batch_size: int = 1024,
+    interface_output: str = "json",
+    response_timeout: float | None = None,
 ) -> DataFrame:
     """External message-modification program bridge (ref:
     plugins/mmexternal/mmexternal.c — JSON-over-stdio, one request per
@@ -572,9 +574,20 @@ def mmexternal(
     its output replaces the ``json`` column. This is the engine's
     UDTF escape hatch — anything Spark can't express natively can run
     here at the cost of the pipe hop.
+
+    ``interface_output="none"`` (ChangeLog 2026-05-22): side-effect-
+    only helpers — requests are written but no response is read and
+    the ``json`` column passes through untouched.
+    ``response_timeout`` bounds a stalled helper reply in seconds;
+    exceeding it fails the batch (the reference's responseTimeout).
     """
     import json as _json
     import subprocess
+
+    if interface_output not in ("json", "none"):
+        raise ValueError(
+            f"mmexternal: interface.output {interface_output!r} "
+            "- supported: 'json', 'none'")
 
     out_fields = [f for f in df.schema.fields]
     out_schema = df.schema
@@ -592,10 +605,28 @@ def mmexternal(
             for pdf in batches:
                 if "json" not in pdf.columns:
                     pdf = pdf.assign(json=None)
+                if interface_output == "none":
+                    # one-way helper: requests only, json untouched
+                    for m in pdf[msg_col]:
+                        proc.stdin.write(
+                            _json.dumps({"msg": m}) + "\n")
+                    proc.stdin.flush()
+                    yield pdf[col_names]
+                    continue
                 outs = []
                 for m in pdf[msg_col]:
                     proc.stdin.write(_json.dumps({"msg": m}) + "\n")
                     proc.stdin.flush()
+                    if response_timeout is not None:
+                        import select as _select
+                        ready, _, _ = _select.select(
+                            [proc.stdout], [], [], response_timeout)
+                        if not ready:
+                            raise RuntimeError(
+                                f"mmexternal child {argv[0]!r} gave "
+                                "no response within "
+                                f"{response_timeout}s "
+                                "(responseTimeout)")
                     line = proc.stdout.readline()
                     if line == "":
                         # EOF = the child died or stopped answering;

@@ -121,6 +121,47 @@ def test_mmexternal_bridge(spark):
     assert got == {"abc": '{"len": 3}', "hello": '{"len": 5}'}
 
 
+def test_mmexternal_output_none_and_timeout(spark, tmp_path):
+    """ChangeLog 2026-05-22: interface.output='none' runs the helper
+    for side effects only (json untouched); responseTimeout bounds a
+    stalled reply with a clear failure."""
+    import sys as _sys
+
+    sidefile = tmp_path / "seen.txt"
+    child_none = (
+        "import sys, json\n"
+        f"f = open({str(sidefile)!r}, 'a')\n"
+        "for line in sys.stdin:\n"
+        "    f.write(json.loads(line)['msg'] + chr(10))\n"
+        "    f.flush()\n"
+    )
+    df = spark.createDataFrame([("abc", "keep1"), ("hello", "keep2")],
+                               "msg string, json string").repartition(1)
+    out = mmexternal(df, [_sys.executable, "-c", child_none],
+                     interface_output="none")
+    got = {r.msg: r.json for r in out.collect()}
+    assert got == {"abc": "keep1", "hello": "keep2"}
+    import time
+    deadline = time.time() + 10
+    while time.time() < deadline and \
+            (not sidefile.exists()
+             or len(sidefile.read_text().splitlines()) < 2):
+        time.sleep(0.2)
+    assert sorted(sidefile.read_text().split()) == ["abc", "hello"]
+
+    # stalled helper: never answers -> responseTimeout failure
+    child_stall = "import time\nimport sys\ntime.sleep(60)\n"
+    df1 = spark.createDataFrame([("x",)], "msg string").repartition(1)
+    out = mmexternal(df1, [_sys.executable, "-c", child_stall],
+                     response_timeout=1.0)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "responseTimeout" in str(ei.value) or \
+        "no response" in str(ei.value)
+
+
 class TestSaltedJoin:
     def test_matches_plain_join(self, spark):
         from rsyslog_spark.operators.lookup import salted_join
