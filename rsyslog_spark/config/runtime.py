@@ -1016,20 +1016,28 @@ def _dispatch_action_inner(
          .option("topic", params.get("topic", "rsyslog")).save())
         run.written[name] = f"kafka://{params['broker']}"
         return
-    if typ == "ommail" and params.get("server"):
+    if typ == "ommail" and (params.get("server")
+                            or str(params.get("mode", "")
+                                   ).lower() == "sendmail"):
         from rsyslog_spark.streaming.transports import ommail_sink
 
         lines = _rendered_lines(df, cfg, params)
         mailto = [m.strip() for m in
                   params.get("mailto", "").split(",") if m.strip()]
+        mode = str(params.get("mode", "smtp")).lower()
         _with_retry(params, ommail_sink(
-            params["server"], int(params.get("port", "25")),
+            params.get("server", ""), int(params.get("port", "25")),
             mailfrom=params.get("mailfrom", "rsyslog@localhost"),
             mailto=mailto,
             subject=params.get("subject.text", "syslog message"),
             body_enable=params.get("body.enable", "on") != "off",
+            mode=mode,
+            sendmail_binary=params.get("sendmail.binary",
+                                       "/usr/sbin/sendmail"),
         ))(lines, 0)
-        run.written[name] = f"smtp://{params['server']}"
+        run.written[name] = (f"sendmail://{mailto}" if mode ==
+                             "sendmail" else
+                             f"smtp://{params['server']}")
         return
     if typ == "omsnmp" and params.get("server"):
         from rsyslog_spark.streaming.transports import omsnmp_sink

@@ -88,6 +88,8 @@ def ommail_sink(
     subject_col: str | None = None,
     body_enable: bool = True,
     line_col: str = "line",
+    mode: str = "smtp",
+    sendmail_binary: str = "/usr/sbin/sendmail",
 ) -> Callable[[DataFrame, int], None]:
     """Send one mail per message via SMTP (ref: plugins/ommail/
     ommail.c:680-700 — HELO, MAIL FROM, one RCPT TO per recipient,
@@ -97,9 +99,19 @@ def ommail_sink(
 
     Alert-volume sink: mails are driver-collected (alerts are rare by
     construction — pair with action_every_nth / exec_once_every_
-    interval from operators/stats.py, as real configs do)."""
+    interval from operators/stats.py, as real configs do).
+
+    ``mode="sendmail"`` (ChangeLog 2026-05-16): submit through a
+    local sendmail-compatible binary instead of SMTP — one child per
+    message with the reference's argv shape
+    (ommail.c:720 buildSendmailArgv: BINARY -i -f FROM -- RCPT...),
+    message piped on stdin; ``sendmail.binary`` selects the binary
+    (default /usr/sbin/sendmail, ommail.c:73)."""
 
     import smtplib
+
+    if mode not in ("smtp", "sendmail"):
+        raise ValueError(f"ommail: unknown mode {mode!r}")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         cols = [F.col(line_col).cast("string").alias("l")]
@@ -113,6 +125,27 @@ def ommail_sink(
             # log-derived header values must never carry CR/LF —
             # SMTP header injection (extra Bcc/From) otherwise
             return str(v).replace("\r", " ").replace("\n", " ")
+
+        if mode == "sendmail":
+            import subprocess
+            argv = [sendmail_binary, "-i", "-f", mailfrom, "--",
+                    *mailto]
+            for r in rows:
+                body = (
+                    f"From: {hdr(mailfrom)}\n"
+                    f"To: {hdr(', '.join(mailto))}\n"
+                    f"Subject: {hdr(r.s)}\n"
+                    "X-Mailer: rsyslog-spark-mail\n\n"
+                )
+                if body_enable:
+                    body += (r.l or "") + "\n"
+                proc = subprocess.run(
+                    argv, input=body.encode(), timeout=60)
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"ommail: sendmail binary exited "
+                        f"{proc.returncode}")
+            return
 
         smtp = smtplib.SMTP(server, port, timeout=30)
         try:

@@ -100,21 +100,32 @@ def test_snmp_v1_trap_encoding():
 
 
 def test_omsnmp_sink_sends_udp(spark):
+    import time as _time
+
     rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     rx.bind(("127.0.0.1", 0))
-    rx.settimeout(10)
+    rx.settimeout(0.5)
     port = rx.getsockname()[1]
     got = []
 
     def recv():
-        for _ in range(2):
-            got.append(rx.recvfrom(65535)[0])
+        # deadline-loop instead of one long timeout: a cold Spark
+        # session's first job can take >10s, which used to expire
+        # the receive window before the first datagram left
+        deadline = _time.time() + 60
+        while len(got) < 2 and _time.time() < deadline:
+            try:
+                got.append(rx.recvfrom(65535)[0])
+            except socket.timeout:
+                continue
+            except OSError:
+                return
 
     t = threading.Thread(target=recv)
     t.start()
     omsnmp_sink("127.0.0.1", port)(
         _lines_df(spark, ["trap one", "trap two"]).coalesce(1), 0)
-    t.join(timeout=10)
+    t.join(timeout=30)
     rx.close()
     assert len(got) == 2
     msgs = set()
@@ -599,3 +610,37 @@ def test_omczmq_imczmq_real_pyzmq_loop(spark, tmp_path):
         assert got == ["zr1", "zr2"]
     finally:
         b.stop()
+
+
+def test_ommail_sendmail_mode(spark, tmp_path):
+    """ommail mode='sendmail' (ChangeLog 2026-05-16; ommail.c:720
+    buildSendmailArgv): the sendmail-compatible binary is invoked
+    with '-i -f FROM -- RCPT...' and the rendered mail on stdin."""
+    import os
+    import stat
+
+    from rsyslog_spark.streaming.transports import ommail_sink
+
+    rec = tmp_path / "record"
+    fake = tmp_path / "fake_sendmail"
+    fake.write_text(
+        "#!/bin/sh\n"
+        f'echo "ARGS:$@" >> {rec}\n'
+        f"cat >> {rec}\n")
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+
+    df = _lines_df(spark, ["alert body line"]).coalesce(1)
+    ommail_sink("ignored", 0, mailfrom="rsys@example.com",
+                mailto=["ops@example.com", "oncall@example.com"],
+                subject="disk full", mode="sendmail",
+                sendmail_binary=str(fake))(df, 0)
+    got = rec.read_text()
+    assert ("ARGS:-i -f rsys@example.com -- "
+            "ops@example.com oncall@example.com") in got
+    assert "Subject: disk full" in got
+    assert "alert body line" in got
+
+    import pytest
+    with pytest.raises(ValueError, match="unknown mode"):
+        ommail_sink("x", 0, mailfrom="a@b", mailto=["c@d"],
+                    mode="carrier-pigeon")
