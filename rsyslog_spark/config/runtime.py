@@ -2101,8 +2101,15 @@ def run_config_stream(
                    "imudp": _b.imudp, "imrelp": _b.imrelp,
                    "imhttp": _b.imhttp,
                    "imhiredis": _b.imhiredis}[typ]
-            if typ == "imhttp" and inp.get("endpoint"):
-                kw["endpoint"] = inp["endpoint"]
+            if typ == "imhttp":
+                if inp.get("endpoint"):
+                    kw["endpoint"] = inp["endpoint"]
+                lhtp = {k.lower(): v for k, v in inp.items()}
+                # basicAuthFile / apiKeyFile (imhttp.c:196-198)
+                if lhtp.get("basicauthfile"):
+                    kw["basic_auth_file"] = lhtp["basicauthfile"]
+                if lhtp.get("apikeyfile"):
+                    kw["api_key_file"] = lhtp["apikeyfile"]
             if typ == "imhiredis":
                 # imhiredis.c params: server/port/key/mode +
                 # stream.* (consumerGroup/consumerName/readFrom/

@@ -422,9 +422,18 @@ class imhttp(SpoolBridge):
     """
 
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
-                 port: int = 0, endpoint: str = "/postrequest", **kw):
+                 port: int = 0, endpoint: str = "/postrequest",
+                 basic_auth_file: str | None = None,
+                 api_key_file: str | None = None, **kw):
         super().__init__(spool_dir, inputname="imhttp", **kw)
         self.endpoint = endpoint
+        #: route auth (imhttp.c:196-198 basicauthfile/apikeyfile;
+        #: routeAuthHandler:1216 — explicit Basic wins when its
+        #: header is presented, API key 'Authorization: ApiKey tok'
+        #: is the fallback; 2026-04-17 refactor + 2026-06-26
+        #: fallback-after-Basic-failure fix)
+        self.basic_auth_file = basic_auth_file
+        self.api_key_file = api_key_file
         import http.server
 
         bridge = self
@@ -441,6 +450,17 @@ class imhttp(SpoolBridge):
             def do_POST(self):
                 if self.path != bridge.endpoint:
                     self.send_response(404)
+                    self.end_headers()
+                    return
+                if not bridge._authorized(
+                        self.headers.get("Authorization")):
+                    # sendUnauthorized (imhttp.c:1186-1204): Basic
+                    # challenge only when htpasswd auth is configured
+                    self.send_response(401)
+                    if bridge.basic_auth_file:
+                        self.send_header(
+                            "WWW-Authenticate",
+                            'Basic realm="User Visible Realm"')
                     self.end_headers()
                     return
                 n = int(self.headers.get("Content-Length", 0))
@@ -475,6 +495,71 @@ class imhttp(SpoolBridge):
         self.httpd = http.server.ThreadingHTTPServer((host, port),
                                                      Handler)
         self.port = self.httpd.server_address[1]
+
+    @staticmethod
+    def _pw_ok(presented: str, stored: str) -> bool:
+        """htpasswd entry check (read_auth_file → apr_password_
+        validate, imhttp.c:1008-1044): '{SHA}' base64-SHA1, crypt(3)
+        '$'-prefixed hashes where the platform supports the scheme,
+        else plain comparison. Comments/blank lines skipped by the
+        caller."""
+        if stored.startswith("{SHA}"):
+            import base64
+            import hashlib
+            return base64.b64encode(
+                hashlib.sha1(presented.encode()).digest()
+            ).decode() == stored[5:]
+        if stored.startswith("$"):
+            try:
+                import crypt
+                return crypt.crypt(presented, stored) == stored
+            except Exception:  # noqa: BLE001 — unsupported scheme
+                return False
+        return presented == stored
+
+    def _authorized(self, auth_header: str | None) -> bool:
+        if not self.basic_auth_file and not self.api_key_file:
+            return True
+        hdr = auth_header or ""
+        # explicit Basic wins when configured AND presented
+        if self.basic_auth_file and hdr.lower().startswith("basic "):
+            import base64
+            try:
+                user, _, pw = base64.b64decode(
+                    hdr[6:].strip()).decode().partition(":")
+            except Exception:  # noqa: BLE001 — malformed header
+                user = pw = ""
+            if user:
+                try:
+                    with open(self.basic_auth_file,
+                              encoding="utf-8") as fh:
+                        for ln in fh:
+                            ln = ln.strip()
+                            if not ln or ln.startswith("#"):
+                                continue
+                            u, _, stored = ln.partition(":")
+                            if u.lower() == user.lower():
+                                if self._pw_ok(pw, stored):
+                                    return True
+                                break
+                except OSError:
+                    pass
+        # API key fallback: 'Authorization: ApiKey <token>' vs the
+        # one-token-per-line file (read_api_key_file)
+        if self.api_key_file and hdr.lower().startswith("apikey "):
+            token = hdr[7:].strip()
+            if token:
+                try:
+                    with open(self.api_key_file,
+                              encoding="utf-8") as fh:
+                        for ln in fh:
+                            ln = ln.strip()
+                            if ln and not ln.startswith("#") \
+                                    and ln == token:
+                                return True
+                except OSError:
+                    pass
+        return False
 
     def _serve(self) -> None:
         self.httpd.serve_forever(poll_interval=0.2)

@@ -2247,3 +2247,82 @@ input(type="imtcp" port="{port}" address="127.0.0.1" ruleset="m"
     filt = parts(str(out2))
     assert "msgnum:1" in filt
     assert "imptcp" not in filt
+
+
+def test_imhttp_auth_basic_and_apikey(spark, tmp_path):
+    """imhttp route auth (imhttp.c routeAuthHandler:1216 — explicit
+    Basic wins, 'Authorization: ApiKey tok' is the fallback; 401 w/
+    Basic challenge when htpasswd auth is configured; 2026-04-17
+    refactor + 2026-06-26 apikey-after-basic-failure fix)."""
+    import base64
+    import hashlib
+    import urllib.error
+    import urllib.request
+
+    from rsyslog_spark.streaming.bridges import imhttp
+
+    htpw = tmp_path / "users.htpasswd"
+    sha = base64.b64encode(
+        hashlib.sha1(b"secret").digest()).decode()
+    htpw.write_text(f"# comment line\nalice:{{SHA}}{sha}\n"
+                    "bob:plainpw\n")
+    keys = tmp_path / "keys.txt"
+    keys.write_text("# tokens\ntok-123\n")
+
+    b = imhttp(str(tmp_path / "spool"),
+               basic_auth_file=str(htpw),
+               api_key_file=str(keys), flush_secs=0.2).start()
+    url = f"http://127.0.0.1:{b.port}/postrequest"
+
+    def post(auth=None):
+        req = urllib.request.Request(url, data=b"<13>authed line\n",
+                                     method="POST")
+        if auth:
+            req.add_header("Authorization", auth)
+        try:
+            with urllib.request.urlopen(req, timeout=10) as resp:
+                return resp.status, dict(resp.headers)
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers)
+
+    try:
+        # no credentials → 401 with Basic challenge
+        code, hdrs = post()
+        assert code == 401
+        assert "Basic" in hdrs.get("WWW-Authenticate", "")
+        # bad basic → 401; good basic ({SHA} and plain) → 200
+        bad = base64.b64encode(b"alice:wrong").decode()
+        assert post(f"Basic {bad}")[0] == 401
+        good = base64.b64encode(b"alice:secret").decode()
+        assert post(f"Basic {good}")[0] == 200
+        plain = base64.b64encode(b"bob:plainpw").decode()
+        assert post(f"Basic {plain}")[0] == 200
+        # api key fallback
+        assert post("ApiKey tok-123")[0] == 200
+        assert post("ApiKey nope")[0] == 401
+        df = _drain(b, spark, 3)
+        assert df.count() == 3
+        assert all(r.line == "<13>authed line"
+                   for r in df.collect())
+    finally:
+        b.stop()
+
+
+def test_imhttp_no_auth_still_open(spark, tmp_path):
+    """Without auth files every POST is admitted (routeAuthConfigured
+    short-circuit)."""
+    import urllib.request
+
+    from rsyslog_spark.streaming.bridges import imhttp
+
+    b = imhttp(str(tmp_path / "spool"), flush_secs=0.2).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{b.port}/postrequest",
+            data=b"<13>open line\n", method="POST")
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            assert resp.status == 200
+        df = _drain(b, spark, 1)
+        assert df.first().line == "<13>open line"
+    finally:
+        b.stop()
