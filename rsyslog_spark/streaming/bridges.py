@@ -1491,7 +1491,16 @@ class imtcp(SpoolBridge):
         #: imptcp_no_octet_counted.sh): leading digits are data
         self.support_octet_counted = bool(support_octet_counted)
         #: maxSessions (tcpsrv.c:754): over-limit connects are
-        #: dropped with the reference's diagnostic
+        #: dropped with the reference's diagnostic; invalid limits
+        #: are config-load errors (ChangeLog 2026-04-12 imtcp limit
+        #: validation hardening)
+        if max_sessions is not None and int(max_sessions) < 0:
+            raise ValueError(
+                f"imtcp: invalid maxSessions {max_sessions!r} "
+                "(must be a positive integer; 0/absent = unlimited)")
+        if int(max_frame_size) <= 0:
+            raise ValueError(
+                f"imtcp: invalid maxFrameSize {max_frame_size!r}")
         self.max_sessions = (None if not max_sessions
                              else int(max_sessions))
         #: notifyOnConnection{Open,Close} (imptcp.c:221-222, both

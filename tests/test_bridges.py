@@ -2326,3 +2326,19 @@ def test_imhttp_no_auth_still_open(spark, tmp_path):
         assert df.first().line == "<13>open line"
     finally:
         b.stop()
+
+
+def test_imtcp_invalid_limits_rejected(tmp_path):
+    """ChangeLog 2026-04-12: invalid frame/session limits are
+    config-load errors, not silent misbehavior (a negative
+    maxSessions used to drop EVERY session)."""
+    import pytest
+
+    from rsyslog_spark.streaming.bridges import imtcp
+
+    with pytest.raises(ValueError, match="maxSessions"):
+        imtcp(str(tmp_path / "s1"), max_sessions=-1)
+    with pytest.raises(ValueError, match="maxFrameSize"):
+        imtcp(str(tmp_path / "s2"), max_frame_size=0)
+    with pytest.raises(ValueError):
+        imtcp(str(tmp_path / "s3"), max_sessions="abc")
