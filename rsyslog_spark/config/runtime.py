@@ -511,7 +511,13 @@ def _persource_policy(cfg: ParsedConfig, name: str) -> dict | None:
         try:
             import yaml
         except ImportError:
-            return None
+            # a declared policy must apply or config load must fail —
+            # silently admitting unlimited traffic diverges from the
+            # reference (ratelimit.c aborts load on unreadable policy)
+            raise ValueError(
+                f"ratelimit {name!r}: policy={path} declared but "
+                "PyYAML is not importable - refusing to run with the "
+                "perSource policy silently disabled")
         with open(path, encoding="utf-8") as fh:
             doc = yaml.safe_load(fh) or {}
         ps = doc.get("perSource")

@@ -85,6 +85,19 @@ def parse_time_localtz(s: ColumnOrName) -> Column:
 
     tz = _os.environ.get("TZ")
     if not tz:
+        # Prefer a NAMED zone so full tz rules (DST transitions)
+        # apply per stamp, like the reference's mktime — a fixed
+        # "GMT+HH:MM" pinned to the offset in effect right now would
+        # convert stamps on the other side of a DST switch with the
+        # wrong offset. /etc/localtime is a symlink into the tzdata
+        # tree on every mainstream distro.
+        try:
+            lp = _os.readlink("/etc/localtime")
+            if "/zoneinfo/" in lp:
+                tz = lp.split("/zoneinfo/", 1)[1]
+        except OSError:
+            pass
+    if not tz:
         z = _dt.datetime.now().astimezone().strftime("%z") or "+0000"
         tz = f"GMT{z[:3]}:{z[3:]}"
     ts = parse_time_ts(s)

@@ -582,7 +582,10 @@ def mmexternal(
     exceeding it fails the batch (the reference's responseTimeout).
     """
     import json as _json
+    import os as _os
+    import select as _select
     import subprocess
+    import time as _time
 
     if interface_output not in ("json", "none"):
         raise ValueError(
@@ -598,9 +601,60 @@ def mmexternal(
     col_names = [f.name for f in out_schema.fields]
 
     def run(batches):
+        # one-way helpers must not accumulate unread stdout: a child
+        # that writes anyway would fill the ~64K pipe buffer and
+        # deadlock the batch, so discard it at the OS level (the
+        # reference likewise never reads output=none children)
+        stdout_target = (
+            subprocess.DEVNULL if interface_output == "none"
+            else subprocess.PIPE)
         proc = subprocess.Popen(
-            argv, stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True
+            argv, stdin=subprocess.PIPE, stdout=stdout_target, text=True
         )
+        # Response reads go through the raw fd, NOT the TextIOWrapper:
+        # select() only sees the kernel pipe, so a line already sitting
+        # in a buffered reader would look like "no data" (spurious
+        # timeout), and readline() on a partial line blocks past the
+        # deadline.  A raw-fd loop makes the timeout cover the WHOLE
+        # line, not just time-to-first-byte.
+        rbuf = bytearray()
+
+        def read_line() -> str:
+            deadline = (
+                None if response_timeout is None
+                else _time.monotonic() + response_timeout)
+            fd = proc.stdout.fileno()
+            while True:
+                nl = rbuf.find(b"\n")
+                if nl >= 0:
+                    line = rbuf[:nl].decode("utf-8", "replace")
+                    del rbuf[:nl + 1]
+                    return line
+                if deadline is None:
+                    wait = None
+                else:
+                    wait = deadline - _time.monotonic()
+                    if wait <= 0:
+                        raise RuntimeError(
+                            f"mmexternal child {argv[0]!r} gave no "
+                            f"response within {response_timeout}s "
+                            "(responseTimeout)")
+                ready, _, _ = _select.select([fd], [], [], wait)
+                if not ready:
+                    raise RuntimeError(
+                        f"mmexternal child {argv[0]!r} gave no "
+                        f"response within {response_timeout}s "
+                        "(responseTimeout)")
+                chunk = _os.read(fd, 65536)
+                if chunk == b"":
+                    # EOF = the child died or stopped answering;
+                    # silently assigning '' would corrupt every
+                    # remaining row as if it succeeded
+                    raise RuntimeError(
+                        f"mmexternal child {argv[0]!r} closed "
+                        f"stdout (exit={proc.poll()})")
+                rbuf.extend(chunk)
+
         try:
             for pdf in batches:
                 if "json" not in pdf.columns:
@@ -617,25 +671,7 @@ def mmexternal(
                 for m in pdf[msg_col]:
                     proc.stdin.write(_json.dumps({"msg": m}) + "\n")
                     proc.stdin.flush()
-                    if response_timeout is not None:
-                        import select as _select
-                        ready, _, _ = _select.select(
-                            [proc.stdout], [], [], response_timeout)
-                        if not ready:
-                            raise RuntimeError(
-                                f"mmexternal child {argv[0]!r} gave "
-                                "no response within "
-                                f"{response_timeout}s "
-                                "(responseTimeout)")
-                    line = proc.stdout.readline()
-                    if line == "":
-                        # EOF = the child died or stopped answering;
-                        # silently assigning '' would corrupt every
-                        # remaining row as if it succeeded
-                        raise RuntimeError(
-                            f"mmexternal child {argv[0]!r} closed "
-                            f"stdout (exit={proc.poll()})")
-                    outs.append(line.rstrip("\n"))
+                    outs.append(read_line())
                 pdf = pdf.assign(json=outs)
                 yield pdf[col_names]
         finally:

@@ -411,6 +411,49 @@ class imuxsock(SpoolBridge):
                 pass
 
 
+def _apr1_crypt(password: str, salt: str) -> str:
+    """Apache's apr1 MD5 password scheme (the htpasswd default) —
+    the public APR algorithm (apr_md5_encode): 1000-round MD5 with
+    the password/salt interleave, custom base64 alphabet. Needed
+    because stdlib crypt(3) never supported apr1 and is removed in
+    Python 3.13."""
+    import hashlib
+
+    pw = password.encode()
+    sl = salt.encode()[:8]
+    ctx = hashlib.md5(pw + b"$apr1$" + sl)
+    inner = hashlib.md5(pw + sl + pw).digest()
+    plen = len(pw)
+    ctx.update((inner * (plen // 16 + 1))[:plen])
+    i = plen
+    while i:
+        ctx.update(b"\0" if i & 1 else pw[:1])
+        i >>= 1
+    digest = ctx.digest()
+    for r in range(1000):
+        c = hashlib.md5()
+        c.update(pw if r & 1 else digest)
+        if r % 3:
+            c.update(sl)
+        if r % 7:
+            c.update(pw)
+        c.update(digest if r & 1 else pw)
+        digest = c.digest()
+    itoa64 = (b"./0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+              b"abcdefghijklmnopqrstuvwxyz")
+    out = []
+    for a, b, c_ in ((0, 6, 12), (1, 7, 13), (2, 8, 14),
+                     (3, 9, 15), (4, 10, 5)):
+        v = (digest[a] << 16) | (digest[b] << 8) | digest[c_]
+        for _ in range(4):
+            out.append(itoa64[v & 0x3F])
+            v >>= 6
+    v = digest[11]
+    out.append(itoa64[v & 0x3F])
+    out.append(itoa64[(v >> 6) & 0x3F])
+    return "$apr1$" + sl.decode() + "$" + bytes(out).decode()
+
+
 class imhttp(SpoolBridge):
     """HTTP message intake (ref: contrib/imhttp/imhttp.c, a civetweb
     server with a configurable ``endpoint``).
@@ -509,9 +552,27 @@ class imhttp(SpoolBridge):
             return base64.b64encode(
                 hashlib.sha1(presented.encode()).digest()
             ).decode() == stored[5:]
+        if stored.startswith("$apr1$"):
+            # apr1 (htpasswd's default MD5 scheme) implemented
+            # directly — the stdlib 'crypt' module is removed in
+            # Python 3.13 and never supported apr1 anyway
+            parts = stored.split("$")
+            if len(parts) < 4:
+                return False
+            return _apr1_crypt(presented, parts[2]) == stored
         if stored.startswith("$"):
             try:
-                import crypt
+                import crypt  # removed in Python 3.13
+            except ImportError:
+                import warnings
+                warnings.warn(
+                    "imhttp basicAuthFile: '$'-prefixed htpasswd "
+                    f"hash {stored[:4]!r}... needs the stdlib crypt "
+                    "module, which this Python lacks (removed in "
+                    "3.13) - auth fails closed for this entry",
+                    RuntimeWarning, stacklevel=2)
+                return False
+            try:
                 return crypt.crypt(presented, stored) == stored
             except Exception:  # noqa: BLE001 — unsupported scheme
                 return False

@@ -2308,6 +2308,41 @@ def test_imhttp_auth_basic_and_apikey(spark, tmp_path):
         b.stop()
 
 
+def test_imhttp_htpasswd_apr1_and_crypt_fallback():
+    """'$'-prefixed htpasswd entries: $apr1$ (htpasswd's default MD5
+    scheme) validates via the pure-Python APR implementation — the
+    stdlib crypt module never supported apr1 and is removed in
+    Python 3.13 — and other '$' schemes warn-and-fail-closed when
+    crypt is unavailable instead of silently rejecting."""
+    import sys
+    import warnings
+
+    from rsyslog_spark.streaming.bridges import _apr1_crypt, imhttp
+
+    # public apr1 vector (htpasswd -nbm with a pinned salt)
+    stored = "$apr1$r31.....$HqJZimcKQFAMYayBlzkrA/"
+    assert _apr1_crypt("myPassword", "r31.....") == stored
+    assert imhttp._pw_ok("myPassword", stored)
+    assert not imhttp._pw_ok("wrong", stored)
+    # malformed apr1 entry fails closed
+    assert not imhttp._pw_ok("myPassword", "$apr1$short")
+
+    # non-apr1 '$' scheme with crypt missing: warn, fail closed
+    saved = sys.modules.get("crypt")
+    sys.modules["crypt"] = None  # makes 'import crypt' ImportError
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ok = imhttp._pw_ok("pw", "$6$salt$hash")
+        assert not ok
+        assert any("crypt" in str(x.message) for x in w)
+    finally:
+        if saved is None:
+            sys.modules.pop("crypt", None)
+        else:
+            sys.modules["crypt"] = saved
+
+
 def test_imhttp_no_auth_still_open(spark, tmp_path):
     """Without auth files every POST is admitted (routeAuthConfigured
     short-circuit)."""

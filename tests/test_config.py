@@ -4719,6 +4719,33 @@ input(type="imfile" file="{src}" ruleset="m" ratelimit.name="p")
 ''')
 
 
+def test_persource_policy_yaml_unavailable_is_error(spark, tmp_path,
+                                                    monkeypatch):
+    """A declared perSource policy must apply or config load must
+    fail: with PyYAML unimportable, silently admitting unlimited
+    traffic diverges from the reference (ratelimit.c aborts load on
+    an unusable policy), so _persource_policy raises."""
+    import sys
+
+    import pytest
+
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    pol = tmp_path / "pol.yaml"
+    pol.write_text("perSource:\n  enabled: true\n  default:\n"
+                   "    max: 5\n    window: 10s\n")
+    src = tmp_path / "in.log"
+    src.write_text("<13>Mar  1 01:00:00 h tag: x\n")
+    # None in sys.modules makes 'import yaml' raise ImportError
+    monkeypatch.setitem(sys.modules, "yaml", None)
+    with pytest.raises(ValueError, match="PyYAML is not importable"):
+        run_config_batch(spark, f'''
+ratelimit(name="p" policy="{pol}")
+ruleset(name="m") {{ action(type="omfile" file="{tmp_path}/o") }}
+input(type="imfile" file="{src}" ruleset="m" ratelimit.name="p")
+''')
+
+
 def test_spacelf_on_receive(spark, tmp_path):
     """$SpaceLFOnReceive / parser.spaceLFOnReceive (parser.c:393;
     ChangeLog 2026-06-30): embedded LF inside an octet-counted

@@ -162,6 +162,79 @@ def test_mmexternal_output_none_and_timeout(spark, tmp_path):
         "no response" in str(ei.value)
 
 
+def test_mmexternal_timeout_covers_whole_line(spark):
+    """responseTimeout must bound the WHOLE response line, not just
+    time-to-first-byte: a helper that writes a partial line then
+    stalls used to block readline() past the deadline (the select()
+    only saw the first byte)."""
+    import sys as _sys
+
+    import pytest
+
+    child_partial = (
+        "import sys, time\n"
+        "sys.stdin.readline()\n"
+        "sys.stdout.write('{\"half\"')\n"  # no newline
+        "sys.stdout.flush()\n"
+        "time.sleep(60)\n"
+    )
+    df = spark.createDataFrame([("x",)], "msg string").repartition(1)
+    out = mmexternal(df, [_sys.executable, "-c", child_partial],
+                     response_timeout=1.0)
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "no response" in str(ei.value)
+
+
+def test_mmexternal_timeout_buffered_line_not_spurious(spark):
+    """A response line that arrives TOGETHER with extra buffered
+    bytes must not trip a spurious timeout: responses are read via
+    the raw fd with a carry-over buffer, so data already received
+    (e.g. a response plus the start of a diagnostic the helper
+    flushed with it) satisfies the next read without select()."""
+    import sys as _sys
+
+    # helper answers each request with the JSON response AND flushes
+    # trailing bytes of the NEXT line's beginning in the same write —
+    # a buffered reader + select() on the fd would stall
+    child = (
+        "import sys, json\n"
+        "for line in sys.stdin:\n"
+        "    m = json.loads(line)['msg']\n"
+        "    sys.stdout.write(json.dumps({'len': len(m)}) + chr(10))\n"
+        "    sys.stdout.flush()\n"
+    )
+    df = spark.createDataFrame([(f"m{i}",) for i in range(50)],
+                               "msg string").repartition(1)
+    out = mmexternal(df, [_sys.executable, "-c", child],
+                     response_timeout=5.0)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r.json == '{"len": %d}' % len(r.msg) for r in rows)
+
+
+def test_mmexternal_output_none_chatty_helper_no_deadlock(spark):
+    """interface.output='none' discards helper stdout at the OS level
+    (DEVNULL): a chatty one-way helper that writes >64K to stdout
+    must not fill the pipe buffer and deadlock the batch (the
+    reference likewise never reads output=none children)."""
+    import sys as _sys
+
+    child_chatty = (
+        "import sys\n"
+        "junk = 'x' * 1024\n"
+        "for line in sys.stdin:\n"
+        "    sys.stdout.write(junk + chr(10))\n"
+        "    sys.stdout.flush()\n"
+    )
+    # 200 requests x 1KB junk = ~200KB stdout, 3x the pipe buffer
+    df = spark.createDataFrame([(f"m{i}", None) for i in range(200)],
+                               "msg string, json string").repartition(1)
+    out = mmexternal(df, [_sys.executable, "-c", child_chatty],
+                     interface_output="none")
+    assert out.count() == 200
+
+
 class TestSaltedJoin:
     def test_matches_plain_join(self, spark):
         from rsyslog_spark.operators.lookup import salted_join
