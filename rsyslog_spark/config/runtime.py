@@ -2116,6 +2116,12 @@ def run_config_stream(
                     kw["basic_auth_file"] = lhtp["basicauthfile"]
                 if lhtp.get("apikeyfile"):
                     kw["api_key_file"] = lhtp["apikeyfile"]
+                # body-size hardening knobs (2026-04-24)
+                if lhtp.get("maxbodybytes"):
+                    kw["max_body_bytes"] = int(lhtp["maxbodybytes"])
+                if lhtp.get("maxexpandedbytes"):
+                    kw["max_expanded_bytes"] = int(
+                        lhtp["maxexpandedbytes"])
             if typ == "imhiredis":
                 # imhiredis.c params: server/port/key/mode +
                 # stream.* (consumerGroup/consumerName/readFrom/

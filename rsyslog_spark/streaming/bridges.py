@@ -464,12 +464,26 @@ class imhttp(SpoolBridge):
     liveness probe support.
     """
 
+    #: request-body hardening defaults (ref: contrib/imhttp —
+    #: 2026-04-24 hardening: bound accepted bodies and decompression
+    #: expansion so a hostile client can't make the server allocate)
+    DEFAULT_MAX_BODY = 8 * 1024 * 1024          # 8 MiB wire bytes
+    DEFAULT_MAX_EXPANSION = 64 * 1024 * 1024    # 64 MiB decompressed
+
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, endpoint: str = "/postrequest",
                  basic_auth_file: str | None = None,
-                 api_key_file: str | None = None, **kw):
+                 api_key_file: str | None = None,
+                 max_body_bytes: int | None = None,
+                 max_expanded_bytes: int | None = None, **kw):
         super().__init__(spool_dir, inputname="imhttp", **kw)
         self.endpoint = endpoint
+        self.max_body_bytes = (
+            self.DEFAULT_MAX_BODY if max_body_bytes is None
+            else int(max_body_bytes))
+        self.max_expanded_bytes = (
+            self.DEFAULT_MAX_EXPANSION if max_expanded_bytes is None
+            else int(max_expanded_bytes))
         #: route auth (imhttp.c:196-198 basicauthfile/apikeyfile;
         #: routeAuthHandler:1216 — explicit Basic wins when its
         #: header is presented, API key 'Authorization: ApiKey tok'
@@ -506,22 +520,58 @@ class imhttp(SpoolBridge):
                             'Basic realm="User Visible Realm"')
                     self.end_headers()
                     return
-                n = int(self.headers.get("Content-Length", 0))
+                # oversized Content-Length is rejected BEFORE any
+                # read/allocation (2026-04-24 hardening: 413,
+                # Connection: close — reading the body would let a
+                # hostile client pick our allocation size)
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                if n < 0 or n > bridge.max_body_bytes:
+                    self.send_response(413)
+                    self.send_header("Connection", "close")
+                    self.end_headers()
+                    self.close_connection = True
+                    return
                 raw = self.rfile.read(n)
                 # Content-Encoding: gzip / deflate POST bodies
                 # (imhttp.c handles compressed payloads via civetweb;
                 # golden imhttp-post-payload-compress.sh). A body
-                # that fails to decode answers 400 and is dropped.
+                # that fails to decode answers 400 and is dropped;
+                # expansion is bounded with an incremental
+                # decompressobj(max_length) loop so a zip bomb is
+                # refused at the cap instead of allocated (413).
                 enc = (self.headers.get("Content-Encoding") or "") \
                     .lower()
                 if enc in ("gzip", "deflate", "x-gzip"):
-                    import gzip as _gz
                     import zlib as _zl
+                    wbits = (_zl.MAX_WBITS | 16 if "gzip" in enc
+                             else _zl.MAX_WBITS)
+                    d = _zl.decompressobj(wbits)
+                    out, cap = [], bridge.max_expanded_bytes
+                    got, data = 0, raw
                     try:
-                        raw = (_gz.decompress(raw)
-                               if "gzip" in enc
-                               else _zl.decompress(raw))
-                    except (OSError, _zl.error):
+                        while True:
+                            chunk = d.decompress(data, 65536)
+                            got += len(chunk)
+                            if got > cap:
+                                self.send_response(413)
+                                self.send_header("Connection",
+                                                 "close")
+                                self.end_headers()
+                                self.close_connection = True
+                                return
+                            out.append(chunk)
+                            data = b""
+                            if d.unconsumed_tail:
+                                data = d.unconsumed_tail
+                            elif d.eof or not chunk:
+                                break
+                        raw = b"".join(out)
+                    except _zl.error:
                         self.send_response(400)
                         self.end_headers()
                         return
@@ -1234,16 +1284,24 @@ class improg(SpoolBridge):
     """Program-output input (ref: contrib/improg/improg.c:135-140
     ``binary`` param): spawn the command, each stdout line becomes a
     message; with ``confirm_messages`` an ACK line is written to the
-    child's stdin per message (improg.c:225-262,394). The child is
-    restarted on exit while the bridge runs, like the reference's
-    supervision loop."""
+    child's stdin per message (improg.c:225-262,394).
+
+    Child stdout EOF STOPS the reader and reaps the child — it does
+    NOT respawn or keep polling the closed pipe (improg.c:588-592:
+    ``readRet == RS_RET_EOF → terminateChild``; ChangeLog 2026-05-05
+    / issue 6791 — a killed child used to leave the fd readable
+    forever and the input thread spun a full CPU re-selecting it).
+    ``restart_on_exit=True`` opts into a supervision loop for callers
+    that want the pre-fix respawn convenience."""
 
     def __init__(self, spool_dir: str, *, binary: str,
                  confirm_messages: bool = False,
+                 restart_on_exit: bool = False,
                  restart_delay: float = 1.0, **kw):
         super().__init__(spool_dir, inputname="improg", **kw)
         self.binary = binary
         self.confirm = confirm_messages
+        self.restart_on_exit = restart_on_exit
         self.restart_delay = restart_delay
         self._proc = None
         self._localhost = socket.gethostname()
@@ -1257,6 +1315,8 @@ class improg(SpoolBridge):
                 stdin=subprocess.PIPE if self.confirm else None,
                 stdout=subprocess.PIPE, text=True, bufsize=1)
             try:
+                # iteration ends at child-stdout EOF — the closed
+                # pipe is never re-polled (issue 6791 fix semantics)
                 for line in self._proc.stdout:
                     if self._stop.is_set():
                         break
@@ -1274,6 +1334,10 @@ class improg(SpoolBridge):
             finally:
                 self._proc.terminate()
                 self._proc.wait()
+            if not self.restart_on_exit:
+                # reference behavior: EOF → terminateChild, reader
+                # done for this instance (improg.c:588-592)
+                break
             if not self._stop.is_set():
                 time.sleep(self.restart_delay)
 

@@ -411,6 +411,52 @@ def test_improg_captures_and_confirms(spark, tmp_path):
     assert (tmp_path / "acks.txt").read_text().strip() == "acks:OK:OK"
 
 
+def test_improg_stops_on_child_eof(spark, tmp_path):
+    """improg.c:588-592 / ChangeLog 2026-05-05 (issue 6791): child
+    stdout EOF terminates the child and STOPS the reader — killing
+    the configured program must not leave the input thread spinning
+    on (or re-polling) the closed pipe, and no respawn happens by
+    default."""
+    import os
+    import signal
+    import time as _time
+
+    from rsyslog_spark.streaming.bridges import improg
+
+    marker = tmp_path / "spawned.txt"
+    script = tmp_path / "gen.sh"
+    # every spawn appends a line — a respawning supervisor would
+    # grow the file; emit our pid so the test can kill us
+    script.write_text(
+        "#!/bin/sh\n"
+        f"echo spawned >> {marker}\n"
+        "echo \"<13>pid:$$\"\n"
+        # redirect so the sleep does not inherit (and hold open) the
+        # stdout pipe after the script shell is killed
+        "sleep 300 > /dev/null 2>&1\n")
+    script.chmod(0o755)
+    b = improg(str(tmp_path / "spool"), binary=str(script),
+               flush_secs=0.2).start()
+    try:
+        df = _drain(b, spark, 1)
+        pid = int(df.first().line.split(":")[1])
+        reader = next(t for t in b._threads if t.is_alive())
+        os.kill(pid, signal.SIGKILL)
+        # shell wrapper: the sh running the script is improg's
+        # direct child; killing the sleep's parent shell ends it.
+        # The reader must exit within the deadline, not spin.
+        deadline = _time.time() + 10
+        while _time.time() < deadline and reader.is_alive():
+            _time.sleep(0.1)
+        assert not reader.is_alive(), \
+            "improg reader still running after child death"
+        _time.sleep(1.0)
+        assert marker.read_text().count("spawned") == 1, \
+            "child was respawned after EOF"
+    finally:
+        b.stop()
+
+
 def test_imtcp_both_framings(spark, tmp_path):
     from rsyslog_spark.streaming.bridges import imtcp
 
@@ -2304,6 +2350,74 @@ def test_imhttp_auth_basic_and_apikey(spark, tmp_path):
         assert df.count() == 3
         assert all(r.line == "<13>authed line"
                    for r in df.collect())
+    finally:
+        b.stop()
+
+
+def test_imhttp_body_caps_and_zip_bomb(spark, tmp_path):
+    """imhttp request hardening (contrib/imhttp 2026-04-24): an
+    oversized Content-Length answers 413 before any body read or
+    allocation, and a small compressed body that expands past the
+    decompression cap (zip bomb) is refused at the cap via an
+    incremental decompressobj loop — while legitimate bodies under
+    both caps still flow."""
+    import http.client
+    import zlib
+
+    from rsyslog_spark.streaming.bridges import imhttp
+
+    b = imhttp(str(tmp_path / "spool"), flush_secs=0.2,
+               max_body_bytes=64 * 1024,
+               max_expanded_bytes=256 * 1024).start()
+
+    def post(body: bytes, headers: dict | None = None,
+             content_length: int | None = None) -> int:
+        c = http.client.HTTPConnection("127.0.0.1", b.port,
+                                       timeout=10)
+        try:
+            c.putrequest("POST", "/postrequest")
+            hs = dict(headers or {})
+            hs["Content-Length"] = str(
+                len(body) if content_length is None
+                else content_length)
+            for k, v in hs.items():
+                c.putheader(k, v)
+            c.endheaders()
+            if content_length is None:
+                c.send(body)
+            # oversized declarations send NOTHING — the server must
+            # answer from the header alone
+            return c.getresponse().status
+        finally:
+            c.close()
+
+    try:
+        # 100 MB Content-Length → 413 without reading a byte
+        assert post(b"", content_length=100 * 1024 * 1024) == 413
+        # negative / garbage lengths → 413 / 400
+        assert post(b"", content_length=-5) == 413
+        # body just over the wire cap → 413
+        assert post(b"x" * (64 * 1024 + 1)) == 413
+        # zip bomb: ~1 KB of deflate expanding to 4 MiB (cap 256 KiB)
+        co = zlib.compressobj()
+        bomb = b"".join(
+            [co.compress(b"\0" * 65536) for _ in range(64)]
+        ) + co.flush()
+        assert len(bomb) < 64 * 1024
+        assert post(bomb,
+                    {"Content-Encoding": "deflate"}) == 413
+        # corrupted compressed body → 400
+        assert post(b"not deflate at all",
+                    {"Content-Encoding": "deflate"}) == 400
+        # legitimate small compressed body still flows
+        ok = zlib.compress(b"<13>bounded line\n")
+        assert post(ok, {"Content-Encoding": "deflate"}) == 200
+        import gzip as _gz
+        okz = _gz.compress(b"<13>gzip line\n")
+        assert post(okz, {"Content-Encoding": "gzip"}) == 200
+        df = _drain(b, spark, 2)
+        assert sorted(r.line for r in df.collect()) == [
+            "<13>bounded line", "<13>gzip line"]
     finally:
         b.stop()
 
