@@ -1706,23 +1706,43 @@ def _gated_mm(fn, touched: tuple[str, ...] = ()):
 _POLICY_LAST_GOOD: dict[str, dict] = {}
 
 
-def _load_json_policy(path: str) -> dict:
-    """Load + validate a mmjsontransform YAML policy; on failure keep
-    serving the last good policy for this path (log the reload
-    failure), raising only when no good policy was ever loaded."""
-    import logging
-
+def _validate_json_policy(path: str) -> dict:
+    """Parse + validate one mmjsontransform policy file version
+    (buildPolicy analog — raises on bad YAML / bad mode)."""
     import yaml
 
+    with open(path, encoding="utf-8") as fh:
+        pol = yaml.safe_load(fh) or {}
+    if not isinstance(pol, dict):
+        raise ValueError("policy is not a mapping")
+    if pol.get("mode") not in ("flatten", "unflatten"):
+        raise ValueError(
+            f"policy mode {pol.get('mode')!r} is invalid; use "
+            "'unflatten' or 'flatten'")
+    return pol
+
+
+def _load_json_policy(path: str, *, watch: bool = False,
+                      debounce_ms: int = 5000) -> dict:
+    """Load + validate a mmjsontransform YAML policy; on failure keep
+    serving the last good policy for this path (log the reload
+    failure), raising only when no good policy was ever loaded.
+
+    ``watch=True`` (mmjsontransform policyWatch, ChangeLog
+    2026-04-13; debounce default 5000 ms per setInstParamDefaults)
+    switches to the rswatch analog: the file is re-STATed per call
+    — per batch run / streaming micro-batch — and reloads only once
+    a change is older than the debounce window."""
+    import logging
+
+    if watch:
+        from rsyslog_spark.config.rswatch import watched_load
+
+        return watched_load(path, _validate_json_policy,
+                            debounce_ms=debounce_ms,
+                            tag="mmjsontransform policy")
     try:
-        with open(path, encoding="utf-8") as fh:
-            pol = yaml.safe_load(fh) or {}
-        if not isinstance(pol, dict):
-            raise ValueError("policy is not a mapping")
-        if pol.get("mode") not in ("flatten", "unflatten"):
-            raise ValueError(
-                f"policy mode {pol.get('mode')!r} is invalid; use "
-                "'unflatten' or 'flatten'")
+        pol = _validate_json_policy(path)
     except Exception as e:
         old = _POLICY_LAST_GOOD.get(path)
         if old is not None:
@@ -1959,7 +1979,18 @@ def _mm_transform(atype: str, params: dict):
                 # phase 3: mode "sideways" → message 3 still renders
                 # with policy 2, "failed to reload policy file"
                 # logged); only a first-ever load may raise.
-                pol = _load_json_policy(_p["policy"])
+                # policyWatch / policyWatchDebounce (ChangeLog
+                # 2026-04-13; defaults mmjsontransform.c:266-267)
+                # debounce reloads via the rswatch analog.
+                watch = str(_p.get("policywatch", "off")
+                            ).lower() in ("on", "true", "1")
+                deb = 5000
+                if _p.get("policywatchdebounce"):
+                    from rsyslog_spark.config.rswatch import \
+                        duration_ms
+                    deb = duration_ms(_p["policywatchdebounce"])
+                pol = _load_json_policy(_p["policy"], watch=watch,
+                                        debounce_ms=deb)
                 mode = pol.get("mode", mode)
                 m = pol.get("map") or {}
                 rename = m.get("rename") or None

@@ -496,66 +496,91 @@ def _ratelimit_policy(cfg: ParsedConfig, name: str) -> dict:
     raise ValueError(f"ratelimit {name!r} not declared")
 
 
+def _parse_persource_yaml(path: str) -> dict | None:
+    """Parse + validate a ratelimit perSource policy YAML (ref:
+    runtime/ratelimit.c:750-947 — enabled, keyTemplate,
+    default.max/window, overrides[key→max/window]). Returns None
+    when the file has no enabled perSource section; raises on an
+    invalid file."""
+    try:
+        import yaml
+    except ImportError:
+        # a declared policy must apply or config load must fail —
+        # silently admitting unlimited traffic diverges from the
+        # reference (ratelimit.c aborts load on unreadable policy)
+        raise ValueError(
+            f"ratelimit: policy={path} declared but PyYAML is not "
+            "importable - refusing to run with the perSource policy "
+            "silently disabled")
+    with open(path, encoding="utf-8") as fh:
+        doc = yaml.safe_load(fh) or {}
+    if not isinstance(doc, dict):
+        raise ValueError(
+            f"ratelimit: policy file {path} is not a mapping")
+    ps = doc.get("perSource")
+    if not isinstance(ps, dict):
+        return None
+    en = ps.get("enabled")
+    if not (en is True or str(en).lower() in ("true", "1", "on",
+                                              "yes")):
+        return None
+
+    def win_s(v) -> int:
+        s = str(v).strip().lower()
+        if s.endswith("ms"):
+            return max(1, int(round(float(s[:-2]) / 1000.0)))
+        if s.endswith("s"):
+            return int(float(s[:-1]))
+        if s.endswith("m"):
+            return int(float(s[:-1]) * 60)
+        if s.endswith("h"):
+            return int(float(s[:-1]) * 3600)
+        return int(float(s))
+
+    dflt = ps.get("default") or {}
+    if "max" not in dflt or "window" not in dflt:
+        raise ValueError(
+            f"ratelimit: policy file {path} perSource section "
+            "missing default.max or default.window")
+    return {
+        "key_template": ps.get("keyTemplate"),
+        "max": int(dflt["max"]),
+        "window": win_s(dflt["window"]),
+        "overrides": {
+            str(ov["key"]): (int(ov.get("max", dflt["max"])),
+                             win_s(ov.get("window",
+                                          dflt["window"])))
+            for ov in (ps.get("overrides") or [])
+            if isinstance(ov, dict) and "key" in ov},
+    }
+
+
 def _persource_policy(cfg: ParsedConfig, name: str) -> dict | None:
-    """ratelimit(name=.. policy=..) perSource section (ref:
-    runtime/ratelimit.c:750-947 — policy YAML with enabled,
-    keyTemplate, default.max/window, overrides[key→max/window];
-    golden imptcp-persource-ratelimit-policy.sh). Returns None when
-    the object has no enabled perSource section."""
+    """ratelimit(name=.. policy=..) perSource section (golden
+    imptcp-persource-ratelimit-policy.sh). With policyWatch="on"
+    (ChangeLog 2026-04-08/13) the file is re-stated per call — i.e.
+    per batch run / streaming micro-batch, this engine's main-loop
+    ticks — and reloads debounced by policyWatchDebounce (default
+    5s, ratelimit.c:335); an invalid reload keeps the last good
+    policy. Returns None when the object has no enabled perSource
+    section."""
     for o in cfg.objects.get("ratelimit", []):
         if o.get("name") != name:
             continue
         path = o.get("policy")
         if not path:
             return None
-        try:
-            import yaml
-        except ImportError:
-            # a declared policy must apply or config load must fail —
-            # silently admitting unlimited traffic diverges from the
-            # reference (ratelimit.c aborts load on unreadable policy)
-            raise ValueError(
-                f"ratelimit {name!r}: policy={path} declared but "
-                "PyYAML is not importable - refusing to run with the "
-                "perSource policy silently disabled")
-        with open(path, encoding="utf-8") as fh:
-            doc = yaml.safe_load(fh) or {}
-        ps = doc.get("perSource")
-        if not isinstance(ps, dict):
-            return None
-        en = ps.get("enabled")
-        if not (en is True or str(en).lower() in ("true", "1", "on",
-                                                  "yes")):
-            return None
+        lo = {k.lower(): v for k, v in o.items()}
+        if str(lo.get("policywatch", "off")).lower() in (
+                "on", "true", "1"):
+            from rsyslog_spark.config.rswatch import (duration_ms,
+                                                      watched_load)
 
-        def win_s(v) -> int:
-            s = str(v).strip().lower()
-            if s.endswith("ms"):
-                return max(1, int(round(float(s[:-2]) / 1000.0)))
-            if s.endswith("s"):
-                return int(float(s[:-1]))
-            if s.endswith("m"):
-                return int(float(s[:-1]) * 60)
-            if s.endswith("h"):
-                return int(float(s[:-1]) * 3600)
-            return int(float(s))
-
-        dflt = ps.get("default") or {}
-        if "max" not in dflt or "window" not in dflt:
-            raise ValueError(
-                f"ratelimit: policy file {path} perSource section "
-                "missing default.max or default.window")
-        return {
-            "key_template": ps.get("keyTemplate"),
-            "max": int(dflt["max"]),
-            "window": win_s(dflt["window"]),
-            "overrides": {
-                str(ov["key"]): (int(ov.get("max", dflt["max"])),
-                                 win_s(ov.get("window",
-                                              dflt["window"])))
-                for ov in (ps.get("overrides") or [])
-                if isinstance(ov, dict) and "key" in ov},
-        }
+            deb = duration_ms(lo.get("policywatchdebounce", "5s"))
+            return watched_load(path, _parse_persource_yaml,
+                                debounce_ms=deb,
+                                tag="ratelimit policy")
+        return _parse_persource_yaml(path)
     raise ValueError(f"ratelimit {name!r} not declared")
 
 
@@ -2342,7 +2367,19 @@ def run_config_stream(
                 and r not in extra_rulesets:
             extra_rulesets.append(r)
 
-    def _stage(src: DataFrame, rname: str) -> DataFrame:
+    # per-source ratelimit at submission (ratelimitAddMsg;
+    # imptcp-persource-ratelimit-policy.sh): first input declaring
+    # ratelimit.name governs the shared pipeline. Applied INSIDE the
+    # foreachBatch sink — per micro-batch — both because row_number
+    # windows are batch-only plans and because policyWatch (ChangeLog
+    # 2026-04-08/13) re-stats the YAML per main-loop tick, which for
+    # a stream IS the micro-batch.
+    rl_inp = next(
+        (i for i in cfg.inputs
+         if any(k.lower() == "ratelimit.name" for k in i)), None)
+
+    def _stage(src: DataFrame, rname: str, *,
+               ratelimit: bool = True) -> DataFrame:
         """Ruleset-specific pre-parse + parse + vendor stages."""
         s = _apply_snare_prestage(src, cfg, rname)
         pm_o, _hl = _pm3164_opts(cfg, rname)
@@ -2357,13 +2394,8 @@ def run_config_stream(
         vst = _vendor_parser_stage(cfg, rname)
         if vst is not None:
             fr = vst(fr)
-        # per-source ratelimit at submission (ratelimitAddMsg;
-        # imptcp-persource-ratelimit-policy.sh): first input
-        # declaring ratelimit.name governs the shared pipeline
-        rl_inp = next(
-            (i for i in cfg.inputs
-             if any(k.lower() == "ratelimit.name" for k in i)), None)
-        fr = _apply_persource_ratelimit(cfg, rl_inp, fr)
+        if ratelimit:
+            fr = _apply_persource_ratelimit(cfg, rl_inp, fr)
         return fr
 
     # per-action drop-mode admitted counts, carried ACROSS
@@ -2430,9 +2462,13 @@ def run_config_stream(
                              ruleset_name, sink_overrides)
 
     if not extra_rulesets:
-        frame = _stage(lines, ruleset_name)
+        # ratelimit applies in the sink: row_number windows are not
+        # streamable pre-plan, and policyWatch wants a per-tick stat
+        frame = _stage(lines, ruleset_name, ratelimit=False)
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df = _apply_persource_ratelimit(cfg, rl_inp,
+                                                  batch_df)
             batch_df.persist()
             try:
                 _run_ruleset(batch_df, ruleset_name)

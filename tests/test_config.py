@@ -4700,6 +4700,144 @@ input(type="imfile" file="{src}" ruleset="m"
     assert out.count("host=quiethost") == 10, out  # override 50
 
 
+def test_persource_policy_watch_streaming(spark, tmp_path):
+    """ratelimit policyWatch (ChangeLog 2026-04-08/13): a watched
+    perSource policy re-stats per micro-batch — editing the YAML
+    mid-run changes admission on the NEXT micro-batch, and an
+    INVALID edit keeps serving the last good policy (rswatch
+    keep-last-good)."""
+    import os
+    import time as _time
+
+    from rsyslog_spark.config import rswatch
+    from rsyslog_spark.config.runtime import run_config_stream
+
+    rswatch.reset()
+    pol = tmp_path / "policy.yaml"
+
+    def write_policy(mx: int) -> None:
+        pol.write_text(f'''perSource:
+  enabled: true
+  keyTemplate: "PerSourceKey"
+  default:
+    max: {mx}
+    window: 2s
+''')
+
+    write_policy(2)
+    srcdir = tmp_path / "in"
+    srcdir.mkdir()
+    conf = f'''
+template(name="PerSourceKey" type="string" string="%hostname%")
+ratelimit(name="ps" policy="{pol}" policyWatch="on"
+          policyWatchDebounce="100ms")
+template(name="outfmt" type="string" string="m=%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="{tmp_path}/out" template="outfmt")
+}}
+input(type="imfile" file="{srcdir}/*.log" ruleset="m"
+      ratelimit.name="ps")
+'''
+
+    def run_phase(n: int) -> None:
+        f = srcdir / f"phase{n}.log"
+        f.write_text("".join(
+            f"<13>Mar  1 01:00:00 host1 tag: p{n}-{i}\n"
+            for i in range(5)))
+        run_config_stream(spark, conf,
+                          checkpoint=str(tmp_path / "ck"))
+
+    def admitted(phase: int) -> int:
+        outdir = f"{tmp_path}/out"
+        txt = "".join(
+            open(os.path.join(outdir, p)).read()
+            for p in sorted(os.listdir(outdir))
+            if p.startswith("part"))
+        return txt.count(f"m= p{phase}-") + txt.count(f"m=p{phase}-")
+
+    # phase 1: policy max=2 → 2 of 5 admitted
+    run_phase(1)
+    assert admitted(1) == 2
+    # phase 2: valid edit to max=4, older than the 100ms debounce →
+    # next micro-batch admits 4
+    _time.sleep(0.3)
+    write_policy(4)
+    _time.sleep(0.3)
+    run_phase(2)
+    assert admitted(2) == 4
+    # phase 3: INVALID edit → keep-last-good, still max=4
+    _time.sleep(0.3)
+    pol.write_text("perSource: [not, a, mapping\n")
+    _time.sleep(0.3)
+    run_phase(3)
+    assert admitted(3) == 4
+
+
+def test_rswatch_debounce_and_duration():
+    """rswatch analog unit behavior: a change younger than the
+    debounce window serves the old policy; once older, it reloads;
+    duration_ms mirrors parseDurationMillis (bare number = seconds,
+    ms/m/h units, garbage is an error)."""
+    import time as _time
+
+    import pytest
+
+    from rsyslog_spark.config import rswatch
+
+    assert rswatch.duration_ms("5s") == 5000
+    assert rswatch.duration_ms("100ms") == 100
+    assert rswatch.duration_ms("2") == 2000
+    assert rswatch.duration_ms("1m") == 60000
+    assert rswatch.duration_ms("1h") == 3600000
+    with pytest.raises(ValueError):
+        rswatch.duration_ms("-3s")
+    with pytest.raises(ValueError):
+        rswatch.duration_ms("soon")
+
+    import tempfile
+    rswatch.reset()
+    with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                     delete=False) as fh:
+        fh.write("v1")
+        path = fh.name
+    loads = []
+
+    def loader(p):
+        with open(p) as f:
+            v = f.read()
+        loads.append(v)
+        if v.startswith("bad"):
+            raise ValueError("invalid")
+        return v
+
+    assert rswatch.watched_load(path, loader,
+                                debounce_ms=200) == "v1"
+    # fresh change: younger than debounce → old value served
+    with open(path, "w") as f:
+        f.write("v2")
+    assert rswatch.watched_load(path, loader,
+                                debounce_ms=10_000) == "v1"
+    # change older than debounce → reload
+    _time.sleep(0.25)
+    assert rswatch.watched_load(path, loader,
+                                debounce_ms=200) == "v2"
+    # invalid reload → keep last good, and do not re-attempt the
+    # same bad version on the next tick
+    _time.sleep(0.05)
+    with open(path, "w") as f:
+        f.write("bad")
+    _time.sleep(0.25)
+    n = len(loads)
+    assert rswatch.watched_load(path, loader,
+                                debounce_ms=200) == "v2"
+    assert len(loads) == n + 1
+    assert rswatch.watched_load(path, loader,
+                                debounce_ms=200) == "v2"
+    assert len(loads) == n + 1  # bad version not re-parsed
+    import os as _os
+    _os.unlink(path)
+
+
 def test_persource_policy_missing_default_is_error(spark, tmp_path):
     """ratelimit.c:947: a perSource section without default.max or
     default.window is a config error."""

@@ -628,6 +628,51 @@ input(type="imfile" file="@IN@" ruleset="m")
     assert out.strip() == ""
 
 
+def test_mmjsontransform_policy_watch_debounce(spark, tmp_path):
+    """mmjsontransform policyWatch + policyWatchDebounce (ChangeLog
+    2026-04-13; defaults mmjsontransform.c:266-267): with the watch
+    on, an edit YOUNGER than the debounce window keeps serving the
+    old policy for the next run; once the change is older than the
+    debounce it reloads."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from rsyslog_spark.config import rswatch
+
+    rswatch.reset()
+    pol = tmp_path / "policy.yaml"
+    conf = f'''
+global(parser.removeMsgFirstSpace="off")
+template(name="outfmt" type="string" string="%$!output%\\n")
+ruleset(name="m") {{
+  set $.ret = parse_json($msg, "\\$!input");
+  action(type="mmjsontransform" policy="{pol}" policyWatch="on"
+         policyWatchDebounce="1m" input="$!input"
+         output="$!output")
+  action(type="omfile" file="@OUT@" template="outfmt")
+}}
+input(type="imfile" file="@IN@" ruleset="m")
+'''
+    pol.write_text("version: 1\nmode: flatten\nmap:\n  rename:\n"
+                   '    "usr": "user.name"\n')
+    msg = ('<166>Mar 10 01:00:00 host app: '
+           '{ "usr": "alice", "ctx": { "old": 1 } }\n')
+    out = _run(spark, tmp_path, conf, msg, sub="w1")
+    assert _json.loads(out) == {"user.name": "alice", "ctx.old": 1}
+    # fresh edit (younger than the 1m debounce) → old policy served
+    pol.write_text("version: 1\nmode: flatten\nmap:\n  rename:\n"
+                   '    "usr": "actor.name"\n')
+    out = _run(spark, tmp_path, conf, msg, sub="w2")
+    assert _json.loads(out) == {"user.name": "alice", "ctx.old": 1}
+    # a change older than the debounce window reloads (backdate the
+    # mtime rather than sleeping a minute)
+    past = _time.time() - 120
+    _os.utime(pol, (past, past))
+    out = _run(spark, tmp_path, conf, msg, sub="w3")
+    assert _json.loads(out) == {"actor.name": "alice", "ctx.old": 1}
+
+
 def test_omfile_outchannel_module_template(spark, tmp_path):
     """omfile-outchannel.sh: ':omfile:$channel' selector target plus
     module(load="builtin:omfile" template=...) as the default omfile
