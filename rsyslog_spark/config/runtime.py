@@ -102,6 +102,10 @@ class ConfigRun:
     # per-action counters when module(load="impstats") is configured
     # (ref: runtime/action.c:485-515 statsobj counters)
     action_stats: dict[str, dict] = dfield(default_factory=dict)
+    # omfwd per-target statsobjs (omfwd.c:2091-2116 — name
+    # '{TCP|UDP}-<target>-<port>', counters bytes.sent/messages.sent/
+    # num.connects; num.connects added ChangeLog 2026-04-13)
+    omfwd_stats: dict[str, dict] = dfield(default_factory=dict)
     # percentile bucket → statname delimiter (perctile_stats.c
     # bucket config; feeds perctile_lines)
     perctile_meta: dict[str, str] = dfield(default_factory=dict)
@@ -160,6 +164,14 @@ class ConfigRun:
         for name, ctr in self.action_stats.items():
             kv = " ".join(f"{k}={ctr[k]}" for k in order if k in ctr)
             out.append(f"{name}: origin=core.action {kv}")
+        # omfwd per-target statsobjs (counter order matches
+        # omfwd.c:2102-2114 AddCounter sequence)
+        for tname, ctr in self.omfwd_stats.items():
+            out.append(
+                f"{tname}: origin=omfwd "
+                f"bytes.sent={ctr['bytes.sent']} "
+                f"messages.sent={ctr['messages.sent']} "
+                f"num.connects={ctr['num.connects']}")
         # the dynstats subsystem's GLOBAL statsobj emits every cycle
         # even with zero buckets configured (dynstats.c global
         # counters; golden no-dynstats.sh checks
@@ -933,7 +945,10 @@ def _dispatch_action_inner(
             # tcp_user_timeout action param (omfwd, ChangeLog
             # 2026-06-29) — milliseconds
             tcp_user_timeout=int(params.get("tcp_user_timeout", 0)
-                                 or 0)))(lines, 0)
+                                 or 0),
+            # per-target statsobj counters accumulate directly into
+            # the run (num.connects et al., ChangeLog 2026-04-13)
+            stats_out=run.omfwd_stats))(lines, 0)
         run.written[name] = f"{proto}://{params['target']}:{port}"
         return
     if typ == "ompipe" and params.get("pipe"):
@@ -949,10 +964,11 @@ def _dispatch_action_inner(
     if typ == "omelasticsearch" and params.get("server"):
         from rsyslog_spark.streaming.sinks import omelasticsearch_sink
 
-        host = params["server"]
-        port = params.get("serverport", "9200")
-        url = (host if "://" in host else f"http://{host}:{port}") \
-            + "/_bulk"
+        url = _es_base_url(
+            str(params["server"]),
+            int(params.get("serverport", "9200")),
+            str(params.get("usehttps", "off")).lower()
+            in ("on", "true", "1")) + "_bulk"
         doc = _rendered_lines(df, cfg, params, default=None)
         if doc is None:   # no template: whole row as a JSON doc
             doc = df.select(F.to_json(F.struct(*df.columns))
@@ -1140,6 +1156,34 @@ def _with_retry(params: dict, write_fn):
         write_fn, max_retries=retries,
         resume_interval_s=float(_param(params, "action.resumeInterval",
                                        "1")))
+
+
+def _es_base_url(server: str, default_port: int,
+                 use_https: bool) -> str:
+    """omelasticsearch computeBaseUrl (omelasticsearch.c:468-515,
+    incl. the 2026-04-15 IPv6 fix): prefix the scheme when the
+    server string lacks one, then append ``:serverport`` UNLESS an
+    explicit port is already embedded — for ``[v6]`` bracket
+    notation a port only counts when the ':' appears AFTER the
+    closing ']' (a bare IPv6 address is full of colons; the old
+    strchr check never appended the port). Trailing '/' included."""
+    server = server.rstrip("/")
+    low = server.lower()
+    if low.startswith("http://"):
+        base, host = server, server[len("http://"):]
+    elif low.startswith("https://"):
+        base, host = server, server[len("https://"):]
+    else:
+        host = server
+        base = ("https://" if use_https else "http://") + server
+    if host.startswith("["):
+        bracket_end = host.find("]")
+        has_port = bracket_end >= 0 and ":" in host[bracket_end:]
+    else:
+        has_port = ":" in host
+    if not has_port:
+        base += f":{default_port}"
+    return base + "/"
 
 
 def _es_http_transport(url: str):
@@ -1490,6 +1534,12 @@ def run_config_batch(
             agg.unbound.extend(sub.unbound)
             agg.dynstats.update(sub.dynstats)
             agg.action_stats.update(sub.action_stats)
+            for tname, ctr in sub.omfwd_stats.items():
+                a = agg.omfwd_stats.setdefault(tname, {
+                    "bytes.sent": 0, "messages.sent": 0,
+                    "num.connects": 0})
+                for k, v in ctr.items():
+                    a[k] += v
             agg.survivors = sub.survivors
         return agg
     path = input_path

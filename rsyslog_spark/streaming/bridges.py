@@ -373,9 +373,26 @@ class imuxsock(SpoolBridge):
     plugins/imuxsock/imuxsock.c). SOCK_DGRAM like the reference
     (imuxsock.c creates a DGRAM socket; one datagram = one message);
     fromhost is the local hostname, as imuxsock sets it.
+
+    Per-PID rate limiting (imuxsock.c:640-694: SCM_CREDENTIALS pid
+    keys a per-sender ratelimiter; defaults interval 0 = off, burst
+    200): with ``ratelimit_interval`` > 0, SO_PASSCRED is enabled
+    and each sender pid gets ``ratelimit_burst`` messages per
+    interval, excess dropped. The cache is BOUNDED (ChangeLog
+    2026-04-13 "imuxsock: bound per-pid ratelimiter cache"): before
+    inserting a new pid, dead senders are pruned
+    (prunePidRatelimiters — kill(pid,0) liveness) and the table is
+    capped at MAX_DYNAMIC_RATELIMITERS=4096 entries
+    (enforcePidRatelimiterCap evicts one) so short-lived senders
+    cannot grow state for the daemon's lifetime.
     """
 
-    def __init__(self, spool_dir: str, *, sock_path: str, **kw):
+    #: imuxsock.c:193 MAX_DYNAMIC_RATELIMITERS
+    MAX_DYNAMIC_RATELIMITERS = 4096
+
+    def __init__(self, spool_dir: str, *, sock_path: str,
+                 ratelimit_interval: int = 0,
+                 ratelimit_burst: int = 200, **kw):
         super().__init__(spool_dir, inputname="imuxsock", **kw)
         if os.path.exists(sock_path):
             os.unlink(sock_path)
@@ -384,15 +401,72 @@ class imuxsock(SpoolBridge):
         self.sock.settimeout(0.2)
         self.sock_path = sock_path
         self._localhost = socket.gethostname()
+        self.rl_interval = int(ratelimit_interval)
+        self.rl_burst = int(ratelimit_burst)
+        #: pid → [window_start, admitted_in_window]
+        self._pid_rl: dict[int, list] = {}
+        if self.rl_interval > 0 and hasattr(socket, "SO_PASSCRED"):
+            self.sock.setsockopt(socket.SOL_SOCKET,
+                                 socket.SO_PASSCRED, 1)
+
+    def _prune_pid_ratelimiters(self) -> None:
+        """Drop state for dead senders (imuxsock.c:696-723: kill(pid,
+        0) == 0 or EPERM means alive; everything else is reaped)."""
+        dead = []
+        for pid in self._pid_rl:
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                dead.append(pid)
+            except PermissionError:
+                pass  # alive, owned by someone else
+            except OSError:
+                dead.append(pid)
+        for pid in dead:
+            del self._pid_rl[pid]
+
+    def _pid_admitted(self, pid: int | None) -> bool:
+        if self.rl_interval <= 0 or pid is None:
+            return True
+        rl = self._pid_rl.get(pid)
+        if rl is None:
+            # new sender: prune the dead, then cap (imuxsock.c:
+            # 643-644 — prune THEN enforce, both before insert)
+            self._prune_pid_ratelimiters()
+            if len(self._pid_rl) >= self.MAX_DYNAMIC_RATELIMITERS:
+                # evict one arbitrary entry to stay bounded
+                self._pid_rl.pop(next(iter(self._pid_rl)))
+            rl = self._pid_rl[pid] = [time.monotonic(), 0]
+        now = time.monotonic()
+        if now - rl[0] >= self.rl_interval:
+            rl[0], rl[1] = now, 0
+        rl[1] += 1
+        return rl[1] <= self.rl_burst
+
+    def _recv_with_pid(self) -> tuple[bytes, int | None]:
+        if self.rl_interval <= 0 or not hasattr(socket,
+                                                "SO_PASSCRED"):
+            return self.sock.recv(65535), None
+        import struct as _struct
+        data, anc, _flags, _addr = self.sock.recvmsg(
+            65535, socket.CMSG_SPACE(_struct.calcsize("3i")))
+        pid = None
+        for lvl, typ, cd in anc:
+            if lvl == socket.SOL_SOCKET and \
+                    typ == socket.SCM_CREDENTIALS:
+                pid = _struct.unpack("3i", cd[:12])[0]
+        return data, pid
 
     def _serve(self) -> None:
         while not self._stop.is_set():
             try:
-                data = self.sock.recv(65535)
+                data, pid = self._recv_with_pid()
             except socket.timeout:
                 continue
             except OSError:
                 break
+            if not self._pid_admitted(pid):
+                continue
             self.emit({
                 "line": data.decode("utf-8", errors="replace")
                             .rstrip("\n"),

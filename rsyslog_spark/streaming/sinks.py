@@ -479,22 +479,29 @@ def _z_single(payload: bytes, level: int) -> bytes:
 
 def _pool_send(rows, targets, *, framing, tls, comp, cdrv, level,
                flush_on_txend, keepalive=None, zcodec=None,
-               tuner=None):
+               tuner=None, stats=None):
     """omfwd native LB pool (omfwd.c doTryResume/pool walk): each
     message goes to ONE target, round-robin over healthy targets;
     connect/send failure suspends the target for the rest of the
     batch and its share re-routes to the survivors; all targets
-    dead → raise (the action retry/suspend wrapper takes over)."""
+    dead → raise (the action retry/suspend wrapper takes over).
+
+    ``stats``: per-target ``[connects, msgs, bytes]`` rows filled in
+    place (omfwd.c target_stats — num.connects counts every TCP
+    connect incl. re-routes/rebinds, ChangeLog 2026-04-13)."""
     import socket as _socket
 
     n = len(targets)
     conns: list = [None] * n
     cobjs: list = [None] * n
     dead = [False] * n
+    if stats is None:
+        stats = [[0, 0, 0] for _ in range(n)]
 
     def conn_for(i):
         if conns[i] is None:
             s = _socket.create_connection(targets[i], timeout=10)
+            stats[i][0] += 1
             if tuner is not None:
                 tuner(s)
             if keepalive:
@@ -532,6 +539,7 @@ def _pool_send(rows, targets, *, framing, tls, comp, cdrv, level,
                 return
             data = out
         s.sendall(data)
+        stats[i][2] += len(data)
 
     rr = 0
     try:
@@ -550,6 +558,7 @@ def _pool_send(rows, targets, *, framing, tls, comp, cdrv, level,
                     continue
                 try:
                     send(i, frame)
+                    stats[i][1] += 1
                     break
                 except OSError:
                     dead[i] = True
@@ -570,6 +579,7 @@ def _pool_send(rows, targets, *, framing, tls, comp, cdrv, level,
                     tail = cobjs[i].flush()
                     if tail:
                         s.sendall(tail)
+                        stats[i][2] += len(tail)
                 s.close()
             except OSError:
                 pass
@@ -592,6 +602,7 @@ def omfwd_sink(
     keepalive_time: int = 0,
     keepalive_intvl: int = 0,
     tcp_user_timeout: int = 0,
+    stats_out: dict | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """omfwd TCP forward (ref: tools/omfwd.c): RFC6587 framing —
     octet-counted (``LEN SP MSG``) or non-transparent (LF-terminated).
@@ -600,7 +611,16 @@ def omfwd_sink(
     sends one datagram per message (lossy by contract, like the
     reference). ``tls`` is a ``streaming.gtls.TLSConfig`` — the
     StreamDriver gtls client side (cert/CA paths must be readable on
-    every executor)."""
+    every executor).
+
+    ``stats_out``: when given, per-target statsobj counters in the
+    reference's shape (omfwd.c:2091-2116 — name
+    ``{TCP|UDP}-<target>-<port>``, counters ``bytes.sent``,
+    ``messages.sent``, ``num.connects``; num.connects counts every
+    TCP connect incl. pool re-routes, omfwd.c:1481 / ChangeLog
+    2026-04-13) are summed into it across batches. Executors report
+    the counts as mapPartitions output rows — no driver-side
+    accumulators or collect of data rows needed."""
     if framing not in ("octet-counted", "lf"):
         raise ValueError(f"unknown framing {framing!r}")
     if protocol not in ("tcp", "udp"):
@@ -674,18 +694,21 @@ def omfwd_sink(
                     except OSError:
                         pass
             if protocol == "tcp" and len(targets) > 1:
+                st = [[0, 0, 0] for _ in targets]
                 _pool_send(rows, targets, framing=framing, tls=tls,
                            comp=comp, cdrv=cdrv,
                            level=compression_level,
                            flush_on_txend=flush_on_txend,
-                           keepalive=ka, zcodec=zcodec, tuner=tune)
-                return iter(())
+                           keepalive=ka, zcodec=zcodec, tuner=tune,
+                           stats=st)
+                return iter((i, *c) for i, c in enumerate(st))
             if protocol == "udp":
                 # the reference's COMPRESS_SINGLE_MSG path runs
                 # BEFORE the UDP/TCP fork (omfwd.c:1781,1810) — the
                 # legacy '@(zN)host' selector compresses UDP
                 # datagrams too (ActionSendZipLevel semantics)
                 sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+                st = [[0, 0, 0] for _ in targets]
                 try:
                     rr = 0
                     for r in rows:
@@ -693,13 +716,18 @@ def omfwd_sink(
                         if comp == "single":
                             payload = _z_single(
                                 payload, compression_level)
-                        sock.sendto(payload,
-                                    targets[rr % len(targets)])
+                        ti = rr % len(targets)
+                        sock.sendto(payload, targets[ti])
+                        # num.connects stays 0 — connectionless
+                        st[ti][1] += 1
+                        st[ti][2] += len(payload)
                         rr += 1
                 finally:
                     sock.close()
-                return iter(())
+                return iter((i, *c) for i, c in enumerate(st))
+            st = [[0, 0, 0]]
             sock = socket.create_connection((host, port), timeout=30)
+            st[0][0] += 1
             tune(sock)
             if ka is not None:
                 # actionsendtcpkeepalive* / keepalive.* action params
@@ -725,6 +753,7 @@ def omfwd_sink(
             def send(data: bytes, *, final: bool = False) -> None:
                 if cobj is None:
                     sock.sendall(data)
+                    st[0][2] += len(data)
                     return
                 out = cobj.compress(data)
                 if final:
@@ -735,6 +764,7 @@ def omfwd_sink(
                         if cdrv == "zlib" else b""
                 if out:
                     sock.sendall(out)
+                    st[0][2] += len(out)
             try:
                 buf = bytearray()
                 for r in rows:
@@ -746,15 +776,29 @@ def omfwd_sink(
                         buf += str(len(payload)).encode() + b" " + payload
                     else:
                         buf += payload + b"\n"
+                    st[0][1] += 1
                     if len(buf) >= 256 * 1024:
                         send(bytes(buf))
                         buf.clear()
                 send(bytes(buf), final=True)
             finally:
                 sock.close()
-            return iter(())
+            return iter((i, *c) for i, c in enumerate(st))
 
-        lines.rdd.mapPartitions(per_partition).count()
+        # each partition reports (target_idx, connects, msgs, bytes)
+        # rows — tiny (#partitions × #targets tuples), summed here
+        # into the per-target statsobj counters
+        counts = lines.rdd.mapPartitions(per_partition).collect()
+        if stats_out is not None:
+            pfx = "TCP" if protocol == "tcp" else "UDP"
+            for i, conn_n, msg_n, byte_n in counts:
+                tname = f"{pfx}-{targets[i][0]}-{targets[i][1]}"
+                ctr = stats_out.setdefault(tname, {
+                    "bytes.sent": 0, "messages.sent": 0,
+                    "num.connects": 0})
+                ctr["num.connects"] += conn_n
+                ctr["messages.sent"] += msg_n
+                ctr["bytes.sent"] += byte_n
 
     return write
 

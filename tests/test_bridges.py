@@ -118,6 +118,63 @@ def test_imuxsock_unix_datagrams(spark, tmp_path):
     assert not os.path.exists(sp)   # socket cleaned up
 
 
+def test_imuxsock_perpid_ratelimit(spark, tmp_path):
+    """imuxsock per-PID rate limiting (imuxsock.c:640-694, SCM_
+    CREDENTIALS keyed): with interval 2s / burst 3, a sender pid
+    gets 3 messages through, the rest of its burst drops."""
+    import pytest
+
+    if not hasattr(socket, "SO_PASSCRED"):
+        pytest.skip("platform lacks SO_PASSCRED")
+    sp = str(tmp_path / "dev_log")
+    b = imuxsock(str(tmp_path / "spool"), sock_path=sp,
+                 ratelimit_interval=2, ratelimit_burst=3,
+                 flush_secs=0.2).start()
+    try:
+        tx = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+        for i in range(10):
+            tx.sendto(f"<86>su: msg {i}".encode(), sp)
+        tx.close()
+        df = _drain(b, spark, 3)
+        lines = sorted(r.line for r in df.collect())
+        assert lines == ["<86>su: msg 0", "<86>su: msg 1",
+                         "<86>su: msg 2"]
+    finally:
+        b.stop()
+
+
+def test_imuxsock_pid_cache_bounded(tmp_path):
+    """ChangeLog 2026-04-13 'imuxsock: bound per-pid ratelimiter
+    cache': dead sender pids are pruned before a new insert and the
+    table never exceeds MAX_DYNAMIC_RATELIMITERS — short-lived
+    senders cannot grow state unboundedly."""
+    import subprocess
+
+    sp = str(tmp_path / "dev_log")
+    b = imuxsock(str(tmp_path / "spool"), sock_path=sp,
+                 ratelimit_interval=2, ratelimit_burst=3)
+    try:
+        # a dead pid's state is pruned when the next new pid arrives
+        child = subprocess.Popen(["true"])
+        child.wait()
+        b._pid_rl[child.pid] = [0.0, 1]
+        assert b._pid_admitted(999999999 % 2**22 or 1)  # new pid
+        assert child.pid not in b._pid_rl
+        # cap enforcement: with the cap lowered, inserting one more
+        # LIVE-looking pid evicts instead of growing. Use our own
+        # pid (alive) plus sentinel entries for pid 1 (alive,
+        # kill→EPERM for non-root / 0 for root — both count alive).
+        b.MAX_DYNAMIC_RATELIMITERS = 2
+        b._pid_rl.clear()
+        import os as _os
+        b._pid_rl[1] = [0.0, 1]
+        b._pid_rl[_os.getpid()] = [0.0, 1]
+        assert b._pid_admitted(_os.getppid())
+        assert len(b._pid_rl) <= 2
+    finally:
+        b.stop()
+
+
 def test_imhttp_post_endpoint(spark, tmp_path):
     b = imhttp(str(tmp_path / "spool"), endpoint="/postrequest",
                flush_secs=0.2).start()

@@ -4773,6 +4773,108 @@ input(type="imfile" file="{srcdir}/*.log" ruleset="m"
     assert admitted(3) == 4
 
 
+def test_es_base_url_ipv6_port_detection():
+    """omelasticsearch computeBaseUrl (omelasticsearch.c:468-515) +
+    the 2026-04-15 IPv6 fix: strchr(host, ':') always matched inside
+    a bracketed IPv6 address so serverport was never appended — port
+    detection must look only after the closing ']'."""
+    from rsyslog_spark.config.runtime import _es_base_url
+
+    # plain host: port appended; embedded port: untouched
+    assert _es_base_url("localhost", 9200, False) == \
+        "http://localhost:9200/"
+    assert _es_base_url("localhost:9999", 9200, False) == \
+        "http://localhost:9999/"
+    # scheme given: kept; port still appended when absent
+    assert _es_base_url("https://es.example", 9200, False) == \
+        "https://es.example:9200/"
+    assert _es_base_url("http://es.example:9999", 9200, True) == \
+        "http://es.example:9999/"
+    # useHttps picks the scheme only when none is given
+    assert _es_base_url("es.example", 9200, True) == \
+        "https://es.example:9200/"
+    # IPv6 brackets WITHOUT port: the colons inside the address must
+    # not suppress the append (the pre-fix bug)
+    assert _es_base_url("[2001:db8::1]", 9200, False) == \
+        "http://[2001:db8::1]:9200/"
+    assert _es_base_url("http://[2001:db8::1]", 9200, False) == \
+        "http://[2001:db8::1]:9200/"
+    # IPv6 WITH port after the bracket: untouched
+    assert _es_base_url("[2001:db8::1]:9999", 9200, False) == \
+        "http://[2001:db8::1]:9999/"
+    # trailing slash stripped before composing (caller contract)
+    assert _es_base_url("localhost/", 9200, False) == \
+        "http://localhost:9200/"
+
+
+def test_tcp_ratelimit_drops_keep_batching(spark, tmp_path):
+    """ChangeLog 2026-04-13 'ratelimit: keep TCP batch processing on
+    drops' (tcps_sess.c:417-426: RS_RET_DISCARDMSG and helper errors
+    both map to RS_RET_OK): over-quota messages from one sender drop
+    silently while the REST of the same TCP session/batch — later
+    messages and other senders — keeps flowing; the drop is never a
+    fatal submit failure."""
+    import os
+    import socket
+    import threading
+    import time as _time
+
+    from rsyslog_spark.config.runtime import run_config_stream
+
+    pol = tmp_path / "policy.yaml"
+    pol.write_text('''perSource:
+  enabled: true
+  keyTemplate: "PerSourceKey"
+  default:
+    max: 3
+    window: 10s
+''')
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    conf = f'''
+template(name="PerSourceKey" type="string" string="%hostname%")
+ratelimit(name="ps" policy="{pol}")
+template(name="outfmt" type="string" string="%hostname% %msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="{tmp_path}/out" template="outfmt")
+}}
+input(type="imtcp" address="127.0.0.1" port="{port}" ruleset="m"
+      ratelimit.name="ps" spool="{tmp_path}/spool")
+'''
+
+    def send_when_up():
+        payload = b"".join(
+            [f"<13>Mar  1 01:00:00 chatty tag: c{i}\n".encode()
+             for i in range(10)]
+            # same session continues AFTER the over-quota run —
+            # these must still arrive
+            + [f"<13>Mar  1 01:00:00 quiet tag: q{i}\n".encode()
+               for i in range(2)])
+        for _ in range(100):
+            try:
+                c = socket.create_connection(("127.0.0.1", port),
+                                             timeout=0.2)
+                c.sendall(payload)
+                c.close()
+                return
+            except OSError:
+                _time.sleep(0.1)
+
+    th = threading.Thread(target=send_when_up)
+    th.start()
+    run_config_stream(spark, conf, checkpoint=str(tmp_path / "ck"),
+                      drain_grace=3.0)
+    th.join(timeout=10)
+    outdir = f"{tmp_path}/out"
+    txt = "".join(
+        open(os.path.join(outdir, p)).read()
+        for p in sorted(os.listdir(outdir)) if p.startswith("part"))
+    assert txt.count("chatty") == 3, txt   # quota enforced
+    assert txt.count("quiet") == 2, txt    # later msgs still flow
+
+
 def test_rswatch_debounce_and_duration():
     """rswatch analog unit behavior: a change younger than the
     debounce window serves the old policy; once older, it reloads;

@@ -70,8 +70,11 @@ def test_lb_2target_even_split(spark):
         lines = _msgs(100)
         df = spark.createDataFrame([(l,) for l in lines],
                                    "line string").coalesce(1)
-        omfwd_sink(["127.0.0.1", "127.0.0.1"], [s1.port, s2.port],
-                   framing="lf")(df, 0)
+        stats: dict = {}
+        sink = omfwd_sink(["127.0.0.1", "127.0.0.1"],
+                          [s1.port, s2.port],
+                          framing="lf", stats_out=stats)
+        sink(df, 0)
         import time
         deadline = time.time() + 10
         while time.time() < deadline and \
@@ -80,6 +83,26 @@ def test_lb_2target_even_split(spark):
         l1, l2 = s1.lines(), s2.lines()
         assert len(l1) == 50 and len(l2) == 50, (len(l1), len(l2))
         assert sorted(l1 + l2) == lines
+        # per-target statsobj counters (omfwd.c:2091-2116 naming;
+        # num.connects ChangeLog 2026-04-13): one connect per
+        # target, 50 messages each, bytes = sum of framed lines
+        n1 = f"TCP-127.0.0.1-{s1.port}"
+        n2 = f"TCP-127.0.0.1-{s2.port}"
+        assert stats[n1]["num.connects"] == 1
+        assert stats[n2]["num.connects"] == 1
+        assert stats[n1]["messages.sent"] == 50
+        assert stats[n2]["messages.sent"] == 50
+        assert stats[n1]["bytes.sent"] == sum(
+            len(l) + 1 for l in l1)
+        # a second batch on the SAME stats dict accumulates (the
+        # per-interval rebind counts as a new connect)
+        sink(df, 1)
+        deadline = time.time() + 10
+        while time.time() < deadline and \
+                len(s1.lines()) + len(s2.lines()) < 200:
+            time.sleep(0.2)
+        assert stats[n1]["num.connects"] == 2
+        assert stats[n1]["messages.sent"] == 100
     finally:
         s1.stop()
         s2.stop()
@@ -101,13 +124,24 @@ def test_lb_one_fail_reroutes(spark):
         lines = _msgs(60)
         df = spark.createDataFrame([(l,) for l in lines],
                                    "line string").coalesce(1)
+        stats: dict = {}
         omfwd_sink(["127.0.0.1", "127.0.0.1"], [s1.port, dead_port],
-                   framing="lf")(df, 0)
+                   framing="lf", stats_out=stats)(df, 0)
         import time
         deadline = time.time() + 10
         while time.time() < deadline and len(s1.lines()) < 60:
             time.sleep(0.2)
         assert sorted(s1.lines()) == lines
+        # the survivor carries the full message count on one
+        # connect; the dead target never completed a connect
+        # (omfwd.c:1481 increments AFTER a successful Connect)
+        assert stats[f"TCP-127.0.0.1-{s1.port}"] == {
+            "bytes.sent": sum(len(l) + 1 for l in lines),
+            "messages.sent": 60, "num.connects": 1}
+        assert stats[f"TCP-127.0.0.1-{dead_port}"][
+            "num.connects"] == 0
+        assert stats[f"TCP-127.0.0.1-{dead_port}"][
+            "messages.sent"] == 0
     finally:
         s1.stop()
 
@@ -219,3 +253,40 @@ def test_tcp_user_timeout_applied(spark):
                           socket.TCP_USER_TIMEOUT) == 45000
     cli.close()
     srv.close()
+
+
+def test_omfwd_num_connects_in_impstats_lines(spark, tmp_path):
+    """num.connects statistic (ChangeLog 2026-04-13): with impstats
+    loaded, a config-driven omfwd action surfaces its per-target
+    statsobj line — 'TCP-<target>-<port>: origin=omfwd bytes.sent=..
+    messages.sent=.. num.connects=..' — in the run's impstats
+    output, counter order matching omfwd.c:2102-2114."""
+    import re
+
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    s1 = _MiniTcpSrv()
+    try:
+        src = tmp_path / "in.log"
+        src.write_text("".join(
+            f"<13>Mar  1 01:00:00 h tag: m{i}\n" for i in range(7)))
+        run = run_config_batch(spark, f'''
+module(load="impstats")
+template(name="fwd" type="string" string="%msg%")
+ruleset(name="m") {{
+  action(type="omfwd" target="127.0.0.1" port="{s1.port}"
+         protocol="tcp" template="fwd")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+        name = f"TCP-127.0.0.1-{s1.port}"
+        assert name in run.omfwd_stats
+        assert run.omfwd_stats[name]["messages.sent"] == 7
+        assert run.omfwd_stats[name]["num.connects"] >= 1
+        line = next(l for l in run.impstats_lines()
+                    if l.startswith(name))
+        assert re.search(
+            r"origin=omfwd bytes\.sent=\d+ messages\.sent=7 "
+            r"num\.connects=\d+", line), line
+    finally:
+        s1.stop()
