@@ -186,12 +186,6 @@ def collect_all() -> dict[str, Query]:
 #: in-window for a second green round.
 _TAIL = ("html_text_extraction", "ngram_top_counts",
          "sequence_packing", "stratified_sample_docs",
-         # parked r7 (green >=4 rounds incl. r6)
-         "action_exec_controls", "dynstats_hourly",
-         "top_revenue_orders", "training_pipeline_e2e",
-         "multimodal_battery", "doc_repetition_filter",
-         "exact_substring_dedup", "similarity_topk_ivf",
-         "semantic_dedup",
          # parked r7 wave 2 (green >=3 rounds incl. r6) — making
          # window room for the NEW r7 oracle queries
          # imdocker_jsonlog_parse + imkmsg_header_parse
@@ -220,7 +214,22 @@ _TAIL = ("html_text_extraction", "ngram_top_counts",
          # parked r9 wave 2 (green r7+r8, body untouched) — room for
          # the NEW pri_filter_negated oracle (pins the negated
          # selector fix in the driver gate)
-         "mmjsontransform_unflatten")
+         "mmjsontransform_unflatten",
+         # parked r10 (green r8+r9, bodies untouched this round) —
+         # room for the 9 rotated-back longest-parked r7 cohort
+         # (action_exec_controls, dynstats_hourly,
+         # top_revenue_orders, training_pipeline_e2e,
+         # multimodal_battery, doc_repetition_filter,
+         # exact_substring_dedup, similarity_topk_ivf,
+         # semantic_dedup) plus the NEW tls_peer_wildcard_matrix
+         # oracle. Both r9 newcomers (tcp_compression_roundtrip,
+         # pri_filter_negated) stay in-window for a second green
+         # round.
+         "flagship_parse_route", "rfc5424_roundtrip_fields",
+         "faup_url_decompose", "template_render", "scalar_battery",
+         "scalar_battery_misc", "json_tree_battery",
+         "lookup_battery", "timestamp_render_battery",
+         "mmsnareparse_win_event")
 
 
 def tail_body_hash(q: Query) -> str:

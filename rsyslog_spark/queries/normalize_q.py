@@ -1300,3 +1300,113 @@ def tcp_compression_roundtrip(spark, sf_dir):
         .alias("single_ok"),
         F.sum(F.length("orig")).cast("long").alias("total_chars"),
     )
+
+
+#: cert-name × permitted-peer matrix rows (10 names × 12 peers —
+#: every combination appears for event_id % 120 coverage). Shared
+#: between the Spark query and its oracle so both sides index the
+#: SAME vectors.
+_TLS_NAMES = [
+    "client.example.net", "a.b.example.net", "server1.example.net",
+    "host.example.org", "example.net", "CLIENT.example.net",
+    "client.example.net.", "clientX.example.net",
+    "deep.sub.domain.example.net", "localhost",
+]
+_TLS_PEERS = [
+    "client.example.net", "*.example.net", "*client.example.net",
+    "client*.example.net", "*", "*.*.example.net",
+    "client.example.*", "a*b.example.net", "*.example.net.",
+    "localhost", "*.sub.domain.example.net", "host.*.org",
+]
+
+
+def _tls_sql_list(vals):
+    return "[" + ", ".join("'" + v + "'" for v in vals) + "]"
+
+
+@q(
+    "tls_peer_wildcard_matrix",
+    f"""
+    WITH pairs AS (
+      SELECT ({_tls_sql_list(_TLS_NAMES)})[
+               CAST(event_id % 10 AS INT) + 1] AS cert_name,
+             ({_tls_sql_list(_TLS_PEERS)})[
+               CAST((event_id // 10) % 12 AS INT) + 1] AS peer
+      FROM events
+    )
+    SELECT cert_name, peer,
+           COUNT(*) AS n,
+           CAST(MAX(CASE WHEN
+             CASE WHEN strpos(peer, '*') = 0 THEN cert_name = peer
+             ELSE (
+               len(string_split(cert_name, '.'))
+                 = len(string_split(peer, '.'))
+               AND list_aggregate(
+                 list_transform(
+                   list_zip(string_split(peer, '.'),
+                            string_split(cert_name, '.')),
+                   t -> CASE
+                     WHEN t[1] = '*' THEN TRUE
+                     WHEN t[1] = '' THEN t[2] = ''
+                     WHEN strpos(t[1], '*') = 0 THEN t[2] = t[1]
+                     WHEN starts_with(t[1], '*')
+                          AND strpos(substr(t[1], 2), '*') = 0
+                       THEN ends_with(t[2], substr(t[1], 2))
+                     WHEN ends_with(t[1], '*')
+                          AND strpos(substr(t[1], 1, len(t[1]) - 1),
+                                     '*') = 0
+                       THEN starts_with(
+                              t[2], substr(t[1], 1, len(t[1]) - 1))
+                     ELSE FALSE END),
+                 'bool_and')
+             ) END
+           THEN 1 ELSE 0 END) AS BIGINT) AS accepted
+    FROM pairs GROUP BY cert_name, peer
+    """,
+    doc="TLS x509/name peer-authorization matrix (runtime/net.c:150-"
+        "460 AddPermittedPeerWildcard/PermittedPeerWildcardMatch, "
+        "driven through streaming/gtls.py check_peer's matcher): "
+        "PermittedPeer wildcards are COMPONENT-WISE — '*' never "
+        "crosses a dot, '*suffix'/'prefix*' match within one domain "
+        "part, component counts must agree exactly, empty components "
+        "(trailing dot) must pair with empty, no-'*' peers strcmp, "
+        "invalid wildcards ('a*b') fail closed. The oracle "
+        "reimplements the component algebra in SQL over the same "
+        "name×peer matrix, so a glob-library shortcut (fnmatch would "
+        "let '*.example.net' accept 'a.b.example.net') hash-"
+        "mismatches.",
+)
+def tls_peer_wildcard_matrix(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.element_at(
+            F.array(*[F.lit(x) for x in _TLS_NAMES]),
+            (F.col("event_id") % 10).cast("int") + 1
+        ).alias("cert_name"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _TLS_PEERS]),
+            F.expr("cast(event_id div 10 % 12 as int)") + 1
+        ).alias("peer"),
+    )
+
+    def judge(pdfs):
+        import pandas as pd
+
+        from rsyslog_spark.streaming.gtls import permitted_peer_match
+
+        for pdf in pdfs:
+            yield pd.DataFrame({
+                "cert_name": pdf["cert_name"],
+                "peer": pdf["peer"],
+                "ok": [
+                    int(permitted_peer_match(n, p))
+                    for n, p in zip(pdf["cert_name"], pdf["peer"])
+                ],
+            })
+
+    judged = pairs.mapInPandas(
+        judge, "cert_name string, peer string, ok long")
+    return judged.groupBy("cert_name", "peer").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("ok").alias("accepted"),
+    )

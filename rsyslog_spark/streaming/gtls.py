@@ -29,10 +29,59 @@ Auth modes (nsd_gtls.c:COMMON auth handling):
 
 from __future__ import annotations
 
-import fnmatch
 import hashlib
 import ssl
 from dataclasses import dataclass, field
+
+
+def permitted_peer_match(name: str, peer: str) -> bool:
+    """The reference's PermittedPeer wildcard semantics
+    (runtime/net.c:150-460 AddPermittedPeerWildcard /
+    PermittedPeerWildcardCompile / PermittedPeerWildcardMatch):
+
+    - a peer with NO '*' anywhere compares with plain strcmp;
+    - otherwise matching is COMPONENT-WISE over '.'-separated domain
+      parts — '*' never crosses a dot (fnmatch-style globbing would
+      wrongly let '*.example.net' accept 'a.b.example.net');
+    - component forms: plain text (exact), '*' (matches any one
+      component), '*suffix' (component ends with suffix), 'prefix*'
+      (component starts with prefix), '' (component must be empty —
+      e.g. a trailing dot);
+    - component counts must agree exactly (net.c:383-386, 449-455);
+    - '*' in the middle ('a*b') or doubled ('*a*') is an invalid
+      wildcard (net.c:182-192 RS_RET_INVALID_WILDCARD) — treated as
+      non-matching here (fail closed; the reference aborts compile
+      and logs 'error compiling wildcard expression').
+    """
+    if "*" not in peer:
+        return name == peer
+    pcomps = peer.split(".")
+    ncomps = name.split(".")
+    if len(pcomps) != len(ncomps):
+        return False
+    for p, n in zip(pcomps, ncomps):
+        if p == "*":
+            continue
+        if p == "":
+            if n != "":
+                return False
+        elif p.startswith("*"):
+            suffix = p[1:]
+            if "*" in suffix:
+                return False  # invalid wildcard — fail closed
+            if not n.endswith(suffix):
+                return False
+        elif p.endswith("*"):
+            prefix = p[:-1]
+            if "*" in prefix:
+                return False  # invalid wildcard — fail closed
+            if not n.startswith(prefix):
+                return False
+        elif "*" in p:
+            return False  # invalid wildcard — fail closed
+        elif p != n:
+            return False
+    return True
 
 
 @dataclass
@@ -126,6 +175,6 @@ def check_peer(sock: ssl.SSLSocket, cfg: TLSConfig) -> None:
     names += [v for k, v in cert.get("subjectAltName", ())
               if k == "DNS"]
     for peer_glob in cfg.permitted_peers:
-        if any(fnmatch.fnmatch(n, peer_glob) for n in names):
+        if any(permitted_peer_match(n, peer_glob) for n in names):
             return
     raise PermissionError(f"peer name not permitted: {names}")

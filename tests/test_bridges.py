@@ -2548,3 +2548,39 @@ def test_imtcp_invalid_limits_rejected(tmp_path):
         imtcp(str(tmp_path / "s2"), max_frame_size=0)
     with pytest.raises(ValueError):
         imtcp(str(tmp_path / "s3"), max_sessions="abc")
+
+
+def test_permitted_peer_wildcard_semantics():
+    """PermittedPeer matching is the reference's COMPONENT-WISE
+    algorithm (runtime/net.c:150-460), not fnmatch globbing: '*'
+    never crosses a dot, '*suffix'/'prefix*' match within one
+    domain component, component counts must agree, '' pairs with
+    empty (trailing dot), invalid wildcards fail closed."""
+    from rsyslog_spark.streaming.gtls import permitted_peer_match as m
+
+    # plain strcmp (case-sensitive, no normalization)
+    assert m("client.example.net", "client.example.net")
+    assert not m("CLIENT.example.net", "client.example.net")
+    # '*' component never crosses a dot — the fnmatch divergence
+    assert m("client.example.net", "*.example.net")
+    assert not m("a.b.example.net", "*.example.net")
+    # component counts must agree exactly
+    assert not m("example.net", "*.example.net")
+    assert not m("client.example.net", "*")
+    assert m("localhost", "*")
+    # *suffix / prefix* within one component
+    assert m("client.example.net", "*client.example.net")
+    assert not m("clientX.example.net", "*client.example.net")
+    assert m("clientX.example.net", "client*.example.net")
+    assert m("client.example.net", "client*.example.net")
+    # wildcard in any component position
+    assert m("host.example.org", "host.*.org")
+    assert m("deep.sub.domain.example.net",
+             "*.sub.domain.example.net")
+    assert m("client.example.net", "client.example.*")
+    # trailing dot = trailing empty component on both sides
+    assert m("client.example.net.", "*.example.net.")
+    assert not m("client.example.net", "*.example.net.")
+    # invalid wildcards (net.c RS_RET_INVALID_WILDCARD) fail closed
+    assert not m("aXb.example.net", "a*b.example.net")
+    assert not m("anything.example.net", "*a*.example.net")
