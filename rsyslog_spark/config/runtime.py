@@ -604,10 +604,37 @@ def _apply_persource_ratelimit(cfg: ParsedConfig, inp: dict | None,
     SILENTLY with discard status — never counted as submitted).
     One shuffle on (key, window-bucket); row_number against a
     per-key quota column keeps variable override windows in one
-    pass."""
+    pass.
+
+    Inline ``ratelimit.interval``/``ratelimit.burst`` (the legacy
+    per-listener path) admit ``burst`` rows per ``interval`` seconds
+    for the whole input. ``ratelimit.name`` and the inline pair are
+    MUTUALLY EXCLUSIVE (ChangeLog 2026-02-27 'wire ratelimit.name
+    into remaining modules' — every module got the same
+    exclusivity check when the shared-object path landed)."""
     lin = {k.lower(): v for k, v in (inp or {}).items()}
     name = lin.get("ratelimit.name")
+    ivl = int(lin.get("ratelimit.interval", 0) or 0)
+    burst = int(lin.get("ratelimit.burst", 0) or 0)
+    if name and (lin.get("ratelimit.interval") is not None
+                 or lin.get("ratelimit.burst") is not None):
+        raise ValueError(
+            f"input(type={lin.get('type')!r}): ratelimit.name and "
+            "ratelimit.interval/ratelimit.burst are mutually "
+            "exclusive - use the shared ratelimit() object OR the "
+            "inline parameters")
     if not name:
+        if ivl > 0 and burst > 0:
+            from pyspark.sql import Window
+
+            ts = "timegenerated" if "timegenerated" in frame.columns \
+                else "timereported"
+            bucket = F.floor(F.unix_timestamp(F.col(ts)) / ivl)
+            w = Window.partitionBy(bucket).orderBy(
+                F.monotonically_increasing_id())
+            return frame.withColumn(
+                "__rl_rn", F.row_number().over(w)
+            ).filter(F.col("__rl_rn") <= burst).drop("__rl_rn")
         return frame
     pol = _persource_policy(cfg, name)
     if pol is None:
@@ -2103,6 +2130,10 @@ def _tls_from_input(inp: dict, directives: dict):
         authmode=authmode,
         permitted_peers=[] if is_fp else peers,
         permitted_fingerprints=peers if is_fp else [],
+        # streamdriver.crlfile (imtcp.c:264) with the global
+        # $DefaultNetstreamDriverCRLFile fallback (imtcp.c:826)
+        crlfile=(par("streamdriver.crlfile", "streamdrivercrlfile")
+                 or directives.get("defaultnetstreamdrivercrlfile")),
     )
 
 

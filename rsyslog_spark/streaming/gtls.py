@@ -92,6 +92,13 @@ class TLSConfig:
     authmode: str = "anon"
     permitted_peers: list[str] = field(default_factory=list)
     permitted_fingerprints: list[str] = field(default_factory=list)
+    #: certificate revocation list (streamdriver.crlfile /
+    #: $DefaultNetstreamDriverCRLFile; nsd_gtls.c:786-890) — loaded
+    #: into the verify store with leaf CRL checking, and validity-
+    #: checked at CONFIG TIME per the 2026-03-25 fix (GnuTLS
+    #: silently ignored expired CRLs; the reference now rejects
+    #: "CRL '%s' has expired" / "not yet valid" at load)
+    crlfile: str | None = None
 
     def __post_init__(self) -> None:
         valid = ("anon", "x509/certvalid", "x509/name",
@@ -136,7 +143,52 @@ def _base_context(cfg: TLSConfig, purpose) -> ssl.SSLContext:
                 "Error: CA certificate could not be accessed. "
                 f"OpenSSL Error Stack: {exc}") from exc
         ctx.verify_mode = ssl.CERT_REQUIRED
+        if cfg.crlfile:
+            _check_crl_validity(cfg.crlfile)
+            try:
+                ctx.load_verify_locations(cafile=cfg.crlfile)
+            except (OSError, ssl.SSLError) as exc:
+                raise TLSSetupError(
+                    "error parsing Certificate revocation list "
+                    f"(CRL) '{cfg.crlfile}': {exc}") from exc
+            # leaf revocation checking — OpenSSL additionally
+            # rejects expired CRLs at handshake with
+            # X509_V_ERR_CRL_HAS_EXPIRED, the behavior the gtls
+            # driver was fixed to match
+            ctx.verify_flags |= ssl.VERIFY_CRL_CHECK_LEAF
     return ctx
+
+
+def _check_crl_validity(crlfile: str) -> None:
+    """Config-time CRL validity-period check (nsd_gtls.c:857-877,
+    ChangeLog 2026-03-25): a CRL whose thisUpdate is in the future is
+    'not yet valid'; one whose nextUpdate has passed 'has expired' —
+    both reject at load instead of silently accepting connections.
+    Needs the (public) pyca/cryptography parser; when absent the
+    check is skipped and OpenSSL still rejects at handshake."""
+    try:
+        from cryptography import x509
+    except ImportError:
+        return
+    import datetime
+
+    with open(crlfile, "rb") as fh:
+        data = fh.read()
+    try:
+        crl = x509.load_pem_x509_crl(data)
+    except ValueError as exc:
+        raise TLSSetupError(
+            "error parsing Certificate revocation list (CRL) "
+            f"'{crlfile}': {exc}") from exc
+    now = datetime.datetime.now(datetime.timezone.utc)
+    this_upd = getattr(crl, "last_update_utc", None)
+    next_upd = getattr(crl, "next_update_utc", None)
+    if this_upd is not None and now < this_upd:
+        raise TLSSetupError(
+            f"CRL '{crlfile}' is not yet valid (thisUpdate is in "
+            "the future)")
+    if next_upd is not None and now > next_upd:
+        raise TLSSetupError(f"CRL '{crlfile}' has expired")
 
 
 def server_context(cfg: TLSConfig) -> ssl.SSLContext:

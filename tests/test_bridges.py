@@ -2584,3 +2584,164 @@ def test_permitted_peer_wildcard_semantics():
     # invalid wildcards (net.c RS_RET_INVALID_WILDCARD) fail closed
     assert not m("aXb.example.net", "a*b.example.net")
     assert not m("anything.example.net", "*a*.example.net")
+
+
+def _crl_materials(tmp):
+    """CA + two client certs + CRL builders via pyca/cryptography
+    (the container openssl CLI needs ca-config scaffolding for
+    CRLs; the library API is cleaner)."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.x509.oid import NameOID
+
+    now = datetime.datetime.now(datetime.timezone.utc)
+
+    def key():
+        return ec.generate_private_key(ec.SECP256R1())
+
+    def pem_key(k):
+        return k.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption())
+
+    ca_key = key()
+    ca_name = x509.Name(
+        [x509.NameAttribute(NameOID.COMMON_NAME, "crl-test-ca")])
+    ca_cert = (x509.CertificateBuilder()
+               .subject_name(ca_name).issuer_name(ca_name)
+               .public_key(ca_key.public_key())
+               .serial_number(x509.random_serial_number())
+               .not_valid_before(now - datetime.timedelta(days=1))
+               .not_valid_after(now + datetime.timedelta(days=2))
+               .add_extension(
+                   x509.BasicConstraints(ca=True, path_length=None),
+                   critical=True)
+               .sign(ca_key, hashes.SHA256()))
+
+    def issue(cn):
+        k = key()
+        cert = (x509.CertificateBuilder()
+                .subject_name(x509.Name(
+                    [x509.NameAttribute(NameOID.COMMON_NAME, cn)]))
+                .issuer_name(ca_name)
+                .public_key(k.public_key())
+                .serial_number(x509.random_serial_number())
+                .not_valid_before(now - datetime.timedelta(days=1))
+                .not_valid_after(now + datetime.timedelta(days=2))
+                .sign(ca_key, hashes.SHA256()))
+        return k, cert
+
+    def crl(revoked_serials, last_off_h, next_off_h):
+        b = (x509.CertificateRevocationListBuilder()
+             .issuer_name(ca_name)
+             .last_update(now + datetime.timedelta(
+                 hours=last_off_h))
+             .next_update(now + datetime.timedelta(
+                 hours=next_off_h)))
+        for s in revoked_serials:
+            b = b.add_revoked_certificate(
+                x509.RevokedCertificateBuilder()
+                .serial_number(s).revocation_date(now).build())
+        return b.sign(ca_key, hashes.SHA256())
+
+    def w(name, obj, is_key=False):
+        p = tmp / name
+        p.write_bytes(pem_key(obj) if is_key
+                      else obj.public_bytes(
+                          serialization.Encoding.PEM))
+        return str(p)
+
+    return ca_cert, ca_key, issue, crl, w
+
+
+def test_gtls_crl_expired_rejected_at_load(tmp_path):
+    """ChangeLog 2026-03-25 (nsd_gtls.c:857-877): an EXPIRED CRL —
+    or one not yet valid — is a config-time error, not a silently
+    ignored file; the reference's gtls driver was fixed to match
+    OpenSSL's X509_V_ERR_CRL_HAS_EXPIRED behavior."""
+    import pytest
+
+    pytest.importorskip("cryptography")
+    from rsyslog_spark.streaming.gtls import (
+        TLSConfig, TLSSetupError, server_context)
+
+    ca_cert, ca_key, issue, crl, w = _crl_materials(tmp_path)
+    srv_key, srv_cert = issue("server.example")
+    cfg = dict(
+        certfile=w("srv.crt", srv_cert),
+        keyfile=w("srv.key", srv_key, is_key=True),
+        cafile=w("ca.crt", ca_cert), authmode="x509/certvalid")
+
+    # expired CRL (nextUpdate in the past)
+    exp = w("expired.crl", crl([], -48, -24))
+    with pytest.raises(TLSSetupError, match="has expired"):
+        server_context(TLSConfig(**cfg, crlfile=exp))
+    # not-yet-valid CRL (thisUpdate in the future)
+    fut = w("future.crl", crl([], 24, 48))
+    with pytest.raises(TLSSetupError, match="not yet valid"):
+        server_context(TLSConfig(**cfg, crlfile=fut))
+    # garbage CRL file → parse error, reference message shape
+    bad = tmp_path / "bad.crl"
+    bad.write_text("not a crl")
+    with pytest.raises(TLSSetupError,
+                       match="error parsing Certificate revocation"):
+        server_context(TLSConfig(**cfg, crlfile=str(bad)))
+    # valid CRL loads fine
+    ok = w("ok.crl", crl([], -1, 24))
+    server_context(TLSConfig(**cfg, crlfile=ok))
+
+
+def test_gtls_crl_revoked_client_rejected(spark, tmp_path):
+    """A client certificate listed in the configured CRL fails the
+    handshake (VERIFY_CRL_CHECK_LEAF); a non-revoked client from the
+    same CA still gets through."""
+    import ssl
+
+    import pytest
+
+    pytest.importorskip("cryptography")
+    from rsyslog_spark.streaming.bridges import imtcp
+    from rsyslog_spark.streaming.gtls import TLSConfig
+
+    ca_cert, ca_key, issue, crl, w = _crl_materials(tmp_path)
+    srv_key, srv_cert = issue("server.example")
+    bad_key, bad_cert = issue("revoked.example")
+    ok_key, ok_cert = issue("clean.example")
+    crl_path = w("live.crl", crl([bad_cert.serial_number], -1, 24))
+    srv_tls = TLSConfig(
+        certfile=w("srv.crt", srv_cert),
+        keyfile=w("srv.key", srv_key, is_key=True),
+        cafile=w("ca.crt", ca_cert), authmode="x509/certvalid",
+        crlfile=crl_path)
+    w("bad.crt", bad_cert)
+    w("bad.key", bad_key, is_key=True)
+    w("ok.crt", ok_cert)
+    w("ok.key", ok_key, is_key=True)
+
+    b = imtcp(str(tmp_path / "spool"), tls=srv_tls,
+              flush_secs=0.2).start()
+    try:
+        def client(crt, key_, line):
+            c = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            c.check_hostname = False
+            c.verify_mode = ssl.CERT_NONE
+            c.load_cert_chain(str(tmp_path / crt),
+                              str(tmp_path / key_))
+            try:
+                sk = c.wrap_socket(socket.create_connection(
+                    ("127.0.0.1", b.port), timeout=5))
+                sk.sendall(line)
+                sk.close()
+            except OSError:
+                pass  # revoked peer: server aborts the handshake
+
+        client("bad.crt", "bad.key", b"<13>revoked line\n")
+        client("ok.crt", "ok.key", b"<13>clean line\n")
+        got = _drain(b, spark, 1)
+        assert [r.line for r in got.collect()] == ["<13>clean line"]
+    finally:
+        b.stop()

@@ -4773,6 +4773,50 @@ input(type="imfile" file="{srcdir}/*.log" ruleset="m"
     assert admitted(3) == 4
 
 
+def test_input_inline_ratelimit_and_name_exclusivity(spark,
+                                                     tmp_path):
+    """ChangeLog 2026-02-27 ('ratelimit: wire ratelimit.name into
+    remaining modules'): inline ratelimit.interval/ratelimit.burst
+    keep working as the legacy per-listener path, and combining them
+    with ratelimit.name is a config error (the mutual-exclusivity
+    check every module received with the shared-object support)."""
+    import os
+
+    import pytest
+
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text("".join(
+        f"<13>Mar  1 01:00:00 h tag: m{i}\n" for i in range(10)))
+    # inline path: burst 4 per 10s window → 4 of 10 admitted
+    run_config_batch(spark, f'''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="{tmp_path}/out" template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m"
+      ratelimit.interval="10" ratelimit.burst="4")
+''')
+    out = "".join(
+        open(os.path.join(f"{tmp_path}/out", p)).read()
+        for p in sorted(os.listdir(f"{tmp_path}/out"))
+        if p.startswith("part"))
+    assert out.count("m") == 4, out
+
+    # mutual exclusivity: name + inline burst → config error
+    pol = tmp_path / "pol.yaml"
+    pol.write_text("perSource:\n  enabled: true\n  default:\n"
+                   "    max: 5\n    window: 10s\n")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_config_batch(spark, f'''
+ratelimit(name="ps" policy="{pol}")
+ruleset(name="m") {{ action(type="omfile" file="{tmp_path}/o2") }}
+input(type="imfile" file="{src}" ruleset="m"
+      ratelimit.name="ps" ratelimit.burst="4")
+''')
+
+
 def test_es_base_url_ipv6_port_detection():
     """omelasticsearch computeBaseUrl (omelasticsearch.c:468-515) +
     the 2026-04-15 IPv6 fix: strchr(host, ':') always matched inside
