@@ -1041,7 +1041,10 @@ def _dispatch_action_inner(
             token=params.get("token"),
             compress=str(params.get("compress", "off")).lower()
             in ("on", "true", "1"),
-            compress_level=int(params.get("compress.level", "-1")))
+            compress_level=int(params.get("compress.level", "-1")),
+            # replymaxbytes (ChangeLog 2026-02-07, default 1 MiB)
+            reply_max_bytes=int(params.get("replymaxbytes",
+                                           1024 * 1024)))
         dyn = str(params.get("dynrestpath", "off")).lower() in (
             "on", "true", "1")
         doc = _rendered_lines(df, cfg, params)
@@ -1255,10 +1258,17 @@ def _omhttp_transport(base: str, path: str, *, fmt: str = "newline",
                       uid: str | None = None, pwd: str | None = None,
                       token: str | None = None,
                       compress: bool = False,
-                      compress_level: int = -1):
+                      compress_level: int = -1,
+                      reply_max_bytes: int = 1024 * 1024):
     """omhttp HTTP client (contrib/omhttp/omhttp.c buildCurlHeaders /
     serializeBatch*): batch-format body, custom headers, basic auth
-    (uid/pwd) or bearer token, gzip Content-Encoding on compress."""
+    (uid/pwd) or bearer token, gzip Content-Encoding on compress.
+
+    ``reply_max_bytes`` (omhttp 'replymaxbytes', ChangeLog
+    2026-02-07, default 1 MiB): the response body is read at most to
+    the cap; a larger reply aborts the transfer with an error (the
+    reference truncates the buffer and fails the transfer) instead
+    of buffering unboundedly."""
     def post(chunk: list[str], dyn_path: str | None = None) -> None:
         import base64
         import urllib.request
@@ -1284,7 +1294,12 @@ def _omhttp_transport(base: str, path: str, *, fmt: str = "newline",
         p = ("/" + dyn_path.lstrip("/")) if dyn_path else path
         req = urllib.request.Request(base + p, data=body,
                                      headers=hdrs)
-        urllib.request.urlopen(req, timeout=30).read()
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            got = resp.read(reply_max_bytes + 1)
+            if len(got) > reply_max_bytes:
+                raise RuntimeError(
+                    "omhttp: reply exceeds replymaxbytes="
+                    f"{reply_max_bytes} - transfer aborted")
 
     return post
 

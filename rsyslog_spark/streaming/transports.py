@@ -436,6 +436,12 @@ def otlp_log_payload(records: list[dict], *,
             "body": {"stringValue": r.get("body") or ""},
             "attributes": [],
         }
+        # observedTimeUnixNano = receive time, emitted when non-zero
+        # (otlp_json.c:419-422; fixed64 renders as a decimal STRING
+        # in proto3 JSON — the 2026-02-26 encoding fix)
+        if r.get("observed_time_unix_nano"):
+            rec["observedTimeUnixNano"] = str(
+                r["observed_time_unix_nano"])
         for k, attr in (("hostname", "log.syslog.hostname"),
                         ("appname", "log.syslog.appname"),
                         ("procid", "log.syslog.procid"),
@@ -461,9 +467,97 @@ def otlp_log_payload(records: list[dict], *,
     }]}
 
 
+def _pb_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_tag(field: int, wire: int) -> bytes:
+    return _pb_varint((field << 3) | wire)
+
+
+def _pb_len(field: int, payload: bytes) -> bytes:
+    return _pb_tag(field, 2) + _pb_varint(len(payload)) + payload
+
+
+def _pb_str(field: int, s: str) -> bytes:
+    return _pb_len(field, s.encode("utf-8"))
+
+
+def _pb_fixed64(field: int, v: int) -> bytes:
+    import struct
+    return _pb_tag(field, 1) + struct.pack("<Q", v & (2**64 - 1))
+
+
+def _pb_kv(key: str, value: bytes) -> bytes:
+    """KeyValue{key=1 string, value=2 AnyValue}."""
+    return _pb_str(1, key) + _pb_len(2, value)
+
+
+def otlp_logs_protobuf(records: list[dict], *,
+                       resource_attrs: dict | None = None) -> bytes:
+    """Native OTLP protobuf encoding (ChangeLog 2026-02-26 'omotel:
+    add native protobuf encoding (http/protobuf)'; ref: plugins/
+    omotel/otlp_protobuf.c over the PUBLIC opentelemetry-proto
+    schema). Minimal proto3 wire encoder — field numbers from
+    opentelemetry/proto/logs/v1/logs.proto:
+
+    ExportLogsServiceRequest{resource_logs=1}; ResourceLogs
+    {resource=1, scope_logs=2}; Resource{attributes=1}; ScopeLogs
+    {scope=1, log_records=2}; InstrumentationScope{name=1,
+    version=2}; LogRecord{time_unix_nano=1 fixed64,
+    severity_number=2, severity_text=3, body=5,
+    attributes=6, observed_time_unix_nano=11 fixed64};
+    AnyValue{string_value=1, int_value=3}; KeyValue{key=1,
+    value=2}. Same record dicts as :func:`otlp_log_payload`."""
+    def any_str(s: str) -> bytes:
+        return _pb_str(1, s)
+
+    def any_int(v: int) -> bytes:
+        return _pb_tag(3, 0) + _pb_varint(v)
+
+    logrecs = b""
+    for r in records:
+        num, text = OTEL_SEVERITY[min(max(r.get("severity", 6), 0),
+                                      7)]
+        lr = _pb_fixed64(1, int(r.get("time_unix_nano", 0)))
+        obs = int(r.get("observed_time_unix_nano", 0) or 0)
+        if obs:
+            lr += _pb_fixed64(11, obs)
+        lr += _pb_tag(2, 0) + _pb_varint(num)
+        lr += _pb_str(3, text)
+        lr += _pb_len(5, any_str(r.get("body") or ""))
+        for k, attr in (("hostname", "log.syslog.hostname"),
+                        ("appname", "log.syslog.appname"),
+                        ("procid", "log.syslog.procid"),
+                        ("msgid", "log.syslog.msgid")):
+            if r.get(k) is not None:
+                lr += _pb_len(6, _pb_kv(attr, any_str(str(r[k]))))
+        if r.get("facility") is not None:
+            lr += _pb_len(6, _pb_kv("log.syslog.facility",
+                                    any_int(int(r["facility"]))))
+        logrecs += _pb_len(2, lr)   # ScopeLogs.log_records
+
+    scope = _pb_str(1, "rsyslog.omotel") + _pb_str(2, "spark")
+    scope_logs = _pb_len(1, scope) + logrecs
+    resource = b"".join(
+        _pb_len(1, _pb_kv(k, any_str(str(v))))
+        for k, v in (resource_attrs or {}).items())
+    resource_logs = _pb_len(1, resource) + _pb_len(2, scope_logs)
+    return _pb_len(1, resource_logs)
+
+
 def omotel_sink(
     endpoint: str,
     *,
+    protocol: str = "http/json",
     batch_max_items: int = 512,
     resource_attrs: dict | None = None,
     line_col: str = "msg",
@@ -476,10 +570,17 @@ def omotel_sink(
     time_col: str = "timereported",
     headers: dict | None = None,
 ) -> Callable[[DataFrame, int], None]:
-    """POST OTLP/JSON log batches to ``<endpoint>/v1/logs`` (ref:
+    """POST OTLP log batches to ``<endpoint>/v1/logs`` (ref:
     plugins/omotel/omotel_http.c; batch cap OMOTEL_DEFAULT_BATCH_
     MAX_ITEMS=512, omotel.c:502). Per-partition HTTP connections;
-    non-2xx raises so retrying_foreach_batch suspends the action."""
+    non-2xx raises so retrying_foreach_batch suspends the action.
+
+    ``protocol`` (ChangeLog 2026-02-26): ``http/json`` (default) or
+    ``http/protobuf`` — binary OTLP encoding with Content-Type
+    application/x-protobuf, the preferred high-volume transport."""
+    if protocol not in ("http/json", "http/protobuf"):
+        raise ValueError(f"omotel: unknown protocol {protocol!r} - "
+                         "use 'http/json' or 'http/protobuf'")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         def opt(c, name):
@@ -496,17 +597,27 @@ def omotel_sink(
             opt(msgid_col, "msgid"),
             (F.unix_micros(F.col(time_col).cast("timestamp")) * 1000)
             .alias("time_unix_nano"),
+            ((F.unix_micros(F.col("timegenerated").cast("timestamp"))
+              * 1000) if "timegenerated" in batch_df.columns
+             else F.lit(0)).alias("observed_time_unix_nano"),
         )
 
         def per_partition(rows):
             import urllib.request
 
             def post(recs):
-                payload = json.dumps(otlp_log_payload(
-                    recs, resource_attrs=resource_attrs)).encode()
+                if protocol == "http/protobuf":
+                    payload = otlp_logs_protobuf(
+                        recs, resource_attrs=resource_attrs)
+                    ctype = "application/x-protobuf"
+                else:
+                    payload = json.dumps(otlp_log_payload(
+                        recs,
+                        resource_attrs=resource_attrs)).encode()
+                    ctype = "application/json"
                 req = urllib.request.Request(
                     endpoint.rstrip("/") + "/v1/logs", data=payload,
-                    headers={"Content-Type": "application/json",
+                    headers={"Content-Type": ctype,
                              **(headers or {})})
                 resp = urllib.request.urlopen(req, timeout=30)
                 if not (200 <= resp.status < 300):

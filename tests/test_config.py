@@ -4773,6 +4773,44 @@ input(type="imfile" file="{srcdir}/*.log" ruleset="m"
     assert admitted(3) == 4
 
 
+def test_omhttp_replymaxbytes(tmp_path):
+    """omhttp replymaxbytes (ChangeLog 2026-02-07, default 1 MiB): a
+    reply larger than the cap aborts the transfer with an error
+    instead of buffering unboundedly; replies under the cap are
+    read normally."""
+    import http.server
+    import threading
+
+    import pytest
+
+    from rsyslog_spark.config.runtime import _omhttp_transport
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            big = b"y" * (8192 if self.path == "/big" else 10)
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(big)))
+            self.end_headers()
+            self.wfile.write(big)
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        # under the cap: fine
+        _omhttp_transport(base, "/small",
+                          reply_max_bytes=4096)(["l1"])
+        # over the cap: abort with the replymaxbytes error
+        with pytest.raises(RuntimeError, match="replymaxbytes"):
+            _omhttp_transport(base, "/big",
+                              reply_max_bytes=4096)(["l1"])
+    finally:
+        httpd.shutdown()
+
+
 def test_input_inline_ratelimit_and_name_exclusivity(spark,
                                                      tmp_path):
     """ChangeLog 2026-02-27 ('ratelimit: wire ratelimit.name into

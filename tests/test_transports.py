@@ -282,6 +282,128 @@ def test_omotel_payload_and_post(spark, tmp_path):
     assert attrs["log.syslog.facility"] == {"intValue": "0"}
 
 
+def _pb_walk(buf: bytes) -> list[tuple[int, int, object]]:
+    """Minimal proto3 wire-format reader for the test: returns
+    (field, wiretype, value) tuples; length-delimited values come
+    back as raw bytes for recursive walking."""
+    import struct
+
+    out, i = [], 0
+
+    def varint():
+        nonlocal i
+        v = s = 0
+        while True:
+            b = buf[i]
+            i += 1
+            v |= (b & 0x7F) << s
+            if not b & 0x80:
+                return v
+            s += 7
+
+    while i < len(buf):
+        key = varint()
+        field, wt = key >> 3, key & 7
+        if wt == 0:
+            out.append((field, wt, varint()))
+        elif wt == 1:
+            out.append((field, wt,
+                        struct.unpack("<Q", buf[i:i + 8])[0]))
+            i += 8
+        elif wt == 2:
+            n = varint()
+            out.append((field, wt, buf[i:i + n]))
+            i += n
+        else:
+            raise AssertionError(f"unexpected wiretype {wt}")
+    return out
+
+
+def test_otlp_protobuf_encoding():
+    """omotel http/protobuf (ChangeLog 2026-02-26; otlp_protobuf.c
+    over the public opentelemetry-proto schema): the hand-rolled
+    encoder produces a valid ExportLogsServiceRequest — field
+    numbers, wire types, fixed64 timestamps, nested AnyValue/
+    KeyValue — verified by walking the wire format."""
+    from rsyslog_spark.streaming.transports import otlp_logs_protobuf
+
+    buf = otlp_logs_protobuf(
+        [{"body": "oom kill", "severity": 2,
+          "time_unix_nano": 1755100000123456789,
+          "observed_time_unix_nano": 1755100001000000000,
+          "hostname": "web01", "facility": 0}],
+        resource_attrs={"service.name": "syslog"})
+    # ExportLogsServiceRequest.resource_logs = 1
+    (f, wt, rl), = _pb_walk(buf)
+    assert (f, wt) == (1, 2)
+    rl_fields = _pb_walk(rl)
+    resource = next(v for fld, _, v in rl_fields if fld == 1)
+    scope_logs = next(v for fld, _, v in rl_fields if fld == 2)
+    # Resource.attributes[0] = KeyValue{service.name}
+    (rf, _, kv), = _pb_walk(resource)
+    assert rf == 1
+    kvf = _pb_walk(kv)
+    assert next(v for fld, _, v in kvf if fld == 1) == b"service.name"
+    anyv = next(v for fld, _, v in kvf if fld == 2)
+    assert _pb_walk(anyv) == [(1, 2, b"syslog")]
+    # ScopeLogs{scope=1, log_records=2}
+    sl = _pb_walk(scope_logs)
+    scope = next(v for fld, _, v in sl if fld == 1)
+    assert (1, 2, b"rsyslog.omotel") in _pb_walk(scope)
+    lr = _pb_walk(next(v for fld, _, v in sl if fld == 2))
+    d = {}
+    for fld, _, v in lr:
+        d.setdefault(fld, []).append(v)
+    assert d[1] == [1755100000123456789]        # time fixed64
+    assert d[11] == [1755100001000000000]       # observed fixed64
+    assert d[2] == [22]                          # CRITICAL
+    assert d[3] == [b"CRITICAL"]
+    assert _pb_walk(d[5][0]) == [(1, 2, b"oom kill")]
+    attrs = {}
+    for a in d[6]:
+        af = _pb_walk(a)
+        k = next(v for fld, _, v in af if fld == 1)
+        attrs[k] = _pb_walk(next(v for fld, _, v in af if fld == 2))
+    assert attrs[b"log.syslog.hostname"] == [(1, 2, b"web01")]
+    assert attrs[b"log.syslog.facility"] == [(3, 0, 0)]
+
+
+def test_omotel_protobuf_post(spark):
+    """protocol='http/protobuf' posts binary OTLP with the protobuf
+    content type; the payload decodes back to the same record."""
+    import http.server
+
+    posts = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            posts.append((self.headers["Content-Type"],
+                          self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    df = spark.createDataFrame(
+        [("pb line", 6, 0, "web01", None, None, None,
+          "2026-08-14 01:02:03")],
+        "msg string, syslogseverity int, syslogfacility int, "
+        "hostname string, programname string, procid string, "
+        "msgid string, timereported string").coalesce(1)
+    omotel_sink(f"http://127.0.0.1:{httpd.server_address[1]}",
+                protocol="http/protobuf")(df, 0)
+    httpd.shutdown()
+    (ctype, body), = posts
+    assert ctype == "application/x-protobuf"
+    (f, wt, _rl), = _pb_walk(body)
+    assert (f, wt) == (1, 2)
+    assert b"pb line" in body
+
+
 def test_omuxsock_datagrams(spark, tmp_path):
     sp = str(tmp_path / "out.sock")
     rx = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
