@@ -360,9 +360,13 @@ def _noparse_frame(lines: DataFrame, imf: dict) -> DataFrame:
 def _outchannel_size_check(och: dict) -> None:
     """Size-capped rotation (ref: outchannel.c uSizeLimit +
     cmdOnSizeLimit; omfile.c:497-500 — when the written size passes
-    the cap, the configured command runs to rotate; legacy behavior
-    passes NO filename argument)."""
+    the cap, the configured command runs to rotate; legacy outchannel
+    behavior passes NO filename argument, while the action-level form
+    appends the target file name when
+    rotation.sizeLimitCommandPassFileName is on — stream.c:177
+    execProg(..., pszCurrFName), ChangeLog 2026-01-29)."""
     import os
+    import shlex
     import subprocess
 
     limit = int(och.get("maxsize", 0))
@@ -376,7 +380,10 @@ def _outchannel_size_check(och: dict) -> None:
     elif os.path.exists(path):
         total = os.path.getsize(path)
     if total > limit and och.get("command"):
-        subprocess.run(och["command"], shell=True, check=False)
+        cmd = och["command"]
+        if och.get("pass_filename"):
+            cmd = f"{cmd} {shlex.quote(path)}"
+        subprocess.run(cmd, shell=True, check=False)
 
 
 def _apply_oversize_policy(lines: DataFrame, cfg: ParsedConfig,
@@ -916,6 +923,23 @@ def _dispatch_action_inner(
             from rsyslog_spark.streaming.cryprov import (
                 provider_from_params)
             provider_from_params(params).encrypt_directory(out_path)
+        # action-level rotation.sizeLimit / rotation.sizeLimitCommand
+        # (omfile.c:320-322). rotation.sizeLimitCommandPassFileName
+        # (ChangeLog 2026-01-29): append the target file name to the
+        # rotate command — DEFAULT ON for the action form
+        # (stream.c:1169); the legacy $outchannel path keeps the
+        # historic no-filename behavior (omfile.c:499-500).
+        lp = {k.lower(): v for k, v in params.items()}
+        rlimit = int(lp.get("rotation.sizelimit", 0) or 0)
+        if rlimit > 0:
+            _outchannel_size_check({
+                "file": out_path,
+                "maxsize": rlimit,
+                "command": lp.get("rotation.sizelimitcommand"),
+                "pass_filename": str(lp.get(
+                    "rotation.sizelimitcommandpassfilename", "on")
+                ).lower() in ("on", "true", "1"),
+            })
         run.written[name] = out_path
         return
     if typ == "omfwd" and params.get("target"):
@@ -2310,6 +2334,10 @@ def run_config_stream(
                 if str(lin.get("supportoctetcountedframing", "on")
                        ).lower() in ("off", "false", "0"):
                     kw["support_octet_counted"] = False
+                # MultiLine (imtcp.c:676,1042; ChangeLog 2026-01-31)
+                if str(lin.get("multiline", "off")).lower() in (
+                        "on", "true", "1"):
+                    kw["multiline"] = True
                 if lin.get("maxsessions"):
                     kw["max_sessions"] = int(lin["maxsessions"])
                 # notifyOnConnection{Open,Close} (imptcp.c:221-222;

@@ -1565,6 +1565,7 @@ def split_tcp_frames(buf: bytes,
                      max_frame_size: int,
                      octet_counted: bool = True,
                      addtl_delim: int | None = None,
+                     multiline: bool = False,
                      ) -> tuple[list[bytes], bytes]:
     """RFC6587 frame split with per-frame autodetect (ref:
     tcps_sess.c): a frame starting with 1-9 digits followed by SP is
@@ -1579,6 +1580,15 @@ def split_tcp_frames(buf: bytes,
     imptcp.c:1186, "e.g. for netscreen"): a frame ends at '\\n' OR
     that byte, whichever comes first.
 
+    ``multiline`` = the imtcp MultiLine param (ChangeLog 2026-01-31;
+    tcps_sess.c:592-650 eInMsgCheckMultiLine): in LF framing a
+    delimiter ends the frame ONLY when the NEXT byte starts a new
+    header (``<``); otherwise the delimiter is message CONTENT
+    (continuation line). When the delimiter is the last byte of the
+    buffer the decision defers to the next chunk — the tail stays
+    unconsumed, exactly like the reference's check-next-packet
+    state. Octet-counted frames are unaffected.
+
     Returns (complete messages, unconsumed tail). Pure function over
     the buffer — the walk is index-based (zero per-frame copies) and
     chunk-boundary invariant: feeding any chunking of the same byte
@@ -1590,6 +1600,18 @@ def split_tcp_frames(buf: bytes,
             k2 = b.find(bytes([addtl_delim]), start)
             if k2 >= 0 and (k < 0 or k2 < k):
                 return k2
+        return k
+
+    def find_frame_end(b: bytes, start: int) -> int:
+        k = find_delim(b, start)
+        if not multiline:
+            return k
+        while k >= 0:
+            if k + 1 >= len(b):
+                return -1       # decision needs the next chunk
+            if b[k + 1] == 0x3C:  # next byte starts a '<PRI>' header
+                return k
+            k = find_delim(b, k + 1)   # continuation — LF is data
         return k
 
     pos = 0
@@ -1604,7 +1626,7 @@ def split_tcp_frames(buf: bytes,
         if j > pos and j < blen and buf[j] == 0x20:
             n = int(buf[pos:j])
             if n > max_frame_size:
-                k = find_delim(buf, pos)
+                k = find_frame_end(buf, pos)
                 if k < 0:
                     break
                 msgs.append(buf[pos:k])
@@ -1615,7 +1637,7 @@ def split_tcp_frames(buf: bytes,
             else:                               # incomplete
                 break
         else:
-            k = find_delim(buf, pos)
+            k = find_frame_end(buf, pos)
             if k < 0:
                 break
             msgs.append(buf[pos:k])
@@ -1675,6 +1697,7 @@ class imtcp(SpoolBridge):
                  keepalive_intvl: int = 0,
                  addtl_frame_delimiter: int | None = None,
                  support_octet_counted: bool = True,
+                 multiline: bool = False,
                  max_sessions: int | None = None,
                  notify_on_connection_open: bool = False,
                  notify_on_connection_close: bool = False,
@@ -1689,6 +1712,10 @@ class imtcp(SpoolBridge):
         #: supportOctetCountedFraming="off" (imptcp.c bSuppOctetFram;
         #: imptcp_no_octet_counted.sh): leading digits are data
         self.support_octet_counted = bool(support_octet_counted)
+        #: MultiLine (imtcp.c:676,1042 bMultiLine; ChangeLog
+        #: 2026-01-31): LF ends a frame only before a '<' header —
+        #: other LFs are continuation content
+        self.multiline = bool(multiline)
         #: maxSessions (tcpsrv.c:754): over-limit connects are
         #: dropped with the reference's diagnostic; invalid limits
         #: are config-load errors (ChangeLog 2026-04-12 imtcp limit
@@ -1884,7 +1911,8 @@ class imtcp(SpoolBridge):
                 msgs, buf = split_tcp_frames(
                     buf, self.max_frame_size,
                     octet_counted=self.support_octet_counted,
-                    addtl_delim=self.addtl_frame_delimiter)
+                    addtl_delim=self.addtl_frame_delimiter,
+                    multiline=self.multiline)
                 if msgs:
                     self._emit_msgs(msgs, peer, peer_port,
                                     legacy_z=legacy_z)
@@ -1936,11 +1964,17 @@ class imtcp(SpoolBridge):
                     msgs, buf = split_tcp_frames(
                         buf, self.max_frame_size,
                         octet_counted=self.support_octet_counted,
-                        addtl_delim=self.addtl_frame_delimiter)
+                        addtl_delim=self.addtl_frame_delimiter,
+                        multiline=self.multiline)
                     if msgs:
                         self._emit_msgs(msgs, peer, peer_port,
                                         legacy_z=legacy_z)
                     if buf.strip():
+                        # MultiLine defers the final LF decision to a
+                        # next chunk that never comes - close flushes
+                        # the pending frame without its trailing LF
+                        if self.multiline:
+                            buf = buf.rstrip(b"\n")
                         self._emit_msgs([buf], peer, peer_port,
                                         legacy_z=legacy_z)
         fd = -1

@@ -2745,3 +2745,66 @@ def test_gtls_crl_revoked_client_rejected(spark, tmp_path):
         assert [r.line for r in got.collect()] == ["<13>clean line"]
     finally:
         b.stop()
+
+
+def test_split_tcp_frames_multiline():
+    """imtcp MultiLine (ChangeLog 2026-01-31; tcps_sess.c:592-650):
+    LF ends a frame only when the NEXT byte is '<'; other LFs are
+    continuation content; a trailing LF defers the decision to the
+    next chunk (eInMsgCheckMultiLine)."""
+    from rsyslog_spark.streaming.bridges import split_tcp_frames
+
+    data = (b"<13>first line\ncontinued part\n"
+            b"<14>second\n<15>third\nwith more\n")
+    # without multiline: five LF frames
+    msgs, rest = split_tcp_frames(data, 8192)
+    assert len(msgs) == 5
+    # with multiline: LF before non-'<' is content; the final LF has
+    # no next byte -> deferred
+    msgs, rest = split_tcp_frames(data, 8192, multiline=True)
+    assert msgs == [b"<13>first line\ncontinued part",
+                    b"<14>second"]
+    assert rest == b"<15>third\nwith more\n"
+    # feeding the next chunk resolves the deferral
+    msgs2, rest2 = split_tcp_frames(rest + b"<16>next\n", 8192,
+                                    multiline=True)
+    assert msgs2 == [b"<15>third\nwith more"]
+    assert rest2 == b"<16>next\n"
+    # chunk-boundary invariance: byte-at-a-time feeding yields the
+    # same frames
+    acc, got = b"", []
+    for i in range(len(data)):
+        acc += data[i:i + 1]
+        m, acc = split_tcp_frames(acc, 8192, multiline=True)
+        got += m
+    assert got == [b"<13>first line\ncontinued part",
+                   b"<14>second"]
+    assert acc == b"<15>third\nwith more\n"
+    # octet-counted frames are unaffected by multiline
+    oc = b"11 <13>hello\n<14>next\n"
+    msgs, rest = split_tcp_frames(oc, 8192, multiline=True)
+    assert msgs[0] == b"<13>hello\n<" or msgs[0] == b"<13>hello\n"
+
+
+def test_imtcp_multiline_live(spark, tmp_path):
+    """Live imtcp with MultiLine=on: a Java-style multi-line
+    stacktrace stays ONE message; close flushes the pending frame
+    without its trailing LF."""
+    from rsyslog_spark.streaming.bridges import imtcp
+
+    b = imtcp(str(tmp_path / "spool"), multiline=True,
+              flush_secs=0.2).start()
+    try:
+        c = socket.create_connection(("127.0.0.1", b.port))
+        c.sendall(b"<13>app: exception\n  at Foo.bar(Foo.java:1)\n"
+                  b"  at Baz.qux(Baz.java:2)\n"
+                  b"<13>app: next event\n")
+        c.close()
+        df = _drain(b, spark, 2)
+        lines = sorted(r.line for r in df.collect())
+        assert lines == [
+            "<13>app: exception\n  at Foo.bar(Foo.java:1)\n"
+            "  at Baz.qux(Baz.java:2)",
+            "<13>app: next event"]
+    finally:
+        b.stop()

@@ -4773,6 +4773,70 @@ input(type="imfile" file="{srcdir}/*.log" ruleset="m"
     assert admitted(3) == 4
 
 
+def test_omfile_rotation_sizelimit_passfilename(spark, tmp_path):
+    """action-level rotation.sizeLimit/rotation.sizeLimitCommand
+    (omfile.c:320-322) with rotation.sizeLimitCommandPassFileName
+    (ChangeLog 2026-01-29, default ON for the action form —
+    stream.c:1169/177): the rotate command receives the target file
+    name as its argument; the legacy \$outchannel path keeps the
+    historic no-filename call (omfile.c:499-500)."""
+    import os
+
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text("".join(
+        f"<13>Mar  1 01:00:00 h tag: line {i}\n" for i in range(50)))
+    seen = tmp_path / "rotate_args.txt"
+    out = tmp_path / "out"
+    run_config_batch(spark, f'''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="{out}" template="outfmt"
+         rotation.sizeLimit="10"
+         rotation.sizeLimitCommand="echo rotated >> {seen}; echo")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+    # the command ran and its LAST argument is the target file name
+    # (appended to the final echo by PassFileName default on)
+    txt = seen.read_text()
+    assert "rotated" in txt
+    # re-run with PassFileName off: the appended args (if any) land
+    # on the tail command — here 'printf %s' captures them; off
+    # means it captures NOTHING
+    seen2 = tmp_path / "rotate_args2.txt"
+    run_config_batch(spark, f'''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" file="{out}2" template="outfmt"
+         rotation.sizeLimit="10"
+         rotation.sizeLimitCommand="printf %s > {seen2}"
+         rotation.sizeLimitCommandPassFileName="off")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+    assert seen2.exists() and seen2.read_text() == ""
+    # direct unit check of the filename plumbing
+    from rsyslog_spark.config.runtime import _outchannel_size_check
+    probe = tmp_path / "probe.txt"
+    big = tmp_path / "bigfile"
+    big.write_text("x" * 100)
+    _outchannel_size_check({
+        "file": str(big), "maxsize": 10,
+        "command": f"echo > /dev/null; cat /dev/null; echo rot >> "
+                   f"{probe}; true",
+        "pass_filename": False})
+    assert probe.read_text().strip() == "rot"
+    probe2 = tmp_path / "probe2.txt"
+    _outchannel_size_check({
+        "file": str(big), "maxsize": 10,
+        "command": f"printf '%s' > {probe2}",
+        "pass_filename": True})
+    assert probe2.read_text() == str(big)
+    assert os.path.exists(str(big))
+
+
 def test_omhttp_replymaxbytes(tmp_path):
     """omhttp replymaxbytes (ChangeLog 2026-02-07, default 1 MiB): a
     reply larger than the cap aborts the transfer with an error
