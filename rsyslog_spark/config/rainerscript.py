@@ -360,13 +360,17 @@ class _Parser:
         def _txt(d):
             return rs_str(_to_col(text_ast, d, tables, templates))
 
+        # whole-input validity (ChangeLog 2025-12-24): a prefix-valid
+        # string with trailing garbage ('{"a":1}xx') must FAIL
+        from rsyslog_spark.functions.json_fns import json_strict_ok
+
         def _store(d):
-            ok = F.try_parse_json(_txt(d)).isNotNull()
+            ok = json_strict_ok(_txt(d))
             prev = _var_col(container, d)
             return F.when(ok, _txt(d)).otherwise(prev)
 
         def _err(d):
-            return F.when(F.try_parse_json(_txt(d)).isNotNull(),
+            return F.when(json_strict_ok(_txt(d)),
                           F.lit(0)).otherwise(F.lit(1))
 
         def _ret(d):

@@ -81,8 +81,64 @@ def json_get_num(json_col: ColumnOrName, path: str) -> Column:
 
 def parse_json_variant(s: ColumnOrName) -> Column:
     """parse_json(str) → VARIANT (Spark 4). Invalid JSON → NULL, the
-    engine's script_error analog (ref doFunc_parse_json errno)."""
-    return F.try_parse_json(rs_str(s))
+    engine's script_error analog (ref doFunc_parse_json errno).
+    Strict: the ENTIRE input must be one JSON value (ChangeLog
+    2025-12-24) — try_parse_json alone accepts trailing garbage, so
+    it is gated on :func:`json_strict_ok`."""
+    c = rs_str(s)
+    return F.when(json_strict_ok(c), F.try_parse_json(c))
+
+
+def json_strict_ok(s: ColumnOrName) -> Column:
+    """Whole-input JSON validity — parse_json succeeds ONLY if the
+    ENTIRE string is one JSON value (ChangeLog 2025-12-24:
+    'rainerscript: ensure parse_json consumes entire input string' —
+    prevents false positives when a non-JSON string merely STARTS
+    with a valid value, e.g. '{"a":1}xx', '12 34', '"str"extra').
+    Spark's try_parse_json validates only a prefix, so full
+    consumption is checked here, all JVM-side:
+
+    - scalar roots validate against the complete JSON scalar grammar
+      (number/true/false/null) as one regex;
+    - string roots must BE one string literal (the string-stripped
+      text is exactly the placeholder);
+    - container roots run a depth walk (aggregate over chars of the
+      string-stripped text): the root must close exactly at the last
+      non-whitespace character, never dip below zero, and nothing
+      but whitespace may follow.
+    """
+    t = F.trim(rs_str(s))
+    variant_ok = F.try_parse_json(t).isNotNull()
+    first = F.substring(t, 1, 1)
+    # string literals (escapes included) collapse to '#', which
+    # carries no structural characters
+    stripped = F.regexp_replace(t, r'"(?:[^"\\]|\\.)*"', "#")
+    scalar_ok = t.rlike(
+        r"^(?:-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|true|false|null)$")
+    string_ok = stripped == "#"
+
+    def step(acc, c):
+        delta = (F.when(c.isin("{", "["), F.lit(1))
+                 .when(c.isin("}", "]"), F.lit(-1))
+                 .otherwise(F.lit(0)))
+        ndepth = acc.depth + delta
+        closes = c.isin("}", "]") & (ndepth == 0) & (~acc.done)
+        is_ws = c.isin(" ", "\t", "\r", "\n", "")
+        nbad = acc.bad | (ndepth < 0) | (acc.done & ~is_ws)
+        return F.struct(ndepth.alias("depth"),
+                        (acc.done | closes).alias("done"),
+                        nbad.alias("bad"))
+
+    st = F.aggregate(
+        F.split(stripped, ""),
+        F.struct(F.lit(0).alias("depth"), F.lit(False).alias("done"),
+                 F.lit(False).alias("bad")),
+        step)
+    container_ok = st.done & ~st.bad & (st.depth == 0)
+    full = (F.when(first.isin("{", "["), container_ok)
+            .when(first == '"', string_ok)
+            .otherwise(scalar_ok))
+    return variant_ok & full
 
 
 def append_json(dst_json: ColumnOrName, src_json: ColumnOrName) -> Column:

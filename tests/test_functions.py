@@ -322,3 +322,36 @@ def test_parse_time_localtz(spark, monkeypatch):
     finally:
         monkeypatch.delenv("TZ")
         _t.tzset()
+
+
+def test_parse_json_whole_input_strict(spark):
+    """ChangeLog 2025-12-24: parse_json succeeds ONLY when the entire
+    input is one JSON value - prefix-valid strings with trailing
+    content ('{"a":1}xx', '12 34', '"str"extra') must fail; valid
+    values of every root type (object/array/string/number/bool/null,
+    with surrounding whitespace) still pass."""
+    from pyspark.sql import functions as F
+
+    from rsyslog_spark.functions.json_fns import (json_strict_ok,
+                                                  parse_json_variant)
+
+    cases = [
+        # (input, strictly valid?)
+        ('{"a":1}', True), (' {"a": 1} ', True),
+        ('{"a":[1,{"b":2}]}', True), ("[1,2,3]", True),
+        ('"str"', True), ('"a\\"b"', True), ("123", True),
+        ("-12.5e3", True), ("true", True), ("false", True),
+        ("null", True), ('{"a":"}x{"}', True),
+        ('{"a":1}xx', False), ('{"a":1} {"b":2}', False),
+        ("[1,2] junk", False), ('"str"extra', False),
+        ("12 34", False), ("true true", False), ("123abc", False),
+        ("truex", False), ('{"a":1', False), ('{"a":1}}', False),
+        ("}", False), ("", False), ('"a" "b"', False),
+        ('123"x"', False),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "s string")
+    got = {r.s: (bool(r.ok), r.v is not None) for r in df.select(
+        "s", json_strict_ok("s").alias("ok"),
+        parse_json_variant("s").alias("v")).collect()}
+    for s, want in cases:
+        assert got[s] == (want, want), (s, got[s], want)
