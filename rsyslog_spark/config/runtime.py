@@ -942,7 +942,9 @@ def _dispatch_action_inner(
             })
         run.written[name] = out_path
         return
-    if typ == "omfwd" and params.get("target"):
+    if typ == "omfwd" and (params.get("target")
+                           or any(k.lower() == "targetsrv"
+                                  for k in params)):
         from rsyslog_spark.streaming.sinks import omfwd_sink
 
         fwd_default = cfg.directives.get(
@@ -951,6 +953,20 @@ def _dispatch_action_inner(
             params = {**params, "template": fwd_default}
         lines = _rendered_lines(df, cfg, params)
         proto = params.get("protocol", "udp").lower()
+        # targetSrv: DNS SRV discovery (ChangeLog 2026-01-02;
+        # omfwd.c:560-700): query _syslog._{tcp|udp}.<domain>,
+        # config error on conflict with target / empty answers
+        srv_dom = next((v for k, v in params.items()
+                        if k.lower() == "targetsrv"), None)
+        if srv_dom:
+            if params.get("target"):
+                raise ValueError(
+                    "omfwd: target and targetSrv are mutually "
+                    "exclusive")
+            hosts_ports = _resolve_srv_targets(srv_dom, proto)
+            params = {**params,
+                      "target": [h for h, _ in hosts_ports],
+                      "port": [p for _, p in hosts_ports]}
         # target/port accept ARRAYS — the native LB pool
         # (omfwd.c:233,237 eCmdHdlrArray; omfwd-lb-2target-basic.sh)
         rawp = params.get("port", "514")
@@ -1210,6 +1226,55 @@ def _with_retry(params: dict, write_fn):
         write_fn, max_retries=retries,
         resume_interval_s=float(_param(params, "action.resumeInterval",
                                        "1")))
+
+
+#: injectable SRV resolver for omfwd targetSrv — signature
+#: resolver(name) -> list of (priority, weight, port, host) tuples.
+#: None = use dnspython when importable, else config error (the
+#: reference needs libresolv the same way; tests inject a mock).
+SRV_RESOLVER = None
+
+
+def _resolve_srv_targets(domain: str, proto: str
+                         ) -> list[tuple[str, int]]:
+    """omfwd targetSrv discovery (ChangeLog 2026-01-02;
+    omfwd.c:560-700 resolveSrvTargets): query
+    ``_syslog._{tcp|udp}.<domain>``, strip trailing dots from target
+    names, reject empty answers ('no usable SRV records found'),
+    order by PRIORITY ascending. DOCUMENTED DIVERGENCE: within one
+    priority group the reference weight-shuffles RANDOMLY
+    (omfwd.c:665-695); here the group orders deterministically by
+    weight descending (then host/port) — load spreads via the LB
+    pool's round-robin anyway, and deterministic order keeps runs
+    reproducible."""
+    name = f"_syslog._{'tcp' if proto == 'tcp' else 'udp'}.{domain}"
+    resolver = SRV_RESOLVER
+    if resolver is None:
+        try:
+            import dns.resolver as _dns  # optional, public lib
+        except ImportError:
+            raise ValueError(
+                f"omfwd: targetSrv={domain!r} needs an SRV resolver "
+                "(dnspython not importable and no SRV_RESOLVER "
+                "injected)")
+
+        def resolver(n):
+            return [(r.priority, r.weight, r.port,
+                     str(r.target).rstrip("."))
+                    for r in _dns.resolve(n, "SRV")]
+    try:
+        recs = list(resolver(name))
+    except Exception as e:
+        raise ValueError(
+            f"omfwd: failed to resolve SRV records for '{name}': "
+            f"{e}") from e
+    recs = [(int(pr), int(w), int(port), str(h).rstrip("."))
+            for pr, w, port, h in recs if h and int(port) > 0]
+    if not recs:
+        raise ValueError(
+            f"omfwd: no usable SRV records found for '{name}'")
+    recs.sort(key=lambda r: (r[0], -r[1], r[3], r[2]))
+    return [(h, port) for _pr, _w, port, h in recs]
 
 
 def _es_base_url(server: str, default_port: int,

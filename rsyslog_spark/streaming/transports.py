@@ -51,20 +51,48 @@ def omstdout_sink(line_col: str = "line") -> Callable[[DataFrame, int], None]:
 # omuxsock (ref: plugins/omuxsock/omuxsock.c)
 # ---------------------------------------------------------------------
 
-def omuxsock_sink(sock_path: str, line_col: str = "line",
+def omuxsock_sink(sock_path: str, line_col: str = "line", *,
+                  sock_type: str = "dgram",
                   ) -> Callable[[DataFrame, int], None]:
-    """Forward to a local unix DGRAM socket (ref: plugins/omuxsock/
-    omuxsock.c sendMsg — one datagram per message, connectionless)."""
+    """Forward to a local unix socket (ref: plugins/omuxsock/
+    omuxsock.c sendMsg — one datagram per message, connectionless
+    by default).
+
+    ChangeLog 2025-12-02 additions: ABSTRACT socket names — a
+    leading ``@`` maps to the kernel's NUL-prefixed abstract
+    namespace — and CONNECTED stream sockets
+    (``sock_type='stream'`` = SOCK_STREAM, one connection per
+    partition with LF-delimited records; ``'seqpacket'`` =
+    SOCK_SEQPACKET, one send per message). The pre-fix bug of
+    closing/reopening the socket per message is structurally absent
+    here (one socket per partition)."""
+    st = {"dgram": socket.SOCK_DGRAM,
+          "stream": socket.SOCK_STREAM,
+          "seqpacket": getattr(socket, "SOCK_SEQPACKET",
+                               socket.SOCK_STREAM)}.get(sock_type)
+    if st is None:
+        raise ValueError(f"omuxsock: unknown sock_type {sock_type!r}")
+    # abstract namespace: '@name' → '\0name' (omuxsock.c 2025-12-02)
+    addr = ("\0" + sock_path[1:]) if sock_path.startswith("@") \
+        else sock_path
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         lines = batch_df.select(
             F.col(line_col).cast("string").alias("l"))
 
         def per_partition(rows):
-            sk = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+            sk = socket.socket(socket.AF_UNIX, st)
             try:
-                for r in rows:
-                    sk.sendto((r.l or "").encode("utf-8"), sock_path)
+                if st == socket.SOCK_DGRAM:
+                    for r in rows:
+                        sk.sendto((r.l or "").encode("utf-8"), addr)
+                else:
+                    sk.connect(addr)
+                    for r in rows:
+                        data = (r.l or "").encode("utf-8")
+                        sk.sendall(
+                            data + b"\n"
+                            if st == socket.SOCK_STREAM else data)
             finally:
                 sk.close()
             return iter(())

@@ -290,3 +290,70 @@ input(type="imfile" file="{src}" ruleset="m")
             r"num\.connects=\d+", line), line
     finally:
         s1.stop()
+
+
+def test_omfwd_targetsrv_discovery(spark, tmp_path, monkeypatch):
+    """omfwd targetSrv (ChangeLog 2026-01-02; omfwd.c:560-700):
+    receivers are discovered from _syslog._tcp.<domain> SRV records,
+    ordered by priority; conflicts with target= and empty answers
+    are config errors."""
+    import pytest
+
+    from rsyslog_spark.config import runtime as rt
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    s1, s2 = _MiniTcpSrv(), _MiniTcpSrv()
+    try:
+        # mock resolver: two records, priorities flipped so ordering
+        # matters; trailing dots stripped
+        def resolver(name):
+            assert name == "_syslog._tcp.logs.example"
+            return [(10, 5, s2.port, "127.0.0.1."),
+                    (5, 1, s1.port, "127.0.0.1")]
+
+        monkeypatch.setattr(rt, "SRV_RESOLVER", resolver)
+        src = tmp_path / "in.log"
+        src.write_text("".join(
+            f"<13>Mar  1 10:00:00 h1 app: srv:{i:03d}\n"
+            for i in range(20)))
+        run_config_batch(spark, f'''
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfwd" targetSrv="logs.example"
+         protocol="tcp" template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+        import time
+        deadline = time.time() + 10
+        while time.time() < deadline and \
+                len(s1.lines()) + len(s2.lines()) < 20:
+            time.sleep(0.2)
+        # both discovered targets used by the pool; union complete
+        got = sorted(s1.lines() + s2.lines())
+        assert got == sorted(f" srv:{i:03d}" for i in range(20)) or \
+            got == sorted(f"srv:{i:03d}" for i in range(20)), got
+        assert s1.lines() and s2.lines()
+
+        # conflict: target + targetSrv → config error
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            run_config_batch(spark, f'''
+ruleset(name="m") {{
+  action(type="omfwd" target="127.0.0.1" targetSrv="logs.example"
+         protocol="tcp")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+
+        # empty answer → config error
+        monkeypatch.setattr(rt, "SRV_RESOLVER", lambda n: [])
+        with pytest.raises(ValueError, match="no usable SRV"):
+            run_config_batch(spark, f'''
+ruleset(name="m") {{
+  action(type="omfwd" targetSrv="logs.example" protocol="tcp")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+    finally:
+        s1.stop()
+        s2.stop()

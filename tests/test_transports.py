@@ -415,6 +415,76 @@ def test_omuxsock_datagrams(spark, tmp_path):
     assert got == {"a", "b"}
 
 
+def test_omuxsock_abstract_and_stream(spark):
+    """omuxsock 2025-12-02 additions: '@name' targets the abstract
+    namespace; sock_type='stream' uses one connected SOCK_STREAM
+    per partition with LF-delimited records."""
+    import os
+
+    import pytest
+
+    if not hasattr(socket, "AF_UNIX"):
+        pytest.skip("platform lacks AF_UNIX")
+    # abstract DGRAM
+    aname = f"@rsyslog-spark-test-{os.getpid()}"
+    rx = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+    try:
+        rx.bind("\0" + aname[1:])
+    except OSError:
+        pytest.skip("abstract unix namespace unavailable")
+    rx.settimeout(10)
+    omuxsock_sink(aname)(_lines_df(spark, ["abs1", "abs2"])
+                         .coalesce(1), 0)
+    got = {rx.recv(65535).decode() for _ in range(2)}
+    rx.close()
+    assert got == {"abs1", "abs2"}
+    # connected STREAM with LF records. Deadline LOOPS, not one long
+    # settimeout — a cold session's first job can take >10s and a
+    # timed-out accept would close the listener mid-send (EPIPE).
+    import time as _time
+
+    sname = "\0" + aname[1:] + "-stream"
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(sname)
+    srv.listen(1)
+    srv.settimeout(0.2)
+    import threading
+    data = bytearray()
+    deadline = _time.time() + 60
+
+    def accept_one():
+        while _time.time() < deadline:
+            try:
+                conn, _ = srv.accept()
+                break
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+        else:
+            return
+        conn.settimeout(0.2)
+        while _time.time() < deadline:
+            try:
+                chunk = conn.recv(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            if not chunk:
+                break
+            data.extend(chunk)
+        conn.close()
+
+    t = threading.Thread(target=accept_one)
+    t.start()
+    omuxsock_sink("@" + aname[1:] + "-stream", sock_type="stream")(
+        _lines_df(spark, ["s1", "s2"]).coalesce(1), 0)
+    t.join(timeout=30)
+    srv.close()
+    assert sorted(bytes(data).decode().splitlines()) == ["s1", "s2"]
+
+
 def test_omstdout(spark, capsys):
     omstdout_sink()(_lines_df(spark, ["x", "y"]), 0)
     out = capsys.readouterr().out
