@@ -187,6 +187,26 @@ class ConfigRun:
             out = ["BEGIN"] + out + ["END"]
         return out
 
+    def impstats_json_objs(self) -> list[dict]:
+        """The cycle's stats as JSON objects (statsobj format="json"
+        shape: name/origin + counter values) — input to the
+        prometheus and zabbix renderers."""
+        objs = [{"name": n, "origin": "core.action",
+                 "values": dict(c)}
+                for n, c in self.action_stats.items()]
+        objs += [{"name": n, "origin": "omfwd", "values": dict(c)}
+                 for n, c in self.omfwd_stats.items()]
+        objs.append({"name": "global", "origin": "dynstats",
+                     "values": {}})
+        from rsyslog_spark.streaming.impstats import ImpstatsListener
+        ru = ImpstatsListener.resource_usage_line()
+        vals = dict(kv.split("=", 1)
+                    for kv in ru.split(" origin=impstats ", 1)[1]
+                    .split())
+        objs.append({"name": "resource-usage", "origin": "impstats",
+                     "values": {k: int(v) for k, v in vals.items()}})
+        return objs
+
 
 # Default render template for line-oriented transports when the action
 # names none — the RSYSLOG_ForwardFormat shape (ref: runtime/
@@ -1044,12 +1064,51 @@ def _dispatch_action_inner(
             "__idx", F.lit(params.get("searchIndex", "system")))
         _with_retry(params, omelasticsearch_sink(
             "__idx", None, "line",
-            transport=_es_http_transport(url)))(df2, 0)
+            transport=_es_http_transport(
+                url, uid=params.get("uid"), pwd=params.get("pwd"),
+                apikey=next((v for k, v in params.items()
+                             if k.lower() == "apikey"), None))))(
+            df2, 0)
         run.written[name] = url
         return
     if typ == "omhttp" and params.get("server"):
         from rsyslog_spark.streaming.sinks import omhttp_sink
 
+        # profile= presets (omhttp.c:2319-2440 applyProfileSettings;
+        # ChangeLog 2025-11-12 'explicit splunk HEC profile'):
+        # defaults apply only where the user set nothing
+        prof = str(next((v for k, v in params.items()
+                         if k.lower() == "profile"), "")).lower()
+        if prof:
+            presets: dict = {}
+            if prof == "loki":
+                presets = {"restpath": "loki/api/v1/push",
+                           "batch": "on",
+                           "batch.format": "lokirest",
+                           "compress": "on"}
+            elif prof == "hec:splunk:raw":
+                presets = {"restpath": "services/collector/raw",
+                           "batch.format": "newline"}
+            elif prof == "hec:splunk:event":
+                presets = {"restpath": "services/collector/event",
+                           "batch": "on",
+                           "batch.format": "newline"}
+            else:
+                raise ValueError(
+                    f"omhttp: unknown profile {prof!r} - supported: "
+                    "'loki', 'hec:splunk:event', 'hec:splunk:raw'")
+            for k, v in presets.items():
+                if not params.get(k):
+                    params = {**params, k: v}
+            # Splunk HEC auth: 'Authorization: Splunk <token>'
+            # (SPLUNK_HEC_HEADER_AUTH) instead of Bearer
+            if prof.startswith("hec:splunk") and params.get("token"):
+                hs = list(params.get("httpheaders") or [])
+                hs.append(f"Authorization: Splunk "
+                          f"{params['token']}")
+                params = {**params, "httpheaders": hs}
+                params = {k: v for k, v in params.items()
+                          if k != "token"}
         host = params["server"]
         if isinstance(host, (list, tuple)):   # server array: first
             host = host[0]
@@ -1305,17 +1364,35 @@ def _es_base_url(server: str, default_port: int,
     return base + "/"
 
 
-def _es_http_transport(url: str):
+def _es_http_transport(url: str, *, uid: str | None = None,
+                       pwd: str | None = None,
+                       apikey: str | None = None):
     """Bulk-POST transport for omelasticsearch actions: NDJSON body →
     failed line numbers from the ES items response (ref:
-    omelasticsearch.c:227-253 retryfailures response parsing)."""
+    omelasticsearch.c:227-253 retryfailures response parsing).
+
+    Auth: Basic (uid/pwd) or 'Authorization: ApiKey <key>'
+    (ChangeLog 2025-10-29; omelasticsearch.c:2625) — combining both
+    is a config error (omelasticsearch.c:2613)."""
+    if apikey and (uid or pwd):
+        raise ValueError(
+            "omelasticsearch: apikey cannot be combined with "
+            "uid/pwd")
+
     def post(body: str) -> list[int]:
+        import base64
         import json as _json
         import urllib.request
 
+        hdrs = {"Content-Type": "application/x-ndjson"}
+        if apikey:
+            hdrs["Authorization"] = f"ApiKey {apikey}"
+        elif uid is not None:
+            cred = base64.b64encode(
+                f"{uid}:{pwd or ''}".encode()).decode()
+            hdrs["Authorization"] = f"Basic {cred}"
         req = urllib.request.Request(
-            url, data=body.encode("utf-8"),
-            headers={"Content-Type": "application/x-ndjson"})
+            url, data=body.encode("utf-8"), headers=hdrs)
         with urllib.request.urlopen(req, timeout=30) as resp:
             payload = _json.loads(resp.read() or b"{}")
         failed = []
@@ -2152,8 +2229,22 @@ def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
     # overwrite truncates per cycle, default appends; push.url POSTs
     # the prometheus rendering, best-effort)
     ic = {k.lower(): v for k, v in run.impstats_conf.items()}
+    zbx = str(ic.get("format", "")).lower() == "zabbix"
+    if zbx and not ic.get("log.file") and str(
+            ic.get("log.syslog", "on")).lower() in ("on", "true",
+                                                    "1"):
+        # impstats.c:569-576: zabbix's single grouped JSON line can
+        # exceed $MaxMessageSize on the syslog path
+        import warnings
+
+        warnings.warn(
+            'impstats: log.syslog set to "on" and format set to '
+            '"zabbix" without log.file set - the grouped JSON line '
+            "may be truncated; set log.file or raise "
+            "$MaxMessageSize", RuntimeWarning, stacklevel=2)
     if ic.get("log.file"):
-        from rsyslog_spark.streaming.impstats import ImpstatsFileSink
+        from rsyslog_spark.streaming.impstats import (
+            ImpstatsFileSink, impstats_zabbix)
 
         def on(key):
             return str(ic.get(key, "off")).lower() in (
@@ -2167,7 +2258,11 @@ def _run_batch_actions(eng, cfg, frame, ruleset_name, hdr_frame,
             push_url=ic.get("push.url"),
             push_labels=[str(x) for x in labels],
             push_timeout_ms=int(ic.get("push.timeout.ms", 2000)))
-        sink.emit_cycle(run.impstats_lines())
+        # format="zabbix" (ChangeLog 2025-11-07): ONE grouped JSON
+        # line per cycle instead of the legacy per-object lines
+        sink.emit_cycle(
+            [impstats_zabbix(run.impstats_json_objs())] if zbx
+            else run.impstats_lines())
         sink.close()
         run.impstats_sink = sink
     return run
@@ -2238,6 +2333,11 @@ def _tls_from_input(inp: dict, directives: dict):
         # $DefaultNetstreamDriverCRLFile fallback (imtcp.c:826)
         crlfile=(par("streamdriver.crlfile", "streamdrivercrlfile")
                  or directives.get("defaultnetstreamdrivercrlfile")),
+        # streamdriver.PrioritizeSAN (imtcp.c:260): RFC 6125 — skip
+        # the CN when SANs are present
+        prioritize_san=str(par("streamdriver.prioritizesan",
+                               "streamdriverprioritizesan", "off")
+                           ).lower() in ("on", "true", "1"),
     )
 
 
@@ -2388,6 +2488,12 @@ def run_config_stream(
                 if lin.get("compression.driver"):
                     kw["compression_driver"] = \
                         lin["compression.driver"]
+                # compression.maxExpansionRatio (imtcp.c:277;
+                # expansion-guard goldens — default 1024, 0 = off)
+                if lin.get("compression.maxexpansionratio") \
+                        not in (None, ""):
+                    kw["compression_max_expansion_ratio"] = int(
+                        lin["compression.maxexpansionratio"])
                 # framing/session knobs: addtlFrameDelimiter
                 # (imptcp_addtlframedelim.sh),
                 # supportOctetCountedFraming

@@ -1690,6 +1690,7 @@ class imtcp(SpoolBridge):
                  framing_regex: str | None = None,
                  compression_mode: str = "none",
                  compression_driver: str = "zlib",
+                 compression_max_expansion_ratio: int = 1024,
                  support_compression_extension: bool = True,
                  keepalive: bool = False,
                  keepalive_probes: int = 0,
@@ -1716,6 +1717,16 @@ class imtcp(SpoolBridge):
         #: 2026-01-31): LF ends a frame only before a '<' header —
         #: other LFs are continuation content
         self.multiline = bool(multiline)
+        #: compression.maxExpansionRatio (imtcp.c:277; default
+        #: tcps_sess.h:39 = 1024, 0 = unlimited) — negative is a
+        #: config error (eCmdHdlrNonNegInt)
+        if int(compression_max_expansion_ratio) < 0:
+            raise ValueError(
+                "imtcp: invalid compression.maxExpansionRatio "
+                f"{compression_max_expansion_ratio!r} (must be a "
+                "non-negative integer; 0 = unlimited)")
+        self.compression_max_expansion_ratio = int(
+            compression_max_expansion_ratio)
         #: maxSessions (tcpsrv.c:754): over-limit connects are
         #: dropped with the reference's diagnostic; invalid limits
         #: are config-load errors (ChangeLog 2026-04-12 imtcp limit
@@ -1894,16 +1905,56 @@ class imtcp(SpoolBridge):
             decomp = self._new_decompressor()
             legacy_z = False
 
+        # compression.maxExpansionRatio (imtcp.c:277; tcps_sess.c:
+        # 877-893, default TCPSRV_COMPRESS_MAX_EXPANSION_RATIO_
+        # DEFAULT=1024, 0 = unlimited): per-session CUMULATIVE
+        # decompressed bytes may not exceed compressed-in bytes ×
+        # ratio — a zlib/zstd bomb errors out before its output is
+        # submitted (golden imtcp-stream-always-zlib-expansion-guard)
+        comp_in = comp_out = 0
+
         def inflate(chunk: bytes) -> bytes | None:
             # None → corrupt stream: drop session remainder like the
             # reference's inflate() failure path (golden
             # imtcp-stream-always-zlib-corrupt.sh: messages decoded
             # before the corruption survive)
+            nonlocal comp_in, comp_out
             import zlib as _z
+
+            comp_in += len(chunk)
+            ratio = self.compression_max_expansion_ratio
+            cap = comp_in * ratio if ratio else None
+            out = bytearray()
+            over = False
             try:
-                return decomp.decompress(chunk)
+                if hasattr(decomp, "unconsumed_tail"):   # zlib
+                    data = chunk
+                    while True:
+                        # incremental inflate so the cap trips
+                        # BEFORE a bomb's output is materialized
+                        got = decomp.decompress(data, 262144)
+                        out += got
+                        if cap is not None and \
+                                comp_out + len(out) > cap:
+                            over = True
+                            break
+                        data = decomp.unconsumed_tail
+                        if not data or not got:
+                            break
+                else:   # zstd decompressobj: no max_length API
+                    out += decomp.decompress(chunk)
+                    over = (cap is not None
+                            and comp_out + len(out) > cap)
             except (_z.error, Exception):
                 return None
+            if over:
+                self.emit_internal(
+                    3, "received invalid compressed stream: "
+                    "decompressed bytes exceeded configured "
+                    "expansion ratio")
+                return None
+            comp_out += len(out)
+            return bytes(out)
 
         closed = False
         while not self._stop.is_set() and not closed:

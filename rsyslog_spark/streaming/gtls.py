@@ -99,6 +99,10 @@ class TLSConfig:
     #: silently ignored expired CRLs; the reference now rejects
     #: "CRL '%s' has expired" / "not yet valid" at load)
     crlfile: str | None = None
+    #: streamdriver.PrioritizeSAN (imtcp.c:260; nsd_gtls.c:1227
+    #: bSANpriority): RFC 6125 strictness — when SANs are present the
+    #: CN is NOT consulted for x509/name matching
+    prioritize_san: bool = False
 
     def __post_init__(self) -> None:
         valid = ("anon", "x509/certvalid", "x509/name",
@@ -220,12 +224,18 @@ def check_peer(sock: ssl.SSLSocket, cfg: TLSConfig) -> None:
             raise PermissionError(
                 f"peer fingerprint not permitted: {sorted(fps)[0]}")
         return
-    # x509/name
+    # x509/name: DNS SANs, IP-address SANs (ChangeLog 2025-10-28
+    # "net: Add IP address SAN support" — nsd_gtls.c:1206-1221
+    # renders IP SANs as text and runs them through the SAME
+    # matcher), and the CN — unless PrioritizeSAN is on and SANs
+    # exist (RFC 6125; nsd_gtls.c:1227 '!bSANpriority || !bHaveSAN')
     cert = sock.getpeercert() or {}
-    names = [v for rdn in cert.get("subject", ())
-             for k, v in rdn if k == "commonName"]
-    names += [v for k, v in cert.get("subjectAltName", ())
-              if k == "DNS"]
+    sans = [v for k, v in cert.get("subjectAltName", ())
+            if k in ("DNS", "IP Address")]
+    names = list(sans)
+    if not (cfg.prioritize_san and sans):
+        names += [v for rdn in cert.get("subject", ())
+                  for k, v in rdn if k == "commonName"]
     for peer_glob in cfg.permitted_peers:
         if any(permitted_peer_match(n, peer_glob) for n in names):
             return

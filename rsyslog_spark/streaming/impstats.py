@@ -206,6 +206,49 @@ def impstats_to_prometheus(objs: list[dict[str, Any]]) -> str:
     return "\n".join(lines) + ("\n" if lines else "")
 
 
+#: origins that emit both a module-global and per-instance lines —
+#: Zabbix grouping splits them (impstats.c:895-898 is_dual_origin)
+ZBX_DUAL_ORIGINS = ("imkafka", "omkafka", "imtcp", "imudp")
+
+
+def impstats_zabbix(objs: list[dict[str, Any]],
+                    now: float | None = None) -> str:
+    """format="zabbix" (ChangeLog 2025-11-07; plugins/impstats/
+    impstats.c:894-1105 generateZabbixStats): ONE RFC 8259 JSON line
+    grouping the cycle's stat objects for Zabbix low-level
+    discovery —
+
+    ``{"timedate": "<%a %b %d %H:%M:%S %Y>", "stats_<origin>":
+    [obj, ...], ...}``
+
+    with '.' in origins sanitized to '_' (sanitize_origin), dual
+    global/local origins split into ``stats_<o>_global`` (name ==
+    origin) vs ``_local``, and core.action entries whose name
+    mentions omkafka remapped into ``stats_omkafka_local``
+    (is_core_action_omkafka). Groups keep insertion order."""
+    import time as _time
+
+    groups: dict[str, list] = {}
+    for o in objs:
+        origin = str(o.get("origin", "unknown"))
+        name = str(o.get("name", ""))
+        if origin == "core.action" and "omkafka" in name:
+            key = "stats_omkafka_local"
+        elif origin in ZBX_DUAL_ORIGINS:
+            which = "global" if name == origin else "local"
+            key = f"stats_{origin.replace('.', '_')}_{which}"
+        else:
+            key = f"stats_{origin.replace('.', '_')}"
+        groups.setdefault(key, []).append(o)
+    out: dict[str, Any] = {
+        "timedate": _time.strftime(
+            "%a %b %d %H:%M:%S %Y",
+            _time.localtime(now if now is not None
+                            else _time.time()))}
+    out.update(groups)
+    return json.dumps(out)
+
+
 class PrometheusExporter:
     """Serve an :class:`ImpstatsListener`'s counters at ``/metrics``
     (the reference's sidecar exporter surface, in-process). Scrapes

@@ -2808,3 +2808,115 @@ def test_imtcp_multiline_live(spark, tmp_path):
             "<13>app: next event"]
     finally:
         b.stop()
+
+
+def test_check_peer_ip_san_and_prioritize_san(tmp_path):
+    """IP-address SANs participate in x509/name matching (ChangeLog
+    2025-10-28; nsd_gtls.c:1206-1221 renders them as text through
+    the same matcher), and streamdriver.PrioritizeSAN skips the CN
+    when SANs are present (RFC 6125; nsd_gtls.c:1227)."""
+    import pytest
+
+    from rsyslog_spark.streaming.gtls import TLSConfig, check_peer
+
+    class FakeSock:
+        def __init__(self, subject_cn, sans):
+            self._cert = {
+                "subject": ((("commonName", subject_cn),),),
+                "subjectAltName": tuple(sans),
+            }
+
+        def getpeercert(self, binary_form=False):
+            return self._cert
+
+    ca = tmp_path / "ca.crt"
+    ca.write_text("placeholder")  # authmode validation only
+    sock = FakeSock("cn.example",
+                    [("DNS", "san.example"),
+                     ("IP Address", "192.0.2.7")])
+
+    def cfg(peers, prio=False):
+        return TLSConfig(cafile=str(ca), authmode="x509/name",
+                         permitted_peers=peers, prioritize_san=prio)
+
+    # IP SAN matches like any name
+    check_peer(sock, cfg(["192.0.2.7"]))
+    # DNS SAN and CN both match by default
+    check_peer(sock, cfg(["san.example"]))
+    check_peer(sock, cfg(["cn.example"]))
+    # PrioritizeSAN: SANs present -> CN is NOT consulted
+    check_peer(sock, cfg(["san.example"], prio=True))
+    with pytest.raises(PermissionError):
+        check_peer(sock, cfg(["cn.example"], prio=True))
+    # PrioritizeSAN with NO SANs: CN still checked
+    nosan = FakeSock("cn.example", [])
+    check_peer(nosan, cfg(["cn.example"], prio=True))
+    # nothing matches -> rejected
+    with pytest.raises(PermissionError):
+        check_peer(sock, cfg(["other.example"]))
+
+
+def test_imtcp_compression_expansion_guard(spark, tmp_path):
+    """compression.maxExpansionRatio (imtcp.c:277; tcps_sess.c:
+    877-893, default 1024, 0 = unlimited; golden imtcp-stream-
+    always-zlib-expansion-guard.sh): a valid but highly expanding
+    zlib stream errors out — 'decompressed bytes exceeded configured
+    expansion ratio' internal message, NO messages submitted — while
+    a normal stream under the same ratio flows."""
+    import zlib
+
+    from rsyslog_spark.streaming.bridges import imtcp
+
+    # bomb session: ratio 2, payload expands ~100x
+    b = imtcp(str(tmp_path / "spool"),
+              compression_mode="stream:always",
+              compression_max_expansion_ratio=2,
+              flush_secs=0.2).start()
+    try:
+        line = (b"<129>Mar 10 01:00:00 h tag: msgnum:1 "
+                + b"A" * 80 + b"\n")
+        bomb = zlib.compress(line * 3000, 9)
+        c = socket.create_connection(("127.0.0.1", b.port))
+        c.sendall(bomb)
+        c.close()
+        import time as _time
+        deadline = _time.time() + 10
+        while _time.time() < deadline:
+            pend = b.drain_internal_msgs()
+            if pend:
+                break
+            _time.sleep(0.2)
+        assert any("expansion ratio" in t for _sev, t in pend), pend
+        b.flush()
+        df = b.read_spool(spark) if hasattr(b, "read_spool") else None
+    finally:
+        b.stop()
+    import glob as _glob
+    spooled = []
+    for f in _glob.glob(str(tmp_path / "spool" / "*")):
+        with open(f, encoding="utf-8") as fh:
+            spooled += [l for l in fh if "msgnum" in l]
+    assert spooled == [], "bomb output must not be submitted"
+
+    # normal traffic under the default ratio still flows
+    b2 = imtcp(str(tmp_path / "spool2"),
+               compression_mode="stream:always",
+               flush_secs=0.2).start()
+    try:
+        co = zlib.compressobj(6)
+        wire = co.compress(b"<13>ok line one\n<13>ok line two\n")
+        wire += co.flush()
+        c = socket.create_connection(("127.0.0.1", b2.port))
+        c.sendall(wire)
+        c.close()
+        df = _drain(b2, spark, 2)
+        assert sorted(r.line for r in df.collect()) == [
+            "<13>ok line one", "<13>ok line two"]
+    finally:
+        b2.stop()
+
+    # negative ratio is a config-load error
+    import pytest
+    with pytest.raises(ValueError, match="maxExpansionRatio"):
+        imtcp(str(tmp_path / "spool3"),
+              compression_max_expansion_ratio=-1)

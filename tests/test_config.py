@@ -5283,3 +5283,134 @@ ruleset(name="m") {
 }
 ''')
     assert not any("constant" in str(x.message) for x in w)
+
+
+def test_impstats_zabbix_format(spark, tmp_path):
+    """impstats format="zabbix" (ChangeLog 2025-11-07; impstats.c:
+    894-1105 generateZabbixStats): ONE RFC 8259 JSON line per cycle
+    grouping stats by origin (dots sanitized to '_'), dual-origin
+    modules split _global/_local, core.action omkafka entries
+    remapped to stats_omkafka_local; log.syslog + zabbix without
+    log.file warns."""
+    import json
+    import os
+    import warnings
+
+    from rsyslog_spark.config.runtime import run_config_batch
+    from rsyslog_spark.streaming.impstats import impstats_zabbix
+
+    # unit: grouping semantics
+    objs = [
+        {"name": "act1", "origin": "core.action", "values": {"processed": 3}},
+        {"name": "to-omkafka-act", "origin": "core.action", "values": {}},
+        {"name": "imtcp", "origin": "imtcp", "values": {}},
+        {"name": "l1", "origin": "imtcp", "values": {}},
+        {"name": "global", "origin": "dynstats.bucket", "values": {}},
+    ]
+    line = impstats_zabbix(objs, now=0)
+    doc = json.loads(line)
+    assert set(doc) == {"timedate", "stats_core_action",
+                        "stats_omkafka_local", "stats_imtcp_global",
+                        "stats_imtcp_local", "stats_dynstats_bucket"}
+    assert doc["stats_core_action"][0]["name"] == "act1"
+    assert doc["stats_omkafka_local"][0]["name"] == "to-omkafka-act"
+    assert doc["stats_imtcp_global"][0]["name"] == "imtcp"
+    assert doc["stats_imtcp_local"][0]["name"] == "l1"
+
+    # e2e: a config cycle writes one grouped line to log.file
+    src = tmp_path / "in.log"
+    src.write_text("<13>Mar  1 01:00:00 h tag: x\n")
+    stats = tmp_path / "stats.log"
+    run_config_batch(spark, f'''
+module(load="impstats" log.file="{stats}" format="zabbix"
+       log.syslog="off")
+ruleset(name="m") {{ action(type="omfile" file="{tmp_path}/out") }}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+    lines = [l for l in stats.read_text().splitlines() if l.strip()]
+    assert len(lines) == 1
+    doc = json.loads(lines[0])
+    assert "timedate" in doc and "stats_core_action" in doc
+    assert "stats_impstats" in doc  # resource-usage object
+    # warning when zabbix goes to syslog without log.file
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        run_config_batch(spark, f'''
+module(load="impstats" format="zabbix" log.syslog="on")
+ruleset(name="m") {{ action(type="omfile" file="{tmp_path}/o2") }}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+    assert any("zabbix" in str(x.message) for x in w)
+
+
+def test_omhttp_splunk_hec_profile_and_es_apikey(spark, tmp_path):
+    """omhttp profile="hec:splunk:event" (ChangeLog 2025-11-12;
+    omhttp.c:2358-2440 applyProfileSettings): rest path defaults to
+    services/collector/event, batch mode on, and token renders as
+    'Authorization: Splunk <tok>'. omelasticsearch apikey
+    (2025-10-29): 'Authorization: ApiKey <key>' header; combining
+    apikey with uid/pwd is a config error."""
+    import http.server
+    import threading
+
+    import pytest
+
+    from rsyslog_spark.config.runtime import (_es_http_transport,
+                                              run_config_batch)
+
+    received = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received.append((self.path,
+                             self.headers.get("Authorization"),
+                             self.rfile.read(n)))
+            body = b'{"items": []}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    port = httpd.server_address[1]
+    src = tmp_path / "in.log"
+    src.write_text("<13>Mar  1 01:00:00 h tag: hec line\n")
+    try:
+        run_config_batch(spark, f'''
+template(name="outfmt" type="string" string="%msg%")
+ruleset(name="m") {{
+  action(type="omhttp" server="127.0.0.1" serverport="{port}"
+         profile="hec:splunk:event" token="tok-123"
+         template="outfmt")
+  action(type="omelasticsearch" server="127.0.0.1"
+         serverport="{port}" searchIndex="logs" apikey="k-9"
+         template="outfmt")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+        paths = {p: (a, b) for p, a, b in received}
+        assert "/services/collector/event" in paths
+        auth, _ = paths["/services/collector/event"]
+        assert auth == "Splunk tok-123"
+        assert "/_bulk" in paths
+        auth_es, _ = paths["/_bulk"]
+        assert auth_es == "ApiKey k-9"
+        # unknown profile / apikey+uid conflicts are config errors
+        with pytest.raises(ValueError, match="unknown profile"):
+            run_config_batch(spark, f'''
+ruleset(name="m") {{
+  action(type="omhttp" server="127.0.0.1" profile="hec:other:x")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+        with pytest.raises(ValueError,
+                           match="cannot be combined"):
+            _es_http_transport("http://x/_bulk", uid="u",
+                               apikey="k")
+    finally:
+        httpd.shutdown()
