@@ -1957,6 +1957,34 @@ class imtcp(SpoolBridge):
             return bytes(out)
 
         closed = False
+        # TLS-on-plain-listener probe (ChangeLog 2025-09-17; tcps_
+        # sess.c: sample the first 5 session bytes — record type
+        # 0x16, version 0x03.00-0x04, length 40-16384 means a TLS
+        # ClientHello hit a plain port): one explicit error per
+        # mismatched connection instead of silent binary gibberish;
+        # the session is otherwise left untouched. Only armed when
+        # the listener has NO TLS config (streamDriver.mode=0).
+        tls_probe_pending = self.tls is None
+        probe_buf = b""
+
+        def _tls_probe(data: bytes) -> bool:
+            """True once a verdict was reached (stop probing)."""
+            nonlocal probe_buf
+            probe_buf += data
+            if len(probe_buf) < 5:
+                return False
+            b5 = probe_buf[:5]
+            rec_len = (b5[3] << 8) | b5[4]
+            if b5[0] == 0x16 and b5[1] == 0x03 \
+                    and b5[2] <= 0x04 and 40 <= rec_len <= 16384:
+                self.emit_internal(
+                    3, "imtcp: TLS handshake (ClientHello) received "
+                    f"on plain tcp listener from {peer} - sender "
+                    "appears to use TLS while this listener has no "
+                    "StreamDriver.Mode=1; see rsyslog TLS "
+                    "troubleshooting documentation")
+            return True
+
         while not self._stop.is_set() and not closed:
             if framer is None:
                 msgs, buf = split_tcp_frames(
@@ -1974,6 +2002,8 @@ class imtcp(SpoolBridge):
             except OSError:
                 break
             closed = not chunk
+            if tls_probe_pending and chunk:
+                tls_probe_pending = not _tls_probe(chunk)
             if mode == "auto":
                 # buffer session-start bytes until the zlib sniff
                 # decides (imptcp.c compressionAutoDetect); session

@@ -2920,3 +2920,38 @@ def test_imtcp_compression_expansion_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="maxExpansionRatio"):
         imtcp(str(tmp_path / "spool3"),
               compression_max_expansion_ratio=-1)
+
+
+def test_imtcp_tls_gibberish_probe(spark, tmp_path):
+    """imtcp-tls-gibberish.sh (ChangeLog 2025-09-17): a TLS
+    ClientHello hitting a PLAIN tcp listener logs one explicit
+    error per connection (record type 0x16, version 0x03.xx,
+    plausible length) instead of silently ingesting binary; normal
+    plaintext sessions do not trigger the probe."""
+    import time as _time
+
+    from rsyslog_spark.streaming.bridges import imtcp
+
+    b = imtcp(str(tmp_path / "spool"), flush_secs=0.2).start()
+    try:
+        # minimal ClientHello-looking record header + padding
+        hello = bytes([0x16, 0x03, 0x01, 0x00, 0x9C]) + b"\0" * 156
+        c = socket.create_connection(("127.0.0.1", b.port))
+        c.sendall(hello)
+        c.close()
+        deadline = _time.time() + 10
+        pend = []
+        while _time.time() < deadline and not pend:
+            pend = b.drain_internal_msgs()
+            _time.sleep(0.1)
+        assert len(pend) == 1 and "ClientHello" in pend[0][1], pend
+        # plaintext session: no probe message, line flows
+        c = socket.create_connection(("127.0.0.1", b.port))
+        c.sendall(b"<13>plain ok\n")
+        c.close()
+        df = _drain(b, spark, 1)
+        assert [r.line for r in df.collect()
+                if r.line == "<13>plain ok"]
+        assert b.drain_internal_msgs() == []
+    finally:
+        b.stop()
