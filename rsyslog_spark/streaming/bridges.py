@@ -548,10 +548,22 @@ class imhttp(SpoolBridge):
                  port: int = 0, endpoint: str = "/postrequest",
                  basic_auth_file: str | None = None,
                  api_key_file: str | None = None,
+                 healthcheck_basic_auth_file: str | None = None,
+                 metrics_basic_auth_file: str | None = None,
+                 stats_provider=None,
                  max_body_bytes: int | None = None,
                  max_expanded_bytes: int | None = None, **kw):
         super().__init__(spool_dir, inputname="imhttp", **kw)
         self.endpoint = endpoint
+        #: health/metrics endpoint gating + stats source (ChangeLog
+        #: 2025-09-03: healthCheckBasicAuthFile /
+        #: metricsBasicAuthFile module params; /metrics exports
+        #: Prometheus-format stats with Content-Length).
+        #: ``stats_provider() -> list[dict]`` supplies impstats JSON
+        #: objects (e.g. ImpstatsListener.snapshot)
+        self.healthcheck_basic_auth_file = healthcheck_basic_auth_file
+        self.metrics_basic_auth_file = metrics_basic_auth_file
+        self.stats_provider = stats_provider
         self.max_body_bytes = (
             self.DEFAULT_MAX_BODY if max_body_bytes is None
             else int(max_body_bytes))
@@ -574,8 +586,55 @@ class imhttp(SpoolBridge):
                 pass
 
             def do_GET(self):
-                ok = self.path == "/healthz"
-                self.send_response(200 if ok else 404)
+                # health/metrics hardening (ChangeLog 2025-09-03):
+                # both endpoints can be htpasswd-gated independently
+                # (healthCheckBasicAuthFile / metricsBasicAuthFile);
+                # /metrics exports Prometheus stats with an explicit
+                # Content-Length plus the imhttp_up gauge
+                if self.path == "/healthz":
+                    if not bridge._basic_ok(
+                            self.headers.get("Authorization"),
+                            bridge.healthcheck_basic_auth_file):
+                        self.send_response(401)
+                        self.send_header(
+                            "WWW-Authenticate",
+                            'Basic realm="User Visible Realm"')
+                        self.end_headers()
+                        return
+                    self.send_response(200)
+                    self.end_headers()
+                    return
+                if self.path == "/metrics":
+                    if not bridge._basic_ok(
+                            self.headers.get("Authorization"),
+                            bridge.metrics_basic_auth_file):
+                        self.send_response(401)
+                        self.send_header(
+                            "WWW-Authenticate",
+                            'Basic realm="User Visible Realm"')
+                        self.end_headers()
+                        return
+                    try:
+                        from rsyslog_spark.streaming.impstats import (
+                            impstats_to_prometheus)
+                        objs = (bridge.stats_provider()
+                                if bridge.stats_provider else [])
+                        body = impstats_to_prometheus(objs)
+                    except Exception:  # noqa: BLE001 — unified 500
+                        self.send_response(500)
+                        self.end_headers()
+                        return
+                    body += ("# TYPE imhttp_up gauge\n"
+                             "imhttp_up 1\n")
+                    raw = body.encode("utf-8")
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(raw)))
+                    self.end_headers()
+                    self.wfile.write(raw)
+                    return
+                self.send_response(404)
                 self.end_headers()
 
             def do_POST(self):
@@ -701,6 +760,37 @@ class imhttp(SpoolBridge):
             except Exception:  # noqa: BLE001 — unsupported scheme
                 return False
         return presented == stored
+
+    def _basic_ok(self, auth_header: str | None,
+                  htpasswd_file: str | None) -> bool:
+        """Basic-auth gate for the health/metrics endpoints — open
+        when no file is configured (the reference attaches the auth
+        handler only when the param is set)."""
+        if not htpasswd_file:
+            return True
+        hdr = auth_header or ""
+        if not hdr.lower().startswith("basic "):
+            return False
+        import base64
+        try:
+            user, _, pw = base64.b64decode(
+                hdr[6:].strip()).decode().partition(":")
+        except Exception:  # noqa: BLE001 — malformed header
+            return False
+        if not user:
+            return False
+        try:
+            with open(htpasswd_file, encoding="utf-8") as fh:
+                for ln in fh:
+                    ln = ln.strip()
+                    if not ln or ln.startswith("#"):
+                        continue
+                    u, _, stored = ln.partition(":")
+                    if u.lower() == user.lower():
+                        return self._pw_ok(pw, stored)
+        except OSError:
+            pass
+        return False
 
     def _authorized(self, auth_header: str | None) -> bool:
         if not self.basic_auth_file and not self.api_key_file:

@@ -2955,3 +2955,74 @@ def test_imtcp_tls_gibberish_probe(spark, tmp_path):
         assert b.drain_internal_msgs() == []
     finally:
         b.stop()
+
+
+def test_imhttp_metrics_and_health_auth(spark, tmp_path):
+    """imhttp health/metrics hardening (ChangeLog 2025-09-03):
+    /metrics exports Prometheus stats with an explicit
+    Content-Length plus the imhttp_up gauge, and both /healthz and
+    /metrics can be gated independently with htpasswd Basic Auth."""
+    import base64
+    import hashlib
+    import urllib.error
+    import urllib.request
+
+    from rsyslog_spark.streaming.bridges import imhttp
+
+    htpw = tmp_path / "scrape.htpasswd"
+    sha = base64.b64encode(hashlib.sha1(b"scr4pe").digest()).decode()
+    htpw.write_text(f"prom:{{SHA}}{sha}\n")
+
+    def stats():
+        # flat impstats JSON object shape (ImpstatsListener.snapshot)
+        return [{"name": "main Q", "origin": "core.queue",
+                 "size": 7, "enqueued": 42}]
+
+    b = imhttp(str(tmp_path / "spool"),
+               metrics_basic_auth_file=str(htpw),
+               healthcheck_basic_auth_file=str(htpw),
+               stats_provider=stats, flush_secs=0.2).start()
+    url = f"http://127.0.0.1:{b.port}"
+
+    def get(path, auth=None):
+        req = urllib.request.Request(url + path)
+        if auth:
+            req.add_header("Authorization", auth)
+        try:
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return r.status, dict(r.headers), r.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers), b""
+
+    try:
+        # unauthenticated scrapes are rejected with a challenge
+        assert get("/metrics")[0] == 401
+        assert get("/healthz")[0] == 401
+        good = "Basic " + base64.b64encode(b"prom:scr4pe").decode()
+        code, hdrs, body = get("/metrics", good)
+        assert code == 200
+        assert int(hdrs["Content-Length"]) == len(body)
+        text = body.decode()
+        assert "imhttp_up 1" in text
+        assert "rsyslog" in text or "size" in text  # exported stats
+        assert get("/healthz", good)[0] == 200
+        bad = "Basic " + base64.b64encode(b"prom:wrong").decode()
+        assert get("/metrics", bad)[0] == 401
+    finally:
+        b.stop()
+
+    # without the auth files both endpoints stay open (reference
+    # attaches the handler only when the param is set)
+    b2 = imhttp(str(tmp_path / "spool2"), flush_secs=0.2).start()
+    try:
+        code, hdrs, body = get_open = None, None, None
+        import urllib.request as _u
+        with _u.urlopen(f"http://127.0.0.1:{b2.port}/metrics",
+                        timeout=10) as r:
+            assert r.status == 200
+            assert b"imhttp_up 1" in r.read()
+        with _u.urlopen(f"http://127.0.0.1:{b2.port}/healthz",
+                        timeout=10) as r:
+            assert r.status == 200
+    finally:
+        b2.stop()
