@@ -1382,6 +1382,7 @@ def _es_http_transport(url: str, *, uid: str | None = None,
     def post(body: str) -> list[int]:
         import base64
         import json as _json
+        import urllib.error
         import urllib.request
 
         hdrs = {"Content-Type": "application/x-ndjson"}
@@ -1393,8 +1394,18 @@ def _es_http_transport(url: str, *, uid: str | None = None,
             hdrs["Authorization"] = f"Basic {cred}"
         req = urllib.request.Request(
             url, data=body.encode("utf-8"), headers=hdrs)
-        with urllib.request.urlopen(req, timeout=30) as resp:
-            payload = _json.loads(resp.read() or b"{}")
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                payload = _json.loads(resp.read() or b"{}")
+        except urllib.error.HTTPError as e:
+            # 401/403 get an explicit authentication diagnostic and
+            # still raise → action suspends (ChangeLog 2025-07-17:
+            # auth errors were silently treated as success)
+            if e.code in (401, 403):
+                raise RuntimeError(
+                    f"omelasticsearch: authentication failed "
+                    f"(HTTP {e.code}) posting to {url}") from e
+            raise
         failed = []
         for i, item in enumerate(payload.get("items", [])):
             status = next(iter(item.values()), {}).get("status", 200)

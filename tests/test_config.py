@@ -5414,3 +5414,34 @@ input(type="imfile" file="{src}" ruleset="m")
                                apikey="k")
     finally:
         httpd.shutdown()
+
+
+def test_es_auth_error_diagnostic(tmp_path):
+    """omelasticsearch auth errors (ChangeLog 2025-07-17): HTTP
+    401/403 raise a specific 'authentication failed' error (action
+    suspends) instead of being treated as success."""
+    import http.server
+    import threading
+
+    import pytest
+
+    from rsyslog_spark.config.runtime import _es_http_transport
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            self.send_response(401)
+            self.end_headers()
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        t = _es_http_transport(
+            f"http://127.0.0.1:{httpd.server_address[1]}/_bulk")
+        with pytest.raises(RuntimeError,
+                           match="authentication failed"):
+            t('{"index":{}}\n{}\n')
+    finally:
+        httpd.shutdown()
