@@ -366,6 +366,12 @@ def omhiredis_sink(
     stream_maxlen: int = 0,
     line_col: str = "line",
     key_col: str | None = None,
+    server_password: str | None = None,
+    stream_ack: bool = False,
+    stream_del: bool = False,
+    ack_key: str | None = None,
+    ack_group: str | None = None,
+    ack_index_col: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Redis output speaking RESP directly (ref: contrib/omhiredis/
     omhiredis.c:381-414): mode=queue → LPUSH/RPUSH, publish →
@@ -373,15 +379,36 @@ def omhiredis_sink(
     (MAXLEN ~ n when stream_maxlen set). Commands are pipelined per
     partition (the reference uses redisAppendCommand batching);
     replies are drained at the end and error replies raise so the
-    retry/suspend wrapper sees the failure."""
+    retry/suspend wrapper sees the failure.
+
+    ``server_password`` issues AUTH as the connection's first
+    command (omhiredis.c:307-308 serverpassword — a wrong password
+    fails the batch). ``stream_ack``/``stream_del`` implement the
+    pipeline-acknowledgment pattern (omhiredis.c:503-508
+    stream.ack/stream.del + stream.keyAck/groupAck/indexAck): after
+    each XADD, XACK (and/or XDEL) the SOURCE stream's entry —
+    ``ack_index_col`` names the column carrying each row's origin
+    entry id (the dynaIndexAck analog; imhiredis stores it in
+    ``$.redis!index``)."""
 
     if mode not in ("queue", "publish", "set", "stream"):
         raise ValueError(f"unknown omhiredis mode {mode!r}")
+    if (stream_ack or stream_del) and not (ack_key
+                                           and ack_index_col):
+        raise ValueError(
+            "omhiredis: stream.ack/stream.del need stream.keyAck "
+            "and an index column (stream.indexAck)")
+    if stream_ack and not ack_group:
+        raise ValueError(
+            "omhiredis: stream.ack needs stream.groupAck")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         cols = [F.col(line_col).cast("string").alias("l")]
         cols.append((F.col(key_col) if key_col else F.lit(key))
                     .cast("string").alias("k"))
+        if ack_index_col:
+            cols.append(F.col(ack_index_col).cast("string")
+                        .alias("ack_idx"))
         sel = batch_df.select(*cols)
 
         def per_partition(rows):
@@ -389,6 +416,9 @@ def omhiredis_sink(
             n = 0
             try:
                 buf = bytearray()
+                if server_password is not None:
+                    buf += _resp("AUTH", server_password)
+                    n += 1
                 for r in rows:
                     v = r.l or ""
                     if mode == "queue":
@@ -409,6 +439,13 @@ def omhiredis_sink(
                                         stream_out_field, v)
                     buf += cmd
                     n += 1
+                    if stream_ack and r.ack_idx:
+                        buf += _resp("XACK", ack_key, ack_group,
+                                     r.ack_idx)
+                        n += 1
+                    if stream_del and r.ack_idx:
+                        buf += _resp("XDEL", ack_key, r.ack_idx)
+                        n += 1
                     if len(buf) >= 256 * 1024:
                         sk.sendall(buf)
                         buf.clear()

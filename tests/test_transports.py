@@ -240,6 +240,72 @@ def test_omhiredis_resp_modes(spark):
     assert b"SETEX" in blob and b"$2\r\n60\r\n" in blob
 
 
+def test_omhiredis_auth_and_stream_ack(spark):
+    """omhiredis serverpassword (omhiredis.c:307-308: AUTH is the
+    connection's first command; a wrong password raises) and the
+    stream.ack/stream.del pipeline-acknowledgment pattern
+    (omhiredis.c:503-508): after each XADD the SOURCE stream entry is
+    XACKed/XDELed using the per-row index column."""
+    import pytest
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    captured = []
+    fail_auth = [False]
+
+    def serve():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            data = b""
+            while True:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    break
+                data += chunk
+                if fail_auth[0]:
+                    conn.sendall(b"-ERR invalid password\r\n")
+                else:
+                    conn.sendall(b"+OK\r\n" * data.count(b"*"))
+            captured.append(data)
+            conn.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    df = spark.createDataFrame(
+        [("m1", "1-1"), ("m2", "1-2")],
+        "line string, redis_index string").coalesce(1)
+    omhiredis_sink("127.0.0.1", port, mode="stream", key="out",
+                   server_password="sekrit", stream_ack=True,
+                   stream_del=True, ack_key="in",
+                   ack_group="cg1",
+                   ack_index_col="redis_index")(df, 0)
+    blob = b"".join(captured)
+    # AUTH precedes everything
+    assert blob.startswith(
+        b"*2\r\n$4\r\nAUTH\r\n$6\r\nsekrit\r\n"), blob[:60]
+    assert (b"*4\r\n$4\r\nXACK\r\n$2\r\nin\r\n$3\r\ncg1\r\n"
+            b"$3\r\n1-1\r\n") in blob
+    assert b"XDEL" in blob and b"$3\r\n1-2\r\n" in blob
+    # wrong password: the -ERR reply fails the batch
+    fail_auth[0] = True
+    with pytest.raises(Exception, match="invalid password|ERR"):
+        omhiredis_sink("127.0.0.1", port, mode="queue", key="q",
+                       server_password="wrong")(df, 0)
+    srv.close()
+    # param validation
+    with pytest.raises(ValueError, match="keyAck"):
+        omhiredis_sink("127.0.0.1", port, mode="stream", key="o",
+                       stream_ack=True)
+    with pytest.raises(ValueError, match="groupAck"):
+        omhiredis_sink("127.0.0.1", port, mode="stream", key="o",
+                       stream_ack=True, ack_key="in",
+                       ack_index_col="redis_index")
+
+
 def test_omotel_payload_and_post(spark, tmp_path):
     import http.server
 
