@@ -1051,25 +1051,31 @@ def _dispatch_action_inner(
     if typ == "omelasticsearch" and params.get("server"):
         from rsyslog_spark.streaming.sinks import omelasticsearch_sink
 
-        url = _es_base_url(
-            str(params["server"]),
-            int(params.get("serverport", "9200")),
-            str(params.get("usehttps", "off")).lower()
-            in ("on", "true", "1")) + "_bulk"
+        # server accepts an ARRAY (es-basic-ha.sh): requests fail
+        # over to the next server on a connect error
+        servers = params["server"]
+        if not isinstance(servers, (list, tuple)):
+            servers = [servers]
+        https = str(params.get("usehttps", "off")).lower() in (
+            "on", "true", "1")
+        urls = [_es_base_url(str(s),
+                             int(params.get("serverport", "9200")),
+                             https) + "_bulk" for s in servers]
         doc = _rendered_lines(df, cfg, params, default=None)
         if doc is None:   # no template: whole row as a JSON doc
             doc = df.select(F.to_json(F.struct(*df.columns))
                             .alias("line"))
         df2 = doc.withColumn(
             "__idx", F.lit(params.get("searchIndex", "system")))
+        lp = {k.lower(): v for k, v in params.items()}
         _with_retry(params, omelasticsearch_sink(
             "__idx", None, "line",
+            write_operation=str(lp.get("writeoperation", "index")),
+            error_file=lp.get("errorfile"),
             transport=_es_http_transport(
-                url, uid=params.get("uid"), pwd=params.get("pwd"),
-                apikey=next((v for k, v in params.items()
-                             if k.lower() == "apikey"), None))))(
-            df2, 0)
-        run.written[name] = url
+                urls, uid=params.get("uid"), pwd=params.get("pwd"),
+                apikey=lp.get("apikey"))))(df2, 0)
+        run.written[name] = urls[0]
         return
     if typ == "omhttp" and params.get("server"):
         from rsyslog_spark.streaming.sinks import omhttp_sink
@@ -1364,12 +1370,17 @@ def _es_base_url(server: str, default_port: int,
     return base + "/"
 
 
-def _es_http_transport(url: str, *, uid: str | None = None,
+def _es_http_transport(url: str | list[str], *,
+                       uid: str | None = None,
                        pwd: str | None = None,
                        apikey: str | None = None):
     """Bulk-POST transport for omelasticsearch actions: NDJSON body →
     failed line numbers from the ES items response (ref:
     omelasticsearch.c:227-253 retryfailures response parsing).
+
+    ``url`` accepts a LIST for the HA server array (es-basic-ha.sh):
+    a connect-level failure fails over to the next server; only when
+    every server is unreachable does the error propagate.
 
     Auth: Basic (uid/pwd) or 'Authorization: ApiKey <key>'
     (ChangeLog 2025-10-29; omelasticsearch.c:2625) — combining both
@@ -1378,6 +1389,7 @@ def _es_http_transport(url: str, *, uid: str | None = None,
         raise ValueError(
             "omelasticsearch: apikey cannot be combined with "
             "uid/pwd")
+    urls = list(url) if isinstance(url, (list, tuple)) else [url]
 
     def post(body: str) -> list[int]:
         import base64
@@ -1392,20 +1404,32 @@ def _es_http_transport(url: str, *, uid: str | None = None,
             cred = base64.b64encode(
                 f"{uid}:{pwd or ''}".encode()).decode()
             hdrs["Authorization"] = f"Basic {cred}"
-        req = urllib.request.Request(
-            url, data=body.encode("utf-8"), headers=hdrs)
-        try:
-            with urllib.request.urlopen(req, timeout=30) as resp:
-                payload = _json.loads(resp.read() or b"{}")
-        except urllib.error.HTTPError as e:
-            # 401/403 get an explicit authentication diagnostic and
-            # still raise → action suspends (ChangeLog 2025-07-17:
-            # auth errors were silently treated as success)
-            if e.code in (401, 403):
-                raise RuntimeError(
-                    f"omelasticsearch: authentication failed "
-                    f"(HTTP {e.code}) posting to {url}") from e
-            raise
+        payload = None
+        last_err: Exception | None = None
+        for u in urls:
+            req = urllib.request.Request(
+                u, data=body.encode("utf-8"), headers=hdrs)
+            try:
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    payload = _json.loads(resp.read() or b"{}")
+                break
+            except urllib.error.HTTPError as e:
+                # 401/403 get an explicit authentication diagnostic
+                # and still raise → action suspends (ChangeLog
+                # 2025-07-17: auth errors were silently treated as
+                # success). HTTP-level errors do NOT fail over — the
+                # server IS reachable.
+                if e.code in (401, 403):
+                    raise RuntimeError(
+                        f"omelasticsearch: authentication failed "
+                        f"(HTTP {e.code}) posting to {u}") from e
+                raise
+            except (urllib.error.URLError, OSError) as e:
+                last_err = e        # connect failure → next server
+        if payload is None:
+            raise RuntimeError(
+                f"omelasticsearch: all servers unreachable "
+                f"({urls}): {last_err}") from last_err
         failed = []
         for i, item in enumerate(payload.get("items", [])):
             status = next(iter(item.values()), {}).get("status", 200)

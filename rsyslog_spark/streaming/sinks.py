@@ -127,6 +127,8 @@ def omelasticsearch_sink(
     *,
     transport: Callable[[str], list[int]] | None = None,
     max_bytes: int = 5 * 1024 * 1024,
+    write_operation: str = "index",
+    error_file: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """omelasticsearch bulk mode (ref: plugins/omelasticsearch/
     omelasticsearch.c:158-179 bulkmode/maxbytes, 227-253
@@ -135,24 +137,38 @@ def omelasticsearch_sink(
     [failed line numbers]``; failed lines raise so the task retries
     (at-least-once, like the reference's retry-with-response-parse).
 
+    ``write_operation`` (omelasticsearch.c writeoperation param;
+    golden es-writeoperation.sh): ``index`` (default, upsert) or
+    ``create`` — the bulk action line becomes ``{"create": ...}``
+    and existing ids conflict instead of overwriting.
+    ``error_file`` (errorfile param; es-*-errfile-* goldens): failed
+    docs are APPENDED as one JSON record per line instead of
+    raising — the reference's record-and-continue mode.
+
     The transport is injected — tests pass a recorder; production
     passes an HTTP POST to ``_bulk``. No network happens here.
     """
     if transport is None:
         raise ValueError("omelasticsearch_sink needs a transport "
                          "(no default network client in this build)")
+    if write_operation not in ("index", "create"):
+        raise ValueError(
+            f"omelasticsearch: unknown writeoperation "
+            f"{write_operation!r} - use 'index' or 'create'")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         header = F.to_json(F.struct(F.struct(
             F.col(index_col).alias("_index"),
             *([F.col(id_col).alias("_id")] if id_col else []),
-        ).alias("index")))
+        ).alias(write_operation)))
         lines = batch_df.select(
             F.concat(header, F.lit("\n"), F.col(doc_col)).alias("l"),
             F.length(F.col(doc_col)).alias("n"),
         )
 
         def per_partition(rows):
+            import json as _json
+
             buf: list[str] = []
             size = 0
             def flush():
@@ -161,8 +177,23 @@ def omelasticsearch_sink(
                     return
                 failed = transport("\n".join(buf) + "\n")
                 if failed:
-                    raise RuntimeError(
-                        f"bulk index failed for {len(failed)} docs")
+                    if error_file is not None:
+                        # record-and-continue (writeDataError —
+                        # one {"request":..,"reply-sketch":..}-style
+                        # JSON record per failed doc)
+                        with open(error_file, "a",
+                                  encoding="utf-8") as fh:
+                            for i in failed:
+                                if 0 <= i < len(buf):
+                                    hdr, _, doc = \
+                                        buf[i].partition("\n")
+                                    fh.write(_json.dumps(
+                                        {"request": hdr,
+                                         "doc": doc}) + "\n")
+                    else:
+                        raise RuntimeError(
+                            "bulk index failed for "
+                            f"{len(failed)} docs")
                 buf, size = [], 0
             for r in rows:
                 buf.append(r.l)

@@ -5445,3 +5445,76 @@ def test_es_auth_error_diagnostic(tmp_path):
             t('{"index":{}}\n{}\n')
     finally:
         httpd.shutdown()
+
+
+def test_es_ha_writeoperation_errorfile(spark, tmp_path):
+    """omelasticsearch: server arrays fail over on connect errors
+    (es-basic-ha.sh), writeoperation=create emits {"create": ...}
+    bulk action lines (es-writeoperation.sh), and errorfile records
+    failed docs as JSON lines instead of raising
+    (es-bulk-errfile-* family)."""
+    import http.server
+    import json
+    import socket as _socket
+    import threading
+
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    received = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            body = self.rfile.read(n)
+            received.append(body)
+            # report the FIRST doc of each bulk as failed (409)
+            items = [{"create": {"status": 409}}] + [
+                {"create": {"status": 201}}
+            ] * (body.count(b"\n") // 2 - 1)
+            resp = json.dumps({"items": items}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    live_port = httpd.server_address[1]
+    # reserve a dead port for the HA first server
+    probe = _socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    dead_port = probe.getsockname()[1]
+    probe.close()
+
+    src = tmp_path / "in.log"
+    src.write_text("<13>Mar  1 01:00:00 h tag: doc one\n"
+                   "<13>Mar  1 01:00:00 h tag: doc two\n")
+    errf = tmp_path / "es-errors.ndjson"
+    try:
+        run_config_batch(spark, f'''
+template(name="doc" type="list" option.jsonf="on") {{
+    property(outname="message" name="msg" format="jsonf")
+}}
+ruleset(name="m") {{
+  action(type="omelasticsearch"
+         server=["127.0.0.1:{dead_port}", "127.0.0.1:{live_port}"]
+         searchIndex="logs" writeoperation="create"
+         errorfile="{errf}" template="doc")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+    finally:
+        httpd.shutdown()
+    # HA: the dead first server was skipped, the live one got the
+    # bulk with CREATE action lines
+    assert received, "no bulk arrived at the live server"
+    bulk = received[0].decode()
+    assert '{"create":{"_index":"logs"}}' in bulk
+    # errorfile: the 409'd doc recorded as a JSON line, no raise
+    recs = [json.loads(l) for l in
+            errf.read_text().splitlines() if l.strip()]
+    assert len(recs) == 1
+    assert '"create"' in recs[0]["request"]
