@@ -316,29 +316,96 @@ def omjdbc_sink(
 def omprog_sink(
     argv: Sequence[str],
     line_col: str = "line",
+    *,
+    confirm_messages: bool = False,
+    confirm_timeout: float = 10.0,
+    output: str | None = None,
+    close_timeout: float = 5.0,
+    kill_unresponsive: bool = True,
+    signal_on_close: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """omprog (ref: plugins/omprog): pipe template-rendered lines to an
     external program's stdin, one process per partition per batch
-    (restart-on-next-batch ≈ the reference's restart management)."""
+    (restart-on-next-batch ≈ the reference's restart management).
+
+    ``confirm_messages`` (omprog.c:126,417-430 confirmMessages): the
+    child answers one status line per message on stdout — 'OK'
+    succeeds; anything else is a recoverable error that fails the
+    batch (the reference suspends/retries). The child also confirms
+    STARTUP with a first 'OK' before any message is sent.
+    ``output`` (omprog.c:138,165-175): capture the child's stdout
+    (+stderr) to a file; with confirm_messages on, stdout carries
+    the feedback protocol so only stderr is captured.
+    ``close_timeout``/``kill_unresponsive``/``signal_on_close``
+    (omprog.c:301-320 waitForChild): on close, optionally SIGTERM
+    first, wait up to the timeout, then SIGKILL unresponsive
+    children (golden omprog-close-unresponsive.sh)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         lines = batch_df.select(F.col(line_col).cast("string").alias("l"))
 
         def per_partition(rows):
+            import signal as _signal
             import subprocess
 
+            out_fh = open(output, "ab") if output else None
+            stdout_tgt = (subprocess.PIPE if confirm_messages
+                          else (out_fh or subprocess.DEVNULL))
+            stderr_tgt = out_fh if out_fh else None
             proc = subprocess.Popen(
-                list(argv), stdin=subprocess.PIPE, text=True)
+                list(argv), stdin=subprocess.PIPE,
+                stdout=stdout_tgt, stderr=stderr_tgt, text=True)
+
+            def read_status() -> str:
+                import select as _select
+                ready, _, _ = _select.select(
+                    [proc.stdout], [], [], confirm_timeout)
+                if not ready:
+                    raise RuntimeError(
+                        "omprog: program gave no confirmation "
+                        f"within {confirm_timeout}s")
+                return (proc.stdout.readline() or "").strip()
+
             try:
+                if confirm_messages:
+                    # startup confirmation precedes any message
+                    st = read_status()
+                    if st != "OK":
+                        raise RuntimeError(
+                            f"omprog: program startup returned: "
+                            f"{st!r}")
                 for r in rows:
                     proc.stdin.write((r.l or "") + "\n")
-                proc.stdin.close()
-                rc = proc.wait(timeout=60)
-                if rc != 0:
+                    if confirm_messages:
+                        proc.stdin.flush()
+                        st = read_status()
+                        if st not in ("OK", "DEFER_COMMIT",
+                                      "PREVIOUS_COMMITTED"):
+                            raise RuntimeError(
+                                f"omprog: program returned: {st!r}")
+                try:
+                    proc.stdin.close()
+                except OSError:
+                    pass
+                if signal_on_close and proc.poll() is None:
+                    proc.send_signal(_signal.SIGTERM)
+                try:
+                    rc = proc.wait(timeout=close_timeout)
+                except subprocess.TimeoutExpired:
+                    if not kill_unresponsive:
+                        raise RuntimeError(
+                            "omprog: program did not terminate "
+                            f"within closeTimeout={close_timeout}s")
+                    proc.kill()
+                    proc.wait()
+                    rc = 0   # killed on request — not a failure
+                if rc not in (0, None):
                     raise RuntimeError(f"omprog exited {rc}")
             finally:
                 if proc.poll() is None:
                     proc.kill()
+                if out_fh:
+                    out_fh.close()
             return iter(())
 
         lines.rdd.mapPartitions(per_partition).count()

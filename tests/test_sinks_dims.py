@@ -396,3 +396,61 @@ def test_dynstats_lifecycle_reference_scenario(spark):
         spark.createDataFrame(adj, "key string, ts timestamp"),
         "key", "ts", interval="1 hour", life_windows=1).first()
     assert one["new_metric_add"] == 1 and one["n_windows"] == 3
+
+
+def test_omprog_feedback_output_close(spark, tmp_path):
+    """omprog confirmMessages / output capture / closeTimeout
+    (omprog.c:126-138,301-320,417-430; goldens omprog-feedback.sh,
+    omprog-output-capture.sh, omprog-close-unresponsive.sh):
+    startup + per-message OK confirmations; a non-OK status fails
+    the batch; child stderr captures to the output file; an
+    unresponsive child is SIGKILLed after closeTimeout."""
+    import sys
+
+    import pytest
+
+    from rsyslog_spark.streaming.sinks import omprog_sink
+
+    outfile = tmp_path / "capture.log"
+    child_ok = (
+        "import sys\n"
+        "print('OK', flush=True)\n"          # startup confirm
+        "for line in sys.stdin:\n"
+        "    sys.stderr.write('got ' + line)\n"
+        "    sys.stderr.flush()\n"
+        "    print('OK', flush=True)\n"
+    )
+    df = spark.createDataFrame([("fb one",), ("fb two",)],
+                               "line string").coalesce(1)
+    omprog_sink([sys.executable, "-u", "-c", child_ok],
+                confirm_messages=True,
+                output=str(outfile))(df, 0)
+    cap = outfile.read_text()
+    assert "got fb one" in cap and "got fb two" in cap
+
+    # non-OK status fails the batch (reference suspends/retries)
+    child_err = (
+        "import sys\n"
+        "print('OK', flush=True)\n"
+        "sys.stdin.readline()\n"
+        "print('Error: disk full', flush=True)\n"
+        "sys.stdin.read()\n"
+    )
+    with pytest.raises(Exception, match="disk full|returned"):
+        omprog_sink([sys.executable, "-u", "-c", child_err],
+                    confirm_messages=True)(df, 0)
+
+    # unresponsive child: ignores stdin EOF + SIGTERM, killed after
+    # closeTimeout - the batch still completes
+    child_hang = (
+        "import signal, sys, time\n"
+        "signal.signal(signal.SIGTERM, signal.SIG_IGN)\n"
+        "sys.stdin.read()\n"
+        "time.sleep(300)\n"
+    )
+    import time as _time
+    t0 = _time.time()
+    omprog_sink([sys.executable, "-u", "-c", child_hang],
+                signal_on_close=True, close_timeout=1.0,
+                kill_unresponsive=True)(df, 0)
+    assert _time.time() - t0 < 30
