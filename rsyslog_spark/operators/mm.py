@@ -562,6 +562,7 @@ def mmexternal(
     batch_size: int = 1024,
     interface_output: str = "json",
     response_timeout: float | None = None,
+    max_response_size: int = 128 * 1024,
 ) -> DataFrame:
     """External message-modification program bridge (ref:
     plugins/mmexternal/mmexternal.c — JSON-over-stdio, one request per
@@ -578,9 +579,15 @@ def mmexternal(
     ``interface_output="none"`` (ChangeLog 2026-05-22): side-effect-
     only helpers — requests are written but no response is read and
     the ``json`` column passes through untouched.
-    ``response_timeout`` bounds a stalled helper reply in seconds;
-    exceeding it fails the batch (the reference's responseTimeout).
-    """
+
+    ``response_timeout`` / ``max_response_size`` follow the
+    reference's RESTART-AND-SKIP contract (mmexternal.c:326-400 +
+    readPipeLine: 'will be restarted and current message skipped'):
+    a helper that stalls past the timeout, closes stdout, or answers
+    longer than the cap is terminated and RESPAWNED, the current
+    message passes through with its ``json`` UNCHANGED, and the
+    batch keeps flowing — a misbehaving helper never fails the
+    pipeline, it just stops modifying messages."""
     import json as _json
     import os as _os
     import select as _select
@@ -601,6 +608,8 @@ def mmexternal(
     col_names = [f.name for f in out_schema.fields]
 
     def run(batches):
+        import warnings as _warnings
+
         # one-way helpers must not accumulate unread stdout: a child
         # that writes anyway would fill the ~64K pipe buffer and
         # deadlock the batch, so discard it at the OS level (the
@@ -608,53 +617,82 @@ def mmexternal(
         stdout_target = (
             subprocess.DEVNULL if interface_output == "none"
             else subprocess.PIPE)
-        proc = subprocess.Popen(
-            argv, stdin=subprocess.PIPE, stdout=stdout_target, text=True
-        )
+        st = {"proc": None, "rbuf": bytearray()}
+
+        def spawn():
+            st["proc"] = subprocess.Popen(
+                argv, stdin=subprocess.PIPE, stdout=stdout_target,
+                text=True)
+            st["rbuf"] = bytearray()
+
+        def terminate(reason: str) -> None:
+            # restart-and-skip (mmexternal.c terminateChild call
+            # sites: 'will be restarted and current message
+            # skipped') — the pipeline keeps flowing
+            _warnings.warn(
+                f"mmexternal: program {argv[0]!r} {reason}; will be "
+                "restarted and current message skipped",
+                RuntimeWarning, stacklevel=2)
+            p = st["proc"]
+            st["proc"] = None
+            if p is None:
+                return
+            try:
+                p.kill()
+            except OSError:
+                pass
+            p.wait()
+
         # Response reads go through the raw fd, NOT the TextIOWrapper:
         # select() only sees the kernel pipe, so a line already sitting
         # in a buffered reader would look like "no data" (spurious
         # timeout), and readline() on a partial line blocks past the
         # deadline.  A raw-fd loop makes the timeout cover the WHOLE
         # line, not just time-to-first-byte.
-        rbuf = bytearray()
-
-        def read_line() -> str:
+        def read_line() -> str | None:
+            """One response line; None = helper was restarted and
+            this message must pass through unchanged."""
+            rbuf = st["rbuf"]
             deadline = (
                 None if response_timeout is None
                 else _time.monotonic() + response_timeout)
-            fd = proc.stdout.fileno()
+            fd = st["proc"].stdout.fileno()
             while True:
                 nl = rbuf.find(b"\n")
                 if nl >= 0:
                     line = rbuf[:nl].decode("utf-8", "replace")
                     del rbuf[:nl + 1]
                     return line
+                if len(rbuf) > max_response_size:
+                    # mmexternal.c:355-364: response longer than the
+                    # cap → restart helper, skip message
+                    terminate("returned a response longer than "
+                              f"maxResponseSize ({max_response_size}"
+                              " bytes)")
+                    return None
                 if deadline is None:
                     wait = None
                 else:
                     wait = deadline - _time.monotonic()
                     if wait <= 0:
-                        raise RuntimeError(
-                            f"mmexternal child {argv[0]!r} gave no "
-                            f"response within {response_timeout}s "
-                            "(responseTimeout)")
+                        terminate("did not respond within timeout "
+                                  f"({response_timeout}s)")
+                        return None
                 ready, _, _ = _select.select([fd], [], [], wait)
                 if not ready:
-                    raise RuntimeError(
-                        f"mmexternal child {argv[0]!r} gave no "
-                        f"response within {response_timeout}s "
-                        "(responseTimeout)")
+                    terminate("did not respond within timeout "
+                              f"({response_timeout}s)")
+                    return None
                 chunk = _os.read(fd, 65536)
                 if chunk == b"":
                     # EOF = the child died or stopped answering;
                     # silently assigning '' would corrupt every
                     # remaining row as if it succeeded
-                    raise RuntimeError(
-                        f"mmexternal child {argv[0]!r} closed "
-                        f"stdout (exit={proc.poll()})")
+                    terminate("closed stdout unexpectedly")
+                    return None
                 rbuf.extend(chunk)
 
+        spawn()
         try:
             for pdf in batches:
                 if "json" not in pdf.columns:
@@ -662,24 +700,39 @@ def mmexternal(
                 if interface_output == "none":
                     # one-way helper: requests only, json untouched
                     for m in pdf[msg_col]:
-                        proc.stdin.write(
-                            _json.dumps({"msg": m}) + "\n")
-                    proc.stdin.flush()
+                        if st["proc"] is None:
+                            spawn()
+                        try:
+                            st["proc"].stdin.write(
+                                _json.dumps({"msg": m}) + "\n")
+                            st["proc"].stdin.flush()
+                        except (BrokenPipeError, OSError):
+                            terminate("stdin pipe broke")
                     yield pdf[col_names]
                     continue
                 outs = []
-                for m in pdf[msg_col]:
-                    proc.stdin.write(_json.dumps({"msg": m}) + "\n")
-                    proc.stdin.flush()
-                    outs.append(read_line())
+                for m, prev in zip(pdf[msg_col], pdf["json"]):
+                    if st["proc"] is None:
+                        spawn()
+                    try:
+                        st["proc"].stdin.write(
+                            _json.dumps({"msg": m}) + "\n")
+                        st["proc"].stdin.flush()
+                        line = read_line()
+                    except (BrokenPipeError, OSError):
+                        terminate("stdin pipe broke")
+                        line = None
+                    outs.append(prev if line is None else line)
                 pdf = pdf.assign(json=outs)
                 yield pdf[col_names]
         finally:
-            proc.stdin.close()
-            rc = proc.wait()
-            if rc not in (0, None):
-                raise RuntimeError(
-                    f"mmexternal child {argv[0]!r} exited {rc}")
+            p = st["proc"]
+            if p is not None:
+                p.stdin.close()
+                rc = p.wait()
+                if rc not in (0, None):
+                    raise RuntimeError(
+                        f"mmexternal child {argv[0]!r} exited {rc}")
 
     return df.mapInPandas(run, schema=out_schema)
 

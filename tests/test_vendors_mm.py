@@ -149,27 +149,28 @@ def test_mmexternal_output_none_and_timeout(spark, tmp_path):
         time.sleep(0.2)
     assert sorted(sidefile.read_text().split()) == ["abc", "hello"]
 
-    # stalled helper: never answers -> responseTimeout failure
+    # stalled helper: restart-and-skip (mmexternal.c 'will be
+    # restarted and current message skipped') — json passes through
+    # UNCHANGED and the batch completes
     child_stall = "import time\nimport sys\ntime.sleep(60)\n"
-    df1 = spark.createDataFrame([("x",)], "msg string").repartition(1)
+    df1 = spark.createDataFrame([("x", "keep-x")],
+                                "msg string, json string"
+                                ).repartition(1)
     out = mmexternal(df1, [_sys.executable, "-c", child_stall],
                      response_timeout=1.0)
-    import pytest
-    from py4j.protocol import Py4JJavaError
-    with pytest.raises(Exception) as ei:
-        out.collect()
-    assert "responseTimeout" in str(ei.value) or \
-        "no response" in str(ei.value)
+    rows = out.collect()
+    assert [(r.msg, r.json) for r in rows] == [("x", "keep-x")]
 
 
 def test_mmexternal_timeout_covers_whole_line(spark):
     """responseTimeout must bound the WHOLE response line, not just
     time-to-first-byte: a helper that writes a partial line then
     stalls used to block readline() past the deadline (the select()
-    only saw the first byte)."""
+    only saw the first byte). Reference contract: the helper is
+    restarted and the message skipped (json unchanged) — the batch
+    must COMPLETE within the deadline, not hang for 60s."""
     import sys as _sys
-
-    import pytest
+    import time as _time
 
     child_partial = (
         "import sys, time\n"
@@ -178,12 +179,65 @@ def test_mmexternal_timeout_covers_whole_line(spark):
         "sys.stdout.flush()\n"
         "time.sleep(60)\n"
     )
-    df = spark.createDataFrame([("x",)], "msg string").repartition(1)
+    df = spark.createDataFrame([("x", "orig")],
+                               "msg string, json string"
+                               ).repartition(1)
     out = mmexternal(df, [_sys.executable, "-c", child_partial],
                      response_timeout=1.0)
-    with pytest.raises(Exception) as ei:
-        out.collect()
-    assert "no response" in str(ei.value)
+    t0 = _time.time()
+    rows = out.collect()
+    assert _time.time() - t0 < 30   # not the child's 60s sleep
+    assert [(r.msg, r.json) for r in rows] == [("x", "orig")]
+
+
+def test_mmexternal_restart_after_skip_and_size_cap(spark):
+    """After a restart-and-skip the RESPAWNED helper serves
+    subsequent messages normally (mmexternal-response-timeout-
+    trickle.sh shape), and a response longer than maxResponseSize
+    restarts the helper with the message skipped
+    (mmexternal-response-too-long.sh)."""
+    import sys as _sys
+
+    # helper: answers msg 'slow' never (timeout), everything else
+    # with {"len": N}
+    child = (
+        "import sys, json, time\n"
+        "for line in sys.stdin:\n"
+        "    m = json.loads(line)['msg']\n"
+        "    if m == 'slow':\n"
+        "        time.sleep(60)\n"
+        "    print(json.dumps({'len': len(m)}), flush=True)\n"
+    )
+    df = spark.createDataFrame(
+        [("aa", "j1"), ("slow", "j2"), ("cccc", "j3")],
+        "msg string, json string").coalesce(1)
+    out = mmexternal(df, [_sys.executable, "-u", "-c", child],
+                     response_timeout=1.5)
+    got = [(r.msg, r.json) for r in out.collect()]
+    assert got == [("aa", '{"len": 2}'),
+                   ("slow", "j2"),             # skipped, unchanged
+                   ("cccc", '{"len": 4}')]     # respawned helper
+
+    # oversized response: restart + skip
+    child_big = (
+        "import sys, json\n"
+        "for line in sys.stdin:\n"
+        "    m = json.loads(line)['msg']\n"
+        "    if m == 'big':\n"
+        "        sys.stdout.write('x' * 2000000 + chr(10))\n"
+        "    else:\n"
+        "        sys.stdout.write(json.dumps({'ok': m}) + chr(10))\n"
+        "    sys.stdout.flush()\n"
+    )
+    df2 = spark.createDataFrame(
+        [("big", "orig-big"), ("small", "orig-small")],
+        "msg string, json string").coalesce(1)
+    out2 = mmexternal(df2, [_sys.executable, "-u", "-c", child_big],
+                      response_timeout=10.0,
+                      max_response_size=64 * 1024)
+    got2 = [(r.msg, r.json) for r in out2.collect()]
+    assert got2 == [("big", "orig-big"),
+                    ("small", '{"ok": "small"}')]
 
 
 def test_mmexternal_timeout_buffered_line_not_spurious(spark):
