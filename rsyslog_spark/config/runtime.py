@@ -1077,6 +1077,26 @@ def _dispatch_action_inner(
                 apikey=lp.get("apikey"))))(df2, 0)
         run.written[name] = urls[0]
         return
+    if typ == "omclickhouse":
+        from rsyslog_spark.streaming.sinks import omclickhouse_sink
+
+        lp = {k.lower(): v for k, v in params.items()}
+        lines = _rendered_lines(df, cfg, params)
+        _with_retry(params, omclickhouse_sink(
+            "line",
+            server=str(lp.get("server", "localhost")),
+            port=int(lp.get("port", "8123")),
+            use_https=str(lp.get("usehttps", "off")).lower() in (
+                "on", "true", "1"),
+            uid=lp.get("uid"), pwd=lp.get("pwd"),
+            bulkmode=str(lp.get("bulkmode", "on")).lower() in (
+                "on", "true", "1"),
+            max_bytes=int(lp.get("maxbytes", 0) or 0),
+            error_file=lp.get("errorfile")))(lines, 0)
+        run.written[name] = (
+            f"clickhouse://{lp.get('server', 'localhost')}:"
+            f"{lp.get('port', '8123')}")
+        return
     if typ == "omhttp" and params.get("server"):
         from rsyslog_spark.streaming.sinks import omhttp_sink
 

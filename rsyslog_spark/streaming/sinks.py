@@ -208,6 +208,126 @@ def omelasticsearch_sink(
     return write
 
 
+def omclickhouse_sink(
+    line_col: str = "line",
+    *,
+    transport: Callable[[bytes], tuple[int, str]] | None = None,
+    server: str = "localhost",
+    port: int = 8123,
+    use_https: bool = False,
+    uid: str | None = None,
+    pwd: str | None = None,
+    bulkmode: bool = True,
+    max_bytes: int = 0,
+    error_file: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """ClickHouse HTTP insert (ref: plugins/omclickhouse/
+    omclickhouse.c — the template renders a full ``INSERT INTO ...
+    VALUES (...)`` statement per message, POSTed to the HTTP
+    endpoint, default :8123).
+
+    Faithful semantics:
+    - a message NOT containing 'INSERT INTO' is an error that fails
+      the batch (omclickhouse.c:468-474 'Message is no Insert
+      query');
+    - bulkmode (default on, omclickhouse.c:603): the FIRST message
+      of a batch contributes the whole statement, subsequent ones
+      only from the '(' after VALUES (computeBulkMessage:414-431) —
+      appended verbatim; ``max_bytes`` flushes early;
+    - a reply with HTTP >= 400 or a DB::{,Net,Parsing}Exception text
+      records the request to ``error_file`` and CONTINUES
+      (checkResult:361-379 'we have handled the problem'); transport
+      -level failures raise → the action suspends.
+
+    ``transport(body) -> (http_status, reply_text)`` is injectable;
+    the default POSTs via urllib with optional basic auth."""
+    if transport is None:
+        scheme = "https" if use_https else "http"
+        base = f"{scheme}://{server}:{port}/"
+
+        def transport(body: bytes) -> tuple[int, str]:
+            import base64
+            import urllib.error
+            import urllib.request
+
+            hdrs = {"Content-Type": "text/plain"}
+            if uid is not None:
+                cred = base64.b64encode(
+                    f"{uid}:{pwd or ''}".encode()).decode()
+                hdrs["Authorization"] = f"Basic {cred}"
+            req = urllib.request.Request(base, data=body,
+                                         headers=hdrs)
+            try:
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    return r.status, r.read(65536).decode(
+                        "utf-8", "replace")
+            except urllib.error.HTTPError as e:
+                return e.code, e.read(65536).decode(
+                    "utf-8", "replace")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        lines = batch_df.select(
+            F.col(line_col).cast("string").alias("l"))
+
+        def per_partition(rows):
+            import json as _json
+
+            batch: list[str] = []
+            size = 0
+
+            def record_error(body: str, status: int,
+                             reply: str) -> None:
+                if error_file is None:
+                    raise RuntimeError(
+                        "omclickhouse: ClickHouse request failed "
+                        f"with HTTP status {status}: {reply[:200]}")
+                with open(error_file, "a", encoding="utf-8") as fh:
+                    fh.write(_json.dumps(
+                        {"request": body, "status": status,
+                         "reply": reply[:1000]}) + "\n")
+
+            def flush():
+                nonlocal batch, size
+                if not batch:
+                    return
+                body = "".join(batch)
+                status, reply = transport(body.encode("utf-8"))
+                if status >= 400 or " = DB::Exception" in reply \
+                        or "DB::NetException" in reply \
+                        or "DB::ParsingException" in reply:
+                    record_error(body, status, reply)
+                batch, size = [], 0
+
+            for r in rows:
+                stmt = r.l or ""
+                if "INSERT INTO" not in stmt:
+                    raise RuntimeError(
+                        "omclickhouse: Message is no Insert query: "
+                        f"Message suspended: {stmt[:200]}")
+                if not bulkmode:
+                    batch = [stmt]
+                    flush()
+                    continue
+                part = stmt
+                if batch:
+                    v = stmt.find("VALUES")
+                    p = stmt.find("(", v) if v >= 0 else -1
+                    if p >= 0:
+                        part = stmt[p:]
+                if max_bytes > 0 and batch \
+                        and size + len(part) > max_bytes:
+                    flush()
+                    part = stmt   # new batch restarts the statement
+                batch.append(part)
+                size += len(part)
+            flush()
+            return iter(())
+
+        lines.rdd.mapPartitions(per_partition).count()
+
+    return write
+
+
 def omhttp_serialize(chunk: list[str], fmt: str) -> tuple[bytes, str]:
     """omhttp batch serializers (contrib/omhttp/omhttp.c:1446-1726):
     newline = raw lines joined; jsonarray = '[msg,…]' of parsed

@@ -454,3 +454,65 @@ def test_omprog_feedback_output_close(spark, tmp_path):
                 signal_on_close=True, close_timeout=1.0,
                 kill_unresponsive=True)(df, 0)
     assert _time.time() - t0 < 30
+
+
+def test_omclickhouse_http_insert(spark, tmp_path):
+    """omclickhouse HTTP insert (plugins/omclickhouse/
+    omclickhouse.c): bulkmode concatenates subsequent messages from
+    the '(' after VALUES onto the first statement
+    (computeBulkMessage:414-431); non-INSERT messages fail the
+    batch (:468); a DB::Exception reply records to errorfile and
+    continues (checkResult:361-379)."""
+    import json
+
+    import pytest
+
+    from rsyslog_spark.streaming.sinks import omclickhouse_sink
+
+    rec = tmp_path / "posts.txt"
+    ctl = tmp_path / "reply.json"
+    ctl.write_text(json.dumps([200, ""]))
+
+    def transport(body: bytes, _rec=str(rec), _ctl=str(ctl)):
+        import json as _j
+        with open(_rec, "a") as f:
+            f.write(body.decode() + "\n---\n")
+        st, rp = _j.loads(open(_ctl).read())
+        return st, rp
+
+    df = spark.createDataFrame(
+        [("INSERT INTO logs (m) VALUES ('a')",),
+         ("INSERT INTO logs (m) VALUES ('b')",),
+         ("INSERT INTO logs (m) VALUES ('c')",)],
+        "line string").coalesce(1)
+    omclickhouse_sink("line", transport=transport)(df, 0)
+    posts = [p for p in rec.read_text().split("\n---\n") if p]
+    assert posts == ["INSERT INTO logs (m) VALUES ('a')"
+                     "('b')('c')"]
+
+    # non-bulk: one POST per statement
+    rec.write_text("")
+    omclickhouse_sink("line", transport=transport,
+                      bulkmode=False)(df, 0)
+    posts = [p for p in rec.read_text().split("\n---\n") if p]
+    assert len(posts) == 3 and posts[1].endswith("VALUES ('b')")
+
+    # non-INSERT statement is an error
+    bad = spark.createDataFrame([("SELECT 1",)],
+                                "line string").coalesce(1)
+    with pytest.raises(Exception, match="no Insert query"):
+        omclickhouse_sink("line", transport=transport)(bad, 0)
+
+    # DB::Exception reply -> errorfile record, no raise
+    ctl.write_text(json.dumps(
+        [200, "Code: 62.  = DB::Exception: Syntax error"]))
+    errf = tmp_path / "ch-errors.ndjson"
+    omclickhouse_sink("line", transport=transport,
+                      error_file=str(errf))(df, 0)
+    recs = [json.loads(l) for l in
+            errf.read_text().splitlines()]
+    assert len(recs) == 1 and "INSERT INTO" in recs[0]["request"]
+    # ... and without errorfile the same reply raises (suspend)
+    ctl.write_text(json.dumps([500, "DB::NetException: refused"]))
+    with pytest.raises(Exception, match="HTTP status 500"):
+        omclickhouse_sink("line", transport=transport)(df, 0)
