@@ -1169,7 +1169,11 @@ def _dispatch_action_inner(
             compress_level=int(params.get("compress.level", "-1")),
             # replymaxbytes (ChangeLog 2026-02-07, default 1 MiB)
             reply_max_bytes=int(params.get("replymaxbytes",
-                                           1024 * 1024)))
+                                           1024 * 1024)),
+            # httpignorablecodes (omhttp.c:311,1220-1228)
+            ignorable_codes=[
+                int(c) for c in
+                (params.get("httpignorablecodes") or [])])
         dyn = str(params.get("dynrestpath", "off")).lower() in (
             "on", "true", "1")
         doc = _rendered_lines(df, cfg, params)
@@ -1480,7 +1484,8 @@ def _omhttp_transport(base: str, path: str, *, fmt: str = "newline",
                       token: str | None = None,
                       compress: bool = False,
                       compress_level: int = -1,
-                      reply_max_bytes: int = 1024 * 1024):
+                      reply_max_bytes: int = 1024 * 1024,
+                      ignorable_codes: list[int] | None = None):
     """omhttp HTTP client (contrib/omhttp/omhttp.c buildCurlHeaders /
     serializeBatch*): batch-format body, custom headers, basic auth
     (uid/pwd) or bearer token, gzip Content-Encoding on compress.
@@ -1489,7 +1494,12 @@ def _omhttp_transport(base: str, path: str, *, fmt: str = "newline",
     2026-02-07, default 1 MiB): the response body is read at most to
     the cap; a larger reply aborts the transfer with an error (the
     reference truncates the buffer and fails the transfer) instead
-    of buffering unboundedly."""
+    of buffering unboundedly.
+
+    ``ignorable_codes`` (omhttp 'httpignorablecodes',
+    omhttp.c:1220-1228; golden omhttp-basic-ignorecodes.sh): HTTP
+    error statuses in this list count as PROCESSED — the batch is
+    not retried for them."""
     def post(chunk: list[str], dyn_path: str | None = None) -> None:
         import base64
         import urllib.request
@@ -1515,12 +1525,18 @@ def _omhttp_transport(base: str, path: str, *, fmt: str = "newline",
         p = ("/" + dyn_path.lstrip("/")) if dyn_path else path
         req = urllib.request.Request(base + p, data=body,
                                      headers=hdrs)
-        with urllib.request.urlopen(req, timeout=30) as resp:
-            got = resp.read(reply_max_bytes + 1)
-            if len(got) > reply_max_bytes:
-                raise RuntimeError(
-                    "omhttp: reply exceeds replymaxbytes="
-                    f"{reply_max_bytes} - transfer aborted")
+        import urllib.error
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                got = resp.read(reply_max_bytes + 1)
+                if len(got) > reply_max_bytes:
+                    raise RuntimeError(
+                        "omhttp: reply exceeds replymaxbytes="
+                        f"{reply_max_bytes} - transfer aborted")
+        except urllib.error.HTTPError as e:
+            if ignorable_codes and e.code in ignorable_codes:
+                return   # processed: configured as ignorable
+            raise
 
     return post
 

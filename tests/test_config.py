@@ -5416,6 +5416,40 @@ input(type="imfile" file="{src}" ruleset="m")
         httpd.shutdown()
 
 
+def test_omhttp_ignorable_codes(tmp_path):
+    """omhttp httpignorablecodes (omhttp.c:1220-1228; golden
+    omhttp-basic-ignorecodes.sh): error statuses in the list count
+    as processed — no retry/raise; other errors still raise."""
+    import http.server
+    import threading
+
+    import pytest
+
+    from rsyslog_spark.config.runtime import _omhttp_transport
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            self.send_response(int(self.path.rsplit("/", 1)[-1]))
+            self.end_headers()
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        # 404 configured ignorable: processed silently
+        _omhttp_transport(base, "/404",
+                          ignorable_codes=[404, 410])(["l1"])
+        # 500 not in the list: raises (retry/suspend path)
+        with pytest.raises(Exception):
+            _omhttp_transport(base, "/500",
+                              ignorable_codes=[404])(["l1"])
+    finally:
+        httpd.shutdown()
+
+
 def test_es_auth_error_diagnostic(tmp_path):
     """omelasticsearch auth errors (ChangeLog 2025-07-17): HTTP
     401/403 raise a specific 'authentication failed' error (action
