@@ -2580,6 +2580,19 @@ def run_config_stream(
                 if str(lin.get("multiline", "off")).lower() in (
                         "on", "true", "1"):
                     kw["multiline"] = True
+                # framingfix.cisco.asa (imptcp.c:219)
+                if str(lin.get("framingfix.cisco.asa", "off")
+                       ).lower() in ("on", "true", "1"):
+                    kw["sp_framing_fix"] = True
+                # unix-domain listener (imptcp.c:203-204 path/unlink;
+                # goldens imptcp_uds.sh, imptcp_uds_unlink.sh)
+                if lin.get("path"):
+                    kw["path"] = lin["path"]
+                    kw.pop("port", None)
+                    kw.pop("host", None)
+                    if str(lin.get("unlink", "off")).lower() in (
+                            "on", "true", "1"):
+                        kw["unlink"] = True
                 if lin.get("maxsessions"):
                     kw["max_sessions"] = int(lin["maxsessions"])
                 # notifyOnConnection{Open,Close} (imptcp.c:221-222;

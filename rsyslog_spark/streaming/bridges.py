@@ -1656,6 +1656,7 @@ def split_tcp_frames(buf: bytes,
                      octet_counted: bool = True,
                      addtl_delim: int | None = None,
                      multiline: bool = False,
+                     sp_framing_fix: bool = False,
                      ) -> tuple[list[bytes], bytes]:
     """RFC6587 frame split with per-frame autodetect (ref:
     tcps_sess.c): a frame starting with 1-9 digits followed by SP is
@@ -1708,6 +1709,13 @@ def split_tcp_frames(buf: bytes,
     blen = len(buf)
     msgs: list[bytes] = []
     while pos < blen:
+        if sp_framing_fix and buf[pos] == 0x20:
+            # framing.fix.cisco-asa (tcps_sess.c:615-621
+            # bSPFramingFix; golden imptcp_spframingfix.sh): Cisco
+            # ASA occasionally sends SP after LF — permit a space
+            # IN FRONT of the next frame and ignore it
+            pos += 1
+            continue
         j = pos
         if octet_counted:
             stop = min(blen, pos + 10)
@@ -1789,9 +1797,12 @@ class imtcp(SpoolBridge):
                  addtl_frame_delimiter: int | None = None,
                  support_octet_counted: bool = True,
                  multiline: bool = False,
+                 sp_framing_fix: bool = False,
                  max_sessions: int | None = None,
                  notify_on_connection_open: bool = False,
                  notify_on_connection_close: bool = False,
+                 path: str | None = None,
+                 unlink: bool = False,
                  tls=None, **kw):
         super().__init__(spool_dir, inputname="imtcp", **kw)
         #: addtlFrameDelimiter (tcps_sess.c:635 / imptcp.c:1186 —
@@ -1807,6 +1818,9 @@ class imtcp(SpoolBridge):
         #: 2026-01-31): LF ends a frame only before a '<' header —
         #: other LFs are continuation content
         self.multiline = bool(multiline)
+        #: framingfix.cisco.asa (imptcp.c:219; tcps_sess.c:615-621):
+        #: ignore a stray SP in front of the next frame
+        self.sp_framing_fix = bool(sp_framing_fix)
         #: compression.maxExpansionRatio (imtcp.c:277; default
         #: tcps_sess.h:39 = 1024, 0 = unlimited) — negative is a
         #: config error (eCmdHdlrNonNegInt)
@@ -1896,12 +1910,26 @@ class imtcp(SpoolBridge):
         if tls is not None:  # StreamDriver gtls (streaming/gtls.py)
             from rsyslog_spark.streaming.gtls import server_context
             self._tls_ctx = server_context(tls)
-        self.srv = socket.socket()
-        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self.srv.bind((host, port))
+        #: unix-domain stream listener (imptcp.c:203-204,464-480
+        #: path=/unlink=; goldens imptcp_uds.sh, imptcp_uds_unlink.sh)
+        #: — same framing/session machinery over AF_UNIX; fromhost
+        #: is the local hostname (no peer address on UDS)
+        self.uds_path = path
+        if path is not None:
+            if unlink and os.path.exists(path):
+                os.unlink(path)
+            self.srv = socket.socket(socket.AF_UNIX,
+                                     socket.SOCK_STREAM)
+            self.srv.bind(path)
+            self.port = 0
+        else:
+            self.srv = socket.socket()
+            self.srv.setsockopt(socket.SOL_SOCKET,
+                                socket.SO_REUSEADDR, 1)
+            self.srv.bind((host, port))
+            self.port = self.srv.getsockname()[1]
         self.srv.listen(16)
         self.srv.settimeout(0.2)
-        self.port = self.srv.getsockname()[1]
 
     def _serve(self) -> None:
         conns = []
@@ -1912,6 +1940,10 @@ class imtcp(SpoolBridge):
                 continue
             except OSError:
                 break
+            if self.uds_path is not None:
+                # UDS peers carry no address — the reference uses
+                # the local host (imptcp.c UDS sessions)
+                addr = (socket.gethostname(), 0)
             if not self.sender_allowed(addr[0]):
                 # connection from unlisted sender: refuse the session
                 # (net.c isAllowedSender2 at accept time)
@@ -2081,7 +2113,8 @@ class imtcp(SpoolBridge):
                     buf, self.max_frame_size,
                     octet_counted=self.support_octet_counted,
                     addtl_delim=self.addtl_frame_delimiter,
-                    multiline=self.multiline)
+                    multiline=self.multiline,
+                    sp_framing_fix=self.sp_framing_fix)
                 if msgs:
                     self._emit_msgs(msgs, peer, peer_port,
                                     legacy_z=legacy_z)
@@ -2136,7 +2169,8 @@ class imtcp(SpoolBridge):
                         buf, self.max_frame_size,
                         octet_counted=self.support_octet_counted,
                         addtl_delim=self.addtl_frame_delimiter,
-                        multiline=self.multiline)
+                        multiline=self.multiline,
+                        sp_framing_fix=self.sp_framing_fix)
                     if msgs:
                         self._emit_msgs(msgs, peer, peer_port,
                                         legacy_z=legacy_z)
@@ -2203,6 +2237,12 @@ class imtcp(SpoolBridge):
             self.srv.close()
         except OSError:
             pass
+        if self.uds_path is not None and \
+                os.path.exists(self.uds_path):
+            try:
+                os.unlink(self.uds_path)
+            except OSError:
+                pass
 
 
 #: imptcp is imtcp with a different event loop (plugins/imptcp) —
@@ -2222,12 +2262,26 @@ class imrelp(SpoolBridge):
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, **kw):
         super().__init__(spool_dir, inputname="imrelp", **kw)
-        self.srv = socket.socket()
-        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self.srv.bind((host, port))
+        #: unix-domain stream listener (imptcp.c:203-204,464-480
+        #: path=/unlink=; goldens imptcp_uds.sh, imptcp_uds_unlink.sh)
+        #: — same framing/session machinery over AF_UNIX; fromhost
+        #: is the local hostname (no peer address on UDS)
+        self.uds_path = path
+        if path is not None:
+            if unlink and os.path.exists(path):
+                os.unlink(path)
+            self.srv = socket.socket(socket.AF_UNIX,
+                                     socket.SOCK_STREAM)
+            self.srv.bind(path)
+            self.port = 0
+        else:
+            self.srv = socket.socket()
+            self.srv.setsockopt(socket.SOL_SOCKET,
+                                socket.SO_REUSEADDR, 1)
+            self.srv.bind((host, port))
+            self.port = self.srv.getsockname()[1]
         self.srv.listen(16)
         self.srv.settimeout(0.2)
-        self.port = self.srv.getsockname()[1]
 
     def _serve(self) -> None:
         while not self._stop.is_set():
@@ -2379,12 +2433,26 @@ class imbeats(SpoolBridge):
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, **kw):
         super().__init__(spool_dir, inputname="imbeats", **kw)
-        self.srv = socket.socket()
-        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self.srv.bind((host, port))
+        #: unix-domain stream listener (imptcp.c:203-204,464-480
+        #: path=/unlink=; goldens imptcp_uds.sh, imptcp_uds_unlink.sh)
+        #: — same framing/session machinery over AF_UNIX; fromhost
+        #: is the local hostname (no peer address on UDS)
+        self.uds_path = path
+        if path is not None:
+            if unlink and os.path.exists(path):
+                os.unlink(path)
+            self.srv = socket.socket(socket.AF_UNIX,
+                                     socket.SOCK_STREAM)
+            self.srv.bind(path)
+            self.port = 0
+        else:
+            self.srv = socket.socket()
+            self.srv.setsockopt(socket.SOL_SOCKET,
+                                socket.SO_REUSEADDR, 1)
+            self.srv.bind((host, port))
+            self.port = self.srv.getsockname()[1]
         self.srv.listen(16)
         self.srv.settimeout(0.2)
-        self.port = self.srv.getsockname()[1]
 
     def _serve(self) -> None:
         while not self._stop.is_set():

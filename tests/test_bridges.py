@@ -2945,11 +2945,14 @@ def test_imtcp_tls_gibberish_probe(spark, tmp_path):
             pend = b.drain_internal_msgs()
             _time.sleep(0.1)
         assert len(pend) == 1 and "ClientHello" in pend[0][1], pend
-        # plaintext session: no probe message, line flows
+        # plaintext session: no probe message, line flows. NOTE the
+        # gibberish session's bytes also land as one junk row at
+        # close (the reference likewise ingests them, the session is
+        # 'otherwise left untouched') — so drain for BOTH rows
         c = socket.create_connection(("127.0.0.1", b.port))
         c.sendall(b"<13>plain ok\n")
         c.close()
-        df = _drain(b, spark, 1)
+        df = _drain(b, spark, 2)
         assert [r.line for r in df.collect()
                 if r.line == "<13>plain ok"]
         assert b.drain_internal_msgs() == []
@@ -3026,3 +3029,49 @@ def test_imhttp_metrics_and_health_auth(spark, tmp_path):
             assert r.status == 200
     finally:
         b2.stop()
+
+
+def test_split_tcp_frames_spframingfix():
+    """framingfix.cisco.asa (tcps_sess.c:615-621; golden
+    imptcp_spframingfix.sh): a stray SP in FRONT of the next frame
+    is ignored; without the fix the space becomes frame content."""
+    from rsyslog_spark.streaming.bridges import split_tcp_frames
+
+    data = b"<13>one\n <13>two\n  <13>three\n"
+    msgs, rest = split_tcp_frames(data, 8192, sp_framing_fix=True)
+    assert msgs == [b"<13>one", b"<13>two", b"<13>three"]
+    assert rest == b""
+    # without the fix the leading SP stays in the frame
+    msgs, _ = split_tcp_frames(data, 8192)
+    assert msgs[1] == b" <13>two"
+    # octet-counted frames after a stray space still detect
+    oc = b" 9 <13>hello<13>next\n"
+    msgs, rest = split_tcp_frames(oc, 8192, sp_framing_fix=True)
+    assert msgs[0] == b"<13>hello"
+
+
+def test_imtcp_uds_listener(spark, tmp_path):
+    """imptcp unix-domain listener (imptcp.c:203-204,464-480
+    path=/unlink=; goldens imptcp_uds.sh, imptcp_uds_unlink.sh):
+    same framing over AF_UNIX; unlink=on replaces a stale socket
+    file; the path is removed at shutdown."""
+    import os
+
+    from rsyslog_spark.streaming.bridges import imtcp
+
+    sp = str(tmp_path / "ptcp.sock")
+    # stale socket file: unlink=on replaces it
+    open(sp, "w").close()
+    b = imtcp(str(tmp_path / "spool"), path=sp, unlink=True,
+              flush_secs=0.2).start()
+    try:
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(sp)
+        c.sendall(b"<13>uds lf one\n13 <13>uds octet")
+        c.close()
+        df = _drain(b, spark, 2)
+        got = sorted(r.line for r in df.collect())
+        assert got == ["<13>uds lf one", "<13>uds octet"]
+    finally:
+        b.stop()
+    assert not os.path.exists(sp)   # unlinked at shutdown
