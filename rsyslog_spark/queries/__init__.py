@@ -229,7 +229,13 @@ _TAIL = ("html_text_extraction", "ngram_top_counts",
          "faup_url_decompose", "template_render", "scalar_battery",
          "scalar_battery_misc", "json_tree_battery",
          "lookup_battery", "timestamp_render_battery",
-         "mmsnareparse_win_event")
+         "mmsnareparse_win_event",
+         # parked r10 wave 2 (green r2/r3-era + r9 under its current
+         # name, body untouched since the r9 verification) — room
+         # for the NEW tcp_framing_roundtrip oracle, which pins the
+         # whole framing stack (octet-counted/LF/SP-fix/MultiLine)
+         # touched this round
+         "vendor_parse_pair")
 
 
 def tail_body_hash(q: Query) -> str:

@@ -1410,3 +1410,114 @@ def tls_peer_wildcard_matrix(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.max("ok").alias("accepted"),
     )
+
+
+@q(
+    "tcp_framing_roundtrip",
+    """
+    WITH lines AS (
+      SELECT event_id % 8 AS bucket,
+             '<13>' || event_type || ' #'
+               || CAST(event_id AS VARCHAR) || ' '
+               || repeat('y', CAST(event_id % 50 AS INT))
+               || CASE WHEN event_id % 4 = 3
+                       THEN chr(10) || ' cont '
+                            || CAST(event_id AS VARCHAR)
+                       ELSE '' END AS payload
+      FROM events
+    )
+    SELECT bucket,
+           COUNT(*) AS n,
+           COUNT(*) AS ok_n,
+           CAST(SUM(length(payload)) AS BIGINT) AS total_chars
+    FROM lines GROUP BY bucket
+    """,
+    doc="TCP framing battery roundtrip (tcps_sess.c processDataRcvd "
+        "state machine: RFC6587 octet-counted + LF octet-stuffing, "
+        "framingfix.cisco.asa stray-SP tolerance (:615-621), "
+        "MultiLine continuation frames (:592-650)): each partition "
+        "frames its payloads on the wire — event_id%4 selects "
+        "octet-counted / LF / SP-prefixed-LF / multiline-"
+        "continuation — and splits the bytes back through the "
+        "PRODUCTION splitter (two session wires per partition: "
+        "octet+SP under sp_framing_fix, LF+continuation under "
+        "MultiLine — per-listener options the reference never "
+        "combines), fed in adversarial 7-byte chunks to prove "
+        "chunk-boundary invariance. The oracle assumes "
+        "LOSSLESSNESS: any framing bug (frame merge/split/boundary "
+        "loss) breaks the ok_n or total_chars equality.",
+)
+def tcp_framing_roundtrip(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    src = ev.select(
+        (F.col("event_id") % 8).cast("long").alias("bucket"),
+        (F.col("event_id") % 4).cast("int").alias("kind"),
+        F.concat(
+            F.lit("<13>"), F.col("event_type"), F.lit(" #"),
+            F.col("event_id").cast("string"), F.lit(" "),
+            F.expr("repeat('y', cast(event_id % 50 as int))"),
+            F.when(F.col("event_id") % 4 == 3,
+                   F.concat(F.lit("\n cont "),
+                            F.col("event_id").cast("string")))
+            .otherwise(F.lit("")),
+        ).alias("payload"),
+    )
+
+    def roundtrip(pdfs):
+        import pandas as pd
+
+        from rsyslog_spark.streaming.bridges import split_tcp_frames
+
+        def drain(wire: bytes, **kw) -> list[str]:
+            # adversarial chunking: feed 7 bytes at a time to prove
+            # chunk-boundary invariance of every framing feature
+            msgs, buf = [], b""
+            for off in range(0, len(wire), 7):
+                buf += wire[off:off + 7]
+                got, buf = split_tcp_frames(buf, 200 * 1024, **kw)
+                msgs += got
+            if buf.strip():
+                msgs.append(buf.rstrip(b"\n"))
+            return [m.decode("utf-8") for m in msgs]
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # TWO session wires per partition — MultiLine and the
+            # cisco-asa SP fix are per-listener options the
+            # reference never combines (a '\\n ' sequence is
+            # CONTINUATION under MultiLine): wire1 = octet-counted +
+            # SP-prefixed LF frames under sp_framing_fix; wire2 =
+            # plain LF + multiline-continuation frames under
+            # MultiLine, closed by a '<' sentinel so the final
+            # continuation decision resolves
+            w1, w2 = bytearray(), bytearray()
+            for _, r in pdf.iterrows():
+                p = r["payload"].encode("utf-8")
+                k = int(r["kind"])
+                if k == 0:
+                    w1 += str(len(p)).encode() + b" " + p
+                elif k == 2:
+                    w1 += b" " + p + b"\n"
+                else:           # LF (1) and multiline (3)
+                    w2 += p + b"\n"
+            out = drain(bytes(w1), sp_framing_fix=True)
+            out += [m for m in drain(bytes(w2) + b"<EOS>\n",
+                                     multiline=True)
+                    if m != "<EOS>"]
+            ok = int(sorted(out)
+                     == sorted(pdf["payload"].tolist()))
+            yield pd.DataFrame({
+                "bucket": pdf["bucket"],
+                "payload": pdf["payload"],
+                "ok": [ok] * len(pdf),
+            })
+
+    rt = src.mapInPandas(
+        roundtrip, "bucket long, payload string, ok long")
+    return rt.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ok").alias("ok_n"),
+        F.sum(F.length("payload")).cast("long")
+        .alias("total_chars"),
+    )
