@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "sessionize_stats",
     "dynstats_lifecycle_totals",
     "tcp_compression_roundtrip",
+    # r10 additions — the new driver oracles stay on the headline
+    "tls_peer_wildcard_matrix",
+    "tcp_framing_roundtrip",
 ]
 
 
