@@ -868,6 +868,27 @@ def _dispatch_action_inner(
         _os.replace(tmp, path)   # atomic like the reference's rename
         run.written[name] = path
         return
+    if typ == "omfile":
+        # config-time validation parity: an empty/whitespace file
+        # target is rejected (golden omfile-null-filename.sh /
+        # omfile-whitespace-filename.sh), and a non-positive
+        # dynafilecachesize normalizes to 1 with the reference's
+        # exact message (normalizeDynaFileCacheSize, omfile.c:1509;
+        # golden omfile-dynafilecachesize-invalid.sh — the cache
+        # itself is structural here: Spark partitions by column)
+        fparam = params.get("file")
+        if fparam is not None and not str(fparam).strip():
+            raise ValueError(
+                "omfile: file parameter is empty - action can not "
+                "be created")
+        dcs = next((v for k, v in params.items()
+                    if k.lower() == "dynafilecachesize"), None)
+        if dcs is not None and int(dcs) <= 0:
+            import warnings as _w
+
+            _w.warn(f"DynaFileCacheSize must be greater 0 "
+                    f"({int(dcs)} given), changed to 1.",
+                    stacklevel=2)
     if typ == "omfile" and params.get("dynafile"):
         # ?DynaFile target (ref: tools/omfile.c dynafiles): the
         # template's property references become partition columns

@@ -2262,26 +2262,12 @@ class imrelp(SpoolBridge):
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, **kw):
         super().__init__(spool_dir, inputname="imrelp", **kw)
-        #: unix-domain stream listener (imptcp.c:203-204,464-480
-        #: path=/unlink=; goldens imptcp_uds.sh, imptcp_uds_unlink.sh)
-        #: — same framing/session machinery over AF_UNIX; fromhost
-        #: is the local hostname (no peer address on UDS)
-        self.uds_path = path
-        if path is not None:
-            if unlink and os.path.exists(path):
-                os.unlink(path)
-            self.srv = socket.socket(socket.AF_UNIX,
-                                     socket.SOCK_STREAM)
-            self.srv.bind(path)
-            self.port = 0
-        else:
-            self.srv = socket.socket()
-            self.srv.setsockopt(socket.SOL_SOCKET,
-                                socket.SO_REUSEADDR, 1)
-            self.srv.bind((host, port))
-            self.port = self.srv.getsockname()[1]
+        self.srv = socket.socket()
+        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.srv.bind((host, port))
         self.srv.listen(16)
         self.srv.settimeout(0.2)
+        self.port = self.srv.getsockname()[1]
 
     def _serve(self) -> None:
         while not self._stop.is_set():
@@ -2433,26 +2419,12 @@ class imbeats(SpoolBridge):
     def __init__(self, spool_dir: str, *, host: str = "127.0.0.1",
                  port: int = 0, **kw):
         super().__init__(spool_dir, inputname="imbeats", **kw)
-        #: unix-domain stream listener (imptcp.c:203-204,464-480
-        #: path=/unlink=; goldens imptcp_uds.sh, imptcp_uds_unlink.sh)
-        #: — same framing/session machinery over AF_UNIX; fromhost
-        #: is the local hostname (no peer address on UDS)
-        self.uds_path = path
-        if path is not None:
-            if unlink and os.path.exists(path):
-                os.unlink(path)
-            self.srv = socket.socket(socket.AF_UNIX,
-                                     socket.SOCK_STREAM)
-            self.srv.bind(path)
-            self.port = 0
-        else:
-            self.srv = socket.socket()
-            self.srv.setsockopt(socket.SOL_SOCKET,
-                                socket.SO_REUSEADDR, 1)
-            self.srv.bind((host, port))
-            self.port = self.srv.getsockname()[1]
+        self.srv = socket.socket()
+        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.srv.bind((host, port))
         self.srv.listen(16)
         self.srv.settimeout(0.2)
+        self.port = self.srv.getsockname()[1]
 
     def _serve(self) -> None:
         while not self._stop.is_set():

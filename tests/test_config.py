@@ -5552,3 +5552,49 @@ input(type="imfile" file="{src}" ruleset="m")
             errf.read_text().splitlines() if l.strip()]
     assert len(recs) == 1
     assert '"create"' in recs[0]["request"]
+
+
+def test_omfile_filename_validation_and_cachesize(spark, tmp_path):
+    """omfile config validation parity: empty/whitespace file is a
+    load error (omfile-null-filename.sh / omfile-whitespace-
+    filename.sh), and dynafilecachesize <= 0 normalizes with the
+    reference's exact message (omfile.c normalizeDynaFileCacheSize;
+    omfile-dynafilecachesize-invalid.sh) while the write succeeds."""
+    import os
+    import warnings
+
+    import pytest
+
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "in.log"
+    src.write_text("<13>Mar  1 01:00:00 h tag: normalized-cache\n")
+    for bad in ('""', '"   "'):
+        with pytest.raises(ValueError,
+                           match='"file" or "dynafile"|file param'):
+            run_config_batch(spark, f'''
+ruleset(name="m") {{ action(type="omfile" file={bad}) }}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+    # dynafilecachesize=0: warning + the action still writes
+    outdir = tmp_path / "dyn"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        run_config_batch(spark, f'''
+template(name="dynpath" type="string"
+         string="{outdir}/%hostname%.log")
+template(name="outfmt" type="string" string="%msg%\\n")
+ruleset(name="m") {{
+  action(type="omfile" dynafile="dynpath" template="outfmt"
+         dynafilecachesize="0")
+}}
+input(type="imfile" file="{src}" ruleset="m")
+''')
+    assert any("DynaFileCacheSize must be greater 0 (0 given), "
+               "changed to 1." in str(x.message) for x in w)
+    found = []
+    for root, _dirs, files in os.walk(outdir):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                found.append(os.path.join(root, f))
+    assert found, "dynafile write did not succeed"
