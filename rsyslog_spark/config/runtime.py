@@ -1095,7 +1095,8 @@ def _dispatch_action_inner(
             error_file=lp.get("errorfile"),
             transport=_es_http_transport(
                 urls, uid=params.get("uid"), pwd=params.get("pwd"),
-                apikey=lp.get("apikey"))))(df2, 0)
+                apikey=lp.get("apikey"),
+                tls=_es_tls_options(lp))))(df2, 0)
         run.written[name] = urls[0]
         return
     if typ == "omclickhouse":
@@ -1415,10 +1416,70 @@ def _es_base_url(server: str, default_port: int,
     return base + "/"
 
 
+_ES_TLS_VERSIONS = ("TLSv1.2", "TLSv1.3")
+
+
+def _es_tls_options(lp: dict) -> dict | None:
+    """omelasticsearch TLS knobs (ChangeLog 2026-07-05;
+    omelasticsearch.c:2529-2560 param parse, 2277-2308
+    curlSetupTlsOptions). ``tls.tlsversion`` is validated against
+    the reference's version map — only TLSv1.2 / TLSv1.3; an unknown
+    value is a config-load error (RS_RET_PARAM_ERROR analog).
+    ``tls.ciphersuites`` / ``tls.keyexchangegroups`` parse and store
+    always; when the runtime stack cannot apply them (Python's ssl
+    module does not wrap SSL_CTX_set_ciphersuites /
+    SSL_CTX_set1_groups) we warn that the option will be ignored —
+    the exact contract the reference applies when built against a
+    libcurl older than 7.61 / 7.73 (omelasticsearch.c:2549-2559).
+    The one validated option set is shared by every connection the
+    action opens, mirroring the 2026-07-05 fix that made startup
+    platform detection use the same TLS options as worker handles."""
+    ver = lp.get("tls.tlsversion")
+    cs = lp.get("tls.ciphersuites")
+    kx = lp.get("tls.keyexchangegroups")
+    if ver is None and cs is None and kx is None:
+        return None
+    if ver is not None and str(ver) not in _ES_TLS_VERSIONS:
+        raise ValueError(
+            f"omelasticsearch: unknown tls.tlsversion '{ver}'; "
+            "accepted: TLSv1.2, TLSv1.3")
+    import warnings
+    if cs is not None:
+        warnings.warn(
+            "omelasticsearch: tls.ciphersuites set but the runtime "
+            "TLS stack cannot apply TLS 1.3 cipher-suite lists; "
+            "option will be ignored")
+    if kx is not None:
+        warnings.warn(
+            "omelasticsearch: tls.keyexchangegroups set but the "
+            "runtime TLS stack cannot apply key-exchange group "
+            "lists; option will be ignored")
+    return {"tlsversion": str(ver) if ver is not None else None,
+            "ciphersuites": str(cs) if cs is not None else None,
+            "keyexchangegroups": str(kx) if kx is not None else None}
+
+
+def _es_ssl_context(tls: dict | None):
+    """Build the shared SSLContext for https ES connections from the
+    validated knob set (curlSetupTlsOptions analog —
+    omelasticsearch.c:2285-2308): tlsversion pins BOTH minimum and
+    maximum protocol version the way CURLOPT_SSLVERSION's
+    CURL_SSLVERSION_TLSv1_2/1_3 pins the floor."""
+    import ssl
+
+    ctx = ssl.create_default_context()
+    if tls and tls.get("tlsversion"):
+        floor = {"TLSv1.2": ssl.TLSVersion.TLSv1_2,
+                 "TLSv1.3": ssl.TLSVersion.TLSv1_3}[tls["tlsversion"]]
+        ctx.minimum_version = floor
+    return ctx
+
+
 def _es_http_transport(url: str | list[str], *,
                        uid: str | None = None,
                        pwd: str | None = None,
-                       apikey: str | None = None):
+                       apikey: str | None = None,
+                       tls: dict | None = None):
     """Bulk-POST transport for omelasticsearch actions: NDJSON body →
     failed line numbers from the ES items response (ref:
     omelasticsearch.c:227-253 retryfailures response parsing).
@@ -1451,11 +1512,17 @@ def _es_http_transport(url: str | list[str], *,
             hdrs["Authorization"] = f"Basic {cred}"
         payload = None
         last_err: Exception | None = None
+        ssl_ctx = (_es_ssl_context(tls)
+                   if any(u.startswith("https://") for u in urls)
+                   else None)
         for u in urls:
             req = urllib.request.Request(
                 u, data=body.encode("utf-8"), headers=hdrs)
             try:
-                with urllib.request.urlopen(req, timeout=30) as resp:
+                with urllib.request.urlopen(
+                        req, timeout=30,
+                        context=(ssl_ctx if u.startswith("https://")
+                                 else None)) as resp:
                     payload = _json.loads(resp.read() or b"{}")
                 break
             except urllib.error.HTTPError as e:
@@ -1477,9 +1544,21 @@ def _es_http_transport(url: str | list[str], *,
                 f"({urls}): {last_err}") from last_err
         failed = []
         for i, item in enumerate(payload.get("items", [])):
-            status = next(iter(item.values()), {}).get("status", 200)
+            result = next(iter(item.values()), {}) or {}
+            status = result.get("status", 200)
             if status >= 300:
-                failed.append(i)
+                # classify per isRetryableBulkStatus
+                # (omelasticsearch.c:1359-1374): 429/5xx retryable;
+                # 403 retryable only for cluster_block_exception
+                # (a read-only index block) — ChangeLog 2026-06-29
+                err = result.get("error")
+                etype = (err.get("type")
+                         if isinstance(err, dict) else None)
+                from rsyslog_spark.streaming.sinks import (
+                    es_item_retryable,
+                )
+                failed.append(
+                    (i, es_item_retryable(int(status), etype)))
         return failed
 
     return post

@@ -120,12 +120,36 @@ def fanout_sink(
     return sink
 
 
+class EsRetryableBatchError(RuntimeError):
+    """Whole-bulk retryable failure (ref: plugins/omelasticsearch/
+    omelasticsearch.c:1520-1528, ChangeLog 2026-06-29): when a bulk
+    response contains ONLY retryable item errors (no successes, no
+    permanent failures) the reference suspends the action with
+    RS_RET_SUSPENDED so the unmodified batch is retried instead of
+    being dumped to the error file. In the Spark engine this raises
+    through the per-partition writer so ``retrying_foreach_batch`` /
+    ``action.resumeRetryCount`` replays the micro-batch."""
+
+
+def es_item_retryable(status: int, error_type: str | None = None) -> bool:
+    """isRetryableBulkStatus (ref: omelasticsearch.c:1359-1374):
+    HTTP 429 and 5xx are retryable; 403 is retryable ONLY when the
+    item error type is ``cluster_block_exception`` (a read-only
+    index block that an operator will lift); everything else is a
+    permanent data failure."""
+    if status == 429 or status >= 500:
+        return True
+    if status != 403:
+        return False
+    return error_type == "cluster_block_exception"
+
+
 def omelasticsearch_sink(
     index_col: str,
     id_col: str | None,
     doc_col: str,
     *,
-    transport: Callable[[str], list[int]] | None = None,
+    transport: Callable[[str], list] | None = None,
     max_bytes: int = 5 * 1024 * 1024,
     write_operation: str = "index",
     error_file: str | None = None,
@@ -134,8 +158,19 @@ def omelasticsearch_sink(
     omelasticsearch.c:158-179 bulkmode/maxbytes, 227-253
     retryfailures): build NDJSON ``{"index": ...}\\n{doc}`` bulk
     bodies capped at ``max_bytes``, POST via ``transport(body) ->
-    [failed line numbers]``; failed lines raise so the task retries
+    [failed items]``; failed lines raise so the task retries
     (at-least-once, like the reference's retry-with-response-parse).
+
+    The transport returns, per failed bulk item, either a bare line
+    number (legacy — classified permanent) or an ``(index,
+    retryable)`` pair. Classification follows ChangeLog 2026-06-29
+    (omelasticsearch.c:1505-1535): if EVERY item in the bulk failed
+    and every failure is retryable (429/5xx/read-only
+    cluster_block_exception — see :func:`es_item_retryable`), the
+    whole batch can be resubmitted safely, so the sink raises
+    :class:`EsRetryableBatchError` (≈ RS_RET_SUSPENDED) instead of
+    recording the items as data failures. Mixed responses keep
+    per-item data-failure handling (errorfile / raise).
 
     ``write_operation`` (omelasticsearch.c writeoperation param;
     golden es-writeoperation.sh): ``index`` (default, upsert) or
@@ -175,8 +210,30 @@ def omelasticsearch_sink(
                 nonlocal buf, size
                 if not buf:
                     return
-                failed = transport("\n".join(buf) + "\n")
+                raw = transport("\n".join(buf) + "\n")
+                failed = []
+                retryable_set = set()
+                for item in raw or []:
+                    if isinstance(item, int):
+                        failed.append(item)        # legacy: permanent
+                    else:
+                        idx, retry_ok = item[0], bool(item[1])
+                        failed.append(int(idx))
+                        if retry_ok:
+                            retryable_set.add(int(idx))
                 if failed:
+                    saw_success = len(set(failed)) < len(buf)
+                    saw_permanent = any(i not in retryable_set
+                                        for i in failed)
+                    if retryable_set and not saw_permanent \
+                            and not saw_success:
+                        # only-retryable bulk → suspend, retry whole
+                        # batch (omelasticsearch.c:1520-1528)
+                        raise EsRetryableBatchError(
+                            "omelasticsearch: suspending action "
+                            "because bulk response contains only "
+                            f"retryable item errors "
+                            f"({len(failed)} items)")
                     if error_file is not None:
                         # record-and-continue (writeDataError —
                         # one {"request":..,"reply-sketch":..}-style

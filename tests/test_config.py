@@ -5598,3 +5598,123 @@ input(type="imfile" file="{src}" ruleset="m")
             if not f.startswith(("_", ".")):
                 found.append(os.path.join(root, f))
     assert found, "dynafile write did not succeed"
+
+
+def test_es_tls_knobs_validation():
+    """omelasticsearch tls.tlsversion/ciphersuites/keyexchangegroups
+    (ChangeLog 2026-07-05; omelasticsearch.c:2529-2560): tlsversion
+    validated against the TLSv1.2/TLSv1.3 map — unknown value is a
+    config error; ciphersuites/keyexchangegroups parse + store with
+    an option-will-be-ignored warning when the TLS stack cannot
+    apply them (the libcurl-too-old analog)."""
+    import ssl
+    import warnings
+
+    import pytest
+
+    from rsyslog_spark.config.runtime import (
+        _es_ssl_context, _es_tls_options,
+    )
+
+    # no knobs -> no option set
+    assert _es_tls_options({}) is None
+
+    # valid versions pass and pin the context floor
+    for ver, floor in (("TLSv1.2", ssl.TLSVersion.TLSv1_2),
+                       ("TLSv1.3", ssl.TLSVersion.TLSv1_3)):
+        opts = _es_tls_options({"tls.tlsversion": ver})
+        assert opts["tlsversion"] == ver
+        assert _es_ssl_context(opts).minimum_version == floor
+
+    # unknown version is a config error with the reference's message
+    with pytest.raises(ValueError,
+                       match="unknown tls.tlsversion 'SSLv3'; "
+                             "accepted: TLSv1.2, TLSv1.3"):
+        _es_tls_options({"tls.tlsversion": "SSLv3"})
+
+    # ciphersuites / keyexchangegroups: stored + ignored-warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        opts = _es_tls_options({
+            "tls.tlsversion": "TLSv1.3",
+            "tls.ciphersuites": "TLS_AES_256_GCM_SHA384",
+            "tls.keyexchangegroups": "X25519MLKEM768:X25519"})
+    assert opts["ciphersuites"] == "TLS_AES_256_GCM_SHA384"
+    assert opts["keyexchangegroups"] == "X25519MLKEM768:X25519"
+    msgs = [str(x.message) for x in w]
+    assert any("tls.ciphersuites" in m and "ignored" in m
+               for m in msgs)
+    assert any("tls.keyexchangegroups" in m and "ignored" in m
+               for m in msgs)
+
+
+def test_es_retryable_bulk_batch_resubmits(spark, tmp_path):
+    """e2e: a bulk reply whose items ALL fail with retryable statuses
+    (429 + read-only 403 cluster_block_exception) suspends and the
+    action retry loop resubmits the SAME batch; the second attempt
+    succeeds and nothing lands in the errorfile (ChangeLog
+    2026-06-29; omelasticsearch.c:1505-1535)."""
+    import http.server
+    import json
+    import threading
+
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    bodies: list[bytes] = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(
+                int(self.headers["Content-Length"]))
+            bodies.append(body)
+            if len(bodies) == 1:
+                # first attempt: every item fails retryably
+                items = [
+                    {"index": {"status": 429, "error": {
+                        "type": "es_rejected_execution_exception"}}},
+                    {"index": {"status": 403, "error": {
+                        "type": "cluster_block_exception"}}},
+                ]
+            else:
+                items = [{"index": {"status": 201}},
+                         {"index": {"status": 201}}]
+            resp = json.dumps({"errors": len(bodies) == 1,
+                               "items": items}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(resp)))
+            self.end_headers()
+            self.wfile.write(resp)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    src = tmp_path / "esretry"
+    src.mkdir()
+    (src / "a.log").write_text(
+        "<13>Mar  1 10:00:00 h1 app: doc one\n"
+        "<13>Mar  1 10:00:01 h1 app: doc two\n")
+    errf = tmp_path / "es-errors.ndjson"
+    conf = f'''
+    template(name="doc" type="list" option.jsonf="on") {{
+        property(outname="message" name="msg" format="jsonf")
+    }}
+    input(type="imfile" file="{src}/*.log" ruleset="m")
+    ruleset(name="m") {{
+        action(type="omelasticsearch" name="es"
+               server="127.0.0.1" serverport="{port}"
+               searchIndex="logs" template="doc"
+               errorfile="{errf}"
+               action.resumeRetryCount="2"
+               action.resumeInterval="0")
+    }}
+    '''
+    run_config_batch(spark, conf, main="m")
+    srv.shutdown()
+    assert len(bodies) == 2, "retryable batch was not resubmitted"
+    assert bodies[0] == bodies[1], "resubmitted batch changed"
+    assert not errf.exists(), \
+        "retryable-only failures must not hit the errorfile"

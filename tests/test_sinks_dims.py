@@ -516,3 +516,102 @@ def test_omclickhouse_http_insert(spark, tmp_path):
     ctl.write_text(json.dumps([500, "DB::NetException: refused"]))
     with pytest.raises(Exception, match="HTTP status 500"):
         omclickhouse_sink("line", transport=transport)(df, 0)
+
+
+class TestEsBulkFailureClassification:
+    """Retryable-vs-permanent bulk item classification (ChangeLog
+    2026-06-29; omelasticsearch.c:1359-1374 isRetryableBulkStatus,
+    1505-1535 suspend-vs-per-item decision)."""
+
+    def test_es_item_retryable_map(self):
+        from rsyslog_spark.streaming.sinks import es_item_retryable
+
+        assert es_item_retryable(429) is True
+        assert es_item_retryable(500) is True
+        assert es_item_retryable(503) is True
+        # 403 retryable ONLY for the read-only index block
+        assert es_item_retryable(403) is False
+        assert es_item_retryable(403, "cluster_block_exception") \
+            is True
+        assert es_item_retryable(403, "security_exception") is False
+        # plain data failures stay permanent
+        assert es_item_retryable(400) is False
+        assert es_item_retryable(404) is False
+        assert es_item_retryable(409, "version_conflict_engine_"
+                                      "exception") is False
+
+    def test_retryable_only_batch_suspends_not_errorfile(
+            self, spark, tmp_path):
+        # every item failed and every failure is retryable -> the
+        # whole batch can be resubmitted safely: the sink raises
+        # (RS_RET_SUSPENDED analog) and must NOT consume the docs
+        # into the errorfile (omelasticsearch.c:1520-1528)
+        import pytest
+
+        err = tmp_path / "es-err.ndjson"
+        df = spark.createDataFrame(
+            [("i", "a", '{"m":1}'), ("i", "b", '{"m":2}')],
+            "idx string, id string, doc string").coalesce(1)
+        sink = omelasticsearch_sink(
+            "idx", "id", "doc",
+            transport=lambda b: [(0, True), (1, True)],
+            error_file=str(err))
+        with pytest.raises(Exception, match="retryable item errors"):
+            sink(df, 0)
+        assert not err.exists()
+
+    def test_mixed_failures_keep_per_item_handling(
+            self, spark, tmp_path):
+        # retryable errors mixed with a permanent one -> preserve
+        # per-item data-failure handling: both failed items recorded,
+        # no suspend raise (omelasticsearch.c:1529-1534)
+        import json
+
+        err = tmp_path / "es-err.ndjson"
+        df = spark.createDataFrame(
+            [("i", "a", '{"m":1}'), ("i", "b", '{"m":2}'),
+             ("i", "c", '{"m":3}')],
+            "idx string, id string, doc string").coalesce(1)
+        sink = omelasticsearch_sink(
+            "idx", "id", "doc",
+            transport=lambda b: [(0, True), (1, False)],
+            error_file=str(err))
+        sink(df, 0)        # no raise: record-and-continue
+        recs = [json.loads(l) for l in err.read_text().splitlines()]
+        assert len(recs) == 2
+        assert '{"m":1}' in recs[0]["doc"]
+        assert '{"m":2}' in recs[1]["doc"]
+
+    def test_retryable_with_success_keeps_per_item(
+            self, spark, tmp_path):
+        # a retryable failure alongside a SUCCESS cannot resubmit the
+        # whole batch (the successful doc would duplicate) -> per-item
+        # handling again
+        import json
+
+        err = tmp_path / "es-err.ndjson"
+        df = spark.createDataFrame(
+            [("i", "a", '{"m":1}'), ("i", "b", '{"m":2}')],
+            "idx string, id string, doc string").coalesce(1)
+        sink = omelasticsearch_sink(
+            "idx", "id", "doc",
+            transport=lambda b: [(1, True)],   # item 0 succeeded
+            error_file=str(err))
+        sink(df, 0)
+        recs = [json.loads(l) for l in err.read_text().splitlines()]
+        assert len(recs) == 1 and '{"m":2}' in recs[0]["doc"]
+
+    def test_legacy_int_contract_is_permanent(self, spark, tmp_path):
+        # transports still returning bare line numbers are classified
+        # permanent (pre-2026-06-29 behavior preserved)
+        import json
+
+        err = tmp_path / "es-err.ndjson"
+        df = spark.createDataFrame(
+            [("i", "a", '{"m":1}')],
+            "idx string, id string, doc string").coalesce(1)
+        omelasticsearch_sink(
+            "idx", "id", "doc", transport=lambda b: [0],
+            error_file=str(err))(df, 0)
+        recs = [json.loads(l) for l in err.read_text().splitlines()]
+        assert len(recs) == 1
