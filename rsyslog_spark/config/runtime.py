@@ -1019,8 +1019,17 @@ def _dispatch_action_inner(
                    if params.get("tcp_framing", "").startswith("octet")
                    else "lf")
         # action-level StreamDriver.* params select gtls client-side
-        # (same mapping as input-side; ref tools/omfwd.c driver parms)
-        tls = (_tls_from_input(params, cfg.directives)
+        # (same mapping as input-side; ref tools/omfwd.c driver
+        # parms). Secure-default warn mode also flags UDP forwarding
+        # (omfwd.c:2124-2128 warnIfNonTlsForwardingConfigured).
+        if proto == "udp":
+            _warn_if_insecure_default(
+                _secure_defaults_policy(cfg.directives),
+                'omfwd action uses protocol="udp" (without TLS); '
+                "see https://docs.rsyslog.com/doc/faq/"
+                "tls_mode0_disables_tls.html")
+        tls = (_tls_from_input(params, cfg.directives,
+                               context="omfwd action")
                if proto == "tcp" else None)
         _with_retry(params, omfwd_sink(
             params["target"], port, "line",
@@ -2461,13 +2470,60 @@ def _action_params(cfg: ParsedConfig, ruleset: str, name: str) -> dict:
     return {}
 
 
-def _tls_from_input(inp: dict, directives: dict):
+def _secure_defaults_policy(directives: dict) -> str:
+    """compatibility.defaults.secure policy (ref: runtime/glbl.c:
+    746-760 setCompatDefaultsSecure): strict / warn /
+    backward-compatible (the default); any other value is a config
+    error (RS_RET_CONF_PARAM_INVLD analog)."""
+    v = str(directives.get("compatibility.defaults.secure",
+                           "backward-compatible")).lower()
+    if v not in ("strict", "warn", "backward-compatible"):
+        raise ValueError(
+            f"invalid value '{v}' for global parameter "
+            "compatibility.defaults.secure")
+    return v
+
+
+def _warn_if_insecure_default(policy: str, detail: str) -> None:
+    """glblWarnIfInsecureDefault (ref: runtime/glbl.c:825-831):
+    warn-mode-only report wrapped in the reference's standard
+    insecure-default banner."""
+    if policy == "warn":
+        import warnings
+
+        warnings.warn(
+            f"backward-compatible insecure default in use: {detail}; "
+            'use global(compatibility.defaults.secure="strict") to '
+            "enable the secure default")
+
+
+def _is_tls_capable_drvr(name: str) -> bool:
+    """glblIsTlsCapableNetstrmDrvr (ref: runtime/glbl.c:844-847)."""
+    return name.lower() in ("ossl", "gtls", "mbedtls")
+
+
+def _tls_from_input(inp: dict, directives: dict,
+                    context: str = "imtcp input"):
     """Build a gtls TLSConfig from input() StreamDriver.* params plus
     the global defaultNetstreamDriver* files (ref: runtime/glbl.c:
     130-134; nsd_gtls.c authmode handling). Returns None when the
-    input doesn't select a TLS driver. PermittedPeer accepts a
-    comma-separated list; with authmode x509/fingerprint the entries
-    are fingerprints (the reference overloads the same param)."""
+    input doesn't run TLS — including a TLS-capable driver left at
+    streamdriver.mode=0, which the reference runs as PLAIN TCP (the
+    documented tls_mode0_disables_tls footgun). PermittedPeer
+    accepts a comma-separated list; with authmode x509/fingerprint
+    the entries are fingerprints (the reference overloads the same
+    param).
+
+    Secure-default handling (ChangeLog 2026-06-29; plugins/imtcp/
+    imtcp.c:444-489 warnOnInsecureStreamDriver +
+    applySecureDefaultsToStreamDriver): under
+    compatibility.defaults.secure="warn", a TLS-capable effective
+    driver (including one inherited from defaultNetstreamDriver)
+    still at mode 0 is reported, plain mode-0 listeners get the
+    milder note, and an explicit anon authmode with TLS active gets
+    the MITM warning. Under "strict", an OMITTED mode is promoted to
+    TLS mode 1 while an EXPLICIT mode 0 is rejected so user intent
+    is not silently overridden."""
     p = {k.lower(): v for k, v in inp.items()}
 
     # dotted (StreamDriver.AuthMode) AND dotless legacy
@@ -2478,10 +2534,50 @@ def _tls_from_input(inp: dict, directives: dict):
         v = p.get(dotted)
         return v if v is not None else p.get(dotless, default)
 
-    name = (par("streamdriver.name", "streamdriver")
-            or directives.get("defaultnetstreamdriver") or "")
-    mode = par("streamdriver.mode", "streamdrivermode", "")
-    if name.lower() not in ("gtls", "ossl") and str(mode) != "1":
+    local_name = par("streamdriver.name", "streamdriver")
+    name = (local_name or directives.get("defaultnetstreamdriver")
+            or "")
+    mode_raw = par("streamdriver.mode", "streamdrivermode", None)
+    mode_set = mode_raw is not None and str(mode_raw).strip() != ""
+    mode = int(mode_raw) if mode_set else 0
+    policy = _secure_defaults_policy(directives)
+    tls_capable = _is_tls_capable_drvr(name)
+    authmode_raw = par("streamdriver.authmode",
+                       "streamdriverauthmode", None)
+
+    if tls_capable and mode == 0 and policy == "strict":
+        if mode_set:
+            raise ValueError(
+                f'{context}: compatibility.defaults.secure="strict" '
+                'rejects explicit streamdriver.mode="0" with '
+                f'TLS-capable stream driver "{name}"; use '
+                'streamdriver.mode="1" to enable TLS or select '
+                "ptcp/plain TCP intentionally")
+        mode = 1        # omitted mode → secure default promotes TLS
+    if mode == 0:
+        # includes TLS drivers inherited via defaultNetstreamDriver
+        if authmode_raw is not None or tls_capable:
+            _warn_if_insecure_default(
+                policy,
+                f'{context.split()[0]} has TLS-related settings but '
+                'streamdriver.mode="0"; mode 0 uses plain TCP so '
+                "TLS is not active (see https://docs.rsyslog.com/"
+                "doc/faq/tls_mode0_disables_tls.html)")
+        else:
+            _warn_if_insecure_default(
+                policy,
+                f'{context} uses streamdriver.mode="0" (plain TCP '
+                "without TLS); see https://docs.rsyslog.com/doc/"
+                "faq/tls_mode0_disables_tls.html")
+    elif authmode_raw is not None \
+            and str(authmode_raw).lower() == "anon":
+        _warn_if_insecure_default(
+            policy,
+            f'{context.split()[0]} uses streamdriver.authmode='
+            '"anon"; server identity is not authenticated, so MITM '
+            "is possible (see https://docs.rsyslog.com/doc/faq/"
+            "tls_anon_auth_mitm.html)")
+    if mode != 1:
         return None
     from rsyslog_spark.streaming.gtls import TLSConfig
 

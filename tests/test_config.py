@@ -5718,3 +5718,126 @@ def test_es_retryable_bulk_batch_resubmits(spark, tmp_path):
     assert bodies[0] == bodies[1], "resubmitted batch changed"
     assert not errf.exists(), \
         "retryable-only failures must not hit the errorfile"
+
+
+class TestNetstreamSecureDefaults:
+    """netstream secure-default TLS mode handling (ChangeLog
+    2026-06-29; plugins/imtcp/imtcp.c:444-514
+    warnOnInsecureStreamDriver / applySecureDefaultsToStreamDriver;
+    runtime/glbl.c:746-760,825-847)."""
+
+    def _tls(self, inp, dirs, **kw):
+        from rsyslog_spark.config.runtime import _tls_from_input
+
+        return _tls_from_input(inp, dirs, **kw)
+
+    def test_mode0_with_tls_driver_is_plain_tcp(self):
+        # the documented tls_mode0_disables_tls footgun: a TLS
+        # driver at mode 0 (explicit or omitted) runs plain TCP
+        assert self._tls({"StreamDriver.Name": "gtls"}, {}) is None
+        assert self._tls({"StreamDriver.Name": "gtls",
+                          "StreamDriver.Mode": "0"}, {}) is None
+
+    def test_strict_promotes_omitted_mode(self):
+        dirs = {"compatibility.defaults.secure": "strict"}
+        cfgd = self._tls({"StreamDriver.Name": "gtls"}, dirs)
+        assert cfgd is not None        # omitted mode -> TLS mode 1
+
+    def test_strict_rejects_explicit_mode0(self):
+        import pytest
+
+        dirs = {"compatibility.defaults.secure": "strict"}
+        with pytest.raises(ValueError,
+                           match='rejects explicit '
+                                 'streamdriver.mode="0" with '
+                                 'TLS-capable stream driver "gtls"'):
+            self._tls({"StreamDriver.Name": "gtls",
+                       "StreamDriver.Mode": "0"}, dirs)
+
+    def test_strict_leaves_plain_tcp_alone(self):
+        # no TLS-capable driver anywhere -> strict changes nothing
+        dirs = {"compatibility.defaults.secure": "strict"}
+        assert self._tls({"port": "514"}, dirs) is None
+
+    def test_warn_reports_tls_driver_at_mode0(self):
+        import warnings
+
+        dirs = {"compatibility.defaults.secure": "warn"}
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert self._tls({"StreamDriver.Name": "gtls"},
+                             dirs) is None
+        msgs = [str(x.message) for x in w]
+        assert any("has TLS-related settings but "
+                   'streamdriver.mode="0"' in m and
+                   "backward-compatible insecure default" in m
+                   for m in msgs)
+
+    def test_warn_reports_inherited_default_driver(self):
+        # "including inherited default drivers": the TLS driver
+        # comes from defaultNetstreamDriver, not the input
+        import warnings
+
+        dirs = {"compatibility.defaults.secure": "warn",
+                "defaultnetstreamdriver": "ossl"}
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert self._tls({"port": "514"}, dirs) is None
+        assert any("has TLS-related settings but "
+                   'streamdriver.mode="0"' in str(x.message)
+                   for x in w)
+
+    def test_warn_plain_listener_gets_milder_note(self):
+        import warnings
+
+        dirs = {"compatibility.defaults.secure": "warn"}
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert self._tls({"port": "514"}, dirs) is None
+        msgs = [str(x.message) for x in w]
+        assert any('uses streamdriver.mode="0" (plain TCP without '
+                   "TLS)" in m for m in msgs)
+        assert not any("TLS-related settings" in m for m in msgs)
+
+    def test_warn_anon_authmode_mitm(self):
+        import warnings
+
+        dirs = {"compatibility.defaults.secure": "warn"}
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = self._tls({"StreamDriver.Name": "gtls",
+                             "StreamDriver.Mode": "1",
+                             "StreamDriver.AuthMode": "anon"}, dirs)
+        assert got is not None
+        assert any('streamdriver.authmode="anon"' in str(x.message)
+                   and "MITM is possible" in str(x.message)
+                   for x in w)
+
+    def test_backward_compatible_is_silent(self):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert self._tls({"StreamDriver.Name": "gtls"},
+                             {}) is None
+        assert not [x for x in w if "insecure default"
+                    in str(x.message)]
+
+    def test_invalid_policy_value_rejected(self):
+        import pytest
+
+        with pytest.raises(ValueError,
+                           match="invalid value 'paranoid' for "
+                                 "global parameter "
+                                 "compatibility.defaults.secure"):
+            self._tls({"port": "514"},
+                      {"compatibility.defaults.secure": "paranoid"})
+
+    def test_mbedtls_counts_as_tls_capable(self):
+        from rsyslog_spark.config.runtime import _is_tls_capable_drvr
+
+        assert _is_tls_capable_drvr("mbedtls")
+        assert _is_tls_capable_drvr("GTLS")
+        assert _is_tls_capable_drvr("ossl")
+        assert not _is_tls_capable_drvr("ptcp")
+        assert not _is_tls_capable_drvr("")
