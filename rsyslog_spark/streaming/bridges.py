@@ -849,7 +849,9 @@ class imhttp(SpoolBridge):
 # ---------------------------------------------------------------------
 
 def imjournal(spark: SparkSession, path: str, *,
-              streaming: bool = False) -> DataFrame:
+              streaming: bool = False,
+              namespace: str | None = None,
+              remote: bool = False) -> DataFrame:
     """systemd journal intake via the journal **export format**
     (ref: plugins/imjournal/imjournal.c, which maps journal fields to
     message properties in readJSONfromJournalMsg, imjournal.c:434-470).
@@ -865,7 +867,24 @@ def imjournal(spark: SparkSession, path: str, *,
     Divergence: binary journal fields (length-prefixed) are skipped —
     they contain no ``=`` in their first line and drop out of the
     key=value filter; the reference base64s them.
+
+    ``namespace`` (ChangeLog 2026-06-29; imjournal.c:134 "namespace"
+    modpblk + 1426-1438 checkCnf): reads a specific journal
+    namespace. journald stores a namespace's journal under
+    ``<dir>.<namespace>/`` (sd_journal_open_namespace's
+    SD_JOURNAL_TAKE_DIRECTORY layout), so the export-file analog
+    reads ``<path>.<namespace>`` instead of ``path``. Validation is
+    the reference's: an empty Namespace is rejected, and Namespace
+    together with ``remote`` (journal-remote intake) is rejected.
     """
+    if namespace is not None:
+        if namespace == "":
+            raise ValueError("imjournal: Namespace must not be empty")
+        if remote:
+            raise ValueError(
+                "imjournal: Namespace and Remote cannot be enabled "
+                "together")
+        path = path.rstrip("/") + "." + namespace
     reader = (spark.readStream if streaming else spark.read)
     raw = (reader.format("text").option("wholetext", True).load(path)
            .select(F.col("value").alias("content")))
@@ -912,6 +931,129 @@ def journal_entry_map(df: DataFrame, entry_col: str = "entry"
         F.to_json(g).alias("journal_all"),
         F.lit("imjournal").alias("inputname"),
     )
+
+
+class JournalTail:
+    """Live journal tail with rotation/invalidation recovery (ref:
+    plugins/imjournal/imjournal.c:880-924 reopenJournal /
+    pollJournal; ChangeLog 2026-07-15).
+
+    Models the sd-journal handle over a journald export-format file:
+    ``poll()`` reads newly completed entries (blank-line separated
+    ``FIELD=value`` paragraphs); rotation or in-place invalidation
+    (inode change / truncation — the SD_JOURNAL_INVALIDATE analog)
+    triggers EXACTLY ONE reopen-and-seek per event, counted in
+    ``reopen_count``.
+
+    The 2026-07-15 busy-loop fix is mirrored structurally: a reopen
+    initializes its change-notification state (the stored inode)
+    BEFORE cursor restoration — the reference consumes the fresh
+    handle's initial ``sd_journal_wait()`` there, because otherwise
+    every INVALIDATE-triggered reopen immediately reports another
+    INVALIDATE and imjournal spins on a full core. Here the analog
+    invariant is that a poll after a reopen with an unchanged file
+    performs no further reopen (pinned by the rotation golden).
+
+    ``state_file`` persists the byte cursor (imjournal stateFile /
+    persistStateInterval); ``ignore_previous`` starts at the tail
+    like IgnorePreviousMessages (imjournal.c skipOldMessages:927).
+    An incomplete trailing paragraph stays buffered until its
+    terminating blank line arrives — like the reference, only
+    complete entries are delivered.
+    """
+
+    def __init__(self, path: str, *, state_file: str | None = None,
+                 ignore_previous: bool = False):
+        self.path = path
+        self.state_file = state_file
+        self.reopen_count = 0
+        self._fh = None
+        self._ino: int | None = None
+        self._cursor = 0
+        self._partial = b""
+        if state_file and os.path.exists(state_file):
+            try:
+                with open(state_file, encoding="utf-8") as fh:
+                    self._cursor = int(json.load(fh)["cursor"])
+            except (ValueError, KeyError, OSError):
+                self._cursor = 0        # corrupt state → head
+        elif ignore_previous:
+            try:
+                self._cursor = os.stat(path).st_size
+            except FileNotFoundError:
+                self._cursor = 0
+        self._open()
+
+    def _open(self) -> None:
+        # openJournal + the reopenJournal wait-consume: stash the
+        # change-notification identity (inode) FIRST, restore the
+        # cursor after — never the other way around (imjournal.c:
+        # 887-893)
+        self._fh = open(self.path, "rb")
+        st = os.fstat(self._fh.fileno())
+        self._ino = st.st_ino
+        if self._cursor > st.st_size:
+            # cursor points past the (new/truncated) journal — the
+            # saved position no longer exists, resume at head (the
+            # reference's cursor-restore fallback in loadJournalState)
+            self._cursor = 0
+        self._partial = b""
+        self._fh.seek(self._cursor)
+
+    def _reopen(self) -> None:
+        try:
+            self._fh.close()
+        except OSError:
+            pass
+        self.reopen_count += 1
+        self._open()
+
+    def poll(self) -> list[str]:
+        """One pollJournal pass: detect invalidation, reopen at most
+        once, return the newly completed entries."""
+        try:
+            st = os.stat(self.path)
+        except FileNotFoundError:
+            return []        # mid-rotation window; reopen next poll
+        if st.st_ino != self._ino or st.st_size < self._cursor:
+            if st.st_ino != self._ino:
+                # rotated-away file: the byte cursor belongs to the
+                # OLD inode; the successor journal is all-new
+                # entries, so restoration lands at its head
+                self._cursor = 0
+            self._reopen()
+        data = self._fh.read()
+        if not data:
+            return []
+        buf = self._partial + data
+        # complete entries end at a blank line; the tail fragment
+        # waits for its terminator
+        cut = buf.rfind(b"\n\n")
+        if cut < 0:
+            self._partial = buf
+            self._cursor = self._fh.tell() - len(self._partial)
+            return []
+        complete, self._partial = buf[:cut + 2], buf[cut + 2:]
+        self._cursor = self._fh.tell() - len(self._partial)
+        self._save_state()
+        return [e for e in
+                complete.decode("utf-8", errors="replace")
+                .split("\n\n") if e.strip()]
+
+    def _save_state(self) -> None:
+        if not self.state_file:
+            return
+        tmp = self.state_file + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"cursor": self._cursor}, fh)
+        os.replace(tmp, self.state_file)
+
+    def close(self) -> None:
+        self._save_state()
+        try:
+            self._fh.close()
+        except OSError:
+            pass
 
 
 def imdocker(spark: SparkSession, path: str, *,

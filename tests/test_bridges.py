@@ -3075,3 +3075,124 @@ def test_imtcp_uds_listener(spark, tmp_path):
     finally:
         b.stop()
     assert not os.path.exists(sp)   # unlinked at shutdown
+
+
+def test_imjournal_namespace_validation_and_path(spark, tmp_path):
+    """imjournal Namespace param (ChangeLog 2026-06-29;
+    imjournal.c:1426-1438 checkCnf + :302-306
+    sd_journal_open_namespace): empty Namespace and Namespace+Remote
+    are config errors; a valid namespace reads the
+    ``<dir>.<namespace>`` journal location, not the default one."""
+    import pytest
+
+    from rsyslog_spark.streaming.bridges import imjournal
+
+    base = tmp_path / "journal"
+    base.mkdir()
+    (base / "sys.export").write_text(
+        "MESSAGE=default ns\nPRIORITY=6\n_HOSTNAME=h0\n\n")
+    nsdir = tmp_path / "journal.web"
+    nsdir.mkdir()
+    (nsdir / "web.export").write_text(
+        "MESSAGE=web ns\nPRIORITY=4\n_HOSTNAME=h1\n\n")
+
+    with pytest.raises(ValueError,
+                       match="Namespace must not be empty"):
+        imjournal(spark, str(base), namespace="")
+    with pytest.raises(ValueError,
+                       match="Namespace and Remote cannot be "
+                             "enabled together"):
+        imjournal(spark, str(base), namespace="web", remote=True)
+
+    rows = imjournal(spark, str(base), namespace="web").collect()
+    assert [r["msg"] for r in rows] == ["web ns"]
+    rows = imjournal(spark, str(base)).collect()
+    assert [r["msg"] for r in rows] == ["default ns"]
+
+
+def test_journal_tail_rotation_single_reopen(tmp_path):
+    """Rotation golden (ChangeLog 2026-07-15; imjournal.c:880-924):
+    journal invalidation triggers EXACTLY one reopen; subsequent
+    polls with an unchanged file must not reopen again (the
+    busy-loop that burned a full CPU core), and entries across the
+    rotation are delivered exactly once."""
+    import os
+
+    from rsyslog_spark.streaming.bridges import JournalTail
+
+    j = tmp_path / "journal.export"
+    j.write_bytes(b"MESSAGE=a\n\nMESSAGE=b\n\n")
+    t = JournalTail(str(j))
+    assert t.poll() == ["MESSAGE=a", "MESSAGE=b"]
+    assert t.reopen_count == 0
+    # idle polls: no entries, no reopen
+    assert t.poll() == [] and t.poll() == []
+    assert t.reopen_count == 0
+
+    # rotate: old file archived away, successor starts fresh
+    os.replace(str(j), str(tmp_path / "journal.export.1"))
+    (tmp_path / "journal.export").write_bytes(b"MESSAGE=c\n\n")
+    assert t.poll() == ["MESSAGE=c"]
+    assert t.reopen_count == 1
+    # THE busy-loop pin: nothing changed -> no second reopen
+    assert t.poll() == [] and t.poll() == []
+    assert t.reopen_count == 1
+
+    # sequential delivery resumes without another reopen
+    with open(j, "ab") as fh:
+        fh.write(b"MESSAGE=d\n\n")
+    assert t.poll() == ["MESSAGE=d"]
+    assert t.reopen_count == 1
+    t.close()
+
+
+def test_journal_tail_truncation_and_partial(tmp_path):
+    """In-place truncation is an invalidation (reopen-and-seek to
+    head); an entry without its terminating blank line stays
+    buffered until complete — only whole entries are delivered."""
+    from rsyslog_spark.streaming.bridges import JournalTail
+
+    j = tmp_path / "j.export"
+    j.write_bytes(b"MESSAGE=one\n\nMESSAGE=par")   # 'par' incomplete
+    t = JournalTail(str(j))
+    assert t.poll() == ["MESSAGE=one"]
+    with open(j, "ab") as fh:
+        fh.write(b"tial\n\n")
+    assert t.poll() == ["MESSAGE=partial"]
+    assert t.reopen_count == 0
+
+    # truncate in place (same inode, size < cursor)
+    with open(j, "wb") as fh:
+        fh.write(b"MESSAGE=fresh\n\n")
+    assert t.poll() == ["MESSAGE=fresh"]
+    assert t.reopen_count == 1
+    t.close()
+
+
+def test_journal_tail_state_resume_and_ignore_previous(tmp_path):
+    """stateFile cursor persistence (imjournal stateFile) and
+    IgnorePreviousMessages (imjournal.c:927 skipOldMessages)."""
+    from rsyslog_spark.streaming.bridges import JournalTail
+
+    j = tmp_path / "j.export"
+    st = tmp_path / "j.state"
+    j.write_bytes(b"MESSAGE=old\n\n")
+    t = JournalTail(str(j), state_file=str(st))
+    assert t.poll() == ["MESSAGE=old"]
+    t.close()
+    with open(j, "ab") as fh:
+        fh.write(b"MESSAGE=new\n\n")
+    # resume from the saved cursor: only the new entry
+    t2 = JournalTail(str(j), state_file=str(st))
+    assert t2.poll() == ["MESSAGE=new"]
+    t2.close()
+
+    # ignore_previous: fresh start seeks the tail
+    j2 = tmp_path / "k.export"
+    j2.write_bytes(b"MESSAGE=skipme\n\n")
+    t3 = JournalTail(str(j2), ignore_previous=True)
+    assert t3.poll() == []
+    with open(j2, "ab") as fh:
+        fh.write(b"MESSAGE=live\n\n")
+    assert t3.poll() == ["MESSAGE=live"]
+    t3.close()
