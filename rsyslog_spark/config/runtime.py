@@ -1231,9 +1231,27 @@ def _dispatch_action_inner(
         import shlex
         from rsyslog_spark.streaming.sinks import omprog_sink
 
+        lp = {k.lower(): v for k, v in params.items()}
         lines = _rendered_lines(df, cfg, params)
-        _with_retry(params,
-                    omprog_sink(shlex.split(params["binary"])))(lines, 0)
+        _with_retry(params, omprog_sink(
+            shlex.split(params["binary"]),
+            confirm_messages=str(lp.get("confirmmessages", "off")
+                                 ).lower() in ("on", "true", "1"),
+            confirm_timeout=float(lp.get("confirmtimeout",
+                                         "10000")) / 1000.0,
+            output=lp.get("output"),
+            close_timeout=float(lp.get("closetimeout",
+                                       "5000")) / 1000.0,
+            signal_on_close=str(lp.get("signalonclose", "off")
+                                ).lower() in ("on", "true", "1"),
+            # paced transaction-retry splitter (ChangeLog
+            # 2026-07-05 / issue 5016): the splitter honors
+            # action.resumeInterval between per-message retries
+            resume_retry_count=int(
+                _param(params, "action.resumeRetryCount", "0")),
+            resume_interval=float(
+                _param(params, "action.resumeInterval", "1")),
+        ))(lines, 0)
         run.written[name] = params["binary"]
         return
     if typ == "omshell" and params.get("program"):

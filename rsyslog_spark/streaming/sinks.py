@@ -500,6 +500,8 @@ def omprog_sink(
     close_timeout: float = 5.0,
     kill_unresponsive: bool = True,
     signal_on_close: bool = False,
+    resume_retry_count: int = 0,
+    resume_interval: float = 1.0,
 ) -> Callable[[DataFrame, int], None]:
     """omprog (ref: plugins/omprog): pipe template-rendered lines to an
     external program's stdin, one process per partition per batch
@@ -516,7 +518,21 @@ def omprog_sink(
     ``close_timeout``/``kill_unresponsive``/``signal_on_close``
     (omprog.c:301-320 waitForChild): on close, optionally SIGTERM
     first, wait up to the timeout, then SIGKILL unresponsive
-    children (golden omprog-close-unresponsive.sh)."""
+    children (golden omprog-close-unresponsive.sh).
+
+    ``resume_retry_count`` > 0 enables the paced transaction retry
+    splitter (ChangeLog 2026-07-05, issue 5016; runtime/action.c:
+    1738-1758 actionSleepBeforeRetryingTransaction + 1761-1817
+    actionTryRemoveHardErrorsFromBatch): a mid-batch confirm failure
+    no longer fails the whole batch in a tight loop. The failed
+    message waits ``resume_interval`` (action.resumeInterval) and is
+    retried individually; if it STILL fails, it and ALL remaining
+    messages are deferred to the next paced cycle — later messages
+    are never classified by attempts made while the action needed a
+    retry delay for the current one. Already-confirmed messages are
+    never resent. After ``resume_retry_count`` paced cycles the
+    action suspends (raises). With the default 0 the pre-fix
+    behavior remains: first confirm failure fails the batch."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         lines = batch_df.select(F.col(line_col).cast("string").alias("l"))
@@ -551,15 +567,62 @@ def omprog_sink(
                         raise RuntimeError(
                             f"omprog: program startup returned: "
                             f"{st!r}")
-                for r in rows:
-                    proc.stdin.write((r.l or "") + "\n")
-                    if confirm_messages:
-                        proc.stdin.flush()
-                        st = read_status()
-                        if st not in ("OK", "DEFER_COMMIT",
-                                      "PREVIOUS_COMMITTED"):
+
+                OK_STATES = ("OK", "DEFER_COMMIT",
+                             "PREVIOUS_COMMITTED")
+
+                def send_one(text: str) -> str:
+                    proc.stdin.write(text + "\n")
+                    proc.stdin.flush()
+                    return read_status()
+
+                if confirm_messages and resume_retry_count > 0:
+                    # paced retry splitter (action.c:1761-1817)
+                    def splitter_pass(msgs: list[str]) -> list[str]:
+                        for idx, m in enumerate(msgs):
+                            st = send_one(m)
+                            if st in OK_STATES:
+                                continue
+                            # the action needs a retry delay before
+                            # attempting the CURRENT message: sleep
+                            # resumeInterval once, retry it alone
+                            # (actionSleepBeforeRetrying-
+                            # Transaction, action.c:1738-1758)
+                            time.sleep(resume_interval)
+                            st = send_one(m)
+                            if st in OK_STATES:
+                                continue
+                            # still failing: defer it AND all
+                            # remaining messages — do not classify
+                            # later messages during the delay
+                            return msgs[idx:]
+                        return []
+
+                    pending = [(r.l or "") for r in rows]
+                    cycle = 0
+                    while pending:
+                        pending = splitter_pass(pending)
+                        if not pending:
+                            break
+                        cycle += 1
+                        if cycle > resume_retry_count:
                             raise RuntimeError(
-                                f"omprog: program returned: {st!r}")
+                                "omprog: suspending - "
+                                f"{len(pending)} messages still "
+                                "unconfirmed after "
+                                f"{resume_retry_count} paced "
+                                "retries")
+                        time.sleep(resume_interval)
+                else:
+                    for r in rows:
+                        proc.stdin.write((r.l or "") + "\n")
+                        if confirm_messages:
+                            proc.stdin.flush()
+                            st = read_status()
+                            if st not in OK_STATES:
+                                raise RuntimeError(
+                                    "omprog: program returned: "
+                                    f"{st!r}")
                 try:
                     proc.stdin.close()
                 except OSError:

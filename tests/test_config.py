@@ -5841,3 +5841,51 @@ class TestNetstreamSecureDefaults:
         assert _is_tls_capable_drvr("ossl")
         assert not _is_tls_capable_drvr("ptcp")
         assert not _is_tls_capable_drvr("")
+
+
+def test_omprog_config_confirm_and_pacing(spark, tmp_path):
+    """omprog action params plumb through config: confirmMessages
+    feedback + the paced retry splitter driven by
+    action.resumeRetryCount/resumeInterval (ChangeLog 2026-07-05,
+    issue 5016)."""
+    import sys
+
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "pin"
+    src.mkdir()
+    (src / "a.log").write_text(
+        "<13>Mar  1 10:00:00 h1 app: alpha\n"
+        "<13>Mar  1 10:00:01 h1 app: beta\n")
+    log = tmp_path / "prog.log"
+    helper = tmp_path / "confirm_child.py"
+    helper.write_text(
+        "import sys, time\n"
+        f"log = open({str(log)!r}, 'a')\n"
+        "failed = [False]\n"
+        "print('OK', flush=True)\n"
+        "for line in sys.stdin:\n"
+        "    line = line.strip()\n"
+        "    log.write(line + '\\n'); log.flush()\n"
+        "    if 'beta' in line and not failed[0]:\n"
+        "        failed[0] = True\n"
+        "        print('Error: transient', flush=True)\n"
+        "    else:\n"
+        "        print('OK', flush=True)\n")
+    conf = f'''
+    template(name="m" type="string" string="%msg%")
+    input(type="imfile" file="{src}/*.log" ruleset="r")
+    ruleset(name="r") {{
+        action(type="omprog" name="prog"
+               binary="{sys.executable} -u {helper}"
+               template="m" confirmMessages="on"
+               action.resumeRetryCount="2"
+               action.resumeInterval="0.2")
+    }}
+    '''
+    run = run_config_batch(spark, conf, main="r")
+    assert "prog" in run.written
+    msgs = log.read_text().splitlines()
+    # beta failed once, was retried alone; alpha sent exactly once
+    assert msgs.count("alpha") == 1
+    assert msgs.count("beta") == 2

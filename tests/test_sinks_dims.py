@@ -615,3 +615,79 @@ class TestEsBulkFailureClassification:
             error_file=str(err))(df, 0)
         recs = [json.loads(l) for l in err.read_text().splitlines()]
         assert len(recs) == 1
+
+
+def test_omprog_retry_splitter_pacing(spark, tmp_path):
+    """omprog paced transaction-retry splitter (ChangeLog 2026-07-05,
+    issue 5016; action.c:1738-1817): a mid-batch confirm failure
+    delays only the FAILED message's retry — confirmed messages are
+    never resent, the failed message waits action.resumeInterval
+    before its individual retry, and later messages are not
+    classified while the action needs the delay."""
+    import sys
+    import time as _t
+
+    import pytest
+
+    from rsyslog_spark.streaming.sinks import omprog_sink
+
+    df = spark.createDataFrame([("m1",), ("m2",), ("m3",)],
+                               "line string").coalesce(1)
+
+    def child(log, fail_counts):
+        return (
+            "import sys, time\n"
+            f"log = open({str(log)!r}, 'a')\n"
+            f"fails = dict({fail_counts!r})\n"
+            "print('OK', flush=True)\n"
+            "for line in sys.stdin:\n"
+            "    line = line.strip()\n"
+            "    log.write('%.3f %s\\n' % (time.time(), line))\n"
+            "    log.flush()\n"
+            "    if fails.get(line, 0) > 0:\n"
+            "        fails[line] -= 1\n"
+            "        print('Error: not ready', flush=True)\n"
+            "    else:\n"
+            "        print('OK', flush=True)\n"
+        )
+
+    # m2 fails once: in-splitter paced retry recovers it
+    log1 = tmp_path / "pace1.log"
+    omprog_sink([sys.executable, "-u", "-c",
+                 child(log1, {"m2": 1})],
+                confirm_messages=True, resume_retry_count=2,
+                resume_interval=0.3)(df, 0)
+    recs = [(float(a), b) for a, b in
+            (ln.split() for ln in log1.read_text().splitlines())]
+    assert [m for _, m in recs] == ["m1", "m2", "m2", "m3"]
+    # the failed message's retry is PACED by resumeInterval
+    t_m2 = [t for t, m in recs if m == "m2"]
+    assert t_m2[1] - t_m2[0] >= 0.25
+    # m1/m3 sent exactly once - no whole-batch replay
+    assert sum(1 for _, m in recs if m == "m1") == 1
+    assert sum(1 for _, m in recs if m == "m3") == 1
+
+    # m2 fails 3x: current+later messages defer to the next paced
+    # cycle; m3 is attempted only after m2 finally confirms — never
+    # over-classified during m2's delays
+    log2 = tmp_path / "pace2.log"
+    omprog_sink([sys.executable, "-u", "-c",
+                 child(log2, {"m2": 3})],
+                confirm_messages=True, resume_retry_count=2,
+                resume_interval=0.2)(df, 0)
+    msgs = [ln.split()[1] for ln in log2.read_text().splitlines()]
+    assert msgs == ["m1", "m2", "m2", "m2", "m2", "m3"]
+
+    # unrecoverable: paced cycles exhausted -> action suspends;
+    # later messages were never sent (not classified as failed)
+    log3 = tmp_path / "pace3.log"
+    t0 = _t.time()
+    with pytest.raises(Exception, match="suspending"):
+        omprog_sink([sys.executable, "-u", "-c",
+                     child(log3, {"m2": 99})],
+                    confirm_messages=True, resume_retry_count=1,
+                    resume_interval=0.2)(df, 0)
+    msgs = [ln.split()[1] for ln in log3.read_text().splitlines()]
+    assert "m3" not in msgs and msgs[0] == "m1"
+    # pacing happened (not a tight loop): >= 3 sleeps of 0.2s
+    assert _t.time() - t0 >= 0.6
