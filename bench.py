@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     # r10 additions — the new driver oracles stay on the headline
     "tls_peer_wildcard_matrix",
     "tcp_framing_roundtrip",
+    # r11 addition — the dynafile/zip sink oracle (writes + reads
+    # back a gzip partition tree; billed like any other query)
+    "omfile_dynafile_zip",
 ]
 
 

@@ -910,7 +910,13 @@ def _dispatch_action_inner(
         line = ltpl.col(df) if ltpl is not None \
             and hasattr(ltpl, "col") else None
         omfile_dynafile_batch(df, src_str, secure_paths=secure,
-                              line=line)
+                              line=line,
+                              # zipLevel applies to dynafiles too
+                              # (omfile.c iZipLevel is per-action,
+                              # not per-file)
+                              zip_level=int(params.get(
+                                  "zipLevel",
+                                  params.get("ziplevel", "0"))))
         run.written[name] = dynafile_partition_spec(src_str)[0]
         return
     if typ == "omfile" and params.get("file"):

@@ -184,16 +184,17 @@ def collect_all() -> dict[str, Query]:
 #: for them plus the NEW tcp_compression_roundtrip oracle. Both r8
 #: newcomers (timestamp_render_battery, mmsnareparse_win_event) stay
 #: in-window for a second green round.
-_TAIL = ("html_text_extraction", "ngram_top_counts",
-         "sequence_packing", "stratified_sample_docs",
-         # parked r7 wave 2 (green >=3 rounds incl. r6) — making
-         # window room for the NEW r7 oracle queries
-         # imdocker_jsonlog_parse + imkmsg_header_parse
-         "mmaitag_classify", "sendertrack_ratelimit",
-         # parked r7 wave 3 (green r1+r2+r6, body unchanged since its
-         # r6 driver verification) — room for the NEW
-         # imkubernetes_cri_reassembly
-         "mmanon_embedded",
+#: r11 rotation: the 7 LONGEST-parked queries (r7 cohort:
+#: html_text_extraction, ngram_top_counts, sequence_packing,
+#: stratified_sample_docs, mmaitag_classify, sendertrack_ratelimit,
+#: mmanon_embedded) re-enter the window for fresh driver
+#: verification; 8 r9+r10-green window queries (bodies untouched
+#: since their r10 verification) take tail slots to make room for
+#: them plus the NEW omfile_dynafile_zip oracle (driver-pins the
+#: dynafile/zip sink family, the largest remaining pass-U surface).
+#: Both r10 newcomers (tls_peer_wildcard_matrix,
+#: tcp_framing_roundtrip) stay in-window for a second green round.
+_TAIL = (
          # parked r8 (green r6+r7, bodies untouched) — room for the
          # 8 rotated-back r2/r3-cohort queries + mmsnareparse_win_event
          "pri_filter_selectors", "rs_expr_battery", "field_extract",
@@ -235,7 +236,14 @@ _TAIL = ("html_text_extraction", "ngram_top_counts",
          # for the NEW tcp_framing_roundtrip oracle, which pins the
          # whole framing stack (octet-counted/LF/SP-fix/MultiLine)
          # touched this round
-         "vendor_parse_pair")
+         "vendor_parse_pair",
+         # parked r11 (green r9+r10, bodies untouched since the r10
+         # driver verification) — room for the 7 rotated-back r7
+         # cohort queries + the NEW omfile_dynafile_zip oracle
+         "imbeats_seq_metadata", "imdocker_jsonlog_parse",
+         "imjournal_field_map", "imkmsg_header_parse",
+         "imkubernetes_cri_reassembly", "impcap_l7_battery",
+         "mmaudit_parse", "pmdb2diag_parse")
 
 
 def tail_body_hash(q: Query) -> str:

@@ -1521,3 +1521,100 @@ def tcp_framing_roundtrip(spark, sf_dir):
         F.sum(F.length("payload")).cast("long")
         .alias("total_chars"),
     )
+
+
+@q(
+    "omfile_dynafile_zip",
+    """
+    WITH msgs AS (
+      SELECT CASE WHEN event_id % 5 = 4 THEN 'bad_host'
+                  ELSE 'h' || CAST(event_id % 4 AS VARCHAR)
+             END AS pt_hostname,
+             CAST(event_id % 8 AS VARCHAR) AS pt_syslogseverity,
+             'app' || CAST(event_id % 3 AS VARCHAR) || ': evt '
+               || event_type || ' #'
+               || CAST(event_id AS VARCHAR) AS line
+      FROM events
+    )
+    SELECT pt_hostname, pt_syslogseverity,
+           COUNT(*) AS n,
+           COUNT(*) AS ok_n,
+           CAST(SUM(length(line)) AS BIGINT) AS total_chars
+    FROM msgs
+    GROUP BY pt_hostname, pt_syslogseverity
+    """,
+    doc="omfile dynafile + zipLevel end-to-end (tools/omfile.c "
+        "dynafile cache :133-140, cflineParseDynaFile line "
+        "templates, iZipLevel zip writer, secpath=replace "
+        "sanitizer; rotation boundaries per outchannel.c uSizeLimit "
+        "/ omfile.c:497-500): renders a '?dynfile;outfmt'-shaped "
+        "stream through the PRODUCTION template compiler + "
+        "dynafile_partition_spec + omfile_dynafile_batch with "
+        "gzip output into a fresh directory, reads the compressed "
+        "partition tree back, and checks per-dynafile counts/"
+        "sizes in DuckDB. 'bad/host' proves the secure-path "
+        "sanitizer maps to the bad_host FILE (never a "
+        "subdirectory). ok_n additionally pins the rotation "
+        "boundary calculator (rotation_cut_points): every closed "
+        "file must exceed the size limit while shedding its last "
+        "record drops it back under — a lossless write, a "
+        "mis-partitioned path, an undecompressable gzip part, or "
+        "a wrong cut point all break the equality.",
+)
+def omfile_dynafile_zip(spark, sf_dir):
+    import tempfile
+
+    from rsyslog_spark.streaming.sinks import omfile_dynafile_batch
+    from rsyslog_spark.templates import compile_template_string
+
+    ev = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    src = ev.select(
+        F.when(eid % 5 == 4, F.lit("bad/host"))
+        .otherwise(F.concat(F.lit("h"),
+                            (eid % 4).cast("string")))
+        .alias("hostname"),
+        (eid % 8).cast("int").alias("syslogseverity"),
+        F.concat(F.lit("app"), (eid % 3).cast("string"),
+                 F.lit(":")).alias("syslogtag"),
+        F.concat(F.lit(" evt "), F.col("event_type"),
+                 F.lit(" #"), eid.cast("string")).alias("msg"),
+    )
+    tmp = tempfile.mkdtemp(prefix="rsyslog_spark_dynafile_")
+    line = compile_template_string("%syslogtag%%msg%\n").col(src)
+    omfile_dynafile_batch(
+        src, tmp + "/%hostname%/sev-%syslogseverity%.log",
+        line=line, secure_paths=True, zip_level=6)
+
+    back = spark.read.text(tmp)
+
+    def check(pdf):
+        import pandas as pd
+
+        from rsyslog_spark.streaming.sinks import rotation_cut_points
+
+        LIMIT = 4096
+        lines = sorted(pdf["value"].tolist())
+        sizes = [len(ln) + 1 for ln in lines]   # +1: newline on disk
+        cuts = rotation_cut_points(sizes, LIMIT)
+        ok = 1
+        for a, b in zip(cuts, cuts[1:]):
+            seg = sum(sizes[a:b])
+            if not (seg > LIMIT and seg - sizes[b - 1] <= LIMIT):
+                ok = 0
+        if cuts and cuts[0] != 0:
+            ok = 0
+        return pd.DataFrame([{
+            "pt_hostname": str(pdf["pt_hostname"].iloc[0]),
+            "pt_syslogseverity":
+                str(pdf["pt_syslogseverity"].iloc[0]),
+            "n": len(lines),
+            "ok_n": len(lines) * ok,
+            "total_chars": sum(len(ln) for ln in lines),
+        }])
+
+    return back.groupBy("pt_hostname", "pt_syslogseverity") \
+        .applyInPandas(
+            check,
+            "pt_hostname string, pt_syslogseverity string, "
+            "n long, ok_n long, total_chars long")

@@ -1189,13 +1189,17 @@ def omfile_dynafile_batch(
     fmt: str = "parquet",
     secure_paths: bool = False,
     line: Column | None = None,
+    zip_level: int = 0,
 ) -> None:
     """Batch dynafile write: derive partition columns from the
     template and write under the constant prefix. With ``line`` (the
     action's rendered line template — '?dynfile;outfmt', ref:
     tools/omfile.c cflineParseDynaFile) the output is TEXT lines
     like the reference's, still partitioned by the dynafile's
-    property columns."""
+    property columns. ``zip_level`` > 0 is omfile's iZipLevel
+    (tools/omfile.c zipLevel param): the per-dynafile output files
+    compress with the gzip codec — the Spark container analog of
+    the reference's zlib-compressed log writer."""
     base, names, exprs = dynafile_partition_spec(
         template_str, secure_paths=secure_paths)
     out = df
@@ -1205,11 +1209,36 @@ def omfile_dynafile_batch(
         out = out.select(
             F.regexp_replace(line, r"\n$", "").alias("value"), *names)
         w = out.write.mode("append")
+        if zip_level > 0:
+            w = w.option("compression", "gzip")
         if names:
             w = w.partitionBy(*names)
         w.format("text").save(base)
         return
-    out.write.mode("append").partitionBy(*names).format(fmt).save(base)
+    w = out.write.mode("append").partitionBy(*names)
+    if zip_level > 0:
+        w = w.option("compression", "gzip")
+    w.format(fmt).save(base)
+
+
+def rotation_cut_points(sizes: Sequence[int], limit: int) -> list[int]:
+    """omfile size-capped rotation boundary calculator (ref:
+    runtime/outchannel.c uSizeLimit + tools/omfile.c:497-500: after
+    each write the current file size is checked; once it EXCEEDS the
+    limit the file rotates, so the crossing record stays in the old
+    file). Given per-record byte sizes in write order, returns the
+    indices that START a new file. limit<=0 → no rotation (index 0
+    only). Every closed (non-final) file's size therefore exceeds
+    ``limit`` while its size minus its last record does not — the
+    invariant the dynafile/zip oracle checks."""
+    cuts = [0] if sizes else []
+    acc = 0
+    for i, s in enumerate(sizes):
+        if limit > 0 and acc > limit:
+            cuts.append(i)
+            acc = 0
+        acc += int(s)
+    return cuts
 
 
 def discard_watermark_gate(

@@ -163,3 +163,57 @@ input(type="imtcp" port="{port}" address="127.0.0.1" ruleset="m"
     assert "msgnum:00000000:" in out
     assert f"file '{ro}'" in out and "open error" in out, out
     assert ro.read_text() == ""
+
+
+def test_rotation_cut_points_semantics():
+    """outchannel/omfile size-capped rotation boundaries
+    (outchannel.c uSizeLimit; omfile.c:497-500): the size check runs
+    AFTER the write, so the crossing record stays in the old file;
+    every closed file exceeds the limit, and removing its last
+    record drops it back under."""
+    from rsyslog_spark.streaming.sinks import rotation_cut_points
+
+    assert rotation_cut_points([], 10) == []
+    assert rotation_cut_points([5, 5, 5], 0) == [0]     # no limit
+    # 5+5+5=15>10 at rec idx2? acc after r0=5,r1=10 (not >10),
+    # r2=15 -> file0=[0,1,2] closes only when NEXT record arrives
+    assert rotation_cut_points([5, 5, 5], 10) == [0]
+    assert rotation_cut_points([5, 5, 5, 5], 10) == [0, 3]
+    cuts = rotation_cut_points([4] * 10, 10)
+    # files of 3 records (12 > 10), last file holds the remainder
+    assert cuts == [0, 3, 6, 9]
+    # one oversized record still lands alone in its file
+    assert rotation_cut_points([50, 2, 2], 10) == [0, 1]
+
+
+def test_dynafile_ziplevel_writes_gzip(spark, tmp_path):
+    """omfile dynafile + zipLevel (omfile.c iZipLevel applies to
+    dynafiles too): partition files come out gzip-compressed and
+    read back losslessly."""
+    from rsyslog_spark.config.runtime import run_config_batch
+
+    src = tmp_path / "zin.log"
+    src.write_text(
+        "<13>Mar  1 10:00:00 ha app: za\n"
+        "<13>Mar  1 10:00:01 hb app: zb\n")
+    outdir = tmp_path / "zdyn"
+    conf = f'''
+    template(name="dynp" type="string"
+             string="{outdir}/%hostname%.log")
+    template(name="fmt" type="string" string="%msg%\\n")
+    input(type="imfile" file="{src}" ruleset="m")
+    ruleset(name="m") {{
+      action(type="omfile" dynafile="dynp" template="fmt"
+             zipLevel="6")
+    }}
+    '''
+    run_config_batch(spark, conf, main="m")
+    import os
+    gz = []
+    for root, _d, files in os.walk(outdir):
+        gz += [os.path.join(root, f) for f in files
+               if f.endswith(".gz")]
+    assert gz, "no gzip part files written"
+    back = spark.read.text(str(outdir))
+    vals = sorted(r["value"].strip() for r in back.collect())
+    assert vals == ["za", "zb"]
