@@ -496,11 +496,34 @@ class _Parser:
                         # global(environment="K=V" | [...]) sets
                         # process env at CONFIG LOAD (glbl.c
                         # "environment" eCmdHdlrArray; golden
-                        # glbl_setenv.sh reads it back via getenv())
+                        # glbl_setenv.sh reads it back via getenv()).
+                        # Malformed entries error-and-continue with
+                        # the reference's messages (do_setenv,
+                        # glbl.c:1326-1349; goldens glbl_setenv_err
+                        # + _err_too_long): no '=' before end of
+                        # entry, or a name so long the 128-byte
+                        # buffer check trips (the reference's
+                        # ``i == sizeof(varname) - i`` guard fires
+                        # at 64 even though the message says 127 —
+                        # mirrored exactly, quirk included)
                         import os as _os
+                        import warnings as _w
                         entries = v if isinstance(v, list) else [v]
                         for ent in entries:
-                            ek, _, ev = str(ent).partition("=")
+                            ent = str(ent)
+                            ek, eq, ev = ent.partition("=")
+                            if not eq:
+                                _w.warn(
+                                    "environment variable entry is "
+                                    "missing equal sign (for "
+                                    f"value): '{ent}'")
+                                continue
+                            if len(ek) >= 64:
+                                _w.warn(
+                                    "environment variable name too "
+                                    "long [max 127 chars] or "
+                                    f"malformed entry: '{ent}'")
+                                continue
                             if ek:
                                 _os.environ[ek] = ev
                         continue

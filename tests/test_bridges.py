@@ -3196,3 +3196,67 @@ def test_journal_tail_state_resume_and_ignore_previous(tmp_path):
         fh.write(b"MESSAGE=live\n\n")
     assert t3.poll() == ["MESSAGE=live"]
     t3.close()
+
+
+def test_sndrcv_multihop_relay_chain(spark, tmp_path):
+    """sndrcv.sh / sndrcv_drvr.sh multi-hop shape: origin file →
+    omfwd @@(octet-counted) → live imtcp hop B → omfwd @@(LF
+    traditional framing) → live imtcp hop C → seq_check. Two
+    relay hops over real sockets with DIFFERENT framings; every
+    message must arrive exactly once, in-order recoverable by
+    msgnum (the testbench's seq_check)."""
+    from rsyslog_spark.config.runtime import run_config_batch
+    from rsyslog_spark.streaming.bridges import imtcp
+
+    N = 200
+    hop_b = imtcp(str(tmp_path / "spoolB"), flush_secs=0.2).start()
+    hop_c = imtcp(str(tmp_path / "spoolC"), flush_secs=0.2).start()
+    try:
+        src = tmp_path / "origin"
+        src.mkdir()
+        (src / "in.log").write_text("".join(
+            f"<13>Mar  1 01:00:00 h tag: msgnum:{i:08d}:\n"
+            for i in range(N)))
+        # hop 1: file -> octet-counted TCP forward to B
+        run_config_batch(spark, f'''
+template(name="fwd" type="string"
+         string="<%pri%>%timestamp% %hostname% %syslogtag%%msg%")
+input(type="imfile" file="{src}/*.log" ruleset="r1")
+ruleset(name="r1") {{
+  action(type="omfwd" target="127.0.0.1" port="{hop_b.port}"
+         protocol="tcp" tcp_framing="octet-counted"
+         template="fwd")
+}}
+''', main="r1")
+        got_b = _drain(hop_b, spark, N)
+        rows_b = [r.line for r in got_b.collect()]
+        assert len(rows_b) == N
+
+        # hop 2: B's received lines -> LF-framed TCP forward to C
+        mid = tmp_path / "mid"
+        mid.mkdir()
+        (mid / "relay.log").write_text(
+            "".join(ln + "\n" for ln in rows_b))
+        run_config_batch(spark, f'''
+template(name="fwd" type="string"
+         string="<%pri%>%timestamp% %hostname% %syslogtag%%msg%")
+input(type="imfile" file="{mid}/*.log" ruleset="r2")
+ruleset(name="r2") {{
+  action(type="omfwd" target="127.0.0.1" port="{hop_c.port}"
+         protocol="tcp" template="fwd")
+}}
+''', main="r2")
+        got_c = _drain(hop_c, spark, N)
+        final = [r.line for r in got_c.collect()]
+        assert len(final) == N
+        # seq_check: extract msgnum, expect exactly 0..N-1
+        import re
+        nums = sorted(int(re.search(r"msgnum:(\d+):", ln).group(1))
+                      for ln in final)
+        assert nums == list(range(N))
+        # two hops of header re-rendering preserved the PRI + body
+        assert all(ln.startswith("<13>") and " h tag:" in ln
+                   for ln in final)
+    finally:
+        hop_b.stop()
+        hop_c.stop()

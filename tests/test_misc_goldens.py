@@ -2116,3 +2116,105 @@ input(type="imfile" file="{src}" ruleset="m")
         for ln in gzip.open(os.path.join(d, p), "rt").read()
         .splitlines())
     assert got == [f"{i:08d}" for i in range(50)]
+
+
+def test_failover_rptd(spark, tmp_path):
+    """failover-rptd.sh: $RepeatedMsgReduction on combined with a
+    dead @@ primary — the execOnlyWhenPreviousIsSuspended fallback
+    still receives EVERY (unique) message; reduction must not eat
+    rows routed through the failover path (seq_check 0..N)."""
+    lines = "".join(
+        f"<13>Mar  1 01:00:00 h tag msgnum:{i:08d}:\n"
+        for i in range(50))
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        _run(spark, tmp_path, '''
+$RepeatedMsgReduction on
+$template outfmt,"%msg:F,58:2%\\n"
+# note: the target server shall not be available!
+:msg, contains, "msgnum:" @@127.0.0.1:13514
+$ActionExecOnlyWhenPreviousIsSuspended on
+& @OUT@;outfmt
+input(type="imfile" file="@IN@")
+''', lines, sub="forp")
+    assert _read_out(tmp_path, "forp") == [
+        f"{i:08d}" for i in range(50)]
+
+
+def test_glbl_setenv_err_goldens(spark, tmp_path):
+    """glbl_setenv_err.sh + glbl_setenv_err_too_long.sh: a
+    global(environment=...) entry without '=' or with an over-long
+    name error-and-continues with the reference's messages
+    (glbl.c:1326-1349 do_setenv) — config load succeeds, the bad
+    entry sets nothing, valid entries still apply."""
+    import os
+    import warnings as _w
+
+    from rsyslog_spark.config.rainerscript import parse_config
+
+    os.environ.pop("http_proxy", None)
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        cfg = parse_config('''
+global(environment="http_proxy ERROR")
+global(environment="''' + "N" * 400 + '''=400")
+global(environment="GOODVAR=good")
+ruleset(name="m") { action(type="omfile" file="/tmp/x") }
+''')
+    msgs = [str(x.message) for x in w]
+    assert any("missing equal sign (for value): 'http_proxy ERROR'"
+               in m for m in msgs)
+    assert any("environment variable name too long [max 127 chars]"
+               in m for m in msgs)
+    assert "m" in cfg.rulesets
+    assert os.environ.get("GOODVAR") == "good"
+    assert "http_proxy ERROR" not in os.environ
+    os.environ.pop("GOODVAR", None)
+
+
+def test_glbl_ruleset_queue_defaults_accepted(spark):
+    """glbl-ruleset-queue-defaults.sh: the default.ruleset.queue.*
+    globals parse without any 'parameter not known' complaint (the
+    reference only checks acceptance — queue timeouts map to Spark
+    micro-batch lifecycle)."""
+    import warnings as _w
+
+    from rsyslog_spark.config.rainerscript import parse_config
+
+    with _w.catch_warnings(record=True) as w:
+        _w.simplefilter("always")
+        cfg = parse_config('''
+global( default.ruleset.queue.timeoutshutdown="1000"
+        default.ruleset.queue.timeoutactioncompletion="1000"
+        default.ruleset.queue.timeoutenqueue="1000"
+        default.ruleset.queue.timeoutworkerthreadshutdown="1000"
+        )
+ruleset(name="m") { action(type="omfile" file="/tmp/x") }
+''')
+    assert "m" in cfg.rulesets
+    assert not [m for m in w if "not known" in str(m.message)]
+
+
+def test_asynwr_knobs_accepted_output_complete(spark, tmp_path):
+    """asynwr_simple.sh / asynwr_tinybuf.sh /
+    asynwr_dynfile_flushtxend-off.sh: the async-writer tuning params
+    (asyncWriting, flushOnTXEnd, flushInterval, ioBufferSize) parse
+    on omfile actions and every record still lands after commit —
+    in the Spark engine the micro-batch commit IS the flush, so the
+    knobs are accepted no-ops (SURVEY §1.4 queue mapping) and
+    correctness means no record is lost or duplicated."""
+    lines = "".join(
+        f"<13>Mar  1 01:00:00 h tag msgnum:{i:08d}:\n"
+        for i in range(25))
+    _run(spark, tmp_path, '''
+template(name="outfmt" type="string" string="%msg:F,58:2%\\n")
+ruleset(name="m") {
+  action(type="omfile" file="@OUT@" template="outfmt"
+         asyncWriting="on" flushOnTXEnd="off"
+         flushInterval="1" ioBufferSize="4k")
+}
+input(type="imfile" file="@IN@" ruleset="m")
+''', lines, sub="asw")
+    assert _read_out(tmp_path, "asw") == [
+        f"{i:08d}" for i in range(25)]
