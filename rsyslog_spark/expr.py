@@ -28,6 +28,53 @@ from rsyslog_spark.schema import FACILITIES, SEVERITIES
 ColumnOrName = Column | str
 
 
+def memo_column_factory(fn):
+    """Session-keyed memo for PURE Column factories (r11 perf).
+
+    Building a large Column tree costs one Py4J round-trip per
+    ``F.*`` call (~2 ms each) — a factory like ``is_in_subnet``
+    (~250 calls) burned ~0.65 s per plan BUILD, dominating its
+    query's wall at bench scale and billing every repeated plan
+    construction at any scale. Column objects are immutable
+    expression trees, so a factory that is a pure function of its
+    arguments can hand back the SAME Column for the same arguments.
+
+    Key: primitive args by value; Column (or other unhashable) args
+    by object identity — the args tuple is pinned in the cache entry
+    so an id() can never be recycled while its key lives. Entries are
+    keyed by the active SparkContext's applicationId (see
+    session_cache_key) so a restarted JVM misses cleanly. Apply ONLY
+    to deterministic factories (never anything seeded/random).
+    """
+    import functools
+
+    cache: dict = {}
+
+    def keypart(a):
+        try:
+            hash(a)
+            return ("v", a)
+        except TypeError:
+            return ("id", id(a))
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kw):
+        from rsyslog_spark.session import session_cache_key
+
+        sk = session_cache_key()
+        if sk is None:
+            return fn(*args, **kw)
+        key = (sk, tuple(keypart(a) for a in args),
+               tuple((k, keypart(v)) for k, v in sorted(kw.items())))
+        hit = cache.get(key)
+        if hit is None:
+            hit = (fn(*args, **kw), args, kw)   # pin arg refs
+            cache[key] = hit
+        return hit[0]
+
+    return wrapped
+
+
 def _c(x: ColumnOrName | int | float) -> Column:
     if isinstance(x, Column):
         return x

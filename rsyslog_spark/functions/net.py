@@ -10,12 +10,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from rsyslog_spark.expr import ColumnOrName, rs_num, rs_str
+from rsyslog_spark.expr import (
+    ColumnOrName, memo_column_factory, rs_num, rs_str,
+)
 
 _OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 IPV4_RE = rf"{_OCTET}\.{_OCTET}\.{_OCTET}\.{_OCTET}"
 
 
+@memo_column_factory
 def ipv42num(ip: ColumnOrName) -> Column:
     """Dotted quad → uint32 (ref rs-ip42num). Invalid input → 0
     (script_error semantics)."""
@@ -39,6 +42,7 @@ def _strict_int_ok(s: Column) -> Column:
     return s.rlike(r"^-?[0-9]*$")
 
 
+@memo_column_factory
 def num2ipv4(n: ColumnOrName) -> Column:
     """uint32 → dotted quad; non-integer input or out-of-range →
     "-1" (ref rs-num2ip; byte-exact golden rscript_num2ipv4.sh)."""
@@ -55,6 +59,7 @@ def num2ipv4(n: ColumnOrName) -> Column:
                   octets).otherwise(F.lit("-1"))
 
 
+@memo_column_factory
 def int2hex(n: ColumnOrName) -> Column:
     """Integer → lowercase hex string; non-integer input → "NAN"
     (ref rs-int2hex.rst; byte-exact golden rscript_int2Hex.sh,
@@ -97,6 +102,7 @@ def _shr(v: Column, bits: Column) -> Column:
             .cast("long")
 
 
+@memo_column_factory
 def is_in_subnet(ip: ColumnOrName, cidr: ColumnOrName | str) -> Column:
     """CIDR containment test — IPv4 and IPv6, both arguments may be
     columns (ref: net.c should_use_so_bsdcompat / fmhttp

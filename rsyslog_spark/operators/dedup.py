@@ -63,6 +63,10 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 _MH_AGG_CACHE: dict[tuple, list] = {}
+#: simhash per-bit agg + fingerprint-assembly Columns (see simhash)
+_SH_COL_CACHE: dict[tuple, tuple] = {}
+#: minhash band/signature Columns (see minhash_dedup)
+_MH_BAND_CACHE: dict[tuple, tuple] = {}
 
 # Portable hash family: engine-reproducible MinHash/SimHash so the
 # whole near-dup pipeline can be verified against an external SQL
@@ -215,18 +219,33 @@ def minhash_dedup(
     # joins; the band self-join's two sides share one ReusedExchange.
     rows_per_band = num_hashes // bands
 
-    def band_key(b: int) -> Column:
-        cols = [F.col(f"mh{b * rows_per_band + r}")
-                for r in range(rows_per_band)]
-        if portable:   # string key the oracle can rebuild verbatim
-            return F.concat_ws(",", *[c.cast("string") for c in cols])
-        return F.xxhash64(*cols)   # 8-byte shuffle key (production)
+    # band/signature Columns reference only mh{i} names — memoized
+    # per session (same rationale as _MH_AGG_CACHE: ~100 Py4J
+    # round-trips per plan build otherwise)
+    from rsyslog_spark.session import session_cache_key
 
-    band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
-        for b in range(bands)
-    ])
-    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+    sk = session_cache_key()
+    bkey = (sk, num_hashes, bands, portable)
+    cached = _MH_BAND_CACHE.get(bkey) if sk else None
+    if cached is None:
+        def band_key(b: int) -> Column:
+            cols = [F.col(f"mh{b * rows_per_band + r}")
+                    for r in range(rows_per_band)]
+            if portable:   # string key the oracle rebuilds verbatim
+                return F.concat_ws(
+                    ",", *[c.cast("string") for c in cols])
+            return F.xxhash64(*cols)   # 8-byte key (production)
+
+        band_structs = F.array(*[
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
+            for b in range(bands)
+        ])
+        sig_arr = F.array(*[F.col(f"mh{i}")
+                            for i in range(num_hashes)])
+        cached = (band_structs, sig_arr)
+        if sk:
+            _MH_BAND_CACHE[bkey] = cached
+    band_structs, sig_arr = cached
     banded = sigs.select(
         F.col(id_col), sig_arr.alias("__sig"),
         F.explode(band_structs).alias("bb"),
@@ -320,31 +339,47 @@ def simhash(df: DataFrame, text_col: str, id_col: str,
     # the flat tree cuts Catalyst analysis/optimization time ~4x per
     # plan build (this query re-optimizes per call; the nested form
     # dominated its bench wall).
-    bit_aggs = [
-        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)))
-        .alias(f"b{i}")
-        for i in range(bits)
-    ]
+    # The ~190 Column objects (64 aggs + 64 chars + assembly) are
+    # pure name-referencing expression trees (__h, b{i}, __n) built
+    # through ~4 Py4J round-trips each — memoized per session like
+    # _MH_AGG_CACHE so repeated plan builds skip the construction
+    # chatter (r11: construction, not execution, dominated this
+    # operator's bench wall).
+    from rsyslog_spark.session import session_cache_key
+
+    sk = session_cache_key()
+    key = (sk, bits)
+    cached = _SH_COL_CACHE.get(key) if sk else None
+    if cached is None:
+        bit_aggs = [
+            F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)))
+            .alias(f"b{i}")
+            for i in range(bits)
+        ]
+        chars = [
+            F.when(F.col(f"b{i}") * 2 > F.col("__n"), F.lit("1"))
+            .otherwise(F.lit("0"))
+            for i in range(bits - 1, -1, -1)      # MSB first
+        ]
+        if bits <= 62:
+            fp = F.conv(F.concat(*chars), 2, 10).cast("long")
+        else:
+            # 64-bit: assemble from two 32-bit halves — a full-width
+            # conv().cast("long") overflows signed range when bit 63
+            # is set; the shift re-creates the two's-complement wrap
+            # the old signed-addition form produced
+            half = bits // 2
+            hi = F.conv(F.concat(*chars[:bits - half]), 2, 10) \
+                .cast("long")
+            lo = F.conv(F.concat(*chars[bits - half:]), 2, 10) \
+                .cast("long")
+            fp = F.shiftleft(hi, half).bitwiseOR(lo)
+        cached = (bit_aggs, fp)
+        if sk:
+            _SH_COL_CACHE[key] = cached
+    bit_aggs, fp = cached
     sums = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"),
                                   *bit_aggs)
-    chars = [
-        F.when(F.col(f"b{i}") * 2 > F.col("__n"), F.lit("1"))
-        .otherwise(F.lit("0"))
-        for i in range(bits - 1, -1, -1)      # MSB first
-    ]
-    if bits <= 62:
-        fp = F.conv(F.concat(*chars), 2, 10).cast("long")
-    else:
-        # 64-bit: assemble from two 32-bit halves — a full-width
-        # conv().cast("long") overflows signed range when bit 63 is
-        # set; the shift re-creates the two's-complement wrap the old
-        # signed-addition form produced
-        half = bits // 2
-        hi = F.conv(F.concat(*chars[:bits - half]), 2, 10) \
-            .cast("long")
-        lo = F.conv(F.concat(*chars[bits - half:]), 2, 10) \
-            .cast("long")
-        fp = F.shiftleft(hi, half).bitwiseOR(lo)
     return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
@@ -478,47 +513,64 @@ def connected_components(
     edges; keep one doc per component. Iterative min-label
     propagation with pointer-jumping (each round also replaces a
     node's label by its label's label), converging in O(log D)
-    rounds; each round is two shuffle joins + a groupBy over the
-    label frame only (edges are re-joined, never mutated). Lineage is
-    cut per round with localCheckpoint — the analog of persisting
-    intermediate label tables in an iterative cluster job — so plan
-    size stays constant no matter the diameter.
+    rounds; each round is ONE shuffle join + groupBy over the
+    (self-loop-augmented) edge frame plus the jump self-join over
+    the checkpointed label frame (edges are re-joined, never
+    mutated). Lineage is cut per round with localCheckpoint — the
+    analog of persisting intermediate label tables in an iterative
+    cluster job — so plan size stays constant no matter the diameter.
     """
     sym = edges.select(F.col(id_a).cast("long").alias("src"),
                        F.col(id_b).cast("long").alias("dst"))
     sym = sym.union(sym.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
+    # Self-loop edges (one per distinct node) fold the "min with the
+    # node's own label" step INTO the neighbor-min aggregation: each
+    # round becomes ONE shuffle join + ONE groupBy instead of the
+    # former join + groupBy + second labels-join (r11 measured: the
+    # extra join was ~1/3 of per-round wall). The self-loop also
+    # guarantees every node survives the inner join, so no left-join
+    # null handling is needed. (A union-of-contributions over the
+    # LABELS frame would achieve the same but both union branches
+    # sharing the labels LogicalRDD lineage trips a Catalyst planning
+    # bug — "key not found: id#N"; self-loops live in the STATIC edge
+    # frame, built once before the loop, so that bug never applies.)
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    sym = sym.union(nodes.select(F.col("id").alias("src"),
+                                 F.col("id").alias("dst")))
     sym = sym.localCheckpoint(eager=False)
-    labels = (sym.select(F.col("src").alias("id")).distinct()
-              .withColumn("comp", F.col("id"))
+    # Initial labels read back out of the checkpointed frame's
+    # self-loops (src==dst ⇔ exactly the distinct node set) — a
+    # cached-RDD filter instead of recomputing the distinct.
+    labels = (sym.filter(F.col("src") == F.col("dst"))
+              .select(F.col("src").alias("id"),
+                      F.col("src").alias("comp"))
               .localCheckpoint(eager=False))
     # Convergence certificate: every node's label is monotone
-    # non-increasing (least() with its old value; the jump target is
-    # a label of a node whose label <= its id), so sum(comp)
-    # unchanged <=> no label changed. Reading the sum is ONE
-    # scheduler job per round over the lazily-checkpointed frame
-    # (the agg action materializes the checkpoint as a side effect)
-    # vs the naive jumped-vs-labels join + count, which costs a
-    # shuffle join and two extra jobs per round — at a handful of
-    # rounds per run that overhead, not the data volume, dominated
-    # wall-clock on small-to-medium graphs.
+    # non-increasing (the self-loop contributes its old value to the
+    # min; the jump target is a label of a node whose label <= its
+    # id), so sum(comp) unchanged <=> no label changed. Reading the
+    # sum is ONE scheduler job per round over the lazily-
+    # checkpointed frame (the agg action materializes the checkpoint
+    # as a side effect) vs the naive jumped-vs-labels join + count,
+    # which costs a shuffle join and two extra jobs per round — at a
+    # handful of rounds per run that overhead, not the data volume,
+    # dominated wall-clock on small-to-medium graphs.
     prev_sum = None
     for _ in range(max_iter):
-        # neighbor minimum, then min with the node's own label.
-        # (A union-of-contributions + single groupBy would save one
-        # join here, but both union branches sharing the labels
-        # LogicalRDD lineage trips a Catalyst planning bug — "key not
-        # found: id#N" at physical planning — so the join form stays.)
-        nbr = (sym.join(labels.select(F.col("id").alias("dst"),
-                                      F.col("comp").alias("dcomp")),
-                        "dst")
-               .groupBy("src").agg(F.min("dcomp").alias("nmin")))
-        stepped = (labels.join(nbr, labels["id"] == nbr["src"], "left")
-                   .select(labels["id"],
-                           F.least(labels["comp"],
-                                   F.coalesce(nbr["nmin"],
-                                              labels["comp"]))
-                           .alias("comp")))
+        # min over neighbor labels AND the node's own label in one
+        # aggregation (self-loops supply the own-label contribution)
+        stepped = (sym.join(labels.select(F.col("id").alias("dst"),
+                                          F.col("comp").alias("dcomp")),
+                            "dst")
+                   .groupBy("src").agg(F.min("dcomp").alias("comp"))
+                   .select(F.col("src").alias("id"), "comp")
+                   # checkpoint BEFORE the jump self-join: both jump
+                   # sides read one cached RDD instead of each
+                   # recomputing the neighbor-min join (r11: the
+                   # un-checkpointed form paid that join twice per
+                   # round)
+                   .localCheckpoint(eager=False))
         # pointer jumps: comp := comp of comp. More than one jump per
         # round shortens chains faster but squares the self-join
         # width — only worth it for high-diameter graphs (callers

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from rsyslog_spark.operators.stats import (
     action_every_nth, dynstats_counts, exec_once_every_interval,
     mmcount_ordered, mmsequence, percentile_stats, ratelimit_batch,
-    repeated_msg_reduction, sendertrack,
+    repeated_msg_reduction,
 )
 from rsyslog_spark.queries import Query, load
 
@@ -123,16 +123,26 @@ def percentile_stats_values(spark, sf_dir):
 )
 def sendertrack_ratelimit(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    rl = ratelimit_batch(ev, ["user_id"], "ts", "10 minutes", burst=2,
-                         order_col="event_id")
-    track = sendertrack(ev, "user_id", "ts")
-    passed = rl.groupBy("user_id").agg(
-        F.sum(F.when(F.col("rl_pass"), 1).otherwise(0)).cast("long").alias("passed"),
-        F.sum(F.when(~F.col("rl_pass"), 1).otherwise(0)).cast("long").alias("dropped"),
-    )
-    return track.join(passed, "user_id", "left").select(
-        "user_id", "msg_count", "first_seen", "last_seen",
-        "passed", "dropped",
+    # ONE exchange end to end (r11; was 4 + a join): repartition on
+    # the sender key — HashPartitioning(user_id) satisfies the
+    # ratelimit window's (user_id, bucket) clustering, and Window
+    # preserves it, so the sendertrack/passed/dropped aggregation
+    # runs on the SAME partitioning with no further shuffle. The
+    # former two-branch form (sendertrack ⋈ ratelimit counts) is
+    # algebraically one groupBy over the flagged frame: every sender
+    # in the track branch appears in the ratelimit branch (same
+    # source rows), so the left join is the identity merge.
+    flagged = ratelimit_batch(ev.repartition("user_id"), ["user_id"],
+                              "ts", "10 minutes", burst=2,
+                              order_col="event_id")
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("msg_count"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.sum(F.when(F.col("rl_pass"), 1).otherwise(0)).cast("long")
+        .alias("passed"),
+        F.sum(F.when(~F.col("rl_pass"), 1).otherwise(0)).cast("long")
+        .alias("dropped"),
     )
 
 
@@ -225,6 +235,11 @@ def mm_seq_count(spark, sf_dir):
 )
 def action_exec_controls(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
+    # one exchange for both exec-control branches and the final join:
+    # hash(event_type) satisfies the every-nth window, the
+    # (event_type, hour) once-per-interval window, both groupBys and
+    # the join distribution (see sendertrack_ratelimit)
+    ev = ev.repartition("event_type")
     sampled = action_every_nth(ev, 3, ["event_type"], "event_id")
     every3 = sampled.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_every_3rd")

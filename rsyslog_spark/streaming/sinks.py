@@ -1205,9 +1205,22 @@ def omfile_dynafile_batch(
     out = df
     for n, c in exprs.items():
         out = out.withColumn(n, c)
+    # Cluster rows by the dynafile partition columns before the
+    # partitioned write (AQE REBALANCE): without it every write task
+    # opens a file in every partition dir it sees — T tasks × P
+    # dynafiles files, measured 512 gzip files of ~380 bytes median
+    # for a 40-dynafile sf0.1 stream. Rebalance makes each partition
+    # value land in as few tasks as possible (T×P → ~P files) while
+    # AQE still SPLITS an oversized partition value across tasks, so
+    # a hot dynafile (one giant host) never serializes onto a single
+    # writer at scale — the skew-safe form of repartition(cols).
     if line is not None:
+        # render BEFORE the rebalance exchange so the shuffle carries
+        # exactly (value, partition cols) — nothing else crosses
         out = out.select(
             F.regexp_replace(line, r"\n$", "").alias("value"), *names)
+        if names:
+            out = out.hint("rebalance", *names)
         w = out.write.mode("append")
         if zip_level > 0:
             w = w.option("compression", "gzip")
@@ -1215,6 +1228,8 @@ def omfile_dynafile_batch(
             w = w.partitionBy(*names)
         w.format("text").save(base)
         return
+    if names:
+        out = out.hint("rebalance", *names)
     w = out.write.mode("append").partitionBy(*names)
     if zip_level > 0:
         w = w.option("compression", "gzip")
