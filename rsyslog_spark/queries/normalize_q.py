@@ -1390,17 +1390,27 @@ def tls_peer_wildcard_matrix(spark, sf_dir):
     )
 
     def judge(pdfs):
+        from functools import lru_cache
+
         import pandas as pd
 
         from rsyslog_spark.streaming.gtls import permitted_peer_match
+
+        # the matrix has ~120 distinct (name, peer) pairs but the
+        # stream carries one row per event — memoize per task so the
+        # matcher runs once per distinct pair, not once per row
+        @lru_cache(maxsize=None)
+        def verdict(n: str, p: str) -> int:
+            return int(permitted_peer_match(n, p))
 
         for pdf in pdfs:
             yield pd.DataFrame({
                 "cert_name": pdf["cert_name"],
                 "peer": pdf["peer"],
                 "ok": [
-                    int(permitted_peer_match(n, p))
-                    for n, p in zip(pdf["cert_name"], pdf["peer"])
+                    verdict(n, p)
+                    for n, p in zip(pdf["cert_name"].tolist(),
+                                    pdf["peer"].tolist())
                 ],
             })
 
@@ -1492,9 +1502,13 @@ def tcp_framing_roundtrip(spark, sf_dir):
             # MultiLine, closed by a '<' sentinel so the final
             # continuation decision resolves
             w1, w2 = bytearray(), bytearray()
-            for _, r in pdf.iterrows():
-                p = r["payload"].encode("utf-8")
-                k = int(r["kind"])
+            # zip over plain lists, not iterrows(): iterrows builds a
+            # pandas Series per row (~100x the cost of tuple
+            # iteration) and this loop runs once per corpus row
+            for payload, kind in zip(pdf["payload"].tolist(),
+                                     pdf["kind"].tolist()):
+                p = payload.encode("utf-8")
+                k = int(kind)
                 if k == 0:
                     w1 += str(len(p)).encode() + b" " + p
                 elif k == 2:
