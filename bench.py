@@ -92,7 +92,10 @@ def main() -> None:
         if name not in qs:
             continue
         best = float("inf")
-        for _ in range(3):
+        for i in range(3):
+            # label jobs so the Spark UI / event log maps stages back
+            # to queries (optimization guide §1.5); no timing change
+            spark.sparkContext.setJobDescription(f"bench:{name}#{i}")
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             # noop sink: forces EVERY output column to evaluate
@@ -101,6 +104,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+    spark.sparkContext.setJobDescription(None)
 
     # Like-for-like relay throughput vs the reference's ">1M msgs/sec
     # local delivery, minimal processing" headline (README.md:8):
