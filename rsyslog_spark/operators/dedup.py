@@ -538,14 +538,53 @@ def connected_components(
     nodes = sym.select(F.col("src").alias("id")).distinct()
     sym = sym.union(nodes.select(F.col("id").alias("src"),
                                  F.col("id").alias("dst")))
-    sym = sym.localCheckpoint(eager=False)
-    # Initial labels read back out of the checkpointed frame's
+    # The edge frame is STATIC across rounds but is the BIG side of
+    # every round's neighbor-min join — hash-partition + sort it by
+    # the join key ONCE and persist() (not localCheckpoint: a
+    # checkpointed LogicalRDD reports UnknownPartitioning, so Catalyst
+    # would re-Exchange+Sort the cached data every round; an
+    # InMemoryRelation keeps its child's partitioning AND ordering).
+    # Per-round join cost drops from Exchange+Sort(edges) +
+    # Exchange+Sort(labels) to just the labels side — at bench scale
+    # the labels side even auto-broadcasts (checkpoint stats propagate
+    # from the origin plan), making rounds exchange-free on the edge
+    # frame; at 100 TB it is the sort-merge join with the E-row side
+    # pre-sorted, so only the N-row label frame moves per round.
+    # Trade-off: a static hash layout forgoes AQE skew-splitting of
+    # the join, but a hot dst (a giant dup cluster's hub) costs one
+    # linear streaming task per round here vs re-shuffling E rows
+    # every round — the exchange-free form wins (guide §2.4).
+    sym = (sym.repartition("dst")
+           .sortWithinPartitions("dst")
+           .persist())
+    # Initial labels read back out of the persisted frame's
     # self-loops (src==dst ⇔ exactly the distinct node set) — a
-    # cached-RDD filter instead of recomputing the distinct.
+    # columnar-cache filter instead of recomputing the distinct.
     labels = (sym.filter(F.col("src") == F.col("dst"))
               .select(F.col("src").alias("id"),
                       F.col("src").alias("comp"))
               .localCheckpoint(eager=False))
+
+    def _persistent_ids() -> set:
+        """Ids of currently-persisted RDDs (cache + localCheckpoint
+        blocks) — used to free dead per-round label checkpoints.
+        Best-effort: any py4j hiccup degrades to not freeing."""
+        try:
+            return set(
+                edges.sparkSession.sparkContext._jsc
+                .getPersistentRDDs().keys())
+        except Exception:
+            return set()
+
+    def _unpersist_ids(ids: set) -> None:
+        try:
+            jmap = (edges.sparkSession.sparkContext._jsc
+                    .getPersistentRDDs())
+            for i in ids:
+                if i in jmap:
+                    jmap[i].unpersist(False)
+        except Exception:
+            pass
     # Convergence certificate: every node's label is monotone
     # non-increasing (the self-loop contributes its old value to the
     # min; the jump target is a label of a node whose label <= its
@@ -557,7 +596,23 @@ def connected_components(
     # handful of rounds per run that overhead, not the data volume,
     # dominated wall-clock on small-to-medium graphs.
     prev_sum = None
-    for _ in range(max_iter):
+    # Per-round checkpoint RDDs are dead one round later (round k's
+    # labels are materialized and lineage-truncated, so round k-1's
+    # blocks are never read again) — free them so resident memory is
+    # O(labels) instead of O(labels × rounds) on high-diameter
+    # graphs. Round-1 ids are lumped into the baseline snapshot
+    # (indistinguishable from the edge cache without an extra
+    # materialization job) and stay resident — a bounded 2-frame
+    # residue, same as the pre-r11 behavior for ALL rounds.
+    baseline_ids: set | None = None
+    prev_round_ids: set = set()
+    # Label each round's job (guide §1.5) so the UI/event log maps
+    # scheduler jobs back to CC rounds; the caller's description is
+    # restored on exit (the bench labels whole queries this way).
+    sc = edges.sparkSession.sparkContext
+    caller_desc = sc.getLocalProperty("spark.job.description")
+    for round_no in range(max_iter):
+        sc.setJobDescription(f"connected_components: round {round_no}")
         # min over neighbor labels AND the node's own label in one
         # aggregation (self-loops supply the own-label contribution)
         stepped = (sym.join(labels.select(F.col("id").alias("dst"),
@@ -594,10 +649,21 @@ def connected_components(
         # shuffle join, unlike a jumped-vs-labels diff count).
         # None = empty graph — converged trivially.
         cur_sum = jumped.agg(F.sum("comp")).first()[0]
+        if baseline_ids is None:
+            baseline_ids = _persistent_ids()
+        else:
+            cur_ids = _persistent_ids()
+            new_ids = cur_ids - baseline_ids - prev_round_ids
+            _unpersist_ids(prev_round_ids)
+            prev_round_ids = new_ids
         labels = jumped
         if cur_sum is None or cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    sc.setJobDescription(caller_desc)
+    # the returned frame is a materialized, lineage-truncated
+    # checkpoint — the edge cache is dead weight from here on
+    sym.unpersist(False)
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 
