@@ -554,7 +554,15 @@ def connected_components(
     # the join, but a hot dst (a giant dup cluster's hub) costs one
     # linear streaming task per round here vs re-shuffling E rows
     # every round — the exchange-free form wins (guide §2.4).
-    sym = (sym.repartition("dst")
+    # The localCheckpoint UNDER the cache cuts the edge-GENERATION
+    # lineage out of every round's logical plan: persisting the raw
+    # frame embeds the whole upstream subtree (an LSH edge build is
+    # ~100+ operators) in each round's plan and Catalyst re-analyzes
+    # it every round — measured ~0.7 s/query at bench scale. Cost:
+    # the edge frame is held twice during the run (checkpoint RDD +
+    # columnar cache), 16 B/edge each, both freed on exit.
+    sym = (sym.localCheckpoint(eager=False)
+           .repartition("dst")
            .sortWithinPartitions("dst")
            .persist())
     # Initial labels read back out of the persisted frame's
@@ -600,12 +608,17 @@ def connected_components(
     # labels are materialized and lineage-truncated, so round k-1's
     # blocks are never read again) — free them so resident memory is
     # O(labels) instead of O(labels × rounds) on high-diameter
-    # graphs. Round-1 ids are lumped into the baseline snapshot
-    # (indistinguishable from the edge cache without an extra
-    # materialization job) and stay resident — a bounded 2-frame
-    # residue, same as the pre-r11 behavior for ALL rounds.
+    # graphs. Round-1 creations (edge checkpoint + edge cache +
+    # initial labels + round-1 stepped/jumped) are one lump —
+    # indistinguishable from each other without an extra
+    # materialization job — freed together on exit once ≥2 rounds
+    # ran (round-1 labels are then provably dead; the lump is
+    # computed against a pre-call snapshot so caller-persisted
+    # frames are never touched).
+    pre_ids = _persistent_ids()
     baseline_ids: set | None = None
     prev_round_ids: set = set()
+    rounds_done = 0
     # Label each round's job (guide §1.5) so the UI/event log maps
     # scheduler jobs back to CC rounds; the caller's description is
     # restored on exit (the bench labels whole queries this way).
@@ -650,20 +663,25 @@ def connected_components(
         # None = empty graph — converged trivially.
         cur_sum = jumped.agg(F.sum("comp")).first()[0]
         if baseline_ids is None:
-            baseline_ids = _persistent_ids()
+            baseline_ids = _persistent_ids() - pre_ids
         else:
             cur_ids = _persistent_ids()
-            new_ids = cur_ids - baseline_ids - prev_round_ids
+            new_ids = cur_ids - pre_ids - baseline_ids - prev_round_ids
             _unpersist_ids(prev_round_ids)
             prev_round_ids = new_ids
+        rounds_done = round_no + 1
         labels = jumped
         if cur_sum is None or cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     sc.setJobDescription(caller_desc)
-    # the returned frame is a materialized, lineage-truncated
-    # checkpoint — the edge cache is dead weight from here on
+    # The returned frame is a materialized, lineage-truncated
+    # checkpoint: the edge caches and the round-1 lump are dead
+    # weight from here on (the lump still holds the returned labels
+    # when only one round ran — empty graph — so it is kept then).
     sym.unpersist(False)
+    if rounds_done >= 2 and baseline_ids:
+        _unpersist_ids(baseline_ids)
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 

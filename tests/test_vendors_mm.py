@@ -673,6 +673,35 @@ class TestComponentsAndSampling:
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                        20: 20, 21: 20, 22: 20}
 
+    def test_connected_components_deep_chain_cache_hygiene(self, spark):
+        """r11 internals: the edge frame is partitioned+sorted+
+        persisted once and rounds reuse the layout; per-round label
+        checkpoints are freed one round later and the edge cache on
+        exit. A 64-node chain forces enough rounds to exercise the
+        freeing path; correctness + caller-job-description restore +
+        bounded persistent-RDD residue are all pinned here."""
+        from rsyslog_spark.operators.dedup import connected_components
+
+        sc = spark.sparkContext
+        sc.setJobDescription("caller-label")
+        try:
+            edges = spark.createDataFrame(
+                [(i, i + 1) for i in range(63)], "id_a long, id_b long")
+            before = len(sc._jsc.getPersistentRDDs())
+            got = {r.id: r.component
+                   for r in connected_components(edges).collect()}
+            assert got == {i: 0 for i in range(64)}
+            # caller's label survives the per-round relabeling
+            assert (sc.getLocalProperty("spark.job.description")
+                    == "caller-label")
+            # residue is bounded (round-1 lump + final labels), not
+            # one pair of cached frames per round: a 64-chain runs
+            # ~6 rounds = ~12 checkpoints without the freeing
+            after = len(sc._jsc.getPersistentRDDs())
+            assert after - before <= 6, (before, after)
+        finally:
+            sc.setJobDescription(None)
+
     def test_dedup_by_components_keeps_canonical(self, spark):
         from rsyslog_spark.operators.dedup import dedup_by_components
 
