@@ -614,7 +614,10 @@ def connected_components(
     # materialization job — freed together on exit once ≥2 rounds
     # ran (round-1 labels are then provably dead; the lump is
     # computed against a pre-call snapshot so caller-persisted
-    # frames are never touched).
+    # frames are never touched). The snapshot diff does assume no
+    # OTHER driver thread persists frames mid-call (this engine's
+    # query paths are sequential); py4j failures degrade to not
+    # freeing, never to freeing too much.
     pre_ids = _persistent_ids()
     baseline_ids: set | None = None
     prev_round_ids: set = set()
