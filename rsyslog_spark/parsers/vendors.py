@@ -734,6 +734,12 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
     # the n² loop: ~50x slower at sf0.1.)
     std_secs = [(p, c) for p, c, b in sections if b == "std"]
 
+    # PERF (r11, measured): do NOT rewrite these per-token regexes
+    # into instr/substr chains — HOF lambdas evaluate interpreted,
+    # where per-NODE overhead dominates, and an instr/substr/ltrim
+    # expansion of name/inl/ko0/iv A/B'd ~60% SLOWER than the single
+    # compiled-regex nodes. A linear-fold replacement for entry_of's
+    # O(tokens²) section scan measured a wash (tokens/row ≈ 18).
     def _base_info(t0):
         ov = t0.startswith("\x01")
         t = F.when(ov, F.substr(t0, F.lit(2), _big)).otherwise(t0)
@@ -1025,9 +1031,13 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
                  F.lit(',"failed_parses":0}}'))))
 
     # Summary: first description token that is prose (no colon) —
-    # tab path only (parse_line summary branch)
-    first_tok = F.element_at(
-        info, F.least(F.size(info), F.lit(1)))["t"]
+    # tab path only (parse_line summary branch). F.get (0-based,
+    # null-safe) rather than element_at(least(size,1)): the computed
+    # index is 0 on marker-free rows (empty token array), and codegen
+    # CSE can hoist the element_at out of the when-guard below and
+    # evaluate it eagerly → INVALID_INDEX_OF_ZERO (observed when the
+    # parsed frame feeds an aggregate, e.g. exceptAll).
+    first_tok = F.get(info, 0)["t"]
     summary = F.when(
         ok & (F.size(info) > 0) & ~first_tok.contains(":")
         & first_tok.contains(" "), first_tok)
@@ -1039,11 +1049,12 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
     # LAPS Context: 'K=V; K2=V2' pair → $!win!LAPS, True/False
     # lowercased (parse_semicolon_sequence + CredentialRotation bool)
     laps = F.filter(entries, lambda e: e["k"] == "LAPSContext")
+    # F.get for the same reason as first_tok above: the laps array is
+    # empty on most rows and the when(size>0) guard does not survive
+    # codegen common-subexpression hoisting.
     laps_pairs = F.filter(
         F.transform(
-            F.split(F.element_at(laps, F.least(F.size(laps),
-                                               F.lit(1)))["v"],
-                    r";\s*"),
+            F.split(F.get(laps, 0)["v"], r";\s*"),
             lambda kv: F.when(
                 kv.contains("="),
                 F.struct(

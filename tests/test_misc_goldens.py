@@ -1889,6 +1889,37 @@ input(type="imfile" file="@IN@" ruleset="m")
         assert want in lines, (want, lines)
 
 
+def test_mmsnareparse_markerfree_row_under_aggregate(spark):
+    """Regression (r11): a marker-free row leaves the parser's token
+    array empty; element_at(info, least(size, 1)) then carries index
+    0, which codegen common-subexpression elimination can hoist OUT
+    of its when-guard and evaluate eagerly — INVALID_INDEX_OF_ZERO.
+    Reproduced with the parsed frame feeding exceptAll (aggregate
+    consumer); fixed by null-safe F.get for the Summary first-token
+    and LAPS element reads. Also pins the parsed VALUES on both a
+    marker-free and a normal row."""
+    from pyspark.sql import functions as F
+
+    from rsyslog_spark.parsers.vendors import mmsnareparse
+
+    df = spark.createDataFrame(
+        [("plain text no marker",),
+         ("MSWinEventLog\t1\tSecurity\t7\td\t4624\tS\tN/A\tN/A\t"
+          "Success Audit\tH\tLogon\t\tOnly: one   \t3",)],
+        "msg string")
+    out = mmsnareparse(df)
+    canon = out.select(
+        [F.coalesce(F.col(c).cast("string"), F.lit("#"))
+         .alias(c) for c in sorted(out.columns)])
+    # the aggregate consumer that triggered the hoist must not throw
+    assert canon.exceptAll(canon.limit(0)).count() == 2
+    rows = {r["msg"]: r for r in out.collect()}
+    assert rows["plain text no marker"]["cee_win_event"] is None
+    assert '"EventID":"4624"' in \
+        rows[[m for m in rows if m.startswith("MSWinEventLog")][0]][
+            "cee_win_event"]
+
+
 def test_mmsnareparse_trailing_extradata(spark, tmp_path):
     """mmsnareparse-trailing-extradata.sh: ignoreTrailingPattern in
     the LAST tab token moves that whole token to
