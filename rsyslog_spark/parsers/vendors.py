@@ -7,6 +7,7 @@ chain (ref: runtime/parser.c:615-660).
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import Column, DataFrame
@@ -770,7 +771,17 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
             (t.rlike(r"^[A-Za-z][^:]*:$") & ~ov).alias("ko0"),
         )
 
-    def _enrich(e):
+    # PERF (r11, measured): the 17-branch section chain is computed
+    # in ITS OWN transform pass, ONCE per token, gated on `ends` —
+    # interpreted HOF eval has no common-subexpression elimination,
+    # so the previous single-pass form (sec referenced by the sec/
+    # inl/ko output fields) walked the chain up to 3x per token, and
+    # every NON-header token (ends=false, the vast majority) still
+    # paid all 17 And(ends, cond) branch evaluations. Now a
+    # non-header token costs one field read + one `when`; a header
+    # token walks the name comparisons exactly once. Same match
+    # priority (std_secs order) and identical null semantics.
+    def _sec_info(e):
         sec = F.lit(None).cast("string")
         for pat, canon in reversed(std_secs):
             if pat.endswith("*"):
@@ -782,8 +793,16 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
                 # find_embedded_section_descriptor, parse_line path)
                 cond = (e["name"] == pat) \
                     | e["name"].endswith(" " + pat)
-            sec = F.when(e["ends"] & cond, F.lit(canon)) \
-                .otherwise(sec)
+            sec = F.when(cond, F.lit(canon)).otherwise(sec)
+        return F.struct(
+            e["t"].alias("t"), e["ov"].alias("ov"),
+            e["name"].alias("name"),
+            F.when(e["ends"], sec).alias("sec"),
+            e["inl"].alias("inl"), e["ko0"].alias("ko0"),
+        )
+
+    def _enrich(e):
+        sec = e["sec"]
         # keys canonicalize like normalize_label (mmsnareparse.c:
         # 1057): parenthesised runs drop, non-alphanumerics collapse
         # ("Pre-Authentication Type" → PreAuthenticationType)
@@ -809,7 +828,8 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
 
     out = out.withColumn(
         "__snare_toks",
-        F.transform(F.transform(toks, _base_info), _enrich))
+        F.transform(F.transform(F.transform(toks, _base_info),
+                                _sec_info), _enrich))
     info = F.col("__snare_toks")
 
     # per-token (section, key, value) — null when the token is a
@@ -1111,7 +1131,6 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
         F.size(laps) > 0,
         F.to_json(F.map_from_entries(laps_pairs))))
     out = out.withColumns(pending)
-    import os
     if os.environ.get("RSYSLOG_SPARK_SNARE_DEBUG"):
         return out  # keep intermediate walk columns for profiling
     return out.drop("__snare_m", "__snare_tabs", "__snare_eid",
