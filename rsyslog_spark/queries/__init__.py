@@ -194,6 +194,15 @@ def collect_all() -> dict[str, Query]:
 #: dynafile/zip sink family, the largest remaining pass-U surface).
 #: Both r10 newcomers (tls_peer_wildcard_matrix,
 #: tcp_framing_roundtrip) stay in-window for a second green round.
+#: r12 rotation (the r11 verdict's top item): the three tail-parked
+#: queries whose OPERATORS carried r11's biggest rewrites re-enter
+#: the window so the driver ground-truths them —
+#: mmsnareparse_win_event (parsers/vendors.py route rewrite + crash
+#: fix), scalar_battery (net.py factory memoization), and
+#: dedup_components (connected_components per-round rewrite, also
+#: touched again this round). Three 9-round-green window queries
+#: with untouched bodies AND untouched operators take their slots:
+#: mmgrok_access_log, multiline_reassembly, pii_redaction_battery.
 _TAIL = (
          # parked r8 (green r6+r7, bodies untouched) — room for the
          # 8 rotated-back r2/r3-cohort queries + mmsnareparse_win_event
@@ -209,7 +218,7 @@ _TAIL = (
          # tcp_compression_roundtrip
          "anomaly_zscore_windows", "bm25_search",
          "config_driven_routing", "decontaminate_ngram_overlap",
-         "dedup_components", "embedding_cosine_near_dup",
+         "embedding_cosine_near_dup",
          "hybrid_retrieval_rrf", "url_dedup_canonical",
          "lm_perplexity_filter",
          # parked r9 wave 2 (green r7+r8, body untouched) — room for
@@ -227,10 +236,9 @@ _TAIL = (
          # pri_filter_negated) stay in-window for a second green
          # round.
          "flagship_parse_route", "rfc5424_roundtrip_fields",
-         "faup_url_decompose", "template_render", "scalar_battery",
+         "faup_url_decompose", "template_render",
          "scalar_battery_misc", "json_tree_battery",
          "lookup_battery", "timestamp_render_battery",
-         "mmsnareparse_win_event",
          # parked r10 wave 2 (green r2/r3-era + r9 under its current
          # name, body untouched since the r9 verification) — room
          # for the NEW tcp_framing_roundtrip oracle, which pins the
@@ -243,7 +251,13 @@ _TAIL = (
          "imbeats_seq_metadata", "imdocker_jsonlog_parse",
          "imjournal_field_map", "imkmsg_header_parse",
          "imkubernetes_cri_reassembly", "impcap_l7_battery",
-         "mmaudit_parse", "pmdb2diag_parse")
+         "mmaudit_parse", "pmdb2diag_parse",
+         # parked r12 (9-round green r3..r11, bodies AND operator
+         # source untouched this round) — room for the 3 rotated-back
+         # queries whose operators carried r11's biggest rewrites
+         # (mmsnareparse_win_event, scalar_battery, dedup_components)
+         "mmgrok_access_log", "multiline_reassembly",
+         "pii_redaction_battery")
 
 
 def tail_body_hash(q: Query) -> str:
