@@ -43,12 +43,18 @@ def memo_column_factory(fn):
     by object identity — the args tuple is pinned in the cache entry
     so an id() can never be recycled while its key lives. Entries are
     keyed by the active SparkContext's applicationId (see
-    session_cache_key) so a restarted JVM misses cleanly. Apply ONLY
-    to deterministic factories (never anything seeded/random).
+    session_cache_key) so a restarted JVM misses cleanly, and the
+    cache is registered for the dead-session sweep (entries owned by
+    a stopped application are dropped when a new one becomes active,
+    so long-lived multi-session drivers don't accumulate py4j refs).
+    Apply ONLY to deterministic factories (never anything
+    seeded/random).
     """
     import functools
 
-    cache: dict = {}
+    from rsyslog_spark.session import register_session_cache
+
+    cache: dict = register_session_cache({})
 
     def keypart(a):
         try:
@@ -310,7 +316,9 @@ class PriFilter:
         return F.element_at(bits, fac * 8 + sev + 1)
 
 
-_PRIFILT_CACHE: dict[tuple, Column] = {}
+from rsyslog_spark.session import register_session_cache as _reg_cache
+
+_PRIFILT_CACHE: dict[tuple, Column] = _reg_cache({})
 
 
 def prifilt(spec: str, facility: ColumnOrName = "syslogfacility",

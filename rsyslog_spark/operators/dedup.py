@@ -62,11 +62,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-_MH_AGG_CACHE: dict[tuple, list] = {}
+from rsyslog_spark.session import register_session_cache as _reg_cache
+
+_MH_AGG_CACHE: dict[tuple, list] = _reg_cache({})
 #: simhash per-bit agg + fingerprint-assembly Columns (see simhash)
-_SH_COL_CACHE: dict[tuple, tuple] = {}
+_SH_COL_CACHE: dict[tuple, tuple] = _reg_cache({})
 #: minhash band/signature Columns (see minhash_dedup)
-_MH_BAND_CACHE: dict[tuple, tuple] = {}
+_MH_BAND_CACHE: dict[tuple, tuple] = _reg_cache({})
 
 # Portable hash family: engine-reproducible MinHash/SimHash so the
 # whole near-dup pipeline can be verified against an external SQL

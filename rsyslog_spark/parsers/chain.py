@@ -54,11 +54,12 @@ from rsyslog_spark.parsers.rfc3164 import (
 from rsyslog_spark.parsers.rfc5424 import _SD_MSG_RE
 from rsyslog_spark.schema import SYSLOG_COLUMNS
 from rsyslog_spark.session import now_col as _now_col
+from rsyslog_spark.session import register_session_cache as _reg_cache
 
 
 # plan-build memo: Columns are immutable unresolved trees, safe to
 # share across DataFrames; rebuilding costs ~1500 Py4J round-trips
-_CHAIN_CACHE: dict[tuple, list[list[Column]]] = {}
+_CHAIN_CACHE: dict[tuple, list[list[Column]]] = _reg_cache({})
 
 
 def _nil(c: Column) -> Column:

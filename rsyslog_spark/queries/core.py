@@ -32,15 +32,21 @@ def q(name, oracle, doc=""):
     return deco
 
 
-_RENDER_CACHE: dict = {}   # keyed by SparkSession: JVM-backed Columns
-                           # go stale across session restarts
+from rsyslog_spark.session import register_session_cache as _reg_cache
+
+#: keyed by (applicationId,): JVM-backed Columns go stale across
+#: session restarts; registered so dead-session entries are swept
+_RENDER_CACHE: dict = _reg_cache({})
 
 
 def _events_syslog_lines(spark, sf_dir):
     """Render events as RFC5424 wire lines (the omfwd template path)."""
+    from rsyslog_spark.session import session_cache_key
+
     ev = load(spark, sf_dir, "events")
-    if spark in _RENDER_CACHE:
-        return ev.select(_RENDER_CACHE[spark].alias("line"))
+    sk = session_cache_key()
+    if sk and (sk,) in _RENDER_CACHE:
+        return ev.select(_RENDER_CACHE[(sk,)].alias("line"))
     sev = (F.col("event_id") % 8).cast("int")
     fac = (F.col("user_id") % 24).cast("int")
     pri = fac * 8 + sev
@@ -56,7 +62,8 @@ def _events_syslog_lines(spark, sf_dir):
         F.col("user_id").cast("string"), F.lit(" ID"),
         (F.col("event_id") % 10).cast("string"), F.lit(" - "), msg,
     )
-    _RENDER_CACHE[spark] = line
+    if sk:
+        _RENDER_CACHE[(sk,)] = line
     return ev.select(line.alias("line"))
 
 

@@ -15,6 +15,40 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: Every module-level memo of JVM-backed Column trees registers here.
+#: Convention: each entry is a dict whose keys are tuples whose FIRST
+#: element is the owning applicationId (what session_cache_key
+#: returned when the entry was written). Entries keyed by a dead
+#: application pin py4j references into a stopped gateway for the
+#: life of the process — harmless in one-shot jobs, a leak in a
+#: long-lived multi-session driver — so they are swept as soon as a
+#: DIFFERENT application becomes active (see session_cache_key).
+_SESSION_CACHES: list[dict] = []
+_ACTIVE_APP_ID: list = [None]
+
+
+def register_session_cache(cache: dict) -> dict:
+    """Register a session-keyed Column memo for stale-entry sweeping.
+
+    Returns the dict unchanged so modules can write
+    ``_MY_CACHE = register_session_cache({})``.
+    """
+    _SESSION_CACHES.append(cache)
+    return cache
+
+
+def _sweep_session_caches(live_app_id: str) -> None:
+    """Drop every registered memo entry owned by an application other
+    than ``live_app_id`` (their Columns resolve against a dead py4j
+    gateway and can never be read again)."""
+    for cache in _SESSION_CACHES:
+        stale = [k for k in cache
+                 if not (isinstance(k, tuple) and k and
+                         k[0] == live_app_id)]
+        for k in stale:
+            del cache[k]
+
+
 def session_cache_key() -> str | None:
     """Cache-key component for memoized JVM-backed Column trees.
 
@@ -24,14 +58,23 @@ def session_cache_key() -> str | None:
     restarted session miss cleanly instead of resolving against a
     dead gateway. Returns None (→ don't cache) when no session is
     active on this thread.
+
+    A change of applicationId also triggers a one-time sweep of every
+    registered memo (register_session_cache): entries owned by the
+    previous application are unreachable by key and would otherwise
+    pin their Column/py4j references for the life of the process.
     """
     s = SparkSession.getActiveSession()
     if s is None:
         return None
     try:
-        return s.sparkContext.applicationId
+        app_id = s.sparkContext.applicationId
     except Exception:  # context already stopped
         return None
+    if app_id != _ACTIVE_APP_ID[0]:
+        _sweep_session_caches(app_id)
+        _ACTIVE_APP_ID[0] = app_id
+    return app_id
 
 
 def get_spark(
