@@ -504,9 +504,45 @@ def exact_substring_spans(
             .select("id_a", "id_b", "start_a", "start_b", "span_len"))
 
 
+#: Diagnostics of the most recent connected_components call — skew
+#: instrumentation (guide §2.5) + convergence-read accounting, read
+#: by tests and loggable by operators at scale. Keys: top_dst_share,
+#: total_edge_rows, salted, salt_partitions, rounds, certificate_jobs.
+_LAST_CC_INFO: dict = {}
+
+
+def _cc_edge_layout(sym: DataFrame, salt_partitions: int | None):
+    """Static per-round join layout for the symmetrized self-loop
+    edge frame: hash-partition + sort by the join key once, persist.
+
+    ``salt_partitions=None`` → plain (dst) layout. An int → the
+    SALTED layout for hub-skewed graphs: partition by (dst, salt)
+    where salt = pmod(xxhash64(src), n) — deterministic per row
+    (guide §2.5: never rand(), retried tasks must re-derive the same
+    placement) — so a hub dst's edge rows spread over n partitions
+    instead of serializing into one streaming task every round. The
+    per-round join then keys on (dst, __salt) with the label side
+    exploded n ways (n small label rows per node vs E hub rows in
+    one task). Returns the persisted frame WITH the __salt column
+    when salted.
+    """
+    if salt_partitions is None:
+        return (sym.repartition("dst")
+                .sortWithinPartitions("dst")
+                .persist())
+    salt = F.pmod(F.xxhash64(F.col("src")),
+                  F.lit(salt_partitions)).cast("int")
+    return (sym.withColumn("__salt", salt)
+            .repartition("dst", "__salt")
+            .sortWithinPartitions("dst", "__salt")
+            .persist())
+
+
 def connected_components(
     edges: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     max_iter: int = 25, jumps_per_round: int = 1,
+    check_every: int = 1, hub_share_threshold: float = 0.05,
+    salt_partitions: int = 16, min_rows_for_salting: int = 100_000,
 ) -> DataFrame:
     """Connected components over an undirected dup-pair edge list →
     ``(id, component)`` with component = min node id in the component.
@@ -521,6 +557,31 @@ def connected_components(
     mutated). Lineage is cut per round with localCheckpoint — the
     analog of persisting intermediate label tables in an iterative
     cluster job — so plan size stays constant no matter the diameter.
+
+    Driver pacing (r12, guide §2.6/§5): ``check_every`` batches the
+    convergence reads — past rounds 0-1 the certificate is read every
+    check_every-th round, skipped rounds chaining lazily into the
+    next read's single scheduler job. **Measured dead end at the
+    default workload — the default stays 1 (read every round).** On
+    the 1M-node chain (20 rounds), check_every=2 cut certificate
+    jobs 20 → 12 but wall went 63-66 s → 169-171 s (2.6×): a skipped
+    round's lazy localCheckpoints are never materialized before the
+    next round's plan fans out over them, and the combined job's
+    concurrent stages (the jump self-join reads each frame twice)
+    each recompute the not-yet-cached partitions — the work
+    amplification dwarfs the saved driver round-trips. Per-round
+    materialization is what makes the lazy-checkpoint sharing cheap;
+    one scheduler job per round is the floor for this shape.
+
+    Skew (r12, guide §2.5): the static hash layout deliberately
+    forgoes AQE skew splitting, so one degree histogram runs per call
+    (a scan of the already-checkpointed edge frame + a tiny partial-
+    agg shuffle, folded into the job that materializes the
+    checkpoint). If the hottest dst holds > ``hub_share_threshold``
+    of a ≥``min_rows_for_salting``-row frame, the layout switches to
+    (dst, salt)-partitioning (see _cc_edge_layout) so the hub's rows
+    spread over ``salt_partitions`` tasks every round. Diagnostics of
+    the decision land in ``_LAST_CC_INFO``.
     """
     sym = edges.select(F.col(id_a).cast("long").alias("src"),
                        F.col(id_b).cast("long").alias("dst"))
@@ -563,17 +624,9 @@ def connected_components(
     # it every round — measured ~0.7 s/query at bench scale. Cost:
     # the edge frame is held twice during the run (checkpoint RDD +
     # columnar cache), 16 B/edge each, both freed on exit.
-    sym = (sym.localCheckpoint(eager=False)
-           .repartition("dst")
-           .sortWithinPartitions("dst")
-           .persist())
-    # Initial labels read back out of the persisted frame's
-    # self-loops (src==dst ⇔ exactly the distinct node set) — a
-    # columnar-cache filter instead of recomputing the distinct.
-    labels = (sym.filter(F.col("src") == F.col("dst"))
-              .select(F.col("src").alias("id"),
-                      F.col("src").alias("comp"))
-              .localCheckpoint(eager=False))
+    ecp = sym.localCheckpoint(eager=False)
+    sc = edges.sparkSession.sparkContext
+    caller_desc = sc.getLocalProperty("spark.job.description")
 
     def _persistent_ids() -> set:
         """Ids of currently-persisted RDDs (cache + localCheckpoint
@@ -595,47 +648,104 @@ def connected_components(
                     jmap[i].unpersist(False)
         except Exception:
             pass
+
+    # Snapshot BEFORE the first job so the edge checkpoint's blocks
+    # land in the freeable baseline (see the lump comment below);
+    # caller-persisted frames predate this and are never touched.
+    pre_ids = _persistent_ids()
+    # Degree histogram (guide §2.5): the job that materializes the
+    # edge checkpoint (paid in round 0 before r12 anyway) now also
+    # reads max/total dst degree — the skew evidence the static
+    # layout needs. Map-side partial agg keeps the shuffle at one row
+    # per distinct dst.
+    sc.setJobDescription("connected_components: edge degree histogram")
+    deg = (ecp.groupBy("dst").agg(F.count(F.lit(1)).alias("__d"))
+           .agg(F.max("__d"), F.sum("__d")).first())
+    top_deg = deg[0] or 0
+    total_rows = deg[1] or 0
+    top_share = (top_deg / total_rows) if total_rows else 0.0
+    salted = (total_rows >= min_rows_for_salting
+              and top_share > hub_share_threshold)
+    nsalt = salt_partitions if salted else None
+    _LAST_CC_INFO.clear()
+    _LAST_CC_INFO.update(
+        top_dst_share=top_share, total_edge_rows=total_rows,
+        salted=salted, salt_partitions=nsalt)
+    if salted:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "connected_components: hub dst holds %.1f%% of %d edge "
+            "rows — salting the round join over %d partitions",
+            100 * top_share, total_rows, salt_partitions)
+    sym = _cc_edge_layout(ecp, nsalt)
+    # Initial labels read back out of the persisted frame's
+    # self-loops (src==dst ⇔ exactly the distinct node set) — a
+    # columnar-cache filter instead of recomputing the distinct.
+    labels = (sym.filter(F.col("src") == F.col("dst"))
+              .select(F.col("src").alias("id"),
+                      F.col("src").alias("comp"))
+              .localCheckpoint(eager=False))
     # Convergence certificate: every node's label is monotone
     # non-increasing (the self-loop contributes its old value to the
     # min; the jump target is a label of a node whose label <= its
-    # id), so sum(comp) unchanged <=> no label changed. Reading the
-    # sum is ONE scheduler job per round over the lazily-
-    # checkpointed frame (the agg action materializes the checkpoint
-    # as a side effect) vs the naive jumped-vs-labels join + count,
-    # which costs a shuffle join and two extra jobs per round — at a
-    # handful of rounds per run that overhead, not the data volume,
-    # dominated wall-clock on small-to-medium graphs.
+    # id), so sum(comp) unchanged <=> no label changed — and because
+    # it is monotone PER ROUND, equality across a k-round window
+    # certifies that none of those k rounds changed anything. Reading
+    # the sum is ONE scheduler job over the lazily-checkpointed frame
+    # (the agg action materializes every checkpoint in the window as
+    # a side effect) vs the naive jumped-vs-labels join + count,
+    # which costs a shuffle join and two extra jobs per round.
+    # Schedule: rounds 0 and 1 always read the certificate; past
+    # that, every check_every-th round does. check_every=1 (the
+    # default) is every round — see the docstring for why batching
+    # (check_every>1) LOSES despite fewer scheduler jobs: skipped
+    # rounds' unmaterialized checkpoints get recomputed by the
+    # combined job's concurrent stages.
     prev_sum = None
-    # Per-round checkpoint RDDs are dead one round later (round k's
-    # labels are materialized and lineage-truncated, so round k-1's
-    # blocks are never read again) — free them so resident memory is
-    # O(labels) instead of O(labels × rounds) on high-diameter
-    # graphs. Round-1 creations (edge checkpoint + edge cache +
-    # initial labels + round-1 stepped/jumped) are one lump —
+    # Per-round checkpoint RDDs are dead one certificate-read later
+    # (the read materializes every round in its window, so the
+    # PREVIOUS window's blocks are never read again) — free them so
+    # resident memory is O(labels × check_every) instead of
+    # O(labels × rounds) on high-diameter graphs. First-read
+    # creations (edge checkpoint + edge cache + initial labels + the
+    # first window's stepped/jumped) are one lump —
     # indistinguishable from each other without an extra
-    # materialization job — freed together on exit once ≥2 rounds
-    # ran (round-1 labels are then provably dead; the lump is
-    # computed against a pre-call snapshot so caller-persisted
-    # frames are never touched). The snapshot diff does assume no
-    # OTHER driver thread persists frames mid-call (this engine's
-    # query paths are sequential); py4j failures degrade to not
-    # freeing, never to freeing too much.
-    pre_ids = _persistent_ids()
+    # materialization job — freed together on exit once ≥2 reads
+    # ran (the first window's labels are then provably dead; the
+    # lump is computed against a pre-call snapshot so
+    # caller-persisted frames are never touched). The snapshot diff
+    # does assume no OTHER driver thread persists frames mid-call
+    # (this engine's query paths are sequential); py4j failures
+    # degrade to not freeing, never to freeing too much.
     baseline_ids: set | None = None
-    prev_round_ids: set = set()
+    prev_chunk_ids: set = set()
     rounds_done = 0
-    # Label each round's job (guide §1.5) so the UI/event log maps
-    # scheduler jobs back to CC rounds; the caller's description is
-    # restored on exit (the bench labels whole queries this way).
-    sc = edges.sparkSession.sparkContext
-    caller_desc = sc.getLocalProperty("spark.job.description")
+    n_checks = 0
     for round_no in range(max_iter):
+        # Label each round's job (guide §1.5) so the UI/event log
+        # maps scheduler jobs back to CC rounds; the caller's
+        # description is restored on exit.
         sc.setJobDescription(f"connected_components: round {round_no}")
         # min over neighbor labels AND the node's own label in one
         # aggregation (self-loops supply the own-label contribution)
-        stepped = (sym.join(labels.select(F.col("id").alias("dst"),
-                                          F.col("comp").alias("dcomp")),
-                            "dst")
+        lab = labels.select(F.col("id").alias("dst"),
+                            F.col("comp").alias("dcomp"))
+        if nsalt:
+            # salted layout: replicate each label row nsalt ways so
+            # the join keys on (dst, __salt) and reuses the salted
+            # edge partitioning — N×nsalt small label rows cross vs
+            # the hub's E rows serializing into one task per round
+            # sequence(int, int) yields int elements — matching the
+            # layout's cast("int") salt (a generator can't be nested
+            # under a cast)
+            lab = lab.withColumn(
+                "__salt",
+                F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1))))
+            joined = sym.join(lab, ["dst", "__salt"])
+        else:
+            joined = sym.join(lab, "dst")
+        stepped = (joined
                    .groupBy("src").agg(F.min("dcomp").alias("comp"))
                    .select(F.col("src").alias("id"), "comp")
                    # checkpoint BEFORE the jump self-join: both jump
@@ -659,33 +769,42 @@ def connected_components(
                            F.coalesce(F.col("t.ccomp"),
                                       F.col("s.comp")).alias("comp")))
         # lazy checkpoint: the convergence agg below is the ONE job
-        # per round — it materializes the checkpoint as a side effect
-        # AND reads the certificate, where an eager checkpoint costs
-        # a second pass (measured ~35% of wall on sf0.1 graphs).
+        # per certificate window — it materializes every checkpoint
+        # in the window as a side effect AND reads the certificate,
+        # where an eager checkpoint costs a second pass (measured
+        # ~35% of wall on sf0.1 graphs).
         jumped = cur.localCheckpoint(eager=False)
+        rounds_done = round_no + 1
+        labels = jumped
+        do_check = (round_no < 2
+                    or (round_no - 1) % max(1, check_every) == 0
+                    or round_no == max_iter - 1)
+        if not do_check:
+            continue
         # sum(comp) as convergence certificate: a scan-only job (no
         # shuffle join, unlike a jumped-vs-labels diff count).
         # None = empty graph — converged trivially.
         cur_sum = jumped.agg(F.sum("comp")).first()[0]
+        n_checks += 1
         if baseline_ids is None:
             baseline_ids = _persistent_ids() - pre_ids
         else:
             cur_ids = _persistent_ids()
-            new_ids = cur_ids - pre_ids - baseline_ids - prev_round_ids
-            _unpersist_ids(prev_round_ids)
-            prev_round_ids = new_ids
-        rounds_done = round_no + 1
-        labels = jumped
+            new_ids = cur_ids - pre_ids - baseline_ids - prev_chunk_ids
+            _unpersist_ids(prev_chunk_ids)
+            prev_chunk_ids = new_ids
         if cur_sum is None or cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     sc.setJobDescription(caller_desc)
+    _LAST_CC_INFO.update(rounds=rounds_done, certificate_jobs=n_checks)
     # The returned frame is a materialized, lineage-truncated
-    # checkpoint: the edge caches and the round-1 lump are dead
+    # checkpoint: the edge caches and the first-read lump are dead
     # weight from here on (the lump still holds the returned labels
-    # when only one round ran — empty graph — so it is kept then).
+    # when only one certificate read ran — e.g. the empty graph — so
+    # it is kept then).
     sym.unpersist(False)
-    if rounds_done >= 2 and baseline_ids:
+    if n_checks >= 2 and baseline_ids:
         _unpersist_ids(baseline_ids)
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 

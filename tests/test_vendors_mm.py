@@ -702,6 +702,80 @@ class TestComponentsAndSampling:
         finally:
             sc.setJobDescription(None)
 
+    def test_connected_components_certificate_batching(self, spark):
+        """check_every batches the convergence reads (fewer scheduler
+        jobs than rounds) with labels identical to the default
+        every-round schedule. The DEFAULT stays 1: batching was
+        measured 2.6x SLOWER on a 1M-node chain (skipped rounds'
+        unmaterialized checkpoints get recomputed by the combined
+        job's concurrent stages) — this pins that the knob still
+        works and that the default reads every round."""
+        from rsyslog_spark.operators.dedup import (_LAST_CC_INFO,
+                                                   connected_components)
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "id_a long, id_b long")
+        got = {r.id: r.component
+               for r in connected_components(edges).collect()}
+        assert got == {i: 0 for i in range(64)}
+        every = dict(_LAST_CC_INFO)
+        assert every["certificate_jobs"] == every["rounds"], every
+
+        got2 = {r.id: r.component
+                for r in connected_components(edges,
+                                              check_every=2).collect()}
+        assert got2 == got
+        batched = dict(_LAST_CC_INFO)
+        assert batched["certificate_jobs"] < batched["rounds"], batched
+        assert batched["certificate_jobs"] < every["certificate_jobs"]
+
+    def test_connected_components_hub_salting(self, spark):
+        """r12 skew handling (guide §2.5): a star graph's hub dst
+        holds ~1/3 of the symmetrized edge rows — the degree
+        histogram detects it and the round join switches to the
+        (dst, salt) layout. Labels must be identical to the unsalted
+        run, and the salted layout must spread the hub's rows instead
+        of serializing them into one partition."""
+        from pyspark.sql import functions as F
+
+        from rsyslog_spark.operators.dedup import (_LAST_CC_INFO,
+                                                   _cc_edge_layout,
+                                                   connected_components)
+
+        n = 150_000
+        edges = spark.range(1, n + 1).select(
+            F.lit(0).cast("long").alias("id_a"),
+            F.col("id").alias("id_b"))
+        comp = connected_components(edges)
+        assert comp.filter(F.col("component") != 0).count() == 0
+        assert comp.count() == n + 1
+        info = dict(_LAST_CC_INFO)
+        assert info["salted"] is True, info
+        assert info["top_dst_share"] > 0.05, info
+
+        # identical labels with salting disabled (hub threshold 1.0
+        # can never trip)
+        comp_plain = connected_components(edges, hub_share_threshold=1.0)
+        assert dict(_LAST_CC_INFO)["salted"] is False
+        assert comp.exceptAll(comp_plain).count() == 0
+        assert comp_plain.exceptAll(comp).count() == 0
+
+        # the salted layout spreads the hub across partitions: no
+        # partition holds > 2x the median row count (the unsalted
+        # layout puts every hub row in ONE partition)
+        sym = edges.select(F.col("id_a").alias("src"),
+                           F.col("id_b").alias("dst"))
+        sym = sym.union(sym.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+        laid = _cc_edge_layout(sym, 64)
+        counts = sorted(
+            r["cnt"] for r in laid
+            .groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("cnt")).collect())
+        laid.unpersist()
+        median = counts[len(counts) // 2]
+        assert counts[-1] <= 2 * median, counts
+
     def test_dedup_by_components_keeps_canonical(self, spark):
         from rsyslog_spark.operators.dedup import dedup_by_components
 
