@@ -628,16 +628,17 @@ def connected_components(
     sc = edges.sparkSession.sparkContext
     caller_desc = sc.getLocalProperty("spark.job.description")
 
-    def _persistent_ids() -> set:
-        """Ids of currently-persisted RDDs (cache + localCheckpoint
-        blocks) — used to free dead per-round label checkpoints.
-        Best-effort: any py4j hiccup degrades to not freeing."""
+    def _ckpt_rdd_id(df: DataFrame) -> int | None:
+        """RDD id backing a localCheckpoint'ed frame: the analyzed
+        plan is a LogicalRDD whose rdd is marked persisted at BUILD
+        time, so per-round blocks can be freed deterministically by
+        id (r11 used persistent-RDD snapshot diffs, which would race
+        with the r12 concurrent plan builder below). Best-effort:
+        a py4j hiccup degrades to not freeing."""
         try:
-            return set(
-                edges.sparkSession.sparkContext._jsc
-                .getPersistentRDDs().keys())
+            return df._jdf.queryExecution().analyzed().rdd().id()
         except Exception:
-            return set()
+            return None
 
     def _unpersist_ids(ids: set) -> None:
         try:
@@ -649,10 +650,6 @@ def connected_components(
         except Exception:
             pass
 
-    # Snapshot BEFORE the first job so the edge checkpoint's blocks
-    # land in the freeable baseline (see the lump comment below);
-    # caller-persisted frames predate this and are never touched.
-    pre_ids = _persistent_ids()
     # Degree histogram (guide §2.5): the job that materializes the
     # edge checkpoint (paid in round 0 before r12 anyway) now also
     # reads max/total dst degree — the skew evidence the static
@@ -663,6 +660,21 @@ def connected_components(
            .agg(F.max("__d"), F.sum("__d")).first())
     top_deg = deg[0] or 0
     total_rows = deg[1] or 0
+    if total_rows == 0:
+        # Empty edge frame (no dup pairs at all — common for clean
+        # corpora): converged before round 0. The degree read above
+        # already proved it; skip the layout build and the round
+        # loop entirely (the loop would pay one full round — join +
+        # jump + certificate, ~0.4 s of driver cost — just to
+        # rediscover emptiness).
+        sc.setJobDescription(caller_desc)
+        _LAST_CC_INFO.clear()
+        _LAST_CC_INFO.update(
+            top_dst_share=0.0, total_edge_rows=0, salted=False,
+            salt_partitions=None, rounds=0, certificate_jobs=0)
+        _unpersist_ids({_ckpt_rdd_id(ecp)} - {None})
+        return edges.sparkSession.createDataFrame(
+            [], "id long, component long")
     top_share = (top_deg / total_rows) if total_rows else 0.0
     salted = (total_rows >= min_rows_for_salting
               and top_share > hub_share_threshold)
@@ -696,46 +708,26 @@ def connected_components(
     # (the agg action materializes every checkpoint in the window as
     # a side effect) vs the naive jumped-vs-labels join + count,
     # which costs a shuffle join and two extra jobs per round.
-    # Schedule: rounds 0 and 1 always read the certificate; past
-    # that, every check_every-th round does. check_every=1 (the
-    # default) is every round — see the docstring for why batching
-    # (check_every>1) LOSES despite fewer scheduler jobs: skipped
-    # rounds' unmaterialized checkpoints get recomputed by the
-    # combined job's concurrent stages.
-    prev_sum = None
-    # Per-round checkpoint RDDs are dead one certificate-read later
-    # (the read materializes every round in its window, so the
-    # PREVIOUS window's blocks are never read again) — free them so
-    # resident memory is O(labels × check_every) instead of
-    # O(labels × rounds) on high-diameter graphs. First-read
-    # creations (edge checkpoint + edge cache + initial labels + the
-    # first window's stepped/jumped) are one lump —
-    # indistinguishable from each other without an extra
-    # materialization job — freed together on exit once ≥2 reads
-    # ran (the first window's labels are then provably dead; the
-    # lump is computed against a pre-call snapshot so
-    # caller-persisted frames are never touched). The snapshot diff
-    # does assume no OTHER driver thread persists frames mid-call
-    # (this engine's query paths are sequential); py4j failures
-    # degrade to not freeing, never to freeing too much.
-    baseline_ids: set | None = None
-    prev_chunk_ids: set = set()
-    rounds_done = 0
-    n_checks = 0
-    for round_no in range(max_iter):
-        # Label each round's job (guide §1.5) so the UI/event log
-        # maps scheduler jobs back to CC rounds; the caller's
-        # description is restored on exit.
-        sc.setJobDescription(f"connected_components: round {round_no}")
+    # blocks that must survive the whole run: the edge checkpoint
+    # (the cache's recompute source under memory pressure) and the
+    # initial labels — freed on exit (the returned labels frame is
+    # always a round's jumped checkpoint, never one of these)
+    setup_ids = {_ckpt_rdd_id(ecp), _ckpt_rdd_id(labels)} - {None}
+
+    def _build_round(labels_in: DataFrame) -> tuple[DataFrame, set]:
+        """Plan ONE round (neighbor-min join + pointer jumps), both
+        halves lineage-cut with lazy localCheckpoints; returns the
+        jumped frame plus the checkpoint RDD ids backing it. Pure
+        driver-side planning — safe to run while a job executes."""
         # min over neighbor labels AND the node's own label in one
         # aggregation (self-loops supply the own-label contribution)
-        lab = labels.select(F.col("id").alias("dst"),
-                            F.col("comp").alias("dcomp"))
+        lab = labels_in.select(F.col("id").alias("dst"),
+                               F.col("comp").alias("dcomp"))
         if nsalt:
             # salted layout: replicate each label row nsalt ways so
             # the join keys on (dst, __salt) and reuses the salted
             # edge partitioning — N×nsalt small label rows cross vs
-            # the hub's E rows serializing into one task per round
+            # the hub's E rows serializing into one task per round.
             # sequence(int, int) yields int elements — matching the
             # layout's cast("int") salt (a generator can't be nested
             # under a cast)
@@ -768,44 +760,122 @@ def connected_components(
                    .select(F.col("s.id").alias("id"),
                            F.coalesce(F.col("t.ccomp"),
                                       F.col("s.comp")).alias("comp")))
-        # lazy checkpoint: the convergence agg below is the ONE job
-        # per certificate window — it materializes every checkpoint
-        # in the window as a side effect AND reads the certificate,
-        # where an eager checkpoint costs a second pass (measured
-        # ~35% of wall on sf0.1 graphs).
+        # lazy checkpoint: the convergence agg is the ONE job per
+        # round — it materializes both checkpoints as a side effect
+        # AND reads the certificate, where an eager checkpoint costs
+        # a second pass (measured ~35% of wall on sf0.1 graphs).
         jumped = cur.localCheckpoint(eager=False)
-        rounds_done = round_no + 1
-        labels = jumped
+        return jumped, ({_ckpt_rdd_id(stepped), _ckpt_rdd_id(jumped)}
+                        - {None})
+
+    # Convergence schedule: rounds 0 and 1 always read the
+    # certificate; past that, every check_every-th round does.
+    # check_every=1 (the default) is every round — see the docstring
+    # for why batching (check_every>1) LOSES despite fewer scheduler
+    # jobs: skipped rounds' unmaterialized checkpoints get recomputed
+    # by the combined job's concurrent stages.
+    prev_sum = None
+    rounds_done = 0
+    n_checks = 0
+    # Per-round checkpoint RDDs are dead one materialized round later
+    # (round k's action materialized everything that read round
+    # k-1's blocks) — freed by id so resident memory stays O(labels),
+    # not O(labels × rounds), on high-diameter graphs.
+    prev_ids: set = set()
+    carry_ids: set = set()   # skipped rounds' blocks (check_every>1)
+    import threading
+    import time as _time
+
+    t0 = _time.time()
+    pending, pending_ids = _build_round(labels)
+    build_wall = _time.time() - t0
+    for round_no in range(max_iter):
+        # Label each round's job (guide §1.5) so the UI/event log
+        # maps scheduler jobs back to CC rounds; the caller's
+        # description is restored on exit.
+        sc.setJobDescription(f"connected_components: round {round_no}")
+        jumped, jumped_ids = pending, pending_ids
         do_check = (round_no < 2
                     or (round_no - 1) % max(1, check_every) == 0
                     or round_no == max_iter - 1)
+        # Overlap planning with execution (guide §2.6): while this
+        # round's certificate job runs, a worker thread plans the
+        # NEXT round. Planning is pure driver work — a fixed
+        # ~0.3 s/round (measured; it DOMINATES small-graph rounds
+        # whose execution is ~0.1 s and is a per-round driver tax at
+        # any scale) — and it needs only the jumped frame object,
+        # not its data, so it runs concurrently with the job that
+        # materializes that data. Every non-final round the build
+        # rides for free (wall = max(action, build) instead of
+        # action + build); on convergence the abandoned build is NOT
+        # awaited — the worker unpersists its own checkpoint marks
+        # under the lock — so the final round costs nothing either.
+        spec_out: list = []
+        spec_lock = threading.Lock()
+        abandoned = [False]
+        worker = None
+        if do_check and round_no + 1 < max_iter:
+            def _spec(src=jumped):
+                try:
+                    t = _time.time()
+                    built = _build_round(src)
+                    with spec_lock:
+                        if abandoned[0]:
+                            _unpersist_ids(built[1])
+                        else:
+                            spec_out.append((built, _time.time() - t))
+                except BaseException as e:  # noqa: BLE001
+                    with spec_lock:
+                        spec_out.append((e, 0.0))
+            worker = threading.Thread(
+                target=_spec, daemon=True,
+                name="cc-round-planner")
+            worker.start()
+        rounds_done = round_no + 1
+        labels = jumped
         if not do_check:
+            carry_ids |= jumped_ids
+            pending, pending_ids = _build_round(jumped)
             continue
         # sum(comp) as convergence certificate: a scan-only job (no
         # shuffle join, unlike a jumped-vs-labels diff count).
         # None = empty graph — converged trivially.
         cur_sum = jumped.agg(F.sum("comp")).first()[0]
         n_checks += 1
-        if baseline_ids is None:
-            baseline_ids = _persistent_ids() - pre_ids
-        else:
-            cur_ids = _persistent_ids()
-            new_ids = cur_ids - pre_ids - baseline_ids - prev_chunk_ids
-            _unpersist_ids(prev_chunk_ids)
-            prev_chunk_ids = new_ids
+        _unpersist_ids((prev_ids | carry_ids) - jumped_ids)
+        prev_ids, carry_ids = jumped_ids, set()
         if cur_sum is None or cur_sum == prev_sum:
+            # converged: the speculative plans will never execute —
+            # either they are already built (drop their
+            # unmaterialized checkpoint marks here) or the worker
+            # drops them itself when it finishes (abandoned flag);
+            # no join, so the abandoned build never blocks the exit
+            with spec_lock:
+                abandoned[0] = True
+                if spec_out and not isinstance(spec_out[0][0],
+                                               BaseException):
+                    _unpersist_ids(spec_out[0][0][1])
             break
         prev_sum = cur_sum
+        if round_no + 1 < max_iter:
+            if worker is not None:
+                worker.join()
+                got, spec_wall = spec_out[0]
+                if isinstance(got, BaseException):
+                    raise got
+                pending, pending_ids = got
+                build_wall = spec_wall
+            else:
+                t0 = _time.time()
+                pending, pending_ids = _build_round(jumped)
+                build_wall = _time.time() - t0
     sc.setJobDescription(caller_desc)
     _LAST_CC_INFO.update(rounds=rounds_done, certificate_jobs=n_checks)
     # The returned frame is a materialized, lineage-truncated
-    # checkpoint: the edge caches and the first-read lump are dead
-    # weight from here on (the lump still holds the returned labels
-    # when only one certificate read ran — e.g. the empty graph — so
-    # it is kept then).
+    # checkpoint: the edge cache, the edge checkpoint under it, and
+    # the initial labels are dead weight from here on.
     sym.unpersist(False)
-    if n_checks >= 2 and baseline_ids:
-        _unpersist_ids(baseline_ids)
+    _unpersist_ids(setup_ids)
     return labels.select(F.col("id"), F.col("comp").alias("component"))
 
 
