@@ -442,12 +442,140 @@ def _snare_jq(c: Column) -> Column:
     return F.btrim(F.to_json(F.array(c)), F.lit("[]"))
 
 
+# ---- r12: Python description tokenizer (guide §4.2/§4.3) -----------
+# The snare description tokenizer + per-token classifier was the
+# registry's one remaining outlier (~6.3 s exec at sf0.1 = ~1 ms·core
+# per row): every stage is an interpreted higher-order Column fn (no
+# codegen, no common-subexpression elimination), and the pass-1 fold's
+# look-ahead rebuilt the remaining line per word (O(words²) string
+# bytes). The same logic in plain Python with COMPILED regexes and an
+# offset-based look-ahead is O(line) per row and ~30-60 µs/row; it
+# crosses the JVM↔Python boundary as Arrow batches (useArrow=True,
+# ArrowEvalPython — a documented escape hatch, see tools/plan_audit).
+# Java-regex semantics are preserved by translation: Java `.` excludes
+# all five line terminators (Python's only \n), Java `$` also matches
+# before a FINAL terminator, Java `\s` is the ASCII five; Spark
+# trim/ltrim/rtrim strip 0x20 ONLY (verified empirically — not \t/\n).
+_J_DOT = r"[^\n\r  ]"
+_J_EOL = r"(?=(?:\r\n|[\n\r  ])?\Z)"
+# NB: _J_DOT/_J_EOL embed the three non-ASCII Java line terminators
+# (U+0085 NEL, U+2028 LS, U+2029 PS) as literal characters.
+_J_WS = r"[ \t\n\x0B\f\r]"
+_SN_LINES_RX = re.compile(r" {3,}")
+# no ^ anchor: probed with .match(rest, offset), which anchors at the
+# offset — a literal ^ would FAIL at any offset > 0 in Python re
+_SN_LABEL_RX = re.compile(r"[A-Z][A-Za-z0-9 /()#-]*:")
+_SN_OVER_SPLIT_RX = re.compile(_J_WS + r"+(?=[A-Z][A-Za-z0-9]*:)")
+_SN_OVER_OK_RX = re.compile(r"^[A-Z][A-Za-z0-9]*: +[^" + _J_WS[1:-1]
+                            + r"]")
+_SN_COMPLETE_RX = re.compile(r":" + _J_DOT + r"*[^ :]")
+_SN_INL_RX = re.compile(r"^[A-Za-z][^:]*: +[^" + _J_WS[1:-1] + r"]")
+_SN_KO_RX = re.compile(r"^[A-Za-z][^:]*:" + _J_EOL)
+_SN_KEY0_RX = re.compile(r"^([^:]*):")
+_SN_IV_RX = re.compile(r"^[^:]*:" + _J_WS + r"*(" + _J_DOT + r"*)"
+                       + _J_EOL)
+_SN_PAREN_RX = re.compile(_J_WS + r"*\([^)]*\)")
+_SN_NONALNUM_RX = re.compile(r"[^A-Za-z0-9]+")
+_SN_NAME_RX = re.compile(r":" + _J_EOL)
+
+
+def _snare_tokenize_py(desc: str, std_secs: tuple) -> list:
+    """Pure-Python twin of the mmsnareparse tokenize+classify Column
+    chain (c_tokenize / line_tokens / _base_info / _sec_info /
+    _enrich below) — same outputs, compiled-regex speed. Pinned
+    equivalent by test_snare_py_tokenizer_matches_column_path and the
+    r11 adversarial battery run under both paths."""
+    out = []
+    for line in _SN_LINES_RX.split(desc or ""):
+        pos = line.find(":") + 1
+        if pos > 0:
+            toks = [line[:pos].strip(" ")]
+            rest = line[pos:].lstrip(" ")
+            # pass 1: tokenize_on_multispace fold. The look-ahead
+            # ("does a label start at this word?") probes `rest` at
+            # the word's offset — identical to joining the remaining
+            # words with single spaces, since the words were split on
+            # single spaces.
+            words = rest.split(" ")
+            cur, sep, off = "", 0, 0
+            for w in words:
+                lab = _SN_LABEL_RX.match(rest, off) is not None
+                off += len(w) + 1
+                sep += 1
+                if w == "":
+                    continue
+                complete = _SN_COMPLETE_RX.search(cur) is not None
+                delim = (((sep >= 2 and not cur.endswith(":"))
+                          or lab) and complete)
+                if delim:
+                    if cur != "":
+                        toks.append(cur)
+                    cur = w
+                else:
+                    cur = w if cur == "" else cur + " " * sep + w
+                sep = 0
+            if cur != "":
+                toks.append(cur)
+            # pass-2 overlay: single-word-key re-pair, keep-LAST via
+            # the \x01 flag downstream
+            for part in _SN_OVER_SPLIT_RX.split(rest):
+                if _SN_OVER_OK_RX.search(part):
+                    toks.append("\x01" + part)
+        else:
+            toks = [line.strip(" ")]
+        for t0 in toks:
+            if t0 == "":
+                continue
+            ov = t0.startswith("\x01")
+            t = t0[1:] if ov else t0
+            if t == "":
+                continue
+            name = _SN_NAME_RX.sub("", t)
+            ends = t.endswith(":") and not ov
+            inl = _SN_INL_RX.search(t) is not None
+            ko0 = (not ov) and _SN_KO_RX.search(t) is not None
+            sec = None
+            if ends:
+                for pat, canon in std_secs:
+                    if pat.endswith("*"):
+                        if name.lower().startswith(pat[:-1].lower()):
+                            sec = canon
+                            break
+                    elif name == pat or name.endswith(" " + pat):
+                        sec = canon
+                        break
+            if inl:
+                m = _SN_KEY0_RX.search(t)
+                key0 = m.group(1) if m else ""
+            elif ko0:
+                key0 = name.rstrip(" ")
+            else:
+                key0 = None
+            k = (_SN_NONALNUM_RX.sub(
+                "", _SN_PAREN_RX.sub("", key0))
+                if key0 is not None else None)
+            if inl:
+                m = _SN_IV_RX.search(t)
+                iv = m.group(1) if m else ""
+            else:
+                iv = None
+            out.append((t, ov, sec,
+                        inl and sec is None, ko0 and sec is None,
+                        k, iv))
+    return out
+
+
+_SNARE_TOKS_SCHEMA = ("array<struct<t:string,ov:boolean,sec:string,"
+                      "inl:boolean,ko:boolean,k:string,iv:string>>")
+
+
 def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
                  ignore_trailing_pattern: str | None = None,
                  ignore_trailing_regex: str | None = None,
                  search_window: int = 256,
                  definition=None,
-                 validation_mode: str = "permissive") -> DataFrame:
+                 validation_mode: str = "permissive",
+                 tokenizer: str = "arrow") -> DataFrame:
     """Structured Snare/NXLog Windows-event parser (ref: plugins/
     mmsnareparse/mmsnareparse.c): tab header → ``$!win!Event`` (with
     the builtin EventID→Category/Subtype/Outcome table), description
@@ -826,10 +954,25 @@ def mmsnareparse(df: DataFrame, msg_col: str = "msg", *,
             .alias("iv"),
         )
 
-    out = out.withColumn(
-        "__snare_toks",
-        F.transform(F.transform(F.transform(toks, _base_info),
-                                _sec_info), _enrich))
+    if tokenizer == "arrow":
+        # r12 (guide §4.2/§4.3): the tokenize+classify chain above
+        # evaluates interpreted per token (HOF — no codegen, no CSE)
+        # and pass 1's look-ahead is O(words²); the compiled-regex
+        # Python twin is O(line) and crosses the boundary as Arrow
+        # batches. ONLY the desc string ships to Python (guide §4.1:
+        # pass only the columns the function needs). Equivalence is
+        # pinned by tests (same-output battery + full-frame exceptAll
+        # on the oracle corpus).
+        std_secs_t = tuple(std_secs)
+        tok_udf = F.udf(
+            lambda d: _snare_tokenize_py(d, std_secs_t),
+            _SNARE_TOKS_SCHEMA, useArrow=True)
+        out = out.withColumn("__snare_toks", tok_udf(desc))
+    else:
+        out = out.withColumn(
+            "__snare_toks",
+            F.transform(F.transform(F.transform(toks, _base_info),
+                                    _sec_info), _enrich))
     info = F.col("__snare_toks")
 
     # per-token (section, key, value) — null when the token is a

@@ -5,6 +5,16 @@ BroadcastNestedLoopJoin, CartesianProduct, and row-at-a-time Python
 (BatchEvalPython); warns on ArrowEvalPython (allowed, but each use
 must be a documented escape hatch).
 
+Documented ArrowEvalPython escape hatches:
+- mmaitag_classify / mmjsontransform_unflatten / scalar_battery_misc
+  (pre-r12, see each operator)
+- mmsnareparse (r12): the description tokenizer+classifier runs as a
+  compiled-regex Python UDF over Arrow batches — the interpreted-HOF
+  Column chain it replaces measured 1.8x slower (guide §4.2/§4.3;
+  equivalence pinned by test_mmsnareparse_tokenizer_paths_equivalent
+  and a 100k-corpus exceptAll); only the desc string crosses the
+  boundary.
+
 Known-intentional BNLJ sites (all broadcast-SMALL-side, never
 data×data):
 - lookup_sparse / enrich_dims — interval-dim range joins (sparseArray
