@@ -260,22 +260,121 @@ _TAIL = (
          "pii_redaction_battery")
 
 
+def _stable_repr(obj) -> str | None:
+    """repr for plain-data module constants (str/int/float/bool/None
+    and tuples/lists/dicts of them, insertion-ordered) — None for
+    anything whose repr isn't content-deterministic (Columns, sets,
+    objects)."""
+    if obj is None or isinstance(obj, (str, int, float, bool)):
+        return repr(obj)
+    if isinstance(obj, (tuple, list)):
+        parts = [_stable_repr(x) for x in obj]
+        return None if None in parts else "[" + ",".join(parts) + "]"
+    if isinstance(obj, dict):
+        parts = [(_stable_repr(k), _stable_repr(v))
+                 for k, v in obj.items()]
+        if any(k is None or v is None for k, v in parts):
+            return None
+        return "{" + ",".join(f"{k}:{v}" for k, v in parts) + "}"
+    return None
+
+
+def _transitive_sources(fn) -> dict[str, str]:
+    """Source (and plain-data constants) of every rsyslog_spark
+    function/class ``fn`` transitively references — resolved through
+    each function's globals (module-level imports) plus the
+    ``from rsyslog_spark... import ...`` statements in its body
+    (queries import their operators locally). Classes contribute
+    their source without further recursion; module objects are not
+    expanded (queries reference operators by name, not via module
+    attributes)."""
+    import ast
+    import importlib
+    import inspect
+    import textwrap
+
+    out: dict[str, str] = {}
+    seen: set[str] = set()
+    stack = [fn]
+    while stack:
+        f = inspect.unwrap(stack.pop())
+        key = (getattr(f, "__module__", "") + "."
+               + getattr(f, "__qualname__", ""))
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            src = inspect.getsource(f)
+        except (OSError, TypeError):
+            continue
+        out[key] = src
+        if not inspect.isfunction(f):
+            continue
+        mod = getattr(f, "__module__", "") or ""
+        cands: dict[str, object] = {}
+        g = getattr(f, "__globals__", {})
+        for name in f.__code__.co_names:
+            if name in g:
+                cands[name] = g[name]
+        try:
+            tree = ast.parse(textwrap.dedent(src))
+        except SyntaxError:
+            tree = None
+        if tree is not None:
+            for node in ast.walk(tree):
+                if (isinstance(node, ast.ImportFrom) and node.module
+                        and node.module.startswith("rsyslog_spark")):
+                    try:
+                        m = importlib.import_module(node.module)
+                    except ImportError:
+                        continue
+                    for alias in node.names:
+                        obj = getattr(m, alias.name, None)
+                        if obj is not None:
+                            cands[alias.asname or alias.name] = obj
+        for name, obj in cands.items():
+            target = inspect.unwrap(obj) if callable(obj) else obj
+            omod = getattr(target, "__module__", None) or ""
+            if ((inspect.isfunction(target) or inspect.isclass(target))
+                    and omod.startswith("rsyslog_spark")):
+                stack.append(target)
+            elif mod.startswith("rsyslog_spark"):
+                rep = _stable_repr(obj)
+                if rep is not None:
+                    out.setdefault(f"{mod}:{name}", rep)
+    return out
+
+
 def tail_body_hash(q: Query) -> str:
     """Body hash pinning a tail query to the exact version the driver
     last verified: sha256 over the spark callable's source (includes
-    the @q decorator, hence the oracle) plus the oracle string."""
+    the @q decorator, hence the oracle), the oracle string, AND (r12,
+    the r11 verdict's top item) the transitive rsyslog_spark operator
+    sources + plain-data constants the query calls into — so an
+    OPERATOR rewrite now forces the query back into the driver's
+    verification window, not just an edit to the query function
+    itself."""
     import hashlib
     import inspect
 
-    src = inspect.getsource(q.spark)
-    return hashlib.sha256(
-        (src + "\x00" + (q.oracle or "")).encode()).hexdigest()
+    srcs = _transitive_sources(q.spark)
+    blob = "\x00".join(
+        [inspect.getsource(q.spark), q.oracle or ""]
+        + [f"{k}\x01{v}" for k, v in sorted(srcs.items())])
+    return hashlib.sha256(blob.encode()).hexdigest()
+
+
+_TAIL_VERIFIED = [False]
 
 
 def _verify_tail_manifest(tail: dict[str, Query]) -> None:
     import json
     import os
 
+    # the transitive hash walks ~30 sources per tail query — verify
+    # once per process (sources can't change under a running process)
+    if _TAIL_VERIFIED[0]:
+        return
     path = os.path.join(os.path.dirname(__file__),
                         "_tail_manifest.json")
     with open(path, encoding="utf-8") as fh:
@@ -291,7 +390,9 @@ def _verify_tail_manifest(tail: dict[str, Query]) -> None:
         got = tail_body_hash(q)
         if got != pinned["sha256"]:
             raise AssertionError(
-                f"tail query {name!r} body changed since its last "
-                f"driver-green round ({pinned['sha256'][:12]} -> "
-                f"{got[:12]}): move it INSIDE the first-50 window "
-                "(collect_all _TAIL) so the driver re-verifies it")
+                f"tail query {name!r} body (or transitive operator "
+                "source) changed since its last driver-green round "
+                f"({pinned['sha256'][:12]} -> {got[:12]}): move it "
+                "INSIDE the first-50 window (collect_all _TAIL) so "
+                "the driver re-verifies it")
+    _TAIL_VERIFIED[0] = True

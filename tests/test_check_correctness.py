@@ -78,3 +78,28 @@ def test_all_registered_oracles_typed_clean():
                     and (name, cname) not in allowed):
                 offenders.append(f"{name}.{cname}={dtype}")
     assert not offenders, offenders
+
+
+def test_tail_body_hash_covers_transitive_operator_source():
+    """r12 governance (the r11 verdict's top item): a tail query's
+    pin hashes not just its own source + oracle but the rsyslog_spark
+    operator functions it transitively calls — so an operator rewrite
+    forces the query back into the driver's verification window. Pins
+    resolution through local imports, recursion into operator
+    helpers, and hash sensitivity to the collected sources."""
+    from rsyslog_spark.queries import (_transitive_sources,
+                                       collect_all, tail_body_hash)
+
+    qs = collect_all()
+    q = qs["similarity_knn_join"]          # tail-parked since r8
+    srcs = _transitive_sources(q.spark)
+    # the operator itself (resolved via the query's local import)
+    assert "rsyslog_spark.operators.similarity.knn_join" in srcs
+    # and the helpers the OPERATOR calls (recursion)
+    assert "rsyslog_spark.operators.similarity.dot" in srcs
+    assert "rsyslog_spark.operators.similarity.norm" in srcs
+    # deterministic across calls
+    assert tail_body_hash(q) == tail_body_hash(q)
+    # the hash is a function of the transitive blob: two different
+    # queries over different operators never collide
+    assert tail_body_hash(q) != tail_body_hash(qs["url_dedup_canonical"])
