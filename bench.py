@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     # r11 addition — the dynafile/zip sink oracle (writes + reads
     # back a gzip partition tree; billed like any other query)
     "omfile_dynafile_zip",
+    # r12 addition — the registry's most expensive query (full Snare
+    # description walk), optimized this round (tokenizer -> Arrow
+    # Python UDF, -44%); added so the driver measures the path from
+    # now on. Addition only — nothing removed or renamed.
+    "mmsnareparse_win_event",
 ]
 
 

@@ -784,11 +784,8 @@ def connected_components(
     prev_ids: set = set()
     carry_ids: set = set()   # skipped rounds' blocks (check_every>1)
     import threading
-    import time as _time
 
-    t0 = _time.time()
     pending, pending_ids = _build_round(labels)
-    build_wall = _time.time() - t0
     for round_no in range(max_iter):
         # Label each round's job (guide §1.5) so the UI/event log
         # maps scheduler jobs back to CC rounds; the caller's
@@ -817,16 +814,15 @@ def connected_components(
         if do_check and round_no + 1 < max_iter:
             def _spec(src=jumped):
                 try:
-                    t = _time.time()
                     built = _build_round(src)
                     with spec_lock:
                         if abandoned[0]:
                             _unpersist_ids(built[1])
                         else:
-                            spec_out.append((built, _time.time() - t))
+                            spec_out.append(built)
                 except BaseException as e:  # noqa: BLE001
                     with spec_lock:
-                        spec_out.append((e, 0.0))
+                        spec_out.append(e)
             worker = threading.Thread(
                 target=_spec, daemon=True,
                 name="cc-round-planner")
@@ -852,23 +848,20 @@ def connected_components(
             # no join, so the abandoned build never blocks the exit
             with spec_lock:
                 abandoned[0] = True
-                if spec_out and not isinstance(spec_out[0][0],
+                if spec_out and not isinstance(spec_out[0],
                                                BaseException):
-                    _unpersist_ids(spec_out[0][0][1])
+                    _unpersist_ids(spec_out[0][1])
             break
         prev_sum = cur_sum
         if round_no + 1 < max_iter:
             if worker is not None:
                 worker.join()
-                got, spec_wall = spec_out[0]
+                got = spec_out[0]
                 if isinstance(got, BaseException):
                     raise got
                 pending, pending_ids = got
-                build_wall = spec_wall
             else:
-                t0 = _time.time()
                 pending, pending_ids = _build_round(jumped)
-                build_wall = _time.time() - t0
     sc.setJobDescription(caller_desc)
     _LAST_CC_INFO.update(rounds=rounds_done, certificate_jobs=n_checks)
     # The returned frame is a materialized, lineage-truncated
